@@ -1,13 +1,664 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Fill, SeriesOps, WindowedAgg}
+import graft.pipeline.{Dedup, Similarity, TextAnalysis}
+
+/** Driver contract: one entry per implemented operator from SURVEY.md §2,
+  * with DuckDB-oracle SQL for every SQL-expressible query.
+  *
+  * Cross-engine determinism rules used throughout (so hash-compare against
+  * DuckDB is bit-exact, not "close"):
+  *  - sums/averages of DOUBLE go through `CAST(x AS DECIMAL)` first — decimal
+  *    addition is exact and order-independent, so Spark's partial-agg order
+  *    vs DuckDB's doesn't matter; one final cast back to DOUBLE is the same
+  *    IEEE rounding in both engines;
+  *  - timestamps are emitted as epoch millis/micros BIGINT (the parquet
+  *    events table is ns-precision; Spark truncates to µs, DuckDB keeps ns —
+  *    integer epochs sidestep the writer-precision mismatch);
+  *  - every window order and every output has an explicit total order
+  *    (tie-break on a unique id column).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  // ---- determinism helpers -------------------------------------------------
+  private def dsum(c: Column, scale: Int = 4): Column =
+    sum(c.cast(s"decimal(18,$scale)")).cast("double")
+  private def davg(c: Column, scale: Int = 4): Column =
+    dsum(c, scale) / count(c)
+  /** SQL-side twin of dsum/davg for oracle strings. */
+  private def sqlDsum(e: String, scale: Int = 4): String =
+    s"CAST(sum(CAST($e AS DECIMAL(18,$scale))) AS DOUBLE)"
+  private def sqlDavg(e: String, scale: Int = 4): String =
+    s"${sqlDsum(e, scale)}/count($e)"
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.table(s, dir, name)
+  private def ts(lit0: String): Column = lit(lit0).cast("timestamp")
+
+  // events-table epoch bounds for fill spines: [2024-01-01, 2024-01-31) UTC
+  private val EvStartMs = 1704067200000L
+  private val EvEndMs = 1706659200000L
+  private val HourMs = 3600000L
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q03_join_revenue")(spark, "/root/testdata/sf0.001")
+
+  // ---- query inventory -----------------------------------------------------
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // §2.4 stream/hash agg: GROUP BY + {sum, avg, count} (TPC-H Q1 shape).
+    "q01_agg_basic" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= ts("1998-09-02"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
+            .as("sum_disc_price"),
+          davg(col("l_quantity")).as("avg_qty"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // §2.2 filter/project + §2.6 global sort/limit; filters push to parquet.
+    "q02_filter_sort_limit" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_quantity") > 45 &&
+          col("l_shipdate") >= ts("1997-01-01") &&
+          col("l_shipdate") < ts("1998-01-01"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_quantity"), col("l_extendedprice"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+            (lit(1.0) + col("l_tax"))).as("charge"))
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"),
+          col("l_linenumber"))
+        .limit(100)
+    }),
+
+    // §2.3 joins: fact-fact shuffle join + broadcast dims (nation/region).
+    "q03_join_revenue" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem"); val ord = t(s, dir, "orders")
+      val cust = t(s, dir, "customer")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .filter(col("o_orderdate") >= ts("1996-01-01") &&
+          col("o_orderdate") < ts("1997-01-01"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
+          .as("revenue"), count(lit(1)).as("n_items"))
+        .orderBy("r_name", "n_name")
+    }),
+
+    // §2.3 IN-subquery → left-semi join (reference in_transform.go).
+    "q04_semi_join" -> ((s, dir) => {
+      val hot = t(s, dir, "lineitem").filter(col("l_quantity") >= 49)
+        .select(col("l_orderkey"))
+      t(s, dir, "orders")
+        .join(hot, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // §2.3 NOT IN → left-anti join.
+    "q05_anti_join" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"),
+          "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"), min(col("c_custkey")).as("min_custkey"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // §2.7 UNION + distinct (reference union sort-append + Distinct()).
+    "q06_union_distinct" -> ((s, dir) => {
+      t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+        .union(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+        .distinct()
+        .orderBy("nationkey")
+    }),
+
+    // §2.4 top(f,n) selector per group via window rank.
+    "q07_topk_per_group" -> ((s, dir) => {
+      SeriesOps.topPerSeries(t(s, dir, "orders"), "o_totalprice",
+          "o_orderkey", Seq("o_orderpriority"), 3)
+        .withColumnRenamed("rank_in_series", "rnk")
+        .select(col("o_orderpriority"), col("rnk"), col("o_orderkey"),
+          col("o_totalprice"))
+        .orderBy("o_orderpriority", "rnk")
+    }),
+
+    // §2.4 selectors first/last (min_by/max_by) + spread + §2.5 rate.
+    "q08_selectors_rate" -> ((s, dir) => {
+      val fl = SeriesOps.firstLast(t(s, dir, "events"), "value", "ts",
+        Seq("event_type"))
+      fl.withColumn("rate", (col("last") - col("first")) /
+          ((col("last_t_us") - col("first_t_us")).cast("double") / 1e6))
+        .orderBy("event_type")
+    }),
+
+    // §2.4 GROUP BY tags, time(1h) — the core openGemini query shape.
+    "q09_time_bucket" -> ((s, dir) => {
+      WindowedAgg.timeBucket(t(s, dir, "events"), "ts", "1 hour",
+          Seq("event_type"),
+          Seq(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"),
+            davg(col("value")).as("avg_value")))
+        .select("event_type", "wstart_ms", "n", "sum_value", "avg_value")
+        .orderBy("event_type", "wstart_ms")
+    }),
+
+    // §2.5 difference().
+    "q10_difference" -> ((s, dir) => {
+      SeriesOps.difference(t(s, dir, "events"), "value", "ts", Seq("user_id"),
+          nonNegative = false, tieBreak = Seq("event_id"))
+        .select(col("user_id"), col("event_id"), col("value"), col("difference"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    // §2.5 derivative(f, 1s).
+    "q11_derivative" -> ((s, dir) => {
+      SeriesOps.derivative(t(s, dir, "events"), "value", "ts", Seq("user_id"),
+          unitSeconds = 1.0, tieBreak = Seq("event_id"))
+        .select(col("user_id"), col("event_id"), col("derivative"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    // §2.5 moving_average(f, 5) — full windows only.
+    "q12_moving_average" -> ((s, dir) => {
+      SeriesOps.movingAverage(t(s, dir, "events"), "value", "ts",
+          Seq("user_id"), 5, tieBreak = Seq("event_id"))
+        .select(col("user_id"), col("event_id"), col("moving_average"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    // §2.5 cumulative_sum.
+    "q13_cumulative_sum" -> ((s, dir) => {
+      SeriesOps.cumulativeSum(t(s, dir, "events"), "value", "ts",
+          Seq("user_id"), tieBreak = Seq("event_id"))
+        .select(col("user_id"), col("event_id"), col("cumulative_sum"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    // §2.5 integral (trapezoid) per series.
+    "q14_integral" -> ((s, dir) => {
+      SeriesOps.integral(t(s, dir, "events"), "value", "ts", Seq("user_id"),
+          unitSeconds = 1.0, tieBreak = Seq("event_id"))
+        .orderBy("user_id")
+    }),
+
+    // §2.5 sliding_window: 2h windows sliding by 1h.
+    "q15_sliding_window" -> ((s, dir) => {
+      WindowedAgg.slidingWindow(t(s, dir, "events"), "ts", "2 hours", "1 hour",
+          Seq("event_type"),
+          Seq(count(lit(1)).as("n"), dsum(col("value")).as("sum_value")))
+        .select("event_type", "wstart_ms", "n", "sum_value")
+        .orderBy("event_type", "wstart_ms")
+    }),
+
+    // §2.6 per-series LIMIT (first 3 points per series).
+    "q16_per_series_limit" -> ((s, dir) => {
+      SeriesOps.limitPerSeries(t(s, dir, "events"), "ts", Seq("user_id"), 3,
+          tieBreak = Seq("event_id"))
+        .select(col("user_id"), col("event_id"), col("value"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    // fill(previous): dense hourly spine + LOCF per series.
+    "q17_fill_previous" -> ((s, dir) => {
+      val agg = WindowedAgg.timeBucket(t(s, dir, "events"), "ts", "1 hour",
+        Seq("event_type"), Seq(davg(col("value")).as("avg_value")))
+        .select("event_type", "wstart_ms", "avg_value")
+      Fill.fillPrevious(agg, Seq("avg_value"), Seq("event_type"),
+          EvStartMs, EvEndMs, HourMs)
+        .select("event_type", "wstart_ms", "avg_value")
+        .orderBy("event_type", "wstart_ms")
+    }),
+
+    // fill(linear): interpolate interior gaps, null edges.
+    "q18_fill_linear" -> ((s, dir) => {
+      val agg = WindowedAgg.timeBucket(t(s, dir, "events"), "ts", "1 hour",
+        Seq("event_type"), Seq(davg(col("value")).as("avg_value")))
+        .select("event_type", "wstart_ms", "avg_value")
+      Fill.fillLinear(agg, "avg_value", Seq("event_type"),
+          EvStartMs, EvEndMs, HourMs)
+        .select("event_type", "wstart_ms", "avg_value")
+        .orderBy("event_type", "wstart_ms")
+    }),
+
+    // §2.7 CTE + join + global top-k.
+    "q19_cte_top_customers" -> ((s, dir) => {
+      val rev = t(s, dir, "orders").groupBy(col("o_custkey"))
+        .agg(dsum(col("o_totalprice")).as("revenue"),
+          count(lit(1)).as("n_orders"))
+      rev.join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("revenue"), col("n_orders"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
+    // §2.8 conditional (CASE WHEN) aggregation (TPC-H Q14 shape).
+    "q20_conditional_agg" -> ((s, dir) => {
+      val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .groupBy(year(col("l_shipdate")).cast("long").as("ship_year"))
+        .agg(dsum(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0)), 6)
+            .as("promo_revenue"),
+          dsum(rev, 6).as("total_revenue"), count(lit(1)).as("n_items"))
+        .withColumn("promo_share", col("promo_revenue") / col("total_revenue"))
+        .orderBy("ship_year")
+    }),
+
+    // §2.4 percentile (exact) + spread + stddev.
+    "q21_percentile" -> ((s, dir) => {
+      t(s, dir, "lineitem").groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_quantity, 0.25)"), 6).as("p25"),
+          round(expr("percentile(l_quantity, 0.5)"), 6).as("median"),
+          round(expr("percentile(l_quantity, 0.9)"), 6).as("p90"),
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty"),
+          (max(col("l_quantity")) - min(col("l_quantity"))).as("spread"),
+          round(stddev(col("l_quantity")), 6).as("stddev_qty"))
+        .orderBy("l_returnflag")
+    }),
+
+    // §2.8 scalar string functions.
+    "q22_string_funcs" -> ((s, dir) => {
+      t(s, dir, "part").select(
+          col("p_partkey"),
+          upper(col("p_name")).as("name_upper"),
+          substring(col("p_name"), 1, 12).as("name_prefix"),
+          length(col("p_name")).cast("long").as("name_len"),
+          element_at(split(col("p_name"), " "), 1).as("first_word"),
+          expr("replace(p_brand, 'Brand#', 'B')").as("brand_short"),
+          concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+          levenshtein(col("p_brand"), col("p_type")).cast("long").as("lev"))
+        .orderBy("p_partkey")
+    }),
+
+    // pipeline: exact dedup (hash-grouped, shuffles 8-byte keys).
+    "q23_dedup_exact" -> ((s, dir) => {
+      Dedup.exact(t(s, dir, "documents"), "text", "doc_id")
+        .select(col("keep_id"), col("dup_count"))
+        .orderBy("keep_id")
+    }),
+
+    // pipeline: text quality features aggregated per language.
+    "q24_text_quality" -> ((s, dir) => {
+      val f = TextAnalysis.qualityFeatures(col("text"))
+      t(s, dir, "documents").select(col("lang"), f.as("f"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("f.n_tokens")).as("sum_tokens"),
+          dsum(col("f.mean_word_len"), 8).as("sum_mwl"),
+          dsum(col("f.punct_ratio"), 8).as("sum_punct"),
+          dsum(col("f.stopword_ratio"), 8).as("sum_stop"))
+        .orderBy("lang")
+    }),
+
+    // pipeline: BPE-ish + whitespace token counting per source.
+    "q25_token_count" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("source"),
+          TextAnalysis.bpeishTokenCount(col("text")).as("n_bpe"),
+          TextAnalysis.tokenCount(col("text")).as("n_ws"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_bpe")).as("sum_bpe"),
+          sum(col("n_ws")).as("sum_ws"))
+        .orderBy("source")
+    }),
+
+    // pipeline: language-ID heuristic (argmax of marker-word scores) vs the
+    // labeled lang column — emitted as a confusion count matrix.
+    "q26_lang_id" -> ((s, dir) => {
+      val scored = TextAnalysis.langScores(col("text"))
+      val arr = array(scored.map { case (l, sc) =>
+        struct(sc.as("score"), lit(l).as("plang")) }: _*)
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("plang").asc)
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), explode(arr).as("sc"))
+        .select(col("doc_id"), col("lang"),
+          col("sc.score").as("score"), col("sc.plang").as("plang"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .groupBy(col("lang"), col("plang").as("predicted"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang", "predicted")
+    }),
+
+    // pipeline: exact ANN baseline — brute-force cosine top-5 for 8 queries.
+    "q27_knn_cosine" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 8),
+          "embedding", "vec_id", 5)
+        .withColumn("cos", round(col("cos"), 6))
+        .orderBy("query_id", "rank")
+    }),
+
+    // pipeline: MinHash+LSH near-dup candidate pairs (no SQL oracle —
+    // hash-permutation specific; verified by unit tests instead).
+    "q28_dedup_minhash" -> ((s, dir) => {
+      Dedup.minhashCandidates(t(s, dir, "documents"), "text", "doc_id",
+          shingleN = 3, k = 16, bands = 8)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // pipeline: 64-bit SimHash fingerprint per document (no SQL oracle).
+    "q29_simhash" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash64"))
+        .orderBy("doc_id")
+    }),
+
+    // §2.6 SLIMIT: first 3 series by tag order.
+    "q30_slimit" -> ((s, dir) => {
+      SeriesOps.slimit(t(s, dir, "events"), Seq("event_type"), 3)
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+        .orderBy("event_type")
+    })
+  )
+
+  // ---- DuckDB oracle SQL ---------------------------------------------------
+  private val evWin = "PARTITION BY user_id ORDER BY epoch_us(ts), event_id"
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_agg_basic" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         ${sqlDsum("l_quantity")} AS sum_qty,
+         ${sqlDsum("l_extendedprice")} AS sum_base_price,
+         ${sqlDsum("l_extendedprice*(1-l_discount)", 6)} AS sum_disc_price,
+         ${sqlDavg("l_quantity")} AS avg_qty,
+         count(*) AS n_rows
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+
+    "q02_filter_sort_limit" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity,
+         l_extendedprice,
+         l_extendedprice*(1-l_discount)*(1+l_tax) AS charge
+         FROM lineitem
+         WHERE l_quantity > 45 AND l_shipdate >= TIMESTAMP '1997-01-01'
+           AND l_shipdate < TIMESTAMP '1998-01-01'
+         ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100""",
+
+    "q03_join_revenue" ->
+      s"""SELECT r_name, n_name,
+         ${sqlDsum("l_extendedprice*(1-l_discount)", 6)} AS revenue,
+         count(*) AS n_items
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1997-01-01'
+         GROUP BY r_name, n_name ORDER BY r_name, n_name""",
+
+    "q04_semi_join" ->
+      s"""SELECT o_orderstatus, count(*) AS n_orders,
+         ${sqlDsum("o_totalprice")} AS sum_price
+         FROM orders WHERE EXISTS (SELECT 1 FROM lineitem
+           WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    "q05_anti_join" ->
+      """SELECT c_mktsegment, count(*) AS n_customers,
+         min(c_custkey) AS min_custkey
+         FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders
+           WHERE o_custkey = c_custkey)
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    "q06_union_distinct" ->
+      """SELECT DISTINCT nationkey FROM (
+           SELECT c_nationkey AS nationkey FROM customer
+           UNION ALL SELECT s_nationkey AS nationkey FROM supplier)
+         ORDER BY nationkey""",
+
+    "q07_topk_per_group" ->
+      """SELECT o_orderpriority, rnk, o_orderkey, o_totalprice FROM (
+           SELECT o_orderpriority, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+               ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+           FROM orders) WHERE rnk <= 3 ORDER BY o_orderpriority, rnk""",
+
+    "q08_selectors_rate" ->
+      """SELECT event_type,
+         arg_min(value, ts) AS first, arg_max(value, ts) AS last,
+         min(epoch_us(ts)) AS first_t_us, max(epoch_us(ts)) AS last_t_us,
+         max(value) - min(value) AS spread, count(value) AS n,
+         (arg_max(value, ts) - arg_min(value, ts)) /
+           ((max(epoch_us(ts)) - min(epoch_us(ts))) / 1000000.0) AS rate
+         FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "q09_time_bucket" ->
+      s"""SELECT event_type, epoch_ms(date_trunc('hour', ts)) AS wstart_ms,
+         count(*) AS n, ${sqlDsum("value")} AS sum_value,
+         ${sqlDavg("value")} AS avg_value
+         FROM events GROUP BY event_type, date_trunc('hour', ts)
+         ORDER BY event_type, wstart_ms""",
+
+    "q10_difference" ->
+      s"""SELECT user_id, event_id, value, difference FROM (
+           SELECT user_id, event_id, value,
+             value - lag(value) OVER ($evWin) AS difference
+           FROM events) WHERE difference IS NOT NULL
+         ORDER BY user_id, event_id""",
+
+    "q11_derivative" ->
+      s"""SELECT user_id, event_id, derivative FROM (
+           SELECT user_id, event_id,
+             (value - lag(value) OVER ($evWin)) /
+             ((epoch_us(ts) - lag(epoch_us(ts)) OVER ($evWin)) / 1000000.0)
+             * 1.0 AS derivative
+           FROM events) WHERE derivative IS NOT NULL
+         ORDER BY user_id, event_id""",
+
+    "q12_moving_average" ->
+      s"""SELECT user_id, event_id, moving_average FROM (
+           SELECT user_id, event_id,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) /
+               count(value) OVER w AS moving_average,
+             count(value) OVER w AS wn
+           FROM events WINDOW w AS ($evWin
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+         WHERE wn = 5 ORDER BY user_id, event_id""",
+
+    "q13_cumulative_sum" ->
+      s"""SELECT user_id, event_id,
+         CAST(sum(CAST(value AS DECIMAL(18,6))) OVER ($evWin
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           AS cumulative_sum
+         FROM events ORDER BY user_id, event_id""",
+
+    "q14_integral" ->
+      s"""SELECT user_id,
+         CAST(sum(trap) AS DOUBLE) / 2000.0 AS integral FROM (
+           SELECT user_id,
+             CAST(value + lag(value) OVER ($evWin) AS DECIMAL(18,2)) *
+             CAST((epoch_us(ts) - lag(epoch_us(ts)) OVER ($evWin)) // 1000
+               AS DECIMAL(10,0)) AS trap
+           FROM events)
+         GROUP BY user_id ORDER BY user_id""",
+
+    "q15_sliding_window" ->
+      s"""SELECT event_type, wstart_ms, count(*) AS n,
+         ${sqlDsum("value")} AS sum_value FROM (
+           SELECT event_type, value,
+             unnest([epoch_ms(date_trunc('hour', ts)),
+                     epoch_ms(date_trunc('hour', ts)) - 3600000]) AS wstart_ms
+           FROM events)
+         GROUP BY event_type, wstart_ms ORDER BY event_type, wstart_ms""",
+
+    "q16_per_series_limit" ->
+      s"""SELECT user_id, event_id, value FROM (
+           SELECT user_id, event_id, value,
+             row_number() OVER ($evWin) AS rn FROM events)
+         WHERE rn <= 3 ORDER BY user_id, event_id""",
+
+    "q17_fill_previous" ->
+      s"""WITH series AS (SELECT DISTINCT event_type FROM events),
+         spine AS (SELECT event_type,
+           unnest(generate_series(${EvStartMs}, ${EvEndMs - HourMs}, ${HourMs}))
+             AS wstart_ms FROM series),
+         agg AS (SELECT event_type,
+           epoch_ms(date_trunc('hour', ts)) AS wstart_ms,
+           ${sqlDavg("value")} AS avg_value
+           FROM events GROUP BY event_type, date_trunc('hour', ts))
+         SELECT s.event_type, s.wstart_ms,
+           last_value(a.avg_value IGNORE NULLS) OVER (
+             PARTITION BY s.event_type ORDER BY s.wstart_ms
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS avg_value
+         FROM spine s LEFT JOIN agg a
+           ON s.event_type = a.event_type AND s.wstart_ms = a.wstart_ms
+         ORDER BY s.event_type, s.wstart_ms""",
+
+    "q18_fill_linear" ->
+      s"""WITH series AS (SELECT DISTINCT event_type FROM events),
+         spine AS (SELECT event_type,
+           unnest(generate_series(${EvStartMs}, ${EvEndMs - HourMs}, ${HourMs}))
+             AS wstart_ms FROM series),
+         agg AS (SELECT event_type,
+           epoch_ms(date_trunc('hour', ts)) AS wstart_ms,
+           ${sqlDavg("value")} AS avg_value
+           FROM events GROUP BY event_type, date_trunc('hour', ts)),
+         dense AS (SELECT s.event_type, s.wstart_ms, a.avg_value
+           FROM spine s LEFT JOIN agg a
+             ON s.event_type = a.event_type AND s.wstart_ms = a.wstart_ms),
+         ctx AS (SELECT event_type, wstart_ms, avg_value,
+           last_value(avg_value IGNORE NULLS) OVER wp AS pv,
+           first_value(avg_value IGNORE NULLS) OVER wn AS nv,
+           last_value(CASE WHEN avg_value IS NOT NULL THEN wstart_ms END
+             IGNORE NULLS) OVER wp AS pt,
+           first_value(CASE WHEN avg_value IS NOT NULL THEN wstart_ms END
+             IGNORE NULLS) OVER wn AS nt
+           FROM dense WINDOW
+           wp AS (PARTITION BY event_type ORDER BY wstart_ms
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           wn AS (PARTITION BY event_type ORDER BY wstart_ms
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+         SELECT event_type, wstart_ms,
+           CASE WHEN avg_value IS NOT NULL THEN avg_value
+                WHEN pv IS NOT NULL AND nv IS NOT NULL AND nt <> pt
+                THEN pv + (nv - pv) * (wstart_ms - pt) / (nt - pt)
+           END AS avg_value
+         FROM ctx ORDER BY event_type, wstart_ms""",
+
+    "q19_cte_top_customers" ->
+      s"""WITH rev AS (SELECT o_custkey,
+           ${sqlDsum("o_totalprice")} AS revenue, count(*) AS n_orders
+           FROM orders GROUP BY o_custkey)
+         SELECT c_custkey, c_name, revenue, n_orders
+         FROM rev JOIN customer ON o_custkey = c_custkey
+         ORDER BY revenue DESC, c_custkey LIMIT 20""",
+
+    "q20_conditional_agg" ->
+      s"""SELECT CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+         ${sqlDsum("CASE WHEN p_type = 'PROMO' THEN l_extendedprice*(1-l_discount) ELSE 0.0 END", 6)} AS promo_revenue,
+         ${sqlDsum("l_extendedprice*(1-l_discount)", 6)} AS total_revenue,
+         count(*) AS n_items,
+         ${sqlDsum("CASE WHEN p_type = 'PROMO' THEN l_extendedprice*(1-l_discount) ELSE 0.0 END", 6)} /
+           ${sqlDsum("l_extendedprice*(1-l_discount)", 6)} AS promo_share
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY year(l_shipdate) ORDER BY ship_year""",
+
+    "q21_percentile" ->
+      """SELECT l_returnflag,
+         round(quantile_cont(l_quantity, 0.25), 6) AS p25,
+         round(quantile_cont(l_quantity, 0.5), 6) AS median,
+         round(quantile_cont(l_quantity, 0.9), 6) AS p90,
+         min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+         max(l_quantity) - min(l_quantity) AS spread,
+         round(stddev_samp(l_quantity), 6) AS stddev_qty
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q22_string_funcs" ->
+      """SELECT p_partkey, upper(p_name) AS name_upper,
+         substr(p_name, 1, 12) AS name_prefix,
+         CAST(length(p_name) AS BIGINT) AS name_len,
+         split_part(p_name, ' ', 1) AS first_word,
+         replace(p_brand, 'Brand#', 'B') AS brand_short,
+         concat_ws('|', p_brand, p_type) AS brand_type,
+         CAST(levenshtein(p_brand, p_type) AS BIGINT) AS lev
+         FROM part ORDER BY p_partkey""",
+
+    "q23_dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS dup_count
+         FROM documents GROUP BY text ORDER BY keep_id""",
+
+    "q24_text_quality" ->
+      s"""WITH feats AS (SELECT lang,
+           len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+           length(regexp_replace(text, '\\s', '', 'g')) AS n_nospace,
+           len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct,
+           len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+             t -> t IN ('the','a','an','and','or','of','to','in','is','on',
+                        'for','with','as','at','by'))) AS n_stop,
+           length(text) AS n_chars FROM documents)
+         SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+           ${sqlDsum("n_nospace / CAST(n_tokens AS DOUBLE)", 8)} AS sum_mwl,
+           ${sqlDsum("n_punct / greatest(CAST(n_chars AS DOUBLE), 1.0)", 8)} AS sum_punct,
+           ${sqlDsum("n_stop / CAST(n_tokens AS DOUBLE)", 8)} AS sum_stop
+         FROM feats GROUP BY lang ORDER BY lang""",
+
+    "q25_token_count" ->
+      """SELECT source, count(*) AS n_docs,
+         CAST(sum(len(regexp_extract_all(text,
+           '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS sum_bpe,
+         CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
+           AS sum_ws
+         FROM documents GROUP BY source ORDER BY source""",
+
+    "q26_lang_id" -> {
+      val markers = TextAnalysis.langMarkers.toSeq.sortBy(_._1).map {
+        case (lang, words) =>
+          val pat = words.map(java.util.regex.Pattern.quote)
+            .mkString("(?:^|\\s)(?:", "|", ")(?:\\s|$)")
+          s"('$lang', '$pat')"
+      }.mkString(", ")
+      s"""WITH scores AS (SELECT doc_id, lang, m.plang,
+           len(regexp_extract_all(text, m.pat)) AS score
+           FROM documents, (VALUES $markers) m(plang, pat)),
+         ranked AS (SELECT doc_id, lang, plang,
+           row_number() OVER (PARTITION BY doc_id
+             ORDER BY score DESC, plang ASC) AS rn FROM scores)
+         SELECT lang, plang AS predicted, count(*) AS n_docs
+         FROM ranked WHERE rn = 1
+         GROUP BY lang, plang ORDER BY lang, predicted"""
+    },
+
+    "q27_knn_cosine" -> {
+      def dd(a: String, b: String) =
+        s"""list_sum(list_transform(range(1, 65),
+           i -> CAST($a.embedding[i] AS DOUBLE) * CAST($b.embedding[i] AS DOUBLE)))"""
+      s"""WITH scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ${dd("q", "c")} / (sqrt(${dd("q", "q")}) * sqrt(${dd("c", "c")}))
+             AS cosraw
+           FROM embeddings q, embeddings c
+           WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id),
+         ranked AS (SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY cosraw DESC, neighbor_id ASC) AS rank, cosraw
+           FROM scored)
+         SELECT query_id, neighbor_id, rank, round(cosraw, 6) AS cos
+         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
+    },
+
+    "q30_slimit" ->
+      """SELECT event_type, count(*) AS n FROM events
+         WHERE event_type IN (SELECT DISTINCT event_type FROM events
+           ORDER BY event_type LIMIT 3)
+         GROUP BY event_type ORDER BY event_type"""
+  )
 }

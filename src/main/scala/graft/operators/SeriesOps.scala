@@ -1,0 +1,178 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampType
+
+/** Per-series analytic functions — the reference's "transform" family that
+  * operates on one series (tag set) ordered by time:
+  * difference/derivative/elapsed/moving_average/cumulative_sum/integral/
+  * rate/irate (reference: `engine/executor/call_processor.go:151-194`).
+  *
+  * Spark-first design: every op is a `Window.partitionBy(tags).orderBy(time)`
+  * expression, which Catalyst plans as a single shuffle on the tag columns
+  * followed by an in-partition sort — the same data movement the reference
+  * needs (series are its physical partitioning), so this scales linearly
+  * with the number of series at 100 TB. No UDFs — everything stays inside
+  * whole-stage codegen.
+  *
+  * `tieBreak` columns make the in-series order total when timestamps can
+  * collide (openGemini dedups identical-ns points at write time; parquet
+  * inputs may not be deduped, so callers pass a unique id).
+  */
+object SeriesOps {
+
+  private def w(tags: Seq[String], time: String,
+                tieBreak: Seq[String]): WindowSpec =
+    Window.partitionBy(tags.map(col): _*)
+      .orderBy((time +: tieBreak).map(col): _*)
+
+  /** Epoch-microseconds view of the time column (timestamp or numeric). */
+  private def tMicros(df: DataFrame, time: String): Column =
+    df.schema(time).dataType match {
+      case TimestampType => unix_micros(col(time))
+      case _ => col(time).cast("long")
+    }
+
+  /** difference(f): pairwise delta vs previous point in the series.
+    * Reference: `call_processor.go:151` (non_negative variant :154). */
+  def difference(df: DataFrame, field: String, time: String, tags: Seq[String],
+                 nonNegative: Boolean = false,
+                 tieBreak: Seq[String] = Nil): DataFrame = {
+    val d = col(field) - lag(col(field), 1).over(w(tags, time, tieBreak))
+    val out = df.withColumn("difference", d).filter(col("difference").isNotNull)
+    if (nonNegative) out.filter(col("difference") >= 0) else out
+  }
+
+  /** derivative(f, unit): delta / elapsed-time * unit (unit in seconds).
+    * Reference: `call_processor.go:158`. */
+  def derivative(df: DataFrame, field: String, time: String, tags: Seq[String],
+                 unitSeconds: Double = 1.0,
+                 tieBreak: Seq[String] = Nil): DataFrame = {
+    val win = w(tags, time, tieBreak)
+    val tus = tMicros(df, time)
+    val dv = col(field) - lag(col(field), 1).over(win)
+    val dtSec = (tus - lag(tus, 1).over(win)).cast("double") / 1e6
+    df.withColumn("derivative", dv / dtSec * lit(unitSeconds))
+      .filter(col("derivative").isNotNull)
+  }
+
+  /** elapsed(f, unit): time delta between consecutive points, integer units.
+    * Reference: `call_processor.go:166`. */
+  def elapsed(df: DataFrame, time: String, tags: Seq[String],
+              unitMicros: Long = 1000000L,
+              tieBreak: Seq[String] = Nil): DataFrame = {
+    val tus = tMicros(df, time)
+    df.withColumn("elapsed",
+        (tus - lag(tus, 1).over(w(tags, time, tieBreak))) / lit(unitMicros))
+      .filter(col("elapsed").isNotNull)
+  }
+
+  /** moving_average(f, n): trailing mean of the last n points; emitted only
+    * once a full window of n points exists (InfluxQL semantics).
+    * Reference: `call_processor.go:172`.
+    * The mean is computed as an exact DECIMAL sum / count so results are
+    * order-independent and reproducible across engines. */
+  def movingAverage(df: DataFrame, field: String, time: String,
+                    tags: Seq[String], n: Int,
+                    tieBreak: Seq[String] = Nil): DataFrame = {
+    val frame = w(tags, time, tieBreak).rowsBetween(-(n - 1), 0)
+    val decSum = sum(col(field).cast("decimal(18,6)")).over(frame)
+    val cnt = count(col(field)).over(frame)
+    df.withColumn("moving_average", decSum.cast("double") / cnt)
+      .withColumn("_n", cnt).filter(col("_n") === n).drop("_n")
+  }
+
+  /** cumulative_sum(f): running sum per series (exact DECIMAL accumulation).
+    * Reference: `call_processor.go:179`. */
+  def cumulativeSum(df: DataFrame, field: String, time: String,
+                    tags: Seq[String], tieBreak: Seq[String] = Nil): DataFrame =
+    df.withColumn("cumulative_sum",
+      sum(col(field).cast("decimal(18,6)"))
+        .over(w(tags, time, tieBreak).rowsBetween(Window.unboundedPreceding, 0))
+        .cast("double"))
+
+  /** integral(f, unit): trapezoidal area under the curve, per series.
+    * Reference: `call_processor.go:184`. Emits one row per series. */
+  def integral(df: DataFrame, field: String, time: String, tags: Seq[String],
+               unitSeconds: Double = 1.0,
+               tieBreak: Seq[String] = Nil): DataFrame = {
+    val win = w(tags, time, tieBreak)
+    val tus = tMicros(df, time)
+    // Trapezoid term as exact decimal: only the small pair-sum (~field
+    // magnitude) crosses double→decimal; the ms delta is an exact integer;
+    // the /2 and ms→unit divisions happen once on the final sum. Scales are
+    // chosen so the scaled sum stays under 2^53 — above that, decimal→double
+    // conversion is no longer identical across engines.
+    val pairSum = (col(field) + lag(col(field), 1).over(win))
+      .cast("decimal(18,2)")
+    val dtMs = ((tus - lag(tus, 1).over(win)) / lit(1000)).cast("long")
+      .cast("decimal(10,0)")
+    df.withColumn("_trap", pairSum * dtMs)
+      .groupBy(tags.map(col): _*)
+      .agg((sum(col("_trap")).cast("double") / lit(2000.0 * unitSeconds))
+        .as("integral"))
+  }
+
+  /** rate(f): per-second rate over each group's full span:
+    * (last-first)/(t_last-t_first). Reference: `call_processor.go:189`.
+    * Selector pairs are `min_by`/`max_by` — a single hash aggregation with
+    * map-side partials, no window/sort, so it scales as a plain agg. */
+  def rate(df: DataFrame, field: String, time: String,
+           tags: Seq[String]): DataFrame = {
+    val tus = tMicros(df, time)
+    df.groupBy(tags.map(col): _*).agg(
+      ((max_by(col(field), col(time)) - min_by(col(field), col(time))) /
+        ((max(tus) - min(tus)).cast("double") / 1e6)).as("rate"))
+  }
+
+  /** first/last selectors with companion (aux) columns, plus spread.
+    * InfluxQL selector semantics keep the timestamp of the selected row:
+    * reference `engine/executor/call_processor.go:92-206` + aux rules
+    * SURVEY §7.3(b). Implemented as min_by/max_by — one aggregation pass,
+    * partial-aggregated before the shuffle. */
+  def firstLast(df: DataFrame, field: String, time: String,
+                tags: Seq[String]): DataFrame = {
+    val tus = tMicros(df, time)
+    df.groupBy(tags.map(col): _*).agg(
+      min_by(col(field), col(time)).as("first"),
+      max_by(col(field), col(time)).as("last"),
+      min(tus).as("first_t_us"),
+      max(tus).as("last_t_us"),
+      (max(col(field)) - min(col(field))).as("spread"),
+      count(col(field)).as("n"))
+  }
+
+  /** top(f, n) per series — selector keeps whole rows (aux columns).
+    * Reference: `call_processor.go:142`, heap `engine/topn_linkedlist.go`.
+    * Window rank shuffles on tags once; AQE handles skewed series. */
+  def topPerSeries(df: DataFrame, field: String, time: String,
+                   tags: Seq[String], n: Int,
+                   bottom: Boolean = false): DataFrame = {
+    val ord = if (bottom) Seq(col(field).asc, col(time).asc)
+              else Seq(col(field).desc, col(time).asc)
+    val win = Window.partitionBy(tags.map(col): _*).orderBy(ord: _*)
+    df.withColumn("rank_in_series", row_number().over(win))
+      .filter(col("rank_in_series") <= n)
+  }
+
+  /** Per-series LIMIT n (InfluxQL LIMIT applies per series when grouped):
+    * reference `engine/executor/limit_transform.go:88-96`. */
+  def limitPerSeries(df: DataFrame, time: String, tags: Seq[String],
+                     n: Int, offset: Int = 0,
+                     tieBreak: Seq[String] = Nil): DataFrame =
+    df.withColumn("_rn", row_number().over(w(tags, time, tieBreak)))
+      .filter(col("_rn") > offset && col("_rn") <= offset + n)
+      .drop("_rn")
+
+  /** SLIMIT n — limit the number of *series*. Reference: applied in
+    * `httpsender_transform.go` / ast.go:2142. Ranks the distinct tag sets
+    * (a tiny set — broadcast) and semi-joins the first n series. */
+  def slimit(df: DataFrame, tags: Seq[String], n: Int): DataFrame = {
+    val series = df.select(tags.map(col): _*).distinct()
+      .withColumn("_srn", row_number().over(Window.orderBy(tags.map(col): _*)))
+      .filter(col("_srn") <= n).drop("_srn")
+    df.join(broadcast(series), tags, "left_semi")
+  }
+}

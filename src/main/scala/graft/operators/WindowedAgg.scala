@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** `GROUP BY <tags>, time(interval[, offset])` — the core openGemini query
+  * shape (reference: stream agg `engine/executor/agg_transform.go`, hash agg
+  * `hash_agg_transform.go`, window options `query/select.go:579`).
+  *
+  * Spark-first: `groupBy(tags, window(time, interval))` — Catalyst plans a
+  * partial (map-side) aggregate before the shuffle and a final aggregate
+  * after, which is exactly the reference's AggPushdown/AggSpread rule pair
+  * (`heu_rule.go:259,602`) for free. At 100 TB the shuffle carries only
+  * one partial row per (tags × window) per input partition.
+  */
+object WindowedAgg {
+
+  /** Tumbling-window aggregation. `bucketExpr` time column name; windows are
+    * emitted as their start epoch-millis (`wstart_ms`) so results round-trip
+    * through any engine without timestamp-precision skew (openGemini time is
+    * int64 ns; Spark timestamps are µs — SURVEY §1.2). */
+  def timeBucket(df: DataFrame, time: String, interval: String,
+                 tags: Seq[String], aggs: Seq[Column]): DataFrame = {
+    val groups = window(col(time), interval) +: tags.map(col)
+    df.groupBy(groups: _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("wstart_ms", unix_millis(col("window.start")))
+      .drop("window")
+  }
+
+  /** sliding_window(agg, size, slide): each point contributes to
+    * size/slide overlapping windows. Reference:
+    * `engine/executor/sliding_window_transform.go:60`. Spark's `window()`
+    * with a slide duplicates rows into their windows *before* the partial
+    * aggregate — still one shuffle, fan-out bounded by size/slide. */
+  def slidingWindow(df: DataFrame, time: String, size: String, slide: String,
+                    tags: Seq[String], aggs: Seq[Column]): DataFrame = {
+    val groups = window(col(time), size, slide) +: tags.map(col)
+    df.groupBy(groups: _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("wstart_ms", unix_millis(col("window.start")))
+      .drop("window")
+  }
+}

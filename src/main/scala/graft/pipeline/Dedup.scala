@@ -1,0 +1,102 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+  * SimHash, and n-gram Jaccard verification.
+  *
+  * Scale design (the part that matters at 100 TB):
+  *  - exact dedup is one hash-shuffle on the text hash — never on the raw
+  *    text, so the shuffle carries 8-byte keys + doc ids;
+  *  - MinHash LSH shuffles (band-signature → bucket) pairs, bounding
+  *    candidate generation to per-bucket cross products instead of the
+  *    quadratic all-pairs join;
+  *  - candidate verification (exact Jaccard) runs only on LSH candidates.
+  * All signature math is column expressions (codegen), no UDFs.
+  */
+object Dedup {
+
+  /** Exact dedup: canonical representative (min id) per distinct text.
+    * Shuffles on xxhash64(text), not the text itself. */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.withColumn("_h", xxhash64(col(textCol)))
+      .groupBy(col("_h"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+      .drop("_h")
+
+  /** Word-level n-gram shingles of a document. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    val idx = sequence(lit(0), greatest(size(toks) - n, lit(0)))
+    array_distinct(transform(idx, i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+
+  /** MinHash signature: k permutations simulated as xxhash64(shingle, seed)
+    * minima — the standard public construction (Broder '97). */
+  def minhashSignature(shingleArr: Column, k: Int): Column =
+    array((0 until k).map { seed =>
+      array_min(transform(shingleArr, s => xxhash64(s, lit(seed))))
+    }: _*)
+
+  /** MinHash+LSH near-duplicate candidate pairs.
+    * Bands the k-row signature into `bands` groups of k/bands rows, buckets
+    * on the hashed band signature, and emits candidate id pairs per bucket.
+    * The only wide ops: one shuffle on (band, bucket-hash) and the in-bucket
+    * self-join. */
+  def minhashCandidates(df: DataFrame, textCol: String, idCol: String,
+                        shingleN: Int = 3, k: Int = 16,
+                        bands: Int = 4): DataFrame = {
+    val rows = k / bands
+    val sig = df
+      .select(col(idCol).as("doc_id"), minhashSignature(
+        shingles(col(textCol), shingleN), k).as("sig"))
+    val banded = sig.select(col("doc_id"),
+      posexplode(array((0 until bands).map { b =>
+        xxhash64(concat_ws(",", (0 until rows).map(r =>
+          element_at(col("sig"), b * rows + r + 1)): _*), lit(b))
+      }: _*)).as(Seq("band", "bucket")))
+    val a = banded.as("a"); val b = banded.as("b")
+    a.join(b, col("a.band") === col("b.band") &&
+        col("a.bucket") === col("b.bucket") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard similarity for candidate pairs (verification
+    * stage after LSH). `pairs` has id_a/id_b; docs joined twice. */
+  def jaccardVerify(pairs: DataFrame, docs: DataFrame, textCol: String,
+                    idCol: String, shingleN: Int = 3,
+                    threshold: Double = 0.7): DataFrame = {
+    val sh = docs.select(col(idCol).as("_id"),
+      shingles(col(textCol), shingleN).as("_sh"))
+    pairs
+      .join(sh.withColumnRenamed("_id", "id_a").withColumnRenamed("_sh", "sh_a"),
+        "id_a")
+      .join(sh.withColumnRenamed("_id", "id_b").withColumnRenamed("_sh", "sh_b"),
+        "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** 64-bit SimHash over whitespace tokens: per-token xxhash64, bitwise
+    * weighted vote per bit position. Pure column math (fold over 64 bit
+    * positions), no UDF. */
+  def simhash(text: Column): Column = {
+    val hashes = transform(split(lower(trim(text)), "\\s+"), t => xxhash64(t))
+    (0 until 64).map { bit =>
+      val mask = shiftleft(lit(1L), bit)
+      val votes = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(h.bitwiseAND(mask) =!= 0, 1L).otherwise(-1L))
+      when(votes > 0, mask).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Hamming distance between two 64-bit simhashes. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

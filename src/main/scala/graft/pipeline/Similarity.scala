@@ -1,0 +1,85 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`Array[Float]`).
+  *
+  *  - `bruteForceTopK` is the exact baseline: broadcast the (small) query
+  *    set, evaluate cosine per (query, candidate) with codegen'd
+  *    `zip_with`/`aggregate` column math, rank per query. The corpus side
+  *    streams — no shuffle of the corpus, only of the top-k partials.
+  *  - `lshTopK` is the scale path: random-hyperplane (sign) LSH buckets
+  *    both sides; candidates are joined per bucket so the cross product is
+  *    bounded per bucket instead of |Q|×|C|.
+  */
+object Similarity {
+
+  /** Dot product of two float-array columns, accumulated in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k cosine neighbors for each query vector.
+    * `queries` is expected to be small (it is broadcast); `corpus` can be
+    * arbitrarily large — the join is a broadcast nested loop producing
+    * |Q| rows per corpus row, immediately reduced by the per-query rank. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
+                     idCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("_qv")))
+    val scored = corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).as("_cv"))
+      .join(q, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("_qv"), col("_cv")))
+    scored.withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("neighbor_id").asc)))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cos")
+  }
+
+  /** Sign-LSH bucket id: `planes` fixed pseudo-random hyperplanes derived
+    * from xxhash64(dim, plane) — deterministic, no data needed to "train".
+    * Returns a bucket per plane-group for multi-probe joins. */
+  def signBucket(vec: Column, dim: Int, planes: Int): Column = {
+    val bits = (0 until planes).map { p =>
+      // pseudo-random ±1 weights per (dim, plane) from a hash, folded into
+      // a projection sign — all column math, evaluated once per row.
+      val proj = (0 until dim).map { d =>
+        val w = when((xxhash64(lit(d * 7919 + p * 104729))
+          .bitwiseAND(lit(1L))) === 0L, 1.0).otherwise(-1.0)
+        element_at(vec, d + 1).cast("double") * w
+      }.reduce(_ + _)
+      when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** LSH-bucketed ANN: join queries and corpus on the sign bucket, rank
+    * within candidates. Recall < 1 by construction; bucket count 2^planes
+    * bounds each candidate set. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
+              idCol: String, dim: Int, planes: Int, k: Int): DataFrame = {
+    val cb = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"),
+      signBucket(col(vecCol), dim, planes).as("_bkt"))
+    val qb = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("_qv"), signBucket(col(vecCol), dim, planes).as("_bkt")))
+    cb.join(qb, Seq("_bkt"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("_qv"), col("_cv")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("neighbor_id").asc)))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cos")
+  }
+}
