@@ -26,36 +26,54 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
       .drop("_h")
 
-  /** Word-level n-gram shingles of a document. */
+  /** Word-level n-gram shingles of a document.
+    *
+    * Built as a zip_with chain (`toks ⊗ toks[1:] ⊗ … ⊗ toks[n-1:]`) rather
+    * than `transform(indices, i => toks(i)…toks(i+n-1))`: an expression
+    * captured from outside a higher-order-function lambda is re-evaluated
+    * PER ELEMENT, so the index form re-runs the regex tokenizer O(n·tokens)
+    * times per document — zip_with arguments evaluate once per row. */
   def shingles(text: Column, n: Int): Column = {
     val toks = split(lower(trim(text)), "\\s+")
-    val idx = sequence(lit(0), greatest(size(toks) - n, lit(0)))
-    array_distinct(transform(idx, i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+    val joined = (2 to n).foldLeft(toks) { (acc, k) =>
+      zip_with(acc, slice(toks, lit(k), size(toks)),
+        (a, b) => concat_ws(" ", a, b))
+    }
+    // drop the <n-token tail shingles (unless the doc itself is shorter)
+    array_distinct(slice(joined, lit(1), greatest(size(toks) - (n - 1), lit(1))))
   }
 
-  /** MinHash signature: k permutations simulated as xxhash64(shingle, seed)
-    * minima — the standard public construction (Broder '97). */
-  def minhashSignature(shingleArr: Column, k: Int): Column =
-    array((0 until k).map { seed =>
-      array_min(transform(shingleArr, s => xxhash64(s, lit(seed))))
-    }: _*)
+  /** MinHash signature columns `s0..s{k-1}`: k permutations simulated as
+    * xxhash64(shingle, seed) minima — the standard public construction
+    * (Broder '97). Shape matters at scale: explode(shingles) → one hash
+    * aggregation with k `min` partials. The min() partials combine map-side,
+    * so the shuffle carries one k-wide row per doc per input partition —
+    * never the shingles. (A per-row array fold would instead get duplicated
+    * into every consumer expression by projection collapse — ~100× blowup.) */
+  def minhashSignatures(df: DataFrame, textCol: String, idCol: String,
+                        shingleN: Int, k: Int): DataFrame = {
+    val aggs = (0 until k).map(seed =>
+      min(xxhash64(col("_sh"), lit(seed))).as(s"s$seed"))
+    df.select(col(idCol).as("doc_id"),
+        explode(shingles(col(textCol), shingleN)).as("_sh"))
+      .groupBy(col("doc_id"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
 
   /** MinHash+LSH near-duplicate candidate pairs.
     * Bands the k-row signature into `bands` groups of k/bands rows, buckets
     * on the hashed band signature, and emits candidate id pairs per bucket.
-    * The only wide ops: one shuffle on (band, bucket-hash) and the in-bucket
-    * self-join. */
+    * Wide ops: the signature aggregation, one shuffle on (band, bucket) and
+    * the in-bucket self-join — candidate generation is bounded per bucket
+    * instead of the quadratic all-pairs join. */
   def minhashCandidates(df: DataFrame, textCol: String, idCol: String,
                         shingleN: Int = 3, k: Int = 16,
                         bands: Int = 4): DataFrame = {
     val rows = k / bands
-    val sig = df
-      .select(col(idCol).as("doc_id"), minhashSignature(
-        shingles(col(textCol), shingleN), k).as("sig"))
+    val sig = minhashSignatures(df, textCol, idCol, shingleN, k)
     val banded = sig.select(col("doc_id"),
       posexplode(array((0 until bands).map { b =>
-        xxhash64(concat_ws(",", (0 until rows).map(r =>
-          element_at(col("sig"), b * rows + r + 1)): _*), lit(b))
+        xxhash64((0 until rows).map(r => col(s"s${b * rows + r}")) :+ lit(b): _*)
       }: _*)).as(Seq("band", "bucket")))
     val a = banded.as("a"); val b = banded.as("b")
     a.join(b, col("a.band") === col("b.band") &&

@@ -74,11 +74,12 @@ object TextAnalysis {
   }
 
   /** Rolling-hash document fingerprint (polynomial hash of the whitespace
-    * tokens, mod 2^61-1) — cheap near-exact dedup key; pure column math so
+    * tokens, mod 1e9+7 — keeps acc*31+crc32 inside Long under ANSI
+    * overflow checking) — cheap near-exact dedup key; pure column math so
     * it stays in whole-stage codegen. */
   def fingerprint(text: Column): Column = {
     val toks = split(trim(text), "\\s+")
     aggregate(toks, lit(0L),
-      (acc, t) => pmod(acc * lit(31L) + crc32(t), lit(2305843009213693951L)))
+      (acc, t) => pmod(acc * lit(31L) + crc32(t), lit(1000000007L)))
   }
 }

@@ -1,0 +1,92 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+import org.apache.spark.sql.Row
+
+/** Streaming / continuous processing — reference §2.9:
+  *
+  *  - CREATE STREAM (`influxql/ast.go:11469` CreateStreamStatement): a
+  *    standing `SELECT agg… GROUP BY time(d), tags INTO target` over
+  *    incoming writes, with `DELAY d` as the lateness allowance. The
+  *    reference keeps a fixed ring of tumbling windows and drops points
+  *    later than maxDelay (`app/ts-store/stream/time_task.go:98-206`) —
+  *    which is exactly Structured Streaming watermark semantics: windows
+  *    close (and emit, in append mode) once the watermark passes
+  *    window.end + delay; later data is dropped.
+  *  - Continuous queries (`services/continuousquery/service.go:178`):
+  *    periodic re-execution with advancing time bounds ≈ a triggered
+  *    streaming job (`Trigger.ProcessingTime` / `AvailableNow`).
+  *  - Downsampling (`ast.go:11262`): tiered rollups ≈ the same windowed
+  *    aggregation written to a rollup table on a schedule.
+  *
+  * Scale: the watermarked window agg is Spark's canonical stateful
+  * streaming shape — state is partitioned by (tags, window), partial
+  * aggregation happens before the shuffle, and expired state is dropped by
+  * the watermark, so state size is bounded by (#series × windows-in-delay).
+  */
+object Streams {
+
+  /** CREATE STREAM … DELAY d: tumbling-window standing aggregation.
+    * `delay` is the lateness allowance (watermark), `interval` the
+    * `GROUP BY time(d)` bucket. Returns the streaming DataFrame; attach a
+    * sink via [[into]] (or any writeStream). */
+  def createStream(source: DataFrame, time: String, delay: String,
+                   interval: String, tags: Seq[String],
+                   aggs: Seq[Column]): DataFrame = {
+    val groups = window(col(time), interval) +: tags.map(col)
+    source.withWatermark(time, delay)
+      .groupBy(groups: _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("wstart", col("window.start"))
+      .withColumn("wend", col("window.end"))
+      .drop("window")
+  }
+
+  /** SELECT … INTO target for a stream: append-mode parquet sink — rows are
+    * emitted exactly once, when the watermark closes their window (the
+    * reference's flush-on-window-close, `time_task.go:154`). */
+  def into(streamed: DataFrame, targetPath: String,
+           checkpoint: String): DataStreamWriter[Row] =
+    streamed.writeStream
+      .outputMode(OutputMode.Append)
+      .format("parquet")
+      .option("path", targetPath)
+      .option("checkpointLocation", checkpoint)
+
+  /** Continuous query: re-execute the rollup over whatever new data arrived,
+    * then stop (the reference's EVERY tick ≈ one AvailableNow run per
+    * schedule; checkpointing makes each tick incremental). */
+  def continuousQueryTick(streamed: DataFrame, targetPath: String,
+                          checkpoint: String): Unit = {
+    val q = into(streamed, targetPath, checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Batch downsample: one rollup pass of a time range into a target table —
+    * the reference's downsample job (`engine_downsample.go`) re-expressed as
+    * a deterministic batch write, partitioned by bucket date so retention
+    * deletes and reads prune by partition. */
+  def downsample(source: DataFrame, time: String, interval: String,
+                 tags: Seq[String], aggs: Seq[Column],
+                 targetPath: String): Unit = {
+    val groups = window(col(time), interval) +: tags.map(col)
+    source.groupBy(groups: _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("wstart", col("window.start"))
+      .withColumn("wdate", to_date(col("wstart")))
+      .drop("window")
+      .write.mode("append").partitionBy("wdate").parquet(targetPath)
+  }
+
+  /** Retention enforcement: drop rollup/raw partitions older than the
+    * cutoff (reference: retention policy duration, `retentionpolicy.go:33`).
+    * With date-partitioned layout this is partition pruning + delete, not
+    * a scan. */
+  def retentionCutoff(spark: SparkSession, path: String,
+                      cutoffDate: String): DataFrame =
+    spark.read.parquet(path).filter(col("wdate") >= lit(cutoffDate))
+}

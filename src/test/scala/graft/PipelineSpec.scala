@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.{Dedup, Similarity, TextAnalysis}
+
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"),   // near-dup of 1
+    (3L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 1
+    (4L, "completely different words about spark engines here today")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps min id and counts duplicates") {
+    val out = Dedup.exact(docs, "text", "doc_id")
+      .orderBy("keep_id").as[(Long, Long)].collect()
+    assert(out.toSeq == Seq((1L, 2L), (2L, 1L), (4L, 1L)))
+  }
+
+  test("shingles: n-gram windows, deduped") {
+    val sh = docs.filter($"doc_id" === 1)
+      .select(Dedup.shingles($"text", 3).as("sh"))
+      .as[Seq[String]].collect().head
+    assert(sh.contains("the quick brown"))
+    assert(sh.contains("over the lazy"))
+    assert(sh.length == 7) // 9 tokens → 7 trigrams, all distinct
+  }
+
+  test("minhash LSH surfaces near-duplicate pair") {
+    val cand = Dedup.minhashCandidates(docs, "text", "doc_id",
+        shingleN = 2, k = 16, bands = 8)
+      .as[(Long, Long)].collect().toSet
+    assert(cand.contains((1L, 3L))) // exact dup always collides
+    assert(cand.contains((1L, 2L)) || cand.contains((2L, 3L))) // near-dup
+    assert(!cand.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("jaccard verification scores candidate pairs exactly") {
+    val pairs = Seq((1L, 3L), (1L, 4L)).toDF("id_a", "id_b")
+    val out = Dedup.jaccardVerify(pairs, docs, "text", "doc_id",
+        shingleN = 3, threshold = 0.0)
+      .orderBy("id_a", "id_b").as[(Long, Long, Double)].collect()
+    assert(out(0) == ((1L, 3L, 1.0)))   // identical text
+    assert(out(1)._3 == 0.0)            // disjoint shingles
+  }
+
+  test("simhash: identical texts hash equal, hamming 0") {
+    val h = docs.select($"doc_id", Dedup.simhash($"text").as("h"))
+      .as[(Long, Long)].collect().toMap
+    assert(h(1L) == h(3L))
+    val d12 = java.lang.Long.bitCount(h(1L) ^ h(2L))
+    val d14 = java.lang.Long.bitCount(h(1L) ^ h(4L))
+    assert(d12 < d14) // near-dup closer than unrelated doc
+  }
+
+  test("token counting: whitespace and BPE-ish") {
+    val r = Seq(("ab cd, ef 12x!", 1L)).toDF("text", "id")
+      .select(TextAnalysis.tokenCount($"text").as("ws"),
+        TextAnalysis.bpeishTokenCount($"text").as("bpe"))
+      .as[(Long, Long)].collect().head
+    assert(r._1 == 4L)  // ab | cd, | ef | 12x!
+    assert(r._2 == 7L)  // ab cd , ef 12 x !
+  }
+
+  test("quality features") {
+    val f = Seq(("the cat sat", 1L)).toDF("text", "id")
+      .select(TextAnalysis.qualityFeatures($"text").as("f"))
+      .select("f.n_tokens", "f.stopword_ratio", "f.punct_ratio")
+      .as[(Long, Double, Double)].collect().head
+    assert(f._1 == 3L)
+    assert(f._2 == 1.0 / 3.0)
+    assert(f._3 == 0.0)
+  }
+
+  test("langId picks the language with most marker hits") {
+    val r = Seq(("el gato y la casa para los amigos", 1L), // es markers
+        ("the house and the dog with this cat", 2L))       // en markers
+      .toDF("text", "id")
+      .select($"id", TextAnalysis.langId($"text").as("lang"))
+      .as[(Long, String)].collect().toMap
+    assert(r(1L) == "es")
+    assert(r(2L) == "en")
+  }
+
+  test("fingerprint: equal texts collide, different texts don't") {
+    val fp = docs.select($"doc_id", TextAnalysis.fingerprint($"text").as("fp"))
+      .as[(Long, Long)].collect().toMap
+    assert(fp(1L) == fp(3L))
+    assert(fp(1L) != fp(4L))
+  }
+
+  private lazy val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f)),
+    (2L, Array(0.0f, 1.0f, 0.0f)),
+    (3L, Array(-1.0f, 0.0f, 0.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("bruteForceTopK ranks by cosine") {
+    val out = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" === 0),
+        "embedding", "vec_id", 3)
+      .orderBy("rank").select("neighbor_id").as[Long].collect()
+    assert(out.toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("lshTopK returns correctly-ranked subset of true neighbors") {
+    val out = Similarity.lshTopK(vecs, vecs.filter($"vec_id" === 0),
+        "embedding", "vec_id", dim = 3, planes = 2, k = 3)
+      .orderBy("rank").select("neighbor_id", "cos").as[(Long, Double)].collect()
+    assert(out.nonEmpty)
+    assert(out.map(_._2).sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
+  }
+}

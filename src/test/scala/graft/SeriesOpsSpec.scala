@@ -1,0 +1,141 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Fill, SeriesOps, WindowedAgg}
+
+/** Semantics tests on hand-built series (reference behaviors from
+  * tests/server_test.go golden cases, re-derived by hand). */
+class SeriesOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // one series "a": t=0s,10s,30s values 1,4,2 ; one series "b": t=0s v=5
+  private def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
+  private lazy val df = Seq(
+    ("a", ts(0), 1.0, 1L), ("a", ts(10), 4.0, 2L), ("a", ts(30), 2.0, 3L),
+    ("b", ts(0), 5.0, 4L)
+  ).toDF("tag", "time", "value", "id")
+
+  test("difference: pairwise delta per series") {
+    val out = SeriesOps.difference(df, "value", "time", Seq("tag"))
+      .select("tag", "difference").as[(String, Double)].collect().sorted
+    assert(out.toSeq == Seq(("a", -2.0), ("a", 3.0)))
+  }
+
+  test("non_negative_difference drops negatives") {
+    val out = SeriesOps.difference(df, "value", "time", Seq("tag"),
+      nonNegative = true).select("difference").as[Double].collect()
+    assert(out.toSeq == Seq(3.0))
+  }
+
+  test("derivative: delta per second") {
+    val out = SeriesOps.derivative(df, "value", "time", Seq("tag"))
+      .select("derivative").as[Double].collect().sorted
+    assert(out.toSeq == Seq(-0.1, 0.3))
+  }
+
+  test("elapsed in seconds") {
+    val out = SeriesOps.elapsed(df, "time", Seq("tag"))
+      .select("elapsed").as[Double].collect().sorted
+    assert(out.toSeq == Seq(10.0, 20.0))
+  }
+
+  test("moving_average emits only full windows") {
+    val out = SeriesOps.movingAverage(df, "value", "time", Seq("tag"), 2)
+      .select("moving_average").as[Double].collect().sorted
+    assert(out.toSeq == Seq(2.5, 3.0))
+  }
+
+  test("cumulative_sum") {
+    val out = SeriesOps.cumulativeSum(df, "value", "time", Seq("tag"))
+      .filter($"tag" === "a").orderBy("time")
+      .select("cumulative_sum").as[Double].collect()
+    assert(out.toSeq == Seq(1.0, 5.0, 7.0))
+  }
+
+  test("integral: trapezoid area") {
+    val out = SeriesOps.integral(df, "value", "time", Seq("tag"))
+      .filter($"tag" === "a").select("integral").as[Double].collect()
+    // (1+4)/2*10 + (4+2)/2*20 = 25 + 60 = 85
+    assert(out.toSeq == Seq(85.0))
+  }
+
+  test("rate: (last-first)/span") {
+    val out = SeriesOps.rate(df, "value", "time", Seq("tag"))
+      .filter($"tag" === "a").select("rate").as[Double].collect()
+    assert(out.toSeq == Seq((2.0 - 1.0) / 30.0))
+  }
+
+  test("firstLast selectors + spread") {
+    val r = SeriesOps.firstLast(df, "value", "time", Seq("tag"))
+      .filter($"tag" === "a")
+      .select("first", "last", "spread", "n").as[(Double, Double, Double, Long)]
+      .collect().head
+    assert(r == ((1.0, 2.0, 3.0, 3L)))
+  }
+
+  test("topPerSeries keeps aux columns and ranks") {
+    val out = SeriesOps.topPerSeries(df, "value", "time", Seq("tag"), 2)
+      .filter($"tag" === "a").orderBy("rank_in_series")
+      .select("value", "id").as[(Double, Long)].collect()
+    assert(out.toSeq == Seq((4.0, 2L), (2.0, 3L)))
+  }
+
+  test("limitPerSeries: first n points per series") {
+    val out = SeriesOps.limitPerSeries(df, "time", Seq("tag"), 2,
+        tieBreak = Seq("id"))
+      .groupBy("tag").count().as[(String, Long)].collect().toMap
+    assert(out == Map("a" -> 2L, "b" -> 1L))
+  }
+
+  test("slimit limits number of series") {
+    val out = SeriesOps.slimit(df, Seq("tag"), 1)
+      .select("tag").distinct().as[String].collect()
+    assert(out.toSeq == Seq("a"))
+  }
+
+  test("timeBucket: tumbling windows, partial-aggregated") {
+    val out = WindowedAgg.timeBucket(df, "time", "10 seconds", Seq("tag"),
+        Seq(sum($"value").as("v")))
+      .filter($"tag" === "a").orderBy("wstart_ms")
+      .select("wstart_ms", "v").as[(Long, Double)].collect()
+    assert(out.toSeq == Seq((0L, 1.0), (10000L, 4.0), (30000L, 2.0)))
+  }
+
+  test("slidingWindow: points fan out to size/slide windows") {
+    val out = WindowedAgg.slidingWindow(df, "time", "20 seconds", "10 seconds",
+        Seq("tag"), Seq(count(lit(1)).as("n")))
+      .filter($"tag" === "a").orderBy("wstart_ms")
+      .select("wstart_ms", "n").as[(Long, Long)].collect()
+    // windows starting at -10,0 catch t=0; 0,10 catch t=10; 20,30 catch t=30
+    assert(out.toSeq ==
+      Seq((-10000L, 1L), (0L, 2L), (10000L, 1L), (20000L, 1L), (30000L, 1L)))
+  }
+
+  test("fill previous carries last observation forward") {
+    val agg = WindowedAgg.timeBucket(df, "time", "10 seconds", Seq("tag"),
+      Seq(sum($"value").as("v"))).select("tag", "wstart_ms", "v")
+    val out = Fill.fillPrevious(agg, Seq("v"), Seq("tag"), 0L, 40000L, 10000L)
+      .filter($"tag" === "a").orderBy("wstart_ms").select("v")
+      .as[Double].collect()
+    assert(out.toSeq == Seq(1.0, 4.0, 4.0, 2.0))
+  }
+
+  test("fill linear interpolates interior gaps only") {
+    val agg = WindowedAgg.timeBucket(df, "time", "10 seconds", Seq("tag"),
+      Seq(sum($"value").as("v"))).select("tag", "wstart_ms", "v")
+    val out = Fill.fillLinear(agg, "v", Seq("tag"), 0L, 50000L, 10000L)
+      .filter($"tag" === "a").orderBy("wstart_ms").select("v")
+      .as[Option[Double]].collect()
+    assert(out.toSeq == Seq(Some(1.0), Some(4.0), Some(3.0), Some(2.0), None))
+  }
+
+  test("fill value substitutes a constant") {
+    val agg = WindowedAgg.timeBucket(df, "time", "10 seconds", Seq("tag"),
+      Seq(sum($"value").as("v"))).select("tag", "wstart_ms", "v")
+    val out = Fill.fillValue(agg, Seq("v"), Seq("tag"), 0L, 40000L, 10000L,
+        fill = Some(-1.0))
+      .filter($"tag" === "a").orderBy("wstart_ms").select("v")
+      .as[Double].collect()
+    assert(out.toSeq == Seq(1.0, 4.0, -1.0, 2.0))
+  }
+}
