@@ -4,7 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Fill, SeriesOps, WindowedAgg}
+import graft.functions.GeminiFunctions
+import graft.operators.{Fill, SeriesOps, Unnest, WindowedAgg}
 import graft.pipeline.{Dedup, Similarity, TextAnalysis}
 
 /** Driver contract: one entry per implemented operator from SURVEY.md §2,
@@ -366,6 +367,131 @@ object SparkEntry {
       SeriesOps.slimit(t(s, dir, "events"), Seq("event_type"), 3)
         .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
         .orderBy("event_type")
+    }),
+
+    // §2.4 distinct / count(distinct).
+    "q31_distinct_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem").groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag")
+    }),
+
+    // §2.4 mode: most frequent value, deterministic tie-break (smallest).
+    "q32_mode" -> ((s, dir) => {
+      val counted = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_quantity"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("cnt").desc, col("l_quantity").asc)
+      counted.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("l_returnflag"), col("l_quantity").as("mode_qty"),
+          col("cnt").as("mode_n"))
+        .orderBy("l_returnflag")
+    }),
+
+    // §2.3 FULL OUTER join on tag columns.
+    "q33_full_outer" -> ((s, dir) => {
+      val c = t(s, dir, "customer").groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_cust"))
+      val p = t(s, dir, "supplier").groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n_supp"))
+      c.join(p, col("c_nationkey") === col("s_nationkey"), "full_outer")
+        .select(coalesce(col("c_nationkey"), col("s_nationkey")).as("nationkey"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+        .orderBy("nationkey")
+    }),
+
+    // §2.8 JSON extraction from the events props column.
+    "q34_json_extract" -> ((s, dir) => {
+      val k = nullif(regexp_extract(col("props"), "\"k\": ([0-9]+)", 1), lit(""))
+        .cast("long")
+      t(s, dir, "events").select(col("event_type"), k.as("k_val"))
+        .groupBy(col("event_type"))
+        .agg(count(col("k_val")).as("n"), sum(col("k_val")).as("sum_k"),
+          max(col("k_val")).as("max_k"))
+        .orderBy("event_type")
+    }),
+
+    // §2.10 UNNEST(match_all(regex)) — per-row capture-group extraction.
+    "q35_unnest_regex" -> ((s, dir) => {
+      Unnest.matchAll(t(s, dir, "documents"), "text",
+          "^(\\w+) (\\w+)", Seq("w1", "w2"))
+        .groupBy(col("w1")).agg(count(lit(1)).as("n"),
+          countDistinct(col("w2")).as("n_w2"))
+        .orderBy("w1")
+    }),
+
+    // §2.8 math functions (IEEE-stable subset; transcendentals rounded).
+    "q36_math_funcs" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_orderkey") <= 1000)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          abs(-col("l_quantity")).as("abs_qty"),
+          sqrt(col("l_quantity")).as("sqrt_qty"),
+          floor(col("l_extendedprice")).cast("long").as("floor_price"),
+          ceil(col("l_extendedprice")).cast("long").as("ceil_price"),
+          round(log(col("l_extendedprice")), 6).as("ln_price"),
+          round(exp(col("l_discount")), 6).as("exp_disc"),
+          signum(col("l_discount") - lit(0.05)).as("sgn_disc"),
+          GeminiFunctions.truncate(col("l_extendedprice") / lit(100.0))
+            .cast("long").as("trunc_price"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // §2.7 UNION ALL BY NAME (column matching by name, not position).
+    "q37_union_by_name" -> ((s, dir) => {
+      val a = t(s, dir, "customer").select(col("c_custkey").as("id"),
+        col("c_name").as("label"), lit("cust").as("src"))
+      val b = t(s, dir, "supplier").select(lit("supp").as("src"),
+        col("s_name").as("label"), col("s_suppkey").as("id"))
+      a.unionByName(b)
+        .groupBy(col("src")).agg(count(lit(1)).as("n"), min(col("id")).as("min_id"))
+        .orderBy("src")
+    }),
+
+    // §2.8 IP functions (UDF-backed; oracle replicates the bit math in SQL).
+    "q38_ip_functions" -> ((s, dir) => {
+      val ipMaskU = udf(GeminiFunctions.ipMask)
+      val ipPrefixU = udf(GeminiFunctions.ipPrefix)
+      val inSubnetU = udf(GeminiFunctions.isSubnetOf)
+      val subMinU = udf(GeminiFunctions.ipSubnetMin)
+      val subMaxU = udf(GeminiFunctions.ipSubnetMax)
+      val ip = concat_ws(".", lit("10"),
+        pmod(col("user_id"), lit(256)).cast("string"),
+        pmod(col("user_id") * 7, lit(256)).cast("string"),
+        pmod(col("user_id") * 13, lit(256)).cast("string"))
+      t(s, dir, "events").select(col("user_id")).distinct()
+        .withColumn("ip", ip)
+        .withColumn("masked24", ipMaskU(col("ip"), lit(24)))
+        .withColumn("prefix16", ipPrefixU(col("ip"), lit(16)))
+        .withColumn("in_10_8", inSubnetU(lit("10.0.0.0/8"), col("ip")))
+        .withColumn("sub_min", subMinU(col("prefix16")))
+        .withColumn("sub_max", subMaxU(col("prefix16")))
+        .orderBy("user_id")
+    }),
+
+    // §2.5 elapsed(1s).
+    "q39_elapsed" -> ((s, dir) => {
+      SeriesOps.elapsed(t(s, dir, "events"), "ts", Seq("user_id"),
+          unitMicros = 1000000L, tieBreak = Seq("event_id"))
+        .select(col("user_id"), col("event_id"), col("elapsed"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    // §2.5 absent: 1 for intervals with no data, on the dense spine.
+    "q40_absent" -> ((s, dir) => {
+      val agg = WindowedAgg.timeBucket(t(s, dir, "events"), "ts", "1 hour",
+        Seq("event_type"), Seq(count(lit(1)).as("n")))
+        .select("event_type", "wstart_ms", "n")
+      Fill.fillValue(agg, Seq("n"), Seq("event_type"),
+          EvStartMs, EvEndMs, HourMs)
+        .withColumn("absent", when(col("n").isNull, lit(1)))
+        .select("event_type", "wstart_ms", "absent")
+        .orderBy("event_type", "wstart_ms")
     })
   )
 
@@ -659,6 +785,98 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n FROM events
          WHERE event_type IN (SELECT DISTINCT event_type FROM events
            ORDER BY event_type LIMIT 3)
-         GROUP BY event_type ORDER BY event_type"""
+         GROUP BY event_type ORDER BY event_type""",
+
+    "q31_distinct_agg" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+         count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q32_mode" ->
+      """SELECT l_returnflag, l_quantity AS mode_qty, cnt AS mode_n FROM (
+           SELECT l_returnflag, l_quantity, count(*) AS cnt,
+             row_number() OVER (PARTITION BY l_returnflag
+               ORDER BY count(*) DESC, l_quantity ASC) AS rn
+           FROM lineitem GROUP BY l_returnflag, l_quantity)
+         WHERE rn = 1 ORDER BY l_returnflag""",
+
+    "q33_full_outer" ->
+      """SELECT coalesce(c.c_nationkey, p.s_nationkey) AS nationkey,
+         coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp
+         FROM (SELECT c_nationkey, count(*) AS n_cust FROM customer
+               GROUP BY c_nationkey) c
+         FULL OUTER JOIN (SELECT s_nationkey, count(*) AS n_supp FROM supplier
+               GROUP BY s_nationkey) p
+           ON c.c_nationkey = p.s_nationkey
+         ORDER BY nationkey""",
+
+    "q34_json_extract" ->
+      """SELECT event_type, count(k_val) AS n,
+         CAST(sum(k_val) AS BIGINT) AS sum_k, max(k_val) AS max_k FROM (
+           SELECT event_type,
+             CAST(nullif(regexp_extract(props, '"k": ([0-9]+)', 1), '')
+               AS BIGINT) AS k_val
+           FROM events)
+         GROUP BY event_type ORDER BY event_type""",
+
+    "q35_unnest_regex" ->
+      """SELECT w1, count(*) AS n, count(DISTINCT w2) AS n_w2 FROM (
+           SELECT regexp_extract(text, '^(\w+) (\w+)', 1) AS w1,
+                  regexp_extract(text, '^(\w+) (\w+)', 2) AS w2
+           FROM documents)
+         GROUP BY w1 ORDER BY w1""",
+
+    "q36_math_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+         abs(-l_quantity) AS abs_qty, sqrt(l_quantity) AS sqrt_qty,
+         CAST(floor(l_extendedprice) AS BIGINT) AS floor_price,
+         CAST(ceil(l_extendedprice) AS BIGINT) AS ceil_price,
+         round(ln(l_extendedprice), 6) AS ln_price,
+         round(exp(l_discount), 6) AS exp_disc,
+         sign(l_discount - 0.05) AS sgn_disc,
+         CAST(trunc(l_extendedprice / 100.0) AS BIGINT) AS trunc_price
+         FROM lineitem WHERE l_orderkey <= 1000
+         ORDER BY l_orderkey, l_linenumber""",
+
+    "q37_union_by_name" ->
+      """SELECT src, count(*) AS n, min(id) AS min_id FROM (
+           SELECT c_custkey AS id, c_name AS label, 'cust' AS src FROM customer
+           UNION ALL BY NAME
+           SELECT 'supp' AS src, s_name AS label, s_suppkey AS id FROM supplier)
+         GROUP BY src ORDER BY src""",
+
+    "q38_ip_functions" ->
+      """SELECT user_id,
+         '10.' || (user_id % 256) || '.' || ((user_id * 7) % 256) || '.' ||
+           ((user_id * 13) % 256) AS ip,
+         '10.' || (user_id % 256) || '.' || ((user_id * 7) % 256) || '.0'
+           AS masked24,
+         '10.' || (user_id % 256) || '.0.0/16' AS prefix16,
+         true AS in_10_8,
+         '10.' || (user_id % 256) || '.0.0' AS sub_min,
+         '10.' || (user_id % 256) || '.255.255' AS sub_max
+         FROM (SELECT DISTINCT user_id FROM events) ORDER BY user_id""",
+
+    "q39_elapsed" ->
+      s"""SELECT user_id, event_id, elapsed FROM (
+           SELECT user_id, event_id,
+             (epoch_us(ts) - lag(epoch_us(ts)) OVER ($evWin)) / 1000000
+               AS elapsed
+           FROM events) WHERE elapsed IS NOT NULL
+         ORDER BY user_id, event_id""",
+
+    "q40_absent" ->
+      s"""WITH series AS (SELECT DISTINCT event_type FROM events),
+         spine AS (SELECT event_type,
+           unnest(generate_series(${EvStartMs}, ${EvEndMs - HourMs}, ${HourMs}))
+             AS wstart_ms FROM series),
+         agg AS (SELECT event_type,
+           epoch_ms(date_trunc('hour', ts)) AS wstart_ms, count(*) AS n
+           FROM events GROUP BY event_type, date_trunc('hour', ts))
+         SELECT s.event_type, s.wstart_ms,
+           CASE WHEN a.n IS NULL THEN 1 END AS absent
+         FROM spine s LEFT JOIN agg a
+           ON s.event_type = a.event_type AND s.wstart_ms = a.wstart_ms
+         ORDER BY s.event_type, s.wstart_ms"""
   )
 }

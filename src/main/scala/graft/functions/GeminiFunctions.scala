@@ -1,0 +1,142 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The openGemini scalar ("materialize") function surface re-expressed over
+  * Spark — registry list from the reference:
+  * math `lib/util/lifted/influx/query/math.go:21-110`, strings
+  * `query/string_functions.go`, full predicate/JSON/IP sets per SURVEY §2.8.
+  *
+  * Almost everything aliases a codegen'd Spark built-in; only the IP helpers
+  * are Scala UDFs (pure string/bit math, used off the hot aggregation path).
+  * `registry` maps the openGemini name → column builder so a query frontend
+  * can resolve calls 1:1; `registerSql(spark)` also exposes the UDF-backed
+  * ones to SQL.
+  */
+object GeminiFunctions {
+
+  /** openGemini name → Spark expression builder (args positional). */
+  val registry: Map[String, Seq[Column] => Column] = Map(
+    // math.go — trig/exp/log family (all java.lang.Math-backed built-ins)
+    "abs" -> (a => abs(a.head)),
+    "sin" -> (a => sin(a.head)), "cos" -> (a => cos(a.head)),
+    "tan" -> (a => tan(a.head)), "asin" -> (a => asin(a.head)),
+    "acos" -> (a => acos(a.head)), "atan" -> (a => atan(a.head)),
+    "atan2" -> (a => atan2(a(0), a(1))),
+    "exp" -> (a => exp(a.head)),
+    "log" -> (a => call_function("log", a: _*)),
+    "ln" -> (a => log(a.head)), "log2" -> (a => log2(a.head)),
+    "log10" -> (a => log10(a.head)), "sqrt" -> (a => sqrt(a.head)),
+    "pow" -> (a => pow(a(0), a(1))),
+    "floor" -> (a => floor(a.head)), "ceil" -> (a => ceil(a.head)),
+    "round" -> (a => round(a.head)),
+    "truncate" -> (a => truncate(a.head)),
+    "sinh" -> (a => sinh(a.head)), "cosh" -> (a => cosh(a.head)),
+    "tanh" -> (a => tanh(a.head)), "asinh" -> (a => asinh(a.head)),
+    "acosh" -> (a => acosh(a.head)), "atanh" -> (a => atanh(a.head)),
+    "sgn" -> (a => signum(a.head)), "rad" -> (a => radians(a.head)),
+    "deg" -> (a => degrees(a.head)),
+    "row_max" -> (a => greatest(a: _*)),
+    "if" -> (a => when(a(0), a(1)).otherwise(a(2))),
+    "clamp" -> (a => least(greatest(a(0), a(1)), a(2))),
+    "clamp_min" -> (a => greatest(a(0), a(1))),
+    "clamp_max" -> (a => least(a(0), a(1))),
+    "cast_int64" -> (a => a.head.cast("long")),
+    "cast_float64" -> (a => a.head.cast("double")),
+    "cast_bool" -> (a => a.head.cast("boolean")),
+    "cast_string" -> (a => a.head.cast("string")),
+    // string_functions.go
+    "str" -> (a => a.head.cast("string")),
+    "strlen" -> (a => length(a.head)),
+    "substr" -> (a => if (a.length > 2) a(0).substr(a(1), a(2))
+                      else a(0).substr(a(1), length(a(0)))),
+    "levenshtein_distance" -> (a => levenshtein(a(0), a(1))),
+    "lpad" -> (a => call_function("lpad", a: _*)),
+    "rpad" -> (a => call_function("rpad", a: _*)),
+    "regexp_extract" -> (a => call_function("regexp_extract", a: _*)),
+    "regexp_like" -> (a => call_function("regexp_like", a: _*)),
+    "replace" -> (a => call_function("replace", a: _*)),
+    "reverse" -> (a => reverse(a.head)),
+    "split" -> (a => call_function("split", a: _*)),
+    "split_part" -> (a => call_function("split_part", a: _*)),
+    "split_to_map" -> (a => call_function("str_to_map", a: _*)),
+    "position" -> (a => call_function("position", a: _*)),
+    "strpos" -> (a => call_function("position", a: _*)),
+    "url_decode" -> (a => url_decode(a.head)),
+    "url_encode" -> (a => url_encode(a.head)),
+    "url_extract_host" -> (a => parse_url(a.head, lit("HOST"))),
+    "url_extract_path" -> (a => parse_url(a.head, lit("PATH"))),
+    "url_extract_protocol" -> (a => parse_url(a.head, lit("PROTOCOL"))),
+    "url_extract_query" -> (a => parse_url(a.head, lit("QUERY"))),
+    "url_extract_fragment" -> (a => parse_url(a.head, lit("REF"))),
+    // JSON (reference json functions → Spark get_json_object/to_json)
+    "json_extract" -> (a => call_function("get_json_object", a: _*)),
+    "json_extract_scalar" -> (a => call_function("get_json_object", a: _*)),
+    "json_object" -> (a => to_json(struct(a: _*)))
+  )
+
+  /** truncate(x): toward-zero integer part (reference math.go truncate). */
+  def truncate(c: Column): Column =
+    when(c >= 0, floor(c)).otherwise(ceil(c))
+
+  // ---- IP helpers (reference: query ip functions, SURVEY §2.8) -----------
+  private def ipToLong(ip: String): Option[Long] = {
+    val p = ip.trim.split("\\.")
+    if (p.length != 4) None
+    else try {
+      val o = p.map(_.toLong)
+      if (o.exists(x => x < 0 || x > 255)) None
+      else Some((o(0) << 24) | (o(1) << 16) | (o(2) << 8) | o(3))
+    } catch { case _: NumberFormatException => None }
+  }
+  private def longToIp(v: Long): String =
+    s"${(v >> 24) & 255}.${(v >> 16) & 255}.${(v >> 8) & 255}.${v & 255}"
+  private def maskOf(prefix: Int): Long =
+    if (prefix <= 0) 0L else (0xFFFFFFFFL << (32 - prefix)) & 0xFFFFFFFFL
+
+  /** ip_mask(ip, prefixLen): zero the host bits. */
+  val ipMask: (String, Int) => String = (ip, prefix) =>
+    ipToLong(ip).map(v => longToIp(v & maskOf(prefix))).orNull
+
+  /** ip_prefix(ip, prefixLen): CIDR form of the masked network. */
+  val ipPrefix: (String, Int) => String = (ip, prefix) =>
+    ipToLong(ip).map(v => s"${longToIp(v & maskOf(prefix))}/$prefix").orNull
+
+  /** is_subnet_of('a.b.c.d/p', ip). */
+  val isSubnetOf: (String, String) => java.lang.Boolean = (cidr, ip) => {
+    val parts = cidr.split("/")
+    (for {
+      net <- ipToLong(parts(0))
+      p <- scala.util.Try(parts(1).toInt).toOption
+      v <- ipToLong(ip)
+    } yield java.lang.Boolean.valueOf((v & maskOf(p)) == (net & maskOf(p))))
+      .orNull
+  }
+
+  /** ip_subnet_min / ip_subnet_max of a CIDR. */
+  val ipSubnetMin: String => String = cidr => {
+    val parts = cidr.split("/")
+    (for { net <- ipToLong(parts(0)); p <- scala.util.Try(parts(1).toInt).toOption }
+      yield longToIp(net & maskOf(p))).orNull
+  }
+  val ipSubnetMax: String => String = cidr => {
+    val parts = cidr.split("/")
+    (for { net <- ipToLong(parts(0)); p <- scala.util.Try(parts(1).toInt).toOption }
+      yield longToIp((net & maskOf(p)) | (~maskOf(p) & 0xFFFFFFFFL))).orNull
+  }
+
+  /** ip_in_range(ip, cidr) — the IPINRANGE predicate (token.go:422). */
+  val ipInRange: (String, String) => java.lang.Boolean =
+    (ip, cidr) => isSubnetOf(cidr, ip)
+
+  /** Register the UDF-backed functions for SQL use. */
+  def registerSql(spark: SparkSession): Unit = {
+    spark.udf.register("ip_mask", ipMask)
+    spark.udf.register("ip_prefix", ipPrefix)
+    spark.udf.register("is_subnet_of", isSubnetOf)
+    spark.udf.register("ip_subnet_min", ipSubnetMin)
+    spark.udf.register("ip_subnet_max", ipSubnetMax)
+    spark.udf.register("ip_in_range", ipInRange)
+  }
+}
