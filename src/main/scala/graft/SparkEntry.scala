@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.GeminiFunctions
-import graft.operators.{Fill, SeriesOps, Unnest, WindowedAgg}
+import graft.operators.{Fill, SeriesOps, Smoothing, Unnest, WindowedAgg}
 import graft.pipeline.{Dedup, Similarity, TextAnalysis}
 
 /** Driver contract: one entry per implemented operator from SURVEY.md §2,
@@ -492,6 +492,37 @@ object SparkEntry {
         .withColumn("absent", when(col("n").isNull, lit(1)))
         .select("event_type", "wstart_ms", "absent")
         .orderBy("event_type", "wstart_ms")
+    }),
+
+    // §2.5 exponential_moving_average(f, 10): final EMA per series (the
+    // sequential fold matches DuckDB's list_reduce step for step).
+    "q41_ema" -> ((s, dir) => {
+      val perPoint = Smoothing.ema(t(s, dir, "events"), "value", "ts",
+        Seq("user_id"), n = 10)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("_t").desc)
+      perPoint.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1)
+        .select(col("user_id"), col("ema").as("ema_last"))
+        .orderBy("user_id")
+    }),
+
+    // §2.4 holt_winters(24, 24): one-day seasonal forecast over hourly
+    // buckets (no SQL oracle — model recurrence; covered by unit tests).
+    "q42_holt_winters" -> ((s, dir) => {
+      val hourly = WindowedAgg.timeBucket(t(s, dir, "events"), "ts", "1 hour",
+          Seq("event_type"), Seq(davg(col("value")).as("avg_value")))
+        .select("event_type", "wstart_ms", "avg_value")
+      Smoothing.holtWinters(hourly, "avg_value", "wstart_ms",
+          Seq("event_type"), h = 24, m = 24)
+        .select(col("event_type"), col("_t").as("t_ms"), col("hw"))
+        .orderBy("event_type", "t_ms")
+    }),
+
+    // §2.5 irate: rate from the last two points per series.
+    "q43_irate" -> ((s, dir) => {
+      SeriesOps.irate(t(s, dir, "events"), "value", "ts", Seq("user_id"),
+          tieBreak = Seq("event_id"))
+        .orderBy("user_id")
     })
   )
 
@@ -877,6 +908,24 @@ object SparkEntry {
            CASE WHEN a.n IS NULL THEN 1 END AS absent
          FROM spine s LEFT JOIN agg a
            ON s.event_type = a.event_type AND s.wstart_ms = a.wstart_ms
-         ORDER BY s.event_type, s.wstart_ms"""
+         ORDER BY s.event_type, s.wstart_ms""",
+
+    "q41_ema" ->
+      """SELECT user_id,
+         list_reduce(list(value ORDER BY epoch_us(ts), event_id),
+           (acc, v) -> (2.0/11.0) * v + (1 - 2.0/11.0) * acc) AS ema_last
+         FROM events GROUP BY user_id ORDER BY user_id""",
+
+    "q43_irate" ->
+      s"""SELECT user_id,
+         (max(CASE WHEN rn = 1 THEN value END) -
+          max(CASE WHEN rn = 2 THEN value END)) /
+         ((max(CASE WHEN rn = 1 THEN tus END) -
+           max(CASE WHEN rn = 2 THEN tus END)) / 1000000.0) AS irate
+         FROM (SELECT user_id, value, epoch_us(ts) AS tus,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+           FROM events) WHERE rn <= 2
+         GROUP BY user_id ORDER BY user_id"""
   )
 }

@@ -127,6 +127,25 @@ object SeriesOps {
         ((max(tus) - min(tus)).cast("double") / 1e6)).as("rate"))
   }
 
+  /** irate(f): instantaneous rate from the last two points of each series
+    * (reference: `call_processor.go:189-194`, PromQL irate). One window
+    * rank pass bounded to 2 rows per series + a hash agg. */
+  def irate(df: DataFrame, field: String, time: String, tags: Seq[String],
+            tieBreak: Seq[String] = Nil): DataFrame = {
+    val tus = tMicros(df, time)
+    val ord = (col(time).desc +: tieBreak.map(col(_).desc))
+    val win = Window.partitionBy(tags.map(col): _*).orderBy(ord: _*)
+    df.withColumn("_tus", tus)
+      .withColumn("_rn", row_number().over(win))
+      .filter(col("_rn") <= 2)
+      .groupBy(tags.map(col): _*)
+      .agg(((max(when(col("_rn") === 1, col(field))) -
+             max(when(col("_rn") === 2, col(field)))) /
+            ((max(when(col("_rn") === 1, col("_tus"))) -
+              max(when(col("_rn") === 2, col("_tus")))) / lit(1000000.0)))
+        .as("irate"))
+  }
+
   /** first/last selectors with companion (aux) columns, plus spread.
     * InfluxQL selector semantics keep the timestamp of the selected row:
     * reference `engine/executor/call_processor.go:92-206` + aux rules

@@ -1,0 +1,62 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.Streams
+
+/** CREATE STREAM semantics (reference window lifecycle
+  * `app/ts-store/stream/time_task.go:98-206`): tumbling windows keyed by
+  * tags, DELAY=watermark, flush-on-close, late-drop. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("stream window agg: closed windows emit, late data within delay counts") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val src = mem.toDF.toDF("time", "tag", "value")
+
+    val agg = Streams.createStream(src, "time", delay = "5 seconds",
+      interval = "10 seconds", tags = Seq("tag"),
+      aggs = Seq(count(lit(1)).as("n"), sum($"value").as("total")))
+
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("stream_out").start()
+    try {
+      def ts(s: Long) = new Timestamp(s * 1000)
+      // window [0,10): two points; then advance watermark past 10+5
+      mem.addData((ts(1), "a", 1.0), (ts(3), "a", 2.0))
+      q.processAllAvailable()
+      mem.addData((ts(9), "a", 4.0))   // still inside [0,10), wm not passed
+      q.processAllAvailable()
+      mem.addData((ts(16), "a", 8.0))  // wm -> 11 > 10: closes [0,10)
+      q.processAllAvailable()
+      val closed = spark.table("stream_out")
+        .select($"tag", $"n", $"total", $"wstart".cast("long").as("ws"))
+        .as[(String, Long, Double, Long)].collect().toSet
+      assert(closed == Set(("a", 3L, 7.0, 0L))) // all three pts, incl. 9s
+      // late arrival for [0,10) past the delay → dropped
+      mem.addData((ts(2), "a", 100.0), (ts(31), "a", 16.0))
+      q.processAllAvailable()
+      val after = spark.table("stream_out")
+        .select($"total").as[Double].collect().toSet
+      assert(after.contains(7.0) && !after.contains(107.0))
+      // the 16s window closed when wm passed 20+5 (31-5=26)
+      assert(after.contains(8.0))
+    } finally q.stop()
+  }
+
+  test("downsample writes date-partitioned rollups; retention prunes") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ds").toString
+    val ev = Tables.table(spark, sf, "events")
+    Streams.downsample(ev, "ts", "6 hours", Seq("event_type"),
+      Seq(count(lit(1)).as("n"), sum($"value").as("total")), dir)
+    val rolled = spark.read.parquet(dir)
+    assert(rolled.columns.toSet ==
+      Set("n", "total", "event_type", "wstart", "wdate"))
+    val total = rolled.agg(sum($"n")).as[Long].collect().head
+    assert(total == ev.count())
+    val kept = Streams.retentionCutoff(spark, dir, "2024-01-15")
+    assert(kept.count() < rolled.count() && kept.count() > 0)
+  }
+}
