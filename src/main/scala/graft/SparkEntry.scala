@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.GeminiFunctions
 import graft.operators.{Fill, SeriesOps, Smoothing, Unnest, WindowedAgg}
-import graft.pipeline.{Dedup, Similarity, TextAnalysis}
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** Driver contract: one entry per implemented operator from SURVEY.md §2,
   * with DuckDB-oracle SQL for every SQL-expressible query.
@@ -523,6 +523,55 @@ object SparkEntry {
       SeriesOps.irate(t(s, dir, "events"), "value", "ts", Seq("user_id"),
           tieBreak = Seq("event_id"))
         .orderBy("user_id")
+    }),
+
+    // pipeline: multimodal column plumbing — binary payloads + stub decode
+    // + feature extraction (no SQL oracle: codec stubs are hash-derived;
+    // schema/batch shape covered by SourcesSpec).
+    "q44_multimodal" -> ((s, dir) => {
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text").cast("binary").as("content"))
+      val decoded = Multimodal.decodeImage(media, "content", "image/png")
+      Multimodal.extractFeatures(decoded, "content", 8)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("media_meta.n_bytes")).as("sum_bytes"),
+          dsum(element_at(col("features"), 1).cast("double"), 6).as("sum_f0"))
+        .orderBy("source")
+    }),
+
+    // §2.4 topn heavy hitters (exact form of topn_ddcm): top-3 users by
+    // event count within each event_type.
+    "q45_topn_freq" -> ((s, dir) => {
+      val counted = t(s, dir, "events")
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("cnt").desc, col("user_id").asc)
+      counted.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("event_type"), col("rnk"), col("user_id"), col("cnt"))
+        .orderBy("event_type", "rnk")
+    }),
+
+    // §2.4 count_values (PromQL): occurrences of each rounded value.
+    "q46_count_values" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("event_type"), round(col("value"), 0).as("value_bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("event_type", "value_bucket")
+    }),
+
+    // §2.4 sample(n): systematic every-kth-point sample per series
+    // (deterministic stand-in for the reference's reservoir sample).
+    "q47_sample" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .filter(pmod(col("rn") - 1, lit(10)) === 0)
+        .select(col("user_id"), col("event_id"), col("value"))
+        .orderBy("user_id", "event_id")
     })
   )
 
@@ -926,6 +975,25 @@ object SparkEntry {
              row_number() OVER (PARTITION BY user_id
                ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
            FROM events) WHERE rn <= 2
-         GROUP BY user_id ORDER BY user_id"""
+         GROUP BY user_id ORDER BY user_id""",
+
+    "q45_topn_freq" ->
+      """SELECT event_type, rnk, user_id, cnt FROM (
+           SELECT event_type, user_id, count(*) AS cnt,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY count(*) DESC, user_id ASC) AS rnk
+           FROM events GROUP BY event_type, user_id)
+         WHERE rnk <= 3 ORDER BY event_type, rnk""",
+
+    "q46_count_values" ->
+      """SELECT event_type, round(value, 0) AS value_bucket, count(*) AS n
+         FROM events GROUP BY event_type, round(value, 0)
+         ORDER BY event_type, value_bucket""",
+
+    "q47_sample" ->
+      s"""SELECT user_id, event_id, value FROM (
+           SELECT user_id, event_id, value,
+             row_number() OVER ($evWin) AS rn FROM events)
+         WHERE (rn - 1) % 10 = 0 ORDER BY user_id, event_id"""
   )
 }

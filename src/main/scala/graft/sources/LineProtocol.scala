@@ -1,0 +1,147 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** InfluxDB line-protocol ingest — the reference's write path
+  * (`POST /write` → parser `lib/util/lifted/vm/protoparser/influx/parser.go`
+  * → shard routing `coordinator/points_writer.go:238`).
+  *
+  * Spark-first: parsing is a narrow map over a Dataset[String] (one line per
+  * element — a file, socket, or Kafka stream source all produce this), so
+  * ingest parallelism == source parallelism with zero shuffles. The parsed
+  * generic rows go to per-measurement tables via [[toMeasurementTable]]
+  * (schema-on-write: first write fixes each field's type — reference
+  * `coordinator/write_helper.go:463`).
+  *
+  * Line shape: `measurement[,tag=v...] field=v[,field=v...] [ns-timestamp]`
+  * with `\,`/`\ `/`\=` escapes in identifiers, `"…"` string fields
+  * (`\"` escape), `i` suffix integers, and t/T/true/f/F/false booleans.
+  */
+object LineProtocol {
+
+  case class Point(
+      measurement: String,
+      tags: Map[String, String],
+      floatFields: Map[String, Double],
+      intFields: Map[String, Long],
+      boolFields: Map[String, Boolean],
+      stringFields: Map[String, String],
+      time: Long)
+
+  /** Split on `sep` honoring backslash escapes and quotes. Escape pairs are
+    * PRESERVED (nested splits still need them); [[unescape]] runs once at
+    * the innermost extraction. No regex — hot path. */
+  private def splitEscaped(s: String, sep: Char): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var i = 0
+    var inQuotes = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length && !inQuotes) {
+        cur.append(c).append(s.charAt(i + 1)); i += 2
+      } else if (c == '"') {
+        inQuotes = !inQuotes; cur.append(c); i += 1
+      } else if (c == sep && !inQuotes) {
+        out += cur.result(); cur.clear(); i += 1
+      } else { cur.append(c); i += 1 }
+    }
+    out += cur.result()
+    out.result()
+  }
+
+  private def unescape(s: String): String = {
+    val b = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) { b.append(s.charAt(i + 1)); i += 2 }
+      else { b.append(c); i += 1 }
+    }
+    b.result()
+  }
+
+  /** Index of the first unescaped `ch`, or -1. */
+  private def indexOfUnescaped(s: String, ch: Char): Int = {
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\') i += 2
+      else if (c == ch) return i
+      else i += 1
+    }
+    -1
+  }
+
+  /** Parse one line; None for blank/comment/malformed lines (the reference
+    * collects per-line errors and continues — `parser.go` error rows). */
+  def parseLine(line: String, defaultTimeNs: Long = 0L): Option[Point] = {
+    val trimmed = line.trim
+    if (trimmed.isEmpty || trimmed.startsWith("#")) return None
+    // measurement+tags | fields | [timestamp] — split on unescaped spaces
+    val sections = splitEscaped(trimmed, ' ').filter(_.nonEmpty)
+    if (sections.length < 2 || sections.length > 3) return None
+    try {
+      val mstTags = splitEscaped(sections(0), ',')
+      val measurement = unescape(mstTags.head)
+      if (measurement.isEmpty) return None
+      val tags = mstTags.tail.map { kv =>
+        val i = indexOfUnescaped(kv, '=')
+        if (i <= 0) return None
+        unescape(kv.substring(0, i)) -> unescape(kv.substring(i + 1))
+      }.toMap
+
+      var ff = Map.empty[String, Double]; var intf = Map.empty[String, Long]
+      var bf = Map.empty[String, Boolean]; var sf = Map.empty[String, String]
+      splitEscaped(sections(1), ',').foreach { kv =>
+        val i = indexOfUnescaped(kv, '=')
+        if (i <= 0) return None
+        val k = unescape(kv.substring(0, i)); val v = kv.substring(i + 1)
+        if (v.length >= 2 && v.startsWith("\"") && v.endsWith("\""))
+          sf += k -> v.substring(1, v.length - 1).replace("\\\"", "\"")
+        else if (v.endsWith("i")) intf += k -> v.dropRight(1).toLong
+        else if (v == "t" || v == "T" || v == "true" || v == "True")
+          bf += k -> true
+        else if (v == "f" || v == "F" || v == "false" || v == "False")
+          bf += k -> false
+        else ff += k -> v.toDouble
+      }
+      if (ff.isEmpty && intf.isEmpty && bf.isEmpty && sf.isEmpty) return None
+      val time = if (sections.length == 3) sections(2).toLong else defaultTimeNs
+      Some(Point(measurement, tags, ff, intf, bf, sf, time))
+    } catch { case _: NumberFormatException => None }
+  }
+
+  /** Parse a Dataset of raw lines into the generic point frame. */
+  def parse(lines: Dataset[String], defaultTimeNs: Long = 0L): DataFrame = {
+    val spark = lines.sparkSession
+    import spark.implicits._
+    lines.flatMap(l => parseLine(l, defaultTimeNs)).toDF()
+  }
+
+  /** Project one measurement's points into a flat table: tag columns
+    * (STRING) + typed field columns + `time` LONG ns + `ts` µs TIMESTAMP
+    * view — the measurement-table shape used everywhere else. */
+  def toMeasurementTable(points: DataFrame, measurement: String,
+                         tagKeys: Seq[String], floatKeys: Seq[String],
+                         intKeys: Seq[String] = Nil, boolKeys: Seq[String] = Nil,
+                         stringKeys: Seq[String] = Nil): DataFrame = {
+    val base = points.filter(col("measurement") === measurement)
+    val cols =
+      tagKeys.map(k => col("tags").getItem(k).as(k)) ++
+      floatKeys.map(k => col("floatFields").getItem(k).as(k)) ++
+      intKeys.map(k => col("intFields").getItem(k).as(k)) ++
+      boolKeys.map(k => col("boolFields").getItem(k).as(k)) ++
+      stringKeys.map(k => col("stringFields").getItem(k).as(k)) ++
+      Seq(col("time"), timestamp_micros(expr("time div 1000")).as("ts"))
+    base.select(cols: _*)
+  }
+
+  /** Append parsed points to a partitioned measurement table — time
+    * partitioning by day ≈ the reference's shard-group slicing
+    * (`meta/shardinfo.go:33`), pruned by Catalyst on read. */
+  def writeMeasurement(table: DataFrame, path: String): Unit =
+    table.withColumn("day", to_date(col("ts")))
+      .write.mode("append").partitionBy("day").parquet(path)
+}

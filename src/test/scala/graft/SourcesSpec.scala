@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.Multimodal
+import graft.sources.{LineProtocol, ResultShaper}
+
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("line protocol: reference corpus shapes parse") {
+    // shapes from /root/reference/tests/server_test.go:999-1001,742
+    val p1 = LineProtocol.parseLine(
+      "cpu,host=server01 value=100,core=4i 946684800000000000").get
+    assert(p1.measurement == "cpu")
+    assert(p1.tags == Map("host" -> "server01"))
+    assert(p1.floatFields == Map("value" -> 100.0))
+    assert(p1.intFields == Map("core" -> 4L))
+    assert(p1.time == 946684800000000000L)
+
+    val p2 = LineProtocol.parseLine(
+      """cpu,host=server01,region=uswest value="disk mem",ok=t""").get
+    assert(p2.tags("region") == "uswest")
+    assert(p2.stringFields("value") == "disk mem")
+    assert(p2.boolFields("ok"))
+
+    val p3 = LineProtocol.parseLine(
+      """weird\ name,tag\,x=a\=b value=1 100""").get
+    assert(p3.measurement == "weird name")
+    assert(p3.tags == Map("tag,x" -> "a=b"))
+
+    assert(LineProtocol.parseLine("# comment").isEmpty)
+    assert(LineProtocol.parseLine("cpu novalue").isEmpty)
+    assert(LineProtocol.parseLine("cpu value=abc").isEmpty)
+  }
+
+  test("line protocol end-to-end: lines -> measurement table") {
+    val lines = Seq(
+      "cpu,host=a value=1,core=2i 1704067200000000000",
+      "cpu,host=b value=3 1704067260000000500",
+      "mem,host=a used=9 1704067200000000000",
+      "bad line line line").toDS()
+    val pts = LineProtocol.parse(lines)
+    assert(pts.count() == 3)
+    val cpu = LineProtocol.toMeasurementTable(pts, "cpu",
+      tagKeys = Seq("host"), floatKeys = Seq("value"), intKeys = Seq("core"))
+    val rows = cpu.orderBy("host")
+      .select("host", "value", "core", "time")
+      .as[(String, Double, Option[Long], Long)].collect()
+    assert(rows(0) == (("a", 1.0, Some(2L), 1704067200000000000L)))
+    assert(rows(1) == (("b", 3.0, None, 1704067260000000500L)))
+    // ns → µs timestamp view truncates
+    val ts = cpu.filter($"host" === "b").select(unix_micros($"ts"))
+      .as[Long].collect().head
+    assert(ts == 1704067260000000L)
+  }
+
+  test("multimodal: decode/resize/frame-sample/features plumbing") {
+    val media = Seq((1L, "abcdef".getBytes), (2L, ("x" * 3000).getBytes))
+      .toDF("id", "content")
+    val decoded = Multimodal.decodeImage(media, "content", "image/png")
+    val meta = decoded.select($"id", $"media_meta.n_bytes")
+      .as[(Long, Long)].collect().toMap
+    assert(meta == Map(1L -> 6L, 2L -> 3000L))
+    assert(decoded.select($"media_meta.modality").as[String]
+      .collect().forall(_ == "image"))
+    val resized = Multimodal.resize(decoded, "media_meta", 100, 100)
+    assert(resized.select($"media_meta.width").as[Int].collect()
+      .forall(_ <= 100))
+    val frames = Multimodal.frameSample(media, "content", 2)
+      .select($"id", size($"frame_indices")).as[(Long, Int)].collect().toMap
+    assert(frames(1L) == 1 && frames(2L) == 2) // 3000B → 3 frames, every 2nd
+    val feats = Multimodal.extractFeatures(media, "content", 8)
+      .select($"id", $"features").as[(Long, Array[Float])].collect().toMap
+    assert(feats(1L).length == 8)
+    // deterministic: same content → same features
+    assert(feats(1L).toSeq == Multimodal.StubCodec.features("abcdef".getBytes, 8).toSeq)
+  }
+
+  test("result shaper emits per-tagset series JSON") {
+    val df = Seq(("a", 1704067200000L, 1.5), ("a", 1704070800000L, 2.0),
+      ("b", 1704067200000L, 9.0)).toDF("host", "t_ms", "mean")
+    val json = ResultShaper.toSeriesJson(df, "cpu", Seq("host"),
+      Seq("t_ms", "mean"))
+    assert(json.contains(""""name":"cpu""""))
+    assert(json.contains(""""tags":{"host":"a"}"""))
+    assert(json.contains("[1704067200000,1.5]"))
+    assert(json.startsWith("""{"results":[{"statement_id":0,"series":["""))
+  }
+}
