@@ -4,8 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.GeminiFunctions
-import graft.operators.{Fill, SeriesOps, Smoothing, Unnest, WindowedAgg}
+import graft.functions.{GeminiFunctions, PromFunctions}
+import graft.operators.{Fill, Meta, SeriesOps, Smoothing, Unnest, WindowedAgg}
 import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** Driver contract: one entry per implemented operator from SURVEY.md §2,
@@ -572,6 +572,64 @@ object SparkEntry {
         .filter(pmod(col("rn") - 1, lit(10)) === 0)
         .select(col("user_id"), col("event_id"), col("value"))
         .orderBy("user_id", "event_id")
+    }),
+
+    // §2.2 filter blank: rows where all projected fields are null vanish.
+    "q48_filter_blank" -> ((s, dir) => {
+      val agg = WindowedAgg.timeBucket(t(s, dir, "events"), "ts", "1 hour",
+        Seq("user_id"),
+        Seq(dsum(when(col("event_type") === "error", col("value"))).as("sum_error"),
+          dsum(when(col("event_type") === "purchase", col("value")))
+            .as("sum_purchase")))
+      Meta.filterBlank(agg, Seq("sum_error", "sum_purchase"))
+        .select("user_id", "wstart_ms", "sum_error", "sum_purchase")
+        .orderBy("user_id", "wstart_ms")
+    }),
+
+    // PromQL label_replace / label_join (§2.5 label functions).
+    "q49_label_functions" -> ((s, dir) => {
+      val relabeled = PromFunctions.labelReplace(t(s, dir, "events"),
+        "short", "T-$1", "event_type", "^(..).*")
+      PromFunctions.labelJoin(relabeled, "joined", "/",
+          Seq("event_type", "short"))
+        .groupBy(col("event_type"), col("short"), col("joined"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("event_type")
+    }),
+
+    // PromQL time functions (§2.5).
+    "q50_time_functions" -> ((s, dir) => {
+      val parts = PromFunctions.timeParts(col("ts"))
+      t(s, dir, "events")
+        .select(parts.map { case (n, c) => c.as(n) }: _*)
+        .groupBy(col("day_of_week"), col("days_in_month"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("day_of_month")).as("n_days"),
+          min(col("hour")).as("min_hour"), max(col("minute")).as("max_minute"))
+        .orderBy("day_of_week")
+    }),
+
+    // PromQL histogram_quantile over cumulative le-buckets (§2.4).
+    "q51_histogram_quantile" -> ((s, dir) => {
+      val les = Seq(50.0, 100.0, 150.0, 1e18)
+      val bucketAggs = les.zipWithIndex.map { case (l, i) =>
+        count(when(col("value") <= l, 1)).cast("double").as(s"le_$i") }
+      val buckets = t(s, dir, "events")
+        .select(col("event_type"), col("value"))
+        .groupBy(col("event_type"))
+        .agg(bucketAggs.head, bucketAggs.tail: _*)
+      val unpivoted = buckets.select(col("event_type"),
+        posexplode(array(les.indices.map(i => col(s"le_$i")): _*))
+          .as(Seq("i", "value")))
+        .withColumn("le", element_at(
+          array(les.map(lit): _*), col("i") + 1)).drop("i")
+      PromFunctions.histogramQuantile(unpivoted, 0.9, Seq("event_type"))
+        .withColumn("quantile", round(col("quantile"), 6))
+        .orderBy("event_type")
+    }),
+
+    // SHOW SERIES (meta surface): distinct tag sets of the measurement.
+    "q52_show_series" -> ((s, dir) => {
+      Meta.showSeries(t(s, dir, "events"), Seq("event_type", "user_id"))
     })
   )
 
@@ -994,6 +1052,60 @@ object SparkEntry {
       s"""SELECT user_id, event_id, value FROM (
            SELECT user_id, event_id, value,
              row_number() OVER ($evWin) AS rn FROM events)
-         WHERE (rn - 1) % 10 = 0 ORDER BY user_id, event_id"""
+         WHERE (rn - 1) % 10 = 0 ORDER BY user_id, event_id""",
+
+    "q48_filter_blank" ->
+      """SELECT user_id, wstart_ms, sum_error, sum_purchase FROM (
+           SELECT user_id, epoch_ms(date_trunc('hour', ts)) AS wstart_ms,
+             CAST(sum(CAST(CASE WHEN event_type = 'error' THEN value END
+               AS DECIMAL(18,4))) AS DOUBLE) AS sum_error,
+             CAST(sum(CAST(CASE WHEN event_type = 'purchase' THEN value END
+               AS DECIMAL(18,4))) AS DOUBLE) AS sum_purchase
+           FROM events GROUP BY user_id, date_trunc('hour', ts))
+         WHERE coalesce(sum_error, sum_purchase) IS NOT NULL
+         ORDER BY user_id, wstart_ms""",
+
+    "q49_label_functions" ->
+      """SELECT event_type,
+         regexp_replace(event_type, '^(..).*', 'T-\1') AS short,
+         event_type || '/' || regexp_replace(event_type, '^(..).*', 'T-\1')
+           AS joined,
+         count(*) AS n
+         FROM events GROUP BY 1, 2, 3 ORDER BY event_type""",
+
+    "q50_time_functions" ->
+      """SELECT dayofweek(ts) AS day_of_week,
+         day(last_day(ts)) AS days_in_month, count(*) AS n,
+         count(DISTINCT day(ts)) AS n_days,
+         min(hour(ts)) AS min_hour, max(minute(ts)) AS max_minute
+         FROM events GROUP BY 1, 2 ORDER BY day_of_week""",
+
+    "q51_histogram_quantile" ->
+      """WITH buckets AS (SELECT event_type,
+           CAST(count(CASE WHEN value <= 50.0 THEN 1 END) AS DOUBLE) AS b1,
+           CAST(count(CASE WHEN value <= 100.0 THEN 1 END) AS DOUBLE) AS b2,
+           CAST(count(CASE WHEN value <= 150.0 THEN 1 END) AS DOUBLE) AS b3,
+           CAST(count(CASE WHEN value <= 1e18 THEN 1 END) AS DOUBLE) AS b4
+           FROM events GROUP BY event_type),
+         unp AS (SELECT event_type,
+           unnest([50.0, 100.0, 150.0, 1e18]) AS le,
+           unnest([b1, b2, b3, b4]) AS value FROM buckets),
+         staged AS (SELECT event_type, le, value,
+           0.9 * max(value) OVER (PARTITION BY event_type) AS target,
+           lag(le) OVER w AS prev_le, lag(value) OVER w AS prev_v
+           FROM unp WINDOW w AS (PARTITION BY event_type ORDER BY le)),
+         cand AS (SELECT *, row_number() OVER (PARTITION BY event_type
+             ORDER BY le) AS rn
+           FROM staged WHERE value >= target)
+         SELECT event_type,
+           round(CASE WHEN prev_v IS NULL THEN le * target / value
+             ELSE prev_le + (le - prev_le) * (target - prev_v) /
+               (value - prev_v) END, 6) AS quantile
+         FROM cand WHERE rn = 1 ORDER BY event_type""",
+
+    "q52_show_series" ->
+      """SELECT DISTINCT 'event_type=' || event_type || ',user_id=' || user_id
+           AS series_key
+         FROM events ORDER BY series_key"""
   )
 }

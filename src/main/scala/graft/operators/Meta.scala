@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** SHOW meta queries + row hygiene — reference:
+  * statement rewrites `query/statement_rewriter.go` (SHOW → SELECT against
+  * meta), blank-row rule `engine/executor/filter_blank_transfrom.go` (e2e
+  * `tests/server_test.go:3895`).
+  */
+object Meta {
+
+  /** Drop rows where every projected field is null — InfluxQL emits no row
+    * when all selected fields are blank. */
+  def filterBlank(df: DataFrame, fieldCols: Seq[String]): DataFrame =
+    df.filter(coalesce(fieldCols.map(col): _*).isNotNull)
+
+  /** SHOW MEASUREMENTS. */
+  def showMeasurements(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Tables.all.toDF("name").orderBy("name")
+  }
+
+  /** SHOW SERIES: the distinct tag sets of a measurement. */
+  def showSeries(df: DataFrame, tags: Seq[String]): DataFrame =
+    df.select(concat_ws(",", tags.map(t =>
+        concat_ws("=", lit(t), col(t).cast("string"))): _*).as("series_key"))
+      .distinct().orderBy("series_key")
+
+  /** SHOW TAG VALUES WITH KEY = k. */
+  def showTagValues(df: DataFrame, tag: String): DataFrame =
+    df.select(lit(tag).as("key"), col(tag).cast("string").as("value"))
+      .distinct().orderBy("value")
+
+  /** SHOW FIELD KEYS: field name + type from the schema. */
+  def showFieldKeys(df: DataFrame, tags: Seq[String],
+                    time: Seq[String]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.schema.fields
+      .filterNot(f => tags.contains(f.name) || time.contains(f.name))
+      .map(f => (f.name, f.dataType.simpleString)).toSeq
+      .toDF("field_key", "field_type").orderBy("field_key")
+  }
+
+  /** SHOW TAG KEYS. */
+  def showTagKeys(spark: SparkSession, tags: Seq[String]): DataFrame = {
+    import spark.implicits._
+    tags.toDF("tag_key").orderBy("tag_key")
+  }
+}
