@@ -1,0 +1,84 @@
+package graft.expressions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType}
+
+/** Native dot product over `ARRAY<FLOAT>` / `ARRAY<DOUBLE>` columns.
+  *
+  * The composable form (`zip_with` + `aggregate` fold, Similarity.dot)
+  * materializes an intermediate array and evaluates a lambda per element
+  * per row; ANN scoring evaluates O(|Q|·|C|·dim) of those. This expression
+  * generates a primitive fused multiply-add loop instead — the SURVEY §7.3
+  * "custom Expression where built-ins can't express it *efficiently*" case.
+  *
+  * Summation order is the same sequential left fold as the composable
+  * form, so results are bit-identical and the DuckDB oracle still
+  * hash-matches.
+  */
+case class VectorDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  private def elemIsFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"vec_dot expects array<float|double>, got ${left.dataType}, ${right.dataType}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    val lf = elemIsFloat(left); val rf = elemIsFloat(right)
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      s += xv * yv
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val lGet = if (elemIsFloat(left)) s"(double) $a.getFloat(i)"
+                 else s"$a.getDouble(i)"
+      val rGet = if (elemIsFloat(right)) s"(double) $b.getFloat(i)"
+                 else s"$b.getDouble(i)"
+      s"""
+        int n = java.lang.Math.min($a.numElements(), $b.numElements());
+        double s = 0.0;
+        for (int i = 0; i < n; i++) { s += $lGet * $rGet; }
+        ${ev.value} = s;
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorExpressions {
+  /** Register `vec_dot` in the session function registry (idempotent) so it
+    * is reachable from both `call_function` and SQL. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_dot", exprs => VectorDot(exprs(0), exprs(1)), "built-in")
+}

@@ -17,10 +17,16 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two float-array columns, accumulated in double. */
+  /** Dot product of two float-array columns, accumulated in double —
+    * composable reference form (zip_with + fold). */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
+
+  /** Native-codegen dot (graft.expressions.VectorDot): same sequential sum,
+    * no intermediate arrays — requires VectorExpressions.register(spark),
+    * which the top-k entry points call. */
+  def dotNative(a: Column, b: Column): Column = call_function("vec_dot", a, b)
 
   def norm(a: Column): Column =
     sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
@@ -28,18 +34,23 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Cosine via the native dot kernel (bit-identical to [[cosine]]). */
+  def cosineNative(a: Column, b: Column): Column =
+    dotNative(a, b) / (sqrt(dotNative(a, a)) * sqrt(dotNative(b, b)))
+
   /** Exact top-k cosine neighbors for each query vector.
     * `queries` is expected to be small (it is broadcast); `corpus` can be
     * arbitrarily large — the join is a broadcast nested loop producing
     * |Q| rows per corpus row, immediately reduced by the per-query rank. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
                      idCol: String, k: Int): DataFrame = {
+    graft.expressions.VectorExpressions.register(corpus.sparkSession)
     val q = broadcast(queries.select(col(idCol).as("query_id"),
       col(vecCol).as("_qv")))
     val scored = corpus.select(col(idCol).as("neighbor_id"),
         col(vecCol).as("_cv"))
       .join(q, col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosine(col("_qv"), col("_cv")))
+      .withColumn("cos", cosineNative(col("_qv"), col("_cv")))
     scored.withColumn("rank", row_number().over(
         Window.partitionBy(col("query_id"))
           .orderBy(col("cos").desc, col("neighbor_id").asc)))
@@ -69,13 +80,14 @@ object Similarity {
     * bounds each candidate set. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
               idCol: String, dim: Int, planes: Int, k: Int): DataFrame = {
+    graft.expressions.VectorExpressions.register(corpus.sparkSession)
     val cb = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"),
       signBucket(col(vecCol), dim, planes).as("_bkt"))
     val qb = broadcast(queries.select(col(idCol).as("query_id"),
       col(vecCol).as("_qv"), signBucket(col(vecCol), dim, planes).as("_bkt")))
     cb.join(qb, Seq("_bkt"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosine(col("_qv"), col("_cv")))
+      .withColumn("cos", cosineNative(col("_qv"), col("_cv")))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("query_id"))
           .orderBy(col("cos").desc, col("neighbor_id").asc)))

@@ -98,6 +98,15 @@ class PipelineSpec extends SparkSpec {
     (3L, Array(-1.0f, 0.0f, 0.0f))
   ).toDF("vec_id", "embedding")
 
+  test("native vec_dot is bit-identical to the composable fold") {
+    graft.expressions.VectorExpressions.register(spark)
+    val pairs = vecs.as("a").crossJoin(vecs.as("b"))
+      .select(Similarity.dot($"a.embedding", $"b.embedding").as("fold"),
+        Similarity.dotNative($"a.embedding", $"b.embedding").as("native"))
+      .as[(Double, Double)].collect()
+    assert(pairs.nonEmpty && pairs.forall { case (f, n) => f == n })
+  }
+
   test("bruteForceTopK ranks by cosine") {
     val out = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" === 0),
         "embedding", "vec_id", 3)
