@@ -630,6 +630,14 @@ object SparkEntry {
     // SHOW SERIES (meta surface): distinct tag sets of the measurement.
     "q52_show_series" -> ((s, dir) => {
       Meta.showSeries(t(s, dir, "events"), Seq("event_type", "user_id"))
+    }),
+
+    // pipeline: embedding-cosine near-duplicate pairs (exact tier).
+    "q53_embedding_neardup" -> ((s, dir) => {
+      Dedup.embeddingNearDup(t(s, dir, "embeddings"), "embedding", "vec_id",
+          threshold = 0.45)
+        .withColumn("cos", round(col("cos"), 6))
+        .orderBy("id_a", "id_b")
     })
   )
 
@@ -1106,6 +1114,18 @@ object SparkEntry {
     "q52_show_series" ->
       """SELECT DISTINCT 'event_type=' || event_type || ',user_id=' || user_id
            AS series_key
-         FROM events ORDER BY series_key"""
+         FROM events ORDER BY series_key""",
+
+    "q53_embedding_neardup" -> {
+      def dd(a: String, b: String) =
+        s"""list_sum(list_transform(range(1, 65),
+           i -> CAST($a.embedding[i] AS DOUBLE) * CAST($b.embedding[i] AS DOUBLE)))"""
+      s"""SELECT id_a, id_b, round(cos, 6) AS cos FROM (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             ${dd("a", "b")} / (sqrt(${dd("a", "a")}) * sqrt(${dd("b", "b")}))
+               AS cos
+           FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)
+         WHERE cos >= 0.45 ORDER BY id_a, id_b"""
+    }
   )
 }

@@ -102,6 +102,23 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Embedding-cosine near-duplicate pairs: all pairs above `threshold`.
+    * Exact form — the verification tier; at corpus scale, bucket first with
+    * [[graft.pipeline.Similarity.signBucket]] (sign-LSH) so the self-join
+    * is per-bucket instead of |C|². Scoring uses the native codegen dot
+    * kernel. */
+  def embeddingNearDup(df: DataFrame, vecCol: String, idCol: String,
+                       threshold: Double): DataFrame = {
+    graft.expressions.VectorExpressions.register(df.sparkSession)
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("_va"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("_vb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos",
+        Similarity.cosineNative(col("_va"), col("_vb")))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
+
   /** 64-bit SimHash over whitespace tokens: per-token xxhash64, bitwise
     * weighted vote per bit position. Pure column math (fold over 64 bit
     * positions), no UDF. */

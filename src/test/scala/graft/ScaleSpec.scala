@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.LineProtocol
+
+/** Plan-shape assertions — the properties that decide whether these
+  * operators survive a 100 TB / 1000-executor deployment:
+  * pushdown reaches the scan, dims broadcast, bucketing removes the join
+  * shuffle, day partitioning prunes at the source. */
+class ScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filters and projection push down to the parquet scan") {
+    val df = Tables.table(spark, sf, "lineitem")
+      .filter($"l_quantity" > 45)
+      .select($"l_orderkey", $"l_quantity")
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)]"))
+    assert(scan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"))
+  }
+
+  test("dimension joins broadcast, not shuffle") {
+    val q = SparkEntry.queries("q03_join_revenue")(spark, sf)
+    val plan = planOf(q)
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
+  test("bucketed tables join without a shuffle") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_wh").toString
+    val li = Tables.table(spark, sf, "lineitem")
+      .select("l_orderkey", "l_quantity")
+    val ord = Tables.table(spark, sf, "orders")
+      .select("o_orderkey", "o_totalprice")
+    li.write.mode("overwrite").bucketBy(4, "l_orderkey")
+      .sortBy("l_orderkey").option("path", s"$wh/li_b").saveAsTable("li_b")
+    ord.write.mode("overwrite").bucketBy(4, "o_orderkey")
+      .sortBy("o_orderkey").option("path", s"$wh/ord_b").saveAsTable("ord_b")
+    // disable auto-broadcast so the join exercises bucket co-location
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("li_b")
+        .join(spark.table("ord_b"), $"l_orderkey" === $"o_orderkey")
+        .groupBy($"l_orderkey").agg(sum($"l_quantity"))
+      val plan = planOf(joined)
+      // co-located bucketed join: sort-merge with NO Exchange on either side
+      assert(plan.contains("SortMergeJoin"))
+      assert(!plan.contains("Exchange hashpartitioning"))
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("day-partitioned measurement writes prune on read") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_lp").toString
+    val lines = (0 until 48).map { h =>
+      val ns = 1704067200000000000L + h * 3600L * 1000000000L
+      s"cpu,host=h${h % 4} value=${h}.5 $ns"
+    }.toDS()
+    val cpu = LineProtocol.toMeasurementTable(LineProtocol.parse(lines), "cpu",
+      tagKeys = Seq("host"), floatKeys = Seq("value"))
+    LineProtocol.writeMeasurement(cpu, dir)
+    val read = spark.read.parquet(dir)
+      .filter($"day" === "2024-01-02")
+    assert(read.count() == 24)
+    // the day predicate lands in PartitionFilters (source-level pruning),
+    // not a post-scan Filter
+    val plan = read.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(day"))
+  }
+
+  test("windowed agg partial-aggregates before the shuffle") {
+    val q = SparkEntry.queries("q09_time_bucket")(spark, sf)
+    val plan = planOf(q)
+    // partial HashAggregate below the exchange, final above
+    assert("HashAggregate".r.findAllIn(plan).size >= 2)
+    assert(plan.contains("Exchange"))
+  }
+}
