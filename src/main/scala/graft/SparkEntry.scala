@@ -632,6 +632,26 @@ object SparkEntry {
       Meta.showSeries(t(s, dir, "events"), Seq("event_type", "user_id"))
     }),
 
+    // §3.1 InfluxQL frontend end-to-end: parse → ladder → DataFrame,
+    // treating events as measurement (tags=event_type, field=value).
+    "q54_influxql_window" -> ((s, dir) => {
+      val catalog = Map("events" -> graft.query.InfluxQL.Measurement(
+        t(s, dir, "events"), tags = Seq("event_type")))
+      graft.query.InfluxQL.execute(catalog,
+          "SELECT count(value), min(value), max(value), spread(value) " +
+          "FROM events GROUP BY event_type, time(1h) ORDER BY time")
+        .select("event_type", "time", "count", "min", "max", "spread")
+    }),
+
+    "q55_influxql_selectors" -> ((s, dir) => {
+      val catalog = Map("events" -> graft.query.InfluxQL.Measurement(
+        t(s, dir, "events"), tags = Seq("event_type")))
+      graft.query.InfluxQL.execute(catalog,
+          "SELECT first(value), last(value), count(value) FROM events " +
+          "WHERE value >= 50 GROUP BY event_type")
+        .select("event_type", "first", "last", "count")
+    }),
+
     // pipeline: embedding-cosine near-duplicate pairs (exact tier).
     "q53_embedding_neardup" -> ((s, dir) => {
       Dedup.embeddingNearDup(t(s, dir, "embeddings"), "embedding", "vec_id",
@@ -1126,6 +1146,19 @@ object SparkEntry {
                AS cos
            FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)
          WHERE cos >= 0.45 ORDER BY id_a, id_b"""
-    }
+    },
+
+    "q54_influxql_window" ->
+      """SELECT event_type, epoch_ms(date_trunc('hour', ts)) AS time,
+         count(value) AS count, min(value) AS min, max(value) AS max,
+         max(value) - min(value) AS spread
+         FROM events GROUP BY event_type, date_trunc('hour', ts)
+         ORDER BY event_type, time""",
+
+    "q55_influxql_selectors" ->
+      """SELECT event_type, arg_min(value, ts) AS first,
+         arg_max(value, ts) AS last, count(value) AS count
+         FROM events WHERE value >= 50
+         GROUP BY event_type ORDER BY event_type"""
   )
 }

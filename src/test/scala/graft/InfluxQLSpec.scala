@@ -1,0 +1,101 @@
+package graft
+
+import graft.query.InfluxQL
+import graft.query.InfluxQL.Measurement
+import graft.sources.LineProtocol
+
+/** End-to-end InfluxQL: line-protocol writes → query string → values,
+  * mirroring the reference harness shape (`tests/server_test.go`: write
+  * points, run query, compare exact results). */
+class InfluxQLSpec extends SparkSpec {
+  import spark.implicits._
+
+  // cpu measurement: 2 hosts × points at t=0s,60s,120s (epoch ns)
+  private lazy val cpu: Measurement = {
+    val lines = Seq(
+      "cpu,host=server01 value=10,core=1i 0",
+      "cpu,host=server01 value=20,core=2i 60000000000",
+      "cpu,host=server01 value=30,core=3i 120000000000",
+      "cpu,host=server02 value=100 0",
+      "cpu,host=server02 value=200 120000000000").toDS()
+    val df = LineProtocol.toMeasurementTable(LineProtocol.parse(lines), "cpu",
+      tagKeys = Seq("host"), floatKeys = Seq("value"), intKeys = Seq("core"))
+    Measurement(df, tags = Seq("host"))
+  }
+  private lazy val catalog = Map("cpu" -> cpu)
+
+  private def run(q: String) = InfluxQL.execute(catalog, q)
+
+  test("aggregate with tag grouping") {
+    val out = run("SELECT mean(value), max(value) FROM cpu GROUP BY host")
+      .select("host", "mean", "max").as[(String, Double, Double)]
+      .collect().toSet
+    assert(out == Set(("server01", 20.0, 30.0), ("server02", 150.0, 200.0)))
+  }
+
+  test("GROUP BY time(1m) windows align to epoch") {
+    val out = run(
+      "SELECT sum(value) FROM cpu WHERE host = 'server01' GROUP BY time(1m)")
+      .select("time", "sum").as[(Long, Double)].collect().toSeq
+    assert(out == Seq((0L, 10.0), (60000L, 20.0), (120000L, 30.0)))
+  }
+
+  test("regex tag predicate and selector functions") {
+    val out = run(
+      "SELECT first(value), last(value), spread(value) FROM cpu WHERE host =~ /server0[0-9]/ GROUP BY host")
+      .select("host", "first", "last", "spread")
+      .as[(String, Double, Double, Double)].collect().toSet
+    assert(out == Set(("server01", 10.0, 30.0, 20.0),
+      ("server02", 100.0, 200.0, 100.0)))
+  }
+
+  test("time range predicate prunes points") {
+    val out = run(
+      "SELECT count(value) FROM cpu WHERE time >= '1970-01-01 00:01:00' GROUP BY host")
+      .select("host", "count").as[(String, Long)].collect().toSet
+    assert(out == Set(("server01", 2L), ("server02", 1L)))
+  }
+
+  test("fill(previous) carries values across empty buckets") {
+    val out = run(
+      "SELECT mean(value) FROM cpu WHERE host = 'server02' GROUP BY host, time(1m) fill(previous)")
+      .select("time", "mean").as[(Long, Double)].collect().toSeq
+    assert(out == Seq((0L, 100.0), (60000L, 100.0), (120000L, 200.0)))
+  }
+
+  test("fill(100) substitutes constant; fill(linear) interpolates") {
+    val v = run(
+      "SELECT mean(value) FROM cpu WHERE host = 'server02' GROUP BY host, time(1m) fill(7)")
+      .select("mean").as[Double].collect().toSeq
+    assert(v == Seq(100.0, 7.0, 200.0))
+    val l = run(
+      "SELECT mean(value) FROM cpu WHERE host = 'server02' GROUP BY host, time(1m) fill(linear)")
+      .select("mean").as[Double].collect().toSeq
+    assert(l == Seq(100.0, 150.0, 200.0))
+  }
+
+  test("ORDER BY time DESC + per-series LIMIT") {
+    val out = run(
+      "SELECT value FROM cpu GROUP BY host ORDER BY time DESC LIMIT 1")
+      .select("host", "value").as[(String, Double)].collect().toSet
+    assert(out == Set(("server01", 30.0), ("server02", 200.0)))
+  }
+
+  test("SLIMIT limits the number of series") {
+    val out = run("SELECT value FROM cpu GROUP BY host SLIMIT 1")
+      .select("host").distinct().as[String].collect().toSeq
+    assert(out == Seq("server01"))
+  }
+
+  test("global aggregate without grouping") {
+    val out = run("SELECT count(value), percentile(value, 50) FROM cpu")
+      .select("count", "percentile").as[(Long, Double)].collect().head
+    assert(out._1 == 5L && out._2 == 30.0)
+  }
+
+  test("raw projection returns fields with tags") {
+    val out = run("SELECT value FROM cpu WHERE value > 150")
+      .select("time", "value").as[(Long, Double)].collect().toSeq
+    assert(out == Seq((120000L, 200.0)))
+  }
+}
