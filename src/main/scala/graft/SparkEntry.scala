@@ -652,6 +652,37 @@ object SparkEntry {
         .select("event_type", "first", "last", "count")
     }),
 
+    // §2.4 topn_ddcm slot: CMS heavy hitters — the sketch merges map-side,
+    // the shuffle never carries raw keys (no SQL oracle: approximate).
+    "q56_topn_cms" -> ((s, dir) => {
+      import graft.functions.Sketches
+      import graft.functions.Sketches.CountMinSketch
+      val depth = 4; val width = 512
+      val ev = t(s, dir, "events")
+      val key = concat_ws("/", col("event_type"), col("user_id"))
+      val sk = ev.agg(Sketches.cms(depth, width)(key).as("sketch"))
+      val est = udf((sk: Seq[Long], k: String) =>
+        CountMinSketch.estimate(sk.toArray, k, depth, width))
+      val w = Window.orderBy(col("est").desc, col("k").asc)
+      ev.select(key.as("k")).distinct()
+        .crossJoin(broadcast(sk))
+        .withColumn("est", est(col("sketch"), col("k")))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select("rnk", "k", "est")
+        .orderBy("rnk")
+    }),
+
+    // §2.4 approx sketch built-ins (HLL distinct + quantile sketch) —
+    // rows-only: approximations are engine-specific by design.
+    "q57_approx_sketches" -> ((s, dir) => {
+      t(s, dir, "events").groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+          expr("percentile_approx(value, 0.5, 1000)").as("approx_median"),
+          countDistinct(col("user_id")).as("exact_users"))
+        .orderBy("event_type")
+    }),
+
     // pipeline: embedding-cosine near-duplicate pairs (exact tier).
     "q53_embedding_neardup" -> ((s, dir) => {
       Dedup.embeddingNearDup(t(s, dir, "embeddings"), "embedding", "vec_id",

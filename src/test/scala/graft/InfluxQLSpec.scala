@@ -93,6 +93,31 @@ class InfluxQLSpec extends SparkSpec {
     assert(out._1 == 5L && out._2 == 30.0)
   }
 
+  test("derivative over aggregated buckets (reference ladder order)") {
+    val out = run(
+      "SELECT derivative(mean(value)) FROM cpu WHERE host = 'server01' GROUP BY host, time(1m)")
+      .select("time", "derivative").as[(Long, Double)].collect().toSeq
+    // means 10,20,30 at 1m spacing → 10/60 per second
+    assert(out == Seq((60000L, 10.0 / 60), (120000L, 10.0 / 60)))
+  }
+
+  test("cumulative_sum and moving_average over buckets") {
+    val cs = run(
+      "SELECT cumulative_sum(sum(value)) FROM cpu WHERE host = 'server01' GROUP BY host, time(1m)")
+      .select("cumulative_sum").as[Double].collect().toSeq
+    assert(cs == Seq(10.0, 30.0, 60.0))
+    val ma = run(
+      "SELECT moving_average(mean(value), 2) FROM cpu WHERE host = 'server01' GROUP BY host, time(1m)")
+      .select("moving_average").as[Double].collect().toSeq
+    assert(ma == Seq(15.0, 25.0))
+  }
+
+  test("difference over raw points per series") {
+    val out = run("SELECT difference(value) FROM cpu GROUP BY host")
+      .select("host", "difference").as[(String, Double)].collect().toSet
+    assert(out == Set(("server01", 10.0), ("server02", 100.0)))
+  }
+
   test("raw projection returns fields with tags") {
     val out = run("SELECT value FROM cpu WHERE value > 150")
       .select("time", "value").as[(Long, Double)].collect().toSeq

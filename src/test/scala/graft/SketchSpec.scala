@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Sketches
+import graft.functions.Sketches.CountMinSketch
+
+class SketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("count-min: estimates dominate true counts, bounded error, mergeable") {
+    val depth = 4; val width = 256
+    // skewed key distribution: key k appears k times, k = 1..50
+    val rows = (1 to 50).flatMap(k => Seq.fill(k)(s"key$k"))
+    val df = rows.toDF("k").repartition(8) // force partial merges
+    val sketch = df.agg(Sketches.cms(depth, width)($"k").as("s"))
+      .as[Array[Long]].collect().head
+
+    val n = rows.size
+    (1 to 50).foreach { k =>
+      val est = CountMinSketch.estimate(sketch, s"key$k", depth, width)
+      assert(est >= k, s"CMS underestimated key$k")              // one-sided
+      assert(est <= k + (2.0 * n / width).ceil.toLong + 1,       // ε·N bound
+        s"key$k est $est too high")
+    }
+    // heavy hitter ranking survives sketching
+    val top = (1 to 50).map(k =>
+      k -> CountMinSketch.estimate(sketch, s"key$k", depth, width))
+      .sortBy(-_._2).take(3).map(_._1).toSet
+    assert(top.contains(50) && top.contains(49))
+  }
+}
