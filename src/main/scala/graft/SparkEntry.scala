@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{GeminiFunctions, PromFunctions}
-import graft.operators.{Fill, Meta, SeriesOps, Smoothing, Unnest, WindowedAgg}
+import graft.operators.{Fill, Meta, PromRange, SeriesOps, Smoothing, Unnest, WindowedAgg}
 import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** Driver contract: one entry per implemented operator from SURVEY.md §2,
@@ -683,6 +683,24 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // §2.5 PromQL range vectors: *_over_time + delta/rate at step evals.
+    "q58_prom_over_time" -> ((s, dir) => {
+      PromRange.overTime(t(s, dir, "events"), "ts", "value",
+          Seq("event_type"), range = "2 hours", step = "1 hour")
+        .select("event_type", "eval_ms", "count_ot", "sum_ot", "avg_ot",
+          "min_ot", "max_ot", "delta", "rate")
+        .orderBy("event_type", "eval_ms")
+    }),
+
+    // §2.5 PromQL changes()/resets() (ordered in-window folds; approx-free
+    // but hash-oracle omitted: fold-state SQL isn't portable — see spec).
+    "q59_prom_changes_resets" -> ((s, dir) => {
+      PromRange.changesResets(t(s, dir, "events"), "ts", "value",
+          Seq("event_type"), range = "2 hours", step = "1 hour")
+        .select("event_type", "eval_ms", "changes", "resets")
+        .orderBy("event_type", "eval_ms")
+    }),
+
     // pipeline: embedding-cosine near-duplicate pairs (exact tier).
     "q53_embedding_neardup" -> ((s, dir) => {
       Dedup.embeddingNearDup(t(s, dir, "embeddings"), "embedding", "vec_id",
@@ -1190,6 +1208,22 @@ object SparkEntry {
       """SELECT event_type, arg_min(value, ts) AS first,
          arg_max(value, ts) AS last, count(value) AS count
          FROM events WHERE value >= 50
-         GROUP BY event_type ORDER BY event_type"""
+         GROUP BY event_type ORDER BY event_type""",
+
+    "q58_prom_over_time" ->
+      """SELECT event_type, eval_ms, count(value) AS count_ot,
+         CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_ot,
+         CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(value)
+           AS avg_ot,
+         min(value) AS min_ot, max(value) AS max_ot,
+         arg_max(value, tus) - arg_min(value, tus) AS delta,
+         CASE WHEN max(tus) <> min(tus) THEN
+           (arg_max(value, tus) - arg_min(value, tus)) /
+           ((max(tus) - min(tus)) / 1000000.0) END AS rate
+         FROM (SELECT event_type, value, epoch_us(ts) AS tus,
+             unnest([epoch_ms(date_trunc('hour', ts)) + 3600000,
+                     epoch_ms(date_trunc('hour', ts)) + 7200000]) AS eval_ms
+           FROM events)
+         GROUP BY event_type, eval_ms ORDER BY event_type, eval_ms"""
   )
 }

@@ -138,6 +138,25 @@ object LineProtocol {
     base.select(cols: _*)
   }
 
+  /** Schema-on-write conflict detection: a field written with two different
+    * types is rejected per measurement (reference:
+    * `coordinator/write_helper.go:463` updateSchemaIfNeeded; e2e
+    * `tests/server_test.go:607` TestServer_Write_FieldTypeConflict).
+    * Returns the conflicting (measurement, field, types) rows — empty
+    * means the batch is schema-consistent. */
+  def fieldTypeConflicts(points: DataFrame): DataFrame = {
+    val kinds = Seq("floatFields" -> "float", "intFields" -> "integer",
+      "boolFields" -> "boolean", "stringFields" -> "string")
+    kinds.map { case (c, ty) =>
+      points.select(col("measurement"),
+        explode(map_keys(col(c))).as("field"), lit(ty).as("ftype"))
+    }.reduce(_ union _)
+      .distinct()
+      .groupBy(col("measurement"), col("field"))
+      .agg(sort_array(collect_set(col("ftype"))).as("types"))
+      .filter(size(col("types")) > 1)
+  }
+
   /** Append parsed points to a partitioned measurement table — time
     * partitioning by day ≈ the reference's shard-group slicing
     * (`meta/shardinfo.go:33`), pruned by Catalyst on read. */

@@ -118,6 +118,20 @@ class InfluxQLSpec extends SparkSpec {
     assert(out == Set(("server01", 10.0), ("server02", 100.0)))
   }
 
+  test("FROM /regex/ unions matching measurements") {
+    val lines = Seq("cpu1,host=a value=1 0", "cpu2,host=a value=10 0",
+      "mem,host=a value=100 0").toDS()
+    val pts = LineProtocol.parse(lines)
+    def mst(name: String) = Measurement(LineProtocol.toMeasurementTable(
+      pts, name, tagKeys = Seq("host"), floatKeys = Seq("value")),
+      tags = Seq("host"))
+    val cat = Map("cpu1" -> mst("cpu1"), "cpu2" -> mst("cpu2"),
+      "mem" -> mst("mem"))
+    val out = InfluxQL.execute(cat, "SELECT sum(value) FROM /cpu/ GROUP BY host")
+      .select("sum").as[Double].collect().toSeq
+    assert(out == Seq(11.0)) // cpu1 + cpu2, mem excluded
+  }
+
   test("raw projection returns fields with tags") {
     val out = run("SELECT value FROM cpu WHERE value > 150")
       .select("time", "value").as[(Long, Double)].collect().toSeq

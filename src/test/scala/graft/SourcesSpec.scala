@@ -54,6 +54,17 @@ class SourcesSpec extends SparkSpec {
     assert(ts == 1704067260000000L)
   }
 
+  test("schema-on-write: field type conflicts are detected") {
+    val lines = Seq(
+      "cpu,host=a value=1.5 0",
+      "cpu,host=b value=\"text\" 1",   // conflict: float then string
+      "cpu,host=a core=2i 2",
+      "mem,host=a value=\"ok\" 0").toDS() // same field name, other mst: fine
+    val conflicts = LineProtocol.fieldTypeConflicts(LineProtocol.parse(lines))
+      .as[(String, String, Seq[String])].collect()
+    assert(conflicts.toSeq == Seq(("cpu", "value", Seq("float", "string"))))
+  }
+
   test("multimodal: decode/resize/frame-sample/features plumbing") {
     val media = Seq((1L, "abcdef".getBytes), (2L, ("x" * 3000).getBytes))
       .toDF("id", "content")
