@@ -701,6 +701,44 @@ object SparkEntry {
         .orderBy("event_type", "eval_ms")
     }),
 
+    // pipeline: token-window chunking with overlap (one row per chunk).
+    "q60_chunking" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(TextAnalysis.chunk(col("text"), 40, 10)).as("c"))
+        .select(col("doc_id"), col("c.chunk_idx").as("chunk_idx"),
+          length(col("c.chunk_text")).cast("long").as("chunk_chars"),
+          size(split(col("c.chunk_text"), " ")).cast("long").as("chunk_tokens"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
+    // pipeline: PII redaction (emails / IPv4s / digit runs → placeholders).
+    "q61_pii_redaction" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("source"), col("text"),
+          TextAnalysis.redactPii(col("text")).as("red"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("red") =!= col("text"), 1L).otherwise(0L))
+            .as("n_redacted"),
+          sum(length(col("text")).cast("long")).as("chars_in"),
+          sum(length(col("red")).cast("long")).as("chars_out"))
+        .orderBy("source")
+    }),
+
+    // pipeline: quality-gate retention per language.
+    "q62_quality_filter" -> ((s, dir) => {
+      val f = TextAnalysis.qualityFeatures(col("text"))
+      t(s, dir, "documents").select(col("lang"),
+          TextAnalysis.qualityKeep(f).as("keep"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+        .withColumn("retention",
+          col("n_kept").cast("double") / col("n_docs"))
+        .orderBy("lang")
+    }),
+
     // pipeline: embedding-cosine near-duplicate pairs (exact tier).
     "q53_embedding_neardup" -> ((s, dir) => {
       Dedup.embeddingNearDup(t(s, dir, "embeddings"), "embedding", "vec_id",
@@ -1224,6 +1262,54 @@ object SparkEntry {
              unnest([epoch_ms(date_trunc('hour', ts)) + 3600000,
                      epoch_ms(date_trunc('hour', ts)) + 7200000]) AS eval_ms
            FROM events)
-         GROUP BY event_type, eval_ms ORDER BY event_type, eval_ms"""
+         GROUP BY event_type, eval_ms ORDER BY event_type, eval_ms""",
+
+    "q60_chunking" ->
+      """WITH d AS (SELECT doc_id,
+           regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+         c AS (SELECT doc_id, toks,
+           unnest(range(0, greatest(
+             CAST(ceil((len(toks) - 10) / 30.0) AS INT), 1))) AS chunk_idx
+           FROM d),
+         chunks AS (SELECT doc_id, chunk_idx,
+           array_to_string(list_slice(toks, chunk_idx * 30 + 1,
+             chunk_idx * 30 + 40), ' ') AS chunk_text FROM c)
+         SELECT doc_id, chunk_idx,
+           CAST(length(chunk_text) AS BIGINT) AS chunk_chars,
+           CAST(len(string_split(chunk_text, ' ')) AS BIGINT) AS chunk_tokens
+         FROM chunks ORDER BY doc_id, chunk_idx""",
+
+    "q61_pii_redaction" ->
+      """SELECT source, count(*) AS n_docs,
+         CAST(sum(CASE WHEN red <> text THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_redacted,
+         CAST(sum(length(text)) AS BIGINT) AS chars_in,
+         CAST(sum(length(red)) AS BIGINT) AS chars_out
+         FROM (SELECT source, text,
+           regexp_replace(regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+             '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '[IP]', 'g'),
+             '[0-9]{6,}', '[NUM]', 'g') AS red
+           FROM documents)
+         GROUP BY source ORDER BY source""",
+
+    "q62_quality_filter" ->
+      """WITH feats AS (SELECT lang,
+           len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+           len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS n_punct,
+           len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+             t -> t IN ('the','a','an','and','or','of','to','in','is','on',
+                        'for','with','as','at','by'))) AS n_stop,
+           length(text) AS n_chars FROM documents),
+         flags AS (SELECT lang,
+           (n_tokens BETWEEN 20 AND 100000)
+             AND (n_stop / CAST(n_tokens AS DOUBLE)) >= 0.01
+             AND (n_punct / greatest(CAST(n_chars AS DOUBLE), 1.0)) <= 0.2
+             AS keep FROM feats)
+         SELECT lang, count(*) AS n_docs,
+           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+             AS retention
+         FROM flags GROUP BY lang ORDER BY lang"""
   )
 }

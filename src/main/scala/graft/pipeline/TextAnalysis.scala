@@ -73,6 +73,43 @@ object TextAnalysis {
     best.getField("l")
   }
 
+  /** Token-window document chunking with overlap — the standard
+    * training-data preprocessing step (context-length-bounded chunks).
+    * Returns an array of structs (chunk_idx, chunk_text); explode() it to
+    * get one row per chunk. Narrow op: chunk fan-out happens before any
+    * shuffle, so 100 TB of documents chunk at scan parallelism. */
+  def chunk(text: Column, chunkTokens: Int, overlap: Int): Column = {
+    require(overlap < chunkTokens, "overlap must be < chunk size")
+    val stride = chunkTokens - overlap
+    val toks = split(trim(text), "\\s+")
+    val nChunks = greatest(
+      ceil((size(toks) - lit(overlap)).cast("double") / stride).cast("int"),
+      lit(1))
+    transform(sequence(lit(0), nChunks - 1), i =>
+      struct(i.as("chunk_idx"),
+        concat_ws(" ", slice(toks, i * stride + 1, lit(chunkTokens)))
+          .as("chunk_text")))
+  }
+
+  /** PII redaction: emails, IPv4s, long digit runs → typed placeholders.
+    * Chained codegen'd regexp_replace — per-row, shuffle-free. */
+  def redactPii(text: Column): Column = {
+    val email = regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]")
+    val ip = regexp_replace(email,
+      "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}", "[IP]")
+    regexp_replace(ip, "[0-9]{6,}", "[NUM]")
+  }
+
+  /** Quality filter verdict from [[qualityFeatures]]: the usual
+    * length/stopword/punctuation gates of a pretraining pipeline. */
+  def qualityKeep(features: Column, minTokens: Int = 20,
+                  maxTokens: Int = 100000, minStopRatio: Double = 0.01,
+                  maxPunctRatio: Double = 0.2): Column =
+    features.getField("n_tokens").between(minTokens, maxTokens) &&
+      features.getField("stopword_ratio") >= minStopRatio &&
+      features.getField("punct_ratio") <= maxPunctRatio
+
   /** Rolling-hash document fingerprint (polynomial hash of the whitespace
     * tokens, mod 1e9+7 — keeps acc*31+crc32 inside Long under ANSI
     * overflow checking) — cheap near-exact dedup key; pure column math so

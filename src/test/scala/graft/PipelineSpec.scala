@@ -84,6 +84,37 @@ class PipelineSpec extends SparkSpec {
     assert(r(2L) == "en")
   }
 
+  test("chunking: overlapping token windows, short docs get one chunk") {
+    val doc = (1 to 100).map(i => s"w$i").mkString(" ")
+    val out = Seq((1L, doc), (2L, "tiny doc")).toDF("doc_id", "text")
+      .select($"doc_id", explode(TextAnalysis.chunk($"text", 40, 10)).as("c"))
+      .select($"doc_id", $"c.chunk_idx", $"c.chunk_text")
+      .as[(Long, Int, String)].collect()
+    val doc1 = out.filter(_._1 == 1L).sortBy(_._2)
+    assert(doc1.length == 3) // ceil((100-10)/30) = 3
+    assert(doc1(0)._3.startsWith("w1 ") && doc1(1)._3.startsWith("w31 "))
+    // 10-token overlap: chunk0 ends at w40, chunk1 starts at w31
+    assert(doc1(0)._3.endsWith(" w40"))
+    assert(out.filter(_._1 == 2L).map(_._3).toSeq == Seq("tiny doc"))
+  }
+
+  test("PII redaction replaces emails, IPs, digit runs") {
+    val r = Seq(("mail a@b.com ip 10.0.0.1 card 1234567890 ok", 1L))
+      .toDF("text", "id")
+      .select(TextAnalysis.redactPii($"text")).as[String].collect().head
+    assert(r == "mail [EMAIL] ip [IP] card [NUM] ok")
+  }
+
+  test("quality gate keeps long stopword-bearing text, drops junk") {
+    val good = ("the quick brown fox and the dog " * 5).trim
+    val junk = "!!! ??? ###"
+    val out = Seq((1L, good), (2L, junk)).toDF("id", "text")
+      .select($"id", TextAnalysis.qualityKeep(
+        TextAnalysis.qualityFeatures($"text")).as("keep"))
+      .as[(Long, Boolean)].collect().toMap
+    assert(out(1L) && !out(2L))
+  }
+
   test("fingerprint: equal texts collide, different texts don't") {
     val fp = docs.select($"doc_id", TextAnalysis.fingerprint($"text").as("fp"))
       .as[(Long, Long)].collect().toMap
