@@ -87,6 +87,32 @@ class SourcesSpec extends SparkSpec {
     assert(feats(1L).toSeq == Multimodal.StubCodec.features("abcdef".getBytes, 8).toSeq)
   }
 
+  test("compaction merges small files per day and preserves data") {
+    import graft.sources.Compaction
+    val dir = java.nio.file.Files.createTempDirectory("graft_cmp").toString + "/t"
+    // three append batches × 2 days → many small files
+    (0 until 3).foreach { b =>
+      val lines = (0 until 12).map { i =>
+        val ns = 1704067200000000000L + (i % 2) * 86400L * 1000000000L +
+          (b * 12 + i) * 1000000000L
+        s"cpu,host=h$i value=$i.0 $ns"
+      }.toDS()
+      val tbl = LineProtocol.toMeasurementTable(LineProtocol.parse(lines),
+        "cpu", tagKeys = Seq("host"), floatKeys = Seq("value"))
+      LineProtocol.writeMeasurement(tbl, dir)
+    }
+    val sumBefore = spark.read.parquet(dir).agg(sum($"value"))
+      .as[Double].collect().head
+    val stats = Compaction.compactDays(spark, dir)
+    assert(stats.rows == 36)
+    assert(stats.filesAfter < stats.filesBefore)
+    assert(stats.filesAfter <= 2) // one file set per day
+    val after = spark.read.parquet(dir)
+    assert(after.count() == 36)
+    assert(after.agg(sum($"value")).as[Double].collect().head == sumBefore)
+    assert(after.select("day").distinct().count() == 2)
+  }
+
   test("result shaper emits per-tagset series JSON") {
     val df = Seq(("a", 1704067200000L, 1.5), ("a", 1704070800000L, 2.0),
       ("b", 1704067200000L, 9.0)).toDF("host", "t_ms", "mean")
