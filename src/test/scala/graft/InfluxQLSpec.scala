@@ -132,6 +132,26 @@ class InfluxQLSpec extends SparkSpec {
     assert(out == Seq(11.0)) // cpu1 + cpu2, mem excluded
   }
 
+  test("JOIN on tags merges two measurements") {
+    val lines = Seq(
+      "mem,host=server01 used=7 0", "mem,host=server01 used=9 60000000000",
+      "mem,host=server02 used=50 0").toDS()
+    val mem = Measurement(LineProtocol.toMeasurementTable(
+      LineProtocol.parse(lines), "mem",
+      tagKeys = Seq("host"), floatKeys = Seq("used")), tags = Seq("host"))
+    val cat = catalog + ("mem" -> mem)
+    val out = InfluxQL.execute(cat,
+      "SELECT mean(value), mean(used) FROM cpu JOIN mem ON host GROUP BY host")
+      .select("host", "mean").as[(String, Double)].collect().toMap
+    // inner join fans cpu rows × mem rows per host; mean(value) over the
+    // fanned rows: server01 cpu(10,20,30)×mem(2) → mean 20; server02 → 150
+    assert(out == Map("server01" -> 20.0, "server02" -> 150.0))
+    val lj = InfluxQL.execute(cat,
+      "SELECT count(used) FROM cpu LEFT JOIN mem ON host GROUP BY host")
+      .select("host", "count").as[(String, Long)].collect().toMap
+    assert(lj == Map("server01" -> 6L, "server02" -> 2L))
+  }
+
   test("raw projection returns fields with tags") {
     val out = run("SELECT value FROM cpu WHERE value > 150")
       .select("time", "value").as[(Long, Double)].collect().toSeq
