@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{GeminiFunctions, PromFunctions}
 import graft.operators.{Fill, Meta, PromRange, SeriesOps, Smoothing, Unnest, WindowedAgg}
-import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{AnomalyDetect, Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** Driver contract: one entry per implemented operator from SURVEY.md §2,
   * with DuckDB-oracle SQL for every SQL-expressible query.
@@ -737,6 +737,18 @@ object SparkEntry {
         .withColumn("retention",
           col("n_kept").cast("double") / col("n_docs"))
         .orderBy("lang")
+    }),
+
+    // §2.4 castor_ad slot: per-series anomaly detection through the
+    // group-windows boundary (rows-only: model output, no SQL analogue).
+    "q63_anomaly_detect" -> ((s, dir) => {
+      AnomalyDetect.zscore(t(s, dir, "events"), "value", "ts",
+          Seq("user_id"), window = 20, k = 2.5)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_points"),
+          sum(when(col("is_anomaly"), 1L).otherwise(0L)).as("n_anomalies"),
+          round(max(abs(col("zscore"))), 6).as("max_abs_z"))
+        .orderBy("user_id")
     }),
 
     // pipeline: embedding-cosine near-duplicate pairs (exact tier).

@@ -152,6 +152,12 @@ class InfluxQLSpec extends SparkSpec {
     assert(lj == Map("server01" -> 6L, "server02" -> 2L))
   }
 
+  test("GROUP BY * expands to all measurement tags") {
+    val out = run("SELECT count(value) FROM cpu GROUP BY *")
+      .select("host", "count").as[(String, Long)].collect().toMap
+    assert(out == Map("server01" -> 3L, "server02" -> 2L))
+  }
+
   test("raw projection returns fields with tags") {
     val out = run("SELECT value FROM cpu WHERE value > 150")
       .select("time", "value").as[(Long, Double)].collect().toSeq

@@ -46,6 +46,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming replay of the events table matches the batch aggregation") {
+    // FIXTURES.md: events is the stream stand-in — file-source replay must
+    // produce exactly the batch windowed aggregation once all data is in.
+    val ev = Tables.table(spark, sf, "events")
+    val batch = ev.groupBy(window($"ts", "6 hours"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .select($"event_type", $"window.start".as("ws"), $"n")
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$sf/events.parquet").schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sf)
+      .withColumn("ts_ns", $"ts")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val agg = Streams.createStream(stream, "ts", delay = "1 minute",
+      interval = "6 hours", tags = Seq("event_type"),
+      aggs = Seq(count(lit(1)).as("n")))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("replay_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("replay_out")
+        .select($"event_type", $"wstart".as("ws"), $"n")
+      assert(streamed.count() == batch.count())
+      assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    } finally q.stop()
+  }
+
   test("downsample writes date-partitioned rollups; retention prunes") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ds").toString
     val ev = Tables.table(spark, sf, "events")
