@@ -73,6 +73,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("continuous query ticks are incremental via checkpoint") {
+    import java.nio.file.Files
+    val src = Files.createTempDirectory("graft_cq_src").toString
+    val dst = Files.createTempDirectory("graft_cq_dst").toString + "/out"
+    val ckpt = Files.createTempDirectory("graft_cq_ck").toString
+    def writeBatch(offset: Int): Unit =
+      (0 until 4).map(i => (new Timestamp((offset + i) * 60000L), "a",
+        (offset + i).toDouble))
+        .toDF("time", "tag", "value")
+        .write.mode("append").parquet(src)
+    def tick(): Unit = {
+      val stream = spark.readStream
+        .schema("time TIMESTAMP, tag STRING, value DOUBLE").parquet(src)
+      val agg = Streams.createStream(stream, "time", "0 seconds",
+        "2 minutes", Seq("tag"), Seq(count(lit(1)).as("n")))
+      Streams.continuousQueryTick(agg, dst, ckpt)
+    }
+    writeBatch(0); tick()
+    val after1 = spark.read.parquet(dst).count()
+    writeBatch(10); tick()
+    val after2 = spark.read.parquet(dst).count()
+    assert(after1 > 0 && after2 > after1) // second tick appended new windows
+    // windows are unique: each emitted exactly once across ticks
+    val dups = spark.read.parquet(dst).groupBy("tag", "wstart").count()
+      .filter($"count" > 1).count()
+    assert(dups == 0)
+  }
+
   test("downsample writes date-partitioned rollups; retention prunes") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ds").toString
     val ev = Tables.table(spark, sf, "events")
