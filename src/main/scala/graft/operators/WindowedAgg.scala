@@ -28,6 +28,14 @@ object WindowedAgg {
       .drop("window")
   }
 
+  /** EXCEPT/`without` dimensions: group by every tag except the listed
+    * ones (reference `SelectStatement.ExceptDimensions` ast.go:2118,
+    * PromQL `without`). */
+  def timeBucketWithout(df: DataFrame, time: String, interval: String,
+                        allTags: Seq[String], except: Seq[String],
+                        aggs: Seq[Column]): DataFrame =
+    timeBucket(df, time, interval, allTags.filterNot(except.contains), aggs)
+
   /** sliding_window(agg, size, slide): each point contributes to
     * size/slide overlapping windows. Reference:
     * `engine/executor/sliding_window_transform.go:60`. Spark's `window()`

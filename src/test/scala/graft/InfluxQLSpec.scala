@@ -152,6 +152,17 @@ class InfluxQLSpec extends SparkSpec {
     assert(lj == Map("server01" -> 6L, "server02" -> 2L))
   }
 
+  test("subquery: outer aggregate over inner per-tag aggregates") {
+    val out = run(
+      "SELECT mean(max) FROM (SELECT max(value) FROM cpu GROUP BY host)")
+      .select("mean").as[Double].collect().head
+    assert(out == (30.0 + 200.0) / 2) // mean of per-host maxima
+    val nested = run(
+      "SELECT sum(count) FROM (SELECT count(value) FROM cpu WHERE value > 15 GROUP BY host)")
+      .select("sum").as[Double].collect().head
+    assert(nested == 4.0) // server01: 20,30 ; server02: 100,200
+  }
+
   test("GROUP BY * expands to all measurement tags") {
     val out = run("SELECT count(value) FROM cpu GROUP BY *")
       .select("host", "count").as[(String, Long)].collect().toMap

@@ -45,6 +45,24 @@ class SmoothingSpec extends SparkSpec {
     assert(math.abs(out(0)._2 - 7.0) < 0.5 && math.abs(out(1)._2 - 8.0) < 0.7)
   }
 
+  test("kama tracks a ramp with high efficiency ratio") {
+    val ramp = (1 to 20).map(i => ("a", i.toLong, i.toDouble))
+      .toDF("tag", "t", "v")
+    val out = Smoothing.kama(ramp, "v", "t", Seq("tag"), n = 5)
+      .orderBy("_t").select("_t", "kama").as[(Long, Double)].collect()
+    assert(out.length == 15)
+    // pure trend → ER = 1 → fast smoothing: kama stays close to the signal
+    assert(math.abs(out.last._2 - 20.0) < 2.0)
+    assert(out.map(_._2).sliding(2).forall(w => w(0) < w(1))) // monotone
+  }
+
+  test("trix of a constant series is zero") {
+    val flat = (1 to 10).map(i => ("a", i.toLong, 5.0)).toDF("tag", "t", "v")
+    val out = Smoothing.trix(flat, "v", "t", Seq("tag"), n = 3)
+      .select("trix").as[Double].collect()
+    assert(out.nonEmpty && out.forall(_ == 0.0))
+  }
+
   test("irate uses exactly the last two points") {
     val ts0 = Seq(("a", new java.sql.Timestamp(0L), 10.0, 1L),
       ("a", new java.sql.Timestamp(10000L), 20.0, 2L),
