@@ -163,6 +163,20 @@ class InfluxQLSpec extends SparkSpec {
     assert(nested == 4.0) // server01: 20,30 ; server02: 100,200
   }
 
+  test("arithmetic projections: materialize + int/int division is float") {
+    val out = run(
+      "SELECT value * 2 + core AS v2, core / 2 AS half FROM cpu WHERE host = 'server01'")
+      .orderBy("time").select("v2", "half").as[(Double, Double)].collect()
+    assert(out.toSeq == Seq((21.0, 0.5), (42.0, 1.0), (63.0, 1.5)))
+  }
+
+  test("arithmetic over aggregates") {
+    val out = run(
+      "SELECT mean(value) * 100 / max(value) AS pct FROM cpu GROUP BY host")
+      .select("host", "pct").as[(String, Double)].collect().toMap
+    assert(out == Map("server01" -> 2000.0 / 30, "server02" -> 7500.0 / 100))
+  }
+
   test("GROUP BY * expands to all measurement tags") {
     val out = run("SELECT count(value) FROM cpu GROUP BY *")
       .select("host", "count").as[(String, Long)].collect().toMap
