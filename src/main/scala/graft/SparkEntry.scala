@@ -751,6 +751,32 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // §3.1 frontend: arithmetic over aggregates (materialize on agg output).
+    "q64_influxql_expr" -> ((s, dir) => {
+      val catalog = Map("events" -> graft.query.InfluxQL.Measurement(
+        t(s, dir, "events"), tags = Seq("event_type")))
+      graft.query.InfluxQL.execute(catalog,
+          "SELECT max(value) - min(value) AS spread2, count(value), " +
+          "count(value) * 2 + 1 AS n2 FROM events GROUP BY event_type")
+        .select("event_type", "spread2", "count", "n2")
+    }),
+
+    // §2.7 frontend subquery: outer aggregate over inner interval counts.
+    "q65_influxql_subquery" -> ((s, dir) => {
+      val catalog = Map("events" -> graft.query.InfluxQL.Measurement(
+        t(s, dir, "events"), tags = Seq("event_type")))
+      graft.query.InfluxQL.execute(catalog,
+          "SELECT max(count) FROM (SELECT count(value) FROM events " +
+          "GROUP BY event_type, time(1h)) GROUP BY event_type")
+        .select("event_type", "max")
+    }),
+
+    // §3.1 SHOW FIELD KEYS (schema meta; oracle = expected literal rows).
+    "q66_show_field_keys" -> ((s, dir) => {
+      Meta.showFieldKeys(t(s, dir, "events"),
+        tags = Seq("event_type"), time = Seq("ts", "ts_ns"))
+    }),
+
     // pipeline: embedding-cosine near-duplicate pairs (exact tier).
     "q53_embedding_neardup" -> ((s, dir) => {
       Dedup.embeddingNearDup(t(s, dir, "embeddings"), "embedding", "vec_id",
@@ -1259,6 +1285,23 @@ object SparkEntry {
          arg_max(value, ts) AS last, count(value) AS count
          FROM events WHERE value >= 50
          GROUP BY event_type ORDER BY event_type""",
+
+    "q64_influxql_expr" ->
+      """SELECT event_type, max(value) - min(value) AS spread2,
+         count(value) AS count, count(value) * 2 + 1 AS n2
+         FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "q65_influxql_subquery" ->
+      """SELECT event_type, max(count) AS max FROM (
+           SELECT event_type, count(value) AS count
+           FROM events GROUP BY event_type, date_trunc('hour', ts))
+         GROUP BY event_type ORDER BY event_type""",
+
+    "q66_show_field_keys" ->
+      """SELECT * FROM (VALUES
+           ('event_id', 'bigint'), ('props', 'string'),
+           ('user_id', 'bigint'), ('value', 'double'))
+         t(field_key, field_type) ORDER BY field_key""",
 
     "q58_prom_over_time" ->
       """SELECT event_type, eval_ms, count(value) AS count_ot,
