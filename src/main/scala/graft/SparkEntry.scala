@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{GeminiFunctions, PromFunctions}
 import graft.operators.{Fill, Meta, PromRange, SeriesOps, Smoothing, Unnest, WindowedAgg}
-import graft.pipeline.{AnomalyDetect, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{AnomalyDetect, Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 
 /** Driver contract: one entry per implemented operator from SURVEY.md §2,
   * with DuckDB-oracle SQL for every SQL-expressible query.
@@ -775,6 +775,18 @@ object SparkEntry {
     "q66_show_field_keys" -> ((s, dir) => {
       Meta.showFieldKeys(t(s, dir, "events"),
         tags = Seq("event_type"), time = Seq("ts", "ts_ns"))
+    }),
+
+    // pipeline: deterministic hash sampling + weighted mixing (rows-only:
+    // bucket membership is xxhash64-specific; invariants in spec).
+    "q67_sampling_mix" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val en = docs.filter(col("lang") === "en")
+      val rest = docs.filter(col("lang") =!= "en")
+      Sampling.mix(Seq(("en_heavy", en, 0.9), ("other", rest, 0.3)), "doc_id")
+        .groupBy(col("mix_source"), col("lang"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"))
+        .orderBy("mix_source", "lang")
     }),
 
     // pipeline: embedding-cosine near-duplicate pairs (exact tier).

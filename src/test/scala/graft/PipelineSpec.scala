@@ -115,6 +115,25 @@ class PipelineSpec extends SparkSpec {
     assert(out(1L) && !out(2L))
   }
 
+  test("hash sampling: deterministic, proportional, stratified") {
+    import graft.pipeline.Sampling
+    val ids = (1L to 10000L).toDF("id")
+      .withColumn("grp", (col("id") % 2 === 0).cast("string"))
+    val s1 = Sampling.sampleByHash(ids, "id", 0.3)
+    val s2 = Sampling.sampleByHash(ids, "id", 0.3)
+    assert(s1.count() == s2.count())                      // reproducible
+    assert(math.abs(s1.count() - 3000L) < 300)            // ~fraction
+    // smaller fraction is a subset of larger (nested by construction)
+    val s3 = Sampling.sampleByHash(ids, "id", 0.1)
+    assert(s3.join(s1, "id", "left_anti").count() == 0)
+    val strat = Sampling.stratifiedSample(ids, "grp", "id",
+      Map("true" -> 0.5, "false" -> 0.1))
+    val byGrp = strat.groupBy("grp").count()
+      .as[(String, Long)].collect().toMap
+    assert(math.abs(byGrp("true") - 2500L) < 300)
+    assert(math.abs(byGrp("false") - 500L) < 150)
+  }
+
   test("fingerprint: equal texts collide, different texts don't") {
     val fp = docs.select($"doc_id", TextAnalysis.fingerprint($"text").as("fp"))
       .as[(Long, Long)].collect().toMap

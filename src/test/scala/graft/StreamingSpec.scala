@@ -73,6 +73,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("CREATE STREAM DDL parses and builds the standing aggregation") {
+    import graft.streaming.StreamDDL
+    val stmt = StreamDDL.parse(
+      "CREATE STREAM s1 INTO dst SELECT sum(f1), count(f1) FROM mst0 " +
+      "GROUP BY time(5s), tk1 DELAY 2s")
+    assert(stmt.name == "s1" && stmt.target == "dst")
+    assert(stmt.calls == Seq(("sum", "f1"), ("count", "f1")))
+    assert(stmt.intervalNs == 5000000000L && stmt.delayNs == 2000000000L)
+    assert(stmt.tags == Seq("tk1"))
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val agg = StreamDDL.build(stmt, mem.toDF.toDF("time", "tk1", "f1"))
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("ddl_out").start()
+    try {
+      mem.addData((new Timestamp(1000), "a", 1.0),
+        (new Timestamp(3000), "a", 2.0), (new Timestamp(9000), "a", 4.0))
+      q.processAllAvailable()
+      mem.addData((new Timestamp(20000), "a", 8.0)) // closes [0,5s)
+      q.processAllAvailable()
+      val closed = spark.table("ddl_out")
+        .select($"tk1", $"sum", $"count").as[(String, Double, Long)]
+        .collect().toSet
+      assert(closed.contains(("a", 3.0, 2L)))
+    } finally q.stop()
+
+    val cq = StreamDDL.parse(
+      "CREATE CONTINUOUS QUERY cq1 RESAMPLE EVERY 1m BEGIN INTO dst2 " +
+      "SELECT mean(value) FROM cpu GROUP BY time(10s) END")
+    assert(cq.name == "cq1" && cq.every.contains(60000000000L))
+  }
+
   test("continuous query ticks are incremental via checkpoint") {
     import java.nio.file.Files
     val src = Files.createTempDirectory("graft_cq_src").toString
