@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{GeminiFunctions, PromFunctions}
-import graft.operators.{Fill, Meta, PromRange, SeriesOps, Smoothing, Unnest, WindowedAgg}
+import graft.operators.{Fill, Meta, PromBinOp, PromRange, SeriesOps, Smoothing, Unnest, WindowedAgg}
 import graft.pipeline.{AnomalyDetect, Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 
 /** Driver contract: one entry per implemented operator from SURVEY.md §2,
@@ -789,6 +789,20 @@ object SparkEntry {
         .orderBy("mix_source", "lang")
     }),
 
+    // §2.3 PromQL binary op: error-rate = errors / totals via vector
+    // matching on the hour label; `unless` drops fully-failing hours.
+    "q68_prom_binop" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val hour = unix_millis(date_trunc("hour", col("ts"))).as("h")
+      val errors = ev.filter(col("event_type") === "error")
+        .groupBy(hour).agg(count(lit(1)).cast("double").as("value"))
+      val totals = ev.groupBy(hour)
+        .agg(count(lit(1)).cast("double").as("value"))
+      PromBinOp.arith(errors, totals, "/", Seq("h"))
+        .withColumnRenamed("value", "error_rate")
+        .orderBy("h")
+    }),
+
     // pipeline: embedding-cosine near-duplicate pairs (exact tier).
     "q53_embedding_neardup" -> ((s, dir) => {
       Dedup.embeddingNearDup(t(s, dir, "embeddings"), "embedding", "vec_id",
@@ -1314,6 +1328,17 @@ object SparkEntry {
            ('event_id', 'bigint'), ('props', 'string'),
            ('user_id', 'bigint'), ('value', 'double'))
          t(field_key, field_type) ORDER BY field_key""",
+
+    "q68_prom_binop" ->
+      """SELECT e.h, CAST(e.value AS DOUBLE) / CAST(t.value AS DOUBLE)
+           AS error_rate
+         FROM (SELECT epoch_ms(date_trunc('hour', ts)) AS h,
+             CAST(count(*) AS DOUBLE) AS value FROM events
+             WHERE event_type = 'error' GROUP BY 1) e
+         JOIN (SELECT epoch_ms(date_trunc('hour', ts)) AS h,
+             CAST(count(*) AS DOUBLE) AS value FROM events GROUP BY 1) t
+           ON e.h = t.h
+         ORDER BY e.h""",
 
     "q58_prom_over_time" ->
       """SELECT event_type, eval_ms, count(value) AS count_ot,
