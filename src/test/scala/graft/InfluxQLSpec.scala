@@ -177,6 +177,19 @@ class InfluxQLSpec extends SparkSpec {
     assert(out == Map("server01" -> 2000.0 / 30, "server02" -> 7500.0 / 100))
   }
 
+  test("WHERE: parentheses and AND/OR precedence") {
+    // AND binds tighter: matches (server01 AND >15) OR value=100
+    val flat = run(
+      "SELECT value FROM cpu WHERE host = 'server01' AND value > 15 OR value = 100")
+      .select("value").as[Double].collect().toSet
+    assert(flat == Set(20.0, 30.0, 100.0))
+    // parens override: server01 AND (>15 OR =100) → only server01 rows
+    val grouped = run(
+      "SELECT value FROM cpu WHERE host = 'server01' AND (value > 15 OR value = 100)")
+      .select("value").as[Double].collect().toSet
+    assert(grouped == Set(20.0, 30.0))
+  }
+
   test("GROUP BY * expands to all measurement tags") {
     val out = run("SELECT count(value) FROM cpu GROUP BY *")
       .select("host", "count").as[(String, Long)].collect().toMap
