@@ -190,6 +190,26 @@ class InfluxQLSpec extends SparkSpec {
     assert(grouped == Set(20.0, 30.0))
   }
 
+  test("top/bottom selectors keep timestamps per series") {
+    val top = run("SELECT top(value, 2) FROM cpu GROUP BY host")
+      .select("host", "time", "top").as[(String, Long, Double)]
+      .collect().toSet
+    assert(top == Set(("server01", 120000L, 30.0), ("server01", 60000L, 20.0),
+      ("server02", 120000L, 200.0), ("server02", 0L, 100.0)))
+    val bottom = run("SELECT bottom(value, 1) FROM cpu GROUP BY host")
+      .select("host", "bottom").as[(String, Double)].collect().toSet
+    assert(bottom == Set(("server01", 10.0), ("server02", 100.0)))
+  }
+
+  test("LIKE and MATCH predicates") {
+    val like = run("SELECT count(value) FROM cpu WHERE host LIKE 'server%'")
+      .select("count").as[Long].collect().head
+    assert(like == 5L)
+    val like1 = run("SELECT count(value) FROM cpu WHERE host LIKE '%01'")
+      .select("count").as[Long].collect().head
+    assert(like1 == 3L)
+  }
+
   test("GROUP BY * expands to all measurement tags") {
     val out = run("SELECT count(value) FROM cpu GROUP BY *")
       .select("host", "count").as[(String, Long)].collect().toMap
