@@ -210,6 +210,20 @@ class InfluxQLSpec extends SparkSpec {
     assert(like1 == 3L)
   }
 
+  test("WITH: CTE usable as a measurement by the main query") {
+    val out = run(
+      "WITH hosted AS (SELECT max(value) FROM cpu GROUP BY host) " +
+      "SELECT mean(max) FROM hosted")
+      .select("mean").as[Double].collect().head
+    assert(out == (30.0 + 200.0) / 2)
+    // CTE referenced by a later CTE
+    val chained = run(
+      "WITH a AS (SELECT max(value) FROM cpu GROUP BY host), " +
+      "b AS (SELECT sum(max) FROM a) SELECT count(sum) FROM b")
+      .select("count").as[Long].collect().head
+    assert(chained == 1L)
+  }
+
   test("GROUP BY * expands to all measurement tags") {
     val out = run("SELECT count(value) FROM cpu GROUP BY *")
       .select("host", "count").as[(String, Long)].collect().toMap
