@@ -224,6 +224,16 @@ class InfluxQLSpec extends SparkSpec {
     assert(chained == 1L)
   }
 
+  test("blank rows: all-null projected fields are not emitted") {
+    // server02 points have no `core` field → rows vanish from SELECT core
+    val out = run("SELECT core FROM cpu GROUP BY host")
+      .select("host", "core").as[(String, Long)].collect().toSet
+    assert(out == Set(("server01", 1L), ("server01", 2L), ("server01", 3L)))
+    // but remain when any projected field is present
+    val both = run("SELECT core, value FROM cpu GROUP BY host")
+    assert(both.count() == 5)
+  }
+
   test("GROUP BY * expands to all measurement tags") {
     val out = run("SELECT count(value) FROM cpu GROUP BY *")
       .select("host", "count").as[(String, Long)].collect().toMap
