@@ -110,11 +110,14 @@ object Dedup {
   def embeddingNearDup(df: DataFrame, vecCol: String, idCol: String,
                        threshold: Double): DataFrame = {
     graft.expressions.VectorExpressions.register(df.sparkSession)
-    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("_va"))
-    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("_vb"))
+    // per-row norms precomputed before the quadratic join (1 dot per pair)
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("_va"),
+      sqrt(Similarity.dotNative(col(vecCol), col(vecCol))).as("_na"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("_vb"),
+      sqrt(Similarity.dotNative(col(vecCol), col(vecCol))).as("_nb"))
     a.join(b, col("id_a") < col("id_b"))
-      .withColumn("cos",
-        Similarity.cosineNative(col("_va"), col("_vb")))
+      .withColumn("cos", Similarity.dotNative(col("_va"), col("_vb")) /
+        (col("_na") * col("_nb")))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
   }

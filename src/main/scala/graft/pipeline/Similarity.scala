@@ -45,12 +45,17 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
                      idCol: String, k: Int): DataFrame = {
     graft.expressions.VectorExpressions.register(corpus.sparkSession)
+    // norms are per-row, so compute them BEFORE the pair join — the join
+    // fan-out then reuses them (1 dot per pair instead of 3)
     val q = broadcast(queries.select(col(idCol).as("query_id"),
-      col(vecCol).as("_qv")))
+      col(vecCol).as("_qv"),
+      sqrt(dotNative(col(vecCol), col(vecCol))).as("_qn")))
     val scored = corpus.select(col(idCol).as("neighbor_id"),
-        col(vecCol).as("_cv"))
+        col(vecCol).as("_cv"),
+        sqrt(dotNative(col(vecCol), col(vecCol))).as("_cn"))
       .join(q, col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosineNative(col("_qv"), col("_cv")))
+      .withColumn("cos",
+        dotNative(col("_qv"), col("_cv")) / (col("_qn") * col("_cn")))
     scored.withColumn("rank", row_number().over(
         Window.partitionBy(col("query_id"))
           .orderBy(col("cos").desc, col("neighbor_id").asc)))
@@ -82,12 +87,16 @@ object Similarity {
               idCol: String, dim: Int, planes: Int, k: Int): DataFrame = {
     graft.expressions.VectorExpressions.register(corpus.sparkSession)
     val cb = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"),
+      sqrt(dotNative(col(vecCol), col(vecCol))).as("_cn"),
       signBucket(col(vecCol), dim, planes).as("_bkt"))
     val qb = broadcast(queries.select(col(idCol).as("query_id"),
-      col(vecCol).as("_qv"), signBucket(col(vecCol), dim, planes).as("_bkt")))
+      col(vecCol).as("_qv"),
+      sqrt(dotNative(col(vecCol), col(vecCol))).as("_qn"),
+      signBucket(col(vecCol), dim, planes).as("_bkt")))
     cb.join(qb, Seq("_bkt"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosineNative(col("_qv"), col("_cv")))
+      .withColumn("cos",
+        dotNative(col("_qv"), col("_cv")) / (col("_qn") * col("_cn")))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("query_id"))
           .orderBy(col("cos").desc, col("neighbor_id").asc)))

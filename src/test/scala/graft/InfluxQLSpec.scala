@@ -240,6 +240,27 @@ class InfluxQLSpec extends SparkSpec {
     assert(out == Map("server01" -> 3L, "server02" -> 2L))
   }
 
+  test("golden: math on selected fields (server_test.go:1178 shape)") {
+    val out = run(
+      "SELECT value / 2 + core AS mixed FROM cpu WHERE host = 'server01'")
+      .orderBy("time").select("mixed").as[Double].collect().toSeq
+    assert(out == Seq(6.0, 12.0, 18.0))
+  }
+
+  test("golden: duration literals in time predicates") {
+    // time >= 1m relative to epoch: duration literal compares as ns → µs
+    val out = run("SELECT count(value) FROM cpu WHERE time >= 1m GROUP BY host")
+      .select("host", "count").as[(String, Long)].collect().toMap
+    assert(out == Map("server01" -> 2L, "server02" -> 1L))
+  }
+
+  test("golden: OFFSET pages through per-series results") {
+    val out = run(
+      "SELECT value FROM cpu GROUP BY host ORDER BY time ASC LIMIT 1 OFFSET 1")
+      .select("host", "value").as[(String, Double)].collect().toSet
+    assert(out == Set(("server01", 20.0), ("server02", 200.0)))
+  }
+
   test("raw projection returns fields with tags") {
     val out = run("SELECT value FROM cpu WHERE value > 150")
       .select("time", "value").as[(Long, Double)].collect().toSeq
