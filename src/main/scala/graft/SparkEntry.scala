@@ -803,6 +803,31 @@ object SparkEntry {
         .orderBy("h")
     }),
 
+    // §2.6 multi-column sort (columnstore sort) + global OFFSET paging.
+    "q69_multi_sort_offset" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(col("o_orderpriority"), col("o_orderstatus"),
+          col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_orderpriority").asc, col("o_totalprice").desc,
+          col("o_orderkey").asc)
+        .offset(50).limit(100)
+    }),
+
+    // §2.8 conditional functions: if/row_max/clamp family via the registry.
+    "q70_conditional_funcs" -> ((s, dir) => {
+      val reg = GeminiFunctions.registry
+      t(s, dir, "lineitem").filter(col("l_orderkey") <= 500)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          reg("if")(Seq(col("l_discount") > 0.05, lit("HI"), lit("LO")))
+            .as("disc_band"),
+          reg("row_max")(Seq(col("l_quantity"), col("l_discount") * 100))
+            .as("rmax"),
+          reg("clamp")(Seq(col("l_quantity"), lit(10.0), lit(40.0)))
+            .as("clamped"),
+          reg("sgn")(Seq(col("l_discount") - lit(0.05))).as("sgn"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
     // pipeline: embedding-cosine near-duplicate pairs (exact tier).
     "q53_embedding_neardup" -> ((s, dir) => {
       Dedup.embeddingNearDup(t(s, dir, "embeddings"), "embedding", "vec_id",
@@ -1328,6 +1353,21 @@ object SparkEntry {
            ('event_id', 'bigint'), ('props', 'string'),
            ('user_id', 'bigint'), ('value', 'double'))
          t(field_key, field_type) ORDER BY field_key""",
+
+    "q69_multi_sort_offset" ->
+      """SELECT o_orderpriority, o_orderstatus, o_orderkey, o_totalprice
+         FROM orders
+         ORDER BY o_orderpriority ASC, o_totalprice DESC, o_orderkey ASC
+         LIMIT 100 OFFSET 50""",
+
+    "q70_conditional_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+         CASE WHEN l_discount > 0.05 THEN 'HI' ELSE 'LO' END AS disc_band,
+         greatest(l_quantity, l_discount * 100) AS rmax,
+         least(greatest(l_quantity, 10.0), 40.0) AS clamped,
+         sign(l_discount - 0.05) AS sgn
+         FROM lineitem WHERE l_orderkey <= 500
+         ORDER BY l_orderkey, l_linenumber""",
 
     "q68_prom_binop" ->
       """SELECT e.h, CAST(e.value AS DOUBLE) / CAST(t.value AS DOUBLE)
