@@ -828,6 +828,22 @@ object SparkEntry {
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
+    // §2.8 URL functions: parse_url-backed registry entries over
+    // deterministic synthetic URLs.
+    "q71_url_functions" -> ((s, dir) => {
+      val reg = GeminiFunctions.registry
+      val url = concat(lit("https://h"), col("user_id").cast("string"),
+        lit(".example.com/p/"), col("event_id").cast("string"),
+        lit("?k="), pmod(col("event_id"), lit(7)).cast("string"))
+      t(s, dir, "events")
+        .select(col("event_id"), url.as("url"))
+        .withColumn("host", reg("url_extract_host")(Seq(col("url"))))
+        .withColumn("path", reg("url_extract_path")(Seq(col("url"))))
+        .withColumn("proto", reg("url_extract_protocol")(Seq(col("url"))))
+        .withColumn("query", reg("url_extract_query")(Seq(col("url"))))
+        .orderBy("event_id")
+    }),
+
     // pipeline: embedding-cosine near-duplicate pairs (exact tier).
     "q53_embedding_neardup" -> ((s, dir) => {
       Dedup.embeddingNearDup(t(s, dir, "embeddings"), "embedding", "vec_id",
@@ -1353,6 +1369,16 @@ object SparkEntry {
            ('event_id', 'bigint'), ('props', 'string'),
            ('user_id', 'bigint'), ('value', 'double'))
          t(field_key, field_type) ORDER BY field_key""",
+
+    "q71_url_functions" ->
+      """SELECT event_id,
+         'https://h' || user_id || '.example.com/p/' || event_id ||
+           '?k=' || (event_id % 7) AS url,
+         'h' || user_id || '.example.com' AS host,
+         '/p/' || event_id AS path,
+         'https' AS proto,
+         'k=' || (event_id % 7) AS query
+         FROM events ORDER BY event_id""",
 
     "q69_multi_sort_offset" ->
       """SELECT o_orderpriority, o_orderstatus, o_orderkey, o_totalprice
