@@ -436,7 +436,7 @@ object SparkEntry {
           ceil(col("l_extendedprice")).cast("long").as("ceil_price"),
           round(log(col("l_extendedprice")), 6).as("ln_price"),
           round(exp(col("l_discount")), 6).as("exp_disc"),
-          signum(col("l_discount") - lit(0.05)).as("sgn_disc"),
+          signum(col("l_discount") - lit(0.05)).cast("long").as("sgn_disc"),
           GeminiFunctions.truncate(col("l_extendedprice") / lit(100.0))
             .cast("long").as("trunc_price"))
         .orderBy("l_orderkey", "l_linenumber")
@@ -824,7 +824,7 @@ object SparkEntry {
             .as("rmax"),
           reg("clamp")(Seq(col("l_quantity"), lit(10.0), lit(40.0)))
             .as("clamped"),
-          reg("sgn")(Seq(col("l_discount") - lit(0.05))).as("sgn"))
+          reg("sgn")(Seq(col("l_discount") - lit(0.05))).cast("long").as("sgn"))
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
@@ -1191,7 +1191,7 @@ object SparkEntry {
          CAST(ceil(l_extendedprice) AS BIGINT) AS ceil_price,
          round(ln(l_extendedprice), 6) AS ln_price,
          round(exp(l_discount), 6) AS exp_disc,
-         sign(l_discount - 0.05) AS sgn_disc,
+         CAST(sign(l_discount - 0.05) AS BIGINT) AS sgn_disc,
          CAST(trunc(l_extendedprice / 100.0) AS BIGINT) AS trunc_price
          FROM lineitem WHERE l_orderkey <= 1000
          ORDER BY l_orderkey, l_linenumber""",
@@ -1391,7 +1391,7 @@ object SparkEntry {
          CASE WHEN l_discount > 0.05 THEN 'HI' ELSE 'LO' END AS disc_band,
          greatest(l_quantity, l_discount * 100) AS rmax,
          least(greatest(l_quantity, 10.0), 40.0) AS clamped,
-         sign(l_discount - 0.05) AS sgn
+         CAST(sign(l_discount - 0.05) AS BIGINT) AS sgn
          FROM lineitem WHERE l_orderkey <= 500
          ORDER BY l_orderkey, l_linenumber""",
 

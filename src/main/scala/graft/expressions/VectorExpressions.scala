@@ -58,15 +58,20 @@ case class VectorDot(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val lGet = if (elemIsFloat(left)) s"(double) $a.getFloat(i)"
-                 else s"$a.getDouble(i)"
-      val rGet = if (elemIsFloat(right)) s"(double) $b.getFloat(i)"
-                 else s"$b.getDouble(i)"
+      // freshName: several vec_dot calls can land in one (block-less)
+      // projection; fixed identifiers would collide and break Janino.
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      val lGet = if (elemIsFloat(left)) s"(double) $a.getFloat($i)"
+                 else s"$a.getDouble($i)"
+      val rGet = if (elemIsFloat(right)) s"(double) $b.getFloat($i)"
+                 else s"$b.getDouble($i)"
       s"""
-        int n = java.lang.Math.min($a.numElements(), $b.numElements());
-        double s = 0.0;
-        for (int i = 0; i < n; i++) { s += $lGet * $rGet; }
-        ${ev.value} = s;
+        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        double $s = 0.0;
+        for (int $i = 0; $i < $n; $i++) { $s += $lGet * $rGet; }
+        ${ev.value} = $s;
       """
     })
 

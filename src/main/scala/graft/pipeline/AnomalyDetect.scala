@@ -34,8 +34,10 @@ object AnomalyDetect {
       StructField("_t", LongType), StructField("value", DoubleType),
       StructField("zscore", DoubleType), StructField("is_anomaly", BooleanType)))
     implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(outSchema)
+    // NUL separator: space-containing tag values must not collide into one
+    // series key (same rule as Smoothing's group key).
     in.groupByKey(r => tags.map(n => String.valueOf(r.getAs[Any](n)))
-        .mkString(" "))(Encoders.STRING)
+        .mkString("\u0000"))(Encoders.STRING)
       .flatMapGroups { (_, rows) =>
         val buf = rows.toArray
         val tagVals = tags.map(n => buf.head.getAs[Any](n))

@@ -47,6 +47,11 @@ for qdir in sorted(glob.glob(f"{out_dir}/*/")):
     diffs = []
     for c in g.columns:
         gv, ev = g[c], e[c]
+        # the driver hashes raw values: int 21 vs float 21.0 differ. Flag
+        # numeric-kind mismatches instead of silently coercing both to float.
+        if gv.dtype.kind != ev.dtype.kind and {gv.dtype.kind, ev.dtype.kind} & {'f'}:
+            diffs.append((c, f"dtype {gv.dtype} vs {ev.dtype}", None))
+            continue
         if gv.dtype.kind == 'f' or ev.dtype.kind == 'f':
             gv = gv.astype(float); ev = ev.astype(float)
             both_nan = gv.isna() & ev.isna()
