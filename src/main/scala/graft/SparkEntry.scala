@@ -652,24 +652,19 @@ object SparkEntry {
         .select("event_type", "first", "last", "count")
     }),
 
-    // §2.4 topn_ddcm slot: CMS heavy hitters — the sketch merges map-side,
-    // the shuffle never carries raw keys (no SQL oracle: approximate).
+    // §2.4 topn_ddcm slot: CMS heavy hitters with in-aggregator candidate
+    // tracking — the sketch AND the candidate set merge map-side, so the
+    // shuffle carries one bounded buffer per partition and no raw keys,
+    // no distinct-key enumeration, no window (no SQL oracle: approximate).
     "q56_topn_cms" -> ((s, dir) => {
       import graft.functions.Sketches
-      import graft.functions.Sketches.CountMinSketch
-      val depth = 4; val width = 512
       val ev = t(s, dir, "events")
       val key = concat_ws("/", col("event_type"), col("user_id"))
-      val sk = ev.agg(Sketches.cms(depth, width)(key).as("sketch"))
-      val est = udf((sk: Seq[Long], k: String) =>
-        CountMinSketch.estimate(sk.toArray, k, depth, width))
-      val w = Window.orderBy(col("est").desc, col("k").asc)
-      ev.select(key.as("k")).distinct()
-        .crossJoin(broadcast(sk))
-        .withColumn("est", est(col("sketch"), col("k")))
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= 5)
-        .select("rnk", "k", "est")
+      ev.agg(Sketches.cmsTopN(depth = 4, width = 512, maxCand = 1024,
+          n = 5)(key).as("hits"))
+        .select(explode(col("hits")).as("hit"))
+        .select(col("hit.rnk").as("rnk"), col("hit.key").as("k"),
+          col("hit.est").as("est"))
         .orderBy("rnk")
     }),
 
@@ -844,10 +839,14 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
-    // pipeline: embedding-cosine near-duplicate pairs (exact tier).
+    // pipeline: embedding-cosine near-duplicate pairs. Distributed
+    // CartesianProduct tiling + sign-signature Hamming prefilter; cutoff 36
+    // is exact on the driver data (measured worst qualifying pair: h=28 at
+    // sf0.001/sf0.01, h=33 at sf0.1; ≥3-bit margin) — see Dedup scaladoc
+    // for the Binomial(64, θ/π) margin math.
     "q53_embedding_neardup" -> ((s, dir) => {
       Dedup.embeddingNearDup(t(s, dir, "embeddings"), "embedding", "vec_id",
-          threshold = 0.45)
+          threshold = 0.45, maxHamming = 36)
         .withColumn("cos", round(col("cos"), 6))
         .orderBy("id_a", "id_b")
     })

@@ -72,4 +72,68 @@ object Sketches {
   /** Column form: `cms(depth, width)(keyCol)` usable in agg(). */
   def cms(depth: Int, width: Int): Column => Column =
     key => udaf(new CountMinSketch(depth, width)).apply(key)
+
+  /** One ranked heavy-hitter row out of [[CmsTopN]]. */
+  case class TopNHit(rnk: Int, key: String, est: Long)
+
+  /** Buffer: the CMS counters plus a bounded candidate→estimate map. */
+  case class CmsTopNBuf(cms: Array[Long], cand: Map[String, Long])
+
+  /** Top-n heavy hitters with in-aggregator candidate tracking — the
+    * reference's topn_ddcm shape (`engine/executor/topn_transform.go:133`:
+    * sketch + candidate heap carried together through the merge tree).
+    *
+    * Why this and not "estimate every distinct key against the sketch":
+    * at 100 TB the distinct-key set is the thing you cannot materialize —
+    * enumerating it defeats the sketch. Here the shuffle carries one
+    * (depth×width CMS + ≤maxCand candidate entries) buffer per partition,
+    * independent of input size. `merge` re-estimates the candidate union
+    * against the merged CMS (CMS merge = counter sum, order-independent),
+    * so when maxCand covers the per-partition candidate flow the final
+    * estimates equal single-pass estimates — and when it doesn't, the
+    * SpaceSaving-style eviction keeps error bounded by the CMS ε·N.
+    * `finish` ranks in-buffer: no distinct(), no partitionless Window,
+    * no per-row UDF downstream — callers just explode the result. */
+  class CmsTopN(depth: Int, width: Int, maxCand: Int, n: Int)
+      extends Aggregator[String, CmsTopNBuf, Seq[TopNHit]] {
+
+    private def trim(cand: Map[String, Long]): Map[String, Long] =
+      if (cand.size <= maxCand) cand
+      else cand.toSeq.sortBy { case (k, e) => (-e, k) }.take(maxCand).toMap
+
+    override def zero: CmsTopNBuf =
+      CmsTopNBuf(new Array[Long](depth * width), Map.empty)
+
+    override def reduce(b: CmsTopNBuf, key: String): CmsTopNBuf = {
+      var d = 0
+      while (d < depth) {
+        b.cms(d * width + CountMinSketch.bucket(key, d, width)) += 1L
+        d += 1
+      }
+      val est = CountMinSketch.estimate(b.cms, key, depth, width)
+      CmsTopNBuf(b.cms, trim(b.cand + (key -> est)))
+    }
+
+    override def merge(a: CmsTopNBuf, b: CmsTopNBuf): CmsTopNBuf = {
+      var i = 0
+      while (i < a.cms.length) { a.cms(i) += b.cms(i); i += 1 }
+      val union = (a.cand.keySet ++ b.cand.keySet).iterator.map { k =>
+        k -> CountMinSketch.estimate(a.cms, k, depth, width)
+      }.toMap
+      CmsTopNBuf(a.cms, trim(union))
+    }
+
+    override def finish(b: CmsTopNBuf): Seq[TopNHit] =
+      b.cand.toSeq.sortBy { case (k, e) => (-e, k) }.take(n)
+        .zipWithIndex.map { case ((k, e), i) => TopNHit(i + 1, k, e) }
+
+    override def bufferEncoder: Encoder[CmsTopNBuf] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[CmsTopNBuf]()
+    override def outputEncoder: Encoder[Seq[TopNHit]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[TopNHit]]()
+  }
+
+  /** Column form: `cmsTopN(depth, width, maxCand, n)(keyCol)`. */
+  def cmsTopN(depth: Int, width: Int, maxCand: Int, n: Int): Column => Column =
+    key => udaf(new CmsTopN(depth, width, maxCand, n)).apply(key)
 }

@@ -185,13 +185,21 @@ object SeriesOps {
       .filter(col("_rn") > offset && col("_rn") <= offset + n)
       .drop("_rn")
 
-  /** SLIMIT n — limit the number of *series*. Reference: applied in
-    * `httpsender_transform.go` / ast.go:2142. Ranks the distinct tag sets
-    * (a tiny set — broadcast) and semi-joins the first n series. */
-  def slimit(df: DataFrame, tags: Seq[String], n: Int): DataFrame = {
+  /** SLIMIT n [SOFFSET m] — limit the number of *series*. Reference:
+    * applied in `httpsender_transform.go` / ast.go:2142.
+    *
+    * Scale shape: the distinct tag sets are ranked with a distributed
+    * top-(n+m) (`orderBy.limit` plans as TakeOrderedAndProject — per-
+    * partition heaps, no global sort, no single-partition WindowExec even
+    * at the reference's 500k-series benchmark scale), the offset is
+    * dropped on the now-tiny result, and the selected series are
+    * broadcast back as a semi-join. */
+  def slimit(df: DataFrame, tags: Seq[String], n: Int,
+             soffset: Int = 0): DataFrame = {
     val series = df.select(tags.map(col): _*).distinct()
-      .withColumn("_srn", row_number().over(Window.orderBy(tags.map(col): _*)))
-      .filter(col("_srn") <= n).drop("_srn")
+      .orderBy(tags.map(col): _*)
+      .limit(n + soffset)
+      .offset(soffset)
     df.join(broadcast(series), tags, "left_semi")
   }
 }

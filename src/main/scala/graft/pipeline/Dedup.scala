@@ -103,19 +103,44 @@ object Dedup {
   }
 
   /** Embedding-cosine near-duplicate pairs: all pairs above `threshold`.
-    * Exact form — the verification tier; at corpus scale, bucket first with
-    * [[graft.pipeline.Similarity.signBucket]] (sign-LSH) so the self-join
-    * is per-bucket instead of |C|². Scoring uses the native codegen dot
-    * kernel. */
+    *
+    * Scale shape (the two things that make this survive a large corpus):
+    *
+    *  1. The pair join is forced to SHUFFLE_REPLICATE_NL — Spark's
+    *     shuffle-based CartesianProduct. Each task streams one (blockA,
+    *     blockB) partition pair, so the n² work is tiled across pA×pB
+    *     balanced tasks and NOTHING is broadcast; the former plan
+    *     (BroadcastNestedLoopJoin) shipped the whole corpus to every task
+    *     and died at the first non-toy corpus.
+    *  2. A 64-bit sign-LSH signature ([[Similarity.signBucket]]) is
+    *     precomputed per row and pairs are pre-filtered on Hamming
+    *     distance (2 instructions) before the O(dim) dot product.
+    *
+    * On the Hamming cutoff: a pair at cosine ρ disagrees per plane w.p.
+    * arccos(ρ)/π, so h ~ Binomial(64, θ/π). At high thresholds the
+    * prefilter prunes ~99% of candidate dots (ρ=0.9 → E[h]=9 vs 32 for
+    * orthogonal pairs); near ρ=0.45 (θ≈63°) the separation from random
+    * pairs is intrinsically small — `maxHamming=64` disables pruning and
+    * is the exactness-guaranteed default. A bucketed sign-LSH equi-join
+    * (band buckets instead of a pair scan) only wins when the threshold
+    * is high enough that a band of planes agrees w.h.p.; for top-k ANN
+    * use [[Similarity.lshTopK]]. */
   def embeddingNearDup(df: DataFrame, vecCol: String, idCol: String,
-                       threshold: Double): DataFrame = {
+                       threshold: Double, dim: Int = 64,
+                       maxHamming: Int = 64): DataFrame = {
     graft.expressions.VectorExpressions.register(df.sparkSession)
-    // per-row norms precomputed before the quadratic join (1 dot per pair)
-    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("_va"),
-      sqrt(Similarity.dotNative(col(vecCol), col(vecCol))).as("_na"))
-    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("_vb"),
-      sqrt(Similarity.dotNative(col(vecCol), col(vecCol))).as("_nb"))
-    a.join(b, col("id_a") < col("id_b"))
+    // per-row norms + signatures precomputed before the pair join
+    // (1 dot per pair instead of 3; signature once per row, not per pair)
+    val base = df.select(col(idCol).as("_id"), col(vecCol).as("_v"),
+      sqrt(Similarity.dotNative(col(vecCol), col(vecCol))).as("_n"),
+      Similarity.signBucket(col(vecCol), dim, 64).as("_sig"))
+    val a = base.select(col("_id").as("id_a"), col("_v").as("_va"),
+      col("_n").as("_na"), col("_sig").as("_siga"))
+    val b = base.select(col("_id").as("id_b"), col("_v").as("_vb"),
+      col("_n").as("_nb"), col("_sig").as("_sigb"))
+    a.hint("shuffle_replicate_nl")
+      .join(b, col("id_a") < col("id_b") &&
+        bit_count(col("_siga").bitwiseXOR(col("_sigb"))) <= maxHamming)
       .withColumn("cos", Similarity.dotNative(col("_va"), col("_vb")) /
         (col("_na") * col("_nb")))
       .filter(col("cos") >= threshold)

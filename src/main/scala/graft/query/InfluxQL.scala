@@ -162,7 +162,8 @@ object InfluxQL {
       groupTags: Seq[String], intervalNs: Option[Long], fill: FillMode,
       orderDesc: Boolean, limit: Option[Int], offset: Int, slimit: Option[Int],
       join: Option[JoinClause] = None,
-      fromSub: Option[Query] = None)
+      fromSub: Option[Query] = None,
+      soffset: Int = 0)
 
   // --------------------------------------------------------------- parser
   def parse(q: String): Query = new Parser(lex(q)).parseQuery()
@@ -302,8 +303,9 @@ object InfluxQL {
         else if (isKw("asc")) next()
       }
       var limit: Option[Int] = None; var offset = 0
-      var slimit: Option[Int] = None
-      while (isKw("limit") || isKw("offset") || isKw("slimit")) {
+      var slimit: Option[Int] = None; var soffset = 0
+      while (isKw("limit") || isKw("offset") || isKw("slimit") ||
+             isKw("soffset")) {
         val kw = next().asInstanceOf[TIdent].s.toLowerCase
         val v = next() match {
           case TNum(x, _) => x.toInt
@@ -313,10 +315,11 @@ object InfluxQL {
           case "limit" => limit = Some(v)
           case "offset" => offset = v
           case "slimit" => slimit = Some(v)
+          case "soffset" => soffset = v
         }
       }
       Query(projs, from, where, tags, interval, fill, orderDesc, limit,
-        offset, slimit, join, fromSub)
+        offset, slimit, join, fromSub, soffset)
     }
 
     private def parseProjs(): Seq[Proj] = {
@@ -745,7 +748,9 @@ object InfluxQL {
     // sort → slimit → limit (per-series when grouped; reference limit modes)
     out = out.withColumnRenamed("wstart_ms", "time")
     val timeOrd = if (q.orderDesc) col("time").desc else col("time").asc
-    q.slimit.foreach { s => out = SeriesOps.slimit(out, groupTags, s) }
+    q.slimit.foreach { s =>
+      out = SeriesOps.slimit(out, groupTags, s, q.soffset)
+    }
     q.limit match {
       case Some(l) if groupTags.nonEmpty =>
         val w = Window.partitionBy(groupTags.map(col): _*).orderBy(timeOrd)

@@ -171,4 +171,17 @@ class PipelineSpec extends SparkSpec {
     assert(out.nonEmpty)
     assert(out.map(_._2).sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
   }
+
+  test("embeddingNearDup: Hamming-prefiltered result equals the exact " +
+      "(unpruned) pair set on the driver embeddings") {
+    val emb = Tables.table(spark, sf, "embeddings")
+    def pairs(maxH: Int) =
+      Dedup.embeddingNearDup(emb, "embedding", "vec_id", threshold = 0.45,
+          maxHamming = maxH)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val exact = pairs(64)
+    assert(exact.nonEmpty)
+    assert(pairs(36) == exact,
+      "h<=36 prefilter must not drop any qualifying pair at this sf")
+  }
 }

@@ -76,4 +76,35 @@ class ScaleSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(plan).size >= 2)
     assert(plan.contains("Exchange"))
   }
+
+  test("embedding near-dup pair join tiles via shuffle, never broadcasts " +
+      "the corpus") {
+    val q = SparkEntry.queries("q53_embedding_neardup")(spark, sf)
+    val plan = planOf(q)
+    assert(plan.contains("CartesianProduct"),
+      "pair join must be the shuffle-replicated CartesianProduct")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "corpus must not be broadcast to every task")
+  }
+
+  test("CMS top-n ranks in-aggregator: no distinct-key enumeration, no " +
+      "partitionless window, no UDF") {
+    val q = SparkEntry.queries("q56_topn_cms")(spark, sf)
+    val plan = planOf(q)
+    assert(!plan.contains("Window"), "no WindowExec in the heavy-hitter plan")
+    assert(!plan.contains("CrossJoin") && !plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), "no sketch×keys join")
+    // exactly one aggregation pair (partial+final) over events, nothing else
+    assert("HashAggregate|ObjectHashAggregate|SortAggregate".r
+      .findAllIn(plan).size <= 4)
+  }
+
+  test("slimit ranks series with a distributed top-n, not a global window") {
+    val q = SparkEntry.queries("q30_slimit")(spark, sf)
+    val plan = planOf(q)
+    assert(!plan.contains("Window"),
+      "series ranking must not sort all series in one partition")
+    assert(plan.contains("TakeOrderedAndProject") || plan.contains("CollectLimit"),
+      s"expected a distributed top-n, got:\n$plan")
+  }
 }

@@ -93,6 +93,12 @@ class SeriesOpsSpec extends SparkSpec {
     assert(out.toSeq == Seq("a"))
   }
 
+  test("slimit with soffset skips leading series") {
+    val out = SeriesOps.slimit(df, Seq("tag"), 1, soffset = 1)
+      .select("tag").distinct().as[String].collect()
+    assert(out.toSeq == Seq("b"))
+  }
+
   test("timeBucket: tumbling windows, partial-aggregated") {
     val out = WindowedAgg.timeBucket(df, "time", "10 seconds", Seq("tag"),
         Seq(sum($"value").as("v")))
