@@ -839,6 +839,19 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // §2.5 Prometheus-exact counter semantics: rate/increase with
+    // counter-reset accumulation + range-boundary extrapolation, gauge
+    // delta, and reset-aware irate/idelta (reference
+    // engine/prom_functions.go:115-162, agg_func_prom.go:218). events.value
+    // fluctuates, so resets fire constantly — the reset fold is exercised
+    // on nearly every window.
+    "q72_prom_counter_rate" -> ((s, dir) => {
+      PromRange.counterRate(t(s, dir, "events"), "ts", "value",
+          Seq("event_type"), range = "2 hours", step = "1 hour",
+          tieBreak = Seq("event_id"))
+        .orderBy("event_type", "eval_ms")
+    }),
+
     // pipeline: embedding-cosine near-duplicate pairs. Distributed
     // CartesianProduct tiling + sign-signature Hamming prefilter; cutoff 36
     // is exact on the driver data (measured worst qualifying pair: h=28 at
@@ -1368,6 +1381,66 @@ object SparkEntry {
            ('event_id', 'bigint'), ('props', 'string'),
            ('user_id', 'bigint'), ('value', 'double'))
          t(field_key, field_type) ORDER BY field_key""",
+
+    // Mirrors PromRange.counterRate step by step: same lag ordering (tus,
+    // event_id), same DECIMAL reset sum, same left-assoc double expression
+    // shapes — bit-exact across engines.
+    "q72_prom_counter_rate" ->
+      """WITH pts AS (
+           SELECT event_type, event_id, value, epoch_us(ts) AS tus,
+             unnest([epoch_ms(date_trunc('hour', ts)) + 3600000,
+                     epoch_ms(date_trunc('hour', ts)) + 7200000]) AS eval_ms
+           FROM events),
+         lagged AS (
+           SELECT *, lag(value) OVER w AS pv, lag(tus) OVER w AS pt
+           FROM pts
+           WINDOW w AS (PARTITION BY event_type, eval_ms
+                        ORDER BY tus, event_id)),
+         agg AS (
+           SELECT event_type, eval_ms, count(*) AS n,
+             min(tus) AS first_t, max(tus) AS last_t,
+             first(value ORDER BY tus, event_id) AS first_v,
+             last(value ORDER BY tus, event_id) AS last_v,
+             CAST(sum(CAST(CASE WHEN value < pv THEN pv ELSE 0 END
+               AS DECIMAL(18,6))) AS DOUBLE) AS reset_adj,
+             last(pv ORDER BY tus, event_id) AS last_pv,
+             last(pt ORDER BY tus, event_id) AS last_pt
+           FROM lagged GROUP BY 1, 2),
+         m AS (
+           SELECT *,
+             (last_t - first_t)/1000000.0 AS sampled_s,
+             (first_t - (eval_ms - 7200000)*1000)/1000000.0 AS dur_start0,
+             (eval_ms*1000 - last_t)/1000000.0 AS dur_end,
+             (last_t - first_t)/1000000.0/(n - 1) AS avg_dur,
+             (last_v - first_v) + reset_adj AS raw_inc
+           FROM agg WHERE n > 1 AND last_t <> first_t),
+         m2 AS (
+           SELECT *, avg_dur*1.1 AS thresh,
+             CASE WHEN raw_inc > 0 AND first_v >= 0
+                   AND sampled_s*(first_v/raw_inc) < dur_start0
+                  THEN sampled_s*(first_v/raw_inc) ELSE dur_start0 END
+               AS dur_start_c
+           FROM m),
+         f AS (
+           SELECT *,
+             raw_inc * ((sampled_s +
+               (CASE WHEN dur_start_c >= thresh THEN avg_dur/2
+                     ELSE dur_start_c END) +
+               (CASE WHEN dur_end >= thresh THEN avg_dur/2
+                     ELSE dur_end END)) / sampled_s) AS increase,
+             (last_v - first_v) * ((sampled_s +
+               (CASE WHEN dur_start0 >= thresh THEN avg_dur/2
+                     ELSE dur_start0 END) +
+               (CASE WHEN dur_end >= thresh THEN avg_dur/2
+                     ELSE dur_end END)) / sampled_s) AS delta
+           FROM m2)
+         SELECT event_type, eval_ms, n,
+           increase / 7200.0 AS rate, increase, delta,
+           (CASE WHEN last_v < last_pv THEN last_v
+                 ELSE last_v - last_pv END) /
+             ((last_t - last_pt)/1000000.0) AS irate,
+           last_v - last_pv AS idelta
+         FROM f ORDER BY event_type, eval_ms""",
 
     "q71_url_functions" ->
       """SELECT event_id,

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** PromQL range-vector functions — reference `engine/prom_functions.go:30-51`
@@ -69,5 +70,93 @@ object PromRange {
         acc => acc.getField("c")))
       .withColumn("eval_ms", unix_millis(col("window.end")))
       .drop("window", "_pts")
+  }
+
+  /** Prometheus-exact rate()/increase()/delta() — counter-reset
+    * accumulation plus range-boundary extrapolation, per reference
+    * `engine/prom_functions.go:115-162` (floatPromRateMerge) and
+    * `engine/executor/agg_func_prom.go:218` (CalcReduceResult):
+    *
+    *  - raw increase = (last − first) + Σ prev at every reset
+    *    (a sample lower than its predecessor);
+    *  - the observed span is extrapolated to the range boundaries, but by
+    *    at most half the average sample spacing on each side, and for
+    *    counters never past the point where the series would have been
+    *    zero;
+    *  - rate = extrapolated increase / range seconds; delta is the same
+    *    extrapolation without reset handling (gauges); windows with <2
+    *    samples produce nothing.
+    *
+    * Scale/determinism shape: reset detection is a `lag` over a
+    * (window, labels)-PARTITIONED window (never a global sort), and the
+    * reset sum goes through DECIMAL so partial-aggregation order cannot
+    * change the float result — the whole thing is one shuffle on
+    * (window, labels), partial-aggregated map-side. Window membership
+    * follows Spark's `window()` convention ([start, end), eval at end),
+    * like [[overTime]]. */
+  def counterRate(df: DataFrame, time: String, value: String,
+                  labels: Seq[String], range: String, step: String,
+                  tieBreak: Seq[String] = Nil): DataFrame = {
+    val tus = unix_micros(col(time))
+    // one lag pass per (range-window, series): previous sample value/time
+    val lagW = Window.partitionBy(col("window") +: labels.map(col): _*)
+      .orderBy(col("_tus"), col("_tie"))
+    val lagged = df
+      .select(window(col(time), range, step).as("window") +:
+        labels.map(col) :+ tus.as("_tus") :+
+        col(value).cast("double").as("_v") :+
+        tieBreak.map(col).reduceOption((a, b) =>
+          struct(a, b)).getOrElse(lit(0)).as("_tie"): _*)
+      .withColumn("_pv", lag(col("_v"), 1).over(lagW))
+      .withColumn("_pt", lag(col("_tus"), 1).over(lagW))
+    val firstKey = struct(col("_tus"), col("_tie"))
+    val agg = lagged.groupBy(col("window") +: labels.map(col): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("_tus")).as("_first_t"),
+        max(col("_tus")).as("_last_t"),
+        min_by(col("_v"), firstKey).as("_first_v"),
+        max_by(col("_v"), firstKey).as("_last_v"),
+        sum(when(col("_v") < col("_pv"), col("_pv"))
+          .otherwise(lit(0.0)).cast("decimal(18,6)"))
+          .cast("double").as("_reset_adj"),
+        // last two samples for irate/idelta (reset-aware per Prometheus)
+        max_by(struct(col("_v").as("_v"), col("_pv").as("_pv"),
+          col("_tus").as("_tus"), col("_pt").as("_pt")), firstKey)
+          .as("_lastrow"))
+    val rangeS = (unix_micros(col("window.end")) -
+      unix_micros(col("window.start"))) / lit(1000000.0)
+    val sampledS = (col("_last_t") - col("_first_t")) / lit(1000000.0)
+    val avgDur = sampledS / (col("n") - 1)
+    val thresh = avgDur * lit(1.1)
+    val rawInc = (col("_last_v") - col("_first_v")) + col("_reset_adj")
+    val rawDelta = col("_last_v") - col("_first_v")
+    val durStart0 = (col("_first_t") -
+      unix_micros(col("window.start"))) / lit(1000000.0)
+    val durEnd = (unix_micros(col("window.end")) -
+      col("_last_t")) / lit(1000000.0)
+    // counters can't extrapolate past zero (durationToZero cap)
+    val durZero = sampledS * (col("_first_v") / rawInc)
+    val durStartC = when(rawInc > 0 && col("_first_v") >= 0 &&
+      durZero < durStart0, durZero).otherwise(durStart0)
+    def extrap(durStart: Column): Column =
+      sampledS +
+        when(durStart >= thresh, avgDur / 2).otherwise(durStart) +
+        when(durEnd >= thresh, avgDur / 2).otherwise(durEnd)
+    // <2 samples, or a zero observed span, produces no point (reference
+    // floatPromRateMerge: pointCount<=1 / lastTime==firstTime -> drop)
+    agg.filter(col("n") > 1 && col("_last_t") =!= col("_first_t"))
+      .withColumn("increase", rawInc * (extrap(durStartC) / sampledS))
+      .withColumn("rate", col("increase") / rangeS)
+      .withColumn("delta", rawDelta * (extrap(durStart0) / sampledS))
+      .withColumn("idelta", col("_lastrow._v") - col("_lastrow._pv"))
+      .withColumn("irate",
+        when(col("_lastrow._v") < col("_lastrow._pv"), col("_lastrow._v"))
+          .otherwise(col("_lastrow._v") - col("_lastrow._pv")) /
+          ((col("_lastrow._tus") - col("_lastrow._pt")) / lit(1000000.0)))
+      .withColumn("eval_ms", unix_millis(col("window.end")))
+      .select(labels.map(col) :+ col("eval_ms") :+ col("n") :+
+        col("rate") :+ col("increase") :+ col("delta") :+
+        col("irate") :+ col("idelta"): _*)
   }
 }

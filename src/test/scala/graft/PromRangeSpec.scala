@@ -40,4 +40,48 @@ class PromRangeSpec extends SparkSpec {
     // series 1→5→3→3→7: changes = 3 (1→5, 5→3, 3→7), resets = 1 (5→3)
     assert(out == ((3L, 1L)))
   }
+
+  test("counterRate: Prometheus reset accumulation + boundary " +
+      "extrapolation, hand-computed") {
+    // counter 0,10,20,5,15 at t=10..50min in a [0,60m) window: one reset
+    // (20→5). rawInc = (15-0) + 20 = 35. span=2400s, avgDur=600s,
+    // thresh=660s. durStart=600<660 → keep 600; but counter zero-cap:
+    // durZero = 2400*(0/35)=0 < 600 → durStart=0. durEnd=600<660 → 600.
+    // extrap=(2400+0+600)/2400=1.25 → increase=43.75, rate=43.75/3600.
+    val cdf = Seq(0.0, 10.0, 20.0, 5.0, 15.0).zipWithIndex.map {
+      case (v, i) => ("a", new Timestamp((i + 1) * 600000L), v, i.toLong)
+    }.toDF("job", "time", "value", "id")
+    val out = PromRange.counterRate(cdf, "time", "value", Seq("job"),
+        range = "60 minutes", step = "60 minutes", tieBreak = Seq("id"))
+      .orderBy("eval_ms")
+      .select("n", "increase", "rate", "delta", "irate", "idelta")
+      .as[(Long, Double, Double, Double, Double, Double)].collect()
+    val first = out.head
+    assert(first._1 == 5L)
+    assert(first._2 == 35.0 * 1.25)             // increase
+    assert(first._3 == 35.0 * 1.25 / 3600.0)    // rate
+    // delta (gauge): rawDelta=15, durStart=600 (no zero cap) →
+    // extrap=(2400+600+600)/2400=1.5 → 22.5
+    assert(first._4 == 15.0 * 1.5)
+    // last two samples 5→15: idelta=10, irate=10/600s
+    assert(first._6 == 10.0 && first._5 == 10.0 / 600.0)
+  }
+
+  test("counterRate: reset in the last pair makes irate use the raw value") {
+    // counter ...,30,2: reset at the end → irate = 2/dt, idelta = -28
+    val cdf = Seq(10.0, 30.0, 2.0).zipWithIndex.map {
+      case (v, i) => ("a", new Timestamp((i + 1) * 600000L), v, i.toLong)
+    }.toDF("job", "time", "value", "id")
+    val out = PromRange.counterRate(cdf, "time", "value", Seq("job"),
+        range = "60 minutes", step = "60 minutes", tieBreak = Seq("id"))
+      .select("irate", "idelta").as[(Double, Double)].collect().head
+    assert(out == ((2.0 / 600.0, -28.0)))
+  }
+
+  test("counterRate drops windows with <2 samples") {
+    val cdf = Seq(("a", new Timestamp(600000L), 1.0, 0L))
+      .toDF("job", "time", "value", "id")
+    assert(PromRange.counterRate(cdf, "time", "value", Seq("job"),
+      "60 minutes", "60 minutes", Seq("id")).count() == 0)
+  }
 }
