@@ -49,6 +49,14 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q03_join_revenue")(spark, "/root/testdata/sf0.001")
 
+  /** events as a PromQL metric: series keyed by (event_type, user). */
+  private def promCatalog(s: SparkSession,
+                          dir: String): Map[String, graft.query.PromQL.Metric] =
+    Map("events" -> graft.query.PromQL.Metric(
+      t(s, dir, "events").withColumn("user", col("user_id").cast("string")),
+      labels = Seq("event_type", "user"), time = "ts", value = "value",
+      tie = Seq("event_id")))
+
   // ---- query inventory -----------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -852,6 +860,39 @@ object SparkEntry {
         .orderBy("event_type", "eval_ms")
     }),
 
+    // §3 PromQL text frontend: parser/transpiler to the PromRange/
+    // PromBinOp builders (reference lib/util/lifted/promql2influxql).
+    // Catalog: events as a metric with labels (event_type, user), 1h eval
+    // steps, 1h lookback; q73 aggregation, q74 binop matrix with
+    // on()+group_left, q75 counter rate from text, q76 topk.
+    "q73_promql_agg" -> ((s, dir) => {
+      graft.query.PromQL.evaluate(promCatalog(s, dir),
+          "sum by (event_type) (events)",
+          step = "1 hour", lookback = "1 hour")
+        .orderBy("event_type", "eval_ms")
+    }),
+
+    "q74_promql_binop" -> ((s, dir) => {
+      graft.query.PromQL.evaluate(promCatalog(s, dir),
+          "events / on(event_type) group_left sum by (event_type) (events)",
+          step = "1 hour", lookback = "1 hour")
+        .orderBy("event_type", "user", "eval_ms")
+    }),
+
+    "q75_promql_rate" -> ((s, dir) => {
+      graft.query.PromQL.evaluate(promCatalog(s, dir),
+          """rate(events{event_type="error"}[2h])""",
+          step = "1 hour", lookback = "1 hour")
+        .orderBy("user", "eval_ms")
+    }),
+
+    "q76_promql_topk" -> ((s, dir) => {
+      graft.query.PromQL.evaluate(promCatalog(s, dir),
+          "topk(2, events)", step = "1 hour", lookback = "1 hour")
+        .orderBy(col("eval_ms"), desc("value"), col("event_type"),
+          col("user"))
+    }),
+
     // pipeline: embedding-cosine near-duplicate pairs. Distributed
     // CartesianProduct tiling + sign-signature Hamming prefilter; cutoff 36
     // is exact on the driver data (measured worst qualifying pair: h=28 at
@@ -1381,6 +1422,103 @@ object SparkEntry {
            ('event_id', 'bigint'), ('props', 'string'),
            ('user_id', 'bigint'), ('value', 'double'))
          t(field_key, field_type) ORDER BY field_key""",
+
+    // PromQL instant-vector evaluation, mirrored exactly: lookback window
+    // [T-1h, T] at 1h steps is implemented in Spark as a window of
+    // 3600001 ms over timestamps nudged -1ms for assignment; in ms space
+    // that membership is  tms//ss + 1 <= k <= (tms + 3600001)//ss  with
+    // tms = (t_us - 1000)//1000 — the formulas below are that, verbatim.
+    "q73_promql_agg" ->
+      """WITH iv AS (
+           SELECT event_type, CAST(user_id AS VARCHAR) AS usr,
+             k * 3600000 AS eval_ms,
+             last(value ORDER BY epoch_us(ts), event_id) AS v
+           FROM (SELECT *, (epoch_us(ts) - 1000) // 1000 AS tms FROM events),
+             unnest(generate_series(tms // 3600000 + 1,
+               (tms + 3600001) // 3600000)) AS t(k)
+           GROUP BY 1, 2, 3)
+         SELECT event_type, eval_ms,
+           CAST(sum(CAST(v AS DECIMAL(28,10))) AS DOUBLE) AS value
+         FROM iv GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q74_promql_binop" ->
+      """WITH iv AS (
+           SELECT event_type, CAST(user_id AS VARCHAR) AS "user",
+             k * 3600000 AS eval_ms,
+             last(value ORDER BY epoch_us(ts), event_id) AS v
+           FROM (SELECT *, (epoch_us(ts) - 1000) // 1000 AS tms FROM events),
+             unnest(generate_series(tms // 3600000 + 1,
+               (tms + 3600001) // 3600000)) AS t(k)
+           GROUP BY 1, 2, 3),
+         s AS (
+           SELECT event_type, eval_ms,
+             CAST(sum(CAST(v AS DECIMAL(28,10))) AS DOUBLE) AS sv
+           FROM iv GROUP BY 1, 2)
+         SELECT iv.event_type, iv."user", iv.eval_ms,
+           CAST(iv.v AS DOUBLE) / CAST(s.sv AS DOUBLE) AS value
+         FROM iv JOIN s USING (event_type, eval_ms)
+         ORDER BY 1, 2, 3""",
+
+    // rate() via the text frontend: q72's counter math with the -1ms
+    // end-inclusive window assignment and per-(event_type,user) series.
+    "q75_promql_rate" ->
+      """WITH pts AS (
+           SELECT event_type, CAST(user_id AS VARCHAR) AS "user", event_id,
+             value, epoch_us(ts) AS tus, k * 3600000 AS eval_ms
+           FROM (SELECT *, (epoch_us(ts) - 1000) // 1000 AS tms
+                 FROM events WHERE event_type = 'error'),
+             unnest(generate_series(tms // 3600000 + 1,
+               (tms + 7200000) // 3600000)) AS t(k)),
+         lagged AS (
+           SELECT *, lag(value) OVER w AS pv
+           FROM pts
+           WINDOW w AS (PARTITION BY event_type, "user", eval_ms
+                        ORDER BY tus, event_id)),
+         agg AS (
+           SELECT event_type, "user", eval_ms, count(*) AS n,
+             min(tus) AS first_t, max(tus) AS last_t,
+             first(value ORDER BY tus, event_id) AS first_v,
+             last(value ORDER BY tus, event_id) AS last_v,
+             CAST(sum(CAST(CASE WHEN value < pv THEN pv ELSE 0 END
+               AS DECIMAL(18,6))) AS DOUBLE) AS reset_adj
+           FROM lagged GROUP BY 1, 2, 3),
+         m AS (
+           SELECT *,
+             (last_t - first_t)/1000000.0 AS sampled_s,
+             (first_t - (eval_ms - 7200000)*1000)/1000000.0 AS dur_start0,
+             (eval_ms*1000 - last_t)/1000000.0 AS dur_end,
+             (last_t - first_t)/1000000.0/(n - 1) AS avg_dur,
+             (last_v - first_v) + reset_adj AS raw_inc
+           FROM agg WHERE n > 1 AND last_t <> first_t),
+         m2 AS (
+           SELECT *, avg_dur*1.1 AS thresh,
+             CASE WHEN raw_inc > 0 AND first_v >= 0
+                   AND sampled_s*(first_v/raw_inc) < dur_start0
+                  THEN sampled_s*(first_v/raw_inc) ELSE dur_start0 END
+               AS dur_start_c
+           FROM m)
+         SELECT event_type, "user", eval_ms,
+           (raw_inc * ((sampled_s +
+             (CASE WHEN dur_start_c >= thresh THEN avg_dur/2
+                   ELSE dur_start_c END) +
+             (CASE WHEN dur_end >= thresh THEN avg_dur/2
+                   ELSE dur_end END)) / sampled_s)) / 7200.0 AS value
+         FROM m2 ORDER BY "user", eval_ms""",
+
+    "q76_promql_topk" ->
+      """WITH iv AS (
+           SELECT event_type, CAST(user_id AS VARCHAR) AS "user",
+             k * 3600000 AS eval_ms,
+             last(value ORDER BY epoch_us(ts), event_id) AS v
+           FROM (SELECT *, (epoch_us(ts) - 1000) // 1000 AS tms FROM events),
+             unnest(generate_series(tms // 3600000 + 1,
+               (tms + 3600001) // 3600000)) AS t(k)
+           GROUP BY 1, 2, 3)
+         SELECT event_type, "user", eval_ms, CAST(v AS DOUBLE) AS value
+         FROM (SELECT *, row_number() OVER (PARTITION BY eval_ms
+             ORDER BY v DESC, event_type, "user") AS rk FROM iv)
+         WHERE rk <= 2
+         ORDER BY eval_ms, value DESC, event_type, "user"""",
 
     // Mirrors PromRange.counterRate step by step: same lag ordering (tus,
     // event_id), same DECIMAL reset sum, same left-assoc double expression

