@@ -860,6 +860,60 @@ object SparkEntry {
         .orderBy("event_type", "eval_ms")
     }),
 
+    // §3.1 InfluxQL grammar completion (sql.y:656-699, :753-769,
+    // statement_rewriter.go, ast.go:2160): UNION [ALL], [NOT] IN
+    // subqueries, SHOW TAG VALUES, tz() bucketing, time(d, offset).
+    "q77_influxql_union" -> ((s, dir) => {
+      val catalog = Map("events" -> graft.query.InfluxQL.Measurement(
+        t(s, dir, "events"), tags = Seq("event_type")))
+      graft.query.InfluxQL.execute(catalog,
+          "SELECT count(value), min(value), max(value) FROM events " +
+          "WHERE event_type = 'click' " +
+          "UNION ALL SELECT count(value), min(value), max(value) " +
+          "FROM events WHERE event_type = 'error' " +
+          "UNION SELECT count(value), min(value), max(value) " +
+          "FROM events WHERE event_type = 'error'")
+        .select("time", "count", "min", "max")
+        .orderBy("count")
+    }),
+
+    "q78_influxql_in_subquery" -> ((s, dir) => {
+      val catalog = Map("events" -> graft.query.InfluxQL.Measurement(
+        t(s, dir, "events"), tags = Seq("event_type")))
+      graft.query.InfluxQL.execute(catalog,
+          "SELECT count(value) FROM events WHERE user_id IN " +
+          "(SELECT user_id FROM events WHERE value > 99) " +
+          "GROUP BY event_type")
+        .select("event_type", "count").orderBy("event_type")
+    }),
+
+    "q79_show_tag_values" -> ((s, dir) => {
+      val catalog = Map("events" -> graft.query.InfluxQL.Measurement(
+        t(s, dir, "events"), tags = Seq("event_type")))
+      graft.query.InfluxQL.execute(catalog,
+        "SHOW TAG VALUES FROM events WITH KEY = event_type")
+    }),
+
+    // tz() bucketing: America/New_York is UTC-5 for the entire events
+    // range (January — no DST transition), so the oracle can mirror with
+    // a constant shift.
+    "q80_influxql_tz" -> ((s, dir) => {
+      val catalog = Map("events" -> graft.query.InfluxQL.Measurement(
+        t(s, dir, "events"), tags = Seq("event_type")))
+      graft.query.InfluxQL.execute(catalog,
+          "SELECT count(value) FROM events GROUP BY time(1d) " +
+          "TZ('America/New_York')")
+        .select("time", "count").orderBy("time")
+    }),
+
+    "q81_influxql_time_offset" -> ((s, dir) => {
+      val catalog = Map("events" -> graft.query.InfluxQL.Measurement(
+        t(s, dir, "events"), tags = Seq("event_type")))
+      graft.query.InfluxQL.execute(catalog,
+          "SELECT count(value) FROM events GROUP BY time(1h, 15m)")
+        .select("time", "count").orderBy("time")
+    }),
+
     // §3 PromQL text frontend: parser/transpiler to the PromRange/
     // PromBinOp builders (reference lib/util/lifted/promql2influxql).
     // Catalog: events as a metric with labels (event_type, user), 1h eval
@@ -1422,6 +1476,39 @@ object SparkEntry {
            ('event_id', 'bigint'), ('props', 'string'),
            ('user_id', 'bigint'), ('value', 'double'))
          t(field_key, field_type) ORDER BY field_key""",
+
+    "q77_influxql_union" ->
+      """SELECT * FROM (
+           SELECT 0 AS time, count(value) AS count, min(value) AS min,
+             max(value) AS max FROM events WHERE event_type = 'click'
+           UNION ALL
+           SELECT 0 AS time, count(value) AS count, min(value) AS min,
+             max(value) AS max FROM events WHERE event_type = 'error'
+           UNION
+           SELECT 0 AS time, count(value) AS count, min(value) AS min,
+             max(value) AS max FROM events WHERE event_type = 'error')
+         ORDER BY count""",
+
+    "q78_influxql_in_subquery" ->
+      """SELECT event_type, count(value) AS count FROM events
+         WHERE user_id IN (SELECT DISTINCT user_id FROM events
+                           WHERE value > 99)
+         GROUP BY event_type ORDER BY event_type""",
+
+    "q79_show_tag_values" ->
+      """SELECT DISTINCT 'event_type' AS key,
+           CAST(event_type AS VARCHAR) AS value
+         FROM events ORDER BY value""",
+
+    "q80_influxql_tz" ->
+      """SELECT epoch_ms(date_trunc('day', ts - INTERVAL 5 HOUR)
+           + INTERVAL 5 HOUR) AS time, count(value) AS count
+         FROM events GROUP BY 1 ORDER BY 1""",
+
+    "q81_influxql_time_offset" ->
+      """SELECT ((epoch_ms(ts) - 900000) // 3600000) * 3600000 + 900000
+           AS time, count(value) AS count
+         FROM events GROUP BY 1 ORDER BY 1""",
 
     // PromQL instant-vector evaluation, mirrored exactly: lookback window
     // [T-1h, T] at 1h steps is implemented in Spark as a window of

@@ -35,8 +35,10 @@ object Fill {
                 fill: Option[Double] = None): DataFrame = {
     val dense = spine(agg, tags, startMs, endMs, stepMs)
     fill match {
+      // cast the fill literal to the column's own type: fill(0) on a
+      // BIGINT count column must stay BIGINT, not retype it to double
       case Some(v) => valueCols.foldLeft(dense)((d, c) =>
-        d.withColumn(c, coalesce(col(c), lit(v))))
+        d.withColumn(c, coalesce(col(c), lit(v).cast(d.schema(c).dataType))))
       case None => dense
     }
   }

@@ -18,13 +18,25 @@ object WindowedAgg {
   /** Tumbling-window aggregation. `bucketExpr` time column name; windows are
     * emitted as their start epoch-millis (`wstart_ms`) so results round-trip
     * through any engine without timestamp-precision skew (openGemini time is
-    * int64 ns; Spark timestamps are µs — SURVEY §1.2). */
+    * int64 ns; Spark timestamps are µs — SURVEY §1.2).
+    *
+    * `offset` shifts the bucket grid (`GROUP BY time(d, offset)`,
+    * reference ast.go:2160 window offset); `tz` evaluates bucket
+    * boundaries in a named zone (the `tz()` clause): the time column is
+    * converted to local wall-clock for assignment and the emitted
+    * `wstart_ms` converts the local boundary back to an absolute epoch. */
   def timeBucket(df: DataFrame, time: String, interval: String,
-                 tags: Seq[String], aggs: Seq[Column]): DataFrame = {
-    val groups = window(col(time), interval) +: tags.map(col)
+                 tags: Seq[String], aggs: Seq[Column],
+                 offset: String = "0 seconds",
+                 tz: Option[String] = None): DataFrame = {
+    val tcol = tz.map(z => from_utc_timestamp(col(time), z))
+      .getOrElse(col(time))
+    val groups = window(tcol, interval, interval, offset) +: tags.map(col)
+    val wstart = tz.map(z => to_utc_timestamp(col("window.start"), z))
+      .getOrElse(col("window.start"))
     df.groupBy(groups: _*)
       .agg(aggs.head, aggs.tail: _*)
-      .withColumn("wstart_ms", unix_millis(col("window.start")))
+      .withColumn("wstart_ms", unix_millis(wstart))
       .drop("window")
   }
 

@@ -32,11 +32,18 @@ object InfluxQL {
     * trailing 'Z' — the formats ast.go time literals allow) and date-only.
     * Always UTC — never the JVM default timezone. */
   private[graft] def parseTimeUtc(s: String): Long = {
-    val t0 = s.trim.stripSuffix("Z").replace(' ', 'T')
-    val ldt =
-      if (t0.contains('T')) java.time.LocalDateTime.parse(t0)
-      else java.time.LocalDate.parse(t0).atStartOfDay()
-    val inst = ldt.toInstant(java.time.ZoneOffset.UTC)
+    val raw = s.trim.replace(' ', 'T')
+    // RFC3339Nano (ast.go:8219) accepts explicit offsets: try the
+    // offset-aware form first, fall back to naive-at-UTC
+    val inst =
+      try java.time.OffsetDateTime.parse(raw).toInstant
+      catch { case _: java.time.format.DateTimeParseException =>
+        val t0 = raw.stripSuffix("Z")
+        val ldt =
+          if (t0.contains('T')) java.time.LocalDateTime.parse(t0)
+          else java.time.LocalDate.parse(t0).atStartOfDay()
+        ldt.toInstant(java.time.ZoneOffset.UTC)
+      }
     inst.getEpochSecond * 1000000L + inst.getNano / 1000L
   }
 
@@ -124,8 +131,11 @@ object InfluxQL {
   sealed trait Expr
   /** `integral` preserves InfluxQL integer-literal typing (ast.go integer
     * arithmetic): `count(v) * 2 + 1` stays BIGINT, matching the reference
-    * and the SQL oracle; any float literal or `/` promotes to double. */
-  case class ENum(v: Double, integral: Boolean = false) extends Expr
+    * and the SQL oracle; any float literal or `/` promotes to double.
+    * `longV` carries the exact Long for values a Double can't hold
+    * (durations > 2^53 ns, e.g. 365d). */
+  case class ENum(v: Double, integral: Boolean = false,
+                  longV: Option[Long] = None) extends Expr
   case class EField(name: String) extends Expr
   case class ECall(call: PCall) extends Expr
   case class EBin(op: Char, l: Expr, r: Expr) extends Expr
@@ -144,6 +154,10 @@ object InfluxQL {
   case class WCond(c: Cond) extends WExpr
   case class WAnd(l: WExpr, r: WExpr) extends WExpr
   case class WOr(l: WExpr, r: WExpr) extends WExpr
+  /** `field [NOT] IN (SELECT …)` — reference `sql.y:753-769`,
+    * `ast.go:7677` (InCondition). Compiled to a semi/anti join; only
+    * valid at AND-positions of the WHERE tree. */
+  case class WIn(field: String, sub: Query, negated: Boolean) extends WExpr
 
   sealed trait FillMode
   case object FillNone extends FillMode
@@ -163,7 +177,13 @@ object InfluxQL {
       orderDesc: Boolean, limit: Option[Int], offset: Int, slimit: Option[Int],
       join: Option[JoinClause] = None,
       fromSub: Option[Query] = None,
-      soffset: Int = 0)
+      soffset: Int = 0,
+      intervalOffsetNs: Option[Long] = None,
+      tz: Option[String] = None)
+
+  /** One UNION arm: `UNION [ALL] [BY NAME] <select>` — reference
+    * `influxql/sql.y:656-699` (union_clause). */
+  case class UnionArm(all: Boolean, byName: Boolean, q: Query)
 
   // --------------------------------------------------------------- parser
   def parse(q: String): Query = new Parser(lex(q)).parseQuery()
@@ -208,6 +228,22 @@ object InfluxQL {
         }
       }
       (ctes, parseQuery())
+    }
+
+    /** Statement with optional trailing UNION arms (sql.y:656-699). */
+    def parseStatementFull()
+        : (Seq[(String, Query)], Query, Seq[UnionArm]) = {
+      val (ctes, q) = parseStatement()
+      var arms = Seq.empty[UnionArm]
+      while (isKw("union")) {
+        next()
+        val all = if (isKw("all")) { next(); true } else false
+        val byName =
+          if (isKw("by")) { next(); expectIdent("name"); true } else false
+        arms :+= UnionArm(all, byName, parseQuery())
+      }
+      require(toks.isEmpty, s"trailing tokens: $toks")
+      (ctes, q, arms)
     }
 
     def parseQuery(): Query = {
@@ -264,6 +300,7 @@ object InfluxQL {
       var where: Option[WExpr] = None
       if (isKw("where")) { next(); where = Some(parseWhereOr()) }
       var tags = Seq.empty[String]; var interval: Option[Long] = None
+      var intervalOffset: Option[Long] = None
       if (isKw("group")) {
         next(); expectIdent("by")
         var done = false
@@ -274,6 +311,18 @@ object InfluxQL {
               interval = next() match {
                 case TDur(ns) => Some(ns)
                 case t => sys.error(s"expected duration, got $t")
+              }
+              // time(d, offset) — grid shift, ast.go:2160
+              if (peek == TPunct(",")) {
+                next()
+                intervalOffset = next() match {
+                  case TDur(ns) => Some(ns)
+                  case TPunct("-") => next() match {
+                    case TDur(ns) => Some(-ns)
+                    case t => sys.error(s"expected duration, got $t")
+                  }
+                  case t => sys.error(s"expected offset duration, got $t")
+                }
               }
               expect(")")
             case TIdent(tag) => tags :+= tag
@@ -318,8 +367,18 @@ object InfluxQL {
           case "soffset" => soffset = v
         }
       }
+      // tz('Area/City') — ast.go:2160 TimeZone clause
+      var tz: Option[String] = None
+      if (isKw("tz")) {
+        next(); expect("(")
+        tz = next() match {
+          case TStr(s) => Some(s)
+          case t => sys.error(s"expected zone string, got $t")
+        }
+        expect(")")
+      }
       Query(projs, from, where, tags, interval, fill, orderDesc, limit,
-        offset, slimit, join, fromSub, soffset)
+        offset, slimit, join, fromSub, soffset, intervalOffset, tz)
     }
 
     private def parseProjs(): Seq[Proj] = {
@@ -386,7 +445,7 @@ object InfluxQL {
 
     private def parseFactor(): Either[Expr, PAnalytic] = next() match {
       case TNum(v, intg) => Left(ENum(v, intg))
-      case TDur(ns) => Left(ENum(ns.toDouble, integral = true))
+      case TDur(ns) => Left(ENum(ns.toDouble, integral = true, Some(ns)))
       case TPunct("-") =>
         parseFactor().left.map(f => EBin('-', ENum(0, integral = true), f))
       case TPunct("(") =>
@@ -453,6 +512,16 @@ object InfluxQL {
         case TIdent(s) => s
         case t => sys.error(s"bad WHERE field: $t")
       }
+      // [NOT] IN (SELECT …) — sql.y:753-769
+      if (isKw("in") || isKw("not")) {
+        val negated =
+          if (isKw("not")) { next(); expectIdent("in"); true }
+          else { next(); false }
+        expect("(")
+        val sub = parseQuery()
+        expect(")")
+        return WIn(field, sub, negated)
+      }
       // LIKE / MATCH / MATCHPHRASE keyword predicates (token.go:416-422)
       val op = next() match {
         case TOp(o) => o
@@ -480,7 +549,9 @@ object InfluxQL {
     * columns: time (epoch ms) [+ group tags] + one column per projection
     * (named like InfluxQL: `mean`, `max_value`-free — call name or field). */
   def execute(catalog: Map[String, Measurement], sql: String): DataFrame = {
-    val (ctes, q) = parseWith(sql)
+    if (sql.trim.toLowerCase.startsWith("show "))
+      return executeShow(catalog, sql)
+    val (ctes, q, arms) = new Parser(lex(sql)).parseStatementFull()
     // CTEs compile once and register as measurements visible to later CTEs
     // and the main query (reference BuildCTELogicalPlan select.go:906);
     // Catalyst reuses the shared subplan.
@@ -491,7 +562,67 @@ object InfluxQL {
         .withColumn("__ts", timestamp_millis(col("time")))
       acc + (name -> Measurement(df, sub.groupTags, "__ts"))
     }
-    compileQuery(cat, q)
+    // UNION [ALL] [BY NAME] arms fold left-to-right (sql.y:656-699);
+    // a non-ALL arm dedups the accumulated result, SQL-style.
+    arms.foldLeft(compileQuery(cat, q)) { (acc, arm) =>
+      val d = compileQuery(cat, arm.q)
+      val u = if (arm.byName) acc.unionByName(d, allowMissingColumns = true)
+              else acc.union(d)
+      if (arm.all) u else u.distinct()
+    }
+  }
+
+  /** SHOW MEASUREMENTS / TAG KEYS / TAG VALUES … WITH KEY = k /
+    * FIELD KEYS / SERIES — reference `query/statement_rewriter.go` (SHOW →
+    * meta SELECT). */
+  private def executeShow(catalog: Map[String, Measurement],
+                          sql: String): DataFrame = {
+    val spark = catalog.values.headOption
+      .getOrElse(sys.error("empty catalog")).df.sparkSession
+    import spark.implicits._
+    val p = new Parser(lex(sql))
+    p.expectIdent("show")
+    def fromM(): Option[Measurement] =
+      if (p.isKw("from")) {
+        p.next()
+        Some(p.next() match {
+          case TIdent(s) => catalog.getOrElse(s,
+            sys.error(s"unknown measurement $s"))
+          case t => sys.error(s"expected measurement, got $t")
+        })
+      } else None
+    p.next() match {
+      case TIdent(k) if k.equalsIgnoreCase("measurements") =>
+        catalog.keys.toSeq.sorted.toDF("name")
+      case TIdent(k) if k.equalsIgnoreCase("tag") => p.next() match {
+        case TIdent(kk) if kk.equalsIgnoreCase("keys") =>
+          val tags = fromM().map(_.tags)
+            .getOrElse(catalog.values.flatMap(_.tags).toSeq.distinct)
+          graft.operators.Meta.showTagKeys(spark, tags)
+        case TIdent(kk) if kk.equalsIgnoreCase("values") =>
+          val m = fromM().getOrElse(sys.error("TAG VALUES needs FROM"))
+          p.expectIdent("with"); p.expectIdent("key")
+          p.next() match {
+            case TOp("=") =>
+            case t => sys.error(s"expected '=', got $t")
+          }
+          val key = p.next() match {
+            case TIdent(s) => s
+            case TStr(s) => s
+            case t => sys.error(s"expected tag key, got $t")
+          }
+          graft.operators.Meta.showTagValues(m.df, key)
+        case t => sys.error(s"bad SHOW TAG: $t")
+      }
+      case TIdent(k) if k.equalsIgnoreCase("field") =>
+        p.expectIdent("keys")
+        val m = fromM().getOrElse(sys.error("FIELD KEYS needs FROM"))
+        graft.operators.Meta.showFieldKeys(m.df, m.tags, Seq(m.time))
+      case TIdent(k) if k.equalsIgnoreCase("series") =>
+        val m = fromM().getOrElse(sys.error("SERIES needs FROM"))
+        graft.operators.Meta.showSeries(m.df, m.tags)
+      case t => sys.error(s"unsupported SHOW: $t")
+    }
   }
 
   private def compileQuery(catalog: Map[String, Measurement],
@@ -569,8 +700,37 @@ object InfluxQL {
       case WCond(c) => condToCol(c)
       case WAnd(l, r) => wexprToCol(l) && wexprToCol(r)
       case WOr(l, r) => wexprToCol(l) || wexprToCol(r)
+      case _: WIn => sys.error("IN subquery must be AND-connected")
     }
-    q.where.foreach(w => df = df.filter(wexprToCol(w)))
+    // [NOT] IN (SELECT …) at AND-positions → semi/anti joins; the rest of
+    // the tree stays a pushdown-friendly Column filter.
+    def splitIn(w: WExpr): (Seq[WIn], Option[WExpr]) = w match {
+      case i: WIn => (Seq(i), None)
+      case WAnd(l, r) =>
+        val (il, wl) = splitIn(l); val (ir, wr) = splitIn(r)
+        (il ++ ir, (wl, wr) match {
+          case (Some(a), Some(b)) => Some(WAnd(a, b))
+          case (a, b) => a.orElse(b)
+        })
+      case other => (Nil, Some(other))
+    }
+    q.where.foreach { w =>
+      val (ins, rest) = splitIn(w)
+      rest.foreach(r => df = df.filter(wexprToCol(r)))
+      ins.foreach { i =>
+        val sub = compileQuery(catalog, i.sub)
+        val valueCol = sub.columns
+          .filterNot(c => c == "time" || i.sub.groupTags.contains(c))
+          .headOption.getOrElse(sys.error("IN subquery projects no column"))
+        val subDf = sub.select(col(valueCol).as("__in_v"))
+          .filter(col("__in_v").isNotNull).distinct()
+        // SQL [NOT] IN null rule: a null probe value matches nothing and
+        // is excluded either way (the anti join would otherwise keep it)
+        df = df.filter(col(i.field).isNotNull).join(subDf,
+          col(i.field) === col("__in_v"),
+          if (i.negated) "left_anti" else "left_semi")
+      }
+    }
 
     val groupTags =
       if (q.groupTags.contains("*")) mEff.tags else q.groupTags
@@ -621,7 +781,8 @@ object InfluxQL {
     /** Materialize an expression; `/` follows InfluxQL semantics — any
       * division yields float (reference binary eval ast.go:2736). */
     def evalExpr(e: Expr, resolve: PCall => Column): Column = e match {
-      case ENum(v, intg) => if (intg) lit(v.toLong) else lit(v)
+      case ENum(v, intg, lv) =>
+        if (intg) lit(lv.getOrElse(v.toLong)) else lit(v)
       case EField(f) => col(f)
       case ECall(c) => resolve(c)
       case EBin('+', l, r) => evalExpr(l, resolve) + evalExpr(r, resolve)
@@ -653,7 +814,9 @@ object InfluxQL {
             val innerNames = innerCalls.zip(aliasNames(innerCalls)).toMap
             val aggs = aliased(innerCalls)
             var b = WindowedAgg.timeBucket(df, m.time,
-              s"${ns / 1000000} milliseconds", groupTags, aggs)
+              s"${ns / 1000000} milliseconds", groupTags, aggs,
+              offset = s"${q.intervalOffsetNs.getOrElse(0L) / 1000000} " +
+                "milliseconds", tz = q.tz)
               .withColumn("_t_us", col("wstart_ms") * 1000)
             analytics.foreach(a =>
               b = applyAnalytic(b, a, innerNames(a.inner), "_t_us"))
@@ -688,10 +851,14 @@ object InfluxQL {
         addExprCols(q.intervalNs match {
           case Some(ns) =>
             val bucketed = WindowedAgg.timeBucket(df, m.time,
-              s"${ns / 1000000} milliseconds", groupTags, aggs)
+              s"${ns / 1000000} milliseconds", groupTags, aggs,
+              offset = s"${q.intervalOffsetNs.getOrElse(0L) / 1000000} " +
+                "milliseconds", tz = q.tz)
             q.fill match {
               case FillNone => bucketed
               case mode =>
+                require(q.intervalOffsetNs.isEmpty && q.tz.isEmpty,
+                  "fill() with time(d, offset) or tz() not supported")
                 // clamp the spine to the query's time bounds (compile.go:1325)
                 val bounds = df.agg(
                   min(unix_millis(col(m.time))), max(unix_millis(col(m.time))))

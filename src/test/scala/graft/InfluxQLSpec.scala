@@ -87,6 +87,81 @@ class InfluxQLSpec extends SparkSpec {
     assert(out == Seq("server01"))
   }
 
+  test("SLIMIT with SOFFSET skips leading series") {
+    val out = run("SELECT value FROM cpu GROUP BY host SLIMIT 1 SOFFSET 1")
+      .select("host").distinct().as[String].collect().toSeq
+    assert(out == Seq("server02"))
+  }
+
+  test("UNION / UNION ALL / UNION BY NAME") {
+    val all = run("SELECT count(value) FROM cpu WHERE host = 'server01' " +
+      "UNION ALL SELECT count(value) FROM cpu WHERE host = 'server01'")
+      .select("count").as[Long].collect().toSeq
+    assert(all == Seq(3L, 3L))
+    val dedup = run("SELECT count(value) FROM cpu WHERE host = 'server01' " +
+      "UNION SELECT count(value) FROM cpu WHERE host = 'server01'")
+      .select("count").as[Long].collect().toSeq
+    assert(dedup == Seq(3L))
+    val byName = run("SELECT count(value) FROM cpu " +
+      "UNION ALL BY NAME SELECT count(value) FROM cpu")
+      .select("count").as[Long].collect().toSeq
+    assert(byName == Seq(5L, 5L))
+  }
+
+  test("IN and NOT IN subqueries compile to semi/anti joins") {
+    val in = run("SELECT count(value) FROM cpu WHERE core IN " +
+      "(SELECT core FROM cpu WHERE value >= 20)")
+      .select("count").as[Long].collect().head
+    assert(in == 2L) // cores 2,3
+    val notIn = run("SELECT count(value) FROM cpu WHERE core NOT IN " +
+      "(SELECT core FROM cpu WHERE value >= 20)")
+      .select("count").as[Long].collect().head
+    assert(notIn == 1L) // core 1 (server02 rows have null core → dropped)
+  }
+
+  test("SHOW statements") {
+    assert(run("SHOW MEASUREMENTS").as[String].collect().toSeq == Seq("cpu"))
+    assert(run("SHOW TAG KEYS FROM cpu").as[String].collect().toSeq ==
+      Seq("host"))
+    assert(run("SHOW TAG VALUES FROM cpu WITH KEY = host")
+      .as[(String, String)].collect().toSet ==
+      Set(("host", "server01"), ("host", "server02")))
+    val fields = run("SHOW FIELD KEYS FROM cpu")
+      .as[(String, String)].collect().toMap
+    assert(fields.contains("value") && fields.contains("core"))
+  }
+
+  test("GROUP BY time(d, offset) shifts the bucket grid") {
+    val out = run("SELECT count(value) FROM cpu WHERE host = 'server01' " +
+      "GROUP BY time(1m, 30s)")
+      .select("time", "count").as[(Long, Long)].collect().toSeq
+    // buckets [-30s,30s),[30s,90s),[90s,150s) → t=0 | t=60 | t=120
+    assert(out == Seq((-30000L, 1L), (30000L, 1L), (90000L, 1L)))
+  }
+
+  test("tz() buckets on local-time boundaries") {
+    // UTC-5 (Jan): t=0 epoch is 19:00 NY on Dec 31 → the 1d NY bucket
+    // starts 1969-12-31T05:00Z = epoch -68400000 ms
+    val out = run("SELECT count(value) FROM cpu GROUP BY time(1d) " +
+      "TZ('America/New_York')")
+      .select("time", "count").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((-68400000L, 5L)))
+  }
+
+  test("time literals with explicit UTC offsets parse") {
+    val out = run("SELECT count(value) FROM cpu " +
+      "WHERE time >= '1970-01-01T00:01:00+00:00' GROUP BY host")
+      .select("host", "count").as[(String, Long)].collect().toSet
+    assert(out == Set(("server01", 2L), ("server02", 1L)))
+  }
+
+  test("fill(0) keeps integer-typed columns integral") {
+    val out = run("SELECT count(value) FROM cpu WHERE host = 'server02' " +
+      "GROUP BY host, time(1m) fill(0)")
+      .select("count").as[Long].collect().toSeq
+    assert(out == Seq(1L, 0L, 1L))
+  }
+
   test("global aggregate without grouping") {
     val out = run("SELECT count(value), percentile(value, 50) FROM cpu")
       .select("count", "percentile").as[(Long, Double)].collect().head
