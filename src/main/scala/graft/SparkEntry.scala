@@ -860,6 +860,42 @@ object SparkEntry {
         .orderBy("event_type", "eval_ms")
     }),
 
+    // §2.8 scalar stragglers: url_extract_parameter/port (synthetic URLs
+    // with ports), ip_to_domain range classification (synthetic IPs with
+    // a known class per user_id bucket).
+    "q83_scalar_stragglers" -> ((s, dir) => {
+      GeminiFunctions.registerSql(s)
+      val reg = GeminiFunctions.registry
+      val url = concat(lit("https://h"), col("user_id"),
+        lit(".example.com:"), (col("event_id") % 100 + 8000),
+        lit("/p/"), col("event_id"), lit("?k="), col("event_id") % 7)
+      val ip = concat(
+        when(col("user_id") % 4 === 0, lit("10."))
+          .when(col("user_id") % 4 === 1, lit("127."))
+          .when(col("user_id") % 4 === 2, lit("224."))
+          .otherwise(lit("8.")),
+        col("user_id") % 200, lit("."), col("event_id") % 250, lit(".7"))
+      t(s, dir, "events")
+        .select(col("event_id"), url.as("url"), ip.as("ip"))
+        .withColumn("param_k", reg("url_extract_parameter")(
+          Seq(col("url"), lit("k"))))
+        .withColumn("port", reg("url_extract_port")(Seq(col("url"))))
+        .withColumn("domain_class",
+          call_function("ip_to_domain", col("ip")))
+        .orderBy("event_id")
+    }),
+
+    // pipeline: LSH-bucketed ANN — the 100 TB top-k path (bucket
+    // equi-join, candidates bounded per bucket; recall<1 by construction
+    // → rows-only + recall-floor spec vs exact brute force).
+    "q82_ann_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 4), "embedding",
+          "vec_id", dim = 64, planes = 4, k = 5)
+        .withColumn("cos", round(col("cos"), 6))
+        .orderBy("query_id", "rank")
+    }),
+
     // §3.1 InfluxQL grammar completion (sql.y:656-699, :753-769,
     // statement_rewriter.go, ast.go:2160): UNION [ALL], [NOT] IN
     // subqueries, SHOW TAG VALUES, tz() bucketing, time(d, offset).
@@ -1476,6 +1512,23 @@ object SparkEntry {
            ('event_id', 'bigint'), ('props', 'string'),
            ('user_id', 'bigint'), ('value', 'double'))
          t(field_key, field_type) ORDER BY field_key""",
+
+    "q83_scalar_stragglers" ->
+      """SELECT event_id,
+         'https://h' || user_id || '.example.com:' || (event_id % 100 + 8000)
+           || '/p/' || event_id || '?k=' || (event_id % 7) AS url,
+         (CASE WHEN user_id % 4 = 0 THEN '10.'
+               WHEN user_id % 4 = 1 THEN '127.'
+               WHEN user_id % 4 = 2 THEN '224.'
+               ELSE '8.' END) || (user_id % 200) || '.' || (event_id % 250)
+           || '.7' AS ip,
+         CAST(event_id % 7 AS VARCHAR) AS param_k,
+         event_id % 100 + 8000 AS port,
+         CASE WHEN user_id % 4 = 0 THEN 'intranet'
+              WHEN user_id % 4 = 1 THEN 'loopback'
+              WHEN user_id % 4 = 2 THEN 'multicast'
+              ELSE 'internet' END AS domain_class
+         FROM events ORDER BY event_id""",
 
     "q77_influxql_union" ->
       """SELECT * FROM (

@@ -70,6 +70,12 @@ object GeminiFunctions {
     "url_extract_protocol" -> (a => parse_url(a.head, lit("PROTOCOL"))),
     "url_extract_query" -> (a => parse_url(a.head, lit("QUERY"))),
     "url_extract_fragment" -> (a => parse_url(a.head, lit("REF"))),
+    "url_extract_parameter" -> (a => parse_url(a(0), lit("QUERY"), a(1))),
+    // parse_url has no PORT key — take it off AUTHORITY (null if absent)
+    "url_extract_port" -> (a =>
+      nullif(regexp_extract(parse_url(a.head, lit("AUTHORITY")),
+        ":(\\d+)$", 1), lit("")).cast("bigint")),
+    "typeof" -> (a => call_function("typeof", a.head)),
     // JSON (reference json functions → Spark get_json_object/to_json)
     "json_extract" -> (a => call_function("get_json_object", a: _*)),
     "json_extract_scalar" -> (a => call_function("get_json_object", a: _*)),
@@ -130,6 +136,24 @@ object GeminiFunctions {
   val ipInRange: (String, String) => java.lang.Boolean =
     (ip, cidr) => isSubnetOf(cidr, ip)
 
+  /** ip_to_domain(ip) — the reference resolves against a bundled geo
+    * dataset (`query/string_functions.go`); that data isn't shippable
+    * here, so this implements the dataset-free subset: RFC-reserved
+    * range classification. Unknown publics → "internet". */
+  val ipToDomain: String => String = ip =>
+    ipToLong(ip).map { v =>
+      if ((v & maskOf(8)) == 0x7F000000L) "loopback"
+      else if ((v & maskOf(8)) == 0x0A000000L ||
+        (v & maskOf(12)) == 0xAC100000L ||
+        (v & maskOf(16)) == 0xC0A80000L) "intranet"
+      else if ((v & maskOf(4)) == 0xE0000000L) "multicast"
+      else "internet"
+    }.orNull
+
+  /** mobile_carrier(ip) — requires the reference's carrier dataset;
+    * honest null stub (documented, like the Multimodal codec). */
+  val mobileCarrier: String => String = _ => null
+
   /** Register the UDF-backed functions for SQL use. */
   def registerSql(spark: SparkSession): Unit = {
     spark.udf.register("ip_mask", ipMask)
@@ -138,5 +162,7 @@ object GeminiFunctions {
     spark.udf.register("ip_subnet_min", ipSubnetMin)
     spark.udf.register("ip_subnet_max", ipSubnetMax)
     spark.udf.register("ip_in_range", ipInRange)
+    spark.udf.register("ip_to_domain", ipToDomain)
+    spark.udf.register("mobile_carrier", mobileCarrier)
   }
 }

@@ -46,16 +46,19 @@ object SeriesOps {
   }
 
   /** derivative(f, unit): delta / elapsed-time * unit (unit in seconds).
-    * Reference: `call_processor.go:158`. */
+    * Reference: `call_processor.go:158` (non_negative variant :158-165 —
+    * negative rates dropped, not clamped). */
   def derivative(df: DataFrame, field: String, time: String, tags: Seq[String],
                  unitSeconds: Double = 1.0,
-                 tieBreak: Seq[String] = Nil): DataFrame = {
+                 tieBreak: Seq[String] = Nil,
+                 nonNegative: Boolean = false): DataFrame = {
     val win = w(tags, time, tieBreak)
     val tus = tMicros(df, time)
     val dv = col(field) - lag(col(field), 1).over(win)
     val dtSec = (tus - lag(tus, 1).over(win)).cast("double") / 1e6
-    df.withColumn("derivative", dv / dtSec * lit(unitSeconds))
+    val out = df.withColumn("derivative", dv / dtSec * lit(unitSeconds))
       .filter(col("derivative").isNotNull)
+    if (nonNegative) out.filter(col("derivative") >= 0) else out
   }
 
   /** elapsed(f, unit): time delta between consecutive points, integer units.

@@ -171,35 +171,68 @@ object Smoothing {
                   gamma: Double = 0.1,
                   withFit: Boolean = false): DataFrame =
     run(df, field, time, tags, "hw") { pts =>
-      val vs = pts.map(_._2)
-      if (vs.length < math.max(2, 2 * math.max(m, 1))) Array.empty
-      else {
-        val step = if (pts.length > 1)
-          (pts.last._1 - pts.head._1) / (pts.length - 1) else 1L
-        var level = vs(0)
-        var trend = vs(1) - vs(0)
-        val season = if (m > 0) {
-          val s = new Array[Double](m)
-          val mean0 = vs.take(m).sum / m
-          for (i <- 0 until m) s(i) = vs(i) - mean0
-          s
-        } else Array.empty[Double]
-        val fit = Array.newBuilder[(Long, Double)]
-        for (i <- vs.indices) {
-          val si = if (m > 0) season(i % m) else 0.0
-          val pred = level + trend + si
-          if (withFit) fit += ((pts(i)._1, pred))
-          val prevLevel = level
-          level = alpha * (vs(i) - si) + (1 - alpha) * (level + trend)
-          trend = beta * (level - prevLevel) + (1 - beta) * trend
-          if (m > 0) season(i % m) =
-            gamma * (vs(i) - level) + (1 - gamma) * si
-        }
-        val fc = (1 to h).map { k =>
-          val si = if (m > 0) season((vs.length + k - 1) % m) else 0.0
-          (pts.last._1 + step * k, level + trend * k + si)
-        }
-        fit.result() ++ fc
-      }
+      hwSeries(pts, h, m, alpha, beta, gamma, withFit)
+    }
+
+  /** One Holt-Winters pass over a sorted series; shared by the fixed-param
+    * and fitted entry points. Returns (points, one-step-ahead SSE). */
+  private def hwPass(pts: Array[(Long, Double)], h: Int, m: Int,
+                     alpha: Double, beta: Double, gamma: Double,
+                     withFit: Boolean): (Array[(Long, Double)], Double) = {
+    val vs = pts.map(_._2)
+    if (vs.length < math.max(2, 2 * math.max(m, 1)))
+      return (Array.empty, Double.MaxValue)
+    val step = if (pts.length > 1)
+      (pts.last._1 - pts.head._1) / (pts.length - 1) else 1L
+    var level = vs(0)
+    var trend = vs(1) - vs(0)
+    val season = if (m > 0) {
+      val s = new Array[Double](m)
+      val mean0 = vs.take(m).sum / m
+      for (i <- 0 until m) s(i) = vs(i) - mean0
+      s
+    } else Array.empty[Double]
+    val fit = Array.newBuilder[(Long, Double)]
+    var sse = 0.0
+    for (i <- vs.indices) {
+      val si = if (m > 0) season(i % m) else 0.0
+      val pred = level + trend + si
+      if (i > 0) { val e = vs(i) - pred; sse += e * e }
+      if (withFit) fit += ((pts(i)._1, pred))
+      val prevLevel = level
+      level = alpha * (vs(i) - si) + (1 - alpha) * (level + trend)
+      trend = beta * (level - prevLevel) + (1 - beta) * trend
+      if (m > 0) season(i % m) =
+        gamma * (vs(i) - level) + (1 - gamma) * si
+    }
+    val fc = (1 to h).map { k =>
+      val si = if (m > 0) season((vs.length + k - 1) % m) else 0.0
+      (pts.last._1 + step * k, level + trend * k + si)
+    }
+    (fit.result() ++ fc, sse)
+  }
+
+  private def hwSeries(pts: Array[(Long, Double)], h: Int, m: Int,
+                       alpha: Double, beta: Double, gamma: Double,
+                       withFit: Boolean): Array[(Long, Double)] =
+    hwPass(pts, h, m, alpha, beta, gamma, withFit)._1
+
+  /** holt_winters with fitted parameters — the reference optimizes
+    * α/β/γ per series with Nelder-Mead
+    * (`engine/executor/holt_winters_transform.go`); here a deterministic
+    * grid search minimizes the same objective (one-step-ahead SSE),
+    * tie-breaking toward the smallest parameters. The search runs inside
+    * the per-series fold, so it distributes exactly like the fixed-param
+    * version — ~125 recursion passes over each (bounded) series. */
+  def holtWintersFit(df: DataFrame, field: String, time: String,
+                     tags: Seq[String], h: Int, m: Int = 0,
+                     withFit: Boolean = false): DataFrame =
+    run(df, field, time, tags, "hw") { pts =>
+      val grid = Seq(0.1, 0.3, 0.5, 0.7, 0.9)
+      val gammas = if (m > 0) grid else Seq(0.0)
+      val best = (for { a <- grid; b <- grid; g <- gammas }
+        yield ((a, b, g), hwPass(pts, h, m, a, b, g, withFit = false)._2))
+        .minBy { case ((a, b, g), sse) => (sse, a, b, g) }._1
+      hwSeries(pts, h, m, best._1, best._2, best._3, withFit)
     }
 }

@@ -37,4 +37,15 @@ object Sampling {
     sources.map { case (name, df, weight) =>
       sampleByHash(df, keyCol, weight).withColumn("mix_source", lit(name))
     }.reduce(_ unionByName _)
+
+  /** Uniform n-row sample without replacement, seeded: rank rows by a
+    * seeded key hash and take the first n. Same selection distribution a
+    * reservoir draw gives (every n-subset equally likely under hash
+    * uniformity), but deterministic under retries and executed as a
+    * distributed TakeOrdered (per-partition heaps) instead of a
+    * driver-side reservoir. Reference: sample() reservoir,
+    * `query/agg_functions.go`. */
+  def sampleN(df: DataFrame, keyCol: String, n: Int,
+              seed: Long = 0L): DataFrame =
+    df.orderBy(xxhash64(col(keyCol), lit(seed)), col(keyCol)).limit(n)
 }

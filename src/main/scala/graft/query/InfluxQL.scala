@@ -479,7 +479,8 @@ object InfluxQL {
           case Right(inner) => Right(PAnalytic(fn.toLowerCase, inner, extra))
           case Left(field)
               if Set("derivative", "difference", "moving_average",
-                "cumulative_sum", "non_negative_difference")
+                "cumulative_sum", "non_negative_difference",
+                "non_negative_derivative")
                 .contains(fn.toLowerCase) =>
             // analytic directly over the raw field per series
             Right(PAnalytic(fn.toLowerCase, PCall("last", field), extra))
@@ -796,6 +797,9 @@ object InfluxQL {
     def applyAnalytic(b0: DataFrame, a: PAnalytic, src: String,
                       time: String): DataFrame = a.fn match {
       case "derivative" => SeriesOps.derivative(b0, src, time, groupTags)
+      case "non_negative_derivative" =>
+        SeriesOps.derivative(b0, src, time, groupTags, nonNegative = true)
+          .withColumnRenamed("derivative", "non_negative_derivative")
       case "difference" => SeriesOps.difference(b0, src, time, groupTags)
       case "non_negative_difference" =>
         SeriesOps.difference(b0, src, time, groupTags, nonNegative = true)

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.pipeline.{Dedup, Similarity, TextAnalysis}
+import graft.pipeline.{Dedup, Sampling, Similarity, TextAnalysis}
 
 class PipelineSpec extends SparkSpec {
   import spark.implicits._
@@ -170,6 +170,35 @@ class PipelineSpec extends SparkSpec {
       .orderBy("rank").select("neighbor_id", "cos").as[(Long, Double)].collect()
     assert(out.nonEmpty)
     assert(out.map(_._2).sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
+  }
+
+  test("lshTopK recall vs brute force on the driver embeddings") {
+    val emb = Tables.table(spark, sf, "embeddings")
+    val queries = emb.filter($"vec_id" < 8)
+    def topSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val exact = topSet(Similarity.bruteForceTopK(emb, queries,
+      "embedding", "vec_id", 5))
+    val approx = topSet(Similarity.lshTopK(emb, queries,
+      "embedding", "vec_id", dim = 64, planes = 4, k = 5))
+    assert(approx.nonEmpty)
+    // every LSH hit must be a genuinely scored neighbor; recall floor is
+    // modest by design — these embeddings' nearest neighbors sit at
+    // cos≈0.5 (63°), where 4 sign planes agree w.p. ~0.2 per neighbor
+    val recall = (approx & exact).size.toDouble / exact.size
+    assert(recall >= 0.1, s"recall $recall")
+  }
+
+  test("sampleN: deterministic, uniform-ish, exact size") {
+    val docs = Tables.table(spark, sf, "documents")
+    val a = Sampling.sampleN(docs, "doc_id", 50, seed = 7)
+      .select("doc_id").as[Long].collect().toSet
+    val b = Sampling.sampleN(docs, "doc_id", 50, seed = 7)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a == b && a.size == 50)
+    val other = Sampling.sampleN(docs, "doc_id", 50, seed = 8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a != other) // a different seed draws a different subset
   }
 
   test("embeddingNearDup: Hamming-prefiltered result equals the exact " +

@@ -45,6 +45,32 @@ class SmoothingSpec extends SparkSpec {
     assert(math.abs(out(0)._2 - 7.0) < 0.5 && math.abs(out(1)._2 - 8.0) < 0.7)
   }
 
+  test("holt_winters fit: fitted params never lose to the defaults on " +
+      "one-step SSE (noisy trend fixture)") {
+    // deterministic "noisy" ramp: i + hash-ish wobble
+    val series = (1 to 24).map { i =>
+      (i.toLong, i.toDouble + (i * 37 % 5 - 2) * 0.3)
+    }
+    val noisy = series.map { case (t, v) => ("a", t, v) }
+      .toDF("tag", "t", "v")
+    val actual = series.toMap
+    // in-sample one-step SSE of the emitted fitted values (the fit
+    // objective; the grid contains the default (0.5, 0.1), so fitted
+    // can never be worse than the fixed defaults)
+    def sseOf(rows: Array[(Long, Double)]): Double =
+      rows.collect { case (t, p) if actual.contains(t) && t > 1 =>
+        val e = p - actual(t); e * e }.sum
+    val fixed = Smoothing.holtWinters(noisy, "v", "t", Seq("tag"), h = 1,
+        withFit = true)
+      .select("_t", "hw").as[(Long, Double)].collect()
+    val fitted = Smoothing.holtWintersFit(noisy, "v", "t", Seq("tag"),
+        h = 1, withFit = true)
+      .select("_t", "hw").as[(Long, Double)].collect()
+    assert(fitted.length == series.length + 1)
+    assert(sseOf(fitted) <= sseOf(fixed) + 1e-9,
+      s"fitted ${sseOf(fitted)} vs fixed ${sseOf(fixed)}")
+  }
+
   test("kama tracks a ramp with high efficiency ratio") {
     val ramp = (1 to 20).map(i => ("a", i.toLong, i.toDouble))
       .toDF("tag", "t", "v")
