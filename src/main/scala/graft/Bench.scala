@@ -100,9 +100,12 @@ object Bench {
 
     spark.stop()
 
-    // Compact one-liner LAST (minimizes trailing noise before the tail cut).
+    // Compact one-liner LAST (minimizes trailing noise before the tail
+    // cut). 2-decimal per-query values keep 83 queries under the ~2.5 KB
+    // observed tail budget; BENCH_FULL.json has full precision.
+    def r2(d: Double) = math.rint(d * 100) / 100
     def r3(d: Double) = math.rint(d * 1000) / 1000
-    val qs = results.map { case (k, v) => s"\"$k\":${r3(v)}" }
+    val qs = results.map { case (k, v) => s"\"$k\":${r2(v)}" }
       .mkString("{", ",", "}")
     val sfName = sfDir.split('/').last
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfName","floor_s":${r3(floorS)},"oracle_total_s":${r3(oracleTotal)},"within2x_adj":$within2x,"n_baseline":${ratios.size}}""")

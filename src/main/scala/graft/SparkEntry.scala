@@ -984,13 +984,13 @@ object SparkEntry {
     }),
 
     // pipeline: embedding-cosine near-duplicate pairs. Distributed
-    // CartesianProduct tiling + sign-signature Hamming prefilter; cutoff 36
-    // is exact on the driver data (measured worst qualifying pair: h=28 at
-    // sf0.001/sf0.01, h=33 at sf0.1; ≥3-bit margin) — see Dedup scaladoc
-    // for the Binomial(64, θ/π) margin math.
+    // CartesianProduct tiling + sign-signature Hamming prefilter; cutoff 42
+    // is exact on the driver data (measured worst qualifying pair under
+    // the splitmix64 planes: h=26 at sf0.001, 30 at sf0.01, 38 at sf0.1;
+    // ≥4-bit margin) — see Dedup scaladoc for the Binomial(64, θ/π) math.
     "q53_embedding_neardup" -> ((s, dir) => {
       Dedup.embeddingNearDup(t(s, dir, "embeddings"), "embedding", "vec_id",
-          threshold = 0.45, maxHamming = 36)
+          threshold = 0.45, maxHamming = 42)
         .withColumn("cos", round(col("cos"), 6))
         .orderBy("id_a", "id_b")
     })

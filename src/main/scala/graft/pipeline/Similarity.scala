@@ -63,18 +63,31 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cos")
   }
 
-  /** Sign-LSH bucket id: `planes` fixed pseudo-random hyperplanes derived
-    * from xxhash64(dim, plane) — deterministic, no data needed to "train".
-    * Returns a bucket per plane-group for multi-probe joins. */
+  /** splitmix64 finalizer — the ±1 hyperplane weights derive from it so
+    * they are reproducible outside Spark (test oracles, margin math). */
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Sign-LSH bucket id: `planes` fixed pseudo-random ±1 hyperplanes —
+    * deterministic, no data needed to "train".
+    *
+    * Each plane's weights are a driver-side constant ARRAY literal and the
+    * projection is one `zip_with`+`aggregate` pass — the expression tree is
+    * O(planes) nodes with tight per-row loops, not the O(planes×dim)
+    * unrolled tree a per-dimension element_at sum builds (20k expression
+    * nodes blow past codegen method limits and fall back to per-node
+    * interpretation — measured 13× slower on the near-dup bench). */
   def signBucket(vec: Column, dim: Int, planes: Int): Column = {
     val bits = (0 until planes).map { p =>
-      // pseudo-random ±1 weights per (dim, plane) from a hash, folded into
-      // a projection sign — all column math, evaluated once per row.
-      val proj = (0 until dim).map { d =>
-        val w = when((xxhash64(lit(d * 7919 + p * 104729))
-          .bitwiseAND(lit(1L))) === 0L, 1.0).otherwise(-1.0)
-        element_at(vec, d + 1).cast("double") * w
-      }.reduce(_ + _)
+      val ws = (0 until dim).map(d =>
+        if ((mix64(d * 7919L + p * 104729L) & 1L) == 0L) 1.0 else -1.0)
+      val proj = aggregate(
+        zip_with(vec, typedlit(ws), (x, w) => x.cast("double") * w),
+        lit(0.0), (acc, v) => acc + v)
       when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }
     bits.reduce((a, b) => a.bitwiseOR(b))

@@ -180,13 +180,13 @@ class PipelineSpec extends SparkSpec {
     val exact = topSet(Similarity.bruteForceTopK(emb, queries,
       "embedding", "vec_id", 5))
     val approx = topSet(Similarity.lshTopK(emb, queries,
-      "embedding", "vec_id", dim = 64, planes = 4, k = 5))
+      "embedding", "vec_id", dim = 64, planes = 2, k = 5))
     assert(approx.nonEmpty)
-    // every LSH hit must be a genuinely scored neighbor; recall floor is
-    // modest by design — these embeddings' nearest neighbors sit at
-    // cos≈0.5 (63°), where 4 sign planes agree w.p. ~0.2 per neighbor
+    // recall floor is modest by design — these embeddings' nearest
+    // neighbors sit at cos≈0.5 (63°), where even one sign plane agrees
+    // only w.p. ~0.65 per neighbor; 2 planes ⇒ expected recall ~0.42
     val recall = (approx & exact).size.toDouble / exact.size
-    assert(recall >= 0.1, s"recall $recall")
+    assert(recall >= 0.25, s"recall $recall")
   }
 
   test("sampleN: deterministic, uniform-ish, exact size") {
@@ -210,7 +210,7 @@ class PipelineSpec extends SparkSpec {
         .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     val exact = pairs(64)
     assert(exact.nonEmpty)
-    assert(pairs(36) == exact,
-      "h<=36 prefilter must not drop any qualifying pair at this sf")
+    assert(pairs(42) == exact,
+      "h<=42 prefilter must not drop any qualifying pair at this sf")
   }
 }
