@@ -14,7 +14,24 @@ import org.apache.spark.sql.functions._
   * epoch arg at the HTTP layer, `tests/server_test.go:1515`). */
 object ResultShaper {
 
-  private def jsonScalar(v: Any): String = v match {
+  /** HTTP `epoch=` parameter → timestamp scaling (reference accepts
+    * h/m/s/ms/u/ns, `tests/server_test.go:1515`). Timestamps are µs
+    * internally; ns is emitted as µs·1000 (sub-µs digits are zero — the
+    * parquet writer precision note in SURVEY §1.2). */
+  private def epochOf(ts: java.sql.Timestamp, precision: String): Long = {
+    val us = ts.getTime * 1000L + (ts.getNanos / 1000) % 1000
+    precision match {
+      case "h" => us / 3600000000L
+      case "m" => us / 60000000L
+      case "s" => us / 1000000L
+      case "ms" => us / 1000L
+      case "u" | "µ" => us
+      case "ns" => us * 1000L
+      case p => sys.error(s"bad epoch precision: $p")
+    }
+  }
+
+  private def jsonScalar(v: Any, epoch: String = "ms"): String = v match {
     case null => "null"
     case s: String => "\"" + s.flatMap {
       case '"' => "\\\""
@@ -24,15 +41,16 @@ object ResultShaper {
       case c => c.toString
     } + "\""
     case b: Boolean => b.toString
-    case ts: java.sql.Timestamp => ts.getTime.toString // epoch ms
+    case ts: java.sql.Timestamp => epochOf(ts, epoch).toString
     case d: java.sql.Date => "\"" + d.toString + "\""
     case n => n.toString
   }
 
   /** Shape a result into the per-series InfluxQL JSON: one series per
-    * distinct tag set, `columns` = time + fields, `values` = row arrays. */
+    * distinct tag set, `columns` = time + fields, `values` = row arrays.
+    * `epoch` is the HTTP API's precision parameter (default ms). */
   def toSeriesJson(df: DataFrame, name: String, tagCols: Seq[String],
-                   valueCols: Seq[String]): String = {
+                   valueCols: Seq[String], epoch: String = "ms"): String = {
     val rows = df.select((tagCols ++ valueCols).map(col): _*).collect()
     val grouped = rows.groupBy(r => tagCols.map(t => r.getAs[Any](t)))
       .toSeq.sortBy(_._1.map(String.valueOf).mkString(","))
@@ -40,8 +58,9 @@ object ResultShaper {
       val tags = tagCols.zip(tagVals)
         .map { case (k, v) => s"${jsonScalar(k)}:${jsonScalar(v)}" }
         .mkString("{", ",", "}")
-      val columns = valueCols.map(jsonScalar).mkString("[", ",", "]")
-      val values = rs.map(r => valueCols.map(c => jsonScalar(r.getAs[Any](c)))
+      val columns = valueCols.map(c => jsonScalar(c)).mkString("[", ",", "]")
+      val values = rs.map(r => valueCols
+        .map(c => jsonScalar(r.getAs[Any](c), epoch))
         .mkString("[", ",", "]")).mkString("[", ",", "]")
       s"""{"name":${jsonScalar(name)},"tags":$tags,"columns":$columns,"values":$values}"""
     }.mkString("[", ",", "]")

@@ -123,4 +123,16 @@ class SourcesSpec extends SparkSpec {
     assert(json.contains("[1704067200000,1.5]"))
     assert(json.startsWith("""{"results":[{"statement_id":0,"series":["""))
   }
+
+  test("result shaper honors the epoch precision parameter") {
+    val df = Seq(("a", new java.sql.Timestamp(1704067200000L), 1.5))
+      .toDF("host", "time", "mean")
+    def at(p: String) = ResultShaper.toSeriesJson(df, "cpu", Seq("host"),
+      Seq("time", "mean"), epoch = p)
+    assert(at("s").contains("[1704067200,1.5]"))
+    assert(at("ms").contains("[1704067200000,1.5]"))
+    assert(at("u").contains("[1704067200000000,1.5]"))
+    assert(at("ns").contains("[1704067200000000000,1.5]"))
+    assert(at("h").contains("[473352,1.5]"))
+  }
 }
