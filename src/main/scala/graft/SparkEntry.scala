@@ -860,6 +860,15 @@ object SparkEntry {
         .orderBy("event_type", "eval_ms")
     }),
 
+    // §2.5 PromQL deriv/predict_linear: least-squares slope per range
+    // window + extrapolated value 10 minutes past each eval.
+    "q84_prom_deriv" -> ((s, dir) => {
+      PromRange.linearRegression(t(s, dir, "events"), "ts", "value",
+          Seq("event_type"), range = "2 hours", step = "1 hour",
+          predictSeconds = 600.0)
+        .orderBy("event_type", "eval_ms")
+    }),
+
     // §2.8 scalar stragglers: url_extract_parameter/port (synthetic URLs
     // with ports), ip_to_domain range classification (synthetic IPs with
     // a known class per user_id bucket).
@@ -1512,6 +1521,35 @@ object SparkEntry {
            ('event_id', 'bigint'), ('props', 'string'),
            ('user_id', 'bigint'), ('value', 'double'))
          t(field_key, field_type) ORDER BY field_key""",
+
+    // Mirrors PromRange.linearRegression: x in hours from window start,
+    // DECIMAL(28,6) moment sums, identical closing float shapes.
+    "q84_prom_deriv" ->
+      """WITH pts AS (
+           SELECT event_type, value, epoch_us(ts) AS tus,
+             unnest([epoch_ms(date_trunc('hour', ts)) + 3600000,
+                     epoch_ms(date_trunc('hour', ts)) + 7200000]) AS eval_ms
+           FROM events),
+         agg AS (
+           SELECT event_type, eval_ms, count(*) AS n,
+             CAST(sum(CAST((tus - (eval_ms - 7200000)*1000)/3600000000.0
+               AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+             CAST(sum(CAST((tus - (eval_ms - 7200000)*1000)/3600000000.0
+               * value AS DECIMAL(28,6))) AS DOUBLE) AS sxy,
+             CAST(sum(CAST((tus - (eval_ms - 7200000)*1000)/3600000000.0
+               * ((tus - (eval_ms - 7200000)*1000)/3600000000.0)
+               AS DECIMAL(28,6))) AS DOUBLE) AS sxx,
+             min(tus) AS t0, max(tus) AS t1
+           FROM pts GROUP BY 1, 2),
+         m AS (
+           SELECT *, (n*sxy - sx*sy)/(n*sxx - sx*sx) AS slope_h
+           FROM agg WHERE n > 1 AND t1 <> t0)
+         SELECT event_type, eval_ms, n,
+           slope_h/3600.0 AS deriv,
+           (sy/n - slope_h*(sx/n)) + slope_h*(2.0 + 600.0/3600.0)
+             AS predict
+         FROM m ORDER BY event_type, eval_ms""",
 
     "q83_scalar_stragglers" ->
       """SELECT event_id,

@@ -590,6 +590,22 @@ object PromQL {
             rest :+ "eval_ms", le = "_le_num")
           .withColumnRenamed("quantile", "value")
         Left(Vec(out, rest))
+      case fn @ ("deriv" | "predict_linear") =>
+        val s = f.args.head match {
+          case sel: Sel if sel.rangeS.isDefined => sel
+          case other =>
+            sys.error(s"$fn expects a range vector, got $other")
+        }
+        val predictS =
+          if (fn == "predict_linear") scalarArg(f.args(1)) else 0.0
+        val (m, df) = metricOf(s)
+        val out = PromRange.linearRegression(df, m.time, m.value, m.labels,
+            s"${s.rangeS.get} seconds", stepStr, predictS,
+            inclusiveEnd = true)
+          .withColumn("value",
+            col(if (fn == "deriv") "deriv" else "predict").cast("double"))
+        Left(Vec(out.select((m.labels.map(col) :+ col("eval_ms") :+
+          col("value")): _*), m.labels))
       case fn =>
         // range-vector function: the argument must be a range selector
         f.args.head match {

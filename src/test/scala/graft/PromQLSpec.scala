@@ -269,6 +269,21 @@ class PromQLSpec extends SparkSpec {
     assert(math.abs(out - 22.5 / 900.0) < 1e-12)
   }
 
+  test("deriv and predict_linear from PromQL text") {
+    val cdf = Seq(10.0, 20.0, 30.0).zipWithIndex.map { case (v, i) =>
+      ("a", new Timestamp((i + 1) * 600000L), v, i.toLong)
+    }.toDF("job", "ts", "value", "id")
+    val c = Map("m" -> Metric(cdf, Seq("job"), tie = Seq("id")))
+    val d = PromQL.evaluate(c, "deriv(m[30m])", "1800 seconds")
+      .filter($"eval_ms" === 1800000L).select("value").as[Double]
+      .collect().head
+    assert(math.abs(d - 1.0 / 60.0) < 1e-6)
+    val p = PromQL.evaluate(c, "predict_linear(m[30m], 600)", "1800 seconds")
+      .filter($"eval_ms" === 1800000L).select("value").as[Double]
+      .collect().head
+    assert(math.abs(p - 40.0) < 1e-3) // ramp value at 40min
+  }
+
   test("parser rejects trailing garbage and unknown metrics") {
     intercept[Exception](PromQL.evaluate(cat, "requests}", "300 seconds"))
     intercept[Exception](PromQL.evaluate(cat, "nope", "300 seconds"))

@@ -78,6 +78,21 @@ class PromRangeSpec extends SparkSpec {
     assert(out == ((2.0 / 600.0, -28.0)))
   }
 
+  test("linearRegression: exact slope and extrapolation on a ramp") {
+    // v = t_minutes at t=10,20,30min in a [0,60m) window: slope = 1/min
+    val cdf = Seq(10.0, 20.0, 30.0).zipWithIndex.map { case (v, i) =>
+      ("a", new Timestamp((i + 1) * 600000L), v)
+    }.toDF("job", "time", "value")
+    val out = PromRange.linearRegression(cdf, "time", "value", Seq("job"),
+        range = "60 minutes", step = "60 minutes", predictSeconds = 600.0)
+      .select("n", "deriv", "predict")
+      .as[(Long, Double, Double)].collect().head
+    assert(out._1 == 3L)
+    assert(math.abs(out._2 - 1.0 / 60.0) < 1e-6)      // per-second slope
+    // regression value at window end + 10min = v(70min) = 70
+    assert(math.abs(out._3 - 70.0) < 1e-3)
+  }
+
   test("counterRate drops windows with <2 samples") {
     val cdf = Seq(("a", new Timestamp(600000L), 1.0, 0L))
       .toDF("job", "time", "value", "id")
