@@ -69,7 +69,7 @@ object PromQL {
   private case class TOp(s: String) extends Tok
 
   private val aggOps = Set("sum", "avg", "min", "max", "count", "topk",
-    "bottomk", "count_values", "group", "stddev", "stdvar")
+    "bottomk", "count_values", "group", "stddev", "stdvar", "quantile")
 
   private def lex(q: String): List[Tok] = {
     val out = List.newBuilder[Tok]
@@ -263,7 +263,7 @@ object PromQL {
       expectOp("(")
       // topk/bottomk/count_values take a leading parameter
       val param =
-        if (Set("topk", "bottomk").contains(op)) {
+        if (Set("topk", "bottomk", "quantile").contains(op)) {
           val p = parseExpr(); expectOp(","); Some(p)
         } else if (op == "count_values") {
           var parens = 0
@@ -484,6 +484,15 @@ object PromQL {
         case "stdvar" =>
           Vec(df0.groupBy(groups: _*)
             .agg(var_pop(col("value")).as("value")), keep)
+        case "quantile" =>
+          // Prometheus interpolates at rank q·(n−1) — the R-7 estimator,
+          // which is exactly Spark's percentile()
+          val q = a.param match {
+            case Some(Num(v)) => v
+            case other => sys.error(s"quantile needs a number: $other")
+          }
+          Vec(df0.groupBy(groups: _*)
+            .agg(expr(s"percentile(value, $q)").as("value")), keep)
         case "count_values" =>
           val label = a.param match {
             case Some(StrArg(s)) => s

@@ -74,9 +74,9 @@ class PromQLSpec extends SparkSpec {
   /** Queries using only features the frontend supports. */
   private def supported(q: String): Boolean = {
     val lower = q.toLowerCase
-    val banned = Seq("quantile", "scalar(", "limitk", "limit_ratio",
-      "absent", "stddev_over_time", "mad_over_time", "@", "atan2",
-      "holt_winters", "predict_linear", "deriv", "sort", "time()",
+    val banned = Seq("quantile_over_time", "scalar(", "limitk",
+      "limit_ratio", "absent", "stddev_over_time", "mad_over_time", "@",
+      "atan2", "holt_winters", "sort", "time()",
       "vector(", "histogram_", "{__name__",
       "big") // near-DoubleMax means need Prometheus's incremental mean
     !banned.exists(lower.contains)
