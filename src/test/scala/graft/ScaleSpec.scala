@@ -99,6 +99,25 @@ class ScaleSpec extends SparkSpec {
       .findAllIn(plan).size <= 4)
   }
 
+  test("round-3 PromQL/frontend queries keep scale-safe plans") {
+    for (q <- Seq("q72_prom_counter_rate", "q73_promql_agg",
+        "q74_promql_binop", "q75_promql_rate", "q84_prom_deriv",
+        "q81_influxql_time_offset")) {
+      val plan = planOf(SparkEntry.queries(q)(spark, sf))
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$q: BNLJ")
+      assert(!plan.contains("CartesianProduct"), s"$q: cartesian")
+      // aggregations stay partial-before-shuffle
+      assert("HashAggregate|ObjectHashAggregate|SortAggregate".r
+        .findAllIn(plan).nonEmpty, s"$q: no aggregation found")
+    }
+    // topk's ranking window must be partitioned (by eval step), never
+    // a single-partition global sort
+    val topk = planOf(SparkEntry.queries("q76_promql_topk")(spark, sf))
+    val winLine = topk.split("\n").find(_.contains("Window "))
+    assert(winLine.isDefined && winLine.get.contains("eval_ms"),
+      s"q76 window must partition by eval_ms:\n${winLine.getOrElse("")}")
+  }
+
   test("slimit ranks series with a distributed top-n, not a global window") {
     val q = SparkEntry.queries("q30_slimit")(spark, sf)
     val plan = planOf(q)
