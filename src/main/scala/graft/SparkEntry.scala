@@ -992,6 +992,16 @@ object SparkEntry {
           col("user"))
     }),
 
+    // PromQL subquery: the inner aggregation evaluates at its own
+    // resolution and feeds the outer range function (reference
+    // LogicalPromSubquery, logic_plan.go:4698).
+    "q85_promql_subquery" -> ((s, dir) => {
+      graft.query.PromQL.evaluate(promCatalog(s, dir),
+          "max_over_time(sum by (event_type) (events)[2h:1h])",
+          step = "1 hour", lookback = "1 hour")
+        .orderBy("event_type", "eval_ms")
+    }),
+
     // pipeline: embedding-cosine near-duplicate pairs. Distributed
     // CartesianProduct tiling + sign-signature Hamming prefilter; cutoff 42
     // is exact on the driver data (measured worst qualifying pair under
@@ -1521,6 +1531,30 @@ object SparkEntry {
            ('event_id', 'bigint'), ('props', 'string'),
            ('user_id', 'bigint'), ('value', 'double'))
          t(field_key, field_type) ORDER BY field_key""",
+
+    // Subquery: inner = q73's hourly instant sums; outer window membership
+    // mirrors the -1ms end-inclusive rule on the inner eval epochs
+    // (t' = eval_ms - 1, range 2h).
+    "q85_promql_subquery" ->
+      """WITH iv AS (
+           SELECT event_type, CAST(user_id AS VARCHAR) AS usr,
+             k * 3600000 AS eval_ms,
+             last(value ORDER BY epoch_us(ts), event_id) AS v
+           FROM (SELECT *, (epoch_us(ts) - 1000) // 1000 AS tms FROM events),
+             unnest(generate_series(tms // 3600000 + 1,
+               (tms + 3600001) // 3600000)) AS t(k)
+           GROUP BY 1, 2, 3),
+         sums AS (
+           SELECT event_type, eval_ms,
+             CAST(sum(CAST(v AS DECIMAL(28,10))) AS DOUBLE) AS sv
+           FROM iv GROUP BY 1, 2),
+         outer_pts AS (
+           SELECT event_type, sv, k2 * 3600000 AS out_ms
+           FROM sums,
+             unnest(generate_series((eval_ms - 1) // 3600000 + 1,
+               ((eval_ms - 1) + 7200000) // 3600000)) AS t(k2))
+         SELECT event_type, out_ms AS eval_ms, max(sv) AS value
+         FROM outer_pts GROUP BY 1, 2 ORDER BY 1, 2""",
 
     // Mirrors PromRange.linearRegression: x in hours from window start,
     // DECIMAL(28,6) moment sums, identical closing float shapes.

@@ -51,6 +51,12 @@ object PromQL {
   case class Num(v: Double) extends Expr
   case class Sel(name: String, matchers: Seq[(String, String, String)],
                  rangeS: Option[Long], offsetS: Long) extends Expr
+  /** `<expr>[range:resolution]` — a subquery: the inner expression is
+    * evaluated at `resolution` steps and the resulting series feed the
+    * enclosing range function (reference `LogicalPromSubquery`,
+    * `logic_plan.go:4698`). */
+  case class SubQ(inner: Expr, rangeS: Long, stepS: Option[Long])
+    extends Expr
   case class FnCall(fn: String, args: Seq[Expr]) extends Expr
   case class Agg(op: String, by: Option[Seq[String]],
                  without: Option[Seq[String]],
@@ -109,7 +115,9 @@ object PromQL {
           }
         } else out += TNum(q.substring(start, i).toDouble)
       }
-      else if (c.isLetter || c == '_' || c == ':') {
+      else if (c.isLetter || c == '_') {
+        // ':' continues an identifier (recording-rule names) but never
+        // starts one — a leading ':' is the subquery resolution separator
         val start = i
         while (i < n && (q(i).isLetterOrDigit || q(i) == '_' ||
           q(i) == ':')) i += 1
@@ -229,7 +237,27 @@ object PromQL {
     private def parseOptLabelList(): Seq[String] =
       if (isOp("(")) parseLabelList() else Nil
 
-    private def parseAtom(): Expr = next() match {
+    private def parseAtom(): Expr = subqueryTail(parseAtom0())
+
+    /** `[d:r]` after any expression = subquery (a bare `[d]` is only
+      * produced inside selectors, handled by parseSelectorTail). */
+    private def subqueryTail(e: Expr): Expr =
+      if (isOp("[")) {
+        next()
+        val range = next() match {
+          case TDur(s) => s
+          case t => sys.error(s"expected duration, got $t")
+        }
+        expectOp(":")
+        val step = peek match {
+          case Some(TDur(s)) => next(); Some(s)
+          case _ => None
+        }
+        expectOp("]")
+        SubQ(e, range, step)
+      } else e
+
+    private def parseAtom0(): Expr = next() match {
       case TNum(v) => Num(v)
       case TOp("(") =>
         val e = parseExpr(); expectOp(")"); e
@@ -306,12 +334,22 @@ object PromQL {
         expectOp("}")
       }
       var range: Option[Long] = None
+      var subStep: Option[Option[Long]] = None // Some(step) when `[d:r]`
       if (isOp("[")) {
         next()
-        range = next() match {
-          case TDur(s) => Some(s)
+        val d = next() match {
+          case TDur(s) => s
           case t => sys.error(s"expected duration, got $t")
         }
+        if (isOp(":")) { // selector subquery m[d:r]
+          next()
+          val st = peek match {
+            case Some(TDur(s)) => next(); Some(s)
+            case _ => None
+          }
+          subStep = Some(st)
+          range = Some(d)
+        } else range = Some(d)
         expectOp("]")
       }
       var offset = 0L
@@ -322,7 +360,11 @@ object PromQL {
           case t => sys.error(s"expected duration after offset, got $t")
         }
       }
-      Sel(name, matchers.result(), range, offset)
+      subStep match {
+        case Some(st) =>
+          SubQ(Sel(name, matchers.result(), None, offset), range.get, st)
+        case None => Sel(name, matchers.result(), range, offset)
+      }
     }
   }
 
@@ -356,6 +398,8 @@ object PromQL {
         require(s.rangeS.isEmpty,
           s"range vector ${s.name}[..] outside a range function")
         Left(instant(s))
+      case sq: SubQ =>
+        sys.error("subquery [d:r] is only valid inside a range function")
       case a: Agg => Left(evalAgg(a))
       case f: FnCall => evalFn(f)
       case b: Bin => evalBin(b)
@@ -398,10 +442,31 @@ object PromQL {
       Vec(out, m.labels)
     }
 
-    /** Range selector `m[d]` routed through fn; evaluates per step. */
-    private def rangeFn(fn: String, s: Sel): Vec = {
-      val (m, df) = metricOf(s)
-      val range = s"${s.rangeS.get} seconds"
+    /** A range-function argument: either a range selector `m[d]` (raw
+      * samples) or a subquery `expr[d:r]` (the inner expression evaluated
+      * at r-steps becomes the sample stream). */
+    private def rangeSource(fn: String, arg: Expr): (DataFrame, Metric,
+        Long) = arg match {
+      case s: Sel if s.rangeS.isDefined =>
+        val (m, df) = metricOf(s)
+        (df, m.copy(df = df), s.rangeS.get)
+      case sq: SubQ =>
+        val inner = new Eval(catalog, sq.stepS.getOrElse(stepS), lookbackS)
+        val v = inner.evalVec(sq.inner) match {
+          case Left(x) => x
+          case Right(d) => sys.error(s"scalar subquery: $d")
+        }
+        val df = v.df.withColumn("__ts", timestamp_millis(col("eval_ms")))
+        (df, Metric(df, v.labels, time = "__ts", value = "value",
+          tie = Nil), sq.rangeS)
+      case other =>
+        sys.error(s"function $fn expects a range vector, got $other")
+    }
+
+    /** Range vector routed through fn; evaluates per step. */
+    private def rangeFn(fn: String, arg: Expr): Vec = {
+      val (df, m, rangeS) = rangeSource(fn, arg)
+      val range = s"$rangeS seconds"
       val counterCols = Map("rate" -> "rate", "increase" -> "increase",
         "delta" -> "delta", "irate" -> "irate", "idelta" -> "idelta")
       val overCols = Map("sum_over_time" -> "sum_ot",
@@ -600,28 +665,18 @@ object PromQL {
           .withColumnRenamed("quantile", "value")
         Left(Vec(out, rest))
       case fn @ ("deriv" | "predict_linear") =>
-        val s = f.args.head match {
-          case sel: Sel if sel.rangeS.isDefined => sel
-          case other =>
-            sys.error(s"$fn expects a range vector, got $other")
-        }
+        val (df, m, rangeS) = rangeSource(fn, f.args.head)
         val predictS =
           if (fn == "predict_linear") scalarArg(f.args(1)) else 0.0
-        val (m, df) = metricOf(s)
         val out = PromRange.linearRegression(df, m.time, m.value, m.labels,
-            s"${s.rangeS.get} seconds", stepStr, predictS,
-            inclusiveEnd = true)
+            s"$rangeS seconds", stepStr, predictS, inclusiveEnd = true)
           .withColumn("value",
             col(if (fn == "deriv") "deriv" else "predict").cast("double"))
         Left(Vec(out.select((m.labels.map(col) :+ col("eval_ms") :+
           col("value")): _*), m.labels))
       case fn =>
-        // range-vector function: the argument must be a range selector
-        f.args.head match {
-          case s: Sel if s.rangeS.isDefined => Left(rangeFn(fn, s))
-          case other =>
-            sys.error(s"function $fn expects a range vector, got $other")
-        }
+        // range-vector function over a range selector or subquery
+        Left(rangeFn(fn, f.args.head))
     }
 
     private def scalarMath(fn: String, x: Double): Double = fn match {

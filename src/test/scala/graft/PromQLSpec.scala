@@ -284,6 +284,30 @@ class PromQLSpec extends SparkSpec {
     assert(math.abs(p - 40.0) < 1e-3) // ramp value at 40min
   }
 
+  test("subquery: range function over an inner aggregation") {
+    // two series; sum(m) at 10m-steps = 11, 22, 33 → max over (0,30m] = 33
+    val rows = Seq(("a", 1, 1.0), ("a", 2, 2.0), ("a", 3, 3.0),
+      ("b", 1, 10.0), ("b", 2, 20.0), ("b", 3, 30.0))
+      .zipWithIndex.map { case ((j, step, v), i) =>
+        (j, new Timestamp(step * 600000L), v, i.toLong)
+      }.toDF("job", "ts", "value", "id")
+    val c = Map("m" -> Metric(rows, Seq("job"), tie = Seq("id")))
+    val out = PromQL.evaluate(c, "max_over_time(sum(m)[30m:10m])",
+        "1800 seconds")
+      .filter($"eval_ms" === 1800000L)
+      .select("value").as[Double].collect().toSeq
+    assert(out == Seq(33.0))
+    // bare selector subquery form parses too
+    val last = PromQL.evaluate(c, "last_over_time(m[30m:10m])",
+        "1800 seconds")
+      .filter($"eval_ms" === 1800000L)
+      .select("job", "value").as[(String, Double)].collect().toSet
+    assert(last == Set(("a", 3.0), ("b", 30.0)))
+    // subqueries outside a range function are rejected
+    intercept[Exception](PromQL.evaluate(c, "sum(m)[30m:10m]",
+      "1800 seconds"))
+  }
+
   test("parser rejects trailing garbage and unknown metrics") {
     intercept[Exception](PromQL.evaluate(cat, "requests}", "300 seconds"))
     intercept[Exception](PromQL.evaluate(cat, "nope", "300 seconds"))
