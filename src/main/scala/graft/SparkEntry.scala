@@ -992,6 +992,16 @@ object SparkEntry {
           col("user"))
     }),
 
+    // PromQL absent(): 1 at each eval step where the filtered vector is
+    // empty; grid from the metric's own extent, labels from equality
+    // matchers.
+    "q86_promql_absent" -> ((s, dir) => {
+      graft.query.PromQL.evaluate(promCatalog(s, dir),
+          """absent(events{event_type="error", user="1"})""",
+          step = "1 hour", lookback = "1 hour")
+        .orderBy("eval_ms")
+    }),
+
     // PromQL subquery: the inner aggregation evaluates at its own
     // resolution and feeds the outer range function (reference
     // LogicalPromSubquery, logic_plan.go:4698).
@@ -1531,6 +1541,27 @@ object SparkEntry {
            ('event_id', 'bigint'), ('props', 'string'),
            ('user_id', 'bigint'), ('value', 'double'))
          t(field_key, field_type) ORDER BY field_key""",
+
+    "q86_promql_absent" ->
+      """WITH bounds AS (
+           SELECT (epoch_ms(min(ts)) + 3599999) // 3600000 AS kmin,
+                  (epoch_ms(max(ts)) + 3599999) // 3600000 AS kmax
+           FROM events),
+         grid AS (
+           SELECT unnest(generate_series(kmin, kmax)) * 3600000 AS eval_ms
+           FROM bounds),
+         present AS (
+           SELECT DISTINCT k * 3600000 AS eval_ms
+           FROM (SELECT (epoch_us(ts) - 1000) // 1000 AS tms FROM events
+                 WHERE event_type = 'error'
+                   AND CAST(user_id AS VARCHAR) = '1'),
+             unnest(generate_series(tms // 3600000 + 1,
+               (tms + 3600001) // 3600000)) AS t(k))
+         SELECT 'error' AS event_type, '1' AS "user", eval_ms,
+           1.0 AS value
+         FROM grid
+         WHERE eval_ms NOT IN (SELECT eval_ms FROM present)
+         ORDER BY eval_ms""",
 
     // Subquery: inner = q73's hourly instant sums; outer window membership
     // mirrors the -1ms end-inclusive rule on the inner eval epochs

@@ -664,6 +664,40 @@ object PromQL {
             rest :+ "eval_ms", le = "_le_num")
           .withColumnRenamed("quantile", "value")
         Left(Vec(out, rest))
+      case fn @ ("absent" | "absent_over_time") =>
+        // 1 at every eval step where the (filtered) vector is empty. The
+        // eval grid derives from the metric's own time extent (a batch
+        // range-query has no external start/end); output labels are the
+        // selector's equality matchers, per Prometheus.
+        val s = f.args.head match {
+          case sel: Sel if fn == "absent" && sel.rangeS.isEmpty => sel
+          case sel: Sel if fn == "absent_over_time" && sel.rangeS.isDefined =>
+            sel
+          case other => sys.error(s"$fn: bad argument $other")
+        }
+        val (m, _) = metricOf(s)
+        val present =
+          (if (fn == "absent") instant(s).df
+           else rangeFn("count_over_time", s).df)
+            .select(col("eval_ms")).distinct()
+        val ssMs = stepS * 1000L
+        val spark = m.df.sparkSession
+        val bounds = m.df.agg(min(unix_millis(col(m.time))),
+          max(unix_millis(col(m.time)))).collect()(0)
+        val grid =
+          if (bounds.isNullAt(0)) spark.range(0, 0)
+            .select((col("id") * ssMs).as("eval_ms"))
+          else {
+            val kmin = (bounds.getLong(0) + ssMs - 1) / ssMs
+            val kmax = (bounds.getLong(1) + ssMs - 1) / ssMs
+            spark.range(kmin, kmax + 1)
+              .select((col("id") * ssMs).as("eval_ms"))
+          }
+        val eqLabels = s.matchers.collect { case (l, "=", v) => l -> v }
+        var out = grid.join(present, Seq("eval_ms"), "left_anti")
+          .withColumn("value", lit(1.0))
+        eqLabels.foreach { case (l, v) => out = out.withColumn(l, lit(v)) }
+        Left(Vec(out, eqLabels.map(_._1)))
       case fn @ ("deriv" | "predict_linear") =>
         val (df, m, rangeS) = rangeSource(fn, f.args.head)
         val predictS =

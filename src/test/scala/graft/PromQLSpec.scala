@@ -308,6 +308,25 @@ class PromQLSpec extends SparkSpec {
       "1800 seconds"))
   }
 
+  test("absent(): 1 on steps with no matching samples, matcher labels") {
+    // samples only at 10m and 30m → with 10m steps/lookback, 20m... all
+    // steps have lookback [T-10m,T]: 10m ✓, 20m covers (10m sample at
+    // exactly T-10m → INCLUSIVE → present), 30m ✓ — use a 5m lookback
+    val rows = Seq(("x", new Timestamp(600000L), 1.0, 0L),
+      ("x", new Timestamp(1800000L), 2.0, 1L))
+      .toDF("job", "ts", "value", "id")
+    val c = Map("m" -> Metric(rows, Seq("job"), tie = Seq("id")))
+    val out = PromQL.evaluate(c, """absent(m{job="x"})""", "600 seconds",
+        lookback = "5 minutes")
+      .select("eval_ms", "job", "value")
+      .as[(Long, String, Double)].collect().toSet
+    assert(out == Set((1200000L, "x", 1.0))) // only the 20m step is empty
+    val none = PromQL.evaluate(c, """absent(m{job="nope"})""",
+        "600 seconds", lookback = "5 minutes")
+      .count()
+    assert(none == 3L) // absent everywhere on the 10/20/30m grid
+  }
+
   test("parser rejects trailing garbage and unknown metrics") {
     intercept[Exception](PromQL.evaluate(cat, "requests}", "300 seconds"))
     intercept[Exception](PromQL.evaluate(cat, "nope", "300 seconds"))
