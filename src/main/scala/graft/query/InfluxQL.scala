@@ -750,6 +750,7 @@ object InfluxQL {
         case "spread" => max(f) - min(f)
         case "stddev" => stddev(f)
         case "median" => expr(s"percentile(${p.field}, 0.5)")
+        case "mode" => expr(s"mode(${p.field})")
         case "distinct" => countDistinct(f)
         case "percentile" =>
           expr(s"percentile(${p.field}, ${p.extra.getOrElse(0.5) / 100})")
@@ -843,6 +844,22 @@ object InfluxQL {
         val n = c.extra.getOrElse(1.0).toInt
         SeriesOps.topPerSeries(df, c.field, m.time, groupTags, n,
             bottom = c.fn == "bottom")
+          .select((Seq(unix_millis(col(m.time)).as("wstart_ms")) ++
+            groupTags.map(col) :+ col(c.field).as(c.fn)): _*)
+      } else if (calls.exists(_.fn == "sample")) {
+        // sample(f, n): n rows per series, reservoir-equivalent — rank by
+        // a deterministic row hash inside each series partition (the
+        // reference draws a reservoir, `query/agg_functions.go`; a seeded
+        // hash rank gives the same selection distribution, retry-stable)
+        require(calls.size == 1 && exprs.isEmpty,
+          "sample must be the only projection")
+        val c = calls.head
+        val n = c.extra.getOrElse(1.0).toInt
+        val hw = Window.partitionBy(groupTags.map(col): _*)
+          .orderBy(xxhash64(unix_micros(col(m.time)), col(c.field)),
+            unix_micros(col(m.time)))
+        df.withColumn("_hr", row_number().over(hw))
+          .filter(col("_hr") <= n)
           .select((Seq(unix_millis(col(m.time)).as("wstart_ms")) ++
             groupTags.map(col) :+ col(c.field).as(c.fn)): _*)
       } else if (calls.nonEmpty || exprCalls.nonEmpty) {

@@ -162,6 +162,19 @@ class InfluxQLSpec extends SparkSpec {
     assert(out == Seq(1L, 0L, 1L))
   }
 
+  test("sample(f, n) draws n deterministic rows per series; mode() works") {
+    val out = run("SELECT sample(value, 2) FROM cpu GROUP BY host")
+      .select("host", "sample").as[(String, Double)].collect()
+    assert(out.count(_._1 == "server01") == 2)
+    assert(out.count(_._1 == "server02") == 2)
+    val again = run("SELECT sample(value, 2) FROM cpu GROUP BY host")
+      .select("host", "sample").as[(String, Double)].collect()
+    assert(out.toSet == again.toSet) // deterministic selection
+    val m = run("SELECT mode(core) FROM cpu WHERE host = 'server01'")
+      .select("mode").as[Long].collect().head
+    assert(Set(1L, 2L, 3L).contains(m)) // all unique → any one value
+  }
+
   test("global aggregate without grouping") {
     val out = run("SELECT count(value), percentile(value, 50) FROM cpu")
       .select("count", "percentile").as[(Long, Double)].collect().head
