@@ -46,6 +46,36 @@ object ResultShaper {
     case n => n.toString
   }
 
+  /** Chunked form (`chunked=true&chunk_size=n`): each chunk is a complete
+    * response document carrying at most `chunkSize` rows of one series;
+    * a series split across chunks is marked `"partial":true` on every
+    * chunk but its last — the reference's chunking contract
+    * (`httpsender_transform.go` chunked emission). The driver-facing
+    * collect stays the single deliberate one; chunking just segments the
+    * already-final rows. */
+  def toSeriesJsonChunked(df: DataFrame, name: String, tagCols: Seq[String],
+                          valueCols: Seq[String], chunkSize: Int,
+                          epoch: String = "ms"): Seq[String] = {
+    val rows = df.select((tagCols ++ valueCols).map(col): _*).collect()
+    val grouped = rows.groupBy(r => tagCols.map(t => r.getAs[Any](t)))
+      .toSeq.sortBy(_._1.map(String.valueOf).mkString(","))
+    grouped.flatMap { case (tagVals, rs) =>
+      val tags = tagCols.zip(tagVals)
+        .map { case (k, v) => s"${jsonScalar(k)}:${jsonScalar(v)}" }
+        .mkString("{", ",", "}")
+      val columns = valueCols.map(c => jsonScalar(c)).mkString("[", ",", "]")
+      val chunks = rs.grouped(chunkSize).toSeq
+      chunks.zipWithIndex.map { case (chunk, i) =>
+        val values = chunk.map(r => valueCols
+          .map(c => jsonScalar(r.getAs[Any](c), epoch))
+          .mkString("[", ",", "]")).mkString("[", ",", "]")
+        val partial = if (i < chunks.size - 1) ""","partial":true""" else ""
+        s"""{"results":[{"statement_id":0,"series":[{"name":${
+          jsonScalar(name)},"tags":$tags,"columns":$columns,"values":$values$partial}]}]}"""
+      }
+    }
+  }
+
   /** Shape a result into the per-series InfluxQL JSON: one series per
     * distinct tag set, `columns` = time + fields, `values` = row arrays.
     * `epoch` is the HTTP API's precision parameter (default ms). */

@@ -124,6 +124,18 @@ class SourcesSpec extends SparkSpec {
     assert(json.startsWith("""{"results":[{"statement_id":0,"series":["""))
   }
 
+  test("result shaper chunked form splits series and marks partials") {
+    val df = Seq(("a", 1L, 1.0), ("a", 2L, 2.0), ("a", 3L, 3.0),
+      ("b", 1L, 9.0)).toDF("host", "t_ms", "mean")
+    val chunks = ResultShaper.toSeriesJsonChunked(df, "cpu", Seq("host"),
+      Seq("t_ms", "mean"), chunkSize = 2)
+    assert(chunks.size == 3) // a → 2 chunks, b → 1
+    assert(chunks(0).contains(""""partial":true"""))
+    assert(!chunks(1).contains(""""partial"""")) // last chunk of series a
+    assert(!chunks(2).contains(""""partial""""))
+    assert(chunks.forall(_.startsWith("""{"results":[{"statement_id":0""")))
+  }
+
   test("result shaper honors the epoch precision parameter") {
     val df = Seq(("a", new java.sql.Timestamp(1704067200000L), 1.5))
       .toDF("host", "time", "mean")
