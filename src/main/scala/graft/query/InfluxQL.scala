@@ -146,6 +146,8 @@ object InfluxQL {
   case class CStr(s: String) extends CondV
   case class CRegex(s: String) extends CondV
   case class CDur(ns: Long) extends CondV
+  /** `now() [± duration]` — evaluated at compile time (ast.go nowValuer). */
+  case class CNow(deltaNs: Long) extends CondV
 
   case class Cond(field: String, op: String, v: CondV)
 
@@ -535,6 +537,17 @@ object InfluxQL {
         case TStr(s) => CStr(s)
         case TRegex(r) => CRegex(r)
         case TDur(ns) => CDur(ns)
+        case TIdent(s) if s.equalsIgnoreCase("now") =>
+          expect("("); expect(")")
+          var delta = 0L
+          if (peek == TPunct("-") || peek == TPunct("+")) {
+            val sign = if (next() == TPunct("-")) -1L else 1L
+            delta = next() match {
+              case TDur(ns) => sign * ns
+              case t => sys.error(s"expected duration after now()±, got $t")
+            }
+          }
+          CNow(delta)
         case t => sys.error(s"bad WHERE value: $t")
       }
       WCond(Cond(field, op, v))
@@ -678,6 +691,8 @@ object InfluxQL {
           if (c.field.equalsIgnoreCase("time")) lit(parseTimeUtc(s))
           else lit(s)
         case CDur(ns) => lit(ns / 1000L)
+        case CNow(deltaNs) =>
+          lit(System.currentTimeMillis() * 1000L + deltaNs / 1000L)
         case CRegex(_) => lit(null)
       }
       (c.op, c.v) match {
@@ -908,7 +923,13 @@ object InfluxQL {
             if (groupTags.nonEmpty)
               df.groupBy(groupTags.map(col): _*).agg(aggs.head, aggs.tail: _*)
                 .withColumn("wstart_ms", lit(0L))
-            else df.agg(aggs.head, aggs.tail: _*).withColumn("wstart_ms", lit(0L))
+            else
+              // InfluxQL emits NO row for an aggregate over zero points
+              // (a bare SQL global aggregate would emit count=0)
+              df.agg((aggs :+ count(lit(1)).as("__n")).head,
+                  (aggs :+ count(lit(1)).as("__n")).tail: _*)
+                .filter(col("__n") > 0).drop("__n")
+                .withColumn("wstart_ms", lit(0L))
         })
       } else {
         // raw projection ("materialize"): time + tags + fields/expressions

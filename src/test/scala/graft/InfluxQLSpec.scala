@@ -148,6 +148,15 @@ class InfluxQLSpec extends SparkSpec {
     assert(out == Seq((-68400000L, 5L)))
   }
 
+  test("now() in WHERE time predicates") {
+    // the fixture lives at epoch 0..2min, far before now() - 1h
+    val past = run("SELECT count(value) FROM cpu WHERE time < now() - 1h")
+      .select("count").as[Long].collect().head
+    assert(past == 5L)
+    val future = run("SELECT count(value) FROM cpu WHERE time > now()")
+    assert(future.collect().isEmpty)
+  }
+
   test("time literals with explicit UTC offsets parse") {
     val out = run("SELECT count(value) FROM cpu " +
       "WHERE time >= '1970-01-01T00:01:00+00:00' GROUP BY host")
