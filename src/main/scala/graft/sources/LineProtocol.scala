@@ -101,6 +101,9 @@ object LineProtocol {
         if (v.length >= 2 && v.startsWith("\"") && v.endsWith("\""))
           sf += k -> v.substring(1, v.length - 1).replace("\\\"", "\"")
         else if (v.endsWith("i")) intf += k -> v.dropRight(1).toLong
+        // unsigned suffix (reference parser): stored as Long — values
+        // above 2^63-1 are rejected like any other unparseable number
+        else if (v.endsWith("u")) intf += k -> v.dropRight(1).toLong
         else if (v == "t" || v == "T" || v == "true" || v == "True")
           bf += k -> true
         else if (v == "f" || v == "F" || v == "false" || v == "False")

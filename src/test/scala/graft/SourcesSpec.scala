@@ -31,6 +31,9 @@ class SourcesSpec extends SparkSpec {
     assert(LineProtocol.parseLine("# comment").isEmpty)
     assert(LineProtocol.parseLine("cpu novalue").isEmpty)
     assert(LineProtocol.parseLine("cpu value=abc").isEmpty)
+    // unsigned suffix maps to the integer field set
+    assert(LineProtocol.parseLine("cpu count=42u 100").get
+      .intFields == Map("count" -> 42L))
   }
 
   test("line protocol end-to-end: lines -> measurement table") {
