@@ -181,7 +181,8 @@ object InfluxQL {
       fromSub: Option[Query] = None,
       soffset: Int = 0,
       intervalOffsetNs: Option[Long] = None,
-      tz: Option[String] = None)
+      tz: Option[String] = None,
+      into: Option[String] = None)
 
   /** One UNION arm: `UNION [ALL] [BY NAME] <select>` — reference
     * `influxql/sql.y:656-699` (union_clause). */
@@ -251,6 +252,15 @@ object InfluxQL {
     def parseQuery(): Query = {
       expectIdent("select")
       val projs = parseProjs()
+      // SELECT … INTO target FROM … (reference IntoClause ast.go)
+      var into: Option[String] = None
+      if (isKw("into")) {
+        next()
+        into = Some(next() match {
+          case TIdent(s) => s
+          case t => sys.error(s"expected INTO target, got $t")
+        })
+      }
       expectIdent("from")
       // FROM (SELECT …) — nested subquery (reference ast.go SubQuery,
       // LogicalSubQuery logic_plan.go:1839)
@@ -380,7 +390,7 @@ object InfluxQL {
         expect(")")
       }
       Query(projs, from, where, tags, interval, fill, orderDesc, limit,
-        offset, slimit, join, fromSub, soffset, intervalOffset, tz)
+        offset, slimit, join, fromSub, soffset, intervalOffset, tz, into)
     }
 
     private def parseProjs(): Seq[Proj] = {
@@ -562,28 +572,61 @@ object InfluxQL {
   /** Compile + run a query against a catalog of measurements. Output
     * columns: time (epoch ms) [+ group tags] + one column per projection
     * (named like InfluxQL: `mean`, `max_value`-free — call name or field). */
-  def execute(catalog: Map[String, Measurement], sql: String): DataFrame = {
+  def execute(catalog: Map[String, Measurement], sql: String): DataFrame =
+    executeStatement(catalog, sql)._2
+
+  /** `SELECT … INTO target …`: runs the statement and returns the catalog
+    * with the result registered as a queryable measurement (the
+    * reference's IntoClause writes it into the database; our catalog is
+    * the functional equivalent — callers persist via parquet/LineProtocol
+    * sinks when durability is wanted). */
+  def executeInto(catalog: Map[String, Measurement],
+                  sql: String): (Map[String, Measurement], DataFrame) = {
+    val (q, df) = executeStatement(catalog, sql)
+    q.flatMap(_.into) match {
+      case Some(target) =>
+        val m = Measurement(
+          df.withColumn("__ts", timestamp_millis(col("time"))),
+          q.map(x => resolveTags(catalog, x)).getOrElse(Nil), "__ts")
+        (catalog + (target -> m), df)
+      case None => (catalog, df)
+    }
+  }
+
+  /** `GROUP BY *` resolves to the source measurement's tag set — also
+    * through subqueries, CTERefs, and FROM regex unions. */
+  private def resolveTags(catalog: Map[String, Measurement],
+                          q: Query): Seq[String] =
+    if (!q.groupTags.contains("*")) q.groupTags
+    else if (q.fromSub.isDefined) resolveTags(catalog, q.fromSub.get)
+    else if (q.from.startsWith("/")) {
+      val re = q.from.substring(1, q.from.length - 1).r
+      catalog.collect { case (k, m) if re.findFirstIn(k).isDefined =>
+        m.tags }.flatten.toSeq.distinct
+    } else catalog.get(q.from).map(_.tags).getOrElse(Nil)
+
+  private def executeStatement(catalog: Map[String, Measurement],
+                               sql: String): (Option[Query], DataFrame) = {
     if (sql.trim.toLowerCase.startsWith("show "))
-      return executeShow(catalog, sql)
+      return (None, executeShow(catalog, sql))
     val (ctes, q, arms) = new Parser(lex(sql)).parseStatementFull()
     // CTEs compile once and register as measurements visible to later CTEs
     // and the main query (reference BuildCTELogicalPlan select.go:906);
     // Catalyst reuses the shared subplan.
     val cat = ctes.foldLeft(catalog) { case (acc, (name, sub)) =>
-      require(!sub.groupTags.contains("*"),
-        "GROUP BY * not supported inside a CTE")
       val df = compileQuery(acc, sub)
         .withColumn("__ts", timestamp_millis(col("time")))
-      acc + (name -> Measurement(df, sub.groupTags, "__ts"))
+      acc + (name -> Measurement(df, resolveTags(acc, sub), "__ts"))
     }
     // UNION [ALL] [BY NAME] arms fold left-to-right (sql.y:656-699);
     // a non-ALL arm dedups the accumulated result, SQL-style.
-    arms.foldLeft(compileQuery(cat, q)) { (acc, arm) =>
+    val out = arms.foldLeft(compileQuery(cat, q)) { (acc, arm) =>
       val d = compileQuery(cat, arm.q)
       val u = if (arm.byName) acc.unionByName(d, allowMissingColumns = true)
               else acc.union(d)
       if (arm.all) u else u.distinct()
     }
+    (Some(q), out)
   }
 
   /** SHOW MEASUREMENTS / TAG KEYS / TAG VALUES … WITH KEY = k /
@@ -649,10 +692,8 @@ object InfluxQL {
       if (q.fromSub.isDefined) {
         val sub = q.fromSub.get
         val inner = compileQuery(catalog, sub)
-        require(!sub.groupTags.contains("*"),
-          "GROUP BY * not supported inside a subquery")
         Measurement(inner.withColumn("__ts", timestamp_millis(col("time"))),
-          sub.groupTags, "__ts")
+          resolveTags(catalog, sub), "__ts")
       } else if (q.from.startsWith("/")) {
         val re = q.from.substring(1, q.from.length - 1).r
         val hits = catalog.filter { case (k, _) => re.findFirstIn(k).isDefined }

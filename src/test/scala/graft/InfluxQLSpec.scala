@@ -148,6 +148,28 @@ class InfluxQLSpec extends SparkSpec {
     assert(out == Seq((-68400000L, 5L)))
   }
 
+  test("GROUP BY * resolves through subqueries and CTEs") {
+    val out = run("SELECT max(mean) FROM " +
+      "(SELECT mean(value) FROM cpu GROUP BY *, time(1m)) GROUP BY host")
+      .select("host", "max").as[(String, Double)].collect().toSet
+    assert(out == Set(("server01", 30.0), ("server02", 200.0)))
+    val cte = run("WITH m AS (SELECT mean(value) FROM cpu GROUP BY *) " +
+      "SELECT max(mean) FROM m GROUP BY host")
+      .select("host", "max").as[(String, Double)].collect().toSet
+    assert(cte == Set(("server01", 20.0), ("server02", 150.0)))
+  }
+
+  test("SELECT INTO registers the result as a measurement") {
+    val (cat2, df) = InfluxQL.executeInto(catalog,
+      "SELECT mean(value) INTO rollup FROM cpu GROUP BY host")
+    assert(df.count() == 2)
+    assert(cat2.contains("rollup"))
+    val back = InfluxQL.execute(cat2,
+        "SELECT max(mean) FROM rollup GROUP BY host")
+      .select("host", "max").as[(String, Double)].collect().toSet
+    assert(back == Set(("server01", 20.0), ("server02", 150.0)))
+  }
+
   test("now() in WHERE time predicates") {
     // the fixture lives at epoch 0..2min, far before now() - 1h
     val past = run("SELECT count(value) FROM cpu WHERE time < now() - 1h")
