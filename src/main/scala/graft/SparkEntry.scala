@@ -894,6 +894,20 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // pipeline: IVF ANN — coarse-cell inverted file (deterministic
+    // hash-seeded + decimal-mean Lloyd codebook), queries probe their
+    // nprobe nearest cells; nprobe = #cells degrades to exact brute force
+    // (asserted in PipelineSpec). Rows-only: recall<1 by construction.
+    "q87_ann_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cents = Similarity.ivfTrain(emb, "embedding", "vec_id", k = 8,
+        iters = 2)
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 4), "embedding",
+          "vec_id", cents, nprobe = 3, k = 5)
+        .withColumn("cos", round(col("cos"), 6))
+        .orderBy("query_id", "rank")
+    }),
+
     // pipeline: LSH-bucketed ANN — the 100 TB top-k path (bucket
     // equi-join, candidates bounded per bucket; recall<1 by construction
     // → rows-only + recall-floor spec vs exact brute force).

@@ -93,6 +93,88 @@ object Similarity {
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
 
+  /** Squared L2 distance to a constant centroid (one zip_with+fold). */
+  private def l2sq(vec: Column, cent: Seq[Double]): Column =
+    aggregate(zip_with(vec, typedlit(cent),
+        (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Train an IVF codebook: k seed vectors chosen by hash rank
+    * (deterministic, no RNG) + `iters` Lloyd refinements whose per-bucket
+    * means go through DECIMAL sums, so the codebook is bit-reproducible
+    * run to run. The codebook is k×dim doubles — a model artifact that
+    * lives on the driver and broadcasts into the assignment expression;
+    * each refinement is one distributed pass (explode dims → per-bucket
+    * per-dim mean), nothing per-row ever collects. */
+  def ivfTrain(corpus: DataFrame, vecCol: String, idCol: String,
+               k: Int, iters: Int = 2): Array[Seq[Double]] = {
+    var cents: Array[Seq[Double]] = corpus
+      .orderBy(xxhash64(col(idCol)), col(idCol)).limit(k)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble))
+    for (_ <- 0 until iters) {
+      val assigned = corpus.select(col(vecCol).as("_v"),
+        nearestBucket(col(vecCol), cents).as("_b"))
+      val means = assigned
+        .select(col("_b"), posexplode(col("_v")).as(Seq("_d", "_x")))
+        .groupBy(col("_b"), col("_d"))
+        .agg((sum(col("_x").cast("decimal(28,10)")).cast("double") /
+          count(lit(1))).as("_m"))
+        .collect()
+      val next = cents.zipWithIndex.map { case (old, b) =>
+        val dims = means.filter(_.getInt(0) == b)
+        if (dims.isEmpty) old
+        else {
+          val m = old.toArray
+          dims.foreach(r => m(r.getInt(1)) = r.getDouble(2))
+          m.toSeq
+        }
+      }
+      cents = next
+    }
+    cents
+  }
+
+  /** Index of the nearest centroid (ties → lowest index). */
+  def nearestBucket(vec: Column, cents: Array[Seq[Double]]): Column = {
+    val dists = array(cents.map(c => l2sq(vec, c)): _*)
+    (array_position(dists, array_min(dists)) - 1).cast("int")
+  }
+
+  /** IVF ANN: corpus rows partition into `cents.length` coarse cells;
+    * each query probes its `nprobe` nearest cells and ranks candidates
+    * exactly. Candidate volume ≈ nprobe/k of the corpus — the classic
+    * inverted-file trade: recall grows with nprobe, nprobe = k degrades
+    * to exact brute force. The probe join is a bucket equi-join, so the
+    * corpus shuffles once by cell and never broadcasts. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
+              idCol: String, cents: Array[Seq[Double]], nprobe: Int,
+              k: Int): DataFrame = {
+    graft.expressions.VectorExpressions.register(corpus.sparkSession)
+    val cb = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"),
+      sqrt(dotNative(col(vecCol), col(vecCol))).as("_cn"),
+      nearestBucket(col(vecCol), cents).as("_bkt"))
+    // a query's probe list: its nprobe nearest cells (sorted (dist, idx)
+    // pairs — struct order breaks ties on the index)
+    val qd = array(cents.zipWithIndex.map { case (c, i) =>
+      struct(l2sq(col(vecCol), c).as("d"), lit(i).as("i")) }: _*)
+    val qb = broadcast(queries.select(col(idCol).as("query_id"),
+        col(vecCol).as("_qv"),
+        sqrt(dotNative(col(vecCol), col(vecCol))).as("_qn"),
+        slice(array_sort(qd), 1, nprobe).as("_probes"))
+      .select(col("query_id"), col("_qv"), col("_qn"),
+        explode(col("_probes.i")).as("_bkt")))
+    cb.join(qb, Seq("_bkt"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos",
+        dotNative(col("_qv"), col("_cv")) / (col("_qn") * col("_cn")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("neighbor_id").asc)))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cos")
+  }
+
   /** LSH-bucketed ANN: join queries and corpus on the sign bucket, rank
     * within candidates. Recall < 1 by construction; bucket count 2^planes
     * bounds each candidate set. */

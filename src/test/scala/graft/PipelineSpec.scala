@@ -201,6 +201,28 @@ class PipelineSpec extends SparkSpec {
     assert(a != other) // a different seed draws a different subset
   }
 
+  test("ivfTopK: probing every cell reproduces exact brute force; fewer " +
+      "probes trade recall; codebook is run-stable") {
+    val emb = Tables.table(spark, sf, "embeddings")
+    val queries = emb.filter($"vec_id" < 8)
+    val cents = Similarity.ivfTrain(emb, "embedding", "vec_id", k = 8,
+      iters = 2)
+    val cents2 = Similarity.ivfTrain(emb, "embedding", "vec_id", k = 8,
+      iters = 2)
+    assert(cents.map(_.toList).toSeq == cents2.map(_.toList).toSeq)
+    def topSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val exact = topSet(Similarity.bruteForceTopK(emb, queries,
+      "embedding", "vec_id", 5))
+    val all = topSet(Similarity.ivfTopK(emb, queries, "embedding",
+      "vec_id", cents, nprobe = 8, k = 5))
+    assert(all == exact, "nprobe = #cells must equal brute force")
+    val few = topSet(Similarity.ivfTopK(emb, queries, "embedding",
+      "vec_id", cents, nprobe = 2, k = 5))
+    val recall = (few & exact).size.toDouble / exact.size
+    assert(recall >= 0.25, s"recall $recall")
+  }
+
   test("embeddingNearDup: Hamming-prefiltered result equals the exact " +
       "(unpruned) pair set on the driver embeddings") {
     val emb = Tables.table(spark, sf, "embeddings")
