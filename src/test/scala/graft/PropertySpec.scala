@@ -41,6 +41,56 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("CmsTopN: estimates dominate true counts under any partitioning") {
+    import graft.functions.Sketches.CmsTopN
+    val keys = Gen.nonEmptyListOf(Gen.choose(1, 30).map(i => s"k$i"))
+    val cuts = Gen.choose(1, 5)
+    check(Prop.forAll(keys, cuts) { (ks, nParts) =>
+      val agg = new CmsTopN(depth = 4, width = 128, maxCand = 64, n = 5)
+      // reduce each partition separately, then merge — any split must
+      // yield one-sided estimates and surface the true heaviest key
+      val parts = ks.grouped(math.max(1, ks.size / nParts)).toSeq
+      val bufs = parts.map(p => p.foldLeft(agg.zero)(agg.reduce))
+      val merged = bufs.reduce(agg.merge)
+      val hits = agg.finish(merged)
+      val exact = ks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      hits.forall(h => h.est >= exact(h.key)) &&
+        hits.head.est >= exact.values.max
+    })
+  }
+
+  test("PromQL parser: precedence and selector shapes") {
+    import graft.query.PromQL
+    import graft.query.PromQL._
+    check(Prop.forAll(ident, ident) { (m, l) =>
+      val metric = "m" + m
+      (PromQL.parse(s"$metric + $metric * $metric") match {
+        case Bin("+", Sel(_, _, _, _), Bin("*", _, _, _, _, _, _, _),
+          _, _, _, _, _) => true
+        case _ => false
+      }) &&
+      (PromQL.parse(s"""rate($metric{x$l="v"}[5m])""") match {
+        case FnCall("rate", Seq(Sel(n, Seq((lab, "=", "v")), Some(300), 0)))
+          => n == metric && lab == "x" + l
+        case _ => false
+      }) &&
+      (PromQL.parse(s"sum by (a) ($metric)[1h:10m]") match {
+        case SubQ(Agg("sum", Some(Seq("a")), None, None, _), 3600,
+          Some(600)) => true
+        case _ => false
+      })
+    })
+  }
+
+  test("InfluxQL lexer: compound durations sum their units") {
+    import graft.query.InfluxQL
+    val unit = Gen.oneOf(("s", 1000000000L), ("m", 60000000000L),
+      ("h", 3600000000000L), ("d", 86400000000000L))
+    check(Prop.forAll(Gen.choose(1, 500), unit) { case (n, (u, ns)) =>
+      InfluxQL.lex(s"$n$u") == List(InfluxQL.TDur(n * ns))
+    })
+  }
+
   test("IPv4 helpers: mask/min/max invariants") {
     import graft.functions.GeminiFunctions._
     val octet = Gen.choose(0, 255)
