@@ -695,8 +695,8 @@ object SparkEntry {
         .orderBy("event_type", "eval_ms")
     }),
 
-    // §2.5 PromQL changes()/resets() (ordered in-window folds; approx-free
-    // but hash-oracle omitted: fold-state SQL isn't portable — see spec).
+    // §2.5 PromQL changes()/resets() — ordered in-window pair folds,
+    // oracled via lag() per (series, window) in DuckDB.
     "q59_prom_changes_resets" -> ((s, dir) => {
       PromRange.changesResets(t(s, dir, "events"), "ts", "value",
           Seq("event_type"), range = "2 hours", step = "1 hour")
@@ -743,7 +743,8 @@ object SparkEntry {
     }),
 
     // §2.4 castor_ad slot: per-series anomaly detection through the
-    // group-windows boundary (rows-only: model output, no SQL analogue).
+    // group-windows boundary; the rolling z-score is a deterministic fold
+    // oracled via window avg/stddev_samp (6dp rounding on the max).
     "q63_anomaly_detect" -> ((s, dir) => {
       AnomalyDetect.zscore(t(s, dir, "events"), "value", "ts",
           Seq("user_id"), window = 20, k = 2.5)
@@ -1935,6 +1936,51 @@ object SparkEntry {
            CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
            CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
              AS retention
-         FROM flags GROUP BY lang ORDER BY lang"""
+         FROM flags GROUP BY lang ORDER BY lang""",
+
+    // Same 2h-range/1h-step window assignment as q58 (each point lands in
+    // the two windows ending on the next two hour marks); changes/resets
+    // are consecutive-pair folds over (t, v)-sorted samples, which SQL
+    // expresses as lag() per (series, window).
+    "q59_prom_changes_resets" ->
+      """WITH pts AS (SELECT event_type, value, epoch_us(ts) AS tus,
+             unnest([epoch_ms(date_trunc('hour', ts)) + 3600000,
+                     epoch_ms(date_trunc('hour', ts)) + 7200000]) AS eval_ms
+           FROM events),
+         seq AS (SELECT event_type, eval_ms, value AS v,
+             lag(value) OVER (PARTITION BY event_type, eval_ms
+                              ORDER BY tus, value) AS pv
+           FROM pts)
+         SELECT event_type, eval_ms,
+           CAST(sum(CASE WHEN pv IS NOT NULL AND v <> pv
+                    THEN 1 ELSE 0 END) AS BIGINT) AS changes,
+           CAST(sum(CASE WHEN pv IS NOT NULL AND v < pv
+                    THEN 1 ELSE 0 END) AS BIGINT) AS resets
+         FROM seq GROUP BY event_type, eval_ms
+         ORDER BY event_type, eval_ms""",
+
+    // Rolling z-score: mean/stddev over the 20 points BEFORE each point
+    // (ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING), z floored at sd=1e-9,
+    // undefined (<3-point window) → 0. max_abs_z rounded to 6dp absorbs
+    // the engines' different summation orders inside a window frame.
+    "q63_anomaly_detect" ->
+      """WITH pts AS (SELECT user_id, epoch_us(ts) AS t,
+             CAST(value AS DOUBLE) AS v FROM events),
+         w AS (SELECT user_id, v,
+             count(v) OVER win AS cnt,
+             avg(v) OVER win AS m,
+             stddev_samp(v) OVER win AS sd
+           FROM pts
+           WINDOW win AS (PARTITION BY user_id ORDER BY t, v
+                          ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
+         z AS (SELECT user_id,
+             CASE WHEN cnt < 3 THEN 0.0
+                  ELSE (v - m) / greatest(sd, 1e-9) END AS z
+           FROM w)
+         SELECT user_id, count(*) AS n_points,
+           CAST(sum(CASE WHEN abs(z) > 2.5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_anomalies,
+           round(max(abs(z)), 6) AS max_abs_z
+         FROM z GROUP BY user_id ORDER BY user_id"""
   )
 }

@@ -41,8 +41,11 @@ object AnomalyDetect {
       .flatMapGroups { (_, rows) =>
         val buf = rows.toArray
         val tagVals = tags.map(n => buf.head.getAs[Any](n))
+        // (t, v) sort: the v tie-break keeps the fold deterministic if a
+        // series ever carries duplicate timestamps (mirrors the oracle's
+        // ORDER BY t, v).
         val pts = buf.map(r => (r.getAs[Long]("_t"), r.getAs[Double]("_v")))
-          .sortBy(_._1)
+          .sortBy(identity)
         pts.indices.iterator.map { i =>
           val lo = math.max(0, i - window)
           val w = pts.slice(lo, i).map(_._2)
