@@ -1037,6 +1037,18 @@ object SparkEntry {
           threshold = 0.45, maxHamming = 42)
         .withColumn("cos", round(col("cos"), 6))
         .orderBy("id_a", "id_b")
+    }),
+
+    // pipeline: banded sign-LSH near-dup — the SCALE path (no pair scan:
+    // (band, signature) equi-join bounds candidates; exact-cosine verify).
+    // Hash-exact because the oracle replays the same deterministic
+    // splitmix64 hyperplanes — recall is a measured property (PipelineSpec
+    // planted-dup test), not a correctness gap.
+    "q88_neardup_banded" -> ((s, dir) => {
+      Dedup.embeddingNearDupBanded(t(s, dir, "embeddings"), "embedding",
+          "vec_id", threshold = 0.4)
+        .withColumn("cos", round(col("cos"), 6))
+        .orderBy("id_a", "id_b")
     })
   )
 
@@ -1525,6 +1537,49 @@ object SparkEntry {
                AS cos
            FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)
          WHERE cos >= 0.45 ORDER BY id_a, id_b"""
+    },
+
+    // The oracle replays the banded sign-LSH algorithm itself: the ±1
+    // hyperplane weights are deterministic splitmix64 constants
+    // (Similarity.planeWeights), embedded as SQL literals; list_sum(
+    // list_transform(range…)) folds in the same sequential order as
+    // Spark's zip_with+aggregate, so the projections (and hence the band
+    // signatures and cosines) are bit-identical across engines. The
+    // 8-way OR join is the oracle-side stand-in for the distributed
+    // (band, signature) equi-join — quadratic is fine at oracle scale.
+    "q88_neardup_banded" -> {
+      val dim = 64; val planes = 64; val bands = 8; val r = planes / bands
+      def wlit(p: Int) = graft.pipeline.Similarity.planeWeights(p, dim)
+        .map(w => if (w > 0) "1" else "-1").mkString("[", ",", "]")
+      def proj(p: Int) =
+        s"list_sum(list_transform(range(1, ${dim + 1}), " +
+          s"i -> CAST(e[i] AS DOUBLE) * (${wlit(p)})[i]))"
+      val bandExprs = (0 until bands).map { b =>
+        (0 until r).map { j =>
+          s"(CASE WHEN ${proj(b * r + j)} >= 0 THEN ${1L << j} ELSE 0 END)"
+        }.mkString(" + ")
+      }
+      val bandCols = bandExprs.zipWithIndex
+        .map { case (ex, b) => s"$ex AS band$b" }.mkString(", ")
+      val anyBand = (0 until bands)
+        .map(b => s"sa.band$b = sb.band$b").mkString(" OR ")
+      def dd(a: String, b: String) =
+        s"""list_sum(list_transform(range(1, ${dim + 1}),
+           i -> CAST($a.embedding[i] AS DOUBLE) * CAST($b.embedding[i] AS DOUBLE)))"""
+      s"""WITH sig AS (
+           SELECT vec_id AS id, $bandCols
+           FROM (SELECT vec_id, embedding AS e FROM embeddings)),
+         cand AS (
+           SELECT sa.id AS id_a, sb.id AS id_b FROM sig sa, sig sb
+           WHERE sa.id < sb.id AND ($anyBand))
+         SELECT id_a, id_b, round(cos, 6) AS cos FROM (
+           SELECT c.id_a, c.id_b,
+             ${dd("a", "b")} / (sqrt(${dd("a", "a")}) * sqrt(${dd("b", "b")}))
+               AS cos
+           FROM cand c
+           JOIN embeddings a ON a.vec_id = c.id_a
+           JOIN embeddings b ON b.vec_id = c.id_b)
+         WHERE cos >= 0.4 ORDER BY id_a, id_b"""
     },
 
     "q54_influxql_window" ->

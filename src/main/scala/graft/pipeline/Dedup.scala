@@ -102,7 +102,10 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** Embedding-cosine near-duplicate pairs: all pairs above `threshold`.
+  /** Embedding-cosine near-duplicate pairs: all pairs above `threshold` —
+    * the EXACT tier, quadratic in corpus size by problem statement; the
+    * default at scale is [[embeddingNearDupBanded]], which bounds
+    * candidates with banded sign-LSH and only loses recall below ρ≈0.7.
     *
     * Scale shape (the two things that make this survive a large corpus):
     *
@@ -141,6 +144,47 @@ object Dedup {
     a.hint("shuffle_replicate_nl")
       .join(b, col("id_a") < col("id_b") &&
         bit_count(col("_siga").bitwiseXOR(col("_sigb"))) <= maxHamming)
+      .withColumn("cos", Similarity.dotNative(col("_va"), col("_vb")) /
+        (col("_na") * col("_nb")))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
+
+  /** Banded sign-LSH near-duplicate pairs — the SCALE path for embedding
+    * near-dup (the default; [[embeddingNearDup]] is the exact small-corpus
+    * tier).
+    *
+    * Candidate pairs are generated by a (band, signature) equi-join over
+    * [[Similarity.signBands]] — a pair is a candidate iff ANY of the
+    * `bands` r-bit sign bands matches, exactly the MinHash banding
+    * construction of [[minhashCandidates]] — then verified with the exact
+    * cosine. NO pair scan anywhere: candidate volume is bounded per
+    * bucket (a random pair matches a given r-bit band w.p. 2^-r, so
+    * expected candidates ≈ n²·bands/2^r instead of n²), and the join
+    * shuffles 8-byte signatures + ids, never the vectors. Recall per true
+    * pair at cosine ρ is 1 − (1 − p^r)^bands with p = 1 − arccos(ρ)/π —
+    * near 1 for ρ ≥ 0.9 at 8×8, dropping fast below ρ ≈ 0.7: at low
+    * thresholds exact all-pairs ([[embeddingNearDup]]) is the only
+    * complete answer, by the geometry of random hyperplanes. */
+  def embeddingNearDupBanded(df: DataFrame, vecCol: String, idCol: String,
+                             threshold: Double, dim: Int = 64,
+                             planes: Int = 64, bands: Int = 8): DataFrame = {
+    graft.expressions.VectorExpressions.register(df.sparkSession)
+    val withNorm = df.select(col(idCol).as("_id"), col(vecCol).as("_v"),
+      sqrt(Similarity.dotNative(col(vecCol), col(vecCol))).as("_n"))
+    val banded = withNorm.select(col("_id"),
+      posexplode(Similarity.signBands(col("_v"), dim, planes, bands))
+        .as(Seq("_band", "_sig")))
+    val cand = banded.as("a")
+      .join(banded.as("b"), col("a._band") === col("b._band") &&
+        col("a._sig") === col("b._sig") && col("a._id") < col("b._id"))
+      .select(col("a._id").as("id_a"), col("b._id").as("id_b"))
+      .distinct()
+    cand
+      .join(withNorm.select(col("_id").as("id_a"), col("_v").as("_va"),
+        col("_n").as("_na")), "id_a")
+      .join(withNorm.select(col("_id").as("id_b"), col("_v").as("_vb"),
+        col("_n").as("_nb")), "id_b")
       .withColumn("cos", Similarity.dotNative(col("_va"), col("_vb")) /
         (col("_na") * col("_nb")))
       .filter(col("cos") >= threshold)

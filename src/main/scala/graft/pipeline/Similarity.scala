@@ -72,6 +72,19 @@ object Similarity {
     z ^ (z >>> 31)
   }
 
+  /** Plane `p`'s ±1 hyperplane weights — splitmix64-derived constants, so
+    * test oracles (and the DuckDB gate SQL) can rebuild them verbatim. */
+  private[graft] def planeWeights(p: Int, dim: Int): Seq[Double] =
+    (0 until dim).map(d =>
+      if ((mix64(d * 7919L + p * 104729L) & 1L) == 0L) 1.0 else -1.0)
+
+  /** Sign projection of `vec` onto plane `p` (one zip_with+fold pass). */
+  private def planeProj(vec: Column, p: Int, dim: Int): Column =
+    aggregate(
+      zip_with(vec, typedlit(planeWeights(p, dim)),
+        (x, w) => x.cast("double") * w),
+      lit(0.0), (acc, v) => acc + v)
+
   /** Sign-LSH bucket id: `planes` fixed pseudo-random ±1 hyperplanes —
     * deterministic, no data needed to "train".
     *
@@ -83,14 +96,28 @@ object Similarity {
     * interpretation — measured 13× slower on the near-dup bench). */
   def signBucket(vec: Column, dim: Int, planes: Int): Column = {
     val bits = (0 until planes).map { p =>
-      val ws = (0 until dim).map(d =>
-        if ((mix64(d * 7919L + p * 104729L) & 1L) == 0L) 1.0 else -1.0)
-      val proj = aggregate(
-        zip_with(vec, typedlit(ws), (x, w) => x.cast("double") * w),
-        lit(0.0), (acc, v) => acc + v)
-      when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+      when(planeProj(vec, p, dim) >= 0, shiftleft(lit(1L), p))
+        .otherwise(lit(0L))
     }
     bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Banded sign-LSH signatures: `planes` hyperplanes split into `bands`
+    * groups of planes/bands bits each; element b is band b's bit pattern.
+    * Two vectors are near-dup CANDIDATES when ANY full band matches — the
+    * multi-band OR construction (same shape as MinHash banding): per-band
+    * match probability is p^r for per-plane agreement p = 1 − θ/π, so
+    * narrow bands (small r) raise recall and wide bands cut candidate
+    * volume (a random pair matches a given r-bit band w.p. 2^-r). */
+  def signBands(vec: Column, dim: Int, planes: Int, bands: Int): Column = {
+    require(planes % bands == 0, s"bands $bands must divide planes $planes")
+    val r = planes / bands
+    array((0 until bands).map { b =>
+      (0 until r).map { j =>
+        when(planeProj(vec, b * r + j, dim) >= 0, shiftleft(lit(1L), j))
+          .otherwise(lit(0L))
+      }.reduce((x, y) => x.bitwiseOR(y))
+    }: _*)
   }
 
   /** Squared L2 distance to a constant centroid (one zip_with+fold). */

@@ -235,4 +235,39 @@ class PipelineSpec extends SparkSpec {
     assert(pairs(42) == exact,
       "h<=42 prefilter must not drop any qualifying pair at this sf")
   }
+
+  test("embeddingNearDupBanded: subset of the exact tier with identical " +
+      "cosines; full recall on planted high-cosine near-dups") {
+    val emb = Tables.table(spark, sf, "embeddings")
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b", "cos").as[(Long, Long, Double)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+    val exact = toMap(Dedup.embeddingNearDup(emb, "embedding", "vec_id",
+      threshold = 0.45))
+    val banded = toMap(Dedup.embeddingNearDupBanded(emb, "embedding",
+      "vec_id", threshold = 0.45))
+    assert(banded.keySet.subsetOf(exact.keySet),
+      "banded candidates that verify must be true pairs")
+    banded.foreach { case (k, c) =>
+      assert(c == exact(k), s"$k cosine mismatch: banded $c vs exact ${exact(k)}")
+    }
+
+    // planted near-dups: 80 seeded unit-ish vectors + a ρ≈0.97 perturbed
+    // copy of each — the regime banding is FOR. Recall must be total here
+    // (per-pair detect prob at ρ=0.97 with 8×8 bands is ~0.998).
+    val rnd = new scala.util.Random(42)
+    def vec() = Array.fill(64)((rnd.nextDouble() * 2 - 1).toFloat)
+    val base = (0 until 80).map(i => (i.toLong, vec()))
+    val planted = base.map { case (i, v) =>
+      (i + 1000L, v.map(x => x + (rnd.nextDouble() * 0.1 - 0.05).toFloat))
+    }
+    val df = (base ++ planted).toDF("vec_id", "embedding")
+    val truePairs = toMap(Dedup.embeddingNearDup(df, "embedding", "vec_id",
+      threshold = 0.9)).keySet
+    assert(truePairs.size >= 70, s"planting failed: ${truePairs.size} pairs")
+    val found = toMap(Dedup.embeddingNearDupBanded(df, "embedding", "vec_id",
+      threshold = 0.9)).keySet
+    val recall = (found & truePairs).size.toDouble / truePairs.size
+    assert(recall >= 0.95, s"planted-dup recall $recall")
+  }
 }

@@ -87,6 +87,17 @@ class ScaleSpec extends SparkSpec {
       "corpus must not be broadcast to every task")
   }
 
+  test("banded near-dup generates candidates by equi-join: no pair scan " +
+      "of any kind") {
+    val q = SparkEntry.queries("q88_neardup_banded")(spark, sf)
+    val plan = planOf(q)
+    assert(!plan.contains("CartesianProduct"), "no cartesian pair scan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "no BNLJ pair scan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
+      || plan.contains("BroadcastHashJoin"),
+      s"candidates must come from an equi-join:\n$plan")
+  }
+
   test("CMS top-n ranks in-aggregator: no distinct-key enumeration, no " +
       "partitionless window, no UDF") {
     val q = SparkEntry.queries("q56_topn_cms")(spark, sf)
