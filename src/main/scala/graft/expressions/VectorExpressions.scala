@@ -80,10 +80,120 @@ case class VectorDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Index of the nearest codebook centroid by squared L2 (ties → lowest
+  * index) — the IVF cell-assignment hot path, `n_corpus × k × dim` work.
+  *
+  * `right` must be a FOLDABLE `array<array<double>>` literal (the trained
+  * codebook); it is decoded ONCE into a primitive `double[][]` that ships
+  * to executors as a codegen reference object. That keeps the expression
+  * tree at O(1) nodes AND the whole projection inside whole-stage codegen
+  * for any cell count — per-centroid distance columns put k × dim literal
+  * payloads in the tree (analysis/codegen ceiling ≈ k=256), and
+  * higher-order-function forms are CodegenFallback, dropping the project
+  * out of codegen entirely.
+  *
+  * The distance fold is the same sequential `(x_d − c_d)²` left fold as
+  * the composable zip_with+aggregate form, so assignments are
+  * bit-identical to it (and to driver-side replications in tests).
+  */
+case class NearestCentroid(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def nullable: Boolean = left.nullable
+
+  private def elemIsFloat: Boolean = left.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val leftOk = left.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    val rightOk = right.foldable && (right.dataType match {
+      case ArrayType(ArrayType(DoubleType, _), _) => true
+      case _ => false
+    })
+    if (leftOk && rightOk)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      "vec_nearest_centroid expects (array<float|double>, " +
+        s"foldable array<array<double>>), got ${left.dataType}, ${right.dataType}")
+  }
+
+  /** The codebook, decoded once per expression instance (driver AND each
+    * executor after the expression deserializes — not per row). */
+  private lazy val matrix: Array[Array[Double]] = {
+    val ad = right.eval(null).asInstanceOf[ArrayData]
+    Array.tabulate(ad.numElements())(i => ad.getArray(i).toDoubleArray())
+  }
+
+  private def nearest(x: ArrayData): Int = {
+    var best = 0; var bd = Double.PositiveInfinity
+    var c = 0
+    while (c < matrix.length) {
+      val cent = matrix(c)
+      val n = math.min(x.numElements(), cent.length)
+      var s = 0.0; var d = 0
+      while (d < n) {
+        val xv = if (elemIsFloat) x.getFloat(d).toDouble else x.getDouble(d)
+        val t = xv - cent(d)
+        s += t * t
+        d += 1
+      }
+      if (s < bd) { bd = s; best = c }
+      c += 1
+    }
+    best
+  }
+
+  override def nullSafeEval(a: Any, ignoredCodebook: Any): Any =
+    nearest(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, _) => {
+      val m = ctx.addReferenceObj("codebook", matrix, "double[][]")
+      val best = ctx.freshName("best")
+      val bd = ctx.freshName("bd")
+      val c = ctx.freshName("c")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      val t = ctx.freshName("t")
+      val get = if (elemIsFloat) s"(double) $a.getFloat($d)"
+                else s"$a.getDouble($d)"
+      s"""
+        int $best = 0; double $bd = Double.POSITIVE_INFINITY;
+        for (int $c = 0; $c < $m.length; $c++) {
+          int $n = java.lang.Math.min($a.numElements(), $m[$c].length);
+          double $s = 0.0;
+          for (int $d = 0; $d < $n; $d++) {
+            double $t = $get - $m[$c][$d];
+            $s += $t * $t;
+          }
+          if ($s < $bd) { $bd = $s; $best = $c; }
+        }
+        ${ev.value} = $best;
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
-  /** Register `vec_dot` in the session function registry (idempotent) so it
-    * is reachable from both `call_function` and SQL. */
-  def register(spark: SparkSession): Unit =
+  /** Register `vec_dot` / `vec_nearest_centroid` in the session function
+    * registry (idempotent) so they are reachable from both `call_function`
+    * and SQL. */
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot", exprs => VectorDot(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_nearest_centroid",
+      exprs => NearestCentroid(exprs(0), exprs(1)), "built-in")
+  }
 }

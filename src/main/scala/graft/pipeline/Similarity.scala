@@ -120,11 +120,21 @@ object Similarity {
     }: _*)
   }
 
-  /** Squared L2 distance to a constant centroid (one zip_with+fold). */
-  private def l2sq(vec: Column, cent: Seq[Double]): Column =
-    aggregate(zip_with(vec, typedlit(cent),
-        (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
-      lit(0.0), (acc, v) => acc + v)
+  /** `array<struct<d, i>>` of (squared L2 distance to centroid i, i) for
+    * the WHOLE codebook — the codebook is ONE k×dim matrix literal
+    * consumed by one `transform` lambda, so the expression tree is O(1)
+    * nodes no matter how many cells: per-centroid `l2sq` columns
+    * (k × dim-literal payloads) blow past codegen/analysis limits around
+    * k≈256, the same ceiling signBucket's docstring documents for
+    * unrolled trees. Struct order (d, then i) makes min/sort tie-break on
+    * the lower index. */
+  private def distIdx(vec: Column, cents: Array[Seq[Double]]): Column =
+    transform(typedlit(cents.toSeq), (c, i) =>
+      struct(
+        aggregate(zip_with(vec, c,
+            (x, w) => (x.cast("double") - w) * (x.cast("double") - w)),
+          lit(0.0), (acc, v) => acc + v).as("d"),
+        i.as("i")))
 
   /** Train an IVF codebook: k seed vectors chosen by hash rank
     * (deterministic, no RNG) + `iters` Lloyd refinements whose per-bucket
@@ -135,6 +145,7 @@ object Similarity {
     * per-dim mean), nothing per-row ever collects. */
   def ivfTrain(corpus: DataFrame, vecCol: String, idCol: String,
                k: Int, iters: Int = 2): Array[Seq[Double]] = {
+    graft.expressions.VectorExpressions.register(corpus.sparkSession)
     var cents: Array[Seq[Double]] = corpus
       .orderBy(xxhash64(col(idCol)), col(idCol)).limit(k)
       .select(col(vecCol)).collect()
@@ -162,11 +173,13 @@ object Similarity {
     cents
   }
 
-  /** Index of the nearest centroid (ties → lowest index). */
-  def nearestBucket(vec: Column, cents: Array[Seq[Double]]): Column = {
-    val dists = array(cents.map(c => l2sq(vec, c)): _*)
-    (array_position(dists, array_min(dists)) - 1).cast("int")
-  }
+  /** Index of the nearest centroid (ties → lowest index) — the native
+    * codegen'd expression ([[graft.expressions.NearestCentroid]]): O(1)
+    * tree nodes and a fused primitive loop for any cell count. Requires
+    * `VectorExpressions.register(spark)` (the IVF entry points call it).
+    * Bit-identical to the composable [[distIdx]]+array_min form. */
+  def nearestBucket(vec: Column, cents: Array[Seq[Double]]): Column =
+    call_function("vec_nearest_centroid", vec, typedlit(cents.toSeq))
 
   /** IVF ANN: corpus rows partition into `cents.length` coarse cells;
     * each query probes its `nprobe` nearest cells and ranks candidates
@@ -182,9 +195,9 @@ object Similarity {
       sqrt(dotNative(col(vecCol), col(vecCol))).as("_cn"),
       nearestBucket(col(vecCol), cents).as("_bkt"))
     // a query's probe list: its nprobe nearest cells (sorted (dist, idx)
-    // pairs — struct order breaks ties on the index)
-    val qd = array(cents.zipWithIndex.map { case (c, i) =>
-      struct(l2sq(col(vecCol), c).as("d"), lit(i).as("i")) }: _*)
+    // pairs — struct order breaks ties on the index); same single-matrix
+    // codebook literal as the assignment side
+    val qd = distIdx(col(vecCol), cents)
     val qb = broadcast(queries.select(col(idCol).as("query_id"),
         col(vecCol).as("_qv"),
         sqrt(dotNative(col(vecCol), col(vecCol))).as("_qn"),
