@@ -1049,6 +1049,33 @@ object SparkEntry {
           "vec_id", threshold = 0.4)
         .withColumn("cos", round(col("cos"), 6))
         .orderBy("id_a", "id_b")
+    }),
+
+    // PromQL scalar context: scalar(sum(...)) applies the per-step global
+    // total to EVERY series with no label matching (vs q74's on() join).
+    "q89_promql_scalar" -> ((s, dir) => {
+      graft.query.PromQL.evaluate(promCatalog(s, dir),
+          "events / scalar(sum(events))",
+          step = "1 hour", lookback = "1 hour")
+        .orderBy("event_type", "user", "eval_ms")
+    }),
+
+    // PromQL time(): the eval timestamp as a per-step scalar in vector
+    // arithmetic (a pure function of eval_ms — no join, no data pass).
+    "q90_promql_time" -> ((s, dir) => {
+      graft.query.PromQL.evaluate(promCatalog(s, dir),
+          "sum by (event_type) (events) - time()",
+          step = "1 hour", lookback = "1 hour")
+        .orderBy("event_type", "eval_ms")
+    }),
+
+    // PromQL @ modifier: the selection time pinned at 2024-01-15T00:00Z,
+    // the pinned sample replicated across every step of the eval grid.
+    "q91_promql_at" -> ((s, dir) => {
+      graft.query.PromQL.evaluate(promCatalog(s, dir),
+          "sum by (event_type) (events @ 1705276800)",
+          step = "1 hour", lookback = "1 day")
+        .orderBy("event_type", "eval_ms")
     })
   )
 
@@ -2036,6 +2063,62 @@ object SparkEntry {
            CAST(sum(CASE WHEN abs(z) > 2.5 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_anomalies,
            round(max(abs(z)), 6) AS max_abs_z
-         FROM z GROUP BY user_id ORDER BY user_id"""
+         FROM z GROUP BY user_id ORDER BY user_id""",
+
+    // scalar(sum(events)): one value per step, joined on eval_ms alone.
+    "q89_promql_scalar" ->
+      """WITH iv AS (
+           SELECT event_type, CAST(user_id AS VARCHAR) AS "user",
+             k * 3600000 AS eval_ms,
+             last(value ORDER BY epoch_us(ts), event_id) AS v
+           FROM (SELECT *, (epoch_us(ts) - 1000) // 1000 AS tms FROM events),
+             unnest(generate_series(tms // 3600000 + 1,
+               (tms + 3600001) // 3600000)) AS t(k)
+           GROUP BY 1, 2, 3),
+         s AS (
+           SELECT eval_ms,
+             CAST(sum(CAST(v AS DECIMAL(28,10))) AS DOUBLE) AS sv
+           FROM iv GROUP BY 1)
+         SELECT iv.event_type, iv."user", iv.eval_ms,
+           CAST(iv.v AS DOUBLE) / sv AS value
+         FROM iv JOIN s USING (eval_ms)
+         ORDER BY 1, 2, 3""",
+
+    // time() = eval_ms / 1000.0 — identical double division both engines.
+    "q90_promql_time" ->
+      """WITH iv AS (
+           SELECT event_type, CAST(user_id AS VARCHAR) AS usr,
+             k * 3600000 AS eval_ms,
+             last(value ORDER BY epoch_us(ts), event_id) AS v
+           FROM (SELECT *, (epoch_us(ts) - 1000) // 1000 AS tms FROM events),
+             unnest(generate_series(tms // 3600000 + 1,
+               (tms + 3600001) // 3600000)) AS t(k)
+           GROUP BY 1, 2, 3)
+         SELECT event_type, eval_ms,
+           CAST(sum(CAST(v AS DECIMAL(28,10))) AS DOUBLE) - eval_ms / 1000.0
+             AS value
+         FROM iv GROUP BY event_type, eval_ms ORDER BY 1, 2""",
+
+    // @: latest sample per series in [T-1d, T] at T=2024-01-15T00:00Z,
+    // replicated across the metric-extent eval grid, then summed per type.
+    "q91_promql_at" ->
+      """WITH pinned AS (
+           SELECT event_type, CAST(user_id AS VARCHAR) AS "user",
+             last(value ORDER BY epoch_us(ts), event_id) AS v
+           FROM events
+           WHERE epoch_us(ts) >= (1705276800000 - 86400000) * 1000
+             AND epoch_us(ts) <= 1705276800000 * 1000
+           GROUP BY 1, 2),
+         bounds AS (
+           SELECT (epoch_ms(min(ts)) + 3599999) // 3600000 AS kmin,
+                  (epoch_ms(max(ts)) + 3599999) // 3600000 AS kmax
+           FROM events),
+         grid AS (
+           SELECT unnest(generate_series(kmin, kmax)) * 3600000 AS eval_ms
+           FROM bounds)
+         SELECT p.event_type, g.eval_ms,
+           CAST(sum(CAST(p.v AS DECIMAL(28,10))) AS DOUBLE) AS value
+         FROM pinned p CROSS JOIN grid g
+         GROUP BY 1, 2 ORDER BY 1, 2"""
   )
 }

@@ -49,8 +49,15 @@ object PromQL {
   // ------------------------------------------------------------------ AST
   sealed trait Expr
   case class Num(v: Double) extends Expr
+  /** `@` modifier target: a fixed unix timestamp, or the query range's
+    * start()/end() (which require explicit `boundsMs`). */
+  sealed trait At
+  case class AtMs(ms: Long) extends At
+  case object AtStart extends At
+  case object AtEnd extends At
   case class Sel(name: String, matchers: Seq[(String, String, String)],
-                 rangeS: Option[Long], offsetS: Long) extends Expr
+                 rangeS: Option[Long], offsetS: Long,
+                 at: Option[At] = None) extends Expr
   /** `<expr>[range:resolution]` — a subquery: the inner expression is
     * evaluated at `resolution` steps and the resulting series feed the
     * enclosing range function (reference `LogicalPromSubquery`,
@@ -353,17 +360,30 @@ object PromQL {
         expectOp("]")
       }
       var offset = 0L
-      if (isId("offset")) {
-        next()
-        offset = next() match {
-          case TDur(s) => s
-          case t => sys.error(s"expected duration after offset, got $t")
-        }
+      var at: Option[At] = None
+      var more = true
+      while (more) {
+        if (isId("offset")) {
+          next()
+          offset = next() match {
+            case TDur(s) => s
+            case t => sys.error(s"expected duration after offset, got $t")
+          }
+        } else if (isOp("@")) {
+          next()
+          at = Some(next() match {
+            case TNum(v) => AtMs(math.round(v * 1000))
+            case TId(kw) if kw == "start" || kw == "end" =>
+              expectOp("("); expectOp(")")
+              if (kw == "start") AtStart else AtEnd
+            case t => sys.error(s"expected timestamp after @, got $t")
+          })
+        } else more = false
       }
       subStep match {
         case Some(st) =>
-          SubQ(Sel(name, matchers.result(), None, offset), range.get, st)
-        case None => Sel(name, matchers.result(), range, offset)
+          SubQ(Sel(name, matchers.result(), None, offset, at), range.get, st)
+        case None => Sel(name, matchers.result(), range, offset, at)
       }
     }
   }
@@ -375,24 +395,49 @@ object PromQL {
   private def dsum(c: Column): Column =
     sum(c.cast("decimal(28,10)")).cast("double")
 
+  /** A PromQL scalar mid-evaluation. Prometheus scalars are per-STEP
+    * values, not constants — `time()` varies with the eval timestamp and
+    * `scalar(v)` with the data — so three representations:
+    *  - [[SConst]]: a number literal (and arithmetic over literals);
+    *  - [[STime]]: a pure function of the eval timestamp — `time()` and
+    *    arithmetic combining it with constants. Applied to a vector it
+    *    needs NO join, just the partner's own `eval_ms` column;
+    *  - [[SSteps]]: a data-derived (eval_ms, _sv) series — `scalar(v)` —
+    *    joined to the partner vector on eval_ms.
+    */
+  private sealed trait Scal
+  private case class SConst(v: Double) extends Scal
+  private case class STime(f: Column => Column) extends Scal
+  private case class SSteps(df: DataFrame) extends Scal
+
+  /** `boundsMs`: explicit query-range [start, end] in epoch ms — the
+    * batch stand-in for Prometheus's query_range(start, end). When given,
+    * eval grids (absent(), `@` replication, standalone vector()/time())
+    * derive from it with NO data pass; when absent they fall back to a
+    * min/max-of-time scan of the metric. */
   def evaluate(catalog: Map[String, Metric], query: String,
-               step: String, lookback: String = "5 minutes"): DataFrame = {
+               step: String, lookback: String = "5 minutes",
+               boundsMs: Option[(Long, Long)] = None): DataFrame = {
     val ev = new Eval(catalog, PromRange.durationSeconds(step),
-      PromRange.durationSeconds(lookback))
+      PromRange.durationSeconds(lookback), boundsMs)
     ev.evalVec(parse(query)) match {
       case Left(v) =>
         v.df.select((v.labels.sorted.map(col) :+ col("eval_ms") :+
           col("value")): _*)
-      case Right(s) => sys.error(s"PromQL query is a scalar: $s")
+      case Right(SSteps(df)) =>
+        df.select(col("eval_ms"), col("_sv").as("value"))
+      case Right(s) => sys.error(
+        s"PromQL query is a grid-free scalar ($s): pass boundsMs and wrap" +
+          " in vector() to materialize it")
     }
   }
 
   private class Eval(catalog: Map[String, Metric], stepS: Long,
-                     lookbackS: Long) {
+                     lookbackS: Long, boundsMs: Option[(Long, Long)]) {
     private val stepStr = s"$stepS seconds"
 
-    def evalVec(e: Expr): Either[Vec, Double] = e match {
-      case Num(v) => Right(v)
+    def evalVec(e: Expr): Either[Vec, Scal] = e match {
+      case Num(v) => Right(SConst(v))
       case StrArg(s) => sys.error(s"unexpected string arg: $s")
       case s: Sel =>
         require(s.rangeS.isEmpty,
@@ -427,19 +472,64 @@ object PromQL {
 
     /** Latest sample per series in [T−lookback, T] for every step T —
       * Prometheus staleness keeps a sample at exactly T−lookback alive
-      * (inclusive start, unlike range selectors), hence the +1ms width. */
+      * (inclusive start, unlike range selectors), hence the +1ms width.
+      *
+      * With an `@` modifier the selection time is PINNED: the latest
+      * sample per series in [at−lookback, at] is replicated across every
+      * step of the eval grid (Prometheus `@` semantics — the sample is
+      * fixed, the series still appears at each step of the range). */
     private def instant(s: Sel): Vec = {
       val (m, df) = metricOf(s)
       val tus = unix_micros(col(m.time))
       val ordKey = struct(tus +: m.tie.map(col): _*)
-      val out = PromRange.withRangeWindow(df, m.time,
-          s"${lookbackS * 1000 + 1} milliseconds", stepStr,
-          inclusiveEnd = true)
-        .groupBy(col("window") +: m.labels.map(col): _*)
-        .agg(max_by(col(m.value).cast("double"), ordKey).as("value"))
-        .withColumn("eval_ms", unix_millis(col("window.end")))
-        .drop("window")
-      Vec(out, m.labels)
+      s.at match {
+        case Some(a) =>
+          val atMs = a match {
+            case AtMs(ms) => ms
+            case AtStart => boundsMs.map(_._1)
+              .getOrElse(sys.error("@ start() needs explicit boundsMs"))
+            case AtEnd => boundsMs.map(_._2)
+              .getOrElse(sys.error("@ end() needs explicit boundsMs"))
+          }
+          val pinned = df
+            .filter(tus >= (atMs - lookbackS * 1000L) * 1000L &&
+              tus <= atMs * 1000L)
+            .groupBy(m.labels.map(col): _*)
+            .agg(max_by(col(m.value).cast("double"), ordKey).as("value"))
+          // grid is tiny (one row per step) — broadcast the replication
+          Vec(pinned.crossJoin(broadcast(evalGrid(m))), m.labels)
+        case None =>
+          val out = PromRange.withRangeWindow(df, m.time,
+              s"${lookbackS * 1000 + 1} milliseconds", stepStr,
+              inclusiveEnd = true)
+            .groupBy(col("window") +: m.labels.map(col): _*)
+            .agg(max_by(col(m.value).cast("double"), ordKey).as("value"))
+            .withColumn("eval_ms", unix_millis(col("window.end")))
+            .drop("window")
+          Vec(out, m.labels)
+      }
+    }
+
+    /** The eval-step grid (one `eval_ms` per step): from `boundsMs` when
+      * provided (no data pass), else from a min/max scan of the metric's
+      * own time extent — both ceil'd to step multiples. */
+    private def evalGrid(m: Metric): DataFrame = {
+      val spark = m.df.sparkSession
+      val ssMs = stepS * 1000L
+      val lohi = boundsMs.orElse {
+        val b = m.df.agg(min(unix_millis(col(m.time))),
+          max(unix_millis(col(m.time)))).collect()(0)
+        if (b.isNullAt(0)) None else Some((b.getLong(0), b.getLong(1)))
+      }
+      lohi match {
+        case None =>
+          spark.range(0, 0).select((col("id") * ssMs).as("eval_ms"))
+        case Some((lo, hi)) =>
+          val kmin = (lo + ssMs - 1) / ssMs
+          val kmax = (hi + ssMs - 1) / ssMs
+          spark.range(kmin, kmax + 1)
+            .select((col("id") * ssMs).as("eval_ms"))
+      }
     }
 
     /** A range-function argument: either a range selector `m[d]` (raw
@@ -451,7 +541,8 @@ object PromQL {
         val (m, df) = metricOf(s)
         (df, m.copy(df = df), s.rangeS.get)
       case sq: SubQ =>
-        val inner = new Eval(catalog, sq.stepS.getOrElse(stepS), lookbackS)
+        val inner = new Eval(catalog, sq.stepS.getOrElse(stepS), lookbackS,
+          boundsMs)
         val v = inner.evalVec(sq.inner) match {
           case Left(x) => x
           case Right(d) => sys.error(s"scalar subquery: $d")
@@ -606,12 +697,15 @@ object PromQL {
     private def ceil2(c: Column): Column = ceil(c).cast("double")
     private def floor2(c: Column): Column = floor(c).cast("double")
 
-    private def evalFn(f: FnCall): Either[Vec, Double] = f.fn match {
+    private def evalFn(f: FnCall): Either[Vec, Scal] = f.fn match {
       case fn if mathFns.contains(fn) =>
         evalVec(f.args.head) match {
           case Left(v) => Left(Vec(v.df.withColumn("value",
             mathFns(fn)(col("value"))), v.labels))
-          case Right(s) => Right(scalarMath(fn, s))
+          case Right(SConst(s)) => Right(SConst(scalarMath(fn, s)))
+          case Right(STime(g)) => Right(STime(ev => mathFns(fn)(g(ev))))
+          case Right(SSteps(df)) => Right(SSteps(
+            df.withColumn("_sv", mathFns(fn)(col("_sv")))))
         }
       case "clamp_min" | "clamp_max" | "clamp" =>
         val Left(v) = evalVec(f.args.head): @unchecked
@@ -638,9 +732,39 @@ object PromQL {
         Left(Vec(v.df.withColumn("value",
           floor(col("value") * lit(inv) + lit(0.5)).cast("double") /
             lit(inv)), v.labels))
+      case "time" =>
+        // the eval timestamp in seconds, as a pure function of eval_ms —
+        // applied to a vector it reads the partner's own eval_ms column
+        Right(STime(ev => ev.cast("double") / 1000.0))
       case "scalar" =>
-        // single-series vector → its value; driver-side only for literals
-        sys.error("scalar() is not supported in batch evaluation")
+        // the value of a one-series vector per step; NaN when the series
+        // count differs from 1 (Prometheus scalar()). Steps where the
+        // argument is empty yield no row — the batch grid is data-derived.
+        evalVec(f.args.head) match {
+          case Left(v) => Right(SSteps(v.df.groupBy(col("eval_ms"))
+            .agg(when(count(lit(1)) === 1, max(col("value")))
+              .otherwise(lit(Double.NaN)).as("_sv"))))
+          case Right(sc) => Right(sc)
+        }
+      case "vector" =>
+        // scalar → a zero-label instant vector. Data-derived scalars carry
+        // their own grid; constants/time() need boundsMs for one.
+        evalVec(f.args.head) match {
+          case Right(SSteps(df)) => Left(Vec(
+            df.select(col("eval_ms"), col("_sv").as("value")), Nil))
+          case Right(sc) =>
+            require(boundsMs.isDefined,
+              "vector(<literal>) needs explicit boundsMs for an eval grid")
+            val anyMetric = catalog.values.headOption
+              .getOrElse(sys.error("vector(): empty catalog"))
+            val c = sc match {
+              case SConst(v) => lit(v)
+              case STime(g) => g(col("eval_ms"))
+              case SSteps(_) => sys.error("unreachable")
+            }
+            Left(Vec(evalGrid(anyMetric).withColumn("value", c), Nil))
+          case Left(v) => sys.error(s"vector() expects a scalar, got $v")
+        }
       case "label_replace" =>
         val Left(v) = evalVec(f.args.head): @unchecked
         val Seq(dst, repl, src, re) = f.args.drop(1).map(strArg)
@@ -680,19 +804,7 @@ object PromQL {
           (if (fn == "absent") instant(s).df
            else rangeFn("count_over_time", s).df)
             .select(col("eval_ms")).distinct()
-        val ssMs = stepS * 1000L
-        val spark = m.df.sparkSession
-        val bounds = m.df.agg(min(unix_millis(col(m.time))),
-          max(unix_millis(col(m.time)))).collect()(0)
-        val grid =
-          if (bounds.isNullAt(0)) spark.range(0, 0)
-            .select((col("id") * ssMs).as("eval_ms"))
-          else {
-            val kmin = (bounds.getLong(0) + ssMs - 1) / ssMs
-            val kmax = (bounds.getLong(1) + ssMs - 1) / ssMs
-            spark.range(kmin, kmax + 1)
-              .select((col("id") * ssMs).as("eval_ms"))
-          }
+        val grid = evalGrid(m)
         val eqLabels = s.matchers.collect { case (l, "=", v) => l -> v }
         var out = grid.join(present, Seq("eval_ms"), "left_anti")
           .withColumn("value", lit(1.0))
@@ -732,23 +844,79 @@ object PromQL {
     }
 
     // -- binary ops --------------------------------------------------------
-    private def evalBin(b: Bin): Either[Vec, Double] = {
-      val cmpOps = Set("==", "!=", ">", "<", ">=", "<=")
+    private def evalBin(b: Bin): Either[Vec, Scal] = {
       (evalVec(b.l), evalVec(b.r)) match {
-        case (Right(x), Right(y)) =>
-          Right(scalarOp(b.op, x, y))
-        case (Left(v), Right(s)) =>
-          if (cmpOps.contains(b.op)) Left(vecScalarCmp(v, b.op, s, b.bool))
-          else Left(Vec(v.df.withColumn("value",
-            arithCol(b.op, col("value"), lit(s))), v.labels))
-        case (Right(s), Left(v)) =>
-          if (cmpOps.contains(b.op))
-            Left(vecScalarCmp(v, flip(b.op), s, b.bool))
-          else Left(Vec(v.df.withColumn("value",
-            arithCol(b.op, lit(s), col("value"))), v.labels))
+        case (Right(x), Right(y)) => Right(scalScal(b, x, y))
+        case (Left(v), Right(sc)) => Left(vecScal(b, v, sc, vecIsLeft = true))
+        case (Right(sc), Left(v)) => Left(vecScal(b, v, sc, vecIsLeft = false))
         case (Left(l), Left(r)) => Left(vecVec(b, l, r))
       }
     }
+
+    /** vector ⊙ scalar (either side): const → literal operand; time() →
+      * the vector's own eval_ms column; scalar(v) → eval_ms join. No
+      * label matching — the scalar applies to every series (Prometheus
+      * scalar-vector rule); comparisons filter (or 0/1 with bool). */
+    private def vecScal(b: Bin, v: Vec, sc: Scal, vecIsLeft: Boolean): Vec = {
+      val (df, operand) = sc match {
+        case SConst(s) => (v.df, lit(s))
+        case STime(g) => (v.df, g(col("eval_ms")))
+        case SSteps(sdf) => (v.df.join(sdf, "eval_ms"), col("_sv"))
+      }
+      val out =
+        if (cmpOps(b.op)) {
+          val o = if (vecIsLeft) b.op else flip(b.op)
+          if (b.bool) df.withColumn("value",
+            when(cmpCol(o, col("value"), operand), 1.0).otherwise(0.0))
+          else df.filter(cmpCol(o, col("value"), operand))
+        } else {
+          val (lc, rc) = if (vecIsLeft) (col("value"), operand)
+                         else (operand, col("value"))
+          df.withColumn("value", arithCol(b.op, lc, rc))
+        }
+      Vec(out.drop("_sv"), v.labels)
+    }
+
+    /** scalar ⊙ scalar across the three representations; comparisons
+      * between scalars require `bool` (Prometheus) and yield 1/0. */
+    private def scalScal(b: Bin, x: Scal, y: Scal): Scal = {
+      if (cmpOps(b.op)) require(b.bool,
+        "comparisons between scalars must use the bool modifier")
+      def colFn(s: Scal): Option[Column => Column] = s match {
+        case SConst(v) => Some(_ => lit(v))
+        case STime(g) => Some(g)
+        case SSteps(_) => None
+      }
+      def apply2(l: Column, r: Column): Column =
+        if (cmpOps(b.op)) when(cmpCol(b.op, l, r), 1.0).otherwise(0.0)
+        else arithCol(b.op, l, r)
+      (x, y) match {
+        case (SConst(a), SConst(c)) =>
+          if (cmpOps(b.op))
+            SConst(if (cmpBool(b.op, a, c)) 1.0 else 0.0)
+          else SConst(scalarOp(b.op, a, c))
+        case (SSteps(ld), SSteps(rd)) =>
+          SSteps(ld.join(rd.withColumnRenamed("_sv", "_sv2"), "eval_ms")
+            .withColumn("_sv", apply2(col("_sv"), col("_sv2")))
+            .drop("_sv2"))
+        case (SSteps(ld), other) =>
+          val g = colFn(other).get
+          SSteps(ld.withColumn("_sv", apply2(col("_sv"), g(col("eval_ms")))))
+        case (other, SSteps(rd)) =>
+          val g = colFn(other).get
+          SSteps(rd.withColumn("_sv", apply2(g(col("eval_ms")), col("_sv"))))
+        case (l, r) => // at least one STime, no SSteps
+          val (gl, gr) = (colFn(l).get, colFn(r).get)
+          STime(ev => apply2(gl(ev), gr(ev)))
+      }
+    }
+
+    private def cmpBool(op: String, x: Double, y: Double): Boolean =
+      op match {
+        case "==" => x == y; case "!=" => x != y
+        case ">" => x > y; case "<" => x < y
+        case ">=" => x >= y; case "<=" => x <= y
+      }
 
     private def flip(op: String): String = op match {
       case ">" => "<"; case "<" => ">"; case ">=" => "<="
@@ -776,14 +944,6 @@ object PromQL {
       case ">" => l > r; case "<" => l < r
       case ">=" => l >= r; case "<=" => l <= r
     }
-
-    private def vecScalarCmp(v: Vec, op: String, s: Double,
-                             bool: Boolean): Vec =
-      if (bool)
-        Vec(v.df.withColumn("value",
-          when(cmpCol(op, col("value"), lit(s)), 1.0).otherwise(0.0)),
-          v.labels)
-      else Vec(v.df.filter(cmpCol(op, col("value"), lit(s))), v.labels)
 
     private def vecVec(b: Bin, l: Vec, r: Vec): Vec = {
       // PromQL default matching is on the FULL label set (one-to-one) —

@@ -65,12 +65,12 @@ class PropertySpec extends AnyFunSuite {
     check(Prop.forAll(ident, ident) { (m, l) =>
       val metric = "m" + m
       (PromQL.parse(s"$metric + $metric * $metric") match {
-        case Bin("+", Sel(_, _, _, _), Bin("*", _, _, _, _, _, _, _),
+        case Bin("+", Sel(_, _, _, _, _), Bin("*", _, _, _, _, _, _, _),
           _, _, _, _, _) => true
         case _ => false
       }) &&
       (PromQL.parse(s"""rate($metric{x$l="v"}[5m])""") match {
-        case FnCall("rate", Seq(Sel(n, Seq((lab, "=", "v")), Some(300), 0)))
+        case FnCall("rate", Seq(Sel(n, Seq((lab, "=", "v")), Some(300), 0, None)))
           => n == metric && lab == "x" + l
         case _ => false
       }) &&
