@@ -750,7 +750,11 @@ object SparkEntry {
           Seq("user_id"), window = 20, k = 2.5)
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_points"),
-          sum(when(col("is_anomaly"), 1L).otherwise(0L)).as("n_anomalies"),
+          // count on a 9dp-rounded |z|: the two engines' FP summation
+          // orders inside a window frame differ, so a boundary-adjacent
+          // z could flip the raw |z| > 2.5 comparison on one side only
+          sum(when(round(abs(col("zscore")), 9) > 2.5, 1L).otherwise(0L))
+            .as("n_anomalies"),
           round(max(abs(col("zscore"))), 6).as("max_abs_z"))
         .orderBy("user_id")
     }),
@@ -2047,7 +2051,8 @@ object SparkEntry {
     // the engines' different summation orders inside a window frame.
     "q63_anomaly_detect" ->
       """WITH pts AS (SELECT user_id, epoch_us(ts) AS t,
-             CAST(value AS DOUBLE) AS v FROM events),
+             CAST(value AS DOUBLE) AS v FROM events
+           WHERE value IS NOT NULL),
          w AS (SELECT user_id, v,
              count(v) OVER win AS cnt,
              avg(v) OVER win AS m,
@@ -2060,8 +2065,8 @@ object SparkEntry {
                   ELSE (v - m) / greatest(sd, 1e-9) END AS z
            FROM w)
          SELECT user_id, count(*) AS n_points,
-           CAST(sum(CASE WHEN abs(z) > 2.5 THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_anomalies,
+           CAST(sum(CASE WHEN round(abs(z), 9) > 2.5 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_anomalies,
            round(max(abs(z)), 6) AS max_abs_z
          FROM z GROUP BY user_id ORDER BY user_id""",
 

@@ -117,11 +117,35 @@ case class NearestCentroid(left: Expression, right: Expression)
       case ArrayType(ArrayType(DoubleType, _), _) => true
       case _ => false
     })
-    if (leftOk && rightOk)
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-      "vec_nearest_centroid expects (array<float|double>, " +
-        s"foldable array<array<double>>), got ${left.dataType}, ${right.dataType}")
+    if (!(leftOk && rightOk))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "vec_nearest_centroid expects (array<float|double>, " +
+          s"foldable array<array<double>>), got ${left.dataType}, ${right.dataType}")
+    else {
+      // The codebook is foldable — evaluate it HERE so a null literal, a
+      // null centroid row, or a null element fails analysis with a message
+      // naming the function instead of NPE-ing at first row evaluation.
+      val cb = right.eval(null)
+      if (cb == null)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          "vec_nearest_centroid: codebook literal is null")
+      else {
+        val ad = cb.asInstanceOf[ArrayData]
+        val badRow = (0 until ad.numElements()).find { i =>
+          ad.isNullAt(i) || {
+            val row = ad.getArray(i)
+            (0 until row.numElements()).exists(row.isNullAt)
+          }
+        }
+        badRow match {
+          case Some(i) =>
+            org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+              s"vec_nearest_centroid: codebook row $i is null or contains nulls")
+          case None =>
+            org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        }
+      }
+    }
   }
 
   /** The codebook, decoded once per expression instance (driver AND each

@@ -28,8 +28,12 @@ object AnomalyDetect {
       case TimestampType => unix_micros(col(time))
       case _ => col(time).cast("long")
     }
-    val in = df.select((tags.map(col) :+ tcol.as("_t") :+
-      col(field).cast("double").as("_v")): _*)
+    // NULL samples are dropped, not folded: getAs[Double] would unbox a
+    // NULL to 0.0 and poison every window containing it, while SQL
+    // window avg/stddev (the oracle) skip NULLs silently.
+    val in = df.filter(col(field).isNotNull)
+      .select((tags.map(col) :+ tcol.as("_t") :+
+        col(field).cast("double").as("_v")): _*)
     val outSchema = StructType(tags.map(n => in.schema(n)) ++ Seq(
       StructField("_t", LongType), StructField("value", DoubleType),
       StructField("zscore", DoubleType), StructField("is_anomaly", BooleanType)))

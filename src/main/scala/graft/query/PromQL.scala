@@ -361,19 +361,28 @@ object PromQL {
       }
       var offset = 0L
       var at: Option[At] = None
+      // Prometheus rejects repeated modifiers outright ("offset may not be
+      // set multiple times") rather than letting the last one win.
+      var seenOffset = false
       var more = true
       while (more) {
         if (isId("offset")) {
+          if (seenOffset) sys.error("offset may not be set multiple times")
+          seenOffset = true
           next()
           offset = next() match {
             case TDur(s) => s
             case t => sys.error(s"expected duration after offset, got $t")
           }
         } else if (isOp("@")) {
+          if (at.isDefined) sys.error("@ <timestamp> may not be set multiple times")
           next()
+          // `@ -300` lexes as TOp("-") TNum(300) — pre-1970 pins are legal
+          val neg = if (isOp("-")) { next(); true } else false
           at = Some(next() match {
-            case TNum(v) => AtMs(math.round(v * 1000))
-            case TId(kw) if kw == "start" || kw == "end" =>
+            case TNum(v) =>
+              AtMs(math.round((if (neg) -v else v) * 1000))
+            case TId(kw) if !neg && (kw == "start" || kw == "end") =>
               expectOp("("); expectOp(")")
               if (kw == "start") AtStart else AtEnd
             case t => sys.error(s"expected timestamp after @, got $t")
@@ -470,6 +479,16 @@ object PromQL {
       (m, df)
     }
 
+    /** An `@` pin resolved to epoch ms (start()/end() need explicit
+      * bounds — there is no "query range" to anchor them to otherwise). */
+    private def resolveAt(a: At): Long = a match {
+      case AtMs(ms) => ms
+      case AtStart => boundsMs.map(_._1)
+        .getOrElse(sys.error("@ start() needs explicit boundsMs"))
+      case AtEnd => boundsMs.map(_._2)
+        .getOrElse(sys.error("@ end() needs explicit boundsMs"))
+    }
+
     /** Latest sample per series in [T−lookback, T] for every step T —
       * Prometheus staleness keeps a sample at exactly T−lookback alive
       * (inclusive start, unlike range selectors), hence the +1ms width.
@@ -484,13 +503,7 @@ object PromQL {
       val ordKey = struct(tus +: m.tie.map(col): _*)
       s.at match {
         case Some(a) =>
-          val atMs = a match {
-            case AtMs(ms) => ms
-            case AtStart => boundsMs.map(_._1)
-              .getOrElse(sys.error("@ start() needs explicit boundsMs"))
-            case AtEnd => boundsMs.map(_._2)
-              .getOrElse(sys.error("@ end() needs explicit boundsMs"))
-          }
+          val atMs = resolveAt(a)
           val pinned = df
             .filter(tus >= (atMs - lookbackS * 1000L) * 1000L &&
               tus <= atMs * 1000L)
@@ -525,8 +538,10 @@ object PromQL {
         case None =>
           spark.range(0, 0).select((col("id") * ssMs).as("eval_ms"))
         case Some((lo, hi)) =>
-          val kmin = (lo + ssMs - 1) / ssMs
-          val kmax = (hi + ssMs - 1) / ssMs
+          // floorDiv-based ceil: truncating `/` rounds toward zero, which
+          // disagrees with the oracle's `//` floor for pre-1970 epochs
+          val kmin = Math.floorDiv(lo + ssMs - 1, ssMs)
+          val kmax = Math.floorDiv(hi + ssMs - 1, ssMs)
           spark.range(kmin, kmax + 1)
             .select((col("id") * ssMs).as("eval_ms"))
       }
@@ -536,27 +551,71 @@ object PromQL {
       * samples) or a subquery `expr[d:r]` (the inner expression evaluated
       * at r-steps becomes the sample stream). */
     private def rangeSource(fn: String, arg: Expr): (DataFrame, Metric,
-        Long) = arg match {
+        Long, Option[Long]) = arg match {
       case s: Sel if s.rangeS.isDefined =>
-        val (m, df) = metricOf(s)
-        (df, m.copy(df = df), s.rangeS.get)
+        // `m[5m] @ T`: strip the pin here; rangeFn applies it to the
+        // window evaluation (previously the pin was silently dropped)
+        val (m, df) = metricOf(s.copy(at = None))
+        (df, m.copy(df = df), s.rangeS.get, s.at.map(resolveAt))
       case sq: SubQ =>
+        // `expr[d:r] @ T` parses the pin onto a Sel-shaped inner — it
+        // belongs to the SUBQUERY (its eval range ends at T), not to the
+        // inner selector, so lift it off before evaluating the inner
+        val (innerExpr, atMs) = sq.inner match {
+          case s: Sel if s.at.isDefined => (s.copy(at = None), s.at.map(resolveAt))
+          case e => (e, None)
+        }
         val inner = new Eval(catalog, sq.stepS.getOrElse(stepS), lookbackS,
           boundsMs)
-        val v = inner.evalVec(sq.inner) match {
+        val v = inner.evalVec(innerExpr) match {
           case Left(x) => x
           case Right(d) => sys.error(s"scalar subquery: $d")
         }
         val df = v.df.withColumn("__ts", timestamp_millis(col("eval_ms")))
         (df, Metric(df, v.labels, time = "__ts", value = "value",
-          tie = Nil), sq.rangeS)
+          tie = Nil), sq.rangeS, atMs)
       case other =>
         sys.error(s"function $fn expects a range vector, got $other")
     }
 
-    /** Range vector routed through fn; evaluates per step. */
+    /** Range vector routed through fn; evaluates per step. With an `@`
+      * pin the window is FIXED at (at−range, at]: shift samples so the
+      * pin lands on the next step-grid point (relative sample↔boundary
+      * distances — what rate extrapolation sees — are preserved), run
+      * the normal windowed evaluation, keep only the pinned window, and
+      * replicate it across the eval grid (Prometheus `@` semantics). */
+    /** Applies an `@` pin to a range-fn input: keep only (at−range, at],
+      * shift so the pin lands on the next step-grid point (preserving
+      * sample↔boundary distances), and report that grid point. */
+    private def pinWindow(df1: DataFrame, m1: Metric, rangeS: Long,
+        atMsOpt: Option[Long]): (DataFrame, Metric, Option[Long]) =
+      atMsOpt match {
+        case None => (df1, m1, None)
+        case Some(atMs) =>
+          val ssMs = stepS * 1000L
+          val tp = Math.floorDiv(atMs + ssMs - 1, ssMs) * ssMs
+          val shiftUs = (tp - atMs) * 1000L
+          val tus = unix_micros(col(m1.time))
+          val d2 = df1
+            .filter(tus > (atMs - rangeS * 1000L) * 1000L &&
+              tus <= atMs * 1000L)
+            .withColumn(m1.time,
+              timestamp_micros(unix_micros(col(m1.time)) + shiftUs))
+          (d2, m1.copy(df = d2), Some(tp))
+      }
+
+    /** Replicates a pinned window's single result across the eval grid. */
+    private def unpin(out: DataFrame, pin: Option[Long],
+        gridOf: Metric): DataFrame = pin match {
+      case None => out
+      case Some(tp) =>
+        out.filter(col("eval_ms") === tp).drop("eval_ms")
+          .crossJoin(broadcast(evalGrid(gridOf)))
+    }
+
     private def rangeFn(fn: String, arg: Expr): Vec = {
-      val (df, m, rangeS) = rangeSource(fn, arg)
+      val (df1, m1, rangeS, atMsOpt) = rangeSource(fn, arg)
+      val (df, m, pin) = pinWindow(df1, m1, rangeS, atMsOpt)
       val range = s"$rangeS seconds"
       val counterCols = Map("rate" -> "rate", "increase" -> "increase",
         "delta" -> "delta", "irate" -> "irate", "idelta" -> "idelta")
@@ -578,7 +637,8 @@ object PromQL {
               stepStr, inclusiveEnd = true)
             .withColumn("value", col(fn).cast("double"))
         else sys.error(s"unsupported range function $fn")
-      Vec(out.select((m.labels.map(col) :+ col("eval_ms") :+
+      val res = unpin(out, pin, m1)
+      Vec(res.select((m.labels.map(col) :+ col("eval_ms") :+
         col("value")): _*), m.labels)
     }
 
@@ -811,15 +871,16 @@ object PromQL {
         eqLabels.foreach { case (l, v) => out = out.withColumn(l, lit(v)) }
         Left(Vec(out, eqLabels.map(_._1)))
       case fn @ ("deriv" | "predict_linear") =>
-        val (df, m, rangeS) = rangeSource(fn, f.args.head)
+        val (df1, m1, rangeS, atMsOpt) = rangeSource(fn, f.args.head)
+        val (df, m, pin) = pinWindow(df1, m1, rangeS, atMsOpt)
         val predictS =
           if (fn == "predict_linear") scalarArg(f.args(1)) else 0.0
         val out = PromRange.linearRegression(df, m.time, m.value, m.labels,
             s"$rangeS seconds", stepStr, predictS, inclusiveEnd = true)
           .withColumn("value",
             col(if (fn == "deriv") "deriv" else "predict").cast("double"))
-        Left(Vec(out.select((m.labels.map(col) :+ col("eval_ms") :+
-          col("value")): _*), m.labels))
+        Left(Vec(unpin(out, pin, m1).select((m.labels.map(col) :+
+          col("eval_ms") :+ col("value")): _*), m.labels))
       case fn =>
         // range-vector function over a range selector or subquery
         Left(rangeFn(fn, f.args.head))

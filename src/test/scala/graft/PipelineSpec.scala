@@ -157,6 +157,26 @@ class PipelineSpec extends SparkSpec {
     assert(pairs.nonEmpty && pairs.forall { case (f, n) => f == n })
   }
 
+  test("vec_nearest_centroid rejects null codebooks at analysis time") {
+    graft.expressions.VectorExpressions.register(spark)
+    // a null codebook literal / a codebook with a null row must fail with
+    // a message naming the function, not NPE at first row evaluation
+    val e1 = intercept[Exception] {
+      vecs.select(org.apache.spark.sql.functions.call_function(
+        "vec_nearest_centroid", $"embedding",
+        org.apache.spark.sql.functions.lit(null)
+          .cast("array<array<double>>"))).collect()
+    }
+    assert(e1.getMessage.contains("vec_nearest_centroid"))
+    val e2 = intercept[Exception] {
+      vecs.select(org.apache.spark.sql.functions.call_function(
+        "vec_nearest_centroid", $"embedding",
+        org.apache.spark.sql.functions.typedlit(
+          Seq(Seq(1.0, 0.0, 0.0), null)))).collect()
+    }
+    assert(e2.getMessage.contains("vec_nearest_centroid"))
+  }
+
   test("bruteForceTopK ranks by cosine") {
     val out = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" === 0),
         "embedding", "vec_id", 3)

@@ -331,4 +331,31 @@ class PromQLSpec extends SparkSpec {
     intercept[Exception](PromQL.evaluate(cat, "requests}", "300 seconds"))
     intercept[Exception](PromQL.evaluate(cat, "nope", "300 seconds"))
   }
+
+  test("@ pins a range selector's window and replicates across the grid") {
+    // same counter as the rate() test: 0,10,20,5 at 0,5,10,15m
+    val cdf = Seq(0.0, 10.0, 20.0, 5.0).zipWithIndex.map { case (v, i) =>
+      ("c0", new Timestamp(i * 300000L), v, i.toLong)
+    }.toDF("job", "ts", "value", "id")
+    val c = Map("ctr" -> Metric(cdf, Seq("job"), tie = Seq("id")))
+    val out = PromQL.evaluate(c, "rate(ctr[15m] @ 900)", "900 seconds")
+      .select("eval_ms", "value").as[(Long, Double)].collect().toMap
+    // grid spans ceil(0)..ceil(15m) at 15m steps → 0 and 900000, and the
+    // pinned window's value (22.5/900, see the un-pinned test) appears at
+    // BOTH steps — that's the whole point of @
+    assert(out.keySet == Set(0L, 900000L))
+    assert(out.values.forall(v => math.abs(v - 22.5 / 900.0) < 1e-12))
+  }
+
+  test("duplicate modifiers are rejected; negative @ parses") {
+    intercept[Exception](
+      PromQL.evaluate(cat, "requests offset 5m offset 5m", "300 seconds"))
+    intercept[Exception](
+      PromQL.evaluate(cat, "rate(requests[5m] @ 100 @ 200)", "300 seconds"))
+    // a pre-1970 pin lexes (TOp("-") TNum) and yields an empty result
+    // rather than a tokenizer error
+    val n = PromQL.evaluate(cat, "rate(requests[5m] @ -300)", "300 seconds")
+      .count()
+    assert(n == 0L)
+  }
 }
