@@ -1080,6 +1080,22 @@ object SparkEntry {
           "sum by (event_type) (events @ 1705276800)",
           step = "1 hour", lookback = "1 day")
         .orderBy("event_type", "eval_ms")
+    }),
+
+    // §2.8 fill × tz() × time(d, offset): the spine is uniform on the
+    // wall-clock axis (America/New_York, 4h grid offset → buckets start
+    // at 04:00 local) and the filled boundaries convert back to absolute
+    // epochs — reference clamps fill spines the same way
+    // (query/compile.go:1325). Jan-2024 data is fixed EST (UTC−5).
+    "q92_influxql_fill_tz" -> ((s, dir) => {
+      val catalog = Map("events" -> graft.query.InfluxQL.Measurement(
+        t(s, dir, "events"), tags = Seq("event_type")))
+      graft.query.InfluxQL.execute(catalog,
+          "SELECT count(value) FROM events " +
+          "GROUP BY event_type, time(1d, 4h) fill(previous) " +
+          "TZ('America/New_York')")
+        .select("event_type", "time", "count")
+        .orderBy("event_type", "time")
     })
   )
 
@@ -2124,6 +2140,33 @@ object SparkEntry {
          SELECT p.event_type, g.eval_ms,
            CAST(sum(CAST(p.v AS DECIMAL(28,10))) AS DOUBLE) AS value
          FROM pinned p CROSS JOIN grid g
-         GROUP BY 1, 2 ORDER BY 1, 2"""
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // fill(previous) on a zoned, offset bucket grid: buckets start at
+    // 04:00 America/New_York (fixed UTC−5 across the Jan-2024 data), the
+    // spine is uniform in LOCAL ms clamped to the data extent, LOCF per
+    // event_type, boundaries re-based to absolute epochs (+5h).
+    "q92_influxql_fill_tz" ->
+      """WITH pts AS (SELECT event_type,
+             epoch_ms(ts - INTERVAL 5 HOUR) AS lms, value FROM events),
+         b AS (SELECT event_type,
+             ((lms - 14400000) // 86400000) * 86400000 + 14400000 AS wstart,
+             count(value) AS cnt
+           FROM pts GROUP BY 1, 2),
+         ext AS (SELECT
+             ((min(lms) - 14400000) // 86400000) * 86400000 + 14400000 AS lo,
+             ((max(lms) - 14400000) // 86400000) * 86400000 + 14400000 AS hi
+           FROM pts),
+         spine AS (SELECT et.event_type, gs.g AS wstart
+           FROM (SELECT DISTINCT event_type FROM b) et
+           CROSS JOIN (SELECT unnest(generate_series(lo, hi, 86400000)) AS g
+                       FROM ext) gs),
+         f AS (SELECT s.event_type, s.wstart,
+             last_value(b.cnt IGNORE NULLS) OVER (
+               PARTITION BY s.event_type ORDER BY s.wstart) AS count
+           FROM spine s LEFT JOIN b
+             ON s.event_type = b.event_type AND s.wstart = b.wstart)
+         SELECT event_type, wstart + 18000000 AS time, count
+         FROM f ORDER BY event_type, time"""
   )
 }

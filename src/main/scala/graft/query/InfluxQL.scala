@@ -927,27 +927,43 @@ object InfluxQL {
             evalExpr(p.e, c => col(callName(c)))))
         addExprCols(q.intervalNs match {
           case Some(ns) =>
-            val bucketed = WindowedAgg.timeBucket(df, m.time,
-              s"${ns / 1000000} milliseconds", groupTags, aggs,
-              offset = s"${q.intervalOffsetNs.getOrElse(0L) / 1000000} " +
-                "milliseconds", tz = q.tz)
+            val interval = s"${ns / 1000000} milliseconds"
+            val offsetStr = s"${q.intervalOffsetNs.getOrElse(0L) / 1000000} " +
+              "milliseconds"
             q.fill match {
-              case FillNone => bucketed
+              case FillNone => WindowedAgg.timeBucket(df, m.time, interval,
+                groupTags, aggs, offset = offsetStr, tz = q.tz)
               case mode =>
-                require(q.intervalOffsetNs.isEmpty && q.tz.isEmpty,
-                  "fill() with time(d, offset) or tz() not supported")
+                // fill × tz()/time(d, offset): the spine is uniform on the
+                // bucket-assignment AXIS (the wall-clock axis under tz(),
+                // shifted by the grid offset), not on raw epoch ms — so
+                // bucket + fill in axis space, then convert the boundaries
+                // back to absolute epochs exactly as timeBucket would
+                // (reference clamps fill spines the same way,
+                // query/compile.go:1325).
+                val axisDf = q.tz.map(z => df.withColumn(m.time,
+                  from_utc_timestamp(col(m.time), z))).getOrElse(df)
+                val bucketed = WindowedAgg.timeBucket(axisDf, m.time,
+                  interval, groupTags, aggs, offset = offsetStr, tz = None)
                 // clamp the spine to the query's time bounds (compile.go:1325)
-                val bounds = df.agg(
+                val bounds = axisDf.agg(
                   min(unix_millis(col(m.time))), max(unix_millis(col(m.time))))
                   .collect()(0)
-                if (bounds.isNullAt(0)) bucketed
+                if (bounds.isNullAt(0))
+                  q.tz.map(z => bucketed.withColumn("wstart_ms",
+                      unix_millis(to_utc_timestamp(
+                        timestamp_millis(col("wstart_ms")), z))))
+                    .getOrElse(bucketed)
                 else {
                   val step = ns / 1000000
-                  val lo = bounds.getLong(0) / step * step
-                  val hi = bounds.getLong(1) / step * step + step
+                  val off = q.intervalOffsetNs.getOrElse(0L) / 1000000
+                  val lo = Math.floorDiv(bounds.getLong(0) - off, step) *
+                    step + off
+                  val hi = Math.floorDiv(bounds.getLong(1) - off, step) *
+                    step + off + step
                   val names = bucketed.columns
                     .filterNot(c => c == "wstart_ms" || groupTags.contains(c))
-                  mode match {
+                  val filled = mode match {
                     case FillNull => Fill.fillValue(bucketed, names.toSeq,
                       groupTags, lo, hi, step)
                     case FillValue(v) => Fill.fillValue(bucketed, names.toSeq,
@@ -958,6 +974,10 @@ object InfluxQL {
                       groupTags, lo, hi, step)
                     case FillNone => bucketed
                   }
+                  q.tz.map(z => filled.withColumn("wstart_ms",
+                      unix_millis(to_utc_timestamp(
+                        timestamp_millis(col("wstart_ms")), z))))
+                    .getOrElse(filled)
                 }
             }
           case None =>

@@ -63,6 +63,31 @@ class InfluxQLSpec extends SparkSpec {
     assert(out == Seq((0L, 100.0), (60000L, 100.0), (120000L, 200.0)))
   }
 
+  test("fill(previous) with tz() and time(d, offset) fills the local grid") {
+    // points at 05:00Z Jan 1 / Jan 3 2024 = 00:00 EST Jan 1 / Jan 3;
+    // 1d buckets at a 4h local offset start at 04:00 EST, so both points
+    // fall in buckets starting 04:00 EST the PREVIOUS local day =
+    // 09:00:00Z Dec 31 / Jan 2 — and fill(previous) bridges the Jan 1
+    // local-day gap with the Dec 31 bucket's value.
+    val jan1 = 1704085200000000000L // 2024-01-01T05:00:00Z in epoch ns
+    val jan3 = jan1 + 2L * 86400000000000L
+    val lines = Seq(
+      s"m,host=a value=1 $jan1",
+      s"m,host=a value=9 $jan3").toDS()
+    val df = LineProtocol.toMeasurementTable(LineProtocol.parse(lines), "m",
+      tagKeys = Seq("host"), floatKeys = Seq("value"))
+    val out = InfluxQL.execute(Map("m" -> Measurement(df, tags = Seq("host"))),
+        "SELECT mean(value) FROM m GROUP BY host, time(1d, 4h) " +
+        "fill(previous) TZ('America/New_York')")
+      .select("time", "mean").as[(Long, Double)].collect().toSeq
+      .sortBy(_._1)
+    val dec31_0900Z = 1704013200000L // bucket start 04:00 EST Dec 31, as UTC
+    assert(out == Seq(
+      (dec31_0900Z, 1.0),
+      (dec31_0900Z + 86400000L, 1.0),  // empty local day → LOCF
+      (dec31_0900Z + 2 * 86400000L, 9.0)))
+  }
+
   test("fill(100) substitutes constant; fill(linear) interpolates") {
     val v = run(
       "SELECT mean(value) FROM cpu WHERE host = 'server02' GROUP BY host, time(1m) fill(7)")
