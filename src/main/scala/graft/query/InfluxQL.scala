@@ -575,6 +575,30 @@ object InfluxQL {
   def execute(catalog: Map[String, Measurement], sql: String): DataFrame =
     executeStatement(catalog, sql)._2
 
+  /** Run a statement and also return the HTTP shaping metadata the
+    * reference's httpd handler derives from the plan
+    * (`lib/util/lifted/influx/httpd/handler.go:534` emits `models.Rows`
+    * named after the source measurement, one series per GROUP BY tag set):
+    * (series name, tag columns present in the output, result frame).
+    * SHOW statements shape as an untagged series named after the shown
+    * object (`query/statement_rewriter.go`). */
+  def executeShaped(catalog: Map[String, Measurement],
+                    sql: String): (String, Seq[String], DataFrame) = {
+    val (q, df) = executeStatement(catalog, sql)
+    q match {
+      case Some(qq) =>
+        def base(x: Query): String = x.fromSub.map(base).getOrElse(x.from)
+        val tags = resolveTags(catalog, qq).filter(df.columns.contains)
+        (base(qq), tags, df)
+      case None =>
+        val name = sql.trim.split("\\s+").drop(1)
+          .takeWhile(w => !Set("on", "from", "with", "where")
+            .contains(w.toLowerCase))
+          .map(_.toLowerCase).mkString("_")
+        (name, Nil, df)
+    }
+  }
+
   /** `SELECT … INTO target …`: runs the statement and returns the catalog
     * with the result registered as a queryable measurement (the
     * reference's IntoClause writes it into the database; our catalog is

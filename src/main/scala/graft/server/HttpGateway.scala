@@ -1,0 +1,306 @@
+package graft.server
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import java.net.{InetSocketAddress, URLDecoder}
+import java.nio.charset.StandardCharsets.UTF_8
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import graft.query.{InfluxQL, PromQL}
+import graft.sources.{LineProtocol, ResultShaper}
+
+/** Minimal HTTP serving surface over the library, mirroring the
+  * reference's httpd routes (`lib/util/lifted/influx/httpd/handler.go:264`
+  * `/write`, `:276` `/query`, and the prom-compatible `/api/v1/…` family
+  * at `handler.go:318-345`):
+  *
+  *   - `GET|POST /query` — InfluxQL. Params `q`, `epoch` (h/m/s/ms/u/ns,
+  *     default ms), `chunked` + `chunk_size` (each chunk a complete JSON
+  *     document on its own line, non-final chunks of a series marked
+  *     `"partial":true` — `httpsender_transform.go`'s contract).
+  *     `SELECT … INTO` registers the result as a new queryable
+  *     measurement and reports `{"written":N}` rows.
+  *   - `POST /write` — line protocol body. Param `precision` (n/u/ms/s/m/h,
+  *     default ns — `handler.go` precision query arg). Schema-on-write
+  *     type conflicts in the batch are rejected 400 like the reference's
+  *     partial-write errors (`coordinator/write_helper.go:463`).
+  *   - `GET /api/v1/query_range` — PromQL range query (`query`, `start`,
+  *     `end`, `step`); Prometheus `matrix` response JSON.
+  *   - `GET /api/v1/query` — PromQL instant query (`query`, `time`);
+  *     `vector` response JSON.
+  *   - `GET /ping` — 204, like the reference's health probe.
+  *
+  * `/query` bodies come from the same [[ResultShaper]] the library path
+  * uses — byte-identical by construction (ServerSpec asserts it). The
+  * server binds loopback only and is the correctness harness's serving
+  * veneer, not a hardened ingress. Documented divergences from the
+  * reference: timestamps always epoch-encoded (no RFC3339 mode), and the
+  * Prom range grid is step-aligned to the epoch (the engine's evalGrid)
+  * rather than to `start`.
+  *
+  * All distributed work stays in Spark; handlers only trigger the final
+  * collect that the reference's single-node HTTP sender performs too.
+  */
+final class HttpGateway(spark: SparkSession,
+                        init: Map[String, InfluxQL.Measurement],
+                        prom: Map[String, PromQL.Metric],
+                        port: Int = 0) {
+
+  @volatile private var catalog = init
+  private val server =
+    HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+
+  server.createContext("/ping", (ex: HttpExchange) => {
+    ex.getResponseHeaders.set("X-Gemini-Compat", "graft")
+    ex.sendResponseHeaders(204, -1); ex.close()
+  })
+  server.createContext("/query", (ex: HttpExchange) => handleQuery(ex))
+  server.createContext("/write", (ex: HttpExchange) => handleWrite(ex))
+  server.createContext("/api/v1/query_range",
+    (ex: HttpExchange) => handleProm(ex, range = true))
+  server.createContext("/api/v1/query",
+    (ex: HttpExchange) => handleProm(ex, range = false))
+
+  def start(): Int = { server.start(); boundPort }
+  def stop(): Unit = server.stop(0)
+  def boundPort: Int = server.getAddress.getPort
+
+  /** Current measurement catalog (grows via /write and SELECT INTO). */
+  def measurements: Map[String, InfluxQL.Measurement] = catalog
+
+  // ------------------------------------------------------------ plumbing
+  private def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  private def respond(ex: HttpExchange, code: Int, body: String,
+                      ctype: String = "application/json"): Unit = {
+    val bytes = body.getBytes(UTF_8)
+    ex.getResponseHeaders.set("Content-Type", ctype)
+    ex.sendResponseHeaders(code, if (bytes.isEmpty) -1L else bytes.length.toLong)
+    if (bytes.nonEmpty) ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+
+  private def decode(s: String): String = URLDecoder.decode(s, UTF_8)
+
+  /** URI query params, plus form-encoded POST body params for /query
+    * (the reference accepts `q` in either place). */
+  private def params(ex: HttpExchange, readBody: Boolean): Map[String, String] = {
+    val ct = Option(ex.getRequestHeaders.getFirst("Content-Type")).getOrElse("")
+    val fromBody =
+      if (readBody && ex.getRequestMethod == "POST" &&
+          ct.startsWith("application/x-www-form-urlencoded"))
+        new String(ex.getRequestBody.readAllBytes(), UTF_8)
+      else ""
+    (Option(ex.getRequestURI.getRawQuery).getOrElse("") + "&" + fromBody)
+      .split('&').filter(_.nonEmpty).map { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) => decode(k) -> decode(v)
+          case Array(k) => decode(k) -> ""
+        }
+      }.toMap
+  }
+
+  // ------------------------------------------------------------- /query
+  private def handleQuery(ex: HttpExchange): Unit =
+    try {
+      val p = params(ex, readBody = true)
+      val q = p.getOrElse("q",
+        sys.error("missing required parameter \"q\""))
+      val epoch = p.getOrElse("epoch", "ms")
+      if ("(?is).*\\bINTO\\b.*".r.matches(q) &&
+          q.trim.toLowerCase.startsWith("select")) {
+        val (cat2, df) = InfluxQL.executeInto(catalog, q)
+        val written = df.count()
+        synchronized { catalog = cat2 }
+        respond(ex, 200,
+          s"""{"results":[{"statement_id":0,"series":[{"name":"result","columns":["time","written"],"values":[[0,$written]]}]}]}""")
+      } else {
+        val (name, tags, df0) = InfluxQL.executeShaped(catalog, q)
+        // the engine's `time` output is epoch ms (LONG); `epoch=`
+        // rescaling happens on TIMESTAMP values at the HTTP edge, so
+        // lift it back to a timestamp before shaping
+        val df = df0.schema.find(_.name == "time").map(_.dataType) match {
+          case Some(org.apache.spark.sql.types.LongType) |
+               Some(org.apache.spark.sql.types.IntegerType) =>
+            df0.withColumn("time",
+              org.apache.spark.sql.functions.timestamp_millis(
+                org.apache.spark.sql.functions.col("time")))
+          case _ => df0
+        }
+        val valueCols = HttpGateway.shapedValueCols(df.columns, tags)
+        val body =
+          if (p.get("chunked").contains("true")) {
+            val n = p.get("chunk_size").map(_.toInt).getOrElse(10000)
+            ResultShaper.toSeriesJsonChunked(df, name, tags, valueCols, n,
+              epoch).mkString("", "\n", "\n")
+          } else
+            ResultShaper.toSeriesJson(df, name, tags, valueCols, epoch)
+        respond(ex, 200, body)
+      }
+    } catch {
+      case e: Throwable =>
+        respond(ex, 400, s"""{"error":${jsonStr(String.valueOf(e.getMessage))}}""")
+    }
+
+  // ------------------------------------------------------------- /write
+  private val TimeUnset = Long.MinValue
+
+  private def handleWrite(ex: HttpExchange): Unit =
+    try {
+      val p = params(ex, readBody = false)
+      val mult = p.getOrElse("precision", "ns") match {
+        case "ns" | "n" => 1L
+        case "u" | "µ" => 1000L
+        case "ms" => 1000000L
+        case "s" => 1000000000L
+        case "m" => 60L * 1000000000L
+        case "h" => 3600L * 1000000000L
+        case x => sys.error(s"invalid precision $x")
+      }
+      val nowNs = System.currentTimeMillis() * 1000000L
+      val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+      val pts = body.split('\n').toSeq
+        .flatMap(l => LineProtocol.parseLine(l, TimeUnset))
+        .map(pt => pt.copy(
+          time = if (pt.time == TimeUnset) nowNs else pt.time * mult))
+      if (pts.isEmpty) sys.error("no points parsed")
+      // batch-level schema-on-write conflict gate (write_helper.go:463)
+      val conflicts = pts.flatMap { pt =>
+        (pt.floatFields.keys.map((pt.measurement, _, "float")) ++
+          pt.intFields.keys.map((pt.measurement, _, "integer")) ++
+          pt.boolFields.keys.map((pt.measurement, _, "boolean")) ++
+          pt.stringFields.keys.map((pt.measurement, _, "string")))
+      }.distinct.groupBy(t => (t._1, t._2)).filter(_._2.size > 1)
+      if (conflicts.nonEmpty) {
+        val (m, f) = conflicts.head._1
+        sys.error(s"partial write: field type conflict: $m.$f")
+      }
+      synchronized {
+        pts.groupBy(_.measurement).foreach { case (m, ps) =>
+          val tagKeys = ps.flatMap(_.tags.keys).distinct.sorted
+          val pdf = spark.createDataset(ps)(
+            Encoders.product[LineProtocol.Point]).toDF()
+          val tbl = LineProtocol.toMeasurementTable(pdf, m, tagKeys,
+            ps.flatMap(_.floatFields.keys).distinct.sorted,
+            ps.flatMap(_.intFields.keys).distinct.sorted,
+            ps.flatMap(_.boolFields.keys).distinct.sorted,
+            ps.flatMap(_.stringFields.keys).distinct.sorted)
+          val merged = catalog.get(m) match {
+            case Some(prev) => InfluxQL.Measurement(
+              prev.df.unionByName(tbl, allowMissingColumns = true),
+              (prev.tags ++ tagKeys).distinct, prev.time)
+            case None => InfluxQL.Measurement(tbl, tagKeys, "ts")
+          }
+          catalog = catalog + (m -> merged)
+        }
+      }
+      ex.sendResponseHeaders(204, -1); ex.close()
+    } catch {
+      case e: Throwable =>
+        respond(ex, 400, s"""{"error":${jsonStr(String.valueOf(e.getMessage))}}""")
+    }
+
+  // ---------------------------------------------------------- /api/v1/…
+  /** `15s` / `1m` / bare seconds → engine duration string. */
+  private def stepOf(s: String): String = {
+    val m = """^(\d+)(ms|s|m|h|d)?$""".r.findFirstMatchIn(s.trim)
+      .getOrElse(sys.error(s"bad step: $s"))
+    val n = m.group(1).toLong
+    Option(m.group(2)).getOrElse("s") match {
+      case "ms" => s"$n milliseconds"
+      case "s" => s"$n seconds"
+      case "m" => s"${n * 60} seconds"
+      case "h" => s"${n * 3600} seconds"
+      case "d" => s"${n * 86400} seconds"
+    }
+  }
+
+  /** Prom time param: unix seconds (possibly fractional) or RFC3339. */
+  private def promTimeMs(s: String): Long =
+    try (s.toDouble * 1000.0).round
+    catch {
+      case _: NumberFormatException =>
+        java.time.OffsetDateTime.parse(s.trim).toInstant.toEpochMilli
+    }
+
+  /** Go-style shortest float for sample values ("1" not "1.0"). */
+  private def fmtVal(v: Double): String =
+    if (v.isNaN) "NaN"
+    else if (v.isPosInfinity) "+Inf"
+    else if (v.isNegInfinity) "-Inf"
+    else if (v == v.toLong && math.abs(v) < 1e15) v.toLong.toString
+    else v.toString
+
+  private def fmtSec(ms: Long): String =
+    if (ms % 1000 == 0) (ms / 1000).toString
+    else (ms / 1000.0).toString
+
+  private def handleProm(ex: HttpExchange, range: Boolean): Unit =
+    try {
+      val p = params(ex, readBody = true)
+      val query = p.getOrElse("query",
+        sys.error("missing required parameter \"query\""))
+      // instant queries evaluate the last 5m of buckets ending at `time`
+      // and report the freshest one — Prometheus's instant-vector
+      // lookback (its staleness delta), over this engine's step-bucketed
+      // evaluation.
+      val lookbackMs = 300000L
+      val (loMs, hiMs, step) =
+        if (range) {
+          val lo = promTimeMs(p.getOrElse("start", sys.error("missing start")))
+          val hi = promTimeMs(p.getOrElse("end", sys.error("missing end")))
+          (lo, hi, stepOf(p.getOrElse("step", sys.error("missing step"))))
+        } else {
+          val t = promTimeMs(p.getOrElse("time", sys.error("missing time")))
+          (t - lookbackMs, t, "1 seconds")
+        }
+      val df = PromQL.evaluate(prom, query, step,
+        boundsMs = Some((loMs, hiMs)))
+      val labelCols = df.columns.filterNot(Set("eval_ms", "value")).toSeq
+      val rows = df.collect()
+      val grouped = rows.groupBy(r => labelCols.map(c => r.getAs[String](c)))
+        .toSeq.sortBy(_._1.mkString(" "))
+      val result = grouped.flatMap { case (lv, rs) =>
+        val metric = labelCols.zip(lv).filter(_._2 != null)
+          .filter(_._2.nonEmpty)
+          .map { case (k, v) => s"${jsonStr(k)}:${jsonStr(v)}" }
+          .mkString("{", ",", "}")
+        val inWindow = rs.filter { r =>
+          val t = r.getAs[Long]("eval_ms"); t >= loMs && t <= hiMs
+        }.sortBy(_.getAs[Long]("eval_ms"))
+        if (range) {
+          val samples = inWindow.map { r =>
+            s"[${fmtSec(r.getAs[Long]("eval_ms"))},${
+              jsonStr(fmtVal(r.getAs[Double]("value")))}]"
+          }
+          Some(s"""{"metric":$metric,"values":${
+            samples.mkString("[", ",", "]")}}""")
+        } else inWindow.lastOption.map { r =>
+          val v = s"[${fmtSec(hiMs)},${
+            jsonStr(fmtVal(r.getAs[Double]("value")))}]"
+          s"""{"metric":$metric,"value":$v}"""
+        }
+      }.mkString("[", ",", "]")
+      val rt = if (range) "matrix" else "vector"
+      respond(ex, 200,
+        s"""{"status":"success","data":{"resultType":"$rt","result":$result}}""")
+    } catch {
+      case e: Throwable =>
+        respond(ex, 400,
+          s"""{"status":"error","errorType":"bad_data","error":${
+            jsonStr(String.valueOf(e.getMessage))}}""")
+    }
+}
+
+object HttpGateway {
+  /** Series value-column order: `time` first, then non-tag columns in
+    * plan order — the reference's models.Rows column contract. */
+  def shapedValueCols(cols: Seq[String], tags: Seq[String]): Seq[String] =
+    (if (cols.contains("time")) Seq("time") else Nil) ++
+      cols.filterNot(c => tags.contains(c) || c == "time")
+}
