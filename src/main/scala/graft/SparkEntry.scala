@@ -55,7 +55,12 @@ object SparkEntry {
     Map("events" -> graft.query.PromQL.Metric(
       t(s, dir, "events").withColumn("user", col("user_id").cast("string")),
       labels = Seq("event_type", "user"), time = "ts", value = "value",
-      tie = Seq("event_id")))
+      tie = Seq("event_id"),
+      // table time extent from parquet footer stats — kills the per-query
+      // min/max(time) job for unbounded queries (a metadata read, like
+      // the reference's shard-group {Start,End}Time in meta)
+      extentMs = graft.sources.ParquetStats.timeExtentMs(
+        s, s"$dir/events.parquet")))
 
   // ---- query inventory -----------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

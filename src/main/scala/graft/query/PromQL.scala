@@ -41,7 +41,8 @@ object PromQL {
     * `tie` orders equal-timestamp samples deterministically. */
   case class Metric(df: DataFrame, labels: Seq[String],
                     time: String = "ts", value: String = "value",
-                    tie: Seq[String] = Nil)
+                    tie: Seq[String] = Nil,
+                    extentMs: Option[(Long, Long)] = None)
 
   /** A series set mid-evaluation: df columns = labels ++ (eval_ms, value). */
   case class Vec(df: DataFrame, labels: Seq[String])
@@ -524,12 +525,14 @@ object PromQL {
     }
 
     /** The eval-step grid (one `eval_ms` per step): from `boundsMs` when
-      * provided (no data pass), else from a min/max scan of the metric's
-      * own time extent — both ceil'd to step multiples. */
+      * provided, else the metric's registered `extentMs` (parquet footer
+      * stats via [[graft.sources.ParquetStats]] — a metadata lookup, the
+      * reference's shard-group time range), else a min/max scan of the
+      * metric's own time extent — all ceil'd to step multiples. */
     private def evalGrid(m: Metric): DataFrame = {
       val spark = m.df.sparkSession
       val ssMs = stepS * 1000L
-      val lohi = boundsMs.orElse {
+      val lohi = boundsMs.orElse(m.extentMs).orElse {
         val b = m.df.agg(min(unix_millis(col(m.time))),
           max(unix_millis(col(m.time)))).collect()(0)
         if (b.isNullAt(0)) None else Some((b.getLong(0), b.getLong(1)))

@@ -1,0 +1,69 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.column.statistics.LongStatistics
+import org.apache.spark.sql.SparkSession
+import scala.jdk.CollectionConverters._
+
+/** Table time-extent from parquet footer statistics — no data pass.
+  *
+  * The reference never scans to learn a table's time range: shard groups
+  * carry `{StartTime, EndTime}` in cluster meta (`meta/shardinfo.go:33`)
+  * and planning reads that. Parquet keeps the same fact at rest — per
+  * row-group min/max column statistics in the file footer — so the
+  * equivalent here is a driver-side footer read: O(#files) metadata
+  * fetches, independent of data volume. At 100 TB this is the difference
+  * between a metadata lookup and a full (if column-pruned) scan per
+  * unbounded query.
+  */
+object ParquetStats {
+
+  /** min/max of an INT64 column across all row groups under `path`
+    * (a parquet file or directory). None if the column is absent,
+    * not INT64, has no stats, or the table is empty. */
+  def minMaxLong(spark: SparkSession, path: String,
+                 column: String): Option[(Long, Long)] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) return None
+    val files = fs.listStatus(p).toSeq
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet")) match {
+      case Nil if fs.getFileStatus(p).isFile => Seq(fs.getFileStatus(p))
+      case fsList => fsList
+    }
+    var lo = Long.MaxValue
+    var hi = Long.MinValue
+    var seen = false
+    files.foreach { f =>
+      val reader = ParquetFileReader.open(HadoopInputFile.fromStatus(f, conf))
+      try {
+        val footer = reader.getFooter
+        footer.getBlocks.asScala.foreach { block =>
+          block.getColumns.asScala
+            .find(_.getPath.toDotString == column)
+            .foreach { cc =>
+              cc.getStatistics match {
+                case s: LongStatistics if s.hasNonNullValue =>
+                  lo = math.min(lo, s.genericGetMin)
+                  hi = math.max(hi, s.genericGetMax)
+                  seen = true
+                case _ =>
+              }
+            }
+        }
+      } finally reader.close()
+    }
+    if (seen) Some((lo, hi)) else None
+  }
+
+  /** Time extent in epoch ms for a ns-precision INT64 timestamp column
+    * (the engine's storage precision, SURVEY §1.2). */
+  def timeExtentMs(spark: SparkSession, path: String,
+                   column: String = "ts"): Option[(Long, Long)] =
+    minMaxLong(spark, path, column).map { case (lo, hi) =>
+      (Math.floorDiv(lo, 1000000L), Math.floorDiv(hi, 1000000L))
+    }
+}

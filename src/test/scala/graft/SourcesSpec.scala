@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.pipeline.Multimodal
-import graft.sources.{LineProtocol, ResultShaper}
+import graft.sources.{LineProtocol, ParquetStats, ResultShaper}
 
 class SourcesSpec extends SparkSpec {
   import spark.implicits._
@@ -149,5 +149,17 @@ class SourcesSpec extends SparkSpec {
     assert(at("u").contains("[1704067200000000,1.5]"))
     assert(at("ns").contains("[1704067200000000000,1.5]"))
     assert(at("h").contains("[473352,1.5]"))
+  }
+
+  test("parquet footer time extent matches a full-scan min/max") {
+    val ev = Tables.table(spark, sf, "events")
+    val scan = ev.agg(min(unix_millis(col("ts"))),
+      max(unix_millis(col("ts")))).collect()(0)
+    val ext = ParquetStats.timeExtentMs(spark, s"$sf/events.parquet")
+    assert(ext.contains((scan.getLong(0), scan.getLong(1))))
+    // absent column / missing path degrade to None, not an error
+    assert(ParquetStats.timeExtentMs(spark, s"$sf/events.parquet",
+      "no_such_col").isEmpty)
+    assert(ParquetStats.timeExtentMs(spark, s"$sf/nope.parquet").isEmpty)
   }
 }
