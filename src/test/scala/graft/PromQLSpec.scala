@@ -83,7 +83,8 @@ class PromQLSpec extends SparkSpec {
   }
 
   private def runCorpus(path: String): (Int, Seq[String]) = {
-    val lines = scala.io.Source.fromFile(path).getLines().toVector
+    val lines = scala.io.Source.fromFile(path)(scala.io.Codec.UTF8)
+      .getLines().toVector
     var loads = Vector.empty[(Long, String, Map[String, String],
       Seq[Option[Double]])]
     var catalog: Option[Map[String, Metric]] = None
@@ -205,6 +206,22 @@ class PromQLSpec extends SparkSpec {
     assert(failures.isEmpty, failures.mkString("\n\n"))
     assert(attempted >= 25, s"only $attempted corpus cases attempted")
   }
+
+  // The reference names selectors/operators/staleness corpus files too
+  // (`tests/prom_test.go:1439-1441`) but does not ship them; these are
+  // authored to the documented Prometheus semantics in the same format
+  // and replayed through the identical harness.
+  for (corpus <- Seq("selectors", "operators", "staleness"))
+    test(s"replays the authored $corpus.test corpus in full") {
+      val path = getClass.getResource(s"/promql/$corpus.test").getPath
+      val (attempted, failures) = runCorpus(path)
+      assert(failures.isEmpty, failures.mkString("\n\n"))
+      val total = scala.io.Source.fromFile(path)(scala.io.Codec.UTF8).getLines()
+        .count(_.trim.startsWith("eval instant"))
+      assert(attempted == total,
+        s"$corpus: only $attempted/$total cases attempted — authored " +
+          "cases must all run, not be skipped")
+    }
 
   // ------------------------------------------------------------ unit cases
   private lazy val cat: Map[String, Metric] = {
