@@ -1101,6 +1101,55 @@ object SparkEntry {
           "TZ('America/New_York')")
         .select("event_type", "time", "count")
         .orderBy("event_type", "time")
+    }),
+
+    // pipeline: exact word-3-gram Jaccard near-dup pairs — the verify
+    // tier of the dedup ladder. Candidate generation at scale is the
+    // banded MinHash/sign-LSH equi-joins (q28/q88); all-pairs here
+    // because the oracle must see every pair and the gate corpus is
+    // small. Reference intent: n-gram Jaccard dedup over documents.
+    "q93_ngram_jaccard" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val ids = docs.select(col("doc_id"))
+      val pairs = ids.select(col("doc_id").as("id_a"))
+        .join(ids.select(col("doc_id").as("id_b")),
+          col("id_a") < col("id_b"))
+      graft.pipeline.Dedup.jaccardVerify(pairs, docs, "text", "doc_id",
+          shingleN = 3, threshold = 0.8)
+        .select("id_a", "id_b", "jaccard")
+        .orderBy("id_a", "id_b")
+    }),
+
+    // pipeline: rolling-hash document fingerprint as a dedup key. The
+    // corpus is doubled with a whitespace-perturbed copy of every doc:
+    // the fingerprint tokenizes on \s+, so n_docs doubles while
+    // n_unique must not move — exercising both normalization and
+    // injectivity (the oracle counts distinct normalized token streams,
+    // which the fingerprint must agree with collision-free).
+    "q94_fingerprint_dedup" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("lang"), col("text"))
+      val doubled = d.union(d.select(col("lang"),
+        regexp_replace(col("text"), " ", "  ").as("text")))
+      doubled.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(
+            graft.pipeline.TextAnalysis.fingerprint(col("text")))
+            .as("n_unique"))
+        .orderBy("lang")
+    }),
+
+    // §1.1 GRAPH statement (ast.go:12282 GraphStatement{HopNum,
+    // StartNodeId}): 3-hop reachability with minimum hop distance from
+    // part 1 over the bipartite lineitem part–supplier graph (suppliers
+    // offset into a disjoint id space, edges symmetrized).
+    "q95_graph_hops" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val e0 = li.select(col("l_partkey").cast("long").as("src"),
+        (col("l_suppkey").cast("long") + 10000000L).as("dst")).distinct()
+      val edges = e0.union(
+        e0.select(col("dst").as("src"), col("src").as("dst")))
+      graft.operators.Graph.hops(edges, start = 1L, hopNum = 3)
+        .orderBy("hop", "node_id")
     })
   )
 
@@ -2172,6 +2221,56 @@ object SparkEntry {
            FROM spine s LEFT JOIN b
              ON s.event_type = b.event_type AND s.wstart = b.wstart)
          SELECT event_type, wstart + 18000000 AS time, count
-         FROM f ORDER BY event_type, time"""
+         FROM f ORDER BY event_type, time""",
+
+    // word-3-gram sets via list comprehension; same lowercased \s+
+    // tokenization and |∩|/|∪| arithmetic as Dedup.shingles/jaccardVerify
+    "q93_ngram_jaccard" ->
+      """WITH d AS (
+           SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+')
+             AS toks
+           FROM documents),
+         g AS (
+           SELECT doc_id, list_distinct(
+             [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+              for i in range(1, len(toks)-1)]) AS grams
+           FROM d)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+             (len(a.grams) + len(b.grams)
+              - len(list_intersect(a.grams, b.grams))) AS jaccard
+         FROM g a JOIN g b ON a.doc_id < b.doc_id
+         WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+             (len(a.grams) + len(b.grams)
+              - len(list_intersect(a.grams, b.grams))) >= 0.8
+         ORDER BY id_a, id_b""",
+
+    // the oracle counts distinct \s+-normalized token streams — what the
+    // rolling-hash fingerprint must agree with collision-free
+    "q94_fingerprint_dedup" ->
+      """WITH d AS (
+           SELECT lang, text FROM documents
+           UNION ALL
+           SELECT lang, replace(text, ' ', '  ') FROM documents)
+         SELECT lang, count(*) AS n_docs,
+           count(DISTINCT array_to_string(
+             regexp_split_to_array(trim(text), '\s+'), ' ')) AS n_unique
+         FROM d GROUP BY lang ORDER BY lang""",
+
+    // min-hop reachability as a recursive CTE (UNION dedups per level,
+    // so paths never multiply)
+    "q95_graph_hops" ->
+      """WITH RECURSIVE e AS (
+           SELECT l_partkey AS src, l_suppkey + 10000000 AS dst
+           FROM lineitem
+           UNION
+           SELECT l_suppkey + 10000000, l_partkey FROM lineitem),
+         r AS (
+           SELECT CAST(1 AS BIGINT) AS node_id, 0 AS hop
+           UNION
+           SELECT e.dst, r.hop + 1 FROM r JOIN e ON e.src = r.node_id
+           WHERE r.hop < 3)
+         SELECT node_id, min(hop) AS hop FROM r
+         GROUP BY node_id ORDER BY hop, node_id"""
   )
 }
