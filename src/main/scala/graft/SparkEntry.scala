@@ -1103,18 +1103,14 @@ object SparkEntry {
         .orderBy("event_type", "time")
     }),
 
-    // pipeline: exact word-3-gram Jaccard near-dup pairs — the verify
-    // tier of the dedup ladder. Candidate generation at scale is the
-    // banded MinHash/sign-LSH equi-joins (q28/q88); all-pairs here
-    // because the oracle must see every pair and the gate corpus is
-    // small. Reference intent: n-gram Jaccard dedup over documents.
+    // pipeline: EXACT word-3-gram Jaccard near-dup pairs via the
+    // prefix-filter set-similarity join — provably the same result set
+    // as an all-pairs scan at the threshold, but every stage is an
+    // equi-join (no pair enumeration), so it survives a 100× corpus.
+    // The oracle IS the all-pairs scan, which proves the equivalence.
     "q93_ngram_jaccard" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select("doc_id", "text")
-      val ids = docs.select(col("doc_id"))
-      val pairs = ids.select(col("doc_id").as("id_a"))
-        .join(ids.select(col("doc_id").as("id_b")),
-          col("id_a") < col("id_b"))
-      graft.pipeline.Dedup.jaccardVerify(pairs, docs, "text", "doc_id",
+      graft.pipeline.Dedup.jaccardSelfJoin(docs, "text", "doc_id",
           shingleN = 3, threshold = 0.8)
         .select("id_a", "id_b", "jaccard")
         .orderBy("id_a", "id_b")

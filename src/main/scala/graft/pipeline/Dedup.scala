@@ -83,6 +83,40 @@ object Dedup {
       .distinct()
   }
 
+  /** EXACT Jaccard self-join at threshold `t` without pair enumeration —
+    * the prefix filter from the set-similarity-join literature (Bayardo
+    * et al. '07 "Scaling Up All Pairs", Xiao et al. '08 PPJoin): under
+    * any global total order on grams, a pair with J ≥ t must share a
+    * gram inside each side's first ⌊(1−t)·|A|⌋+1 grams. (Proof: let g be
+    * the globally-smallest shared gram; if g were outside A's prefix,
+    * A would hold ≥ ⌊(1−t)|A|⌋+1 unshared grams, so |A∩B| < t|A| ≤
+    * t|A∪B|.) So: order grams rarest-first (minimizes candidates),
+    * explode only prefixes, equi-join on the gram, verify candidates
+    * exactly. Every stage is a shuffle-by-key — no cartesian, no BNLJ —
+    * and the verify set is bounded by co-occurrence in rare grams.
+    * Returns the same rows as an all-pairs scan at the same threshold. */
+  def jaccardSelfJoin(docs: DataFrame, textCol: String, idCol: String,
+                      shingleN: Int = 3,
+                      threshold: Double = 0.8): DataFrame = {
+    val sh = docs.select(col(idCol).as("_id"),
+      shingles(col(textCol), shingleN).as("_sh"))
+    val grams = sh.select(col("_id"), size(col("_sh")).as("_len"),
+      explode(col("_sh")).as("_gram"))
+    val freq = grams.groupBy("_gram").agg(count(lit(1)).as("_df"))
+    val prefix = grams.join(freq, "_gram")
+      .withColumn("_rank", row_number().over(
+        Window.partitionBy("_id").orderBy(col("_df"), col("_gram"))))
+      .filter(col("_rank") <=
+        floor(lit(1.0 - threshold) * col("_len")).cast("int") + 1)
+      .select(col("_id"), col("_gram"))
+    val cands = prefix.as("a")
+      .join(prefix.as("b"), col("a._gram") === col("b._gram") &&
+        col("a._id") < col("b._id"))
+      .select(col("a._id").as("id_a"), col("b._id").as("id_b"))
+      .distinct()
+    jaccardVerify(cands, docs, textCol, idCol, shingleN, threshold)
+  }
+
   /** Exact n-gram Jaccard similarity for candidate pairs (verification
     * stage after LSH). `pairs` has id_a/id_b; docs joined twice. */
   def jaccardVerify(pairs: DataFrame, docs: DataFrame, textCol: String,

@@ -46,6 +46,21 @@ class PipelineSpec extends SparkSpec {
     assert(out(1)._3 == 0.0)            // disjoint shingles
   }
 
+  test("prefix-filter jaccard self-join equals the all-pairs scan") {
+    val real = Tables.table(spark, sf, "documents").select("doc_id", "text")
+    val fast = Dedup.jaccardSelfJoin(real, "text", "doc_id",
+        shingleN = 3, threshold = 0.8)
+      .as[(Long, Long, Double)].collect().toSet
+    val ids = real.select($"doc_id")
+    val pairs = ids.select($"doc_id".as("id_a"))
+      .join(ids.select($"doc_id".as("id_b")), $"id_a" < $"id_b")
+    val brute = Dedup.jaccardVerify(pairs, real, "text", "doc_id",
+        shingleN = 3, threshold = 0.8)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(fast.nonEmpty, "corpus has near-dups at 0.8 — none found")
+    assert(fast == brute)
+  }
+
   test("simhash: identical texts hash equal, hamming 0") {
     val h = docs.select($"doc_id", Dedup.simhash($"text").as("h"))
       .as[(Long, Long)].collect().toMap

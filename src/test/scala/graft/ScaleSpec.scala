@@ -98,6 +98,17 @@ class ScaleSpec extends SparkSpec {
       s"candidates must come from an equi-join:\n$plan")
   }
 
+  test("prefix-filter jaccard self-join is pure equi-join: no pair " +
+      "enumeration") {
+    val q = SparkEntry.queries("q93_ngram_jaccard")(spark, sf)
+    val plan = planOf(q)
+    assert(!plan.contains("CartesianProduct"), "no all-pairs scan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "no BNLJ pair scan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
+      || plan.contains("BroadcastHashJoin"),
+      s"candidates must come from an equi-join:\n$plan")
+  }
+
   test("CMS top-n ranks in-aggregator: no distinct-key enumeration, no " +
       "partitionless window, no UDF") {
     val q = SparkEntry.queries("q56_topn_cms")(spark, sf)
