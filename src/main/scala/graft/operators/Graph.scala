@@ -30,7 +30,12 @@ object Graph {
     require(hopNum >= 0 && hopNum <= 16, s"hopNum out of range: $hopNum")
     val spark = edges.sparkSession
     import spark.implicits._
+    // materialize the edge frame once: every hop joins it, and without
+    // this each iteration re-derives the whole edge pipeline (scan +
+    // distinct + union). At cluster scale this is persist-to-disk of a
+    // src-bucketed edge table.
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .localCheckpoint(true)
     var visited = Seq((start, 0)).toDF("node_id", "hop")
     var frontier = visited
     var h = 0
