@@ -42,7 +42,8 @@ object PromQL {
   case class Metric(df: DataFrame, labels: Seq[String],
                     time: String = "ts", value: String = "value",
                     tie: Seq[String] = Nil,
-                    extentMs: Option[(Long, Long)] = None)
+                    extentMs: Option[(Long, Long)] = None,
+                    stale: Option[String] = None)
 
   /** A series set mid-evaluation: df columns = labels ++ (eval_ms, value). */
   case class Vec(df: DataFrame, labels: Seq[String])
@@ -502,22 +503,33 @@ object PromQL {
       val (m, df) = metricOf(s)
       val tus = unix_micros(col(m.time))
       val ordKey = struct(tus +: m.tie.map(col): _*)
+      // Staleness markers (Prometheus stale NaN, modeled as an explicit
+      // flag column): a marker is kept through newest-wins so it MASKS
+      // older samples inside the lookback, then the masked series drops.
+      val staleC = m.stale.map(c => coalesce(col(c), lit(false)))
+        .getOrElse(lit(false))
+      val pick = max_by(
+        struct(col(m.value).cast("double").as("v"), staleC.as("st")),
+        ordKey).as("_sv")
+      def unwrap(d: DataFrame): DataFrame =
+        d.filter(!col("_sv.st"))
+          .withColumn("value", col("_sv.v")).drop("_sv")
       s.at match {
         case Some(a) =>
           val atMs = resolveAt(a)
-          val pinned = df
+          val pinned = unwrap(df
             .filter(tus >= (atMs - lookbackS * 1000L) * 1000L &&
               tus <= atMs * 1000L)
             .groupBy(m.labels.map(col): _*)
-            .agg(max_by(col(m.value).cast("double"), ordKey).as("value"))
+            .agg(pick))
           // grid is tiny (one row per step) — broadcast the replication
           Vec(pinned.crossJoin(broadcast(evalGrid(m))), m.labels)
         case None =>
-          val out = PromRange.withRangeWindow(df, m.time,
+          val out = unwrap(PromRange.withRangeWindow(df, m.time,
               s"${lookbackS * 1000 + 1} milliseconds", stepStr,
               inclusiveEnd = true)
             .groupBy(col("window") +: m.labels.map(col): _*)
-            .agg(max_by(col(m.value).cast("double"), ordKey).as("value"))
+            .agg(pick))
             .withColumn("eval_ms", unix_millis(col("window.end")))
             .drop("window")
           Vec(out, m.labels)
@@ -558,7 +570,11 @@ object PromQL {
       case s: Sel if s.rangeS.isDefined =>
         // `m[5m] @ T`: strip the pin here; rangeFn applies it to the
         // window evaluation (previously the pin was silently dropped)
-        val (m, df) = metricOf(s.copy(at = None))
+        val (m, df0) = metricOf(s.copy(at = None))
+        // range vectors never contain staleness markers — they are
+        // dropped from the window, not treated as samples
+        val df = m.stale.map(c =>
+          df0.filter(!coalesce(col(c), lit(false)))).getOrElse(df0)
         (df, m.copy(df = df), s.rangeS.get, s.at.map(resolveAt))
       case sq: SubQ =>
         // `expr[d:r] @ T` parses the pin onto a Sel-shaped inner — it

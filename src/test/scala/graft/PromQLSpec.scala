@@ -22,22 +22,25 @@ class PromQLSpec extends SparkSpec {
                               expected: Seq[(Map[String, String], Double)],
                               line: Int)
 
-  /** `0+10x10` → 0,10,…,100 ; `3+0x10` ; bare numbers ; NaN. */
-  private def expandValues(spec: Seq[String]): Option[Seq[Option[Double]]] = {
-    val out = Seq.newBuilder[Option[Double]]
+  /** `0+10x10` → 0,10,…,100 ; `3+0x10` ; bare numbers ; NaN ; `stale`
+    * (the upstream staleness marker → a flagged sample). */
+  private def expandValues(spec: Seq[String])
+      : Option[Seq[Option[(Double, Boolean)]]] = {
+    val out = Seq.newBuilder[Option[(Double, Boolean)]]
     val rx = """^(-?[0-9.]+)(?:([+-][0-9.]+))?x([0-9]+)$""".r
     for (tok <- spec) tok match {
       case rx(start, inc, n) =>
         val s = start.toDouble
         val i = if (inc == null) 0.0 else inc.toDouble
-        (0 to n.toInt).foreach(k => out += Some(s + i * k))
+        (0 to n.toInt).foreach(k => out += Some((s + i * k, false)))
       case "_" => out += None
-      case "NaN" => out += Some(Double.NaN)
-      case "Inf" | "+Inf" => out += Some(Double.PositiveInfinity)
-      case "-Inf" => out += Some(Double.NegativeInfinity)
+      case "stale" => out += Some((0.0, true))
+      case "NaN" => out += Some((Double.NaN, false))
+      case "Inf" | "+Inf" => out += Some((Double.PositiveInfinity, false))
+      case "-Inf" => out += Some((Double.NegativeInfinity, false))
       case t if t.matches("-?[0-9.]+(e[+-]?[0-9]+)?") =>
-        out += Some(t.toDouble)
-      case _ => return None // stale markers etc. — skip the series
+        out += Some((t.toDouble, false))
+      case _ => return None // unknown notation — skip the series
     }
     Some(out.result())
   }
@@ -48,26 +51,27 @@ class PromQLSpec extends SparkSpec {
 
   /** Build a catalog from accumulated `load` series. */
   private def buildCatalog(
-      loads: Seq[(Long, String, Map[String, String], Seq[Option[Double]])])
-      : Map[String, Metric] = {
+      loads: Seq[(Long, String, Map[String, String],
+        Seq[Option[(Double, Boolean)]])]): Map[String, Metric] = {
     loads.groupBy(_._2).map { case (metric, series) =>
       val labelCols = series.flatMap(_._3.keys).distinct.sorted
       var id = 0L
       val rows = series.flatMap { case (stepS, _, labels, vals) =>
-        vals.zipWithIndex.collect { case (Some(v), i) =>
+        vals.zipWithIndex.collect { case (Some((v, st)), i) =>
           id += 1
           Row.fromSeq(labelCols.map(c => labels.getOrElse(c, "")) ++
-            Seq(new Timestamp(i * stepS * 1000L), v, id))
+            Seq(new Timestamp(i * stepS * 1000L), v, id, st))
         }
       }
       val schema = StructType(
         labelCols.map(StructField(_, StringType)) ++
           Seq(StructField("ts", TimestampType),
-            StructField("value", DoubleType), StructField("id", LongType)))
+            StructField("value", DoubleType), StructField("id", LongType),
+            StructField("stale", BooleanType)))
       val df = spark.createDataFrame(
         spark.sparkContext.parallelize(rows, 2), schema)
       metric -> Metric(df, labelCols, time = "ts", value = "value",
-        tie = Seq("id"))
+        tie = Seq("id"), stale = Some("stale"))
     }
   }
 
@@ -86,7 +90,7 @@ class PromQLSpec extends SparkSpec {
     val lines = scala.io.Source.fromFile(path)(scala.io.Codec.UTF8)
       .getLines().toVector
     var loads = Vector.empty[(Long, String, Map[String, String],
-      Seq[Option[Double]])]
+      Seq[Option[(Double, Boolean)]])]
     var catalog: Option[Map[String, Metric]] = None
     var attempted = 0
     val failures = Seq.newBuilder[String]
