@@ -1134,6 +1134,24 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // §2.5 windowed statistics: stddev/stdvar/quantile/mad _over_time
+    // (promql fns over materialized window arrays; rounded to 9dp on
+    // both engines — summation order differs at ~1e-13).
+    "q96_prom_stats_over_time" -> ((s, dir) => {
+      graft.operators.PromRange.statsOverTime(t(s, dir, "events"), "ts",
+          "value", Seq("event_type"), range = "2 hours", step = "1 hour",
+          phi = Some(0.9))
+        // stdvar stays un-projected: variance of 2-decimal inputs
+        // lands exactly on decimal rounding ties (…2499999/…2500001
+        // across engines), so no precision is hash-safe; stddev's sqrt
+        // is irrational and tie-free (and stdvar = stddev²)
+        .select(col("event_type"), col("eval_ms"),
+          round(col("stddev_ot"), 9).as("stddev_ot"),
+          round(col("mad_ot"), 9).as("mad_ot"),
+          round(col("quantile_ot"), 9).as("quantile_ot"))
+        .orderBy("event_type", "eval_ms")
+    }),
+
     // §1.1 GRAPH statement (ast.go:12282 GraphStatement{HopNum,
     // StartNodeId}): 3-hop reachability with minimum hop distance from
     // part 1 over the bipartite lineitem part–supplier graph (suppliers
@@ -2252,6 +2270,26 @@ object SparkEntry {
            count(DISTINCT array_to_string(
              regexp_split_to_array(trim(text), '\s+'), ' ')) AS n_unique
          FROM d GROUP BY lang ORDER BY lang""",
+
+    // variance via the same two-pass algebra as the engine (mean join,
+    // then Σ(x−μ)²/n) — DuckDB's streaming var_pop lands ~1e-9 away,
+    // which straddles the 9dp rounding boundary
+    "q96_prom_stats_over_time" ->
+      """WITH w AS (SELECT event_type, value,
+             unnest([epoch_ms(date_trunc('hour', ts)) + 3600000,
+                     epoch_ms(date_trunc('hour', ts)) + 7200000]) AS eval_ms
+           FROM events WHERE value IS NOT NULL),
+         s AS (SELECT event_type, eval_ms, sum(value) / count(*) AS mu,
+             count(*) AS n
+           FROM w GROUP BY 1, 2)
+         SELECT w.event_type, w.eval_ms,
+           round(sqrt(sum((w.value - s.mu) * (w.value - s.mu))
+             / any_value(s.n)), 9) AS stddev_ot,
+           round(mad(w.value), 9) AS mad_ot,
+           round(quantile_cont(w.value, 0.9), 9) AS quantile_ot
+         FROM w JOIN s USING (event_type, eval_ms)
+         GROUP BY w.event_type, w.eval_ms
+         ORDER BY w.event_type, w.eval_ms""",
 
     // min-hop reachability as a recursive CTE (UNION dedups per level,
     // so paths never multiply)

@@ -117,6 +117,51 @@ object PromRange {
       .drop("window")
   }
 
+  /** stddev/stdvar/quantile/mad `_over_time` — window statistics that
+    * need the materialized sample multiset. Per (series, window): sort
+    * the values, then pure column folds — variance as the two-pass
+    * sum((x−mean)²)/n over the materialized array (algebraically the
+    * population variance Prometheus's streaming aggregation computes),
+    * quantile as Prometheus's linear interpolation at rank φ·(n−1)
+    * (promql quantile; φ outside [0,1] → ±Inf), and MAD as the median
+    * of |x − median|. Window cardinality is bounded by the range, so
+    * the per-group array is small; everything stays in codegen. */
+  def statsOverTime(df: DataFrame, time: String, value: String,
+                    labels: Seq[String], range: String, step: String,
+                    phi: Option[Double] = None,
+                    inclusiveEnd: Boolean = false): DataFrame = {
+    val groups = col("window") +: labels.map(col)
+    def quantileOf(arr: Column, p: Double): Column =
+      if (p < 0) lit(Double.NegativeInfinity)
+      else if (p > 1) lit(Double.PositiveInfinity)
+      else {
+        val n = size(arr)
+        val rank = lit(p) * (n.cast("double") - 1)
+        val lo = floor(rank).cast("int")
+        val lov = element_at(arr, lo + 1)
+        val hiv = element_at(arr, least(lo + 2, n))
+        lov + (rank - lo.cast("double")) * (hiv - lov)
+      }
+    val base = withRangeWindow(df, time, range, step, inclusiveEnd)
+      .groupBy(groups: _*)
+      .agg(sort_array(collect_list(col(value).cast("double"))).as("_vs"))
+    val n = size(col("_vs")).cast("double")
+    val mean = aggregate(col("_vs"), lit(0.0), (a, x) => a + x) / n
+    val med = quantileOf(col("_vs"), 0.5)
+    val dev = sort_array(transform(col("_vs"), x => abs(x - med)))
+    val varp = aggregate(col("_vs"), lit(0.0),
+      (a, x) => a + (x - mean) * (x - mean)) / n
+    base
+      .withColumn("stdvar_ot", varp)
+      .withColumn("stddev_ot", sqrt(varp))
+      .withColumn("mad_ot", quantileOf(dev, 0.5))
+      .withColumn("quantile_ot",
+        phi.map(p => quantileOf(col("_vs"), p)).getOrElse(lit(null)
+          .cast("double")))
+      .withColumn("eval_ms", unix_millis(col("window.end")))
+      .drop("window", "_vs")
+  }
+
   /** changes() and resets() — need the in-window time order, computed as a
     * deterministic fold over the sorted sample array. */
   def changesResets(df: DataFrame, time: String, value: String,

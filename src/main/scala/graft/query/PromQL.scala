@@ -889,6 +889,26 @@ object PromQL {
           .withColumn("value", lit(1.0))
         eqLabels.foreach { case (l, v) => out = out.withColumn(l, lit(v)) }
         Left(Vec(out, eqLabels.map(_._1)))
+      case fn @ ("stddev_over_time" | "stdvar_over_time" |
+                 "mad_over_time" | "quantile_over_time") =>
+        val vecArg =
+          if (fn == "quantile_over_time") f.args(1) else f.args.head
+        val phi =
+          if (fn == "quantile_over_time") Some(scalarArg(f.args.head))
+          else None
+        val (df1, m1, rangeS, atMsOpt) = rangeSource(fn, vecArg)
+        val (df, m, pin) = pinWindow(df1, m1, rangeS, atMsOpt)
+        val colName = fn match {
+          case "stddev_over_time" => "stddev_ot"
+          case "stdvar_over_time" => "stdvar_ot"
+          case "mad_over_time" => "mad_ot"
+          case _ => "quantile_ot"
+        }
+        val out = PromRange.statsOverTime(df, m.time, m.value, m.labels,
+            s"$rangeS seconds", stepStr, phi, inclusiveEnd = true)
+          .withColumn("value", col(colName).cast("double"))
+        Left(Vec(unpin(out, pin, m1).select((m.labels.map(col) :+
+          col("eval_ms") :+ col("value")): _*), m.labels))
       case fn @ ("deriv" | "predict_linear") =>
         val (df1, m1, rangeS, atMsOpt) = rangeSource(fn, f.args.head)
         val (df, m, pin) = pinWindow(df1, m1, rangeS, atMsOpt)

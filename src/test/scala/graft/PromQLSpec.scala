@@ -78,8 +78,8 @@ class PromQLSpec extends SparkSpec {
   /** Queries using only features the frontend supports. */
   private def supported(q: String): Boolean = {
     val lower = q.toLowerCase
-    val banned = Seq("quantile_over_time", "scalar(", "limitk",
-      "limit_ratio", "absent", "stddev_over_time", "mad_over_time", "@",
+    val banned = Seq("scalar(", "limitk",
+      "limit_ratio", "absent", "@",
       "atan2", "holt_winters", "sort", "time()",
       "vector(", "histogram_", "{__name__",
       "big") // near-DoubleMax means need Prometheus's incremental mean

@@ -99,4 +99,32 @@ class PromRangeSpec extends SparkSpec {
     assert(PromRange.counterRate(cdf, "time", "value", Seq("job"),
       "60 minutes", "60 minutes", Seq("id")).count() == 0)
   }
+
+  test("statsOverTime: stddev/stdvar/quantile/mad by hand") {
+    // 1,2,3,4 inside one (0,60m] window
+    val cdf = Seq(1.0, 2.0, 3.0, 4.0).zipWithIndex.map { case (v, i) =>
+      ("a", new Timestamp((i + 1) * 600000L), v)
+    }.toDF("job", "time", "value")
+    val out = PromRange.statsOverTime(cdf, "time", "value", Seq("job"),
+        range = "60 minutes", step = "60 minutes", phi = Some(0.25),
+        inclusiveEnd = true)
+      .select("stdvar_ot", "stddev_ot", "mad_ot", "quantile_ot")
+      .as[(Double, Double, Double, Double)].collect().head
+    assert(out._1 == 1.25)                       // Σ(x−2.5)²/4
+    assert(math.abs(out._2 - math.sqrt(1.25)) < 1e-12)
+    assert(out._3 == 1.0)   // devs 1.5,.5,.5,1.5 → median .5+.5·(1.5−.5)
+    assert(out._4 == 1.75)  // rank .25·3 = .75 → 1 + .75·(2−1)
+  }
+
+  test("quantile_over_time φ outside [0,1] yields ±Inf") {
+    val cdf = Seq(("a", new Timestamp(600000L), 1.0))
+      .toDF("job", "time", "value")
+    def q(p: Double) = PromRange.statsOverTime(cdf, "time", "value",
+        Seq("job"), "60 minutes", "60 minutes", phi = Some(p),
+        inclusiveEnd = true)
+      .select("quantile_ot").as[Double].collect().head
+    assert(q(-0.5).isNegInfinity)
+    assert(q(1.5).isPosInfinity)
+    assert(q(1.0) == 1.0)
+  }
 }
