@@ -33,8 +33,11 @@ object PromBinOp {
       case "-" => col("_lv") - col("_rv")
       case "*" => col("_lv") * col("_rv")
       case "/" => col("_lv").cast("double") / col("_rv").cast("double")
-      case "%" => pmod(col("_lv"), col("_rv"))
+      // Prometheus % is Go math.Mod: sign follows the dividend
+      case "%" => col("_lv") % col("_rv")
       case "^" => pow(col("_lv"), col("_rv"))
+      case "atan2" => atan2(col("_lv").cast("double"),
+        col("_rv").cast("double"))
       case other => sys.error(s"unsupported arithmetic op $other")
     }
     l.join(r, keys).withColumn(valueCol, v).drop("_lv", "_rv")

@@ -184,7 +184,7 @@ object PromQL {
       parseBinLevel(Seq("==", "!=", ">", "<", ">=", "<="), parseAdd _)
     private def parseAdd(): Expr = parseBinLevel(Seq("+", "-"), parseMul _)
     private def parseMul(): Expr =
-      parseBinLevel(Seq("*", "/", "%"), parsePow _)
+      parseBinLevel(Seq("*", "/", "%", "atan2"), parsePow _)
     private def parsePow(): Expr = {
       val l = parseUnary()
       if (isOp("^")) { // right-assoc
@@ -642,6 +642,7 @@ object PromQL {
         "avg_over_time" -> "avg_ot", "min_over_time" -> "min_ot",
         "max_over_time" -> "max_ot", "count_over_time" -> "count_ot",
         "last_over_time" -> "last_v")
+      // present_over_time: 1 for any window that holds a sample
       val out =
         if (counterCols.contains(fn))
           PromRange.counterRate(df, m.time, m.value, m.labels, range,
@@ -651,6 +652,10 @@ object PromQL {
           PromRange.overTime(df, m.time, m.value, m.labels, range, stepStr,
               inclusiveEnd = true)
             .withColumn("value", col(overCols(fn)).cast("double"))
+        else if (fn == "present_over_time")
+          PromRange.overTime(df, m.time, m.value, m.labels, range, stepStr,
+              inclusiveEnd = true)
+            .withColumn("value", lit(1.0))
         else if (fn == "changes" || fn == "resets")
           PromRange.changesResets(df, m.time, m.value, m.labels, range,
               stepStr, inclusiveEnd = true)
@@ -772,7 +777,18 @@ object PromQL {
     // -- functions ---------------------------------------------------------
     private val mathFns: Map[String, Column => Column] = Map(
       "abs" -> abs, "ceil" -> ceil2, "floor" -> floor2, "exp" -> exp,
-      "ln" -> log, "log2" -> log2, "log10" -> log10, "sqrt" -> sqrt)
+      "ln" -> log, "log2" -> log2, "log10" -> log10, "sqrt" -> sqrt,
+      // trigonometric family (promql functions.go): plain, hyperbolic,
+      // inverse, and degree/radian conversion
+      "sin" -> sin, "cos" -> cos, "tan" -> tan,
+      "sinh" -> sinh, "cosh" -> cosh, "tanh" -> tanh,
+      "asin" -> asin, "acos" -> acos, "atan" -> atan,
+      "asinh" -> ((c: Column) => log(c + sqrt(c * c + lit(1.0)))),
+      "acosh" -> ((c: Column) => log(c + sqrt(c * c - lit(1.0)))),
+      "atanh" -> ((c: Column) => lit(0.5) * log((lit(1.0) + c) /
+        (lit(1.0) - c))),
+      "deg" -> degrees, "rad" -> radians,
+      "sgn" -> ((c: Column) => signum(c).cast("double")))
     private def ceil2(c: Column): Column = ceil(c).cast("double")
     private def floor2(c: Column): Column = floor(c).cast("double")
 
@@ -811,6 +827,8 @@ object PromQL {
         Left(Vec(v.df.withColumn("value",
           floor(col("value") * lit(inv) + lit(0.5)).cast("double") /
             lit(inv)), v.labels))
+      case "pi" =>
+        Right(SConst(math.Pi))
       case "time" =>
         // the eval timestamp in seconds, as a pure function of eval_ms —
         // applied to a vector it reads the partner's own eval_ms column
@@ -930,6 +948,16 @@ object PromQL {
       case "floor" => math.floor(x); case "exp" => math.exp(x)
       case "ln" => math.log(x); case "log2" => math.log(x) / math.log(2)
       case "log10" => math.log10(x); case "sqrt" => math.sqrt(x)
+      case "sin" => math.sin(x); case "cos" => math.cos(x)
+      case "tan" => math.tan(x); case "sinh" => math.sinh(x)
+      case "cosh" => math.cosh(x); case "tanh" => math.tanh(x)
+      case "asin" => math.asin(x); case "acos" => math.acos(x)
+      case "atan" => math.atan(x)
+      case "asinh" => math.log(x + math.sqrt(x * x + 1))
+      case "acosh" => math.log(x + math.sqrt(x * x - 1))
+      case "atanh" => 0.5 * math.log((1 + x) / (1 - x))
+      case "deg" => math.toDegrees(x); case "rad" => math.toRadians(x)
+      case "sgn" => math.signum(x)
       case o => sys.error(s"scalar math $o unsupported")
     }
 
@@ -1028,6 +1056,7 @@ object PromQL {
         case "+" => x + y; case "-" => x - y; case "*" => x * y
         case "/" => x / y; case "%" => x % y
         case "^" => math.pow(x, y)
+        case "atan2" => math.atan2(x, y)
         case o => sys.error(s"scalar op $o unsupported")
       }
 
@@ -1035,7 +1064,10 @@ object PromQL {
       op match {
         case "+" => l + r; case "-" => l - r; case "*" => l * r
         case "/" => l.cast("double") / r.cast("double")
-        case "%" => pmod(l, r); case "^" => pow(l, r)
+        // Prometheus % is Go math.Mod: sign follows the dividend
+        // (Spark/Java % semantics), NOT pmod
+        case "%" => l % r; case "^" => pow(l, r)
+        case "atan2" => atan2(l.cast("double"), r.cast("double"))
         case o => sys.error(s"vector op $o unsupported")
       }
 
@@ -1064,7 +1096,8 @@ object PromQL {
           Vec(ld.unionByName(rd.join(
             ld.select(keys.map(col): _*).distinct(), keys, "left_anti")),
             allLabels)
-        case op if Set("+", "-", "*", "/", "%", "^").contains(op) =>
+        case op if Set("+", "-", "*", "/", "%", "^", "atan2")
+            .contains(op) =>
           (b.groupLeft, b.groupRight) match {
             case (None, None) =>
               Vec(PromBinOp.arith(ld, rd, op, keys, None, Nil), keys0)

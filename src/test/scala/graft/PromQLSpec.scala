@@ -80,7 +80,7 @@ class PromQLSpec extends SparkSpec {
     val lower = q.toLowerCase
     val banned = Seq("scalar(", "limitk",
       "limit_ratio", "absent", "@",
-      "atan2", "holt_winters", "sort", "time()",
+      "holt_winters", "sort", "time()",
       "vector(", "histogram_", "{__name__",
       "big") // near-DoubleMax means need Prometheus's incremental mean
     !banned.exists(lower.contains)
@@ -235,6 +235,33 @@ class PromQLSpec extends SparkSpec {
         (job, inst, new Timestamp(300000L), v, i.toLong)
       }.toDF("job", "instance", "ts", "value", "id")
     Map("requests" -> Metric(reqs, Seq("job", "instance"), tie = Seq("id")))
+  }
+
+  test("trig math fns, atan2 binop, sgn, pi, present_over_time") {
+    val sin0 = PromQL.evaluate(cat, "sin(requests * 0)", "300 seconds")
+      .select("value").as[Double].collect()
+    assert(sin0.forall(_ == 0.0))
+    val at = PromQL.evaluate(cat, "requests atan2 requests",
+        "300 seconds")
+      .select("value").as[Double].collect()
+    assert(at.forall(v => math.abs(v - math.Pi / 4) < 1e-12))
+    val sgn = PromQL.evaluate(cat, "sgn(requests - 15)", "300 seconds")
+      .select("value").as[Double].collect().toSet
+    assert(sgn == Set(-1.0, 1.0))
+    val pi = PromQL.evaluate(cat, "requests * 0 + pi()", "300 seconds")
+      .select("value").as[Double].collect()
+    assert(pi.forall(_ == math.Pi))
+    val pres = PromQL.evaluate(cat,
+        "present_over_time(requests[5m])", "300 seconds")
+      .select("value").as[Double].collect()
+    assert(pres.nonEmpty && pres.forall(_ == 1.0))
+  }
+
+  test("% follows the dividend's sign (Go math.Mod), not pmod") {
+    val out = PromQL.evaluate(cat, "(requests - 15) % 4", "300 seconds")
+      .select("value").as[Double].collect().toSet
+    // values 10,20,30 → -5,5,15 → Go math.Mod(−5,4) = −1
+    assert(out == Set(-1.0, 1.0, 3.0))
   }
 
   test("selector with matchers + regex") {
