@@ -1134,6 +1134,24 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // §2.8 InfluxQL scalar math functions (query/math.go): inside
+    // aggregates, over aggregates, and composed — all through the text
+    // frontend. Only IEEE-exact fns in the oracle (abs/floor/ceil/
+    // round/sqrt); transcendentals are spec-tested.
+    "q97_influxql_math" -> ((s, dir) => {
+      val catalog = Map("events" -> graft.query.InfluxQL.Measurement(
+        t(s, dir, "events"), tags = Seq("event_type")))
+      graft.query.InfluxQL.execute(catalog,
+          "SELECT count(abs(value)) AS n_abs, " +
+          "max(sqrt(abs(value))) AS mx_sqrt, " +
+          "min(round(value)) AS mn_round, " +
+          "sum(floor(value) + ceil(value)) AS s_fc, " +
+          "abs(min(value)) AS abs_min " +
+          "FROM events GROUP BY event_type")
+        .select("event_type", "n_abs", "mx_sqrt", "mn_round", "s_fc",
+          "abs_min")
+    }),
+
     // §2.5 windowed statistics: stddev/stdvar/quantile/mad _over_time
     // (promql fns over materialized window arrays; rounded to 9dp on
     // both engines — summation order differs at ~1e-13).
@@ -2270,6 +2288,14 @@ object SparkEntry {
            count(DISTINCT array_to_string(
              regexp_split_to_array(trim(text), '\s+'), ' ')) AS n_unique
          FROM d GROUP BY lang ORDER BY lang""",
+
+    "q97_influxql_math" ->
+      """SELECT event_type, count(abs(value)) AS n_abs,
+         max(sqrt(abs(value))) AS mx_sqrt,
+         min(round(value)) AS mn_round,
+         sum(floor(value) + ceil(value)) AS s_fc,
+         abs(min(value)) AS abs_min
+         FROM events GROUP BY event_type ORDER BY event_type""",
 
     // variance via the same two-pass algebra as the engine (mean join,
     // then Σ(x−μ)²/n) — DuckDB's streaming var_pop lands ~1e-9 away,

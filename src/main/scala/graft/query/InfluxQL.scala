@@ -116,7 +116,10 @@ object InfluxQL {
   // ------------------------------------------------------------------ AST
   sealed trait Proj
   case class PField(name: String) extends Proj
-  case class PCall(fn: String, field: String, extra: Option[Double] = None)
+  /** `argExpr` carries an aggregate-over-expression argument
+    * (`mean(abs(v))`, `sum(v * 2)`); `field` is then "". */
+  case class PCall(fn: String, field: String, extra: Option[Double] = None,
+                   argExpr: Option[Expr] = None)
     extends Proj
   /** Analytic over an aggregated series, e.g. derivative(mean(value)):
     * reference ladder runs these after the interval aggregation
@@ -139,7 +142,18 @@ object InfluxQL {
   case class EField(name: String) extends Expr
   case class ECall(call: PCall) extends Expr
   case class EBin(op: Char, l: Expr, r: Expr) extends Expr
+  /** Scalar math call (reference `lib/util/lifted/influx/query/math.go`:
+    * abs sin cos tan asin acos atan atan2 exp log ln log2 log10 sqrt pow
+    * floor ceil round). Composes freely: `sqrt(abs(v))`,
+    * `abs(min(v))`, `mean(abs(v))`. */
+  case class EMath(fn: String, args: Seq[Expr]) extends Expr
   case class PExpr(e: Expr, alias: String) extends Proj
+
+  /** The scalar math surface of `query/math.go` (validated there by
+    * `validateMathFunction`). */
+  private val mathFnNames = Set("abs", "sin", "cos", "tan", "asin",
+    "acos", "atan", "atan2", "exp", "log", "ln", "log2", "log10",
+    "sqrt", "pow", "floor", "ceil", "round")
 
   sealed trait CondV
   case class CNum(v: Double) extends CondV
@@ -463,40 +477,52 @@ object InfluxQL {
       case TPunct("(") =>
         val e = parseExpr(); expect(")")
         e
-      case TIdent(fn) if peek == TPunct("(") =>
+      case TIdent(fn0) if peek == TPunct("(") =>
+        val fn = fn0.toLowerCase
         next() // (
-        val arg = next() match {
-          case TIdent(f) if peek == TPunct("(") =>
-            next() // ( — nested aggregate call
-            val innerField = next() match {
-              case TIdent(g) => g
-              case TPunct("*") => "*"
-              case t => sys.error(s"bad nested call arg: $t")
-            }
-            expect(")")
-            Right(PCall(f.toLowerCase, innerField))
-          case TIdent(f) => Left(f)
-          case TPunct("*") => Left("*")
-          case t => sys.error(s"bad call arg: $t")
-        }
-        val extra = if (peek == TPunct(",")) {
-          next()
-          next() match {
-            case TNum(v, _) => Some(v)
-            case t => sys.error(s"bad call extra arg: $t")
+        if (mathFnNames.contains(fn)) {
+          // scalar math call: full comma-separated expression args
+          val args = Seq.newBuilder[Expr]
+          if (peek != TPunct(")")) {
+            def one(): Expr = parseExpr().left.getOrElse(
+              sys.error("analytic calls cannot appear inside math calls"))
+            args += one()
+            while (peek == TPunct(",")) { next(); args += one() }
           }
-        } else None
-        expect(")")
-        arg match {
-          case Right(inner) => Right(PAnalytic(fn.toLowerCase, inner, extra))
-          case Left(field)
-              if Set("derivative", "difference", "moving_average",
-                "cumulative_sum", "non_negative_difference",
-                "non_negative_derivative")
-                .contains(fn.toLowerCase) =>
-            // analytic directly over the raw field per series
-            Right(PAnalytic(fn.toLowerCase, PCall("last", field), extra))
-          case Left(field) => Left(ECall(PCall(fn.toLowerCase, field, extra)))
+          expect(")")
+          Left(EMath(fn, args.result()))
+        } else {
+          // aggregate / analytic call: the argument itself parses as an
+          // expression — a plain field, `*`, a nested call, or an
+          // arbitrary scalar expression (`mean(abs(v))`, `sum(v*2)`)
+          val arg: Either[String, Either[PCall, Expr]] =
+            if (peek == TPunct("*")) { next(); Left("*") }
+            else parseExpr().left.getOrElse(
+              sys.error("analytic calls cannot nest")) match {
+              case EField(f) => Left(f)
+              case ECall(c) => Right(Left(c))
+              case e => Right(Right(e))
+            }
+          val extra = if (peek == TPunct(",")) {
+            next()
+            next() match {
+              case TNum(v, _) => Some(v)
+              case t => sys.error(s"bad call extra arg: $t")
+            }
+          } else None
+          expect(")")
+          arg match {
+            case Right(Left(inner)) => Right(PAnalytic(fn, inner, extra))
+            case Left(field)
+                if Set("derivative", "difference", "moving_average",
+                  "cumulative_sum", "non_negative_difference",
+                  "non_negative_derivative").contains(fn) =>
+              // analytic directly over the raw field per series
+              Right(PAnalytic(fn, PCall("last", field), extra))
+            case Left(field) => Left(ECall(PCall(fn, field, extra)))
+            case Right(Right(e)) =>
+              Left(ECall(PCall(fn, "", extra, argExpr = Some(e))))
+          }
         }
       case TIdent(f) => Left(EField(f))
       case t => sys.error(s"bad projection: $t")
@@ -816,9 +842,59 @@ object InfluxQL {
     val groupTags =
       if (q.groupTags.contains("*")) mEff.tags else q.groupTags
 
+    /** Materialize an expression; `/` follows InfluxQL semantics — any
+      * division yields float (reference binary eval ast.go:2736). */
+    def evalExpr(e: Expr, resolve: PCall => Column): Column = e match {
+      case ENum(v, intg, lv) =>
+        if (intg) lit(lv.getOrElse(v.toLong)) else lit(v)
+      case EField(f) => col(f)
+      case ECall(c) => resolve(c)
+      case EBin('+', l, r) => evalExpr(l, resolve) + evalExpr(r, resolve)
+      case EBin('-', l, r) => evalExpr(l, resolve) - evalExpr(r, resolve)
+      case EBin('*', l, r) => evalExpr(l, resolve) * evalExpr(r, resolve)
+      case EBin('/', l, r) =>
+        evalExpr(l, resolve).cast("double") / evalExpr(r, resolve).cast("double")
+      case EBin(op, _, _) => sys.error(s"unsupported operator $op")
+      case EMath(fn, args) =>
+        val a = args.map(x => evalExpr(x, resolve).cast("double"))
+        def arity(n: Int): Unit =
+          require(a.size == n, s"$fn expects $n args, got ${a.size}")
+        fn match {
+          case "abs" => arity(1); abs(a(0))
+          case "sin" => arity(1); sin(a(0))
+          case "cos" => arity(1); cos(a(0))
+          case "tan" => arity(1); tan(a(0))
+          case "asin" => arity(1); asin(a(0))
+          case "acos" => arity(1); acos(a(0))
+          case "atan" => arity(1); atan(a(0))
+          case "atan2" => arity(2); atan2(a(0), a(1))
+          case "exp" => arity(1); exp(a(0))
+          case "ln" => arity(1); log(a(0))
+          case "log2" => arity(1); log2(a(0))
+          case "log10" => arity(1); log10(a(0))
+          // InfluxQL log(x, b); a bare log(x) is natural log
+          case "log" =>
+            if (a.size == 2) log(a(0)) / log(a(1)) else { arity(1); log(a(0)) }
+          case "sqrt" => arity(1); sqrt(a(0))
+          case "pow" => arity(2); pow(a(0), a(1))
+          case "floor" => arity(1); floor(a(0)).cast("double")
+          case "ceil" => arity(1); ceil(a(0)).cast("double")
+          case "round" => arity(1); round(a(0)).cast("double")
+          case o => sys.error(s"unsupported math function $o")
+        }
+    }
+
     // projection → aggregation ladder (select.go:654 order)
     def aggExprOf(p: PCall): Column = {
-      val f = col(p.field)
+      // aggregate-over-expression (`mean(abs(v))`): materialize the
+      // scalar expression as the aggregation input
+      val f = p.argExpr
+        .map(e => evalExpr(e,
+          _ => sys.error("aggregate calls cannot nest")))
+        .getOrElse(col(p.field))
+      if (p.argExpr.isDefined &&
+          Set("median", "mode", "percentile").contains(p.fn))
+        sys.error(s"${p.fn} over an expression is not supported")
       p.fn match {
         case "count" => if (p.field == "*") count(lit(1)) else count(f)
         case "sum" => sum(f)
@@ -856,24 +932,10 @@ object InfluxQL {
     def callsIn(e: Expr): Seq[PCall] = e match {
       case ECall(c) => Seq(c)
       case EBin(_, l, r) => callsIn(l) ++ callsIn(r)
+      case EMath(_, args) => args.flatMap(callsIn)
       case _ => Nil
     }
     val exprCalls = exprs.flatMap(p => callsIn(p.e))
-
-    /** Materialize an expression; `/` follows InfluxQL semantics — any
-      * division yields float (reference binary eval ast.go:2736). */
-    def evalExpr(e: Expr, resolve: PCall => Column): Column = e match {
-      case ENum(v, intg, lv) =>
-        if (intg) lit(lv.getOrElse(v.toLong)) else lit(v)
-      case EField(f) => col(f)
-      case ECall(c) => resolve(c)
-      case EBin('+', l, r) => evalExpr(l, resolve) + evalExpr(r, resolve)
-      case EBin('-', l, r) => evalExpr(l, resolve) - evalExpr(r, resolve)
-      case EBin('*', l, r) => evalExpr(l, resolve) * evalExpr(r, resolve)
-      case EBin('/', l, r) =>
-        evalExpr(l, resolve).cast("double") / evalExpr(r, resolve).cast("double")
-      case EBin(op, _, _) => sys.error(s"unsupported operator $op")
-    }
 
     def applyAnalytic(b0: DataFrame, a: PAnalytic, src: String,
                       time: String): DataFrame = a.fn match {

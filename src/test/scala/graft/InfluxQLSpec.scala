@@ -410,4 +410,29 @@ class InfluxQLSpec extends SparkSpec {
       .select("time", "value").as[(Long, Double)].collect().toSeq
     assert(out == Seq((120000L, 200.0)))
   }
+
+  test("math functions: composed, inside and over aggregates") {
+    // cpu server01 values: 10, 20, 30
+    val sq = run("SELECT sqrt(abs(value - 20)) AS s FROM cpu " +
+        "WHERE host = 'server01'")
+      .select("s").as[Double].collect().toSet
+    assert(sq == Set(math.sqrt(10.0), 0.0))
+    val agg = run("SELECT mean(abs(value - 20)) AS m, " +
+        "abs(min(value) - 100) AS am, sum(floor(value / 7)) AS sf " +
+        "FROM cpu WHERE host = 'server01'")
+      .select("m", "am", "sf").as[(Double, Double, Double)].collect().head
+    assert(agg == ((20.0 / 3, 90.0, 7.0)))  // floors: 1+2+4
+    val trig = run("SELECT atan2(value, value) AS a, " +
+        "pow(value, 2) AS p, log(value, 10) AS lg FROM cpu " +
+        "WHERE host = 'server01' AND value = 10")
+      .select("a", "p", "lg").as[(Double, Double, Double)].collect().head
+    assert(math.abs(trig._1 - math.Pi / 4) < 1e-12)
+    assert(trig._2 == 100.0)
+    assert(math.abs(trig._3 - 1.0) < 1e-12)
+  }
+
+  test("unknown functions still fail loudly") {
+    assertThrows[RuntimeException](
+      run("SELECT frobnicate(value) FROM cpu").collect())
+  }
 }
