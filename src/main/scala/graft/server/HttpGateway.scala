@@ -106,24 +106,62 @@ final class HttpGateway(spark: SparkSession,
   }
 
   // ------------------------------------------------------------- /query
+  /** Split `q` on top-level semicolons (quotes respected) — the
+    * reference accepts multiple statements per request and emits one
+    * result object per statement. */
+  private def splitStatements(q: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var quote: Char = 0
+    q.foreach { c =>
+      if (quote != 0) { cur += c; if (c == quote) quote = 0 }
+      else if (c == '\'' || c == '"') { quote = c; cur += c }
+      else if (c == ';') { out += cur.result(); cur.clear() }
+      else cur += c
+    }
+    out += cur.result()
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
   private def handleQuery(ex: HttpExchange): Unit =
     try {
       val p = params(ex, readBody = true)
       val q = p.getOrElse("q",
         sys.error("missing required parameter \"q\""))
-      val epoch = p.getOrElse("epoch", "ms")
-      if ("(?is).*\\bINTO\\b.*".r.matches(q) &&
-          q.trim.toLowerCase.startsWith("select")) {
-        val (cat2, df) = InfluxQL.executeInto(catalog, q)
-        val written = df.count()
-        synchronized { catalog = cat2 }
-        respond(ex, 200,
-          s"""{"results":[{"statement_id":0,"series":[{"name":"result","columns":["time","written"],"values":[[0,$written]]}]}]}""")
-      } else {
-        val (name, tags, df0) = InfluxQL.executeShaped(catalog, q)
-        // the engine's `time` output is epoch ms (LONG); `epoch=`
-        // rescaling happens on TIMESTAMP values at the HTTP edge, so
-        // lift it back to a timestamp before shaping
+      // no epoch param → the reference's default RFC3339 rendering
+      val epoch = p.getOrElse("epoch", "rfc3339")
+      val statements = splitStatements(q)
+      require(statements.nonEmpty, "empty query")
+
+      def resultObj(stmt: String, id: Int): String =
+        if ("(?is).*\\bINTO\\b.*".r.matches(stmt) &&
+            stmt.trim.toLowerCase.startsWith("select")) {
+          val (cat2, df) = InfluxQL.executeInto(catalog, stmt)
+          val written = df.count()
+          synchronized { catalog = cat2 }
+          s"""{"statement_id":$id,"series":[{"name":"result","columns":["time","written"],"values":[[0,$written]]}]}"""
+        } else {
+          val (name, tags, df0) = InfluxQL.executeShaped(catalog, stmt)
+          // the engine's `time` output is epoch ms (LONG); epoch=/RFC3339
+          // rendering happens on TIMESTAMP values at the HTTP edge, so
+          // lift it back to a timestamp before shaping
+          val df = df0.schema.find(_.name == "time").map(_.dataType) match {
+            case Some(org.apache.spark.sql.types.LongType) |
+                 Some(org.apache.spark.sql.types.IntegerType) =>
+              df0.withColumn("time",
+                org.apache.spark.sql.functions.timestamp_millis(
+                  org.apache.spark.sql.functions.col("time")))
+            case _ => df0
+          }
+          val valueCols = HttpGateway.shapedValueCols(df.columns, tags)
+          ResultShaper.toResultObj(df, name, tags, valueCols, epoch, id)
+        }
+
+      if (p.get("chunked").contains("true")) {
+        // chunked emission is per-series-batch within ONE statement
+        require(statements.size == 1,
+          "chunked=true supports a single statement")
+        val (name, tags, df0) = InfluxQL.executeShaped(catalog, statements.head)
         val df = df0.schema.find(_.name == "time").map(_.dataType) match {
           case Some(org.apache.spark.sql.types.LongType) |
                Some(org.apache.spark.sql.types.IntegerType) =>
@@ -133,14 +171,13 @@ final class HttpGateway(spark: SparkSession,
           case _ => df0
         }
         val valueCols = HttpGateway.shapedValueCols(df.columns, tags)
-        val body =
-          if (p.get("chunked").contains("true")) {
-            val n = p.get("chunk_size").map(_.toInt).getOrElse(10000)
-            ResultShaper.toSeriesJsonChunked(df, name, tags, valueCols, n,
-              epoch).mkString("", "\n", "\n")
-          } else
-            ResultShaper.toSeriesJson(df, name, tags, valueCols, epoch)
-        respond(ex, 200, body)
+        val n = p.get("chunk_size").map(_.toInt).getOrElse(10000)
+        respond(ex, 200, ResultShaper.toSeriesJsonChunked(
+          df, name, tags, valueCols, n, epoch).mkString("", "\n", "\n"))
+      } else {
+        val objs = statements.zipWithIndex
+          .map { case (s, i) => resultObj(s, i) }
+        respond(ex, 200, s"""{"results":[${objs.mkString(",")}]}""")
       }
     } catch {
       case e: Throwable =>

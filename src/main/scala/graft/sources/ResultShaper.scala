@@ -41,6 +41,13 @@ object ResultShaper {
       case c => c.toString
     } + "\""
     case b: Boolean => b.toString
+    case ts: java.sql.Timestamp if epoch == "rfc3339" =>
+      // the reference's DEFAULT time rendering (no epoch= param):
+      // RFC3339 UTC, sub-second digits only when nonzero
+      // (`httpd/response_writer.go` time.RFC3339Nano)
+      val inst = java.time.Instant.ofEpochSecond(
+        Math.floorDiv(ts.getTime, 1000L), ts.getNanos.toLong)
+      "\"" + java.time.format.DateTimeFormatter.ISO_INSTANT.format(inst) + "\""
     case ts: java.sql.Timestamp => epochOf(ts, epoch).toString
     case d: java.sql.Date => "\"" + d.toString + "\""
     case n => n.toString
@@ -80,7 +87,15 @@ object ResultShaper {
     * distinct tag set, `columns` = time + fields, `values` = row arrays.
     * `epoch` is the HTTP API's precision parameter (default ms). */
   def toSeriesJson(df: DataFrame, name: String, tagCols: Seq[String],
-                   valueCols: Seq[String], epoch: String = "ms"): String = {
+                   valueCols: Seq[String], epoch: String = "ms"): String =
+    s"""{"results":[${toResultObj(df, name, tagCols, valueCols, epoch)}]}"""
+
+  /** One result object `{"statement_id":i,"series":[…]}` — the unit the
+    * reference's response writer emits per statement of a multi-statement
+    * `q` (`httpd/response_writer.go:387`). */
+  def toResultObj(df: DataFrame, name: String, tagCols: Seq[String],
+                  valueCols: Seq[String], epoch: String = "ms",
+                  statementId: Int = 0): String = {
     val rows = df.select((tagCols ++ valueCols).map(col): _*).collect()
     val grouped = rows.groupBy(r => tagCols.map(t => r.getAs[Any](t)))
       .toSeq.sortBy(_._1.map(String.valueOf).mkString(","))
@@ -94,6 +109,6 @@ object ResultShaper {
         .mkString("[", ",", "]")).mkString("[", ",", "]")
       s"""{"name":${jsonScalar(name)},"tags":$tags,"columns":$columns,"values":$values}"""
     }.mkString("[", ",", "]")
-    s"""{"results":[{"statement_id":0,"series":$series}]}"""
+    s"""{"statement_id":$statementId,"series":$series}"""
   }
 }

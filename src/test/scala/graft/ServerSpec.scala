@@ -56,7 +56,7 @@ class ServerSpec extends SparkSpec {
 
   test("/query is byte-identical to the library ResultShaper path") {
     val q = "SELECT count(value), mean(value) FROM events GROUP BY event_type"
-    val r = get(s"/query?q=${enc(q)}")
+    val r = get(s"/query?q=${enc(q)}&epoch=ms")
     assert(r.statusCode() == 200)
     val cat = Map("events" -> InfluxQL.Measurement(
       events, tags = Seq("event_type")))
@@ -69,7 +69,7 @@ class ServerSpec extends SparkSpec {
 
   test("/query chunked emission matches the library chunked path") {
     val q = "SELECT count(value) FROM events GROUP BY event_type"
-    val r = get(s"/query?q=${enc(q)}&chunked=true&chunk_size=2")
+    val r = get(s"/query?q=${enc(q)}&chunked=true&chunk_size=2&epoch=ms")
     assert(r.statusCode() == 200)
     val cat = Map("events" -> InfluxQL.Measurement(
       events, tags = Seq("event_type")))
@@ -103,6 +103,21 @@ class ServerSpec extends SparkSpec {
     assert(viaPost.body() == viaGet.body())
   }
 
+  test("default time rendering is RFC3339 like the reference") {
+    val q = "SELECT count(value) FROM events GROUP BY time(1d) LIMIT 1"
+    val body = get(s"/query?q=${enc(q)}").body()
+    assert(body.contains("\"2024-01-01T00:00:00Z\""))
+  }
+
+  test("multi-statement q yields one result object per statement") {
+    val q = "SELECT count(value) FROM events; SELECT mean(value) FROM events"
+    val body = JsonMethods.parse(get(s"/query?q=${enc(q)}").body())
+    val JArray(results) = (body \ "results").asInstanceOf[JArray]
+    assert(results.size == 2)
+    assert((results(0) \ "statement_id") == JInt(0))
+    assert((results(1) \ "statement_id") == JInt(1))
+  }
+
   test("/query rejects bad input with an influx-style error document") {
     val r = get("/query?q=" + enc("SELECT FROM nothing"))
     assert(r.statusCode() == 400)
@@ -120,7 +135,7 @@ class ServerSpec extends SparkSpec {
     val w = post("/write", lines)
     assert(w.statusCode() == 204)
     val r = get("/query?q=" + enc(
-      "SELECT usage FROM cpu GROUP BY host ORDER BY time"))
+      "SELECT usage FROM cpu GROUP BY host ORDER BY time") + "&epoch=ms")
     assert(r.statusCode() == 200)
     val body = JsonMethods.parse(r.body())
     val JArray(series) =
@@ -144,7 +159,7 @@ class ServerSpec extends SparkSpec {
   test("/write honors the precision parameter") {
     val w = post("/write?precision=s", "disk,host=a used=1.0 1704067200")
     assert(w.statusCode() == 204)
-    val r = get("/query?q=" + enc("SELECT used FROM disk"))
+    val r = get("/query?q=" + enc("SELECT used FROM disk") + "&epoch=ms")
     assert(r.body().contains("1704067200000")) // ms epoch in the response
   }
 
