@@ -174,6 +174,11 @@ object InfluxQL {
     * `ast.go:7677` (InCondition). Compiled to a semi/anti join; only
     * valid at AND-positions of the WHERE tree. */
   case class WIn(field: String, sub: Query, negated: Boolean) extends WExpr
+  /** General expression comparison in WHERE (`abs(v) > 10`,
+    * `v * 2 > 100`) — the reference allows arbitrary scalar expressions
+    * in conditions (ast.go binary eval). Plain field-op-literal conds
+    * stay [[Cond]] so time/tag pruning keeps its fast path. */
+  case class WCmp(l: Expr, op: String, r: Expr) extends WExpr
 
   sealed trait FillMode
   case object FillNone extends FillMode
@@ -530,6 +535,9 @@ object InfluxQL {
 
     // WHERE grammar: or := and (OR and)* ; and := atom (AND atom)* ;
     // atom := '(' or ')' | field op literal
+    /** Standalone WHERE tree (management statements). */
+    def parseWhereStandalone(): WExpr = parseWhereOr()
+
     private def parseWhereOr(): WExpr = {
       var l = parseWhereAnd()
       while (isKw("or")) { next(); l = WOr(l, parseWhereAnd()) }
@@ -547,6 +555,24 @@ object InfluxQL {
         next(); val e = parseWhereOr(); expect(")")
         return e
       }
+      // try the plain field-op-literal shape first (keeps the pruning
+      // fast path); on failure backtrack and parse a general scalar
+      // expression comparison
+      val save = toks
+      try return parsePlainWhereAtom()
+      catch { case _: RuntimeException => toks = save }
+      def side(): Expr = parseExpr().left.getOrElse(
+        sys.error("analytic calls cannot appear in WHERE"))
+      val l = side()
+      val op = next() match {
+        case TOp(o) if Set("=", "!=", "<>", "<", "<=", ">", ">=")
+          .contains(o) => o
+        case t => sys.error(s"bad WHERE comparison op: $t")
+      }
+      WCmp(l, op, side())
+    }
+
+    private def parsePlainWhereAtom(): WExpr = {
       val field = next() match {
         case TIdent(s) => s
         case t => sys.error(s"bad WHERE field: $t")
@@ -623,6 +649,87 @@ object InfluxQL {
           .map(_.toLowerCase).mkString("_")
         (name, Nil, df)
     }
+  }
+
+  /** Data-management statements (reference surface: `influxql/ast.go`
+    * DeleteStatement, DropMeasurementStatement, DropSeriesStatement).
+    * The engine is storage-agnostic, so management is catalog-functional
+    * like executeInto: the returned catalog reflects the deletion and
+    * persistence is the caller's sink. DELETE WHERE accepts time ranges
+    * and tag predicates — the reference rejects field predicates in
+    * DELETE too (`coordinator/statement_executor.go` delete validation).
+    * DROP SERIES removes whole matching series; with tag predicates
+    * (all DROP SERIES allows) that is the same row filter. */
+  def executeManage(catalog: Map[String, Measurement],
+                    sql: String): Map[String, Measurement] = {
+    val p = new Parser(lex(sql))
+    def ident(): String = p.next() match {
+      case TIdent(n) => n
+      case TStr(n) => n
+      case t => sys.error(s"expected identifier, got $t")
+    }
+    if (p.isKw("drop")) {
+      p.next()
+      if (p.isKw("measurement")) {
+        p.next()
+        catalog - ident()
+      } else if (p.isKw("series")) {
+        p.next(); p.expectIdent("from")
+        val name = ident()
+        val m = catalog.getOrElse(name, sys.error(s"unknown measurement $name"))
+        if (p.isKw("where")) {
+          p.next()
+          val w = p.parseWhereStandalone()
+          val cond = manageCond(m, w)
+          // null tag never matches a predicate → its rows are kept
+          catalog + (name -> m.copy(df =
+            m.df.filter(coalesce(!cond, lit(true)))))
+        } else catalog - name
+      } else sys.error("expected DROP MEASUREMENT or DROP SERIES")
+    } else if (p.isKw("delete")) {
+      p.next(); p.expectIdent("from")
+      val name = ident()
+      val m = catalog.getOrElse(name, sys.error(s"unknown measurement $name"))
+      val kept =
+        if (p.isKw("where")) {
+          p.next()
+          val cond = manageCond(m, p.parseWhereStandalone())
+          m.df.filter(coalesce(!cond, lit(true)))
+        } else m.df.limit(0)
+      catalog + (name -> m.copy(df = kept))
+    } else sys.error(s"not a management statement: $sql")
+  }
+
+  /** Time/tag condition compiler for DELETE/DROP SERIES — same literal
+    * conventions as the SELECT path (time in epoch µs, durations as
+    * ns→µs, RFC3339 strings, now()±d). */
+  private def manageCond(m: Measurement, w: WExpr): Column = w match {
+    case WAnd(l, r) => manageCond(m, l) && manageCond(m, r)
+    case WOr(l, r) => manageCond(m, l) || manageCond(m, r)
+    case WCond(c) =>
+      val isTime = c.field.equalsIgnoreCase("time")
+      val lhs = if (isTime) unix_micros(col(m.time)) else col(c.field)
+      val rhs: Column = c.v match {
+        case CStr(sv) if isTime => lit(parseTimeUtc(sv))
+        case CStr(sv) => lit(sv)
+        case CNum(v) => lit(v)
+        case CDur(ns) => lit(ns / 1000)
+        case CNow(d) =>
+          lit(System.currentTimeMillis() * 1000L + d / 1000)
+        case CRegex(_) => lit(null)
+      }
+      (c.op, c.v) match {
+        case ("=~", CRegex(r)) => lhs.rlike(r)
+        case ("!~", CRegex(r)) => !lhs.rlike(r)
+        case ("=", _) => lhs === rhs
+        case ("!=", _) | ("<>", _) => lhs =!= rhs
+        case ("<", _) => lhs < rhs
+        case ("<=", _) => lhs <= rhs
+        case (">", _) => lhs > rhs
+        case (">=", _) => lhs >= rhs
+        case (op, _) => sys.error(s"unsupported management op $op")
+      }
+    case _ => sys.error("unsupported management condition")
   }
 
   /** `SELECT … INTO target …`: runs the statement and returns the catalog
@@ -773,75 +880,6 @@ object InfluxQL {
     val mEff = mJoined.getOrElse(m)
 
     // WHERE — tag/field/time predicates push straight into the scan.
-    def condToCol(c: Cond): Column = {
-      val lhs = if (c.field.equalsIgnoreCase("time")) unix_micros(col(m.time))
-                else col(c.field)
-      val rhs: Column = c.v match {
-        case CNum(v) => lit(v)
-        case CStr(s) =>
-          if (c.field.equalsIgnoreCase("time")) lit(parseTimeUtc(s))
-          else lit(s)
-        case CDur(ns) => lit(ns / 1000L)
-        case CNow(deltaNs) =>
-          lit(System.currentTimeMillis() * 1000L + deltaNs / 1000L)
-        case CRegex(_) => lit(null)
-      }
-      (c.op, c.v) match {
-        case ("=~", CRegex(r)) => lhs.rlike(r)
-        case ("!~", CRegex(r)) => !lhs.rlike(r)
-        case ("like", CStr(s)) => lhs.like(s)
-        // full-text word match ≈ token containment; phrase = substring
-        case ("match", CStr(s)) =>
-          array_contains(split(lhs, "\\s+"), s)
-        case ("matchphrase", CStr(s)) => lhs.contains(s)
-        case ("=", _) => lhs === rhs
-        case ("!=", _) | ("<>", _) => lhs =!= rhs
-        case ("<", _) => lhs < rhs
-        case ("<=", _) => lhs <= rhs
-        case (">", _) => lhs > rhs
-        case (">=", _) => lhs >= rhs
-        case (op, _) => sys.error(s"unsupported op $op")
-      }
-    }
-    def wexprToCol(w: WExpr): Column = w match {
-      case WCond(c) => condToCol(c)
-      case WAnd(l, r) => wexprToCol(l) && wexprToCol(r)
-      case WOr(l, r) => wexprToCol(l) || wexprToCol(r)
-      case _: WIn => sys.error("IN subquery must be AND-connected")
-    }
-    // [NOT] IN (SELECT …) at AND-positions → semi/anti joins; the rest of
-    // the tree stays a pushdown-friendly Column filter.
-    def splitIn(w: WExpr): (Seq[WIn], Option[WExpr]) = w match {
-      case i: WIn => (Seq(i), None)
-      case WAnd(l, r) =>
-        val (il, wl) = splitIn(l); val (ir, wr) = splitIn(r)
-        (il ++ ir, (wl, wr) match {
-          case (Some(a), Some(b)) => Some(WAnd(a, b))
-          case (a, b) => a.orElse(b)
-        })
-      case other => (Nil, Some(other))
-    }
-    q.where.foreach { w =>
-      val (ins, rest) = splitIn(w)
-      rest.foreach(r => df = df.filter(wexprToCol(r)))
-      ins.foreach { i =>
-        val sub = compileQuery(catalog, i.sub)
-        val valueCol = sub.columns
-          .filterNot(c => c == "time" || i.sub.groupTags.contains(c))
-          .headOption.getOrElse(sys.error("IN subquery projects no column"))
-        val subDf = sub.select(col(valueCol).as("__in_v"))
-          .filter(col("__in_v").isNotNull).distinct()
-        // SQL [NOT] IN null rule: a null probe value matches nothing and
-        // is excluded either way (the anti join would otherwise keep it)
-        df = df.filter(col(i.field).isNotNull).join(subDf,
-          col(i.field) === col("__in_v"),
-          if (i.negated) "left_anti" else "left_semi")
-      }
-    }
-
-    val groupTags =
-      if (q.groupTags.contains("*")) mEff.tags else q.groupTags
-
     /** Materialize an expression; `/` follows InfluxQL semantics — any
       * division yields float (reference binary eval ast.go:2736). */
     def evalExpr(e: Expr, resolve: PCall => Column): Column = e match {
@@ -883,6 +921,88 @@ object InfluxQL {
           case o => sys.error(s"unsupported math function $o")
         }
     }
+
+    def condToCol(c: Cond): Column = {
+      val lhs = if (c.field.equalsIgnoreCase("time")) unix_micros(col(m.time))
+                else col(c.field)
+      val rhs: Column = c.v match {
+        case CNum(v) => lit(v)
+        case CStr(s) =>
+          if (c.field.equalsIgnoreCase("time")) lit(parseTimeUtc(s))
+          else lit(s)
+        case CDur(ns) => lit(ns / 1000L)
+        case CNow(deltaNs) =>
+          lit(System.currentTimeMillis() * 1000L + deltaNs / 1000L)
+        case CRegex(_) => lit(null)
+      }
+      (c.op, c.v) match {
+        case ("=~", CRegex(r)) => lhs.rlike(r)
+        case ("!~", CRegex(r)) => !lhs.rlike(r)
+        case ("like", CStr(s)) => lhs.like(s)
+        // full-text word match ≈ token containment; phrase = substring
+        case ("match", CStr(s)) =>
+          array_contains(split(lhs, "\\s+"), s)
+        case ("matchphrase", CStr(s)) => lhs.contains(s)
+        case ("=", _) => lhs === rhs
+        case ("!=", _) | ("<>", _) => lhs =!= rhs
+        case ("<", _) => lhs < rhs
+        case ("<=", _) => lhs <= rhs
+        case (">", _) => lhs > rhs
+        case (">=", _) => lhs >= rhs
+        case (op, _) => sys.error(s"unsupported op $op")
+      }
+    }
+    def wexprToCol(w: WExpr): Column = w match {
+      case WCond(c) => condToCol(c)
+      case WCmp(l, op, r) =>
+        def side(e: Expr): Column =
+          evalExpr(e, _ => sys.error("aggregate calls not allowed in WHERE"))
+        val (lc, rc) = (side(l), side(r))
+        op match {
+          case "=" => lc === rc
+          case "!=" | "<>" => lc =!= rc
+          case "<" => lc < rc
+          case "<=" => lc <= rc
+          case ">" => lc > rc
+          case ">=" => lc >= rc
+          case o => sys.error(s"unsupported WHERE op $o")
+        }
+      case WAnd(l, r) => wexprToCol(l) && wexprToCol(r)
+      case WOr(l, r) => wexprToCol(l) || wexprToCol(r)
+      case _: WIn => sys.error("IN subquery must be AND-connected")
+    }
+    // [NOT] IN (SELECT …) at AND-positions → semi/anti joins; the rest of
+    // the tree stays a pushdown-friendly Column filter.
+    def splitIn(w: WExpr): (Seq[WIn], Option[WExpr]) = w match {
+      case i: WIn => (Seq(i), None)
+      case WAnd(l, r) =>
+        val (il, wl) = splitIn(l); val (ir, wr) = splitIn(r)
+        (il ++ ir, (wl, wr) match {
+          case (Some(a), Some(b)) => Some(WAnd(a, b))
+          case (a, b) => a.orElse(b)
+        })
+      case other => (Nil, Some(other))
+    }
+    q.where.foreach { w =>
+      val (ins, rest) = splitIn(w)
+      rest.foreach(r => df = df.filter(wexprToCol(r)))
+      ins.foreach { i =>
+        val sub = compileQuery(catalog, i.sub)
+        val valueCol = sub.columns
+          .filterNot(c => c == "time" || i.sub.groupTags.contains(c))
+          .headOption.getOrElse(sys.error("IN subquery projects no column"))
+        val subDf = sub.select(col(valueCol).as("__in_v"))
+          .filter(col("__in_v").isNotNull).distinct()
+        // SQL [NOT] IN null rule: a null probe value matches nothing and
+        // is excluded either way (the anti join would otherwise keep it)
+        df = df.filter(col(i.field).isNotNull).join(subDf,
+          col(i.field) === col("__in_v"),
+          if (i.negated) "left_anti" else "left_semi")
+      }
+    }
+
+    val groupTags =
+      if (q.groupTags.contains("*")) mEff.tags else q.groupTags
 
     // projection → aggregation ladder (select.go:654 order)
     def aggExprOf(p: PCall): Column = {

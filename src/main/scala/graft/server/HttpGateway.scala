@@ -134,7 +134,11 @@ final class HttpGateway(spark: SparkSession,
       require(statements.nonEmpty, "empty query")
 
       def resultObj(stmt: String, id: Int): String =
-        if ("(?is).*\\bINTO\\b.*".r.matches(stmt) &&
+        if (stmt.trim.toLowerCase.startsWith("drop ") ||
+            stmt.trim.toLowerCase.startsWith("delete")) {
+          synchronized { catalog = InfluxQL.executeManage(catalog, stmt) }
+          s"""{"statement_id":$id}"""
+        } else if ("(?is).*\\bINTO\\b.*".r.matches(stmt) &&
             stmt.trim.toLowerCase.startsWith("select")) {
           val (cat2, df) = InfluxQL.executeInto(catalog, stmt)
           val written = df.count()

@@ -435,4 +435,38 @@ class InfluxQLSpec extends SparkSpec {
     assertThrows[RuntimeException](
       run("SELECT frobnicate(value) FROM cpu").collect())
   }
+
+  test("WHERE accepts scalar expressions on either side") {
+    val out = run("SELECT value FROM cpu WHERE abs(value - 25) < 10")
+      .select("value").as[Double].collect().toSet
+    assert(out == Set(20.0, 30.0))
+    val both = run("SELECT value FROM cpu WHERE value * 2 > core * 15")
+      .select("value").as[Double].collect().toSet
+    assert(both == Set(10.0, 20.0, 30.0)) // null-core rows never match
+    // plain conds still parse through the pruning fast path
+    val plain = run("SELECT count(value) FROM cpu WHERE host = 'server01'")
+      .select("count").as[Long].collect().head
+    assert(plain == 3L)
+  }
+
+  test("DELETE and DROP manage the catalog functionally") {
+    import graft.query.InfluxQL
+    val cat0 = catalog
+    val afterDelete = InfluxQL.executeManage(cat0,
+      "DELETE FROM cpu WHERE host = 'server02'")
+    assert(InfluxQL.execute(afterDelete, "SELECT count(value) FROM cpu")
+      .select("count").as[Long].collect().head == 3L)
+    val afterTime = InfluxQL.executeManage(cat0,
+      "DELETE FROM cpu WHERE time >= 1m")
+    assert(InfluxQL.execute(afterTime, "SELECT count(value) FROM cpu")
+      .select("count").as[Long].collect().head == 2L)
+    val afterDropSeries = InfluxQL.executeManage(cat0,
+      "DROP SERIES FROM cpu WHERE host = 'server01'")
+    assert(InfluxQL.execute(afterDropSeries,
+        "SELECT count(value) FROM cpu")
+      .select("count").as[Long].collect().head == 2L)
+    val afterDropM = InfluxQL.executeManage(cat0, "DROP MEASUREMENT cpu")
+    assert(!afterDropM.contains("cpu"))
+    assert(cat0.contains("cpu")) // original untouched
+  }
 }

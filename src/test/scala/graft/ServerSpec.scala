@@ -234,6 +234,18 @@ class ServerSpec extends SparkSpec {
     assert(tv.head.asInstanceOf[JInt].num.toLong == lastSec)
   }
 
+  test("DELETE and DROP MEASUREMENT over /query") {
+    val w = post("/write", "tmpdel,host=a v=1.0 1\ntmpdel,host=b v=2.0 2")
+    assert(w.statusCode() == 204)
+    val d = get("/query?q=" + enc("DELETE FROM tmpdel WHERE host = 'a'"))
+    assert(d.statusCode() == 200)
+    val r = get("/query?q=" + enc("SELECT count(v) FROM tmpdel"))
+    assert(r.body().contains(",1]]")) // one row left
+    val dr = get("/query?q=" + enc("DROP MEASUREMENT tmpdel"))
+    assert(dr.statusCode() == 200)
+    assert(get("/query?q=" + enc("SELECT v FROM tmpdel")).statusCode() == 400)
+  }
+
   test("/api/v1/query_range rejects bad queries with a prom error document") {
     val r = get(s"/api/v1/query_range?query=${enc("nope(")}" +
       "&start=0&end=10&step=1s")
