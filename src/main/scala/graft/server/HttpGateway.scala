@@ -58,6 +58,12 @@ final class HttpGateway(spark: SparkSession,
     (ex: HttpExchange) => handleProm(ex, range = true))
   server.createContext("/api/v1/query",
     (ex: HttpExchange) => handleProm(ex, range = false))
+  server.createContext("/api/v1/labels",
+    (ex: HttpExchange) => handleLabels(ex))
+  server.createContext("/api/v1/label/",
+    (ex: HttpExchange) => handleLabelValues(ex))
+  server.createContext("/api/v1/series",
+    (ex: HttpExchange) => handleSeries(ex))
 
   def start(): Int = { server.start(); boundPort }
   def stop(): Unit = server.stop(0)
@@ -280,6 +286,86 @@ final class HttpGateway(spark: SparkSession,
   private def fmtSec(ms: Long): String =
     if (ms % 1000 == 0) (ms / 1000).toString
     else (ms / 1000.0).toString
+
+  // ------------------------------------------- prom metadata endpoints
+  // (`httpd/handler.go:361-377`: servePromQueryLabels / LabelValues /
+  // Series). Label names come from catalog metadata — no data pass;
+  // label values and series run column-pruned distincts.
+
+  private def promSuccess(ex: HttpExchange, dataJson: String): Unit =
+    respond(ex, 200, s"""{"status":"success","data":$dataJson}""")
+
+  private def handleLabels(ex: HttpExchange): Unit =
+    try {
+      val names = ("__name__" +: prom.values.flatMap(_.labels).toSeq)
+        .distinct.sorted
+      promSuccess(ex, names.map(jsonStr).mkString("[", ",", "]"))
+    } catch {
+      case e: Throwable => respond(ex, 400,
+        s"""{"status":"error","error":${jsonStr(String.valueOf(e.getMessage))}}""")
+    }
+
+  private def handleLabelValues(ex: HttpExchange): Unit =
+    try {
+      val path = ex.getRequestURI.getPath
+      val m = "^/api/v1/label/([^/]+)/values$".r.findFirstMatchIn(path)
+        .getOrElse(sys.error(s"bad label values path: $path"))
+      val label = decode(m.group(1))
+      val values =
+        if (label == "__name__") prom.keys.toSeq.sorted
+        else prom.values.toSeq.filter(_.labels.contains(label))
+          .flatMap { mt =>
+            mt.df.select(org.apache.spark.sql.functions.col(label))
+              .distinct().collect()
+              .map(r => String.valueOf(r.get(0)))
+          }.filter(v => v != null && v.nonEmpty && v != "null")
+          .distinct.sorted
+      promSuccess(ex, values.map(jsonStr).mkString("[", ",", "]"))
+    } catch {
+      case e: Throwable => respond(ex, 400,
+        s"""{"status":"error","error":${jsonStr(String.valueOf(e.getMessage))}}""")
+    }
+
+  private def handleSeries(ex: HttpExchange): Unit =
+    try {
+      val p = params(ex, readBody = true)
+      val sel = p.getOrElse("match[]",
+        sys.error("""missing required parameter "match[]""""))
+      PromQL.parse(sel) match {
+        case s: PromQL.Sel =>
+          val mt = prom.getOrElse(s.name,
+            sys.error(s"unknown metric ${s.name}"))
+          var df = mt.df
+          s.matchers.foreach { case (label, op, v) =>
+            import org.apache.spark.sql.functions.{col, lit}
+            val c = if (df.columns.contains(label)) col(label) else lit("")
+            df = df.filter(op match {
+              case "=" => c === v
+              case "!=" => c =!= v
+              case "=~" => c.rlike("^(?:" + v + ")$")
+              case "!~" => !c.rlike("^(?:" + v + ")$")
+            })
+          }
+          val rows = df
+            .select(mt.labels.map(org.apache.spark.sql.functions.col): _*)
+            .distinct().limit(1000).collect()
+          val sets = rows.map { r =>
+            val pairs = (s"""${jsonStr("__name__")}:${jsonStr(s.name)}""" +:
+              mt.labels.zipWithIndex.collect {
+                case (l, i) if r.get(i) != null &&
+                    String.valueOf(r.get(i)).nonEmpty =>
+                  s"${jsonStr(l)}:${jsonStr(String.valueOf(r.get(i)))}"
+              })
+            pairs.mkString("{", ",", "}")
+          }
+          promSuccess(ex, sets.sorted.mkString("[", ",", "]"))
+        case other => sys.error(s"match[] must be a selector, got $other")
+      }
+    } catch {
+      case e: Throwable => respond(ex, 400,
+        s"""{"status":"error","errorType":"bad_data","error":${
+          jsonStr(String.valueOf(e.getMessage))}}""")
+    }
 
   private def handleProm(ex: HttpExchange, range: Boolean): Unit =
     try {

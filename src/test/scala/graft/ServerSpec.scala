@@ -246,6 +246,30 @@ class ServerSpec extends SparkSpec {
     assert(get("/query?q=" + enc("SELECT v FROM tmpdel")).statusCode() == 400)
   }
 
+  test("prom metadata: /labels, /label/<name>/values, /series") {
+    val labels = JsonMethods.parse(get("/api/v1/labels").body())
+    val JArray(names) = (labels \ "data").asInstanceOf[JArray]
+    assert(names.contains(JString("__name__")) &&
+      names.contains(JString("event_type")) &&
+      names.contains(JString("user")))
+
+    val metricNames = JsonMethods.parse(
+      get("/api/v1/label/__name__/values").body())
+    assert((metricNames \ "data")(0) == JString("events"))
+
+    val ets = JsonMethods.parse(
+      get("/api/v1/label/event_type/values").body())
+    val JArray(vals) = (ets \ "data").asInstanceOf[JArray]
+    assert(vals.contains(JString("click")) && vals.size >= 3)
+
+    val series = JsonMethods.parse(get("/api/v1/series?match[]=" +
+      enc("""events{event_type="click"}""")).body())
+    val JArray(sets) = (series \ "data").asInstanceOf[JArray]
+    assert(sets.nonEmpty)
+    assert(sets.forall(s => (s \ "__name__") == JString("events") &&
+      (s \ "event_type") == JString("click")))
+  }
+
   test("/api/v1/query_range rejects bad queries with a prom error document") {
     val r = get(s"/api/v1/query_range?query=${enc("nope(")}" +
       "&start=0&end=10&step=1s")
