@@ -162,6 +162,47 @@ object PromRange {
       .drop("window", "_vs")
   }
 
+  /** holt_winters(v[d], sf, tf) — Prometheus's double exponential
+    * smoothing (promql functions.go funcHoltWinters): s₀=x₀, b₀=x₁−x₀,
+    * sᵢ = sf·xᵢ + (1−sf)·(sᵢ₋₁+bᵢ₋₁), bᵢ = tf·(sᵢ−sᵢ₋₁) + (1−tf)·bᵢ₋₁,
+    * returning the final level; windows with <2 samples yield nothing.
+    * One fold over the time-sorted window array — same shape as
+    * changes/resets, stays in codegen. */
+  def holtWinters(df: DataFrame, time: String, value: String,
+                  labels: Seq[String], range: String, step: String,
+                  sf: Double, tf: Double,
+                  inclusiveEnd: Boolean = false): DataFrame = {
+    val tus = unix_micros(col(time))
+    val groups = col("window") +: labels.map(col)
+    val sorted = sort_array(collect_list(struct(tus.as("t"),
+      col(value).cast("double").as("v"))))
+    withRangeWindow(df, time, range, step, inclusiveEnd)
+      .groupBy(groups: _*)
+      .agg(sorted.as("_pts"))
+      .filter(size(col("_pts")) >= 2)
+      .withColumn("holt_winters", {
+        val x0 = col("_pts").getItem(0).getField("v")
+        val x1 = col("_pts").getItem(1).getField("v")
+        // seed with the first sample, then fold the rest
+        val init = struct(x0.as("s"), (x1 - x0).as("b"))
+        val folded = aggregate(
+          slice(col("_pts"), lit(2), size(col("_pts"))),
+          init,
+          (acc, p) => {
+            val x = p.getField("v")
+            val sPrev = acc.getField("s")
+            val bPrev = acc.getField("b")
+            val s = lit(sf) * x + (lit(1.0) - lit(sf)) * (sPrev + bPrev)
+            struct(s.as("s"),
+              (lit(tf) * (s - sPrev) + (lit(1.0) - lit(tf)) * bPrev)
+                .as("b"))
+          })
+        folded.getField("s")
+      })
+      .withColumn("eval_ms", unix_millis(col("window.end")))
+      .drop("window", "_pts")
+  }
+
   /** changes() and resets() — need the in-window time order, computed as a
     * deterministic fold over the sorted sample array. */
   def changesResets(df: DataFrame, time: String, value: String,

@@ -907,6 +907,24 @@ object PromQL {
           .withColumn("value", lit(1.0))
         eqLabels.foreach { case (l, v) => out = out.withColumn(l, lit(v)) }
         Left(Vec(out, eqLabels.map(_._1)))
+      case "sort" | "sort_desc" =>
+        // presentation-order only — the series set is unchanged
+        val Left(v) = evalVec(f.args.head): @unchecked
+        val ord = if (f.fn == "sort") col("value").asc_nulls_last
+                  else col("value").desc_nulls_last
+        Left(Vec(v.df.orderBy(ord), v.labels))
+      case "holt_winters" =>
+        val (df1, m1, rangeS, atMsOpt) = rangeSource(f.fn, f.args.head)
+        val (df, m, pin) = pinWindow(df1, m1, rangeS, atMsOpt)
+        val sf = scalarArg(f.args(1))
+        val tf = scalarArg(f.args(2))
+        require(sf > 0 && sf < 1 && tf > 0 && tf < 1,
+          "holt_winters smoothing/trend factors must be in (0, 1)")
+        val out = PromRange.holtWinters(df, m.time, m.value, m.labels,
+            s"$rangeS seconds", stepStr, sf, tf, inclusiveEnd = true)
+          .withColumn("value", col("holt_winters").cast("double"))
+        Left(Vec(unpin(out, pin, m1).select((m.labels.map(col) :+
+          col("eval_ms") :+ col("value")): _*), m.labels))
       case fn @ ("stddev_over_time" | "stdvar_over_time" |
                  "mad_over_time" | "quantile_over_time") =>
         val vecArg =

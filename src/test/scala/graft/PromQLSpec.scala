@@ -80,7 +80,7 @@ class PromQLSpec extends SparkSpec {
     val lower = q.toLowerCase
     val banned = Seq("scalar(", "limitk",
       "limit_ratio", "absent", "@",
-      "holt_winters", "sort", "time()",
+      "time()",
       "vector(", "histogram_", "{__name__",
       "big") // near-DoubleMax means need Prometheus's incremental mean
     !banned.exists(lower.contains)
@@ -262,6 +262,22 @@ class PromQLSpec extends SparkSpec {
       .select("value").as[Double].collect().toSet
     // values 10,20,30 → -5,5,15 → Go math.Mod(−5,4) = −1
     assert(out == Set(-1.0, 1.0, 3.0))
+  }
+
+  test("holt_winters tracks trend; sort orders presentation") {
+    // 1,2,4 at 5m,10m,15m; sf=tf=0.5 → s0=1,b0=1; s1=2,b1=1; s2=3.5
+    val cdf = Seq(1.0, 2.0, 4.0).zipWithIndex.map { case (v, i) =>
+      ("a", new Timestamp((i + 1) * 300000L), v, i.toLong)
+    }.toDF("job", "ts", "value", "id")
+    val cat2 = Map("m" -> Metric(cdf, Seq("job"), tie = Seq("id")))
+    val hw = PromQL.evaluate(cat2, "holt_winters(m[15m], 0.5, 0.5)",
+        "900 seconds")
+      .filter(org.apache.spark.sql.functions.col("eval_ms") === 900000L)
+      .select("value").as[Double].collect().toSeq
+    assert(hw == Seq(3.5))
+    val sorted = PromQL.evaluate(cat, "sort_desc(requests)", "300 seconds")
+      .select("value").as[Double].collect().toSeq
+    assert(sorted == sorted.sorted.reverse)
   }
 
   test("selector with matchers + regex") {
