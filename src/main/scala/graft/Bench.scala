@@ -31,16 +31,18 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     // Fixed per-query session floor: schedule an empty 32-partition job
-    // (warmed, median of 5). This is pure local[32] scheduling overhead —
-    // on a real cluster it amortizes to nothing at 100 TB.
+    // (warmed, median of 15 — 5 samples made the floor swing with
+    // transient machine load between rounds, shifting the floor-adjusted
+    // pass count with no plan change). This is pure local[32] scheduling
+    // overhead — on a real cluster it amortizes to nothing at 100 TB.
     (1 to 3).foreach(_ => spark.range(0, cpus.toInt, 1, cpus.toInt).count())
     val floorS = {
-      val ts = (1 to 5).map { _ =>
+      val ts = (1 to 15).map { _ =>
         val t0 = System.nanoTime()
         spark.range(0, cpus.toInt, 1, cpus.toInt).count()
         (System.nanoTime() - t0) / 1e9
       }.sorted
-      ts(2)
+      ts(7)
     }
 
     // Steady-state timing: one untimed warm-up execution per query (JIT +

@@ -829,6 +829,12 @@ object PromQL {
             lit(inv)), v.labels))
       case "pi" =>
         Right(SConst(math.Pi))
+      case "timestamp" =>
+        // the sample timestamp of each series element — which, for an
+        // evaluated instant vector, IS the eval timestamp in seconds
+        val Left(v) = evalVec(f.args.head): @unchecked
+        Left(Vec(v.df.withColumn("value",
+          col("eval_ms").cast("double") / 1000.0), v.labels))
       case "time" =>
         // the eval timestamp in seconds, as a pure function of eval_ms —
         // applied to a vector it reads the partner's own eval_ms column

@@ -280,6 +280,13 @@ class PromQLSpec extends SparkSpec {
     assert(sorted == sorted.sorted.reverse)
   }
 
+  test("timestamp() returns the eval time in seconds") {
+    val out = PromQL.evaluate(cat, "timestamp(requests)", "300 seconds")
+      .filter(org.apache.spark.sql.functions.col("eval_ms") === 300000L)
+      .select("value").as[Double].collect()
+    assert(out.nonEmpty && out.forall(_ == 300.0))
+  }
+
   test("selector with matchers + regex") {
     val out = PromQL.evaluate(cat, """requests{job=~"a.*"}""", "300 seconds")
       .select("job", "value").as[(String, Double)].collect().toSet
