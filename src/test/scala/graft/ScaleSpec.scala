@@ -121,6 +121,21 @@ class ScaleSpec extends SparkSpec {
       .findAllIn(plan).size <= 4)
   }
 
+  test("round-5 queries keep scale-safe plans") {
+    // q96: window replication + one aggregation pair, no joins at all
+    val q96 = planOf(SparkEntry.queries("q96_prom_stats_over_time")(spark, sf))
+    assert(!q96.contains("Join"), s"stats_over_time must not join:\n$q96")
+    assert("HashAggregate|ObjectHashAggregate|SortAggregate".r
+      .findAllIn(q96).nonEmpty)
+    // q97: one aggregation over the scan, expressions folded inside
+    val q97 = planOf(SparkEntry.queries("q97_influxql_math")(spark, sf))
+    assert(!q97.contains("Join"), s"math aggregates must not join:\n$q97")
+    // q94: fingerprint dedup is aggregation-only
+    val q94 = planOf(SparkEntry.queries("q94_fingerprint_dedup")(spark, sf))
+    assert(!q94.contains("CartesianProduct") &&
+      !q94.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("round-3 PromQL/frontend queries keep scale-safe plans") {
     for (q <- Seq("q72_prom_counter_rate", "q73_promql_agg",
         "q74_promql_binop", "q75_promql_rate", "q84_prom_deriv",
