@@ -686,6 +686,11 @@ object InfluxQL {
             m.df.filter(coalesce(!cond, lit(true)))))
         } else catalog - name
       } else sys.error("expected DROP MEASUREMENT or DROP SERIES")
+    } else if (p.isKw("create")) {
+      // CREATE DATABASE / CREATE RETENTION POLICY: accepted no-ops in
+      // the single-database model — client libraries issue them on
+      // connect and expect success
+      catalog
     } else if (p.isKw("delete")) {
       p.next(); p.expectIdent("from")
       val name = ident()
@@ -808,6 +813,17 @@ object InfluxQL {
     p.next() match {
       case TIdent(k) if k.equalsIgnoreCase("measurements") =>
         catalog.keys.toSeq.sorted.toDF("name")
+      // single-database model: the catalog IS one implicit database with
+      // one default retention policy — client libraries probe these two
+      // statements on connect (handler.go serveQuery → SHOW DATABASES),
+      // so they answer with that model's constants
+      case TIdent(k) if k.equalsIgnoreCase("databases") =>
+        Seq("graft").toDF("name")
+      case TIdent(k) if k.equalsIgnoreCase("retention") =>
+        p.expectIdent("policies")
+        Seq(("autogen", "0s", "168h0m0s", 1L, true))
+          .toDF("name", "duration", "shardGroupDuration", "replicaN",
+            "default")
       case TIdent(k) if k.equalsIgnoreCase("tag") => p.next() match {
         case TIdent(kk) if kk.equalsIgnoreCase("keys") =>
           val tags = fromM().map(_.tags)

@@ -449,6 +449,18 @@ class InfluxQLSpec extends SparkSpec {
     assert(plain == 3L)
   }
 
+  test("client-connect probes: SHOW DATABASES / RETENTION POLICIES, " +
+      "CREATE DATABASE") {
+    assert(run("SHOW DATABASES").as[String].collect().toSeq ==
+      Seq("graft"))
+    val rp = run("SHOW RETENTION POLICIES")
+      .select("name", "default").as[(String, Boolean)].collect().toSeq
+    assert(rp == Seq(("autogen", true)))
+    // accepted no-op in the single-database model
+    assert(InfluxQL.executeManage(catalog, "CREATE DATABASE whatever")
+      == catalog)
+  }
+
   test("DELETE and DROP manage the catalog functionally") {
     import graft.query.InfluxQL
     val cat0 = catalog
