@@ -49,7 +49,13 @@ object Bench {
     // whole-stage-codegen compile + parquet footer cache), then the timed
     // run. At 100 TB the codegen cost is noise; on a 600k-row local bench
     // it would otherwise dominate every measurement.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional comma-separated filter for local iteration on a subset
+    // (SPARK_GRAFT_BENCH_ONLY=q95_graph_hops,q74_promql_binop).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .map { case (name, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => }
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -1176,12 +1176,54 @@ object SparkEntry {
     // offset into a disjoint id space, edges symmetrized).
     "q95_graph_hops" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
+      // no edge-level distinct: BFS dedups per hop anyway, and dropping
+      // it keeps each hop a pure scan (the frontier InSet predicate
+      // reaches the parquet row groups) with no 600k-row shuffle
       val e0 = li.select(col("l_partkey").cast("long").as("src"),
-        (col("l_suppkey").cast("long") + 10000000L).as("dst")).distinct()
+        (col("l_suppkey").cast("long") + 10000000L).as("dst"))
       val edges = e0.union(
         e0.select(col("dst").as("src"), col("src").as("dst")))
       graft.operators.Graph.hops(edges, start = 1L, hopNum = 3)
         .orderBy("hop", "node_id")
+    }),
+
+    // §2.4 regr_slope: least-squares slope of value vs its time-ordered
+    // row index (agg_func.go:151), through the InfluxQL text frontend.
+    // Rounded to 6dp — the two engines fold the same ordered sequence
+    // but in different FP association orders.
+    "q98_regr_slope" -> ((s, dir) => {
+      val catalog = Map("events" -> graft.query.InfluxQL.Measurement(
+        t(s, dir, "events"), tags = Seq("event_type")))
+      graft.query.InfluxQL.execute(catalog,
+          "SELECT regr_slope(value) AS slope FROM events " +
+          "GROUP BY event_type")
+        .select(col("event_type"), round(col("slope"), 6).as("slope"))
+        .orderBy("event_type")
+    }),
+
+    // §2.5 PromQL date-component family (call.go *_prom): day_of_week/
+    // hour of the eval timestamp, combined through the binop matrix.
+    "q99_prom_date_fns" -> ((s, dir) => {
+      graft.query.PromQL.evaluate(promCatalog(s, dir),
+          "day_of_week(timestamp(sum by (event_type) (events))) * 100 + " +
+          "hour(timestamp(sum by (event_type) (events)))",
+          step = "1 hour", lookback = "1 hour")
+        .orderBy("event_type", "eval_ms")
+    }),
+
+    // §2.8 ip_subnet_range('a.b.c.d/p') → '["min", "max"]' string
+    // (string_function_test.go:888), over varying prefix lengths.
+    "q100_ip_subnet_range" -> ((s, dir) => {
+      val rangeU = udf(GeminiFunctions.ipSubnetRange)
+      val ip = concat_ws(".", lit("10"),
+        pmod(col("user_id"), lit(256)).cast("string"),
+        pmod(col("user_id") * 7, lit(256)).cast("string"),
+        pmod(col("user_id") * 13, lit(256)).cast("string"))
+      val p = (pmod(col("user_id"), lit(17)) + 8).cast("int")
+      t(s, dir, "events").select(col("user_id")).distinct()
+        .withColumn("cidr", concat(ip, lit("/"), p.cast("string")))
+        .withColumn("range", rangeU(col("cidr")))
+        .orderBy("user_id")
     })
   )
 
@@ -2331,6 +2373,55 @@ object SparkEntry {
            SELECT e.dst, r.hop + 1 FROM r JOIN e ON e.src = r.node_id
            WHERE r.hop < 3)
          SELECT node_id, min(hop) AS hop FROM r
-         GROUP BY node_id ORDER BY hop, node_id"""
+         GROUP BY node_id ORDER BY hop, node_id""",
+
+    // same closed-form index sums as the engine (x = 0,1,2… in
+    // (ts, value) order); identical rows are interchangeable so tie
+    // order cannot shift the sums
+    "q98_regr_slope" ->
+      """WITH s AS (
+           SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY epoch_us(ts), value) - 1 AS x
+           FROM events)
+         SELECT event_type,
+           round((count(*) * sum(value * x) - sum(x) * sum(value)) /
+                 (count(*) * sum(x * x) - sum(x) * sum(x)), 6) AS slope
+         FROM s GROUP BY event_type ORDER BY event_type""",
+
+    // value is a pure function of eval_ms (dow Sunday=0 in both
+    // engines); rows exist wherever the summed series has a step
+    "q99_prom_date_fns" ->
+      """WITH iv AS (
+           SELECT event_type, k * 3600000 AS eval_ms
+           FROM (SELECT *, (epoch_us(ts) - 1000) // 1000 AS tms FROM events),
+             unnest(generate_series(tms // 3600000 + 1,
+               (tms + 3600001) // 3600000)) AS t(k)
+           GROUP BY 1, 2)
+         SELECT event_type, eval_ms,
+           CAST(dayofweek(to_timestamp(eval_ms // 1000)) * 100 +
+                hour(to_timestamp(eval_ms // 1000)) AS DOUBLE) AS value
+         FROM iv ORDER BY 1, 2""",
+
+    "q100_ip_subnet_range" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+         b AS (SELECT user_id,
+             10 * 16777216 + (user_id % 256) * 65536 +
+               ((user_id * 7) % 256) * 256 + ((user_id * 13) % 256) AS ipn,
+             8 + (user_id % 17) AS p
+           FROM u),
+         m AS (SELECT user_id, ipn, p,
+             (ipn >> (32 - p)) << (32 - p) AS lo,
+             ((ipn >> (32 - p)) << (32 - p)) + (1::BIGINT << (32 - p)) - 1
+               AS hi
+           FROM b)
+         SELECT user_id,
+           '10.' || (user_id % 256) || '.' || ((user_id * 7) % 256) || '.'
+             || ((user_id * 13) % 256) || '/' || p AS cidr,
+           '["' || (lo // 16777216) || '.' || ((lo // 65536) % 256) || '.'
+             || ((lo // 256) % 256) || '.' || (lo % 256) || '", "'
+             || (hi // 16777216) || '.' || ((hi // 65536) % 256) || '.'
+             || ((hi // 256) % 256) || '.' || (hi % 256) || '"]' AS range
+         FROM m ORDER BY user_id"""
   )
 }

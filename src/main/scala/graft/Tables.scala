@@ -25,15 +25,26 @@ object Tables {
     * Sessions must set `spark.sql.legacy.parquet.nanosAsLong=true`; we keep
     * the exact ns epoch as `ts_ns` (LONG) and expose `ts` as the truncated
     * µs TIMESTAMP view — matching how openGemini stores int64 ns and
-    * converts at the query edges. */
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    if (name == "events")
-      df.withColumn("ts_ns", col("ts"))
-        // integer div — ns epochs exceed double's 2^53 exact range
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
-  }
+    * converts at the query edges.
+    *
+    * The resolved (analyzed, unexecuted) frame is memoized per
+    * (session, path): a measurement's schema is catalog metadata in the
+    * reference (`meta/measurement.go`), resolved once at registration —
+    * not re-derived by re-listing files and re-reading parquet footers on
+    * every query that names the table. Execution stays fully lazy; only
+    * the driver-side listing + schema inference is shared. */
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    memo.computeIfAbsent((spark, s"$sfDir/$name.parquet"), _ => {
+      val df = spark.read.parquet(s"$sfDir/$name.parquet")
+      if (name == "events")
+        df.withColumn("ts_ns", col("ts"))
+          // integer div — ns epochs exceed double's 2^53 exact range
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else df
+    })
 
   /** Register every table as a temp view so spark.sql(...) works too. */
   def registerAll(spark: SparkSession, sfDir: String): Unit =

@@ -132,6 +132,22 @@ object GeminiFunctions {
       yield longToIp((net & maskOf(p)) | (~maskOf(p) & 0xFFFFFFFFL))).orNull
   }
 
+  /** ip_subnet_range('a.b.c.d/p') → `["min", "max"]` rendered as the
+    * reference's JSON-ish string (`string_function_test.go:888`:
+    * `["192.168.1.0", "192.168.1.255"]`); invalid input echoes
+    * "invalid ip" exactly like the reference valuer. */
+  val ipSubnetRange: String => String = cidr => {
+    val parts = cidr.split("/")
+    (for {
+      net <- ipToLong(parts(0))
+      p <- scala.util.Try(parts(1).toInt).toOption if parts.length == 2
+    } yield {
+      val lo = longToIp(net & maskOf(p))
+      val hi = longToIp((net & maskOf(p)) | (~maskOf(p) & 0xFFFFFFFFL))
+      s"""["$lo", "$hi"]"""
+    }).getOrElse(if (cidr == null) null else "invalid ip")
+  }
+
   /** ip_in_range(ip, cidr) — the IPINRANGE predicate (token.go:422). */
   val ipInRange: (String, String) => java.lang.Boolean =
     (ip, cidr) => isSubnetOf(cidr, ip)
@@ -161,6 +177,7 @@ object GeminiFunctions {
     spark.udf.register("is_subnet_of", isSubnetOf)
     spark.udf.register("ip_subnet_min", ipSubnetMin)
     spark.udf.register("ip_subnet_max", ipSubnetMax)
+    spark.udf.register("ip_subnet_range", ipSubnetRange)
     spark.udf.register("ip_in_range", ipInRange)
     spark.udf.register("ip_to_domain", ipToDomain)
     spark.udf.register("mobile_carrier", mobileCarrier)

@@ -9,16 +9,22 @@ import org.apache.spark.sql.functions._
   * `ast.go:78`), which answers "which nodes are reachable from the start
   * node within N hops, and at what minimum distance".
   *
-  * Spark-first shape: breadth-first expansion as `HopNum` shuffle joins
-  * over the (src, dst) edge frame. Each hop joins only the FRONTIER
-  * (nodes first reached last hop) against the edges and anti-joins the
-  * visited set, so per-hop work is proportional to the frontier, not the
-  * paths — path-counting blowup (the naive recursive-CTE plan) never
-  * happens. `HopNum` is a small user constant in the reference, so the
-  * driver-side loop is bounded; each iteration is fully distributed, and
-  * the frontier is checkpoint-truncated so plan depth stays constant.
-  * At cluster scale the edge frame would be pre-bucketed by `src` to
-  * make every hop a co-located join.
+  * Spark-first shape, two tiers chosen per hop by frontier size:
+  *
+  * - **Driver frontier** (the normal case): BFS from ONE start node has
+  *   frontiers that are tiny relative to the edge frame, so the frontier
+  *   lives driver-side and each hop is a single distributed job —
+  *   `edges.filter(src isin frontier)` (an `InSet` predicate that reaches
+  *   the parquet scan, so row-group stats prune) + distinct + collect of
+  *   the small dst set. No shuffle of the edge frame, no checkpoint, no
+  *   broadcast build: one scan per hop. This is the Pregel "small
+  *   frontier as shared state" optimization.
+  * - **Distributed fallback**: past `maxDriverFrontier` nodes the hop
+  *   switches to a join of the edge frame against the frontier/visited
+  *   frames (broadcast while they fit, shuffle beyond), with
+  *   `localCheckpoint` lineage truncation per level. Correctness is
+  *   identical; on a real cluster the edge frame would be pre-bucketed
+  *   by `src` to make every such hop a co-located join.
   */
 object Graph {
 
@@ -26,30 +32,59 @@ object Graph {
     * distance: (node_id, hop), hop 0 = the start node itself.
     * `edges` must have `src`/`dst` columns; for an undirected graph
     * pass the symmetrized frame. */
-  def hops(edges: DataFrame, start: Long, hopNum: Int): DataFrame = {
+  def hops(edges: DataFrame, start: Long, hopNum: Int,
+           maxDriverFrontier: Int = 1 << 17): DataFrame = {
     require(hopNum >= 0 && hopNum <= 16, s"hopNum out of range: $hopNum")
     val spark = edges.sparkSession
     import spark.implicits._
-    // materialize the edge frame once: every hop joins it, and without
-    // this each iteration re-derives the whole edge pipeline (scan +
-    // distinct + union). At cluster scale this is persist-to-disk of a
-    // src-bucketed edge table.
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
-      .localCheckpoint(true)
-    var visited = Seq((start, 0)).toDF("node_id", "hop")
-    var frontier = visited
+
+    // driver tier: visited map node -> hop, frontier as a plain array
+    val visited = scala.collection.mutable.LongMap[Int](start -> 0)
+    var frontier: Array[Long] = Array(start)
     var h = 0
-    while (h < hopNum && !frontier.isEmpty) {
+    while (h < hopNum && frontier.nonEmpty &&
+        frontier.length <= maxDriverFrontier &&
+        visited.size <= maxDriverFrontier) {
       h += 1
-      val next = frontier.join(e, frontier("node_id") === e("src"))
-        .select(e("dst").as("node_id")).distinct()
-        .join(visited, Seq("node_id"), "left_anti")
+      val next = e.filter(col("src").isin(frontier: _*))
+        .select(col("dst")).distinct().as[Long].collect()
+        .filter(!visited.contains(_))
+      next.foreach(visited(_) = h)
+      frontier = next
+    }
+
+    val driverPart = visited.toSeq.map { case (n, hp) => (n, hp) }
+      .toDF("node_id", "hop")
+    if (h >= hopNum || frontier.isEmpty) return driverPart
+
+    // distributed fallback for the (rare) giant-frontier remainder.
+    // `levels` always holds every visited level INCLUDING the current
+    // frontier (driverPart covers the hand-off frontier).
+    val eCk = e.localCheckpoint(true)
+    val broadcastable = 1000000L
+    var levels = List(driverPart.localCheckpoint(true))
+    var fr = frontier.toSeq.map((_, h)).toDF("node_id", "hop")
+      .localCheckpoint(true)
+    var frontierN = frontier.length.toLong
+    var visitedN = visited.size.toLong
+    while (h < hopNum && frontierN > 0) {
+      h += 1
+      val visitedIds = levels.map(_.select("node_id")).reduce(_ union _)
+      val frJ = if (frontierN <= broadcastable) broadcast(fr) else fr
+      val vi = if (visitedN <= broadcastable) broadcast(visitedIds)
+               else visitedIds
+      val next = eCk.join(frJ, frJ("node_id") === eCk("src"))
+        .select(eCk("dst").as("node_id")).distinct()
+        .join(vi, Seq("node_id"), "left_anti")
         .withColumn("hop", lit(h))
         // truncate lineage: hop h's plan must not re-derive hops 1..h-1
         .localCheckpoint(true)
-      visited = visited.union(next).localCheckpoint(true)
-      frontier = next
+      levels ::= next
+      fr = next
+      frontierN = next.count() // cached — a fast cache-scan job
+      visitedN += frontierN
     }
-    visited
+    levels.reduce(_ union _)
   }
 }

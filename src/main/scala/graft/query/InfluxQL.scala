@@ -1046,6 +1046,35 @@ object InfluxQL {
         case "distinct" => countDistinct(f)
         case "percentile" =>
           expr(s"percentile(${p.field}, ${p.extra.getOrElse(0.5) / 100})")
+        case "percentile_approx" =>
+          // t-digest-family approximate percentile (`agg_functions.go:100`
+          // PercentileApproxFunc, mergeCall) → Spark's approx_percentile,
+          // the same partial/merge shape
+          expr(s"approx_percentile(${p.field}, " +
+            s"${p.extra.getOrElse(50.0) / 100})")
+        case "regr_slope" =>
+          // least-squares slope of value against its time-ordered row
+          // INDEX (x = 0,1,2…, not the timestamp — `agg_func.go:151`
+          // RegrSlopeReduce, registered sortedMergeCall). One group's
+          // points sort into an array (like percentile/mode above); the
+          // index sums Σx, Σx² have closed forms, Σy and Σxy fold over
+          // the array with codegen'd higher-order functions.
+          val vs = transform(
+            sort_array(collect_list(struct(col(m.time).as("t"),
+              f.cast("double").as("v")))), x => x.getField("v"))
+          val n = size(vs).cast("double")
+          val sy = aggregate(vs, lit(0.0), (a, x) => a + x)
+          val idx = transform(
+            sequence(lit(0), greatest(size(vs) - 1, lit(0))),
+            i => i.cast("double"))
+          val sxy = aggregate(zip_with(vs, idx, (v, i) => v * i),
+            lit(0.0), (a, x) => a + x)
+          val sx = (n - lit(1.0)) * n / lit(2.0)
+          val sx2 = (n - lit(1.0)) * n * (lit(2.0) * n - lit(1.0)) / lit(6.0)
+          val den = n * sx2 - sx * sx
+          when(size(vs) === 0, lit(null).cast("double"))
+            .when(den === lit(0.0), lit(0.0))
+            .otherwise((n * sxy - sx * sy) / den)
         case other => sys.error(s"unsupported function $other")
       }
     }

@@ -919,6 +919,39 @@ object PromQL {
         val ord = if (f.fn == "sort") col("value").asc_nulls_last
                   else col("value").desc_nulls_last
         Left(Vec(v.df.orderBy(ord), v.labels))
+      case "sort_by_label" | "sort_by_label_desc" =>
+        // experimental Prometheus label-order sort — presentation only
+        val Left(v) = evalVec(f.args.head): @unchecked
+        val keys = f.args.drop(1).map(strArg)
+        require(keys.nonEmpty, s"${f.fn} needs at least one label")
+        val ords = keys.map { l =>
+          val c = if (v.df.columns.contains(l)) col(l) else lit("")
+          if (f.fn == "sort_by_label") c.asc_nulls_first else c.desc_nulls_last
+        }
+        Left(Vec(v.df.orderBy(ords: _*), v.labels))
+      case fn @ ("minute" | "hour" | "day_of_week" | "day_of_month" |
+                 "day_of_year" | "days_in_month" | "month" | "year") =>
+        // Prometheus date component family: each sample VALUE is an epoch
+        // in seconds (truncated toward zero, Go int64 conversion),
+        // rendered in UTC. No argument defaults to vector(time()) — the
+        // eval timestamp itself (`promql2influxql/call.go` *_prom family).
+        val arg =
+          if (f.args.nonEmpty) f.args.head
+          else FnCall("vector", List(FnCall("time", Nil)))
+        val Left(v) = evalVec(arg): @unchecked
+        val t = timestamp_seconds(col("value").cast("long"))
+        val part = fn match {
+          case "minute" => minute(t)
+          case "hour" => hour(t)
+          // Spark: 1=Sunday..7=Saturday; Prometheus: 0=Sunday..6=Saturday
+          case "day_of_week" => dayofweek(t) - lit(1)
+          case "day_of_month" => dayofmonth(t)
+          case "day_of_year" => dayofyear(t)
+          case "days_in_month" => dayofmonth(last_day(t))
+          case "month" => month(t)
+          case "year" => year(t)
+        }
+        Left(Vec(v.df.withColumn("value", part.cast("double")), v.labels))
       case "holt_winters" =>
         val (df1, m1, rangeS, atMsOpt) = rangeSource(f.fn, f.args.head)
         val (df, m, pin) = pinWindow(df1, m1, rangeS, atMsOpt)
