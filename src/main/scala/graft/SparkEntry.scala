@@ -873,9 +873,15 @@ object SparkEntry {
     // §2.5 PromQL deriv/predict_linear: least-squares slope per range
     // window + extrapolated value 10 minutes past each eval.
     "q84_prom_deriv" -> ((s, dir) => {
+      // 6/3dp rounding: the Σ(x·y→DECIMAL) casts round ties differently
+      // across engines (half-up vs half-even) on µs-precision products,
+      // so raw slope hashes diverge at ~1e-12 relative — far below the
+      // rounding, far above nothing
       PromRange.linearRegression(t(s, dir, "events"), "ts", "value",
           Seq("event_type"), range = "2 hours", step = "1 hour",
           predictSeconds = 600.0)
+        .withColumn("deriv", round(col("deriv"), 6))
+        .withColumn("predict", round(col("predict"), 3))
         .orderBy("event_type", "eval_ms")
     }),
 
@@ -1224,6 +1230,17 @@ object SparkEntry {
         .withColumn("cidr", concat(ip, lit("/"), p.cast("string")))
         .withColumn("range", rangeU(col("cidr")))
         .orderBy("user_id")
+    }),
+
+    // SHOW TAG VALUES EXACT CARDINALITY (influxql/parser.go:1522-1545):
+    // the exact tier is a count-distinct; the estimated tier (HLL++
+    // sketch, no key shuffle) is spec-covered in InfluxQLSpec since its
+    // estimate is engine-specific.
+    "q101_show_cardinality" -> ((s, dir) => {
+      val catalog = Map("events" -> graft.query.InfluxQL.Measurement(
+        t(s, dir, "events"), tags = Seq("event_type")))
+      graft.query.InfluxQL.execute(catalog,
+        "SHOW TAG VALUES EXACT CARDINALITY FROM events WITH KEY = event_type")
     })
   )
 
@@ -1832,7 +1849,7 @@ object SparkEntry {
          SELECT event_type, out_ms AS eval_ms, max(sv) AS value
          FROM outer_pts GROUP BY 1, 2 ORDER BY 1, 2""",
 
-    // Mirrors PromRange.linearRegression: x in hours from window start,
+    // Mirrors PromRange.linearRegression: x in seconds from window start,
     // DECIMAL(28,6) moment sums, identical closing float shapes.
     "q84_prom_deriv" ->
       """WITH pts AS (
@@ -1842,22 +1859,22 @@ object SparkEntry {
            FROM events),
          agg AS (
            SELECT event_type, eval_ms, count(*) AS n,
-             CAST(sum(CAST((tus - (eval_ms - 7200000)*1000)/3600000000.0
+             CAST(sum(CAST((tus - (eval_ms - 7200000)*1000)/1000000.0
                AS DECIMAL(28,6))) AS DOUBLE) AS sx,
              CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sy,
-             CAST(sum(CAST((tus - (eval_ms - 7200000)*1000)/3600000000.0
+             CAST(sum(CAST((tus - (eval_ms - 7200000)*1000)/1000000.0
                * value AS DECIMAL(28,6))) AS DOUBLE) AS sxy,
-             CAST(sum(CAST((tus - (eval_ms - 7200000)*1000)/3600000000.0
-               * ((tus - (eval_ms - 7200000)*1000)/3600000000.0)
+             CAST(sum(CAST((tus - (eval_ms - 7200000)*1000)/1000000.0
+               * ((tus - (eval_ms - 7200000)*1000)/1000000.0)
                AS DECIMAL(28,6))) AS DOUBLE) AS sxx,
              min(tus) AS t0, max(tus) AS t1
            FROM pts GROUP BY 1, 2),
          m AS (
-           SELECT *, (n*sxy - sx*sy)/(n*sxx - sx*sx) AS slope_h
+           SELECT *, (n*sxy - sx*sy)/(n*sxx - sx*sx) AS slope
            FROM agg WHERE n > 1 AND t1 <> t0)
          SELECT event_type, eval_ms, n,
-           slope_h/3600.0 AS deriv,
-           (sy/n - slope_h*(sx/n)) + slope_h*(2.0 + 600.0/3600.0)
+           round(slope, 6) AS deriv,
+           round((sy/n - slope*(sx/n)) + slope*(7200.0 + 600.0), 3)
              AS predict
          FROM m ORDER BY event_type, eval_ms""",
 
@@ -2422,6 +2439,10 @@ object SparkEntry {
              || ((lo // 256) % 256) || '.' || (lo % 256) || '", "'
              || (hi // 16777216) || '.' || ((hi // 65536) % 256) || '.'
              || ((hi // 256) % 256) || '.' || (hi % 256) || '"]' AS range
-         FROM m ORDER BY user_id"""
+         FROM m ORDER BY user_id""",
+
+    "q101_show_cardinality" ->
+      """SELECT CAST(count(DISTINCT CAST(event_type AS VARCHAR)) AS BIGINT)
+           AS count FROM events"""
   )
 }

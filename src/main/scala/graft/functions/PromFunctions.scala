@@ -14,10 +14,17 @@ object PromFunctions {
     * matches get the rewritten dst (PromQL leaves the rest unchanged —
     * here: dst keeps its old value / null). */
   def labelReplace(df: DataFrame, dst: String, replacement: String,
-                   src: String, regex: String): DataFrame =
+                   src: String, regex: String): DataFrame = {
+    // Prometheus anchors the match to the WHOLE src value (^(?:re)$) and
+    // substitutes once — an unanchored global replace would both match
+    // substrings and re-expand on the trailing empty match of patterns
+    // like `(.*)`, yielding "c-x-x" for "c".
+    val anchored = s"^(?:$regex)$$"
     df.withColumn(dst,
-      when(col(src).rlike(regex), regexp_replace(col(src), regex, replacement))
+      when(col(src).rlike(anchored),
+          regexp_replace(col(src), anchored, replacement))
         .otherwise(if (df.columns.contains(dst)) col(dst) else lit(null)))
+  }
 
   /** label_join(dst, sep, srcLabels…). */
   def labelJoin(df: DataFrame, dst: String, sep: String,

@@ -50,4 +50,21 @@ object Meta {
     import spark.implicits._
     tags.toDF("tag_key").orderBy("tag_key")
   }
+
+  /** SHOW <object> [EXACT] CARDINALITY — reference grammar
+    * `influxql/parser.go:1130-1360` (ShowSeriesCardinality /
+    * ShowTagValuesCardinality / …), served there from index sketches.
+    * Spark-first: the estimated tier is HLL++ (`approx_count_distinct`) —
+    * partial sketches combine map-side and only the fixed-size sketch
+    * crosses the shuffle, so at 100 TB no distinct-key set is ever
+    * materialized; EXACT pays the count-distinct shuffle it asks for. */
+  def valueCardinality(df: DataFrame, c: Column, exact: Boolean): DataFrame =
+    df.agg((if (exact) count_distinct(c) else approx_count_distinct(c))
+      .cast("long").as("count"))
+
+  /** SHOW SERIES [EXACT] CARDINALITY: distinct tag-set count. */
+  def seriesCardinality(df: DataFrame, tags: Seq[String],
+                        exact: Boolean): DataFrame =
+    valueCardinality(df, concat_ws(",", tags.map(t =>
+      concat_ws("=", lit(t), col(t).cast("string"))): _*), exact)
 }

@@ -235,12 +235,16 @@ object PromRange {
     * predictLinearOp; Prometheus linearRegression).
     *
     * deriv = slope per second; predict_linear(t) = regression value at
-    * eval-time + t. Determinism: x is measured in HOURS from the window
-    * start (slope is shift/scale-invariant, rescaled to /sec at the end)
-    * so every Σx, Σy, Σxy, Σx² term stays small enough for exact
-    * DECIMAL(28,6) accumulation — order-independent and mirrorable in the
-    * SQL oracle; the closing arithmetic is plain IEEE with a fixed shape.
-    * Windows with <2 samples or zero span emit nothing. */
+    * eval-time + t. Determinism: x is measured in SECONDS from the window
+    * start — µs offsets /1e6 are EXACTLY representable in DECIMAL(28,6),
+    * so the Σx, Σy, Σxy, Σx² accumulation is order-independent with NO
+    * quantization of x (an earlier hours-based x rounded at the 6th
+    * decimal, biasing predict_linear by ~1e-4 on 5m-spaced data), and the
+    * window-relative origin keeps the sums small — no epoch-magnitude
+    * cancellation, the instability Prometheus's own linearRegression
+    * centers timestamps to avoid. Mirrorable in the SQL oracle; closing
+    * arithmetic is plain IEEE with a fixed shape. Windows with <2 samples
+    * or zero span emit nothing. */
   def linearRegression(df: DataFrame, time: String, value: String,
                        labels: Seq[String], range: String, step: String,
                        predictSeconds: Double = 0.0,
@@ -248,23 +252,23 @@ object PromRange {
     val tus = unix_micros(col(time))
     def dsum6(c: Column): Column =
       sum(c.cast("decimal(28,6)")).cast("double")
-    val xh = (tus - unix_micros(col("window.start"))) / lit(3600000000.0)
+    val xs = (tus - unix_micros(col("window.start"))) / lit(1000000.0)
     val y = col(value).cast("double")
     val agg = withRangeWindow(df, time, range, step, inclusiveEnd)
       .groupBy(col("window") +: labels.map(col): _*)
       .agg(count(lit(1)).as("n"),
-        dsum6(xh).as("_sx"), dsum6(y).as("_sy"),
-        dsum6(xh * y).as("_sxy"), dsum6(xh * xh).as("_sxx"),
+        dsum6(xs).as("_sx"), dsum6(y).as("_sy"),
+        dsum6(xs * y).as("_sxy"), dsum6(xs * xs).as("_sxx"),
         min(tus).as("_t0"), max(tus).as("_t1"))
-    val slopeH = (col("n") * col("_sxy") - col("_sx") * col("_sy")) /
+    val slope = (col("n") * col("_sxy") - col("_sx") * col("_sy")) /
       (col("n") * col("_sxx") - col("_sx") * col("_sx"))
-    val endH = (unix_micros(col("window.end")) -
-      unix_micros(col("window.start"))) / lit(3600000000.0)
+    val endS = (unix_micros(col("window.end")) -
+      unix_micros(col("window.start"))) / lit(1000000.0)
     agg.filter(col("n") > 1 && col("_t1") =!= col("_t0"))
-      .withColumn("deriv", slopeH / lit(3600.0))
+      .withColumn("deriv", slope)
       .withColumn("predict",
-        (col("_sy") / col("n") - slopeH * (col("_sx") / col("n"))) +
-          slopeH * (endH + lit(predictSeconds / 3600.0)))
+        (col("_sy") / col("n") - slope * (col("_sx") / col("n"))) +
+          slope * (endS + lit(predictSeconds)))
       .withColumn("eval_ms", unix_millis(col("window.end")))
       .select(labels.map(col) :+ col("eval_ms") :+ col("n") :+
         col("deriv") :+ col("predict"): _*)

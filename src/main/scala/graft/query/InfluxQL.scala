@@ -771,6 +771,26 @@ object InfluxQL {
                                sql: String): (Option[Query], DataFrame) = {
     if (sql.trim.toLowerCase.startsWith("show "))
       return (None, executeShow(catalog, sql))
+    // EXPLAIN [ANALYZE] <select> — reference `influxql/parse_tree.go:232`
+    // parseExplainStatement; the reference emits its chunk-DAG description
+    // as text rows, we emit the Catalyst plan the same way. ANALYZE runs
+    // the query first so AQE's final (runtime-re-planned) shape is shown.
+    val lower = sql.trim.toLowerCase
+    if (lower.startsWith("explain ")) {
+      val analyze = lower.startsWith("explain analyze ")
+      val inner = sql.trim.drop(if (analyze) 15 else 7).trim
+      val (_, df) = executeStatement(catalog, inner)
+      val spark = df.sparkSession
+      import spark.implicits._
+      val text =
+        if (analyze) {
+          val nRows = df.count()
+          df.queryExecution.executedPlan.toString +
+            s"\nrows emitted: $nRows"
+        } else df.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      return (None, text.split("\n").toSeq.toDF("QUERY PLAN"))
+    }
     val (ctes, q, arms) = new Parser(lex(sql)).parseStatementFull()
     // CTEs compile once and register as measurements visible to later CTEs
     // and the main query (reference BuildCTELogicalPlan select.go:906);
@@ -810,9 +830,19 @@ object InfluxQL {
           case t => sys.error(s"expected measurement, got $t")
         })
       } else None
+    // [EXACT] CARDINALITY suffix (reference influxql/parser.go:1455-1464:
+    // the modifier follows the object word, before ON/FROM/WITH).
+    def exactCard(): Option[Boolean] =
+      if (p.isKw("exact")) {
+        p.next(); p.expectIdent("cardinality"); Some(true)
+      } else if (p.isKw("cardinality")) { p.next(); Some(false) }
+      else None
     p.next() match {
       case TIdent(k) if k.equalsIgnoreCase("measurements") =>
         catalog.keys.toSeq.sorted.toDF("name")
+      case TIdent(k) if k.equalsIgnoreCase("measurement") =>
+        exactCard().getOrElse(sys.error("expected CARDINALITY"))
+        Seq(catalog.size.toLong).toDF("count")
       // single-database model: the catalog IS one implicit database with
       // one default retention policy — client libraries probe these two
       // statements on connect (handler.go serveQuery → SHOW DATABASES),
@@ -829,7 +859,15 @@ object InfluxQL {
           val tags = fromM().map(_.tags)
             .getOrElse(catalog.values.flatMap(_.tags).toSeq.distinct)
           graft.operators.Meta.showTagKeys(spark, tags)
+        // SHOW TAG KEY [EXACT] CARDINALITY: tag keys come from measurement
+        // metadata, so this is a schema constant, not a scan
+        case TIdent(kk) if kk.equalsIgnoreCase("key") =>
+          exactCard().getOrElse(sys.error("expected CARDINALITY"))
+          val tags = fromM().map(_.tags)
+            .getOrElse(catalog.values.flatMap(_.tags).toSeq.distinct)
+          Seq(tags.size.toLong).toDF("count")
         case TIdent(kk) if kk.equalsIgnoreCase("values") =>
+          val card = exactCard()
           val m = fromM().getOrElse(sys.error("TAG VALUES needs FROM"))
           p.expectIdent("with"); p.expectIdent("key")
           p.next() match {
@@ -841,16 +879,37 @@ object InfluxQL {
             case TStr(s) => s
             case t => sys.error(s"expected tag key, got $t")
           }
-          graft.operators.Meta.showTagValues(m.df, key)
+          card match {
+            case Some(exact) => graft.operators.Meta
+              .valueCardinality(m.df, col(key).cast("string"), exact)
+            case None => graft.operators.Meta.showTagValues(m.df, key)
+          }
         case t => sys.error(s"bad SHOW TAG: $t")
       }
-      case TIdent(k) if k.equalsIgnoreCase("field") =>
-        p.expectIdent("keys")
-        val m = fromM().getOrElse(sys.error("FIELD KEYS needs FROM"))
-        graft.operators.Meta.showFieldKeys(m.df, m.tags, Seq(m.time))
+      case TIdent(k) if k.equalsIgnoreCase("field") => p.next() match {
+        case TIdent(kk) if kk.equalsIgnoreCase("keys") =>
+          val m = fromM().getOrElse(sys.error("FIELD KEYS needs FROM"))
+          // `time` is the point timestamp, never a field (both the raw
+          // epoch column and the measurement's timestamp view)
+          graft.operators.Meta.showFieldKeys(m.df, m.tags,
+            Seq(m.time, "time"))
+        case TIdent(kk) if kk.equalsIgnoreCase("key") =>
+          exactCard().getOrElse(sys.error("expected CARDINALITY"))
+          val m = fromM().getOrElse(sys.error("FIELD KEY CARDINALITY needs FROM"))
+          val n = m.df.schema.fields.count(f =>
+            !m.tags.contains(f.name) && f.name != m.time && f.name != "time")
+          Seq(n.toLong).toDF("count")
+        case t => sys.error(s"bad SHOW FIELD: $t")
+      }
       case TIdent(k) if k.equalsIgnoreCase("series") =>
-        val m = fromM().getOrElse(sys.error("SERIES needs FROM"))
-        graft.operators.Meta.showSeries(m.df, m.tags)
+        exactCard() match {
+          case Some(exact) =>
+            val m = fromM().getOrElse(sys.error("SERIES CARDINALITY needs FROM"))
+            graft.operators.Meta.seriesCardinality(m.df, m.tags, exact)
+          case None =>
+            val m = fromM().getOrElse(sys.error("SERIES needs FROM"))
+            graft.operators.Meta.showSeries(m.df, m.tags)
+        }
       case t => sys.error(s"unsupported SHOW: $t")
     }
   }

@@ -481,4 +481,31 @@ class InfluxQLSpec extends SparkSpec {
     assert(!afterDropM.contains("cpu"))
     assert(cat0.contains("cpu")) // original untouched
   }
+
+  test("SHOW … CARDINALITY: exact counts, HLL estimate, schema constants") {
+    def one(q: String): Long =
+      run(q).select("count").as[Long].collect().head
+    assert(one("SHOW SERIES EXACT CARDINALITY FROM cpu") == 2L)
+    assert(one("SHOW TAG VALUES EXACT CARDINALITY FROM cpu WITH KEY = host")
+      == 2L)
+    assert(one("SHOW MEASUREMENT EXACT CARDINALITY") == 1L)
+    assert(one("SHOW TAG KEY EXACT CARDINALITY FROM cpu") == 1L)
+    // fields = value, core (time/tags excluded)
+    assert(one("SHOW FIELD KEY EXACT CARDINALITY FROM cpu") == 2L)
+    // estimated tier: HLL++ sketch — exact at this tiny cardinality,
+    // within relativeSD elsewhere; the point is it parses + runs
+    assert(one("SHOW SERIES CARDINALITY FROM cpu") == 2L)
+    assert(one("SHOW TAG VALUES CARDINALITY FROM cpu WITH KEY = host") == 2L)
+  }
+
+  test("EXPLAIN prints the Catalyst plan; EXPLAIN ANALYZE the final one") {
+    val plan = run("EXPLAIN SELECT mean(value) FROM cpu GROUP BY host")
+      .as[String].collect().mkString("\n")
+    assert(plan.contains("Physical Plan"))
+    assert(plan.contains("HashAggregate"))
+    val analyzed = run(
+      "EXPLAIN ANALYZE SELECT mean(value) FROM cpu GROUP BY host")
+      .as[String].collect().mkString("\n")
+    assert(analyzed.contains("rows emitted: 2"))
+  }
 }

@@ -215,7 +215,7 @@ class PromQLSpec extends SparkSpec {
   // (`tests/prom_test.go:1439-1441`) but does not ship them; these are
   // authored to the documented Prometheus semantics in the same format
   // and replayed through the identical harness.
-  for (corpus <- Seq("selectors", "operators", "staleness"))
+  for (corpus <- Seq("selectors", "operators", "staleness", "functions"))
     test(s"replays the authored $corpus.test corpus in full") {
       val path = getClass.getResource(s"/promql/$corpus.test").getPath
       val (attempted, failures) = runCorpus(path)
