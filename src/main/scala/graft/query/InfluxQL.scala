@@ -691,6 +691,14 @@ object InfluxQL {
       // the single-database model — client libraries issue them on
       // connect and expect success
       catalog
+    } else if (p.isKw("kill")) {
+      // KILL QUERY <qid>: accepted no-op — there is no query registry
+      // in library mode (reference: task_manager.go kills by qid)
+      p.next(); p.expectIdent("query")
+      p.next() match {
+        case TNum(_, _) => catalog
+        case t => sys.error(s"KILL QUERY expects a query id, got $t")
+      }
     } else if (p.isKw("delete")) {
       p.next(); p.expectIdent("from")
       val name = ident()
@@ -854,6 +862,44 @@ object InfluxQL {
         Seq(("autogen", "0s", "168h0m0s", 1L, true))
           .toDF("name", "duration", "shardGroupDuration", "replicaN",
             "default")
+      // ops probes: the engine is storage-agnostic (no shards, no auth,
+      // no query registry), so these answer with the reference's exact
+      // column sets and zero rows — clients see "none" rather than a
+      // parse error (statement_executor.go:1674,2119,2127,1446)
+      case TIdent(k) if k.equalsIgnoreCase("queries") =>
+        Seq.empty[(Long, String, String, String, String, String)]
+          .toDF("qid", "query", "database", "duration", "status", "host")
+      case TIdent(k) if k.equalsIgnoreCase("users") =>
+        Seq.empty[(String, Boolean, Boolean)]
+          .toDF("user", "admin", "rwuser")
+      case TIdent(k) if k.equalsIgnoreCase("grants") =>
+        p.expectIdent("for")
+        p.next() // user name
+        Seq.empty[(String, String)].toDF("database", "privilege")
+      case TIdent(k) if k.equalsIgnoreCase("shard") =>
+        p.expectIdent("groups")
+        Seq.empty[(Long, String, String, String, String, String)]
+          .toDF("id", "database", "retention_policy", "start_time",
+            "end_time", "expiry_time")
+      case TIdent(k) if k.equalsIgnoreCase("shards") =>
+        Seq.empty[(Long, String, String, Long, String, String, String,
+            String)]
+          .toDF("id", "database", "retention_policy", "shard_group",
+            "start_time", "end_time", "expiry_time", "owners")
+      case TIdent(k) if k.equalsIgnoreCase("subscriptions") =>
+        Seq.empty[(String, String, String, String)]
+          .toDF("retention_policy", "name", "mode", "destinations")
+      case TIdent(k) if k.equalsIgnoreCase("continuous") =>
+        p.expectIdent("queries")
+        Seq.empty[(String, String)].toDF("name", "query")
+      case TIdent(k) if k.equalsIgnoreCase("stats") ||
+          k.equalsIgnoreCase("diagnostics") =>
+        Seq(("engine", "spark"),
+            ("sparkVersion", spark.version),
+            ("measurements", catalog.size.toString))
+          .toDF("name", "value")
+      case TIdent(k) if k.equalsIgnoreCase("cluster") =>
+        Seq((1L, "data", "alive")).toDF("id", "role", "status")
       case TIdent(k) if k.equalsIgnoreCase("tag") => p.next() match {
         case TIdent(kk) if kk.equalsIgnoreCase("keys") =>
           val tags = fromM().map(_.tags)

@@ -498,6 +498,31 @@ class InfluxQLSpec extends SparkSpec {
     assert(one("SHOW TAG VALUES CARDINALITY FROM cpu WITH KEY = host") == 2L)
   }
 
+  test("ops probes: full SHOW grammar parses with reference column sets") {
+    def cols(q: String): Seq[String] = run(q).columns.toSeq
+    assert(cols("SHOW QUERIES") ==
+      Seq("qid", "query", "database", "duration", "status", "host"))
+    assert(run("SHOW QUERIES").count() == 0)
+    assert(cols("SHOW USERS") == Seq("user", "admin", "rwuser"))
+    assert(cols("SHOW GRANTS FOR admin") == Seq("database", "privilege"))
+    assert(cols("SHOW SHARDS") == Seq("id", "database", "retention_policy",
+      "shard_group", "start_time", "end_time", "expiry_time", "owners"))
+    assert(cols("SHOW SHARD GROUPS") == Seq("id", "database",
+      "retention_policy", "start_time", "end_time", "expiry_time"))
+    assert(cols("SHOW SUBSCRIPTIONS") ==
+      Seq("retention_policy", "name", "mode", "destinations"))
+    assert(cols("SHOW CONTINUOUS QUERIES") == Seq("name", "query"))
+    val stats = run("SHOW STATS").select("name", "value")
+      .as[(String, String)].collect().toMap
+    assert(stats("engine") == "spark" && stats("measurements") == "1")
+    assert(run("SHOW CLUSTER").count() == 1)
+    // KILL QUERY: accepted no-op; non-numeric id fails loudly
+    assert(InfluxQL.executeManage(catalog, "KILL QUERY 42") == catalog)
+    intercept[RuntimeException] {
+      InfluxQL.executeManage(catalog, "KILL QUERY abc")
+    }
+  }
+
   test("EXPLAIN prints the Catalyst plan; EXPLAIN ANALYZE the final one") {
     val plan = run("EXPLAIN SELECT mean(value) FROM cpu GROUP BY host")
       .as[String].collect().mkString("\n")
