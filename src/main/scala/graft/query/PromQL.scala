@@ -952,7 +952,8 @@ object PromQL {
           case "year" => year(t)
         }
         Left(Vec(v.df.withColumn("value", part.cast("double")), v.labels))
-      case "holt_winters" =>
+      // Prometheus 3.x renamed holt_winters → double_exponential_smoothing
+      case "holt_winters" | "double_exponential_smoothing" =>
         val (df1, m1, rangeS, atMsOpt) = rangeSource(f.fn, f.args.head)
         val (df, m, pin) = pinWindow(df1, m1, rangeS, atMsOpt)
         val sf = scalarArg(f.args(1))

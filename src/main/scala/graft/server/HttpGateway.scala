@@ -142,6 +142,7 @@ final class HttpGateway(spark: SparkSession,
       def resultObj(stmt: String, id: Int): String =
         if (stmt.trim.toLowerCase.startsWith("drop ") ||
             stmt.trim.toLowerCase.startsWith("create ") ||
+            stmt.trim.toLowerCase.startsWith("kill ") ||
             stmt.trim.toLowerCase.startsWith("delete")) {
           synchronized { catalog = InfluxQL.executeManage(catalog, stmt) }
           s"""{"statement_id":$id}"""

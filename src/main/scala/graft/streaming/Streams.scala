@@ -89,4 +89,24 @@ object Streams {
   def retentionCutoff(spark: SparkSession, path: String,
                       cutoffDate: String): DataFrame =
     spark.read.parquet(path).filter(col("wdate") >= lit(cutoffDate))
+
+  /** Streaming exact dedup at ingest: keep the first row per content
+    * hash, dropping duplicates that arrive within the watermark delay of
+    * each other. The streaming counterpart of `pipeline.Dedup.exact` for
+    * a training-data firehose — same design point: state and shuffle key
+    * is the 8-byte `xxhash64` of the content columns, never the raw
+    * text, and `dropDuplicatesWithinWatermark` evicts a hash's state
+    * once the watermark passes it, so state stays bounded by (ingest
+    * rate × delay) instead of growing with corpus size. Duplicates
+    * separated by more than the delay are admitted again by design —
+    * global history is the batch job's role (run `Dedup.exact` over the
+    * landed table), the stream's role is cheap near-real-time
+    * suppression of the bursty duplicates ingest actually produces. */
+  def dedupStream(source: DataFrame, time: String, delay: String,
+                  contentCols: Seq[String]): DataFrame =
+    source
+      .withColumn("_ck", xxhash64(contentCols.map(col): _*))
+      .withWatermark(time, delay)
+      .dropDuplicatesWithinWatermark("_ck")
+      .drop("_ck")
 }

@@ -275,6 +275,12 @@ class PromQLSpec extends SparkSpec {
       .filter(org.apache.spark.sql.functions.col("eval_ms") === 900000L)
       .select("value").as[Double].collect().toSeq
     assert(hw == Seq(3.5))
+    // Prometheus 3.x spelling is an exact alias
+    val des = PromQL.evaluate(cat2,
+        "double_exponential_smoothing(m[15m], 0.5, 0.5)", "900 seconds")
+      .filter(org.apache.spark.sql.functions.col("eval_ms") === 900000L)
+      .select("value").as[Double].collect().toSeq
+    assert(des == hw)
     val sorted = PromQL.evaluate(cat, "sort_desc(requests)", "300 seconds")
       .select("value").as[Double].collect().toSeq
     assert(sorted == sorted.sorted.reverse)

@@ -147,4 +147,33 @@ class StreamingSpec extends SparkSpec {
     val kept = Streams.retentionCutoff(spark, dir, "2024-01-15")
     assert(kept.count() < rolled.count() && kept.count() > 0)
   }
+
+  test("streaming dedup suppresses duplicate content within the delay") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val src = mem.toDF.toDF("time", "text")
+    val q = Streams.dedupStream(src, "time", "10 seconds", Seq("text"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try {
+      def ts(s: Long) = new Timestamp(s * 1000)
+      // same doc three times inside the delay → one survivor
+      mem.addData((ts(1), "doc-a"), (ts(2), "doc-a"), (ts(3), "doc-b"))
+      q.processAllAvailable()
+      mem.addData((ts(4), "doc-a"))
+      q.processAllAvailable()
+      val out = spark.table("dedup_out")
+        .select($"text").as[String].collect().toSeq
+      assert(out.sorted == Seq("doc-a", "doc-b"))
+      // a duplicate far past the watermark is admitted again (state for
+      // the hash was evicted — global dedup is the batch job's role)
+      mem.addData((ts(60), "doc-a"))
+      q.processAllAvailable()
+      mem.addData((ts(61), "doc-a"))
+      q.processAllAvailable()
+      val after = spark.table("dedup_out")
+        .filter($"text" === "doc-a").count()
+      assert(after == 2L)
+    } finally q.stop()
+  }
 }
