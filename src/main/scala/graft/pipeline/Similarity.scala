@@ -150,22 +150,26 @@ object Similarity {
       .orderBy(xxhash64(col(idCol)), col(idCol)).limit(k)
       .select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).map(_.toDouble))
+    val dim = cents.headOption.map(_.length).getOrElse(0)
     for (_ <- 0 until iters) {
       val assigned = corpus.select(col(vecCol).as("_v"),
         nearestBucket(col(vecCol), cents).as("_b"))
-      val means = assigned
-        .select(col("_b"), posexplode(col("_v")).as(Seq("_d", "_x")))
-        .groupBy(col("_b"), col("_d"))
-        .agg((sum(col("_x").cast("decimal(28,10)")).cast("double") /
-          count(lit(1))).as("_m"))
+      // per-bucket per-dim means as `dim` aggregate columns in ONE pass:
+      // partial sums combine map-side and only k×dim decimals cross the
+      // shuffle (the previous posexplode shape shuffled rows×dim values).
+      // DECIMAL sums keep the means order-independent, and double/count
+      // is the same IEEE division the exploded form performed.
+      val meanCols = (0 until dim).map(d =>
+        (sum(element_at(col("_v"), d + 1).cast("decimal(28,10)"))
+          .cast("double") / count(lit(1))).as(s"_m$d"))
+      val byBucket = assigned.groupBy(col("_b"))
+        .agg(meanCols.head, meanCols.tail: _*)
         .collect()
+        .map(r => r.getInt(0) -> r).toMap
       val next = cents.zipWithIndex.map { case (old, b) =>
-        val dims = means.filter(_.getInt(0) == b)
-        if (dims.isEmpty) old
-        else {
-          val m = old.toArray
-          dims.foreach(r => m(r.getInt(1)) = r.getDouble(2))
-          m.toSeq
+        byBucket.get(b) match {
+          case Some(r) => (0 until dim).map(d => r.getDouble(d + 1))
+          case None => old // empty cell keeps its centroid
         }
       }
       cents = next
