@@ -838,6 +838,27 @@ object InfluxQL {
           case t => sys.error(s"expected measurement, got $t")
         })
       } else None
+    // optional WHERE on the measurement rows feeding the SHOW (reference
+    // grammar: parser.go parseShowTagValuesStatement / parseShowSeries —
+    // tag + time predicates filter which rows contribute values)
+    def whereOn(m: Measurement): DataFrame =
+      if (p.isKw("where")) {
+        p.next(); m.df.filter(manageCond(m, p.parseWhereStandalone()))
+      } else m.df
+    // optional trailing LIMIT n / OFFSET n on the (sorted) SHOW output
+    def limitOffset(df: DataFrame): DataFrame = {
+      def optInt(kw: String): Option[Int] =
+        if (p.isKw(kw)) {
+          p.next()
+          p.next() match {
+            case TNum(v, _) => Some(v.toInt)
+            case t => sys.error(s"expected integer after $kw, got $t")
+          }
+        } else None
+      val lim = optInt("limit")
+      val off = optInt("offset").map(o => df.offset(o)).getOrElse(df)
+      lim.map(off.limit).getOrElse(off)
+    }
     // [EXACT] CARDINALITY suffix (reference influxql/parser.go:1455-1464:
     // the modifier follows the object word, before ON/FROM/WITH).
     def exactCard(): Option[Boolean] =
@@ -925,10 +946,12 @@ object InfluxQL {
             case TStr(s) => s
             case t => sys.error(s"expected tag key, got $t")
           }
+          val src = whereOn(m)
           card match {
             case Some(exact) => graft.operators.Meta
-              .valueCardinality(m.df, col(key).cast("string"), exact)
-            case None => graft.operators.Meta.showTagValues(m.df, key)
+              .valueCardinality(src, col(key).cast("string"), exact)
+            case None =>
+              limitOffset(graft.operators.Meta.showTagValues(src, key))
           }
         case t => sys.error(s"bad SHOW TAG: $t")
       }
@@ -951,10 +974,11 @@ object InfluxQL {
         exactCard() match {
           case Some(exact) =>
             val m = fromM().getOrElse(sys.error("SERIES CARDINALITY needs FROM"))
-            graft.operators.Meta.seriesCardinality(m.df, m.tags, exact)
+            graft.operators.Meta.seriesCardinality(whereOn(m), m.tags, exact)
           case None =>
             val m = fromM().getOrElse(sys.error("SERIES needs FROM"))
-            graft.operators.Meta.showSeries(m.df, m.tags)
+            limitOffset(
+              graft.operators.Meta.showSeries(whereOn(m), m.tags))
         }
       case t => sys.error(s"unsupported SHOW: $t")
     }

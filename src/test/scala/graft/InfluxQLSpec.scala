@@ -498,6 +498,26 @@ class InfluxQLSpec extends SparkSpec {
     assert(one("SHOW TAG VALUES CARDINALITY FROM cpu WITH KEY = host") == 2L)
   }
 
+  test("SHOW TAG VALUES / SERIES accept WHERE, LIMIT and OFFSET") {
+    // WHERE prunes contributing rows: only server02 points before 1m
+    val vals = run("SHOW TAG VALUES FROM cpu WITH KEY = host " +
+        "WHERE time < '1970-01-01 00:01:00'")
+      .select("value").as[String].collect().toSet
+    assert(vals == Set("server01", "server02"))
+    val one = run("SHOW TAG VALUES FROM cpu WITH KEY = host " +
+        "WHERE value > 50").select("value").as[String].collect().toSet
+    assert(one == Set("server02"))
+    // sorted output pages deterministically
+    assert(run("SHOW TAG VALUES FROM cpu WITH KEY = host LIMIT 1")
+      .select("value").as[String].collect().toSeq == Seq("server01"))
+    assert(run("SHOW TAG VALUES FROM cpu WITH KEY = host LIMIT 1 OFFSET 1")
+      .select("value").as[String].collect().toSeq == Seq("server02"))
+    assert(run("SHOW SERIES FROM cpu WHERE host = 'server01'").count() == 1)
+    assert(run("SHOW SERIES EXACT CARDINALITY FROM cpu " +
+        "WHERE host = 'server02'")
+      .select("count").as[Long].collect().head == 1L)
+  }
+
   test("ops probes: full SHOW grammar parses with reference column sets") {
     def cols(q: String): Seq[String] = run(q).columns.toSeq
     assert(cols("SHOW QUERIES") ==
