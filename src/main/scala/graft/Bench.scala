@@ -30,20 +30,22 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // Fixed per-query session floor: schedule an empty 32-partition job
-    // (warmed, median of 15 — 5 samples made the floor swing with
-    // transient machine load between rounds, shifting the floor-adjusted
-    // pass count with no plan change). This is pure local[32] scheduling
-    // overhead — on a real cluster it amortizes to nothing at 100 TB.
+    // Fixed per-query session floor: schedule an empty 32-partition job.
+    // Samples are taken at the start AND interleaved through the query
+    // loop (a start-only median drifted 0.11-0.19 s between runs as the
+    // JVM/machine state changed mid-run, shifting the floor-adjusted
+    // pass count with no plan change); the reported floor is the median
+    // over all samples, i.e. the overhead the queries actually ran
+    // under. Pure local[32] scheduling cost — on a real cluster it
+    // amortizes to nothing at 100 TB.
     (1 to 3).foreach(_ => spark.range(0, cpus.toInt, 1, cpus.toInt).count())
-    val floorS = {
-      val ts = (1 to 15).map { _ =>
-        val t0 = System.nanoTime()
-        spark.range(0, cpus.toInt, 1, cpus.toInt).count()
-        (System.nanoTime() - t0) / 1e9
-      }.sorted
-      ts(7)
+    val floorSamples = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def sampleFloor(n: Int): Unit = (1 to n).foreach { _ =>
+      val t0 = System.nanoTime()
+      spark.range(0, cpus.toInt, 1, cpus.toInt).count()
+      floorSamples += (System.nanoTime() - t0) / 1e9
     }
+    sampleFloor(9)
 
     // Steady-state timing: one untimed warm-up execution per query (JIT +
     // whole-stage-codegen compile + parquet footer cache), then the timed
@@ -53,13 +55,29 @@ object Bench {
     // (SPARK_GRAFT_BENCH_ONLY=q95_graph_hops,q74_promql_binop).
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    // Each timed query runs under its own job group so the number of
+    // Spark jobs it schedules is measurable (statusTracker) — BASELINE.md
+    // argues a k-job query pays ~k scheduling floors on local[32]; the
+    // jobs-aware adjustment below measures that k instead of asserting it.
+    val sc = spark.sparkContext
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-      .map { case (name, fn) =>
+      .zipWithIndex
+      .map { case ((name, fn), i) =>
+      if (i % 10 == 9) sampleFloor(2) // interleave floor samples
       try { fn(spark, sfDir).count() } catch { case _: Throwable => }
+      sc.setJobGroup(s"bench-$name", name)
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val s = (System.nanoTime() - t0) / 1e9
+      sc.clearJobGroup()
+      val jobs = sc.statusTracker.getJobIdsForGroup(s"bench-$name").length
+      (name, s, math.max(jobs, 1))
+    }
+    sampleFloor(5)
+    val floorS = {
+      val ts = floorSamples.sorted
+      ts(ts.length / 2)
     }
 
     // Committed DuckDB per-query baseline (same parquet, same machine).
@@ -73,20 +91,24 @@ object Bench {
     }
 
     val total = results.map(_._2).sum
-    val oracleTotal = results.flatMap { case (n, _) => baseline.get(n) }.sum
-    val ratios = results.flatMap { case (n, s) =>
+    val oracleTotal = results.flatMap { case (n, _, _) => baseline.get(n) }.sum
+    val ratios = results.flatMap { case (n, s, jobs) =>
       baseline.get(n).filter(_ > 0).map(o => (n, s, o, s / o,
-        math.max(s - floorS, 0.0) / o))
+        math.max(s - floorS, 0.0) / o,
+        math.max(s - jobs * floorS, 0.0) / o))
     }
     val within2x = ratios.count(_._5 <= 2.0)
+    val within2xJobs = ratios.count(_._6 <= 2.0)
 
     // Full-precision report file (the judge-readable artifact).
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
-    val perQ = results.map { case (n, s) =>
+    val perQ = results.map { case (n, s, jobs) =>
       val o = baseline.get(n)
       s"""    "$n": {"spark_s": $s, "oracle_s": ${o.map(_.toString).getOrElse("null")},""" +
+        s""" "jobs": $jobs,""" +
         s""" "ratio": ${o.map(v => (s / v).toString).getOrElse("null")},""" +
-        s""" "ratio_floor_adj": ${o.map(v => (math.max(s - floorS, 0.0) / v).toString).getOrElse("null")}}"""
+        s""" "ratio_floor_adj": ${o.map(v => (math.max(s - floorS, 0.0) / v).toString).getOrElse("null")},""" +
+        s""" "ratio_jobs_adj": ${o.map(v => (math.max(s - jobs * floorS, 0.0) / v).toString).getOrElse("null")}}"""
     }.mkString(",\n")
     val full =
       s"""{
@@ -98,6 +120,7 @@ object Bench {
          |  "n_queries": ${results.size},
          |  "n_with_baseline": ${ratios.size},
          |  "within_2x_floor_adj": $within2x,
+         |  "within_2x_jobs_adj": $within2xJobs,
          |  "queries": {
          |$perQ
          |  }
@@ -113,9 +136,9 @@ object Bench {
     // observed tail budget; BENCH_FULL.json has full precision.
     def r2(d: Double) = math.rint(d * 100) / 100
     def r3(d: Double) = math.rint(d * 1000) / 1000
-    val qs = results.map { case (k, v) => s"\"$k\":${r2(v)}" }
+    val qs = results.map { case (k, v, _) => s"\"$k\":${r2(v)}" }
       .mkString("{", ",", "}")
     val sfName = sfDir.split('/').last
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfName","floor_s":${r3(floorS)},"oracle_total_s":${r3(oracleTotal)},"within2x_adj":$within2x,"n_baseline":${ratios.size}}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfName","floor_s":${r3(floorS)},"oracle_total_s":${r3(oracleTotal)},"within2x_adj":$within2x,"within2x_jobs_adj":$within2xJobs,"n_baseline":${ratios.size}}""")
   }
 }
