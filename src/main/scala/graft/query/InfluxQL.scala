@@ -868,7 +868,28 @@ object InfluxQL {
       else None
     p.next() match {
       case TIdent(k) if k.equalsIgnoreCase("measurements") =>
-        catalog.keys.toSeq.sorted.toDF("name")
+        // WITH MEASUREMENT =~ /re/ | = name (parser.go
+        // parseShowMeasurementsStatement), then LIMIT/OFFSET paging
+        val names = catalog.keys.toSeq.sorted
+        val filtered =
+          if (p.isKw("with")) {
+            p.next(); p.expectIdent("measurement")
+            p.next() match {
+              case TOp("=~") => p.next() match {
+                case TRegex(r) =>
+                  val rx = r.r
+                  names.filter(rx.findFirstIn(_).isDefined)
+                case t => sys.error(s"expected /regex/, got $t")
+              }
+              case TOp("=") => p.next() match {
+                case TIdent(s) => names.filter(_ == s)
+                case TStr(s) => names.filter(_ == s)
+                case t => sys.error(s"expected measurement name, got $t")
+              }
+              case t => sys.error(s"expected = or =~, got $t")
+            }
+          } else names
+        limitOffset(filtered.toDF("name"))
       case TIdent(k) if k.equalsIgnoreCase("measurement") =>
         exactCard().getOrElse(sys.error("expected CARDINALITY"))
         Seq(catalog.size.toLong).toDF("count")

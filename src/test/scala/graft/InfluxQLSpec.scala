@@ -518,6 +518,17 @@ class InfluxQLSpec extends SparkSpec {
       .select("count").as[Long].collect().head == 1L)
   }
 
+  test("SHOW MEASUREMENTS filters WITH MEASUREMENT = / =~ and pages") {
+    val two = Map("cpu" -> cpu, "cpu_total" -> cpu, "mem" -> cpu)
+    def names(q: String): Seq[String] =
+      InfluxQL.execute(two, q).as[String].collect().toSeq
+    assert(names("SHOW MEASUREMENTS") == Seq("cpu", "cpu_total", "mem"))
+    assert(names("SHOW MEASUREMENTS WITH MEASUREMENT =~ /cpu/") ==
+      Seq("cpu", "cpu_total"))
+    assert(names("SHOW MEASUREMENTS WITH MEASUREMENT = cpu") == Seq("cpu"))
+    assert(names("SHOW MEASUREMENTS LIMIT 1 OFFSET 2") == Seq("mem"))
+  }
+
   test("ops probes: full SHOW grammar parses with reference column sets") {
     def cols(q: String): Seq[String] = run(q).columns.toSeq
     assert(cols("SHOW QUERIES") ==
