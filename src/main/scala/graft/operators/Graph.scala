@@ -37,7 +37,12 @@ object Graph {
     require(hopNum >= 0 && hopNum <= 16, s"hopNum out of range: $hopNum")
     val spark = edges.sparkSession
     import spark.implicits._
+    // persist the edge frame across hops (Pregel-style): hop 1 pays the
+    // scan + cache materialization, hops 2..N read executor memory (and
+    // spill to disk, not recompute, under pressure) instead of re-running
+    // the source scan per round
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // driver tier: visited map node -> hop, frontier as a plain array
     val visited = scala.collection.mutable.LongMap[Int](start -> 0)
@@ -47,8 +52,27 @@ object Graph {
         frontier.length <= maxDriverFrontier &&
         visited.size <= maxDriverFrontier) {
       h += 1
-      val next = e.filter(col("src").isin(frontier: _*))
-        .select(col("dst")).distinct().as[Long].collect()
+      // map-side-only dedup (mapPartitions toSet): the hop stays ONE
+      // narrow job — scan with the InSet predicate pushed down, no
+      // shuffle stage — and the driver's visited map finishes the
+      // dedup. Memory is the per-partition distinct dst count, the same
+      // bound a map-side hash aggregate would use; cross-partition
+      // duplicates inflate the collect by at most #partitions ×
+      // |distinct dst|, which the driver-tier guard already bounds.
+      // Frontier membership: isin() literals while small (the predicate
+      // reaches parquet row-group stats); past ~1k nodes a 40k-literal
+      // In tree costs more DRIVER analysis time per hop than the scan
+      // itself, so switch to a broadcast-joined frontier frame (same
+      // narrow plan, O(1) expression nodes, hash lookup at runtime).
+      val matched =
+        if (frontier.length <= 1024)
+          e.filter(col("src").isin(frontier: _*))
+        else
+          e.join(broadcast(frontier.toSeq.toDF("src")), "src")
+      val next = matched
+        .select(col("dst")).as[Long]
+        .mapPartitions(it => it.toSet.iterator)
+        .collect().distinct
         .filter(!visited.contains(_))
       next.foreach(visited(_) = h)
       frontier = next
@@ -56,7 +80,10 @@ object Graph {
 
     val driverPart = visited.toSeq.map { case (n, hp) => (n, hp) }
       .toDF("node_id", "hop")
-    if (h >= hopNum || frontier.isEmpty) return driverPart
+    if (h >= hopNum || frontier.isEmpty) {
+      e.unpersist(blocking = false) // BFS done: all hops collected
+      return driverPart
+    }
 
     // distributed fallback for the (rare) giant-frontier remainder.
     // `levels` always holds every visited level INCLUDING the current
@@ -85,6 +112,7 @@ object Graph {
       frontierN = next.count() // cached — a fast cache-scan job
       visitedN += frontierN
     }
+    e.unpersist(blocking = false) // levels are localCheckpoint-ed
     levels.reduce(_ union _)
   }
 }
