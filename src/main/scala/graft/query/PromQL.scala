@@ -84,7 +84,8 @@ object PromQL {
   private case class TOp(s: String) extends Tok
 
   private val aggOps = Set("sum", "avg", "min", "max", "count", "topk",
-    "bottomk", "count_values", "group", "stddev", "stdvar", "quantile")
+    "bottomk", "count_values", "group", "stddev", "stdvar", "quantile",
+    "limitk", "limit_ratio")
 
   private def lex(q: String): List[Tok] = {
     val out = List.newBuilder[Tok]
@@ -300,7 +301,8 @@ object PromQL {
       expectOp("(")
       // topk/bottomk/count_values take a leading parameter
       val param =
-        if (Set("topk", "bottomk", "quantile").contains(op)) {
+        if (Set("topk", "bottomk", "quantile", "limitk", "limit_ratio")
+            .contains(op)) {
           val p = parseExpr(); expectOp(","); Some(p)
         } else if (op == "count_values") {
           var parens = 0
@@ -770,6 +772,32 @@ object PromQL {
           // result keeps the input series' full label sets
           Vec(df0.withColumn("_rk", row_number().over(w))
             .filter(col("_rk") <= k).drop("_rk"), v.labels)
+        // Prometheus's experimental limit aggregations pick an ARBITRARY
+        // k/ratio subset of series; this engine makes the pick
+        // deterministic (stable across runs and partitionings) by
+        // hashing the series labels — upstream only guarantees the
+        // limit_ratio(r) / limit_ratio(-(1-r)) partition property, which
+        // the hash split preserves exactly.
+        case op @ ("limitk" | "limit_ratio") =>
+          val frac = pmod(xxhash64(v.labels.map(col): _*), lit(1000000000L))
+            .cast("double") / 1e9
+          op match {
+            case "limitk" =>
+              val k = scalarArg(a.param.getOrElse(
+                sys.error("limitk needs a number"))).toInt
+              val w = Window.partitionBy((keep :+ "eval_ms").map(col): _*)
+                .orderBy(frac.asc +: v.labels.map(col(_).asc): _*)
+              Vec(df0.withColumn("_rk", row_number().over(w))
+                .filter(col("_rk") <= k).drop("_rk"), v.labels)
+            case _ =>
+              val r = scalarArg(a.param.getOrElse(
+                sys.error("limit_ratio needs a number")))
+              require(r >= -1.0 && r <= 1.0,
+                s"limit_ratio must be in [-1, 1]: $r")
+              val kept =
+                if (r >= 0) frac < lit(r) else frac >= lit(1.0 + r)
+              Vec(df0.filter(kept), v.labels)
+          }
         case other => sys.error(s"unsupported aggregation $other")
       }
     }

@@ -286,6 +286,27 @@ class PromQLSpec extends SparkSpec {
     assert(sorted == sorted.sorted.reverse)
   }
 
+  test("limitk / limit_ratio pick a deterministic series subset") {
+    def at(q: String) = PromQL.evaluate(cat, q, "300 seconds")
+      .filter(org.apache.spark.sql.functions.col("eval_ms") === 300000L)
+    assert(at("limitk(2, requests)").count() == 2)
+    assert(at("limitk(5, requests)").count() == 3) // k past series count
+    // deterministic: same subset every evaluation
+    val a = at("limitk(2, requests)").select("job", "instance")
+      .as[(String, String)].collect().toSet
+    val b = at("limitk(2, requests)").select("job", "instance")
+      .as[(String, String)].collect().toSet
+    assert(a == b)
+    // the upstream partition property: limit_ratio(r) and
+    // limit_ratio(-(1-r)) split the series exactly
+    val lo = at("limit_ratio(0.4, requests)").select("job", "instance")
+      .as[(String, String)].collect().toSet
+    val hi = at("limit_ratio(-0.6, requests)").select("job", "instance")
+      .as[(String, String)].collect().toSet
+    assert((lo & hi).isEmpty)
+    assert((lo | hi).size == 3)
+  }
+
   test("timestamp() returns the eval time in seconds") {
     val out = PromQL.evaluate(cat, "timestamp(requests)", "300 seconds")
       .filter(org.apache.spark.sql.functions.col("eval_ms") === 300000L)
