@@ -163,4 +163,15 @@ class ScaleSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject") || plan.contains("CollectLimit"),
       s"expected a distributed top-n, got:\n$plan")
   }
+
+  test("estimated cardinality aggregates HLL sketches, not raw keys") {
+    val catalog = Map("events" -> graft.query.InfluxQL.Measurement(
+      Tables.table(spark, sf, "events"), tags = Seq("event_type")))
+    val plan = planOf(graft.query.InfluxQL.execute(catalog,
+      "SHOW TAG VALUES CARDINALITY FROM events WITH KEY = event_type"))
+    // partial sketches combine map-side; the exchange carries one sketch
+    // per partition — no Expand/distinct materialization of the key set
+    assert(plan.contains("approx_count_distinct"), s"no HLL in:\n$plan")
+    assert(!plan.contains("Expand"), s"distinct-expand leaked into:\n$plan")
+  }
 }
