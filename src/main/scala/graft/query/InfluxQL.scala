@@ -685,6 +685,13 @@ object InfluxQL {
           catalog + (name -> m.copy(df =
             m.df.filter(coalesce(!cond, lit(true)))))
         } else catalog - name
+      } else if (p.isKw("database") || p.isKw("retention") ||
+          p.isKw("shard") || p.isKw("subscription") ||
+          p.isKw("continuous")) {
+        // storage/meta-level drops: accepted no-ops in the
+        // storage-agnostic single-database model (clients tear down
+        // fixtures with these and expect success)
+        catalog
       } else sys.error("expected DROP MEASUREMENT or DROP SERIES")
     } else if (p.isKw("create")) {
       // CREATE DATABASE / CREATE RETENTION POLICY: accepted no-ops in

@@ -552,6 +552,13 @@ class InfluxQLSpec extends SparkSpec {
     intercept[RuntimeException] {
       InfluxQL.executeManage(catalog, "KILL QUERY abc")
     }
+    // meta-level drops are accepted no-ops; unknown DROPs still fail
+    for (q <- Seq("DROP DATABASE graft", "DROP RETENTION POLICY autogen",
+        "DROP SHARD 3", "DROP SUBSCRIPTION sub", "DROP CONTINUOUS QUERY cq"))
+      assert(InfluxQL.executeManage(catalog, q) == catalog, q)
+    intercept[RuntimeException] {
+      InfluxQL.executeManage(catalog, "DROP GIBBERISH x")
+    }
   }
 
   test("EXPLAIN prints the Catalyst plan; EXPLAIN ANALYZE the final one") {
