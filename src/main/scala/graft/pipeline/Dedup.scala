@@ -98,8 +98,13 @@ object Dedup {
   def jaccardSelfJoin(docs: DataFrame, textCol: String, idCol: String,
                       shingleN: Int = 3,
                       threshold: Double = 0.8): DataFrame = {
+    // shingle once, persist: the arrays feed gram explosion AND both
+    // sides of the verify join — recomputing the regex shingling three
+    // times costs more than spilling the arrays (MEMORY_AND_DISK, freed
+    // by the TTL cleaner / session end)
     val sh = docs.select(col(idCol).as("_id"),
-      shingles(col(textCol), shingleN).as("_sh"))
+        shingles(col(textCol), shingleN).as("_sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val grams = sh.select(col("_id"), size(col("_sh")).as("_len"),
       explode(col("_sh")).as("_gram"))
     val freq = grams.groupBy("_gram").agg(count(lit(1)).as("_df"))
@@ -114,8 +119,20 @@ object Dedup {
         col("a._id") < col("b._id"))
       .select(col("a._id").as("id_a"), col("b._id").as("id_b"))
       .distinct()
-    jaccardVerify(cands, docs, textCol, idCol, shingleN, threshold)
+    verifyWithShingles(cands, sh, threshold)
   }
+
+  /** Verify candidate pairs against a precomputed `(_id, _sh)` frame. */
+  private def verifyWithShingles(pairs: DataFrame, sh: DataFrame,
+                                 threshold: Double): DataFrame =
+    pairs
+      .join(sh.select(col("_id").as("id_a"), col("_sh").as("sh_a")), "id_a")
+      .join(sh.select(col("_id").as("id_b"), col("_sh").as("sh_b")), "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
 
   /** Exact n-gram Jaccard similarity for candidate pairs (verification
     * stage after LSH). `pairs` has id_a/id_b; docs joined twice. */
