@@ -98,13 +98,15 @@ object Dedup {
   def jaccardSelfJoin(docs: DataFrame, textCol: String, idCol: String,
                       shingleN: Int = 3,
                       threshold: Double = 0.8): DataFrame = {
-    // shingle once, persist: the arrays feed gram explosion AND both
-    // sides of the verify join — recomputing the regex shingling three
-    // times costs more than spilling the arrays (MEMORY_AND_DISK, freed
-    // by the TTL cleaner / session end)
+    // shingle once: the arrays feed gram explosion AND both sides of the
+    // verify join — recomputing the regex shingling three times costs
+    // more than materializing the arrays. localCheckpoint (not persist):
+    // its blocks are context-cleaned once the frame is unreferenced,
+    // where a persist() entry would pin the CacheManager until an
+    // explicit unpersist no caller can safely issue on a lazy result.
     val sh = docs.select(col(idCol).as("_id"),
         shingles(col(textCol), shingleN).as("_sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val grams = sh.select(col("_id"), size(col("_sh")).as("_len"),
       explode(col("_sh")).as("_gram"))
     val freq = grams.groupBy("_gram").agg(count(lit(1)).as("_df"))
