@@ -64,6 +64,16 @@ final class HttpGateway(spark: SparkSession,
     (ex: HttpExchange) => handleLabelValues(ex))
   server.createContext("/api/v1/series",
     (ex: HttpExchange) => handleSeries(ex))
+  // Grafana probes buildinfo on datasource connect and falls back to
+  // legacy behavior on 404 — answer with a prom-compatible version body
+  server.createContext("/api/v1/status/buildinfo", (ex: HttpExchange) => {
+    val body = """{"status":"success","data":{"version":"2.45.0",""" +
+      """"application":"graft","features":{}}}"""
+    val bytes = body.getBytes("UTF-8")
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(200, bytes.length)
+    ex.getResponseBody.write(bytes); ex.close()
+  })
 
   def start(): Int = { server.start(); boundPort }
   def stop(): Unit = server.stop(0)

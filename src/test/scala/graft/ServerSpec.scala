@@ -277,4 +277,12 @@ class ServerSpec extends SparkSpec {
     val body = JsonMethods.parse(r.body())
     assert((body \ "status") == JString("error"))
   }
+
+  test("/api/v1/status/buildinfo answers the Grafana connect probe") {
+    val r = get("/api/v1/status/buildinfo")
+    assert(r.statusCode() == 200)
+    val body = JsonMethods.parse(r.body())
+    assert((body \ "status") == JString("success"))
+    assert((body \ "data" \ "application") == JString("graft"))
+  }
 }
