@@ -643,10 +643,12 @@ object InfluxQL {
         val tags = resolveTags(catalog, qq).filter(df.columns.contains)
         (base(qq), tags, df)
       case None =>
-        val name = sql.trim.split("\\s+").drop(1)
-          .takeWhile(w => !Set("on", "from", "with", "where")
-            .contains(w.toLowerCase))
-          .map(_.toLowerCase).mkString("_")
+        val name =
+          if (sql.trim.toLowerCase.startsWith("explain")) "explain"
+          else sql.trim.split("\\s+").drop(1)
+            .takeWhile(w => !Set("on", "from", "with", "where")
+              .contains(w.toLowerCase))
+            .map(_.toLowerCase).mkString("_")
         (name, Nil, df)
     }
   }

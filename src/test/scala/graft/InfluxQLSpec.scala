@@ -570,5 +570,9 @@ class InfluxQLSpec extends SparkSpec {
       "EXPLAIN ANALYZE SELECT mean(value) FROM cpu GROUP BY host")
       .as[String].collect().mkString("\n")
     assert(analyzed.contains("rows emitted: 2"))
+    // shaped emission names the series "explain", not the inner SELECT words
+    val (name, tags, _) = InfluxQL.executeShaped(catalog,
+      "EXPLAIN SELECT mean(value) FROM cpu GROUP BY host")
+    assert(name == "explain" && tags.isEmpty)
   }
 }
