@@ -5,7 +5,7 @@ import java.net.{InetSocketAddress, URLDecoder}
 import java.nio.charset.StandardCharsets.UTF_8
 import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import graft.query.{InfluxQL, PromQL}
-import graft.sources.{LineProtocol, ResultShaper}
+import graft.sources.{LineProtocol, PromRemoteWrite, ResultShaper}
 
 /** Minimal HTTP serving surface over the library, mirroring the
   * reference's httpd routes (`lib/util/lifted/influx/httpd/handler.go:264`
@@ -26,6 +26,8 @@ import graft.sources.{LineProtocol, ResultShaper}
   *     `end`, `step`); Prometheus `matrix` response JSON.
   *   - `GET /api/v1/query` — PromQL instant query (`query`, `time`);
   *     `vector` response JSON.
+  *   - `POST /api/v1/write` & `/api/v1/prom/write` — Prometheus remote
+  *     write (snappy+protobuf `WriteRequest`, `handler_prom.go:86`).
   *   - `GET /ping` — 204, like the reference's health probe.
   *
   * `/query` bodies come from the same [[ResultShaper]] the library path
@@ -45,6 +47,7 @@ final class HttpGateway(spark: SparkSession,
                         port: Int = 0) {
 
   @volatile private var catalog = init
+  @volatile private var promCat = prom
   private val server =
     HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
 
@@ -64,6 +67,13 @@ final class HttpGateway(spark: SparkSession,
     (ex: HttpExchange) => handleLabelValues(ex))
   server.createContext("/api/v1/series",
     (ex: HttpExchange) => handleSeries(ex))
+  // Prometheus remote write — the reference serves it at both
+  // `/api/v1/write` (handler.go:333) and `/api/v1/prom/write`
+  // (handler.go:637)
+  server.createContext("/api/v1/write",
+    (ex: HttpExchange) => handlePromWrite(ex))
+  server.createContext("/api/v1/prom/write",
+    (ex: HttpExchange) => handlePromWrite(ex))
   // Grafana probes buildinfo on datasource connect and falls back to
   // legacy behavior on 404 — answer with a prom-compatible version body
   server.createContext("/api/v1/status/buildinfo", (ex: HttpExchange) => {
@@ -264,6 +274,41 @@ final class HttpGateway(spark: SparkSession,
         respond(ex, 400, s"""{"error":${jsonStr(String.valueOf(e.getMessage))}}""")
     }
 
+  /** Prometheus remote write (`handler_prom.go:86` servePromWrite): a
+    * snappy+protobuf `WriteRequest` body ingested via
+    * [[PromRemoteWrite]]. Series land in BOTH catalogs — as InfluxQL
+    * measurements (tags + `value` field, like `timeSeries2Rows` rows)
+    * and as PromQL metrics, immediately queryable from `/query` and
+    * `/api/v1/query_range` alike. */
+  private def handlePromWrite(ex: HttpExchange): Unit =
+    try {
+      val body = ex.getRequestBody.readAllBytes()
+      val series = PromRemoteWrite.decode(body)
+      if (series.isEmpty) sys.error("no timeseries in write request")
+      synchronized {
+        PromRemoteWrite.toMeasurements(spark, series).foreach {
+          case (metric, (df, tagKeys)) =>
+            catalog = catalog + (metric -> (catalog.get(metric) match {
+              case Some(prev) => InfluxQL.Measurement(
+                prev.df.unionByName(df, allowMissingColumns = true),
+                (prev.tags ++ tagKeys).distinct, prev.time)
+              case None => InfluxQL.Measurement(df, tagKeys, "ts")
+            }))
+            promCat = promCat + (metric -> (promCat.get(metric) match {
+              case Some(prev) => prev.copy(
+                df = prev.df.unionByName(df, allowMissingColumns = true),
+                labels = (prev.labels ++ tagKeys).distinct,
+                extentMs = None)
+              case None => PromQL.Metric(df, tagKeys, "ts", "value")
+            }))
+        }
+      }
+      ex.sendResponseHeaders(204, -1); ex.close()
+    } catch {
+      case e: Throwable =>
+        respond(ex, 400, s"""{"error":${jsonStr(String.valueOf(e.getMessage))}}""")
+    }
+
   // ---------------------------------------------------------- /api/v1/…
   /** `15s` / `1m` / bare seconds → engine duration string. */
   private def stepOf(s: String): String = {
@@ -309,7 +354,7 @@ final class HttpGateway(spark: SparkSession,
 
   private def handleLabels(ex: HttpExchange): Unit =
     try {
-      val names = ("__name__" +: prom.values.flatMap(_.labels).toSeq)
+      val names = ("__name__" +: promCat.values.flatMap(_.labels).toSeq)
         .distinct.sorted
       promSuccess(ex, names.map(jsonStr).mkString("[", ",", "]"))
     } catch {
@@ -324,8 +369,8 @@ final class HttpGateway(spark: SparkSession,
         .getOrElse(sys.error(s"bad label values path: $path"))
       val label = decode(m.group(1))
       val values =
-        if (label == "__name__") prom.keys.toSeq.sorted
-        else prom.values.toSeq.filter(_.labels.contains(label))
+        if (label == "__name__") promCat.keys.toSeq.sorted
+        else promCat.values.toSeq.filter(_.labels.contains(label))
           .flatMap { mt =>
             mt.df.select(org.apache.spark.sql.functions.col(label))
               .distinct().collect()
@@ -345,7 +390,7 @@ final class HttpGateway(spark: SparkSession,
         sys.error("""missing required parameter "match[]""""))
       PromQL.parse(sel) match {
         case s: PromQL.Sel =>
-          val mt = prom.getOrElse(s.name,
+          val mt = promCat.getOrElse(s.name,
             sys.error(s"unknown metric ${s.name}"))
           var df = mt.df
           s.matchers.foreach { case (label, op, v) =>
@@ -398,7 +443,7 @@ final class HttpGateway(spark: SparkSession,
           val t = promTimeMs(p.getOrElse("time", sys.error("missing time")))
           (t - lookbackMs, t, "1 seconds")
         }
-      val df = PromQL.evaluate(prom, query, step,
+      val df = PromQL.evaluate(promCat, query, step,
         boundsMs = Some((loMs, hiMs)))
       val labelCols = df.columns.filterNot(Set("eval_ms", "value")).toSeq
       val rows = df.collect()
