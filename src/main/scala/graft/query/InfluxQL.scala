@@ -74,6 +74,12 @@ object InfluxQL {
         val j = q.indexOf('\'', i + 1)
         require(j > 0, s"unterminated string at $i")
         out += TStr(q.substring(i + 1, j)); prev = TStr(""); i = j + 1
+      } else if (c == '"') {
+        // double-quoted identifier (InfluxQL `"a measurement"` — the
+        // reference's scanner QuotedIdent); keeps spaces/keywords intact
+        val j = q.indexOf('"', i + 1)
+        require(j > 0, s"unterminated quoted identifier at $i")
+        val t = TIdent(q.substring(i + 1, j)); out += t; prev = t; i = j + 1
       } else if (c == '/' && (prev match {
         case TOp(_) | TPunct("(") | TPunct(",") | TPunct("") => true
         case TIdent(s) => s.equalsIgnoreCase("from") // FROM /regex/

@@ -98,6 +98,47 @@ object StreamDDL {
     case other => sys.error(s"stream-incompatible aggregate $other")
   }
 
+  /** `CREATE SUBSCRIPTION name ON db.rp DESTINATIONS ALL|ANY 'url', …`
+    * (`influxql/ast.go:6049`). Returns the parsed statement; wire it to a
+    * stream with [[Streams.subscriptionSink]]. */
+  case class Subscription(name: String, db: String, rp: String,
+                          mode: String, destinations: Seq[String])
+
+  def parseSubscription(ddl: String): Subscription = {
+    var toks = InfluxQL.lex(ddl)
+    def peek: Tok = toks.headOption.getOrElse(TPunct("<eof>"))
+    def next(): Tok = { val t = peek; toks = toks.drop(1); t }
+    def ident(): String = next() match {
+      case TIdent(s) => s
+      case TStr(s) => s
+      case t => sys.error(s"expected identifier, got $t")
+    }
+    def kw(s: String): Unit = {
+      val t = ident()
+      require(t.equalsIgnoreCase(s), s"expected $s, got $t")
+    }
+    kw("create"); kw("subscription")
+    val name = ident()
+    kw("on")
+    val db = ident()
+    require(next() == TPunct("."), "expected db.rp")
+    val rp = ident()
+    kw("destinations")
+    val mode = ident().toUpperCase
+    require(mode == "ALL" || mode == "ANY",
+      s"unknown subscription mode $mode")
+    var dests = Seq.empty[String]
+    var more = true
+    while (more) {
+      next() match {
+        case TStr(u) => dests :+= u
+        case t => sys.error(s"expected destination string, got $t")
+      }
+      if (peek == TPunct(",")) next() else more = false
+    }
+    Subscription(name, db, rp, mode, dests)
+  }
+
   /** Apply the parsed statement to a streaming source of its FROM
     * measurement (time column `time`). */
   def build(stmt: StreamStatement, source: DataFrame,

@@ -109,4 +109,33 @@ object Streams {
       .withWatermark(time, delay)
       .dropDuplicatesWithinWatermark("_ck")
       .drop("_ck")
+
+  /** Subscriptions (`influxql/ast.go:6049` CreateSubscriptionStatement;
+    * dispatch at `coordinator/subscriber.go:230`): every write to a
+    * measurement fans out to subscriber destinations. `ALL` is the
+    * reference's AllWriter — each destination receives every batch;
+    * `ANY` its RoundRobinWriter — batches rotate across destinations.
+    *
+    * Spark-native shape: a `foreachBatch` body. For ALL the micro-batch
+    * is persisted ONCE and handed to each destination, so fan-out costs
+    * N sink writes, not N recomputations of the source (at 100 TB/day
+    * ingest the recompute, not the copy, is what would kill this).
+    * Destinations are callbacks `(batch, batchId) => Unit` — a parquet
+    * append, an HTTP forward via [[graft.sources.PromRemoteWrite]].encode,
+    * a Kafka write — the transport is the caller's. */
+  def subscriptionSink(destinations: Seq[(DataFrame, Long) => Unit],
+                       mode: String = "ALL"): (DataFrame, Long) => Unit = {
+    require(destinations.nonEmpty, "subscription needs a destination")
+    val m = mode.toUpperCase
+    require(m == "ALL" || m == "ANY", s"unknown subscription mode $mode")
+    (batch: DataFrame, id: Long) =>
+      if (m == "ANY")
+        destinations(((id % destinations.size).toInt + destinations.size)
+          % destinations.size)(batch, id)
+      else {
+        batch.persist()
+        try destinations.foreach(_(batch, id))
+        finally { batch.unpersist(); () }
+      }
+  }
 }

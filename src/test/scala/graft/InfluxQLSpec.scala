@@ -561,6 +561,14 @@ class InfluxQLSpec extends SparkSpec {
     }
   }
 
+  test("double-quoted identifiers lex as plain identifiers") {
+    val a = run("""SELECT mean("value") FROM "cpu" GROUP BY "host"""")
+      .orderBy("host").collect().toSeq
+    val b = run("SELECT mean(value) FROM cpu GROUP BY host")
+      .orderBy("host").collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
   test("EXPLAIN prints the Catalyst plan; EXPLAIN ANALYZE the final one") {
     val plan = run("EXPLAIN SELECT mean(value) FROM cpu GROUP BY host")
       .as[String].collect().mkString("\n")

@@ -3,7 +3,7 @@ package graft
 import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
-import graft.streaming.Streams
+import graft.streaming.{StreamDDL, Streams}
 
 /** CREATE STREAM semantics (reference window lifecycle
   * `app/ts-store/stream/time_task.go:98-206`): tumbling windows keyed by
@@ -175,5 +175,60 @@ class StreamingSpec extends SparkSpec {
         .filter($"text" === "doc-a").count()
       assert(after == 2L)
     } finally q.stop()
+  }
+
+  test("subscription ALL fans every batch out to every destination") {
+    implicit val sqlCtx = spark.sqlContext
+    val got = Seq.fill(2)(
+      scala.collection.mutable.ArrayBuffer.empty[(Long, String)])
+    val dests: Seq[(org.apache.spark.sql.DataFrame, Long) => Unit] =
+      got.map(buf => (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        buf.synchronized {
+          buf ++= b.select($"text").as[String].collect().map((id, _))
+        })
+    val mem = MemoryStream[String]
+    val q = mem.toDF.toDF("text").writeStream
+      .foreachBatch(Streams.subscriptionSink(dests, "ALL"))
+      .start()
+    try {
+      mem.addData("w1", "w2"); q.processAllAvailable()
+      mem.addData("w3"); q.processAllAvailable()
+      got.foreach { buf =>
+        assert(buf.map(_._2).sorted == Seq("w1", "w2", "w3"))
+      }
+    } finally q.stop()
+  }
+
+  test("subscription ANY round-robins batches across destinations") {
+    implicit val sqlCtx = spark.sqlContext
+    val got = Seq.fill(2)(
+      scala.collection.mutable.ArrayBuffer.empty[String])
+    val dests: Seq[(org.apache.spark.sql.DataFrame, Long) => Unit] =
+      got.map(buf => (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        buf.synchronized {
+          buf ++= b.select($"text").as[String].collect()
+        })
+    val mem = MemoryStream[String]
+    val q = mem.toDF.toDF("text").writeStream
+      .foreachBatch(Streams.subscriptionSink(dests, "ANY"))
+      .start()
+    try {
+      mem.addData("b0"); q.processAllAvailable() // batch 0 → dest 0
+      mem.addData("b1"); q.processAllAvailable() // batch 1 → dest 1
+      mem.addData("b2"); q.processAllAvailable() // batch 2 → dest 0
+      assert(got(0).sorted == Seq("b0", "b2") && got(1).toSeq == Seq("b1"))
+    } finally q.stop()
+  }
+
+  test("CREATE SUBSCRIPTION DDL parses name, db.rp, mode, destinations") {
+    val s = StreamDDL.parseSubscription(
+      """CREATE SUBSCRIPTION "sub0" ON "mydb"."autogen" DESTINATIONS """ +
+        "ALL 'http://h1:9092', 'http://h2:9092'")
+    assert(s == StreamDDL.Subscription("sub0", "mydb", "autogen", "ALL",
+      Seq("http://h1:9092", "http://h2:9092")))
+    intercept[IllegalArgumentException] {
+      StreamDDL.parseSubscription(
+        "CREATE SUBSCRIPTION s ON db.rp DESTINATIONS SOME 'x'")
+    }
   }
 }
