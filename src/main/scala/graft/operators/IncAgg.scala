@@ -1,0 +1,142 @@
+package graft.operators
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Incremental aggregation — the reference's "inc query" feature
+  * (`engine/executor/inc_agg_transform.go:356` keyed agg state cached per
+  * (queryID, iterID) and merged with the next iteration's partials;
+  * `inc_hash_agg_transform.go`; planner rules `heu_rule.go:1486,1554`):
+  * a windowed GROUP-BY re-executed on a schedule only aggregates data
+  * that arrived since the previous run, merging into persisted state
+  * instead of rescanning history.
+  *
+  * Spark-native re-expression. The state is a parquet table of MERGEABLE
+  * PARTIALS per (tags, window) — `cnt/sum/sumsq/min/max` — not finalized
+  * values, exactly the reference's cached intermediate chunk. Each run:
+  *
+  *   1. reads the state's high-watermark (max closed window end);
+  *   2. scans ONLY `time >= cutoff` where `cutoff = watermark − lateness`
+  *      — a pushed-down range predicate, so at 100 TB the scan is the
+  *      recent tail, pruned at the parquet/partition level, not the
+  *      full measurement;
+  *   3. recomputes whole buckets in the tail and unions them with the
+  *      untouched pre-cutoff state (bucket-REPLACE, not row-merge, so a
+  *      re-delivered tail row can never double-count);
+  *   4. atomically swaps the new state in (same pattern as
+  *      [[graft.sources.Compaction]]) and returns finalized values
+  *      (mean/stddev derived from the partials).
+  *
+  * Late data older than `lateness` is dropped from the incremental view
+  * (the reference's inc cache has the same horizon: a missed iterID
+  * invalidates and falls back to full recompute — `FailedGetIncAggItem`).
+  * [[fullRecompute]] is that fallback here.
+  */
+object IncAgg {
+
+  /** Partial-state schema: `tags… , wstart, wend, cnt, sum, sumsq, mn, mx`. */
+  private def partials(source: DataFrame, time: String, interval: String,
+                       tags: Seq[String], value: String): DataFrame = {
+    val v = col(value).cast("double")
+    source.groupBy(window(col(time), interval) +: tags.map(col): _*)
+      .agg(count(v).as("cnt"), sum(v).as("sum"),
+        sum(v * v).as("sumsq"), min(v).as("mn"), max(v).as("mx"))
+      .withColumn("wstart", col("window.start"))
+      .withColumn("wend", col("window.end"))
+      .drop("window")
+  }
+
+  /** One incremental iteration: merge new data into `stateDir` and return
+    * the finalized aggregate view over ALL data seen so far. */
+  def run(source: DataFrame, time: String, interval: String,
+          tags: Seq[String], value: String, stateDir: String,
+          lateness: String = "0 seconds"): DataFrame = {
+    val spark = source.sparkSession
+    val statePath = Paths.get(stateDir)
+    val fresh = partials(source, time, interval, tags, value)
+    val next =
+      if (!Files.exists(statePath)) fresh
+      else {
+        val state = spark.read.parquet(stateDir)
+        // high-watermark minus lateness, bucket-aligned by construction
+        // (wstart values are window starts, so the cutoff is too)
+        val wmRow = state.agg(max(col("wstart"))).collect()(0)
+        if (wmRow.isNullAt(0)) fresh
+        else {
+          // bucket-aligned cutoff: round the lateness horizon UP to whole
+          // intervals so a mid-bucket cutoff can never drop tail rows
+          val ivMs = durationMs(interval)
+          val lateBuckets =
+            (durationMs(lateness) + ivMs - 1) / ivMs * ivMs
+          val cutoff = wmRow.getTimestamp(0).toInstant
+            .minusMillis(lateBuckets)
+          val kept = state.filter(col("wstart") < lit(cutoff))
+          // tail scan: range predicate reaches the source scan (pushdown)
+          val tail = partials(
+            source.filter(col(time) >= lit(cutoff)),
+            time, interval, tags, value)
+            .filter(col("wstart") >= lit(cutoff))
+          kept.unionByName(tail)
+        }
+      }
+    swapIn(next, stateDir)
+    finalizeState(spark.read.parquet(stateDir), tags)
+  }
+
+  /** The reference's cache-miss fallback (`FailedGetIncAggItem` → full
+    * re-execution): rebuild state from the whole source. */
+  def fullRecompute(source: DataFrame, time: String, interval: String,
+                    tags: Seq[String], value: String,
+                    stateDir: String): DataFrame = {
+    swapIn(partials(source, time, interval, tags, value), stateDir)
+    finalizeState(source.sparkSession.read.parquet(stateDir), tags)
+  }
+
+  /** Finalize partials → `cnt, sum, mean, stddev, mn, mx` per
+    * (tags, wstart, wend). Population variance guarded at 0 for cnt=1. */
+  def finalizeState(state: DataFrame, tags: Seq[String]): DataFrame = {
+    val mean = col("sum") / col("cnt")
+    val varP = greatest(col("sumsq") / col("cnt") - mean * mean, lit(0.0))
+    state.select(tags.map(col) ++ Seq(col("wstart"), col("wend"),
+      col("cnt"), col("sum"), mean.as("mean"),
+      sqrt(varP * col("cnt") / greatest(col("cnt") - 1, lit(1L)))
+        .as("stddev"),
+      col("mn"), col("mx")): _*)
+  }
+
+  private def durationMs(d: String): Long = {
+    val m = """^(\d+)\s*(millisecond|second|minute|hour|day)s?$""".r
+      .findFirstMatchIn(d.trim.toLowerCase)
+      .getOrElse(sys.error(s"bad lateness duration: $d"))
+    val n = m.group(1).toLong
+    m.group(2) match {
+      case "millisecond" => n
+      case "second" => n * 1000L
+      case "minute" => n * 60000L
+      case "hour" => n * 3600000L
+      case "day" => n * 86400000L
+    }
+  }
+
+  /** Write `df` to `dir` via temp + atomic move (readers never observe a
+    * half-written state). */
+  private def swapIn(df: DataFrame, dir: String): Unit = {
+    val tmp = dir.stripSuffix("/") + ".inc_tmp"
+    val old = dir.stripSuffix("/") + ".inc_old"
+    df.write.mode("overwrite").parquet(tmp)
+    val p = Paths.get(dir); val t = Paths.get(tmp); val o = Paths.get(old)
+    if (Files.exists(p)) {
+      Files.move(p, o, StandardCopyOption.ATOMIC_MOVE)
+      Files.move(t, p, StandardCopyOption.ATOMIC_MOVE)
+      deleteRecursively(o)
+    } else Files.move(t, p, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    val s = Files.walk(p)
+    try s.sorted(java.util.Comparator.reverseOrder[Path]())
+      .forEach(f => Files.delete(f))
+    finally s.close()
+  }
+}
