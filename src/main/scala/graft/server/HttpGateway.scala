@@ -5,7 +5,7 @@ import java.net.{InetSocketAddress, URLDecoder}
 import java.nio.charset.StandardCharsets.UTF_8
 import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import graft.query.{InfluxQL, PromQL}
-import graft.sources.{LineProtocol, PromRemoteWrite, ResultShaper}
+import graft.sources.{LineProtocol, PromRemoteRead, PromRemoteWrite, ResultShaper}
 
 /** Minimal HTTP serving surface over the library, mirroring the
   * reference's httpd routes (`lib/util/lifted/influx/httpd/handler.go:264`
@@ -28,6 +28,8 @@ import graft.sources.{LineProtocol, PromRemoteWrite, ResultShaper}
   *     `vector` response JSON.
   *   - `POST /api/v1/write` & `/api/v1/prom/write` — Prometheus remote
   *     write (snappy+protobuf `WriteRequest`, `handler_prom.go:86`).
+  *   - `POST /api/v1/read` — Prometheus remote read (`ReadRequest` →
+  *     raw-sample `ReadResponse`, `handler_prom.go:303`).
   *   - `GET /ping` — 204, like the reference's health probe.
   *
   * `/query` bodies come from the same [[ResultShaper]] the library path
@@ -74,6 +76,8 @@ final class HttpGateway(spark: SparkSession,
     (ex: HttpExchange) => handlePromWrite(ex))
   server.createContext("/api/v1/prom/write",
     (ex: HttpExchange) => handlePromWrite(ex))
+  server.createContext("/api/v1/read",
+    (ex: HttpExchange) => handlePromRead(ex))
   // Grafana probes buildinfo on datasource connect and falls back to
   // legacy behavior on 404 — answer with a prom-compatible version body
   server.createContext("/api/v1/status/buildinfo", (ex: HttpExchange) => {
@@ -304,6 +308,64 @@ final class HttpGateway(spark: SparkSession,
         }
       }
       ex.sendResponseHeaders(204, -1); ex.close()
+    } catch {
+      case e: Throwable =>
+        respond(ex, 400, s"""{"error":${jsonStr(String.valueOf(e.getMessage))}}""")
+    }
+
+  /** Prometheus remote read (`handler_prom.go:303` servePromReadBase):
+    * each decoded Query becomes a Spark range+matcher filter over the
+    * matching metrics; raw samples come back as a snappy+protobuf
+    * `ReadResponse`. Missing labels match the empty string, Prometheus
+    * matcher semantics. */
+  private def handlePromRead(ex: HttpExchange): Unit =
+    try {
+      import org.apache.spark.sql.functions.{coalesce, col, lit, unix_millis}
+      val queries =
+        PromRemoteRead.decodeRequest(ex.getRequestBody.readAllBytes())
+      if (queries.isEmpty) sys.error("no queries in read request")
+      val results = queries.map { q =>
+        val nameM = q.matchers.filter(_.name == PromRemoteWrite.MetricLabel)
+        val labelM = q.matchers.filterNot(_.name == PromRemoteWrite.MetricLabel)
+        promCat.toSeq.filter { case (name, _) => nameM.forall(_.matches(name)) }
+          .sortBy(_._1)
+          .flatMap { case (name, mt) =>
+            val tus = unix_millis(col(mt.time))
+            var df = mt.df.filter(tus >= q.startMs && tus <= q.endMs)
+            labelM.foreach { m =>
+              val c =
+                if (df.columns.contains(m.name))
+                  coalesce(col(m.name).cast("string"), lit(""))
+                else lit("")
+              df = df.filter(m.typ match {
+                case 0 => c === m.value
+                case 1 => c =!= m.value
+                case 2 => c.rlike("^(?:" + m.value + ")$")
+                case 3 => !c.rlike("^(?:" + m.value + ")$")
+                case t => sys.error(s"unknown matcher type $t")
+              })
+            }
+            val rows = df.select(
+              mt.labels.map(l =>
+                coalesce(col(l).cast("string"), lit("")).as(l)) ++
+                Seq(tus.as("_t"), col(mt.value).cast("double").as("_v")): _*)
+              .collect()
+            rows.groupBy(r => mt.labels.map(l => r.getAs[String](l)))
+              .toSeq.sortBy(_._1.mkString(" "))
+              .map { case (lv, rs) =>
+                val labels = mt.labels.zip(lv).filter(_._2.nonEmpty).toMap +
+                  (PromRemoteWrite.MetricLabel -> name)
+                PromRemoteWrite.Series(labels,
+                  rs.map(r => (r.getAs[Long]("_t"), r.getAs[Double]("_v")))
+                    .sortBy(_._1).toSeq)
+              }
+          }
+      }
+      val body = PromRemoteRead.encodeResponse(results)
+      ex.getResponseHeaders.set("Content-Type", "application/x-protobuf")
+      ex.getResponseHeaders.set("Content-Encoding", "snappy")
+      ex.sendResponseHeaders(200, body.length.toLong)
+      ex.getResponseBody.write(body); ex.close()
     } catch {
       case e: Throwable =>
         respond(ex, 400, s"""{"error":${jsonStr(String.valueOf(e.getMessage))}}""")

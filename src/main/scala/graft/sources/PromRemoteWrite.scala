@@ -56,7 +56,7 @@ object PromRemoteWrite {
   val MetricLabel = "__name__"
 
   // --------------------------------------------------------- proto reader
-  private final class Reader(buf: Array[Byte], from: Int, until: Int) {
+  private[sources] final class Reader(buf: Array[Byte], from: Int, until: Int) {
     var pos: Int = from
     def hasMore: Boolean = pos < until
     def varint(): Long = {
@@ -121,7 +121,7 @@ object PromRemoteWrite {
     (ts, v)
   }
 
-  private def readTimeSeries(buf: Array[Byte], from: Int, until: Int): Series = {
+  private[sources] def readTimeSeries(buf: Array[Byte], from: Int, until: Int): Series = {
     val r = new Reader(buf, from, until)
     val labels = Map.newBuilder[String, String]
     val samples = Seq.newBuilder[(Long, Double)]
@@ -150,7 +150,7 @@ object PromRemoteWrite {
     decodeUncompressed(Snappy.uncompress(body))
 
   // --------------------------------------------------------- proto writer
-  private final class Writer {
+  private[sources] final class Writer {
     private val out = new java.io.ByteArrayOutputStream()
     def varint(v: Long): Unit = {
       var x = v
@@ -175,23 +175,27 @@ object PromRemoteWrite {
     * for subscription fan-out to a remote-write endpoint, and the spec's
     * round-trip harness). Labels are emitted name-sorted like Prometheus
     * senders do. */
+  /** One encoded TimeSeries message (shared with the remote-read
+    * response writer). */
+  private[sources] def seriesBytes(s: Series): Array[Byte] = {
+    val ts = new Writer
+    s.labels.toSeq.sortBy(_._1).foreach { case (n, v) =>
+      val l = new Writer
+      l.str(1, n); l.str(2, v)
+      ts.bytes(1, l.result())
+    }
+    s.samples.foreach { case (t, v) =>
+      val smp = new Writer
+      smp.fixed64(1, java.lang.Double.doubleToLongBits(v))
+      smp.int64(2, t)
+      ts.bytes(2, smp.result())
+    }
+    ts.result()
+  }
+
   def encode(series: Seq[Series]): Array[Byte] = {
     val w = new Writer
-    series.foreach { s =>
-      val ts = new Writer
-      s.labels.toSeq.sortBy(_._1).foreach { case (n, v) =>
-        val l = new Writer
-        l.str(1, n); l.str(2, v)
-        ts.bytes(1, l.result())
-      }
-      s.samples.foreach { case (t, v) =>
-        val smp = new Writer
-        smp.fixed64(1, java.lang.Double.doubleToLongBits(v))
-        smp.int64(2, t)
-        ts.bytes(2, smp.result())
-      }
-      w.bytes(1, ts.result())
-    }
+    series.foreach(s => w.bytes(1, seriesBytes(s)))
     Snappy.compress(w.result())
   }
 
@@ -228,5 +232,108 @@ object PromRemoteWrite {
     payloads.select(col(binCol)).as[Array[Byte]]
       .flatMap(b => flatten(decode(b)))(Encoders.product[FlatSample])
       .toDF()
+  }
+}
+
+/** Prometheus remote read (`handler_prom.go:303` `servePromRead`, route
+  * `handler.go:337` `/api/v1/read`): a snappy+protobuf `ReadRequest`
+  * selects series by time range + label matchers; the response is a
+  * `ReadResponse` with one `QueryResult` per query. Wire contract
+  * (public `remote.proto`):
+  * {{{
+  *   ReadRequest  { repeated Query queries = 1; }
+  *   Query        { int64 start_timestamp_ms = 1; int64 end_timestamp_ms = 2;
+  *                  repeated LabelMatcher matchers = 3; }
+  *   LabelMatcher { Type type = 1; string name = 2; string value = 3; }
+  *                  // EQ=0 NEQ=1 RE=2 NRE=3
+  *   ReadResponse { repeated QueryResult results = 1; }
+  *   QueryResult  { repeated TimeSeries timeseries = 1; }
+  * }}}
+  */
+object PromRemoteRead {
+  import PromRemoteWrite.{Reader, Series, Writer}
+
+  /** `type`: 0 EQ, 1 NEQ, 2 RE, 3 NRE (prompb LabelMatcher.Type). */
+  case class Matcher(typ: Int, name: String, value: String) {
+    def matches(v: String): Boolean = typ match {
+      case 0 => v == value
+      case 1 => v != value
+      case 2 => ("^(?:" + value + ")$").r.matches(v)
+      case 3 => !("^(?:" + value + ")$").r.matches(v)
+      case t => sys.error(s"remote read: unknown matcher type $t")
+    }
+  }
+  case class Query(startMs: Long, endMs: Long, matchers: Seq[Matcher])
+
+  private def readMatcher(buf: Array[Byte], from: Int, until: Int): Matcher = {
+    val r = new Reader(buf, from, until)
+    var typ = 0; var name = ""; var value = ""
+    while (r.hasMore) r.tag() match {
+      case (1, 0) => typ = r.varint().toInt
+      case (2, 2) => val n = r.len(); name = new String(buf, r.pos, n, "UTF-8"); r.pos += n
+      case (3, 2) => val n = r.len(); value = new String(buf, r.pos, n, "UTF-8"); r.pos += n
+      case (_, w) => r.skip(w)
+    }
+    Matcher(typ, name, value)
+  }
+
+  private def readQuery(buf: Array[Byte], from: Int, until: Int): Query = {
+    val r = new Reader(buf, from, until)
+    var lo = 0L; var hi = 0L
+    val ms = Seq.newBuilder[Matcher]
+    while (r.hasMore) r.tag() match {
+      case (1, 0) => lo = r.varint()
+      case (2, 0) => hi = r.varint()
+      case (3, 2) => val n = r.len(); ms += readMatcher(buf, r.pos, r.pos + n); r.pos += n
+      case (_, w) => r.skip(w)
+    }
+    Query(lo, hi, ms.result())
+  }
+
+  /** Decode a snappy-compressed `ReadRequest` body. */
+  def decodeRequest(body: Array[Byte]): Seq[Query] = {
+    val buf = org.xerial.snappy.Snappy.uncompress(body)
+    val r = new Reader(buf, 0, buf.length)
+    val out = Seq.newBuilder[Query]
+    while (r.hasMore) r.tag() match {
+      case (1, 2) => val n = r.len(); out += readQuery(buf, r.pos, r.pos + n); r.pos += n
+      case (_, w) => r.skip(w)
+    }
+    out.result()
+  }
+
+  /** Encode a `ReadResponse` (one QueryResult per inner Seq), snappy
+    * compressed like the reference's responder. */
+  def encodeResponse(results: Seq[Seq[Series]]): Array[Byte] = {
+    val w = new Writer
+    results.foreach { qr =>
+      val q = new Writer
+      qr.foreach(s => q.bytes(1, PromRemoteWrite.seriesBytes(s)))
+      w.bytes(1, q.result())
+    }
+    org.xerial.snappy.Snappy.compress(w.result())
+  }
+
+  /** Decode a snappy-compressed `ReadResponse` (client side / specs). */
+  def decodeResponse(body: Array[Byte]): Seq[Seq[Series]] = {
+    val buf = org.xerial.snappy.Snappy.uncompress(body)
+    val r = new Reader(buf, 0, buf.length)
+    val out = Seq.newBuilder[Seq[Series]]
+    while (r.hasMore) r.tag() match {
+      case (1, 2) =>
+        val n = r.len(); val until = r.pos + n
+        val qr = new Reader(buf, r.pos, until)
+        val ss = Seq.newBuilder[Series]
+        while (qr.hasMore) qr.tag() match {
+          case (1, 2) =>
+            val m = qr.len()
+            ss += PromRemoteWrite.readTimeSeries(buf, qr.pos, qr.pos + m)
+            qr.pos += m
+          case (_, w) => qr.skip(w)
+        }
+        out += ss.result(); r.pos = until
+      case (_, w) => r.skip(w)
+    }
+    out.result()
   }
 }
