@@ -1241,6 +1241,22 @@ object SparkEntry {
         t(s, dir, "events"), tags = Seq("event_type")))
       graft.query.InfluxQL.execute(catalog,
         "SHOW TAG VALUES EXACT CARDINALITY FROM events WITH KEY = event_type")
+    }),
+
+    // §2.4 incremental agg (inc_agg_transform.go): two iterations over a
+    // time-split source — the second only rescans the bucket-aligned tail —
+    // must equal the full-source aggregation the oracle computes.
+    "q102_inc_agg" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val state = java.nio.file.Files
+        .createTempDirectory("graft_incq").toString + "/state"
+      graft.operators.IncAgg.run(ev.filter(col("ts") < ts("2024-01-20")),
+        "ts", "1 day", Seq("event_type"), "value", state)
+      graft.operators.IncAgg.run(ev, "ts", "1 day", Seq("event_type"),
+          "value", state)
+        .select(col("event_type"), unix_millis(col("wstart")).as("wstart_ms"),
+          col("cnt"), col("sum").as("sum_value"), col("mn"), col("mx"))
+        .orderBy("event_type", "wstart_ms")
     })
   )
 
@@ -2443,6 +2459,14 @@ object SparkEntry {
 
     "q101_show_cardinality" ->
       """SELECT CAST(count(DISTINCT CAST(event_type AS VARCHAR)) AS BIGINT)
-           AS count FROM events"""
+           AS count FROM events""",
+
+    "q102_inc_agg" ->
+      """SELECT event_type, epoch_ms(date_trunc('day', ts)) AS wstart_ms,
+         count(value) AS cnt,
+         CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value,
+         min(value) AS mn, max(value) AS mx
+         FROM events GROUP BY event_type, date_trunc('day', ts)
+         ORDER BY event_type, wstart_ms"""
   )
 }

@@ -35,12 +35,15 @@ import org.apache.spark.sql.functions._
   */
 object IncAgg {
 
-  /** Partial-state schema: `tags… , wstart, wend, cnt, sum, sumsq, mn, mx`. */
+  /** Partial-state schema: `tags… , wstart, wend, cnt, sum, sumsq, mn, mx`.
+    * `sum` accumulates in DECIMAL(28,6) so merged state is bit-identical
+    * regardless of partition/merge order (same determinism pattern as
+    * SparkEntry's dsum); `sumsq` stays double — it only feeds stddev. */
   private def partials(source: DataFrame, time: String, interval: String,
                        tags: Seq[String], value: String): DataFrame = {
     val v = col(value).cast("double")
     source.groupBy(window(col(time), interval) +: tags.map(col): _*)
-      .agg(count(v).as("cnt"), sum(v).as("sum"),
+      .agg(count(v).as("cnt"), sum(v.cast("decimal(28,6)")).as("sum"),
         sum(v * v).as("sumsq"), min(v).as("mn"), max(v).as("mx"))
       .withColumn("wstart", col("window.start"))
       .withColumn("wend", col("window.end"))
@@ -96,10 +99,11 @@ object IncAgg {
   /** Finalize partials → `cnt, sum, mean, stddev, mn, mx` per
     * (tags, wstart, wend). Population variance guarded at 0 for cnt=1. */
   def finalizeState(state: DataFrame, tags: Seq[String]): DataFrame = {
-    val mean = col("sum") / col("cnt")
+    val s = col("sum").cast("double")
+    val mean = s / col("cnt")
     val varP = greatest(col("sumsq") / col("cnt") - mean * mean, lit(0.0))
     state.select(tags.map(col) ++ Seq(col("wstart"), col("wend"),
-      col("cnt"), col("sum"), mean.as("mean"),
+      col("cnt"), s.as("sum"), mean.as("mean"),
       sqrt(varP * col("cnt") / greatest(col("cnt") - 1, lit(1L)))
         .as("stddev"),
       col("mn"), col("mx")): _*)
