@@ -124,11 +124,15 @@ object IncAgg {
   }
 
   /** Write `df` to `dir` via temp + atomic move (readers never observe a
-    * half-written state). */
+    * half-written state). State cardinality is (#tag-combinations ×
+    * #buckets) — orders of magnitude below the source — so one output
+    * file beats 32 shuffle-partition shards for the re-read each
+    * iteration pays; a deployment with millions of series would shard
+    * the state dir by tag hash instead. */
   private def swapIn(df: DataFrame, dir: String): Unit = {
     val tmp = dir.stripSuffix("/") + ".inc_tmp"
     val old = dir.stripSuffix("/") + ".inc_old"
-    df.write.mode("overwrite").parquet(tmp)
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
     val p = Paths.get(dir); val t = Paths.get(tmp); val o = Paths.get(old)
     if (Files.exists(p)) {
       Files.move(p, o, StandardCopyOption.ATOMIC_MOVE)

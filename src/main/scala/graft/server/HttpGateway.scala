@@ -50,6 +50,10 @@ final class HttpGateway(spark: SparkSession,
 
   @volatile private var catalog = init
   @volatile private var promCat = prom
+  // extent-splitting PromQL range results cache (results_cache.go);
+  // invalidated whenever the prom catalog changes (remote write)
+  private val resultsCache =
+    new ResultsCache[Sample](_.evalMs)
   private val server =
     HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
 
@@ -95,6 +99,9 @@ final class HttpGateway(spark: SparkSession,
 
   /** Current measurement catalog (grows via /write and SELECT INTO). */
   def measurements: Map[String, InfluxQL.Measurement] = catalog
+
+  /** (cached samples served, gap evaluations run) — results cache. */
+  def resultsCacheStats: (Long, Long) = resultsCache.stats
 
   // ------------------------------------------------------------ plumbing
   private def jsonStr(s: String): String =
@@ -307,6 +314,7 @@ final class HttpGateway(spark: SparkSession,
             }))
         }
       }
+      resultsCache.invalidateAll()
       ex.sendResponseHeaders(204, -1); ex.close()
     } catch {
       case e: Throwable =>
@@ -486,6 +494,22 @@ final class HttpGateway(spark: SparkSession,
           jsonStr(String.valueOf(e.getMessage))}}""")
     }
 
+  /** One collected (series, step) sample — the results-cache payload. */
+  private case class Sample(labels: Seq[(String, String)], evalMs: Long,
+                            value: Double)
+
+  /** Evaluate `query` over `[loMs, hiMs]` and collect samples. */
+  private def collectSamples(query: String, step: String,
+                             loMs: Long, hiMs: Long): Seq[Sample] = {
+    val df = PromQL.evaluate(promCat, query, step,
+      boundsMs = Some((loMs, hiMs)))
+    val labelCols = df.columns.filterNot(Set("eval_ms", "value")).toSeq
+    df.collect().toSeq
+      .map(r => Sample(labelCols.map(c => c -> r.getAs[String](c)),
+        r.getAs[Long]("eval_ms"), r.getAs[Double]("value")))
+      .filter(s => s.evalMs >= loMs && s.evalMs <= hiMs)
+  }
+
   private def handleProm(ex: HttpExchange, range: Boolean): Unit =
     try {
       val p = params(ex, readBody = true)
@@ -505,30 +529,31 @@ final class HttpGateway(spark: SparkSession,
           val t = promTimeMs(p.getOrElse("time", sys.error("missing time")))
           (t - lookbackMs, t, "1 seconds")
         }
-      val df = PromQL.evaluate(promCat, query, step,
-        boundsMs = Some((loMs, hiMs)))
-      val labelCols = df.columns.filterNot(Set("eval_ms", "value")).toSeq
-      val rows = df.collect()
-      val grouped = rows.groupBy(r => labelCols.map(c => r.getAs[String](c)))
-        .toSeq.sortBy(_._1.mkString(" "))
-      val result = grouped.flatMap { case (lv, rs) =>
-        val metric = labelCols.zip(lv).filter(_._2 != null)
-          .filter(_._2.nonEmpty)
+      // range queries flow through the extent-splitting results cache
+      // (`results_cache.go`); `Cache-Control: no-store` opts out like
+      // the reference's shouldCache
+      val noStore =
+        Option(ex.getRequestHeaders.getFirst("Cache-Control"))
+          .exists(_.contains("no-store"))
+      val samples =
+        if (range && !noStore)
+          resultsCache.fetch(s"$query|$step", loMs, hiMs,
+            System.currentTimeMillis())(collectSamples(query, step, _, _))
+        else collectSamples(query, step, loMs, hiMs)
+      val grouped = samples.groupBy(_.labels)
+        .toSeq.sortBy(_._1.map(_._2).mkString(" "))
+      val result = grouped.flatMap { case (labels, rs) =>
+        val metric = labels.filter(_._2 != null).filter(_._2.nonEmpty)
           .map { case (k, v) => s"${jsonStr(k)}:${jsonStr(v)}" }
           .mkString("{", ",", "}")
-        val inWindow = rs.filter { r =>
-          val t = r.getAs[Long]("eval_ms"); t >= loMs && t <= hiMs
-        }.sortBy(_.getAs[Long]("eval_ms"))
+        val inWindow = rs.sortBy(_.evalMs)
         if (range) {
-          val samples = inWindow.map { r =>
-            s"[${fmtSec(r.getAs[Long]("eval_ms"))},${
-              jsonStr(fmtVal(r.getAs[Double]("value")))}]"
-          }
+          val vals = inWindow.map(s =>
+            s"[${fmtSec(s.evalMs)},${jsonStr(fmtVal(s.value))}]")
           Some(s"""{"metric":$metric,"values":${
-            samples.mkString("[", ",", "]")}}""")
-        } else inWindow.lastOption.map { r =>
-          val v = s"[${fmtSec(hiMs)},${
-            jsonStr(fmtVal(r.getAs[Double]("value")))}]"
+            vals.mkString("[", ",", "]")}}""")
+        } else inWindow.lastOption.map { s =>
+          val v = s"[${fmtSec(hiMs)},${jsonStr(fmtVal(s.value))}]"
           s"""{"metric":$metric,"value":$v}"""
         }
       }.mkString("[", ",", "]")

@@ -82,6 +82,26 @@ class ServerSpec extends SparkSpec {
     r.body().split('\n').foreach(l => JsonMethods.parse(l))
   }
 
+  test("repeated /api/v1/query_range hits the results cache byte-identically") {
+    val q = enc("sum(events)")
+    val path = s"/api/v1/query_range?query=$q&start=1704067200" +
+      "&end=1704153600&step=1h"
+    val first = get(path)
+    assert(first.statusCode() == 200)
+    val (hits0, evals0) = gateway.resultsCacheStats
+    val second = get(path)
+    assert(second.body() == first.body())
+    val (hits1, evals1) = gateway.resultsCacheStats
+    assert(hits1 > hits0, "second call must serve cached samples")
+    assert(evals1 == evals0, "second call must not evaluate any gap")
+    // Cache-Control: no-store bypasses but returns the same body
+    val bypass = http.send(HttpRequest.newBuilder(url(path))
+      .header("Cache-Control", "no-store").GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(bypass.body() == first.body())
+    assert(gateway.resultsCacheStats._1 == hits1)
+  }
+
   test("/query epoch parameter rescales timestamps") {
     val q = "SELECT count(value) FROM events GROUP BY time(1d) LIMIT 1"
     val ms = get(s"/query?q=${enc(q)}&epoch=ms").body()
