@@ -949,6 +949,22 @@ object InfluxQL {
       case TIdent(k) if k.equalsIgnoreCase("continuous") =>
         p.expectIdent("queries")
         Seq.empty[(String, String)].toDF("name", "query")
+      case TIdent(k) if k.equalsIgnoreCase("streams") =>
+        // meta/data.go:3918 ShowStreams column set
+        Seq.empty[(String, String, String, String, String, String,
+            String, String, String, String)]
+          .toDF("database", "retention", "measurement", "Name",
+            "source measurement", "dimensions", "calls", "interval",
+            "delay", "condition")
+      case TIdent(k) if k.equalsIgnoreCase("downsamples") =>
+        // meta/data.go:3827 ShowDownSamplePolicies column set
+        Seq.empty[(String, String, String, String, String)]
+          .toDF("rpName", "field_operator", "duration", "sampleInterval",
+            "timeInterval")
+      case TIdent(k) if k.equalsIgnoreCase("configs") =>
+        // statement_executor.go:2561 executeShowConfigs column set
+        Seq(("sql", "localhost", "logging.level", "info"))
+          .toDF("component", "instance", "name", "value")
       case TIdent(k) if k.equalsIgnoreCase("stats") ||
           k.equalsIgnoreCase("diagnostics") =>
         Seq(("engine", "spark"),

@@ -543,6 +543,13 @@ class InfluxQLSpec extends SparkSpec {
     assert(cols("SHOW SUBSCRIPTIONS") ==
       Seq("retention_policy", "name", "mode", "destinations"))
     assert(cols("SHOW CONTINUOUS QUERIES") == Seq("name", "query"))
+    assert(cols("SHOW STREAMS") == Seq("database", "retention",
+      "measurement", "Name", "source measurement", "dimensions", "calls",
+      "interval", "delay", "condition"))
+    assert(cols("SHOW DOWNSAMPLES") == Seq("rpName", "field_operator",
+      "duration", "sampleInterval", "timeInterval"))
+    assert(cols("SHOW CONFIGS") ==
+      Seq("component", "instance", "name", "value"))
     val stats = run("SHOW STATS").select("name", "value")
       .as[(String, String)].collect().toMap
     assert(stats("engine") == "spark" && stats("measurements") == "1")
