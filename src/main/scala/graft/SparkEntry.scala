@@ -761,7 +761,10 @@ object SparkEntry {
           sum(when(round(abs(col("zscore")), 9) > 2.5, 1L).otherwise(0L))
             .as("n_anomalies"),
           round(max(abs(col("zscore"))), 6).as("max_abs_z"))
-        .orderBy("user_id")
+        // output is one row per user — a global range sort would pay a
+        // partition-sampling job for a result this small; one-partition
+        // sort gives the same order without it (upstream stays parallel)
+        .repartition(1).sortWithinPartitions("user_id")
     }),
 
     // §3.1 frontend: arithmetic over aggregates (materialize on agg output).

@@ -5,7 +5,7 @@ import java.net.{InetSocketAddress, URLDecoder}
 import java.nio.charset.StandardCharsets.UTF_8
 import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import graft.query.{InfluxQL, PromQL}
-import graft.sources.{LineProtocol, PromRemoteRead, PromRemoteWrite, ResultShaper}
+import graft.sources.{LineProtocol, OtlpMetrics, PromRemoteRead, PromRemoteWrite, ResultShaper}
 
 /** Minimal HTTP serving surface over the library, mirroring the
   * reference's httpd routes (`lib/util/lifted/influx/httpd/handler.go:264`
@@ -82,6 +82,9 @@ final class HttpGateway(spark: SparkSession,
     (ex: HttpExchange) => handlePromWrite(ex))
   server.createContext("/api/v1/read",
     (ex: HttpExchange) => handlePromRead(ex))
+  // OTLP metrics remote write (handler.go:316, handler_otlp.go:109)
+  server.createContext("/api/v1/otlp/metrics",
+    (ex: HttpExchange) => handleOtlpWrite(ex))
   // Grafana probes buildinfo on datasource connect and falls back to
   // legacy behavior on 404 — answer with a prom-compatible version body
   server.createContext("/api/v1/status/buildinfo", (ex: HttpExchange) => {
@@ -316,6 +319,32 @@ final class HttpGateway(spark: SparkSession,
       }
       resultsCache.invalidateAll()
       ex.sendResponseHeaders(204, -1); ex.close()
+    } catch {
+      case e: Throwable =>
+        respond(ex, 400, s"""{"error":${jsonStr(String.valueOf(e.getMessage))}}""")
+    }
+
+  /** OTLP metrics write (`handler_otlp.go:109`): gauge/sum data points
+    * land as measurements named after the instrumentation scope, one
+    * field per metric, attributes as tags (otlp_metrics_writer.go
+    * schema). Success is an empty ExportMetricsServiceResponse. */
+  private def handleOtlpWrite(ex: HttpExchange): Unit =
+    try {
+      val samples = OtlpMetrics.decode(ex.getRequestBody.readAllBytes())
+      if (samples.isEmpty) sys.error("no metric data points in request")
+      synchronized {
+        OtlpMetrics.toMeasurements(spark, samples).foreach {
+          case (scope, (df, tagKeys)) =>
+            catalog = catalog + (scope -> (catalog.get(scope) match {
+              case Some(prev) => InfluxQL.Measurement(
+                prev.df.unionByName(df, allowMissingColumns = true),
+                (prev.tags ++ tagKeys).distinct, prev.time)
+              case None => InfluxQL.Measurement(df, tagKeys, "ts")
+            }))
+        }
+      }
+      ex.getResponseHeaders.set("Content-Type", "application/x-protobuf")
+      ex.sendResponseHeaders(200, -1); ex.close()
     } catch {
       case e: Throwable =>
         respond(ex, 400, s"""{"error":${jsonStr(String.valueOf(e.getMessage))}}""")

@@ -1,0 +1,270 @@
+package graft.sources
+
+import java.util.zip.GZIPInputStream
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** OTLP metrics ingestion (reference: `httpd/handler.go:316` route
+  * `POST /api/v1/otlp/metrics` → `handler_otlp.go:109`
+  * `serveOtlpMetricsWrite` → `lib/opentelemetry/otlp_metrics_writer.go`):
+  * an OTLP/HTTP protobuf `ExportMetricsServiceRequest` becomes
+  * measurement rows with the reference's schema —
+  * `enqueueMetrics`/`initMetricTagsAndTs` write gauge and sum data
+  * points under the instrumentation SCOPE name as the measurement, one
+  * FIELD per metric name, with data-point + resource attributes as tags
+  * (`otlp_metrics_writer.go:150-185,225-250`).
+  *
+  * Wire subset decoded (public opentelemetry-proto `metrics.proto` /
+  * `common.proto`; unknown fields — histograms, exemplars, traces —
+  * are skipped, not errors):
+  * {{{
+  *   ExportMetricsServiceRequest { repeated ResourceMetrics = 1 }
+  *   ResourceMetrics { Resource resource = 1; repeated ScopeMetrics = 2 }
+  *   Resource        { repeated KeyValue attributes = 1 }
+  *   ScopeMetrics    { InstrumentationScope scope = 1; repeated Metric = 2 }
+  *   InstrumentationScope { string name = 1 }
+  *   Metric          { string name = 1; Gauge gauge = 5; Sum sum = 7 }
+  *   Gauge / Sum     { repeated NumberDataPoint data_points = 1 }
+  *   NumberDataPoint { fixed64 time_unix_nano = 3; double as_double = 4;
+  *                     sfixed64 as_int = 6; repeated KeyValue attrs = 7 }
+  *   KeyValue        { string key = 1; AnyValue value = 2 }
+  *   AnyValue        { string = 1; bool = 2; int64 = 3; double = 4 }
+  * }}}
+  * Reuses [[PromRemoteWrite.Reader]]/`Writer`. Bodies may be gzipped
+  * (OTLP/HTTP `Content-Encoding: gzip`).
+  */
+object OtlpMetrics {
+  import PromRemoteWrite.{Reader, Writer}
+
+  /** One decoded number data point, reference row shape: measurement =
+    * scope, field = metric, tags = resource + data-point attributes. */
+  case class OtelSample(scope: String, metric: String,
+                        tags: Map[String, String], time_ns: Long,
+                        value: Double)
+
+  // ---------------------------------------------------------- decoding
+  private def readAnyValue(buf: Array[Byte], from: Int, until: Int): String = {
+    val r = new Reader(buf, from, until)
+    var out = ""
+    while (r.hasMore) r.tag() match {
+      case (1, 2) => val n = r.len(); out = new String(buf, r.pos, n, "UTF-8"); r.pos += n
+      case (2, 0) => out = (r.varint() != 0).toString
+      case (3, 0) => out = r.varint().toString
+      case (4, 1) =>
+        val d = java.lang.Double.longBitsToDouble(r.fixed64())
+        out = if (d == d.toLong.toDouble) d.toLong.toString else d.toString
+      case (_, w) => r.skip(w)
+    }
+    out
+  }
+
+  private def readKeyValue(buf: Array[Byte], from: Int, until: Int): (String, String) = {
+    val r = new Reader(buf, from, until)
+    var k = ""; var v = ""
+    while (r.hasMore) r.tag() match {
+      case (1, 2) => val n = r.len(); k = new String(buf, r.pos, n, "UTF-8"); r.pos += n
+      case (2, 2) => val n = r.len(); v = readAnyValue(buf, r.pos, r.pos + n); r.pos += n
+      case (_, w) => r.skip(w)
+    }
+    (k, v)
+  }
+
+  private def readAttrs(buf: Array[Byte], r: Reader,
+                        into: collection.mutable.Map[String, String]): Unit = {
+    val n = r.len(); into += readKeyValue(buf, r.pos, r.pos + n); r.pos += n
+  }
+
+  private def readDataPoint(buf: Array[Byte], from: Int,
+                            until: Int): Option[(Map[String, String], Long, Double)] = {
+    val r = new Reader(buf, from, until)
+    val attrs = collection.mutable.Map.empty[String, String]
+    var ts = 0L; var v = 0.0; var has = false
+    while (r.hasMore) r.tag() match {
+      case (3, 1) => ts = r.fixed64()
+      case (4, 1) => v = java.lang.Double.longBitsToDouble(r.fixed64()); has = true
+      case (6, 1) => v = r.fixed64().toDouble; has = true // sfixed64 as_int
+      case (7, 2) => readAttrs(buf, r, attrs)
+      case (_, w) => r.skip(w)
+    }
+    if (has) Some((attrs.toMap, ts, v)) else None // Empty-typed point
+  }
+
+  private def readPoints(buf: Array[Byte], from: Int, until: Int):
+      Seq[(Map[String, String], Long, Double)] = {
+    val r = new Reader(buf, from, until)
+    val out = Seq.newBuilder[(Map[String, String], Long, Double)]
+    while (r.hasMore) r.tag() match {
+      case (1, 2) =>
+        val n = r.len(); out ++= readDataPoint(buf, r.pos, r.pos + n); r.pos += n
+      case (_, w) => r.skip(w)
+    }
+    out.result()
+  }
+
+  private def readMetric(buf: Array[Byte], from: Int, until: Int):
+      (String, Seq[(Map[String, String], Long, Double)]) = {
+    val r = new Reader(buf, from, until)
+    var name = ""
+    val pts = Seq.newBuilder[(Map[String, String], Long, Double)]
+    while (r.hasMore) r.tag() match {
+      case (1, 2) => val n = r.len(); name = new String(buf, r.pos, n, "UTF-8"); r.pos += n
+      case (5, 2) | (7, 2) => // gauge | sum — same data_points shape
+        val n = r.len(); pts ++= readPoints(buf, r.pos, r.pos + n); r.pos += n
+      case (_, w) => r.skip(w) // histogram/summary/exp-histogram skipped
+    }
+    (name, pts.result())
+  }
+
+  private def readScopeMetrics(buf: Array[Byte], from: Int, until: Int,
+                               resourceTags: Map[String, String]): Seq[OtelSample] = {
+    val r = new Reader(buf, from, until)
+    var scope = "otel"
+    val out = Seq.newBuilder[OtelSample]
+    val metrics = Seq.newBuilder[(String, Seq[(Map[String, String], Long, Double)])]
+    while (r.hasMore) r.tag() match {
+      case (1, 2) => // InstrumentationScope { name = 1 }
+        val n = r.len()
+        val sr = new Reader(buf, r.pos, r.pos + n)
+        while (sr.hasMore) sr.tag() match {
+          case (1, 2) =>
+            val m = sr.len()
+            scope = new String(buf, sr.pos, m, "UTF-8"); sr.pos += m
+          case (_, w) => sr.skip(w)
+        }
+        r.pos += n
+      case (2, 2) => val n = r.len(); metrics += readMetric(buf, r.pos, r.pos + n); r.pos += n
+      case (_, w) => r.skip(w)
+    }
+    metrics.result().foreach { case (metric, pts) =>
+      pts.foreach { case (attrs, ts, v) =>
+        // resource attributes join the data-point attributes as tags
+        // (ResourceToTags, otlp_metrics_writer.go:246)
+        out += OtelSample(scope, metric, resourceTags ++ attrs, ts, v)
+      }
+    }
+    out.result()
+  }
+
+  private def readResourceMetrics(buf: Array[Byte], from: Int, until: Int): Seq[OtelSample] = {
+    val r = new Reader(buf, from, until)
+    var resourceTags = Map.empty[String, String]
+    val scopeSpans = Seq.newBuilder[(Int, Int)]
+    while (r.hasMore) r.tag() match {
+      case (1, 2) => // Resource { attributes = 1 }
+        val n = r.len()
+        val rr = new Reader(buf, r.pos, r.pos + n)
+        val attrs = collection.mutable.Map.empty[String, String]
+        while (rr.hasMore) rr.tag() match {
+          case (1, 2) => readAttrs(buf, rr, attrs)
+          case (_, w) => rr.skip(w)
+        }
+        resourceTags = attrs.toMap
+        r.pos += n
+      case (2, 2) => val n = r.len(); scopeSpans += ((r.pos, r.pos + n)); r.pos += n
+      case (_, w) => r.skip(w)
+    }
+    // resource may be written after scope_metrics in the stream — decode
+    // scopes only once the whole ResourceMetrics message is walked
+    scopeSpans.result().flatMap { case (a, b) =>
+      readScopeMetrics(buf, a, b, resourceTags)
+    }
+  }
+
+  /** Decode an `ExportMetricsServiceRequest` (plain or gzip). */
+  def decode(body: Array[Byte]): Seq[OtelSample] = {
+    val buf =
+      if (body.length >= 2 && (body(0) & 0xff) == 0x1f &&
+          (body(1) & 0xff) == 0x8b)
+        new GZIPInputStream(new java.io.ByteArrayInputStream(body))
+          .readAllBytes()
+      else body
+    val r = new Reader(buf, 0, buf.length)
+    val out = Seq.newBuilder[OtelSample]
+    while (r.hasMore) r.tag() match {
+      case (1, 2) => val n = r.len(); out ++= readResourceMetrics(buf, r.pos, r.pos + n); r.pos += n
+      case (_, w) => r.skip(w)
+    }
+    out.result()
+  }
+
+  // ---------------------------------------------------------- ingestion
+  /** One measurement frame per scope: columns = sorted tag keys ++ one
+    * DOUBLE field per metric name ++ `ts` — the reference's
+    * field-per-metric schema. Rows with identical (tags, ts) carry all
+    * their metrics in one row, like `enqueueMetrics` batching. */
+  def toMeasurements(spark: SparkSession, samples: Seq[OtelSample]):
+      Map[String, (DataFrame, Seq[String])] =
+    samples.groupBy(_.scope).map { case (scope, ss) =>
+      val tagKeys = ss.flatMap(_.tags.keys).distinct.sorted
+      val fieldKeys = ss.map(_.metric).distinct.sorted
+      val rows = ss.groupBy(s => (s.tags, s.time_ns)).toSeq
+        .map { case ((tags, ts), group) =>
+          val fields = group.map(s => s.metric -> s.value).toMap
+          org.apache.spark.sql.Row.fromSeq(
+            tagKeys.map(tags.get(_).orNull) ++
+              fieldKeys.map(f => fields.get(f)
+                .map(java.lang.Double.valueOf).orNull) :+
+              new java.sql.Timestamp(ts / 1000000L))
+        }
+      val schema = org.apache.spark.sql.types.StructType(
+        tagKeys.map(k => org.apache.spark.sql.types.StructField(k,
+          org.apache.spark.sql.types.StringType)) ++
+          fieldKeys.map(f => org.apache.spark.sql.types.StructField(f,
+            org.apache.spark.sql.types.DoubleType)) :+
+          org.apache.spark.sql.types.StructField("ts",
+            org.apache.spark.sql.types.TimestampType))
+      scope -> (spark.createDataFrame(
+        new java.util.ArrayList(java.util.Arrays.asList(rows: _*)),
+        schema), tagKeys)
+    }
+
+  /** Distributed bulk replay of archived OTLP bodies, one flat row per
+    * data point (same design as [[PromRemoteWrite.fromPayloads]]). */
+  def fromPayloads(payloads: DataFrame, binCol: String): DataFrame = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.select(col(binCol)).as[Array[Byte]]
+      .flatMap(b => decode(b))(Encoders.product[OtelSample])
+      .toDF()
+  }
+
+  // ----------------------------------------------------------- encoding
+  /** Sender side, for specs and fan-out: one resource, one scope. */
+  def encode(scope: String, resourceTags: Map[String, String],
+             samples: Seq[OtelSample]): Array[Byte] = {
+    def kv(k: String, v: String): Array[Byte] = {
+      val av = new Writer; av.str(1, v)
+      val w = new Writer; w.str(1, k); w.bytes(2, av.result())
+      w.result()
+    }
+    val sm = new Writer
+    val scopeMsg = new Writer; scopeMsg.str(1, scope)
+    sm.bytes(1, scopeMsg.result())
+    samples.groupBy(_.metric).toSeq.sortBy(_._1).foreach { case (m, pts) =>
+      val gauge = new Writer
+      pts.foreach { s =>
+        val dp = new Writer
+        dp.fixed64(3, s.time_ns)
+        dp.fixed64(4, java.lang.Double.doubleToLongBits(s.value))
+        s.tags.toSeq.sortBy(_._1).foreach { case (k, v) =>
+          dp.bytes(7, kv(k, v))
+        }
+        gauge.bytes(1, dp.result())
+      }
+      val metric = new Writer
+      metric.str(1, m)
+      metric.bytes(5, gauge.result())
+      sm.bytes(2, metric.result())
+    }
+    val res = new Writer
+    resourceTags.toSeq.sortBy(_._1).foreach { case (k, v) =>
+      res.bytes(1, kv(k, v))
+    }
+    val rm = new Writer
+    rm.bytes(1, res.result())
+    rm.bytes(2, sm.result())
+    val req = new Writer
+    req.bytes(1, rm.result())
+    req.result()
+  }
+}

@@ -1,0 +1,97 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import org.apache.spark.sql.functions._
+import graft.query.{InfluxQL, PromQL}
+import graft.server.HttpGateway
+import graft.sources.OtlpMetrics
+import graft.sources.OtlpMetrics.OtelSample
+
+/** OTLP metrics ingest: wire decode of the opentelemetry-proto subset,
+  * the reference's scope-measurement / metric-field / attr-tag schema
+  * (`otlp_metrics_writer.go`), and the HTTP route. */
+class OtlpMetricsSpec extends SparkSpec {
+
+  private val samples = Seq(
+    OtelSample("app.runtime", "heap_bytes", Map("host" -> "a"),
+      1000000000L, 512.0),
+    OtelSample("app.runtime", "heap_bytes", Map("host" -> "b"),
+      1000000000L, 256.5),
+    OtelSample("app.runtime", "gc_count", Map("host" -> "a"),
+      1000000000L, 3.0))
+
+  test("encode/decode round-trips; resource attrs merge into tags") {
+    val body = OtlpMetrics.encode("app.runtime",
+      Map("service.name" -> "svc1"), samples)
+    val got = OtlpMetrics.decode(body)
+    assert(got.toSet == samples.map(s =>
+      s.copy(tags = s.tags + ("service.name" -> "svc1"))).toSet)
+  }
+
+  test("gzipped bodies decode transparently") {
+    val plain = OtlpMetrics.encode("s", Map.empty, samples.take(1))
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(plain); gz.close()
+    assert(OtlpMetrics.decode(bos.toByteArray) ==
+      OtlpMetrics.decode(plain))
+  }
+
+  test("toMeasurements: scope measurement, field per metric, tag cols") {
+    val ms = OtlpMetrics.toMeasurements(spark, samples)
+    assert(ms.keySet == Set("app.runtime"))
+    val (df, tags) = ms("app.runtime")
+    assert(tags == Seq("host"))
+    assert(df.columns.toSeq == Seq("host", "gc_count", "heap_bytes", "ts"))
+    val rows = df.orderBy("host")
+      .collect().map(r => (r.getAs[String]("host"),
+        Option(r.getAs[java.lang.Double]("gc_count")),
+        Option(r.getAs[java.lang.Double]("heap_bytes"))))
+    // host=a row carries both metrics (enqueueMetrics batching);
+    // host=b has no gc_count → null field
+    assert(rows.toSeq == Seq(
+      ("a", Some(3.0: java.lang.Double), Some(512.0: java.lang.Double)),
+      ("b", None, Some(256.5: java.lang.Double))))
+  }
+
+  test("fromPayloads decodes archived bodies distributed") {
+    import spark.implicits._
+    val p1 = OtlpMetrics.encode("s1", Map.empty, samples.take(2))
+    val p2 = OtlpMetrics.encode("s2", Map("r" -> "x"), samples.drop(2))
+    val out = OtlpMetrics.fromPayloads(
+      Seq(p1, p2).toDF("body").repartition(2), "body")
+    assert(out.count() == 3)
+    assert(out.filter(col("scope") === "s2").count() == 1)
+  }
+
+  private lazy val gateway: HttpGateway = {
+    val g = new HttpGateway(spark, Map.empty, Map.empty)
+    g.start(); g
+  }
+  private lazy val http = HttpClient.newHttpClient()
+  private def url(path: String) =
+    URI.create(s"http://127.0.0.1:${gateway.boundPort}$path")
+
+  test("POST /api/v1/otlp/metrics ingests; InfluxQL sees the fields") {
+    val body = OtlpMetrics.encode("app.runtime",
+      Map("service.name" -> "svc1"), samples)
+    val r = http.send(HttpRequest.newBuilder(url("/api/v1/otlp/metrics"))
+      .header("Content-Type", "application/x-protobuf")
+      .POST(HttpRequest.BodyPublishers.ofByteArray(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(r.statusCode() == 200)
+    val q = java.net.URLEncoder.encode(
+      "SELECT sum(heap_bytes), max(gc_count) FROM \"app.runtime\"", "UTF-8")
+    val resp = http.send(HttpRequest.newBuilder(
+      url(s"/query?q=$q&epoch=ms")).GET().build(),
+      HttpResponse.BodyHandlers.ofString()).body()
+    assert(resp.contains("\"name\":\"app.runtime\""), resp)
+    assert(resp.contains("768.5") && resp.contains("3"), resp)
+    // garbage is a 400, not a crash
+    val bad = http.send(HttpRequest.newBuilder(url("/api/v1/otlp/metrics"))
+      .POST(HttpRequest.BodyPublishers.ofByteArray(Array[Byte](9, 9)))
+      .build(), HttpResponse.BodyHandlers.ofString())
+    assert(bad.statusCode() == 400)
+  }
+}
