@@ -706,6 +706,14 @@ object InfluxQL {
       // the single-database model — client libraries issue them on
       // connect and expect success
       catalog
+    } else if (p.isKw("alter") || p.isKw("grant") || p.isKw("revoke") ||
+        p.isKw("set")) {
+      // ALTER RETENTION POLICY / SHARD KEY, GRANT/REVOKE [ADMIN],
+      // SET PASSWORD (ast.go Alter*/Grant*/Revoke*/SetPasswordUser):
+      // meta/auth mutations with nothing to mutate in the
+      // storage-agnostic single-user model — accepted no-ops, the same
+      // contract as CREATE DATABASE above
+      catalog
     } else if (p.isKw("kill")) {
       // KILL QUERY <qid>: accepted no-op — there is no query registry
       // in library mode (reference: task_manager.go kills by qid)
@@ -882,6 +890,28 @@ object InfluxQL {
       } else if (p.isKw("cardinality")) { p.next(); Some(false) }
       else None
     p.next() match {
+      case TIdent(k) if k.equalsIgnoreCase("measurements") &&
+          p.isKw("detail") =>
+        // SHOW MEASUREMENTS DETAIL (statement_executor.go:1506): one
+        // "Detail" row group per measurement — RETENTION POLICY, INDEX,
+        // SHARD KEY, ENGINE TYPE, TAG KEYS, FIELD KEYS — flattened here
+        // with a leading measurement column (the reference shapes per-
+        // measurement series; the library output is one frame)
+        p.next()
+        val rows = catalog.toSeq.sortBy(_._1).flatMap { case (name, m) =>
+          def nil(s: String) = if (s.isEmpty) "<nil>" else s
+          val fields = m.df.columns
+            .filterNot(c => m.tags.contains(c) || c == m.time ||
+              c == "ts_ns")
+          Seq(
+            (name, "RETENTION POLICY: autogen"),
+            (name, "INDEX: <nil>"),
+            (name, "SHARD KEY: <nil>"),
+            (name, "ENGINE TYPE: tsstore"),
+            (name, "TAG KEYS: " + nil(m.tags.sorted.mkString(", "))),
+            (name, "FIELD KEYS: " + nil(fields.sorted.mkString(", "))))
+        }
+        rows.toDF("measurement", "Detail")
       case TIdent(k) if k.equalsIgnoreCase("measurements") =>
         // WITH MEASUREMENT =~ /re/ | = name (parser.go
         // parseShowMeasurementsStatement), then LIMIT/OFFSET paging

@@ -174,10 +174,9 @@ final class HttpGateway(spark: SparkSession,
       require(statements.nonEmpty, "empty query")
 
       def resultObj(stmt: String, id: Int): String =
-        if (stmt.trim.toLowerCase.startsWith("drop ") ||
-            stmt.trim.toLowerCase.startsWith("create ") ||
-            stmt.trim.toLowerCase.startsWith("kill ") ||
-            stmt.trim.toLowerCase.startsWith("delete")) {
+        if (Seq("drop ", "create ", "kill ", "delete", "alter ",
+            "grant ", "revoke ", "set ")
+            .exists(stmt.trim.toLowerCase.startsWith)) {
           synchronized { catalog = InfluxQL.executeManage(catalog, stmt) }
           s"""{"statement_id":$id}"""
         } else if ("(?is).*\\bINTO\\b.*".r.matches(stmt) &&

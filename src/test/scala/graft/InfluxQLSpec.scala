@@ -550,6 +550,11 @@ class InfluxQLSpec extends SparkSpec {
       "duration", "sampleInterval", "timeInterval"))
     assert(cols("SHOW CONFIGS") ==
       Seq("component", "instance", "name", "value"))
+    val detail = run("SHOW MEASUREMENTS DETAIL")
+      .select("Detail").as[String].collect().toSeq
+    assert(detail.exists(_.startsWith("ENGINE TYPE: tsstore")))
+    assert(detail.exists(_ == "TAG KEYS: host"))
+    assert(detail.exists(_.startsWith("FIELD KEYS: ")))
     val stats = run("SHOW STATS").select("name", "value")
       .as[(String, String)].collect().toMap
     assert(stats("engine") == "spark" && stats("measurements") == "1")
@@ -562,6 +567,11 @@ class InfluxQLSpec extends SparkSpec {
     // meta-level drops are accepted no-ops; unknown DROPs still fail
     for (q <- Seq("DROP DATABASE graft", "DROP RETENTION POLICY autogen",
         "DROP SHARD 3", "DROP SUBSCRIPTION sub", "DROP CONTINUOUS QUERY cq"))
+      assert(InfluxQL.executeManage(catalog, q) == catalog, q)
+    // meta/auth mutations: same accepted-no-op contract
+    for (q <- Seq("ALTER RETENTION POLICY autogen ON graft DURATION 0s",
+        "GRANT ALL ON graft TO admin", "REVOKE ALL ON graft FROM admin",
+        "SET PASSWORD FOR admin = 'pw'"))
       assert(InfluxQL.executeManage(catalog, q) == catalog, q)
     intercept[RuntimeException] {
       InfluxQL.executeManage(catalog, "DROP GIBBERISH x")
