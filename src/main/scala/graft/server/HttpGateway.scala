@@ -5,7 +5,7 @@ import java.net.{InetSocketAddress, URLDecoder}
 import java.nio.charset.StandardCharsets.UTF_8
 import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import graft.query.{InfluxQL, PromQL}
-import graft.sources.{LineProtocol, OtlpMetrics, PromRemoteRead, PromRemoteWrite, ResultShaper}
+import graft.sources.{LineProtocol, OtlpLogs, OtlpMetrics, PromRemoteRead, PromRemoteWrite, ResultShaper}
 
 /** Minimal HTTP serving surface over the library, mirroring the
   * reference's httpd routes (`lib/util/lifted/influx/httpd/handler.go:264`
@@ -85,6 +85,9 @@ final class HttpGateway(spark: SparkSession,
   // OTLP metrics remote write (handler.go:316, handler_otlp.go:109)
   server.createContext("/api/v1/otlp/metrics",
     (ex: HttpExchange) => handleOtlpWrite(ex))
+  // OTLP logs remote write (handler.go:320 -> the `logs` measurement)
+  server.createContext("/api/v1/otlp/logs",
+    (ex: HttpExchange) => handleOtlpLogs(ex))
   // Grafana probes buildinfo on datasource connect and falls back to
   // legacy behavior on 404 — answer with a prom-compatible version body
   server.createContext("/api/v1/status/buildinfo", (ex: HttpExchange) => {
@@ -341,6 +344,29 @@ final class HttpGateway(spark: SparkSession,
               case None => InfluxQL.Measurement(df, tagKeys, "ts")
             }))
         }
+      }
+      ex.getResponseHeaders.set("Content-Type", "application/x-protobuf")
+      ex.sendResponseHeaders(200, -1); ex.close()
+    } catch {
+      case e: Throwable =>
+        respond(ex, 400, s"""{"error":${jsonStr(String.valueOf(e.getMessage))}}""")
+    }
+
+  /** OTLP logs write (`handler_otlp.go:114`): records land in the
+    * `logs` measurement — severity/body fields, attrs as tags. */
+  private def handleOtlpLogs(ex: HttpExchange): Unit =
+    try {
+      val samples = OtlpLogs.decode(ex.getRequestBody.readAllBytes())
+      if (samples.isEmpty) sys.error("no log records in request")
+      synchronized {
+        val (df, tagKeys) = OtlpLogs.toMeasurement(spark, samples)
+        val name = OtlpLogs.Measurement
+        catalog = catalog + (name -> (catalog.get(name) match {
+          case Some(prev) => InfluxQL.Measurement(
+            prev.df.unionByName(df, allowMissingColumns = true),
+            (prev.tags ++ tagKeys).distinct, prev.time)
+          case None => InfluxQL.Measurement(df, tagKeys, "ts")
+        }))
       }
       ex.getResponseHeaders.set("Content-Type", "application/x-protobuf")
       ex.sendResponseHeaders(200, -1); ex.close()

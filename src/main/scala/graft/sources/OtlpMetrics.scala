@@ -43,7 +43,7 @@ object OtlpMetrics {
                         value: Double)
 
   // ---------------------------------------------------------- decoding
-  private def readAnyValue(buf: Array[Byte], from: Int, until: Int): String = {
+  private[sources] def readAnyValue(buf: Array[Byte], from: Int, until: Int): String = {
     val r = new Reader(buf, from, until)
     var out = ""
     while (r.hasMore) r.tag() match {
@@ -58,7 +58,7 @@ object OtlpMetrics {
     out
   }
 
-  private def readKeyValue(buf: Array[Byte], from: Int, until: Int): (String, String) = {
+  private[sources] def readKeyValue(buf: Array[Byte], from: Int, until: Int): (String, String) = {
     val r = new Reader(buf, from, until)
     var k = ""; var v = ""
     while (r.hasMore) r.tag() match {
@@ -265,6 +265,147 @@ object OtlpMetrics {
     rm.bytes(2, sm.result())
     val req = new Writer
     req.bytes(1, rm.result())
+    req.result()
+  }
+}
+
+/** OTLP logs ingestion (reference route `handler.go:320`
+  * `/api/v1/otlp/logs` → `handler_otlp.go:114` `serveOtlpLogsWrite` →
+  * `lib/opentelemetry/otlp_writer.go:147` `WriteLogs`, which delegates
+  * to the upstream otel2influx plog writer): log records land in one
+  * measurement named `logs` with fields `severity_number`,
+  * `severity_text`, `body`, and resource + record attributes as tags.
+  * Wire subset (public opentelemetry-proto `logs.proto`):
+  * {{{
+  *   ExportLogsServiceRequest { repeated ResourceLogs = 1 }
+  *   ResourceLogs { Resource resource = 1; repeated ScopeLogs = 2 }
+  *   ScopeLogs    { InstrumentationScope scope = 1; repeated LogRecord = 2 }
+  *   LogRecord    { fixed64 time_unix_nano = 1; uint32 severity_number = 2;
+  *                  string severity_text = 3; AnyValue body = 5;
+  *                  repeated KeyValue attributes = 6 }
+  * }}}
+  */
+object OtlpLogs {
+  import PromRemoteWrite.{Reader, Writer}
+
+  case class LogSample(tags: Map[String, String], time_ns: Long,
+                       severity_number: Long, severity_text: String,
+                       body: String)
+
+  val Measurement = "logs"
+
+  private def readLogRecord(buf: Array[Byte], from: Int, until: Int,
+                            resourceTags: Map[String, String]): LogSample = {
+    val r = new Reader(buf, from, until)
+    val attrs = collection.mutable.Map.empty[String, String]
+    var ts = 0L; var sevN = 0L; var sevT = ""; var body = ""
+    while (r.hasMore) r.tag() match {
+      case (1, 1) => ts = r.fixed64()
+      case (2, 0) => sevN = r.varint()
+      case (3, 2) => val n = r.len(); sevT = new String(buf, r.pos, n, "UTF-8"); r.pos += n
+      case (5, 2) => val n = r.len(); body = OtlpMetrics.readAnyValue(buf, r.pos, r.pos + n); r.pos += n
+      case (6, 2) => val n = r.len(); attrs += OtlpMetrics.readKeyValue(buf, r.pos, r.pos + n); r.pos += n
+      case (_, w) => r.skip(w)
+    }
+    LogSample(resourceTags ++ attrs.toMap, ts, sevN, sevT, body)
+  }
+
+  private def readScopeLogs(buf: Array[Byte], from: Int, until: Int,
+                            resourceTags: Map[String, String]): Seq[LogSample] = {
+    val r = new Reader(buf, from, until)
+    val out = Seq.newBuilder[LogSample]
+    while (r.hasMore) r.tag() match {
+      case (2, 2) => val n = r.len(); out += readLogRecord(buf, r.pos, r.pos + n, resourceTags); r.pos += n
+      case (_, w) => r.skip(w)
+    }
+    out.result()
+  }
+
+  private def readResourceLogs(buf: Array[Byte], from: Int, until: Int): Seq[LogSample] = {
+    val r = new Reader(buf, from, until)
+    var resourceTags = Map.empty[String, String]
+    val spans = Seq.newBuilder[(Int, Int)]
+    while (r.hasMore) r.tag() match {
+      case (1, 2) =>
+        val n = r.len()
+        val rr = new Reader(buf, r.pos, r.pos + n)
+        val attrs = collection.mutable.Map.empty[String, String]
+        while (rr.hasMore) rr.tag() match {
+          case (1, 2) =>
+            val m = rr.len()
+            attrs += OtlpMetrics.readKeyValue(buf, rr.pos, rr.pos + m)
+            rr.pos += m
+          case (_, w) => rr.skip(w)
+        }
+        resourceTags = attrs.toMap
+        r.pos += n
+      case (2, 2) => val n = r.len(); spans += ((r.pos, r.pos + n)); r.pos += n
+      case (_, w) => r.skip(w)
+    }
+    spans.result().flatMap { case (a, b) =>
+      readScopeLogs(buf, a, b, resourceTags)
+    }
+  }
+
+  /** Decode an `ExportLogsServiceRequest` (plain or gzip). */
+  def decode(body: Array[Byte]): Seq[LogSample] = {
+    val buf =
+      if (body.length >= 2 && (body(0) & 0xff) == 0x1f &&
+          (body(1) & 0xff) == 0x8b)
+        new java.util.zip.GZIPInputStream(
+          new java.io.ByteArrayInputStream(body)).readAllBytes()
+      else body
+    val r = new Reader(buf, 0, buf.length)
+    val out = Seq.newBuilder[LogSample]
+    while (r.hasMore) r.tag() match {
+      case (1, 2) => val n = r.len(); out ++= readResourceLogs(buf, r.pos, r.pos + n); r.pos += n
+      case (_, w) => r.skip(w)
+    }
+    out.result()
+  }
+
+  /** The `logs` measurement frame: sorted tag keys ++ (severity_number,
+    * severity_text, body, ts). */
+  def toMeasurement(spark: SparkSession,
+                    samples: Seq[LogSample]): (DataFrame, Seq[String]) = {
+    val tagKeys = samples.flatMap(_.tags.keys).distinct.sorted
+    val ds = spark.createDataset(samples)(Encoders.product[LogSample])
+    val cols = tagKeys.map(k => col("tags").getItem(k).as(k)) ++ Seq(
+      col("severity_number"), col("severity_text"), col("body"),
+      timestamp_millis((col("time_ns") / 1000000L).cast("long")).as("ts"))
+    (ds.select(cols: _*), tagKeys)
+  }
+
+  /** Sender side, for specs: one resource, one scope. */
+  def encode(resourceTags: Map[String, String],
+             samples: Seq[LogSample]): Array[Byte] = {
+    def kv(k: String, v: String): Array[Byte] = {
+      val av = new Writer; av.str(1, v)
+      val w = new Writer; w.str(1, k); w.bytes(2, av.result())
+      w.result()
+    }
+    val sl = new Writer
+    samples.foreach { s =>
+      val rec = new Writer
+      rec.fixed64(1, s.time_ns)
+      rec.int64(2, s.severity_number)
+      rec.str(3, s.severity_text)
+      val bodyVal = new Writer; bodyVal.str(1, s.body)
+      rec.bytes(5, bodyVal.result())
+      s.tags.toSeq.sortBy(_._1).foreach { case (k, v) =>
+        rec.bytes(6, kv(k, v))
+      }
+      sl.bytes(2, rec.result())
+    }
+    val res = new Writer
+    resourceTags.toSeq.sortBy(_._1).foreach { case (k, v) =>
+      res.bytes(1, kv(k, v))
+    }
+    val rl = new Writer
+    rl.bytes(1, res.result())
+    rl.bytes(2, sl.result())
+    val req = new Writer
+    req.bytes(1, rl.result())
     req.result()
   }
 }

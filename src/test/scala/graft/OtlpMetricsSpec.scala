@@ -73,6 +73,34 @@ class OtlpMetricsSpec extends SparkSpec {
   private def url(path: String) =
     URI.create(s"http://127.0.0.1:${gateway.boundPort}$path")
 
+  test("OTLP logs: round-trip, logs measurement, HTTP route") {
+    import graft.sources.OtlpLogs
+    import graft.sources.OtlpLogs.LogSample
+    val logs = Seq(
+      LogSample(Map("k8s.pod" -> "p1"), 1500000000L, 9L, "INFO",
+        "started ok"),
+      LogSample(Map("k8s.pod" -> "p2"), 2500000000L, 17L, "ERROR",
+        "boom: disk full"))
+    val body = OtlpLogs.encode(Map("service.name" -> "svc1"), logs)
+    assert(OtlpLogs.decode(body) == logs.map(l =>
+      l.copy(tags = l.tags + ("service.name" -> "svc1"))))
+    val (df, tags) = OtlpLogs.toMeasurement(spark, logs)
+    assert(tags == Seq("k8s.pod"))
+    assert(df.columns.toSeq == Seq("k8s.pod", "severity_number",
+      "severity_text", "body", "ts"))
+    val r = http.send(HttpRequest.newBuilder(url("/api/v1/otlp/logs"))
+      .POST(HttpRequest.BodyPublishers.ofByteArray(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(r.statusCode() == 200)
+    val q = java.net.URLEncoder.encode(
+      "SELECT count(body) FROM logs WHERE severity_text = 'ERROR'", "UTF-8")
+    val resp = http.send(HttpRequest.newBuilder(
+      url(s"/query?q=$q&epoch=ms")).GET().build(),
+      HttpResponse.BodyHandlers.ofString()).body()
+    assert(resp.contains("\"name\":\"logs\""), resp)
+    assert(resp.contains("1"), resp)
+  }
+
   test("POST /api/v1/otlp/metrics ingests; InfluxQL sees the fields") {
     val body = OtlpMetrics.encode("app.runtime",
       Map("service.name" -> "svc1"), samples)
