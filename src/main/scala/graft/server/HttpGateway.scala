@@ -61,6 +61,10 @@ final class HttpGateway(spark: SparkSession,
     ex.getResponseHeaders.set("X-Gemini-Compat", "graft")
     ex.sendResponseHeaders(204, -1); ex.close()
   })
+  // deprecated alias for /ping (handler.go:1711 serveStatus)
+  server.createContext("/status", (ex: HttpExchange) => {
+    ex.sendResponseHeaders(204, -1); ex.close()
+  })
   server.createContext("/query", (ex: HttpExchange) => handleQuery(ex))
   server.createContext("/write", (ex: HttpExchange) => handleWrite(ex))
   server.createContext("/api/v1/query_range",
@@ -88,6 +92,14 @@ final class HttpGateway(spark: SparkSession,
   // OTLP logs remote write (handler.go:320 -> the `logs` measurement)
   server.createContext("/api/v1/otlp/logs",
     (ex: HttpExchange) => handleOtlpLogs(ex))
+  // Prom metric metadata (handler.go:385 servePromQueryMetaData):
+  // every known metric reported untyped with empty help/unit — the
+  // engine's catalog carries no HELP/TYPE declarations
+  server.createContext("/api/v1/metadata", (ex: HttpExchange) => {
+    val entries = promCat.keys.toSeq.sorted.map(m =>
+      s"${jsonStr(m)}:[{\"type\":\"unknown\",\"help\":\"\",\"unit\":\"\"}]")
+    respond(ex, 200, s"""{"status":"success","data":{${entries.mkString(",")}}}""")
+  })
   // Grafana probes buildinfo on datasource connect and falls back to
   // legacy behavior on 404 — answer with a prom-compatible version body
   server.createContext("/api/v1/status/buildinfo", (ex: HttpExchange) => {

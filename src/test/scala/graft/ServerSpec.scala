@@ -52,6 +52,17 @@ class ServerSpec extends SparkSpec {
     val r = get("/ping")
     assert(r.statusCode() == 204)
     assert(r.body().isEmpty)
+    // deprecated alias (serveStatus, handler.go:1711)
+    assert(get("/status").statusCode() == 204)
+  }
+
+  test("/api/v1/metadata lists every metric as untyped") {
+    val r = get("/api/v1/metadata")
+    assert(r.statusCode() == 200)
+    val json = JsonMethods.parse(r.body())
+    assert((json \ "status") == JString("success"))
+    val JArray(meta) = (json \ "data" \ "events").asInstanceOf[JArray]
+    assert((meta.head \ "type") == JString("unknown"))
   }
 
   test("/query is byte-identical to the library ResultShaper path") {
