@@ -419,11 +419,17 @@ final class HttpGateway(spark: SparkSession,
                 case t => sys.error(s"unknown matcher type $t")
               })
             }
+            // http.max-row-limit (config.go:37 DefaultMaxRowNum): bound
+            // the driver-side collect like the reference bounds its
+            // result emission — a wide-open read errs, not OOMs
             val rows = df.select(
               mt.labels.map(l =>
                 coalesce(col(l).cast("string"), lit("")).as(l)) ++
                 Seq(tus.as("_t"), col(mt.value).cast("double").as("_v")): _*)
-              .collect()
+              .limit(1000001).collect()
+            if (rows.length > 1000000)
+              sys.error("remote read exceeds max-row-limit (1000000); " +
+                "narrow the time range or matchers")
             rows.groupBy(r => mt.labels.map(l => r.getAs[String](l)))
               .toSeq.sortBy(_._1.mkString(" "))
               .map { case (lv, rs) =>
