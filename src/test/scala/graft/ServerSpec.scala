@@ -113,6 +113,21 @@ class ServerSpec extends SparkSpec {
     assert(gateway.resultsCacheStats._1 == hits1)
   }
 
+  test("results-cache extent composition equals from-scratch evaluation") {
+    val q = enc("avg(events)")
+    // prime the cache with the first half of the range…
+    get(s"/api/v1/query_range?query=$q&start=1704067200&end=1704110400&step=1h")
+    // …then ask for the full range: the cached prefix + gap evaluation
+    // must be byte-identical to an uncached full evaluation
+    val full = get(
+      s"/api/v1/query_range?query=$q&start=1704067200&end=1704153600&step=1h")
+    val direct = http.send(HttpRequest.newBuilder(url(
+      s"/api/v1/query_range?query=$q&start=1704067200&end=1704153600&step=1h"))
+      .header("Cache-Control", "no-store").GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(full.body() == direct.body())
+  }
+
   test("/query epoch parameter rescales timestamps") {
     val q = "SELECT count(value) FROM events GROUP BY time(1d) LIMIT 1"
     val ms = get(s"/query?q=${enc(q)}&epoch=ms").body()
