@@ -35,16 +35,21 @@ import org.apache.spark.sql.functions._
   */
 object IncAgg {
 
-  /** Partial-state schema: `tags… , wstart, wend, cnt, sum, sumsq, mn, mx`.
+  /** Partial-state schema: `tags… , wstart, wend, cnt, sum, sumsq, mn, mx, fst, lst`.
     * `sum` accumulates in DECIMAL(28,6) so merged state is bit-identical
     * regardless of partition/merge order (same determinism pattern as
     * SparkEntry's dsum); `sumsq` stays double — it only feeds stddev. */
   private def partials(source: DataFrame, time: String, interval: String,
                        tags: Seq[String], value: String): DataFrame = {
     val v = col(value).cast("double")
+    // first/last carry their timestamps so merged state stays mergeable
+    // (min_by/max_by over the pair, the engine's selector semantics)
+    val tOrd = col(time)
     source.groupBy(window(col(time), interval) +: tags.map(col): _*)
       .agg(count(v).as("cnt"), sum(v.cast("decimal(28,6)")).as("sum"),
-        sum(v * v).as("sumsq"), min(v).as("mn"), max(v).as("mx"))
+        sum(v * v).as("sumsq"), min(v).as("mn"), max(v).as("mx"),
+        min_by(v, when(v.isNotNull, tOrd)).as("fst"),
+        max_by(v, when(v.isNotNull, tOrd)).as("lst"))
       .withColumn("wstart", col("window.start"))
       .withColumn("wend", col("window.end"))
       .drop("window")
@@ -96,7 +101,7 @@ object IncAgg {
     finalizeState(source.sparkSession.read.parquet(stateDir), tags)
   }
 
-  /** Finalize partials → `cnt, sum, mean, stddev, mn, mx` per
+  /** Finalize partials → `cnt, sum, mean, stddev, mn, mx, fst, lst` per
     * (tags, wstart, wend). Population variance guarded at 0 for cnt=1. */
   def finalizeState(state: DataFrame, tags: Seq[String]): DataFrame = {
     val s = col("sum").cast("double")
@@ -106,7 +111,7 @@ object IncAgg {
       col("cnt"), s.as("sum"), mean.as("mean"),
       sqrt(varP * col("cnt") / greatest(col("cnt") - 1, lit(1L)))
         .as("stddev"),
-      col("mn"), col("mx")): _*)
+      col("mn"), col("mx"), col("fst"), col("lst")): _*)
   }
 
   private def durationMs(d: String): Long = {

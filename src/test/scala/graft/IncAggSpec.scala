@@ -51,6 +51,11 @@ class IncAggSpec extends SparkSpec {
     val sd = inc.filter($"tag" === "a" && $"cnt" === 3).select($"stddev")
       .as[Double].collect().head
     assert(math.abs(sd - math.sqrt(28.0 / 3)) < 1e-9)
+    // first/last selectors: earliest and latest value of the bucket,
+    // stable across the incremental tail-replace
+    val fl = inc.filter($"tag" === "a" && $"cnt" === 3)
+      .select($"fst", $"lst").as[(Double, Double)].collect().head
+    assert(fl == ((1.0, 7.0)))
   }
 
   test("late data inside the lateness horizon is re-bucketed; older is dropped") {
