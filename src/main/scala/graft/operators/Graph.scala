@@ -28,6 +28,33 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** The full GRAPH statement surface (`ast.go:12282`): `EdgeCondition`
+    * restricts which edges may be traversed, `NodeCondition` which
+    * nodes — an edge is walkable only when it satisfies the edge
+    * condition AND both endpoints are condition-satisfying nodes. The
+    * start node is always reported (the reference anchors traversal at
+    * StartNodeId regardless of conditions). Conditions are plain
+    * Columns over the caller's edge/node frames; the node restriction
+    * compiles to two semi-joins against the allowed-node set, which
+    * AQE broadcasts while it is small — the edge frame never shuffles. */
+  def hopsFiltered(edges: DataFrame, start: Long, hopNum: Int,
+                   edgeCond: Option[org.apache.spark.sql.Column] = None,
+                   nodes: Option[(DataFrame, org.apache.spark.sql.Column)] =
+                     None,
+                   maxDriverFrontier: Int = 1 << 17): DataFrame = {
+    val e1 = edgeCond.map(edges.filter).getOrElse(edges)
+    val e2 = nodes match {
+      case Some((nodeDf, cond)) =>
+        val allowed = nodeDf.filter(cond).select(col("node_id"))
+        e1.join(allowed.withColumnRenamed("node_id", "src"),
+            Seq("src"), "left_semi")
+          .join(allowed.withColumnRenamed("node_id", "dst"),
+            Seq("dst"), "left_semi")
+      case None => e1
+    }
+    hops(e2, start, hopNum, maxDriverFrontier)
+  }
+
   /** Nodes within `hopNum` hops of `start`, with their minimum hop
     * distance: (node_id, hop), hop 0 = the start node itself.
     * `edges` must have `src`/`dst` columns; for an undirected graph

@@ -31,4 +31,29 @@ class GraphSpec extends SparkSpec {
     assert(Graph.hops(edges, 7L, 3).as[(Long, Int)].collect().toSet ==
       Set((7L, 0)))
   }
+
+  test("edge and node conditions restrict traversal (GraphStatement)") {
+    import org.apache.spark.sql.functions._
+    // 1→2→3, 1→4→3 where edge 1→2 is "slow" and node 4 is "down"
+    val edges = Seq((1L, 2L, "fast"), (2L, 3L, "fast"), (1L, 4L, "fast"),
+      (4L, 3L, "fast"), (1L, 2L, "slow"))
+      .toDF("src", "dst", "kind")
+    val nodes = Seq((1L, "up"), (2L, "up"), (3L, "up"), (4L, "down"))
+      .toDF("node_id", "status")
+    // no conditions: everything reachable
+    val all = Graph.hopsFiltered(edges, 1L, 3)
+      .as[(Long, Int)].collect().toMap
+    assert(all == Map(1L -> 0, 2L -> 1, 4L -> 1, 3L -> 2))
+    // node condition: 4 is down, so 3 is only reachable via 2
+    val up = Graph.hopsFiltered(edges, 1L, 3,
+      nodes = Some((nodes, col("status") === "up")))
+      .as[(Long, Int)].collect().toMap
+    assert(up == Map(1L -> 0, 2L -> 1, 3L -> 2))
+    // edge + node conditions: only fast edges between up nodes
+    val both = Graph.hopsFiltered(edges, 1L, 3,
+      edgeCond = Some(col("kind") === "fast"),
+      nodes = Some((nodes, col("status") === "up")))
+      .as[(Long, Int)].collect().toMap
+    assert(both == Map(1L -> 0, 2L -> 1, 3L -> 2))
+  }
 }
