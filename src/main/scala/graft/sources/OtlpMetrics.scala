@@ -372,7 +372,9 @@ object OtlpLogs {
     val ds = spark.createDataset(samples)(Encoders.product[LogSample])
     val cols = tagKeys.map(k => col("tags").getItem(k).as(k)) ++ Seq(
       col("severity_number"), col("severity_text"), col("body"),
-      timestamp_millis((col("time_ns") / 1000000L).cast("long")).as("ts"))
+      // `div`, not `/`: double division loses sub-ms precision at
+      // epoch-2024 nanosecond magnitudes (ulp = 256 ns)
+      timestamp_millis(expr("time_ns div 1000000")).as("ts"))
     (ds.select(cols: _*), tagKeys)
   }
 
