@@ -1246,6 +1246,27 @@ object SparkEntry {
         "SHOW TAG VALUES EXACT CARDINALITY FROM events WITH KEY = event_type")
     }),
 
+    // GRAPH statement with Node/EdgeCondition (ast.go:12282): traversal
+    // restricted to heavy lineitem edges between small parts (and all
+    // suppliers), vs the same-filtered recursive-CTE oracle.
+    "q103_graph_filtered" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val e0 = li.filter(col("l_quantity") > 25)
+        .select(col("l_partkey").cast("long").as("src"),
+          (col("l_suppkey").cast("long") + 10000000L).as("dst"))
+      val edges = e0.union(
+        e0.select(col("dst").as("src"), col("src").as("dst")))
+      val nodes = t(s, dir, "part")
+        .select(col("p_partkey").cast("long").as("node_id"),
+          col("p_size").cast("long").as("sz"))
+        .union(t(s, dir, "supplier")
+          .select((col("s_suppkey").cast("long") + 10000000L).as("node_id"),
+            lit(0L).as("sz")))
+      graft.operators.Graph.hopsFiltered(edges, 1L, 3,
+          nodes = Some((nodes, col("sz") < 25)))
+        .orderBy("hop", "node_id")
+    }),
+
     // §2.4 incremental agg (inc_agg_transform.go): two iterations over a
     // time-split source — the second only rescans the bucket-aligned tail —
     // must equal the full-source aggregation the oracle computes.
@@ -2463,6 +2484,28 @@ object SparkEntry {
     "q101_show_cardinality" ->
       """SELECT CAST(count(DISTINCT CAST(event_type AS VARCHAR)) AS BIGINT)
            AS count FROM events""",
+
+    "q103_graph_filtered" ->
+      """WITH RECURSIVE allowed AS (
+           SELECT p_partkey AS id FROM part WHERE p_size < 25
+           UNION ALL SELECT s_suppkey + 10000000 FROM supplier),
+         e0 AS (
+           SELECT l_partkey AS src, l_suppkey + 10000000 AS dst
+           FROM lineitem WHERE l_quantity > 25
+           UNION
+           SELECT l_suppkey + 10000000, l_partkey
+           FROM lineitem WHERE l_quantity > 25),
+         e AS (
+           SELECT src, dst FROM e0
+           WHERE src IN (SELECT id FROM allowed)
+             AND dst IN (SELECT id FROM allowed)),
+         r AS (
+           SELECT CAST(1 AS BIGINT) AS node_id, 0 AS hop
+           UNION
+           SELECT e.dst, r.hop + 1 FROM r JOIN e ON e.src = r.node_id
+           WHERE r.hop < 3)
+         SELECT node_id, min(hop) AS hop FROM r
+         GROUP BY node_id ORDER BY hop, node_id""",
 
     "q102_inc_agg" ->
       """SELECT event_type, epoch_ms(date_trunc('day', ts)) AS wstart_ms,
