@@ -79,10 +79,10 @@ final class ResultsCache[R](timeMsOf: R => Long,
           Some(Extent(e.fromMs, hi, capped))
         else None
       }
-      if (storable.nonEmpty) {
+      if (storable.nonEmpty || cache.contains(key)) {
         val merged = mergeExtents(
           cache.getOrElse(key, Vector.empty) ++ storable)
-        cache.remove(key) // LRU: re-insert at the tail
+        cache.remove(key) // LRU: re-insert at the tail (hits refresh too)
         cache.put(key, merged)
         while (cache.size > maxEntries) cache.remove(cache.head._1)
       }

@@ -82,7 +82,7 @@ class ResultsCacheSpec extends AnyFunSuite {
     assert(h.calls == Seq((0L, 100000L)))
   }
 
-  test("LRU evicts the oldest key at capacity") {
+  test("LRU evicts the oldest key at capacity; hits refresh recency") {
     var n = 0
     val c = new ResultsCache[(Long, Double)](_._1, freshnessMs = 0L,
       minExtentMs = 0L, maxEntries = 2)
@@ -95,7 +95,13 @@ class ResultsCacheSpec extends AnyFunSuite {
     assert(n == 3)
     c.fetch("b", 0, 10000, Long.MaxValue / 2)(eval) // hit
     assert(n == 3)
-    c.fetch("a", 0, 10000, Long.MaxValue / 2)(eval) // miss again
+    c.fetch("a", 0, 10000, Long.MaxValue / 2)(eval) // miss again: evicts "c"
     assert(n == 4)
+    // the "b" hit above refreshed its recency, so "c" (not "b") was
+    // evicted by re-adding "a"
+    c.fetch("b", 0, 10000, Long.MaxValue / 2)(eval)
+    assert(n == 4)
+    c.fetch("c", 0, 10000, Long.MaxValue / 2)(eval)
+    assert(n == 5)
   }
 }
