@@ -282,7 +282,20 @@ object InfluxQL {
       if (isKw("into")) {
         next()
         into = Some(next() match {
-          case TIdent(s) => s
+          case TIdent(s) =>
+            // qualified targets `db.rp.m` / `db..m`, like FROM below
+            var name = s
+            while (peek == TPunct(".")) {
+              next()
+              name = peek match {
+                case TPunct(".") => name
+                case _ => next() match {
+                  case TIdent(n) => n
+                  case t => sys.error(s"expected INTO target after '.', got $t")
+                }
+              }
+            }
+            name
           case t => sys.error(s"expected INTO target, got $t")
         })
       }
@@ -295,7 +308,23 @@ object InfluxQL {
           next(); fromSub = Some(parseQuery()); expect(")")
           "<subquery>"
         case _ => next() match {
-          case TIdent(s) => s
+          case TIdent(s) =>
+            // qualified refs `db.rp.m` and `db..m` (reference
+            // Measurement{Database, RetentionPolicy, Name}, ast.go):
+            // db/rp are routing in the reference; the single-database
+            // model keeps only the measurement name
+            var name = s
+            while (peek == TPunct(".")) {
+              next()
+              name = peek match {
+                case TPunct(".") => name // `db..m` empty rp
+                case _ => next() match {
+                  case TIdent(n) => n
+                  case t => sys.error(s"expected measurement after '.', got $t")
+                }
+              }
+            }
+            name
           case TRegex(r) => "/" + r + "/"
           case t => sys.error(s"expected measurement, got $t")
         }

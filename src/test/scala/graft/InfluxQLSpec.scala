@@ -193,6 +193,10 @@ class InfluxQLSpec extends SparkSpec {
         "SELECT max(mean) FROM rollup GROUP BY host")
       .select("host", "max").as[(String, Double)].collect().toSet
     assert(back == Set(("server01", 20.0), ("server02", 150.0)))
+    // qualified INTO target: db.rp routing is stripped like FROM
+    val (cat3, _) = InfluxQL.executeInto(catalog,
+      "SELECT mean(value) INTO graft.autogen.rollup2 FROM cpu GROUP BY host")
+    assert(cat3.contains("rollup2"))
   }
 
   test("now() in WHERE time predicates") {
@@ -576,6 +580,16 @@ class InfluxQLSpec extends SparkSpec {
     intercept[RuntimeException] {
       InfluxQL.executeManage(catalog, "DROP GIBBERISH x")
     }
+  }
+
+  test("qualified measurement refs db.rp.m and db..m resolve to m") {
+    val bare = run("SELECT mean(value) FROM cpu GROUP BY host")
+      .orderBy("host").collect().toSeq
+    for (q <- Seq("SELECT mean(value) FROM graft.autogen.cpu GROUP BY host",
+        "SELECT mean(value) FROM graft..cpu GROUP BY host",
+        "SELECT mean(value) FROM autogen.cpu GROUP BY host",
+        """SELECT mean(value) FROM "graft"."autogen"."cpu" GROUP BY host"""))
+      assert(run(q).orderBy("host").collect().toSeq == bare, q)
   }
 
   test("double-quoted identifiers lex as plain identifiers") {
