@@ -207,7 +207,8 @@ object InfluxQL {
       soffset: Int = 0,
       intervalOffsetNs: Option[Long] = None,
       tz: Option[String] = None,
-      into: Option[String] = None)
+      into: Option[String] = None,
+      fromMore: Seq[String] = Nil)
 
   /** One UNION arm: `UNION [ALL] [BY NAME] <select>` — reference
     * `influxql/sql.y:656-699` (union_clause). */
@@ -303,31 +304,37 @@ object InfluxQL {
       // FROM (SELECT …) — nested subquery (reference ast.go SubQuery,
       // LogicalSubQuery logic_plan.go:1839)
       var fromSub: Option[Query] = None
+      // one measurement source: bare name, qualified `db.rp.m` / `db..m`
+      // (reference Measurement{Database, RetentionPolicy, Name} — db/rp
+      // are routing, the single-database model keeps the name), or /re/
+      def fromOne(): String = next() match {
+        case TIdent(s) =>
+          var name = s
+          while (peek == TPunct(".")) {
+            next()
+            name = peek match {
+              case TPunct(".") => name // `db..m` empty rp
+              case _ => next() match {
+                case TIdent(n) => n
+                case t => sys.error(s"expected measurement after '.', got $t")
+              }
+            }
+          }
+          name
+        case TRegex(r) => "/" + r + "/"
+        case t => sys.error(s"expected measurement, got $t")
+      }
+      var fromMore = Seq.empty[String]
       val from = peek match {
         case TPunct("(") =>
           next(); fromSub = Some(parseQuery()); expect(")")
           "<subquery>"
-        case _ => next() match {
-          case TIdent(s) =>
-            // qualified refs `db.rp.m` and `db..m` (reference
-            // Measurement{Database, RetentionPolicy, Name}, ast.go):
-            // db/rp are routing in the reference; the single-database
-            // model keeps only the measurement name
-            var name = s
-            while (peek == TPunct(".")) {
-              next()
-              name = peek match {
-                case TPunct(".") => name // `db..m` empty rp
-                case _ => next() match {
-                  case TIdent(n) => n
-                  case t => sys.error(s"expected measurement after '.', got $t")
-                }
-              }
-            }
-            name
-          case TRegex(r) => "/" + r + "/"
-          case t => sys.error(s"expected measurement, got $t")
-        }
+        case _ =>
+          val first = fromOne()
+          // FROM m1, m2, … — sort-append across sources (ast.go Sources;
+          // executed like FROM /re/, a unionByName)
+          while (peek == TPunct(",")) { next(); fromMore :+= fromOne() }
+          first
       }
       // [INNER|LEFT|RIGHT|FULL [OUTER]] JOIN m2 ON tag [AND tag…]
       var join: Option[JoinClause] = None
@@ -444,7 +451,8 @@ object InfluxQL {
         expect(")")
       }
       Query(projs, from, where, tags, interval, fill, orderDesc, limit,
-        offset, slimit, join, fromSub, soffset, intervalOffset, tz, into)
+        offset, slimit, join, fromSub, soffset, intervalOffset, tz, into,
+        fromMore)
     }
 
     private def parseProjs(): Seq[Proj] = {
@@ -821,11 +829,13 @@ object InfluxQL {
                           q: Query): Seq[String] =
     if (!q.groupTags.contains("*")) q.groupTags
     else if (q.fromSub.isDefined) resolveTags(catalog, q.fromSub.get)
-    else if (q.from.startsWith("/")) {
-      val re = q.from.substring(1, q.from.length - 1).r
-      catalog.collect { case (k, m) if re.findFirstIn(k).isDefined =>
-        m.tags }.flatten.toSeq.distinct
-    } else catalog.get(q.from).map(_.tags).getOrElse(Nil)
+    else (q.from +: q.fromMore).flatMap { f =>
+      if (f.startsWith("/")) {
+        val re = f.substring(1, f.length - 1).r
+        catalog.collect { case (k, m) if re.findFirstIn(k).isDefined =>
+          m.tags }.flatten.toSeq
+      } else catalog.get(f).map(_.tags).getOrElse(Nil)
+    }.distinct
 
   private def executeStatement(catalog: Map[String, Measurement],
                                sql: String): (Option[Query], DataFrame) = {
@@ -1101,22 +1111,24 @@ object InfluxQL {
     // from its epoch-ms time column, inherit its group tags.
     // FROM /regex/ = sort-append across matching measurements (reference
     // buildSortAppendQueryPlan, select.go:316) — a unionByName here.
+    def resolveOne(fromStr: String): Seq[Measurement] =
+      if (fromStr.startsWith("/")) {
+        val re = fromStr.substring(1, fromStr.length - 1).r
+        val hits = catalog.filter { case (k, _) => re.findFirstIn(k).isDefined }
+        require(hits.nonEmpty, s"no measurement matches $fromStr")
+        hits.values.toSeq
+      } else Seq(catalog.getOrElse(fromStr,
+        sys.error(s"unknown measurement $fromStr")))
     val m =
       if (q.fromSub.isDefined) {
         val sub = q.fromSub.get
         val inner = compileQuery(catalog, sub)
         Measurement(inner.withColumn("__ts", timestamp_millis(col("time"))),
           resolveTags(catalog, sub), "__ts")
-      } else if (q.from.startsWith("/")) {
-        val re = q.from.substring(1, q.from.length - 1).r
-        val hits = catalog.filter { case (k, _) => re.findFirstIn(k).isDefined }
-        require(hits.nonEmpty, s"no measurement matches ${q.from}")
-        hits.values.reduce { (a, b) =>
-          Measurement(a.df.unionByName(b.df, allowMissingColumns = true),
-            (a.tags ++ b.tags).distinct, a.time)
-        }
-      } else catalog.getOrElse(q.from,
-        sys.error(s"unknown measurement ${q.from}"))
+      } else (q.from +: q.fromMore).flatMap(resolveOne).reduce { (a, b) =>
+        Measurement(a.df.unionByName(b.df, allowMissingColumns = true),
+          (a.tags ++ b.tags).distinct, a.time)
+      }
     var df = m.df
 
     // JOIN: tag-equality join of two measurements; colliding field names

@@ -582,6 +582,32 @@ class InfluxQLSpec extends SparkSpec {
     }
   }
 
+  test("FROM m1, m2 sort-appends sources like FROM /regex/") {
+    // second measurement: same shape, distinct host values
+    val lines = Seq("mem,host=server09 value=7 0",
+      "mem,host=server09 value=9 60000000000").toDS()
+    val other = LineProtocol.toMeasurementTable(LineProtocol.parse(lines),
+      "mem", tagKeys = Seq("host"), floatKeys = Seq("value"))
+    val cat2 = catalog + ("mem" -> Measurement(other, Seq("host")))
+    val out = InfluxQL.execute(cat2,
+        "SELECT count(value), mean(value) FROM cpu, mem GROUP BY host")
+      .select("host", "count", "mean")
+      .as[(String, Long, Double)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(out.keySet.contains("server09"))
+    assert(out("server09") == ((2L, 8.0)))
+    // identical to the regex form over the same catalog
+    val viaRe = InfluxQL.execute(cat2,
+        "SELECT count(value), mean(value) FROM /cpu|mem/ GROUP BY host")
+      .select("host", "count", "mean")
+      .as[(String, Long, Double)].collect().toSet
+    val viaList = InfluxQL.execute(cat2,
+        "SELECT count(value), mean(value) FROM cpu, mem GROUP BY host")
+      .select("host", "count", "mean")
+      .as[(String, Long, Double)].collect().toSet
+    assert(viaList == viaRe)
+  }
+
   test("qualified measurement refs db.rp.m and db..m resolve to m") {
     val bare = run("SELECT mean(value) FROM cpu GROUP BY host")
       .orderBy("host").collect().toSeq
