@@ -889,7 +889,21 @@ object InfluxQL {
     val spark = catalog.values.headOption
       .getOrElse(sys.error("empty catalog")).df.sparkSession
     import spark.implicits._
-    val p = new Parser(lex(sql))
+    // `ON <db>` scoping (parser.go parseShowMeasurementsStatement etc.):
+    // routing-only in the single-database model — strip the pair so every
+    // SHOW branch accepts it
+    val toks = lex(sql) match {
+      case ts =>
+        val i = ts.indexWhere {
+          case TIdent(s) => s.equalsIgnoreCase("on")
+          case _ => false
+        }
+        if (i > 0 && i + 1 < ts.length &&
+            ts(i + 1).isInstanceOf[TIdent])
+          ts.take(i) ++ ts.drop(i + 2)
+        else ts
+    }
+    val p = new Parser(toks)
     p.expectIdent("show")
     def fromM(): Option[Measurement] =
       if (p.isKw("from")) {

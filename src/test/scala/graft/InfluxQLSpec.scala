@@ -554,6 +554,10 @@ class InfluxQLSpec extends SparkSpec {
       "duration", "sampleInterval", "timeInterval"))
     assert(cols("SHOW CONFIGS") ==
       Seq("component", "instance", "name", "value"))
+    // ON <db> scoping accepted on every SHOW (routing-only here)
+    assert(run("SHOW MEASUREMENTS ON graft").collect().nonEmpty)
+    assert(run("SHOW TAG KEYS ON graft FROM cpu").collect().nonEmpty)
+    assert(run("SHOW RETENTION POLICIES ON graft").collect().nonEmpty)
     val detail = run("SHOW MEASUREMENTS DETAIL")
       .select("Detail").as[String].collect().toSeq
     assert(detail.exists(_.startsWith("ENGINE TYPE: tsstore")))
