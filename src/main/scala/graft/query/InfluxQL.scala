@@ -112,6 +112,9 @@ object InfluxQL {
         val op = Seq("=~", "!~", "!=", "<=", ">=", "<>").find(_ == two)
           .getOrElse(c.toString)
         out += TOp(op); prev = TOp(op); i += op.length
+      } else if (c == ':' && i + 1 < n && q.charAt(i + 1) == ':') {
+        // `ident::type` selector (reference VarRef::Type, sql.y)
+        out += TPunct("::"); prev = TPunct("::"); i += 2
       } else if ("(),*.+-/".contains(c)) {
         out += TPunct(c.toString); prev = TPunct(c.toString); i += 1
       } else sys.error(s"unexpected char '$c' at $i")
@@ -153,6 +156,9 @@ object InfluxQL {
     * floor ceil round). Composes freely: `sqrt(abs(v))`,
     * `abs(min(v))`, `mean(abs(v))`. */
   case class EMath(fn: String, args: Seq[Expr]) extends Expr
+  /** `ref::type` (reference VarRef::Type): `field`/`tag` disambiguate
+    * (a no-op in the unified-column model), data types cast. */
+  case class ECast(e: Expr, typ: String) extends Expr
   case class PExpr(e: Expr, alias: String) extends Proj
 
   /** The scalar math surface of `query/math.go` (validated there by
@@ -398,7 +404,10 @@ object InfluxQL {
                 }
               }
               expect(")")
-            case TIdent(tag) => tags :+= tag
+            case TIdent(tag) =>
+              // `host::tag` selector accepted (VarRef::Type)
+              if (peek == TPunct("::")) { next(); expectIdent("tag") }
+              tags :+= tag
             case TPunct("*") => tags :+= "*"
             case t => sys.error(s"bad GROUP BY: $t")
           }
@@ -571,6 +580,18 @@ object InfluxQL {
             case Right(Right(e)) =>
               Left(ECall(PCall(fn, "", extra, argExpr = Some(e))))
           }
+        }
+      case TIdent(f) if peek == TPunct("::") =>
+        next()
+        val typ = (next() match {
+          case TIdent(t) => t
+          case t => sys.error(s"expected type after ::, got $t")
+        }).toLowerCase
+        typ match {
+          case "field" | "tag" => Left(EField(f)) // disambiguator only
+          case "integer" | "unsigned" | "float" | "string" | "boolean" =>
+            Left(ECast(EField(f), typ))
+          case other => sys.error(s"unknown ::$other type selector")
         }
       case TIdent(f) => Left(EField(f))
       case t => sys.error(s"bad projection: $t")
@@ -1168,6 +1189,14 @@ object InfluxQL {
       case ENum(v, intg, lv) =>
         if (intg) lit(lv.getOrElse(v.toLong)) else lit(v)
       case EField(f) => col(f)
+      case ECast(e0, typ) =>
+        val sparkT = typ match {
+          case "integer" | "unsigned" => "long"
+          case "float" => "double"
+          case "string" => "string"
+          case "boolean" => "boolean"
+        }
+        evalExpr(e0, resolve).cast(sparkT)
       case ECall(c) => resolve(c)
       case EBin('+', l, r) => evalExpr(l, resolve) + evalExpr(r, resolve)
       case EBin('-', l, r) => evalExpr(l, resolve) - evalExpr(r, resolve)
@@ -1364,6 +1393,7 @@ object InfluxQL {
       case ECall(c) => Seq(c)
       case EBin(_, l, r) => callsIn(l) ++ callsIn(r)
       case EMath(_, args) => args.flatMap(callsIn)
+      case ECast(e0, _) => callsIn(e0)
       case _ => Nil
     }
     val exprCalls = exprs.flatMap(p => callsIn(p.e))

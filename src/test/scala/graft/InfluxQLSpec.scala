@@ -586,6 +586,28 @@ class InfluxQLSpec extends SparkSpec {
     }
   }
 
+  test("::type selectors: field/tag disambiguate, data types cast") {
+    // value::field ≡ value; host::tag ≡ host
+    val a = run("SELECT mean(value::field) FROM cpu GROUP BY host::tag")
+      .orderBy("host").collect().toSeq
+    val b = run("SELECT mean(value) FROM cpu GROUP BY host")
+      .orderBy("host").collect().toSeq
+    assert(a == b)
+    // ::integer casts the float field in a scalar projection
+    val ints = run(
+        "SELECT value::integer AS iv FROM cpu WHERE host = 'server01'")
+      .select("iv").as[Long].collect().toSeq
+    assert(ints.sorted == Seq(10L, 20L, 30L))
+    // ::string casts; unknown selector fails loudly
+    val strs = run(
+        "SELECT value::string AS sv FROM cpu WHERE host = 'server01' LIMIT 1")
+      .select("sv").as[String].collect().head
+    assert(strs == "10.0")
+    intercept[RuntimeException] {
+      run("SELECT value::blob FROM cpu")
+    }
+  }
+
   test("FROM m1, m2 sort-appends sources like FROM /regex/") {
     // second measurement: same shape, distinct host values
     val lines = Seq("mem,host=server09 value=7 0",
