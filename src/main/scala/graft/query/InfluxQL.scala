@@ -136,6 +136,9 @@ object InfluxQL {
   case class PAnalytic(fn: String, inner: PCall, n: Option[Double])
     extends Proj
   case object PStar extends Proj
+  /** `*::tag` / `*::field` — star restricted to one column class. */
+  case object PStarTag extends Proj
+  case object PStarField extends Proj
 
   /** Arithmetic expression projection ("materialize" — reference
     * `materialize_transform.go`): `value * 2 + core`,
@@ -469,7 +472,17 @@ object InfluxQL {
       var done = false
       var exprIdx = 0
       while (!done) {
-        if (peek == TPunct("*")) { next(); out += PStar }
+        if (peek == TPunct("*")) {
+          next()
+          if (peek == TPunct("::")) {
+            next()
+            out += (next() match {
+              case TIdent(t) if t.equalsIgnoreCase("tag") => PStarTag
+              case TIdent(t) if t.equalsIgnoreCase("field") => PStarField
+              case t => sys.error(s"expected tag|field after *::, got $t")
+            })
+          } else out += PStar
+        }
         else {
           val proj = parseExpr() match {
             case Right(analytic) => analytic
@@ -1541,10 +1554,22 @@ object InfluxQL {
         })
       } else {
         // raw projection ("materialize"): time + tags + fields/expressions
+        val hasStar = q.projs.exists(p =>
+          p == PStar || p == PStarTag || p == PStarField)
         val fieldCols: Seq[Column] =
-          if (plain.isEmpty && exprs.nonEmpty && !q.projs.contains(PStar))
+          if (q.projs.contains(PStarTag) || q.projs.contains(PStarField)) {
+            // `*::tag` / `*::field`: star restricted by column class
+            val base = df.columns.filterNot(c => c == m.time || c == "time")
+              .filterNot(groupTags.contains)
+            val wanted = base.filter { c =>
+              val isTag = mEff.tags.contains(c)
+              (q.projs.contains(PStarTag) && isTag) ||
+                (q.projs.contains(PStarField) && !isTag)
+            }
+            (wanted ++ plain.filterNot(wanted.contains)).map(col).toSeq
+          } else if (plain.isEmpty && exprs.nonEmpty && !hasStar)
             Seq.empty
-          else if (plain.isEmpty || q.projs.contains(PStar))
+          else if (plain.isEmpty || hasStar)
             df.columns.filterNot(c => c == m.time || c == "time")
               .filterNot(groupTags.contains).map(col).toSeq
           else plain.map(col)

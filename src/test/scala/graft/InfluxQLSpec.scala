@@ -606,6 +606,11 @@ class InfluxQLSpec extends SparkSpec {
     intercept[RuntimeException] {
       run("SELECT value::blob FROM cpu")
     }
+    // *::tag / *::field restrict the star by column class
+    val tagsOnly = run("SELECT *::tag FROM cpu LIMIT 1")
+    assert(tagsOnly.columns.toSeq == Seq("time", "host"))
+    val fieldsOnly = run("SELECT *::field FROM cpu LIMIT 1")
+    assert(fieldsOnly.columns.toSeq == Seq("time", "value", "core"))
   }
 
   test("FROM m1, m2 sort-appends sources like FROM /regex/") {
