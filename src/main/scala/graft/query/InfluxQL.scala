@@ -483,6 +483,19 @@ object InfluxQL {
             })
           } else out += PStar
         }
+        // `SELECT DISTINCT field` keyword form ≡ distinct(field)
+        // (reference ast.go Distinct node; sql.y DISTINCT IDENT)
+        else if (isKw("distinct") && (toks.drop(1).headOption match {
+          case Some(TIdent(_)) => true
+          case _ => false
+        })) {
+          next()
+          val f = next() match {
+            case TIdent(x) => x
+            case t => sys.error(s"expected field after DISTINCT, got $t")
+          }
+          out += PCall("distinct", f)
+        }
         else {
           val proj = parseExpr() match {
             case Right(analytic) => analytic

@@ -586,6 +586,14 @@ class InfluxQLSpec extends SparkSpec {
     }
   }
 
+  test("SELECT DISTINCT keyword form equals distinct(field)") {
+    val kw = run("SELECT DISTINCT core FROM cpu")
+      .select("distinct").collect().toSeq
+    val fn = run("SELECT distinct(core) FROM cpu")
+      .select("distinct").collect().toSeq
+    assert(kw.toSet == fn.toSet && kw.nonEmpty)
+  }
+
   test("::type selectors: field/tag disambiguate, data types cast") {
     // value::field ≡ value; host::tag ≡ host
     val a = run("SELECT mean(value::field) FROM cpu GROUP BY host::tag")
