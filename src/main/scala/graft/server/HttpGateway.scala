@@ -178,14 +178,54 @@ final class HttpGateway(spark: SparkSession,
     out.result().map(_.trim).filter(_.nonEmpty)
   }
 
+  /** Bind `$name` placeholders from the request's `params` JSON object
+    * (`handler.go:854` — clients send `params={"h":"server01","n":3}`).
+    * Substitution is quote-aware: `$` inside single-quoted strings is
+    * literal. Strings render as escaped InfluxQL strings, numbers and
+    * booleans as bare literals. */
+  private def bindParams(q: String, paramsJson: String): String = {
+    import org.json4s._
+    val JObject(fields) =
+      org.json4s.jackson.JsonMethods.parse(paramsJson): @unchecked
+    val binds: Map[String, String] = fields.map {
+      case (k, JString(s)) => k -> ("'" + s.replace("'", "\\'") + "'")
+      case (k, JInt(n)) => k -> n.toString
+      case (k, JDouble(d)) => k -> d.toString
+      case (k, JDecimal(d)) => k -> d.toString
+      case (k, JBool(b)) => k -> b.toString
+      case (k, v) => sys.error(s"unsupported bind parameter $k: $v")
+    }.toMap
+    val out = new StringBuilder
+    var i = 0; var inStr = false
+    while (i < q.length) {
+      val c = q.charAt(i)
+      if (c == '\'') { inStr = !inStr; out += c; i += 1 }
+      else if (c == '$' && !inStr) {
+        val j0 = i + 1
+        var j = j0
+        while (j < q.length && (q.charAt(j).isLetterOrDigit ||
+            q.charAt(j) == '_')) j += 1
+        if (j == j0) { out += c; i += 1 }
+        else {
+          val name = q.substring(j0, j)
+          out ++= binds.getOrElse(name,
+            sys.error(s"missing parameter value for $$$name"))
+          i = j
+        }
+      } else { out += c; i += 1 }
+    }
+    out.result()
+  }
+
   private def handleQuery(ex: HttpExchange): Unit =
     try {
       val p = params(ex, readBody = true)
       val q = p.getOrElse("q",
         sys.error("missing required parameter \"q\""))
+      val bound = p.get("params").map(bindParams(q, _)).getOrElse(q)
       // no epoch param → the reference's default RFC3339 rendering
       val epoch = p.getOrElse("epoch", "rfc3339")
-      val statements = splitStatements(q)
+      val statements = splitStatements(bound)
       require(statements.nonEmpty, "empty query")
 
       def resultObj(stmt: String, id: Int): String =

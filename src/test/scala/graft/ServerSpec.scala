@@ -128,6 +128,24 @@ class ServerSpec extends SparkSpec {
     assert(full.body() == direct.body())
   }
 
+  test("/query binds $name placeholders from the params JSON") {
+    val q = enc("SELECT count(value) FROM events WHERE event_type = $t")
+    val ps = enc("""{"t":"click"}""")
+    val bound = get(s"/query?q=$q&params=$ps&epoch=ms").body()
+    val direct = get(s"/query?q=${enc(
+      "SELECT count(value) FROM events WHERE event_type = 'click'")}&epoch=ms")
+      .body()
+    assert(bound == direct && bound.contains("\"count\""))
+    // a $ inside a quoted string is literal, not a placeholder
+    val lit = get(s"/query?q=${enc(
+      "SELECT count(value) FROM events WHERE event_type = '$t'")}&epoch=ms")
+    assert(lit.statusCode() == 200)
+    // missing parameter errors cleanly
+    val missing = get(s"/query?q=$q&params=${enc("{}")}")
+    assert(missing.statusCode() == 400)
+    assert(missing.body().contains("missing parameter"))
+  }
+
   test("/query epoch parameter rescales timestamps") {
     val q = "SELECT count(value) FROM events GROUP BY time(1d) LIMIT 1"
     val ms = get(s"/query?q=${enc(q)}&epoch=ms").body()
