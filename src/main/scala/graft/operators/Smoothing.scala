@@ -106,6 +106,21 @@ object Smoothing {
       }
     }
 
+  /** kaufmans_efficiency_ratio(f, n): |net n-period change| over the sum
+    * of |per-step changes| — KAMA's adaptivity input surfaced on its own
+    * (the reference validates the call at `query/compile.go:443,812`). */
+  def ker(df: DataFrame, field: String, time: String, tags: Seq[String],
+          n: Int): DataFrame =
+    run(df, field, time, tags, "kaufmans_efficiency_ratio") { pts =>
+      val vs = pts.map(_._2)
+      if (vs.length <= n) Array.empty
+      else (n until vs.length).map { i =>
+        val change = math.abs(vs(i) - vs(i - n))
+        val vol = (i - n + 1 to i).map(j => math.abs(vs(j) - vs(j - 1))).sum
+        (pts(i)._1, if (vol == 0) 0.0 else change / vol)
+      }.toArray
+    }
+
   /** triple_exponential_derivative (TRIX): 1-period rate of change of the
     * triple-smoothed EMA, in percent. */
   def trix(df: DataFrame, field: String, time: String, tags: Seq[String],

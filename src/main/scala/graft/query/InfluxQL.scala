@@ -166,6 +166,18 @@ object InfluxQL {
 
   /** The scalar math surface of `query/math.go` (validated there by
     * `validateMathFunction`). */
+  /** Text-frontend smoothing calls → the Smoothing output column each
+    * produces (compile.go:441-445,810-816 validated set). */
+  private val smoothingFnCol = Map(
+    "exponential_moving_average" -> "ema",
+    "double_exponential_moving_average" -> "dema",
+    "triple_exponential_moving_average" -> "tema",
+    "kaufmans_adaptive_moving_average" -> "kama",
+    "kaufmans_efficiency_ratio" -> "kaufmans_efficiency_ratio",
+    "triple_exponential_derivative" -> "trix",
+    "relative_strength_index" -> "rsi",
+    "chande_momentum_oscillator" -> "cmo")
+
   private val mathFnNames = Set("abs", "sin", "cos", "tan", "asin",
     "acos", "atan", "atan2", "exp", "log", "ln", "log2", "log10",
     "sqrt", "pow", "floor", "ceil", "round")
@@ -599,7 +611,8 @@ object InfluxQL {
             case Left(field)
                 if Set("derivative", "difference", "moving_average",
                   "cumulative_sum", "non_negative_difference",
-                  "non_negative_derivative").contains(fn) =>
+                  "non_negative_derivative").contains(fn) ||
+                  smoothingFnCol.contains(fn) =>
               // analytic directly over the raw field per series
               Right(PAnalytic(fn, PCall("last", field), extra))
             case Left(field) => Left(ECall(PCall(fn, field, extra)))
@@ -1436,6 +1449,34 @@ object InfluxQL {
       case "moving_average" => SeriesOps.movingAverage(b0, src, time,
         groupTags, a.n.getOrElse(2.0).toInt)
       case "cumulative_sum" => SeriesOps.cumulativeSum(b0, src, time, groupTags)
+      // sequential-smoothing family (compile.go:441-445,810-816):
+      // Smoothing.run rebuilds the frame (tags, _t µs, out), so these
+      // must be the only analytic in the projection
+      case fn if smoothingFnCol.contains(fn) =>
+        require(analytics.size == 1,
+          s"$fn cannot combine with other analytic calls")
+        val n = a.n.getOrElse(10.0).toInt
+        val sm = fn match {
+          case "exponential_moving_average" =>
+            graft.operators.Smoothing.ema(b0, src, time, groupTags, n)
+          case "double_exponential_moving_average" =>
+            graft.operators.Smoothing.dema(b0, src, time, groupTags, n)
+          case "triple_exponential_moving_average" =>
+            graft.operators.Smoothing.tema(b0, src, time, groupTags, n)
+          case "kaufmans_adaptive_moving_average" =>
+            graft.operators.Smoothing.kama(b0, src, time, groupTags, n)
+          case "kaufmans_efficiency_ratio" =>
+            graft.operators.Smoothing.ker(b0, src, time, groupTags, n)
+          case "triple_exponential_derivative" =>
+            graft.operators.Smoothing.trix(b0, src, time, groupTags, n)
+          case "relative_strength_index" =>
+            graft.operators.Smoothing.rsi(b0, src, time, groupTags, n)
+          case "chande_momentum_oscillator" =>
+            graft.operators.Smoothing.cmo(b0, src, time, groupTags, n)
+        }
+        sm.withColumn("wstart_ms", expr("_t div 1000"))
+          .withColumnRenamed(smoothingFnCol(fn), fn)
+          .drop("_t")
       case other => sys.error(s"unsupported analytic $other")
     }
 

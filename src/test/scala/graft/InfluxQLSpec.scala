@@ -586,6 +586,33 @@ class InfluxQLSpec extends SparkSpec {
     }
   }
 
+  test("smoothing family through the text frontend matches Smoothing API") {
+    import graft.operators.Smoothing
+    val viaSql = run(
+        "SELECT exponential_moving_average(value, 3) FROM cpu " +
+        "WHERE host = 'server01'")
+      .select("time", "exponential_moving_average")
+      .as[(Long, Double)].collect().toSeq.sortBy(_._1)
+    val viaApi = Smoothing.ema(cpu.df.filter($"host" === "server01"),
+        "value", "ts", Seq("host"), 3)
+      .selectExpr("_t div 1000 as t", "ema")
+      .as[(Long, Double)].collect().toSeq.sortBy(_._1)
+    assert(viaSql == viaApi && viaSql.nonEmpty)
+    // kaufmans_efficiency_ratio: trending series → ER = 1
+    val ker = run(
+        "SELECT kaufmans_efficiency_ratio(value, 2) FROM cpu " +
+        "WHERE host = 'server01'")
+      .select("kaufmans_efficiency_ratio").as[Double].collect().toSeq
+    assert(ker == Seq(1.0)) // {10,20,30}: |30-10| / (10+10) = 1
+    // rsi parses too; combining with another analytic fails loudly
+    assert(run("SELECT relative_strength_index(value, 2) FROM cpu " +
+      "WHERE host = 'server01'").count() >= 0)
+    intercept[RuntimeException] {
+      run("SELECT exponential_moving_average(value, 3), " +
+        "derivative(value) FROM cpu WHERE host = 'server01'").count()
+    }
+  }
+
   test("SELECT DISTINCT keyword form equals distinct(field)") {
     val kw = run("SELECT DISTINCT core FROM cpu")
       .select("distinct").collect().toSeq
