@@ -133,7 +133,8 @@ object InfluxQL {
   /** Analytic over an aggregated series, e.g. derivative(mean(value)):
     * reference ladder runs these after the interval aggregation
     * (`select.go:654` agg → interval → … ). */
-  case class PAnalytic(fn: String, inner: PCall, n: Option[Double])
+  case class PAnalytic(fn: String, inner: PCall, n: Option[Double],
+                       n2: Option[Double] = None)
     extends Proj
   case object PStar extends Proj
   /** `*::tag` / `*::field` — star restricted to one column class. */
@@ -176,7 +177,9 @@ object InfluxQL {
     "kaufmans_efficiency_ratio" -> "kaufmans_efficiency_ratio",
     "triple_exponential_derivative" -> "trix",
     "relative_strength_index" -> "rsi",
-    "chande_momentum_oscillator" -> "cmo")
+    "chande_momentum_oscillator" -> "cmo",
+    "holt_winters" -> "hw",
+    "holt_winters_with_fit" -> "hw")
 
   private val mathFnNames = Set("abs", "sin", "cos", "tan", "asin",
     "acos", "atan", "atan2", "exp", "log", "ln", "log2", "log10",
@@ -605,9 +608,18 @@ object InfluxQL {
               case t => sys.error(s"bad call extra arg: $t")
             }
           } else None
+          // holt_winters(agg, N, S) carries a second numeric argument
+          val extra2 = if (peek == TPunct(",")) {
+            next()
+            next() match {
+              case TNum(v, _) => Some(v)
+              case t => sys.error(s"bad call third arg: $t")
+            }
+          } else None
           expect(")")
           arg match {
-            case Right(Left(inner)) => Right(PAnalytic(fn, inner, extra))
+            case Right(Left(inner)) =>
+              Right(PAnalytic(fn, inner, extra, extra2))
             case Left(field)
                 if Set("derivative", "difference", "moving_average",
                   "cumulative_sum", "non_negative_difference",
@@ -1457,6 +1469,13 @@ object InfluxQL {
           s"$fn cannot combine with other analytic calls")
         val n = a.n.getOrElse(10.0).toInt
         val sm = fn match {
+          case "holt_winters" | "holt_winters_with_fit" =>
+            // holt_winters(agg, N, S): N predicted points, S season length
+            // (compile.go:447 compileHoltWinters; params grid-fitted like
+            // the reference's Nelder-Mead fit)
+            graft.operators.Smoothing.holtWintersFit(b0, src, time,
+              groupTags, h = n, m = a.n2.getOrElse(0.0).toInt,
+              withFit = fn == "holt_winters_with_fit")
           case "exponential_moving_average" =>
             graft.operators.Smoothing.ema(b0, src, time, groupTags, n)
           case "double_exponential_moving_average" =>

@@ -613,6 +613,26 @@ class InfluxQLSpec extends SparkSpec {
     }
   }
 
+  test("holt_winters through the text frontend predicts N points") {
+    import graft.operators.Smoothing
+    val viaSql = run(
+        "SELECT holt_winters(first(value), 2, 0) FROM cpu " +
+        "WHERE host = 'server01' GROUP BY time(1m)")
+      .select("time", "holt_winters")
+      .as[(Long, Double)].collect().toSeq.sortBy(_._1)
+    assert(viaSql.size == 2) // 2 predicted points past the series
+    assert(viaSql.map(_._1) == Seq(180000L, 240000L))
+    // matches the Scala API over the same bucketed series
+    val bucketed = run("SELECT first(value) FROM cpu " +
+        "WHERE host = 'server01' GROUP BY time(1m)")
+      .selectExpr("time * 1000 as t_us", "first")
+    val viaApi = Smoothing.holtWintersFit(bucketed, "first", "t_us",
+        Nil, h = 2, m = 0)
+      .selectExpr("_t div 1000 as t", "hw")
+      .as[(Long, Double)].collect().toSeq.sortBy(_._1)
+    assert(viaSql == viaApi)
+  }
+
   test("SELECT DISTINCT keyword form equals distinct(field)") {
     val kw = run("SELECT DISTINCT core FROM cpu")
       .select("distinct").collect().toSeq
