@@ -128,7 +128,8 @@ object InfluxQL {
   /** `argExpr` carries an aggregate-over-expression argument
     * (`mean(abs(v))`, `sum(v * 2)`); `field` is then "". */
   case class PCall(fn: String, field: String, extra: Option[Double] = None,
-                   argExpr: Option[Expr] = None)
+                   argExpr: Option[Expr] = None,
+                   tagArgs: Seq[String] = Nil)
     extends Proj
   /** Analytic over an aggregated series, e.g. derivative(mean(value)):
     * reference ladder runs these after the interval aggregation
@@ -601,6 +602,26 @@ object InfluxQL {
               case ECall(c) => Right(Left(c))
               case e => Right(Right(e))
             }
+          // top(field, tag…, N) / bottom(...): tag keys may precede N
+          // (influxdb selector form; emitted as result columns)
+          var tagArgs = Seq.empty[String]
+          if (Set("top", "bottom").contains(fn)) {
+            var more = peek == TPunct(",") && (toks.drop(1).headOption match {
+              case Some(TIdent(_)) => true
+              case _ => false
+            })
+            while (more) {
+              next()
+              tagArgs :+= (next() match {
+                case TIdent(t0) => t0
+                case t => sys.error(s"bad top/bottom tag arg: $t")
+              })
+              more = peek == TPunct(",") && (toks.drop(1).headOption match {
+                case Some(TIdent(_)) => true
+                case _ => false
+              })
+            }
+          }
           val extra = if (peek == TPunct(",")) {
             next()
             next() match {
@@ -627,7 +648,8 @@ object InfluxQL {
                   smoothingFnCol.contains(fn) =>
               // analytic directly over the raw field per series
               Right(PAnalytic(fn, PCall("last", field), extra))
-            case Left(field) => Left(ECall(PCall(fn, field, extra)))
+            case Left(field) =>
+              Left(ECall(PCall(fn, field, extra, tagArgs = tagArgs)))
             case Right(Right(e)) =>
               Left(ECall(PCall(fn, "", extra, argExpr = Some(e))))
           }
@@ -1531,10 +1553,19 @@ object InfluxQL {
           "top/bottom must be the only projection")
         val c = calls.head
         val n = c.extra.getOrElse(1.0).toInt
-        SeriesOps.topPerSeries(df, c.field, m.time, groupTags, n,
+        // `top(f, tag…, N)`: first the extreme row per distinct tag-arg
+        // combination, then the N extremes of those — each tag value
+        // appears at most once and is emitted as a column (influxdb
+        // selector semantics)
+        val reduced =
+          if (c.tagArgs.isEmpty) df
+          else SeriesOps.topPerSeries(df, c.field, m.time,
+            (groupTags ++ c.tagArgs).distinct, 1, bottom = c.fn == "bottom")
+        SeriesOps.topPerSeries(reduced, c.field, m.time, groupTags, n,
             bottom = c.fn == "bottom")
           .select((Seq(unix_millis(col(m.time)).as("wstart_ms")) ++
-            groupTags.map(col) :+ col(c.field).as(c.fn)): _*)
+            (groupTags ++ c.tagArgs).distinct.map(col) :+
+            col(c.field).as(c.fn)): _*)
       } else if (calls.exists(_.fn == "sample")) {
         // sample(f, n): n rows per series, reservoir-equivalent — rank by
         // a deterministic row hash inside each series partition (the

@@ -613,6 +613,24 @@ class InfluxQLSpec extends SparkSpec {
     }
   }
 
+  test("top(field, tag, N) selects each tag's maximum, then the top N") {
+    // top 2 hosts by their own maxima: server02 (200) and server01 (30)
+    val out = run("SELECT top(value, host, 2) FROM cpu")
+      .select("host", "top").as[(String, Double)].collect().toSet
+    assert(out == Set(("server02", 200.0), ("server01", 30.0)))
+    // N=1: only the globally best host's maximum remains
+    val one = run("SELECT top(value, host, 1) FROM cpu")
+      .select("host", "top").as[(String, Double)].collect().toSet
+    assert(one == Set(("server02", 200.0)))
+    val bot = run("SELECT bottom(value, host, 1) FROM cpu")
+      .select("host", "bottom").as[(String, Double)].collect().toSet
+    assert(bot == Set(("server01", 10.0)))
+    // plain form unchanged: top 2 raw rows
+    val plain = run("SELECT top(value, 2) FROM cpu")
+      .select("top").as[Double].collect().toSet
+    assert(plain == Set(200.0, 100.0))
+  }
+
   test("holt_winters through the text frontend predicts N points") {
     import graft.operators.Smoothing
     val viaSql = run(
