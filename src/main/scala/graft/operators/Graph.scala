@@ -93,7 +93,7 @@ object Graph {
       // narrow plan, O(1) expression nodes, hash lookup at runtime).
       val matched =
         if (frontier.length <= 1024)
-          e.filter(col("src").isin(frontier: _*))
+          e.filter(col("src").isin(frontier.toIndexedSeq: _*))
         else
           e.join(broadcast(frontier.toSeq.toDF("src")), "src")
       val next = matched

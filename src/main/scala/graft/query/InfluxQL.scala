@@ -1688,7 +1688,7 @@ object InfluxQL {
         val blankable = projected.columns
           .filterNot(c => c == "wstart_ms" || groupTags.contains(c))
         if (blankable.isEmpty) projected
-        else projected.filter(coalesce(blankable.map(col): _*).isNotNull)
+        else projected.filter(coalesce(blankable.toIndexedSeq.map(col): _*).isNotNull)
       }
 
     // sort → slimit → limit (per-series when grouped; reference limit modes)

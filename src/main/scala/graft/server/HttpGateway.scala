@@ -253,7 +253,7 @@ final class HttpGateway(spark: SparkSession,
                   org.apache.spark.sql.functions.col("time")))
             case _ => df0
           }
-          val valueCols = HttpGateway.shapedValueCols(df.columns, tags)
+          val valueCols = HttpGateway.shapedValueCols(df.columns.toIndexedSeq, tags)
           ResultShaper.toResultObj(df, name, tags, valueCols, epoch, id)
         }
 
@@ -270,7 +270,7 @@ final class HttpGateway(spark: SparkSession,
                 org.apache.spark.sql.functions.col("time")))
           case _ => df0
         }
-        val valueCols = HttpGateway.shapedValueCols(df.columns, tags)
+        val valueCols = HttpGateway.shapedValueCols(df.columns.toIndexedSeq, tags)
         val n = p.get("chunk_size").map(_.toInt).getOrElse(10000)
         respond(ex, 200, ResultShaper.toSeriesJsonChunked(
           df, name, tags, valueCols, n, epoch).mkString("", "\n", "\n"))
