@@ -1676,7 +1676,15 @@ object InfluxQL {
           else if (plain.isEmpty || hasStar)
             df.columns.filterNot(c => c == m.time || c == "time")
               .filterNot(groupTags.contains).map(col).toSeq
-          else plain.map(col)
+          else plain.map(f =>
+            // schema-on-read: an unknown field projects as null (the
+            // reference returns null columns — server_test.go's
+            // `SELECT value, foo FROM cpu` case); the blank-row rule
+            // below then drops rows where EVERY projected field is
+            // null, so `SELECT foo FROM cpu` alone yields no series,
+            // also the reference's behavior
+            if (df.columns.contains(f)) col(f)
+            else lit(null).cast("double").as(f))
         val sel = (Seq(unix_millis(col(m.time)).as("wstart_ms")) ++
           groupTags.map(col) ++
           exprs.map(p => evalExpr(p.e,

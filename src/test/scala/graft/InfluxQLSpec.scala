@@ -613,6 +613,17 @@ class InfluxQLSpec extends SparkSpec {
     }
   }
 
+  test("unknown fields project as null; all-null rows vanish (schema-on-read)") {
+    // server_test.go TestServer_Query_NonExistent shapes
+    val mixed = run("SELECT value, foo FROM cpu WHERE host = 'server02'")
+    assert(mixed.columns.toSeq == Seq("time", "value", "foo"))
+    val rows = mixed.select("value", "foo")
+      .collect().map(r => (r.getDouble(0), r.isNullAt(1))).toSeq
+    assert(rows == Seq((100.0, true), (200.0, true)))
+    // only-unknown projection → every row blank → no series at all
+    assert(run("SELECT foo FROM cpu").count() == 0)
+  }
+
   test("top(field, tag, N) selects each tag's maximum, then the top N") {
     // top 2 hosts by their own maxima: server02 (200) and server01 (30)
     val out = run("SELECT top(value, host, 2) FROM cpu")
