@@ -71,9 +71,30 @@ object InfluxQL {
       val c = q.charAt(i)
       if (c.isWhitespace) i += 1
       else if (c == '\'') {
-        val j = q.indexOf('\'', i + 1)
-        require(j > 0, s"unterminated string at $i")
-        out += TStr(q.substring(i + 1, j)); prev = TStr(""); i = j + 1
+        // single-quoted string with backslash escapes (the reference
+        // scanner's ScanString: `\'` and `\\` round-trip). An
+        // escape-blind scan would let a bound parameter containing a
+        // quote terminate the literal early and smuggle extra
+        // statements past parameter binding.
+        val sb = new StringBuilder
+        var j = i + 1
+        var closed = false
+        while (j < n && !closed) {
+          val cj = q.charAt(j)
+          if (cj == '\\' && j + 1 < n) {
+            q.charAt(j + 1) match {
+              case '\'' => sb += '\''
+              case '\\' => sb += '\\'
+              case 'n' => sb += '\n'
+              case 't' => sb += '\t'
+              case other => sb += '\\' += other // lenient on unknown escapes
+            }
+            j += 2
+          } else if (cj == '\'') { closed = true; j += 1 }
+          else { sb += cj; j += 1 }
+        }
+        require(closed, s"unterminated string at $i")
+        out += TStr(sb.result()); prev = TStr(""); i = j
       } else if (c == '"') {
         // double-quoted identifier (InfluxQL `"a measurement"` — the
         // reference's scanner QuotedIdent); keeps spaces/keywords intact

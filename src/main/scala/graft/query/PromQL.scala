@@ -161,6 +161,27 @@ object PromQL {
     e
   }
 
+  /** True when any selector in `query` is pinned with `@ start()` or
+    * `@ end()`. Those pins resolve against the REQUEST's bounds
+    * (`resolveAt` below), so a results cache keyed only on (query, step)
+    * must neither reuse extents across requests with different bounds
+    * nor evaluate gaps with gap-sub-range bounds — the reference's
+    * results-cache lineage (Cortex `isAtModifierCachable`) refuses to
+    * cache such queries for the same reason. */
+  def usesBoundRelativeAt(query: String): Boolean = {
+    def walk(e: Expr): Boolean = e match {
+      case s: Sel =>
+        s.at.contains(AtStart) || s.at.contains(AtEnd)
+      case SubQ(inner, _, _) => walk(inner)
+      case FnCall(_, args) => args.exists(walk)
+      case Agg(_, _, _, param, body) =>
+        param.exists(walk) || walk(body)
+      case b: Bin => walk(b.l) || walk(b.r)
+      case _ => false
+    }
+    walk(parse(query))
+  }
+
   private class Parser(var toks: List[Tok]) {
     def atEnd: Boolean = toks.isEmpty
     private def peek: Option[Tok] = toks.headOption

@@ -50,6 +50,22 @@ final class HttpGateway(spark: SparkSession,
 
   @volatile private var catalog = init
   @volatile private var promCat = prom
+  // Each write path grows its measurement by one unionByName per
+  // request; left unchecked the logical plan (and every query's
+  // analysis cost) grows linearly with write count. Every
+  // `CompactEvery` unions the accumulated plan is truncated with an
+  // eager localCheckpoint — the in-memory analogue of the /write
+  // path's parquet [[graft.sources.Compaction]]. Guarded by the same
+  // `synchronized` the write paths already hold.
+  private val CompactEvery = 32
+  private val unionDepth = scala.collection.mutable.Map.empty[String, Int]
+  private def maybeCompact(key: String, df: DataFrame): DataFrame = {
+    val d = unionDepth.getOrElse(key, 0) + 1
+    if (d >= CompactEvery) {
+      unionDepth(key) = 0
+      df.localCheckpoint(true)
+    } else { unionDepth(key) = d; df }
+  }
   // extent-splitting PromQL range results cache (results_cache.go);
   // invalidated whenever the prom catalog changes (remote write)
   private val resultsCache =
@@ -168,11 +184,22 @@ final class HttpGateway(spark: SparkSession,
     val out = Seq.newBuilder[String]
     val cur = new StringBuilder
     var quote: Char = 0
-    q.foreach { c =>
-      if (quote != 0) { cur += c; if (c == quote) quote = 0 }
+    var i = 0
+    while (i < q.length) {
+      val c = q.charAt(i)
+      if (quote != 0) {
+        // `\'` inside a single-quoted string is an escaped quote, not
+        // a terminator (matches InfluxQL.lex) — an escape-blind
+        // tracker here would let a bound value close the literal and
+        // run an injected second statement
+        if (quote == '\'' && c == '\\' && i + 1 < q.length) {
+          cur += c += q.charAt(i + 1); i += 1
+        } else { cur += c; if (c == quote) quote = 0 }
+      }
       else if (c == '\'' || c == '"') { quote = c; cur += c }
       else if (c == ';') { out += cur.result(); cur.clear() }
       else cur += c
+      i += 1
     }
     out += cur.result()
     out.result().map(_.trim).filter(_.nonEmpty)
@@ -188,7 +215,10 @@ final class HttpGateway(spark: SparkSession,
     val JObject(fields) =
       org.json4s.jackson.JsonMethods.parse(paramsJson): @unchecked
     val binds: Map[String, String] = fields.map {
-      case (k, JString(s)) => k -> ("'" + s.replace("'", "\\'") + "'")
+      // escape backslashes FIRST, then quotes — a value ending in `\`
+      // must not escape the closing quote we add around it
+      case (k, JString(s)) =>
+        k -> ("'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'")
       case (k, JInt(n)) => k -> n.toString
       case (k, JDouble(d)) => k -> d.toString
       case (k, JDecimal(d)) => k -> d.toString
@@ -199,7 +229,11 @@ final class HttpGateway(spark: SparkSession,
     var i = 0; var inStr = false
     while (i < q.length) {
       val c = q.charAt(i)
-      if (c == '\'') { inStr = !inStr; out += c; i += 1 }
+      if (inStr && c == '\\' && i + 1 < q.length) {
+        // escaped char inside a string (incl. \') — not a terminator
+        out += c += q.charAt(i + 1); i += 2
+      }
+      else if (c == '\'') { inStr = !inStr; out += c; i += 1 }
       else if (c == '$' && !inStr) {
         val j0 = i + 1
         var j = j0
@@ -329,7 +363,8 @@ final class HttpGateway(spark: SparkSession,
             ps.flatMap(_.stringFields.keys).distinct.sorted)
           val merged = catalog.get(m) match {
             case Some(prev) => InfluxQL.Measurement(
-              prev.df.unionByName(tbl, allowMissingColumns = true),
+              maybeCompact(m,
+                prev.df.unionByName(tbl, allowMissingColumns = true)),
               (prev.tags ++ tagKeys).distinct, prev.time)
             case None => InfluxQL.Measurement(tbl, tagKeys, "ts")
           }
@@ -358,13 +393,15 @@ final class HttpGateway(spark: SparkSession,
           case (metric, (df, tagKeys)) =>
             catalog = catalog + (metric -> (catalog.get(metric) match {
               case Some(prev) => InfluxQL.Measurement(
-                prev.df.unionByName(df, allowMissingColumns = true),
+                maybeCompact(metric,
+                  prev.df.unionByName(df, allowMissingColumns = true)),
                 (prev.tags ++ tagKeys).distinct, prev.time)
               case None => InfluxQL.Measurement(df, tagKeys, "ts")
             }))
             promCat = promCat + (metric -> (promCat.get(metric) match {
               case Some(prev) => prev.copy(
-                df = prev.df.unionByName(df, allowMissingColumns = true),
+                df = maybeCompact(s"prom:$metric",
+                  prev.df.unionByName(df, allowMissingColumns = true)),
                 labels = (prev.labels ++ tagKeys).distinct,
                 extentMs = None)
               case None => PromQL.Metric(df, tagKeys, "ts", "value")
@@ -391,7 +428,8 @@ final class HttpGateway(spark: SparkSession,
           case (scope, (df, tagKeys)) =>
             catalog = catalog + (scope -> (catalog.get(scope) match {
               case Some(prev) => InfluxQL.Measurement(
-                prev.df.unionByName(df, allowMissingColumns = true),
+                maybeCompact(scope,
+                  prev.df.unionByName(df, allowMissingColumns = true)),
                 (prev.tags ++ tagKeys).distinct, prev.time)
               case None => InfluxQL.Measurement(df, tagKeys, "ts")
             }))
@@ -415,7 +453,8 @@ final class HttpGateway(spark: SparkSession,
         val name = OtlpLogs.Measurement
         catalog = catalog + (name -> (catalog.get(name) match {
           case Some(prev) => InfluxQL.Measurement(
-            prev.df.unionByName(df, allowMissingColumns = true),
+            maybeCompact(name,
+              prev.df.unionByName(df, allowMissingColumns = true)),
             (prev.tags ++ tagKeys).distinct, prev.time)
           case None => InfluxQL.Measurement(df, tagKeys, "ts")
         }))
@@ -643,12 +682,16 @@ final class HttpGateway(spark: SparkSession,
         }
       // range queries flow through the extent-splitting results cache
       // (`results_cache.go`); `Cache-Control: no-store` opts out like
-      // the reference's shouldCache
+      // the reference's shouldCache. Queries pinned with `@ start()`/
+      // `@ end()` bypass it entirely (Cortex isAtModifierCachable):
+      // their pins resolve from the request bounds, so cached extents
+      // are not reusable across requests and gap evaluation with gap
+      // sub-range bounds would silently shift the pin.
       val noStore =
         Option(ex.getRequestHeaders.getFirst("Cache-Control"))
           .exists(_.contains("no-store"))
       val samples =
-        if (range && !noStore)
+        if (range && !noStore && !PromQL.usesBoundRelativeAt(query))
           resultsCache.fetch(s"$query|$step", loMs, hiMs,
             System.currentTimeMillis())(collectSamples(query, step, _, _))
         else collectSamples(query, step, loMs, hiMs)

@@ -41,6 +41,11 @@ final class ResultsCache[R](timeMsOf: R => Long,
   private val cache = mutable.LinkedHashMap.empty[String, Vector[Extent]]
   private var hitSteps = 0L
   private var missRanges = 0L
+  // bumped by invalidateAll; a fetch whose gap evaluation straddles an
+  // invalidation must not store its (pre-write) rows back into the
+  // fresh cache — without this, stale extents would be served until
+  // the next write (the reference bounds the same race by TTL)
+  private var generation = 0L
 
   /** (cached step-rows served, gap evaluations performed) — for specs
     * and ops visibility. */
@@ -48,6 +53,7 @@ final class ResultsCache[R](timeMsOf: R => Long,
 
   def invalidateAll(): Unit = synchronized {
     cache.clear()
+    generation += 1
   }
 
   /** Serve `[startMs, endMs]` of `key`, evaluating only uncovered
@@ -55,7 +61,9 @@ final class ResultsCache[R](timeMsOf: R => Long,
     * the requested range ordered by eval time. */
   def fetch(key: String, startMs: Long, endMs: Long, nowMs: Long)
            (eval: (Long, Long) => Seq[R]): Seq[R] = {
-    val cached = synchronized(cache.getOrElse(key, Vector.empty))
+    val (cachedAll, genAtRead) =
+      synchronized((cache.getOrElse(key, Vector.empty), generation))
+    val cached = cachedAll
       .filter(e => e.toMs >= startMs && e.fromMs <= endMs)
     // gaps = requested range minus cached coverage
     val gaps = mutable.ArrayBuffer.empty[(Long, Long)]
@@ -79,7 +87,8 @@ final class ResultsCache[R](timeMsOf: R => Long,
           Some(Extent(e.fromMs, hi, capped))
         else None
       }
-      if (storable.nonEmpty || cache.contains(key)) {
+      if (generation == genAtRead &&
+          (storable.nonEmpty || cache.contains(key))) {
         val merged = mergeExtents(
           cache.getOrElse(key, Vector.empty) ++ storable)
         cache.remove(key) // LRU: re-insert at the tail (hits refresh too)

@@ -40,6 +40,21 @@ class InfluxQLSpec extends SparkSpec {
     assert(out == Seq((0L, 10.0), (60000L, 20.0), (120000L, 30.0)))
   }
 
+  test("lexer: backslash escapes inside single-quoted strings") {
+    // reference scanner ScanString: \' and \\ round-trip; an
+    // escape-blind lexer would end the string at the embedded quote
+    import InfluxQL.TStr
+    val toks = InfluxQL.lex("""SELECT 'it\'s' , 'a\\b' , 'x\d'""")
+    assert(toks.collect { case TStr(s) => s } ==
+      List("it's", """a\b""", """x\d"""))
+    // a string whose content is an escaped quote only — still terminated
+    assert(InfluxQL.lex("""'\''""") == List(TStr("'")))
+    intercept[IllegalArgumentException](InfluxQL.lex("""'unterminated\'"""))
+    // predicate comparison with an escaped quote evaluates (0 matches)
+    val out = run("""SELECT count(value) FROM cpu WHERE host = 'it\'s'""")
+    assert(out.count() == 0 || out.select("count").as[Long].head() == 0L)
+  }
+
   test("regex tag predicate and selector functions") {
     val out = run(
       "SELECT first(value), last(value), spread(value) FROM cpu WHERE host =~ /server0[0-9]/ GROUP BY host")

@@ -82,6 +82,27 @@ class ResultsCacheSpec extends AnyFunSuite {
     assert(h.calls == Seq((0L, 100000L)))
   }
 
+  test("an invalidation landing mid-fetch suppresses the stale store") {
+    // fetch reads the cache, evaluates gaps outside the lock, stores in
+    // a second critical section. If invalidateAll() (a write) lands in
+    // between, the pre-write rows must NOT repopulate the fresh cache.
+    val racing = new ResultsCache[(Long, Double)](_._1,
+      freshnessMs = 0L, minExtentMs = 0L)
+    var calls = 0
+    def eval(lo: Long, hi: Long): Seq[(Long, Double)] = {
+      calls += 1
+      racing.invalidateAll() // the "write" arrives during evaluation
+      Seq((lo, 1.0))
+    }
+    racing.fetch("q", 0, 100000, Long.MaxValue / 2)(eval)
+    assert(calls == 1)
+    // nothing stored → the next fetch must evaluate again
+    racing.fetch("q", 0, 100000, Long.MaxValue / 2) { (lo, hi) =>
+      calls += 1; Seq((lo, 1.0))
+    }
+    assert(calls == 2, "stale pre-invalidation rows must not be served")
+  }
+
   test("LRU evicts the oldest key at capacity; hits refresh recency") {
     var n = 0
     val c = new ResultsCache[(Long, Double)](_._1, freshnessMs = 0L,

@@ -113,6 +113,33 @@ class ServerSpec extends SparkSpec {
     assert(gateway.resultsCacheStats._1 == hits1)
   }
 
+  test("@ start()/end() queries bypass the results cache entirely") {
+    // `@ start()` resolves from the REQUEST bounds, so extents cached
+    // for one request would be silently wrong for the next (Cortex
+    // isAtModifierCachable refuses these queries for the same reason).
+    assert(PromQL.usesBoundRelativeAt("sum(events @ start())"))
+    assert(PromQL.usesBoundRelativeAt("rate(events[5m] @ end())"))
+    assert(PromQL.usesBoundRelativeAt("sum(events) / sum(events @ end())"))
+    assert(!PromQL.usesBoundRelativeAt("sum(events @ 1704067200)"))
+    assert(!PromQL.usesBoundRelativeAt("sum(events)"))
+    val q = enc("sum(events @ start())")
+    val statsBefore = gateway.resultsCacheStats
+    val a = get(s"/api/v1/query_range?query=$q&start=1704067200" +
+      "&end=1704153600&step=1h")
+    assert(a.statusCode() == 200)
+    // a second request with DIFFERENT bounds must re-resolve the pin —
+    // byte-identical to an explicitly uncached (no-store) evaluation
+    val path2 = s"/api/v1/query_range?query=$q&start=1704110400" +
+      "&end=1704153600&step=1h"
+    val b = get(path2)
+    val direct = http.send(HttpRequest.newBuilder(url(path2))
+      .header("Cache-Control", "no-store").GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(b.body() == direct.body())
+    assert(gateway.resultsCacheStats == statsBefore,
+      "@-pinned queries must neither read nor populate the cache")
+  }
+
   test("results-cache extent composition equals from-scratch evaluation") {
     val q = enc("avg(events)")
     // prime the cache with the first half of the range…
@@ -144,6 +171,45 @@ class ServerSpec extends SparkSpec {
     val missing = get(s"/query?q=$q&params=${enc("{}")}")
     assert(missing.statusCode() == 400)
     assert(missing.body().contains("missing parameter"))
+  }
+
+  test("quote-bearing bind values stay inert string literals") {
+    // the classic injection: a bound value that tries to close the
+    // literal and append a DROP as a second statement. With the
+    // escape-aware lexer/splitter the whole value stays one string.
+    val q = enc("SELECT count(value) FROM events WHERE event_type = $t")
+    val ps = enc("""{"t":"x';DROP MEASUREMENT events;SELECT '"}""")
+    val r = get(s"/query?q=$q&params=$ps&epoch=ms")
+    assert(r.statusCode() == 200)
+    assert(!r.body().contains("\"statement_id\":1"),
+      "the bound value must not split into a second statement")
+    // the measurement must survive — and a trailing-backslash value
+    // must not escape the closing quote we wrap it in
+    val ps2 = enc("""{"t":"trailing\\"}""")
+    assert(get(s"/query?q=$q&params=$ps2&epoch=ms").statusCode() == 200)
+    val alive = get(s"/query?q=${enc(
+      "SELECT count(value) FROM events")}&epoch=ms")
+    assert(alive.statusCode() == 200 && alive.body().contains("\"count\""))
+  }
+
+  test("repeated writes compact the union chain instead of growing it") {
+    // 33 single-point writes to a fresh measurement: without periodic
+    // compaction the logical plan would be a 33-deep unionByName chain
+    // (analysis cost linear in write count, forever)
+    (1 to 33).foreach { i =>
+      val r = post("/write?precision=s", s"cmp value=$i ${i * 60}")
+      assert(r.statusCode() == 204)
+    }
+    val df = gateway.measurements("cmp").df
+    val unions = df.queryExecution.logical.collect {
+      case u: org.apache.spark.sql.catalyst.plans.logical.Union => u
+    }
+    assert(unions.size < 8,
+      s"union chain should be truncated by localCheckpoint, got ${unions.size}")
+    assert(df.count() == 33)
+    val body = get(s"/query?q=${enc(
+      "SELECT count(value) FROM cmp")}&epoch=ms").body()
+    assert(body.contains("\"count\"") && body.contains("33"), body)
   }
 
   test("/query epoch parameter rescales timestamps") {
