@@ -46,7 +46,14 @@ import graft.sources.{LineProtocol, OtlpLogs, OtlpMetrics, PromRemoteRead, PromR
 final class HttpGateway(spark: SparkSession,
                         init: Map[String, InfluxQL.Measurement],
                         prom: Map[String, PromQL.Metric],
-                        port: Int = 0) {
+                        port: Int = 0,
+                        requireAuth: Boolean = false) {
+
+  /** Gateway-held user catalog (the reference's meta user store). User
+    * management statements mutate it whether or not enforcement is on,
+    * so SHOW USERS/GRANTS round-trip either way; `requireAuth` decides
+    * whether requests must authenticate (`http-auth-enabled`). */
+  val auth = new Auth
 
   @volatile private var catalog = init
   @volatile private var promCat = prom
@@ -112,9 +119,12 @@ final class HttpGateway(spark: SparkSession,
   // every known metric reported untyped with empty help/unit — the
   // engine's catalog carries no HELP/TYPE declarations
   server.createContext("/api/v1/metadata", (ex: HttpExchange) => {
-    val entries = promCat.keys.toSeq.sorted.map(m =>
-      s"${jsonStr(m)}:[{\"type\":\"unknown\",\"help\":\"\",\"unit\":\"\"}]")
-    respond(ex, 200, s"""{"status":"success","data":{${entries.mkString(",")}}}""")
+    if (guard(ex, params(ex, readBody = false),
+        Auth.ReadPrivilege, "read from").nonEmpty) {
+      val entries = promCat.keys.toSeq.sorted.map(m =>
+        s"${jsonStr(m)}:[{\"type\":\"unknown\",\"help\":\"\",\"unit\":\"\"}]")
+      respond(ex, 200, s"""{"status":"success","data":{${entries.mkString(",")}}}""")
+    }
   })
   // Grafana probes buildinfo on datasource connect and falls back to
   // legacy behavior on 404 — answer with a prom-compatible version body
@@ -174,6 +184,123 @@ final class HttpGateway(spark: SparkSession,
           case Array(k) => decode(k) -> ""
         }
       }.toMap
+  }
+
+  // ---------------------------------------------------------------- auth
+  /** Resolve the request's principal (`handler.go:1913` authenticate):
+    * when auth is off — or no admin exists yet (the bootstrap window
+    * that lets the first `CREATE USER … WITH ALL PRIVILEGES` through,
+    * `handler.go:1923`) — requests run unrestricted with no principal.
+    * Otherwise credentials come from `u`/`p` params, `Basic`, or
+    * `Token user:pw` headers (`handler.go:1861` ParseCredentials); the
+    * two 401 messages mirror the reference's. Returns None after
+    * answering 401 itself. */
+  private def authed(ex: HttpExchange,
+                     p: Map[String, String]): Option[Option[Auth.User]] =
+    if (!requireAuth || !auth.adminExists) Some(None)
+    else {
+      def deny(msg: String): Option[Option[Auth.User]] = {
+        ex.getResponseHeaders.set("WWW-Authenticate", "Basic realm=\"graft\"")
+        respond(ex, 401, s"""{"error":${jsonStr(msg)}}""")
+        None
+      }
+      val creds: Option[(String, String)] = (p.get("u"), p.get("p")) match {
+        case (Some(u), Some(pw)) if u.nonEmpty && pw.nonEmpty => Some((u, pw))
+        case _ =>
+          Option(ex.getRequestHeaders.getFirst("Authorization")).flatMap { h =>
+            h.split(" ", 2) match {
+              case Array("Basic", b64) =>
+                val up = new String(
+                  java.util.Base64.getDecoder.decode(b64), UTF_8)
+                up.split(":", 2) match {
+                  case Array(u, pw) => Some((u, pw)); case _ => None
+                }
+              case Array("Token", tok) => tok.split(":", 2) match {
+                case Array(u, pw) => Some((u, pw)); case _ => None
+              }
+              case _ => None
+            }
+          }
+      }
+      creds match {
+        case None => deny("unable to parse authentication credentials")
+        case Some((u, pw)) => auth.authenticate(u, pw) match {
+          case Some(user) => Some(Some(user))
+          case None => deny("authorization failed")
+        }
+      }
+    }
+
+  /** Authenticate AND check one privilege on the request's `db` param —
+    * the per-route guard for write/prom endpoints. Answers 401/403
+    * itself and returns None when the request is already done. */
+  private def guard(ex: HttpExchange, p: Map[String, String], need: Int,
+                    verb: String): Option[Option[Auth.User]] =
+    authed(ex, p) match {
+      case None => None
+      case Some(principal) =>
+        val db = p.getOrElse("db", "")
+        principal match {
+          case Some(u) if !u.authorizeDatabase(need, db) =>
+            respond(ex, 403, s"""{"error":${jsonStr(
+              s"""user "${u.name}" is not authorized to $verb database "$db"""")}}""")
+            None
+          case pr => Some(pr)
+        }
+    }
+
+  /** Whole-query pre-authorization, the reference's shape
+    * (`authorizer.go:92` AuthorizeQuery loops statements before any
+    * executes): management needs admin, selects need READ on `db`,
+    * INTO adds WRITE; user-management needs admin except SET PASSWORD
+    * for oneself (the influxdb self-service carve-out). Returns the
+    * first denial message. */
+  private def authorizeStatements(user: Auth.User, db: String,
+                                  statements: Seq[String]): Option[String] =
+    statements.map(_.trim).flatMap { stmt =>
+      val lower = stmt.toLowerCase
+      if (Auth.isUserStatement(stmt)) {
+        if (user.admin || setPasswordTarget(stmt).contains(user.name)) None
+        else Some(s"statement '$stmt', requires admin privilege")
+      } else if (Seq("drop ", "create ", "kill ", "delete", "alter ")
+          .exists(lower.startsWith)) {
+        if (user.admin) None
+        else Some(s"statement '$stmt', requires admin privilege")
+      } else {
+        val into = lower.startsWith("select") &&
+          "(?is).*\\bINTO\\b.*".r.matches(stmt)
+        if (!user.authorizeDatabase(Auth.ReadPrivilege, db))
+          Some(s"""user "${user.name}" is not authorized to read from database "$db"""")
+        else if (into && !user.authorizeDatabase(Auth.WritePrivilege, db))
+          Some(s"""user "${user.name}" is not authorized to write to database "$db"""")
+        else None
+      }
+    }.headOption
+
+  /** `SET PASSWORD FOR <name> …` → Some(name), else None. */
+  private def setPasswordTarget(sql: String): Option[String] =
+    try InfluxQL.lex(sql) match {
+      case InfluxQL.TIdent(s) :: InfluxQL.TIdent(pw) :: InfluxQL.TIdent(f)
+          :: rest if s.equalsIgnoreCase("set") &&
+          pw.equalsIgnoreCase("password") && f.equalsIgnoreCase("for") =>
+        rest.headOption.collect {
+          case InfluxQL.TIdent(n) => n
+          case InfluxQL.TStr(n) => n
+        }
+      case _ => None
+    } catch { case _: Throwable => None }
+
+  /** SHOW USERS / SHOW GRANTS rows → a small DataFrame so the response
+    * flows through the same [[ResultShaper]] as every other series. */
+  private def authRowsDf(cols: Seq[String],
+                         rows: Seq[Seq[Any]]): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(cols.map(c => StructField(c,
+      if (c == "admin" || c == "rwuser") BooleanType else StringType)))
+    spark.createDataFrame(
+      rows.map(r => Row(r: _*)).asJava, schema)
   }
 
   // ------------------------------------------------------------- /query
@@ -254,6 +381,10 @@ final class HttpGateway(spark: SparkSession,
   private def handleQuery(ex: HttpExchange): Unit =
     try {
       val p = params(ex, readBody = true)
+      val principal = authed(ex, p) match {
+        case None => return
+        case Some(pr) => pr
+      }
       val q = p.getOrElse("q",
         sys.error("missing required parameter \"q\""))
       val bound = p.get("params").map(bindParams(q, _)).getOrElse(q)
@@ -261,9 +392,24 @@ final class HttpGateway(spark: SparkSession,
       val epoch = p.getOrElse("epoch", "rfc3339")
       val statements = splitStatements(bound)
       require(statements.nonEmpty, "empty query")
+      val denial = principal.flatMap(user =>
+        authorizeStatements(user, p.getOrElse("db", ""), statements))
+      denial match {
+        case Some(msg) =>
+          respond(ex, 403, s"""{"error":${jsonStr(msg)}}""")
+          return
+        case None => ()
+      }
 
       def resultObj(stmt: String, id: Int): String =
-        if (Seq("drop ", "create ", "kill ", "delete", "alter ",
+        if (Auth.isUserStatement(stmt)) {
+          auth.execute(stmt) match {
+            case None => s"""{"statement_id":$id}"""
+            case Some((name, cols, rows)) =>
+              ResultShaper.toResultObj(
+                authRowsDf(cols, rows), name, Nil, cols, epoch, id)
+          }
+        } else if (Seq("drop ", "create ", "kill ", "delete", "alter ",
             "grant ", "revoke ", "set ")
             .exists(stmt.trim.toLowerCase.startsWith)) {
           synchronized { catalog = InfluxQL.executeManage(catalog, stmt) }
@@ -324,6 +470,7 @@ final class HttpGateway(spark: SparkSession,
   private def handleWrite(ex: HttpExchange): Unit =
     try {
       val p = params(ex, readBody = false)
+      if (guard(ex, p, Auth.WritePrivilege, "write to").isEmpty) return
       val mult = p.getOrElse("precision", "ns") match {
         case "ns" | "n" => 1L
         case "u" | "µ" => 1000L
@@ -385,6 +532,8 @@ final class HttpGateway(spark: SparkSession,
     * `/api/v1/query_range` alike. */
   private def handlePromWrite(ex: HttpExchange): Unit =
     try {
+      if (guard(ex, params(ex, readBody = false),
+          Auth.WritePrivilege, "write to").isEmpty) return
       val body = ex.getRequestBody.readAllBytes()
       val series = PromRemoteWrite.decode(body)
       if (series.isEmpty) sys.error("no timeseries in write request")
@@ -421,6 +570,8 @@ final class HttpGateway(spark: SparkSession,
     * schema). Success is an empty ExportMetricsServiceResponse. */
   private def handleOtlpWrite(ex: HttpExchange): Unit =
     try {
+      if (guard(ex, params(ex, readBody = false),
+          Auth.WritePrivilege, "write to").isEmpty) return
       val samples = OtlpMetrics.decode(ex.getRequestBody.readAllBytes())
       if (samples.isEmpty) sys.error("no metric data points in request")
       synchronized {
@@ -446,6 +597,8 @@ final class HttpGateway(spark: SparkSession,
     * `logs` measurement — severity/body fields, attrs as tags. */
   private def handleOtlpLogs(ex: HttpExchange): Unit =
     try {
+      if (guard(ex, params(ex, readBody = false),
+          Auth.WritePrivilege, "write to").isEmpty) return
       val samples = OtlpLogs.decode(ex.getRequestBody.readAllBytes())
       if (samples.isEmpty) sys.error("no log records in request")
       synchronized {
@@ -473,6 +626,8 @@ final class HttpGateway(spark: SparkSession,
     * matcher semantics. */
   private def handlePromRead(ex: HttpExchange): Unit =
     try {
+      if (guard(ex, params(ex, readBody = false),
+          Auth.ReadPrivilege, "read from").isEmpty) return
       import org.apache.spark.sql.functions.{coalesce, col, lit, unix_millis}
       val queries =
         PromRemoteRead.decodeRequest(ex.getRequestBody.readAllBytes())
@@ -575,6 +730,8 @@ final class HttpGateway(spark: SparkSession,
 
   private def handleLabels(ex: HttpExchange): Unit =
     try {
+      if (guard(ex, params(ex, readBody = false),
+          Auth.ReadPrivilege, "read from").isEmpty) return
       val names = ("__name__" +: promCat.values.flatMap(_.labels).toSeq)
         .distinct.sorted
       promSuccess(ex, names.map(jsonStr).mkString("[", ",", "]"))
@@ -585,6 +742,8 @@ final class HttpGateway(spark: SparkSession,
 
   private def handleLabelValues(ex: HttpExchange): Unit =
     try {
+      if (guard(ex, params(ex, readBody = false),
+          Auth.ReadPrivilege, "read from").isEmpty) return
       val path = ex.getRequestURI.getPath
       val m = "^/api/v1/label/([^/]+)/values$".r.findFirstMatchIn(path)
         .getOrElse(sys.error(s"bad label values path: $path"))
@@ -607,6 +766,7 @@ final class HttpGateway(spark: SparkSession,
   private def handleSeries(ex: HttpExchange): Unit =
     try {
       val p = params(ex, readBody = true)
+      if (guard(ex, p, Auth.ReadPrivilege, "read from").isEmpty) return
       val sel = p.getOrElse("match[]",
         sys.error("""missing required parameter "match[]""""))
       PromQL.parse(sel) match {
@@ -664,6 +824,7 @@ final class HttpGateway(spark: SparkSession,
   private def handleProm(ex: HttpExchange, range: Boolean): Unit =
     try {
       val p = params(ex, readBody = true)
+      if (guard(ex, p, Auth.ReadPrivilege, "read from").isEmpty) return
       val query = p.getOrElse("query",
         sys.error("missing required parameter \"query\""))
       // instant queries evaluate the last 5m of buckets ending at `time`

@@ -1,0 +1,222 @@
+package graft
+
+import java.net.{URI, URLEncoder}
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.Base64
+import org.apache.spark.sql.functions._
+import graft.query.{InfluxQL, PromQL}
+import graft.server.{Auth, HttpGateway}
+
+/** Gateway authentication/authorization e2e — the reference's
+  * `httpd/handler.go:1913` authenticate middleware + `meta/authorizer
+  * .go` query authorization over a real loopback socket: bootstrap
+  * window, 401 contracts, per-db privilege checks, and the
+  * user-management statement surface backed by real state.
+  * Tests run in declaration order and build up catalog state. */
+class AuthSpec extends SparkSpec {
+
+  private def events = Tables.table(spark, sf, "events")
+
+  private lazy val gateway: HttpGateway = {
+    val cat = Map("events" -> InfluxQL.Measurement(
+      events, tags = Seq("event_type")))
+    val prom = Map("events" -> PromQL.Metric(
+      events.withColumn("user", col("user_id").cast("string")),
+      labels = Seq("event_type", "user"), time = "ts", value = "value"))
+    val g = new HttpGateway(spark, cat, prom, requireAuth = true)
+    g.start()
+    g
+  }
+
+  private lazy val http = HttpClient.newHttpClient()
+  private def url(path: String) =
+    URI.create(s"http://127.0.0.1:${gateway.boundPort}$path")
+  private def enc(s: String) = URLEncoder.encode(s, UTF_8)
+
+  private def get(path: String,
+                  headers: Seq[(String, String)] = Nil): HttpResponse[String] = {
+    var b = HttpRequest.newBuilder(url(path)).GET()
+    headers.foreach { case (k, v) => b = b.header(k, v) }
+    http.send(b.build(), HttpResponse.BodyHandlers.ofString())
+  }
+
+  private def post(path: String, body: String,
+                   headers: Seq[(String, String)] = Nil): HttpResponse[String] = {
+    var b = HttpRequest.newBuilder(url(path))
+      .POST(HttpRequest.BodyPublishers.ofString(body))
+    headers.foreach { case (k, v) => b = b.header(k, v) }
+    http.send(b.build(), HttpResponse.BodyHandlers.ofString())
+  }
+
+  private def basic(u: String, p: String): (String, String) =
+    "Authorization" -> ("Basic " + Base64.getEncoder
+      .encodeToString(s"$u:$p".getBytes(UTF_8)))
+
+  private def query(q: String, extra: String = "",
+                    headers: Seq[(String, String)] = Nil) =
+    get(s"/query?q=${enc(q)}&epoch=ms$extra", headers)
+
+  test("bootstrap window: no admin yet, requests run unauthenticated") {
+    // handler.go:1923 — auth only engages once an admin user exists,
+    // so the first CREATE USER … WITH ALL PRIVILEGES can happen
+    val r = query("SELECT count(value) FROM events")
+    assert(r.statusCode() == 200 && r.body().contains("\"count\""))
+    val mk = query("CREATE USER admin WITH PASSWORD 'secret' WITH ALL PRIVILEGES")
+    assert(mk.statusCode() == 200)
+    assert(gateway.auth.adminExists)
+  }
+
+  test("missing credentials 401; wrong password 401; the messages match") {
+    val missing = query("SELECT count(value) FROM events")
+    assert(missing.statusCode() == 401)
+    assert(missing.body().contains("unable to parse authentication credentials"))
+    assert(missing.headers().firstValue("WWW-Authenticate").isPresent)
+    val wrong = query("SELECT count(value) FROM events",
+      headers = Seq(basic("admin", "nope")))
+    assert(wrong.statusCode() == 401)
+    assert(wrong.body().contains("authorization failed"))
+    // /write and prom routes are guarded too
+    assert(post("/write", "m value=1 0").statusCode() == 401)
+    assert(get("/api/v1/query_range?query=sum(events)" +
+      "&start=1704067200&end=1704070800&step=1h").statusCode() == 401)
+    assert(get("/api/v1/labels").statusCode() == 401)
+  }
+
+  test("admin authenticates via u/p params, Basic, and Token forms") {
+    val viaParams = query("SELECT count(value) FROM events",
+      extra = "&u=admin&p=secret")
+    assert(viaParams.statusCode() == 200 && viaParams.body().contains("\"count\""))
+    val viaBasic = query("SELECT count(value) FROM events",
+      headers = Seq(basic("admin", "secret")))
+    assert(viaBasic.body() == viaParams.body())
+    val viaToken = query("SELECT count(value) FROM events",
+      headers = Seq("Authorization" -> "Token admin:secret"))
+    assert(viaToken.body() == viaParams.body())
+  }
+
+  test("GRANT READ lets a user query exactly the granted database") {
+    assert(query("CREATE USER bob WITH PASSWORD 'pw'",
+      extra = "&u=admin&p=secret").statusCode() == 200)
+    assert(query("GRANT READ ON graft TO bob",
+      extra = "&u=admin&p=secret").statusCode() == 200)
+    // bob reads db=graft
+    val ok = query("SELECT count(value) FROM events",
+      extra = "&db=graft", headers = Seq(basic("bob", "pw")))
+    assert(ok.statusCode() == 200 && ok.body().contains("\"count\""))
+    // …but not another db, nor without a db, nor writes
+    val otherDb = query("SELECT count(value) FROM events",
+      extra = "&db=other", headers = Seq(basic("bob", "pw")))
+    assert(otherDb.statusCode() == 403 &&
+      otherDb.body().contains("not authorized to read"))
+    assert(query("SELECT count(value) FROM events",
+      headers = Seq(basic("bob", "pw"))).statusCode() == 403)
+    val wr = post("/write?db=graft", "m value=1 0",
+      headers = Seq(basic("bob", "pw")))
+    assert(wr.statusCode() == 403 && wr.body().contains("not authorized to write"))
+    // INTO needs WRITE even with READ granted
+    assert(query("SELECT count(value) INTO t FROM events",
+      extra = "&db=graft", headers = Seq(basic("bob", "pw")))
+      .statusCode() == 403)
+    // management + user-management are admin-only
+    assert(query("DROP MEASUREMENT events", extra = "&db=graft",
+      headers = Seq(basic("bob", "pw"))).statusCode() == 403)
+    assert(query("CREATE USER eve WITH PASSWORD 'x'",
+      headers = Seq(basic("bob", "pw"))).statusCode() == 403)
+  }
+
+  test("privileges compose as bits: READ+WRITE=ALL; REVOKE bit-clears") {
+    assert(query("GRANT WRITE ON graft TO bob",
+      extra = "&u=admin&p=secret").statusCode() == 200)
+    // GRANT assigns (data.go:2913 SetPrivilege), so WRITE replaced READ
+    val grants = query("SHOW GRANTS FOR bob", extra = "&u=admin&p=secret")
+    assert(grants.body().contains("WRITE"), grants.body())
+    // bob can now write db=graft but no longer read it
+    assert(post("/write?db=graft", "scratch value=1 0",
+      headers = Seq(basic("bob", "pw"))).statusCode() == 204)
+    assert(query("SELECT count(value) FROM events", extra = "&db=graft",
+      headers = Seq(basic("bob", "pw"))).statusCode() == 403)
+    // ALL then REVOKE WRITE leaves READ (bit-clear, not erase)
+    assert(query("GRANT ALL ON graft TO bob",
+      extra = "&u=admin&p=secret").statusCode() == 200)
+    assert(query("REVOKE WRITE ON graft FROM bob",
+      extra = "&u=admin&p=secret").statusCode() == 200)
+    val after = query("SHOW GRANTS FOR bob", extra = "&u=admin&p=secret")
+    assert(after.body().contains("READ") && !after.body().contains("WRITE"),
+      after.body())
+    assert(query("SELECT count(value) FROM events", extra = "&db=graft",
+      headers = Seq(basic("bob", "pw"))).statusCode() == 200)
+  }
+
+  test("SHOW USERS round-trips; reference error contracts enforced") {
+    val users = query("SHOW USERS", extra = "&u=admin&p=secret")
+    assert(users.statusCode() == 200)
+    assert(users.body().contains("\"columns\":[\"user\",\"admin\",\"rwuser\"]"))
+    assert(users.body().contains("[\"admin\",true,false]") &&
+      users.body().contains("[\"bob\",false,false]"), users.body())
+    // only one admin, ever (data.go:2846; 2933)
+    val second = query("CREATE USER root WITH PASSWORD 'x' WITH ALL PRIVILEGES",
+      extra = "&u=admin&p=secret")
+    assert(second.statusCode() == 400 &&
+      second.body().contains("forbidden to create new admin"))
+    val grantAdmin = query("GRANT ALL PRIVILEGES TO bob",
+      extra = "&u=admin&p=secret")
+    assert(grantAdmin.statusCode() == 400 &&
+      grantAdmin.body().contains("only one admin"))
+    // admin is undroppable; duplicates and unknowns error
+    assert(query("DROP USER admin", extra = "&u=admin&p=secret")
+      .body().contains("forbidden to delete admin user"))
+    assert(query("CREATE USER bob WITH PASSWORD 'pw'",
+      extra = "&u=admin&p=secret").body().contains("user already exists"))
+    assert(query("GRANT READ ON graft TO ghost",
+      extra = "&u=admin&p=secret").body().contains("user not found"))
+  }
+
+  test("SET PASSWORD: self-service allowed, same password rejected") {
+    // bob may change his own password but not admin's
+    assert(query("SET PASSWORD FOR admin = 'hack'",
+      headers = Seq(basic("bob", "pw"))).statusCode() == 403)
+    val same = query("SET PASSWORD FOR bob = 'pw'",
+      headers = Seq(basic("bob", "pw")))
+    assert(same.statusCode() == 400 &&
+      same.body().contains("same as the old one"))
+    assert(query("SET PASSWORD FOR bob = 'pw2'",
+      headers = Seq(basic("bob", "pw"))).statusCode() == 200)
+    assert(query("SELECT count(value) FROM events", extra = "&db=graft",
+      headers = Seq(basic("bob", "pw"))).statusCode() == 401)
+    assert(query("SELECT count(value) FROM events", extra = "&db=graft",
+      headers = Seq(basic("bob", "pw2"))).statusCode() == 200)
+  }
+
+  test("prom routes enforce db-scoped read; DROP USER cleans up") {
+    // bob has READ on graft only; prom requests carry no db → ""
+    assert(get("/api/v1/query_range?query=sum(events)" +
+      "&start=1704067200&end=1704070800&step=1h",
+      headers = Seq(basic("bob", "pw2"))).statusCode() == 403)
+    assert(get("/api/v1/query_range?query=sum(events)" +
+      "&start=1704067200&end=1704070800&step=1h&db=graft",
+      headers = Seq(basic("bob", "pw2"))).statusCode() == 200)
+    assert(get("/api/v1/labels?u=admin&p=secret").statusCode() == 200)
+    assert(query("DROP USER bob", extra = "&u=admin&p=secret")
+      .statusCode() == 200)
+    assert(query("SELECT 1", headers = Seq(basic("bob", "pw2")))
+      .statusCode() == 401)
+  }
+
+  test("Auth unit: KDF salts differ per user; authorizeDatabase matrix") {
+    val a = new Auth
+    a.execute("CREATE USER u1 WITH PASSWORD 'pw'")
+    a.execute("CREATE USER u2 WITH PASSWORD 'pw'")
+    val (h1, h2) = (a.user("u1").get, a.user("u2").get)
+    assert(h1.hash != h2.hash, "same password must hash differently (salt)")
+    assert(a.authenticate("u1", "pw").isDefined)
+    assert(a.authenticate("u1", "PW").isEmpty)
+    a.execute("GRANT WRITE ON db1 TO u1")
+    val u = a.user("u1").get
+    // userinfo.go:54 — a WRITE grant does not imply READ
+    assert(u.authorizeDatabase(Auth.WritePrivilege, "db1"))
+    assert(!u.authorizeDatabase(Auth.ReadPrivilege, "db1"))
+    assert(u.authorizeDatabase(Auth.NoPrivileges, "anywhere"))
+    assert(Auth.privilegeName(Auth.AllPrivileges) == "ALL PRIVILEGES")
+  }
+}
