@@ -47,7 +47,8 @@ final class HttpGateway(spark: SparkSession,
                         init: Map[String, InfluxQL.Measurement],
                         prom: Map[String, PromQL.Metric],
                         port: Int = 0,
-                        requireAuth: Boolean = false) {
+                        requireAuth: Boolean = false,
+                        maxRowLimit: Int = 1000000) {
 
   /** Gateway-held user catalog (the reference's meta user store). User
     * management statements mutate it whether or not enforcement is on,
@@ -434,7 +435,11 @@ final class HttpGateway(spark: SparkSession,
             case _ => df0
           }
           val valueCols = HttpGateway.shapedValueCols(df.columns.toIndexedSeq, tags)
-          ResultShaper.toResultObj(df, name, tags, valueCols, epoch, id)
+          // non-chunked responses are bounded by http.max-row-limit
+          // (config.go:37) — over-limit series are truncated and marked
+          // partial; use chunked=true to stream past the limit
+          ResultShaper.toResultObj(df, name, tags, valueCols, epoch, id,
+            maxRowLimit)
         }
 
       if (p.get("chunked").contains("true")) {
@@ -452,8 +457,18 @@ final class HttpGateway(spark: SparkSession,
         }
         val valueCols = HttpGateway.shapedValueCols(df.columns.toIndexedSeq, tags)
         val n = p.get("chunk_size").map(_.toInt).getOrElse(10000)
-        respond(ex, 200, ResultShaper.toSeriesJsonChunked(
-          df, name, tags, valueCols, n, epoch).mkString("", "\n", "\n"))
+        // stream chunk documents as they come off toLocalIterator —
+        // driver heap stays bounded by one partition + one chunk no
+        // matter how many rows the statement returns (the reference's
+        // httpsender streams the same way); chunked responses are
+        // exempt from max-row-limit like the reference's
+        val lines = ResultShaper.streamSeriesJsonChunked(
+          df, name, tags, valueCols, n, epoch)
+        ex.getResponseHeaders.set("Content-Type", "application/json")
+        ex.sendResponseHeaders(200, 0)
+        val os = ex.getResponseBody
+        try lines.foreach { l => os.write(l.getBytes(UTF_8)); os.write('\n') }
+        finally { os.close(); ex.close() }
       } else {
         val objs = statements.zipWithIndex
           .map { case (s, i) => resultObj(s, i) }
@@ -461,7 +476,11 @@ final class HttpGateway(spark: SparkSession,
       }
     } catch {
       case e: Throwable =>
-        respond(ex, 400, s"""{"error":${jsonStr(String.valueOf(e.getMessage))}}""")
+        // a failure after chunked streaming began cannot 400 anymore —
+        // headers are out; drop the connection like the reference does
+        try respond(ex, 400,
+          s"""{"error":${jsonStr(String.valueOf(e.getMessage))}}""")
+        catch { case _: Throwable => ex.close() }
     }
 
   // ------------------------------------------------------------- /write
@@ -660,9 +679,9 @@ final class HttpGateway(spark: SparkSession,
               mt.labels.map(l =>
                 coalesce(col(l).cast("string"), lit("")).as(l)) ++
                 Seq(tus.as("_t"), col(mt.value).cast("double").as("_v")): _*)
-              .limit(1000001).collect()
-            if (rows.length > 1000000)
-              sys.error("remote read exceeds max-row-limit (1000000); " +
+              .limit(maxRowLimit + 1).collect()
+            if (rows.length > maxRowLimit)
+              sys.error(s"remote read exceeds max-row-limit ($maxRowLimit); " +
                 "narrow the time range or matchers")
             rows.groupBy(r => mt.labels.map(l => r.getAs[String](l)))
               .toSeq.sortBy(_._1.mkString(" "))

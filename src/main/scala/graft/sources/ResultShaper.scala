@@ -57,30 +57,72 @@ object ResultShaper {
     * response document carrying at most `chunkSize` rows of one series;
     * a series split across chunks is marked `"partial":true` on every
     * chunk but its last — the reference's chunking contract
-    * (`httpsender_transform.go` chunked emission). The driver-facing
-    * collect stays the single deliberate one; chunking just segments the
-    * already-final rows. */
+    * (`httpsender_transform.go` chunked emission). Buffered convenience
+    * over [[streamSeriesJsonChunked]]. */
   def toSeriesJsonChunked(df: DataFrame, name: String, tagCols: Seq[String],
                           valueCols: Seq[String], chunkSize: Int,
-                          epoch: String = "ms"): Seq[String] = {
-    val rows = df.select((tagCols ++ valueCols).map(col): _*).collect()
-    val grouped = rows.groupBy(r => tagCols.map(t => r.getAs[Any](t)))
-      .toSeq.sortBy(_._1.map(String.valueOf).mkString(","))
-    grouped.flatMap { case (tagVals, rs) =>
-      val tags = tagCols.zip(tagVals)
-        .map { case (k, v) => s"${jsonScalar(k)}:${jsonScalar(v)}" }
-        .mkString("{", ",", "}")
-      val columns = valueCols.map(c => jsonScalar(c)).mkString("[", ",", "]")
-      val chunks = rs.grouped(chunkSize).toSeq
-      chunks.zipWithIndex.map { case (chunk, i) =>
-        val values = chunk.map(r => valueCols
-          .map(c => jsonScalar(r.getAs[Any](c), epoch))
-          .mkString("[", ",", "]")).mkString("[", ",", "]")
-        val partial = if (i < chunks.size - 1) ""","partial":true""" else ""
-        s"""{"results":[{"statement_id":0,"series":[{"name":${
-          jsonScalar(name)},"tags":$tags,"columns":$columns,"values":$values$partial}]}]}"""
+                          epoch: String = "ms"): Seq[String] =
+    streamSeriesJsonChunked(df, name, tagCols, valueCols, chunkSize, epoch)
+      .toSeq
+
+  /** Streaming chunked emission: rows come off `toLocalIterator` one
+    * partition at a time after a series-contiguity sort, so driver
+    * memory is bounded by one partition + one chunk REGARDLESS of
+    * result size — the reference streams chunks the same way as its
+    * cursors advance (`httpsender_transform.go`), and this is what
+    * makes `chunked=true` safe for a `SELECT *` over a large
+    * measurement. Series are ordered by their stringified tag values;
+    * rows within a series keep plan order (the monotonic row-id
+    * tiebreaker makes the contiguity sort stable). Tag-less results
+    * skip the sort entirely — their plan order IS the emission order. */
+  def streamSeriesJsonChunked(df: DataFrame, name: String,
+                              tagCols: Seq[String], valueCols: Seq[String],
+                              chunkSize: Int,
+                              epoch: String = "ms"): Iterator[String] = {
+    import scala.jdk.CollectionConverters._
+    val projected =
+      if (tagCols.isEmpty) df.select(valueCols.map(col): _*)
+      else df
+        .withColumn("__row", monotonically_increasing_id())
+        .orderBy(
+          array(tagCols.map(c =>
+            coalesce(col(c).cast("string"), lit("null"))): _*).asc,
+          col("__row").asc)
+        .select((tagCols ++ valueCols).map(col): _*)
+    val rows = projected.toLocalIterator().asScala.buffered
+    new Iterator[String] {
+      def hasNext: Boolean = rows.hasNext
+      def next(): String = {
+        val key = tagCols.map(t => rows.head.getAs[Any](t))
+        val chunk = Vector.newBuilder[Row]
+        var n = 0
+        while (n < chunkSize && rows.hasNext &&
+            tagCols.map(t => rows.head.getAs[Any](t)) == key) {
+          chunk += rows.next(); n += 1
+        }
+        // partial iff the SAME series continues in the next chunk
+        val partial = rows.hasNext &&
+          tagCols.map(t => rows.head.getAs[Any](t)) == key
+        seriesDoc(name, tagCols, key, valueCols, chunk.result(),
+          epoch, partial)
       }
     }
+  }
+
+  private def seriesDoc(name: String, tagCols: Seq[String],
+                        tagVals: Seq[Any], valueCols: Seq[String],
+                        rs: Seq[Row], epoch: String,
+                        partial: Boolean): String = {
+    val tags = tagCols.zip(tagVals)
+      .map { case (k, v) => s"${jsonScalar(k)}:${jsonScalar(v)}" }
+      .mkString("{", ",", "}")
+    val columns = valueCols.map(c => jsonScalar(c)).mkString("[", ",", "]")
+    val values = rs.map(r => valueCols
+      .map(c => jsonScalar(r.getAs[Any](c), epoch))
+      .mkString("[", ",", "]")).mkString("[", ",", "]")
+    val p = if (partial) ""","partial":true""" else ""
+    s"""{"results":[{"statement_id":0,"series":[{"name":${
+      jsonScalar(name)},"tags":$tags,"columns":$columns,"values":$values$p}]}]}"""
   }
 
   /** Shape a result into the per-series InfluxQL JSON: one series per
@@ -92,23 +134,42 @@ object ResultShaper {
 
   /** One result object `{"statement_id":i,"series":[…]}` — the unit the
     * reference's response writer emits per statement of a multi-statement
-    * `q` (`httpd/response_writer.go:387`). */
+    * `q` (`httpd/response_writer.go:387`).
+    *
+    * `maxRows` is the reference's `http.max-row-limit`
+    * (`httpd/config/config.go:37` DefaultMaxRowNum, truncation per
+    * `handler.go:979` getResultRowsCnt): a non-chunked response never
+    * buffers more than `maxRows` rows — the series that crosses the
+    * limit is cut and marked `"partial":true`, remaining series are
+    * dropped. The collect itself is capped at `maxRows + 1` rows so the
+    * driver is protected BEFORE shaping, not after. */
   def toResultObj(df: DataFrame, name: String, tagCols: Seq[String],
                   valueCols: Seq[String], epoch: String = "ms",
-                  statementId: Int = 0): String = {
-    val rows = df.select((tagCols ++ valueCols).map(col): _*).collect()
+                  statementId: Int = 0,
+                  maxRows: Int = Int.MaxValue): String = {
+    val capped =
+      if (maxRows == Int.MaxValue) df else df.limit(maxRows + 1)
+    val rows = capped.select((tagCols ++ valueCols).map(col): _*).collect()
     val grouped = rows.groupBy(r => tagCols.map(t => r.getAs[Any](t)))
       .toSeq.sortBy(_._1.map(String.valueOf).mkString(","))
-    val series = grouped.map { case (tagVals, rs) =>
-      val tags = tagCols.zip(tagVals)
-        .map { case (k, v) => s"${jsonScalar(k)}:${jsonScalar(v)}" }
-        .mkString("{", ",", "}")
-      val columns = valueCols.map(c => jsonScalar(c)).mkString("[", ",", "]")
-      val values = rs.map(r => valueCols
-        .map(c => jsonScalar(r.getAs[Any](c), epoch))
-        .mkString("[", ",", "]")).mkString("[", ",", "]")
-      s"""{"name":${jsonScalar(name)},"tags":$tags,"columns":$columns,"values":$values}"""
-    }.mkString("[", ",", "]")
+    var emitted = 0
+    val series = grouped.iterator
+      .takeWhile(_ => emitted < maxRows)
+      .map { case (tagVals, rs) =>
+        val room = maxRows - emitted
+        val (kept, partial) =
+          if (rs.length > room) (rs.take(room), true) else (rs, false)
+        emitted += kept.length
+        val tags = tagCols.zip(tagVals)
+          .map { case (k, v) => s"${jsonScalar(k)}:${jsonScalar(v)}" }
+          .mkString("{", ",", "}")
+        val columns = valueCols.map(c => jsonScalar(c)).mkString("[", ",", "]")
+        val values = kept.map(r => valueCols
+          .map(c => jsonScalar(r.getAs[Any](c), epoch))
+          .mkString("[", ",", "]")).mkString("[", ",", "]")
+        val p = if (partial) ""","partial":true""" else ""
+        s"""{"name":${jsonScalar(name)},"tags":$tags,"columns":$columns,"values":$values$p}"""
+      }.mkString("[", ",", "]")
     s"""{"statement_id":$statementId,"series":$series}"""
   }
 }

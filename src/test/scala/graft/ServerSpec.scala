@@ -212,6 +212,69 @@ class ServerSpec extends SparkSpec {
     assert(body.contains("\"count\"") && body.contains("33"), body)
   }
 
+  test("chunked /query streams incrementally with bounded driver pulls") {
+    // streamSeriesJsonChunked pulls rows via toLocalIterator — one
+    // Spark job per partition, on demand — instead of one big collect.
+    // Taking only the first chunk must therefore schedule strictly
+    // fewer jobs than draining the whole result.
+    import graft.sources.ResultShaper
+    // tag-less path: no contiguity sort, so the emission order is the
+    // partition order and toLocalIterator fetches partitions on demand
+    // (the sorted path has the same property once the result is big
+    // enough that AQE keeps multiple range partitions)
+    val df = events.select("value").repartition(8)
+    val sc = spark.sparkContext
+    sc.setJobGroup("chunk-first", "first chunk only")
+    val it = ResultShaper.streamSeriesJsonChunked(
+      df, "events", Nil, Seq("value"), 100)
+    val first = it.next()
+    sc.clearJobGroup()
+    val firstJobs = sc.statusTracker.getJobIdsForGroup("chunk-first").length
+    sc.setJobGroup("chunk-rest", "drain")
+    val rest = it.toVector
+    sc.clearJobGroup()
+    val restJobs = sc.statusTracker.getJobIdsForGroup("chunk-rest").length
+    assert(first.contains("\"partial\":true"))
+    assert(rest.nonEmpty)
+    assert(restJobs >= 1,
+      s"draining must schedule additional jobs ($firstJobs then $restJobs)" +
+        " — a single up-front collect would do all work in the first pull")
+    // the stream carries every row exactly once
+    val total = (first +: rest).map(
+      _.split("\"values\":\\[\\[", 2)(1).split("]]")(0)
+        .split("],\\[").length).sum
+    assert(total == df.count())
+  }
+
+  test("non-chunked /query truncates at max-row-limit with a partial marker") {
+    // handler.go:979 getResultRowsCnt — the series crossing the limit
+    // is cut and marked partial, later series are dropped, and the
+    // collect itself is capped so the driver never holds the full set
+    val cat = Map("events" -> InfluxQL.Measurement(
+      events, tags = Seq("event_type")))
+    val tiny = new HttpGateway(spark, cat, Map.empty, maxRowLimit = 7)
+    tiny.start()
+    try {
+      val r = http.send(HttpRequest.newBuilder(URI.create(
+        s"http://127.0.0.1:${tiny.boundPort}/query?q=${enc(
+          "SELECT value FROM events")}&epoch=ms")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(r.statusCode() == 200)
+      assert(r.body().contains("\"partial\":true"), r.body().take(400))
+      val rows = "\\[1\\d{12},".r.findAllIn(r.body()).length
+      assert(rows <= 7, s"expected <=7 rows, got $rows")
+      // chunked requests are exempt from the limit (they stream):
+      // the same over-limit statement returns every row
+      val chunked = http.send(HttpRequest.newBuilder(URI.create(
+        s"http://127.0.0.1:${tiny.boundPort}/query?q=${enc(
+          "SELECT value FROM events")}&chunked=true&chunk_size=500&epoch=ms"))
+        .GET().build(), HttpResponse.BodyHandlers.ofString())
+      assert(chunked.statusCode() == 200)
+      val streamed = "\\[1\\d{12},".r.findAllIn(chunked.body()).length
+      assert(streamed == events.count(), s"streamed $streamed rows")
+    } finally tiny.stop()
+  }
+
   test("/query epoch parameter rescales timestamps") {
     val q = "SELECT count(value) FROM events GROUP BY time(1d) LIMIT 1"
     val ms = get(s"/query?q=${enc(q)}&epoch=ms").body()
