@@ -62,6 +62,19 @@ object SparkEntry {
       extentMs = graft.sources.ParquetStats.timeExtentMs(
         s, s"$dir/events.parquet")))
 
+  /** events as an InfluxQL measurement. `extentMs` comes from parquet
+    * footer stats (memoized per dir — a driver metadata read) so
+    * unbounded fill spines clamp with no scan-stage job, mirroring
+    * [[promCatalog]]'s extent wiring. */
+  private val evExtent = new java.util.concurrent.ConcurrentHashMap[
+    String, Option[(Long, Long)]]()
+  private def influxCatalog(s: SparkSession, dir: String)
+      : Map[String, graft.query.InfluxQL.Measurement] =
+    Map("events" -> graft.query.InfluxQL.Measurement(
+      t(s, dir, "events"), tags = Seq("event_type"),
+      extentMs = evExtent.computeIfAbsent(dir, _ =>
+        graft.sources.ParquetStats.timeExtentMs(s, s"$dir/events.parquet"))))
+
   // ---- query inventory -----------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -648,8 +661,7 @@ object SparkEntry {
     // §3.1 InfluxQL frontend end-to-end: parse → ladder → DataFrame,
     // treating events as measurement (tags=event_type, field=value).
     "q54_influxql_window" -> ((s, dir) => {
-      val catalog = Map("events" -> graft.query.InfluxQL.Measurement(
-        t(s, dir, "events"), tags = Seq("event_type")))
+      val catalog = influxCatalog(s, dir)
       graft.query.InfluxQL.execute(catalog,
           "SELECT count(value), min(value), max(value), spread(value) " +
           "FROM events GROUP BY event_type, time(1h) ORDER BY time")
@@ -657,8 +669,7 @@ object SparkEntry {
     }),
 
     "q55_influxql_selectors" -> ((s, dir) => {
-      val catalog = Map("events" -> graft.query.InfluxQL.Measurement(
-        t(s, dir, "events"), tags = Seq("event_type")))
+      val catalog = influxCatalog(s, dir)
       graft.query.InfluxQL.execute(catalog,
           "SELECT first(value), last(value), count(value) FROM events " +
           "WHERE value >= 50 GROUP BY event_type")
@@ -769,8 +780,7 @@ object SparkEntry {
 
     // §3.1 frontend: arithmetic over aggregates (materialize on agg output).
     "q64_influxql_expr" -> ((s, dir) => {
-      val catalog = Map("events" -> graft.query.InfluxQL.Measurement(
-        t(s, dir, "events"), tags = Seq("event_type")))
+      val catalog = influxCatalog(s, dir)
       graft.query.InfluxQL.execute(catalog,
           "SELECT max(value) - min(value) AS spread2, count(value), " +
           "count(value) * 2 + 1 AS n2 FROM events GROUP BY event_type")
@@ -779,8 +789,7 @@ object SparkEntry {
 
     // §2.7 frontend subquery: outer aggregate over inner interval counts.
     "q65_influxql_subquery" -> ((s, dir) => {
-      val catalog = Map("events" -> graft.query.InfluxQL.Measurement(
-        t(s, dir, "events"), tags = Seq("event_type")))
+      val catalog = influxCatalog(s, dir)
       graft.query.InfluxQL.execute(catalog,
           "SELECT max(count) FROM (SELECT count(value) FROM events " +
           "GROUP BY event_type, time(1h)) GROUP BY event_type")
@@ -942,8 +951,7 @@ object SparkEntry {
     // statement_rewriter.go, ast.go:2160): UNION [ALL], [NOT] IN
     // subqueries, SHOW TAG VALUES, tz() bucketing, time(d, offset).
     "q77_influxql_union" -> ((s, dir) => {
-      val catalog = Map("events" -> graft.query.InfluxQL.Measurement(
-        t(s, dir, "events"), tags = Seq("event_type")))
+      val catalog = influxCatalog(s, dir)
       graft.query.InfluxQL.execute(catalog,
           "SELECT count(value), min(value), max(value) FROM events " +
           "WHERE event_type = 'click' " +
@@ -956,8 +964,7 @@ object SparkEntry {
     }),
 
     "q78_influxql_in_subquery" -> ((s, dir) => {
-      val catalog = Map("events" -> graft.query.InfluxQL.Measurement(
-        t(s, dir, "events"), tags = Seq("event_type")))
+      val catalog = influxCatalog(s, dir)
       graft.query.InfluxQL.execute(catalog,
           "SELECT count(value) FROM events WHERE user_id IN " +
           "(SELECT user_id FROM events WHERE value > 99) " +
@@ -966,8 +973,7 @@ object SparkEntry {
     }),
 
     "q79_show_tag_values" -> ((s, dir) => {
-      val catalog = Map("events" -> graft.query.InfluxQL.Measurement(
-        t(s, dir, "events"), tags = Seq("event_type")))
+      val catalog = influxCatalog(s, dir)
       graft.query.InfluxQL.execute(catalog,
         "SHOW TAG VALUES FROM events WITH KEY = event_type")
     }),
@@ -976,8 +982,7 @@ object SparkEntry {
     // range (January — no DST transition), so the oracle can mirror with
     // a constant shift.
     "q80_influxql_tz" -> ((s, dir) => {
-      val catalog = Map("events" -> graft.query.InfluxQL.Measurement(
-        t(s, dir, "events"), tags = Seq("event_type")))
+      val catalog = influxCatalog(s, dir)
       graft.query.InfluxQL.execute(catalog,
           "SELECT count(value) FROM events GROUP BY time(1d) " +
           "TZ('America/New_York')")
@@ -985,8 +990,7 @@ object SparkEntry {
     }),
 
     "q81_influxql_time_offset" -> ((s, dir) => {
-      val catalog = Map("events" -> graft.query.InfluxQL.Measurement(
-        t(s, dir, "events"), tags = Seq("event_type")))
+      val catalog = influxCatalog(s, dir)
       graft.query.InfluxQL.execute(catalog,
           "SELECT count(value) FROM events GROUP BY time(1h, 15m)")
         .select("time", "count").orderBy("time")
@@ -1102,8 +1106,7 @@ object SparkEntry {
     // epochs — reference clamps fill spines the same way
     // (query/compile.go:1325). Jan-2024 data is fixed EST (UTC−5).
     "q92_influxql_fill_tz" -> ((s, dir) => {
-      val catalog = Map("events" -> graft.query.InfluxQL.Measurement(
-        t(s, dir, "events"), tags = Seq("event_type")))
+      val catalog = influxCatalog(s, dir)
       graft.query.InfluxQL.execute(catalog,
           "SELECT count(value) FROM events " +
           "GROUP BY event_type, time(1d, 4h) fill(previous) " +
@@ -1148,8 +1151,7 @@ object SparkEntry {
     // frontend. Only IEEE-exact fns in the oracle (abs/floor/ceil/
     // round/sqrt); transcendentals are spec-tested.
     "q97_influxql_math" -> ((s, dir) => {
-      val catalog = Map("events" -> graft.query.InfluxQL.Measurement(
-        t(s, dir, "events"), tags = Seq("event_type")))
+      val catalog = influxCatalog(s, dir)
       graft.query.InfluxQL.execute(catalog,
           "SELECT count(abs(value)) AS n_abs, " +
           "max(sqrt(abs(value))) AS mx_sqrt, " +
@@ -1201,8 +1203,7 @@ object SparkEntry {
     // Rounded to 6dp — the two engines fold the same ordered sequence
     // but in different FP association orders.
     "q98_regr_slope" -> ((s, dir) => {
-      val catalog = Map("events" -> graft.query.InfluxQL.Measurement(
-        t(s, dir, "events"), tags = Seq("event_type")))
+      val catalog = influxCatalog(s, dir)
       graft.query.InfluxQL.execute(catalog,
           "SELECT regr_slope(value) AS slope FROM events " +
           "GROUP BY event_type")
@@ -1240,8 +1241,7 @@ object SparkEntry {
     // sketch, no key shuffle) is spec-covered in InfluxQLSpec since its
     // estimate is engine-specific.
     "q101_show_cardinality" -> ((s, dir) => {
-      val catalog = Map("events" -> graft.query.InfluxQL.Measurement(
-        t(s, dir, "events"), tags = Seq("event_type")))
+      val catalog = influxCatalog(s, dir)
       graft.query.InfluxQL.execute(catalog,
         "SHOW TAG VALUES EXACT CARDINALITY FROM events WITH KEY = event_type")
     }),

@@ -777,7 +777,13 @@ object InfluxQL {
   // ------------------------------------------------------------- compiler
   /** Measurement metadata the analyzer needs (reference: FieldMapper /
     * CleanSchema). `time` must be a TIMESTAMP column. */
-  case class Measurement(df: DataFrame, tags: Seq[String], time: String = "ts")
+  /** `extentMs`: the table's [min, max] time in epoch ms from parquet
+    * footer statistics ([[graft.sources.ParquetStats]]) — lets
+    * unbounded fill spines clamp without a data scan, like the
+    * reference's shard-group {Start,End}Time meta. */
+  case class Measurement(df: DataFrame, tags: Seq[String],
+                         time: String = "ts",
+                         extentMs: Option[(Long, Long)] = None)
 
   /** Compile + run a query against a catalog of measurements. Output
     * columns: time (epoch ms) [+ group tags] + one column per projection
@@ -1630,22 +1636,33 @@ object InfluxQL {
                   from_utc_timestamp(col(m.time), z))).getOrElse(df)
                 val bucketed = WindowedAgg.timeBucket(axisDf, m.time,
                   interval, groupTags, aggs, offset = offsetStr, tz = None)
-                // clamp the spine to the query's time bounds (compile.go:1325)
-                val bounds = axisDf.agg(
-                  min(unix_millis(col(m.time))), max(unix_millis(col(m.time))))
-                  .collect()(0)
-                if (bounds.isNullAt(0))
+                // clamp the spine to the data's time bounds
+                // (compile.go:1325). An unfiltered query on the storage
+                // axis (no WHERE narrowing rows, no tz() shifting the
+                // axis) gets them free from parquet footer stats — the
+                // measurement's extentMs, same as PromQL.evalGrid — so
+                // no extra scan-stage job is scheduled; otherwise one
+                // column-pruned min/max pass of the filtered frame.
+                val boundsOpt: Option[(Long, Long)] =
+                  (if (q.where.isEmpty && q.tz.isEmpty) m.extentMs
+                   else None).orElse {
+                    val b = axisDf.agg(
+                      min(unix_millis(col(m.time))),
+                      max(unix_millis(col(m.time)))).collect()(0)
+                    if (b.isNullAt(0)) None
+                    else Some((b.getLong(0), b.getLong(1)))
+                  }
+                if (boundsOpt.isEmpty)
                   q.tz.map(z => bucketed.withColumn("wstart_ms",
                       unix_millis(to_utc_timestamp(
                         timestamp_millis(col("wstart_ms")), z))))
                     .getOrElse(bucketed)
                 else {
+                  val (bLo, bHi) = boundsOpt.get
                   val step = ns / 1000000
                   val off = q.intervalOffsetNs.getOrElse(0L) / 1000000
-                  val lo = Math.floorDiv(bounds.getLong(0) - off, step) *
-                    step + off
-                  val hi = Math.floorDiv(bounds.getLong(1) - off, step) *
-                    step + off + step
+                  val lo = Math.floorDiv(bLo - off, step) * step + off
+                  val hi = Math.floorDiv(bHi - off, step) * step + off + step
                   val names = bucketed.columns
                     .filterNot(c => c == "wstart_ms" || groupTags.contains(c))
                   val filled = mode match {

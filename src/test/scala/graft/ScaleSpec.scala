@@ -164,6 +164,40 @@ class ScaleSpec extends SparkSpec {
       s"expected a distributed top-n, got:\n$plan")
   }
 
+  test("unbounded fill spines clamp from footer stats: no bounds scan job") {
+    // with extentMs registered (parquet footer stats), the fill spine's
+    // min/max clamp is a metadata lookup — the query schedules no extra
+    // scan-stage job for bounds (the PromQL evalGrid contract, now on
+    // the InfluxQL path too)
+    import graft.query.InfluxQL
+    val events = Tables.table(spark, sf, "events")
+    val extent = graft.sources.ParquetStats.timeExtentMs(
+      spark, s"$sf/events.parquet")
+    assert(extent.isDefined)
+    val sql = "SELECT mean(value) FROM events GROUP BY time(1d) fill(previous)"
+    val sc = spark.sparkContext
+    def jobsOf(group: String, extentMs: Option[(Long, Long)]): Int = {
+      val cat = Map("events" -> InfluxQL.Measurement(
+        events, tags = Nil, extentMs = extentMs))
+      sc.setJobGroup(group, group)
+      val out = InfluxQL.execute(cat, sql).collect()
+      sc.clearJobGroup()
+      assert(out.nonEmpty)
+      sc.statusTracker.getJobIdsForGroup(group).length
+    }
+    val without = jobsOf("fill-scan-bounds", None)
+    val withExtent = jobsOf("fill-footer-bounds", extent)
+    assert(withExtent < without,
+      s"footer-stat bounds must drop the bounds-scan job " +
+        s"($withExtent vs $without)")
+    // and the results are identical either way
+    val a = InfluxQL.execute(Map("events" -> InfluxQL.Measurement(
+      events, Nil, extentMs = extent)), sql).collect().toSeq
+    val b = InfluxQL.execute(Map("events" -> InfluxQL.Measurement(
+      events, Nil)), sql).collect().toSeq
+    assert(a == b)
+  }
+
   test("estimated cardinality aggregates HLL sketches, not raw keys") {
     val catalog = Map("events" -> graft.query.InfluxQL.Measurement(
       Tables.table(spark, sf, "events"), tags = Seq("event_type")))
