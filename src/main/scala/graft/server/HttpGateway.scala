@@ -5,7 +5,7 @@ import java.net.{InetSocketAddress, URLDecoder}
 import java.nio.charset.StandardCharsets.UTF_8
 import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import graft.query.{InfluxQL, PromQL}
-import graft.sources.{LineProtocol, OtlpLogs, OtlpMetrics, PromRemoteRead, PromRemoteWrite, ResultShaper}
+import graft.sources.{LineProtocol, OtlpLogs, OtlpMetrics, OtlpTraces, PromRemoteRead, PromRemoteWrite, ResultShaper}
 
 /** Minimal HTTP serving surface over the library, mirroring the
   * reference's httpd routes (`lib/util/lifted/influx/httpd/handler.go:264`
@@ -116,6 +116,9 @@ final class HttpGateway(spark: SparkSession,
   // OTLP logs remote write (handler.go:320 -> the `logs` measurement)
   server.createContext("/api/v1/otlp/logs",
     (ex: HttpExchange) => handleOtlpLogs(ex))
+  // OTLP traces remote write (handler.go:312 -> the `spans` measurement)
+  server.createContext("/api/v1/otlp/traces",
+    (ex: HttpExchange) => handleOtlpTraces(ex))
   // Prom metric metadata (handler.go:385 servePromQueryMetaData):
   // every known metric reported untyped with empty help/unit — the
   // engine's catalog carries no HELP/TYPE declarations
@@ -604,6 +607,33 @@ final class HttpGateway(spark: SparkSession,
               case None => InfluxQL.Measurement(df, tagKeys, "ts")
             }))
         }
+      }
+      ex.getResponseHeaders.set("Content-Type", "application/x-protobuf")
+      ex.sendResponseHeaders(200, -1); ex.close()
+    } catch {
+      case e: Throwable =>
+        respond(ex, 400, s"""{"error":${jsonStr(String.valueOf(e.getMessage))}}""")
+    }
+
+  /** OTLP traces write (`handler_otlp.go:104` serveOtlpTracesWrite):
+    * spans land in the `spans` measurement — trace_id/span_id tags,
+    * duration_nano and friends as fields. */
+  private def handleOtlpTraces(ex: HttpExchange): Unit =
+    try {
+      if (guard(ex, params(ex, readBody = false),
+          Auth.WritePrivilege, "write to").isEmpty) return
+      val samples = OtlpTraces.decode(ex.getRequestBody.readAllBytes())
+      if (samples.isEmpty) sys.error("no spans in request")
+      synchronized {
+        val (df, tagKeys) = OtlpTraces.toMeasurement(spark, samples)
+        val name = OtlpTraces.Measurement
+        catalog = catalog + (name -> (catalog.get(name) match {
+          case Some(prev) => InfluxQL.Measurement(
+            maybeCompact(name,
+              prev.df.unionByName(df, allowMissingColumns = true)),
+            (prev.tags ++ tagKeys).distinct, prev.time)
+          case None => InfluxQL.Measurement(df, tagKeys, "ts")
+        }))
       }
       ex.getResponseHeaders.set("Content-Type", "application/x-protobuf")
       ex.sendResponseHeaders(200, -1); ex.close()

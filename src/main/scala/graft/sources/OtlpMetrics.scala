@@ -411,3 +411,189 @@ object OtlpLogs {
     req.result()
   }
 }
+
+/** OTLP traces ingestion (reference route `handler.go:312`
+  * `POST /api/v1/otlp/traces` → `handler_otlp.go:104`
+  * `serveOtlpTracesWrite` → `lib/opentelemetry/otlp_writer.go:111`
+  * `WriteTraces`, which delegates to the upstream otel2influx ptrace
+  * writer): spans land in one measurement named `spans` with the
+  * otel2influx common schema — `trace_id`/`span_id` (lowercase hex) and
+  * resource attributes as TAGS; `parent_span_id`, `name`, `kind`,
+  * `duration_nano`, `end_time_unix_nano`, status and span attributes as
+  * FIELDS; time = span start.
+  *
+  * Wire subset (public opentelemetry-proto `trace.proto`):
+  * {{{
+  *   ExportTraceServiceRequest { repeated ResourceSpans = 1 }
+  *   ResourceSpans { Resource resource = 1; repeated ScopeSpans = 2 }
+  *   ScopeSpans    { InstrumentationScope scope = 1; repeated Span = 2 }
+  *   Span { bytes trace_id = 1; bytes span_id = 2;
+  *          bytes parent_span_id = 4; string name = 5; varint kind = 6;
+  *          fixed64 start_time_unix_nano = 7;
+  *          fixed64 end_time_unix_nano = 8;
+  *          repeated KeyValue attributes = 9;
+  *          Status status = 15 { string message = 2; varint code = 3 } }
+  * }}}
+  */
+object OtlpTraces {
+  import PromRemoteWrite.{Reader, Writer}
+
+  case class SpanSample(tags: Map[String, String], time_ns: Long,
+                        parent_span_id: String, name: String, kind: Long,
+                        duration_nano: Long, end_time_unix_nano: Long,
+                        status_code: Long, status_message: String,
+                        attrs: Map[String, String])
+
+  val Measurement = "spans"
+
+  private def hex(b: Array[Byte]): String =
+    b.map(x => f"${x & 0xff}%02x").mkString
+
+  private def readSpan(buf: Array[Byte], from: Int, until: Int,
+                       resourceTags: Map[String, String]): SpanSample = {
+    val r = new Reader(buf, from, until)
+    val attrs = collection.mutable.Map.empty[String, String]
+    var traceId = ""; var spanId = ""; var parent = ""
+    var name = ""; var kind = 0L
+    var startNs = 0L; var endNs = 0L
+    var code = 0L; var msg = ""
+    while (r.hasMore) r.tag() match {
+      case (1, 2) => val n = r.len(); traceId = hex(buf.slice(r.pos, r.pos + n)); r.pos += n
+      case (2, 2) => val n = r.len(); spanId = hex(buf.slice(r.pos, r.pos + n)); r.pos += n
+      case (4, 2) => val n = r.len(); parent = hex(buf.slice(r.pos, r.pos + n)); r.pos += n
+      case (5, 2) => val n = r.len(); name = new String(buf, r.pos, n, "UTF-8"); r.pos += n
+      case (6, 0) => kind = r.varint()
+      case (7, 1) => startNs = r.fixed64()
+      case (8, 1) => endNs = r.fixed64()
+      case (9, 2) => val n = r.len(); attrs += OtlpMetrics.readKeyValue(buf, r.pos, r.pos + n); r.pos += n
+      case (15, 2) => // Status { message = 2; code = 3 }
+        val n = r.len()
+        val sr = new Reader(buf, r.pos, r.pos + n)
+        while (sr.hasMore) sr.tag() match {
+          case (2, 2) => val m = sr.len(); msg = new String(buf, sr.pos, m, "UTF-8"); sr.pos += m
+          case (3, 0) => code = sr.varint()
+          case (_, w) => sr.skip(w)
+        }
+        r.pos += n
+      case (_, w) => r.skip(w) // events/links/trace_state skipped
+    }
+    SpanSample(
+      resourceTags ++ Map("trace_id" -> traceId, "span_id" -> spanId),
+      startNs, parent, name, kind, endNs - startNs, endNs, code, msg,
+      attrs.toMap)
+  }
+
+  private def readScopeSpans(buf: Array[Byte], from: Int, until: Int,
+                             resourceTags: Map[String, String]): Seq[SpanSample] = {
+    val r = new Reader(buf, from, until)
+    val out = Seq.newBuilder[SpanSample]
+    while (r.hasMore) r.tag() match {
+      case (2, 2) => val n = r.len(); out += readSpan(buf, r.pos, r.pos + n, resourceTags); r.pos += n
+      case (_, w) => r.skip(w)
+    }
+    out.result()
+  }
+
+  private def readResourceSpans(buf: Array[Byte], from: Int, until: Int): Seq[SpanSample] = {
+    val r = new Reader(buf, from, until)
+    var resourceTags = Map.empty[String, String]
+    val scopes = Seq.newBuilder[(Int, Int)]
+    while (r.hasMore) r.tag() match {
+      case (1, 2) =>
+        val n = r.len()
+        val rr = new Reader(buf, r.pos, r.pos + n)
+        val attrs = collection.mutable.Map.empty[String, String]
+        while (rr.hasMore) rr.tag() match {
+          case (1, 2) =>
+            val m = rr.len()
+            attrs += OtlpMetrics.readKeyValue(buf, rr.pos, rr.pos + m)
+            rr.pos += m
+          case (_, w) => rr.skip(w)
+        }
+        resourceTags = attrs.toMap
+        r.pos += n
+      case (2, 2) => val n = r.len(); scopes += ((r.pos, r.pos + n)); r.pos += n
+      case (_, w) => r.skip(w)
+    }
+    scopes.result().flatMap { case (a, b) =>
+      readScopeSpans(buf, a, b, resourceTags)
+    }
+  }
+
+  /** Decode an `ExportTraceServiceRequest` (plain or gzip). */
+  def decode(body: Array[Byte]): Seq[SpanSample] = {
+    val buf =
+      if (body.length >= 2 && (body(0) & 0xff) == 0x1f &&
+          (body(1) & 0xff) == 0x8b)
+        new java.util.zip.GZIPInputStream(
+          new java.io.ByteArrayInputStream(body)).readAllBytes()
+      else body
+    val r = new Reader(buf, 0, buf.length)
+    val out = Seq.newBuilder[SpanSample]
+    while (r.hasMore) r.tag() match {
+      case (1, 2) => val n = r.len(); out ++= readResourceSpans(buf, r.pos, r.pos + n); r.pos += n
+      case (_, w) => r.skip(w)
+    }
+    out.result()
+  }
+
+  /** The `spans` measurement frame: sorted tag keys (trace_id, span_id,
+    * resource attrs) ++ span fields ++ one string field per span
+    * attribute ++ ts (= span start). */
+  def toMeasurement(spark: SparkSession,
+                    samples: Seq[SpanSample]): (DataFrame, Seq[String]) = {
+    val tagKeys = samples.flatMap(_.tags.keys).distinct.sorted
+    val attrKeys = samples.flatMap(_.attrs.keys).distinct.sorted
+    val ds = spark.createDataset(samples)(Encoders.product[SpanSample])
+    val cols = tagKeys.map(k => col("tags").getItem(k).as(k)) ++ Seq(
+      col("parent_span_id"), col("name"), col("kind"),
+      col("duration_nano"), col("end_time_unix_nano"),
+      col("status_code"), col("status_message")) ++
+      attrKeys.map(k => col("attrs").getItem(k).as(k)) :+
+      timestamp_millis(expr("time_ns div 1000000")).as("ts")
+    (ds.select(cols: _*), tagKeys)
+  }
+
+  /** Sender side, for specs: one resource, one scope. */
+  def encode(resourceTags: Map[String, String],
+             samples: Seq[SpanSample]): Array[Byte] = {
+    def kv(k: String, v: String): Array[Byte] = {
+      val av = new Writer; av.str(1, v)
+      val w = new Writer; w.str(1, k); w.bytes(2, av.result())
+      w.result()
+    }
+    def unhex(s: String): Array[Byte] =
+      s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val ss = new Writer
+    samples.foreach { s =>
+      val span = new Writer
+      span.bytes(1, unhex(s.tags("trace_id")))
+      span.bytes(2, unhex(s.tags("span_id")))
+      if (s.parent_span_id.nonEmpty)
+        span.bytes(4, unhex(s.parent_span_id))
+      span.str(5, s.name)
+      if (s.kind != 0) span.int64(6, s.kind)
+      span.fixed64(7, s.time_ns)
+      span.fixed64(8, s.end_time_unix_nano)
+      s.attrs.toSeq.sortBy(_._1).foreach { case (k, v) =>
+        span.bytes(9, kv(k, v))
+      }
+      val status = new Writer
+      if (s.status_message.nonEmpty) status.str(2, s.status_message)
+      if (s.status_code != 0) status.int64(3, s.status_code)
+      val st = status.result()
+      if (st.nonEmpty) span.bytes(15, st)
+      ss.bytes(2, span.result())
+    }
+    val res = new Writer
+    resourceTags.toSeq.sortBy(_._1).foreach { case (k, v) =>
+      res.bytes(1, kv(k, v))
+    }
+    val rs = new Writer
+    rs.bytes(1, res.result())
+    rs.bytes(2, ss.result())
+    val req = new Writer
+    req.bytes(1, rs.result())
+    req.result()
+  }
+}

@@ -101,6 +101,53 @@ class OtlpMetricsSpec extends SparkSpec {
     assert(resp.contains("1"), resp)
   }
 
+  test("OTLP traces: round-trip, spans measurement, HTTP route") {
+    import graft.sources.OtlpTraces
+    import graft.sources.OtlpTraces.SpanSample
+    val spans = Seq(
+      SpanSample(
+        Map("trace_id" -> "0af7651916cd43dd8448eb211c80319c",
+          "span_id" -> "b7ad6b7169203331"),
+        time_ns = 1500000000L, parent_span_id = "", name = "GET /api",
+        kind = 2, duration_nano = 250000000L,
+        end_time_unix_nano = 1750000000L, status_code = 0,
+        status_message = "", attrs = Map("http.method" -> "GET")),
+      SpanSample(
+        Map("trace_id" -> "0af7651916cd43dd8448eb211c80319c",
+          "span_id" -> "00f067aa0ba902b7"),
+        time_ns = 1550000000L, parent_span_id = "b7ad6b7169203331",
+        name = "SELECT db", kind = 3, duration_nano = 100000000L,
+        end_time_unix_nano = 1650000000L, status_code = 2,
+        status_message = "timeout", attrs = Map.empty))
+    val body = OtlpTraces.encode(Map("service.name" -> "svc1"), spans)
+    // decode round-trips, with resource attrs merged into the tags
+    assert(OtlpTraces.decode(body) == spans.map(s =>
+      s.copy(tags = s.tags + ("service.name" -> "svc1"))))
+    // otel2influx common schema: trace_id/span_id tags, duration field
+    val (df, tags) = OtlpTraces.toMeasurement(spark, spans)
+    assert(tags == Seq("span_id", "trace_id"))
+    assert(df.columns.contains("duration_nano") &&
+      df.columns.contains("ts") && df.columns.contains("http.method"))
+    val r = http.send(HttpRequest.newBuilder(url("/api/v1/otlp/traces"))
+      .header("Content-Type", "application/x-protobuf")
+      .POST(HttpRequest.BodyPublishers.ofByteArray(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(r.statusCode() == 200)
+    val q = java.net.URLEncoder.encode(
+      "SELECT max(duration_nano) FROM spans WHERE trace_id = " +
+        "'0af7651916cd43dd8448eb211c80319c'", "UTF-8")
+    val resp = http.send(HttpRequest.newBuilder(
+      url(s"/query?q=$q&epoch=ms")).GET().build(),
+      HttpResponse.BodyHandlers.ofString()).body()
+    assert(resp.contains("\"name\":\"spans\""), resp)
+    assert(resp.contains("250000000"), resp)
+    // garbage is a 400, not a crash
+    val bad = http.send(HttpRequest.newBuilder(url("/api/v1/otlp/traces"))
+      .POST(HttpRequest.BodyPublishers.ofByteArray(Array[Byte](9, 9)))
+      .build(), HttpResponse.BodyHandlers.ofString())
+    assert(bad.statusCode() == 400)
+  }
+
   test("POST /api/v1/otlp/metrics ingests; InfluxQL sees the fields") {
     val body = OtlpMetrics.encode("app.runtime",
       Map("service.name" -> "svc1"), samples)
