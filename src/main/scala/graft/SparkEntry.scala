@@ -558,12 +558,22 @@ object SparkEntry {
       val media = t(s, dir, "documents")
         .select(col("doc_id"), col("source"), col("text").cast("binary").as("content"))
       val decoded = Multimodal.decodeImage(media, "content", "image/png")
-      Multimodal.extractFeatures(decoded, "content", 8)
+      val agg = Multimodal.extractFeatures(decoded, "content", 8)
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("media_meta.n_bytes")).as("sum_bytes"),
           dsum(element_at(col("features"), 1).cast("double"), 6).as("sum_f0"))
-        .orderBy("source")
+      // one REAL PNG fixture per distinct source (constant count at any
+      // scale), decoded by the actual javax.imageio reader: the decoded
+      // width/height must equal the encoded dimensions
+      val pngU = udf((src: String) => Multimodal.JdkCodec.encodePng(
+        1 + src.length % 31, 1 + src.length % 15, src.getBytes("UTF-8")))
+      val fixtures = Multimodal.decodeImage(
+        media.select("source").distinct().withColumn("png", pngU(col("source"))),
+        "png", "image/png")
+        .select(col("source"), col("media_meta.width").as("png_w"),
+          col("media_meta.height").as("png_h"))
+      agg.join(fixtures, "source").orderBy("source")
     }),
 
     // §2.4 topn heavy hitters (exact form of topn_ddcm): top-3 users by

@@ -90,6 +90,44 @@ class SourcesSpec extends SparkSpec {
     assert(feats(1L).toSeq == Multimodal.StubCodec.features("abcdef".getBytes, 8).toSeq)
   }
 
+  test("multimodal: REAL javax.imageio decode of PNG bytes") {
+    import Multimodal.JdkCodec
+    // a known 32×16 image must decode to exactly (32, 16)
+    val png = JdkCodec.encodePng(32, 16, "seed".getBytes)
+    assert(JdkCodec.imageDims(png).contains((32, 16)))
+    // the Spark decode path reports the real header dimensions
+    val media = Seq((1L, png), (2L, "not an image".getBytes))
+      .toDF("id", "content")
+    val dims = Multimodal.decodeImage(media, "content", "image/png")
+      .select($"id", $"media_meta.width", $"media_meta.height")
+      .as[(Long, Int, Int)].collect()
+      .map { case (k, w, h) => k -> ((w, h)) }.toMap
+    assert(dims(1L) == ((32, 16)))
+    // non-image bytes take the deterministic stub fallback
+    assert(dims(2L) == Multimodal.StubCodec.imageDims("not an image".getBytes))
+    // channel means: an all-red raster averages to (1, *, 0-ish blue)
+    val red = {
+      val img = new java.awt.image.BufferedImage(
+        4, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until 4).foreach(y => (0 until 4).foreach(x =>
+        img.setRGB(x, y, 0xff0000)))
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out); out.toByteArray
+    }
+    val means = JdkCodec.channelMeans(red).get
+    assert(math.abs(means(0) - 1.0) < 1e-9 && means(1) == 0.0 && means(2) == 0.0)
+    val viaDf = Multimodal.channelStats(
+        Seq((1L, red)).toDF("id", "content"), "content")
+      .select($"channel_means").as[Array[Double]].head()
+    assert(viaDf.toSeq == means.toSeq)
+    // q44's fixture join: decoded dims equal the encoded request
+    val q44 = SparkEntry.queries("q44_multimodal")(spark, sf)
+    val fx = q44.select($"source", $"png_w", $"png_h")
+      .as[(String, Int, Int)].collect()
+    assert(fx.nonEmpty && fx.forall { case (src, w, h) =>
+      w == 1 + src.length % 31 && h == 1 + src.length % 15 })
+  }
+
   test("compaction merges small files per day and preserves data") {
     import graft.sources.Compaction
     val dir = java.nio.file.Files.createTempDirectory("graft_cmp").toString + "/t"
