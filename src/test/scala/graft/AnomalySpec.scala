@@ -1,6 +1,6 @@
 package graft
 
-import graft.pipeline.AnomalyDetect
+import graft.pipeline.{AnomalyDetect, Castor}
 
 class AnomalySpec extends SparkSpec {
   import spark.implicits._
@@ -15,5 +15,35 @@ class AnomalySpec extends SparkSpec {
       .select("_t", "is_anomaly").as[(Long, Boolean)].collect().toMap
     assert(out(30L))                       // the spike
     assert(out.count(_._2) == 1)           // and only the spike
+  }
+
+  test("castor boundary with the z-score model reproduces q63 exactly") {
+    // the pluggable-model boundary must be a drop-in for the fused
+    // detector: same rows, same scores, same flags — over real data
+    // with multiple series and NULLs (the q63 input shape)
+    val events = Tables.table(spark, sf, "events")
+    val direct = AnomalyDetect.zscore(events, "value", "ts",
+        Seq("event_type"), window = 20, k = 3.0)
+      .orderBy("event_type", "_t", "value").collect().toSeq
+    val viaBoundary = Castor.detect(events, "value", "ts",
+        Seq("event_type"), Castor.zscoreModel(20, 3.0))
+      .orderBy("event_type", "_t", "value").collect().toSeq
+    assert(viaBoundary == direct)
+    assert(direct.nonEmpty)
+  }
+
+  test("castor models are swappable; contract violations fail loudly") {
+    val df = Seq(("a", 0L, 1.0), ("a", 1L, 2.0), ("a", 2L, 50.0))
+      .toDF("tag", "t", "v")
+    val out = Castor.detect(df, "v", "t", Seq("tag"),
+        Castor.thresholdModel(10.0))
+      .select("_t", "is_anomaly").as[(Long, Boolean)].collect().toMap
+    assert(out == Map(0L -> false, 1L -> false, 2L -> true))
+    // a model returning the wrong verdict count is rejected
+    val bad: Castor.Model = _ => Castor.Verdicts(Array(0.0), Array(false))
+    val e = intercept[org.apache.spark.SparkException] {
+      Castor.detect(df, "v", "t", Seq("tag"), bad).collect()
+    }
+    assert(e.getMessage != null)
   }
 }
