@@ -45,12 +45,26 @@ object PromFunctions {
   /** histogram_quantile(q) over cumulative le-buckets.
     * Input: one row per (labels…, le) with the cumulative count in
     * `value`; the +Inf bucket must be present (Double.MaxValue works).
-    * Output: one row per label set with the interpolated quantile —
-    * PromQL's linear interpolation inside the containing bucket, lower
-    * bound 0 for the first bucket. */
+    * Output: one row per label set with the interpolated quantile.
+    *
+    * Upstream `bucketQuantile` semantics (Prometheus quantile.go, the
+    * contract the histograms corpus replays): q < 0 → −Inf, q > 1 →
+    * +Inf; a rank landing in the +Inf bucket returns the last FINITE
+    * upper bound; the first bucket interpolates from 0 only when its
+    * upper bound is positive, else returns the upper bound (lower
+    * bound of a negative first bucket is unknowable, not 0). */
   def histogramQuantile(df: DataFrame, q: Double, labels: Seq[String],
                         le: String = "le",
                         value: String = "value"): DataFrame = {
+    if (q.isNaN || q < 0 || q > 1) {
+      val v =
+        if (q.isNaN) Double.NaN
+        else if (q < 0) Double.NegativeInfinity
+        else Double.PositiveInfinity
+      return df.groupBy(labels.map(col): _*)
+        .agg(lit(v).as("quantile"))
+        .select((labels.map(col) :+ col("quantile")): _*)
+    }
     val wAll = Window.partitionBy(labels.map(col): _*)
     val wOrd = wAll.orderBy(col(le))
     val target = lit(q) * max(col(value)).over(wAll)
@@ -64,12 +78,19 @@ object PromFunctions {
     val first = Window.partitionBy(labels.map(col): _*).orderBy(col(le))
     staged.withColumn("_rn", row_number().over(first))
       .filter(col("_rn") === 1)
-      .withColumn("quantile",
-        when(col("_prev_v").isNull,
-          col(le) * col("_target") / col(value))
-        .otherwise(col("_prev_le") +
-          (col(le) - col("_prev_le")) * (col("_target") - col("_prev_v")) /
-            (col(value) - col("_prev_v"))))
+      .withColumn("quantile", coalesce(
+        // rank in the +Inf bucket → last finite upper bound; a lone
+        // +Inf bucket (no finite buckets) coalesces to NaN
+        when(col(le) >= lit(Double.MaxValue), col("_prev_le"))
+          // first bucket: zero-anchored only for a positive upper bound
+          .when(col("_prev_v").isNull && col(le) <= 0, col(le))
+          .when(col("_prev_v").isNull,
+            col(le) * col("_target") / col(value))
+          .otherwise(col("_prev_le") +
+            (col(le) - col("_prev_le")) *
+              (col("_target") - col("_prev_v")) /
+              (col(value) - col("_prev_v"))),
+        lit(Double.NaN)))
       .select((labels.map(col) :+ col("quantile")): _*)
   }
 }

@@ -81,7 +81,7 @@ class PromQLSpec extends SparkSpec {
     val banned = Seq("scalar(", "limitk",
       "limit_ratio", "absent", "@",
       "time()",
-      "vector(", "histogram_", "{__name__",
+      "vector(", "{__name__",
       "big") // near-DoubleMax means need Prometheus's incremental mean
     !banned.exists(lower.contains)
   }
@@ -215,7 +215,10 @@ class PromQLSpec extends SparkSpec {
   // (`tests/prom_test.go:1439-1441`) but does not ship them; these are
   // authored to the documented Prometheus semantics in the same format
   // and replayed through the identical harness.
-  for (corpus <- Seq("selectors", "operators", "staleness", "functions"))
+  // histograms.test covers classic le-bucket quantiles; native-histogram
+  // notation is out of scope (documented in the corpus header)
+  for (corpus <- Seq("selectors", "operators", "staleness", "functions",
+      "histograms"))
     test(s"replays the authored $corpus.test corpus in full") {
       val path = getClass.getResource(s"/promql/$corpus.test").getPath
       val (attempted, failures) = runCorpus(path)
