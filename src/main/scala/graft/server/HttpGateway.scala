@@ -80,6 +80,54 @@ final class HttpGateway(spark: SparkSession,
     new ResultsCache[Sample](_.evalMs)
   private val server =
     HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+  // concurrent handlers: without an executor the JDK server serializes
+  // requests on its dispatcher thread, and a KILL QUERY could never be
+  // served while the query it targets is running
+  server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool())
+
+  // ---------------------------------------------- live query registry
+  // The reference's TaskManager (`query/task_manager.go:152,266`): every
+  // /query request is attached under a qid for its lifetime; SHOW
+  // QUERIES lists them, KILL QUERY cancels one. Cancellation rides
+  // Spark's job groups — each request's Spark actions run in group
+  // `query-<qid>`, and cancelJobGroup interrupts them mid-stage.
+  private final class RunningQuery(val qid: Long, val query: String,
+                                   val db: String, val startNs: Long) {
+    @volatile var status: String = "running"
+    def group: String = s"query-$qid"
+  }
+  private val qidCounter = new java.util.concurrent.atomic.AtomicLong(0)
+  private val running =
+    scala.collection.mutable.LinkedHashMap.empty[Long, RunningQuery]
+
+  private def attachQuery(q: String, db: String): RunningQuery = {
+    val rq = new RunningQuery(qidCounter.incrementAndGet(), q, db,
+      System.nanoTime())
+    running.synchronized { running(rq.qid) = rq }
+    spark.sparkContext.setJobGroup(rq.group, q, interruptOnCancel = true)
+    rq
+  }
+
+  private def detachQuery(rq: RunningQuery): Unit = {
+    spark.sparkContext.clearJobGroup()
+    running.synchronized { running.remove(rq.qid) }
+  }
+
+  /** `task_manager.go:266` KillQuery: error on unknown qid, else cancel
+    * the query's job group and mark it killed. */
+  private def killQuery(qid: Long): Unit = {
+    val rq = running.synchronized(running.get(qid))
+      .getOrElse(sys.error(s"no such query id: $qid"))
+    rq.status = "killed"
+    spark.sparkContext.cancelJobGroup(rq.group)
+  }
+
+  /** Go-style duration rendering for SHOW QUERIES (second/ms/µs
+    * truncation per `task_manager.go:161-169`). */
+  private def fmtDur(ns: Long): String =
+    if (ns >= 1000000000L) s"${ns / 1000000000L}s"
+    else if (ns >= 1000000L) s"${ns / 1000000L}ms"
+    else s"${ns / 1000L}µs"
 
   server.createContext("/ping", (ex: HttpExchange) => {
     ex.getResponseHeaders.set("X-Gemini-Compat", "graft")
@@ -294,15 +342,19 @@ final class HttpGateway(spark: SparkSession,
       case _ => None
     } catch { case _: Throwable => None }
 
-  /** SHOW USERS / SHOW GRANTS rows → a small DataFrame so the response
-    * flows through the same [[ResultShaper]] as every other series. */
-  private def authRowsDf(cols: Seq[String],
-                         rows: Seq[Seq[Any]]): DataFrame = {
+  /** Gateway-state rows (SHOW USERS/GRANTS/QUERIES) → a small DataFrame
+    * so the response flows through the same [[ResultShaper]] as every
+    * other series. */
+  private def gatewayRowsDf(cols: Seq[String],
+                            rows: Seq[Seq[Any]]): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     import scala.jdk.CollectionConverters._
-    val schema = StructType(cols.map(c => StructField(c,
-      if (c == "admin" || c == "rwuser") BooleanType else StringType)))
+    val schema = StructType(cols.map {
+      case c @ ("admin" | "rwuser") => StructField(c, BooleanType)
+      case "qid" => StructField("qid", LongType)
+      case c => StructField(c, StringType)
+    })
     spark.createDataFrame(
       rows.map(r => Row(r: _*)).asJava, schema)
   }
@@ -404,14 +456,36 @@ final class HttpGateway(spark: SparkSession,
           return
         case None => ()
       }
+      // attach to the live registry for SHOW QUERIES / KILL QUERY;
+      // detach when the request finishes, success or failure
+      val rq = attachQuery(bound, p.getOrElse("db", ""))
+      try {
 
       def resultObj(stmt: String, id: Int): String =
-        if (Auth.isUserStatement(stmt)) {
+        if (stmt.trim.toLowerCase.startsWith("show queries")) {
+          // the live registry, not the library's empty frame
+          // (statement_executor.go:2127 column set incl. host)
+          val nowNs = System.nanoTime()
+          val rows = running.synchronized(running.values.toSeq)
+            .map(r => Seq[Any](r.qid, r.query, r.db,
+              fmtDur(nowNs - r.startNs), r.status,
+              s"127.0.0.1:$boundPort"))
+          val cols = Seq("qid", "query", "database", "duration",
+            "status", "host")
+          ResultShaper.toResultObj(
+            gatewayRowsDf(cols, rows), "queries", Nil, cols, epoch, id)
+        } else if (stmt.trim.toLowerCase.startsWith("kill query")) {
+          val qid = stmt.trim.split("\\s+").lift(2)
+            .flatMap(s => scala.util.Try(s.toLong).toOption)
+            .getOrElse(sys.error("KILL QUERY expects a query id"))
+          killQuery(qid)
+          s"""{"statement_id":$id}"""
+        } else if (Auth.isUserStatement(stmt)) {
           auth.execute(stmt) match {
             case None => s"""{"statement_id":$id}"""
             case Some((name, cols, rows)) =>
               ResultShaper.toResultObj(
-                authRowsDf(cols, rows), name, Nil, cols, epoch, id)
+                gatewayRowsDf(cols, rows), name, Nil, cols, epoch, id)
           }
         } else if (Seq("drop ", "create ", "kill ", "delete", "alter ",
             "grant ", "revoke ", "set ")
@@ -467,6 +541,8 @@ final class HttpGateway(spark: SparkSession,
         // exempt from max-row-limit like the reference's
         val lines = ResultShaper.streamSeriesJsonChunked(
           df, name, tags, valueCols, n, epoch)
+        if (rq.status == "killed")
+          sys.error(s"query ${rq.qid} was killed")
         ex.getResponseHeaders.set("Content-Type", "application/json")
         ex.sendResponseHeaders(200, 0)
         val os = ex.getResponseBody
@@ -475,8 +551,15 @@ final class HttpGateway(spark: SparkSession,
       } else {
         val objs = statements.zipWithIndex
           .map { case (s, i) => resultObj(s, i) }
+        // a KILL that landed before this query's job was submitted
+        // cancels nothing (cancelJobGroup hits active jobs only) — the
+        // killed flag closes that window: results are discarded
+        if (rq.status == "killed")
+          sys.error(s"query ${rq.qid} was killed")
         respond(ex, 200, s"""{"results":[${objs.mkString(",")}]}""")
       }
+
+      } finally detachQuery(rq)
     } catch {
       case e: Throwable =>
         // a failure after chunked streaming began cannot 400 anymore —

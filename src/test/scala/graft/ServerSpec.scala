@@ -275,6 +275,60 @@ class ServerSpec extends SparkSpec {
     } finally tiny.stop()
   }
 
+  test("SHOW QUERIES lists live requests; KILL QUERY cancels mid-flight") {
+    // a measurement whose scan sleeps per row — a query over it stays
+    // running long enough to observe and kill (task_manager.go:152,266)
+    val slowU = udf((v: Double) => { Thread.sleep(200); v })
+    val slowDf = spark.range(0, 64, 1, 8)
+      .select(col("id").cast("double").as("value"),
+        timestamp_millis(col("id") * 1000).as("ts"))
+      .withColumn("value", slowU(col("value")))
+    val cat = Map(
+      "events" -> InfluxQL.Measurement(events, tags = Seq("event_type")),
+      "slow" -> InfluxQL.Measurement(slowDf, tags = Nil))
+    val g = new HttpGateway(spark, cat, Map.empty)
+    g.start()
+    try {
+      def gget(path: String) = http.send(HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:${g.boundPort}$path")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      // SHOW QUERIES always lists at least ITSELF, live duration + host
+      val self = gget(s"/query?q=${enc("SHOW QUERIES")}&epoch=ms")
+      assert(self.statusCode() == 200)
+      assert(self.body().contains("\"columns\":[\"qid\",\"query\"," +
+        "\"database\",\"duration\",\"status\",\"host\"]"), self.body())
+      assert(self.body().contains("SHOW QUERIES") &&
+        self.body().contains("running"), self.body())
+      // launch the slow query in the background…
+      val slowResp = new java.util.concurrent.CompletableFuture[Int]()
+      new Thread(() => slowResp.complete(
+        gget(s"/query?q=${enc("SELECT count(value) FROM slow")}&epoch=ms")
+          .statusCode())).start()
+      // …find its qid via SHOW QUERIES…
+      var qid = -1L
+      val deadline = System.nanoTime() + 10000000000L
+      while (qid < 0 && System.nanoTime() < deadline) {
+        val body = gget(s"/query?q=${enc("SHOW QUERIES")}&epoch=ms").body()
+        val m = """\[(\d+),"SELECT count\(value\) FROM slow"""".r
+          .findFirstMatchIn(body)
+        m.foreach(x => qid = x.group(1).toLong)
+        if (qid < 0) Thread.sleep(50)
+      }
+      assert(qid > 0, "slow query never appeared in SHOW QUERIES")
+      // …and kill it: the in-flight request fails, promptly
+      val kill = gget(s"/query?q=${enc(s"KILL QUERY $qid")}&epoch=ms")
+      assert(kill.statusCode() == 200, kill.body())
+      assert(slowResp.get(15, java.util.concurrent.TimeUnit.SECONDS) == 400,
+        "killed query must fail, not return results")
+      // the registry forgets finished queries; unknown ids error
+      val after = gget(s"/query?q=${enc("SHOW QUERIES")}&epoch=ms").body()
+      assert(!after.contains("FROM slow"), after)
+      val bad = gget(s"/query?q=${enc("KILL QUERY 999999")}&epoch=ms")
+      assert(bad.statusCode() == 400 &&
+        bad.body().contains("no such query id"), bad.body())
+    } finally g.stop()
+  }
+
   test("/query epoch parameter rescales timestamps") {
     val q = "SELECT count(value) FROM events GROUP BY time(1d) LIMIT 1"
     val ms = get(s"/query?q=${enc(q)}&epoch=ms").body()
