@@ -79,7 +79,7 @@ class PromQLSpec extends SparkSpec {
   private def supported(q: String): Boolean = {
     val lower = q.toLowerCase
     val banned = Seq("scalar(", "limitk",
-      "limit_ratio", "absent", "@",
+      "limit_ratio", "absent",
       "time()",
       "vector(", "{__name__",
       "big") // near-DoubleMax means need Prometheus's incremental mean
@@ -218,7 +218,7 @@ class PromQLSpec extends SparkSpec {
   // histograms.test covers classic le-bucket quantiles; native-histogram
   // notation is out of scope (documented in the corpus header)
   for (corpus <- Seq("selectors", "operators", "staleness", "functions",
-      "histograms"))
+      "histograms", "at_modifier", "subquery"))
     test(s"replays the authored $corpus.test corpus in full") {
       val path = getClass.getResource(s"/promql/$corpus.test").getPath
       val (attempted, failures) = runCorpus(path)
