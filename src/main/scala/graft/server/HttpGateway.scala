@@ -48,7 +48,8 @@ final class HttpGateway(spark: SparkSession,
                         prom: Map[String, PromQL.Metric],
                         port: Int = 0,
                         requireAuth: Boolean = false,
-                        maxRowLimit: Int = 1000000) {
+                        maxRowLimit: Int = 1000000,
+                        persistDir: Option[String] = None) {
 
   /** Gateway-held user catalog (the reference's meta user store). User
     * management statements mutate it whether or not enforcement is on,
@@ -58,6 +59,68 @@ final class HttpGateway(spark: SparkSession,
 
   @volatile private var catalog = init
   @volatile private var promCat = prom
+
+  // ------------------------------------------------- write durability
+  // With `persistDir` set, every ingested batch (line protocol, prom
+  // remote write, OTLP) ALSO appends to `$persistDir/<measurement>/`
+  // as parquet, with the tag list in a sidecar — the reference's WAL →
+  // TSSP durability, expressed as Spark's storage format. A fresh
+  // gateway over the same dir reloads everything previously written
+  // (mergeSchema absorbs later-arriving tag/field columns). Day
+  // compaction of these dirs is [[graft.sources.Compaction]]'s job.
+  private def persistPath(name: String) =
+    persistDir.map(d => s"$d/${java.net.URLEncoder.encode(name, "UTF-8")}")
+
+  private def persistBatch(name: String, df: DataFrame,
+                           tagKeys: Seq[String],
+                           prom: Boolean = false): Unit =
+    persistPath(name).foreach { p =>
+      df.write.mode("append").parquet(p)
+      val meta = java.nio.file.Paths.get(p, "_tags.txt")
+      val existing =
+        if (java.nio.file.Files.exists(meta))
+          new String(java.nio.file.Files.readAllBytes(meta), UTF_8)
+            .split("\n").filter(_.nonEmpty).toSeq
+        else Nil
+      java.nio.file.Files.write(meta,
+        (existing ++ tagKeys).distinct.sorted.mkString("\n").getBytes(UTF_8))
+      // marker: this measurement is also a prom metric (remote write)
+      if (prom)
+        java.nio.file.Files.write(java.nio.file.Paths.get(p, "_prom"),
+          Array.empty[Byte])
+    }
+
+  // reload persisted measurements under the in-memory/init catalog
+  persistDir.foreach { d =>
+    val base = java.nio.file.Paths.get(d)
+    if (java.nio.file.Files.isDirectory(base)) {
+      val s = java.nio.file.Files.list(base)
+      try s.filter(p => java.nio.file.Files.isDirectory(p)).forEach { p =>
+        val name = java.net.URLDecoder.decode(p.getFileName.toString, "UTF-8")
+        val meta = p.resolve("_tags.txt")
+        val tags =
+          if (java.nio.file.Files.exists(meta))
+            new String(java.nio.file.Files.readAllBytes(meta), UTF_8)
+              .split("\n").filter(_.nonEmpty).toSeq
+          else Nil
+        val df = spark.read.option("mergeSchema", "true")
+          .parquet(p.toString)
+        catalog = catalog + (name -> (catalog.get(name) match {
+          case Some(prev) => InfluxQL.Measurement(
+            prev.df.unionByName(df, allowMissingColumns = true),
+            (prev.tags ++ tags).distinct, prev.time)
+          case None => InfluxQL.Measurement(df, tags, "ts")
+        }))
+        if (java.nio.file.Files.exists(p.resolve("_prom")))
+          promCat = promCat + (name -> (promCat.get(name) match {
+            case Some(prev) => prev.copy(
+              df = prev.df.unionByName(df, allowMissingColumns = true),
+              labels = (prev.labels ++ tags).distinct, extentMs = None)
+            case None => PromQL.Metric(df, tags, "ts", "value")
+          }))
+      } finally s.close()
+    } else java.nio.file.Files.createDirectories(base)
+  }
   // Each write path grows its measurement by one unionByName per
   // request; left unchecked the logical plan (and every query's
   // analysis cost) grows linearly with write count. Every
@@ -613,6 +676,7 @@ final class HttpGateway(spark: SparkSession,
             ps.flatMap(_.intFields.keys).distinct.sorted,
             ps.flatMap(_.boolFields.keys).distinct.sorted,
             ps.flatMap(_.stringFields.keys).distinct.sorted)
+          persistBatch(m, tbl, tagKeys)
           val merged = catalog.get(m) match {
             case Some(prev) => InfluxQL.Measurement(
               maybeCompact(m,
@@ -645,6 +709,7 @@ final class HttpGateway(spark: SparkSession,
       synchronized {
         PromRemoteWrite.toMeasurements(spark, series).foreach {
           case (metric, (df, tagKeys)) =>
+            persistBatch(metric, df, tagKeys, prom = true)
             catalog = catalog + (metric -> (catalog.get(metric) match {
               case Some(prev) => InfluxQL.Measurement(
                 maybeCompact(metric,
@@ -682,6 +747,7 @@ final class HttpGateway(spark: SparkSession,
       synchronized {
         OtlpMetrics.toMeasurements(spark, samples).foreach {
           case (scope, (df, tagKeys)) =>
+            persistBatch(scope, df, tagKeys)
             catalog = catalog + (scope -> (catalog.get(scope) match {
               case Some(prev) => InfluxQL.Measurement(
                 maybeCompact(scope,
@@ -710,6 +776,7 @@ final class HttpGateway(spark: SparkSession,
       synchronized {
         val (df, tagKeys) = OtlpTraces.toMeasurement(spark, samples)
         val name = OtlpTraces.Measurement
+        persistBatch(name, df, tagKeys)
         catalog = catalog + (name -> (catalog.get(name) match {
           case Some(prev) => InfluxQL.Measurement(
             maybeCompact(name,
@@ -736,6 +803,7 @@ final class HttpGateway(spark: SparkSession,
       synchronized {
         val (df, tagKeys) = OtlpLogs.toMeasurement(spark, samples)
         val name = OtlpLogs.Measurement
+        persistBatch(name, df, tagKeys)
         catalog = catalog + (name -> (catalog.get(name) match {
           case Some(prev) => InfluxQL.Measurement(
             maybeCompact(name,

@@ -329,6 +329,70 @@ class ServerSpec extends SparkSpec {
     } finally g.stop()
   }
 
+  test("persistDir makes writes durable across gateway restarts") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_wal").toString
+    val cat = Map("events" -> InfluxQL.Measurement(
+      events, tags = Seq("event_type")))
+    def mk() = {
+      val g = new HttpGateway(spark, cat, Map.empty,
+        persistDir = Some(dir))
+      g.start(); g
+    }
+    def send(g: HttpGateway, path: String, body: String) =
+      http.send(HttpRequest.newBuilder(URI.create(
+        s"http://127.0.0.1:${g.boundPort}$path"))
+        .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+        HttpResponse.BodyHandlers.ofString())
+    def ask(g: HttpGateway, q: String) = http.send(
+      HttpRequest.newBuilder(URI.create(
+        s"http://127.0.0.1:${g.boundPort}/query?q=${enc(q)}&epoch=ms"))
+        .GET().build(), HttpResponse.BodyHandlers.ofString()).body()
+    val g1 = mk()
+    try {
+      assert(send(g1, "/write?precision=s",
+        "wal,host=a value=1 60\nwal,host=b value=2 120").statusCode() == 204)
+      assert(send(g1, "/write?precision=s",
+        "wal,host=a value=3,extra=7 180").statusCode() == 204)
+      assert(ask(g1, "SELECT sum(value) FROM wal").contains("6"))
+    } finally g1.stop()
+    // prom remote write persists too, with a marker that restores the
+    // metric into the PROM catalog on reload
+    val g1b = mk()
+    try {
+      import graft.sources.PromRemoteWrite
+      val body = PromRemoteWrite.encode(Seq(PromRemoteWrite.Series(
+        Map("__name__" -> "walmetric", "job" -> "j1"),
+        Seq((1704067200000L, 5.0), (1704067260000L, 7.0)))))
+      val r = http.send(HttpRequest.newBuilder(URI.create(
+        s"http://127.0.0.1:${g1b.boundPort}/api/v1/write"))
+        .POST(HttpRequest.BodyPublishers.ofByteArray(body)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(r.statusCode() == 204, r.body())
+    } finally g1b.stop()
+    // a FRESH gateway over the same dir sees everything written —
+    // including the later-arriving `extra` field (mergeSchema) and the
+    // tag list from the sidecar (GROUP BY host still works)
+    val g2 = mk()
+    try {
+      val sum = ask(g2, "SELECT sum(value), sum(extra) FROM wal")
+      assert(sum.contains("6") && sum.contains("7"), sum)
+      val byHost = ask(g2, "SELECT count(value) FROM wal GROUP BY host")
+      assert(byHost.contains("\"host\":\"a\"") &&
+        byHost.contains("\"host\":\"b\""), byHost)
+      // the init catalog is still there alongside the reloaded data
+      assert(ask(g2, "SELECT count(value) FROM events").contains("count"))
+      // the prom-written metric answers on BOTH query surfaces
+      assert(ask(g2, "SELECT sum(value) FROM walmetric").contains("12"))
+      val promResp = http.send(HttpRequest.newBuilder(URI.create(
+        s"http://127.0.0.1:${g2.boundPort}/api/v1/query_range?" +
+          s"query=${enc("sum(walmetric)")}" +
+          "&start=1704067200&end=1704067320&step=1m")).GET().build(),
+        HttpResponse.BodyHandlers.ofString()).body()
+      assert(promResp.contains("\"5\"") && promResp.contains("\"7\""),
+        promResp)
+    } finally g2.stop()
+  }
+
   test("/query epoch parameter rescales timestamps") {
     val q = "SELECT count(value) FROM events GROUP BY time(1d) LIMIT 1"
     val ms = get(s"/query?q=${enc(q)}&epoch=ms").body()
