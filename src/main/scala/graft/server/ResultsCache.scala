@@ -34,9 +34,17 @@ import scala.collection.mutable
 final class ResultsCache[R](timeMsOf: R => Long,
                             freshnessMs: Long = 600000L,
                             minExtentMs: Long = 300000L,
-                            maxEntries: Int = 128) {
+                            maxEntries: Int = 128,
+                            ttlMs: Long = 0L) {
 
-  private case class Extent(fromMs: Long, toMs: Long, rows: Seq[R])
+  // `storedAtMs` feeds the optional TTL backstop (`ttlMs` > 0): the
+  // reference bounds staleness by TTL because its TSDB is append-only;
+  // here invalidateAll() covers in-process writes and the TTL covers
+  // out-of-band data changes (e.g. another process appending to a
+  // persisted measurement directory). Merged extents keep the OLDEST
+  // store time so the TTL stays conservative.
+  private case class Extent(fromMs: Long, toMs: Long, rows: Seq[R],
+                            storedAtMs: Long = 0L)
 
   private val cache = mutable.LinkedHashMap.empty[String, Vector[Extent]]
   private var hitSteps = 0L
@@ -64,6 +72,7 @@ final class ResultsCache[R](timeMsOf: R => Long,
     val (cachedAll, genAtRead) =
       synchronized((cache.getOrElse(key, Vector.empty), generation))
     val cached = cachedAll
+      .filter(e => ttlMs <= 0L || nowMs - e.storedAtMs <= ttlMs)
       .filter(e => e.toMs >= startMs && e.fromMs <= endMs)
     // gaps = requested range minus cached coverage
     val gaps = mutable.ArrayBuffer.empty[(Long, Long)]
@@ -74,7 +83,8 @@ final class ResultsCache[R](timeMsOf: R => Long,
     }
     if (cursor <= endMs) gaps += ((cursor, endMs))
 
-    val fresh = gaps.toSeq.map { case (lo, hi) => Extent(lo, hi, eval(lo, hi)) }
+    val fresh = gaps.toSeq.map { case (lo, hi) =>
+      Extent(lo, hi, eval(lo, hi), nowMs) }
     synchronized {
       hitSteps += cached.iterator.map(_.rows.size).sum
       missRanges += fresh.size
@@ -84,13 +94,14 @@ final class ResultsCache[R](timeMsOf: R => Long,
         val capped = e.rows.filter(r => timeMsOf(r) <= horizon)
         val hi = math.min(e.toMs, horizon)
         if (hi - e.fromMs + 1 >= minExtentMs && capped.nonEmpty)
-          Some(Extent(e.fromMs, hi, capped))
+          Some(Extent(e.fromMs, hi, capped, e.storedAtMs))
         else None
       }
       if (generation == genAtRead &&
           (storable.nonEmpty || cache.contains(key))) {
-        val merged = mergeExtents(
-          cache.getOrElse(key, Vector.empty) ++ storable)
+        val live = cache.getOrElse(key, Vector.empty)
+          .filter(e => ttlMs <= 0L || nowMs - e.storedAtMs <= ttlMs)
+        val merged = mergeExtents(live ++ storable)
         cache.remove(key) // LRU: re-insert at the tail (hits refresh too)
         cache.put(key, merged)
         while (cache.size > maxEntries) cache.remove(cache.head._1)
@@ -112,7 +123,8 @@ final class ResultsCache[R](timeMsOf: R => Long,
         case Some(last) if e.fromMs <= last.toMs + 1 =>
           out(out.size - 1) = Extent(last.fromMs,
             math.max(last.toMs, e.toMs),
-            (last.rows ++ e.rows).distinct.sortBy(timeMsOf))
+            (last.rows ++ e.rows).distinct.sortBy(timeMsOf),
+            math.min(last.storedAtMs, e.storedAtMs))
         case _ => out += e
       }
     }

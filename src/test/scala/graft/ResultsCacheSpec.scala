@@ -103,6 +103,26 @@ class ResultsCacheSpec extends AnyFunSuite {
     assert(calls == 2, "stale pre-invalidation rows must not be served")
   }
 
+  test("TTL backstop: extents expire and re-evaluate; 0 disables") {
+    // the reference bounds staleness by TTL; invalidateAll covers only
+    // in-process writes, the TTL covers out-of-band data changes
+    val c = new ResultsCache[(Long, Double)](_._1,
+      freshnessMs = 0L, minExtentMs = 0L, ttlMs = 1000L)
+    var calls = 0
+    def eval(lo: Long, hi: Long): Seq[(Long, Double)] = {
+      calls += 1; Seq((lo, 1.0))
+    }
+    c.fetch("q", 0, 10000, nowMs = 5000000L)(eval)
+    assert(calls == 1)
+    c.fetch("q", 0, 10000, nowMs = 5000500L)(eval) // inside TTL: hit
+    assert(calls == 1)
+    c.fetch("q", 0, 10000, nowMs = 5002000L)(eval) // expired: re-eval
+    assert(calls == 2)
+    // and the re-evaluated extent is served again afterwards
+    c.fetch("q", 0, 10000, nowMs = 5002500L)(eval)
+    assert(calls == 2)
+  }
+
   test("LRU evicts the oldest key at capacity; hits refresh recency") {
     var n = 0
     val c = new ResultsCache[(Long, Double)](_._1, freshnessMs = 0L,
