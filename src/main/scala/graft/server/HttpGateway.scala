@@ -202,6 +202,11 @@ final class HttpGateway(spark: SparkSession,
   })
   server.createContext("/query", (ex: HttpExchange) => handleQuery(ex))
   server.createContext("/write", (ex: HttpExchange) => handleWrite(ex))
+  // influxdb-2.x write compat (handler.go:1470 serveWriteV2): the v2
+  // `bucket` maps onto the v1 database[/rp]; body and precision are the
+  // same line protocol
+  server.createContext("/api/v2/write",
+    (ex: HttpExchange) => handleWrite(ex, v2 = true))
   server.createContext("/api/v1/query_range",
     (ex: HttpExchange) => handleProm(ex, range = true))
   server.createContext("/api/v1/query",
@@ -635,9 +640,19 @@ final class HttpGateway(spark: SparkSession,
   // ------------------------------------------------------------- /write
   private val TimeUnset = Long.MinValue
 
-  private def handleWrite(ex: HttpExchange): Unit =
+  private def handleWrite(ex: HttpExchange, v2: Boolean = false): Unit =
     try {
-      val p = params(ex, readBody = false)
+      val p0 = params(ex, readBody = false)
+      // v2: bucket → database (`bucket2dbrp`); missing bucket is a 404
+      val p =
+        if (!v2) p0
+        else p0.get("bucket").filter(_.nonEmpty) match {
+          case Some(b) => p0 + ("db" -> b.split("/", 2)(0))
+          case None =>
+            respond(ex, 404, s"""{"error":${jsonStr(
+              "bucket name is required")}}""")
+            return
+        }
       if (guard(ex, p, Auth.WritePrivilege, "write to").isEmpty) return
       val mult = p.getOrElse("precision", "ns") match {
         case "ns" | "n" => 1L

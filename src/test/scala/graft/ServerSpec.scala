@@ -329,6 +329,19 @@ class ServerSpec extends SparkSpec {
     } finally g.stop()
   }
 
+  test("/api/v2/write accepts bucket-addressed line protocol") {
+    // v2 compat (serveWriteV2): bucket maps onto database[/rp]
+    val r = post("/api/v2/write?bucket=graft/autogen&precision=s",
+      "v2m,host=a value=4 60")
+    assert(r.statusCode() == 204, r.body())
+    val body = get(s"/query?q=${enc(
+      "SELECT sum(value) FROM v2m")}&epoch=ms").body()
+    assert(body.contains("4"), body)
+    val missing = post("/api/v2/write?precision=s", "v2m value=1 0")
+    assert(missing.statusCode() == 404 &&
+      missing.body().contains("bucket name is required"))
+  }
+
   test("persistDir makes writes durable across gateway restarts") {
     val dir = java.nio.file.Files.createTempDirectory("graft_wal").toString
     val cat = Map("events" -> InfluxQL.Measurement(
