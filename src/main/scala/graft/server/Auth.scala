@@ -112,6 +112,34 @@ final class Auth {
     }
   }
 
+  // --------------------------------------------------- durable catalog
+  // The reference persists users in its meta store; a gateway with a
+  // persist dir must not reopen the unauthenticated bootstrap window on
+  // restart. TSV of URL-encoded fields: name, hash, salt, admin, and
+  // db=privilege pairs (hashes only — plaintext never touches disk).
+  def snapshotTsv: String = synchronized {
+    def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+    users.values.map { u =>
+      (Seq(enc(u.name), u.hash, u.salt, u.admin.toString) ++
+        u.privileges.toSeq.sortBy(_._1)
+          .map { case (db, p) => s"${enc(db)}=$p" }).mkString("\t")
+    }.mkString("\n")
+  }
+
+  def restoreTsv(tsv: String): Unit = synchronized {
+    def dec(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
+    users.clear()
+    tsv.split("\n").filter(_.nonEmpty).foreach { line =>
+      val f = line.split("\t")
+      val privs = f.drop(4).map { kv =>
+        val Array(db, p) = kv.split("=", 2)
+        dec(db) -> p.toInt
+      }.toMap
+      val name = dec(f(0))
+      users(name) = User(name, f(1), f(2), f(3).toBoolean, privs)
+    }
+  }
+
   /** Execute one user-management statement. Mutations return None;
     * SHOW forms return (series name, columns, value rows) for the
     * caller to shape. Errors throw with the reference's messages. */

@@ -75,7 +75,11 @@ final class HttpGateway(spark: SparkSession,
                            tagKeys: Seq[String],
                            prom: Boolean = false): Unit =
     persistPath(name).foreach { p =>
-      df.write.mode("append").parquet(p)
+      // day-partitioned like the reference's shard groups — prunable by
+      // Catalyst and compactable by [[graft.sources.Compaction]]
+      df.withColumn("day", org.apache.spark.sql.functions.date_format(
+          org.apache.spark.sql.functions.col("ts"), "yyyy-MM-dd"))
+        .write.mode("append").partitionBy("day").parquet(p)
       val meta = java.nio.file.Paths.get(p, "_tags.txt")
       val existing =
         if (java.nio.file.Files.exists(meta))
@@ -90,7 +94,19 @@ final class HttpGateway(spark: SparkSession,
           Array.empty[Byte])
     }
 
+  // the user catalog persists beside the data — a restarted gateway
+  // with auth enabled must NOT reopen the unauthenticated bootstrap
+  // window (the reference's users live in its durable meta store)
+  private def usersFile =
+    persistDir.map(d => java.nio.file.Paths.get(d, "_users.tsv"))
+  private def persistUsers(): Unit =
+    usersFile.foreach(f =>
+      java.nio.file.Files.write(f, auth.snapshotTsv.getBytes(UTF_8)))
+
   // reload persisted measurements under the in-memory/init catalog
+  usersFile.filter(java.nio.file.Files.exists(_)).foreach { f =>
+    auth.restoreTsv(new String(java.nio.file.Files.readAllBytes(f), UTF_8))
+  }
   persistDir.foreach { d =>
     val base = java.nio.file.Paths.get(d)
     if (java.nio.file.Files.isDirectory(base)) {
@@ -104,7 +120,7 @@ final class HttpGateway(spark: SparkSession,
               .split("\n").filter(_.nonEmpty).toSeq
           else Nil
         val df = spark.read.option("mergeSchema", "true")
-          .parquet(p.toString)
+          .parquet(p.toString).drop("day")
         catalog = catalog + (name -> (catalog.get(name) match {
           case Some(prev) => InfluxQL.Measurement(
             prev.df.unionByName(df, allowMissingColumns = true),
@@ -550,7 +566,9 @@ final class HttpGateway(spark: SparkSession,
           s"""{"statement_id":$id}"""
         } else if (Auth.isUserStatement(stmt)) {
           auth.execute(stmt) match {
-            case None => s"""{"statement_id":$id}"""
+            case None =>
+              persistUsers() // user catalog mutated — journal it
+              s"""{"statement_id":$id}"""
             case Some((name, cols, rows)) =>
               ResultShaper.toResultObj(
                 gatewayRowsDf(cols, rows), name, Nil, cols, epoch, id)

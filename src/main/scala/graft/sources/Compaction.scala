@@ -22,13 +22,24 @@ object Compaction {
   def compactDays(spark: SparkSession, path: String,
                   filesPerDay: Int = 1): Stats = {
     val before = countParquetFiles(path)
-    val df = spark.read.parquet(path)
+    // mergeSchema: batches appended over time may carry later-arriving
+    // columns; sampling one footer would silently drop them on rewrite
+    val df = spark.read.option("mergeSchema", "true").parquet(path)
     val rows = df.count()
     val tmp = path.stripSuffix("/") + ".compact_tmp"
     df.repartition(filesPerDay, col("day"))
       .write.mode("overwrite").partitionBy("day").parquet(tmp)
     // atomic-ish swap: move old out of the way, promote tmp, drop old
     val p = Paths.get(path); val t = Paths.get(tmp)
+    // carry over sidecar metadata files (the gateway's _tags.txt/_prom
+    // markers live beside the parquet and must survive compaction)
+    val side = Files.list(p)
+    try side
+      .filter(f => Files.isRegularFile(f) &&
+        f.getFileName.toString.startsWith("_"))
+      .forEach(f => Files.copy(f, t.resolve(f.getFileName),
+        StandardCopyOption.REPLACE_EXISTING))
+    finally side.close()
     val old = Paths.get(path.stripSuffix("/") + ".compact_old")
     Files.move(p, old, StandardCopyOption.ATOMIC_MOVE)
     Files.move(t, p, StandardCopyOption.ATOMIC_MOVE)

@@ -203,6 +203,52 @@ class AuthSpec extends SparkSpec {
       .statusCode() == 401)
   }
 
+  test("user catalog persists: restart does NOT reopen the bootstrap window") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_auth").toString
+    val cat = Map("events" -> InfluxQL.Measurement(
+      events, tags = Seq("event_type")))
+    def mk() = {
+      val g = new HttpGateway(spark, cat, Map.empty, requireAuth = true,
+        persistDir = Some(dir))
+      g.start(); g
+    }
+    def ask(g: HttpGateway, q: String, hs: Seq[(String, String)] = Nil) = {
+      var b = HttpRequest.newBuilder(URI.create(
+        s"http://127.0.0.1:${g.boundPort}/query?q=${enc(q)}&epoch=ms")).GET()
+      hs.foreach { case (k, v) => b = b.header(k, v) }
+      http.send(b.build(), HttpResponse.BodyHandlers.ofString())
+    }
+    val g1 = mk()
+    try {
+      assert(ask(g1,
+        "CREATE USER root WITH PASSWORD 'pw1' WITH ALL PRIVILEGES")
+        .statusCode() == 200)
+      assert(ask(g1, "CREATE USER carol WITH PASSWORD 'cpw'",
+        Seq(basic("root", "pw1"))).statusCode() == 200)
+      assert(ask(g1, "GRANT READ ON graft TO carol",
+        Seq(basic("root", "pw1"))).statusCode() == 200)
+    } finally g1.stop()
+    val g2 = mk()
+    try {
+      // no bootstrap window: unauthenticated is refused immediately
+      assert(ask(g2, "SELECT count(value) FROM events").statusCode() == 401)
+      // users, passwords, and grants all survived the restart
+      assert(ask(g2, "SELECT count(value) FROM events",
+        Seq(basic("root", "pw1"))).statusCode() == 200)
+      val carol = http.send(HttpRequest.newBuilder(URI.create(
+        s"http://127.0.0.1:${g2.boundPort}/query?q=${enc(
+          "SELECT count(value) FROM events")}&db=graft&epoch=ms"))
+        .header(basic("carol", "cpw")._1, basic("carol", "cpw")._2)
+        .GET().build(), HttpResponse.BodyHandlers.ofString())
+      assert(carol.statusCode() == 200, carol.body())
+      val grants = http.send(HttpRequest.newBuilder(URI.create(
+        s"http://127.0.0.1:${g2.boundPort}/query?q=${enc(
+          "SHOW GRANTS FOR carol")}&u=root&p=pw1&epoch=ms"))
+        .GET().build(), HttpResponse.BodyHandlers.ofString())
+      assert(grants.body().contains("READ"), grants.body())
+    } finally g2.stop()
+  }
+
   test("Auth unit: KDF salts differ per user; authorizeDatabase matrix") {
     val a = new Auth
     a.execute("CREATE USER u1 WITH PASSWORD 'pw'")

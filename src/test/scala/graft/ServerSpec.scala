@@ -382,6 +382,15 @@ class ServerSpec extends SparkSpec {
         HttpResponse.BodyHandlers.ofString())
       assert(r.statusCode() == 204, r.body())
     } finally g1b.stop()
+    // batches land day-partitioned (shard-group layout), so the
+    // storage-maintenance path is the standard Compaction pass —
+    // sidecar tag metadata survives the swap
+    assert(java.nio.file.Files.list(
+        java.nio.file.Paths.get(s"$dir/wal")).toArray
+      .exists(_.toString.contains("day=")), "writes must day-partition")
+    graft.sources.Compaction.compactDays(spark, s"$dir/wal")
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/wal/_tags.txt")))
     // a FRESH gateway over the same dir sees everything written —
     // including the later-arriving `extra` field (mergeSchema) and the
     // tag list from the sidecar (GROUP BY host still works)
