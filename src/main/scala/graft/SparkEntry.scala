@@ -1277,6 +1277,46 @@ object SparkEntry {
         .orderBy("hop", "node_id")
     }),
 
+    // rca fault demarcation (engine/executor/rca.go FaultDemarcation):
+    // users as entities over a rank-dense binary-tree topology; each
+    // entity's anomaly = its positional-median event (exact n-th pick,
+    // no interpolation — the medians spread over hours while the
+    // correlation window is ±30min, so the correlated set is a proper
+    // subset); 2-hop expansion through correlated entities with inert
+    // fringe. The oracle replays the same fixpoint as a recursive CTE.
+    "q104_rca_demarcation" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val ranked = ev.select(col("user_id").cast("long").as("uid"))
+        .distinct()
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("uid"))))
+      val parent = ranked.select(col("rank").as("prank"),
+        concat(lit("u"), col("uid")).as("parent"))
+      val e0 = ranked.filter(col("rank") > 1)
+        .select(concat(lit("u"), col("uid")).as("child"),
+          (col("rank") / 2).cast("int").as("prank"))
+        .join(parent, "prank")
+        .select(col("parent").as("src"), col("child").as("dst"))
+      val edges = e0.union(
+        e0.select(col("dst").as("src"), col("src").as("dst")))
+      val perUser = Window.partitionBy(col("user_id"))
+      val med = ev
+        .withColumn("rn", row_number().over(
+          perUser.orderBy(unix_micros(col("ts")), col("event_id"))))
+        .withColumn("cnt", count(lit(1)).over(perUser))
+        .filter(col("rn") === expr("(cnt + 1) div 2"))
+      val events = med.select(
+        concat(lit("u"), col("user_id")).as("entity_id"),
+        lit("anomaly").as("event_type"),
+        expr("unix_micros(ts) div 1000").as("event_ms"))
+      val (nodes, _) = graft.operators.Rca.faultDemarcation(
+        events, edges, core = "u0", hopCount = 2, maxRounds = 32)
+      nodes.select(col("entity_id"),
+          col("correlated").cast("int").as("correlated"),
+          col("expanded").cast("int").as("expanded"))
+        .orderBy("entity_id")
+    }),
+
     // §2.4 incremental agg (inc_agg_transform.go): two iterations over a
     // time-split source — the second only rescans the bucket-aligned tail —
     // must equal the full-source aggregation the oracle computes.
@@ -2523,6 +2563,55 @@ object SparkEntry {
          CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value,
          min(value) AS mn, max(value) AS mx
          FROM events GROUP BY event_type, date_trunc('day', ts)
-         ORDER BY event_type, wstart_ms"""
+         ORDER BY event_type, wstart_ms""",
+
+    // rca fault demarcation as a recursive fixpoint: e2 = <=2-hop pairs
+    // over the rank-dense user tree, exp = correlated entities reachable
+    // from the core through e2 steps, included = exp + its e2 fringe.
+    // (Explicit DISTINCT wrappers: inside a WITH RECURSIVE block DuckDB
+    // does not bag-dedup plain UNIONs of non-recursive CTEs.)
+    "q104_rca_demarcation" ->
+      """WITH RECURSIVE
+         u AS (SELECT DISTINCT user_id FROM events),
+         ranked AS (SELECT user_id,
+             row_number() OVER (ORDER BY user_id) AS rank FROM u),
+         e0 AS (SELECT 'u' || p.user_id AS src, 'u' || c.user_id AS dst
+                FROM ranked c JOIN ranked p ON p.rank = c.rank // 2
+                WHERE c.rank > 1),
+         e AS (SELECT DISTINCT * FROM (
+                 SELECT src, dst FROM e0
+                 UNION ALL SELECT dst, src FROM e0)),
+         e2 AS (SELECT DISTINCT * FROM (
+                 SELECT src, dst FROM e
+                 UNION ALL
+                 SELECT a.src, b.dst FROM e a JOIN e b ON a.dst = b.src)),
+         ranked_ev AS (
+           SELECT user_id, epoch_us(ts) // 1000 AS tms,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY epoch_us(ts), event_id) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS cnt
+           FROM events),
+         med AS (SELECT user_id, tms FROM ranked_ev
+                 WHERE rn = (cnt + 1) // 2),
+         corets AS (SELECT tms FROM med WHERE user_id = 0),
+         corr AS (SELECT DISTINCT 'u' || m.user_id AS id
+                  FROM med m JOIN corets c
+                    ON abs(m.tms - c.tms) <= 1800000),
+         exp AS (
+           SELECT 'u0' AS id
+           UNION
+           SELECT c.id FROM exp x
+             JOIN e2 ON e2.src = x.id
+             JOIN corr c ON c.id = e2.dst),
+         included AS (SELECT DISTINCT id FROM (
+           SELECT id FROM exp
+           UNION ALL
+           SELECT e2.dst FROM e2 JOIN exp x ON e2.src = x.id))
+         SELECT i.id AS entity_id,
+           CASE WHEN i.id = 'u0' OR i.id IN (SELECT id FROM corr)
+             THEN 1 ELSE 0 END AS correlated,
+           CASE WHEN i.id IN (SELECT id FROM exp)
+             THEN 1 ELSE 0 END AS expanded
+         FROM included i ORDER BY entity_id"""
   )
 }
