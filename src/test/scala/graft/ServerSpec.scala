@@ -72,7 +72,7 @@ class ServerSpec extends SparkSpec {
     val cat = Map("events" -> InfluxQL.Measurement(
       events, tags = Seq("event_type")))
     val (name, tags, df) = InfluxQL.executeShaped(cat, q)
-    val valueCols = HttpGateway.shapedValueCols(df.columns, tags)
+    val valueCols = HttpGateway.shapedValueCols(df.columns.toIndexedSeq, tags)
     val expected = ResultShaper.toSeriesJson(df, name, tags, valueCols, "ms")
     assert(r.body() == expected)
     assert(r.body().contains("\"name\":\"events\""))
@@ -85,7 +85,7 @@ class ServerSpec extends SparkSpec {
     val cat = Map("events" -> InfluxQL.Measurement(
       events, tags = Seq("event_type")))
     val (name, tags, df) = InfluxQL.executeShaped(cat, q)
-    val valueCols = HttpGateway.shapedValueCols(df.columns, tags)
+    val valueCols = HttpGateway.shapedValueCols(df.columns.toIndexedSeq, tags)
     val expected = ResultShaper.toSeriesJsonChunked(
       df, name, tags, valueCols, 2, "ms").mkString("", "\n", "\n")
     assert(r.body() == expected)

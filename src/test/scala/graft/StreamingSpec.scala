@@ -14,7 +14,7 @@ class StreamingSpec extends SparkSpec {
   test("stream window agg: closed windows emit, late data within delay counts") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String, Double)]
-    val src = mem.toDF.toDF("time", "tag", "value")
+    val src = mem.toDF().toDF("time", "tag", "value")
 
     val agg = Streams.createStream(src, "time", delay = "5 seconds",
       interval = "10 seconds", tags = Seq("tag"),
@@ -85,7 +85,7 @@ class StreamingSpec extends SparkSpec {
 
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String, Double)]
-    val agg = StreamDDL.build(stmt, mem.toDF.toDF("time", "tk1", "f1"))
+    val agg = StreamDDL.build(stmt, mem.toDF().toDF("time", "tk1", "f1"))
     val q = agg.writeStream.outputMode("append")
       .format("memory").queryName("ddl_out").start()
     try {
@@ -151,7 +151,7 @@ class StreamingSpec extends SparkSpec {
   test("streaming dedup suppresses duplicate content within the delay") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String)]
-    val src = mem.toDF.toDF("time", "text")
+    val src = mem.toDF().toDF("time", "text")
     val q = Streams.dedupStream(src, "time", "10 seconds", Seq("text"))
       .writeStream.outputMode("append")
       .format("memory").queryName("dedup_out").start()
@@ -187,7 +187,7 @@ class StreamingSpec extends SparkSpec {
           buf ++= b.select($"text").as[String].collect().map((id, _))
         })
     val mem = MemoryStream[String]
-    val q = mem.toDF.toDF("text").writeStream
+    val q = mem.toDF().toDF("text").writeStream
       .foreachBatch(Streams.subscriptionSink(dests, "ALL"))
       .start()
     try {
@@ -209,7 +209,7 @@ class StreamingSpec extends SparkSpec {
           buf ++= b.select($"text").as[String].collect()
         })
     val mem = MemoryStream[String]
-    val q = mem.toDF.toDF("text").writeStream
+    val q = mem.toDF().toDF("text").writeStream
       .foreachBatch(Streams.subscriptionSink(dests, "ANY"))
       .start()
     try {
