@@ -198,6 +198,31 @@ class ScaleSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("persisted gateway store: filters push down to every batch's scan") {
+    // the durable write path must not cost pushdown: a reloaded
+    // measurement is a union of day-partitioned parquet batches, and a
+    // tag/time predicate has to reach each leaf scan's PushedFilters
+    import graft.server.HttpGateway
+    import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+    val dir = java.nio.file.Files.createTempDirectory("graft_push").toString
+    val g = new HttpGateway(spark, Map.empty, Map.empty,
+      persistDir = Some(dir))
+    g.start()
+    val http = HttpClient.newHttpClient()
+    try Seq("m,host=a value=1 60", "m,host=b value=2 120").foreach { l =>
+      assert(http.send(HttpRequest.newBuilder(java.net.URI.create(
+        s"http://127.0.0.1:${g.boundPort}/write?precision=s"))
+        .POST(HttpRequest.BodyPublishers.ofString(l)).build(),
+        HttpResponse.BodyHandlers.ofString()).statusCode() == 204)
+    } finally g.stop()
+    val g2 = new HttpGateway(spark, Map.empty, Map.empty,
+      persistDir = Some(dir))
+    val df = g2.measurements("m").df.filter(col("host") === "a")
+    val plan = planOf(df)
+    assert(plan.contains("PushedFilters: [IsNotNull(host), EqualTo(host,a)]"),
+      s"pushdown missing from persisted-store plan:\n$plan")
+  }
+
   test("estimated cardinality aggregates HLL sketches, not raw keys") {
     val catalog = Map("events" -> graft.query.InfluxQL.Measurement(
       Tables.table(spark, sf, "events"), tags = Seq("event_type")))
