@@ -316,13 +316,18 @@ class ServerSpec extends SparkSpec {
         }).start()
         // …find its qid via SHOW QUERIES…
         var qid = -1L
-        val deadline = System.nanoTime() + 10000000000L
-        while (qid < 0 && System.nanoTime() < deadline) {
+        val deadline = System.nanoTime() + 30000000000L
+        while (qid < 0 && System.nanoTime() < deadline &&
+            !slowResp.isDone) {
           val body = gget(s"/query?q=${enc("SHOW QUERIES")}&epoch=ms").body()
           val m = """\[(\d+),"SELECT count\(value\) FROM slow"""".r
             .findFirstMatchIn(body)
           m.foreach(x => qid = x.group(1).toLong)
           if (qid < 0) Thread.sleep(50)
+        }
+        if (qid < 0 && slowResp.isDone) {
+          info(s"slow query finished before observation: ${slowResp.get()}")
+          return false // raced through before a poll saw it — retry
         }
         assert(qid > 0, "slow query never appeared in SHOW QUERIES")
         // …and kill it: the in-flight request fails, promptly
