@@ -1330,6 +1330,10 @@ object SparkEntry {
           "value", state)
         .select(col("event_type"), unix_millis(col("wstart")).as("wstart_ms"),
           col("cnt"), col("sum").as("sum_value"), col("mn"), col("mx"))
+        // single-file state → coalesce(1) marks the tiny result
+        // SinglePartition, so the sort and any later agg plan
+        // exchange-free (one scheduled job instead of an AQE stage pair)
+        .coalesce(1)
         .orderBy("event_type", "wstart_ms")
     })
   )

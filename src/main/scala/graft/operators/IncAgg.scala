@@ -66,30 +66,47 @@ object IncAgg {
     val next =
       if (!Files.exists(statePath)) fresh
       else {
-        val state = spark.read.parquet(stateDir)
-        // high-watermark minus lateness, bucket-aligned by construction
-        // (wstart values are window starts, so the cutoff is too)
-        val wmRow = state.agg(max(col("wstart"))).collect()(0)
-        if (wmRow.isNullAt(0)) fresh
-        else {
-          // bucket-aligned cutoff: round the lateness horizon UP to whole
-          // intervals so a mid-bucket cutoff can never drop tail rows
-          val ivMs = durationMs(interval)
-          val lateBuckets =
-            (durationMs(lateness) + ivMs - 1) / ivMs * ivMs
-          val cutoff = wmRow.getTimestamp(0).toInstant
-            .minusMillis(lateBuckets)
-          val kept = state.filter(col("wstart") < lit(cutoff))
-          // tail scan: range predicate reaches the source scan (pushdown)
-          val tail = partials(
-            source.filter(col(time) >= lit(cutoff)),
-            time, interval, tags, value)
-            .filter(col("wstart") >= lit(cutoff))
-          kept.unionByName(tail)
+        // High-watermark from the state file's parquet footer statistics —
+        // a driver metadata read, zero Spark jobs (the reference reads the
+        // cached iterID's max time from meta, not from a data pass). swapIn
+        // pins TIMESTAMP_MICROS output so the stats are INT64; the collect
+        // is only a fallback for state written by a foreign session.
+        val wmMicros = graft.sources.ParquetStats
+          .minMaxLong(spark, stateDir, "wstart").map(_._2)
+          .orElse {
+            val r = spark.read.schema(fresh.schema).parquet(stateDir)
+              .agg(max(col("wstart"))).collect()(0)
+            if (r.isNullAt(0)) None
+            else Some(r.getTimestamp(0).toInstant.toEpochMilli * 1000L)
+          }
+        wmMicros match {
+          case None => fresh
+          case Some(wm) =>
+            // explicit schema (the partials shape is known driver-side):
+            // skips the eager footer-inference job spark.read.parquet pays
+            val state = spark.read.schema(fresh.schema).parquet(stateDir)
+            // bucket-aligned cutoff: round the lateness horizon UP to whole
+            // intervals so a mid-bucket cutoff can never drop tail rows
+            val ivMs = durationMs(interval)
+            val lateBuckets =
+              (durationMs(lateness) + ivMs - 1) / ivMs * ivMs
+            val cutoff = java.time.Instant
+              .ofEpochMilli(Math.floorDiv(wm, 1000L) - lateBuckets)
+            val kept = state.filter(col("wstart") < lit(cutoff))
+            // tail scan: range predicate reaches the source scan (pushdown)
+            val tail = partials(
+              source.filter(col(time) >= lit(cutoff)),
+              time, interval, tags, value)
+              .filter(col("wstart") >= lit(cutoff))
+            kept.unionByName(tail)
         }
       }
     swapIn(next, stateDir)
-    finalizeState(spark.read.parquet(stateDir), tags)
+    // Lazy view over the just-swapped compact state: the caller's action
+    // is one job over a single small file (no shuffle — a 1-partition
+    // child satisfies every required distribution, so finalize+sort+agg
+    // all stay exchange-free).
+    finalizeState(spark.read.schema(next.schema).parquet(stateDir), tags)
   }
 
   /** The reference's cache-miss fallback (`FailedGetIncAggItem` → full
@@ -97,8 +114,10 @@ object IncAgg {
   def fullRecompute(source: DataFrame, time: String, interval: String,
                     tags: Seq[String], value: String,
                     stateDir: String): DataFrame = {
-    swapIn(partials(source, time, interval, tags, value), stateDir)
-    finalizeState(source.sparkSession.read.parquet(stateDir), tags)
+    val fresh = partials(source, time, interval, tags, value)
+    swapIn(fresh, stateDir)
+    finalizeState(source.sparkSession.read.schema(fresh.schema)
+      .parquet(stateDir), tags)
   }
 
   /** Finalize partials → `cnt, sum, mean, stddev, mn, mx, fst, lst` per
@@ -137,7 +156,24 @@ object IncAgg {
   private def swapIn(df: DataFrame, dir: String): Unit = {
     val tmp = dir.stripSuffix("/") + ".inc_tmp"
     val old = dir.stripSuffix("/") + ".inc_old"
-    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    // State maintenance is single-writer by contract (the atomic swap
+    // already assumes it), so pin two session confs for the write:
+    // AQE off — the tiny state write otherwise pays one scheduled job
+    // per materialized shuffle stage instead of one job total (the
+    // scheduling floor dominates at state cardinality); and
+    // TIMESTAMP_MICROS output — INT96 carries no usable footer min/max,
+    // and run()'s zero-job watermark reads the wstart stats.
+    val spark = df.sparkSession
+    val pinned = Seq(
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MICROS")
+    val saved = pinned.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pinned.foreach { case (k, v) => spark.conf.set(k, v) }
+    try df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
     val p = Paths.get(dir); val t = Paths.get(tmp); val o = Paths.get(old)
     if (Files.exists(p)) {
       Files.move(p, o, StandardCopyOption.ATOMIC_MOVE)
