@@ -71,72 +71,154 @@ object Rca {
     * (entity_id, correlated, expanded); edges is the induced subgraph.
     * `maxRounds` bounds the outer expansion (each round must discover a
     * new correlated entity to continue, so it is a safety rail, not a
-    * tuning knob). */
+    * tuning knob).
+    *
+    * Two tiers, same shape as [[Graph.hops]]: the correlated set is
+    * NEVER collected whole — it stays a DataFrame, and the driver only
+    * ever sees reach-sized slices of it, each row tagged with its
+    * correlation flag by a join. Past `maxDriverFrontier` reached
+    * entities the whole fixpoint moves to DataFrame form (semi-join /
+    * anti-join rounds with localCheckpoint lineage truncation), and the
+    * induced subgraph is always two semi-joins — no `isin` literal over
+    * the included set ever enters a plan. */
   def faultDemarcation(events: DataFrame, edges: DataFrame, core: String,
                        hopCount: Int = 2,
-                       maxRounds: Int = 16): (DataFrame, DataFrame) = {
+                       maxRounds: Int = 16,
+                       maxDriverFrontier: Int = 1 << 17)
+      : (DataFrame, DataFrame) = {
     require(hopCount >= 1 && hopCount <= 8, s"hopCount out of range")
     val spark = events.sparkSession
     import spark.implicits._
 
-    // the core's anomaly timestamps (driver-side, one entity's list)
+    // the core's anomaly timestamps (driver-side, one entity's list —
+    // the reference does the same in extractCoreAnomalyTimestamps)
     val coreTs = events
       .filter(col("entity_id") === core && col("event_type") === "anomaly")
       .select(col("event_ms")).distinct().as[Long].collect().sorted
     require(coreTs.nonEmpty, s"no anomaly timestamps for core entity $core")
 
     // distributed correlation test: any event within its window of any
-    // core timestamp (the timestamp list rides the plan as one literal)
+    // core timestamp (the timestamp list rides the plan as one literal).
+    // Persisted — every round's flag join and the final node flags read
+    // it; at 100 TB its cardinality is #entities-with-events, unbounded,
+    // which is exactly why it never collects.
     val tsArr = array(coreTs.map(lit(_)).toIndexedSeq: _*)
     val correlatedDf = events
       .filter(exists(tsArr,
         t => abs(col("event_ms") - t) <= windowMs(col("event_type"))))
       .select(col("entity_id")).distinct()
-    val correlated = correlatedDf.as[String].collect().toSet
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val e = edges.select(col("src").cast("string"), col("dst").cast("string"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    def neighborsWithin(seed: Set[String]): Set[String] = {
-      var reach = seed
-      var frontier = seed
-      var h = 0
-      while (h < hopCount && frontier.nonEmpty) {
-        h += 1
-        val fr = frontier.toSeq
-        val next =
-          (if (fr.size <= 1024) e.filter(col("src").isin(fr: _*))
-           else e.join(broadcast(fr.toDF("src")), "src"))
-            .select(col("dst")).distinct().as[String].collect().toSet
-        frontier = next -- reach
-        reach ++= next
-      }
-      reach
+    // ---- driver tier -----------------------------------------------
+    // One hop of `frontier`, each reached dst tagged correlated/not by
+    // a left join against correlatedDf (AQE broadcasts the smaller
+    // side): the flag arrives WITH the reach rows in the same job, so
+    // the driver learns correlation membership for exactly the nodes it
+    // already holds — never the full correlated set.
+    def hopFlagged(frontier: Set[String]): Array[(String, Boolean)] = {
+      val fr = frontier.toSeq
+      val matched =
+        if (fr.size <= 1024) e.filter(col("src").isin(fr: _*))
+        else e.join(broadcast(fr.toDF("src")), "src")
+      matched.select(col("dst")).distinct()
+        .join(correlatedDf.withColumn("_corr", lit(true))
+          .withColumnRenamed("entity_id", "dst"), Seq("dst"), "left")
+        .select(col("dst"), coalesce(col("_corr"), lit(false)))
+        .as[(String, Boolean)].collect()
     }
 
-    // outer expansion: correlated entities discovered within hopCount
-    // of the expanded set join it; everything reached is included
+    val corrFlag = scala.collection.mutable.Map[String, Boolean](core -> true)
     var expanded = Set(core)
     var included = Set(core)
     var grew = true
     var rounds = 0
-    while (grew && rounds < maxRounds) {
+    var overflow = false
+    while (grew && rounds < maxRounds && !overflow) {
       rounds += 1
-      val reach = neighborsWithin(expanded)
-      included ++= reach
-      val newly = (reach & correlated) -- expanded
-      grew = newly.nonEmpty
-      expanded ++= newly
+      // neighborsWithin(expanded): hopCount hops from the expanded set
+      var reach = expanded
+      var frontier = expanded
+      var h = 0
+      while (h < hopCount && frontier.nonEmpty && !overflow) {
+        h += 1
+        val next = hopFlagged(frontier)
+        next.foreach { case (id, c) => corrFlag(id) = c }
+        val nextIds = next.iterator.map(_._1).toSet
+        frontier = nextIds -- reach
+        reach ++= nextIds
+        if (reach.size > maxDriverFrontier) overflow = true
+      }
+      if (!overflow) {
+        included ++= reach
+        val newly = reach.filter(id => corrFlag.getOrElse(id, false)) -- expanded
+        grew = newly.nonEmpty
+        expanded ++= newly
+      }
+    }
+
+    if (!overflow) {
+      e.unpersist(blocking = false)
+      correlatedDf.unpersist(blocking = false)
+      val nodes = included.toSeq.sorted
+        .map(id => (id, corrFlag.getOrElse(id, false) || id == core,
+          expanded.contains(id)))
+        .toDF("entity_id", "correlated", "expanded")
+      // induced subgraph: membership via broadcast semi-joins (the
+      // included set is driver-bounded here), never an isin literal
+      val incDf = included.toSeq.toDF("entity_id")
+      val inducedEdges = edges
+        .join(broadcast(incDf.withColumnRenamed("entity_id", "src")),
+          Seq("src"), "left_semi")
+        .join(broadcast(incDf.withColumnRenamed("entity_id", "dst")),
+          Seq("dst"), "left_semi")
+      return (nodes, inducedEdges)
+    }
+
+    // ---- distributed fallback --------------------------------------
+    // The reach outgrew the driver: the whole fixpoint continues in
+    // DataFrame form. The partially-applied round above only ever ADDED
+    // true members of the reach to `included`, so handing the current
+    // sets off and re-running the round distributed is idempotent.
+    var includedDf = included.toSeq.toDF("entity_id").localCheckpoint(true)
+    var expandedDf = expanded.toSeq.toDF("entity_id").localCheckpoint(true)
+    var grewD = true
+    while (grewD && rounds < maxRounds) {
+      rounds += 1
+      var reach = expandedDf
+      var frontier = expandedDf
+      for (_ <- 1 to hopCount) {
+        frontier = e
+          .join(frontier.withColumnRenamed("entity_id", "src"), Seq("src"))
+          .select(col("dst").as("entity_id")).distinct()
+          .join(reach, Seq("entity_id"), "left_anti")
+          // hop h's plan must not re-derive hops 1..h-1
+          .localCheckpoint(true)
+        reach = reach.union(frontier)
+      }
+      includedDf = includedDf.union(reach).distinct().localCheckpoint(true)
+      val newly = reach
+        .join(correlatedDf, Seq("entity_id"), "left_semi")
+        .join(expandedDf, Seq("entity_id"), "left_anti")
+        .distinct().localCheckpoint(true)
+      grewD = newly.count() > 0
+      expandedDf = expandedDf.union(newly).localCheckpoint(true)
     }
     e.unpersist(blocking = false)
-
-    val nodes = included.toSeq.sorted
-      .map(id => (id, correlated.contains(id) || id == core,
-        expanded.contains(id)))
-      .toDF("entity_id", "correlated", "expanded")
-    val inc = included.toSeq
+    val nodes = includedDf
+      .join(correlatedDf.withColumn("_c", lit(true)), Seq("entity_id"), "left")
+      .join(expandedDf.withColumn("_x", lit(true)), Seq("entity_id"), "left")
+      .select(col("entity_id"),
+        (coalesce(col("_c"), lit(false)) || col("entity_id") === lit(core))
+          .as("correlated"),
+        coalesce(col("_x"), lit(false)).as("expanded"))
     val inducedEdges = edges
-      .filter(col("src").isin(inc: _*) && col("dst").isin(inc: _*))
+      .join(includedDf.withColumnRenamed("entity_id", "src"),
+        Seq("src"), "left_semi")
+      .join(includedDf.withColumnRenamed("entity_id", "dst"),
+        Seq("dst"), "left_semi")
     (nodes, inducedEdges)
   }
 }

@@ -76,6 +76,37 @@ class RcaSpec extends SparkSpec {
       ("c4", "event", T + 4)))
   }
 
+  test("induced-edge plan is semi-joins, not isin literals over included") {
+    val events = Seq(
+      ("c1", "anomaly", T),
+      ("c2", "anomaly", T + 10 * 60 * 1000L))
+      .toDF("entity_id", "event_type", "event_ms")
+    val (_, e1) = Rca.faultDemarcation(events, edges, "c1", hopCount = 2)
+    val plan = e1.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), plan)
+    // membership must ride a join, never an In/InSet literal list
+    assert(!plan.contains("INSET") && !plan.contains(" IN ("), plan)
+  }
+
+  test("distributed fallback tier matches the driver tier") {
+    val events = Seq(
+      ("c1", "anomaly", T),
+      ("c2", "anomaly", T + 10 * 60 * 1000L),
+      ("c3", "anomaly", T + 10 * 3600 * 1000L),
+      ("c4", "anomaly", T - 20 * 60 * 1000L))
+      .toDF("entity_id", "event_type", "event_ms")
+    for (hop <- Seq(1, 2)) {
+      val (nd, ed) = Rca.faultDemarcation(events, edges, "c1", hopCount = hop)
+      // maxDriverFrontier=1 overflows on the first hop → distributed tier
+      val (nx, ex) = Rca.faultDemarcation(events, edges, "c1", hopCount = hop,
+        maxDriverFrontier = 1)
+      assert(nx.as[(String, Boolean, Boolean)].collect().toSet ==
+        nd.as[(String, Boolean, Boolean)].collect().toSet, s"hop=$hop nodes")
+      assert(ex.as[(String, String)].collect().toSet ==
+        ed.as[(String, String)].collect().toSet, s"hop=$hop edges")
+    }
+  }
+
   test("a core with no anomaly timestamps fails loudly") {
     val events = Seq(("c2", "anomaly", T))
       .toDF("entity_id", "event_type", "event_ms")
