@@ -63,17 +63,27 @@ object SparkEntry {
         s, s"$dir/events.parquet")))
 
   /** events as an InfluxQL measurement. `extentMs` comes from parquet
-    * footer stats (memoized per dir — a driver metadata read) so
-    * unbounded fill spines clamp with no scan-stage job, mirroring
-    * [[promCatalog]]'s extent wiring. */
+    * footer stats (memoized per (dir, mtime, size) — a driver metadata
+    * read) so unbounded fill spines clamp with no scan-stage job,
+    * mirroring [[promCatalog]]'s extent wiring. The mtime/size in the
+    * key means an in-process regeneration of events.parquet invalidates
+    * the entry instead of silently mis-clamping spines. */
   private val evExtent = new java.util.concurrent.ConcurrentHashMap[
-    String, Option[(Long, Long)]]()
+    (String, Long, Long), Option[(Long, Long)]]()
   private def influxCatalog(s: SparkSession, dir: String)
-      : Map[String, graft.query.InfluxQL.Measurement] =
+      : Map[String, graft.query.InfluxQL.Measurement] = {
+    val p = java.nio.file.Paths.get(s"$dir/events.parquet")
+    val (mtime, size) =
+      try {
+        val a = java.nio.file.Files.readAttributes(
+          p, classOf[java.nio.file.attribute.BasicFileAttributes])
+        (a.lastModifiedTime.toMillis, a.size)
+      } catch { case _: java.io.IOException => (0L, 0L) }
     Map("events" -> graft.query.InfluxQL.Measurement(
       t(s, dir, "events"), tags = Seq("event_type"),
-      extentMs = evExtent.computeIfAbsent(dir, _ =>
+      extentMs = evExtent.computeIfAbsent((dir, mtime, size), _ =>
         graft.sources.ParquetStats.timeExtentMs(s, s"$dir/events.parquet"))))
+  }
 
   // ---- query inventory -----------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -233,7 +233,12 @@ final class Auth {
               kdf(pw, u.salt).getBytes, u.hash.getBytes))
             sys.error("the password is the same as the old one, " +
               "please enter a new password")
-          users(name) = u.copy(hash = kdf(pw, u.salt))
+          // fresh salt per password change: reusing the old salt would
+          // let a holder of an earlier snapshot precompute against all
+          // future passwords (the same-password check above is the only
+          // place the old salt is legitimately consulted)
+          val s2 = newSalt()
+          users(name) = u.copy(hash = kdf(pw, s2), salt = s2)
         }
         None
       case "show" =>

@@ -99,13 +99,32 @@ final class HttpGateway(spark: SparkSession,
   // window (the reference's users live in its durable meta store)
   private def usersFile =
     persistDir.map(d => java.nio.file.Paths.get(d, "_users.tsv"))
+  /** Temp + ATOMIC_MOVE so a crash mid-write can never leave a
+    * truncated catalog (an empty `_users.tsv` restores to ZERO users,
+    * which with requireAuth silently reopens the unauthenticated
+    * bootstrap window — the exact hole persistence exists to close).
+    * Callers serialize the mutate+persist pair on the auth monitor, so
+    * the snapshot on disk is never an out-of-order older state. */
   private def persistUsers(): Unit =
-    usersFile.foreach(f =>
-      java.nio.file.Files.write(f, auth.snapshotTsv.getBytes(UTF_8)))
+    usersFile.foreach { f =>
+      val tmp = f.resolveSibling(f.getFileName.toString + ".tmp")
+      java.nio.file.Files.write(tmp, auth.snapshotTsv.getBytes(UTF_8))
+      java.nio.file.Files.move(tmp, f,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
 
   // reload persisted measurements under the in-memory/init catalog
   usersFile.filter(java.nio.file.Files.exists(_)).foreach { f =>
     auth.restoreTsv(new String(java.nio.file.Files.readAllBytes(f), UTF_8))
+    // a present-but-adminless catalog with auth on means the file was
+    // damaged (or bootstrap never finished): the gateway would serve
+    // UNAUTHENTICATED until someone recreates the admin — say so loudly
+    if (requireAuth && !auth.adminExists)
+      System.err.println(
+        "[gateway] WARNING: _users.tsv restored with no admin user; " +
+        "requireAuth is on but the unauthenticated bootstrap window is " +
+        "OPEN until an admin is created")
   }
   persistDir.foreach { d =>
     val base = java.nio.file.Paths.get(d)
@@ -565,13 +584,18 @@ final class HttpGateway(spark: SparkSession,
           killQuery(qid)
           s"""{"statement_id":$id}"""
         } else if (Auth.isUserStatement(stmt)) {
-          auth.execute(stmt) match {
-            case None =>
-              persistUsers() // user catalog mutated — journal it
-              s"""{"statement_id":$id}"""
-            case Some((name, cols, rows)) =>
-              ResultShaper.toResultObj(
-                gatewayRowsDf(cols, rows), name, Nil, cols, epoch, id)
+          // mutate+persist as one unit on the auth monitor: concurrent
+          // user statements can't interleave a stale snapshot over a
+          // newer one (lost update)
+          auth.synchronized {
+            auth.execute(stmt) match {
+              case None =>
+                persistUsers() // user catalog mutated — journal it
+                s"""{"statement_id":$id}"""
+              case Some((name, cols, rows)) =>
+                ResultShaper.toResultObj(
+                  gatewayRowsDf(cols, rows), name, Nil, cols, epoch, id)
+            }
           }
         } else if (Seq("drop ", "create ", "kill ", "delete", "alter ",
             "grant ", "revoke ", "set ")
@@ -898,7 +922,7 @@ final class HttpGateway(spark: SparkSession,
               sys.error(s"remote read exceeds max-row-limit ($maxRowLimit); " +
                 "narrow the time range or matchers")
             rows.groupBy(r => mt.labels.map(l => r.getAs[String](l)))
-              .toSeq.sortBy(_._1.mkString(" "))
+              .toSeq.sortBy(_._1.mkString("\u0000"))
               .map { case (lv, rs) =>
                 val labels = mt.labels.zip(lv).filter(_._2.nonEmpty).toMap +
                   (PromRemoteWrite.MetricLabel -> name)

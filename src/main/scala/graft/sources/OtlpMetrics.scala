@@ -542,16 +542,25 @@ object OtlpTraces {
     * attribute ++ ts (= span start). */
   def toMeasurement(spark: SparkSession,
                     samples: Seq[SpanSample]): (DataFrame, Seq[String]) = {
+    // a resource attr or span attr named like a fixed span column (or
+    // like each other) would produce duplicate output columns and break
+    // every later by-name resolution for the whole measurement — rename
+    // colliders deterministically instead (tag_<k> / attr_<k>)
+    val fixed = Set("parent_span_id", "name", "kind", "duration_nano",
+      "end_time_unix_nano", "status_code", "status_message", "ts")
     val tagKeys = samples.flatMap(_.tags.keys).distinct.sorted
+      .map(k => k -> (if (fixed(k)) s"tag_$k" else k))
+    val tagOut = tagKeys.map(_._2).toSet
     val attrKeys = samples.flatMap(_.attrs.keys).distinct.sorted
+      .map(k => k -> (if (fixed(k) || tagOut(k)) s"attr_$k" else k))
     val ds = spark.createDataset(samples)(Encoders.product[SpanSample])
-    val cols = tagKeys.map(k => col("tags").getItem(k).as(k)) ++ Seq(
-      col("parent_span_id"), col("name"), col("kind"),
-      col("duration_nano"), col("end_time_unix_nano"),
-      col("status_code"), col("status_message")) ++
-      attrKeys.map(k => col("attrs").getItem(k).as(k)) :+
+    val cols = tagKeys.map { case (k, o) => col("tags").getItem(k).as(o) } ++
+      Seq(col("parent_span_id"), col("name"), col("kind"),
+        col("duration_nano"), col("end_time_unix_nano"),
+        col("status_code"), col("status_message")) ++
+      attrKeys.map { case (k, o) => col("attrs").getItem(k).as(o) } :+
       timestamp_millis(expr("time_ns div 1000000")).as("ts")
-    (ds.select(cols: _*), tagKeys)
+    (ds.select(cols: _*), tagKeys.map(_._2))
   }
 
   /** Sender side, for specs: one resource, one scope. */

@@ -153,13 +153,23 @@ object ResultShaper {
     val grouped = rows.groupBy(r => tagCols.map(t => r.getAs[Any](t)))
       .toSeq.sortBy(_._1.map(String.valueOf).mkString(","))
     var emitted = 0
-    val series = grouped.iterator
+    val keptSeries = grouped.iterator
       .takeWhile(_ => emitted < maxRows)
       .map { case (tagVals, rs) =>
         val room = maxRows - emitted
-        val (kept, partial) =
+        val (kept, cut) =
           if (rs.length > room) (rs.take(room), true) else (rs, false)
         emitted += kept.length
+        (tagVals, kept, cut)
+      }.toVector
+    // ANY truncation marks partial (handler.go:979): when the limit
+    // lands exactly on a series boundary the next whole series is
+    // dropped — the sentinel maxRows+1 row proves it — so the LAST
+    // emitted series carries the marker even though it wasn't cut mid-way
+    val dropped = rows.length > emitted
+    val series = keptSeries.zipWithIndex
+      .map { case ((tagVals, kept, cut), i) =>
+        val partial = cut || (dropped && i == keptSeries.length - 1)
         val tags = tagCols.zip(tagVals)
           .map { case (k, v) => s"${jsonScalar(k)}:${jsonScalar(v)}" }
           .mkString("{", ",", "}")

@@ -265,4 +265,16 @@ class AuthSpec extends SparkSpec {
     assert(u.authorizeDatabase(Auth.NoPrivileges, "anywhere"))
     assert(Auth.privilegeName(Auth.AllPrivileges) == "ALL PRIVILEGES")
   }
+
+  test("Auth unit: SET PASSWORD re-salts (old snapshot can't precompute)") {
+    val a = new Auth
+    a.execute("CREATE USER u1 WITH PASSWORD 'pw'")
+    val before = a.user("u1").get
+    a.execute("SET PASSWORD FOR u1 = 'pw2'")
+    val after = a.user("u1").get
+    assert(after.salt != before.salt,
+      "password change must generate a fresh salt")
+    assert(a.authenticate("u1", "pw2").isDefined)
+    assert(a.authenticate("u1", "pw").isEmpty)
+  }
 }

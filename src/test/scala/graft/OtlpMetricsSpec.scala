@@ -148,6 +148,33 @@ class OtlpMetricsSpec extends SparkSpec {
     assert(bad.statusCode() == 400)
   }
 
+  test("OTLP traces: attrs/tags colliding with fixed columns are renamed") {
+    import graft.sources.OtlpTraces
+    import graft.sources.OtlpTraces.SpanSample
+    val spans = Seq(SpanSample(
+      Map("trace_id" -> "0af7651916cd43dd8448eb211c80319c",
+        "span_id" -> "b7ad6b7169203331",
+        "kind" -> "resource-kind"), // resource attr shadowing a fixed col
+      time_ns = 1500000000L, parent_span_id = "", name = "op", kind = 2,
+      duration_nano = 1L, end_time_unix_nano = 2L, status_code = 0,
+      status_message = "",
+      // span attrs shadowing a fixed col and a tag key
+      attrs = Map("name" -> "attr-name", "trace_id" -> "attr-trace")))
+    val (df, tags) = OtlpTraces.toMeasurement(spark, spans)
+    assert(df.columns.count(_ == "name") == 1)
+    assert(df.columns.count(_ == "kind") == 1)
+    assert(df.columns.count(_ == "trace_id") == 1)
+    assert(tags.contains("tag_kind"), tags)
+    assert(df.columns.contains("attr_name") &&
+      df.columns.contains("attr_trace_id"), df.columns.toSeq)
+    val row = df.select("tag_kind", "attr_name", "attr_trace_id", "name",
+      "kind").collect()(0)
+    assert(row.getString(0) == "resource-kind")
+    assert(row.getString(1) == "attr-name")
+    assert(row.getString(2) == "attr-trace")
+    assert(row.getString(3) == "op" && row.getLong(4) == 2L)
+  }
+
   test("POST /api/v1/otlp/metrics ingests; InfluxQL sees the fields") {
     val body = OtlpMetrics.encode("app.runtime",
       Map("service.name" -> "svc1"), samples)

@@ -177,6 +177,26 @@ class SourcesSpec extends SparkSpec {
     assert(chunks.forall(_.startsWith("""{"results":[{"statement_id":0""")))
   }
 
+  test("result shaper marks partial when the cap lands on a series boundary") {
+    val df = Seq(("a", 1L, 1.0), ("a", 2L, 2.0), ("b", 1L, 9.0))
+      .toDF("host", "t_ms", "mean")
+    // maxRows=2 emits exactly series a and drops series b whole: the
+    // truncation must still be visible (handler.go:979 marks partial on
+    // ANY truncation), so the last emitted series carries the marker
+    val atBoundary = ResultShaper.toResultObj(df, "cpu", Seq("host"),
+      Seq("t_ms", "mean"), maxRows = 2)
+    assert(atBoundary.contains(""""partial":true"""), atBoundary)
+    assert(!atBoundary.contains(""""host":"b""""), atBoundary)
+    // no truncation → no marker
+    val whole = ResultShaper.toResultObj(df, "cpu", Seq("host"),
+      Seq("t_ms", "mean"), maxRows = 3)
+    assert(!whole.contains(""""partial""""), whole)
+    // mid-series cut still marks the cut series itself
+    val mid = ResultShaper.toResultObj(df, "cpu", Seq("host"),
+      Seq("t_ms", "mean"), maxRows = 1)
+    assert(mid.contains(""""partial":true"""), mid)
+  }
+
   test("result shaper honors the epoch precision parameter") {
     val df = Seq(("a", new java.sql.Timestamp(1704067200000L), 1.5))
       .toDF("host", "time", "mean")
