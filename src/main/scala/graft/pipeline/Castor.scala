@@ -85,6 +85,16 @@ object Castor {
   def thresholdModel(limit: Double): Model = batch =>
     Verdicts(batch.v.clone(), batch.v.map(v => math.abs(v) > limit))
 
+  /** Deployment-flag router: with `GRAFT_CASTOR_PYWORKER=1` the zscore
+    * model runs in the out-of-process python worker
+    * ([[CastorWorker.pyZscoreModel]], the reference's actual castor
+    * topology); otherwise (or when python3 is absent) in-JVM. Both
+    * produce identical verdicts — AnomalySpec asserts it. */
+  def defaultZscoreModel(window: Int = 20, k: Double = 3.0): Model =
+    if (sys.env.get("GRAFT_CASTOR_PYWORKER").contains("1"))
+      CastorWorker.pyZscoreModel(window, k)
+    else zscoreModel(window, k)
+
   /** Run `model` over every (tags…) series of `df`. Output columns:
     * tags… ++ (_t, value, zscore, is_anomaly) — the same frame shape as
     * [[AnomalyDetect.zscore]] so the two are drop-in interchangeable. */

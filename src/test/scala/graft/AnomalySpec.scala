@@ -1,6 +1,6 @@
 package graft
 
-import graft.pipeline.{AnomalyDetect, Castor}
+import graft.pipeline.{AnomalyDetect, Castor, CastorWorker}
 
 class AnomalySpec extends SparkSpec {
   import spark.implicits._
@@ -30,6 +30,36 @@ class AnomalySpec extends SparkSpec {
       .orderBy("event_type", "_t", "value").collect().toSeq
     assert(viaBoundary == direct)
     assert(direct.nonEmpty)
+  }
+
+  test("castor python worker: over-the-wire verdicts equal in-JVM (q63 data)") {
+    // the REAL subprocess hop: zscore computed by a python3 child over
+    // the documented columnar batch contract must equal the in-JVM
+    // model bit-for-bit (same op order on both sides)
+    assume(new java.io.File("/usr/bin/python3").exists() ||
+      sys.env.get("PATH").exists(_.split(':')
+        .exists(p => new java.io.File(p, "python3").exists())))
+    val events = Tables.table(spark, sf, "events")
+    val inJvm = Castor.detect(events, "value", "ts",
+        Seq("event_type"), Castor.zscoreModel(20, 3.0))
+      .orderBy("event_type", "_t", "value").collect().toSeq
+    val overWire = Castor.detect(events, "value", "ts",
+        Seq("event_type"), CastorWorker.pyZscoreModel(20, 3.0))
+      .orderBy("event_type", "_t", "value").collect().toSeq
+    assert(!CastorWorker.unavailable(), "python3 worker failed to spawn")
+    assert(overWire == inJvm)
+    assert(inJvm.nonEmpty)
+  }
+
+  test("castor python worker: missing interpreter falls back in-JVM") {
+    val df = Seq(("a", 0L, 1.0), ("a", 1L, 2.0), ("a", 2L, 50.0))
+      .toDF("tag", "t", "v")
+    val model = CastorWorker.pyThresholdModel(10.0,
+      interpreter = "graft_no_such_interpreter")
+    val out = Castor.detect(df, "v", "t", Seq("tag"), model)
+      .select("_t", "is_anomaly").as[(Long, Boolean)].collect().toMap
+    assert(out == Map(0L -> false, 1L -> false, 2L -> true))
+    assert(CastorWorker.unavailable("graft_no_such_interpreter"))
   }
 
   test("castor models are swappable; contract violations fail loudly") {
