@@ -254,7 +254,10 @@ object InfluxQL {
       intervalOffsetNs: Option[Long] = None,
       tz: Option[String] = None,
       into: Option[String] = None,
-      fromMore: Seq[String] = Nil)
+      fromMore: Seq[String] = Nil,
+      // bare measurement of a dot-QUALIFIED `from` (the output series
+      // name); None when `from` was a single (possibly quoted) ident
+      fromBare: Option[String] = None)
 
   /** One UNION arm: `UNION [ALL] [BY NAME] <select>` — reference
     * `influxql/sql.y:656-699` (union_clause). */
@@ -350,18 +353,23 @@ object InfluxQL {
       // FROM (SELECT …) — nested subquery (reference ast.go SubQuery,
       // LogicalSubQuery logic_plan.go:1839)
       var fromSub: Option[Query] = None
-      // one measurement source: bare name, qualified `db.rp.m` / `db..m`
-      // (reference Measurement{Database, RetentionPolicy, Name} — db/rp
-      // are routing, the single-database model keeps the name), or /re/
+      // one measurement source: bare name, qualified `rp.m` / `db.rp.m`
+      // / `db..m` (reference Measurement{Database, RetentionPolicy,
+      // Name}), or /re/. The dotted spelling is PRESERVED as the lookup
+      // key: a catalog that resolves databases (the gateway's view)
+      // routes it, a plain single-db catalog falls back to the bare
+      // name ([[lookupMeasurement]]).
+      var lastFromBare: Option[String] = None // set when fromOne saw dots
       def fromOne(): String = next() match {
         case TIdent(s) =>
           var name = s
+          lastFromBare = None
           while (peek == TPunct(".")) {
             next()
             name = peek match {
-              case TPunct(".") => name // `db..m` empty rp
+              case TPunct(".") => name + "." // `db..m` empty rp
               case _ => next() match {
-                case TIdent(n) => n
+                case TIdent(n) => lastFromBare = Some(n); name + "." + n
                 case t => sys.error(s"expected measurement after '.', got $t")
               }
             }
@@ -371,12 +379,14 @@ object InfluxQL {
         case t => sys.error(s"expected measurement, got $t")
       }
       var fromMore = Seq.empty[String]
+      var fromBare: Option[String] = None
       val from = peek match {
         case TPunct("(") =>
           next(); fromSub = Some(parseQuery()); expect(")")
           "<subquery>"
         case _ =>
           val first = fromOne()
+          fromBare = lastFromBare
           // FROM m1, m2, … — sort-append across sources (ast.go Sources;
           // executed like FROM /re/, a unionByName)
           while (peek == TPunct(",")) { next(); fromMore :+= fromOne() }
@@ -501,7 +511,7 @@ object InfluxQL {
       }
       Query(projs, from, where, tags, interval, fill, orderDesc, limit,
         offset, slimit, join, fromSub, soffset, intervalOffset, tz, into,
-        fromMore)
+        fromMore, fromBare)
     }
 
     private def parseProjs(): Seq[Proj] = {
@@ -803,7 +813,11 @@ object InfluxQL {
     val (q, df) = executeStatement(catalog, sql)
     q match {
       case Some(qq) =>
-        def base(x: Query): String = x.fromSub.map(base).getOrElse(x.from)
+        // series name is the bare measurement — a qualified db.rp.m
+        // spelling routes, it never renames the output series (quoted
+        // names containing dots are NOT qualified: fromBare is None)
+        def base(x: Query): String = x.fromSub.map(base).getOrElse(
+          x.fromBare.getOrElse(x.from))
         val tags = resolveTags(catalog, qq).filter(df.columns.contains)
         (base(qq), tags, df)
       case None =>
@@ -955,7 +969,7 @@ object InfluxQL {
         val re = f.substring(1, f.length - 1).r
         catalog.collect { case (k, m) if re.findFirstIn(k).isDefined =>
           m.tags }.flatten.toSeq
-      } else catalog.get(f).map(_.tags).getOrElse(Nil)
+      } else lookupMeasurement(catalog, f).map(_.tags).getOrElse(Nil)
     }.distinct
 
   private def executeStatement(catalog: Map[String, Measurement],
@@ -1240,6 +1254,27 @@ object InfluxQL {
     }
   }
 
+  /** Marker for catalogs whose `get` authoritatively resolves
+    * qualified `db.rp.m` spellings (the gateway's database view): it
+    * disables [[lookupMeasurement]]'s single-database bare-name
+    * fallback, so an unknown database/retention policy in a qualified
+    * ref FAILS instead of silently routing to the bare measurement. */
+  trait QualifiedResolver
+
+  /** Resolve a FROM spelling against the catalog: the full (possibly
+    * `db.rp.m`-qualified) name first — a database-aware catalog view
+    * (the gateway's) routes it — then the bare final segment, the
+    * single-database fallback where db/rp are routing-only. */
+  def lookupMeasurement(catalog: Map[String, Measurement],
+                        name: String): Option[Measurement] =
+    catalog.get(name).orElse {
+      if (catalog.isInstanceOf[QualifiedResolver]) None
+      else {
+        val bare = name.substring(name.lastIndexOf('.') + 1)
+        if (bare != name) catalog.get(bare) else None
+      }
+    }
+
   private def compileQuery(catalog: Map[String, Measurement],
                            q: Query): DataFrame = {
     // FROM (SELECT …): compile the inner query, re-derive a timestamp view
@@ -1252,7 +1287,7 @@ object InfluxQL {
         val hits = catalog.filter { case (k, _) => re.findFirstIn(k).isDefined }
         require(hits.nonEmpty, s"no measurement matches $fromStr")
         hits.values.toSeq
-      } else Seq(catalog.getOrElse(fromStr,
+      } else Seq(lookupMeasurement(catalog, fromStr).getOrElse(
         sys.error(s"unknown measurement $fromStr")))
     val m =
       if (q.fromSub.isDefined) {
@@ -1270,7 +1305,7 @@ object InfluxQL {
     // from the right side get a _<measurement> suffix (reference exposes
     // m2.field — suffixing is the USING-form equivalent).
     val mJoined = q.join.map { j =>
-      val r = catalog.getOrElse(j.right,
+      val r = lookupMeasurement(catalog, j.right).getOrElse(
         sys.error(s"unknown join measurement ${j.right}"))
       val collisions = m.df.columns.toSet
         .intersect(r.df.columns.toSet) -- j.onTags - r.time

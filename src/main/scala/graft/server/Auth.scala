@@ -27,9 +27,10 @@ import graft.query.InfluxQL.{TIdent, TOp, TStr, Tok}
   * reference see the same contracts. Passwords are stored as salted
   * PBKDF2-HMAC-SHA256 (JDK built-in) — same contract as the reference's
   * bcrypt hashes (salted, slow, one-way), different KDF since bcrypt is
-  * not in the JDK. Divergence: GRANT accepts any database name (the
-  * engine is single-database and CREATE DATABASE is a no-op, so there
-  * is no database catalog to validate against).
+  * not in the JDK. GRANT/REVOKE validate the database name through the
+  * pluggable [[Auth.databaseExists]] hook (`data.go:2913` SetPrivilege
+  * calls GetDatabase first) — the gateway wires it to its database
+  * catalog; standalone use keeps the permissive default.
   */
 object Auth {
   /** Privilege bitmask — the reference's `originql.Privilege` values.
@@ -140,6 +141,11 @@ final class Auth {
     }
   }
 
+  /** Database-existence check for GRANT/REVOKE (`data.go:2919`
+    * GetDatabase before SetPrivilege). The gateway points this at its
+    * database catalog; default accepts anything (standalone use). */
+  @volatile var databaseExists: String => Boolean = _ => true
+
   /** Execute one user-management statement. Mutations return None;
     * SHOW forms return (series name, columns, value rows) for the
     * caller to shape. Errors throw with the reference's messages. */
@@ -196,7 +202,11 @@ final class Auth {
         c.expect("to")
         val name = c.ident(); c.end()
         synchronized {
+          // data.go:2913 SetPrivilege: user lookup first, then the
+          // database check (GetDatabase -> errno.DatabaseNotFound)
           val u = users.getOrElse(name, sys.error("user not found"))
+          if (!databaseExists(db))
+            sys.error(s"database not found: $db")
           users(name) = u.copy(privileges = u.privileges + (db -> priv))
         }
         None
@@ -213,6 +223,8 @@ final class Auth {
         val name = c.ident(); c.end()
         synchronized {
           val u = users.getOrElse(name, sys.error("user not found"))
+          if (!databaseExists(db))
+            sys.error(s"database not found: $db")
           // bit-clear like the reference's `p &^ stmt.Privilege`
           val left =
             if (priv == AllPrivileges) NoPrivileges

@@ -60,6 +60,84 @@ final class HttpGateway(spark: SparkSession,
   @volatile private var catalog = init
   @volatile private var promCat = prom
 
+  // ------------------------------------------------ database catalog
+  /** The database set (`meta/database.go:21` DatabaseInfo, minus RPs —
+    * every database has the implicit `autogen` policy). Measurements of
+    * the DEFAULT database live under their bare names in `catalog`;
+    * other databases' measurements are namespace-prefixed
+    * `db\u0000name` — ONE registry, per-request sliced by
+    * [[catalogFor]]. CREATE/DROP DATABASE are real here; the PromQL
+    * catalog stays a single namespace (documented divergence — the
+    * prom API carries no database axis in this gateway). */
+  val defaultDb = "graft"
+  @volatile private var databases: Set[String] = Set(defaultDb)
+  // GRANT/REVOKE validate names against this catalog (data.go:2919)
+  auth.databaseExists = db => databases.contains(db)
+
+  private def dbKey(db: String, name: String): String =
+    if (db == defaultDb) name else db + "\u0000" + name
+
+  private def sliceOf(cat: Map[String, InfluxQL.Measurement],
+                      db: String): Map[String, InfluxQL.Measurement] =
+    if (db == defaultDb) cat.filter(!_._1.contains('\u0000'))
+    else {
+      val pre = db + "\u0000"
+      cat.collect { case (k, m) if k.startsWith(pre) =>
+        k.substring(pre.length) -> m }
+    }
+
+  /** A per-request single-database view over the namespaced registry:
+    * iteration (SHOW MEASUREMENTS/SERIES/…) sees only the request
+    * database's bare names, while `get` additionally resolves
+    * `rp.m` / `db.rp.m` / `db..m` qualified spellings
+    * (`influxql.Measurement{Database, RetentionPolicy, Name}`) — the
+    * only retention policy is `autogen`, and a cross-database ref
+    * resolves ONLY when the principal may read that database, so
+    * qualified spellings cannot bypass authorization. */
+  private final class CatalogView(
+      base: Map[String, InfluxQL.Measurement],
+      resolve: String => Option[InfluxQL.Measurement])
+      extends scala.collection.immutable.AbstractMap[
+        String, InfluxQL.Measurement] with InfluxQL.QualifiedResolver {
+    override def get(k: String): Option[InfluxQL.Measurement] =
+      base.get(k).orElse(resolve(k))
+    override def iterator: Iterator[(String, InfluxQL.Measurement)] =
+      base.iterator
+    override def removed(k: String): Map[String, InfluxQL.Measurement] =
+      base - k
+    override def updated[V1 >: InfluxQL.Measurement](
+        k: String, v: V1): Map[String, V1] = base.updated(k, v)
+    override def size: Int = base.size
+  }
+
+  private def catalogFor(db: String, user: Option[Auth.User])
+      : Map[String, InfluxQL.Measurement] = {
+    val cat = catalog
+    val base = sliceOf(cat, db)
+    def readable(d: String) = databases.contains(d) &&
+      user.forall(_.authorizeDatabase(Auth.ReadPrivilege, d))
+    new CatalogView(base, name => {
+      val parts = name.split("\\.", -1)
+      if (parts.length == 2 &&
+          (parts(0) == "autogen" || parts(0).isEmpty))
+        base.get(parts(1)) // rp.m within the request database
+      else if (parts.length == 3 &&
+          (parts(1) == "autogen" || parts(1).isEmpty) &&
+          readable(parts(0)))
+        sliceOf(cat, parts(0)).get(parts(2)) // db.rp.m / db..m
+      else None
+    })
+  }
+
+  /** Write a mutated single-database slice back through the prefix. */
+  private def applySlice(db: String,
+                         before: Map[String, InfluxQL.Measurement],
+                         after: Map[String, InfluxQL.Measurement]): Unit = {
+    val removed = (before.keySet -- after.keySet).map(dbKey(db, _))
+    catalog = (catalog -- removed) ++
+      after.map { case (k, m) => dbKey(db, k) -> m }
+  }
+
   // ------------------------------------------------- write durability
   // With `persistDir` set, every ingested batch (line protocol, prom
   // remote write, OTLP) ALSO appends to `$persistDir/<measurement>/`
@@ -126,12 +204,34 @@ final class HttpGateway(spark: SparkSession,
         "requireAuth is on but the unauthenticated bootstrap window is " +
         "OPEN until an admin is created")
   }
+  // the database set persists beside the data (meta store durability)
+  private def dbFile =
+    persistDir.map(d => java.nio.file.Paths.get(d, "_databases.txt"))
+  private def persistDatabases(): Unit =
+    dbFile.foreach { f =>
+      val tmp = f.resolveSibling(f.getFileName.toString + ".tmp")
+      java.nio.file.Files.write(tmp,
+        databases.toSeq.sorted.mkString("\n").getBytes(UTF_8))
+      java.nio.file.Files.move(tmp, f,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+  dbFile.filter(java.nio.file.Files.exists(_)).foreach { f =>
+    // defaultDb always survives a reload: the constructor-injected
+    // catalog lives there
+    databases = new String(java.nio.file.Files.readAllBytes(f), UTF_8)
+      .split("\n").filter(_.nonEmpty).toSet + defaultDb
+  }
   persistDir.foreach { d =>
     val base = java.nio.file.Paths.get(d)
     if (java.nio.file.Files.isDirectory(base)) {
       val s = java.nio.file.Files.list(base)
       try s.filter(p => java.nio.file.Files.isDirectory(p)).forEach { p =>
         val name = java.net.URLDecoder.decode(p.getFileName.toString, "UTF-8")
+        // namespaced keys re-register their database even if the
+        // database file predates multi-db support
+        if (name.contains('\u0000'))
+          databases = databases + name.substring(0, name.indexOf('\u0000'))
         val meta = p.resolve("_tags.txt")
         val tags =
           if (java.nio.file.Files.exists(meta))
@@ -146,8 +246,11 @@ final class HttpGateway(spark: SparkSession,
             (prev.tags ++ tags).distinct, prev.time)
           case None => InfluxQL.Measurement(df, tags, "ts")
         }))
+        // promCat is a single namespace: a (rare) namespaced prom
+        // measurement re-registers under its bare metric name
+        val promName = name.substring(name.indexOf('\u0000') + 1)
         if (java.nio.file.Files.exists(p.resolve("_prom")))
-          promCat = promCat + (name -> (promCat.get(name) match {
+          promCat = promCat + (promName -> (promCat.get(promName) match {
             case Some(prev) => prev.copy(
               df = prev.df.unionByName(df, allowMissingColumns = true),
               labels = (prev.labels ++ tags).distinct, extentMs = None)
@@ -562,6 +665,15 @@ final class HttpGateway(spark: SparkSession,
       // attach to the live registry for SHOW QUERIES / KILL QUERY;
       // detach when the request finishes, success or failure
       val rq = attachQuery(bound, p.getOrElse("db", ""))
+      // request database: empty/missing db param targets the default
+      // database; existence is checked per data statement, so
+      // CREATE DATABASE / user statements still run against a fresh name
+      val reqDb = p.get("db").filter(_.nonEmpty).getOrElse(defaultDb)
+      def reqCat() = {
+        if (!databases.contains(reqDb))
+          sys.error(s"database not found: $reqDb")
+        catalogFor(reqDb, principal)
+      }
       try {
 
       def resultObj(stmt: String, id: Int): String =
@@ -597,19 +709,51 @@ final class HttpGateway(spark: SparkSession,
                   gatewayRowsDf(cols, rows), name, Nil, cols, epoch, id)
             }
           }
+        } else if (stmt.trim.toLowerCase.startsWith("show databases")) {
+          // the gateway's real database set (the library's constant is
+          // its single-db standalone answer)
+          ResultShaper.toResultObj(
+            gatewayRowsDf(Seq("name"), databases.toSeq.sorted.map(Seq(_))),
+            "databases", Nil, Seq("name"), epoch, id)
+        } else if (stmt.trim.toLowerCase.matches("(?s)(create|drop)\\s+database\\b.*")) {
+          // real database DDL (meta/database.go CreateDatabase/DropDatabase)
+          val toks = InfluxQL.lex(stmt)
+          val name = toks.drop(2).headOption match {
+            case Some(InfluxQL.TIdent(n)) => n
+            case Some(InfluxQL.TStr(n)) => n
+            case _ => sys.error("expected database name")
+          }
+          synchronized {
+            if (stmt.trim.toLowerCase.startsWith("create"))
+              databases = databases + name
+            else {
+              databases = databases - name
+              val pre = name + "\u0000"
+              catalog = catalog.filterNot(_._1.startsWith(pre))
+              if (name == defaultDb)
+                catalog = catalog.filter(_._1.contains('\u0000'))
+            }
+            persistDatabases()
+          }
+          s"""{"statement_id":$id}"""
         } else if (Seq("drop ", "create ", "kill ", "delete", "alter ",
             "grant ", "revoke ", "set ")
             .exists(stmt.trim.toLowerCase.startsWith)) {
-          synchronized { catalog = InfluxQL.executeManage(catalog, stmt) }
+          synchronized {
+            val before = sliceOf(catalog, reqDb)
+            applySlice(reqDb, before, Map.empty ++
+              InfluxQL.executeManage(reqCat(), stmt))
+          }
           s"""{"statement_id":$id}"""
         } else if ("(?is).*\\bINTO\\b.*".r.matches(stmt) &&
             stmt.trim.toLowerCase.startsWith("select")) {
-          val (cat2, df) = InfluxQL.executeInto(catalog, stmt)
+          val before = sliceOf(catalog, reqDb)
+          val (cat2, df) = InfluxQL.executeInto(reqCat(), stmt)
           val written = df.count()
-          synchronized { catalog = cat2 }
+          synchronized { applySlice(reqDb, before, Map.empty ++ cat2) }
           s"""{"statement_id":$id,"series":[{"name":"result","columns":["time","written"],"values":[[0,$written]]}]}"""
         } else {
-          val (name, tags, df0) = InfluxQL.executeShaped(catalog, stmt)
+          val (name, tags, df0) = InfluxQL.executeShaped(reqCat(), stmt)
           // the engine's `time` output is epoch ms (LONG); epoch=/RFC3339
           // rendering happens on TIMESTAMP values at the HTTP edge, so
           // lift it back to a timestamp before shaping
@@ -633,7 +777,7 @@ final class HttpGateway(spark: SparkSession,
         // chunked emission is per-series-batch within ONE statement
         require(statements.size == 1,
           "chunked=true supports a single statement")
-        val (name, tags, df0) = InfluxQL.executeShaped(catalog, statements.head)
+        val (name, tags, df0) = InfluxQL.executeShaped(reqCat(), statements.head)
         val df = df0.schema.find(_.name == "time").map(_.dataType) match {
           case Some(org.apache.spark.sql.types.LongType) |
                Some(org.apache.spark.sql.types.IntegerType) =>
@@ -696,6 +840,13 @@ final class HttpGateway(spark: SparkSession,
             return
         }
       if (guard(ex, p, Auth.WritePrivilege, "write to").isEmpty) return
+      // errno.HttpDatabaseNotFound: writes to an uncreated database 404
+      val wdb = p.get("db").filter(_.nonEmpty).getOrElse(defaultDb)
+      if (!databases.contains(wdb)) {
+        respond(ex, 404, s"""{"error":${jsonStr(
+          "write error: database not found!")}}""")
+        return
+      }
       val mult = p.getOrElse("precision", "ns") match {
         case "ns" | "n" => 1L
         case "u" | "µ" => 1000L
@@ -733,15 +884,16 @@ final class HttpGateway(spark: SparkSession,
             ps.flatMap(_.intFields.keys).distinct.sorted,
             ps.flatMap(_.boolFields.keys).distinct.sorted,
             ps.flatMap(_.stringFields.keys).distinct.sorted)
-          persistBatch(m, tbl, tagKeys)
-          val merged = catalog.get(m) match {
+          val key = dbKey(wdb, m)
+          persistBatch(key, tbl, tagKeys)
+          val merged = catalog.get(key) match {
             case Some(prev) => InfluxQL.Measurement(
-              maybeCompact(m,
+              maybeCompact(key,
                 prev.df.unionByName(tbl, allowMissingColumns = true)),
               (prev.tags ++ tagKeys).distinct, prev.time)
             case None => InfluxQL.Measurement(tbl, tagKeys, "ts")
           }
-          catalog = catalog + (m -> merged)
+          catalog = catalog + (key -> merged)
         }
       }
       ex.sendResponseHeaders(204, -1); ex.close()

@@ -266,6 +266,32 @@ class AuthSpec extends SparkSpec {
     assert(Auth.privilegeName(Auth.AllPrivileges) == "ALL PRIVILEGES")
   }
 
+  test("GRANT validates the database; qualified refs respect privileges") {
+    assert(query("CREATE USER dave WITH PASSWORD 'dpw'",
+      extra = "&u=admin&p=secret").statusCode() == 200)
+    // unknown database → data.go:2919's error, verbatim
+    val bad = query("GRANT READ ON nosuchdb TO dave",
+      extra = "&u=admin&p=secret")
+    assert(bad.statusCode() == 400 &&
+      bad.body().contains("database not found: nosuchdb"), bad.body())
+    // once the database exists the same grant succeeds
+    assert(query("CREATE DATABASE dbauth", extra = "&u=admin&p=secret")
+      .statusCode() == 200)
+    assert(query("GRANT READ ON dbauth TO dave",
+      extra = "&u=admin&p=secret").statusCode() == 200)
+    // a dbauth-only reader cannot route a qualified ref into graft —
+    // the view refuses to resolve databases the principal can't read
+    val denied = query("SELECT count(value) FROM graft.autogen.events",
+      extra = "&db=dbauth", headers = Seq(basic("dave", "dpw")))
+    assert(denied.statusCode() == 400 &&
+      denied.body().contains("unknown measurement"), denied.body())
+    // an admin resolves the same ref fine
+    val ok = query("SELECT count(value) FROM graft.autogen.events",
+      extra = "&db=dbauth", headers = Seq(basic("admin", "secret")))
+    assert(ok.statusCode() == 200 &&
+      ok.body().contains("\"name\":\"events\""), ok.body())
+  }
+
   test("Auth unit: SET PASSWORD re-salts (old snapshot can't precompute)") {
     val a = new Auth
     a.execute("CREATE USER u1 WITH PASSWORD 'pw'")

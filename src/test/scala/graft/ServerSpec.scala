@@ -647,4 +647,54 @@ class ServerSpec extends SparkSpec {
     assert((body \ "status") == JString("success"))
     assert((body \ "data" \ "application") == JString("graft"))
   }
+
+  test("multi-database: CREATE DATABASE isolates; qualified refs route") {
+    // writes to an uncreated database 404 (errno.HttpDatabaseNotFound)
+    val missing = post("/write?db=dbA", "m1 v=1.0 1")
+    assert(missing.statusCode() == 404 &&
+      missing.body().contains("database not found"), missing.body())
+    // create it; SHOW DATABASES reflects the real set now
+    assert(get("/query?q=" + enc("CREATE DATABASE dbA")).statusCode() == 200)
+    val dbs = get("/query?q=" + enc("SHOW DATABASES")).body()
+    assert(dbs.contains("\"dbA\"") && dbs.contains("\"graft\""), dbs)
+    // a measurement under dbA is queryable there...
+    assert(post("/write?db=dbA", "m1,host=a v=1.0 1\nm1,host=a v=2.0 2")
+      .statusCode() == 204)
+    val inA = get("/query?db=dbA&q=" + enc("SELECT count(v) FROM m1"))
+    assert(inA.body().contains(",2]]"), inA.body())
+    // ...invisible to the default database and to an unknown one
+    assert(get("/query?q=" + enc("SELECT v FROM m1")).statusCode() == 400)
+    val gone = get("/query?db=nope&q=" + enc("SELECT v FROM m1"))
+    assert(gone.statusCode() == 400 &&
+      gone.body().contains("database not found: nope"), gone.body())
+    // same name in another database is a different measurement
+    assert(get("/query?q=" + enc("CREATE DATABASE dbB")).statusCode() == 200)
+    assert(post("/write?db=dbB", "m1 v=9.0 1").statusCode() == 204)
+    val inB = get("/query?db=dbB&q=" + enc("SELECT count(v) FROM m1"))
+    assert(inB.body().contains(",1]]"), inB.body())
+    // qualified db.rp.m / db..m refs route across databases
+    val q1 = get("/query?q=" + enc("SELECT count(v) FROM dbA.autogen.m1"))
+    assert(q1.body().contains(",2]]"), q1.body())
+    val q2 = get("/query?db=dbA&q=" + enc("SELECT count(v) FROM dbB..m1"))
+    assert(q2.body().contains(",1]]"), q2.body())
+    // the series name stays the bare measurement through a qualified ref
+    assert(q1.body().contains("\"name\":\"m1\""), q1.body())
+    // rp.m within the request database; unknown rp does not resolve
+    val q3 = get("/query?db=dbA&q=" + enc("SELECT count(v) FROM autogen.m1"))
+    assert(q3.body().contains(",2]]"), q3.body())
+    assert(get("/query?db=dbA&q=" + enc("SELECT v FROM weekly.m1"))
+      .statusCode() == 400)
+    // SHOW MEASUREMENTS is scoped to the request database
+    val showA = get("/query?db=dbA&q=" + enc("SHOW MEASUREMENTS")).body()
+    assert(showA.contains("m1"), showA)
+    val showDefault = get("/query?q=" + enc("SHOW MEASUREMENTS")).body()
+    assert(!showDefault.contains("m1"), showDefault)
+    // DROP DATABASE removes the namespace and its measurements
+    assert(get("/query?q=" + enc("DROP DATABASE dbB")).statusCode() == 200)
+    assert(get("/query?db=dbB&q=" + enc("SELECT v FROM m1"))
+      .statusCode() == 400)
+    assert(!get("/query?q=" + enc("SHOW DATABASES")).body()
+      .contains("\"dbB\""))
+    assert(get("/query?q=" + enc("DROP DATABASE dbA")).statusCode() == 200)
+  }
 }
