@@ -86,16 +86,15 @@ object Graph {
       // bound a map-side hash aggregate would use; cross-partition
       // duplicates inflate the collect by at most #partitions ×
       // |distinct dst|, which the driver-tier guard already bounds.
-      // Frontier membership: isin() literals while small (the predicate
-      // reaches parquet row-group stats); past ~1k nodes a 40k-literal
-      // In tree costs more DRIVER analysis time per hop than the scan
-      // itself, so switch to a broadcast-joined frontier frame (same
-      // narrow plan, O(1) expression nodes, hash lookup at runtime).
+      // Frontier membership is ALWAYS a predicate, never a join: the
+      // optimizer folds a >10-literal In into InSet (hash-set lookup,
+      // O(1) expression nodes at runtime) and the predicate reaches
+      // parquet row-group stats, so every hop stays ONE single-stage
+      // job. The broadcast-join alternative costs an exchange that AQE
+      // materializes as 1-2 extra scheduled jobs per hop — measured
+      // 3x the scheduling floor on the bench's 3-hop queries.
       val matched =
-        if (frontier.length <= 1024)
-          e.filter(col("src").isin(frontier.toIndexedSeq: _*))
-        else
-          e.join(broadcast(frontier.toSeq.toDF("src")), "src")
+        e.filter(col("src").isInCollection(frontier.toIndexedSeq))
       val next = matched
         .select(col("dst")).as[Long]
         .mapPartitions(it => it.toSet.iterator)
@@ -105,8 +104,12 @@ object Graph {
       frontier = next
     }
 
+    // one partition: the driver-tier result is small by construction
+    // (≤ maxDriverFrontier), and a single-partition child satisfies
+    // every required distribution — the caller's sort/agg/count plans
+    // exchange-free (one scheduled job instead of an AQE stage pair)
     val driverPart = visited.toSeq.map { case (n, hp) => (n, hp) }
-      .toDF("node_id", "hop")
+      .toDF("node_id", "hop").coalesce(1)
     if (h >= hopNum || frontier.isEmpty) {
       e.unpersist(blocking = false) // BFS done: all hops collected
       return driverPart
