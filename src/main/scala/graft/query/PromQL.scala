@@ -98,7 +98,7 @@ object PromQL {
       else if (c.isDigit || (c == '.' && i + 1 < n && q(i + 1).isDigit)) {
         val start = i
         while (i < n && (q(i).isDigit || q(i) == '.' || q(i) == 'e' ||
-          (q(i) == '-' && (q(i - 1) == 'e')))) i += 1
+          ((q(i) == '-' || q(i) == '+') && q(i - 1) == 'e'))) i += 1
         // duration literal: 5m / 1h30m / 90s / 250ms
         if (i < n && "smhdwy".contains(q(i)) &&
             !q.substring(start, i).contains('.')) {
@@ -131,7 +131,12 @@ object PromQL {
         val start = i
         while (i < n && (q(i).isLetterOrDigit || q(i) == '_' ||
           q(i) == ':')) i += 1
-        out += TId(q.substring(start, i))
+        val id = q.substring(start, i)
+        // upstream lexes inf/nan (any case) as FLOAT literals
+        if (id.equalsIgnoreCase("inf"))
+          out += TNum(Double.PositiveInfinity)
+        else if (id.equalsIgnoreCase("nan")) out += TNum(Double.NaN)
+        else out += TId(id)
       }
       else if (c == '"' || c == '\'') {
         val quote = c; i += 1
@@ -215,8 +220,9 @@ object PromQL {
       } else l
     }
     private def parseUnary(): Expr =
-      if (isOp("-")) { next(); Bin("-", Num(0), parseUnary(), bool = false,
-        None, Nil, None, None) }
+      if (isOp("-")) { next(); Bin("-", Num(0), parsePow(), bool = false,
+        None, Nil, None, None) } // operand is a ^-level expr: -2^2 = -(2^2)
+      else if (isOp("+")) { next(); parseUnary() } // unary + is identity
       else parseAtom()
 
     private def parseBinLevel(ops: Seq[String], sub: () => Expr): Expr = {
@@ -465,6 +471,16 @@ object PromQL {
           " in vector() to materialize it")
     }
   }
+
+  /** Fold a grid-free constant scalar expression (number literals and
+    * arithmetic over them — upstream `literals.test`'s whole surface)
+    * to its value, without a SparkSession or catalog. Data-dependent
+    * expressions error. */
+  def evaluateConst(query: String): Double =
+    new Eval(Map.empty, 1L, 300L, None).evalVec(parse(query)) match {
+      case Right(SConst(v)) => v
+      case other => sys.error(s"not a constant scalar: $other")
+    }
 
   private class Eval(catalog: Map[String, Metric], stepS: Long,
                      lookbackS: Long, boundsMs: Option[(Long, Long)]) {

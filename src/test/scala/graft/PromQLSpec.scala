@@ -138,6 +138,36 @@ class PromQLSpec extends SparkSpec {
         val query = body.substring(sp + 1)
         val evalLine = i
         i += 1
+        // scalar expectation: exactly one bare numeric result line
+        // (literals.test's whole shape) — folded via evaluateConst,
+        // no catalog or Spark job involved
+        def scalarOf(t: String): Option[Double] = t match {
+          case "NaN" => Some(Double.NaN)
+          case "Inf" | "+Inf" => Some(Double.PositiveInfinity)
+          case "-Inf" => Some(Double.NegativeInfinity)
+          case v => scala.util.Try(v.toDouble).toOption
+        }
+        val scalarExp =
+          if (i < lines.length && !lines(i).trim.contains("{") &&
+              lines(i).trim.nonEmpty &&
+              (i + 1 >= lines.length || lines(i + 1).trim.isEmpty))
+            scalarOf(lines(i).trim)
+          else None
+        if (scalarExp.isDefined) {
+          i += 1
+          val res = scala.util.Try(PromQL.evaluateConst(query))
+          res.failed.foreach(e => info(
+            s"skip line ${evalLine + 1} [$query]: ${e.getMessage.take(120)}"))
+          res.toOption.foreach { got =>
+            attempted += 1
+            val exp = scalarExp.get
+            val matches = got == exp || (exp.isNaN && got.isNaN) ||
+              math.abs(got - exp) <= 1e-9 * math.max(1.0, math.abs(exp))
+            if (!matches)
+              failures += s"line ${evalLine + 1}: $query\n  expected " +
+                s"$exp\n  got $got"
+          }
+        } else {
         val expected = Seq.newBuilder[(Map[String, String], Double)]
         var ok = true
         while (i < lines.length && lines(i).trim.nonEmpty &&
@@ -198,6 +228,7 @@ class PromQLSpec extends SparkSpec {
                 s"${expected.result()}\n  got ${got.toList}"
           }
         }
+        }
       }
       else i += 1
     }
@@ -217,6 +248,17 @@ class PromQLSpec extends SparkSpec {
   // and replayed through the identical harness.
   // histograms.test covers classic le-bucket quantiles; native-histogram
   // notation is out of scope (documented in the corpus header)
+  test("replays the authored literals.test corpus in full") {
+    val path = getClass.getResource("/promql/literals.test").getPath
+    val (attempted, failures) = runCorpus(path)
+    assert(failures.isEmpty, failures.mkString("\n\n"))
+    // every eval in the file is a scalar fold — nothing may be skipped
+    val total = scala.io.Source.fromFile(path)(scala.io.Codec.UTF8)
+      .getLines().count(_.startsWith("eval "))
+    assert(attempted == total,
+      s"literals: only $attempted/$total cases attempted")
+  }
+
   for (corpus <- Seq("selectors", "operators", "staleness", "functions",
       "histograms", "at_modifier", "subquery"))
     test(s"replays the authored $corpus.test corpus in full") {
