@@ -365,6 +365,8 @@ final class HttpGateway(spark: SparkSession,
   server.createContext("/api/v1/read",
     (ex: HttpExchange) => handlePromRead(ex))
   // OTLP metrics remote write (handler.go:316, handler_otlp.go:109)
+  server.createContext("/api/v1/arrow/doput",
+    (ex: HttpExchange) => handleArrowDoPut(ex))
   server.createContext("/api/v1/otlp/metrics",
     (ex: HttpExchange) => handleOtlpWrite(ex))
   // OTLP logs remote write (handler.go:320 -> the `logs` measurement)
@@ -897,6 +899,44 @@ final class HttpGateway(spark: SparkSession,
         }
       }
       ex.sendResponseHeaders(204, -1); ex.close()
+    } catch {
+      case e: Throwable =>
+        respond(ex, 400, s"""{"error":${jsonStr(String.valueOf(e.getMessage))}}""")
+    }
+
+  /** Arrow do-put (`services/arrowflight/service.go:291` DoPut): the
+    * Flight descriptor's `{db, rp, mst}` arrive as query params
+    * (`mst` required), the body is an Arrow IPC stream of record
+    * batches — the same payload Flight carries, minus the gRPC
+    * transport Spark's jar set does not ship ([[ArrowIngest]] header
+    * documents the divergence). Batches append to the measurement
+    * under the request database, write-privilege checked like every
+    * other ingest route. */
+  private def handleArrowDoPut(ex: HttpExchange): Unit =
+    try {
+      val p = params(ex, readBody = false)
+      if (guard(ex, p, Auth.WritePrivilege, "write to").isEmpty) return
+      val wdb = p.get("db").filter(_.nonEmpty).getOrElse(defaultDb)
+      if (!databases.contains(wdb)) {
+        respond(ex, 404, s"""{"error":${jsonStr(
+          "write error: database not found!")}}""")
+        return
+      }
+      val mst = p.getOrElse("mst", sys.error("missing measurement (mst)"))
+      val (df, tagKeys) = graft.sources.ArrowIngest.decode(
+        spark, ex.getRequestBody.readAllBytes())
+      synchronized {
+        val key = dbKey(wdb, mst)
+        persistBatch(key, df, tagKeys)
+        catalog = catalog + (key -> (catalog.get(key) match {
+          case Some(prev) => InfluxQL.Measurement(
+            maybeCompact(key,
+              prev.df.unionByName(df, allowMissingColumns = true)),
+            (prev.tags ++ tagKeys).distinct, prev.time)
+          case None => InfluxQL.Measurement(df, tagKeys, "ts")
+        }))
+      }
+      respond(ex, 200, s"""{"rows":${df.count()}}""")
     } catch {
       case e: Throwable =>
         respond(ex, 400, s"""{"error":${jsonStr(String.valueOf(e.getMessage))}}""")

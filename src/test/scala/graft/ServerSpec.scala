@@ -648,6 +648,63 @@ class ServerSpec extends SparkSpec {
     assert((body \ "data" \ "application") == JString("graft"))
   }
 
+  test("Arrow do-put: IPC record batches land as a queryable measurement") {
+    import org.apache.arrow.memory.RootAllocator
+    import org.apache.arrow.vector._
+    import org.apache.arrow.vector.ipc.ArrowStreamWriter
+    import org.apache.arrow.vector.types.FloatingPointPrecision
+    import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema}
+    import scala.jdk.CollectionConverters._
+    // sender half: the same record-batch payload a Flight DoPut carries
+    val alloc = new RootAllocator()
+    val schema = new Schema(Seq(
+      new Field("time",
+        FieldType.nullable(new ArrowType.Int(64, true)), null),
+      new Field("host", FieldType.nullable(ArrowType.Utf8.INSTANCE), null),
+      new Field("v", FieldType.nullable(
+        new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE)), null)
+    ).asJava)
+    val root = VectorSchemaRoot.create(schema, alloc)
+    val out = new java.io.ByteArrayOutputStream()
+    val writer = new ArrowStreamWriter(root, null, out)
+    writer.start()
+    val tv = root.getVector("time").asInstanceOf[BigIntVector]
+    val hv = root.getVector("host").asInstanceOf[VarCharVector]
+    val vv = root.getVector("v").asInstanceOf[Float8Vector]
+    // two batches, like a streamed DoPut
+    for (batch <- 0 until 2) {
+      root.allocateNew()
+      for (i <- 0 until 3) {
+        tv.setSafe(i, (batch * 3 + i + 1) * 1000000000L) // epoch ns
+        hv.setSafe(i, s"h$batch".getBytes("UTF-8"))
+        vv.setSafe(i, batch * 10.0 + i)
+      }
+      root.setRowCount(3)
+      writer.writeBatch()
+    }
+    writer.end()
+    root.close(); alloc.close()
+
+    val r = http.send(HttpRequest.newBuilder(
+        url("/api/v1/arrow/doput?mst=flightm"))
+      .header("Content-Type", "application/vnd.apache.arrow.stream")
+      .POST(HttpRequest.BodyPublishers.ofByteArray(out.toByteArray)).build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(r.statusCode() == 200 && r.body().contains("\"rows\":6"), r.body())
+
+    // queryable via InfluxQL: utf8 col became a tag, batches appended
+    val q = get("/query?q=" + enc(
+      "SELECT sum(v) FROM flightm GROUP BY host") + "&epoch=s")
+    assert(q.statusCode() == 200, q.body())
+    assert(q.body().contains("\"host\":\"h0\"") &&
+      q.body().contains("\"host\":\"h1\""), q.body())
+    assert(q.body().contains("[0,3.0]") && q.body().contains("[0,33.0]"),
+      q.body()) // 0+1+2 and 10+11+12
+    // garbage body is a 400, not a crash
+    val bad = post("/api/v1/arrow/doput?mst=x", "not-arrow")
+    assert(bad.statusCode() == 400)
+  }
+
   test("multi-database: CREATE DATABASE isolates; qualified refs route") {
     // writes to an uncreated database 404 (errno.HttpDatabaseNotFound)
     val missing = post("/write?db=dbA", "m1 v=1.0 1")
