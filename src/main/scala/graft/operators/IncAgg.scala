@@ -158,14 +158,14 @@ object IncAgg {
     val old = dir.stripSuffix("/") + ".inc_old"
     // State maintenance is single-writer by contract (the atomic swap
     // already assumes it), so pin two session confs for the write:
-    // AQE off — the tiny state write otherwise pays one scheduled job
-    // per materialized shuffle stage instead of one job total (the
-    // scheduling floor dominates at state cardinality); and
-    // TIMESTAMP_MICROS output — INT96 carries no usable footer min/max,
-    // and run()'s zero-job watermark reads the wstart stats.
+    // ONE reduce partition — state cardinality is tags×buckets, so a
+    // 32-task reduce stage pays ~32 task launches to produce ~150 rows
+    // (measured 0.12 s/write at sf0.1); and TIMESTAMP_MICROS output —
+    // INT96 carries no usable footer min/max, and run()'s zero-job
+    // watermark reads the wstart stats.
     val spark = df.sparkSession
     val pinned = Seq(
-      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.shuffle.partitions" -> "1",
       "spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MICROS")
     val saved = pinned.map { case (k, _) => k -> spark.conf.getOption(k) }
     pinned.foreach { case (k, v) => spark.conf.set(k, v) }
