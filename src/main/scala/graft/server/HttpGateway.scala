@@ -73,6 +73,11 @@ final class HttpGateway(spark: SparkSession,
   @volatile private var databases: Set[String] = Set(defaultDb)
   // GRANT/REVOKE validate names against this catalog (data.go:2919)
   auth.databaseExists = db => databases.contains(db)
+  /** Per-database retention policies (`meta/retentionpolicy.go:33`);
+    * every database is born with `autogen`. Qualified `db.rp.m` refs
+    * validate `rp` against this registry. */
+  @volatile private var retention: Map[String, Map[String, Retention.Rp]] =
+    Map(defaultDb -> Retention.autogen)
 
   private def dbKey(db: String, name: String): String =
     if (db == defaultDb) name else db + "\u0000" + name
@@ -116,13 +121,13 @@ final class HttpGateway(spark: SparkSession,
     val base = sliceOf(cat, db)
     def readable(d: String) = databases.contains(d) &&
       user.forall(_.authorizeDatabase(Auth.ReadPrivilege, d))
+    def rpOk(d: String, rp: String) =
+      rp.isEmpty || retention.getOrElse(d, Map.empty).contains(rp)
     new CatalogView(base, name => {
       val parts = name.split("\\.", -1)
-      if (parts.length == 2 &&
-          (parts(0) == "autogen" || parts(0).isEmpty))
+      if (parts.length == 2 && rpOk(db, parts(0)))
         base.get(parts(1)) // rp.m within the request database
-      else if (parts.length == 3 &&
-          (parts(1) == "autogen" || parts(1).isEmpty) &&
+      else if (parts.length == 3 && rpOk(parts(0), parts(1)) &&
           readable(parts(0)))
         sliceOf(cat, parts(0)).get(parts(2)) // db.rp.m / db..m
       else None
@@ -210,8 +215,16 @@ final class HttpGateway(spark: SparkSession,
   private def persistDatabases(): Unit =
     dbFile.foreach { f =>
       val tmp = f.resolveSibling(f.getFileName.toString + ".tmp")
-      java.nio.file.Files.write(tmp,
-        databases.toSeq.sorted.mkString("\n").getBytes(UTF_8))
+      val body = databases.toSeq.sorted.map { d =>
+        val rps = retention.getOrElse(d, Retention.autogen).toSeq
+          .sortBy(_._1).map { case (n, rp) =>
+            s"${java.net.URLEncoder.encode(n, "UTF-8")}=" +
+              s"${rp.durationS},${rp.shardGroupS},${rp.replicaN}," +
+              s"${rp.default}"
+          }.mkString(";")
+        s"${java.net.URLEncoder.encode(d, "UTF-8")}\t$rps"
+      }.mkString("\n")
+      java.nio.file.Files.write(tmp, body.getBytes(UTF_8))
       java.nio.file.Files.move(tmp, f,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
@@ -219,8 +232,25 @@ final class HttpGateway(spark: SparkSession,
   dbFile.filter(java.nio.file.Files.exists(_)).foreach { f =>
     // defaultDb always survives a reload: the constructor-injected
     // catalog lives there
-    databases = new String(java.nio.file.Files.readAllBytes(f), UTF_8)
-      .split("\n").filter(_.nonEmpty).toSet + defaultDb
+    val lines = new String(java.nio.file.Files.readAllBytes(f), UTF_8)
+      .split("\n").filter(_.nonEmpty).toSeq
+    val parsed = lines.map { line =>
+      val parts = line.split("\t", 2)
+      val db = java.net.URLDecoder.decode(parts(0), "UTF-8")
+      val rps =
+        if (parts.length < 2 || parts(1).isEmpty) Retention.autogen
+        else parts(1).split(";").filter(_.nonEmpty).map { kv =>
+          val Array(n, v) = kv.split("=", 2)
+          val Array(d, sg, r, df) = v.split(",", 4)
+          java.net.URLDecoder.decode(n, "UTF-8") ->
+            Retention.Rp(d.toLong, sg.toLong, r.toLong, df.toBoolean)
+        }.toMap
+      db -> rps
+    }
+    databases = parsed.map(_._1).toSet + defaultDb
+    retention = parsed.toMap
+      .updated(defaultDb, parsed.toMap.getOrElse(defaultDb,
+        Retention.autogen))
   }
   persistDir.foreach { d =>
     val base = java.nio.file.Paths.get(d)
@@ -559,8 +589,9 @@ final class HttpGateway(spark: SparkSession,
     import org.apache.spark.sql.types._
     import scala.jdk.CollectionConverters._
     val schema = StructType(cols.map {
-      case c @ ("admin" | "rwuser") => StructField(c, BooleanType)
-      case "qid" => StructField("qid", LongType)
+      case c @ ("admin" | "rwuser" | "default") =>
+        StructField(c, BooleanType)
+      case c @ ("qid" | "replicaN") => StructField(c, LongType)
       case c => StructField(c, StringType)
     })
     spark.createDataFrame(
@@ -671,10 +702,20 @@ final class HttpGateway(spark: SparkSession,
       // database; existence is checked per data statement, so
       // CREATE DATABASE / user statements still run against a fresh name
       val reqDb = p.get("db").filter(_.nonEmpty).getOrElse(defaultDb)
-      def reqCat() = {
-        if (!databases.contains(reqDb))
-          sys.error(s"database not found: $reqDb")
-        catalogFor(reqDb, principal)
+      def reqCat(db: String = reqDb) = {
+        if (!databases.contains(db))
+          sys.error(s"database not found: $db")
+        catalogFor(db, principal)
+      }
+      // `SHOW … ON <db>` scopes to THAT database (parser.go
+      // parseShowMeasurementsStatement etc.) — the ON clause wins over
+      // the request's db param, like the reference's statement rewrite
+      def showDb(stmt: String): String = {
+        val toks = InfluxQL.lex(stmt)
+        toks.sliding(2).collectFirst {
+          case Seq(InfluxQL.TIdent(on), InfluxQL.TIdent(d))
+              if on.equalsIgnoreCase("on") => d
+        }.getOrElse(reqDb)
       }
       try {
 
@@ -726,10 +767,13 @@ final class HttpGateway(spark: SparkSession,
             case _ => sys.error("expected database name")
           }
           synchronized {
-            if (stmt.trim.toLowerCase.startsWith("create"))
+            if (stmt.trim.toLowerCase.startsWith("create")) {
               databases = databases + name
-            else {
+              if (!retention.contains(name))
+                retention = retention + (name -> Retention.autogen)
+            } else {
               databases = databases - name
+              retention = retention - name
               val pre = name + "\u0000"
               catalog = catalog.filterNot(_._1.startsWith(pre))
               if (name == defaultDb)
@@ -738,6 +782,60 @@ final class HttpGateway(spark: SparkSession,
             persistDatabases()
           }
           s"""{"statement_id":$id}"""
+        } else if (Retention.isRpStatement(stmt)) {
+          val st = Retention.parse(stmt)
+          if (!databases.contains(st.db))
+            sys.error(s"database not found: ${st.db}")
+          synchronized {
+            val rps = retention.getOrElse(st.db, Retention.autogen)
+            st.verb match {
+              case "create" =>
+                if (rps.contains(st.rp))
+                  sys.error("retention policy already exists")
+                val d = st.durationS.getOrElse(0L)
+                val rp = Retention.Rp(d,
+                  st.shardGroupS.getOrElse(Retention.shardGroupFor(d)),
+                  st.replicaN.getOrElse(1L), st.default)
+                val cleared = if (st.default)
+                  rps.view.mapValues(_.copy(default = false)).toMap else rps
+                retention = retention + (st.db -> (cleared + (st.rp -> rp)))
+              case "alter" =>
+                val prev = rps.getOrElse(st.rp,
+                  sys.error(s"retention policy not found: ${st.rp}"))
+                val d = st.durationS.getOrElse(prev.durationS)
+                val rp = prev.copy(durationS = d,
+                  shardGroupS = st.shardGroupS.getOrElse(
+                    if (st.durationS.isDefined) Retention.shardGroupFor(d)
+                    else prev.shardGroupS),
+                  replicaN = st.replicaN.getOrElse(prev.replicaN),
+                  default = prev.default || st.default)
+                val cleared = if (st.default)
+                  rps.view.mapValues(_.copy(default = false)).toMap else rps
+                retention = retention + (st.db -> (cleared + (st.rp -> rp)))
+              case "drop" =>
+                val prev = rps.getOrElse(st.rp,
+                  sys.error(s"retention policy not found: ${st.rp}"))
+                if (prev.default)
+                  sys.error("retention policy is default")
+                retention = retention + (st.db -> (rps - st.rp))
+              case v => sys.error(s"unsupported retention verb $v")
+            }
+            persistDatabases()
+          }
+          s"""{"statement_id":$id}"""
+        } else if (stmt.trim.toLowerCase.startsWith("show retention")) {
+          val db = showDb(stmt)
+          if (!databases.contains(db))
+            sys.error(s"database not found: $db")
+          val rows = retention.getOrElse(db, Retention.autogen).toSeq
+            .sortBy(_._1).map { case (n, rp) => Seq[Any](n,
+              Retention.renderDuration(rp.durationS),
+              Retention.renderDuration(rp.shardGroupS),
+              rp.replicaN, rp.default) }
+          val cols = Seq("name", "duration", "shardGroupDuration",
+            "replicaN", "default")
+          ResultShaper.toResultObj(gatewayRowsDf(cols, rows),
+            "retention policies", Nil, cols, epoch, id)
         } else if (Seq("drop ", "create ", "kill ", "delete", "alter ",
             "grant ", "revoke ", "set ")
             .exists(stmt.trim.toLowerCase.startsWith)) {
@@ -755,7 +853,10 @@ final class HttpGateway(spark: SparkSession,
           synchronized { applySlice(reqDb, before, Map.empty ++ cat2) }
           s"""{"statement_id":$id,"series":[{"name":"result","columns":["time","written"],"values":[[0,$written]]}]}"""
         } else {
-          val (name, tags, df0) = InfluxQL.executeShaped(reqCat(), stmt)
+          val cat =
+            if (stmt.trim.toLowerCase.startsWith("show")) reqCat(showDb(stmt))
+            else reqCat()
+          val (name, tags, df0) = InfluxQL.executeShaped(cat, stmt)
           // the engine's `time` output is epoch ms (LONG); epoch=/RFC3339
           // rendering happens on TIMESTAMP values at the HTTP edge, so
           // lift it back to a timestamp before shaping
@@ -842,13 +943,7 @@ final class HttpGateway(spark: SparkSession,
             return
         }
       if (guard(ex, p, Auth.WritePrivilege, "write to").isEmpty) return
-      // errno.HttpDatabaseNotFound: writes to an uncreated database 404
-      val wdb = p.get("db").filter(_.nonEmpty).getOrElse(defaultDb)
-      if (!databases.contains(wdb)) {
-        respond(ex, 404, s"""{"error":${jsonStr(
-          "write error: database not found!")}}""")
-        return
-      }
+      val wdb = writeDb(ex, p).getOrElse(return)
       val mult = p.getOrElse("precision", "ns") match {
         case "ns" | "n" => 1L
         case "u" | "µ" => 1000L
@@ -904,6 +999,20 @@ final class HttpGateway(spark: SparkSession,
         respond(ex, 400, s"""{"error":${jsonStr(String.valueOf(e.getMessage))}}""")
     }
 
+  /** Resolve the ingest database for a write-family route: missing/
+    * empty db targets the default database; an uncreated one is the
+    * reference's HTTP 404 (errno.HttpDatabaseNotFound). Returns None
+    * after responding. */
+  private def writeDb(ex: HttpExchange,
+                      p: Map[String, String]): Option[String] = {
+    val wdb = p.get("db").filter(_.nonEmpty).getOrElse(defaultDb)
+    if (!databases.contains(wdb)) {
+      respond(ex, 404, s"""{"error":${jsonStr(
+        "write error: database not found!")}}""")
+      None
+    } else Some(wdb)
+  }
+
   /** Arrow do-put (`services/arrowflight/service.go:291` DoPut): the
     * Flight descriptor's `{db, rp, mst}` arrive as query params
     * (`mst` required), the body is an Arrow IPC stream of record
@@ -916,12 +1025,7 @@ final class HttpGateway(spark: SparkSession,
     try {
       val p = params(ex, readBody = false)
       if (guard(ex, p, Auth.WritePrivilege, "write to").isEmpty) return
-      val wdb = p.get("db").filter(_.nonEmpty).getOrElse(defaultDb)
-      if (!databases.contains(wdb)) {
-        respond(ex, 404, s"""{"error":${jsonStr(
-          "write error: database not found!")}}""")
-        return
-      }
+      val wdb = writeDb(ex, p).getOrElse(return)
       val mst = p.getOrElse("mst", sys.error("missing measurement (mst)"))
       val (df, tagKeys) = graft.sources.ArrowIngest.decode(
         spark, ex.getRequestBody.readAllBytes())
@@ -950,30 +1054,35 @@ final class HttpGateway(spark: SparkSession,
     * `/api/v1/query_range` alike. */
   private def handlePromWrite(ex: HttpExchange): Unit =
     try {
-      if (guard(ex, params(ex, readBody = false),
-          Auth.WritePrivilege, "write to").isEmpty) return
+      val p = params(ex, readBody = false)
+      if (guard(ex, p, Auth.WritePrivilege, "write to").isEmpty) return
+      val wdb = writeDb(ex, p).getOrElse(return)
       val body = ex.getRequestBody.readAllBytes()
       val series = PromRemoteWrite.decode(body)
       if (series.isEmpty) sys.error("no timeseries in write request")
       synchronized {
         PromRemoteWrite.toMeasurements(spark, series).foreach {
           case (metric, (df, tagKeys)) =>
-            persistBatch(metric, df, tagKeys, prom = true)
-            catalog = catalog + (metric -> (catalog.get(metric) match {
+            val key = dbKey(wdb, metric)
+            // the prom query surface is one namespace = the default
+            // database; other dbs' series stay InfluxQL-queryable only
+            persistBatch(key, df, tagKeys, prom = wdb == defaultDb)
+            catalog = catalog + (key -> (catalog.get(key) match {
               case Some(prev) => InfluxQL.Measurement(
-                maybeCompact(metric,
+                maybeCompact(key,
                   prev.df.unionByName(df, allowMissingColumns = true)),
                 (prev.tags ++ tagKeys).distinct, prev.time)
               case None => InfluxQL.Measurement(df, tagKeys, "ts")
             }))
-            promCat = promCat + (metric -> (promCat.get(metric) match {
-              case Some(prev) => prev.copy(
-                df = maybeCompact(s"prom:$metric",
-                  prev.df.unionByName(df, allowMissingColumns = true)),
-                labels = (prev.labels ++ tagKeys).distinct,
-                extentMs = None)
-              case None => PromQL.Metric(df, tagKeys, "ts", "value")
-            }))
+            if (wdb == defaultDb)
+              promCat = promCat + (metric -> (promCat.get(metric) match {
+                case Some(prev) => prev.copy(
+                  df = maybeCompact(s"prom:$metric",
+                    prev.df.unionByName(df, allowMissingColumns = true)),
+                  labels = (prev.labels ++ tagKeys).distinct,
+                  extentMs = None)
+                case None => PromQL.Metric(df, tagKeys, "ts", "value")
+              }))
         }
       }
       resultsCache.invalidateAll()
@@ -989,17 +1098,19 @@ final class HttpGateway(spark: SparkSession,
     * schema). Success is an empty ExportMetricsServiceResponse. */
   private def handleOtlpWrite(ex: HttpExchange): Unit =
     try {
-      if (guard(ex, params(ex, readBody = false),
-          Auth.WritePrivilege, "write to").isEmpty) return
+      val p = params(ex, readBody = false)
+      if (guard(ex, p, Auth.WritePrivilege, "write to").isEmpty) return
+      val wdb = writeDb(ex, p).getOrElse(return)
       val samples = OtlpMetrics.decode(ex.getRequestBody.readAllBytes())
       if (samples.isEmpty) sys.error("no metric data points in request")
       synchronized {
         OtlpMetrics.toMeasurements(spark, samples).foreach {
           case (scope, (df, tagKeys)) =>
-            persistBatch(scope, df, tagKeys)
-            catalog = catalog + (scope -> (catalog.get(scope) match {
+            val key = dbKey(wdb, scope)
+            persistBatch(key, df, tagKeys)
+            catalog = catalog + (key -> (catalog.get(key) match {
               case Some(prev) => InfluxQL.Measurement(
-                maybeCompact(scope,
+                maybeCompact(key,
                   prev.df.unionByName(df, allowMissingColumns = true)),
                 (prev.tags ++ tagKeys).distinct, prev.time)
               case None => InfluxQL.Measurement(df, tagKeys, "ts")
@@ -1018,13 +1129,14 @@ final class HttpGateway(spark: SparkSession,
     * duration_nano and friends as fields. */
   private def handleOtlpTraces(ex: HttpExchange): Unit =
     try {
-      if (guard(ex, params(ex, readBody = false),
-          Auth.WritePrivilege, "write to").isEmpty) return
+      val p = params(ex, readBody = false)
+      if (guard(ex, p, Auth.WritePrivilege, "write to").isEmpty) return
+      val wdb = writeDb(ex, p).getOrElse(return)
       val samples = OtlpTraces.decode(ex.getRequestBody.readAllBytes())
       if (samples.isEmpty) sys.error("no spans in request")
       synchronized {
         val (df, tagKeys) = OtlpTraces.toMeasurement(spark, samples)
-        val name = OtlpTraces.Measurement
+        val name = dbKey(wdb, OtlpTraces.Measurement)
         persistBatch(name, df, tagKeys)
         catalog = catalog + (name -> (catalog.get(name) match {
           case Some(prev) => InfluxQL.Measurement(
@@ -1045,13 +1157,14 @@ final class HttpGateway(spark: SparkSession,
     * `logs` measurement — severity/body fields, attrs as tags. */
   private def handleOtlpLogs(ex: HttpExchange): Unit =
     try {
-      if (guard(ex, params(ex, readBody = false),
-          Auth.WritePrivilege, "write to").isEmpty) return
+      val p = params(ex, readBody = false)
+      if (guard(ex, p, Auth.WritePrivilege, "write to").isEmpty) return
+      val wdb = writeDb(ex, p).getOrElse(return)
       val samples = OtlpLogs.decode(ex.getRequestBody.readAllBytes())
       if (samples.isEmpty) sys.error("no log records in request")
       synchronized {
         val (df, tagKeys) = OtlpLogs.toMeasurement(spark, samples)
-        val name = OtlpLogs.Measurement
+        val name = dbKey(wdb, OtlpLogs.Measurement)
         persistBatch(name, df, tagKeys)
         catalog = catalog + (name -> (catalog.get(name) match {
           case Some(prev) => InfluxQL.Measurement(

@@ -705,6 +705,51 @@ class ServerSpec extends SparkSpec {
     assert(bad.statusCode() == 400)
   }
 
+  test("retention policies: real DDL, SHOW reflects, qualified refs validate") {
+    assert(get("/query?q=" + enc("CREATE DATABASE rpdb")).statusCode() == 200)
+    // born with autogen (meta/retentionpolicy.go defaults)
+    val born = get("/query?q=" + enc("SHOW RETENTION POLICIES ON rpdb")).body()
+    assert(born.contains("\"autogen\"") && born.contains("\"0s\"") &&
+      born.contains("\"168h0m0s\"") && born.contains("true"), born)
+    // CREATE: duration-derived shard group, non-default
+    val mkRp = get("/query?q=" + enc(
+      "CREATE RETENTION POLICY hot ON rpdb DURATION 1h30m REPLICATION 2"))
+    assert(mkRp.statusCode() == 200, mkRp.body())
+    val shown = get("/query?q=" + enc("SHOW RETENTION POLICIES ON rpdb")).body()
+    assert(shown.contains("\"hot\"") && shown.contains("\"1h30m0s\"") &&
+      shown.contains("\"1h0m0s\""), shown) // <2d duration -> 1h groups
+    // duplicate is the reference's error
+    val dup = get("/query?q=" + enc(
+      "CREATE RETENTION POLICY hot ON rpdb DURATION 2h REPLICATION 1"))
+    assert(dup.statusCode() == 400 &&
+      dup.body().contains("retention policy already exists"), dup.body())
+    // unknown db is validated
+    assert(get("/query?q=" + enc(
+      "CREATE RETENTION POLICY x ON nodb DURATION 1h REPLICATION 1"))
+      .body().contains("database not found: nodb"))
+    // a qualified ref through the NEW rp resolves; unknown rp does not
+    assert(post("/write?db=rpdb", "rm v=1.0 1").statusCode() == 204)
+    assert(get("/query?q=" + enc("SELECT count(v) FROM rpdb.hot.rm"))
+      .body().contains(",1]]"))
+    assert(get("/query?q=" + enc("SELECT count(v) FROM rpdb.cold.rm"))
+      .statusCode() == 400)
+    // ALTER flips default; the old default can then be dropped
+    assert(get("/query?q=" + enc(
+      "ALTER RETENTION POLICY hot ON rpdb DEFAULT")).statusCode() == 200)
+    val dropDefault = get("/query?q=" + enc(
+      "DROP RETENTION POLICY hot ON rpdb"))
+    assert(dropDefault.statusCode() == 400 &&
+      dropDefault.body().contains("retention policy is default"))
+    assert(get("/query?q=" + enc("DROP RETENTION POLICY autogen ON rpdb"))
+      .statusCode() == 200)
+    val after = get("/query?q=" + enc("SHOW RETENTION POLICIES ON rpdb")).body()
+    assert(!after.contains("\"autogen\"") && after.contains("\"hot\""), after)
+    // dropping an unknown rp is the reference's error
+    assert(get("/query?q=" + enc("DROP RETENTION POLICY ghost ON rpdb"))
+      .body().contains("retention policy not found: ghost"))
+    assert(get("/query?q=" + enc("DROP DATABASE rpdb")).statusCode() == 200)
+  }
+
   test("multi-database: CREATE DATABASE isolates; qualified refs route") {
     // writes to an uncreated database 404 (errno.HttpDatabaseNotFound)
     val missing = post("/write?db=dbA", "m1 v=1.0 1")
@@ -746,6 +791,9 @@ class ServerSpec extends SparkSpec {
     assert(showA.contains("m1"), showA)
     val showDefault = get("/query?q=" + enc("SHOW MEASUREMENTS")).body()
     assert(!showDefault.contains("m1"), showDefault)
+    // ... and `ON <db>` wins over the request's db param
+    val showOn = get("/query?q=" + enc("SHOW MEASUREMENTS ON dbA")).body()
+    assert(showOn.contains("m1"), showOn)
     // DROP DATABASE removes the namespace and its measurements
     assert(get("/query?q=" + enc("DROP DATABASE dbB")).statusCode() == 200)
     assert(get("/query?db=dbB&q=" + enc("SELECT v FROM m1"))
