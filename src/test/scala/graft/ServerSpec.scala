@@ -705,6 +705,45 @@ class ServerSpec extends SparkSpec {
     assert(bad.statusCode() == 400)
   }
 
+  test("multi-db durability: databases, RPs, namespaced data survive restart") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mdb").toString
+    val cat = Map("events" -> InfluxQL.Measurement(
+      events, tags = Seq("event_type")))
+    def mk() = {
+      val g = new HttpGateway(spark, cat, Map.empty, persistDir = Some(dir))
+      g.start(); g
+    }
+    def ask(g: HttpGateway, q: String) = http.send(
+      HttpRequest.newBuilder(URI.create(
+        s"http://127.0.0.1:${g.boundPort}/query?q=${enc(q)}&epoch=ms"))
+        .GET().build(), HttpResponse.BodyHandlers.ofString())
+    def put(g: HttpGateway, path: String, body: String) = http.send(
+      HttpRequest.newBuilder(URI.create(
+        s"http://127.0.0.1:${g.boundPort}$path"))
+        .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+    val g1 = mk()
+    try {
+      assert(ask(g1, "CREATE DATABASE dura").statusCode() == 200)
+      assert(ask(g1, "CREATE RETENTION POLICY keep ON dura " +
+        "DURATION 2h REPLICATION 1").statusCode() == 200)
+      assert(put(g1, "/write?db=dura", "dm,host=a v=1.0 1").statusCode() == 204)
+    } finally g1.stop()
+    val g2 = mk()
+    try {
+      // database + RP sets restored from _databases.txt
+      val dbs = ask(g2, "SHOW DATABASES").body()
+      assert(dbs.contains("\"dura\""), dbs)
+      val rps = ask(g2, "SHOW RETENTION POLICIES ON dura").body()
+      assert(rps.contains("\"keep\"") && rps.contains("\"2h0m0s\""), rps)
+      // namespaced measurement reloaded from its day-partitioned dir
+      val q = ask(g2, "SELECT count(v) FROM dura.keep.dm")
+      assert(q.body().contains(",1]]"), q.body())
+      // and stays invisible to the default database
+      assert(ask(g2, "SELECT v FROM dm").statusCode() == 400)
+    } finally g2.stop()
+  }
+
   test("retention policies: real DDL, SHOW reflects, qualified refs validate") {
     assert(get("/query?q=" + enc("CREATE DATABASE rpdb")).statusCode() == 200)
     // born with autogen (meta/retentionpolicy.go defaults)
