@@ -17,17 +17,24 @@ class AnomalySpec extends SparkSpec {
     assert(out.count(_._2) == 1)           // and only the spike
   }
 
-  test("castor boundary with the z-score model reproduces q63 exactly") {
-    // the pluggable-model boundary must be a drop-in for the fused
-    // detector: same rows, same scores, same flags — over real data
+  test("castor boundary with the z-score model reproduces q63 (9dp)") {
+    // the pluggable-model boundary must be a drop-in for the window-
+    // function detector: same rows, same flags, scores equal to 9
+    // decimal places (the gate's own tolerance — the codegen path uses
+    // Spark's moment-based window stddev, the castor model the two-pass
+    // fold; they differ only in low-order FP bits) — over real data
     // with multiple series and NULLs (the q63 input shape)
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .orderBy("event_type", "_t", "value")
+      .collect().toSeq.map(r => (r.getAs[String]("event_type"),
+        r.getAs[Long]("_t"), r.getAs[Double]("value"),
+        math.rint(r.getAs[Double]("zscore") * 1e9) / 1e9,
+        r.getAs[Boolean]("is_anomaly")))
     val events = Tables.table(spark, sf, "events")
-    val direct = AnomalyDetect.zscore(events, "value", "ts",
-        Seq("event_type"), window = 20, k = 3.0)
-      .orderBy("event_type", "_t", "value").collect().toSeq
-    val viaBoundary = Castor.detect(events, "value", "ts",
-        Seq("event_type"), Castor.zscoreModel(20, 3.0))
-      .orderBy("event_type", "_t", "value").collect().toSeq
+    val direct = canon(AnomalyDetect.zscore(events, "value", "ts",
+      Seq("event_type"), window = 20, k = 3.0))
+    val viaBoundary = canon(Castor.detect(events, "value", "ts",
+      Seq("event_type"), Castor.zscoreModel(20, 3.0)))
     assert(viaBoundary == direct)
     assert(direct.nonEmpty)
   }
