@@ -123,7 +123,11 @@ object Rca {
       val matched =
         if (fr.size <= 1024) e.filter(col("src").isin(fr: _*))
         else e.join(broadcast(fr.toDF("src")), "src")
-      matched.select(col("dst")).distinct()
+      // no distinct: a pre-join dedup would cost a shuffle stage per
+      // hop; the right side is unique entity_ids so the join can't
+      // multiply, and the driver's flag map absorbs duplicate dsts
+      // (bounded by the frontier's edge count, a topology-sized set)
+      matched.select(col("dst"))
         .join(correlatedDf.withColumn("_corr", lit(true))
           .withColumnRenamed("entity_id", "dst"), Seq("dst"), "left")
         .select(col("dst"), coalesce(col("_corr"), lit(false)))
