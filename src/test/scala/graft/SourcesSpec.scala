@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.pipeline.Multimodal
-import graft.sources.{LineProtocol, ParquetStats, ResultShaper}
+import graft.sources.{ArrowIngest, LineProtocol, ParquetStats, ResultShaper}
 
 class SourcesSpec extends SparkSpec {
   import spark.implicits._
@@ -207,6 +207,56 @@ class SourcesSpec extends SparkSpec {
     assert(at("u").contains("[1704067200000000,1.5]"))
     assert(at("ns").contains("[1704067200000000000,1.5]"))
     assert(at("h").contains("[473352,1.5]"))
+  }
+
+  test("arrow ingest: timestamp vectors, nulls, unsupported schemas") {
+    import org.apache.arrow.memory.RootAllocator
+    import org.apache.arrow.vector._
+    import org.apache.arrow.vector.ipc.ArrowStreamWriter
+    import org.apache.arrow.vector.types.TimeUnit
+    import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema}
+    import scala.jdk.CollectionConverters._
+    def stream(build: (VectorSchemaRoot, ArrowStreamWriter) => Unit,
+               fields: Seq[Field]): Array[Byte] = {
+      val alloc = new RootAllocator()
+      val root = VectorSchemaRoot.create(new Schema(fields.asJava), alloc)
+      val out = new java.io.ByteArrayOutputStream()
+      val w = new ArrowStreamWriter(root, null, out)
+      w.start(); build(root, w); w.end()
+      root.close(); alloc.close()
+      out.toByteArray
+    }
+    // millisecond-timestamp time column + a null value row
+    val body = stream({ (root, w) =>
+      root.allocateNew()
+      val tv = root.getVector("time").asInstanceOf[TimeStampMilliVector]
+      val vv = root.getVector("v").asInstanceOf[Float8Vector]
+      tv.setSafe(0, 1000L); vv.setSafe(0, 1.5)
+      tv.setSafe(1, 2000L); vv.setNull(1)
+      root.setRowCount(2)
+      w.writeBatch()
+    }, Seq(
+      new Field("time", FieldType.nullable(
+        new ArrowType.Timestamp(TimeUnit.MILLISECOND, null)), null),
+      new Field("v", FieldType.nullable(new ArrowType.FloatingPoint(
+        org.apache.arrow.vector.types.FloatingPointPrecision.DOUBLE)),
+        null)))
+    val (df, tags) = ArrowIngest.decode(spark, body)
+    assert(tags.isEmpty)
+    val rows = df.orderBy("ts").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getTimestamp(rows(0).fieldIndex("ts")).getTime == 1000L)
+    assert(rows(0).getDouble(rows(0).fieldIndex("v")) == 1.5)
+    assert(rows(1).isNullAt(rows(1).fieldIndex("v")))
+    // a schema without `time` is rejected
+    val noTime = stream({ (root, w) =>
+      root.allocateNew()
+      root.getVector("v").asInstanceOf[Float8Vector].setSafe(0, 1.0)
+      root.setRowCount(1); w.writeBatch()
+    }, Seq(new Field("v", FieldType.nullable(new ArrowType.FloatingPoint(
+      org.apache.arrow.vector.types.FloatingPointPrecision.DOUBLE)), null)))
+    val e = intercept[RuntimeException](ArrowIngest.decode(spark, noTime))
+    assert(e.getMessage.contains("'time' column"))
   }
 
   test("parquet footer time extent matches a full-scan min/max") {
