@@ -397,6 +397,8 @@ final class HttpGateway(spark: SparkSession,
   // OTLP metrics remote write (handler.go:316, handler_otlp.go:109)
   server.createContext("/api/v1/arrow/doput",
     (ex: HttpExchange) => handleArrowDoPut(ex))
+  server.createContext("/api/v1/arrow/doget",
+    (ex: HttpExchange) => handleArrowDoGet(ex))
   server.createContext("/api/v1/otlp/metrics",
     (ex: HttpExchange) => handleOtlpWrite(ex))
   // OTLP logs remote write (handler.go:320 -> the `logs` measurement)
@@ -1044,6 +1046,44 @@ final class HttpGateway(spark: SparkSession,
     } catch {
       case e: Throwable =>
         respond(ex, 400, s"""{"error":${jsonStr(String.valueOf(e.getMessage))}}""")
+    }
+
+  /** Arrow do-get (`services/arrowflight/service.go:349` DoGet →
+    * HandleQuery): run an InfluxQL statement and stream the result
+    * back as Arrow IPC record batches. READ-guarded like /query;
+    * `db`/`q` params mirror the Flight ticket; rows stream off
+    * `toLocalIterator` capped at `http.max-row-limit` (the non-chunked
+    * truncation contract). */
+  private def handleArrowDoGet(ex: HttpExchange): Unit =
+    try {
+      val p = params(ex, readBody = true)
+      val principal = authed(ex, p) match {
+        case None => return
+        case Some(pr) => pr
+      }
+      val q = p.getOrElse("q", sys.error("missing required parameter \"q\""))
+      val reqDb = p.get("db").filter(_.nonEmpty).getOrElse(defaultDb)
+      principal.foreach { user =>
+        authorizeStatements(user, p.getOrElse("db", ""), Seq(q)).foreach {
+          msg => respond(ex, 403, s"""{"error":${jsonStr(msg)}}"""); return
+        }
+      }
+      if (!databases.contains(reqDb))
+        sys.error(s"database not found: $reqDb")
+      val (_, _, df) = InfluxQL.executeShaped(
+        catalogFor(reqDb, principal), q)
+      ex.getResponseHeaders.set("Content-Type",
+        "application/vnd.apache.arrow.stream")
+      ex.sendResponseHeaders(200, 0)
+      val os = ex.getResponseBody
+      try graft.sources.ArrowIngest.writeStream(df, os,
+        maxRows = maxRowLimit.toLong)
+      finally { os.close(); ex.close() }
+    } catch {
+      case e: Throwable =>
+        try respond(ex, 400,
+          s"""{"error":${jsonStr(String.valueOf(e.getMessage))}}""")
+        catch { case _: Throwable => ex.close() }
     }
 
   /** Prometheus remote write (`handler_prom.go:86` servePromWrite): a

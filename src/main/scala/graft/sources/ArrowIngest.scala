@@ -31,6 +31,95 @@ import org.apache.spark.sql.types._
   */
 object ArrowIngest {
 
+  /** Stream a DataFrame out as Arrow IPC record batches — the DoGet
+    * half (`services/arrowflight/service.go:349`: HandleQuery streams
+    * the result set back as record batches). Row-batched off
+    * `toLocalIterator`, so driver heap is bounded by one partition +
+    * one batch regardless of result size; `maxRows` is the same
+    * truncation contract as the non-chunked HTTP path. Returns the
+    * number of rows written. */
+  def writeStream(df: DataFrame, out: java.io.OutputStream,
+                  batchRows: Int = 4096,
+                  maxRows: Long = Long.MaxValue): Long = {
+    import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema => ASchema}
+    import org.apache.arrow.vector.types.{FloatingPointPrecision, TimeUnit}
+    import org.apache.arrow.vector.ipc.ArrowStreamWriter
+    val sparkFields = df.schema.fields.toSeq
+    val arrowFields = sparkFields.map { f =>
+      val t = f.dataType match {
+        case LongType | IntegerType | ShortType | ByteType =>
+          new ArrowType.Int(64, true)
+        case DoubleType | FloatType =>
+          new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE)
+        case StringType => ArrowType.Utf8.INSTANCE
+        case BooleanType => ArrowType.Bool.INSTANCE
+        case TimestampType => new ArrowType.Timestamp(TimeUnit.MICROSECOND,
+          "UTC")
+        case _: DecimalType =>
+          new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE)
+        case o => sys.error(s"unsupported column type for arrow: $o")
+      }
+      new Field(f.name, FieldType.nullable(t), null)
+    }
+    val alloc = new RootAllocator()
+    val root = VectorSchemaRoot.create(
+      new ASchema(arrowFields.asJava), alloc)
+    val writer = new ArrowStreamWriter(root, null, out)
+    try {
+      writer.start()
+      val it = df.toLocalIterator()
+      var written = 0L
+      while (it.hasNext && written < maxRows) {
+        root.allocateNew()
+        var n = 0
+        while (n < batchRows && it.hasNext && written + n < maxRows) {
+          val row = it.next()
+          var c = 0
+          while (c < sparkFields.length) {
+            val v = root.getVector(c)
+            if (row.isNullAt(c)) v match {
+              case fw: BaseFixedWidthVector => fw.setNull(n)
+              case vw: BaseVariableWidthVector => vw.setNull(n)
+              case o => sys.error(s"cannot null ${o.getClass}")
+            }
+            else (v, sparkFields(c).dataType) match {
+              case (b: BigIntVector, LongType) =>
+                b.setSafe(n, row.getLong(c))
+              case (b: BigIntVector, IntegerType) =>
+                b.setSafe(n, row.getInt(c).toLong)
+              case (b: BigIntVector, ShortType) =>
+                b.setSafe(n, row.getShort(c).toLong)
+              case (b: BigIntVector, ByteType) =>
+                b.setSafe(n, row.getByte(c).toLong)
+              case (f8: Float8Vector, DoubleType) =>
+                f8.setSafe(n, row.getDouble(c))
+              case (f8: Float8Vector, FloatType) =>
+                f8.setSafe(n, row.getFloat(c).toDouble)
+              case (f8: Float8Vector, _: DecimalType) =>
+                f8.setSafe(n, row.getDecimal(c).doubleValue())
+              case (s: VarCharVector, StringType) =>
+                s.setSafe(n, row.getString(c).getBytes("UTF-8"))
+              case (bv: BitVector, BooleanType) =>
+                bv.setSafe(n, if (row.getBoolean(c)) 1 else 0)
+              case (ts: TimeStampMicroTZVector, TimestampType) =>
+                val t = row.getTimestamp(c)
+                ts.setSafe(n, t.getTime * 1000L + (t.getNanos / 1000) % 1000)
+              case (o, d) =>
+                sys.error(s"unsupported vector/type pair: ${o.getClass}/$d")
+            }
+            c += 1
+          }
+          n += 1
+        }
+        root.setRowCount(n)
+        writer.writeBatch()
+        written += n
+      }
+      writer.end()
+      written
+    } finally { writer.close(); root.close(); alloc.close() }
+  }
+
   /** Decode one IPC stream into (frame with `ts`, tag column names).
     * Row-materializes on the driver — this is the serving veneer's
     * ingest path, same as line protocol; the persisted parquet is what

@@ -703,6 +703,32 @@ class ServerSpec extends SparkSpec {
     // garbage body is a 400, not a crash
     val bad = post("/api/v1/arrow/doput?mst=x", "not-arrow")
     assert(bad.statusCode() == 400)
+
+    // do-get: the DoGet half — query results stream back as IPC batches
+    val got = http.send(HttpRequest.newBuilder(url(
+        "/api/v1/arrow/doget?q=" + enc(
+          "SELECT sum(v) AS s FROM flightm GROUP BY host"))).GET().build(),
+      HttpResponse.BodyHandlers.ofByteArray())
+    assert(got.statusCode() == 200)
+    assert(got.headers().firstValue("Content-Type").orElse("")
+      .contains("arrow"))
+    val rd = new org.apache.arrow.vector.ipc.ArrowStreamReader(
+      new java.io.ByteArrayInputStream(got.body()), new RootAllocator())
+    try {
+      val rroot = rd.getVectorSchemaRoot
+      val byHost = scala.collection.mutable.Map[String, Double]()
+      while (rd.loadNextBatch()) {
+        val hostV = rroot.getVector("host").asInstanceOf[VarCharVector]
+        val sV = rroot.getVector("s").asInstanceOf[Float8Vector]
+        (0 until rroot.getRowCount).foreach { i =>
+          byHost(new String(hostV.get(i), "UTF-8")) = sV.get(i)
+        }
+      }
+      assert(byHost == Map("h0" -> 3.0, "h1" -> 33.0), byHost)
+    } finally rd.close()
+    // bad query is a 400 error document
+    assert(get("/api/v1/arrow/doget?q=" + enc("SELECT nope FROM missing"))
+      .statusCode() == 400)
   }
 
   test("multi-db durability: databases, RPs, namespaced data survive restart") {
