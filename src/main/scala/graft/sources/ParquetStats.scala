@@ -4,6 +4,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.parquet.column.statistics.LongStatistics
+import org.apache.parquet.schema.LogicalTypeAnnotation
 import org.apache.spark.sql.SparkSession
 import scala.jdk.CollectionConverters._
 
@@ -20,11 +21,13 @@ import scala.jdk.CollectionConverters._
   */
 object ParquetStats {
 
-  /** min/max of an INT64 column across all row groups under `path`
-    * (a parquet file or directory). None if the column is absent,
-    * not INT64, has no stats, or the table is empty. */
-  def minMaxLong(spark: SparkSession, path: String,
-                 column: String): Option[(Long, Long)] = {
+  /** min/max of an INT64-physical column across all row groups under
+    * `path` (a parquet file or directory), plus the ns-per-unit scale
+    * implied by the column's logical-type annotation (timestamp[ms/us/ns];
+    * a bare INT64 is taken as the engine-native ns epoch). None if the
+    * column is absent, not INT64, has no stats, or the table is empty. */
+  private def minMaxLongScaled(spark: SparkSession, path: String,
+                               column: String): Option[(Long, Long, Long)] = {
     val conf = spark.sparkContext.hadoopConfiguration
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
@@ -37,10 +40,23 @@ object ParquetStats {
     var lo = Long.MaxValue
     var hi = Long.MinValue
     var seen = false
+    var nsPerUnit = 1L
     files.foreach { f =>
       val reader = ParquetFileReader.open(HadoopInputFile.fromStatus(f, conf))
       try {
         val footer = reader.getFooter
+        val schema = footer.getFileMetaData.getSchema
+        if (schema.containsField(column)) {
+          schema.getType(Seq(column): _*).getLogicalTypeAnnotation match {
+            case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+              nsPerUnit = t.getUnit match {
+                case LogicalTypeAnnotation.TimeUnit.MILLIS => 1000000L
+                case LogicalTypeAnnotation.TimeUnit.MICROS => 1000L
+                case LogicalTypeAnnotation.TimeUnit.NANOS  => 1L
+              }
+            case _ => nsPerUnit = 1L // bare INT64: ns epoch (SURVEY §1.2)
+          }
+        }
         footer.getBlocks.asScala.foreach { block =>
           block.getColumns.asScala
             .find(_.getPath.toDotString == column)
@@ -56,14 +72,23 @@ object ParquetStats {
         }
       } finally reader.close()
     }
-    if (seen) Some((lo, hi)) else None
+    if (seen) Some((lo, hi, nsPerUnit)) else None
   }
 
-  /** Time extent in epoch ms for a ns-precision INT64 timestamp column
-    * (the engine's storage precision, SURVEY §1.2). */
+  /** min/max of an INT64 column across all row groups under `path`,
+    * in the column's raw stored unit. */
+  def minMaxLong(spark: SparkSession, path: String,
+                 column: String): Option[(Long, Long)] =
+    minMaxLongScaled(spark, path, column).map { case (lo, hi, _) => (lo, hi) }
+
+  /** Time extent in epoch ms for an INT64-physical timestamp column —
+    * unit-adaptive: honors a timestamp[ms/us/ns] logical annotation and
+    * treats a bare INT64 as ns (the engine's storage precision,
+    * SURVEY §1.2). */
   def timeExtentMs(spark: SparkSession, path: String,
                    column: String = "ts"): Option[(Long, Long)] =
-    minMaxLong(spark, path, column).map { case (lo, hi) =>
-      (Math.floorDiv(lo, 1000000L), Math.floorDiv(hi, 1000000L))
+    minMaxLongScaled(spark, path, column).map { case (lo, hi, nsPerUnit) =>
+      (Math.floorDiv(Math.multiplyExact(lo, nsPerUnit), 1000000L),
+       Math.floorDiv(Math.multiplyExact(hi, nsPerUnit), 1000000L))
     }
 }

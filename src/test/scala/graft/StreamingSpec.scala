@@ -53,12 +53,10 @@ class StreamingSpec extends SparkSpec {
     val batch = ev.groupBy(window($"ts", "6 hours"), $"event_type")
       .agg(count(lit(1)).as("n"))
       .select($"event_type", $"window.start".as("ws"), $"n")
-    val stream = spark.readStream
+    val stream = Tables.normalizeEventsTime(spark.readStream
       .schema(spark.read.parquet(s"$sf/events.parquet").schema)
       .option("pathGlobFilter", "events.parquet")
-      .parquet(sf)
-      .withColumn("ts_ns", $"ts")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .parquet(sf))
     val agg = Streams.createStream(stream, "ts", delay = "1 minute",
       interval = "6 hours", tags = Seq("event_type"),
       aggs = Seq(count(lit(1)).as("n")))
