@@ -67,9 +67,16 @@ object Graph {
     // persist the edge frame across hops (Pregel-style): hop 1 pays the
     // scan + cache materialization, hops 2..N read executor memory (and
     // spill to disk, not recompute, under pressure) instead of re-running
-    // the source scan per round
-    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the source scan per round. A caller that already persisted `edges`
+    // (a resident graph, the reference's model — its graph feature keeps
+    // the topology in memory across statements) owns the lifecycle: we
+    // neither re-persist nor unpersist, so repeated traversals reuse one
+    // materialization instead of paying scan+cache-build per query.
+    val callerCached =
+      edges.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val sel = edges.select(col("src").cast("long"), col("dst").cast("long"))
+    val e = if (callerCached) sel
+      else sel.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // driver tier: visited map node -> hop, frontier as a plain array
     val visited = scala.collection.mutable.LongMap[Int](start -> 0)
@@ -111,7 +118,7 @@ object Graph {
     val driverPart = visited.toSeq.map { case (n, hp) => (n, hp) }
       .toDF("node_id", "hop").coalesce(1)
     if (h >= hopNum || frontier.isEmpty) {
-      e.unpersist(blocking = false) // BFS done: all hops collected
+      if (!callerCached) e.unpersist(blocking = false) // BFS done
       return driverPart
     }
 
@@ -142,7 +149,7 @@ object Graph {
       frontierN = next.count() // cached — a fast cache-scan job
       visitedN += frontierN
     }
-    e.unpersist(blocking = false) // levels are localCheckpoint-ed
+    if (!callerCached) e.unpersist(blocking = false) // levels are localCheckpoint-ed
     levels.reduce(_ union _)
   }
 }

@@ -109,62 +109,77 @@ object Rca {
       .select(col("entity_id")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val e = edges.select(col("src").cast("string"), col("dst").cast("string"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // caller-persisted topology (a resident service graph) keeps its
+    // lifecycle; otherwise persist across hops and drop at the end —
+    // same contract as [[Graph.hops]]
+    val callerCached =
+      edges.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val sel =
+      edges.select(col("src").cast("string"), col("dst").cast("string"))
+    val e = if (callerCached) sel
+      else sel.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // ---- driver tier -----------------------------------------------
-    // One hop of `frontier`, each reached dst tagged correlated/not by
-    // a left join against correlatedDf (AQE broadcasts the smaller
-    // side): the flag arrives WITH the reach rows in the same job, so
-    // the driver learns correlation membership for exactly the nodes it
-    // already holds — never the full correlated set.
-    def hopFlagged(frontier: Set[String]): Array[(String, Boolean)] = {
+    // One topology hop: distinct dsts reachable from `frontier`. Stays
+    // ONE single-stage job — cached edge scan with the frontier as an
+    // InSet predicate (never a join below the driver bound), map-side
+    // dedup, collect of a topology-sized set. Same shape as
+    // [[Graph.hops]]' driver tier.
+    def hopDsts(frontier: Set[String]): Set[String] = {
       val fr = frontier.toSeq
       val matched =
-        if (fr.size <= 1024) e.filter(col("src").isin(fr: _*))
+        if (fr.size <= 65536) e.filter(col("src").isInCollection(fr))
         else e.join(broadcast(fr.toDF("src")), "src")
-      // no distinct: a pre-join dedup would cost a shuffle stage per
-      // hop; the right side is unique entity_ids so the join can't
-      // multiply, and the driver's flag map absorbs duplicate dsts
-      // (bounded by the frontier's edge count, a topology-sized set)
-      matched.select(col("dst"))
-        .join(correlatedDf.withColumn("_corr", lit(true))
-          .withColumnRenamed("entity_id", "dst"), Seq("dst"), "left")
-        .select(col("dst"), coalesce(col("_corr"), lit(false)))
-        .as[(String, Boolean)].collect()
+      matched.select(col("dst")).as[String]
+        .mapPartitions(it => it.toSet.iterator).collect().toSet
     }
+
+    // Which of `ids` are correlated: ONE single-stage job per round —
+    // a cached scan of correlatedDf under an InSet predicate. The
+    // driver only ever sees reach-sized slices of the correlated set,
+    // never the whole thing.
+    def correlatedOf(ids: Set[String]): Set[String] =
+      if (ids.isEmpty) Set.empty
+      else correlatedDf
+        .filter(col("entity_id").isInCollection(ids.toSeq))
+        .as[String].collect().toSet
 
     val corrFlag = scala.collection.mutable.Map[String, Boolean](core -> true)
     var expanded = Set(core)
     var included = Set(core)
-    var grew = true
+    // expansion frontier: only entities that became expanded LAST round
+    // re-explore — reach(expanded) = ∪ per-entity balls, and the balls
+    // of previously-expanded entities are already inside `included`
+    var newlyExp = Set(core)
     var rounds = 0
     var overflow = false
-    while (grew && rounds < maxRounds && !overflow) {
+    while (newlyExp.nonEmpty && rounds < maxRounds && !overflow) {
       rounds += 1
-      // neighborsWithin(expanded): hopCount hops from the expanded set
-      var reach = expanded
-      var frontier = expanded
+      // ball of radius hopCount around the new expansion frontier; the
+      // reach-local dedup (`-- reach`) is the only pruning — paths may
+      // legally pass through already-included entities
+      var reach = newlyExp
+      var frontier = newlyExp
       var h = 0
       while (h < hopCount && frontier.nonEmpty && !overflow) {
         h += 1
-        val next = hopFlagged(frontier)
-        next.foreach { case (id, c) => corrFlag(id) = c }
-        val nextIds = next.iterator.map(_._1).toSet
+        val nextIds = hopDsts(frontier)
         frontier = nextIds -- reach
         reach ++= nextIds
-        if (reach.size > maxDriverFrontier) overflow = true
+        if ((included.size + reach.size) > maxDriverFrontier) overflow = true
       }
       if (!overflow) {
+        val unknown = reach.filterNot(corrFlag.contains)
+        val corr = correlatedOf(unknown)
+        unknown.foreach(id => corrFlag(id) = corr.contains(id))
         included ++= reach
-        val newly = reach.filter(id => corrFlag.getOrElse(id, false)) -- expanded
-        grew = newly.nonEmpty
-        expanded ++= newly
+        newlyExp = reach.filter(id => corrFlag(id)) -- expanded
+        expanded ++= newlyExp
       }
     }
 
     if (!overflow) {
-      e.unpersist(blocking = false)
+      if (!callerCached) e.unpersist(blocking = false)
       correlatedDf.unpersist(blocking = false)
       val nodes = included.toSeq.sorted
         .map(id => (id, corrFlag.getOrElse(id, false) || id == core,
@@ -210,7 +225,7 @@ object Rca {
       grewD = newly.count() > 0
       expandedDf = expandedDf.union(newly).localCheckpoint(true)
     }
-    e.unpersist(blocking = false)
+    if (!callerCached) e.unpersist(blocking = false)
     val nodes = includedDf
       .join(correlatedDf.withColumn("_c", lit(true)), Seq("entity_id"), "left")
       .join(expandedDf.withColumn("_x", lit(true)), Seq("entity_id"), "left")
