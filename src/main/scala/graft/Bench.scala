@@ -154,13 +154,16 @@ object Bench {
     spark.stop()
 
     // Compact one-liner LAST (minimizes trailing noise before the tail
-    // cut). 2-decimal per-query values keep 83 queries under the ~2.5 KB
-    // observed tail budget; BENCH_FULL.json has full precision.
+    // cut). Keys are the unique qNN prefix and values 2-decimal — 104
+    // queries must fit the driver's ~2 KB stdout tail (the r07 line
+    // overflowed it and parsed as null); BENCH_FULL.json has the full
+    // names and precision.
     def r2(d: Double) = math.rint(d * 100) / 100
     def r3(d: Double) = math.rint(d * 1000) / 1000
+    def short(k: String) = k.split('_').head
     val qs = results.map {
-      case (k, _, _, Some(_)) => s"\"$k\":\"err\""
-      case (k, v, _, None)    => s"\"$k\":${r2(v)}"
+      case (k, _, _, Some(_)) => s"\"${short(k)}\":\"err\""
+      case (k, v, _, None)    => s"\"${short(k)}\":${r2(v)}"
     }.mkString("{", ",", "}")
     val sfName = sfDir.split('/').last
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfName","floor_s":${r3(floorS)},"oracle_total_s":${r3(oracleTotal)},"within2x_adj":$within2x,"within2x_jobs_adj":$within2xJobs,"n_baseline":${ratios.size},"n_err":${errored.size}}""")

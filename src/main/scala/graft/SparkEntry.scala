@@ -1233,6 +1233,9 @@ object SparkEntry {
         val e0 = li.select(col("l_partkey").cast("long").as("src"),
           (col("l_suppkey").cast("long") + 10000000L).as("dst"))
         e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+          // compact cache: ~20 MB of (long, long) — 4 cached batches keep
+          // per-hop jobs at 4 task launches instead of one per scan split
+          .coalesce(4)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       })
       graft.operators.Graph.hops(edges, start = 1L, hopNum = 3)

@@ -104,7 +104,19 @@ object Graph {
         e.filter(col("src").isInCollection(frontier.toIndexedSeq))
       val next = matched
         .select(col("dst")).as[Long]
-        .mapPartitions(it => it.toSet.iterator)
+        // primitive sort-dedup (no per-element hash allocations — the
+        // matched dst stream is the hop's hot loop)
+        .mapPartitions { it =>
+          val arr = it.toArray
+          java.util.Arrays.sort(arr)
+          var n = 0
+          var i = 0
+          while (i < arr.length) {
+            if (n == 0 || arr(n - 1) != arr(i)) { arr(n) = arr(i); n += 1 }
+            i += 1
+          }
+          arr.iterator.take(n)
+        }
         .collect().distinct
         .filter(!visited.contains(_))
       next.foreach(visited(_) = h)
