@@ -1395,6 +1395,93 @@ object SparkEntry {
         // exchange-free (one scheduled job instead of an AQE stage pair)
         .coalesce(1)
         .orderBy("event_type", "wstart_ms")
+    }),
+
+    // pipeline: near-dup CLUSTERING — the step a pair list alone doesn't
+    // give you: transitive closure into dedup clusters. Connected
+    // components via alternating large-star/small-star (O(log²n) rounds,
+    // 8-byte id shuffles) over the EXACT Jaccard pair list; the oracle
+    // recomputes the closure with a recursive CTE over the same pairs.
+    "q105_neardup_components" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val pairs = Dedup.jaccardSelfJoin(docs, "text", "doc_id",
+        shingleN = 3, threshold = 0.8)
+      Dedup.connectedComponents(pairs)
+        .select(col("id").as("doc_id"), col("component"))
+        .orderBy("doc_id")
+    }),
+
+    // pipeline: cluster-dedup KEEP-BEST — one canonical doc per near-dup
+    // cluster (singletons are their own cluster), chosen by token count
+    // with doc_id tiebreak. The argmax is a map-side-combinable
+    // min(struct(-tokens, id)) — no window, no per-cluster row scan.
+    "q106_dedup_keep_best" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val pairs = Dedup.jaccardSelfJoin(docs, "text", "doc_id",
+        shingleN = 3, threshold = 0.8)
+      val cc = Dedup.connectedComponents(pairs)
+        .select(col("id").as("doc_id"), col("component"))
+      docs.join(cc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("cluster"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("n_members"),
+          min(struct((-col("n_tokens")).as("neg"), col("doc_id").as("id")))
+            .getField("id").as("keep_id"))
+        .select("cluster", "keep_id", "n_members")
+        .orderBy("cluster")
+    }),
+
+    // pipeline: repetition quality signals (the Gopher/MassiveText
+    // heuristics, Rae et al. 2021): duplicate-word fraction and
+    // top-bigram fraction per document. Pure column math — the top-bigram
+    // count is a sorted-run-length fold over the doc's own bigram array,
+    // so the whole query is shuffle-free at any corpus size (vs the
+    // explode→groupBy(doc, gram) shape, which re-shuffles every token).
+    "q107_repetition_signals" -> ((s, dir) => {
+      val toks = split(trim(col("text")), "\\s+")
+      val bg = slice(
+        zip_with(toks, slice(toks, lit(2), size(toks)),
+          (a, b) => concat_ws(" ", a, b)),
+        lit(1), greatest(size(toks) - 1, lit(0)))
+      val maxRun = aggregate(array_sort(bg),
+        struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+        (acc, x) => {
+          val run = when(x === acc.getField("prev"),
+            acc.getField("run") + lit(1L)).otherwise(lit(1L))
+          struct(x.as("prev"), run.as("run"),
+            greatest(acc.getField("best"), run).as("best"))
+        },
+        acc => acc.getField("best"))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          round(lit(1.0) -
+            size(array_distinct(toks)) / size(toks).cast("double"), 6)
+            .as("dup_word_frac"),
+          round(when(size(bg) > 0,
+              maxRun.cast("double") / size(bg)).otherwise(lit(0.0)), 6)
+            .as("top_bigram_frac"))
+        .orderBy("doc_id")
+    }),
+
+    // pipeline: benchmark DECONTAMINATION — flag training docs sharing
+    // any word-3-gram with an eval-set doc (here: every 50th doc stands
+    // in for the benchmark). Scale shape: the benchmark gram set is tiny
+    // by nature (eval suites are MBs against a 100 TB corpus), so it
+    // BROADCASTs — the corpus is touched once at scan parallelism, and
+    // the only shuffle is the per-doc count combine.
+    "q108_decontamination" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val grams = docs.select(col("doc_id"),
+        explode(Dedup.shingles(col("text"), 3)).as("gram"))
+      val bench = grams.filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("bench_id"), col("gram"))
+      grams.filter(col("doc_id") % 50 =!= 0)
+        .join(broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(countDistinct(col("bench_id")).as("n_bench_hits"))
+        .orderBy("doc_id")
     })
   )
 
@@ -2676,6 +2763,111 @@ object SparkEntry {
              THEN 1 ELSE 0 END AS correlated,
            CASE WHEN i.id IN (SELECT id FROM exp)
              THEN 1 ELSE 0 END AS expanded
-         FROM included i ORDER BY entity_id"""
+         FROM included i ORDER BY entity_id""",
+
+    // transitive closure of the q93 pair list via recursive CTE: the
+    // component label is the min reachable doc_id, exactly what the
+    // star-contraction computes.
+    "q105_neardup_components" ->
+      """WITH RECURSIVE d AS (
+           SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+')
+             AS toks
+           FROM documents),
+         g AS (
+           SELECT doc_id, list_distinct(
+             [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+              for i in range(1, len(toks)-1)]) AS grams
+           FROM d),
+         p AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM g a JOIN g b ON a.doc_id < b.doc_id
+           WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+               (len(a.grams) + len(b.grams)
+                - len(list_intersect(a.grams, b.grams))) >= 0.8),
+         e AS (SELECT id_a AS u, id_b AS v FROM p
+               UNION SELECT id_b, id_a FROM p),
+         reach(id, lbl) AS (
+           SELECT u, u FROM e
+           UNION
+           SELECT r.id, e.v FROM reach r JOIN e ON e.u = r.lbl)
+         SELECT id AS doc_id, min(lbl) AS component
+         FROM reach GROUP BY id ORDER BY doc_id""",
+
+    "q106_dedup_keep_best" ->
+      """WITH RECURSIVE d AS (
+           SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+')
+             AS toks
+           FROM documents),
+         g AS (
+           SELECT doc_id, list_distinct(
+             [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+              for i in range(1, len(toks)-1)]) AS grams
+           FROM d),
+         p AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM g a JOIN g b ON a.doc_id < b.doc_id
+           WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+               (len(a.grams) + len(b.grams)
+                - len(list_intersect(a.grams, b.grams))) >= 0.8),
+         e AS (SELECT id_a AS u, id_b AS v FROM p
+               UNION SELECT id_b, id_a FROM p),
+         reach(id, lbl) AS (
+           SELECT u, u FROM e
+           UNION
+           SELECT r.id, e.v FROM reach r JOIN e ON e.u = r.lbl),
+         comp AS (SELECT id, min(lbl) AS component
+                  FROM reach GROUP BY id),
+         docs2 AS (
+           SELECT doc_id, COALESCE(c.component, doc_id) AS cluster,
+             len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+           FROM documents LEFT JOIN comp c ON c.id = doc_id)
+         SELECT cluster, keep_id, n_members FROM (
+           SELECT cluster, doc_id AS keep_id,
+             row_number() OVER (PARTITION BY cluster
+               ORDER BY n_tokens DESC, doc_id) AS rn,
+             count(*) OVER (PARTITION BY cluster) AS n_members
+           FROM docs2)
+         WHERE rn = 1 ORDER BY cluster""",
+
+    // same results, different shape: the oracle counts bigrams via
+    // unnest+group (fine at oracle scale), the engine via a per-row
+    // sorted-run fold (shuffle-free at corpus scale)
+    "q107_repetition_signals" ->
+      """WITH d AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+           FROM documents),
+         b AS (
+           SELECT doc_id, toks,
+             [toks[i] || ' ' || toks[i+1]
+              for i in range(1, len(toks))] AS bg
+           FROM d),
+         bc AS (
+           SELECT doc_id, g, count(*) AS c
+           FROM b, unnest(bg) AS t(g) GROUP BY 1, 2),
+         top AS (SELECT doc_id, max(c) AS mx, sum(c) AS tot
+                 FROM bc GROUP BY 1)
+         SELECT b.doc_id AS doc_id,
+           round(1 - len(list_distinct(toks))/CAST(len(toks) AS DOUBLE), 6)
+             AS dup_word_frac,
+           round(COALESCE(mx/CAST(tot AS DOUBLE), 0), 6)
+             AS top_bigram_frac
+         FROM b LEFT JOIN top ON top.doc_id = b.doc_id
+         ORDER BY doc_id""",
+
+    "q108_decontamination" ->
+      """WITH d AS (
+           SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+')
+             AS toks
+           FROM documents),
+         g AS (
+           SELECT doc_id, list_distinct(
+             [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+              for i in range(1, len(toks)-1)]) AS grams
+           FROM d),
+         b AS (SELECT * FROM g WHERE doc_id % 50 = 0),
+         c AS (SELECT * FROM g WHERE doc_id % 50 <> 0)
+         SELECT c.doc_id AS doc_id, count(DISTINCT b.doc_id) AS n_bench_hits
+         FROM c JOIN b ON len(list_intersect(c.grams, b.grams)) > 0
+         GROUP BY 1 ORDER BY 1"""
   )
 }

@@ -244,6 +244,88 @@ object Dedup {
       .select("id_a", "id_b", "cos")
   }
 
+  /** Connected components over a near-duplicate pair list — the step that
+    * turns pairwise matches (from [[jaccardSelfJoin]], [[minhashCandidates]],
+    * [[embeddingNearDupBanded]]…) into dedup CLUSTERS: transitive closure,
+    * each node labeled with the minimum id of its component.
+    *
+    * Algorithm: alternating large-star / small-star (Kiveris et al. 2014,
+    * "Connected Components in MapReduce and Beyond") — the published
+    * O(log²n)-round bound with per-round work linear in the edge count:
+    *  - large-star(u): link every neighbor v > u to m = min(Γ⁺(u));
+    *  - small-star(u): link every neighbor v ≤ u (edges oriented
+    *    larger→smaller) plus u itself to m = min(Γ≤(u) ∪ {u}).
+    * Each round is two shuffles (groupBy min + equi-join back), carrying
+    * only 8-byte id pairs — never document payloads. A naive label
+    * propagation needs O(diameter) rounds; star-contraction collapses long
+    * chains exponentially, which is what survives a 100 TB corpus whose
+    * duplicate graph can have deep chains (A≈B≈C≈… transitive drift).
+    * Lineage is truncated per round with an eager localCheckpoint (its
+    * blocks free with the frame, unlike persist), so the plan doesn't grow
+    * with the iteration count; the convergence check rides on the
+    * checkpoint's own materialization.
+    *
+    * Returns one row per node appearing in `pairs`: (id, component) with
+    * component = min id of the connected component. Ids must be orderable
+    * (the component label is an id, per the algorithm's total order).
+    * Singleton documents (no pair) don't appear — callers coalesce:
+    * `docs.join(cc, docs(id)===cc(id), "left")` + `coalesce(component, id)`.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
+                          bCol: String = "id_b",
+                          maxRounds: Int = 50): DataFrame = {
+    def sym(e: DataFrame): DataFrame =
+      e.union(e.select(col("v").as("u"), col("u").as("v")))
+    // large-star: from the symmetric view, m = min(Γ(u) ∪ {u}); emit
+    // (v, m) for v > u. Strictly-larger neighbors hook onto the local min.
+    def largeStar(e: DataFrame): DataFrame = {
+      val s = sym(e)
+      val mins = s.groupBy("u").agg(least(min(col("v")), col("u")).as("m"))
+      s.join(mins, "u")
+        .filter(col("v") > col("u") && col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+    }
+    // small-star: orient each edge larger→smaller, m = min(N(u) ∪ {u});
+    // emit (v, m) for v ∈ N(u) ∪ {u}, v ≠ m.
+    def smallStar(e: DataFrame): DataFrame = {
+      val oriented = e.select(
+        greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      val mins = oriented.groupBy("u").agg(min(col("v")).as("m"))
+      val linked = oriented.join(mins, "u")
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+      val self = mins.select(col("u"), col("m").as("v"))
+      linked.union(self).filter(col("u") =!= col("v")).distinct()
+    }
+    var edges = pairs
+      .select(col(aCol).as("u"), col(bCol).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
+    // fingerprint (count, order-free hash-sum) decides convergence — one
+    // cheap scan over the just-materialized checkpoint blocks per round
+    var fp = (-1L, Option.empty[String])
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      // decimal accumulation: exact and order-free, immune to ANSI
+      // long-overflow on the summed 64-bit hashes
+      val row = next.agg(count(lit(1)),
+        sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)"))).head()
+      val nfp = (row.getLong(0),
+        Option(row.get(1)).map(_.toString))
+      converged = nfp == fp
+      fp = nfp
+      edges = next
+      round += 1
+    }
+    // converged star graphs: every node's min over Γ⁺ IS the component min
+    sym(edges).groupBy("u").agg(least(min(col("v")), col("u")).as("component"))
+      .select(col("u").as("id"), col("component"))
+  }
+
   /** 64-bit SimHash over whitespace tokens: per-token xxhash64, bitwise
     * weighted vote per bit position. Pure column math (fold over 64 bit
     * positions), no UDF. */

@@ -346,4 +346,99 @@ class PipelineSpec extends SparkSpec {
     val recall = (found & truePairs).size.toDouble / truePairs.size
     assert(recall >= 0.95, s"planted-dup recall $recall")
   }
+
+  test("connected components: chains, separate components, min labels") {
+    // component {1..5} as a chain (diameter 4 — exercises the contraction,
+    // not just one hop), component {10,11}, pair list order irrelevant
+    val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (4L, 5L), (11L, 10L))
+      .toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(cc == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
+  test("connected components: self-pairs and duplicates collapse; empty in, empty out") {
+    val pairs = Seq((7L, 7L), (8L, 9L), (9L, 8L), (8L, 9L))
+      .toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    // 7 only appears in a self-pair → no edge → absent (a singleton)
+    assert(cc == Seq(8L -> 8L, 9L -> 8L))
+    val empty = Dedup.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b"))
+    assert(empty.count() == 0)
+  }
+
+  test("connected components on a random graph equal a driver-side union-find") {
+    val rnd = new scala.util.Random(7)
+    val edges = (0 until 400).map(_ => (rnd.nextInt(120).toLong,
+      rnd.nextInt(120).toLong)).filter(p => p._1 != p._2)
+    val cc = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap
+    // reference union-find on the driver
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = parent.keys.map(k => k -> find(k)).toMap
+    assert(cc == want)
+  }
+
+  test("keep-best dedup: cluster representative is max tokens, min id tiebreak") {
+    val d = Seq(
+      (1L, "one two three four"),          // 4 tokens
+      (2L, "one two three four five"),     // 5 tokens — keep
+      (3L, "one two three four five"),     // 5 tokens, higher id
+      (9L, "lonely standalone document")   // singleton
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs)
+      .select($"id".as("doc_id"), $"component")
+    val best = d.join(cc, Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"component", $"doc_id").as("cluster"),
+        TextAnalysis.tokenCount($"text").as("n_tokens"))
+      .groupBy("cluster")
+      .agg(min(struct((-$"n_tokens").as("neg"), $"doc_id".as("id")))
+        .getField("id").as("keep_id"))
+      .orderBy("cluster").as[(Long, Long)].collect().toSeq
+    assert(best == Seq(1L -> 2L, 9L -> 9L))
+  }
+
+  test("repetition signals: dup-word and top-bigram fractions") {
+    val d = Seq(
+      (1L, "a a a a"),              // all dup words; bigram "a a" ×3 of 3
+      (2L, "w x y z"),              // no repetition; each bigram once of 3
+      (3L, "one"),                  // single token: no bigrams → 0.0
+      (4L, "go go stop go go stop") // "go go" 2× of 5 bigrams
+    ).toDF("doc_id", "text")
+    val toks = split(trim($"text"), "\\s+")
+    val bg = slice(zip_with(toks, slice(toks, lit(2), size(toks)),
+        (a, b) => concat_ws(" ", a, b)),
+      lit(1), greatest(size(toks) - 1, lit(0)))
+    val maxRun = aggregate(array_sort(bg),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"),
+          acc.getField("run") + lit(1L)).otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    val out = d.select($"doc_id",
+        (lit(1.0) - size(array_distinct(toks)) / size(toks).cast("double"))
+          .as("dupw"),
+        when(size(bg) > 0, maxRun.cast("double") / size(bg))
+          .otherwise(lit(0.0)).as("topbg"))
+      .orderBy("doc_id").as[(Long, Double, Double)].collect()
+    assert(out(0) == ((1L, 0.75, 1.0)))
+    assert(out(1) == ((2L, 0.0, 1.0 / 3)))
+    assert(out(2) == ((3L, 0.0, 0.0)))
+    assert(out(3) == ((4L, 1.0 - 2.0 / 6, 2.0 / 5)))
+  }
 }

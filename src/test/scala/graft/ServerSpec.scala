@@ -276,12 +276,17 @@ class ServerSpec extends SparkSpec {
   }
 
   test("SHOW QUERIES lists live requests; KILL QUERY cancels mid-flight") {
-    // a measurement whose scan sleeps per row — a query over it stays
-    // running long enough to observe and kill (task_manager.go:152,266)
-    // ~8s of work across 8 partitions: enough runway that the kill
-    // always lands while the scan is still running, even when the full
-    // suite has the executors busy (the kill cuts it short anyway)
-    val slowU = udf((v: Double) => { Thread.sleep(250); v })
+    // a measurement whose scan BLOCKS on a latch the test controls — the
+    // query provably cannot finish before the kill lands, so there is no
+    // timing race (task_manager.go:152,266). cancelJobGroup interrupts
+    // task threads (interruptOnCancel=true), which surfaces here as the
+    // await's InterruptedException failing the scan.
+    ServerSpec.SlowGate.reset()
+    val slowU = udf((v: Double) => {
+      ServerSpec.SlowGate.started.countDown()
+      ServerSpec.SlowGate.release.await(60, java.util.concurrent.TimeUnit.SECONDS)
+      v
+    })
     val slowDf = spark.range(0, 256, 1, 8)
       .select(col("id").cast("double").as("value"),
         timestamp_millis(col("id") * 1000).as("ts"))
@@ -302,60 +307,43 @@ class ServerSpec extends SparkSpec {
         "\"database\",\"duration\",\"status\",\"host\"]"), self.body())
       assert(self.body().contains("SHOW QUERIES") &&
         self.body().contains("running"), self.body())
-      // launch a slow query, observe it, kill it. Under a loaded shared
-      // session the query can very occasionally finish before the kill
-      // lands (the race is inherent to any live kill API); an attempt
-      // that provably lost that race retries, anything else asserts.
-      def killAttempt(): Boolean = {
-        val slowResp =
-          new java.util.concurrent.CompletableFuture[(Int, String)]()
-        new Thread(() => {
+      // launch the gated query, await PROOF it is running (the first scan
+      // row trips the started latch — registration precedes execution),
+      // observe it in SHOW QUERIES, kill it. No polling race exists: the
+      // release latch never counts down, so the scan cannot complete.
+      val slowResp =
+        new java.util.concurrent.CompletableFuture[(Int, String)]()
+      new Thread(() => {
+        try {
           val r = gget(
-            s"/query?q=${enc("SELECT count(value) FROM slow")}&epoch=ms")
+            s"/query?q=${enc("SELECT sum(value) FROM slow")}&epoch=ms")
           slowResp.complete((r.statusCode(), r.body()))
-        }).start()
-        // …find its qid via SHOW QUERIES…
-        var qid = -1L
-        val deadline = System.nanoTime() + 30000000000L
-        while (qid < 0 && System.nanoTime() < deadline &&
-            !slowResp.isDone) {
-          val body = gget(s"/query?q=${enc("SHOW QUERIES")}&epoch=ms").body()
-          val m = """\[(\d+),"SELECT count\(value\) FROM slow"""".r
-            .findFirstMatchIn(body)
-          m.foreach(x => qid = x.group(1).toLong)
-          if (qid < 0) Thread.sleep(50)
-        }
-        if (qid < 0 && slowResp.isDone) {
-          info(s"slow query finished before observation: ${slowResp.get()}")
-          return false // raced through before a poll saw it — retry
-        }
-        assert(qid > 0, "slow query never appeared in SHOW QUERIES")
-        // …and kill it: the in-flight request fails, promptly
-        val kill = gget(s"/query?q=${enc(s"KILL QUERY $qid")}&epoch=ms")
-        if (kill.statusCode() != 200) {
-          val done = slowResp.isDone
-          assert(kill.body().contains("no such query id") && done,
-            s"kill failed for a reason other than losing the race: ${
-              kill.body()}; slow: ${
-              if (done) slowResp.get().toString else "in flight"}")
-          false // lost the race — the query finished first; retry
-        } else {
-          val (code, body) =
-            slowResp.get(30, java.util.concurrent.TimeUnit.SECONDS)
-          assert(code == 400,
-            s"killed query must fail, not return results — got $code $body")
-          true
-        }
-      }
-      assert((1 to 3).exists(_ => killAttempt()),
-        "kill lost the race 3 times in a row")
+        } catch { case e: Throwable => slowResp.completeExceptionally(e) }
+      }).start()
+      assert(ServerSpec.SlowGate.started.await(
+          60, java.util.concurrent.TimeUnit.SECONDS),
+        "gated scan never started")
+      val body = gget(s"/query?q=${enc("SHOW QUERIES")}&epoch=ms").body()
+      val qid = """\[(\d+),"SELECT sum\(value\) FROM slow"""".r
+        .findFirstMatchIn(body)
+        .map(_.group(1).toLong)
+        .getOrElse(fail(s"running query not listed: $body"))
+      val kill = gget(s"/query?q=${enc(s"KILL QUERY $qid")}&epoch=ms")
+      assert(kill.statusCode() == 200, s"kill failed: ${kill.body()}")
+      val (code, rbody) =
+        slowResp.get(30, java.util.concurrent.TimeUnit.SECONDS)
+      assert(code == 400,
+        s"killed query must fail, not return results — got $code $rbody")
       // the registry forgets finished queries; unknown ids error
       val after = gget(s"/query?q=${enc("SHOW QUERIES")}&epoch=ms").body()
       assert(!after.contains("FROM slow"), after)
       val bad = gget(s"/query?q=${enc("KILL QUERY 999999")}&epoch=ms")
       assert(bad.statusCode() == 400 &&
         bad.body().contains("no such query id"), bad.body())
-    } finally g.stop()
+    } finally {
+      ServerSpec.SlowGate.release.countDown() // free any straggler tasks
+      g.stop()
+    }
   }
 
   test("/api/v2/write accepts bucket-addressed line protocol") {
@@ -866,5 +854,21 @@ class ServerSpec extends SparkSpec {
     assert(!get("/query?q=" + enc("SHOW DATABASES")).body()
       .contains("\"dbB\""))
     assert(get("/query?q=" + enc("DROP DATABASE dbA")).statusCode() == 200)
+  }
+}
+
+object ServerSpec {
+  /** Latch gate for the KILL QUERY test: `started` proves the gated scan
+    * is live before the test observes/kills it; `release` (never counted
+    * down during the test) makes an early finish impossible. Top-level
+    * object so executor-thread UDF calls and the test thread share it
+    * (local mode — one JVM). */
+  object SlowGate {
+    @volatile var started = new java.util.concurrent.CountDownLatch(1)
+    @volatile var release = new java.util.concurrent.CountDownLatch(1)
+    def reset(): Unit = {
+      started = new java.util.concurrent.CountDownLatch(1)
+      release = new java.util.concurrent.CountDownLatch(1)
+    }
   }
 }
