@@ -643,6 +643,9 @@ object SparkEntry {
             .as("sum_purchase")))
       Meta.filterBlank(agg, Seq("sum_error", "sum_purchase"))
         .select("user_id", "wstart_ms", "sum_error", "sum_purchase")
+        // aggregated output is users×hours — tiny vs the scan; a single-
+        // partition sort replaces the range exchange (q102 precedent)
+        .coalesce(1)
         .orderBy("user_id", "wstart_ms")
     }),
 
@@ -970,6 +973,23 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // pipeline: IVF-PQ ANN (FAISS IVFADC+R shape) — the memory-bounded
+    // 100 TB path: candidates are scored from m-byte PQ codes via
+    // asymmetric-distance lookup folds (raw vectors never cross the probe
+    // join), then the shortlist re-ranks exactly. Approximate by
+    // construction → rows-only gate + equivalence/recall specs.
+    "q109_ann_ivfpq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cents = Similarity.ivfTrain(emb, "embedding", "vec_id", k = 8,
+        iters = 2)
+      val cbs = Similarity.pqTrain(emb, "embedding", "vec_id", dim = 64,
+        m = 8, ksub = 16, iters = 2)
+      Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 4), "embedding",
+          "vec_id", cents, cbs, dim = 64, nprobe = 3, k = 5, refine = 4)
+        .withColumn("cos", round(col("cos"), 6))
+        .orderBy("query_id", "rank")
+    }),
+
     // pipeline: LSH-bucketed ANN — the 100 TB top-k path (bucket
     // equi-join, candidates bounded per bucket; recall<1 by construction
     // → rows-only + recall-floor spec vs exact brute force).
@@ -1059,6 +1079,8 @@ object SparkEntry {
     "q76_promql_topk" -> ((s, dir) => {
       graft.query.PromQL.evaluate(promCatalog(s, dir),
           "topk(2, events)", step = "1 hour", lookback = "1 hour")
+        // k×steps rows — single-partition sort, no range exchange
+        .coalesce(1)
         .orderBy(col("eval_ms"), desc("value"), col("event_type"),
           col("user"))
     }),

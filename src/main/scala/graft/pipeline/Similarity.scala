@@ -219,6 +219,103 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cos")
   }
 
+  /** Product-quantization codebooks: the vector is split into `m`
+    * subspaces of dim/m dims; each subspace gets its own `ksub`-centroid
+    * codebook trained by the same deterministic Lloyd as [[ivfTrain]] on
+    * the sliced corpus. Result: `m` codebooks of ksub×(dim/m) doubles —
+    * a driver-side model artifact like the IVF codebook (Jégou/Douze/
+    * Schmid 2011, "Product Quantization for Nearest Neighbor Search"). */
+  def pqTrain(corpus: DataFrame, vecCol: String, idCol: String, dim: Int,
+              m: Int, ksub: Int, iters: Int = 2): Array[Array[Seq[Double]]] = {
+    require(dim % m == 0, s"m $m must divide dim $dim")
+    val sub = dim / m
+    (0 until m).toArray.map { i =>
+      ivfTrain(
+        corpus.select(col(idCol),
+          slice(col(vecCol), i * sub + 1, sub).as("_sub")),
+        "_sub", idCol, ksub, iters)
+    }
+  }
+
+  /** PQ code array for a vector: element i = index of subspace i's nearest
+    * sub-centroid. The whole corpus compresses to m small ints per row —
+    * at m=8 that is 8 codes for a 64-float vector, a 32× smaller scoring
+    * index. Same O(1)-node native kernel per subspace. */
+  def pqEncode(vec: Column, codebooks: Array[Array[Seq[Double]]],
+               dim: Int): Column = {
+    val m = codebooks.length; val sub = dim / m
+    array((0 until m).map(i =>
+      nearestBucket(slice(vec, i * sub + 1, sub), codebooks(i))): _*)
+  }
+
+  /** IVF-PQ ANN with asymmetric-distance scoring and exact re-rank — the
+    * standard billion-scale index shape (FAISS "IVFADC+R"):
+    *
+    *  1. corpus rows carry (id, coarse cell, m PQ codes) — candidate
+    *     SCORING never touches the raw vectors, so the shuffled index side
+    *     is ~m bytes/row instead of dim floats (the property that makes
+    *     100 TB of embeddings probe-able);
+    *  2. each query broadcasts its nprobe coarse cells plus its ADC
+    *     tables — per subspace, the ksub squared-L2 distances from the
+    *     query's slice to that subspace's codebook (an O(ksub·dim) column
+    *     expression per query row, computed once before the join);
+    *  3. approx distance per candidate = Σ_m table[m][code[m]] — a pure
+    *     lookup fold, no vector math in the join;
+    *  4. the `refine`·k best candidates per query by approx distance are
+    *     joined BACK to the corpus vectors for exact-cosine re-ranking —
+    *     one narrow equi-join on ids that touches refine·k·|Q| rows.
+    *
+    * Recall is governed by nprobe (coarse tier) × refine (ADC tier);
+    * refine ≥ corpus/k degrades to exact search within probed cells. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
+                idCol: String, cents: Array[Seq[Double]],
+                codebooks: Array[Array[Seq[Double]]], dim: Int,
+                nprobe: Int, k: Int, refine: Int = 4): DataFrame = {
+    graft.expressions.VectorExpressions.register(corpus.sparkSession)
+    val m = codebooks.length; val sub = dim / m
+    // index side: cell + codes only (no vectors cross the probe join)
+    val idx = corpus.select(col(idCol).as("neighbor_id"),
+      nearestBucket(col(vecCol), cents).as("_bkt"),
+      pqEncode(col(vecCol), codebooks, dim).as("_codes"))
+    // query side: probes + ADC tables, broadcast
+    def adcTable(i: Int) =
+      transform(typedlit(codebooks(i).toSeq), c =>
+        aggregate(zip_with(slice(col(vecCol), i * sub + 1, sub), c,
+            (x, w) => (x.cast("double") - w) * (x.cast("double") - w)),
+          lit(0.0), (acc, v) => acc + v))
+    val qb = broadcast(queries.select(col(idCol).as("query_id"),
+        col(vecCol).as("_qv"),
+        sqrt(dotNative(col(vecCol), col(vecCol))).as("_qn"),
+        array((0 until m).map(adcTable): _*).as("_tables"),
+        slice(array_sort(distIdx(col(vecCol), cents)), 1, nprobe)
+          .as("_probes"))
+      .select(col("query_id"), col("_qv"), col("_qn"), col("_tables"),
+        explode(col("_probes.i")).as("_bkt")))
+    val scored = idx.join(qb, Seq("_bkt"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("_adc",
+        aggregate(zip_with(col("_codes"), col("_tables"),
+            (c, t) => element_at(t, c + 1)),
+          lit(0.0), (acc, v) => acc + v))
+    val short = scored.withColumn("_arank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("_adc").asc, col("neighbor_id").asc)))
+      .filter(col("_arank") <= k * refine)
+      .select("query_id", "_qv", "_qn", "neighbor_id")
+    // exact re-rank of the shortlist only
+    val vecs = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("_cv"),
+      sqrt(dotNative(col(vecCol), col(vecCol))).as("_cn"))
+    short.join(vecs, "neighbor_id")
+      .withColumn("cos",
+        dotNative(col("_qv"), col("_cv")) / (col("_qn") * col("_cn")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("neighbor_id").asc)))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cos")
+  }
+
   /** LSH-bucketed ANN: join queries and corpus on the sign bucket, rank
     * within candidates. Recall < 1 by construction; bucket count 2^planes
     * bounds each candidate set. */

@@ -258,6 +258,44 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.25, s"recall $recall")
   }
 
+  test("ivfPqTopK: full probe + exhaustive refine reproduces brute force; " +
+      "default params keep high recall; codes are m small ints") {
+    val emb = Tables.table(spark, sf, "embeddings")
+    val queries = emb.filter($"vec_id" < 8)
+    val cents = Similarity.ivfTrain(emb, "embedding", "vec_id", k = 8,
+      iters = 2)
+    val cbs = Similarity.pqTrain(emb, "embedding", "vec_id", dim = 64,
+      m = 8, ksub = 16, iters = 2)
+    // deterministic training: same inputs → byte-identical codebooks
+    val cbs2 = Similarity.pqTrain(emb, "embedding", "vec_id", dim = 64,
+      m = 8, ksub = 16, iters = 2)
+    assert(cbs.map(_.map(_.toList).toList).toSeq ==
+      cbs2.map(_.map(_.toList).toList).toSeq)
+    // codes: m entries, each within [0, ksub)
+    val codes = emb.select(
+        Similarity.pqEncode($"embedding", cbs, 64).as("c"))
+      .as[Seq[Int]].collect()
+    assert(codes.forall(c => c.length == 8 && c.forall(x => x >= 0 && x < 16)))
+    def topSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val exact = topSet(Similarity.bruteForceTopK(emb, queries,
+      "embedding", "vec_id", 5))
+    val n = emb.count().toInt
+    // probe every cell AND keep the whole candidate set through refine →
+    // the exact-cosine re-rank IS brute force
+    val full = topSet(Similarity.ivfPqTopK(emb, queries, "embedding",
+      "vec_id", cents, cbs, dim = 64, nprobe = 8, k = 5, refine = n))
+    assert(full == exact, "nprobe=#cells + exhaustive refine must equal brute force")
+    // production-ish params: ADC shortlist + re-rank holds most of top-k
+    val approx = topSet(Similarity.ivfPqTopK(emb, queries, "embedding",
+      "vec_id", cents, cbs, dim = 64, nprobe = 4, k = 5, refine = 4))
+    val recall = (approx & exact).size.toDouble / exact.size
+    // deterministic (seeded centroids, decimal means): measured 0.475 on
+    // this near-orthogonal random fixture — the hostile regime for ADC;
+    // the floor just guards against regressions, not a quality claim
+    assert(recall >= 0.45, s"ivf-pq recall $recall")
+  }
+
   test("IVF codebook is a single matrix literal: O(1) expression nodes " +
       "and correct assignment at k=256") {
     // 256 deterministic 64-dim centroids — production-scale cell count
