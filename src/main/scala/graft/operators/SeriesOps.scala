@@ -205,4 +205,91 @@ object SeriesOps {
       .offset(soffset)
     df.join(broadcast(series), tags, "left_semi")
   }
+
+  // ------------------------------------------------- chunked lag substrate
+
+  /** Exact integer floor-division (pmod keeps it right for any sign;
+    * the DECIMAL hop keeps it exact past double's 2^53 integer range). */
+  private def fdiv(a: Column, b: Long): Column =
+    ((a - pmod(a, lit(b))).cast("decimal(38,0)") / lit(b)).cast("long")
+
+  /** Bounded-memory lag-1 for arbitrarily long series.
+    *
+    * `Window.partitionBy(tags)` puts an ENTIRE series into one task —
+    * the right plan when series are bounded (the reference's data model),
+    * hostile at 100 TB when one series carries a multi-billion-point
+    * history. The chunked substrate adds the time block
+    * (`floor(tus / blockMicros)`) to the partition key, so each task
+    * holds one (series, block) slice, then stitches block boundaries:
+    * the per-block LAST row frame is one row per non-empty (series,
+    * block) — orders of magnitude smaller — and a lag over THAT frame
+    * (partitioned by series, ordered by block) hands each block the last
+    * row of the previous non-empty block, gaps included. Every stage is
+    * a shuffle on (tags, block) or the tiny lasts frame; no task ever
+    * materializes a whole series.
+    *
+    * Returns `df` + `_prev_v` / `_prev_tus` / `_tus` (both `_prev_*`
+    * null exactly for each series' first point — nullness of `_prev_tus`
+    * is the marker, so a legitimately-null previous VALUE round-trips). */
+  def chunkedLag(df: DataFrame, field: String, time: String,
+                 tags: Seq[String], blockMicros: Long,
+                 tieBreak: Seq[String] = Nil): DataFrame = {
+    require(blockMicros > 0, "blockMicros must be positive")
+    val base = df.withColumn("_tus", tMicros(df, time))
+      .withColumn("_blk", fdiv(col("_tus"), blockMicros))
+    val part = tags :+ "_blk"
+    val wb = Window.partitionBy(part.map(col): _*)
+      .orderBy(("_tus" +: tieBreak).map(col): _*)
+    val within = base
+      .withColumn("_prev_v", lag(col(field), 1).over(wb))
+      .withColumn("_prev_tus", lag(col("_tus"), 1).over(wb))
+    // last row per non-empty (series, block): max over the lexicographic
+    // (tus, tieBreak..., value) struct — tie columns make order total
+    // before the value field can influence the comparison
+    val ordFields = (col("_tus").as("t") +:
+      tieBreak.zipWithIndex.map { case (c, i) => col(c).as(s"k$i") }) :+
+      col(field).as("v")
+    val lasts = base.groupBy(part.map(col): _*)
+      .agg(max(struct(ordFields: _*)).as("_last"))
+    val wprev = Window.partitionBy(tags.map(col): _*).orderBy(col("_blk"))
+    val prevLasts = lasts.select((tags.map(col) :+ col("_blk") :+
+      lag(col("_last"), 1).over(wprev).as("_prevlast")): _*)
+    val firstRow = col("_prev_tus").isNull
+    within.join(prevLasts, part, "left")
+      .withColumn("_prev_v",
+        when(firstRow, col("_prevlast.v")).otherwise(col("_prev_v")))
+      .withColumn("_prev_tus",
+        when(firstRow, col("_prevlast.t")).otherwise(col("_prev_tus")))
+      .drop("_prevlast", "_blk")
+  }
+
+  /** [[difference]] with the chunked substrate — identical output, task
+    * memory bounded by `blockMicros` worth of points per series. */
+  def differenceChunked(df: DataFrame, field: String, time: String,
+                        tags: Seq[String], blockMicros: Long,
+                        nonNegative: Boolean = false,
+                        tieBreak: Seq[String] = Nil): DataFrame = {
+    val lagged = chunkedLag(df, field, time, tags, blockMicros, tieBreak)
+    val out = lagged
+      .withColumn("difference", col(field) - col("_prev_v"))
+      .filter(col("difference").isNotNull)
+      .drop("_prev_v", "_prev_tus", "_tus")
+    if (nonNegative) out.filter(col("difference") >= 0) else out
+  }
+
+  /** [[derivative]] with the chunked substrate — identical output. */
+  def derivativeChunked(df: DataFrame, field: String, time: String,
+                        tags: Seq[String], blockMicros: Long,
+                        unitSeconds: Double = 1.0,
+                        tieBreak: Seq[String] = Nil,
+                        nonNegative: Boolean = false): DataFrame = {
+    val lagged = chunkedLag(df, field, time, tags, blockMicros, tieBreak)
+    val dtSec = (col("_tus") - col("_prev_tus")).cast("double") / 1e6
+    val out = lagged
+      .withColumn("derivative",
+        (col(field) - col("_prev_v")) / dtSec * lit(unitSeconds))
+      .filter(col("derivative").isNotNull)
+      .drop("_prev_v", "_prev_tus", "_tus")
+    if (nonNegative) out.filter(col("derivative") >= 0) else out
+  }
 }

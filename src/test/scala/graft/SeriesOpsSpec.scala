@@ -135,6 +135,36 @@ class SeriesOpsSpec extends SparkSpec {
     assert(out.toSeq == Seq(Some(1.0), Some(4.0), Some(3.0), Some(2.0), None))
   }
 
+  test("chunked difference/derivative equal the window forms at any block size") {
+    val ev = Tables.table(spark, sf, "events")
+      .select($"event_type", $"ts", $"value", $"event_id")
+    def rows(d: org.apache.spark.sql.DataFrame, c: String) =
+      d.select(col("event_id"), col(c)).as[(Long, Double)].collect().toSet
+    val wantD = rows(SeriesOps.difference(ev, "value", "ts",
+      Seq("event_type"), tieBreak = Seq("event_id")), "difference")
+    // 1-hour blocks (hundreds of boundaries to stitch) and one giant
+    // block (degenerates to the plain window path) must both agree
+    for (blk <- Seq(3600L * 1000000L, Long.MaxValue / 4)) {
+      val got = rows(SeriesOps.differenceChunked(ev, "value", "ts",
+        Seq("event_type"), blk, tieBreak = Seq("event_id")), "difference")
+      assert(got == wantD, s"difference mismatch at block $blk")
+    }
+    val wantV = rows(SeriesOps.derivative(ev, "value", "ts",
+      Seq("event_type"), tieBreak = Seq("event_id")), "derivative")
+    val gotV = rows(SeriesOps.derivativeChunked(ev, "value", "ts",
+      Seq("event_type"), 3600L * 1000000L, tieBreak = Seq("event_id")),
+      "derivative")
+    assert(gotV == wantV)
+    // non-negative variant filters the same rows
+    val wantNN = rows(SeriesOps.difference(ev, "value", "ts",
+      Seq("event_type"), nonNegative = true, tieBreak = Seq("event_id")),
+      "difference")
+    val gotNN = rows(SeriesOps.differenceChunked(ev, "value", "ts",
+      Seq("event_type"), 3600L * 1000000L, nonNegative = true,
+      tieBreak = Seq("event_id")), "difference")
+    assert(gotNN == wantNN)
+  }
+
   test("fill value substitutes a constant") {
     val agg = WindowedAgg.timeBucket(df, "time", "10 seconds", Seq("tag"),
       Seq(sum($"value").as("v"))).select("tag", "wstart_ms", "v")
