@@ -233,4 +233,37 @@ class ScaleSpec extends SparkSpec {
     assert(plan.contains("approx_count_distinct"), s"no HLL in:\n$plan")
     assert(!plan.contains("Expand"), s"distinct-expand leaked into:\n$plan")
   }
+
+  test("salted join equals the plain join on a pathologically skewed key") {
+    import graft.operators.Skew
+    // 10k rows on ONE key + a sprinkle of others — the distribution that
+    // pins a plain hash join's hot key to a single reducer
+    val probe = spark.range(0, 10500)
+      .select(col("id"),
+        when(col("id") < 10000, lit("hot")).otherwise(concat(lit("k"),
+          col("id") % 17)).as("k"))
+    val build = Seq(("hot", 1.0), ("k3", 3.0), ("k9", 9.0), ("miss", -1.0))
+      .toDF("k", "w")
+    val plain = probe.join(build, Seq("k"))
+      .select("k", "id", "w").as[(String, Long, Double)].collect().toSet
+    val salted = Skew.saltedJoin(probe, build, Seq("k"),
+        saltFrom = col("id"), salts = 8)
+      .select("k", "id", "w").as[(String, Long, Double)].collect().toSet
+    assert(salted == plain)
+    // left join keeps unmatched probe rows exactly once
+    val plainL = probe.join(build, Seq("k"), "left")
+      .select("k", "id", "w").as[(String, Long, Option[Double])]
+      .collect().toSet
+    val saltedL = Skew.saltedJoin(probe, build, Seq("k"),
+        saltFrom = col("id"), salts = 8, joinType = "left")
+      .select("k", "id", "w").as[(String, Long, Option[Double])]
+      .collect().toSet
+    assert(saltedL == plainL)
+    // the salt actually spreads the hot key: the salted probe side keys
+    // (k, salt) take 8 distinct values for "hot"
+    val spread = probe.withColumn("_salt",
+        pmod(xxhash64(col("id")), lit(8)).cast("int"))
+      .filter($"k" === "hot").select("_salt").distinct().count()
+    assert(spread == 8L, s"hot key spread over $spread salt buckets")
+  }
 }
