@@ -2795,18 +2795,18 @@ object SparkEntry {
            SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+')
              AS toks
            FROM documents),
-         g AS (
+         g AS MATERIALIZED (
            SELECT doc_id, list_distinct(
              [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
               for i in range(1, len(toks)-1)]) AS grams
            FROM d),
-         p AS (
+         p AS MATERIALIZED (
            SELECT a.doc_id AS id_a, b.doc_id AS id_b
            FROM g a JOIN g b ON a.doc_id < b.doc_id
            WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
                (len(a.grams) + len(b.grams)
                 - len(list_intersect(a.grams, b.grams))) >= 0.8),
-         e AS (SELECT id_a AS u, id_b AS v FROM p
+         e AS MATERIALIZED (SELECT id_a AS u, id_b AS v FROM p
                UNION SELECT id_b, id_a FROM p),
          reach(id, lbl) AS (
            SELECT u, u FROM e
@@ -2820,18 +2820,18 @@ object SparkEntry {
            SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+')
              AS toks
            FROM documents),
-         g AS (
+         g AS MATERIALIZED (
            SELECT doc_id, list_distinct(
              [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
               for i in range(1, len(toks)-1)]) AS grams
            FROM d),
-         p AS (
+         p AS MATERIALIZED (
            SELECT a.doc_id AS id_a, b.doc_id AS id_b
            FROM g a JOIN g b ON a.doc_id < b.doc_id
            WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
                (len(a.grams) + len(b.grams)
                 - len(list_intersect(a.grams, b.grams))) >= 0.8),
-         e AS (SELECT id_a AS u, id_b AS v FROM p
+         e AS MATERIALIZED (SELECT id_a AS u, id_b AS v FROM p
                UNION SELECT id_b, id_a FROM p),
          reach(id, lbl) AS (
            SELECT u, u FROM e
