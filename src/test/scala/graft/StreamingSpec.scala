@@ -229,4 +229,44 @@ class StreamingSpec extends SparkSpec {
         "CREATE SUBSCRIPTION s ON db.rp DESTINATIONS SOME 'x'")
     }
   }
+
+  test("text-pipeline operators run unchanged inside a stream") {
+    // every TextAnalysis op is a stateless column expression, so the same
+    // code curates a stream micro-batch-by-micro-batch — the ingest-time
+    // filter tier in front of the batch dedup/clustering jobs
+    import graft.pipeline.TextAnalysis
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val feats = TextAnalysis.qualityFeatures(col("text"))
+    val curated = mem.toDF().toDF("doc_id", "text")
+      .withColumn("keep",
+        TextAnalysis.qualityKeep(feats, minTokens = 5, minStopRatio = 0.0))
+      .filter(col("keep"))
+      .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang"),
+        TextAnalysis.redactPii(col("text")).as("clean"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))
+    val q = curated.writeStream.outputMode("append")
+      .format("memory").queryName("curated_out").start()
+    try {
+      mem.addData(
+        (1L, "the quick brown fox jumps over the lazy dog today"),
+        (2L, "too short"),                                    // quality-dropped
+        (3L, "contact me at a@b.com for the offer and the details"),
+        (4L, "el perro corre para la casa y los gatos miran"))
+      q.processAllAvailable()
+      val out = spark.table("curated_out")
+        .select($"doc_id", $"lang", $"clean")
+        .as[(Long, String, String)].collect().sortBy(_._1)
+      assert(out.map(_._1).toSeq == Seq(1L, 3L, 4L))
+      assert(out(0)._2 == "en" && out(2)._2 == "es")
+      assert(out(1)._3.contains("[EMAIL]") && !out(1)._3.contains("a@b.com"))
+      // fingerprints agree with the batch expression on the same text
+      val batchFp = Seq((1L, "the quick brown fox jumps over the lazy dog today"))
+        .toDF("doc_id", "text")
+        .select(TextAnalysis.fingerprint($"text")).as[Long].head()
+      val streamFp = spark.table("curated_out")
+        .filter($"doc_id" === 1L).select($"fp").as[Long].head()
+      assert(streamFp == batchFp)
+    } finally q.stop()
+  }
 }
