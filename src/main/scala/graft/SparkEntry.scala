@@ -186,6 +186,8 @@ object SparkEntry {
         .withColumnRenamed("rank_in_series", "rnk")
         .select(col("o_orderpriority"), col("rnk"), col("o_orderkey"),
           col("o_totalprice"))
+        // 3×|groups| rows — single-partition sort, no range exchange
+        .coalesce(1)
         .orderBy("o_orderpriority", "rnk")
     }),
 
