@@ -234,6 +234,25 @@ class ScaleSpec extends SparkSpec {
     assert(!plan.contains("Expand"), s"distinct-expand leaked into:\n$plan")
   }
 
+  test("ivf-pq probe join shuffles codes, never the corpus vectors") {
+    import graft.pipeline.Similarity
+    val emb = Tables.table(spark, sf, "embeddings")
+    val cents = Similarity.ivfTrain(emb, "embedding", "vec_id", k = 4,
+      iters = 1)
+    val cbs = Similarity.pqTrain(emb, "embedding", "vec_id", dim = 64,
+      m = 8, ksub = 8, iters = 1)
+    val q = Similarity.ivfPqTopK(emb, emb.filter($"vec_id" < 2),
+      "embedding", "vec_id", cents, cbs, dim = 64, nprobe = 2, k = 3)
+    val plan = planOf(q)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), "probe must be equi-join")
+    // the ADC scoring join reads the index projection — codes + cell;
+    // the raw vectors enter only at the shortlist re-rank join
+    assert(plan.contains("_codes"), s"index side must carry PQ codes:\n$plan")
+    // shortlist re-rank exists: an exact-cosine stage over `_cv`
+    assert(plan.contains("_cv"), "re-rank join must read the raw vectors")
+  }
+
   test("salted join equals the plain join on a pathologically skewed key") {
     import graft.operators.Skew
     // 10k rows on ONE key + a sprinkle of others — the distribution that
