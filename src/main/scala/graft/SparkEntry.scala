@@ -975,6 +975,61 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // pipeline: END-TO-END CURATION — the composed pretraining-data pass:
+    // quality gate → exact dedup (fingerprint keep-min-id; q94 proves the
+    // fingerprint classes equal normalized-token-stream classes on this
+    // corpus) → near-dup clustering keep-best → benchmark decontamination
+    // → chunking, summarized per language. One gate query proving the
+    // pipeline operators COMPOSE with exact semantics, not just pass in
+    // isolation. Every stage keeps its scale shape: the only corpus-wide
+    // shuffles are the 8-byte fingerprint/cluster keys and the bounded
+    // pair join; bench grams broadcast.
+    "q110_curation_e2e" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "lang", "text")
+      // 1. quality gate (q62 thresholds)
+      val q = docs.filter(
+        TextAnalysis.qualityKeep(TextAnalysis.qualityFeatures(col("text"))))
+      // 2. exact dedup: keep min doc_id per rolling-hash fingerprint
+      val withFp = q.withColumn("_fp", TextAnalysis.fingerprint(col("text")))
+      val exactKeep = withFp.groupBy("_fp")
+        .agg(min(col("doc_id")).as("doc_id"))
+      val exact = withFp.join(exactKeep.select("doc_id"),
+        Seq("doc_id"), "left_semi").drop("_fp")
+      // 3. near-dup cluster keep-best (Jaccard 0.8, max tokens, id tie)
+      val pairs = Dedup.jaccardSelfJoin(exact, "text", "doc_id",
+        shingleN = 3, threshold = 0.8)
+      val cc = Dedup.connectedComponents(pairs)
+        .select(col("id").as("doc_id"), col("component"))
+      val clustered = exact.join(cc, Seq("doc_id"), "left")
+        .withColumn("cluster", coalesce(col("component"), col("doc_id")))
+        .withColumn("_nt", TextAnalysis.tokenCount(col("text")))
+      val best = clustered.groupBy("cluster")
+        .agg(min(struct((-col("_nt")).as("neg"), col("doc_id").as("id")))
+          .getField("id").as("doc_id"))
+      val kept = clustered.join(best.select("doc_id"), Seq("doc_id"),
+        "left_semi")
+      // 4. decontamination vs the eval set (every 50th doc of the RAW
+      // corpus): drop bench docs and any doc sharing a 3-gram with one
+      val benchGrams = docs.filter(col("doc_id") % 50 === 0)
+        .select(explode(Dedup.shingles(col("text"), 3)).as("gram"))
+        .distinct()
+      val contaminated = kept
+        .select(col("doc_id"), explode(Dedup.shingles(col("text"), 3))
+          .as("gram"))
+        .join(broadcast(benchGrams), "gram")
+        .select("doc_id").distinct()
+      val clean = kept.filter(col("doc_id") % 50 =!= 0)
+        .join(contaminated, Seq("doc_id"), "left_anti")
+      // 5. chunk (q60 params) and summarize per language
+      clean.select(col("lang"), col("doc_id"),
+          explode(TextAnalysis.chunk(col("text"), 40, 10)).as("_ch"))
+        .groupBy("lang")
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_chunks"))
+        .coalesce(1)
+        .orderBy("lang")
+    }),
+
     // pipeline: IVF-PQ ANN (FAISS IVFADC+R shape) — the memory-bounded
     // 100 TB path: candidates are scored from m-byte PQ codes via
     // asymmetric-distance lookup folds (raw vectors never cross the probe
@@ -2877,6 +2932,86 @@ object SparkEntry {
              AS top_bigram_frac
          FROM b LEFT JOIN top ON top.doc_id = b.doc_id
          ORDER BY doc_id""",
+
+    // the composed pass, stage by stage: q62's quality flags → window
+    // keep-min-id per normalized token stream (≡ the engine's fingerprint
+    // classes, q94) → the q105 closure restricted to survivors → q106's
+    // keep-best pick → q108's gram-intersection contamination → q60's
+    // chunk-count formula. Exercises that the stages agree END TO END.
+    "q110_curation_e2e" ->
+      """WITH RECURSIVE feats AS (
+           SELECT doc_id, lang, text,
+             regexp_split_to_array(trim(text), '\s+') AS toks,
+             len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+             len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS n_punct,
+             len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+               t -> t IN ('the','a','an','and','or','of','to','in','is',
+                          'on','for','with','as','at','by'))) AS n_stop,
+             length(text) AS n_chars
+           FROM documents),
+         q AS (
+           SELECT * FROM feats
+           WHERE (n_tokens BETWEEN 20 AND 100000)
+             AND (n_stop / CAST(n_tokens AS DOUBLE)) >= 0.01
+             AND (n_punct / greatest(CAST(n_chars AS DOUBLE), 1.0)) <= 0.2),
+         exact AS MATERIALIZED (
+           SELECT * FROM (
+             SELECT *, min(doc_id) OVER (
+               PARTITION BY array_to_string(toks, ' ')) AS _k
+             FROM q)
+           WHERE doc_id = _k),
+         g AS MATERIALIZED (
+           SELECT doc_id, list_distinct(
+             [lt[i] || ' ' || lt[i+1] || ' ' || lt[i+2]
+              for i in range(1, len(lt)-1)]) AS grams
+           FROM (SELECT doc_id,
+             regexp_split_to_array(lower(trim(text)), '\s+') AS lt
+             FROM exact)),
+         p AS MATERIALIZED (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM g a JOIN g b ON a.doc_id < b.doc_id
+           WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+               (len(a.grams) + len(b.grams)
+                - len(list_intersect(a.grams, b.grams))) >= 0.8),
+         e AS MATERIALIZED (SELECT id_a AS u, id_b AS v FROM p
+               UNION SELECT id_b, id_a FROM p),
+         reach(id, lbl) AS (
+           SELECT u, u FROM e
+           UNION
+           SELECT r.id, e.v FROM reach r JOIN e ON e.u = r.lbl),
+         comp AS (SELECT id, min(lbl) AS component
+                  FROM reach GROUP BY id),
+         clust AS (
+           SELECT ex.*, COALESCE(c.component, ex.doc_id) AS cluster
+           FROM exact ex LEFT JOIN comp c ON c.id = ex.doc_id),
+         keepb AS MATERIALIZED (
+           SELECT * FROM (
+             SELECT *, row_number() OVER (PARTITION BY cluster
+               ORDER BY n_tokens DESC, doc_id) AS _rn
+             FROM clust)
+           WHERE _rn = 1),
+         bg AS MATERIALIZED (
+           SELECT DISTINCT gram FROM (
+             SELECT unnest(list_distinct(
+               [lt[i] || ' ' || lt[i+1] || ' ' || lt[i+2]
+                for i in range(1, len(lt)-1)])) AS gram
+             FROM (SELECT
+               regexp_split_to_array(lower(trim(text)), '\s+') AS lt
+               FROM documents WHERE doc_id % 50 = 0))),
+         contam AS (
+           SELECT DISTINCT k.doc_id
+           FROM keepb k JOIN g ON g.doc_id = k.doc_id,
+             unnest(g.grams) AS t(gram)
+           WHERE gram IN (SELECT gram FROM bg)),
+         clean AS (
+           SELECT * FROM keepb
+           WHERE doc_id % 50 <> 0
+             AND doc_id NOT IN (SELECT doc_id FROM contam))
+         SELECT lang, count(*) AS n_docs,
+           CAST(sum(greatest(
+             CAST(ceil((n_tokens - 10) / 30.0) AS BIGINT), 1)) AS BIGINT)
+             AS n_chunks
+         FROM clean GROUP BY lang ORDER BY lang""",
 
     "q108_decontamination" ->
       """WITH d AS (
