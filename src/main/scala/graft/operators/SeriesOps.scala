@@ -168,15 +168,27 @@ object SeriesOps {
 
   /** top(f, n) per series — selector keeps whole rows (aux columns).
     * Reference: `call_processor.go:142`, heap `engine/topn_linkedlist.go`.
-    * Window rank shuffles on tags once; AQE handles skewed series. */
+    *
+    * Implemented as a bounded-heap aggregate ([[graft.expressions
+    * .TopKRows]]) rather than a window `row_number()`: partial
+    * aggregation keeps ≤n rows per series on every map task, so the
+    * shuffle carries O(n·series·partitions) rows — a window rank would
+    * move the WHOLE table into one partition per series key, which with
+    * few distinct keys is a handful of giant tasks at 100 TB. */
   def topPerSeries(df: DataFrame, field: String, time: String,
                    tags: Seq[String], n: Int,
                    bottom: Boolean = false): DataFrame = {
-    val ord = if (bottom) Seq(col(field).asc, col(time).asc)
-              else Seq(col(field).desc, col(time).asc)
-    val win = Window.partitionBy(tags.map(col): _*).orderBy(ord: _*)
-    df.withColumn("rank_in_series", row_number().over(win))
-      .filter(col("rank_in_series") <= n)
+    graft.expressions.TopKRows.register(df.sparkSession)
+    val payload = df.columns.toSeq
+    val st = struct((Seq(col(field).as("_tk_s0"), col(time).as("_tk_s1")) ++
+      payload.map(col)): _*)
+    val mask = (if (bottom) "A" else "D") + "A" // field dir, then time asc
+    df.groupBy(tags.map(col): _*)
+      .agg(call_function("topk_rows", st, lit(n), lit(2), lit(mask))
+        .as("_tk_top"))
+      .select(posexplode(col("_tk_top")).as(Seq("_tk_pos", "_tk_row")))
+      .select(payload.map(c => col(s"_tk_row.$c").as(c)) :+
+        (col("_tk_pos") + 1).cast("int").as("rank_in_series"): _*)
   }
 
   /** Per-series LIMIT n (InfluxQL LIMIT applies per series when grouped):

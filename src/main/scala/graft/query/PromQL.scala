@@ -814,18 +814,28 @@ object PromQL {
             case other => sys.error(s"$op needs a number: $other")
           }
           // NaN sorts away from the selected end (Spark would rank NaN as
-          // the LARGEST double — exactly backwards for topk)
-          val ord =
-            if (op == "topk")
-              nanvl(col("value"), lit(Double.NegativeInfinity)).desc +:
-                v.labels.map(col(_).asc)
-            else nanvl(col("value"), lit(Double.PositiveInfinity)).asc +:
-              v.labels.map(col(_).asc)
-          val w = Window.partitionBy((keep :+ "eval_ms").map(col): _*)
-            .orderBy(ord: _*)
+          // the LARGEST double — exactly backwards for topk). Bounded-heap
+          // aggregate instead of a window rank: map-side partials keep ≤k
+          // rows per (group, eval step), so the shuffle carries the
+          // selected rows only — a window would move every series sample
+          // into one partition per group key (SeriesOps.topPerSeries doc).
+          graft.expressions.TopKRows.register(df0.sparkSession)
+          val sortVal =
+            if (op == "topk") nanvl(col("value"), lit(Double.NegativeInfinity))
+            else nanvl(col("value"), lit(Double.PositiveInfinity))
+          val payload = df0.columns.toSeq
+          val sortCols = sortVal.as("_tk_s0") +:
+            v.labels.zipWithIndex.map { case (l, i) =>
+              col(l).as(s"_tk_s${i + 1}") } // full label set: total order
+          val mask = (if (op == "topk") "D" else "A") + "A" * v.labels.size
+          val st = struct((sortCols ++ payload.map(col)): _*)
           // result keeps the input series' full label sets
-          Vec(df0.withColumn("_rk", row_number().over(w))
-            .filter(col("_rk") <= k).drop("_rk"), v.labels)
+          val out = df0.groupBy((keep :+ "eval_ms").map(col): _*)
+            .agg(call_function("topk_rows", st, lit(k),
+              lit(1 + v.labels.size), lit(mask)).as("_tk_top"))
+            .select(explode(col("_tk_top")).as("_tk_row"))
+            .select(payload.map(c => col(s"_tk_row.$c").as(c)): _*)
+          Vec(out, v.labels)
         // Prometheus's experimental limit aggregations pick an ARBITRARY
         // k/ratio subset of series; this engine makes the pick
         // deterministic (stable across runs and partitionings) by

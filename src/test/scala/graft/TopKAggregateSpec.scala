@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.SeriesOps
+
+/** The bounded top-k aggregate must agree exactly with a full sort —
+  * across many input partitions, so the partial/merge/serialize path of
+  * the TypedImperativeAggregate is really exercised. */
+class TopKAggregateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val df = (1 to 1000).map { i =>
+    (s"g${i % 7}", i.toLong, (i * 37 % 1000).toDouble, s"p$i")
+  }.toDF("tag", "time", "value", "aux").repartition(13)
+
+  test("topPerSeries(agg) equals the window-rank ground truth") {
+    val got = SeriesOps.topPerSeries(df, "value", "time", Seq("tag"), 5)
+      .select("tag", "rank_in_series", "value", "time", "aux")
+      .orderBy("tag", "rank_in_series")
+      .as[(String, Int, Double, Long, String)].collect().toSeq
+    val want = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"tag").orderBy($"value".desc, $"time".asc)
+      df.withColumn("rank_in_series", row_number().over(w))
+        .filter($"rank_in_series" <= 5)
+        .select("tag", "rank_in_series", "value", "time", "aux")
+        .orderBy("tag", "rank_in_series")
+        .as[(String, Int, Double, Long, String)].collect().toSeq
+    }
+    assert(got == want)
+  }
+
+  test("bottom selects the other end, ties broken by time asc") {
+    val tied = Seq(("a", 1L, 5.0), ("a", 2L, 5.0), ("a", 3L, 5.0),
+      ("a", 4L, 9.0)).toDF("tag", "time", "value").repartition(3)
+    val got = SeriesOps.topPerSeries(tied, "value", "time", Seq("tag"), 2,
+        bottom = true)
+      .select("rank_in_series", "time", "value")
+      .orderBy("rank_in_series").as[(Int, Long, Double)].collect().toSeq
+    assert(got == Seq((1, 1L, 5.0), (2, 2L, 5.0)))
+  }
+
+  test("global top (no tags) over many partitions") {
+    val got = SeriesOps.topPerSeries(df, "value", "time", Nil, 3)
+      .select("value", "time").orderBy($"rank_in_series")
+      .as[(Double, Long)].collect().toSeq
+    val want = df.orderBy($"value".desc, $"time".asc).limit(3)
+      .select("value", "time").as[(Double, Long)].collect().toSeq
+    assert(got == want)
+  }
+
+  test("map-side partials keep the shuffle bounded: no Window in the plan") {
+    val plan = SeriesOps.topPerSeries(df, "value", "time", Seq("tag"), 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"expected no WindowExec:\n$plan")
+    assert(plan.contains("ObjectHashAggregate") ||
+      plan.contains("SortAggregate"),
+      s"expected an aggregate-based plan:\n$plan")
+  }
+}
