@@ -23,6 +23,12 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // ObjectHashAggregate (TypedImperativeAggregate partials: top-k,
+      // sketches) falls back to sort-based at 128 distinct groups by
+      // default — a map-side sort of the whole input. The buffers are
+      // k-bounded heaps / fixed sketches, so 128k groups is still small.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "131072")
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

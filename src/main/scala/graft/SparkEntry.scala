@@ -179,7 +179,7 @@ object SparkEntry {
         .orderBy("nationkey")
     }),
 
-    // §2.4 top(f,n) selector per group via window rank.
+    // §2.4 top(f,n) selector per group via the bounded-heap aggregate.
     "q07_topk_per_group" -> ((s, dir) => {
       SeriesOps.topPerSeries(t(s, dir, "orders"), "o_totalprice",
           "o_orderkey", Seq("o_orderpriority"), 3)

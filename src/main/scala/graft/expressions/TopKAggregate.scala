@@ -4,7 +4,7 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, Da
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{CreateNamedStruct, Expression, GenericInternalRow, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.{GenericArrayData, TypeUtils}
@@ -89,11 +89,74 @@ case class TopKRows(
     }
   }
 
+  // Destructured struct fields, when the child is a literal struct() call
+  // (the only way the helpers build it): lets update() evaluate ONLY the
+  // sort-key fields for the cheap reject test, and build the full row
+  // just for the rare rows that actually enter the heap. With a full
+  // heap, almost every input loses to the current worst after one
+  // double compare — paying a whole interpreted struct construction per
+  // input row there dominated the aggregate's cost.
+  @transient private lazy val fieldExprs: Option[Array[Expression]] =
+    child match {
+      case cns: CreateNamedStruct => Some(cns.valExprs.toArray)
+      case _ => None
+    }
+
+  /** compare a candidate's evaluated sort-key values against row b. */
+  private def compareVals(vals: Array[Any], b: InternalRow): Int = {
+    var i = 0
+    while (i < sortArity) {
+      val bv = if (b.isNullAt(i)) null else b.get(i, sortFields(i).dataType)
+      val av = vals(i)
+      val c =
+        if (av == null && bv == null) 0
+        else if (av == null) -1
+        else if (bv == null) 1
+        else {
+          val n = fieldOrds(i).compare(av, bv)
+          if (desc(i)) n else -n
+        }
+      if (c != 0) return c
+      i += 1
+    }
+    0
+  }
+
   override def update(buf: java.util.PriorityQueue[InternalRow],
                       input: InternalRow): java.util.PriorityQueue[InternalRow] = {
-    val v = child.eval(input)
-    if (v != null) insert(buf, v.asInstanceOf[InternalRow].copy())
+    fieldExprs match {
+      case Some(fes) =>
+        if (buf.size >= k) {
+          val sortVals = new Array[Any](sortArity)
+          var i = 0
+          while (i < sortArity) { sortVals(i) = fes(i).eval(input); i += 1 }
+          if (compareVals(sortVals, buf.peek()) <= 0) return buf // reject
+          val row = new GenericInternalRow(fes.length)
+          i = 0
+          while (i < sortArity) { row.update(i, copyValue(sortVals(i))); i += 1 }
+          while (i < fes.length) { row.update(i, copyValue(fes(i).eval(input))); i += 1 }
+          buf.poll(); buf.offer(row)
+        } else {
+          val row = new GenericInternalRow(fes.length)
+          var i = 0
+          while (i < fes.length) { row.update(i, copyValue(fes(i).eval(input))); i += 1 }
+          buf.offer(row)
+        }
+      case None =>
+        val v = child.eval(input)
+        if (v != null) insert(buf, v.asInstanceOf[InternalRow].copy())
+    }
     buf
+  }
+
+  /** Catalyst values read off a reused input row must be copied before
+    * they outlive it (UTF8String/struct/array buffers are recycled). */
+  private def copyValue(v: Any): Any = v match {
+    case s: org.apache.spark.unsafe.types.UTF8String => s.clone()
+    case r: InternalRow => r.copy()
+    case a: org.apache.spark.sql.catalyst.util.ArrayData => a.copy()
+    case m: org.apache.spark.sql.catalyst.util.MapData => m.copy()
+    case other => other
   }
 
   override def merge(buf: java.util.PriorityQueue[InternalRow],
@@ -110,8 +173,15 @@ case class TopKRows(
     new GenericArrayData(arr.asInstanceOf[Array[Any]])
   }
 
+  // One projection per operator instance, NOT per serialize() call: the
+  // partial aggregate serializes one buffer per (group × partition), and
+  // UnsafeProjection.create generates codegen source before it can even
+  // consult the compile cache — per-buffer creation cost ~0.5 ms × 46k
+  // buffers dwarfed the aggregation itself on the q76 shape.
+  @transient private lazy val serProj = UnsafeProjection.create(structType)
+
   override def serialize(buf: java.util.PriorityQueue[InternalRow]): Array[Byte] = {
-    val proj = UnsafeProjection.create(structType)
+    val proj = serProj
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(buf.size)
