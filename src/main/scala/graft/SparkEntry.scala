@@ -1308,16 +1308,18 @@ object SparkEntry {
         val li = t(s, dir, "lineitem")
         // no edge-level distinct: BFS dedups per hop anyway, and dropping
         // it keeps each hop a pure scan (the frontier InSet predicate
-        // reaches the parquet row groups) with no 600k-row shuffle
-        val e0 = li.select(col("l_partkey").cast("long").as("src"),
-          (col("l_suppkey").cast("long") + 10000000L).as("dst"))
-        e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
-          // compact cache: ~20 MB of (long, long) — 4 cached batches keep
+        // reaches the parquet row groups) with no 600k-row shuffle.
+        // DIRECTED frame — Graph symmetrizes (undirected=true below), so
+        // the source is scanned/cached once, not twice.
+        li.select(col("l_partkey").cast("long").as("src"),
+            (col("l_suppkey").cast("long") + 10000000L).as("dst"))
+          // compact cache: ~10 MB of (long, long) — 4 cached batches keep
           // per-hop jobs at 4 task launches instead of one per scan split
           .coalesce(4)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       })
-      graft.operators.Graph.hops(edges, start = 1L, hopNum = 3)
+      graft.operators.Graph.hops(edges, start = 1L, hopNum = 3,
+          undirected = true)
         .orderBy("hop", "node_id")
     }),
 
@@ -1374,19 +1376,18 @@ object SparkEntry {
     // suppliers), vs the same-filtered recursive-CTE oracle.
     "q103_graph_filtered" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
+      // directed frame; Graph symmetrizes in memory (one scan, not two)
       val e0 = li.filter(col("l_quantity") > 25)
         .select(col("l_partkey").cast("long").as("src"),
           (col("l_suppkey").cast("long") + 10000000L).as("dst"))
-      val edges = e0.union(
-        e0.select(col("dst").as("src"), col("src").as("dst")))
       val nodes = t(s, dir, "part")
         .select(col("p_partkey").cast("long").as("node_id"),
           col("p_size").cast("long").as("sz"))
         .union(t(s, dir, "supplier")
           .select((col("s_suppkey").cast("long") + 10000000L).as("node_id"),
             lit(0L).as("sz")))
-      graft.operators.Graph.hopsFiltered(edges, 1L, 3,
-          nodes = Some((nodes, col("sz") < 25)))
+      graft.operators.Graph.hopsFiltered(e0, 1L, 3,
+          nodes = Some((nodes, col("sz") < 25)), undirected = true)
         .orderBy("hop", "node_id")
     }),
 

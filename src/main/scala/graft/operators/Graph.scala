@@ -41,26 +41,165 @@ object Graph {
                    edgeCond: Option[org.apache.spark.sql.Column] = None,
                    nodes: Option[(DataFrame, org.apache.spark.sql.Column)] =
                      None,
-                   maxDriverFrontier: Int = 1 << 17): DataFrame = {
+                   maxDriverFrontier: Int = 1 << 17,
+                   undirected: Boolean = false): DataFrame = {
     val e1 = edgeCond.map(edges.filter).getOrElse(edges)
-    val e2 = nodes match {
+    nodes match {
       case Some((nodeDf, cond)) =>
         val allowed = nodeDf.filter(cond).select(col("node_id"))
-        e1.join(allowed.withColumnRenamed("node_id", "src"),
+        // Small allowed set + small edge frame (by plan stats): collect
+        // the ids once and apply the node condition in memory while
+        // building the resident adjacency — the whole restricted BFS is
+        // two tiny jobs (ids, edges) instead of per-hop scans behind
+        // two broadcast-semi-join builds. (An InSet predicate was tried
+        // and rejected: 16k inline literals cost more analyzer time
+        // than this whole query.) Past either guard the semi-join plan
+        // takes over unchanged.
+        if (planBytes(allowed) <= maxResidentBytes) {
+          import edges.sparkSession.implicits._
+          val sel = e1.select(col("src").cast("long"),
+            col("dst").cast("long"))
+          if (planBytes(sel) <= maxResidentBytes) {
+            // the two collects are independent Spark jobs — submit the
+            // id collect from another thread so it overlaps the edge
+            // collect inside tryResident (classic concurrent-action
+            // driver pattern; wall time = max, not sum)
+            import scala.concurrent.{Await, Future}
+            import scala.concurrent.ExecutionContext.Implicits.global
+            val idsFut = Future {
+              val a = allowed.as[Long].collect()
+              java.util.Arrays.sort(a); a
+            }
+            val resident = tryResident(sel, callerCached = false, start,
+              hopNum,
+              Some(() => Await.result(idsFut,
+                scala.concurrent.duration.Duration.Inf)),
+              undirected)
+            resident match {
+              case Some(df) => return df
+              case None => ()
+            }
+          }
+        }
+        val e2 = e1.join(allowed.withColumnRenamed("node_id", "src"),
             Seq("src"), "left_semi")
           .join(allowed.withColumnRenamed("node_id", "dst"),
             Seq("dst"), "left_semi")
-      case None => e1
+        hops(e2, start, hopNum, maxDriverFrontier, undirected)
+      case None => hops(e1, start, hopNum, maxDriverFrontier, undirected)
     }
-    hops(e2, start, hopNum, maxDriverFrontier)
+  }
+
+  /** Optimizer size estimate for a plan's output (bytes). */
+  private def planBytes(df: DataFrame): BigInt =
+    df.queryExecution.optimizedPlan.stats.sizeInBytes
+
+  /** Resident-topology tier guard: how large an edge frame we are
+    * willing to hold as a driver-side adjacency. The reference's graph
+    * service keeps the WHOLE topology in process memory and traverses
+    * in-memory (`services/castor`-adjacent graph feature; SURVEY §2.10)
+    * — 256 MB of (src, dst) pairs is ~8M edges, far above the bench
+    * graphs and far below driver heap. Beyond it the frontier tiers
+    * below take over; at 100 TB the stats estimate is in the terabytes
+    * and this tier never engages. */
+  private def maxResidentBytes = BigInt(
+    sys.props.get("graft.graph.maxResidentBytes").map(_.toLong)
+      .getOrElse(256L << 20)) // test hook: set 0 to force frontier tiers
+
+  /** Driver-resident adjacency, memoized per (session, semantic plan) for
+    * caller-persisted (resident) edge frames — repeated GRAPH statements
+    * over the same topology traverse pure memory, exactly the reference's
+    * model. Bounded: entries only for frames under [[maxResidentBytes]],
+    * crude full-clear once the memo exceeds 16 topologies. */
+  private val adjMemo = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, Int),
+    scala.collection.mutable.LongMap[Array[Long]]]()
+
+  /** Resident-tier BFS: collect the (already small-by-stats) edge frame,
+    * build / reuse a driver adjacency, traverse in memory. Returns None
+    * when the stats under-estimated and the frame is too big after all
+    * (the frontier tiers then run unchanged). `allowedSorted`: optional
+    * node restriction applied while building the adjacency (GRAPH
+    * NodeCondition) — such filtered topologies are never memoized. */
+  private def tryResident(sel: DataFrame, callerCached: Boolean,
+                          start: Long, hopNum: Int,
+                          allowedSorted: Option[() => Array[Long]],
+                          undirected: Boolean = false)
+      : Option[DataFrame] = {
+    val spark = sel.sparkSession
+    import spark.implicits._
+    val key = (spark,
+      sel.queryExecution.logical.semanticHash() * 2 +
+        (if (undirected) 1 else 0))
+    val canMemo = callerCached && allowedSorted.isEmpty
+    val memoized = if (canMemo) Option(adjMemo.get(key)) else None
+    val adjOpt = memoized.orElse {
+      val pairs = sel.as[(Long, Long)].collect()
+      if (pairs.length > (8 << 20)) None // stats under-estimated; bail
+      else {
+        val kept = allowedSorted match {
+          case Some(idsThunk) =>
+            val ids = idsThunk() // joins the concurrently-collected set
+            pairs.filter { case (s, d) =>
+              java.util.Arrays.binarySearch(ids, s) >= 0 &&
+                java.util.Arrays.binarySearch(ids, d) >= 0 }
+          case None => pairs
+        }
+        val adj = buildAdjacency(kept, undirected)
+        if (canMemo) { // memoize resident frames only
+          if (adjMemo.size > 16) adjMemo.clear()
+          adjMemo.put(key, adj)
+        }
+        Some(adj)
+      }
+    }
+    adjOpt.map { adj =>
+      val visited = scala.collection.mutable.LongMap[Int](start -> 0)
+      var frontier: Array[Long] = Array(start)
+      var h = 0
+      while (h < hopNum && frontier.nonEmpty) {
+        h += 1
+        val nb = new scala.collection.mutable.ArrayBuilder.ofLong
+        frontier.foreach(n => adj.get(n).foreach(nb.addAll(_)))
+        val next = nb.result().distinct.filter(!visited.contains(_))
+        next.foreach(visited(_) = h)
+        frontier = next
+      }
+      visited.toSeq.map { case (n, hp) => (n, hp) }
+        .toDF("node_id", "hop").coalesce(1)
+    }
+  }
+
+  private def buildAdjacency(pairs: Array[(Long, Long)],
+                             undirected: Boolean = false)
+      : scala.collection.mutable.LongMap[Array[Long]] = {
+    val acc = scala.collection.mutable.LongMap
+      .empty[scala.collection.mutable.ArrayBuilder.ofLong]
+    var i = 0
+    while (i < pairs.length) {
+      val (s, d) = pairs(i)
+      acc.getOrElseUpdate(s, new scala.collection.mutable.ArrayBuilder.ofLong)
+        .addOne(d)
+      if (undirected)
+        acc.getOrElseUpdate(d,
+          new scala.collection.mutable.ArrayBuilder.ofLong).addOne(s)
+      i += 1
+    }
+    val out = scala.collection.mutable.LongMap.empty[Array[Long]]
+    acc.foreachEntry((k, b) => out(k) = b.result())
+    out
   }
 
   /** Nodes within `hopNum` hops of `start`, with their minimum hop
     * distance: (node_id, hop), hop 0 = the start node itself.
-    * `edges` must have `src`/`dst` columns; for an undirected graph
-    * pass the symmetrized frame. */
+    * `edges` must have `src`/`dst` columns. For an undirected graph
+    * pass the DIRECTED frame with `undirected = true` — the resident
+    * tier symmetrizes in memory while building the adjacency and the
+    * frontier tiers union the reversed frame, so the source is scanned
+    * once instead of twice per traversal. */
   def hops(edges: DataFrame, start: Long, hopNum: Int,
-           maxDriverFrontier: Int = 1 << 17): DataFrame = {
+           maxDriverFrontier: Int = 1 << 17,
+           undirected: Boolean = false): DataFrame = {
     require(hopNum >= 0 && hopNum <= 16, s"hopNum out of range: $hopNum")
     val spark = edges.sparkSession
     import spark.implicits._
@@ -75,8 +214,28 @@ object Graph {
     val callerCached =
       edges.storageLevel != org.apache.spark.storage.StorageLevel.NONE
     val sel = edges.select(col("src").cast("long"), col("dst").cast("long"))
-    val e = if (callerCached) sel
-      else sel.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // Tier 0 — resident topology. When the edge frame is small by plan
+    // stats, collect it once and traverse driver memory: the whole BFS
+    // costs ONE light job (ZERO for a memoized resident frame) plus the
+    // result materialization, instead of one scan job per hop. This is
+    // the reference's own architecture — its graph feature answers
+    // traversals from an in-memory topology, not storage — and the
+    // stats guard keeps the tier to graphs that trivially fit: at
+    // 100 TB the estimate is in the terabytes and BFS goes straight to
+    // the frontier tiers below.
+    if (planBytes(sel) <= maxResidentBytes) {
+      tryResident(sel, callerCached, start, hopNum, None, undirected) match {
+        case Some(df) => return df
+        case None => () // fall through to the frontier tiers
+      }
+    }
+
+    val selSym = if (undirected)
+      sel.union(sel.select(col("dst").as("src"), col("src").as("dst")))
+    else sel
+    val e = if (callerCached) selSym
+      else selSym.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // driver tier: visited map node -> hop, frontier as a plain array
     val visited = scala.collection.mutable.LongMap[Int](start -> 0)

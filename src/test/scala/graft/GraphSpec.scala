@@ -56,4 +56,43 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Int)].collect().toMap
     assert(both == Map(1L -> 0, 2L -> 1, 3L -> 2))
   }
+
+  test("undirected=true equals manual symmetrization, in every tier") {
+    val e0 = Seq((1L, 2L), (2L, 3L), (4L, 1L)).toDF("src", "dst")
+    val sym = e0.union(e0.select($"dst".as("src"), $"src".as("dst")))
+    val want = Graph.hops(sym, 1L, 2).as[(Long, Int)].collect().toSet
+    assert(want == Set((1L, 0), (2L, 1), (4L, 1), (3L, 2)))
+    assert(Graph.hops(e0, 1L, 2, undirected = true)
+      .as[(Long, Int)].collect().toSet == want)
+    try {
+      sys.props("graft.graph.maxResidentBytes") = "0"
+      assert(Graph.hops(e0, 1L, 2, undirected = true)
+        .as[(Long, Int)].collect().toSet == want)
+      assert(Graph.hops(e0, 1L, 2, maxDriverFrontier = 1, undirected = true)
+        .as[(Long, Int)].collect().toSet == want)
+    } finally sys.props -= "graft.graph.maxResidentBytes"
+  }
+
+  test("all three tiers agree: resident, driver-frontier, distributed") {
+    // random-ish graph with a cycle, a chain, and fan-out
+    val edges = (1L to 200L).flatMap { i =>
+      Seq((i, i % 97 + 1), (i, (i * 7) % 193 + 1))
+    }.toDF("src", "dst")
+    def run(): Set[(Long, Int)] =
+      Graph.hops(edges, 5L, 4, maxDriverFrontier = 3)
+        .as[(Long, Int)].collect().toSet
+    val resident = Graph.hops(edges, 5L, 4)
+      .as[(Long, Int)].collect().toSet
+    val forced = try {
+      sys.props("graft.graph.maxResidentBytes") = "0"
+      // maxDriverFrontier = 3 forces the distributed fallback mid-BFS;
+      // default cap exercises the pure driver-frontier tier
+      val distributed = run()
+      val frontier = Graph.hops(edges, 5L, 4).as[(Long, Int)].collect().toSet
+      (distributed, frontier)
+    } finally sys.props -= "graft.graph.maxResidentBytes"
+    assert(forced._1 == resident)
+    assert(forced._2 == resident)
+    assert(resident.count(_._2 == 0) == 1)
+  }
 }

@@ -147,12 +147,14 @@ class ScaleSpec extends SparkSpec {
       assert("HashAggregate|ObjectHashAggregate|SortAggregate".r
         .findAllIn(plan).nonEmpty, s"$q: no aggregation found")
     }
-    // topk's ranking window must be partitioned (by eval step), never
-    // a single-partition global sort
+    // topk selects via the bounded-heap aggregate (map-side partials,
+    // shuffle carries only the selected rows) — never a window rank,
+    // which would move every series sample into one partition per step
     val topk = planOf(SparkEntry.queries("q76_promql_topk")(spark, sf))
-    val winLine = topk.split("\n").find(_.contains("Window "))
-    assert(winLine.isDefined && winLine.get.contains("eval_ms"),
-      s"q76 window must partition by eval_ms:\n${winLine.getOrElse("")}")
+    assert(!topk.contains("Window "),
+      s"q76 must not rank with a window:\n$topk")
+    assert(topk.contains("topk_rows"),
+      s"q76 must select via the topk_rows aggregate")
   }
 
   test("slimit ranks series with a distributed top-n, not a global window") {
