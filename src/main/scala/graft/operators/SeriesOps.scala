@@ -192,13 +192,27 @@ object SeriesOps {
   }
 
   /** Per-series LIMIT n (InfluxQL LIMIT applies per series when grouped):
-    * reference `engine/executor/limit_transform.go:88-96`. */
+    * reference `engine/executor/limit_transform.go:88-96`.
+    *
+    * Earliest offset+n rows per series via the bounded-heap aggregate
+    * (all-ascending sort mask) — map-side partials keep ≤ offset+n rows
+    * per series per task, so the shuffle never carries the full series
+    * (see [[topPerSeries]] for why a window rank would). */
   def limitPerSeries(df: DataFrame, time: String, tags: Seq[String],
                      n: Int, offset: Int = 0,
-                     tieBreak: Seq[String] = Nil): DataFrame =
-    df.withColumn("_rn", row_number().over(w(tags, time, tieBreak)))
-      .filter(col("_rn") > offset && col("_rn") <= offset + n)
-      .drop("_rn")
+                     tieBreak: Seq[String] = Nil): DataFrame = {
+    graft.expressions.TopKRows.register(df.sparkSession)
+    val payload = df.columns.toSeq
+    val sortCols = (time +: tieBreak).zipWithIndex
+      .map { case (c, i) => col(c).as(s"_tk_s$i") }
+    val st = struct((sortCols ++ payload.map(col)): _*)
+    df.groupBy(tags.map(col): _*)
+      .agg(call_function("topk_rows", st, lit(offset + n),
+        lit(sortCols.length), lit("A" * sortCols.length)).as("_tk_top"))
+      .select(posexplode(col("_tk_top")).as(Seq("_tk_pos", "_tk_row")))
+      .filter(col("_tk_pos") >= offset)
+      .select(payload.map(c => col(s"_tk_row.$c").as(c)): _*)
+  }
 
   /** SLIMIT n [SOFFSET m] — limit the number of *series*. Reference:
     * applied in `httpsender_transform.go` / ast.go:2142.
