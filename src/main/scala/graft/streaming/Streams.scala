@@ -110,6 +110,28 @@ object Streams {
       .dropDuplicatesWithinWatermark("_ck")
       .drop("_ck")
 
+  /** Streaming dedup against the LANDED corpus: drop arriving rows whose
+    * content fingerprint already exists in a static history frame (the
+    * fingerprints of everything previously admitted — e.g.
+    * `landed.select(xxhash64(text).as("fp"))`, or the dedup key column a
+    * curation pipeline persisted). Complements [[dedupStream]]: that op
+    * suppresses bursty near-in-time duplicates with bounded state, this
+    * one enforces the corpus-wide invariant via a stream-static LEFT
+    * ANTI join — per micro-batch Catalyst broadcasts the batch side or
+    * shuffles on the 8-byte fingerprint, never the text, and the
+    * history frame can be arbitrarily large because it stays a lazy
+    * batch scan (column-pruned to one LONG), re-planned each batch so
+    * an appended history file is picked up without restart. */
+  def dedupAgainstHistory(source: DataFrame, contentCols: Seq[String],
+                          historyFingerprints: DataFrame,
+                          fpCol: String = "fp"): DataFrame = {
+    val hist = historyFingerprints.select(col(fpCol).as("_ck")).distinct()
+    source
+      .withColumn("_ck", xxhash64(contentCols.map(col): _*))
+      .join(hist, Seq("_ck"), "left_anti")
+      .drop("_ck")
+  }
+
   /** Subscriptions (`influxql/ast.go:6049` CreateSubscriptionStatement;
     * dispatch at `coordinator/subscriber.go:230`): every write to a
     * measurement fans out to subscriber destinations. `ALL` is the

@@ -269,4 +269,22 @@ class StreamingSpec extends SparkSpec {
       assert(streamFp == batchFp)
     } finally q.stop()
   }
+
+  test("dedupAgainstHistory drops rows already in the landed corpus") {
+    implicit val sqlCtx = spark.sqlContext
+    val landed = Seq("seen before", "also landed")
+      .toDF("text").select(xxhash64($"text").as("fp"))
+    val mem = MemoryStream[(Long, String)]
+    val out = Streams.dedupAgainstHistory(
+      mem.toDF().toDF("doc_id", "text"), Seq("text"), landed)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("hist_dedup_out").start()
+    try {
+      mem.addData((1L, "seen before"), (2L, "brand new"),
+        (3L, "also landed"), (4L, "another fresh one"))
+      q.processAllAvailable()
+      assert(spark.table("hist_dedup_out").select($"doc_id")
+        .as[Long].collect().sorted.toSeq == Seq(2L, 4L))
+    } finally q.stop()
+  }
 }
