@@ -551,7 +551,27 @@ object PromQL {
     private def instantUncached(s: Sel): Vec = {
       val (m, df) = metricOf(s)
       val tus = unix_micros(col(m.time))
-      val ordKey = struct(tus +: m.tie.map(col): _*)
+      // Newest-wins ordering key. A struct key forces SortAggregate (the
+      // struct agg buffer is not UnsafeRow-mutable), i.e. a map-side
+      // SORT of every gridded sample. With the common single integral
+      // tiebreak, (µs, tie) packs order-isomorphically into one
+      // DECIMAL(38,0) — µs·10²⁰ + (tie + 2⁶³) — whose buffer IS mutable,
+      // so the whole newest-wins pass stays a hash aggregation. Exact
+      // for |µs| < 10¹⁸ (≈ ±31,688 years); the step 10²⁰ exceeds the
+      // shifted-tie range 2⁶⁴, so lexicographic order is preserved for
+      // negative epochs too.
+      import org.apache.spark.sql.types._
+      val integral: Set[DataType] =
+        Set(LongType, IntegerType, ShortType, ByteType)
+      val ordKey = m.tie match {
+        case Nil => tus.cast(DecimalType(38, 0))
+        case Seq(tc) if integral.contains(df.schema(tc).dataType) =>
+          tus.cast(DecimalType(18, 0)) *
+            lit(BigDecimal("100000000000000000000")) +
+            (col(tc).cast(DecimalType(20, 0)) +
+              lit(BigDecimal("9223372036854775808")))
+        case ties => struct(tus +: ties.map(col): _*)
+      }
       // Staleness markers (Prometheus stale NaN, modeled as an explicit
       // flag column): a marker is kept through newest-wins so it MASKS
       // older samples inside the lookback, then the masked series drops.

@@ -147,6 +147,12 @@ class ScaleSpec extends SparkSpec {
       assert("HashAggregate|ObjectHashAggregate|SortAggregate".r
         .findAllIn(plan).nonEmpty, s"$q: no aggregation found")
     }
+    // the newest-wins gridding must HASH-aggregate: the packed decimal
+    // ordering key keeps the max_by buffer UnsafeRow-mutable, where a
+    // struct key would force a map-side sort of every gridded sample
+    val q73 = planOf(SparkEntry.queries("q73_promql_agg")(spark, sf))
+    assert(!q73.contains("SortAggregate"),
+      s"q73 newest-wins must not sort-aggregate:\n$q73")
     // topk selects via the bounded-heap aggregate (map-side partials,
     // shuffle carries only the selected rows) — never a window rank,
     // which would move every series sample into one partition per step
