@@ -1637,13 +1637,21 @@ object InfluxQL {
           "sample must be the only projection")
         val c = calls.head
         val n = c.extra.getOrElse(1.0).toInt
-        val hw = Window.partitionBy(groupTags.map(col): _*)
-          .orderBy(xxhash64(unix_micros(col(m.time)), col(c.field)),
-            unix_micros(col(m.time)))
-        df.withColumn("_hr", row_number().over(hw))
-          .filter(col("_hr") <= n)
-          .select((Seq(unix_millis(col(m.time)).as("wstart_ms")) ++
-            groupTags.map(col) :+ col(c.field).as(c.fn)): _*)
+        // bounded-heap aggregate on (hash, time) asc — the reservoir is a
+        // map-side partial per series, so the shuffle carries ≤n rows per
+        // series per task (SeriesOps.topPerSeries doc for why not a rank)
+        graft.expressions.TopKRows.register(df.sparkSession)
+        val st = struct(Seq(
+          xxhash64(unix_micros(col(m.time)), col(c.field)).as("_tk_s0"),
+          unix_micros(col(m.time)).as("_tk_s1")) ++ df.columns.map(col): _*)
+        df.groupBy(groupTags.map(col): _*)
+          .agg(call_function("topk_rows", st, lit(n), lit(2), lit("AA"))
+            .as("_tk_top"))
+          .select(explode(col("_tk_top")).as("_tk_row"))
+          .select((Seq(unix_millis(col(s"_tk_row.${m.time}"))
+              .as("wstart_ms")) ++
+            groupTags.map(t => col(s"_tk_row.$t").as(t)) :+
+            col(s"_tk_row.${c.field}").as(c.fn)): _*)
       } else if (calls.nonEmpty || exprCalls.nonEmpty) {
         val allCalls = (calls ++ exprCalls).distinct
         val callName = allCalls.zip(aliasNames(allCalls)).toMap
