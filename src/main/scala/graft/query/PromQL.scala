@@ -869,10 +869,21 @@ object PromQL {
             case "limitk" =>
               val k = scalarArg(a.param.getOrElse(
                 sys.error("limitk needs a number"))).toInt
-              val w = Window.partitionBy((keep :+ "eval_ms").map(col): _*)
-                .orderBy(frac.asc +: v.labels.map(col(_).asc): _*)
-              Vec(df0.withColumn("_rk", row_number().over(w))
-                .filter(col("_rk") <= k).drop("_rk"), v.labels)
+              // bounded heap on (hash frac, labels) asc — same shape as
+              // topk above, shuffle carries only the picked series
+              graft.expressions.TopKRows.register(df0.sparkSession)
+              val payload = df0.columns.toSeq
+              val sortCols = frac.as("_tk_s0") +:
+                v.labels.zipWithIndex.map { case (l, i) =>
+                  col(l).as(s"_tk_s${i + 1}") }
+              val st = struct((sortCols ++ payload.map(col)): _*)
+              val out = df0.groupBy((keep :+ "eval_ms").map(col): _*)
+                .agg(call_function("topk_rows", st, lit(k),
+                  lit(1 + v.labels.size),
+                  lit("A" * (1 + v.labels.size))).as("_tk_top"))
+                .select(explode(col("_tk_top")).as("_tk_row"))
+                .select(payload.map(c => col(s"_tk_row.$c").as(c)): _*)
+              Vec(out, v.labels)
             case _ =>
               val r = scalarArg(a.param.getOrElse(
                 sys.error("limit_ratio needs a number")))
