@@ -38,6 +38,29 @@ object Similarity {
   def cosineNative(a: Column, b: Column): Column =
     dotNative(a, b) / (sqrt(dotNative(a, a)) * sqrt(dotNative(b, b)))
 
+
+  /** Per-query top-k by `score`, via the bounded-heap aggregate
+    * ([[graft.expressions.TopKRows]]): map-side partials keep ≤k
+    * candidates per query per task, so the shuffle after the candidate
+    * join carries O(k·|Q|·partitions) rows — a window rank would move
+    * EVERY scored (query, candidate) pair into one partition per query,
+    * the worst plan shape a |Q|×|corpus| fan-out can pick. Emits
+    * (payload columns of `df`) + 1-based `rank`. */
+  private def topKPerQuery(df: DataFrame, k: Int, score: Column,
+                           scoreDesc: Boolean): DataFrame = {
+    graft.expressions.TopKRows.register(df.sparkSession)
+    val payload = df.columns.toSeq
+    val st = struct(Seq(score.as("_tk_s0"),
+      col("neighbor_id").as("_tk_s1")) ++ payload.map(col): _*)
+    val mask = (if (scoreDesc) "D" else "A") + "A"
+    df.groupBy(col("query_id"))
+      .agg(call_function("topk_rows", st, lit(k), lit(2), lit(mask))
+        .as("_tk_top"))
+      .select(posexplode(col("_tk_top")).as(Seq("_tk_pos", "_tk_row")))
+      .select(payload.map(c => col(s"_tk_row.$c").as(c)) :+
+        (col("_tk_pos") + 1).cast("int").as("rank"): _*)
+  }
+
   /** Exact top-k cosine neighbors for each query vector.
     * `queries` is expected to be small (it is broadcast); `corpus` can be
     * arbitrarily large — the join is a broadcast nested loop producing
@@ -56,10 +79,8 @@ object Similarity {
       .join(q, col("query_id") =!= col("neighbor_id"))
       .withColumn("cos",
         dotNative(col("_qv"), col("_cv")) / (col("_qn") * col("_cn")))
-    scored.withColumn("rank", row_number().over(
-        Window.partitionBy(col("query_id"))
-          .orderBy(col("cos").desc, col("neighbor_id").asc)))
-      .filter(col("rank") <= k)
+    topKPerQuery(scored.select("query_id", "neighbor_id", "cos"), k,
+        col("cos"), scoreDesc = true)
       .select("query_id", "neighbor_id", "rank", "cos")
   }
 
@@ -208,14 +229,12 @@ object Similarity {
         slice(array_sort(qd), 1, nprobe).as("_probes"))
       .select(col("query_id"), col("_qv"), col("_qn"),
         explode(col("_probes.i")).as("_bkt")))
-    cb.join(qb, Seq("_bkt"))
+    val scored = cb.join(qb, Seq("_bkt"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos",
         dotNative(col("_qv"), col("_cv")) / (col("_qn") * col("_cn")))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("query_id"))
-          .orderBy(col("cos").desc, col("neighbor_id").asc)))
-      .filter(col("rank") <= k)
+    topKPerQuery(scored.select("query_id", "neighbor_id", "cos"), k,
+        col("cos"), scoreDesc = true)
       .select("query_id", "neighbor_id", "rank", "cos")
   }
 
@@ -297,22 +316,19 @@ object Similarity {
         aggregate(zip_with(col("_codes"), col("_tables"),
             (c, t) => element_at(t, c + 1)),
           lit(0.0), (acc, v) => acc + v))
-    val short = scored.withColumn("_arank", row_number().over(
-        Window.partitionBy(col("query_id"))
-          .orderBy(col("_adc").asc, col("neighbor_id").asc)))
-      .filter(col("_arank") <= k * refine)
+    val short = topKPerQuery(
+        scored.select("query_id", "_qv", "_qn", "neighbor_id", "_adc"),
+        k * refine, col("_adc"), scoreDesc = false)
       .select("query_id", "_qv", "_qn", "neighbor_id")
     // exact re-rank of the shortlist only
     val vecs = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).as("_cv"),
       sqrt(dotNative(col(vecCol), col(vecCol))).as("_cn"))
-    short.join(vecs, "neighbor_id")
+    val rescored = short.join(vecs, "neighbor_id")
       .withColumn("cos",
         dotNative(col("_qv"), col("_cv")) / (col("_qn") * col("_cn")))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("query_id"))
-          .orderBy(col("cos").desc, col("neighbor_id").asc)))
-      .filter(col("rank") <= k)
+    topKPerQuery(rescored.select("query_id", "neighbor_id", "cos"), k,
+        col("cos"), scoreDesc = true)
       .select("query_id", "neighbor_id", "rank", "cos")
   }
 
@@ -329,14 +345,12 @@ object Similarity {
       col(vecCol).as("_qv"),
       sqrt(dotNative(col(vecCol), col(vecCol))).as("_qn"),
       signBucket(col(vecCol), dim, planes).as("_bkt")))
-    cb.join(qb, Seq("_bkt"))
+    val scored = cb.join(qb, Seq("_bkt"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos",
         dotNative(col("_qv"), col("_cv")) / (col("_qn") * col("_cn")))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("query_id"))
-          .orderBy(col("cos").desc, col("neighbor_id").asc)))
-      .filter(col("rank") <= k)
+    topKPerQuery(scored.select("query_id", "neighbor_id", "cos"), k,
+        col("cos"), scoreDesc = true)
       .select("query_id", "neighbor_id", "rank", "cos")
   }
 }
