@@ -31,13 +31,34 @@ object WindowedAgg {
                  tz: Option[String] = None): DataFrame = {
     val tcol = tz.map(z => from_utc_timestamp(col(time), z))
       .getOrElse(col(time))
-    val groups = window(tcol, interval, interval, offset) +: tags.map(col)
-    val wstart = tz.map(z => to_utc_timestamp(col("window.start"), z))
-      .getOrElse(col("window.start"))
-    df.groupBy(groups: _*)
+    // Arithmetic tumbling bucket — floor((t − off)/size)·size + off in µs
+    // (pmod keeps floor semantics for pre-1970 epochs), identical
+    // assignment to Spark's `window(t, d, d, off)` but WITHOUT the
+    // per-row window-struct construction and the struct grouping key:
+    // the shuffle hashes one LONG instead of a struct of two
+    // timestamps, and the hot projection is two integer ops.
+    val sizeUs = fixedUs(interval)
+    val offUs = fixedUs(offset)
+    require(sizeUs > 0, s"bucket interval must be positive: $interval")
+    val rel = unix_micros(tcol) - lit(offUs)
+    val startUs = (rel - pmod(rel, lit(sizeUs)) + lit(offUs))
+      .as("_wstart_us")
+    val grouped = df.groupBy(startUs +: tags.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
-      .withColumn("wstart_ms", unix_millis(wstart))
-      .drop("window")
+    val wstartLocal = timestamp_micros(col("_wstart_us"))
+    val wstart = tz.map(z => to_utc_timestamp(wstartLocal, z))
+      .getOrElse(wstartLocal)
+    grouped.withColumn("wstart_ms", unix_millis(wstart))
+      .drop("_wstart_us")
+  }
+
+  /** Fixed-length interval in µs; calendar-varying (month) intervals are
+    * rejected, the same restriction Spark's `window()` imposes. */
+  private def fixedUs(s: String): Long = {
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+    require(iv.months == 0, s"calendar-varying interval unsupported: $s")
+    iv.days * 86400000000L + iv.microseconds
   }
 
   /** EXCEPT/`without` dimensions: group by every tag except the listed
