@@ -71,24 +71,27 @@ object PromRange {
     val tcol =
       if (inclusiveEnd) timestamp_micros(unix_micros(col(time)) - 1000L)
       else col(time)
-    if (ss <= rs) {
-      val startOff = s"${((ss - rs % ss) % ss)} milliseconds"
-      df.withColumn("window", window(tcol, range, step, startOff))
-    } else {
-      // floor-div on ms via pmod (exact for negative times too)
-      val tms = unix_millis(tcol)
-      def floorDiv(c: Column): Column =
-        ((c - pmod(c, lit(ss))) / lit(ss)).cast("long")
-      val kmin = floorDiv(tms) + 1
-      val kmax = floorDiv(tms + lit(rs))
-      val ks = when(kmax >= kmin, sequence(kmin, kmax))
-        .otherwise(array().cast("array<bigint>"))
-      df.withColumn("_k", explode(ks))
-        .withColumn("window", struct(
-          timestamp_millis(col("_k") * ss - rs).as("start"),
-          timestamp_millis(col("_k") * ss).as("end")))
-        .drop("_k")
-    }
+    // One arithmetic path for every range/step ratio: a sample at t
+    // belongs to windows [k·ss − rs, k·ss) for k in
+    // [⌊t/ss⌋+1, ⌊(t+rs)/ss⌋] — fan-out ≤ ⌈rs/ss⌉+1 rows. ms-floor
+    // assignment is exact because the window boundaries are whole ms.
+    // (`window(t, range, step, off)` computes the same membership but
+    // expands a per-row window-STRUCT expression per projection — the
+    // hottest expression in every PromQL range plan; here the expanded
+    // column is one LONG k and the struct is built once after.)
+    val tms = unix_millis(tcol)
+    // floor-div on ms via pmod (exact for negative times too)
+    def floorDiv(c: Column): Column =
+      ((c - pmod(c, lit(ss))) / lit(ss)).cast("long")
+    val kmin = floorDiv(tms) + 1
+    val kmax = floorDiv(tms + lit(rs))
+    val ks = when(kmax >= kmin, sequence(kmin, kmax))
+      .otherwise(array().cast("array<bigint>"))
+    df.withColumn("_k", explode(ks))
+      .withColumn("window", struct(
+        timestamp_millis(col("_k") * ss - rs).as("start"),
+        timestamp_millis(col("_k") * ss).as("end")))
+      .drop("_k")
   }
 
   def overTime(df: DataFrame, time: String, value: String,
