@@ -76,10 +76,24 @@ object WindowedAgg {
     * aggregate — still one shuffle, fan-out bounded by size/slide. */
   def slidingWindow(df: DataFrame, time: String, size: String, slide: String,
                     tags: Seq[String], aggs: Seq[Column]): DataFrame = {
-    val groups = window(col(time), size, slide) +: tags.map(col)
-    df.groupBy(groups: _*)
+    // arithmetic fan-out (PromRange.withRangeWindow shape): a sample at
+    // t joins windows [k·slide, k·slide+size) for
+    // k ∈ [⌊(t−size)/slide⌋+1, ⌊t/slide⌋] — the expanded column is one
+    // LONG instead of window()'s per-projection window-struct expression
+    val sizeUs = fixedUs(size); val slideUs = fixedUs(slide)
+    require(sizeUs > 0 && slideUs > 0, s"bad window $size / $slide")
+    val tu = unix_micros(col(time))
+    def floorDiv(c: Column): Column =
+      ((c - pmod(c, lit(slideUs))) / lit(slideUs)).cast("long")
+    val kmin = floorDiv(tu - lit(sizeUs)) + 1
+    val kmax = floorDiv(tu)
+    val ks = when(kmax >= kmin, sequence(kmin, kmax))
+      .otherwise(array().cast("array<bigint>"))
+    df.withColumn("_k", explode(ks))
+      .groupBy(col("_k") +: tags.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
-      .withColumn("wstart_ms", unix_millis(col("window.start")))
-      .drop("window")
+      .withColumn("wstart_ms",
+        unix_millis(timestamp_micros(col("_k") * lit(slideUs))))
+      .drop("_k")
   }
 }
