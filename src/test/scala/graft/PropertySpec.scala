@@ -91,6 +91,44 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("TopKRows: partials + serialize + merge equal a global sort " +
+      "under any partitioning") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, CreateNamedStruct, Literal}
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    import graft.expressions.TopKRows
+    val child = CreateNamedStruct(Seq(
+      Literal("v"), BoundReference(0, DoubleType, nullable = false),
+      Literal("t"), BoundReference(1, LongType, nullable = false)))
+    val rowsG = Gen.nonEmptyListOf(
+      // + 0.0 folds -0.0 into 0.0: UnsafeRow normalizes negative zero
+      // on write (SQL equality semantics), so the ground truth must too
+      Gen.zip(Gen.choose(-5.0, 5.0).map(x => math.rint(x * 4) / 4 + 0.0),
+        Gen.choose(0L, 30L)))
+    check(Prop.forAll(rowsG, Gen.choose(1, 6), Gen.choose(1, 8),
+        Gen.oneOf(true, false)) { (rows, nParts, k, desc) =>
+      val agg = TopKRows(child, k, 2, Seq(desc, false))
+      // split into chunks, run a partial per chunk, round-trip each
+      // through serialize/deserialize (the exchange), then merge
+      val chunks = rows.grouped(math.max(1, rows.size / nParts)).toSeq
+      val partials = chunks.map { ch =>
+        var b = agg.createAggregationBuffer()
+        ch.foreach { case (v, t) => b = agg.update(b, InternalRow(v, t)) }
+        agg.deserialize(agg.serialize(b))
+      }
+      val merged = partials.reduceLeft(agg.merge)
+      val got = agg.eval(merged).asInstanceOf[ArrayData].toObjectArray(
+          child.dataType).toSeq
+        .map(r => { val ir = r.asInstanceOf[InternalRow]
+          (ir.getDouble(0), ir.getLong(1)) })
+      val ord = Ordering.Tuple2(
+        if (desc) Ordering[Double].reverse else Ordering[Double],
+        Ordering[Long])
+      got == rows.sorted(ord).take(k)
+    })
+  }
+
   test("IPv4 helpers: mask/min/max invariants") {
     import graft.functions.GeminiFunctions._
     val octet = Gen.choose(0, 255)
