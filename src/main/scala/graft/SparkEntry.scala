@@ -645,9 +645,12 @@ object SparkEntry {
             .as("sum_purchase")))
       Meta.filterBlank(agg, Seq("sum_error", "sum_purchase"))
         .select("user_id", "wstart_ms", "sum_error", "sum_purchase")
-        // aggregated output is users×hours — tiny vs the scan; a single-
-        // partition sort replaces the range exchange (q102 precedent)
-        .coalesce(1)
+        // NO coalesce(1) here: unlike q07/q102 (fixed-cardinality
+        // outputs) this result is users×hours — it GROWS with the data,
+        // and the ×100 scaling run showed a single-partition sort of it
+        // dominating the query (13 s of a 13 s run). The range exchange
+        // costs one more scheduled job at sf0.1 and is the correct
+        // shape at every scale above it.
         .orderBy("user_id", "wstart_ms")
     }),
 
