@@ -134,7 +134,13 @@ object SparkEntry {
 
     // §2.3 joins: fact-fact shuffle join + broadcast dims (nation/region).
     "q03_join_revenue" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem"); val ord = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      // shuffle-hash hint: the date filter (pushed into the orders scan)
+      // keeps ~1/7 of orders, so the hash build is small per partition
+      // while a sort-merge join would sort the FULL lineitem side —
+      // O(n log n) wasted on the big fact (the ×100 scaling run measured
+      // it: 13.4 s, of which the lineitem sort dominated)
+      val ord = t(s, dir, "orders").hint("shuffle_hash")
       val cust = t(s, dir, "customer")
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
         .join(cust, col("o_custkey") === col("c_custkey"))
