@@ -548,7 +548,10 @@ object PromQL {
     private def instant(s: Sel): Vec =
       instantCache.getOrElseUpdate(s, instantUncached(s))
 
-    private def instantUncached(s: Sel): Vec = {
+    /** Shared newest-wins machinery for a selector: (metric, source
+      * frame, pick aggregate, unwrap). */
+    private def pickFor(s: Sel): (Metric, DataFrame, Column,
+        DataFrame => DataFrame) = {
       val (m, df) = metricOf(s)
       val tus = unix_micros(col(m.time))
       // Newest-wins ordering key. A struct key forces SortAggregate (the
@@ -590,14 +593,31 @@ object PromQL {
           (max_by(col(m.value).cast("double"), ordKey).as("value"),
             (d: DataFrame) => d)
       }
+      (m, df, pick, unwrap)
+    }
+
+    /** An `@`-pinned selector evaluated ONCE, ungridded: one row per
+      * series (labels + value), no `eval_ms`. */
+    private def pinnedUngridded(s: Sel): (Metric, DataFrame) = {
+      val (m, df, pick, unwrap) = pickFor(s)
+      val atMs = resolveAt(s.at.get)
+      // compare on the RAW time column, not unix_micros(time): a
+      // predicate on a function of the column never reaches the
+      // parquet row-group stats, which turns a 1-lookback read into
+      // a full-table scan (measured 13.8 s at the ×100 scale point)
+      (m, unwrap(df
+        .filter(col(m.time) >=
+            timestamp_micros(lit((atMs - lookbackS * 1000L) * 1000L)) &&
+          col(m.time) <= timestamp_micros(lit(atMs * 1000L)))
+        .groupBy(m.labels.map(col): _*)
+        .agg(pick)))
+    }
+
+    private def instantUncached(s: Sel): Vec = {
+      val (m, df, pick, unwrap) = pickFor(s)
       s.at match {
         case Some(a) =>
-          val atMs = resolveAt(a)
-          val pinned = unwrap(df
-            .filter(tus >= (atMs - lookbackS * 1000L) * 1000L &&
-              tus <= atMs * 1000L)
-            .groupBy(m.labels.map(col): _*)
-            .agg(pick))
+          val (_, pinned) = pinnedUngridded(s)
           // grid is tiny (one row per step) — broadcast the replication
           Vec(pinned.crossJoin(broadcast(evalGrid(m))), m.labels)
         case None =>
@@ -690,10 +710,10 @@ object PromQL {
           val ssMs = stepS * 1000L
           val tp = Math.floorDiv(atMs + ssMs - 1, ssMs) * ssMs
           val shiftUs = (tp - atMs) * 1000L
-          val tus = unix_micros(col(m1.time))
-          val d2 = df1
-            .filter(tus > (atMs - rangeS * 1000L) * 1000L &&
-              tus <= atMs * 1000L)
+          val d2 = df1 // raw-column bounds: parquet row-group prunable
+            .filter(col(m1.time) >
+                timestamp_micros(lit((atMs - rangeS * 1000L) * 1000L)) &&
+              col(m1.time) <= timestamp_micros(lit(atMs * 1000L)))
             .withColumn(m1.time,
               timestamp_micros(unix_micros(col(m1.time)) + shiftUs))
           (d2, m1.copy(df = d2), Some(tp))
@@ -744,9 +764,29 @@ object PromQL {
 
     // -- aggregations ------------------------------------------------------
     private def evalAgg(a: Agg): Vec = {
-      val v = evalVec(a.body) match {
-        case Left(x) => x
-        case Right(s) => sys.error(s"cannot aggregate scalar $s")
+      // `agg(metric @ t)` peephole: a pinned vector is CONSTANT across
+      // eval steps, so every step-wise aggregation commutes with the
+      // grid replication. Aggregate the ONE pinned instant (dummy step
+      // 0) through the unchanged per-step code below, then attach the
+      // grid to the aggregated result — without this, `sum(m @ t)` over
+      // a 500k-series metric replicates 500k rows × steps through the
+      // aggregation (measured 10 s at the ×100 scale point; now the
+      // replicated frame is |groups| × steps).
+      val regrid: Option[DataFrame => DataFrame] = a.body match {
+        case sel: Sel if sel.at.isDefined =>
+          val (m, _) = metricOf(sel)
+          Some((d: DataFrame) => d.drop("eval_ms")
+            .crossJoin(broadcast(evalGrid(m))))
+        case _ => None
+      }
+      val v = a.body match {
+        case sel: Sel if regrid.isDefined =>
+          val (m, pinned) = pinnedUngridded(sel)
+          Vec(pinned.withColumn("eval_ms", lit(0L)), m.labels)
+        case _ => evalVec(a.body) match {
+          case Left(x) => x
+          case Right(s) => sys.error(s"cannot aggregate scalar $s")
+        }
       }
       // no modifier → aggregate everything away (keep = ∅); `without ()`
       // keeps all labels; `by ()` keeps none
@@ -775,7 +815,7 @@ object PromQL {
           .when(anyNeg, lit(Double.NegativeInfinity))
           .otherwise(c)
       val nonNaN = when(!isnan(v0), v0)
-      a.op match {
+      val aggregated: Vec = a.op match {
         case "sum" =>
           Vec(df0.groupBy(groups: _*)
             .agg(nanOr(dsum(col("value"))).as("value")), keep)
@@ -894,6 +934,10 @@ object PromQL {
               Vec(df0.filter(kept), v.labels)
           }
         case other => sys.error(s"unsupported aggregation $other")
+      }
+      regrid match {
+        case Some(f) => Vec(f(aggregated.df), aggregated.labels)
+        case None => aggregated
       }
     }
 
