@@ -557,10 +557,12 @@ object SparkEntry {
     "q41_ema" -> ((s, dir) => {
       val perPoint = Smoothing.ema(t(s, dir, "events"), "value", "ts",
         Seq("user_id"), n = 10)
-      val w = Window.partitionBy(col("user_id")).orderBy(col("_t").desc)
-      perPoint.withColumn("_rn", row_number().over(w))
-        .filter(col("_rn") === 1)
-        .select(col("user_id"), col("ema").as("ema_last"))
+      // last row per series via max_by — reuses the EMA pass's
+      // partitioning (no exchange) and skips the full descending
+      // re-sort a rank would pay ((user_id, ts) is unique, so the pick
+      // is exact)
+      perPoint.groupBy(col("user_id"))
+        .agg(max_by(col("ema"), col("_t")).as("ema_last"))
         .orderBy("user_id")
     }),
 
