@@ -26,9 +26,11 @@ object Bench {
       // ObjectHashAggregate (TypedImperativeAggregate partials: top-k,
       // sketches) falls back to sort-based at 128 distinct groups by
       // default — a map-side sort of the whole input. The buffers are
-      // k-bounded heaps / fixed sketches, so 128k groups is still small.
+      // k-bounded heaps / fixed sketches (~100 B), so 1M groups is
+      // ~100 MB per task — cheap against a 60 M-row map-side sort (the
+      // ×100 sweep hit the 128k ceiling on per-user limits).
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        "131072")
+        "1048576")
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

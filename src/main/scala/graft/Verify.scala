@@ -14,7 +14,7 @@ object Verify {
       // k-bounded/fixed-size agg buffers: keep ObjectHashAggregate off
       // its 128-group sort-based fallback (see Bench.scala).
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        "131072")
+        "1048576")
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
