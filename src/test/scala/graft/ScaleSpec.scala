@@ -121,6 +121,18 @@ class ScaleSpec extends SparkSpec {
       .findAllIn(plan).size <= 4)
   }
 
+  test("ANN per-query ranks use the bounded heap, never a window") {
+    // a window rank would shuffle every scored (query, candidate) pair
+    // into one partition per query — the worst shape a |Q|×|corpus|
+    // fan-out can pick; the heap keeps ≤k per query per task map-side
+    for (q <- Seq("q27_knn_cosine", "q82_ann_lsh", "q87_ann_ivf",
+        "q109_ann_ivfpq")) {
+      val plan = planOf(SparkEntry.queries(q)(spark, sf))
+      assert(!plan.contains("Window "), s"$q must not rank via window")
+      assert(plan.contains("topk_rows"), s"$q must use topk_rows")
+    }
+  }
+
   test("round-5 queries keep scale-safe plans") {
     // q96: window replication + one aggregation pair, no joins at all
     val q96 = planOf(SparkEntry.queries("q96_prom_stats_over_time")(spark, sf))
