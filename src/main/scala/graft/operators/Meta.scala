@@ -23,11 +23,17 @@ object Meta {
     Tables.all.toDF("name").orderBy("name")
   }
 
-  /** SHOW SERIES: the distinct tag sets of a measurement. */
+  /** SHOW SERIES: the distinct tag sets of a measurement. Distinct runs
+    * on the raw tag columns (native types, partial-aggregated map-side);
+    * the series-key string renders only for the distinct survivors —
+    * not once per input row. (Also the more correct order: distinct on
+    * raw values cannot be confused by separator characters inside tag
+    * values.) */
   def showSeries(df: DataFrame, tags: Seq[String]): DataFrame =
-    df.select(concat_ws(",", tags.map(t =>
+    df.select(tags.map(col): _*).distinct()
+      .select(concat_ws(",", tags.map(t =>
         concat_ws("=", lit(t), col(t).cast("string"))): _*).as("series_key"))
-      .distinct().orderBy("series_key")
+      .orderBy("series_key")
 
   /** SHOW TAG VALUES WITH KEY = k. */
   def showTagValues(df: DataFrame, tag: String): DataFrame =
