@@ -616,11 +616,12 @@ object SparkEntry {
       val counted = t(s, dir, "events")
         .groupBy(col("event_type"), col("user_id"))
         .agg(count(lit(1)).as("cnt"))
-      val w = Window.partitionBy(col("event_type"))
-        .orderBy(col("cnt").desc, col("user_id").asc)
-      counted.withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= 3)
-        .select(col("event_type"), col("rnk"), col("user_id"), col("cnt"))
+      // bounded heap, not a window: ranking by the 5 event_types would
+      // put all counted series into 5 tasks
+      SeriesOps.topPerSeries(counted, "cnt", "user_id",
+          Seq("event_type"), 3)
+        .select(col("event_type"), col("rank_in_series").as("rnk"),
+          col("user_id"), col("cnt"))
         .orderBy("event_type", "rnk")
     }),
 
