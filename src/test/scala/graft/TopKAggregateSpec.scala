@@ -50,6 +50,24 @@ class TopKAggregateSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("limitPerSeries honors offset across partitions") {
+    val got = SeriesOps.limitPerSeries(df, "time", Seq("tag"), n = 3,
+        offset = 2, tieBreak = Seq("aux"))
+      .select("tag", "time", "value", "aux")
+      .orderBy("tag", "time").as[(String, Long, Double, String)]
+      .collect().toSeq
+    val want = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"tag").orderBy($"time".asc, $"aux".asc)
+      df.withColumn("_rn", row_number().over(w))
+        .filter($"_rn" > 2 && $"_rn" <= 5)
+        .select("tag", "time", "value", "aux")
+        .orderBy("tag", "time").as[(String, Long, Double, String)]
+        .collect().toSeq
+    }
+    assert(got == want && got.nonEmpty)
+  }
+
   test("map-side partials keep the shuffle bounded: no Window in the plan") {
     val plan = SeriesOps.topPerSeries(df, "value", "time", Seq("tag"), 5)
       .queryExecution.executedPlan.toString
