@@ -1558,18 +1558,22 @@ object SparkEntry {
     }),
 
     // pipeline: benchmark DECONTAMINATION — flag training docs sharing
-    // any word-3-gram with an eval-set doc (here: every 50th doc stands
-    // in for the benchmark). Scale shape: the benchmark gram set is tiny
-    // by nature (eval suites are MBs against a 100 TB corpus), so it
-    // BROADCASTs — the corpus is touched once at scan parallelism, and
-    // the only shuffle is the per-doc count combine.
+    // any word-3-gram with an eval-set doc (here: every 50th doc of the
+    // BASE id range stands in for the benchmark; the absolute id bound
+    // encodes that eval suites are fixed-size — MBs against a 100 TB
+    // corpus — so the gram set stays broadcastable no matter how much
+    // the corpus grows; without it the ×100 replica run measured 209 s
+    // building a corpus-proportional broadcast). The corpus is touched
+    // once at scan parallelism; the only shuffle is the per-doc count
+    // combine.
     "q108_decontamination" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select("doc_id", "text")
       val grams = docs.select(col("doc_id"),
         explode(Dedup.shingles(col("text"), 3)).as("gram"))
-      val bench = grams.filter(col("doc_id") % 50 === 0)
+      val bench = grams
+        .filter(col("doc_id") % 50 === 0 && col("doc_id") < 100000000L)
         .select(col("doc_id").as("bench_id"), col("gram"))
-      grams.filter(col("doc_id") % 50 =!= 0)
+      grams.filter(col("doc_id") % 50 =!= 0 || col("doc_id") >= 100000000L)
         .join(broadcast(bench), "gram")
         .groupBy("doc_id")
         .agg(countDistinct(col("bench_id")).as("n_bench_hits"))
@@ -3036,8 +3040,10 @@ object SparkEntry {
              [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
               for i in range(1, len(toks)-1)]) AS grams
            FROM d),
-         b AS (SELECT * FROM g WHERE doc_id % 50 = 0),
-         c AS (SELECT * FROM g WHERE doc_id % 50 <> 0)
+         b AS (SELECT * FROM g WHERE doc_id % 50 = 0
+                 AND doc_id < 100000000),
+         c AS (SELECT * FROM g WHERE doc_id % 50 <> 0
+                 OR doc_id >= 100000000)
          SELECT c.doc_id AS doc_id, count(DISTINCT b.doc_id) AS n_bench_hits
          FROM c JOIN b ON len(list_intersect(c.grams, b.grams)) > 0
          GROUP BY 1 ORDER BY 1"""
