@@ -59,7 +59,10 @@ object TextAnalysis {
     langMarkers.toSeq.sortBy(_._1).map { case (lang, words) =>
       val pat = words.map(java.util.regex.Pattern.quote)
         .mkString("(?:^|\\s)(?:", "|", ")(?:\\s|$)")
-      lang -> size(regexp_extract_all(text, lit(pat), lit(0))).cast("double")
+      // regexp_count: same non-overlapping match count as
+      // size(regexp_extract_all(...)) without materializing the match
+      // array per row
+      lang -> regexp_count(text, lit(pat)).cast("double")
     }
 
   def langId(text: Column): Column = {
