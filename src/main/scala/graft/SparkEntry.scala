@@ -158,8 +158,11 @@ object SparkEntry {
 
     // §2.3 IN-subquery → left-semi join (reference in_transform.go).
     "q04_semi_join" -> ((s, dir) => {
+      // shuffle-hash: the quantity filter keeps ~2% of lineitem, so the
+      // semi-join's build side is small per partition while a sort-merge
+      // would sort the full orders side (q03's lesson at ×100)
       val hot = t(s, dir, "lineitem").filter(col("l_quantity") >= 49)
-        .select(col("l_orderkey"))
+        .select(col("l_orderkey")).hint("shuffle_hash")
       t(s, dir, "orders")
         .join(hot, col("o_orderkey") === col("l_orderkey"), "left_semi")
         .groupBy(col("o_orderstatus"))
@@ -169,9 +172,11 @@ object SparkEntry {
 
     // §2.3 NOT IN → left-anti join.
     "q05_anti_join" -> ((s, dir) => {
+      // shuffle-hash: hash the orders keys instead of sorting 15M rows
       t(s, dir, "customer")
-        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"),
-          "left_anti")
+        .join(t(s, dir, "orders").select(col("o_custkey"))
+            .hint("shuffle_hash"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n_customers"), min(col("c_custkey")).as("min_custkey"))
         .orderBy("c_mktsegment")
