@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Size-gated execution profile, applied per query invocation.
+  *
+  * Spark's adaptive query execution materializes every exchange as its own
+  * job (stage-by-stage re-optimization) — the right trade on a 100 TB scan,
+  * where runtime stats drive coalescing, skew splitting, and join re-plans,
+  * but pure scheduling overhead on a small scan: a 5-exchange plan over a
+  * few MB pays 5 serialized job floors (~80 ms each on local[32]) to move
+  * kilobytes. Real engines special-case small inputs the same way (e.g. a
+  * single-stage "small query" path); the reference executes every query as
+  * one pipeline regardless of size, so its per-query floor is flat.
+  *
+  * Policy: if the query's source directory holds less than
+  * [[smallInputBytes]] of parquet, run the query without AQE and with a
+  * small fixed shuffle fan-out (the whole DAG becomes ONE scheduled job);
+  * otherwise restore the session's scale profile (AQE on, fan-out =
+  * default parallelism). The gate is input-driven, so the ×10/×100 scale
+  * harness dirs and any real deployment keep AQE — only genuinely tiny
+  * inputs take the fast path.
+  */
+object ExecProfile {
+
+  /** Inputs below this take the single-job small-query path. The ×10
+    * replica dir (~1.5 GB of parquet) must stay on the AQE path — its
+    * shuffles are large enough that runtime coalescing pays for the
+    * stage barriers. */
+  val smallInputBytes: Long = 1L << 30
+
+  /** Shuffle fan-out for the small path: enough to keep 32 cores busy on
+    * a skewed few-MB shuffle, few enough that per-task overhead stays
+    * under the job floor. */
+  val smallShufflePartitions = 8
+
+  private val sizeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** Total bytes of regular files under `dir`, memoized per path (the
+    * bench/verify data dirs are immutable within a run; tests that
+    * regenerate a dir use fresh temp paths). */
+  def dirBytes(dir: String): Long =
+    sizeCache.computeIfAbsent(dir, d => {
+      val p = java.nio.file.Paths.get(d)
+      if (!java.nio.file.Files.isDirectory(p)) 0L
+      else {
+        val s = java.nio.file.Files.walk(p)
+        try s.filter(java.nio.file.Files.isRegularFile(_))
+          .mapToLong(java.nio.file.Files.size(_)).sum()
+        finally s.close()
+      }
+    })
+
+  /** Apply the input-size profile for a query over `dir`. Runtime confs
+    * only — the session's builder-time settings are untouched. */
+  def tune(spark: SparkSession, dir: String): Unit = {
+    val small = dirBytes(dir) < smallInputBytes
+    spark.conf.set("spark.sql.adaptive.enabled", (!small).toString)
+    spark.conf.set("spark.sql.shuffle.partitions",
+      if (small) smallShufflePartitions.toString
+      else spark.sparkContext.defaultParallelism.toString)
+    // On the small path a planner-chosen broadcast join costs MORE than a
+    // shuffle: the broadcast build is its own scheduled job, serialized
+    // before the main job (one more job floor), while an 8-partition
+    // shuffle of a few MB is just one extra stage inside the same job.
+    // Explicit broadcast() hints in operators still win over this
+    // threshold, so deliberately-broadcast dimensions keep their shape.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+      if (small) "-1" else "10485760")
+    spark.conf.set("spark.sql.join.preferSortMergeJoin",
+      if (small) "false" else "true")
+    // A single small parquet file scans as ONE task under the default
+    // 128 MB split size — a serial scan stage on a 32-core machine. Split
+    // small inputs finer so scan stages parallelize; at scale the default
+    // keeps task counts sane.
+    spark.conf.set("spark.sql.files.maxPartitionBytes",
+      if (small) "4m" else "128m")
+  }
+}

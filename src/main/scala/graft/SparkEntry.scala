@@ -100,7 +100,45 @@ object SparkEntry {
   }
 
   // ---- query inventory -----------------------------------------------------
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+  /** Prepared-plan cache: the analyzed/optimized DataFrame per
+    * (session, dir, query), keyed with a directory fingerprint (top-level
+    * entry names + mtimes + sizes) so an in-place data regeneration
+    * invalidates the entry instead of serving a stale file listing — the
+    * same freshness rule as [[evExtent]]. Building a query re-runs the
+    * text frontend + Catalyst analysis/optimization (30-110 ms of driver
+    * CPU); a prepared statement pays that once, which is also what the
+    * reference's query layer does with its compiled-statement reuse. */
+  private val planCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, String, String), DataFrame]()
+
+  private def dirFingerprint(dir: String): String = {
+    val p = java.nio.file.Paths.get(dir)
+    if (!java.nio.file.Files.isDirectory(p)) "absent"
+    else {
+      val s = java.nio.file.Files.list(p)
+      try s.map[String] { e =>
+        val a = java.nio.file.Files.readAttributes(
+          e, classOf[java.nio.file.attribute.BasicFileAttributes])
+        s"${e.getFileName}:${a.lastModifiedTime.toMillis}:${a.size}"
+      }.sorted().reduce("", (a, b) => a + "|" + b)
+      finally s.close()
+    }
+  }
+
+  /** Public inventory: every query runs under the input-size execution
+    * profile ([[ExecProfile.tune]] — AQE + shuffle fan-out keyed on the
+    * source dir's bytes) and through the prepared-plan cache. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    rawQueries.map { case (name, fn) =>
+      name -> ((s: SparkSession, dir: String) => {
+        ExecProfile.tune(s, dir)
+        planCache.computeIfAbsent((s, dir, name, dirFingerprint(dir)),
+          _ => fn(s, dir))
+      })
+    }
+
+  private def rawQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // §2.4 stream/hash agg: GROUP BY + {sum, avg, count} (TPC-H Q1 shape).
     "q01_agg_basic" -> ((s, dir) => {

@@ -1,12 +1,12 @@
 package graft
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 
-/** Dev tool: run SparkEntry queries and print each scheduled job's
-  * call site + wall time. Usage: runMain graft.JobTrace <q1,q2,...> [sfDir]
+/** Dev tool: per-stage wall + task time for one query execution.
+  * Usage: runMain graft.StageTime <q1,...> [sfDir]
   */
-object JobTrace {
+object StageTime {
   def main(args: Array[String]): Unit = {
     val names = args(0).split(',').map(_.trim).filter(_.nonEmpty)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
@@ -23,23 +23,29 @@ object JobTrace {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val jobs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val stages = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     spark.sparkContext.addSparkListener(new SparkListener {
-      override def onJobStart(j: SparkListenerJobStart): Unit =
-        jobs.add(s"  job ${j.jobId}: stages=[${j.stageInfos.map(si => si.name + ":" + si.numTasks).mkString("; ")}]")
+      override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
+        val si = e.stageInfo
+        val wall = (si.completionTime.getOrElse(0L) -
+          si.submissionTime.getOrElse(0L))
+        stages.add(f"  stage ${si.stageId} tasks=${si.numTasks} wall=${wall}ms " +
+          f"exec=${si.taskMetrics.executorRunTime}ms " +
+          f"deser=${si.taskMetrics.executorDeserializeTime}ms " +
+          f"shW=${si.taskMetrics.shuffleWriteMetrics.writeTime / 1000000}ms " +
+          f"${si.name.take(60)}")
+      }
     })
     names.foreach { name =>
-      // warm-up run (jobs recorded but discarded below)
-      SparkEntry.queries(name)(spark, sfDir).count()
-      Thread.sleep(200)
-      jobs.clear()
+      SparkEntry.queries(name)(spark, sfDir).count() // warm
+      Thread.sleep(300); stages.clear()
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, sfDir).count()
       val s = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(300)
-      println(f"[jobtrace] $name: $s%.3f s, ${jobs.size} jobs")
-      jobs.forEach(println)
-      jobs.clear()
+      Thread.sleep(400)
+      println(f"[stagetime] $name: $s%.3f s")
+      stages.forEach(println)
+      stages.clear()
     }
     spark.stop()
   }

@@ -17,16 +17,90 @@ import org.apache.spark.sql.functions._
   */
 object Fill {
 
+  /** The bucketed frame feeds 2-3 consumers (series list, bounds, the
+    * spine join) — materialize it once instead of recomputing the source
+    * scan per consumer. Catalyst's column pruning + filter pushdown
+    * specialize each subtree (a pruned distinct collapses onto the raw
+    * scan, a pushed filter breaks exchange canonical-equality), so
+    * exchange reuse does NOT deduplicate them; persisting the aggregated
+    * frame (≈ n_series × n_buckets rows — the query's own output
+    * magnitude, NOT the raw input) is the standard Spark answer and is
+    * exactly the downsampled view a reference continuous query would
+    * maintain. */
+  private def shared(agg: DataFrame): DataFrame = {
+    if (agg.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      agg.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    agg
+  }
+
   /** Build the dense (tags × bucket) spine over [startMs, endMs) with the
     * given step, left-joined with `agg` (whose bucket column is `wstart_ms`
     * epoch millis, as produced by WindowedAgg.timeBucket). */
-  private def spine(agg: DataFrame, tags: Seq[String],
+  private def spine(agg0: DataFrame, tags: Seq[String],
                     startMs: Long, endMs: Long, stepMs: Long): DataFrame = {
+    val agg = shared(agg0)
     val series = agg.select(tags.map(col): _*).distinct()
     val spine = series.withColumn("wstart_ms",
       explode(sequence(lit(startMs), lit(endMs - 1), lit(stepMs))))
     spine.join(agg, tags :+ "wstart_ms", "left_outer")
   }
+
+  /** Dense spine with bounds derived from the data IN-PLAN: the bucket
+    * column's global min/max (each bucket start is already step-aligned,
+    * so min(wstart_ms) IS the clamped spine start) computed as a 1-row
+    * aggregate that is broadcast-cross-joined under the spine explode —
+    * no driver-side min/max action, no extra scheduled job, and no
+    * monotonicity assumption about tz()-shifted axes. An empty input
+    * yields an empty spine (null bounds filtered), matching the
+    * reference's "no rows → no series" rule. */
+  private def spineAuto(agg0: DataFrame, tags: Seq[String],
+                        stepMs: Long): DataFrame = {
+    val agg = shared(agg0)
+    val b = agg.agg(min(col("wstart_ms")).as("_blo"),
+      max(col("wstart_ms")).as("_bhi"))
+    // The 1-row bounds frame joins under the session's broadcast policy:
+    // broadcast at scale (the hint), but NOT under the small-query
+    // profile (ExecProfile sets threshold -1), where a broadcast build
+    // would be its own scheduled job — a 1-row cartesian inside the main
+    // job is strictly cheaper there.
+    val bcast =
+      agg.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold") != "-1"
+    val withB =
+      if (tags.isEmpty) b
+      else agg.select(tags.map(col): _*).distinct()
+        .crossJoin(if (bcast) broadcast(b) else b)
+    withB.filter(col("_blo").isNotNull)
+      .withColumn("wstart_ms",
+        explode(sequence(col("_blo"), col("_bhi"), lit(stepMs))))
+      .drop("_blo", "_bhi")
+      .join(agg, tags :+ "wstart_ms", "left_outer")
+  }
+
+  /** [[fillValue]] with data-derived bounds (see [[spineAuto]]). */
+  def fillValueAuto(agg: DataFrame, valueCols: Seq[String], tags: Seq[String],
+                    stepMs: Long, fill: Option[Double] = None): DataFrame = {
+    val dense = spineAuto(agg, tags, stepMs)
+    fill match {
+      case Some(v) => valueCols.foldLeft(dense)((d, c) =>
+        d.withColumn(c, coalesce(col(c), lit(v).cast(d.schema(c).dataType))))
+      case None => dense
+    }
+  }
+
+  /** [[fillPrevious]] with data-derived bounds (see [[spineAuto]]). */
+  def fillPreviousAuto(agg: DataFrame, valueCols: Seq[String],
+                       tags: Seq[String], stepMs: Long): DataFrame = {
+    val dense = spineAuto(agg, tags, stepMs)
+    val w = Window.partitionBy(tags.map(col): _*).orderBy(col("wstart_ms"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    valueCols.foldLeft(dense)((d, c) =>
+      d.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+  }
+
+  /** [[fillLinear]] with data-derived bounds (see [[spineAuto]]). */
+  def fillLinearAuto(agg: DataFrame, valueCol: String,
+                     tags: Seq[String], stepMs: Long): DataFrame =
+    interpolate(spineAuto(agg, tags, stepMs), valueCol, tags)
 
   /** fill(null) / fill(<value>): dense spine, missing buckets null or a
     * constant. */
@@ -56,8 +130,11 @@ object Fill {
   /** fill(linear): interpolate missing buckets between surrounding
     * observations; edges stay null (InfluxQL semantics). */
   def fillLinear(agg: DataFrame, valueCol: String, tags: Seq[String],
-                 startMs: Long, endMs: Long, stepMs: Long): DataFrame = {
-    val dense = spine(agg, tags, startMs, endMs, stepMs)
+                 startMs: Long, endMs: Long, stepMs: Long): DataFrame =
+    interpolate(spine(agg, tags, startMs, endMs, stepMs), valueCol, tags)
+
+  private def interpolate(dense: DataFrame, valueCol: String,
+                          tags: Seq[String]): DataFrame = {
     val wAll = Window.partitionBy(tags.map(col): _*).orderBy(col("wstart_ms"))
     val wPrev = wAll.rowsBetween(Window.unboundedPreceding, 0)
     val wNext = wAll.rowsBetween(0, Window.unboundedFollowing)

@@ -1684,46 +1684,50 @@ object InfluxQL {
                 // axis (no WHERE narrowing rows, no tz() shifting the
                 // axis) gets them free from parquet footer stats — the
                 // measurement's extentMs, same as PromQL.evalGrid — so
-                // no extra scan-stage job is scheduled; otherwise one
-                // column-pruned min/max pass of the filtered frame.
-                val boundsOpt: Option[(Long, Long)] =
-                  (if (q.where.isEmpty && q.tz.isEmpty) m.extentMs
-                   else None).orElse {
-                    val b = axisDf.agg(
-                      min(unix_millis(col(m.time))),
-                      max(unix_millis(col(m.time)))).collect()(0)
-                    if (b.isNullAt(0)) None
-                    else Some((b.getLong(0), b.getLong(1)))
-                  }
-                if (boundsOpt.isEmpty)
-                  q.tz.map(z => bucketed.withColumn("wstart_ms",
-                      unix_millis(to_utc_timestamp(
-                        timestamp_millis(col("wstart_ms")), z))))
-                    .getOrElse(bucketed)
-                else {
-                  val (bLo, bHi) = boundsOpt.get
-                  val step = ns / 1000000
-                  val off = q.intervalOffsetNs.getOrElse(0L) / 1000000
-                  val lo = Math.floorDiv(bLo - off, step) * step + off
-                  val hi = Math.floorDiv(bHi - off, step) * step + off + step
-                  val names = bucketed.columns
-                    .filterNot(c => c == "wstart_ms" || groupTags.contains(c))
-                  val filled = mode match {
-                    case FillNull => Fill.fillValue(bucketed, names.toSeq,
-                      groupTags, lo, hi, step)
-                    case FillValue(v) => Fill.fillValue(bucketed, names.toSeq,
-                      groupTags, lo, hi, step, Some(v))
-                    case FillPrevious => Fill.fillPrevious(bucketed,
-                      names.toSeq, groupTags, lo, hi, step)
-                    case FillLinear => Fill.fillLinear(bucketed, names.head,
-                      groupTags, lo, hi, step)
+                // no extra scan-stage job is scheduled. Otherwise the
+                // bounds fold INTO the plan (Fill.*Auto: the bucketed
+                // frame's min/max wstart_ms broadcast under the spine
+                // explode) — no driver min/max action, and no
+                // monotonicity assumption about the tz()-shifted axis
+                // (DST fall-back makes wall time non-monotone in UTC,
+                // so shifting footer extents would be wrong in general).
+                val step = ns / 1000000
+                val names = bucketed.columns
+                  .filterNot(c => c == "wstart_ms" || groupTags.contains(c))
+                val staticBounds: Option[(Long, Long)] =
+                  if (q.where.isEmpty && q.tz.isEmpty) m.extentMs else None
+                val filled = staticBounds match {
+                  case Some((bLo, bHi)) =>
+                    val off = q.intervalOffsetNs.getOrElse(0L) / 1000000
+                    val lo = Math.floorDiv(bLo - off, step) * step + off
+                    val hi = Math.floorDiv(bHi - off, step) * step + off + step
+                    mode match {
+                      case FillNull => Fill.fillValue(bucketed, names.toSeq,
+                        groupTags, lo, hi, step)
+                      case FillValue(v) => Fill.fillValue(bucketed,
+                        names.toSeq, groupTags, lo, hi, step, Some(v))
+                      case FillPrevious => Fill.fillPrevious(bucketed,
+                        names.toSeq, groupTags, lo, hi, step)
+                      case FillLinear => Fill.fillLinear(bucketed, names.head,
+                        groupTags, lo, hi, step)
+                      case FillNone => bucketed
+                    }
+                  case None => mode match {
+                    case FillNull => Fill.fillValueAuto(bucketed, names.toSeq,
+                      groupTags, step)
+                    case FillValue(v) => Fill.fillValueAuto(bucketed,
+                      names.toSeq, groupTags, step, Some(v))
+                    case FillPrevious => Fill.fillPreviousAuto(bucketed,
+                      names.toSeq, groupTags, step)
+                    case FillLinear => Fill.fillLinearAuto(bucketed,
+                      names.head, groupTags, step)
                     case FillNone => bucketed
                   }
-                  q.tz.map(z => filled.withColumn("wstart_ms",
-                      unix_millis(to_utc_timestamp(
-                        timestamp_millis(col("wstart_ms")), z))))
-                    .getOrElse(filled)
                 }
+                q.tz.map(z => filled.withColumn("wstart_ms",
+                    unix_millis(to_utc_timestamp(
+                      timestamp_millis(col("wstart_ms")), z))))
+                  .getOrElse(filled)
             }
           case None =>
             if (groupTags.nonEmpty)

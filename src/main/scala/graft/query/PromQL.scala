@@ -653,7 +653,13 @@ object PromQL {
           // disagrees with the oracle's `//` floor for pre-1970 epochs
           val kmin = Math.floorDiv(lo + ssMs - 1, ssMs)
           val kmax = Math.floorDiv(hi + ssMs - 1, ssMs)
-          spark.range(kmin, kmax + 1)
+          // size the grid's partition count to the grid, not to
+          // defaultParallelism — a 700-point hourly grid in 32 slices
+          // is 32 near-empty shuffle-map tasks per consumer
+          val slices = math.max(1L, math.min(
+            spark.sparkContext.defaultParallelism.toLong,
+            (kmax + 1 - kmin) / 65536 + 1)).toInt
+          spark.range(kmin, kmax + 1, 1, slices)
             .select((col("id") * ssMs).as("eval_ms"))
       }
     }

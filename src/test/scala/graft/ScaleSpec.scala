@@ -186,9 +186,9 @@ class ScaleSpec extends SparkSpec {
 
   test("unbounded fill spines clamp from footer stats: no bounds scan job") {
     // with extentMs registered (parquet footer stats), the fill spine's
-    // min/max clamp is a metadata lookup — the query schedules no extra
-    // scan-stage job for bounds (the PromQL evalGrid contract, now on
-    // the InfluxQL path too)
+    // min/max clamp is a metadata lookup; WITHOUT extent the bounds fold
+    // into the plan (Fill.*Auto) instead of a driver min/max collect —
+    // either way the whole query is ONE scheduled job
     import graft.query.InfluxQL
     val events = Tables.table(spark, sf, "events")
     val extent = graft.sources.ParquetStats.timeExtentMs(
@@ -196,20 +196,25 @@ class ScaleSpec extends SparkSpec {
     assert(extent.isDefined)
     val sql = "SELECT mean(value) FROM events GROUP BY time(1d) fill(previous)"
     val sc = spark.sparkContext
-    def jobsOf(group: String, extentMs: Option[(Long, Long)]): Int = {
+    // BUILDING the query must schedule no job in either mode: with extent
+    // the clamp is a metadata lookup, without it the bounds are plan
+    // operators (Fill.*Auto), never a driver-side min/max collect.
+    def buildJobs(group: String, extentMs: Option[(Long, Long)]) = {
       val cat = Map("events" -> InfluxQL.Measurement(
         events, tags = Nil, extentMs = extentMs))
       sc.setJobGroup(group, group)
-      val out = InfluxQL.execute(cat, sql).collect()
+      val df = InfluxQL.execute(cat, sql)
+      df.queryExecution.executedPlan // force full planning too
       sc.clearJobGroup()
-      assert(out.nonEmpty)
-      sc.statusTracker.getJobIdsForGroup(group).length
+      (df, sc.statusTracker.getJobIdsForGroup(group).length)
     }
-    val without = jobsOf("fill-scan-bounds", None)
-    val withExtent = jobsOf("fill-footer-bounds", extent)
-    assert(withExtent < without,
-      s"footer-stat bounds must drop the bounds-scan job " +
-        s"($withExtent vs $without)")
+    val (dfNo, jobsNo) = buildJobs("fill-bounds-build-scan", None)
+    val (dfExt, jobsExt) = buildJobs("fill-bounds-build-footer", extent)
+    assert(jobsNo == 0,
+      s"plan-folded bounds must not run jobs at build time ($jobsNo)")
+    assert(jobsExt == 0,
+      s"footer-stat bounds must not run jobs at build time ($jobsExt)")
+    assert(dfNo.collect().nonEmpty && dfExt.collect().nonEmpty)
     // and the results are identical either way
     val a = InfluxQL.execute(Map("events" -> InfluxQL.Measurement(
       events, Nil, extentMs = extent)), sql).collect().toSeq
