@@ -1,6 +1,7 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.broadcast
 
 /** Size-gated execution profile, applied per query invocation.
   *
@@ -77,4 +78,14 @@ object ExecProfile {
     spark.conf.set("spark.sql.files.maxPartitionBytes",
       if (small) "4m" else "128m")
   }
+
+  /** Broadcast `df` under the session's broadcast policy: the hint at
+    * scale, a plain (shuffle) join under the small-query profile where a
+    * broadcast build would be its own scheduled job. Use for operator-
+    * internal tiny frames whose join strategy should follow the profile;
+    * deliberately-broadcast DIMENSIONS keep an unconditional hint. */
+  def maybeBroadcast(df: DataFrame): DataFrame =
+    if (df.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold") == "-1")
+      df
+    else broadcast(df)
 }

@@ -128,13 +128,38 @@ object SparkEntry {
 
   /** Public inventory: every query runs under the input-size execution
     * profile ([[ExecProfile.tune]] — AQE + shuffle fan-out keyed on the
-    * source dir's bytes) and through the prepared-plan cache. */
+    * source dir's bytes) and through the prepared-plan cache.
+    *
+    * ONLY pure plans are cached: a query whose construction itself runs
+    * Spark jobs (RCA's frontier search, connected-components rounds, PQ
+    * codebook training) embeds computed RESULTS in the returned frame —
+    * memoizing those would turn a repeat invocation into a result-cache
+    * hit, which is the HTTP layer's job (ResultsCache, with TTL and
+    * extent splitting), not the embedded API's. Such queries rebuild on
+    * every call so benchmarks measure the real recomputation. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     rawQueries.map { case (name, fn) =>
       name -> ((s: SparkSession, dir: String) => {
         ExecProfile.tune(s, dir)
-        planCache.computeIfAbsent((s, dir, name, dirFingerprint(dir)),
-          _ => fn(s, dir))
+        val key = (s, dir, name, dirFingerprint(dir))
+        val hit = planCache.get(key)
+        if (hit != null) hit
+        else {
+          val sc = s.sparkContext
+          val outerGroup = sc.getLocalProperty("spark.jobGroup.id")
+          val outerDesc = sc.getLocalProperty("spark.job.description")
+          val probe = s"plan-build-$name"
+          sc.setJobGroup(probe, probe)
+          val df =
+            try fn(s, dir)
+            finally {
+              sc.setLocalProperty("spark.jobGroup.id", outerGroup)
+              sc.setLocalProperty("spark.job.description", outerDesc)
+            }
+          if (sc.statusTracker.getJobIdsForGroup(probe).isEmpty)
+            planCache.put(key, df)
+          df
+        }
       })
     }
 

@@ -58,17 +58,13 @@ object Fill {
     val agg = shared(agg0)
     val b = agg.agg(min(col("wstart_ms")).as("_blo"),
       max(col("wstart_ms")).as("_bhi"))
-    // The 1-row bounds frame joins under the session's broadcast policy:
-    // broadcast at scale (the hint), but NOT under the small-query
-    // profile (ExecProfile sets threshold -1), where a broadcast build
-    // would be its own scheduled job — a 1-row cartesian inside the main
-    // job is strictly cheaper there.
-    val bcast =
-      agg.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold") != "-1"
+    // The 1-row bounds frame joins under the session's broadcast policy
+    // (ExecProfile.maybeBroadcast): broadcast at scale, a 1-row cartesian
+    // inside the main job under the small-query profile.
     val withB =
       if (tags.isEmpty) b
       else agg.select(tags.map(col): _*).distinct()
-        .crossJoin(if (bcast) broadcast(b) else b)
+        .crossJoin(graft.ExecProfile.maybeBroadcast(b))
     withB.filter(col("_blo").isNotNull)
       .withColumn("wstart_ms",
         explode(sequence(col("_blo"), col("_bhi"), lit(stepMs))))

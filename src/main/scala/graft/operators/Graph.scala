@@ -47,44 +47,25 @@ object Graph {
     nodes match {
       case Some((nodeDf, cond)) =>
         val allowed = nodeDf.filter(cond).select(col("node_id"))
-        // Small allowed set + small edge frame (by plan stats): collect
-        // the ids once and apply the node condition in memory while
-        // building the resident adjacency — the whole restricted BFS is
-        // two tiny jobs (ids, edges) instead of per-hop scans behind
-        // two broadcast-semi-join builds. (An InSet predicate was tried
-        // and rejected: 16k inline literals cost more analyzer time
-        // than this whole query.) Past either guard the semi-join plan
-        // takes over unchanged.
-        if (planBytes(allowed) <= maxResidentBytes) {
-          import edges.sparkSession.implicits._
-          val sel = e1.select(col("src").cast("long"),
-            col("dst").cast("long"))
-          if (planBytes(sel) <= maxResidentBytes) {
-            // the two collects are independent Spark jobs — submit the
-            // id collect from another thread so it overlaps the edge
-            // collect inside tryResident (classic concurrent-action
-            // driver pattern; wall time = max, not sum)
-            import scala.concurrent.{Await, Future}
-            import scala.concurrent.ExecutionContext.Implicits.global
-            val idsFut = Future {
-              val a = allowed.as[Long].collect()
-              java.util.Arrays.sort(a); a
-            }
-            val resident = tryResident(sel, callerCached = false, start,
-              hopNum,
-              Some(() => Await.result(idsFut,
-                scala.concurrent.duration.Duration.Inf)),
-              undirected)
-            resident match {
-              case Some(df) => return df
-              case None => ()
-            }
-          }
-        }
+        // The node condition compiles to two semi-joins INSIDE the edge
+        // plan, so the restricted topology is ONE collect action (one
+        // scheduled job) on the resident tier — not a separate allowed-id
+        // collect racing the edge collect. The canonical-plan memo key
+        // includes the conditions, so distinct restrictions of one
+        // resident topology memoize independently.
         val e2 = e1.join(allowed.withColumnRenamed("node_id", "src"),
             Seq("src"), "left_semi")
           .join(allowed.withColumnRenamed("node_id", "dst"),
             Seq("dst"), "left_semi")
+        if (planBytes(allowed) <= maxResidentBytes &&
+            planBytes(e1) <= maxResidentBytes) {
+          val sel = e2.select(col("src").cast("long"),
+            col("dst").cast("long"))
+          tryResident(sel, start, hopNum, undirected) match {
+            case Some(df) => return df
+            case None => ()
+          }
+        }
         hops(e2, start, hopNum, maxDriverFrontier, undirected)
       case None => hops(e1, start, hopNum, maxDriverFrontier, undirected)
     }
@@ -106,50 +87,119 @@ object Graph {
     sys.props.get("graft.graph.maxResidentBytes").map(_.toLong)
       .getOrElse(256L << 20)) // test hook: set 0 to force frontier tiers
 
-  /** Driver-resident adjacency, memoized per (session, semantic plan) for
-    * caller-persisted (resident) edge frames — repeated GRAPH statements
-    * over the same topology traverse pure memory, exactly the reference's
-    * model. Bounded: entries only for frames under [[maxResidentBytes]],
-    * crude full-clear once the memo exceeds 16 topologies. */
-  private val adjMemo = new java.util.concurrent.ConcurrentHashMap[
-    (org.apache.spark.sql.SparkSession, Int),
-    scala.collection.mutable.LongMap[Array[Long]]]()
+  /** Driver-resident adjacency memo for caller-persisted (resident) edge
+    * frames — repeated GRAPH statements over the same topology traverse
+    * pure memory, exactly the reference's model.
+    *
+    * Keying/invalidation (sessions are weak keys, so a stopped session's
+    * topologies are collectable):
+    *  - the inner key is the FULL canonicalized plan AFTER cached-data
+    *    substitution (`withCachedData`): a caller-persisted frame keys on
+    *    its InMemoryRelation, so unpersisting and rebuilding over updated
+    *    source files (new file listing → different relation) misses the
+    *    memo instead of serving a stale topology, and two different
+    *    topologies can never collide the way a 32-bit semanticHash could;
+    *  - entries are LRU-bounded at [[maxMemoTopologies]];
+    *  - [[invalidateResident]] is the explicit drop-hook for callers that
+    *    mutate data behind an identical plan. */
+  private type MemoKey =
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String, Boolean)
+  private val maxMemoTopologies = 16
+  private val adjMemo = new java.util.WeakHashMap[
+    org.apache.spark.sql.SparkSession,
+    java.util.LinkedHashMap[MemoKey,
+      scala.collection.mutable.LongMap[Array[Long]]]]()
+
+  private def memoFor(spark: org.apache.spark.sql.SparkSession) =
+    adjMemo.synchronized {
+      var m = adjMemo.get(spark)
+      if (m == null) {
+        m = new java.util.LinkedHashMap[MemoKey,
+          scala.collection.mutable.LongMap[Array[Long]]](
+          maxMemoTopologies + 1, 0.75f, true) {
+          override def removeEldestEntry(e: java.util.Map.Entry[MemoKey,
+            scala.collection.mutable.LongMap[Array[Long]]]) =
+            size() > maxMemoTopologies
+        }
+        adjMemo.put(spark, m)
+      }
+      m
+    }
+
+  /** Drop every memoized resident topology for `spark` — the invalidation
+    * hook for callers that changed data behind an unchanged plan. */
+  def invalidateResident(spark: org.apache.spark.sql.SparkSession): Unit =
+    adjMemo.synchronized {
+      val m = adjMemo.get(spark); if (m != null) m.clear()
+    }
+
+  /** Freshness fingerprint of a plan's file sources: (path, mtime, size)
+    * per leaf input file. Included in the memo key so regenerating data
+    * at the SAME path (same canonical plan) misses the memo instead of
+    * serving a stale topology. None (= never memoize) when the source
+    * set is too large to stat cheaply or non-file-based. */
+  private def sourceFingerprint(df: DataFrame): Option[String] = {
+    val leaves = df.queryExecution.optimizedPlan.collectLeaves()
+    val files = scala.collection.mutable.ArrayBuffer.empty[String]
+    leaves.foreach {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            files ++= fs.location.inputFiles
+          case _ => return None
+        }
+      case _: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+        // a caller-persisted frame: its identity is already in the
+        // canonical plan (the relation), and its contents are frozen
+        // by definition of persist — nothing to stat
+        ()
+      case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => ()
+      case _ => return None
+    }
+    if (files.length > 1024) return None
+    val sb = new StringBuilder
+    files.sorted.foreach { f =>
+      val p = java.nio.file.Paths.get(java.net.URI.create(
+        if (f.contains(":/")) f else s"file://$f"))
+      val (m, s) =
+        try {
+          val a = java.nio.file.Files.readAttributes(
+            p, classOf[java.nio.file.attribute.BasicFileAttributes])
+          (a.lastModifiedTime.toMillis, a.size)
+        } catch { case _: Exception => return None }
+      sb.append(f).append(':').append(m).append(':').append(s).append('|')
+    }
+    Some(sb.result())
+  }
 
   /** Resident-tier BFS: collect the (already small-by-stats) edge frame,
     * build / reuse a driver adjacency, traverse in memory. Returns None
     * when the stats under-estimated and the frame is too big after all
-    * (the frontier tiers then run unchanged). `allowedSorted`: optional
-    * node restriction applied while building the adjacency (GRAPH
-    * NodeCondition) — such filtered topologies are never memoized. */
-  private def tryResident(sel: DataFrame, callerCached: Boolean,
-                          start: Long, hopNum: Int,
-                          allowedSorted: Option[() => Array[Long]],
+    * (the frontier tiers then run unchanged) — the collect itself is
+    * bounded by a limit(cap+1), so an under-estimate costs at most cap+1
+    * rows of driver memory, never an unbounded materialization. */
+  private val residentEdgeCap = 8 << 20
+  private def tryResident(sel: DataFrame, start: Long, hopNum: Int,
                           undirected: Boolean = false)
       : Option[DataFrame] = {
     val spark = sel.sparkSession
     import spark.implicits._
-    val key = (spark,
-      sel.queryExecution.logical.semanticHash() * 2 +
-        (if (undirected) 1 else 0))
-    val canMemo = callerCached && allowedSorted.isEmpty
-    val memoized = if (canMemo) Option(adjMemo.get(key)) else None
+    // memo key: full canonicalized plan (after cached-data substitution,
+    // so a persisted frame keys on its InMemoryRelation) + source-file
+    // freshness fingerprint + direction. Non-fingerprintable sources
+    // (streaming, exotic relations) never memoize.
+    val fp = sourceFingerprint(sel)
+    val key: Option[MemoKey] = fp.map(f =>
+      (sel.queryExecution.withCachedData.canonicalized, f, undirected))
+    val memo = memoFor(spark)
+    val memoized = key.flatMap(k =>
+      memo.synchronized(Option(memo.get(k))))
     val adjOpt = memoized.orElse {
-      val pairs = sel.as[(Long, Long)].collect()
-      if (pairs.length > (8 << 20)) None // stats under-estimated; bail
+      val pairs = sel.limit(residentEdgeCap + 1).as[(Long, Long)].collect()
+      if (pairs.length > residentEdgeCap) None // stats under-estimated
       else {
-        val kept = allowedSorted match {
-          case Some(idsThunk) =>
-            val ids = idsThunk() // joins the concurrently-collected set
-            pairs.filter { case (s, d) =>
-              java.util.Arrays.binarySearch(ids, s) >= 0 &&
-                java.util.Arrays.binarySearch(ids, d) >= 0 }
-          case None => pairs
-        }
-        val adj = buildAdjacency(kept, undirected)
-        if (canMemo) { // memoize resident frames only
-          if (adjMemo.size > 16) adjMemo.clear()
-          adjMemo.put(key, adj)
-        }
+        val adj = buildAdjacency(pairs, undirected)
+        key.foreach(k => memo.synchronized(memo.put(k, adj)))
         Some(adj)
       }
     }
@@ -225,7 +275,7 @@ object Graph {
     // 100 TB the estimate is in the terabytes and BFS goes straight to
     // the frontier tiers below.
     if (planBytes(sel) <= maxResidentBytes) {
-      tryResident(sel, callerCached, start, hopNum, None, undirected) match {
+      tryResident(sel, start, hopNum, undirected) match {
         case Some(df) => return df
         case None => () // fall through to the frontier tiers
       }

@@ -65,6 +65,50 @@ object Rca {
     anomalies.unionByName(alarmEnd).unionByName(loose)
   }
 
+  /** The expansion fixpoint over a driver-resident topology: identical
+    * semantics to the frontier tiers (RcaSpec asserts tier equivalence),
+    * pure in-process — the reference's own execution model. */
+  private def residentFixpoint(spark: org.apache.spark.sql.SparkSession,
+                               pairs: Array[(String, String)],
+                               corrSet: Set[String], core: String,
+                               hopCount: Int, maxRounds: Int)
+      : (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val adj = scala.collection.mutable.Map
+      .empty[String, scala.collection.mutable.ArrayBuffer[String]]
+    pairs.foreach { case (s0, d0) =>
+      adj.getOrElseUpdate(s0,
+        scala.collection.mutable.ArrayBuffer.empty[String]) += d0
+    }
+    var expanded = Set(core)
+    var included = Set(core)
+    var newlyExp = Set(core)
+    var rounds = 0
+    while (newlyExp.nonEmpty && rounds < maxRounds) {
+      rounds += 1
+      var reach = newlyExp
+      var frontier = newlyExp
+      var h = 0
+      while (h < hopCount && frontier.nonEmpty) {
+        h += 1
+        val nextIds = frontier.flatMap(n =>
+          adj.get(n).map(_.toSeq).getOrElse(Seq.empty))
+        frontier = nextIds -- reach
+        reach ++= nextIds
+      }
+      included ++= reach
+      newlyExp = reach.filter(id => corrSet(id) || id == core) -- expanded
+      expanded ++= newlyExp
+    }
+    val nodes = included.toSeq.sorted
+      .map(id => (id, corrSet(id) || id == core, expanded.contains(id)))
+      .toDF("entity_id", "correlated", "expanded").coalesce(1)
+    val inducedEdges = pairs.toSeq
+      .filter { case (s0, d0) => included(s0) && included(d0) }
+      .toDF("src", "dst").coalesce(1)
+    (nodes, inducedEdges)
+  }
+
   /** Fault demarcation from `core`. `events`: (entity_id, event_type,
     * event_ms); `edges`: (src, dst) — pass the symmetrized frame for an
     * undirected topology. Returns (nodes, edges): nodes carry
@@ -90,6 +134,59 @@ object Rca {
     val spark = events.sparkSession
     import spark.implicits._
 
+    // ---- fully-resident tier ----------------------------------------
+    // The reference runs the whole demarcation over in-process maps
+    // (rca.go:160); when BOTH the event feed and the topology are small
+    // by plan stats, collect each once (limit-bounded) and run
+    // everything — core timestamps, correlation windows, the expansion
+    // fixpoint — in driver memory: 2 scheduled jobs + the result
+    // materialization, instead of one collect per hop per round. Stats
+    // under-estimates fall through; at 100 TB neither guard engages.
+    val residentBytes = BigInt(256L << 20)
+    val evCap = 1 << 21
+    val edgeCap = 8 << 20
+    val evSel = events.select(col("entity_id").cast("string"),
+      col("event_type").cast("string"), col("event_ms").cast("long"))
+    val selR =
+      edges.select(col("src").cast("string"), col("dst").cast("string"))
+    def stats(df: DataFrame) =
+      df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (stats(evSel) <= residentBytes && stats(selR) <= residentBytes) {
+      val evRows =
+        evSel.limit(evCap + 1).as[(String, String, Long)].collect()
+      if (evRows.length <= evCap) {
+        val pairs = selR.limit(edgeCap + 1).as[(String, String)].collect()
+        // maxDriverFrontier bounds every driver-resident NODE set, this
+        // tier's included: topology endpoints are its superset
+        val nodeBound = pairs.iterator
+          .flatMap(p => Iterator(p._1, p._2)).toSet.size
+        if (pairs.length <= edgeCap && nodeBound <= maxDriverFrontier) {
+          val coreTsR = evRows
+            .collect { case (e, t, ms) if e == core && t == "anomaly" => ms }
+            .distinct.sorted
+          require(coreTsR.nonEmpty,
+            s"no anomaly timestamps for core entity $core")
+          def winMs(t: String): Long =
+            if (t == "anomaly" || t == "alarm_end") 30L * 60 * 1000
+            else 120L * 60 * 1000
+          def nearCore(ms: Long, w: Long): Boolean = {
+            val i = java.util.Arrays.binarySearch(coreTsR, ms)
+            if (i >= 0) true
+            else {
+              val ins = -i - 1
+              (ins < coreTsR.length && coreTsR(ins) - ms <= w) ||
+                (ins > 0 && ms - coreTsR(ins - 1) <= w)
+            }
+          }
+          val corrSet = evRows.iterator
+            .collect { case (e, t, ms) if nearCore(ms, winMs(t)) => e }
+            .toSet
+          return residentFixpoint(spark, pairs, corrSet, core, hopCount,
+            maxRounds)
+        }
+      }
+    }
+
     // the core's anomaly timestamps (driver-side, one entity's list —
     // the reference does the same in extractCoreAnomalyTimestamps)
     val coreTs = events
@@ -99,14 +196,41 @@ object Rca {
 
     // distributed correlation test: any event within its window of any
     // core timestamp (the timestamp list rides the plan as one literal).
-    // Persisted — every round's flag join and the final node flags read
-    // it; at 100 TB its cardinality is #entities-with-events, unbounded,
-    // which is exactly why it never collects.
+    // At 100 TB its cardinality is #entities-with-events, unbounded,
+    // which is exactly why the frontier tiers below never collect it
+    // whole.
     val tsArr = array(coreTs.map(lit(_)).toIndexedSeq: _*)
-    val correlatedDf = events
+    val correlatedPlan = events
       .filter(exists(tsArr,
         t => abs(col("event_ms") - t) <= windowMs(col("event_type"))))
       .select(col("entity_id")).distinct()
+
+    // ---- resident tier ----------------------------------------------
+    // The reference runs the WHOLE demarcation over in-process maps
+    // (rca.go:160 works on collected annotation/topology state); mirror
+    // that — same architecture as [[Graph]]'s tier 0 — when the topology
+    // and the correlated set are small by plan stats: collect each ONCE
+    // (limit-bounded, so an under-estimate costs a bounded collect and a
+    // fall-through, never an OOM) and run the fixpoint in driver memory.
+    // Three scheduled jobs total instead of (hopCount+1) per expansion
+    // round. At 100 TB the stats guard never engages and the frontier
+    // tiers below run unchanged.
+    if (stats(selR) <= residentBytes &&
+        stats(correlatedPlan) <= residentBytes) {
+      val pairs =
+        selR.limit(edgeCap + 1).as[(String, String)].collect()
+      val nodeBound = pairs.iterator
+        .flatMap(p => Iterator(p._1, p._2)).toSet.size
+      if (pairs.length <= edgeCap && nodeBound <= maxDriverFrontier) {
+        val corrArr = correlatedPlan.limit(maxDriverFrontier + 1)
+          .as[String].collect()
+        if (corrArr.length <= maxDriverFrontier)
+          return residentFixpoint(spark, pairs, corrArr.toSet, core,
+            hopCount, maxRounds)
+      }
+    }
+
+    val correlatedDf = correlatedPlan
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // caller-persisted topology (a resident service graph) keeps its

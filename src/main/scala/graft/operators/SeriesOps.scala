@@ -229,7 +229,7 @@ object SeriesOps {
       .orderBy(tags.map(col): _*)
       .limit(n + soffset)
       .offset(soffset)
-    df.join(broadcast(series), tags, "left_semi")
+    df.join(graft.ExecProfile.maybeBroadcast(series), tags, "left_semi")
   }
 
   // ------------------------------------------------- chunked lag substrate

@@ -81,7 +81,11 @@ class RcaSpec extends SparkSpec {
       ("c1", "anomaly", T),
       ("c2", "anomaly", T + 10 * 60 * 1000L))
       .toDF("entity_id", "event_type", "event_ms")
-    val (_, e1) = Rca.faultDemarcation(events, edges, "c1", hopCount = 2)
+    // maxDriverFrontier=1 forces past the resident tier (whose local
+    // result frame legitimately has no joins) onto the distributed
+    // path, whose membership must ride joins
+    val (_, e1) = Rca.faultDemarcation(events, edges, "c1", hopCount = 2,
+      maxDriverFrontier = 1)
     val plan = e1.queryExecution.executedPlan.toString
     assert(plan.contains("LeftSemi"), plan)
     // membership must ride a join, never an In/InSet literal list
