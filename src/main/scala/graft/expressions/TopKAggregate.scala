@@ -65,8 +65,13 @@ case class TopKRows(
           val bv = if (b.isNullAt(i)) null else b.get(i, dt)
           val c =
             if (av == null && bv == null) 0
-            else if (av == null) -1 // null is always worst
-            else if (bv == null) 1
+            // Spark's default null ordering (asc_nulls_first /
+            // desc_nulls_last): on an ASC key a null ranks FIRST (best),
+            // on a DESC key it ranks LAST (worst) — matching the
+            // window-rank plans this aggregate replaced, so null time or
+            // field values select the same rows either way
+            else if (av == null) { if (desc(i)) -1 else 1 }
+            else if (bv == null) { if (desc(i)) 1 else -1 }
             else {
               val n = fieldOrds(i).compare(av, bv)
               if (desc(i)) n else -n // asc: smaller is better
@@ -110,8 +115,9 @@ case class TopKRows(
       val av = vals(i)
       val c =
         if (av == null && bv == null) 0
-        else if (av == null) -1
-        else if (bv == null) 1
+        // same direction-aware null rule as `goodness` above
+        else if (av == null) { if (desc(i)) -1 else 1 }
+        else if (bv == null) { if (desc(i)) 1 else -1 }
         else {
           val n = fieldOrds(i).compare(av, bv)
           if (desc(i)) n else -n
@@ -143,8 +149,25 @@ case class TopKRows(
           buf.offer(row)
         }
       case None =>
+        // InternalRow.copy() on a GenericInternalRow (an interpreted
+        // struct producer, e.g. If/CaseWhen over structs from SQL) is
+        // SHALLOW — the copied array still points at UTF8String/array
+        // buffers the scan recycles. Deep-copy per field, same as the
+        // CreateNamedStruct fast path above.
         val v = child.eval(input)
-        if (v != null) insert(buf, v.asInstanceOf[InternalRow].copy())
+        if (v != null) {
+          val r = v.asInstanceOf[InternalRow]
+          val n = structType.length
+          val row = new GenericInternalRow(n)
+          var i = 0
+          while (i < n) {
+            val fv =
+              if (r.isNullAt(i)) null else r.get(i, structType(i).dataType)
+            row.update(i, copyValue(fv))
+            i += 1
+          }
+          insert(buf, row)
+        }
     }
     buf
   }

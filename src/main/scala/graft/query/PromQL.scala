@@ -569,9 +569,13 @@ object PromQL {
       val ordKey = m.tie match {
         case Nil => tus.cast(DecimalType(38, 0))
         case Seq(tc) if integral.contains(df.schema(tc).dataType) =>
+          // a NULL tie must degrade to worst-tiebreak, not nullify the
+          // whole key (max_by skips null-keyed rows — the sample would
+          // silently vanish from last-sample selection)
           tus.cast(DecimalType(18, 0)) *
             lit(BigDecimal("100000000000000000000")) +
-            (col(tc).cast(DecimalType(20, 0)) +
+            (coalesce(col(tc), lit(Long.MinValue))
+              .cast(DecimalType(20, 0)) +
               lit(BigDecimal("9223372036854775808")))
         case ties => struct(tus +: ties.map(col): _*)
       }

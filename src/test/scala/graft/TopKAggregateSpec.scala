@@ -68,6 +68,48 @@ class TopKAggregateSpec extends SparkSpec {
     assert(got == want && got.nonEmpty)
   }
 
+  test("generic struct path deep-copies buffered rows (SQL If over structs)") {
+    // an If over two named_structs is NOT a CreateNamedStruct at the
+    // aggregate's child, so update() takes the generic path; the buffered
+    // rows hold strings whose backing buffers the scan recycles — a
+    // shallow copy returns corrupted aux values
+    graft.expressions.TopKRows.register(spark)
+    val wide = (1 to 500).map(i =>
+      (i.toDouble, s"left_payload_$i", s"right_payload_$i"))
+      .toDF("v", "a", "b").repartition(7)
+    wide.createOrReplaceTempView("topk_generic_in")
+    val got = spark.sql(
+      """SELECT explode(topk_rows(
+        |  IF(v % 2 = 0, named_struct('v', v, 'aux', a),
+        |               named_struct('v', v, 'aux', b)), 4, 1, 'D')) AS r
+        |FROM topk_generic_in""".stripMargin)
+      .select("r.v", "r.aux").as[(Double, String)].collect().toSeq.sortBy(_._1)
+    val want = (1 to 500).map(i =>
+      (i.toDouble, if (i % 2 == 0) s"left_payload_$i" else s"right_payload_$i"))
+      .sortBy(-_._1).take(4).sortBy(_._1)
+    assert(got == want)
+  }
+
+  test("null sort keys rank like the window plans (asc nulls first, desc last)") {
+    val withNulls = Seq[(String, java.lang.Long, java.lang.Double)](
+      ("a", 1L, 5.0), ("a", null, 7.0), ("a", 3L, 6.0), ("a", 4L, null),
+      ("a", 5L, 8.0)).toDF("tag", "time", "value").repartition(3)
+    // bottom=true sorts value ASC: null value ranks FIRST (Spark asc
+    // default), exactly what row_number over value.asc would pick
+    val got = SeriesOps.topPerSeries(withNulls, "value", "time", Seq("tag"),
+        2, bottom = true)
+      .select("rank_in_series", "time")
+      .orderBy("rank_in_series").as[(Int, Option[Long])].collect().toSeq
+    val want = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"tag").orderBy($"value".asc, $"time".asc)
+      withNulls.withColumn("r", row_number().over(w)).filter($"r" <= 2)
+        .select("r", "time").orderBy("r")
+        .as[(Int, Option[Long])].collect().toSeq
+    }
+    assert(got == want)
+  }
+
   test("map-side partials keep the shuffle bounded: no Window in the plan") {
     val plan = SeriesOps.topPerSeries(df, "value", "time", Seq("tag"), 5)
       .queryExecution.executedPlan.toString
