@@ -63,5 +63,22 @@ object Verify {
       System.err.println(s"[verify] ${errors.size} queries FAILED: " +
         errors.keys.mkString(", "))
     spark.stop()
+
+    // Independent cross-check of the queries DuckDB cannot oracle
+    // (tools/oracle.py: pure-python XXH64 replications, numpy
+    // Holt-Winters, sketch error bounds, ANN recall vs brute force).
+    // Best-effort — a missing python must not fail the dump; the
+    // verdicts land in outDir/_crosscheck.json beside the parquet.
+    if (only.isEmpty && Files.exists(Paths.get("tools/oracle.py")))
+      try {
+        val p = new ProcessBuilder("python3", "tools/oracle.py",
+            sfDir, outDir)
+          .redirectErrorStream(true).start()
+        val log = new String(p.getInputStream.readAllBytes())
+        p.waitFor()
+        print(log)
+      } catch { case e: Exception =>
+        System.err.println(s"[verify] crosscheck skipped: $e")
+      }
   }
 }

@@ -332,21 +332,59 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cos")
   }
 
-  /** LSH-bucketed ANN: join queries and corpus on the sign bucket, rank
-    * within candidates. Recall < 1 by construction; bucket count 2^planes
-    * bounds each candidate set. */
+  /** LSH-bucketed ANN: join queries and corpus on sign buckets, rank
+    * within candidates. Recall < 1 by construction.
+    *
+    * `bands = 1` is classic single-table LSH: one 2^planes-bucket code,
+    * candidates = same-bucket. `bands > 1` is the multi-table (banded)
+    * construction — `planes` hyperplanes split into `bands` groups of
+    * r = planes/bands bits; a candidate matches on ANY band (same OR-of-
+    * ANDs shape as MinHash banding), so recall for a pair at angle θ is
+    * 1 − (1 − p^r)^bands with p = 1 − θ/π, tunable without touching the
+    * candidate-volume bound: a random pair collides a given band w.p.
+    * 2^-r, so per-query candidates stay ≤ bands · |corpus| / 2^r in
+    * expectation. Scale shape is unchanged — bucket equi-join on 8-byte
+    * (band, pattern) keys, never a pair enumeration; the distinct
+    * candidate set is re-scored against the corpus by id (one bounded
+    * shuffle). */
   def lshTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
-              idCol: String, dim: Int, planes: Int, k: Int): DataFrame = {
+              idCol: String, dim: Int, planes: Int, k: Int,
+              bands: Int = 1): DataFrame = {
     graft.expressions.VectorExpressions.register(corpus.sparkSession)
-    val cb = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"),
-      sqrt(dotNative(col(vecCol), col(vecCol))).as("_cn"),
-      signBucket(col(vecCol), dim, planes).as("_bkt"))
-    val qb = broadcast(queries.select(col(idCol).as("query_id"),
+    val qPrepped = broadcast(queries.select(col(idCol).as("query_id"),
       col(vecCol).as("_qv"),
-      sqrt(dotNative(col(vecCol), col(vecCol))).as("_qn"),
-      signBucket(col(vecCol), dim, planes).as("_bkt")))
-    val scored = cb.join(qb, Seq("_bkt"))
+      sqrt(dotNative(col(vecCol), col(vecCol))).as("_qn")))
+    if (bands <= 1) {
+      val cb = corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).as("_cv"),
+        sqrt(dotNative(col(vecCol), col(vecCol))).as("_cn"),
+        signBucket(col(vecCol), dim, planes).as("_bkt"))
+      val qb = broadcast(queries.select(col(idCol).as("query_id"),
+        col(vecCol).as("_qv"),
+        sqrt(dotNative(col(vecCol), col(vecCol))).as("_qn"),
+        signBucket(col(vecCol), dim, planes).as("_bkt")))
+      val scored = cb.join(qb, Seq("_bkt"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .withColumn("cos",
+          dotNative(col("_qv"), col("_cv")) / (col("_qn") * col("_cn")))
+      return topKPerQuery(scored.select("query_id", "neighbor_id", "cos"),
+          k, col("cos"), scoreDesc = true)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    }
+    val cBands = corpus.select(col(idCol).as("neighbor_id"),
+        posexplode(signBands(col(vecCol), dim, planes, bands))
+          .as(Seq("_band", "_pat")))
+    val qBands = broadcast(queries.select(col(idCol).as("query_id"),
+        posexplode(signBands(col(vecCol), dim, planes, bands))
+          .as(Seq("_band", "_pat"))))
+    val cand = cBands.join(qBands, Seq("_band", "_pat"))
       .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id").distinct()
+    val scored = cand
+      .join(corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).as("_cv"),
+        sqrt(dotNative(col(vecCol), col(vecCol))).as("_cn")), "neighbor_id")
+      .join(qPrepped, "query_id")
       .withColumn("cos",
         dotNative(col("_qv"), col("_cv")) / (col("_qn") * col("_cn")))
     topKPerQuery(scored.select("query_id", "neighbor_id", "cos"), k,
