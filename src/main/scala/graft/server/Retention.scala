@@ -113,7 +113,7 @@ object Retention {
       case TIdent(k) if k.equalsIgnoreCase("replication") =>
         next()
         repl = Some(next() match {
-          case TNum(v, _) => v.toLong
+          case TNum(v, _, _) => v.toLong
           case t => sys.error(s"expected replication factor, got $t")
         })
       case TIdent(k) if k.equalsIgnoreCase("shard") =>
@@ -130,7 +130,7 @@ object Retention {
   private def durTok(t: InfluxQL.Tok): String = t match {
     case TIdent(s) => s
     case TStr(s) => s
-    case TNum(v, _) => v.toLong.toString
+    case TNum(v, _, _) => v.toLong.toString
     case InfluxQL.TDur(ns) => s"${ns / 1000000000L}s"
     case o => sys.error(s"expected duration, got $o")
   }

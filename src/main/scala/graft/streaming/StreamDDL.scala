@@ -21,7 +21,9 @@ object StreamDDL {
                              calls: Seq[(String, String)], // (fn, field)
                              from: String, intervalNs: Long,
                              tags: Seq[String], delayNs: Long,
-                             every: Option[Long] = None)
+                             every: Option[Long] = None,
+                             forNs: Option[Long] = None, // RESAMPLE FOR
+                             onDb: Option[String] = None) // CQ ON <db>
 
   def parse(ddl: String): StreamStatement = {
     var toks = InfluxQL.lex(ddl)
@@ -55,13 +57,23 @@ object StreamDDL {
       case _ => kw("stream"); false
     }
     val name = ident()
+    // reference grammar (ast.go:5352): CREATE CONTINUOUS QUERY n ON db
+    var onDb: Option[String] = None
+    if (isCQ && isKw("on")) { next(); onDb = Some(ident()) }
     var every: Option[Long] = None
-    if (isCQ && isKw("resample")) { // RESAMPLE EVERY <dur>
-      next(); kw("every"); every = Some(dur())
+    var forNs: Option[Long] = None
+    if (isCQ && isKw("resample")) { // RESAMPLE [EVERY <dur>] [FOR <dur>]
+      next()
+      if (isKw("every")) { next(); every = Some(dur()) }
+      if (isKw("for")) { next(); forNs = Some(dur()) }
+      require(every.isDefined || forNs.isDefined,
+        "RESAMPLE requires EVERY and/or FOR")
     }
-    if (isKw("begin")) next() // CQ body marker (simplified)
-    kw("into")
-    val target = ident()
+    if (isKw("begin")) next() // CQ body marker
+    // two body orders: the reference's `SELECT … INTO t FROM …` and the
+    // stream form `INTO t SELECT … FROM …`
+    var target: String = null
+    if (isKw("into")) { next(); target = ident() }
     kw("select")
     var calls = Seq.empty[(String, String)]
     var more = true
@@ -76,6 +88,7 @@ object StreamDDL {
       calls :+= ((fn.toLowerCase, field))
       if (peek == TPunct(",") ) { next(); more = true } else more = false
     }
+    if (target == null) { kw("into"); target = ident() }
     kw("from")
     val from = ident()
     kw("group"); kw("by")
@@ -85,7 +98,8 @@ object StreamDDL {
     var delay = 0L
     if (isKw("delay")) { next(); delay = dur() }
     if (isKw("end")) next()
-    StreamStatement(name, target, calls, from, interval, tags, delay, every)
+    StreamStatement(name, target, calls, from, interval, tags, delay,
+      every, forNs, onDb)
   }
 
   private def aggOf(fn: String, field: String): Column = fn match {

@@ -855,6 +855,67 @@ class ServerSpec extends SparkSpec {
       .contains("\"dbB\""))
     assert(get("/query?q=" + enc("DROP DATABASE dbA")).statusCode() == 200)
   }
+
+  test("continuous query e2e: EVERY/FOR with advancing time and backfill") {
+    // reference shapes: tests/server_continuous_query_test.go — create a
+    // CQ over the gateway, write points across windows, tick the
+    // scheduler with an explicit now, assert the target measurement
+    val ddl = "CREATE CONTINUOUS QUERY cqm ON graft " +
+      "RESAMPLE EVERY 10s FOR 30s BEGIN " +
+      "SELECT mean(value) INTO cpu_mean FROM cpu10 " +
+      "GROUP BY time(10s), host END"
+    assert(get("/query?q=" + enc(ddl)).statusCode() == 200)
+    val shown = get("/query?q=" + enc("SHOW CONTINUOUS QUERIES")).body()
+    assert(shown.contains("cqm") && shown.contains("cpu_mean"), shown)
+
+    def w(lines: String) =
+      assert(post("/write?precision=ms", lines).statusCode() == 204)
+    def means(): Map[Long, Double] = {
+      val body = get("/query?q=" +
+        enc("SELECT mean FROM cpu_mean GROUP BY host") + "&epoch=ms").body()
+      val json = JsonMethods.parse(body)
+      (json \\ "values") match {
+        case JArray(vs) => vs.map { case JArray(Seq(t, v)) =>
+          (t.values.toString.toLong,
+            v.values.toString.toDouble) }.toMap
+        case _ => Map.empty
+      }
+    }
+
+    // window [0,10s): 2,4 → 3.0; window [10,20s): 8
+    w("cpu10,host=a value=2 2000\ncpu10,host=a value=4 4000\n" +
+      "cpu10,host=a value=8 12000")
+    // first sweep at t=20s: trunc(20s) ends the range; FOR 30s backfills
+    assert(gateway.runContinuousQueries(20000) == 1)
+    val m1 = means()
+    assert(m1.get(0L).contains(3.0) && m1.get(10000L).contains(8.0), m1)
+
+    // 5s later nothing is due (EVERY 10s)
+    assert(gateway.runContinuousQueries(25000) == 0)
+
+    // a LATE point lands in the closed [10,20s) bucket — inside the FOR
+    // horizon, so the next due sweep recomputes it; plus a new window
+    w("cpu10,host=a value=2 18000\ncpu10,host=a value=5 24000")
+    assert(gateway.runContinuousQueries(30000) == 1)
+    val m2 = means()
+    assert(m2.get(0L).contains(3.0), m2)       // untouched bucket kept
+    assert(m2.get(10000L).contains(5.0), m2)   // (8+2)/2 — backfilled
+    assert(m2.get(20000L).contains(5.0), m2)   // new window
+
+    // at t=45s the FOR horizon [10s,40s) no longer covers bucket 0 —
+    // the merge must keep that history while recomputing the rest
+    assert(gateway.runContinuousQueries(45000) == 1)
+    val m3 = means()
+    assert(m3.get(0L).contains(3.0) && m3.get(10000L).contains(5.0) &&
+      m3.get(20000L).contains(5.0), m3)
+
+    assert(get("/query?q=" +
+      enc("DROP CONTINUOUS QUERY cqm ON graft")).statusCode() == 200)
+    assert(!get("/query?q=" + enc("SHOW CONTINUOUS QUERIES")).body()
+      .contains("cqm"))
+    // dropped CQ no longer runs
+    assert(gateway.runContinuousQueries(60000) == 0)
+  }
 }
 
 object ServerSpec {
