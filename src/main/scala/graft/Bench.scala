@@ -36,7 +36,12 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the driver captures a bounded tail of the COMBINED
+    // stdout+stderr stream, and r08's tail was entirely per-query WARN
+    // lines (function-registry replacement spam) — the compact JSON line
+    // fell off the end and parsed as null. Registration is idempotent now
+    // too; ERROR keeps any remaining chatty warnings out of the tail.
+    spark.sparkContext.setLogLevel("ERROR")
 
     // Fixed per-query session floor: schedule an empty 32-partition job.
     // Samples are taken at the start AND interleaved through the query

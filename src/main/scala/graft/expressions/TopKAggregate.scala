@@ -250,23 +250,30 @@ object TopKRows {
     * registry; descMask is a string like "DA" (D = desc, A = asc), one
     * char per sort field. Idempotent, same pattern as
     * [[VectorExpressions.register]]. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
+    if (spark.sessionState.functionRegistry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("topk_rows"))) return
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "topk_rows", exprs => {
-        def intLit(e: Expression, what: String): Int = e.eval() match {
-          case i: Int => i
-          case l: Long => l.toInt
-          case other => throw new IllegalArgumentException(
-            s"topk_rows: $what must be an integer literal, got $other")
-        }
-        val k = intLit(exprs(1), "k")
-        val arity = intLit(exprs(2), "sortArity")
-        val mask = exprs(3).eval().toString.map {
-          case 'D' | 'd' => true
-          case 'A' | 'a' => false
-          case c => throw new IllegalArgumentException(
-            s"topk_rows: bad desc-mask char '$c' (want D or A)")
-        }
-        TopKRows(exprs.head, k, arity, mask)
-      }, "built-in")
+      "topk_rows", build, "built-in")
+  }
+
+  /** Expression builder shared by [[register]] and
+    * [[graft.GraftExtensions]]'s injectFunction. */
+  def build(exprs: Seq[Expression]): TopKRows = {
+    def intLit(e: Expression, what: String): Int = e.eval() match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case other => throw new IllegalArgumentException(
+        s"topk_rows: $what must be an integer literal, got $other")
+    }
+    val k = intLit(exprs(1), "k")
+    val arity = intLit(exprs(2), "sortArity")
+    val mask = exprs(3).eval().toString.map {
+      case 'D' | 'd' => true
+      case 'A' | 'a' => false
+      case c => throw new IllegalArgumentException(
+        s"topk_rows: bad desc-mask char '$c' (want D or A)")
+    }
+    TopKRows(exprs.head, k, arity, mask)
+  }
 }

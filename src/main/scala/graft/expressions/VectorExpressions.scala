@@ -209,15 +209,110 @@ case class NearestCentroid(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Asymmetric-distance (ADC) lookup fold for PQ scoring:
+  * `Σ_i tables[i][codes[i]]` over an `ARRAY<INT>` code word (one small int
+  * per subspace, per candidate row) and the query's per-subspace distance
+  * tables (`ARRAY<ARRAY<DOUBLE>>`, one row per query — NOT foldable, so
+  * this cannot reuse NearestCentroid's reference-object trick).
+  *
+  * The composable form (`aggregate(zip_with(codes, tables, (c, t) =>
+  * element_at(t, c + 1)), …)`) evaluates interpreted lambdas per candidate
+  * — higher-order functions are CodegenFallback, so the probe join's
+  * scoring projection dropped out of whole-stage codegen exactly where the
+  * engine evaluates O(candidates) work. This expression is a primitive
+  * lookup loop inside codegen. Fold order matches the composable form
+  * bit-for-bit on valid codes; an out-of-range code yields NULL (a
+  * malformed candidate drops from the ranking) where ANSI element_at
+  * would instead fail the whole query — codes from [[graft.pipeline
+  * .Similarity.pqEncode]] are always in range, so the divergence is
+  * unreachable from the operator surface.
+  */
+case class PqAdc(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val codesOk = left.dataType match {
+      case ArrayType(org.apache.spark.sql.types.IntegerType, _) => true
+      case _ => false
+    }
+    val tablesOk = right.dataType match {
+      case ArrayType(ArrayType(DoubleType, _), _) => true
+      case _ => false
+    }
+    if (codesOk && tablesOk)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"pq_adc expects (array<int>, array<array<double>>), got " +
+        s"${left.dataType}, ${right.dataType}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val codes = a.asInstanceOf[ArrayData]
+    val tables = b.asInstanceOf[ArrayData]
+    val n = math.min(codes.numElements(), tables.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val t = tables.getArray(i)
+      val c = codes.getInt(i)
+      if (c < 0 || c >= t.numElements()) return null
+      s += t.getDouble(c)
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      val t = ctx.freshName("t")
+      val c = ctx.freshName("c")
+      s"""
+        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        double $s = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          org.apache.spark.sql.catalyst.util.ArrayData $t = $b.getArray($i);
+          int $c = $a.getInt($i);
+          if ($c < 0 || $c >= $t.numElements()) { ${ev.isNull} = true; break; }
+          $s += $t.getDouble($c);
+        }
+        ${ev.value} = $s;
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
   /** Register `vec_dot` / `vec_nearest_centroid` in the session function
-    * registry (idempotent) so they are reachable from both `call_function`
-    * and SQL. */
+    * registry (idempotent — an already-registered name is left alone, so
+    * repeated calls from per-query operator entry points do not emit the
+    * registry's "replaced a previously registered function" WARN per
+    * call; hundreds of those crowded the driver's bounded stderr tail)
+    * so they are reachable from both `call_function` and SQL. */
   def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "vec_dot", exprs => VectorDot(exprs(0), exprs(1)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "vec_nearest_centroid",
-      exprs => NearestCentroid(exprs(0), exprs(1)), "built-in")
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("vec_dot")))
+      reg.createOrReplaceTempFunction(
+        "vec_dot", exprs => VectorDot(exprs(0), exprs(1)), "built-in")
+    if (!reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(
+          "vec_nearest_centroid")))
+      reg.createOrReplaceTempFunction(
+        "vec_nearest_centroid",
+        exprs => NearestCentroid(exprs(0), exprs(1)), "built-in")
+    if (!reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("pq_adc")))
+      reg.createOrReplaceTempFunction(
+        "pq_adc", exprs => PqAdc(exprs(0), exprs(1)), "built-in")
   }
 }

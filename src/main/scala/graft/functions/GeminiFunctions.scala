@@ -170,8 +170,13 @@ object GeminiFunctions {
     * honest null stub (documented, like the Multimodal codec). */
   val mobileCarrier: String => String = _ => null
 
-  /** Register the UDF-backed functions for SQL use. */
+  /** Register the UDF-backed functions for SQL use. Idempotent — skipped
+    * when already registered, so per-query entry points don't emit one
+    * registry-replacement WARN per function per query (the WARN flood
+    * crowded the driver's bounded bench-output tail). */
   def registerSql(spark: SparkSession): Unit = {
+    if (spark.sessionState.functionRegistry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("ip_mask"))) return
     spark.udf.register("ip_mask", ipMask)
     spark.udf.register("ip_prefix", ipPrefix)
     spark.udf.register("is_subnet_of", isSubnetOf)

@@ -290,12 +290,40 @@ object Similarity {
                 idCol: String, cents: Array[Seq[Double]],
                 codebooks: Array[Array[Seq[Double]]], dim: Int,
                 nprobe: Int, k: Int, refine: Int = 4): DataFrame = {
+    // index built inline — a deployment builds it ONCE at write time via
+    // [[ivfPqIndex]] and probes the stored frame with [[ivfPqProbe]]
+    val idx = ivfPqIndex(corpus, vecCol, idCol, cents, codebooks, dim)
+    ivfPqProbe(idx, corpus, queries, vecCol, idCol, cents, codebooks, dim,
+      nprobe, k, refine)
+  }
+
+  /** The stored half of the IVF-PQ index: (neighbor_id, coarse cell,
+    * m PQ codes) — ~m bytes of codes per row. At write time this frame is
+    * persisted (partitioned by `_bkt`); probes then never touch the raw
+    * vectors until the exact re-rank of the shortlist. */
+  def ivfPqIndex(corpus: DataFrame, vecCol: String, idCol: String,
+                 cents: Array[Seq[Double]],
+                 codebooks: Array[Array[Seq[Double]]], dim: Int): DataFrame = {
     graft.expressions.VectorExpressions.register(corpus.sparkSession)
-    val m = codebooks.length; val sub = dim / m
-    // index side: cell + codes only (no vectors cross the probe join)
-    val idx = corpus.select(col(idCol).as("neighbor_id"),
+    corpus.select(col(idCol).as("neighbor_id"),
       nearestBucket(col(vecCol), cents).as("_bkt"),
       pqEncode(col(vecCol), codebooks, dim).as("_codes"))
+  }
+
+  /** Probe a prebuilt [[ivfPqIndex]] frame: broadcast each query's nprobe
+    * coarse cells + ADC tables, score candidates with the native `pq_adc`
+    * lookup fold (the composable element_at lambda form is
+    * CodegenFallback — it dropped the scoring projection out of
+    * whole-stage codegen exactly on the O(candidates) path), then re-rank
+    * the refine·k shortlist exactly against `vectors` (the raw-vector
+    * table; only refine·k·|Q| rows of it are touched, via an id
+    * equi-join). */
+  def ivfPqProbe(idx: DataFrame, vectors: DataFrame, queries: DataFrame,
+                 vecCol: String, idCol: String, cents: Array[Seq[Double]],
+                 codebooks: Array[Array[Seq[Double]]], dim: Int,
+                 nprobe: Int, k: Int, refine: Int = 4): DataFrame = {
+    graft.expressions.VectorExpressions.register(idx.sparkSession)
+    val m = codebooks.length; val sub = dim / m
     // query side: probes + ADC tables, broadcast
     def adcTable(i: Int) =
       transform(typedlit(codebooks(i).toSeq), c =>
@@ -312,16 +340,14 @@ object Similarity {
         explode(col("_probes.i")).as("_bkt")))
     val scored = idx.join(qb, Seq("_bkt"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("_adc",
-        aggregate(zip_with(col("_codes"), col("_tables"),
-            (c, t) => element_at(t, c + 1)),
-          lit(0.0), (acc, v) => acc + v))
+      .withColumn("_adc", call_function("pq_adc", col("_codes"),
+        col("_tables")))
     val short = topKPerQuery(
         scored.select("query_id", "_qv", "_qn", "neighbor_id", "_adc"),
         k * refine, col("_adc"), scoreDesc = false)
       .select("query_id", "_qv", "_qn", "neighbor_id")
     // exact re-rank of the shortlist only
-    val vecs = corpus.select(col(idCol).as("neighbor_id"),
+    val vecs = vectors.select(col(idCol).as("neighbor_id"),
       col(vecCol).as("_cv"),
       sqrt(dotNative(col(vecCol), col(vecCol))).as("_cn"))
     val rescored = short.join(vecs, "neighbor_id")

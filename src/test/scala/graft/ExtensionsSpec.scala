@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** `spark.sql.extensions=graft.GraftExtensions` deployment path: a session
+  * built with the extensions reaches every native function from plain SQL
+  * with no graft API call. */
+class ExtensionsSpec extends SparkSpec {
+
+  test("GraftExtensions injects vec_dot/vec_nearest_centroid/pq_adc/" +
+      "topk_rows into a fresh session's SQL surface") {
+    val prior = spark // keep the shared session's context alive
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    // withExtensions, not .config("spark.sql.extensions", …):
+    // spark.sql.extensions is a STATIC conf read from the SparkContext,
+    // so it cannot apply to a session built over the suite's existing
+    // context — the conf route only works on a fresh JVM/cluster (its
+    // intended deployment). The injection object under test is the same.
+    val ext =
+      try SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(new GraftExtensions())
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      finally {
+        SparkSession.setActiveSession(prior)
+        SparkSession.setDefaultSession(prior)
+      }
+    try {
+      val dot = ext.sql(
+        "SELECT vec_dot(array(1.0D, 2.0D, 3.0D), array(4.0D, 5.0D, 6.0D))")
+        .head().getDouble(0)
+      assert(dot == 32.0)
+      val cell = ext.sql(
+        "SELECT vec_nearest_centroid(array(0.9D, 0.1D), " +
+          "array(array(1.0D, 0.0D), array(0.0D, 1.0D)))")
+        .head().getInt(0)
+      assert(cell == 0)
+      val adc = ext.sql(
+        "SELECT pq_adc(array(1, 0), array(array(1.0D, 2.0D), " +
+          "array(10.0D, 20.0D)))")
+        .head().getDouble(0)
+      assert(adc == 12.0)
+      val top = ext.sql(
+        "SELECT topk_rows(struct(x, x, named_struct('x', x)), 2, 2, 'DD') " +
+          "FROM VALUES (1), (3), (2) AS t(x)")
+        .head().getSeq[org.apache.spark.sql.Row](0)
+      assert(top.map(_.getInt(0)) == Seq(3, 2))
+    } finally {
+      SparkSession.setActiveSession(prior)
+      SparkSession.setDefaultSession(prior)
+    }
+  }
+}

@@ -296,6 +296,36 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.45, s"ivf-pq recall $recall")
   }
 
+  test("pq_adc native expression is bit-identical to the composable " +
+      "element_at lambda fold on valid codes; out-of-range yields NULL") {
+    graft.expressions.VectorExpressions.register(spark)
+    val rnd = new scala.util.Random(11)
+    val m = 16; val ksub = 32
+    val rows = (0 until 500).map { i =>
+      val codes = Seq.fill(m)(rnd.nextInt(ksub))
+      val tables = Seq.fill(m)(Seq.fill(ksub)(rnd.nextDouble() * 10 - 5))
+      (i, codes, tables)
+    }
+    val df = rows.toDF("id", "codes", "tables")
+    val got = df.select($"id",
+        call_function("pq_adc", $"codes", $"tables").as("s"))
+      .as[(Int, Option[Double])].collect().toMap
+    val want = df.select($"id",
+        aggregate(zip_with($"codes", $"tables",
+            (c, t) => element_at(t, c + 1)),
+          lit(0.0), (acc, v) => acc + v).as("s"))
+      .as[(Int, Option[Double])].collect().toMap
+    assert(got == want) // exact Double equality: same sequential fold
+    // defensive divergence from ANSI element_at (which would FAIL the
+    // query): a malformed code drops the candidate via NULL instead
+    val bad = Seq((7, Seq(0, 99) ++ Seq.fill(m - 2)(0),
+        Seq.fill(m)(Seq.fill(ksub)(1.0))))
+      .toDF("id", "codes", "tables")
+      .select(call_function("pq_adc", $"codes", $"tables").as("s"))
+      .as[Option[Double]].collect()
+    assert(bad.sameElements(Array(None)), "out-of-range code must yield NULL")
+  }
+
   test("IVF codebook is a single matrix literal: O(1) expression nodes " +
       "and correct assignment at k=256") {
     // 256 deterministic 64-dim centroids — production-scale cell count
