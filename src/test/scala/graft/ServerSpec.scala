@@ -916,12 +916,65 @@ class ServerSpec extends SparkSpec {
     // dropped CQ no longer runs
     assert(gateway.runContinuousQueries(60000) == 0)
   }
+
+  test("concurrency stress: parallel /write + /query + prom reads stay " +
+      "consistent — every line lands exactly once, no 5xx") {
+    gateway // force startup before threads race the lazy init
+    val threads = 6; val iters = 12
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    val work = (0 until threads).map { t =>
+      pool.submit(new Runnable {
+        override def run(): Unit = try {
+          for (i <- 0 until iters) {
+            // distinct (series, time) per point: nothing overwrites
+            val ns = (t * 1000L + i) * 1000000L
+            val own = (0 until 3).map(j =>
+              s"st$t,host=h$t v=${i * 3 + j} ${ns + j * 1000}").mkString("\n")
+            val w1 = post("/write", own)
+            if (w1.statusCode() != 204)
+              errors.add(s"own write $t/$i: ${w1.statusCode()} ${w1.body()}")
+            val w2 = post("/write", s"stsh,host=h$t v=$i $ns")
+            if (w2.statusCode() != 204)
+              errors.add(s"shared write $t/$i: ${w2.statusCode()}")
+            // mixed readers while writers run: parquet-backed InfluxQL,
+            // prom metadata, written-data query, ops surface
+            val rs = Seq(
+              get("/query?q=" + enc(
+                "SELECT count(value) FROM events WHERE event_type = 'click'")),
+              get("/api/v1/labels"),
+              get("/query?q=" + enc(s"SELECT count(v) FROM st$t")),
+              get("/query?q=" + enc("SHOW QUERIES")),
+              get("/ping"))
+            rs.filter(_.statusCode() >= 400).foreach(r =>
+              errors.add(s"read $t/$i: ${r.statusCode()} ${r.body().take(120)}"))
+          }
+        } catch { case e: Throwable => errors.add(s"thread $t: $e") }
+      })
+    }
+    work.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+    pool.shutdown()
+    assert(errors.isEmpty, errors.toArray.mkString("; "))
+
+    def count(q: String): Long = {
+      val json = JsonMethods.parse(get("/query?q=" + enc(q)).body())
+      (json \\ "values") match {
+        case JArray(vs) => vs.collect {
+          case JArray(Seq(_, v)) => v.values.toString.toLong }.sum
+        case _ => -1L
+      }
+    }
+    (0 until threads).foreach { t =>
+      assert(count(s"SELECT count(v) FROM st$t") == 3L * iters,
+        s"st$t lost or duplicated points")
+    }
+    assert(count("SELECT count(v) FROM stsh") == threads.toLong * iters,
+      "shared measurement lost or duplicated concurrent appends")
+  }
 }
 
 object ServerSpec {
-  /** Latch gate for the KILL QUERY test: `started` proves the gated scan
-    * is live before the test observes/kills it; `release` (never counted
-    * down during the test) makes an early finish impossible. Top-level
+  /** Shared gate for the KILL QUERY e2e: a latch pair lives in a static
     * object so executor-thread UDF calls and the test thread share it
     * (local mode — one JVM). */
   object SlowGate {
