@@ -68,6 +68,15 @@ object Bench {
     // (SPARK_GRAFT_BENCH_ONLY=q95_graph_hops,q74_promql_binop).
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    // A misspelled name in the filter silently changes what a run means
+    // (a scale sweep once re-included the deliberately-quadratic q53
+    // because its EXCLUSION list was built from a misremembered name and
+    // nothing complained). Unknown names are fatal, not ignored.
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_BENCH_ONLY names unknown queries: ${unknown.mkString(", ")}")
+    }
     // Each timed query runs under its own job group so the number of
     // Spark jobs it schedules is measurable (statusTracker) — BASELINE.md
     // argues a k-job query pays ~k scheduling floors on local[32]; the

@@ -25,6 +25,13 @@ object Verify {
     // Optional comma-separated filter for local iteration on a subset.
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    // Unknown names are fatal, not silently ignored (same rule as Bench:
+    // a typo must not change what a run means).
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_VERIFY_ONLY names unknown queries: ${unknown.mkString(", ")}")
+    }
     // Failures must be loud in the artifact, not only on stderr: a
     // per-query exception leaves no parquet dir, which shrinks the
     // driver's report silently. _errors.json makes a poisoned run
