@@ -54,12 +54,16 @@ trait EntryQueriesA extends EntryBase {
       // it: 13.4 s, of which the lineitem sort dominated)
       val ord = t(s, dir, "orders").hint("shuffle_hash")
       val cust = t(s, dir, "customer")
+      // nation⋈region pre-joined INSIDE one broadcast subtree: a 25×5-row
+      // dim join costs nothing, and one broadcast exchange (= one build
+      // job, one executor-side relation) replaces two — the same shape a
+      // snowflake dim hierarchy should take at any scale
+      val dims = broadcast(t(s, dir, "nation")
+        .join(t(s, dir, "region"),
+          col("n_regionkey") === col("r_regionkey")))
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
         .join(cust, col("o_custkey") === col("c_custkey"))
-        .join(broadcast(t(s, dir, "nation")),
-          col("c_nationkey") === col("n_nationkey"))
-        .join(broadcast(t(s, dir, "region")),
-          col("n_regionkey") === col("r_regionkey"))
+        .join(dims, col("c_nationkey") === col("n_nationkey"))
         .filter(col("o_orderdate") >= ts("1996-01-01") &&
           col("o_orderdate") < ts("1997-01-01"))
         .groupBy(col("r_name"), col("n_name"))
