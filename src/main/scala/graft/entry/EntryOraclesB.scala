@@ -757,6 +757,27 @@ trait EntryOraclesB extends EntryBase {
                  OR doc_id >= 100000000)
          SELECT c.doc_id AS doc_id, count(DISTINCT b.doc_id) AS n_bench_hits
          FROM c JOIN b ON len(list_intersect(c.grams, b.grams)) > 0
-         GROUP BY 1 ORDER BY 1"""
+         GROUP BY 1 ORDER BY 1""",
+
+    "q111_difference_modes" ->
+      s"""WITH d AS (
+           SELECT user_id, event_id,
+             lag(value) OVER ($evWin) - value AS diff_front,
+             abs(value - lag(value) OVER ($evWin)) AS diff_abs
+           FROM events)
+         SELECT user_id, event_id, diff_front, diff_abs FROM d
+         WHERE diff_front IS NOT NULL
+         ORDER BY user_id, event_id""",
+
+    "q112_compare" ->
+      """WITH b AS (
+           SELECT epoch_ms(date_trunc('hour', ts)) AS tm,
+             count(value) AS c
+           FROM events WHERE event_type = 'click' GROUP BY 1)
+         SELECT COALESCE(a.tm, p.tm + 3600000) AS time,
+           a.c AS count1, p.c AS count2,
+           a.c::DOUBLE / p.c::DOUBLE AS ratio
+         FROM b a FULL OUTER JOIN b p ON a.tm = p.tm + 3600000
+         ORDER BY time"""
   )
 }

@@ -757,6 +757,44 @@ trait EntryQueriesB extends EntryBase {
         .groupBy("doc_id")
         .agg(countDistinct(col("bench_id")).as("n_bench_hits"))
         .orderBy("doc_id")
+    }),
+
+    // §2.5 difference(f, 'front'|'absolute') direction modes
+    // (`engine/executor/agg_func.go:72-86` Front/AbsoluteDiffFunc; arg
+    // validation `query/agg_functions.go:1068`). Same single-lag
+    // substrate per direction; the gate joins both directions on the
+    // (series, point) key so the sign/abs math is oracle-proven in one
+    // artifact. Scale shape = q10's: one hash-partitioned window pass
+    // per direction, equi-join on the series+point key.
+    "q111_difference_modes" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val fr = SeriesOps.difference(ev, "value", "ts", Seq("user_id"),
+          tieBreak = Seq("event_id"), direction = "front")
+        .select(col("user_id"), col("event_id"),
+          col("difference").as("diff_front"))
+      val ab = SeriesOps.difference(ev, "value", "ts", Seq("user_id"),
+          tieBreak = Seq("event_id"), direction = "absolute")
+        .select(col("user_id"), col("event_id"),
+          col("difference").as("diff_abs"))
+      fr.join(ab, Seq("user_id", "event_id"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    // §3.1 compare(f, offsetSecs): period-over-period comparison e2e
+    // through the InfluxQL text frontend (`influxql/ast.go:3934`
+    // RewriteCompare). Spark-first shape: the same bucketed subquery
+    // runs once per arm over a +offset-shifted catalog, arms full-outer
+    // join on the output time axis, ratio column appended. count() keeps
+    // the gate integer-exact (float sums would hash-diverge from the
+    // oracle by addition order).
+    "q112_compare" -> ((s, dir) => {
+      val catalog = influxCatalog(s, dir)
+      graft.query.InfluxQL.execute(catalog,
+          "SELECT compare(count, 3600) FROM (SELECT count(value) " +
+          "FROM events WHERE event_type = 'click' GROUP BY time(1h))")
+        .select(col("time"), col("count1"), col("count2"),
+          col("count1/count2").as("ratio"))
+        .orderBy("time")
     })
   )
 }

@@ -39,11 +39,26 @@ object SeriesOps {
     * Reference: `call_processor.go:151` (non_negative variant :154). */
   def difference(df: DataFrame, field: String, time: String, tags: Seq[String],
                  nonNegative: Boolean = false,
-                 tieBreak: Seq[String] = Nil): DataFrame = {
-    val d = col(field) - lag(col(field), 1).over(w(tags, time, tieBreak))
+                 tieBreak: Seq[String] = Nil,
+                 direction: String = "behind"): DataFrame = {
+    val d = diffDirected(
+      col(field) - lag(col(field), 1).over(w(tags, time, tieBreak)), direction)
     val out = df.withColumn("difference", d).filter(col("difference").isNotNull)
     if (nonNegative) out.filter(col("difference") >= 0) else out
   }
+
+  /** difference(f, 'front'|'behind'|'absolute') — `behind` (the default)
+    * is curr−prev, `front` prev−curr, `absolute` |prev−curr|
+    * (`engine/executor/agg_func.go:72-86` Front/Behind/AbsoluteDiffFunc;
+    * arg validation `query/agg_functions.go:1068`). */
+  private def diffDirected(behind: Column, direction: String): Column =
+    direction match {
+      case "behind"   => behind
+      case "front"    => -behind
+      case "absolute" => abs(behind)
+      case other => throw new IllegalArgumentException(
+        s"the second argument must be front, behind or absolute, got $other")
+    }
 
   /** derivative(f, unit): delta / elapsed-time * unit (unit in seconds).
     * Reference: `call_processor.go:158` (non_negative variant :158-165 —
@@ -294,10 +309,12 @@ object SeriesOps {
   def differenceChunked(df: DataFrame, field: String, time: String,
                         tags: Seq[String], blockMicros: Long,
                         nonNegative: Boolean = false,
-                        tieBreak: Seq[String] = Nil): DataFrame = {
+                        tieBreak: Seq[String] = Nil,
+                        direction: String = "behind"): DataFrame = {
     val lagged = chunkedLag(df, field, time, tags, blockMicros, tieBreak)
     val out = lagged
-      .withColumn("difference", col(field) - col("_prev_v"))
+      .withColumn("difference",
+        diffDirected(col(field) - col("_prev_v"), direction))
       .filter(col("difference").isNotNull)
       .drop("_prev_v", "_prev_tus", "_tus")
     if (nonNegative) out.filter(col("difference") >= 0) else out

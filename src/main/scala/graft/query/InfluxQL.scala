@@ -155,13 +155,15 @@ object InfluxQL {
     * (`mean(abs(v))`, `sum(v * 2)`); `field` is then "". */
   case class PCall(fn: String, field: String, extra: Option[Double] = None,
                    argExpr: Option[Expr] = None,
-                   tagArgs: Seq[String] = Nil)
+                   tagArgs: Seq[String] = Nil,
+                   extra2: Option[Double] = None)
     extends Proj
   /** Analytic over an aggregated series, e.g. derivative(mean(value)):
     * reference ladder runs these after the interval aggregation
     * (`select.go:654` agg → interval → … ). */
   case class PAnalytic(fn: String, inner: PCall, n: Option[Double],
-                       n2: Option[Double] = None)
+                       n2: Option[Double] = None,
+                       mode: Option[String] = None)
     extends Proj
   case object PStar extends Proj
   /** `*::tag` / `*::field` — star restricted to one column class. */
@@ -663,10 +665,14 @@ object InfluxQL {
               })
             }
           }
+          // string second args: difference(f, 'front'|'behind'|'absolute')
+          // (compileDifference, agg_functions.go:1068)
+          var modeArg: Option[String] = None
           val extra = if (peek == TPunct(",")) {
             next()
             next() match {
               case TNum(v, _, _) => Some(v)
+              case TStr(s) => modeArg = Some(s); None
               case t => sys.error(s"bad call extra arg: $t")
             }
           } else None
@@ -681,18 +687,21 @@ object InfluxQL {
           expect(")")
           arg match {
             case Right(Left(inner)) =>
-              Right(PAnalytic(fn, inner, extra, extra2))
+              Right(PAnalytic(fn, inner, extra, extra2, mode = modeArg))
             case Left(field)
                 if Set("derivative", "difference", "moving_average",
                   "cumulative_sum", "non_negative_difference",
                   "non_negative_derivative").contains(fn) ||
                   smoothingFnCol.contains(fn) =>
               // analytic directly over the raw field per series
-              Right(PAnalytic(fn, PCall("last", field), extra))
+              Right(PAnalytic(fn, PCall("last", field), extra,
+                mode = modeArg))
             case Left(field) =>
-              Left(ECall(PCall(fn, field, extra, tagArgs = tagArgs)))
+              Left(ECall(PCall(fn, field, extra, tagArgs = tagArgs,
+                extra2 = extra2)))
             case Right(Right(e)) =>
-              Left(ECall(PCall(fn, "", extra, argExpr = Some(e))))
+              Left(ECall(PCall(fn, "", extra, argExpr = Some(e),
+                extra2 = extra2)))
           }
         }
       case TIdent(f) if peek == TPunct("::") =>
@@ -1290,8 +1299,78 @@ object InfluxQL {
       }
     }
 
+  /** compare(field, offsetSeconds[, offsetSeconds2]): period-over-period
+    * comparison. The reference rewrites the statement into one
+    * time-shifted subquery per offset (`influxql/ast.go:3934`
+    * RewriteCompare / BuildCompareStatement: arm i+1 selects
+    * time ∈ [min−k, max−k] and its result times are shifted back onto
+    * the current axis — ResetTimeForCompare,
+    * `executor/materialize_transform.go:1409` — with the output carrying
+    * field1…fieldN plus field1/fieldi ratio columns). Here each arm runs
+    * the SAME query over a catalog whose time axis is shifted FORWARD by
+    * its offset: the unchanged WHERE then selects exactly the reference's
+    * shifted range, and results land on the current axis already aligned
+    * to the current-axis buckets (the groupOffset the reference adds back
+    * in buildCompareTimeDimension comes free). Arms full-outer-join on
+    * (time, tags) — a bucket with no history row keeps the current value
+    * and null history, like the reference's merged sources. Scale note:
+    * the shifted-axis filter compares `unix_micros(ts + INTERVAL k)` and
+    * so does not reach parquet row-group stats; a deployment would push
+    * the equivalent [min−k, max−k] bounds instead — each arm is otherwise
+    * the same single scan+agg as the un-compared query. */
+  private def compileCompare(catalog: Map[String, Measurement], q: Query,
+                             c: PCall): DataFrame = {
+    require(q.projs.size == 1, "compare must be the only projection")
+    require(q.offset == 0 && q.slimit.isEmpty,
+      "OFFSET/SLIMIT with compare is not supported")
+    val offs = (c.extra.toSeq ++ c.extra2.toSeq).map(_.toLong)
+    require(offs.nonEmpty, "invalid number of arguments for compare, " +
+      "expected more than one arguments, got 1")
+    if (q.intervalNs.isDefined && q.fromSub.isEmpty)
+      sys.error("compare over a raw measurement with GROUP BY time: " +
+        "aggregate in a subquery (FROM (SELECT … GROUP BY time(…))) and " +
+        "compare its field")
+    val field = c.field
+    val armQ = q.copy(projs = Seq(PField(field)), limit = None, offset = 0,
+      slimit = None, orderDesc = false, fill = FillNone)
+    val offsets = 0L +: offs
+    val arms = offsets.zipWithIndex.map { case (k, i) =>
+      val cat2 =
+        if (k == 0L) catalog
+        else catalog.map { case (n, mm) =>
+          val s0 = mm.df.withColumn(mm.time,
+            col(mm.time) + expr(s"INTERVAL $k SECOND"))
+          // line-protocol tables also carry the raw ns `time` column
+          val s1 =
+            if (mm.time != "time" && mm.df.columns.contains("time"))
+              s0.withColumn("time", col("time") + lit(k * 1000000000L))
+            else s0
+          n -> mm.copy(df = s1, extentMs = mm.extentMs.map {
+            case (a, b) => (a + k * 1000L, b + k * 1000L) })
+        }
+      compileQuery(cat2, armQ).withColumnRenamed(field, s"$field${i + 1}")
+    }
+    val f1 = s"${field}1"
+    val keys = arms.head.columns.filterNot(_ == f1).toSeq
+    val joined = arms.reduceLeft((a, b) =>
+      a.join(b, keys, "full_outer"))
+    val ratios = offsets.indices.drop(1).map { i =>
+      (col(f1).cast("double") / col(s"$field${i + 1}").cast("double"))
+        .as(s"$f1/$field${i + 1}")
+    }
+    var out = joined.select((keys.map(col) ++
+        offsets.indices.map(i => col(s"$field${i + 1}")) ++ ratios): _*)
+      .orderBy(if (q.orderDesc) col("time").desc else col("time").asc)
+    q.limit.foreach(n => out = out.limit(n))
+    out
+  }
+
   private def compileQuery(catalog: Map[String, Measurement],
                            q: Query): DataFrame = {
+    q.projs.collectFirst { case c: PCall if c.fn == "compare" => c } match {
+      case Some(c) => return compileCompare(catalog, q, c)
+      case None =>
+    }
     // FROM (SELECT …): compile the inner query, re-derive a timestamp view
     // from its epoch-ms time column, inherit its group tags.
     // FROM /regex/ = sort-append across matching measurements (reference
@@ -1526,6 +1605,45 @@ object InfluxQL {
           when(size(vs) === 0, lit(null).cast("double"))
             .when(den === lit(0.0), lit(0.0))
             .otherwise((n * sxy - sx * sy) / den)
+        case "ad_rmse_ext" =>
+          // Anomaly-detect normalized RMSE between the series' first and
+          // second halves (`engine/executor/agg_func.go:88`
+          // ADRMseExtReduce, registered `query/agg_functions.go:287`
+          // AGG_SLICE sortedMergeCall): sort by time, split at mid (odd
+          // length drops the middle point), then
+          // rmse(first, second) / max(1, min(mean(first), mean(second))).
+          // Empty group → null; single point → 0. Same collect-sorted-
+          // array + codegen'd fold substrate as regr_slope above.
+          val avs = transform(
+            sort_array(collect_list(struct(col(m.time).as("t"),
+              f.cast("double").as("v")))), x => x.getField("v"))
+          val alen = size(avs)
+          val mid = alen.divide(lit(2)).cast("int")
+          val predH = slice(avs, lit(1), mid)
+          val actH = slice(avs,
+            mid + when(alen % 2 === 1, lit(2)).otherwise(lit(1)), mid)
+          val sqsum = aggregate(
+            zip_with(predH, actH, (a, b) => (a - b) * (a - b)),
+            lit(0.0), (acc, x) => acc + x)
+          val rmse = sqrt(sqsum / mid.cast("double"))
+          val meanP = aggregate(predH, lit(0.0), (acc, x) => acc + x) /
+            mid.cast("double")
+          val meanA = aggregate(actH, lit(0.0), (acc, x) => acc + x) /
+            mid.cast("double")
+          val denom = greatest(lit(1.0), least(meanP, meanA))
+          when(alen === 0, lit(null).cast("double"))
+            .when(alen === 1, lit(0.0))
+            .otherwise(rmse / denom)
+        case "histogram" =>
+          // Registered but DEAD in the reference: HistogramFunc exists in
+          // the compile layer (`query/agg_functions.go:106`, arg rules
+          // only) with NO executor routine (no histogram case anywhere in
+          // engine/executor/call_processor.go), so a reference server
+          // fails such queries at execution. Same user-visible outcome
+          // here, with the reason spelled out.
+          sys.error("histogram() has no execution routine in the " +
+            "reference engine (compile-layer registration only); use " +
+            "histogram_quantile() or percentile()/percentile_approx()")
         case other => sys.error(s"unsupported function $other")
       }
     }
@@ -1560,9 +1678,11 @@ object InfluxQL {
       case "non_negative_derivative" =>
         SeriesOps.derivative(b0, src, time, groupTags, nonNegative = true)
           .withColumnRenamed("derivative", "non_negative_derivative")
-      case "difference" => SeriesOps.difference(b0, src, time, groupTags)
+      case "difference" => SeriesOps.difference(b0, src, time, groupTags,
+        direction = a.mode.getOrElse("behind"))
       case "non_negative_difference" =>
-        SeriesOps.difference(b0, src, time, groupTags, nonNegative = true)
+        SeriesOps.difference(b0, src, time, groupTags, nonNegative = true,
+          direction = a.mode.getOrElse("behind"))
       case "moving_average" => SeriesOps.movingAverage(b0, src, time,
         groupTags, a.n.getOrElse(2.0).toInt)
       case "cumulative_sum" => SeriesOps.cumulativeSum(b0, src, time, groupTags)
@@ -1649,6 +1769,40 @@ object InfluxQL {
           .select((Seq(unix_millis(col(m.time)).as("wstart_ms")) ++
             (groupTags ++ c.tagArgs).distinct.map(col) :+
             col(c.field).as(c.fn)): _*)
+      } else if (calls.exists(c => c.fn == "topn_ddcm" ||
+          c.fn == "topn_nagt2")) {
+        // topn_ddcm/topn_nagt2(field, countLowerBound, topNumber):
+        // approximate heavy-hitter GROUP KEYS by row count.
+        // `query/agg_functions.go:1824` (shared validation for both;
+        // countLowerBound 0 = default) and `engine/executor/
+        // topn_transform.go:525-560` (bound clamped to ≥1; one output row
+        // per frequent key: its tag set, the estimated count, time 0,
+        // sorted by count). topn_nagt2 runs the reference's CM05 sketch
+        // (`engine/executor/nagt.go`); both map to the CMS+candidate-heap
+        // aggregate here (functions/Sketches.scala) — the same accepted
+        // approx-family divergence as ogsketch (SURVEY §4.3-3). The
+        // shuffle carries one bounded (sketch + candidates) buffer per
+        // partition — no raw keys, no distinct-key enumeration.
+        require(calls.size == 1 && exprs.isEmpty,
+          s"${calls.head.fn} must be the only projection")
+        val c = calls.head
+        val lower = math.max(c.extra.getOrElse(0.0).toLong, 1L)
+        val n = c.extra2.getOrElse(5.0).toInt
+        val sep = "\u0001"
+        val key =
+          if (groupTags.isEmpty) lit("")
+          else concat_ws(sep, groupTags.map(col): _*)
+        val hits = df.filter(col(c.field).isNotNull)
+          .agg(graft.functions.Sketches.cmsTopN(depth = 4, width = 1024,
+            maxCand = 1024, n = n)(key).as("_hits"))
+          .select(explode(col("_hits")).as("_hit"))
+          .filter(col("_hit.est") >= lower)
+        val tagCols = groupTags.zipWithIndex.map { case (t, i) =>
+          element_at(split(col("_hit.key"), sep), i + 1).as(t)
+        }
+        hits.select((lit(0L).as("wstart_ms") +: tagCols :+
+            col("_hit.est").as(c.fn)): _*)
+          .orderBy(col(c.fn).desc +: groupTags.map(col): _*)
       } else if (calls.exists(_.fn == "sample")) {
         // sample(f, n): n rows per series, reservoir-equivalent — rank by
         // a deterministic row hash inside each series partition (the

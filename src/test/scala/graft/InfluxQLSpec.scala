@@ -770,4 +770,91 @@ class InfluxQLSpec extends SparkSpec {
       "EXPLAIN SELECT mean(value) FROM cpu GROUP BY host")
     assert(name == "explain" && tags.isEmpty)
   }
+
+  test("difference(f, 'front'|'behind'|'absolute') directions") {
+    // server01 values 10,20,30 → behind 10,10 · front -10,-10 · abs 10,10
+    def diffs(mode: String) = run(
+      s"SELECT difference(value$mode) FROM cpu WHERE host = 'server01'")
+      .select("difference").as[Double].collect().toSeq
+    assert(diffs("") == Seq(10.0, 10.0))            // default = behind
+    assert(diffs(", 'behind'") == Seq(10.0, 10.0))
+    assert(diffs(", 'front'") == Seq(-10.0, -10.0)) // prev − curr
+    assert(diffs(", 'absolute'") == Seq(10.0, 10.0))
+    // non_negative_difference drops negatives AFTER the direction applies
+    val nn = run("SELECT non_negative_difference(value, 'front') " +
+      "FROM cpu WHERE host = 'server01'")
+    assert(nn.count() == 0)
+    // reference arg validation message (agg_functions.go:1069)
+    val e = intercept[RuntimeException](
+      run("SELECT difference(value, 'sideways') FROM cpu").collect())
+    assert(e.getMessage.contains("front, behind or absolute"))
+  }
+
+  test("topn_ddcm / topn_nagt2: heavy-hitter group keys by row count") {
+    // host row counts: server01 = 3, server02 = 2
+    val top1 = run("SELECT topn_ddcm(value, 0, 1) FROM cpu GROUP BY host")
+      .select("host", "topn_ddcm").as[(String, Long)].collect().toSeq
+    assert(top1 == Seq(("server01", 3L)))
+    // countLowerBound 2 admits both hosts; sorted by estimate desc
+    val both = run("SELECT topn_nagt2(value, 2, 5) FROM cpu GROUP BY host")
+      .select("host", "topn_nagt2").as[(String, Long)].collect().toSeq
+    assert(both == Seq(("server01", 3L), ("server02", 2L)))
+    // countLowerBound filters below-threshold keys
+    val only3 = run("SELECT topn_ddcm(value, 3, 5) FROM cpu GROUP BY host")
+      .select("host").as[String].collect().toSeq
+    assert(only3 == Seq("server01"))
+    // time column is 0 (topn_transform.go:559 AppendTime(0))
+    val t0 = run("SELECT topn_ddcm(value, 0, 1) FROM cpu GROUP BY host")
+      .select("time").as[Long].head()
+    assert(t0 == 0L)
+  }
+
+  test("ad_rmse_ext: half-vs-half normalized RMSE per group") {
+    // server01 sorted values 10,20,30: odd length drops the middle →
+    // pred [10], act [30]; rmse = 20, denom = max(1, min(10,30)) = 10
+    // server02 values 100,200: pred [100], act [200]; rmse=100, denom=100
+    val out = run("SELECT ad_rmse_ext(value) FROM cpu GROUP BY host")
+      .select("host", "ad_rmse_ext").as[(String, Double)].collect().toMap
+    assert(out("server01") == 2.0 && out("server02") == 1.0)
+    // single-point series → 0 (agg_func.go:94)
+    val one = run("SELECT ad_rmse_ext(value) FROM cpu " +
+      "WHERE host = 'server01' AND time = 0").select("ad_rmse_ext")
+      .as[Double].head()
+    assert(one == 0.0)
+  }
+
+  test("compare(field, offsetSeconds): period-over-period on one axis") {
+    // server01 raw values: t=0s→10, 60s→20, 120s→30. compare(value, 60)
+    // aligns each row with the value 60 s earlier: the shifted arm lands
+    // on t=60,120,180 — full-outer keeps edges with null history.
+    val out = run(
+      "SELECT compare(value, 60) FROM cpu WHERE host = 'server01'")
+      .select("time", "value1", "value2", "value1/value2")
+      .as[(Long, Option[Double], Option[Double], Option[Double])]
+      .collect().toSeq
+    assert(out == Seq(
+      (0L, Some(10.0), None, None),
+      (60000L, Some(20.0), Some(10.0), Some(2.0)),
+      (120000L, Some(30.0), Some(20.0), Some(1.5)),
+      (180000L, None, Some(30.0), None)))
+    // two offsets → value1..value3 + two ratio columns
+    val cols = run(
+      "SELECT compare(value, 60, 120) FROM cpu WHERE host = 'server01'")
+      .columns.toSeq
+    assert(cols.containsSlice(
+      Seq("value1", "value2", "value3", "value1/value2", "value1/value3")))
+    // aggregated-subquery form: compare over the bucketed sum
+    val sub = run("SELECT compare(sum, 60) FROM (SELECT sum(value) " +
+      "FROM cpu WHERE host = 'server01' GROUP BY time(1m))")
+      .select("time", "sum1", "sum2")
+      .as[(Long, Option[Double], Option[Double])].collect().toSeq
+    assert(sub.contains((60000L, Some(20.0), Some(10.0))))
+    assert(sub.contains((120000L, Some(30.0), Some(20.0))))
+  }
+
+  test("histogram() fails with the dead-registration explanation") {
+    val e = intercept[RuntimeException](
+      run("SELECT histogram(value, 10) FROM cpu").collect())
+    assert(e.getMessage.contains("no execution routine"))
+  }
 }
