@@ -1334,22 +1334,50 @@ object InfluxQL {
     val armQ = q.copy(projs = Seq(PField(field)), limit = None, offset = 0,
       slimit = None, orderDesc = false, fill = FillNone)
     val offsets = 0L +: offs
-    val arms = offsets.zipWithIndex.map { case (k, i) =>
-      val cat2 =
-        if (k == 0L) catalog
-        else catalog.map { case (n, mm) =>
-          val s0 = mm.df.withColumn(mm.time,
-            col(mm.time) + expr(s"INTERVAL $k SECOND"))
-          // line-protocol tables also carry the raw ns `time` column
-          val s1 =
-            if (mm.time != "time" && mm.df.columns.contains("time"))
-              s0.withColumn("time", col("time") + lit(k * 1000000000L))
-            else s0
-          n -> mm.copy(df = s1, extentMs = mm.extentMs.map {
-            case (a, b) => (a + k * 1000L, b + k * 1000L) })
-        }
-      compileQuery(cat2, armQ).withColumnRenamed(field, s"$field${i + 1}")
+    // Single-pass fast path: with NO time predicate (nothing outside the
+    // scanned window to bring in) and every offset a multiple of the
+    // bucket width (bucket(t)+k ≡ bucket(t+k)), arm i is EXACTLY the base
+    // result with its time axis shifted +k — aggregate ONCE, shift the
+    // output. The arms' underlying exchanges are identical, so physical
+    // planning reuses one scan+aggregation (ReuseExchange); at 100 TB
+    // this is the difference between 1 and N corpus scans. A time-bounded
+    // compare genuinely needs per-arm windows ([min−k, max−k] contains
+    // rows the base window excludes) and takes the shifted-catalog path.
+    def hasTimeCond(w: WExpr): Boolean = w match {
+      case WCond(cd) => cd.field.equalsIgnoreCase("time")
+      case WAnd(l, r) => hasTimeCond(l) || hasTimeCond(r)
+      case WOr(l, r) => hasTimeCond(l) || hasTimeCond(r)
+      case WCmp(_, _, _) => true // conservative: expression comparisons
+      case _: WIn => true        // and subquery membership may bind time
     }
+    val bucketNs = q.fromSub.flatMap(_.intervalNs).orElse(q.intervalNs)
+    val singlePass =
+      !q.where.exists(hasTimeCond) &&
+      !q.fromSub.exists(_.where.exists(hasTimeCond)) &&
+      bucketNs.forall(d => offs.forall(k => (k * 1000000000L) % d == 0L))
+    val arms =
+      if (singlePass) {
+        val base = compileQuery(catalog, armQ)
+        offsets.zipWithIndex.map { case (k, i) =>
+          base.withColumn("time", col("time") + lit(k * 1000L))
+            .withColumnRenamed(field, s"$field${i + 1}")
+        }
+      } else offsets.zipWithIndex.map { case (k, i) =>
+        val cat2 =
+          if (k == 0L) catalog
+          else catalog.map { case (n, mm) =>
+            val s0 = mm.df.withColumn(mm.time,
+              col(mm.time) + expr(s"INTERVAL $k SECOND"))
+            // line-protocol tables also carry the raw ns `time` column
+            val s1 =
+              if (mm.time != "time" && mm.df.columns.contains("time"))
+                s0.withColumn("time", col("time") + lit(k * 1000000000L))
+              else s0
+            n -> mm.copy(df = s1, extentMs = mm.extentMs.map {
+              case (a, b) => (a + k * 1000L, b + k * 1000L) })
+          }
+        compileQuery(cat2, armQ).withColumnRenamed(field, s"$field${i + 1}")
+      }
     val f1 = s"${field}1"
     val keys = arms.head.columns.filterNot(_ == f1).toSeq
     val joined = arms.reduceLeft((a, b) =>

@@ -850,6 +850,17 @@ class InfluxQLSpec extends SparkSpec {
       .as[(Long, Option[Double], Option[Double])].collect().toSeq
     assert(sub.contains((60000L, Some(20.0), Some(10.0))))
     assert(sub.contains((120000L, Some(30.0), Some(20.0))))
+    // time-BOUNDED compare takes the shifted-catalog path: the history
+    // arm must bring in rows from BEFORE the query window ([min−k, max−k]
+    // in the reference's BuildCompareStatement) — here t=60s compares
+    // against the t=0 row the window itself excludes
+    val bounded = run("SELECT compare(value, 60) FROM cpu WHERE " +
+      "host = 'server01' AND time >= 60000000000")
+      .select("time", "value1", "value2")
+      .as[(Long, Option[Double], Option[Double])].collect().toSeq
+    assert(bounded.contains((60000L, Some(20.0), Some(10.0))),
+      s"history arm lost the pre-window row: $bounded")
+    assert(bounded.contains((120000L, Some(30.0), Some(20.0))))
   }
 
   test("histogram() fails with the dead-registration explanation") {
