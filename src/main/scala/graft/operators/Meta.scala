@@ -46,7 +46,8 @@ object Meta {
     val spark = df.sparkSession
     import spark.implicits._
     df.schema.fields
-      .filterNot(f => tags.contains(f.name) || time.contains(f.name))
+      .filterNot(f => tags.contains(f.name) || time.contains(f.name) ||
+        f.name.startsWith("__ds_")) // downsample bookkeeping, never a field
       .map(f => (f.name, f.dataType.simpleString)).toSeq
       .toDF("field_key", "field_type").orderBy("field_key")
   }

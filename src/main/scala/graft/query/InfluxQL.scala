@@ -1114,7 +1114,7 @@ object InfluxQL {
           def nil(s: String) = if (s.isEmpty) "<nil>" else s
           val fields = m.df.columns
             .filterNot(c => m.tags.contains(c) || c == m.time ||
-              c == "ts_ns")
+              c == "ts_ns" || c.startsWith("__ds_"))
           Seq(
             (name, "RETENTION POLICY: autogen"),
             (name, "INDEX: <nil>"),
@@ -1260,7 +1260,8 @@ object InfluxQL {
           exactCard().getOrElse(sys.error("expected CARDINALITY"))
           val m = fromM().getOrElse(sys.error("FIELD KEY CARDINALITY needs FROM"))
           val n = m.df.schema.fields.count(f =>
-            !m.tags.contains(f.name) && f.name != m.time && f.name != "time")
+            !m.tags.contains(f.name) && f.name != m.time &&
+              f.name != "time" && !f.name.startsWith("__ds_"))
           Seq(n.toLong).toDF("count")
         case t => sys.error(s"bad SHOW FIELD: $t")
       }
@@ -1952,6 +1953,7 @@ object InfluxQL {
           if (q.projs.contains(PStarTag) || q.projs.contains(PStarField)) {
             // `*::tag` / `*::field`: star restricted by column class
             val base = df.columns.filterNot(c => c == m.time || c == "time")
+              .filterNot(_.startsWith("__ds_"))
               .filterNot(groupTags.contains)
             val wanted = base.filter { c =>
               val isTag = mEff.tags.contains(c)
@@ -1963,6 +1965,7 @@ object InfluxQL {
             Seq.empty
           else if (plain.isEmpty || hasStar)
             df.columns.filterNot(c => c == m.time || c == "time")
+              .filterNot(_.startsWith("__ds_"))
               .filterNot(groupTags.contains).map(col).toSeq
           else plain.map(f =>
             // schema-on-read: an unknown field projects as null (the

@@ -90,6 +90,12 @@ final class HttpGateway(spark: SparkSession,
                              text: String, lastRunMs: Long)
   @volatile private var cqRegistry: Map[(String, String), CqEntry] = Map.empty
 
+  /** DOWNSAMPLE policies per (db, rp) + per-(db, measurement, tier)
+    * rolled-up-to marks — see [[DownSample]] for semantics/citations. */
+  @volatile private var dsRegistry: Map[(String, String), DownSample.Policy] =
+    Map.empty
+  @volatile private var dsMarks: Map[(String, String, Int), Long] = Map.empty
+
   /** One scheduler sweep at time `nowMs` (`service.go:178` Run loop ->
     * ExecuteContinuousQuery): a CQ is due when `nowMs` has advanced at
     * least EVERY (default: its GROUP BY interval) past its last run.
@@ -135,6 +141,43 @@ final class HttpGateway(spark: SparkSession,
           ran += 1
         }
         cqRegistry = cqRegistry + ((db, name) -> e.copy(lastRunMs = nowMs))
+      }
+    }
+    ran
+  }
+
+  /** One downsample sweep at `nowMs`: for every policy and measurement of
+    * its database, roll each tier forward to its bucket-aligned cutoff
+    * (`now − sampleInterval(i)` floored to timeInterval(i)), ascending so
+    * tier i's input is uniformly tier i−1 (nested, aligned buckets —
+    * DownSample.rollTier doc), then drop rows older than DURATION (the
+    * policy's retention side). Idempotent between data/clock advances:
+    * the per-tier marks skip tiers whose cutoff hasn't moved. Returns the
+    * number of (measurement, tier) rollups executed. */
+  def runDownSamples(nowMs: Long): Int = synchronized {
+    import org.apache.spark.sql.functions.{col, unix_millis}
+    var ran = 0
+    dsRegistry.foreach { case ((db, _), pol) =>
+      sliceOf(catalog, db).foreach { case (mst, m) =>
+        var df = m.df
+        var changed = false
+        for (i <- 1 to pol.sampleS.length) {
+          val bucketMs = pol.timeS(i - 1) * 1000L
+          val cutoff = Math.floorDiv(
+            nowMs - pol.sampleS(i - 1) * 1000L, bucketMs) * bucketMs
+          val mark = dsMarks.getOrElse((db, mst, i), Long.MinValue)
+          if (cutoff > mark) {
+            df = DownSample.rollTier(df, m.time, m.tags, pol, i, cutoff)
+            dsMarks = dsMarks + ((db, mst, i) -> cutoff)
+            changed = true
+            ran += 1
+          }
+        }
+        if (changed) {
+          val kept = df.filter(
+            unix_millis(col(m.time)) >= nowMs - pol.durationS * 1000L)
+          catalog = catalog + (dbKey(db, mst) -> m.copy(df = kept))
+        }
       }
     }
     ran
@@ -926,6 +969,52 @@ final class HttpGateway(spark: SparkSession,
           ResultShaper.toResultObj(
             gatewayRowsDf(Seq("name", "query"), rows),
             reqDb, Nil, Seq("name", "query"), epoch, id)
+        } else if (DownSample.isCreate(stmt)) {
+          val p0 = DownSample.parseCreate(stmt)
+          val db = p0.db.getOrElse(reqDb)
+          if (!databases.contains(db)) sys.error(s"database not found: $db")
+          val rps = retention.getOrElse(db, Retention.autogen)
+          val rp = rps.getOrElse(p0.rp,
+            sys.error(s"retention policy not found: ${p0.rp}"))
+          val p = DownSample.validate(p0, rp.shardGroupS)
+          synchronized {
+            if (dsRegistry.contains((db, p.rp)))
+              sys.error("downsample policy exists")
+            dsRegistry = dsRegistry + ((db, p.rp) -> p)
+          }
+          s"""{"statement_id":$id}"""
+        } else if (DownSample.isDrop(stmt)) {
+          val toks = stmt.trim.split("[\\s.]+")
+          synchronized {
+            if (toks(1).equalsIgnoreCase("downsamples")) {
+              // DROP DOWNSAMPLES [ON db]
+              val db = if (toks.length >= 4) toks(3) else reqDb
+              dsRegistry = dsRegistry.filterNot(_._1._1 == db)
+            } else {
+              // DROP DOWNSAMPLE ON [db.]rp
+              val (db, rp) =
+                if (toks.length >= 5) (toks(3), toks(4))
+                else (reqDb, toks(3))
+              if (!dsRegistry.contains((db, rp)))
+                sys.error(s"downsample policy not found on $db.$rp")
+              dsRegistry = dsRegistry - ((db, rp))
+            }
+          }
+          s"""{"statement_id":$id}"""
+        } else if (DownSample.isShow(stmt)) {
+          val db = showDb(stmt)
+          // meta/data.go:3827 ShowDownSamplePolicies column set
+          val cols = Seq("rpName", "field_operator", "duration",
+            "sampleInterval", "timeInterval")
+          val rows = dsRegistry.toSeq
+            .collect { case ((d, rp), p) if d == db =>
+              Seq[Any](rp, p.fieldOperator,
+                Retention.renderDuration(p.durationS),
+                p.sampleS.map(Retention.renderDuration).mkString(","),
+                p.timeS.map(Retention.renderDuration).mkString(",")) }
+            .sortBy(_.head.toString)
+          ResultShaper.toResultObj(gatewayRowsDf(cols, rows),
+            "downsamples", Nil, cols, epoch, id)
         } else if (Seq("drop ", "create ", "kill ", "delete", "alter ",
             "grant ", "revoke ", "set ")
             .exists(stmt.trim.toLowerCase.startsWith)) {

@@ -971,6 +971,96 @@ class ServerSpec extends SparkSpec {
     assert(count("SELECT count(v) FROM stsh") == threads.toLong * iters,
       "shared measurement lost or duplicated concurrent appends")
   }
+
+  test("downsample e2e: tiered rollup with exact re-aggregation, " +
+      "retention drop, SHOW/DROP") {
+    // own gateway: the sweep mutates every measurement of the policy's db
+    val g = new HttpGateway(spark, Map.empty, Map.empty)
+    g.start()
+    try {
+      def gget(path: String) = http.send(HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:${g.boundPort}$path")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      def gpost(path: String, body: String) = http.send(
+        HttpRequest.newBuilder(
+            URI.create(s"http://127.0.0.1:${g.boundPort}$path"))
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+        HttpResponse.BodyHandlers.ofString())
+
+      // RP with 72h duration → 1d shard groups; policy tiers must clear it
+      assert(gget("/query?q=" + enc(
+        "CREATE RETENTION POLICY rp3 ON graft DURATION 72h REPLICATION 1"))
+        .statusCode() == 200)
+      // validation: non-nesting timeIntervals rejected (policy Check)
+      assert(gget("/query?q=" + enc(
+        "CREATE DOWNSAMPLE ON graft.rp3 (float(mean)) WITH DURATION 72h " +
+        "SAMPLEINTERVAL(25h, 50h) TIMEINTERVAL(1m, 3m30s)"))
+        .statusCode() == 400)
+      val ddl = "CREATE DOWNSAMPLE ON graft.rp3 (float(mean)) " +
+        "WITH DURATION 72h SAMPLEINTERVAL(25h, 50h) TIMEINTERVAL(1m, 2m)"
+      assert(gget("/query?q=" + enc(ddl)).statusCode() == 200)
+      val shown = gget("/query?q=" + enc("SHOW DOWNSAMPLES")).body()
+      assert(shown.contains("\"rp3\"") &&
+        shown.contains("float{mean}") &&
+        shown.contains("90000") == false, shown) // durations, not seconds
+      assert(shown.contains("25h0m0s,50h0m0s") &&
+        shown.contains("1m0s,2m0s"), shown)
+
+      // now = 100h. Points: a 40h pair in DIFFERENT 1m buckets but ONE 2m
+      // bucket (tier-2 after re-rolling the two tier-1 rows — mean of
+      // means would also be 3 here, so add asymmetric weights: 3 points,
+      // 2 in the first minute (2, 4) and 1 in the second (9) → tier-1
+      // rows (mean 3, n=2) and (mean 9, n=1); exact tier-2 mean =
+      // (2+4+9)/3 = 5.0, while naive mean-of-means would say 6.0);
+      // a 70h pair in one 1m bucket (tier 1 → mean 15); a raw 99h point.
+      val now = 100L * 3600 * 1000
+      val h40 = 40L * 3600 * 1000
+      val h70 = 70L * 3600 * 1000
+      val lines = Seq(
+        s"dscpu,host=a value=2 $h40",
+        s"dscpu,host=a value=4 ${h40 + 30000}",
+        s"dscpu,host=a value=9 ${h40 + 90000}",
+        s"dscpu,host=a value=10 $h70",
+        s"dscpu,host=a value=20 ${h70 + 15000}",
+        s"dscpu,host=a value=7 ${99L * 3600 * 1000}").mkString("\n")
+      assert(gpost("/write?precision=ms", lines).statusCode() == 204)
+
+      // sweep: tier 1 (25h / 1m) + tier 2 (50h / 2m) both roll
+      assert(g.runDownSamples(now) == 2)
+      val body = gget("/query?q=" + enc(
+        "SELECT value FROM dscpu") + "&epoch=ms").body()
+      val json = JsonMethods.parse(body)
+      val rows = (json \\ "values") match {
+        case JArray(vs) => vs.map { case JArray(Seq(t, v)) =>
+          (t.values.toString.toLong, v.values.toString.toDouble) }
+        case _ => Nil
+      }
+      assert(rows.toSet == Set(
+        (h40, 5.0),                     // tier 2: exact weighted mean
+        (h70, 15.0),                    // tier 1
+        (99L * 3600 * 1000, 7.0)), rows) // raw, untouched
+      // hidden bookkeeping never surfaces as a field
+      assert(!body.contains("__ds_"), body)
+      val fk = gget("/query?q=" + enc(
+        "SHOW FIELD KEYS FROM dscpu")).body()
+      assert(fk.contains("value") && !fk.contains("__ds_"), fk)
+
+      // idempotent until the clock advances a full bucket
+      assert(g.runDownSamples(now) == 0)
+
+      // retention: at now=130h the 40h rollup is older than DURATION 72h
+      assert(g.runDownSamples(130L * 3600 * 1000) >= 1)
+      val after = gget("/query?q=" + enc(
+        "SELECT value FROM dscpu") + "&epoch=ms").body()
+      assert(!after.contains(h40.toString), after)
+
+      assert(gget("/query?q=" + enc("DROP DOWNSAMPLE ON graft.rp3"))
+        .statusCode() == 200)
+      assert(!gget("/query?q=" + enc("SHOW DOWNSAMPLES")).body()
+        .contains("rp3"))
+      assert(g.runDownSamples(200L * 3600 * 1000) == 0)
+    } finally g.stop()
+  }
 }
 
 object ServerSpec {
