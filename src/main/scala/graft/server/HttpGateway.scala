@@ -96,6 +96,18 @@ final class HttpGateway(spark: SparkSession,
     Map.empty
   @volatile private var dsMarks: Map[(String, String, Int), Long] = Map.empty
 
+  /** STREAM tasks per (db, name): the reference's stream service
+    * aggregates arriving points into per-window state and flushes a
+    * window once `window + DELAY` has passed (`app/ts-store/stream/` —
+    * time_task/tag_task window caches). The batch-gateway equivalent:
+    * [[runStreams]] flushes every closed window of landed writes once,
+    * APPENDING to the target — unlike a CQ, a stream never recomputes
+    * flushed windows (the DELAY is its entire late-data budget). */
+  private case class StreamEntry(stmt: graft.streaming.StreamDDL.StreamStatement,
+                                 text: String, flushedUpToMs: Long)
+  @volatile private var streamRegistry: Map[(String, String), StreamEntry] =
+    Map.empty
+
   /** One scheduler sweep at time `nowMs` (`service.go:178` Run loop ->
     * ExecuteContinuousQuery): a CQ is due when `nowMs` has advanced at
     * least EVERY (default: its GROUP BY interval) past its last run.
@@ -141,6 +153,52 @@ final class HttpGateway(spark: SparkSession,
           ran += 1
         }
         cqRegistry = cqRegistry + ((db, name) -> e.copy(lastRunMs = nowMs))
+      }
+    }
+    ran
+  }
+
+  /** One stream sweep at `nowMs`: flush every window that closed at least
+    * DELAY ago and hasn't been flushed, appending the windowed
+    * aggregation of the landed rows to the target measurement. Windows
+    * flush exactly once (per-stream high-water mark); rows arriving
+    * after their window's flush are dropped by construction — the
+    * reference's stream semantics, where DELAY is the late-data budget
+    * (`app/ts-store/stream/time_task.go` window caches). Returns the
+    * number of streams that flushed. */
+  def runStreams(nowMs: Long): Int = synchronized {
+    import org.apache.spark.sql.functions.{col, timestamp_millis}
+    var ran = 0
+    streamRegistry.foreach { case ((db, name), e) =>
+      val st = e.stmt
+      val bucketMs = math.max(1L, st.intervalNs / 1000000L)
+      val delayMs = st.delayNs / 1000000L
+      val bound = Math.floorDiv(nowMs - delayMs, bucketMs) * bucketMs
+      val cat = sliceOf(catalog, db)
+      if (bound > e.flushedUpToMs && cat.contains(st.from)) {
+        val callsSql = st.calls
+          .map { case (fn, f) => s"$fn($f)" }.mkString(", ")
+        val groupBy = (Seq(s"time(${bucketMs}ms)") ++ st.tags)
+          .mkString(", ")
+        val lower =
+          if (e.flushedUpToMs == Long.MinValue) ""
+          else s"time >= ${e.flushedUpToMs}000000 AND "
+        val sql = s"SELECT $callsSql FROM ${st.from} " +
+          s"WHERE ${lower}time < ${bound}000000 GROUP BY $groupBy"
+        val res = InfluxQL.execute(cat, sql)
+          .withColumn("__ts", timestamp_millis(col("time")))
+        if (!res.isEmpty) {
+          val merged = cat.get(st.target) match {
+            case Some(old) => InfluxQL.Measurement(
+              old.df.unionByName(res, allowMissingColumns = true),
+              st.tags, old.time)
+            case None => InfluxQL.Measurement(res, st.tags, "__ts")
+          }
+          catalog = catalog + (dbKey(db, st.target) -> merged)
+          ran += 1
+        }
+        streamRegistry = streamRegistry +
+          ((db, name) -> e.copy(flushedUpToMs = bound))
       }
     }
     ran
@@ -969,6 +1027,47 @@ final class HttpGateway(spark: SparkSession,
           ResultShaper.toResultObj(
             gatewayRowsDf(Seq("name", "query"), rows),
             reqDb, Nil, Seq("name", "query"), epoch, id)
+        } else if ("(?is)^\\s*create\\s+stream\\b.*".r.matches(stmt)) {
+          val st = graft.streaming.StreamDDL.parse(stmt)
+          synchronized {
+            if (streamRegistry.contains((reqDb, st.name)))
+              sys.error(s"stream already exists: ${st.name}")
+            streamRegistry = streamRegistry +
+              ((reqDb, st.name) -> StreamEntry(st, stmt.trim, Long.MinValue))
+          }
+          s"""{"statement_id":$id}"""
+        } else if ("(?is)^\\s*drop\\s+stream\\b.*".r.matches(stmt)) {
+          // DROP STREAM 'name' (sql.y DROP STREAM STRING_TYPE)
+          val name = InfluxQL.lex(stmt).drop(2).headOption match {
+            case Some(InfluxQL.TIdent(n)) => n
+            case Some(InfluxQL.TStr(n)) => n
+            case _ => sys.error("expected stream name")
+          }
+          synchronized {
+            if (!streamRegistry.contains((reqDb, name)))
+              sys.error(s"stream not found: $name")
+            streamRegistry = streamRegistry - ((reqDb, name))
+          }
+          s"""{"statement_id":$id}"""
+        } else if ("(?is)^\\s*show\\s+streams\\b.*".r.matches(stmt)) {
+          val db = showDb(stmt)
+          // meta/data.go:3918 ShowStreams column set
+          val cols = Seq("database", "retention", "measurement", "Name",
+            "source measurement", "dimensions", "calls", "interval",
+            "delay", "condition")
+          val rows = streamRegistry.toSeq
+            .collect { case ((d, name), e) if d == db =>
+              val st = e.stmt
+              Seq[Any](d, "autogen", st.target, name,
+                s"$d.autogen.${st.from}",
+                st.tags.mkString(","),
+                st.calls.map { case (fn, f) => s"$fn($f)" }.mkString(","),
+                Retention.renderDuration(st.intervalNs / 1000000000L),
+                Retention.renderDuration(st.delayNs / 1000000000L),
+                "") }
+            .sortBy(_(3).toString)
+          ResultShaper.toResultObj(gatewayRowsDf(cols, rows),
+            "streams", Nil, cols, epoch, id)
         } else if (DownSample.isCreate(stmt)) {
           val p0 = DownSample.parseCreate(stmt)
           val db = p0.db.getOrElse(reqDb)

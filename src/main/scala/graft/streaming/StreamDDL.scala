@@ -31,6 +31,9 @@ object StreamDDL {
     def next(): Tok = { val t = peek; toks = toks.drop(1); t }
     def ident(): String = next() match {
       case TIdent(s) => s
+      // the reference's stream grammar names the stream with a STRING
+      // literal (sql.y CREATE STREAM STRING_TYPE INTO …)
+      case TStr(s) => s
       case t => sys.error(s"expected identifier, got $t")
     }
     def kw(s: String): Unit = {
@@ -73,7 +76,15 @@ object StreamDDL {
     // two body orders: the reference's `SELECT … INTO t FROM …` and the
     // stream form `INTO t SELECT … FROM …`
     var target: String = null
-    if (isKw("into")) { next(); target = ident() }
+    if (isKw("into")) {
+      next(); target = ident()
+      // qualified db.rp.mst target (sql.y TABLE_NAME_WITH_OPTION): keep
+      // the measurement name, the serving layer resolves the namespace
+      while (peek == TPunct(".")) { next(); target = ident() }
+    }
+    // reference stream form separates target and body with ON
+    // (sql.y: CREATE STREAM STRING_TYPE INTO target ON SELECT …)
+    if (isKw("on")) next()
     kw("select")
     var calls = Seq.empty[(String, String)]
     var more = true

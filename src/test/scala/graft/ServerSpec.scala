@@ -972,6 +972,65 @@ class ServerSpec extends SparkSpec {
       "shared measurement lost or duplicated concurrent appends")
   }
 
+  test("stream e2e: windows flush exactly once after DELAY, append to " +
+      "target, SHOW/DROP") {
+    val g = new HttpGateway(spark, Map.empty, Map.empty)
+    g.start()
+    try {
+      def gget(path: String) = http.send(HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:${g.boundPort}$path")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      def gpost(path: String, body: String) = http.send(
+        HttpRequest.newBuilder(
+            URI.create(s"http://127.0.0.1:${g.boundPort}$path"))
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      def sums(): Map[Long, Double] = {
+        val body = gget("/query?q=" +
+          enc("SELECT sum FROM cpu_sum") + "&epoch=ms").body()
+        val json = JsonMethods.parse(body)
+        (json \\ "values") match {
+          case JArray(vs) => vs.map { case JArray(Seq(t, v)) =>
+            (t.values.toString.toLong, v.values.toString.toDouble) }.toMap
+          case _ => Map.empty
+        }
+      }
+      // reference stream form: STRING name, INTO target ON SELECT …
+      val ddl = "CREATE STREAM 'st1' INTO cpu_sum ON " +
+        "SELECT sum(value) FROM scpu GROUP BY time(10s), host DELAY 5s"
+      assert(gget("/query?q=" + enc(ddl)).statusCode() == 200)
+      val shown = gget("/query?q=" + enc("SHOW STREAMS")).body()
+      assert(shown.contains("\"st1\"") && shown.contains("cpu_sum") &&
+        shown.contains("sum(value)") && shown.contains("\"10s\"") &&
+        shown.contains("\"5s\"") &&
+        shown.contains("\"source measurement\""), shown)
+
+      assert(gpost("/write?precision=ms",
+        "scpu,host=a value=2 2000\nscpu,host=a value=4 4000\n" +
+        "scpu,host=a value=8 12000").statusCode() == 204)
+      // at t=14s the [0,10s) window closed 4s ago — inside DELAY 5s
+      assert(g.runStreams(14000) == 0)
+      // at t=16s it flushes; [10,20s) is still open
+      assert(g.runStreams(16000) == 1)
+      assert(sums() == Map(0L -> 6.0), sums())
+      // a LATE point for the flushed window arrives past the DELAY
+      // budget: streams never recompute flushed windows (unlike CQ)
+      assert(gpost("/write?precision=ms", "scpu,host=a value=100 8000")
+        .statusCode() == 204)
+      assert(g.runStreams(27000) == 1) // [10,20s) flushes
+      assert(sums() == Map(0L -> 6.0, 10000L -> 8.0), sums())
+      // no new closed windows → nothing flushes, nothing duplicates
+      assert(g.runStreams(28000) == 0)
+      assert(sums() == Map(0L -> 6.0, 10000L -> 8.0), sums())
+
+      assert(gget("/query?q=" + enc("DROP STREAM 'st1'"))
+        .statusCode() == 200)
+      assert(!gget("/query?q=" + enc("SHOW STREAMS")).body()
+        .contains("st1"))
+      assert(g.runStreams(60000) == 0)
+    } finally g.stop()
+  }
+
   test("downsample e2e: tiered rollup with exact re-aggregation, " +
       "retention drop, SHOW/DROP") {
     // own gateway: the sweep mutates every measurement of the policy's db
