@@ -108,6 +108,21 @@ final class HttpGateway(spark: SparkSession,
   @volatile private var streamRegistry: Map[(String, String), StreamEntry] =
     Map.empty
 
+  /** Declared measurement schemas per (db, name) — CREATE MEASUREMENT /
+    * ALTER … WITH SHARDKEY / SHOW SHARDKEY|ENGINETYPE|… introspection
+    * (see [[MeasurementDDL]]). */
+  @volatile private var mstSchemas
+    : Map[(String, String), MeasurementDDL.Schema] = Map.empty
+
+  /** SUBSCRIPTION catalog per (db, rp, name) — the reference forwards
+    * every write of db.rp to the registered destinations
+    * (`services/subscriber`); the gateway keeps the catalog live
+    * (CREATE/DROP/SHOW round-trip) and the forwarding path is
+    * `Streams.subscriptionSink` wired to a write stream. */
+  @volatile private var subRegistry
+    : Map[(String, String, String), graft.streaming.StreamDDL.Subscription] =
+    Map.empty
+
   /** One scheduler sweep at time `nowMs` (`service.go:178` Run loop ->
     * ExecuteContinuousQuery): a CQ is due when `nowMs` has advanced at
     * least EVERY (default: its GROUP BY interval) past its last run.
@@ -755,7 +770,10 @@ final class HttpGateway(spark: SparkSession,
     val schema = StructType(cols.map {
       case c @ ("admin" | "rwuser" | "default") =>
         StructField(c, BooleanType)
-      case c @ ("qid" | "replicaN") => StructField(c, LongType)
+      case c @ ("qid" | "replicaN" | "SHARD_GROUP") => StructField(c, LongType)
+      case c @ ("destinations" | "SHARD_KEY" | "PRIMARY_KEY" | "SORT_KEY" |
+                "PROPERTY_KEY" | "PROPERTY_VALUE") =>
+        StructField(c, ArrayType(StringType))
       case c => StructField(c, StringType)
     })
     spark.createDataFrame(
@@ -1027,6 +1045,139 @@ final class HttpGateway(spark: SparkSession,
           ResultShaper.toResultObj(
             gatewayRowsDf(Seq("name", "query"), rows),
             reqDb, Nil, Seq("name", "query"), epoch, id)
+        } else if (MeasurementDDL.isCreate(stmt)) {
+          val sc = MeasurementDDL.parseCreate(stmt)
+          val db = sc.db.getOrElse(reqDb)
+          if (!databases.contains(db)) sys.error(s"database not found: $db")
+          synchronized {
+            if (mstSchemas.contains((db, sc.name)))
+              sys.error("measurement already exists")
+            mstSchemas = mstSchemas + ((db, sc.name) -> sc)
+            // a declared schema types the measurement BEFORE its first
+            // write: register an empty frame with the declared columns
+            if (!sliceOf(catalog, db).contains(sc.name)) {
+              import org.apache.spark.sql.types._
+              val cols = Seq(StructField("time", LongType),
+                  StructField("ts", TimestampType)) ++
+                sc.tags.map(t => StructField(t, StringType)) ++
+                sc.fields.map { case (n, t) => StructField(n, t match {
+                  case "int64" => LongType
+                  case "float64" => DoubleType
+                  case "bool" => BooleanType
+                  case _ => StringType
+                }) }
+              val empty = spark.createDataFrame(
+                java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+                StructType(cols))
+              catalog = catalog + (dbKey(db, sc.name) ->
+                InfluxQL.Measurement(empty, sc.tags, "ts"))
+            }
+          }
+          s"""{"statement_id":$id}"""
+        } else if (MeasurementDDL.isAlterShardKey(stmt)) {
+          val (dbOpt, _, name, key, tpe) = MeasurementDDL.parseAlter(stmt)
+          val db = dbOpt.getOrElse(reqDb)
+          synchronized {
+            val sc = mstSchemas.getOrElse((db, name),
+              if (sliceOf(catalog, db).contains(name))
+                MeasurementDDL.Schema(Some(db), None, name, Nil, Nil,
+                  Nil, "hash", "tsstore", Nil, Nil, Nil)
+              else sys.error(s"measurement not found: $name"))
+            mstSchemas = mstSchemas +
+              ((db, name) -> sc.copy(shardKey = key, shardType = tpe))
+          }
+          s"""{"statement_id":$id}"""
+        } else if (MeasurementDDL.isShowKeys(stmt)) {
+          val (kind, dbOpt, _, name) = MeasurementDDL.parseShowKeys(stmt)
+          val db = dbOpt.getOrElse(reqDb)
+          val sc = mstSchemas.getOrElse((db, name),
+            sys.error("measurement not found"))
+          val colstoreOnly = Set("primarykey", "sortkey", "property",
+            "compact")
+          if (colstoreOnly(kind) && sc.engineType != "columnstore")
+            sys.error("only support for COLUMNSTORE engine")
+          // statement_executor.go:1366-1432 row shapes
+          def section(kind: String): (Seq[String], Seq[Seq[Any]]) =
+            kind match {
+              case "shardkey" => (Seq("SHARD_KEY", "TYPE", "SHARD_GROUP"),
+                if (sc.shardKey.isEmpty) Nil
+                else Seq(Seq[Any](sc.shardKey, sc.shardType, 0L)))
+              case "enginetype" =>
+                (Seq("ENGINETYPE"), Seq(Seq[Any](sc.engineType)))
+              case "indexes" => (Seq("INDEXES"),
+                sc.indexes.map { case (n, cols) =>
+                  Seq[Any](s"${n.toUpperCase}(${cols.mkString(",")})") })
+              case "primarykey" =>
+                (Seq("PRIMARY_KEY"), Seq(Seq[Any](sc.primaryKey)))
+              case "sortkey" =>
+                (Seq("SORT_KEY"), Seq(Seq[Any](sc.sortKey)))
+              case "property" =>
+                (Seq("PROPERTY_KEY", "PROPERTY_VALUE"),
+                  Seq(Seq[Any](Seq.empty[String], Seq.empty[String])))
+              case "compact" =>
+                (Seq("COMPACTION_TYPE"), Seq(Seq[Any]("row")))
+              case other => sys.error(s"$other is not support")
+            }
+          def seriesOf(kind: String): String = {
+            val (cols, rows) = section(kind)
+            val o = ResultShaper.toResultObj(gatewayRowsDf(cols, rows),
+              "", Nil, cols, epoch, id)
+            val i = o.indexOf("\"series\":[")
+            o.substring(i + 10, o.length - 2)
+          }
+          val kinds =
+            if (kind != "schema") Seq(kind)
+            else if (sc.engineType == "columnstore")
+              Seq("shardkey", "enginetype", "indexes", "primarykey",
+                "sortkey", "compact")
+            else Seq("shardkey", "enginetype", "indexes")
+          val series = kinds.map(seriesOf).filter(_.nonEmpty)
+            .mkString(",")
+          s"""{"statement_id":$id,"series":[$series]}"""
+        } else if ("(?is)^\\s*create\\s+subscription\\b.*".r.matches(stmt)) {
+          val s = graft.streaming.StreamDDL.parseSubscription(stmt)
+          if (!databases.contains(s.db))
+            sys.error(s"database not found: ${s.db}")
+          if (!retention.getOrElse(s.db, Retention.autogen).contains(s.rp))
+            sys.error(s"retention policy not found: ${s.rp}")
+          synchronized {
+            if (subRegistry.contains((s.db, s.rp, s.name)))
+              sys.error("subscription already exists")
+            subRegistry = subRegistry + ((s.db, s.rp, s.name) -> s)
+          }
+          s"""{"statement_id":$id}"""
+        } else if ("(?is)^\\s*drop\\s+subscription\\b.*".r.matches(stmt)) {
+          // DROP SUBSCRIPTION name ON db.rp (ast.go DropSubscription)
+          var toks = InfluxQL.lex(stmt).drop(2)
+          def pop(): InfluxQL.Tok = {
+            val t = toks.head; toks = toks.drop(1); t }
+          val name = pop() match {
+            case InfluxQL.TIdent(n) => n
+            case InfluxQL.TStr(n) => n
+            case t => sys.error(s"expected subscription name, got $t")
+          }
+          pop() // ON
+          val db = pop() match { case InfluxQL.TIdent(n) => n
+            case InfluxQL.TStr(n) => n; case t => sys.error(s"bad db: $t") }
+          pop() // .
+          val rp = pop() match { case InfluxQL.TIdent(n) => n
+            case InfluxQL.TStr(n) => n; case t => sys.error(s"bad rp: $t") }
+          synchronized {
+            if (!subRegistry.contains((db, rp, name)))
+              sys.error(s"subscription not found: $name")
+            subRegistry = subRegistry - ((db, rp, name))
+          }
+          s"""{"statement_id":$id}"""
+        } else if ("(?is)^\\s*show\\s+subscriptions\\b.*".r.matches(stmt)) {
+          // one series per database (meta SHOW SUBSCRIPTIONS shape);
+          // the gateway's single-db request view renders reqDb's series
+          val cols = Seq("retention_policy", "name", "mode", "destinations")
+          val rows = subRegistry.toSeq
+            .collect { case ((d, rp, name), s) if d == reqDb =>
+              Seq[Any](rp, name, s.mode, s.destinations) }
+            .sortBy(r => (r.head.toString, r(1).toString))
+          ResultShaper.toResultObj(gatewayRowsDf(cols, rows),
+            reqDb, Nil, cols, epoch, id)
         } else if ("(?is)^\\s*create\\s+stream\\b.*".r.matches(stmt)) {
           val st = graft.streaming.StreamDDL.parse(stmt)
           synchronized {

@@ -50,6 +50,10 @@ object ResultShaper {
       "\"" + java.time.format.DateTimeFormatter.ISO_INSTANT.format(inst) + "\""
     case ts: java.sql.Timestamp => epochOf(ts, epoch).toString
     case d: java.sql.Date => "\"" + d.toString + "\""
+    // array cells render as JSON arrays (SHOW SUBSCRIPTIONS destinations —
+    // the reference emits the destination list as a JSON array)
+    case xs: scala.collection.Seq[_] =>
+      xs.map(jsonScalar(_, epoch)).mkString("[", ",", "]")
     case n => n.toString
   }
 

@@ -972,6 +972,101 @@ class ServerSpec extends SparkSpec {
       "shared measurement lost or duplicated concurrent appends")
   }
 
+  test("measurement DDL: CREATE MEASUREMENT schema, typed pre-write, " +
+      "SHOW SHARDKEY/ENGINETYPE/INDEXES/SCHEMA, ALTER SHARDKEY") {
+    val g = new HttpGateway(spark, Map.empty, Map.empty)
+    g.start()
+    try {
+      def gget(path: String) = http.send(HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:${g.boundPort}$path")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      def gpost(path: String, body: String) = http.send(
+        HttpRequest.newBuilder(
+            URI.create(s"http://127.0.0.1:${g.boundPort}$path"))
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      // the reference's own test spelling (tests/server_test.go:36)
+      val ddl = "CREATE MEASUREMENT mcpu (region tag, az tag, v1 int64, " +
+        "v2 float64, v3 bool, v4 string) WITH ENGINETYPE = columnstore " +
+        "SHARDKEY az,region PRIMARYKEY az,region,time"
+      assert(gget("/query?q=" + enc(ddl)).statusCode() == 200)
+      // duplicate declaration rejected
+      assert(gget("/query?q=" + enc("CREATE MEASUREMENT mcpu"))
+        .statusCode() == 400)
+      // the declared schema types the measurement BEFORE any write
+      val fk0 = gget("/query?q=" + enc("SHOW FIELD KEYS FROM mcpu")).body()
+      assert(fk0.contains("v1") && fk0.contains("bigint") &&
+        fk0.contains("v2") && fk0.contains("double"), fk0)
+      assert(gget("/query?q=" + enc("SHOW MEASUREMENTS")).body()
+        .contains("mcpu"))
+      // introspection shapes (statement_executor.go:1366-1432)
+      val sk = gget("/query?q=" + enc("SHOW SHARDKEY FROM mcpu")).body()
+      assert(sk.contains("\"SHARD_KEY\"") &&
+        sk.contains("[\"az\",\"region\"]") && sk.contains("\"hash\""), sk)
+      val et = gget("/query?q=" + enc("SHOW ENGINETYPE FROM mcpu")).body()
+      assert(et.contains("columnstore"), et)
+      val pk = gget("/query?q=" + enc("SHOW PRIMARYKEY FROM mcpu")).body()
+      assert(pk.contains("[\"az\",\"region\",\"time\"]"), pk)
+      val sch = gget("/query?q=" + enc("SHOW SCHEMA FROM mcpu")).body()
+      assert(sch.contains("SHARD_KEY") && sch.contains("ENGINETYPE") &&
+        sch.contains("PRIMARY_KEY"), sch)
+      // tsstore measurements reject columnstore-only introspection
+      assert(gget("/query?q=" + enc(
+        "CREATE MEASUREMENT mrow WITH SHARDKEY host")).statusCode() == 200)
+      assert(gget("/query?q=" + enc("SHOW PRIMARYKEY FROM mrow"))
+        .statusCode() == 400)
+      // writes land on the declared (empty, typed) measurement
+      assert(gpost("/write?precision=ms",
+        "mcpu,region=r1,az=a1 v1=5i,v2=1.5 1000").statusCode() == 204)
+      val q = gget("/query?q=" + enc(
+        "SELECT v1, v2 FROM mcpu") + "&epoch=ms").body()
+      assert(q.contains("[1000,5,1.5]"), q)
+      // ALTER … WITH SHARDKEY stores the key SORTED (sql.y:3692)
+      assert(gget("/query?q=" + enc(
+        "ALTER MEASUREMENT mcpu WITH SHARDKEY region,az TYPE range"))
+        .statusCode() == 200)
+      val sk2 = gget("/query?q=" + enc("SHOW SHARDKEY FROM mcpu")).body()
+      assert(sk2.contains("[\"az\",\"region\"]") &&
+        sk2.contains("\"range\""), sk2)
+    } finally g.stop()
+  }
+
+  test("subscription catalog: CREATE/SHOW/DROP round-trip with JSON-array " +
+      "destinations") {
+    val g = new HttpGateway(spark, Map.empty, Map.empty)
+    g.start()
+    try {
+      def gget(path: String) = http.send(HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:${g.boundPort}$path")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(gget("/query?q=" + enc(
+        "CREATE RETENTION POLICY rpsub ON graft DURATION 24h REPLICATION 1"))
+        .statusCode() == 200)
+      assert(gget("/query?q=" + enc("CREATE SUBSCRIPTION sub0 ON " +
+        "graft.rpsub DESTINATIONS ALL 'http://h1:9092', 'http://h2:9092'"))
+        .statusCode() == 200)
+      // duplicate rejected
+      assert(gget("/query?q=" + enc("CREATE SUBSCRIPTION sub0 ON " +
+        "graft.rpsub DESTINATIONS ANY 'http://h3:9092'"))
+        .statusCode() == 400)
+      // unknown RP rejected
+      assert(gget("/query?q=" + enc("CREATE SUBSCRIPTION subX ON " +
+        "graft.nope DESTINATIONS ALL 'http://h:1'")).statusCode() == 400)
+      val shown = gget("/query?q=" + enc("SHOW SUBSCRIPTIONS")).body()
+      // destinations render as a JSON ARRAY (reference response shape)
+      assert(shown.contains("\"rpsub\"") && shown.contains("\"sub0\"") &&
+        shown.contains("\"ALL\"") &&
+        shown.contains("[\"http://h1:9092\",\"http://h2:9092\"]"), shown)
+      assert(gget("/query?q=" + enc(
+        "DROP SUBSCRIPTION sub0 ON graft.rpsub")).statusCode() == 200)
+      assert(!gget("/query?q=" + enc("SHOW SUBSCRIPTIONS")).body()
+        .contains("sub0"))
+      // dropping again errors (not silently OK)
+      assert(gget("/query?q=" + enc(
+        "DROP SUBSCRIPTION sub0 ON graft.rpsub")).statusCode() == 400)
+    } finally g.stop()
+  }
+
   test("stream e2e: windows flush exactly once after DELAY, append to " +
       "target, SHOW/DROP") {
     val g = new HttpGateway(spark, Map.empty, Map.empty)
