@@ -173,6 +173,131 @@ final class HttpGateway(spark: SparkSession,
     ran
   }
 
+  // ---- DDL durability: the reference's meta store is raft-journaled
+  // (meta/data.go), so CQs, streams, subscriptions, downsample policies
+  // and declared measurement schemas all survive a restart. Here every
+  // registry mutation rewrites `_ddl.txt` (atomic, like _databases.txt)
+  // with CANONICAL statement text regenerated from registry state, and
+  // startup replays the lines through the same register functions.
+  // Stream entries carry their flush high-water mark (exactly-once across
+  // restarts); downsample marks are pure optimization (rollTier inputs
+  // filter on __ds_tier, so re-sweeping is idempotent) and CQ lastRun
+  // re-derives from EVERY (recompute-merge is idempotent).
+  private def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+  private def dec(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
+  private def ddlFile =
+    persistDir.map(d => java.nio.file.Paths.get(d, "_ddl.txt"))
+
+  private def renderSub(s: graft.streaming.StreamDDL.Subscription): String =
+    s"CREATE SUBSCRIPTION ${s.name} ON ${s.db}.${s.rp} DESTINATIONS " +
+      s"${s.mode} " + s.destinations.map(u => s"'$u'").mkString(", ")
+
+  private def renderDs(rp: String, p: DownSample.Policy): String = {
+    val calls = p.calls.map(c => s"${c.tpe}(${c.ops.mkString(", ")})")
+      .mkString(", ")
+    s"CREATE DOWNSAMPLE ON $rp ($calls) WITH DURATION ${p.durationS}s " +
+      s"SAMPLEINTERVAL(${p.sampleS.map(_ + "s").mkString(", ")}) " +
+      s"TIMEINTERVAL(${p.timeS.map(_ + "s").mkString(", ")})"
+  }
+
+  private def renderMst(sc: MeasurementDDL.Schema): String = {
+    val cols = (sc.tags.map(t => s"$t tag") ++
+      sc.fields.map { case (n, t) => s"$n $t" })
+    val colPart = if (cols.isEmpty) "" else cols.mkString(" (", ", ", ")")
+    val opts = Seq(
+      s"ENGINETYPE = ${sc.engineType}",
+      if (sc.shardKey.nonEmpty)
+        s"SHARDKEY ${sc.shardKey.mkString(",")} TYPE ${sc.shardType}" else "",
+      if (sc.primaryKey.nonEmpty)
+        s"PRIMARYKEY ${sc.primaryKey.mkString(",")}" else "",
+      if (sc.sortKey.nonEmpty) s"SORTKEY ${sc.sortKey.mkString(",")}" else "",
+      sc.indexes.map { case (n, cs) =>
+        s"INDEXTYPE $n" + (if (cs.nonEmpty) s" INDEXLIST ${cs.mkString(",")}"
+                           else "") }.mkString(" ")
+    ).filter(_.nonEmpty).mkString(" ")
+    s"CREATE MEASUREMENT ${sc.name}$colPart WITH $opts"
+  }
+
+  private def persistDdl(): Unit = ddlFile.foreach { f =>
+    val lines =
+      cqRegistry.toSeq.sortBy(_._1).map { case ((db, _), e) =>
+        s"cq\t${enc(db)}\t-\t${enc(e.text)}" } ++
+      streamRegistry.toSeq.sortBy(_._1).map { case ((db, _), e) =>
+        s"stream\t${enc(db)}\t${e.flushedUpToMs}\t${enc(e.text)}" } ++
+      subRegistry.toSeq.sortBy(_._1).map { case (_, s) =>
+        s"sub\t${enc(s.db)}\t-\t${enc(renderSub(s))}" } ++
+      dsRegistry.toSeq.sortBy(_._1).map { case ((db, rp), p) =>
+        s"ds\t${enc(db)}\t-\t${enc(renderDs(rp, p))}" } ++
+      mstSchemas.toSeq.sortBy(_._1).map { case ((db, _), sc) =>
+        s"mst\t${enc(db)}\t-\t${enc(renderMst(sc))}" }
+    val tmp = f.resolveSibling(f.getFileName.toString + ".tmp")
+    java.nio.file.Files.write(tmp, lines.mkString("\n").getBytes(UTF_8))
+    java.nio.file.Files.move(tmp, f,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  // ---- registration (shared by the /query dispatch and DDL restore)
+  private def registerCq(db: String, text: String): Unit = {
+    val cq = graft.streaming.StreamDDL.parse(text)
+    val d = cq.onDb.getOrElse(db)
+    if (!databases.contains(d)) sys.error(s"database not found: $d")
+    cqRegistry = cqRegistry + ((d, cq.name) -> CqEntry(cq, text, -1L))
+  }
+  private def registerStream(db: String, text: String,
+                             flushed: Long): Unit = {
+    val st = graft.streaming.StreamDDL.parse(text)
+    if (streamRegistry.contains((db, st.name)))
+      sys.error(s"stream already exists: ${st.name}")
+    streamRegistry = streamRegistry +
+      ((db, st.name) -> StreamEntry(st, text, flushed))
+  }
+  private def registerSub(fallbackDb: String, text: String): Unit = {
+    val s = graft.streaming.StreamDDL.parseSubscription(text)
+    if (!databases.contains(s.db)) sys.error(s"database not found: ${s.db}")
+    if (!retention.getOrElse(s.db, Retention.autogen).contains(s.rp))
+      sys.error(s"retention policy not found: ${s.rp}")
+    if (subRegistry.contains((s.db, s.rp, s.name)))
+      sys.error("subscription already exists")
+    subRegistry = subRegistry + ((s.db, s.rp, s.name) -> s)
+  }
+  private def registerDs(fallbackDb: String, text: String): Unit = {
+    val p0 = DownSample.parseCreate(text)
+    val db = p0.db.getOrElse(fallbackDb)
+    if (!databases.contains(db)) sys.error(s"database not found: $db")
+    val rp = retention.getOrElse(db, Retention.autogen).getOrElse(p0.rp,
+      sys.error(s"retention policy not found: ${p0.rp}"))
+    val p = DownSample.validate(p0, rp.shardGroupS)
+    if (dsRegistry.contains((db, p.rp)))
+      sys.error("downsample policy exists")
+    dsRegistry = dsRegistry + ((db, p.rp) -> p)
+  }
+  private def registerMst(fallbackDb: String, text: String): Unit = {
+    val sc = MeasurementDDL.parseCreate(text)
+    val db = sc.db.getOrElse(fallbackDb)
+    if (!databases.contains(db)) sys.error(s"database not found: $db")
+    if (mstSchemas.contains((db, sc.name)))
+      sys.error("measurement already exists")
+    mstSchemas = mstSchemas + ((db, sc.name) -> sc)
+    if (!sliceOf(catalog, db).contains(sc.name)) {
+      import org.apache.spark.sql.types._
+      val cols = Seq(StructField("time", LongType),
+          StructField("ts", TimestampType)) ++
+        sc.tags.map(t => StructField(t, StringType)) ++
+        sc.fields.map { case (n, t) => StructField(n, t match {
+          case "int64" => LongType
+          case "float64" => DoubleType
+          case "bool" => BooleanType
+          case _ => StringType
+        }) }
+      val empty = spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        StructType(cols))
+      catalog = catalog + (dbKey(db, sc.name) ->
+        InfluxQL.Measurement(empty, sc.tags, "ts"))
+    }
+  }
+
   /** One stream sweep at `nowMs`: flush every window that closed at least
     * DELAY ago and hasn't been flushed, appending the windowed
     * aggregation of the landed rows to the target measurement. Windows
@@ -210,10 +335,17 @@ final class HttpGateway(spark: SparkSession,
             case None => InfluxQL.Measurement(res, st.tags, "__ts")
           }
           catalog = catalog + (dbKey(db, st.target) -> merged)
+          // flushed windows are durable like any write: the mark below
+          // journals flushed-once, so losing the rows would be data loss
+          persistBatch(dbKey(db, st.target),
+            res.withColumnRenamed("__ts", "ts"), st.tags)
           ran += 1
         }
         streamRegistry = streamRegistry +
           ((db, name) -> e.copy(flushedUpToMs = bound))
+        // journal the advanced mark: flushed-once must hold across a
+        // restart (replaying a flushed window would duplicate appends)
+        persistDdl()
       }
     }
     ran
@@ -466,6 +598,30 @@ final class HttpGateway(spark: SparkSession,
       } finally s.close()
     } else java.nio.file.Files.createDirectories(base)
   }
+  // Replay the DDL journal AFTER databases/RPs and measurement data
+  // loaded: validation sees restored state, and a declared measurement
+  // that also has persisted data keeps its data frame (registerMst only
+  // installs the empty typed frame when no data exists).
+  ddlFile.filter(java.nio.file.Files.exists(_)).foreach { f =>
+    new String(java.nio.file.Files.readAllBytes(f), UTF_8)
+      .split("\n").filter(_.nonEmpty).foreach { line =>
+        val Array(kind, dbE, extra, textE) = line.split("\t", 4)
+        val db = dec(dbE); val text = dec(textE)
+        try kind match {
+          case "cq" => registerCq(db, text)
+          case "stream" => registerStream(db, text, extra.toLong)
+          case "sub" => registerSub(db, text)
+          case "ds" => registerDs(db, text)
+          case "mst" => registerMst(db, text)
+          case _ =>
+        } catch { case e: Exception =>
+          // one corrupt line must not block startup — skip loudly
+          System.err.println(
+            s"[gateway] DDL restore skipped: $line (${e.getMessage})")
+        }
+      }
+  }
+
   // Each write path grows its measurement by one unionByName per
   // request; left unchecked the logical plan (and every query's
   // analysis cost) grows linearly with write count. Every
@@ -1020,13 +1176,7 @@ final class HttpGateway(spark: SparkSession,
             "retention policies", Nil, cols, epoch, id)
         } else if ("(?is)^\\s*create\\s+continuous\\s+query\\b.*".r
             .matches(stmt)) {
-          val cq = graft.streaming.StreamDDL.parse(stmt)
-          val db = cq.onDb.getOrElse(reqDb)
-          if (!databases.contains(db)) sys.error(s"database not found: $db")
-          synchronized {
-            cqRegistry = cqRegistry +
-              ((db, cq.name) -> CqEntry(cq, stmt.trim, -1L))
-          }
+          synchronized { registerCq(reqDb, stmt.trim); persistDdl() }
           s"""{"statement_id":$id}"""
         } else if ("(?is)^\\s*drop\\s+continuous\\s+query\\b.*".r
             .matches(stmt)) {
@@ -1034,7 +1184,9 @@ final class HttpGateway(spark: SparkSession,
           val name = toks(3)
           val db = if (toks.length >= 6 && toks(4).equalsIgnoreCase("on"))
             toks(5) else reqDb
-          synchronized { cqRegistry = cqRegistry - ((db, name)) }
+          synchronized {
+            cqRegistry = cqRegistry - ((db, name)); persistDdl()
+          }
           s"""{"statement_id":$id}"""
         } else if ("(?is)^\\s*show\\s+continuous\\s+queries\\s*$".r
             .matches(stmt.trim)) {
@@ -1046,33 +1198,7 @@ final class HttpGateway(spark: SparkSession,
             gatewayRowsDf(Seq("name", "query"), rows),
             reqDb, Nil, Seq("name", "query"), epoch, id)
         } else if (MeasurementDDL.isCreate(stmt)) {
-          val sc = MeasurementDDL.parseCreate(stmt)
-          val db = sc.db.getOrElse(reqDb)
-          if (!databases.contains(db)) sys.error(s"database not found: $db")
-          synchronized {
-            if (mstSchemas.contains((db, sc.name)))
-              sys.error("measurement already exists")
-            mstSchemas = mstSchemas + ((db, sc.name) -> sc)
-            // a declared schema types the measurement BEFORE its first
-            // write: register an empty frame with the declared columns
-            if (!sliceOf(catalog, db).contains(sc.name)) {
-              import org.apache.spark.sql.types._
-              val cols = Seq(StructField("time", LongType),
-                  StructField("ts", TimestampType)) ++
-                sc.tags.map(t => StructField(t, StringType)) ++
-                sc.fields.map { case (n, t) => StructField(n, t match {
-                  case "int64" => LongType
-                  case "float64" => DoubleType
-                  case "bool" => BooleanType
-                  case _ => StringType
-                }) }
-              val empty = spark.createDataFrame(
-                java.util.Collections.emptyList[org.apache.spark.sql.Row](),
-                StructType(cols))
-              catalog = catalog + (dbKey(db, sc.name) ->
-                InfluxQL.Measurement(empty, sc.tags, "ts"))
-            }
-          }
+          synchronized { registerMst(reqDb, stmt.trim); persistDdl() }
           s"""{"statement_id":$id}"""
         } else if (MeasurementDDL.isAlterShardKey(stmt)) {
           val (dbOpt, _, name, key, tpe) = MeasurementDDL.parseAlter(stmt)
@@ -1085,6 +1211,7 @@ final class HttpGateway(spark: SparkSession,
               else sys.error(s"measurement not found: $name"))
             mstSchemas = mstSchemas +
               ((db, name) -> sc.copy(shardKey = key, shardType = tpe))
+            persistDdl()
           }
           s"""{"statement_id":$id}"""
         } else if (MeasurementDDL.isShowKeys(stmt)) {
@@ -1135,16 +1262,7 @@ final class HttpGateway(spark: SparkSession,
             .mkString(",")
           s"""{"statement_id":$id,"series":[$series]}"""
         } else if ("(?is)^\\s*create\\s+subscription\\b.*".r.matches(stmt)) {
-          val s = graft.streaming.StreamDDL.parseSubscription(stmt)
-          if (!databases.contains(s.db))
-            sys.error(s"database not found: ${s.db}")
-          if (!retention.getOrElse(s.db, Retention.autogen).contains(s.rp))
-            sys.error(s"retention policy not found: ${s.rp}")
-          synchronized {
-            if (subRegistry.contains((s.db, s.rp, s.name)))
-              sys.error("subscription already exists")
-            subRegistry = subRegistry + ((s.db, s.rp, s.name) -> s)
-          }
+          synchronized { registerSub(reqDb, stmt.trim); persistDdl() }
           s"""{"statement_id":$id}"""
         } else if ("(?is)^\\s*drop\\s+subscription\\b.*".r.matches(stmt)) {
           // DROP SUBSCRIPTION name ON db.rp (ast.go DropSubscription)
@@ -1166,6 +1284,7 @@ final class HttpGateway(spark: SparkSession,
             if (!subRegistry.contains((db, rp, name)))
               sys.error(s"subscription not found: $name")
             subRegistry = subRegistry - ((db, rp, name))
+            persistDdl()
           }
           s"""{"statement_id":$id}"""
         } else if ("(?is)^\\s*show\\s+subscriptions\\b.*".r.matches(stmt)) {
@@ -1179,12 +1298,8 @@ final class HttpGateway(spark: SparkSession,
           ResultShaper.toResultObj(gatewayRowsDf(cols, rows),
             reqDb, Nil, cols, epoch, id)
         } else if ("(?is)^\\s*create\\s+stream\\b.*".r.matches(stmt)) {
-          val st = graft.streaming.StreamDDL.parse(stmt)
           synchronized {
-            if (streamRegistry.contains((reqDb, st.name)))
-              sys.error(s"stream already exists: ${st.name}")
-            streamRegistry = streamRegistry +
-              ((reqDb, st.name) -> StreamEntry(st, stmt.trim, Long.MinValue))
+            registerStream(reqDb, stmt.trim, Long.MinValue); persistDdl()
           }
           s"""{"statement_id":$id}"""
         } else if ("(?is)^\\s*drop\\s+stream\\b.*".r.matches(stmt)) {
@@ -1198,6 +1313,7 @@ final class HttpGateway(spark: SparkSession,
             if (!streamRegistry.contains((reqDb, name)))
               sys.error(s"stream not found: $name")
             streamRegistry = streamRegistry - ((reqDb, name))
+            persistDdl()
           }
           s"""{"statement_id":$id}"""
         } else if ("(?is)^\\s*show\\s+streams\\b.*".r.matches(stmt)) {
@@ -1220,18 +1336,7 @@ final class HttpGateway(spark: SparkSession,
           ResultShaper.toResultObj(gatewayRowsDf(cols, rows),
             "streams", Nil, cols, epoch, id)
         } else if (DownSample.isCreate(stmt)) {
-          val p0 = DownSample.parseCreate(stmt)
-          val db = p0.db.getOrElse(reqDb)
-          if (!databases.contains(db)) sys.error(s"database not found: $db")
-          val rps = retention.getOrElse(db, Retention.autogen)
-          val rp = rps.getOrElse(p0.rp,
-            sys.error(s"retention policy not found: ${p0.rp}"))
-          val p = DownSample.validate(p0, rp.shardGroupS)
-          synchronized {
-            if (dsRegistry.contains((db, p.rp)))
-              sys.error("downsample policy exists")
-            dsRegistry = dsRegistry + ((db, p.rp) -> p)
-          }
+          synchronized { registerDs(reqDb, stmt.trim); persistDdl() }
           s"""{"statement_id":$id}"""
         } else if (DownSample.isDrop(stmt)) {
           val toks = stmt.trim.split("[\\s.]+")
@@ -1249,6 +1354,7 @@ final class HttpGateway(spark: SparkSession,
                 sys.error(s"downsample policy not found on $db.$rp")
               dsRegistry = dsRegistry - ((db, rp))
             }
+            persistDdl()
           }
           s"""{"statement_id":$id}"""
         } else if (DownSample.isShow(stmt)) {

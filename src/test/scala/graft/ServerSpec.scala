@@ -758,6 +758,63 @@ class ServerSpec extends SparkSpec {
     } finally g2.stop()
   }
 
+  test("DDL durability: CQ/stream/subscription/downsample/schema survive " +
+      "a restart; flushed stream windows stay flushed") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ddl").toString
+    def mk() = {
+      val g = new HttpGateway(spark, Map.empty, Map.empty,
+        persistDir = Some(dir))
+      g.start(); g
+    }
+    def ask(g: HttpGateway, q: String) = http.send(
+      HttpRequest.newBuilder(URI.create(
+        s"http://127.0.0.1:${g.boundPort}/query?q=${enc(q)}&epoch=ms"))
+        .GET().build(), HttpResponse.BodyHandlers.ofString())
+    def put(g: HttpGateway, path: String, body: String) = http.send(
+      HttpRequest.newBuilder(URI.create(
+        s"http://127.0.0.1:${g.boundPort}$path"))
+        .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+    val g1 = mk()
+    try {
+      assert(ask(g1, "CREATE RETENTION POLICY rpd ON graft DURATION 72h " +
+        "REPLICATION 1").statusCode() == 200)
+      assert(ask(g1, "CREATE CONTINUOUS QUERY dcq ON graft BEGIN " +
+        "SELECT mean(v) INTO dtarget FROM dsrc GROUP BY time(10s) END")
+        .statusCode() == 200)
+      assert(ask(g1, "CREATE STREAM 'dstr' INTO dssum ON " +
+        "SELECT sum(v) FROM dsrc GROUP BY time(10s) DELAY 2s")
+        .statusCode() == 200)
+      assert(ask(g1, "CREATE SUBSCRIPTION dsub ON graft.rpd " +
+        "DESTINATIONS ANY 'http://h:9092'").statusCode() == 200)
+      assert(ask(g1, "CREATE DOWNSAMPLE ON graft.rpd (float(max)) WITH " +
+        "DURATION 72h SAMPLEINTERVAL(25h) TIMEINTERVAL(1m)")
+        .statusCode() == 200)
+      assert(ask(g1, "CREATE MEASUREMENT dmst (h tag, v float64) WITH " +
+        "SHARDKEY h").statusCode() == 200)
+      // flush one stream window before the restart
+      assert(put(g1, "/write?precision=ms", "dsrc,h=a v=5 2000")
+        .statusCode() == 204)
+      assert(g1.runStreams(15000) == 1)
+    } finally g1.stop()
+    val g2 = mk()
+    try {
+      assert(ask(g2, "SHOW CONTINUOUS QUERIES").body().contains("dcq"))
+      val st = ask(g2, "SHOW STREAMS").body()
+      assert(st.contains("dstr") && st.contains("dssum"), st)
+      assert(ask(g2, "SHOW SUBSCRIPTIONS").body().contains("dsub"))
+      val ds = ask(g2, "SHOW DOWNSAMPLES").body()
+      assert(ds.contains("rpd") && ds.contains("float{max}"), ds)
+      val sk = ask(g2, "SHOW SHARDKEY FROM dmst").body()
+      assert(sk.contains("[\"h\"]"), sk)
+      // the flushed window's mark survived: nothing re-flushes, the
+      // target keeps exactly one row (persisted data + restored mark)
+      assert(g2.runStreams(16000) == 0)
+      val sums = ask(g2, "SELECT sum FROM dssum").body()
+      assert(sums.contains("[0,5.0]") || sums.contains("[0,5]"), sums)
+    } finally g2.stop()
+  }
+
   test("retention policies: real DDL, SHOW reflects, qualified refs validate") {
     assert(get("/query?q=" + enc("CREATE DATABASE rpdb")).statusCode() == 200)
     // born with autogen (meta/retentionpolicy.go defaults)
