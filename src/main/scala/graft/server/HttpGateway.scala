@@ -298,6 +298,35 @@ final class HttpGateway(spark: SparkSession,
     }
   }
 
+  /** Derived shard-group view of a database: the day-partitioned parquet
+    * dirs ARE the storage's shard groups here, so the metadata surface
+    * derives groups from where data actually exists — one group per
+    * occupied `shardGroupDuration` window of the default RP, exactly how
+    * the reference creates groups lazily on write (`meta/data.go`
+    * CreateShardGroup) and lists only non-deleted ones
+    * (`data.go:1974/2015`). The group index doubles as the (stable,
+    * deterministic) id, so DROP SHARD can name a group across restarts
+    * without a persisted counter. */
+  private def shardGroupsOf(db: String)
+      : Seq[(String, Long, Long, Long, Long)] = {
+    import org.apache.spark.sql.functions.{col, unix_millis}
+    val rps = retention.getOrElse(db, Retention.autogen)
+    val (rpName, rp) = rps.find(_._2.default).getOrElse(rps.head)
+    val groupMs = math.max(1L, rp.shardGroupS * 1000L)
+    val slice = sliceOf(catalog, db)
+    val groups = slice.values.flatMap { m =>
+      m.df.select((unix_millis(col(m.time)) / groupMs).cast("long").as("g"))
+        .distinct().limit(10000).collect().map(_.getLong(0))
+    }.toSet.toSeq.sorted
+    groups.map { g =>
+      val s = g * groupMs
+      (rpName, g, s, s + groupMs, s + groupMs + rp.durationS * 1000L)
+    }
+  }
+
+  private def rfc3339(ms: Long): String =
+    java.time.Instant.ofEpochMilli(ms).toString
+
   /** One stream sweep at `nowMs`: flush every window that closed at least
     * DELAY ago and hasn't been flushed, appending the windowed
     * aggregation of the landed rows to the target measurement. Windows
@@ -926,7 +955,8 @@ final class HttpGateway(spark: SparkSession,
     val schema = StructType(cols.map {
       case c @ ("admin" | "rwuser" | "default") =>
         StructField(c, BooleanType)
-      case c @ ("qid" | "replicaN" | "SHARD_GROUP") => StructField(c, LongType)
+      case c @ ("qid" | "replicaN" | "SHARD_GROUP" | "id" | "shard_group" |
+                "downSample_level") => StructField(c, LongType)
       case c @ ("destinations" | "SHARD_KEY" | "PRIMARY_KEY" | "SORT_KEY" |
                 "PROPERTY_KEY" | "PROPERTY_VALUE") =>
         StructField(c, ArrayType(StringType))
@@ -1285,6 +1315,55 @@ final class HttpGateway(spark: SparkSession,
               sys.error(s"subscription not found: $name")
             subRegistry = subRegistry - ((db, rp, name))
             persistDdl()
+          }
+          s"""{"statement_id":$id}"""
+        } else if ("(?is)^\\s*show\\s+shards\\s*$".r.matches(stmt.trim)) {
+          // meta/data.go:1974 ShowShards: one series per database,
+          // 10-column set; 1 shard per group, single-node owner
+          val cols = Seq("id", "database", "retention_policy",
+            "shard_group", "start_time", "end_time", "expiry_time",
+            "owners", "tier", "downSample_level")
+          val series = databases.toSeq.sorted.flatMap { db =>
+            val rows = shardGroupsOf(db).map { case (rp, g, s0, e0, x0) =>
+              Seq[Any](g, db, rp, g, rfc3339(s0), rfc3339(e0),
+                rfc3339(x0), "0", "hot", 0L) }
+            if (rows.isEmpty) None
+            else Some(ResultShaper.toResultObj(gatewayRowsDf(cols, rows),
+              db, Nil, cols, epoch, id))
+          }.map { o =>
+            val i = o.indexOf("\"series\":[")
+            o.substring(i + 10, o.length - 2)
+          }.filter(_.nonEmpty)
+          s"""{"statement_id":$id,"series":[${series.mkString(",")}]}"""
+        } else if ("(?is)^\\s*show\\s+shard\\s+groups\\s*$".r
+            .matches(stmt.trim)) {
+          // meta/data.go:2015: one series "shard groups", all databases
+          val cols = Seq("id", "database", "retention_policy",
+            "start_time", "end_time", "expiry_time")
+          val rows = databases.toSeq.sorted.flatMap { db =>
+            shardGroupsOf(db).map { case (rp, g, s0, e0, x0) =>
+              Seq[Any](g, db, rp, rfc3339(s0), rfc3339(e0), rfc3339(x0)) }
+          }
+          ResultShaper.toResultObj(gatewayRowsDf(cols, rows),
+            "shard groups", Nil, cols, epoch, id)
+        } else if ("(?is)^\\s*drop\\s+shard\\s+\\d+\\s*$".r
+            .matches(stmt.trim)) {
+          // data.go:2271 DropShard(id) — scoped here to the request
+          // database (ids are per-db group indexes, not a global counter)
+          val sid = stmt.trim.split("\\s+")(2).toLong
+          synchronized {
+            val groups = shardGroupsOf(reqDb)
+            groups.find(_._2 == sid) match {
+              case None => sys.error(s"shard not found: $sid")
+              case Some((_, _, s0, e0, _)) =>
+                import org.apache.spark.sql.functions.{col, unix_millis}
+                sliceOf(catalog, reqDb).foreach { case (mst, m) =>
+                  val kept = m.df.filter(
+                    unix_millis(col(m.time)) < s0 ||
+                      unix_millis(col(m.time)) >= e0)
+                  catalog = catalog + (dbKey(reqDb, mst) -> m.copy(df = kept))
+                }
+            }
           }
           s"""{"statement_id":$id}"""
         } else if ("(?is)^\\s*show\\s+subscriptions\\b.*".r.matches(stmt)) {

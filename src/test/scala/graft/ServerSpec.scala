@@ -758,6 +758,49 @@ class ServerSpec extends SparkSpec {
     } finally g2.stop()
   }
 
+  test("shard metadata: SHOW SHARDS/SHARD GROUPS derive from data, " +
+      "DROP SHARD deletes its time range") {
+    val g = new HttpGateway(spark, Map.empty, Map.empty)
+    g.start()
+    try {
+      def gget(path: String) = http.send(HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:${g.boundPort}$path")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      def gpost(path: String, body: String) = http.send(
+        HttpRequest.newBuilder(
+            URI.create(s"http://127.0.0.1:${g.boundPort}$path"))
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      // autogen (infinite duration) → 7d shard groups; two points 7d
+      // apart land in two groups
+      val wk = 7L * 86400 * 1000
+      assert(gpost("/write?precision=ms",
+        s"shm,host=a v=1 1000\nshm,host=a v=2 ${wk + 1000}")
+        .statusCode() == 204)
+      val shards = gget("/query?q=" + enc("SHOW SHARDS")).body()
+      assert(shards.contains("\"columns\":[\"id\",\"database\"," +
+        "\"retention_policy\",\"shard_group\",\"start_time\",\"end_time\"," +
+        "\"expiry_time\",\"owners\",\"tier\",\"downSample_level\"]"), shards)
+      assert(shards.contains("1970-01-01T00:00:00Z") &&
+        shards.contains("1970-01-08T00:00:00Z"), shards)
+      val groups = gget("/query?q=" + enc("SHOW SHARD GROUPS")).body()
+      assert(groups.contains("\"shard groups\"") &&
+        groups.contains("\"autogen\""), groups)
+      // two occupied groups: ids 0 and 1
+      assert(groups.contains("[0,") && groups.contains("[1,"), groups)
+      // DROP SHARD 0 deletes the first week's rows only
+      assert(gget("/query?q=" + enc("DROP SHARD 0")).statusCode() == 200)
+      val left = gget("/query?q=" + enc("SELECT v FROM shm") + "&epoch=ms")
+        .body()
+      assert(!left.contains("[1000,") && left.contains(",2"), left)
+      // the emptied group disappears from the listing
+      assert(!gget("/query?q=" + enc("SHOW SHARD GROUPS")).body()
+        .contains("[0,"))
+      // unknown shard id errors
+      assert(gget("/query?q=" + enc("DROP SHARD 99")).statusCode() == 400)
+    } finally g.stop()
+  }
+
   test("DDL durability: CQ/stream/subscription/downsample/schema survive " +
       "a restart; flushed stream windows stay flushed") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ddl").toString
