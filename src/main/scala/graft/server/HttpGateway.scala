@@ -756,6 +756,24 @@ final class HttpGateway(spark: SparkSession,
     (ex: HttpExchange) => handlePromWrite(ex))
   server.createContext("/api/v1/read",
     (ex: HttpExchange) => handlePromRead(ex))
+  // the reference also serves the PromQL evaluator at /api/v1/prom/query
+  // (handler.go:633 route table) — same handler, second mount
+  server.createContext("/api/v1/prom/query_range",
+    (ex: HttpExchange) => handleProm(ex, range = true))
+  server.createContext("/api/v1/prom/query",
+    (ex: HttpExchange) => handleProm(ex, range = false))
+  // Logkeeper CRUD (handler.go:483-512, handler_logstore.go): a
+  // REPOSITORY is a database and a LOGSTREAM is a measurement in it —
+  // the thin mapping the reference's own handlers perform against the
+  // meta client. Log INGEST and QUERY then ride the ordinary paths
+  // (/write?db=repo line protocol, /query InfluxQL; OTLP logs land in
+  // the `logs` measurement). The pipe-syntax log query language is the
+  // one logkeeper piece NOT mapped (out of SURVEY scope; divergence
+  // documented here).
+  server.createContext("/api/v1/repository",
+    (ex: HttpExchange) => handleRepository(ex))
+  server.createContext("/api/v1/logstream",
+    (ex: HttpExchange) => handleLogstream(ex))
   // OTLP metrics remote write (handler.go:316, handler_otlp.go:109)
   server.createContext("/api/v1/arrow/doput",
     (ex: HttpExchange) => handleArrowDoPut(ex))
@@ -1941,6 +1959,97 @@ final class HttpGateway(spark: SparkSession,
 
   private def promSuccess(ex: HttpExchange, dataJson: String): Unit =
     respond(ex, 200, s"""{"status":"success","data":$dataJson}""")
+
+  /** Logkeeper repository CRUD (`handler_logstore.go:199-290`): a
+    * repository IS a database. GET lists (raw sorted JSON array, the
+    * reference's exact body shape); POST/DELETE create/drop. */
+  private def handleRepository(ex: HttpExchange): Unit =
+    try {
+      val p = params(ex, readBody = true)
+      val path = ex.getRequestURI.getPath
+      val repo = "^/api/v1/repository/([^/]+)$".r
+        .findFirstMatchIn(path).map(_.group(1))
+      (ex.getRequestMethod.toUpperCase, repo) match {
+        case ("GET", None) =>
+          if (guard(ex, p, Auth.ReadPrivilege, "read from").isEmpty) return
+          respond(ex, 200,
+            databases.toSeq.sorted.map(jsonStr).mkString("[", ",", "]"))
+        case ("POST", Some(r)) =>
+          if (guard(ex, p, Auth.WritePrivilege, "write to").isEmpty) return
+          require(!r.startsWith("_") && !r.contains(' '),
+            s"invalid repository name: $r")
+          synchronized {
+            if (databases.contains(r)) sys.error("repository already exists")
+            databases = databases + r
+            if (!retention.contains(r))
+              retention = retention + (r -> Retention.autogen)
+            persistDatabases()
+          }
+          respond(ex, 200, "{}")
+        case ("DELETE", Some(r)) =>
+          if (guard(ex, p, Auth.WritePrivilege, "write to").isEmpty) return
+          synchronized {
+            if (!databases.contains(r)) sys.error("repository not found")
+            databases = databases - r
+            retention = retention - r
+            val pre = r + " "
+            catalog = catalog.filterNot(_._1.startsWith(pre))
+            persistDatabases()
+          }
+          respond(ex, 200, "{}")
+        case (m, _) => respond(ex, 405, s"""{"error":"bad $m"}""")
+      }
+    } catch {
+      case e: Throwable => respond(ex, 400,
+        s"""{"error":${jsonStr(String.valueOf(e.getMessage))}}""")
+    }
+
+  /** Logkeeper logstream CRUD (`handler_logstore.go:351+`): a logstream
+    * IS a measurement of its repository. Ingest/query ride the normal
+    * /write and /query paths. */
+  private def handleLogstream(ex: HttpExchange): Unit =
+    try {
+      val p = params(ex, readBody = true)
+      val path = ex.getRequestURI.getPath
+      val two = "^/api/v1/logstream/([^/]+)/([^/]+)$".r
+        .findFirstMatchIn(path).map(m => (m.group(1), m.group(2)))
+      val one = "^/api/v1/logstream/([^/]+)$".r
+        .findFirstMatchIn(path).map(_.group(1))
+      (ex.getRequestMethod.toUpperCase, two, one) match {
+        case ("GET", None, Some(repo)) =>
+          if (guard(ex, p, Auth.ReadPrivilege, "read from").isEmpty) return
+          if (!databases.contains(repo)) sys.error("repository not found")
+          respond(ex, 200, sliceOf(catalog, repo).keys.toSeq.sorted
+            .map(jsonStr).mkString("[", ",", "]"))
+        case ("POST", Some((repo, stream)), _) =>
+          if (guard(ex, p, Auth.WritePrivilege, "write to").isEmpty) return
+          if (!databases.contains(repo)) sys.error("repository not found")
+          synchronized {
+            if (sliceOf(catalog, repo).contains(stream))
+              sys.error("logstream already exists")
+            import org.apache.spark.sql.types._
+            val empty = spark.createDataFrame(
+              java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+              StructType(Seq(StructField("time", LongType),
+                StructField("ts", TimestampType))))
+            catalog = catalog +
+              (dbKey(repo, stream) -> InfluxQL.Measurement(empty, Nil, "ts"))
+          }
+          respond(ex, 200, "{}")
+        case ("DELETE", Some((repo, stream)), _) =>
+          if (guard(ex, p, Auth.WritePrivilege, "write to").isEmpty) return
+          synchronized {
+            if (!sliceOf(catalog, repo).contains(stream))
+              sys.error("logstream not found")
+            catalog = catalog - dbKey(repo, stream)
+          }
+          respond(ex, 200, "{}")
+        case (m, _, _) => respond(ex, 405, s"""{"error":"bad $m"}""")
+      }
+    } catch {
+      case e: Throwable => respond(ex, 400,
+        s"""{"error":${jsonStr(String.valueOf(e.getMessage))}}""")
+    }
 
   private def handleLabels(ex: HttpExchange): Unit =
     try {

@@ -758,6 +758,52 @@ class ServerSpec extends SparkSpec {
     } finally g2.stop()
   }
 
+  test("logkeeper CRUD: repository=database, logstream=measurement; " +
+      "ingest/query ride the normal paths") {
+    val g = new HttpGateway(spark, Map.empty, Map.empty)
+    g.start()
+    try {
+      def req(method: String, path: String, body: String = "") = {
+        val b = HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:${g.boundPort}$path"))
+        http.send((method match {
+          case "GET" => b.GET()
+          case "DELETE" => b.DELETE()
+          case _ => b.POST(HttpRequest.BodyPublishers.ofString(body))
+        }).build(), HttpResponse.BodyHandlers.ofString())
+      }
+      assert(req("POST", "/api/v1/repository/applogs").statusCode() == 200)
+      // duplicate repo rejected; bad name rejected
+      assert(req("POST", "/api/v1/repository/applogs").statusCode() == 400)
+      assert(req("POST", "/api/v1/repository/_bad").statusCode() == 400)
+      val repos = req("GET", "/api/v1/repository").body()
+      assert(repos.contains("\"applogs\"") && repos.startsWith("["), repos)
+      assert(req("POST", "/api/v1/logstream/applogs/access")
+        .statusCode() == 200)
+      assert(req("POST", "/api/v1/logstream/applogs/access")
+        .statusCode() == 400) // duplicate
+      assert(req("GET", "/api/v1/logstream/applogs").body() ==
+        "[\"access\"]")
+      // log ingest + query ride the ordinary line-protocol/InfluxQL paths
+      assert(req("POST", "/write?db=applogs&precision=ms",
+        "access,level=info msg=\"hello\" 1000").statusCode() == 204)
+      val q = req("GET", "/query?db=applogs&q=" +
+        enc("SELECT msg FROM access") + "&epoch=ms").body()
+      assert(q.contains("hello"), q)
+      assert(req("DELETE", "/api/v1/logstream/applogs/access")
+        .statusCode() == 200)
+      assert(req("GET", "/api/v1/logstream/applogs").body() == "[]")
+      assert(req("DELETE", "/api/v1/repository/applogs").statusCode() == 200)
+      assert(!req("GET", "/api/v1/repository").body().contains("applogs"))
+      // prom evaluator mounted at the reference's second path too: the
+      // alias answers exactly like /api/v1/query for the same request
+      val a = req("GET", "/api/v1/prom/query?query=up")
+      val b = req("GET", "/api/v1/query?query=up")
+      assert(a.statusCode() == b.statusCode() && a.body() == b.body(),
+        s"${a.statusCode()} ${a.body()} vs ${b.statusCode()} ${b.body()}")
+    } finally g.stop()
+  }
+
   test("shard metadata: SHOW SHARDS/SHARD GROUPS derive from data, " +
       "DROP SHARD deletes its time range") {
     val g = new HttpGateway(spark, Map.empty, Map.empty)
