@@ -769,6 +769,31 @@ trait EntryOraclesB extends EntryBase {
          WHERE diff_front IS NOT NULL
          ORDER BY user_id, event_id""",
 
+    "q113_incremental_dedup" ->
+      """WITH f AS (
+           SELECT doc_id, array_to_string(
+             regexp_split_to_array(trim(text), '\s+'), ' ') AS fp
+           FROM documents),
+         prior AS (SELECT DISTINCT fp FROM f WHERE doc_id % 3 = 0),
+         keep AS (SELECT fp, min(doc_id) AS doc_id FROM f
+                  WHERE doc_id % 3 <> 0 GROUP BY fp)
+         SELECT doc_id FROM keep
+         WHERE fp NOT IN (SELECT fp FROM prior)
+         ORDER BY doc_id""",
+
+    "q114_token_budget_sample" ->
+      """WITH d AS (
+           SELECT lang, doc_id,
+             len(regexp_split_to_array(trim(text), '\s+')) AS n_tok,
+             (doc_id * 2654435761) % 2147483647 AS rk
+           FROM documents),
+         c AS (
+           SELECT lang, doc_id, n_tok,
+             sum(n_tok) OVER (PARTITION BY lang ORDER BY rk, doc_id) AS cum
+           FROM d)
+         SELECT lang, doc_id, n_tok FROM c WHERE cum <= 2000
+         ORDER BY lang, doc_id""",
+
     "q112_compare" ->
       """WITH b AS (
            SELECT epoch_ms(date_trunc('hour', ts)) AS tm,

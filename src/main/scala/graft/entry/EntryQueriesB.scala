@@ -780,6 +780,45 @@ trait EntryQueriesB extends EntryBase {
         .orderBy("user_id", "event_id")
     }),
 
+    // pipeline: INCREMENTAL dedup — dedupe a NEW batch against the
+    // fingerprint state of an already-ingested corpus, the shape a
+    // continuously-fed training pipeline needs (state lives as a
+    // persisted 8-byte fingerprint table; the batch anti-joins it and
+    // exact-dedups within itself). Scale shape: the only corpus-wide
+    // traffic is 8-byte xxhash64 keys — the prior store never re-reads
+    // text, and the anti-join is a shuffle-hash equi-join.
+    "q113_incremental_dedup" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        xxhash64(concat_ws(" ", split(trim(col("text")), "\\s+")))
+          .as("_fp"))
+      val prior = d.filter(col("doc_id") % 3 === 0).select("_fp").distinct()
+      val batch = d.filter(col("doc_id") % 3 =!= 0)
+      val keep = batch.groupBy("_fp").agg(min(col("doc_id")).as("doc_id"))
+      keep.join(prior.hint("shuffle_hash"), Seq("_fp"), "left_anti")
+        .select("doc_id").orderBy("doc_id")
+    }),
+
+    // pipeline: TOKEN-BUDGET stratified sampling — per language, select
+    // documents in deterministic pseudo-random order until the stratum's
+    // token budget fills (mixture construction: "2000 tokens of each
+    // language"). The rank is a Knuth multiplicative hash of doc_id so
+    // the oracle can replicate it bit-exactly. Scale note: the running
+    // cumsum is one shuffle + an in-partition scan per stratum; with few
+    // huge strata the two-pass form (histogram the rank space, binary-
+    // search the cutoff rank, then filter) removes the sequential scan —
+    // the windowed form is the small-stratum default.
+    "q114_token_budget_sample" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("lang"), col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_tok"))
+        .withColumn("_rk",
+          pmod(col("doc_id") * lit(2654435761L), lit(2147483647L)))
+      val w = Window.partitionBy("lang").orderBy("_rk", "doc_id")
+      d.withColumn("_cum", sum(col("n_tok")).over(w))
+        .filter(col("_cum") <= 2000)
+        .select(col("lang"), col("doc_id"), col("n_tok"))
+        .orderBy("lang", "doc_id")
+    }),
+
     // §3.1 compare(f, offsetSecs): period-over-period comparison e2e
     // through the InfluxQL text frontend (`influxql/ast.go:3934`
     // RewriteCompare). Spark-first shape: the same bucketed subquery
