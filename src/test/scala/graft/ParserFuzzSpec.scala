@@ -67,4 +67,33 @@ class ParserFuzzSpec extends AnyFunSuite {
       failsCleanly(q)(PromQL.parse(q))
     }
   }
+
+  test("round-9 grammar (compare/topn/diff modes) survives token soup") {
+    val tokens = Gen.oneOf(
+      "SELECT", "FROM", "compare", "topn_ddcm", "topn_nagt2",
+      "difference", "ad_rmse_ext", "'front'", "'absolute'", "'sideways'",
+      "(", ")", ",", "value", "cpu", "3600", "0", "5", "GROUP", "BY",
+      "time", "1h", "host", "histogram")
+    samples(Gen.listOf(tokens).map(_.mkString(" ")), 300).foreach { q =>
+      failsCleanly(q)(InfluxQL.parse("SELECT " + q))
+    }
+  }
+
+  test("management DDL parsers fail cleanly on token soup") {
+    import graft.server.{DownSample, MeasurementDDL}
+    import graft.streaming.StreamDDL
+    val tokens = Gen.oneOf(
+      "CREATE", "DOWNSAMPLE", "MEASUREMENT", "STREAM", "SUBSCRIPTION",
+      "ON", "WITH", "DURATION", "SAMPLEINTERVAL", "TIMEINTERVAL",
+      "ENGINETYPE", "SHARDKEY", "TYPE", "PRIMARYKEY", "INDEXTYPE",
+      "INDEXLIST", "DESTINATIONS", "ALL", "ANY", "INTO", "DELAY",
+      "float", "int64", "tag", "mean", "max", "(", ")", ",", ".", "=",
+      "'s'", "'http://h:1'", "db", "rp", "m", "1h", "7d", "25h", "1m")
+    samples(Gen.listOf(tokens).map(_.mkString(" ")), 250).foreach { q =>
+      failsCleanly(q)(DownSample.parseCreate("CREATE DOWNSAMPLE " + q))
+      failsCleanly(q)(MeasurementDDL.parseCreate("CREATE MEASUREMENT " + q))
+      failsCleanly(q)(StreamDDL.parse("CREATE STREAM " + q))
+      failsCleanly(q)(StreamDDL.parseSubscription("CREATE SUBSCRIPTION " + q))
+    }
+  }
 }
