@@ -104,6 +104,15 @@ object InfluxQL {
         val j = q.indexOf('"', i + 1)
         require(j > 0, s"unterminated quoted identifier at $i")
         val t = TIdent(q.substring(i + 1, j)); out += t; prev = t; i = j + 1
+      } else if (c == '/' && i + 1 < n && q.charAt(i + 1) == '*') {
+        // `/* comment */` and `/*+ hint */` (reference scanner.go:131 —
+        // hint comments carry optimizer hints like filter_null_column /
+        // exact_statistic_query; the behaviors they toggle are index/
+        // statistics internals subsumed by Catalyst, so hints lex away
+        // cleanly instead of poisoning the token stream as a regex)
+        val j = q.indexOf("*/", i + 2)
+        require(j > 0, s"unterminated comment at $i")
+        i = j + 2
       } else if (c == '/' && (prev match {
         case TOp(_) | TPunct("(") | TPunct(",") | TPunct("") => true
         case TIdent(s) => s.equalsIgnoreCase("from") // FROM /regex/
@@ -269,7 +278,11 @@ object InfluxQL {
       fromMore: Seq[String] = Nil,
       // bare measurement of a dot-QUALIFIED `from` (the output series
       // name); None when `from` was a single (possibly quoted) ident
-      fromBare: Option[String] = None)
+      fromBare: Option[String] = None,
+      // GROUP BY … EXCEPT t1, t2 (sql.y:1258 EXCEPT_CLAUSE;
+      // select.go:382 drops the listed dims from the group set — the
+      // InfluxQL spelling of PromQL's `without`)
+      exceptTags: Seq[String] = Nil)
 
   /** One UNION arm: `UNION [ALL] [BY NAME] <select>` — reference
     * `influxql/sql.y:656-699` (union_clause). */
@@ -476,6 +489,19 @@ object InfluxQL {
           if (peek == TPunct(",")) next() else done = true
         }
       }
+      // GROUP BY … EXCEPT tag[, tag…]
+      var exceptTags = Seq.empty[String]
+      if (isKw("except")) {
+        next()
+        var more = true
+        while (more) {
+          exceptTags :+= (next() match {
+            case TIdent(t0) => t0
+            case t => sys.error(s"bad EXCEPT tag: $t")
+          })
+          if (peek == TPunct(",")) next() else more = false
+        }
+      }
       var fill: FillMode = FillNone
       if (isKw("fill")) {
         next(); expect("(")
@@ -523,7 +549,7 @@ object InfluxQL {
       }
       Query(projs, from, where, tags, interval, fill, orderDesc, limit,
         offset, slimit, join, fromSub, soffset, intervalOffset, tz, into,
-        fromMore, fromBare)
+        fromMore, fromBare, exceptTags)
     }
 
     private def parseProjs(): Seq[Proj] = {
@@ -986,15 +1012,15 @@ object InfluxQL {
     * through subqueries, CTERefs, and FROM regex unions. */
   private def resolveTags(catalog: Map[String, Measurement],
                           q: Query): Seq[String] =
-    if (!q.groupTags.contains("*")) q.groupTags
-    else if (q.fromSub.isDefined) resolveTags(catalog, q.fromSub.get)
-    else (q.from +: q.fromMore).flatMap { f =>
-      if (f.startsWith("/")) {
-        val re = f.substring(1, f.length - 1).r
-        catalog.collect { case (k, m) if re.findFirstIn(k).isDefined =>
-          m.tags }.flatten.toSeq
-      } else lookupMeasurement(catalog, f).map(_.tags).getOrElse(Nil)
-    }.distinct
+    (if (!q.groupTags.contains("*")) q.groupTags
+     else if (q.fromSub.isDefined) resolveTags(catalog, q.fromSub.get)
+     else (q.from +: q.fromMore).flatMap { f =>
+       if (f.startsWith("/")) {
+         val re = f.substring(1, f.length - 1).r
+         catalog.collect { case (k, m) if re.findFirstIn(k).isDefined =>
+           m.tags }.flatten.toSeq
+       } else lookupMeasurement(catalog, f).map(_.tags).getOrElse(Nil)
+     }.distinct).filterNot(q.exceptTags.contains)
 
   private def executeStatement(catalog: Map[String, Measurement],
                                sql: String): (Option[Query], DataFrame) = {
@@ -1577,7 +1603,8 @@ object InfluxQL {
     }
 
     val groupTags =
-      if (q.groupTags.contains("*")) mEff.tags else q.groupTags
+      (if (q.groupTags.contains("*")) mEff.tags else q.groupTags)
+        .filterNot(q.exceptTags.contains)
 
     // projection → aggregation ladder (select.go:654 order)
     def aggExprOf(p: PCall): Column = {

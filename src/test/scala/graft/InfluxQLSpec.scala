@@ -863,6 +863,34 @@ class InfluxQLSpec extends SparkSpec {
     assert(bounded.contains((120000L, Some(30.0), Some(20.0))))
   }
 
+  test("hint comments /*+ … */ lex away cleanly (scanner.go HINT)") {
+    val out = run("SELECT /*+ filter_null_column */ mean(value) FROM cpu " +
+      "/* trailing comment */ GROUP BY host")
+      .select("host", "mean").as[(String, Double)].collect().toSet
+    assert(out == Set(("server01", 20.0), ("server02", 150.0)))
+    // a regex after FROM still lexes as a regex, not a comment
+    val re = run("SELECT count(value) FROM /cp./")
+      .select("count").as[Long].head()
+    assert(re == 5L)
+    intercept[IllegalArgumentException](
+      InfluxQL.lex("SELECT /* unterminated"))
+  }
+
+  test("GROUP BY * EXCEPT drops listed tags from the group set") {
+    // cpu's only tag is host: GROUP BY * EXCEPT host aggregates ALL
+    // series together (sql.y:1258; select.go:382 — InfluxQL's `without`)
+    val all = run("SELECT count(value) FROM cpu GROUP BY * EXCEPT host")
+    assert(!all.columns.contains("host"))
+    assert(all.select("count").as[Long].collect().toSeq == Seq(5L))
+    // explicit dims are filtered too, and unlisted tags survive
+    val keep = run("SELECT count(value) FROM cpu GROUP BY host EXCEPT nope")
+      .select("host", "count").as[(String, Long)].collect().toSet
+    assert(keep == Set(("server01", 3L), ("server02", 2L)))
+    val none = run("SELECT count(value) FROM cpu GROUP BY host EXCEPT host")
+    assert(!none.columns.contains("host") &&
+      none.select("count").as[Long].head() == 5L)
+  }
+
   test("histogram() fails with the dead-registration explanation") {
     val e = intercept[RuntimeException](
       run("SELECT histogram(value, 10) FROM cpu").collect())
