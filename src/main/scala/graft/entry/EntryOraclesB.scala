@@ -785,7 +785,7 @@ trait EntryOraclesB extends EntryBase {
       """WITH d AS (
            SELECT lang, doc_id,
              len(regexp_split_to_array(trim(text), '\s+')) AS n_tok,
-             (doc_id * 2654435761) % 2147483647 AS rk
+             ((doc_id % 2147483647) * 2654435761) % 2147483647 AS rk
            FROM documents),
          c AS (
            SELECT lang, doc_id, n_tok,

@@ -808,10 +808,17 @@ trait EntryQueriesB extends EntryBase {
     // search the cutoff rank, then filter) removes the sequential scan —
     // the windowed form is the small-stratum default.
     "q114_token_budget_sample" -> ((s, dir) => {
+      // rank = Knuth multiplicative hash of doc_id, with the id reduced
+      // mod 2^31−1 FIRST: (2^31−1)·2654435761 ≈ 5.7e18 stays inside
+      // Long, while a raw 1e10-range doc_id (the ×100 replica ids)
+      // overflows — ANSI Spark throws where DuckDB silently promotes to
+      // HUGEINT, so the unreduced form is both a crash at scale and an
+      // engine-divergence trap (caught by the ×100 harness)
       val d = t(s, dir, "documents").select(col("lang"), col("doc_id"),
           TextAnalysis.tokenCount(col("text")).as("n_tok"))
         .withColumn("_rk",
-          pmod(col("doc_id") * lit(2654435761L), lit(2147483647L)))
+          pmod(pmod(col("doc_id"), lit(2147483647L)) * lit(2654435761L),
+            lit(2147483647L)))
       val w = Window.partitionBy("lang").orderBy("_rk", "doc_id")
       d.withColumn("_cum", sum(col("n_tok")).over(w))
         .filter(col("_cum") <= 2000)
