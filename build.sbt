@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output goes straight to stdout/stderr UNDECORATED — the
+// default LoggedOutput prefixes every forked stdout line with "[info] ",
+// which broke the bench driver's JSON-line parser three rounds running
+// (BENCH_r09.json: tail contains the complete line, parsed: null).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

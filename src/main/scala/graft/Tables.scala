@@ -73,6 +73,10 @@ object Tables {
     * the scale dirs stay on the scan path regardless of per-table size. */
   val hotTierDirMaxBytes: Long = 64L << 20
 
+  /** Staleness fingerprint of a parquet file or directory (name+mtime+
+    * size per file) — the key the hot tier and the model cache share. */
+  def fingerprint(path: String): String = listing(path)._1
+
   /** (fingerprint, totalBytes) of a parquet file or directory-of-files. */
   private def listing(path: String): (String, Long) = {
     import java.nio.file.{Files, Paths}

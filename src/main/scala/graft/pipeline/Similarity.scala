@@ -240,20 +240,76 @@ object Similarity {
 
   /** Product-quantization codebooks: the vector is split into `m`
     * subspaces of dim/m dims; each subspace gets its own `ksub`-centroid
-    * codebook trained by the same deterministic Lloyd as [[ivfTrain]] on
-    * the sliced corpus. Result: `m` codebooks of ksub×(dim/m) doubles —
-    * a driver-side model artifact like the IVF codebook (Jégou/Douze/
-    * Schmid 2011, "Product Quantization for Nearest Neighbor Search"). */
+    * codebook trained by the same deterministic Lloyd as [[ivfTrain]].
+    * Result: `m` codebooks of ksub×(dim/m) doubles — a driver-side model
+    * artifact like the IVF codebook (Jégou/Douze/Schmid 2011, "Product
+    * Quantization for Nearest Neighbor Search").
+    *
+    * ALL m subspaces train in each distributed pass: 1 seed collect (the
+    * per-subspace hash-rank seed order is the idCol order, identical
+    * across subspaces, so one collect of the full vectors seeds every
+    * codebook) + `iters` passes that explode each row into its m
+    * (subspace, assignment, slice) tuples and aggregate every
+    * (subspace, bucket) mean at once. The per-subspace-sequential shape
+    * (m × (1 + iters) driver-blocking actions — 64 scheduled jobs at
+    * m=16/iters=3) paid ~0.5 s of scheduling per action on a corpus that
+    * needs milliseconds of arithmetic; bit-identical output, since the
+    * (subspace, bucket) groups hold exactly the rows the per-subspace
+    * groupBy held and the DECIMAL sums are order-independent. */
   def pqTrain(corpus: DataFrame, vecCol: String, idCol: String, dim: Int,
               m: Int, ksub: Int, iters: Int = 2): Array[Array[Seq[Double]]] = {
     require(dim % m == 0, s"m $m must divide dim $dim")
     val sub = dim / m
-    (0 until m).toArray.map { i =>
-      ivfTrain(
-        corpus.select(col(idCol),
-          slice(col(vecCol), i * sub + 1, sub).as("_sub")),
-        "_sub", idCol, ksub, iters)
+    graft.expressions.VectorExpressions.register(corpus.sparkSession)
+    val seedRows = corpus
+      .orderBy(xxhash64(col(idCol)), col(idCol)).limit(ksub)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble))
+    var books: Array[Array[Seq[Double]]] = (0 until m).toArray.map(i =>
+      seedRows.map(v => v.slice(i * sub, (i + 1) * sub): Seq[Double]))
+    for (_ <- 0 until iters) {
+      val exploded = corpus.select(explode(array((0 until m).map { i =>
+          val sl = slice(col(vecCol), i * sub + 1, sub)
+          struct(lit(i).as("_i"), nearestBucket(sl, books(i)).as("_b"),
+            sl.as("_v"))
+        }: _*)).as("_e"))
+        .select(col("_e._i").as("_i"), col("_e._b").as("_b"),
+          col("_e._v").as("_v"))
+      val meanCols = (0 until sub).map(d =>
+        (sum(element_at(col("_v"), d + 1).cast("decimal(28,10)"))
+          .cast("double") / count(lit(1))).as(s"_m$d"))
+      val byKey = exploded.groupBy(col("_i"), col("_b"))
+        .agg(meanCols.head, meanCols.tail: _*)
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r).toMap
+      books = books.zipWithIndex.map { case (book, i) =>
+        book.zipWithIndex.map { case (old, b) =>
+          byKey.get((i, b)) match {
+            case Some(r) => (0 until sub).map(d => r.getDouble(d + 2))
+            case None => old // empty cell keeps its centroid
+          }
+        }
+      }
     }
+    books
+  }
+
+  /** Fingerprint-keyed cache for deterministic trained models (IVF
+    * centroids, PQ codebooks). The deployment shape trains ONCE at write
+    * time and probes many times (the FAISS IVFADC model [[ivfPqIndex]]
+    * exists for); a repeated query over unchanged data re-deriving the
+    * codebooks is the in-process analogue of re-building an index per
+    * read. Key with the source file fingerprint (Tables.fingerprint —
+    * name+mtime+size, same staleness rule as the hot tier) plus every
+    * training parameter; both trainers are bit-reproducible (hash-rank
+    * seeds, DECIMAL means), so a hit returns exactly what retraining
+    * would. Values are k×dim double matrices — a few KB each; the cap
+    * just bounds a pathological many-dataset session. */
+  private val modelMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+  def cachedModel[T <: AnyRef](key: String)(train: => T): T = {
+    if (modelMemo.size > 256) modelMemo.clear()
+    modelMemo.computeIfAbsent(key, _ => train).asInstanceOf[T]
   }
 
   /** PQ code array for a vector: element i = index of subspace i's nearest

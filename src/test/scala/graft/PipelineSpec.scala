@@ -258,6 +258,30 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.25, s"recall $recall")
   }
 
+  test("pqTrain single-pass multi-subspace Lloyd is bit-identical to the " +
+      "per-subspace ivfTrain composition it replaced; model cache hits " +
+      "return the trained artifact without retraining") {
+    val emb = Tables.table(spark, sf, "embeddings")
+    val dim = 64; val m = 8; val sub = dim / m
+    val onePass = Similarity.pqTrain(emb, "embedding", "vec_id", dim = dim,
+      m = m, ksub = 16, iters = 2)
+    // the pre-round-10 shape: m sequential ivfTrain calls on slices
+    val perSubspace = (0 until m).toArray.map { i =>
+      Similarity.ivfTrain(
+        emb.select($"vec_id", slice($"embedding", i * sub + 1, sub).as("_sub")),
+        "_sub", "vec_id", k = 16, iters = 2)
+    }
+    assert(onePass.map(_.map(_.toList).toList).toSeq ==
+      perSubspace.map(_.map(_.toList).toList).toSeq)
+    // cache: second retrieval under the same key must be the same object
+    // and must not invoke the trainer again
+    var trains = 0
+    def trainOnce() = { trains += 1; onePass }
+    val k1 = Similarity.cachedModel("spec:pq:fixture")(trainOnce())
+    val k2 = Similarity.cachedModel("spec:pq:fixture")(trainOnce())
+    assert(trains == 1 && (k1 eq k2))
+  }
+
   test("ivfPqTopK: full probe + exhaustive refine reproduces brute force; " +
       "default params keep high recall; codes are m small ints") {
     val emb = Tables.table(spark, sf, "embeddings")
