@@ -803,6 +803,16 @@ trait EntryOraclesB extends EntryBase {
            a.c AS count1, p.c AS count2,
            a.c::DOUBLE / p.c::DOUBLE AS ratio
          FROM b a FULL OUTER JOIN b p ON a.tm = p.tm + 3600000
-         ORDER BY time"""
+         ORDER BY time""",
+
+    "q115_logpipe" ->
+      """WITH e AS (
+           SELECT lang, n_chars,
+             regexp_extract(text, '([a-z]+)le', 1) AS xle
+           FROM documents WHERE contains(text, 'the'))
+         SELECT lang, count(*) AS n_docs, count(DISTINCT xle) AS n_ing
+         FROM e
+         WHERE contains(xle, 'b') AND n_chars >= 100 AND n_chars < 400
+         GROUP BY lang ORDER BY lang"""
   )
 }

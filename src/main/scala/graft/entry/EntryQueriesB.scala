@@ -854,6 +854,25 @@ trait EntryQueriesB extends EntryBase {
         .select(col("time"), col("count1"), col("count2"),
           col("count1/count2").as("ratio"))
         .orderBy("time")
+    }),
+
+    // §2.10 logkeeper pipe-syntax query language end-to-end
+    // (`logparser/sql.y`, served per `handler_logstore_query.go`):
+    // full-text term + EXTRACT capture + a filter on the extracted
+    // column + a numeric range, summarized per language. Compiles to a
+    // pushed-down Contains filter, one regexp_extract projection and a
+    // hash aggregate — no shuffle before the final groupBy.
+    "q115_logpipe" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val stmt = graft.query.LogPipe.parse(
+        "the | EXTRACT(\"([a-z]+)le\") AS(xle) | xle:b and " +
+          "n_chars in [100 400)")
+      graft.query.LogPipe.compile(docs, stmt, fullText = "text")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("xle")).as("n_ing"))
+        .coalesce(1)
+        .orderBy("lang")
     })
   )
 }

@@ -4,7 +4,7 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
 import java.net.{InetSocketAddress, URLDecoder}
 import java.nio.charset.StandardCharsets.UTF_8
 import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
-import graft.query.{InfluxQL, PromQL}
+import graft.query.{InfluxQL, LogPipe, PromQL}
 import graft.sources.{LineProtocol, OtlpLogs, OtlpMetrics, OtlpTraces, PromRemoteRead, PromRemoteWrite, ResultShaper}
 
 /** Minimal HTTP serving surface over the library, mirroring the
@@ -765,15 +765,18 @@ final class HttpGateway(spark: SparkSession,
   // Logkeeper CRUD (handler.go:483-512, handler_logstore.go): a
   // REPOSITORY is a database and a LOGSTREAM is a measurement in it —
   // the thin mapping the reference's own handlers perform against the
-  // meta client. Log INGEST and QUERY then ride the ordinary paths
-  // (/write?db=repo line protocol, /query InfluxQL; OTLP logs land in
-  // the `logs` measurement). The pipe-syntax log query language is the
-  // one logkeeper piece NOT mapped (out of SURVEY scope; divergence
-  // documented here).
+  // meta client. Log INGEST rides the ordinary paths (/write?db=repo
+  // line protocol; OTLP logs land in the `logs` measurement).
   server.createContext("/api/v1/repository",
     (ex: HttpExchange) => handleRepository(ex))
   server.createContext("/api/v1/logstream",
     (ex: HttpExchange) => handleLogstream(ex))
+  // Logkeeper pipe-syntax query surface (handler.go:532-560 route table):
+  // /repo/{repository}/logstreams/{logStream}/{logs|histogram|analytics},
+  // the `content:err | EXTRACT … | stats` language of logparser/sql.y
+  // compiled by [[graft.query.LogPipe]] onto the measurement frame.
+  server.createContext("/repo",
+    (ex: HttpExchange) => handleLogQueryRoutes(ex))
   // OTLP metrics remote write (handler.go:316, handler_otlp.go:109)
   server.createContext("/api/v1/arrow/doput",
     (ex: HttpExchange) => handleArrowDoPut(ex))
@@ -2051,6 +2054,175 @@ final class HttpGateway(spark: SparkSession,
         s"""{"error":${jsonStr(String.valueOf(e.getMessage))}}""")
     }
 
+  /** Logkeeper pipe-syntax queries (`handler.go:532-560` routes,
+    * `handler_logstore_query.go` serveQueryLog / serveAggLogQuery /
+    * serveAnalytics). The `query` param is `Ppl0 | Ppl1 | … [| SELECT …]`
+    * ([[LogPipe.splitPplSql]]); PPL compiles onto the logstream frame
+    * (extract columns + ANDed filter), the optional SELECT tail runs
+    * through the InfluxQL executor with its FROM pinned to the stream —
+    * the reference's rewriteStatementForLogStore source replacement.
+    * Params mirror getQueryLogRequest: `from`/`to` epoch-ms (half-open),
+    * `limit` (default 10, max 1000 — MaxLogLimit), `reverse` (default
+    * true = newest first), `query`. All collects are limit-capped. */
+  private def handleLogQueryRoutes(ex: HttpExchange): Unit =
+    try {
+      val t0 = System.nanoTime()
+      val path = ex.getRequestURI.getPath
+      val rx = "^/repo/([^/]+)/logstreams/([^/]+)/(logs|histogram|analytics)$".r
+      val m0 = rx.findFirstMatchIn(path).getOrElse {
+        respond(ex, 404, """{"error":"unknown logkeeper route"}""")
+        return
+      }
+      val (repo, stream, action) = (m0.group(1), m0.group(2), m0.group(3))
+      val p = params(ex, readBody = true) + ("db" -> repo)
+      if (guard(ex, p, Auth.ReadPrivilege, "read from").isEmpty) return
+      if (!databases.contains(repo)) sys.error("repository not found")
+      val meas = sliceOf(catalog, repo).getOrElse(stream,
+        sys.error("logstream not found"))
+      val fromMs = p.get("from").filter(_.nonEmpty).map(_.toLong)
+        .getOrElse(0L)
+      val toMs = p.get("to").filter(_.nonEmpty).map(_.toLong)
+        .getOrElse(System.currentTimeMillis())
+      require(fromMs <= toMs, "from value larger than to")
+      val limit = math.min(
+        p.get("limit").filter(_.nonEmpty).map(_.toInt).getOrElse(10), 1000)
+      val reverse = p.get("reverse").filter(_.nonEmpty)
+        .forall(_.toBoolean)
+      val query = p.getOrElse("query", "")
+
+      import org.apache.spark.sql.functions._
+      val timeBound = meas.df.filter(
+        unix_millis(col(meas.time)) >= fromMs &&
+        unix_millis(col(meas.time)) < toMs)
+      // __log___ resolves to the stream's content column (the logkeeper
+      // write schema's log field), else its first string field
+      val fullText =
+        if (timeBound.columns.contains("content")) "content"
+        else timeBound.schema.fields
+          .find(_.dataType == org.apache.spark.sql.types.StringType)
+          .map(_.name).getOrElse("content")
+      val (ppl, sqlTail) = LogPipe.splitPplSql(query)
+      val stmt =
+        if (ppl.trim.nonEmpty) LogPipe.parse(ppl)
+        else LogPipe.Statement(None, None)
+      val frame = LogPipe.compile(timeBound, stmt, fullText)
+
+      def msOf(v: Any): Any = v match {
+        case ts: java.sql.Timestamp => ts.getTime
+        case x => x
+      }
+      def cell(v: Any): String = msOf(v) match {
+        case null => "null"
+        case s: String => jsonStr(s)
+        case b: Boolean => b.toString
+        case n => n.toString
+      }
+      def tookMs = (System.nanoTime() - t0) / 1000000L
+
+      action match {
+        case "logs" =>
+          val ordered = frame.orderBy(
+            if (reverse) col(meas.time).desc else col(meas.time).asc)
+          val rows = ordered.limit(limit).collect()
+          val cols = frame.columns.toSeq
+          val logs = rows.map { r =>
+            cols.zipWithIndex.map { case (c, i) =>
+              val v = if (c == meas.time) msOf(r.get(i)) else r.get(i)
+              s"${jsonStr(if (c == meas.time) "time" else c)}:${cell(v)}"
+            }.mkString("{", ",", "}")
+          }.mkString("[", ",", "]")
+          val keys = cols.map(c => if (c == meas.time) "time" else c)
+          respond(ex, 200,
+            s"""{"success":true,"code":"200","message":"",""" +
+            s""""request_id":${jsonStr(java.util.UUID.randomUUID.toString)},""" +
+            s""""count":${rows.length},"progress":"Complete",""" +
+            s""""logs":$logs,"keys":${keys.map(jsonStr).mkString("[", ",", "]")},""" +
+            s""""took_ms":$tookMs,"cursor_time":${if (reverse) toMs else fromMs},""" +
+            s""""complete_progress":1.0,"scroll_id":""}""")
+        case "histogram" =>
+          // serveAggLogQuery: the pipe query + `select count(time)` per
+          // adaptive bucket, zero-filled across [from, to) and edge
+          // buckets clamped to the request range (GenZeroHistogram)
+          val widthMs = LogPipe.adaptiveBucketMs(fromMs, toMs)
+          val counts = frame
+            .groupBy((floor(unix_millis(col(meas.time)) / widthMs)
+              * widthMs).cast("long").as("_b"))
+            .agg(count(lit(1)).as("_n"))
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+          val b0 = Math.floorDiv(fromMs, widthMs) * widthMs
+          val hist = Iterator.iterate(b0)(_ + widthMs)
+            .takeWhile(_ < toMs).map { b =>
+              val from = math.max(b, fromMs)
+              val to = math.min(b + widthMs, toMs)
+              s"""{"from":$from,"to":$to,"count":${counts.getOrElse(b, 0L)}}"""
+            }.mkString("[", ",", "]")
+          val total = counts.valuesIterator.sum
+          respond(ex, 200,
+            s"""{"success":true,"code":"200","message":"",""" +
+            s""""request_id":${jsonStr(java.util.UUID.randomUUID.toString)},""" +
+            s""""count":$total,"progress":"1.000000","histograms":$hist,""" +
+            s""""took_ms":$tookMs,"scroll_id":""}""")
+        case "analytics" =>
+          // serveAnalytics: no SELECT tail → the nil-request empty body
+          sqlTail match {
+            case None =>
+              respond(ex, 200,
+                s"""{"success":true,"code":"200","message":"",""" +
+                s""""request_id":${jsonStr(java.util.UUID.randomUUID.toString)},""" +
+                s""""total_size":0,"progress":"Complete","took_ms":$tookMs,""" +
+                s""""scroll_id":""}""")
+            case Some(sql) =>
+              // rewriteStatementForLogStore pins the statement's source
+              // to the logstream regardless of any FROM in the text —
+              // execute against a one-measurement catalog of the
+              // PPL-filtered frame, inserting the FROM when omitted
+              val cat = Map(stream -> meas.copy(df = frame, extentMs = None))
+              val out = InfluxQL.execute(cat, withFrom(sql, stream))
+              val cols = out.columns.toSeq
+              val dataCols = cols.filterNot(_ == "time") ++
+                (if (cols.contains("time")) Seq("time") else Nil)
+              val rows = out.limit(maxRowLimit + 1).collect()
+              val header = dataCols.map(jsonStr).mkString("[", ",", "]")
+              val body = rows.take(maxRowLimit).map { r =>
+                dataCols.map { c =>
+                  msOf(r.get(r.fieldIndex(c))) match {
+                    case null => "\"\""
+                    case d: Double => jsonStr(
+                      if (d == d.floor && !d.isInfinite) d.toLong.toString
+                      else d.toString)
+                    case v => jsonStr(v.toString)
+                  }
+                }.mkString("[", ",", "]")
+              }
+              respond(ex, 200,
+                s"""{"success":true,"code":"200","message":"",""" +
+                s""""request_id":${jsonStr(java.util.UUID.randomUUID.toString)},""" +
+                s""""total_size":${math.min(rows.length, maxRowLimit)},""" +
+                s""""progress":"Complete","took_ms":$tookMs,"scroll_id":"",""" +
+                s""""groupInfo":[],"dataset":${(header +: body).mkString("[", ",", "]")}}""")
+          }
+      }
+    } catch {
+      case e: Throwable => respond(ex, 400,
+        s"""{"success":false,"code":"400","message":${
+          jsonStr(String.valueOf(e.getMessage))}}""")
+    }
+
+  /** Insert `FROM "stream"` into a SELECT that omitted it — the analytics
+    * tail usually reads `select count(time)` and relies on the handler
+    * pinning the source (rewriteStatementForLogStore). */
+  private def withFrom(sql: String, stream: String): String = {
+    val lower = sql.toLowerCase
+    if (lower.matches("(?s).*\\bfrom\\b.*")) sql
+    else {
+      val cut = Seq(" group by", " order by", " where", " limit",
+          " offset", " slimit", " soffset")
+        .map(k => lower.indexOf(k)).filter(_ >= 0)
+        .reduceOption(math.min).getOrElse(sql.length)
+      sql.substring(0, cut) + s""" FROM "$stream"""" + sql.substring(cut)
+    }
+  }
+
   private def handleLabels(ex: HttpExchange): Unit =
     try {
       if (guard(ex, params(ex, readBody = false),
@@ -2138,7 +2310,16 @@ final class HttpGateway(spark: SparkSession,
     val df = PromQL.evaluate(promCat, query, step,
       boundsMs = Some((loMs, hiMs)))
     val labelCols = df.columns.filterNot(Set("eval_ms", "value")).toSeq
-    df.collect().toSeq
+    // driver-protection cap, like every other gateway collect
+    // (`http.max-row-limit`, handler.go getResultRowsCnt): a hostile
+    // step/range combination must error, not materialize unbounded
+    // rows on the driver — Prometheus's own "too many samples" refusal
+    val rows = df.limit(maxRowLimit + 1).collect()
+    if (rows.length > maxRowLimit) sys.error(
+      s"query processing would load too many samples into memory: " +
+        s"more than max-row-limit ($maxRowLimit) — reduce the range " +
+        s"or increase the step")
+    rows.toSeq
       .map(r => Sample(labelCols.map(c => c -> r.getAs[String](c)),
         r.getAs[Long]("eval_ms"), r.getAs[Double]("value")))
       .filter(s => s.evalMs >= loMs && s.evalMs <= hiMs)

@@ -275,6 +275,33 @@ class ServerSpec extends SparkSpec {
     } finally tiny.stop()
   }
 
+  test("prom range query over max-row-limit errors instead of " +
+      "materializing unbounded rows on the driver") {
+    // the collectSamples collect is limit-capped like every other
+    // gateway collect (http.max-row-limit) — a hostile step/range
+    // combination gets Prometheus's too-many-samples refusal
+    val prom = Map("events" -> PromQL.Metric(
+      events.withColumn("user", col("user_id").cast("string")),
+      labels = Seq("event_type", "user"), time = "ts", value = "value",
+      tie = Seq("event_id")))
+    val tiny = new HttpGateway(spark, Map.empty, prom, maxRowLimit = 7)
+    tiny.start()
+    try {
+      def rangeReq(step: String) = http.send(HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:${tiny.boundPort}" +
+          s"/api/v1/query_range?query=${enc("events")}" +
+          s"&start=1262304000&end=1262390400&step=$step")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      val r = rangeReq("15s")
+      assert(r.statusCode() == 400, r.body().take(200))
+      assert(r.body().contains("too many samples"), r.body().take(200))
+      // a coarse step under the cap still answers
+      val ok = rangeReq("1d")
+      assert(ok.statusCode() == 200, ok.body().take(200))
+      assert(ok.body().contains("\"status\":\"success\""))
+    } finally tiny.stop()
+  }
+
   test("SHOW QUERIES lists live requests; KILL QUERY cancels mid-flight") {
     // a measurement whose scan BLOCKS on a latch the test controls — the
     // query provably cannot finish before the kill lands, so there is no
