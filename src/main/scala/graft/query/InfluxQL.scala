@@ -262,8 +262,13 @@ object InfluxQL {
 
   /** joinType ∈ inner/left_outer/right_outer/full_outer (reference join
     * types `influxql/ast.go:7423-7440`), ON = tag-equality key list
-    * (`JoinKeyPair` ast.go:4136 — equi-joins only). */
-  case class JoinClause(joinType: String, right: String, onTags: Seq[String])
+    * (`JoinKeyPair` ast.go:4136 — equi-joins only). The right operand is
+    * a measurement name OR a subquery (`sql_test.go:205-218` joins two
+    * `(SELECT…) AS t` sources); `rightAlias` is the `AS t2` name used to
+    * suffix colliding columns and resolve `t2.f` qualified refs. */
+  case class JoinClause(joinType: String, right: String, onTags: Seq[String],
+                        rightSub: Option[Query] = None,
+                        rightAlias: Option[String] = None)
 
   case class Query(
       projs: Seq[Proj], from: String, where: Option[WExpr],
@@ -282,7 +287,13 @@ object InfluxQL {
       // GROUP BY … EXCEPT t1, t2 (sql.y:1258 EXCEPT_CLAUSE;
       // select.go:382 drops the listed dims from the group set — the
       // InfluxQL spelling of PromQL's `without`)
-      exceptTags: Seq[String] = Nil)
+      exceptTags: Seq[String] = Nil,
+      // `FROM src AS t1` alias (sql.y alias_clause); qualifies refs
+      fromAlias: Option[String] = None,
+      // `t1.f` qualified field refs seen anywhere in this query —
+      // resolved post-join against the side aliases (ast.go VarRef with
+      // a Segments-qualified name)
+      qualRefs: Seq[(String, String)] = Nil)
 
   /** One UNION arm: `UNION [ALL] [BY NAME] <select>` — reference
     * `influxql/sql.y:656-699` (union_clause). */
@@ -298,6 +309,21 @@ object InfluxQL {
   private class Parser(var toks: List[Tok]) {
     def peek: Tok = toks.headOption.getOrElse(TPunct("<eof>"))
     def next(): Tok = { val t = peek; toks = toks.drop(1); t }
+    // `t1.f` qualified refs collected while parsing the CURRENT query
+    // (saved/restored around subquery recursion in parseQuery)
+    private var qualBuf: List[(String, String)] = Nil
+    private def peek2: Tok = toks.drop(1).headOption.getOrElse(TPunct("<eof>"))
+    /** Consume `.ident` after an already-consumed ident `a`, recording
+      * the qualified ref; returns the dotted spelling. */
+    private def qualTail(a: String): String = {
+      next() // '.'
+      val f = next() match {
+        case TIdent(s) => s
+        case t => sys.error(s"expected field after '$a.', got $t")
+      }
+      qualBuf ::= (a, f)
+      s"$a.$f"
+    }
     def expectIdent(kw: String): Unit = next() match {
       case TIdent(s) if s.equalsIgnoreCase(kw) =>
       case t => sys.error(s"expected $kw, got $t")
@@ -350,6 +376,8 @@ object InfluxQL {
     }
 
     def parseQuery(): Query = {
+      val outerQual = qualBuf
+      qualBuf = Nil
       expectIdent("select")
       val projs = parseProjs()
       // SELECT … INTO target FROM … (reference IntoClause ast.go)
@@ -417,10 +445,22 @@ object InfluxQL {
           while (peek == TPunct(",")) { next(); fromMore :+= fromOne() }
           first
       }
-      // [INNER|LEFT|RIGHT|FULL [OUTER]] JOIN m2 ON tag [AND tag…]
+      // FROM src AS t1 — source alias (reference sql_test.go:221
+      // `from t1 as a1 FULL JOIN t2 as a2 on a1.app=a2.app`)
+      var fromAlias: Option[String] = None
+      if (isKw("as")) {
+        next()
+        fromAlias = Some(next() match {
+          case TIdent(a) => a
+          case t => sys.error(s"expected FROM alias, got $t")
+        })
+      }
+      // [INNER|LEFT|RIGHT|FULL|OUTER [OUTER]] JOIN (m2 | (SELECT…))
+      // [AS t2] ON [(] key [AND key…] [)] where key := tag | t1.x = t2.x
+      // (a bare OUTER JOIN is the reference's full join, ast.go:7439)
       var join: Option[JoinClause] = None
       val joinType = peek match {
-        case TIdent(s) if Set("inner", "left", "right", "full")
+        case TIdent(s) if Set("inner", "left", "right", "full", "outer")
             .contains(s.toLowerCase) =>
           next()
           if (isKw("outer")) next()
@@ -428,28 +468,72 @@ object InfluxQL {
             case "inner" => "inner"
             case "left" => "left_outer"
             case "right" => "right_outer"
-            case "full" => "full_outer"
+            case "full" | "outer" => "full_outer"
           })
         case TIdent(s) if s.equalsIgnoreCase("join") => Some("inner")
         case _ => None
       }
       if (joinType.isDefined) {
         if (isKw("join")) next()
-        val right = next() match {
-          case TIdent(s) => s
-          case t => sys.error(s"expected join measurement, got $t")
+        var rightSub: Option[Query] = None
+        val right = peek match {
+          case TPunct("(") =>
+            next(); rightSub = Some(parseQuery()); expect(")")
+            "<subquery>"
+          case _ => next() match {
+            case TIdent(s) => s
+            case t => sys.error(s"expected join measurement, got $t")
+          }
+        }
+        var rightAlias: Option[String] = None
+        if (isKw("as")) {
+          next()
+          rightAlias = Some(next() match {
+            case TIdent(a) => a
+            case t => sys.error(s"expected join alias, got $t")
+          })
         }
         expectIdent("on")
+        val paren = peek == TPunct("(")
+        if (paren) next()
         var tags = Seq.empty[String]
         var more = true
         while (more) {
-          tags :+= (next() match {
+          val a = next() match {
             case TIdent(s) => s
             case t => sys.error(s"expected join tag, got $t")
-          })
+          }
+          // qualified `t1.x = t2.x` equality — equi-join on the shared
+          // name (JoinKeyPair, ast.go:4136)
+          val lhs = if (peek == TPunct(".")) {
+            next()
+            next() match {
+              case TIdent(s) => s
+              case t => sys.error(s"expected join key after '$a.', got $t")
+            }
+          } else a
+          if (peek == TOp("=")) {
+            next()
+            val r0 = next() match {
+              case TIdent(s) => s
+              case t => sys.error(s"expected join key, got $t")
+            }
+            val rhs = if (peek == TPunct(".")) {
+              next()
+              next() match {
+                case TIdent(s) => s
+                case t => sys.error(s"expected join key after '$r0.', got $t")
+              }
+            } else r0
+            require(lhs == rhs,
+              s"JOIN ON keys must share a name: $lhs vs $rhs")
+          }
+          tags :+= lhs
           if (isKw("and")) next() else more = false
         }
-        join = Some(JoinClause(joinType.get, right, tags))
+        if (paren) expect(")")
+        join = Some(JoinClause(joinType.get, right, tags, rightSub,
+          rightAlias))
       }
       var where: Option[WExpr] = None
       if (isKw("where")) { next(); where = Some(parseWhereOr()) }
@@ -547,9 +631,11 @@ object InfluxQL {
         }
         expect(")")
       }
+      val myQual = qualBuf.reverse.distinct
+      qualBuf = outerQual
       Query(projs, from, where, tags, interval, fill, orderDesc, limit,
         offset, slimit, join, fromSub, soffset, intervalOffset, tz, into,
-        fromMore, fromBare, exceptTags)
+        fromMore, fromBare, exceptTags, fromAlias, myQual)
     }
 
     private def parseProjs(): Seq[Proj] = {
@@ -742,6 +828,8 @@ object InfluxQL {
             Left(ECast(EField(f), typ))
           case other => sys.error(s"unknown ::$other type selector")
         }
+      case TIdent(f) if peek == TPunct(".") && peek2.isInstanceOf[TIdent] =>
+        Left(EField(qualTail(f))) // `t1.f` qualified ref
       case TIdent(f) => Left(EField(f))
       case t => sys.error(s"bad projection: $t")
     }
@@ -786,10 +874,14 @@ object InfluxQL {
     }
 
     private def parsePlainWhereAtom(): WExpr = {
-      val field = next() match {
+      val field0 = next() match {
         case TIdent(s) => s
         case t => sys.error(s"bad WHERE field: $t")
       }
+      val field =
+        if (peek == TPunct(".") && peek2.isInstanceOf[TIdent])
+          qualTail(field0)
+        else field0
       // [NOT] IN (SELECT …) — sql.y:753-769
       if (isKw("in") || isKw("not")) {
         val negated =
@@ -1420,6 +1512,11 @@ object InfluxQL {
     out
   }
 
+  /** `col` that backtick-escapes dotted names — qualified-ref columns
+    * (`t1.f`) are literal attribute names, not struct access. */
+  private def fieldCol(name: String): Column =
+    if (name.contains(".")) col(s"`$name`") else col(name)
+
   private def compileQuery(catalog: Map[String, Measurement],
                            q: Query): DataFrame = {
     q.projs.collectFirst { case c: PCall if c.fn == "compare" => c } match {
@@ -1450,18 +1547,42 @@ object InfluxQL {
       }
     var df = m.df
 
-    // JOIN: tag-equality join of two measurements; colliding field names
-    // from the right side get a _<measurement> suffix (reference exposes
-    // m2.field — suffixing is the USING-form equivalent).
+    // JOIN: tag-equality join of two measurements or subqueries;
+    // colliding field names from the right side get a _<alias> suffix
+    // (reference exposes m2.field — suffixing is the USING-form
+    // equivalent, and `t2.f` qualified refs resolve onto it below).
     val mJoined = q.join.map { j =>
-      val r = lookupMeasurement(catalog, j.right).getOrElse(
-        sys.error(s"unknown join measurement ${j.right}"))
+      val r = j.rightSub match {
+        case Some(sub) =>
+          // (SELECT…) AS t2 — compile the inner query; its epoch-ms
+          // `time` column is dropped like any right-side time axis
+          val inner = compileQuery(catalog, sub)
+          Measurement(inner, resolveTags(catalog, sub), "time")
+        case None => lookupMeasurement(catalog, j.right).getOrElse(
+          sys.error(s"unknown join measurement ${j.right}"))
+      }
+      val suffix = j.rightAlias.getOrElse(j.right)
       val collisions = m.df.columns.toSet
         .intersect(r.df.columns.toSet) -- j.onTags - r.time
       val rdf0 = collisions.foldLeft(r.df.drop(r.time))((d, c) =>
-        d.withColumnRenamed(c, s"${c}_${j.right}"))
-      Measurement(m.df.join(rdf0, j.onTags, j.joinType),
-        (m.tags ++ r.tags).distinct, m.time)
+        d.withColumnRenamed(c, s"${c}_$suffix"))
+      var joined = m.df.join(rdf0, j.onTags, j.joinType)
+      // `t1.f` qualified refs become literal dotted columns over the
+      // resolved side (left: unrenamed; right: suffix-renamed on
+      // collision). Unknown qualifiers fall through to the raw-field
+      // path, which projects missing names as null.
+      val leftName = q.fromAlias.getOrElse(q.from)
+      q.qualRefs.foreach { case (a, f) =>
+        val actual =
+          if (a == leftName) Some(f)
+          else if (a == suffix)
+            Some(if (collisions.contains(f)) s"${f}_$suffix" else f)
+          else None
+        actual.filter(joined.columns.contains).foreach { c =>
+          joined = joined.withColumn(s"$a.$f", col(c))
+        }
+      }
+      Measurement(joined, (m.tags ++ r.tags).distinct, m.time)
     }
     mJoined.foreach(jm => df = jm.df)
     val mEff = mJoined.getOrElse(m)
@@ -1472,7 +1593,7 @@ object InfluxQL {
     def evalExpr(e: Expr, resolve: PCall => Column): Column = e match {
       case ENum(v, intg, lv) =>
         if (intg) lit(lv.getOrElse(v.toLong)) else lit(v)
-      case EField(f) => col(f)
+      case EField(f) => fieldCol(f)
       case ECast(e0, typ) =>
         val sparkT = typ match {
           case "integer" | "unsigned" => "long"
@@ -1519,7 +1640,7 @@ object InfluxQL {
 
     def condToCol(c: Cond): Column = {
       val lhs = if (c.field.equalsIgnoreCase("time")) unix_micros(col(m.time))
-                else col(c.field)
+                else fieldCol(c.field)
       val rhs: Column = c.v match {
         case CInt(l) =>
           if (c.field.equalsIgnoreCase("time"))
@@ -1987,7 +2108,7 @@ object InfluxQL {
               (q.projs.contains(PStarTag) && isTag) ||
                 (q.projs.contains(PStarField) && !isTag)
             }
-            (wanted ++ plain.filterNot(wanted.contains)).map(col).toSeq
+            (wanted ++ plain.filterNot(wanted.contains)).map(fieldCol).toSeq
           } else if (plain.isEmpty && exprs.nonEmpty && !hasStar)
             Seq.empty
           else if (plain.isEmpty || hasStar)
@@ -2001,7 +2122,7 @@ object InfluxQL {
             // below then drops rows where EVERY projected field is
             // null, so `SELECT foo FROM cpu` alone yields no series,
             // also the reference's behavior
-            if (df.columns.contains(f)) col(f)
+            if (df.columns.contains(f)) fieldCol(f)
             else lit(null).cast("double").as(f))
         val sel = (Seq(unix_millis(col(m.time)).as("wstart_ms")) ++
           groupTags.map(col) ++
@@ -2014,7 +2135,7 @@ object InfluxQL {
         val blankable = projected.columns
           .filterNot(c => c == "wstart_ms" || groupTags.contains(c))
         if (blankable.isEmpty) projected
-        else projected.filter(coalesce(blankable.toIndexedSeq.map(col): _*).isNotNull)
+        else projected.filter(coalesce(blankable.toIndexedSeq.map(fieldCol): _*).isNotNull)
       }
 
     // sort → slimit → limit (per-series when grouped; reference limit modes)

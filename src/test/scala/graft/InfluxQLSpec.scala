@@ -315,6 +315,50 @@ class InfluxQLSpec extends SparkSpec {
     assert(lj == Map("server01" -> 6L, "server02" -> 2L))
   }
 
+  test("JOIN of two subqueries with aliases and qualified ON keys") {
+    // reference sql_test.go:205-221 — `FROM (SELECT…) AS t1 LEFT JOIN
+    // (SELECT…) AS t2 ON (t1.x = t2.x and …)` with qualified projections
+    val lines = Seq(
+      "mem,host=server01 used=7 0", "mem,host=server01 used=9 60000000000",
+      "mem,host=server03 used=50 0").toDS()
+    val mem = Measurement(LineProtocol.toMeasurementTable(
+      LineProtocol.parse(lines), "mem",
+      tagKeys = Seq("host"), floatKeys = Seq("used")), tags = Seq("host"))
+    val cat = catalog + ("mem" -> mem)
+    val out = InfluxQL.execute(cat,
+      "SELECT t1.vsum, t2.usum FROM " +
+        "(SELECT sum(value) AS vsum FROM cpu GROUP BY host) AS t1 " +
+        "INNER JOIN (SELECT sum(used) AS usum FROM mem GROUP BY host) " +
+        "AS t2 ON (t1.host = t2.host) GROUP BY host")
+      .select("host", "`t1.vsum`", "`t2.usum`")
+      .as[(String, Double, Double)].collect().toSet
+    // only server01 is in both: cpu 10+20+30, mem 7+9
+    assert(out == Set(("server01", 60.0, 16.0)))
+    // LEFT JOIN keeps server02 with a null right side; bare OUTER JOIN
+    // (= full join, ast.go:7439) keeps all three hosts
+    val lj = InfluxQL.execute(cat,
+      "SELECT t1.vsum, t2.usum FROM " +
+        "(SELECT sum(value) AS vsum FROM cpu GROUP BY host) AS t1 " +
+        "LEFT JOIN (SELECT sum(used) AS usum FROM mem GROUP BY host) " +
+        "AS t2 ON t1.host = t2.host GROUP BY host")
+    assert(lj.select("host").as[String].collect().toSet ==
+      Set("server01", "server02"))
+    val fj = InfluxQL.execute(cat,
+      "SELECT t1.vsum, t2.usum FROM " +
+        "(SELECT sum(value) AS vsum FROM cpu GROUP BY host) AS t1 " +
+        "OUTER JOIN (SELECT sum(used) AS usum FROM mem GROUP BY host) " +
+        "AS t2 ON host GROUP BY host")
+    assert(fj.select("host").as[String].collect().toSet ==
+      Set("server01", "server02", "server03"))
+    // measurement AS alias + suffix-renamed collision via qualified ref
+    val ma = InfluxQL.execute(cat,
+      "SELECT t2.used FROM cpu AS t1 INNER JOIN mem AS t2 ON host " +
+        "WHERE t2.used > 8")
+    // inner join on host keeps server01 only (mem server03 unmatched);
+    // used>8 leaves the 9.0 point, fanned across the three cpu rows
+    assert(ma.select("`t2.used`").as[Double].collect().toSet == Set(9.0))
+  }
+
   test("subquery: outer aggregate over inner per-tag aggregates") {
     val out = run(
       "SELECT mean(max) FROM (SELECT max(value) FROM cpu GROUP BY host)")
