@@ -979,8 +979,14 @@ object InfluxQL {
     * DELETE too (`coordinator/statement_executor.go` delete validation).
     * DROP SERIES removes whole matching series; with tag predicates
     * (all DROP SERIES allows) that is the same row filter. */
+  /** `nowMs` pins `now()` in DELETE/DROP SERIES conditions — a durable
+    * DML journal replays the statement with its ORIGINAL issue time, so
+    * a `WHERE time < now() - 1h` tombstone deletes the same rows after a
+    * restart instead of re-evaluating against the restart clock. */
   def executeManage(catalog: Map[String, Measurement],
-                    sql: String): Map[String, Measurement] = {
+                    sql: String,
+                    nowMs: Long = System.currentTimeMillis())
+      : Map[String, Measurement] = {
     val p = new Parser(lex(sql))
     def ident(): String = p.next() match {
       case TIdent(n) => n
@@ -999,7 +1005,7 @@ object InfluxQL {
         if (p.isKw("where")) {
           p.next()
           val w = p.parseWhereStandalone()
-          val cond = manageCond(m, w)
+          val cond = manageCond(m, w, nowMs)
           // null tag never matches a predicate → its rows are kept
           catalog + (name -> m.copy(df =
             m.df.filter(coalesce(!cond, lit(true)))))
@@ -1040,7 +1046,7 @@ object InfluxQL {
       val kept =
         if (p.isKw("where")) {
           p.next()
-          val cond = manageCond(m, p.parseWhereStandalone())
+          val cond = manageCond(m, p.parseWhereStandalone(), nowMs)
           m.df.filter(coalesce(!cond, lit(true)))
         } else m.df.limit(0)
       catalog + (name -> m.copy(df = kept))
@@ -1050,9 +1056,10 @@ object InfluxQL {
   /** Time/tag condition compiler for DELETE/DROP SERIES — same literal
     * conventions as the SELECT path (time in epoch µs, durations as
     * ns→µs, RFC3339 strings, now()±d). */
-  private def manageCond(m: Measurement, w: WExpr): Column = w match {
-    case WAnd(l, r) => manageCond(m, l) && manageCond(m, r)
-    case WOr(l, r) => manageCond(m, l) || manageCond(m, r)
+  private def manageCond(m: Measurement, w: WExpr, nowMs: Long): Column =
+      w match {
+    case WAnd(l, r) => manageCond(m, l, nowMs) && manageCond(m, r, nowMs)
+    case WOr(l, r) => manageCond(m, l, nowMs) || manageCond(m, r, nowMs)
     case WCond(c) =>
       val isTime = c.field.equalsIgnoreCase("time")
       val lhs = if (isTime) unix_micros(col(m.time)) else col(c.field)
@@ -1065,7 +1072,7 @@ object InfluxQL {
         case CNum(v) => lit(v)
         case CDur(ns) => lit(ns / 1000)
         case CNow(d) =>
-          lit(System.currentTimeMillis() * 1000L + d / 1000)
+          lit(nowMs * 1000L + d / 1000)
         case CRegex(_) => lit(null)
       }
       (c.op, c.v) match {
@@ -1196,7 +1203,8 @@ object InfluxQL {
     // tag + time predicates filter which rows contribute values)
     def whereOn(m: Measurement): DataFrame =
       if (p.isKw("where")) {
-        p.next(); m.df.filter(manageCond(m, p.parseWhereStandalone()))
+        p.next(); m.df.filter(manageCond(m, p.parseWhereStandalone(),
+          System.currentTimeMillis()))
       } else m.df
     // optional trailing LIMIT n / OFFSET n on the (sorted) SHOW output
     def limitOffset(df: DataFrame): DataFrame = {

@@ -188,6 +188,25 @@ final class HttpGateway(spark: SparkSession,
   private def ddlFile =
     persistDir.map(d => java.nio.file.Paths.get(d, "_ddl.txt"))
 
+  // ---- DML durability: destructive statements (DELETE, DROP SERIES,
+  // DROP MEASUREMENT, DROP SHARD) mutate the in-memory catalog only —
+  // the persisted parquet is append-only, so a restart would resurrect
+  // deleted rows. Like the reference's raft-journaled meta deletes
+  // (meta/data.go DropShard, store delete ops), every data-changing
+  // statement appends to `_dml.txt` with its issue-time now() and is
+  // replayed after data + DDL load. Tombstone-style on purpose: no
+  // parquet is rewritten at delete time (the only viable delete at
+  // scale); folding tombstones into files is Compaction's territory.
+  private def dmlFile =
+    persistDir.map(d => java.nio.file.Paths.get(d, "_dml.txt"))
+  private def journalDml(db: String, text: String, nowMs: Long): Unit =
+    dmlFile.foreach { f =>
+      java.nio.file.Files.write(f,
+        s"${enc(db)}\t$nowMs\t${enc(text)}\n".getBytes(UTF_8),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    }
+
   private def renderSub(s: graft.streaming.StreamDDL.Subscription): String =
     s"CREATE SUBSCRIPTION ${s.name} ON ${s.db}.${s.rp} DESTINATIONS " +
       s"${s.mode} " + s.destinations.map(u => s"'$u'").mkString(", ")
@@ -321,6 +340,26 @@ final class HttpGateway(spark: SparkSession,
     groups.map { g =>
       val s = g * groupMs
       (rpName, g, s, s + groupMs, s + groupMs + rp.durationS * 1000L)
+    }
+  }
+
+  /** DROP SHARD data mutation: filter the group's window out of every
+    * measurement of `db` (data.go:2271 DropShard). Returns false when no
+    * group has id `sid`. Group ids are absolute window numbers
+    * (start/groupDuration), so a journaled drop replays onto the same
+    * window after a restart. */
+  private def dropShardData(db: String, sid: Long): Boolean = {
+    import org.apache.spark.sql.functions.{col, unix_millis}
+    shardGroupsOf(db).find(_._2 == sid) match {
+      case None => false
+      case Some((_, _, s0, e0, _)) =>
+        sliceOf(catalog, db).foreach { case (mst, m) =>
+          val kept = m.df.filter(
+            unix_millis(col(m.time)) < s0 ||
+              unix_millis(col(m.time)) >= e0)
+          catalog = catalog + (dbKey(db, mst) -> m.copy(df = kept))
+        }
+        true
     }
   }
 
@@ -647,6 +686,28 @@ final class HttpGateway(spark: SparkSession,
           // one corrupt line must not block startup — skip loudly
           System.err.println(
             s"[gateway] DDL restore skipped: $line (${e.getMessage})")
+        }
+      }
+  }
+  // Replay the DML journal LAST: tombstones filter the fully-restored
+  // catalog in issue order, with each statement's original now() pinned
+  // so time-relative deletes remove the same rows they removed live.
+  dmlFile.filter(java.nio.file.Files.exists(_)).foreach { f =>
+    new String(java.nio.file.Files.readAllBytes(f), UTF_8)
+      .split("\n").filter(_.nonEmpty).foreach { line =>
+        val Array(dbE, nowE, textE) = line.split("\t", 3)
+        val db = dec(dbE); val text = dec(textE)
+        try {
+          if ("(?is)^\\s*drop\\s+shard\\s+\\d+\\s*$".r.matches(text))
+            dropShardData(db, text.trim.split("\\s+")(2).toLong)
+          else {
+            val before = sliceOf(catalog, db)
+            applySlice(db, before, Map.empty ++
+              InfluxQL.executeManage(before, text, nowE.toLong))
+          }
+        } catch { case e: Exception =>
+          System.err.println(
+            s"[gateway] DML restore skipped: $line (${e.getMessage})")
         }
       }
   }
@@ -1373,18 +1434,9 @@ final class HttpGateway(spark: SparkSession,
           // database (ids are per-db group indexes, not a global counter)
           val sid = stmt.trim.split("\\s+")(2).toLong
           synchronized {
-            val groups = shardGroupsOf(reqDb)
-            groups.find(_._2 == sid) match {
-              case None => sys.error(s"shard not found: $sid")
-              case Some((_, _, s0, e0, _)) =>
-                import org.apache.spark.sql.functions.{col, unix_millis}
-                sliceOf(catalog, reqDb).foreach { case (mst, m) =>
-                  val kept = m.df.filter(
-                    unix_millis(col(m.time)) < s0 ||
-                      unix_millis(col(m.time)) >= e0)
-                  catalog = catalog + (dbKey(reqDb, mst) -> m.copy(df = kept))
-                }
-            }
+            if (!dropShardData(reqDb, sid))
+              sys.error(s"shard not found: $sid")
+            journalDml(reqDb, stmt.trim, System.currentTimeMillis())
           }
           s"""{"statement_id":$id}"""
         } else if ("(?is)^\\s*show\\s+subscriptions\\b.*".r.matches(stmt)) {
@@ -1476,8 +1528,16 @@ final class HttpGateway(spark: SparkSession,
             .exists(stmt.trim.toLowerCase.startsWith)) {
           synchronized {
             val before = sliceOf(catalog, reqDb)
-            applySlice(reqDb, before, Map.empty ++
-              InfluxQL.executeManage(reqCat(), stmt))
+            val nowMs = System.currentTimeMillis()
+            val after = Map.empty ++
+              InfluxQL.executeManage(reqCat(), stmt, nowMs)
+            applySlice(reqDb, before, after)
+            // journal only statements that actually changed data — the
+            // accepted-no-op meta statements (CREATE DATABASE, GRANT …)
+            // return the catalog's own entries untouched
+            val changed = before.keySet != after.keySet ||
+              after.exists { case (k, m) => !before.get(k).exists(_ eq m) }
+            if (changed) journalDml(reqDb, stmt.trim, nowMs)
           }
           s"""{"statement_id":$id}"""
         } else if ("(?is).*\\bINTO\\b.*".r.matches(stmt) &&

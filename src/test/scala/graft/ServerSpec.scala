@@ -1388,6 +1388,127 @@ class ServerSpec extends SparkSpec {
       assert(g.runDownSamples(200L * 3600 * 1000) == 0)
     } finally g.stop()
   }
+
+  // ---- cache/journal coherence e2e (VERDICT r9 #6): a destructive
+  // mutation must never be undone by a restart (append-only parquet +
+  // in-memory-only catalog mutation WOULD resurrect deleted rows), and
+  // the PromQL results cache must never serve a range computed before a
+  // write. Complements the isolated HotTierSpec / ExecProfileSpec
+  // fingerprint tests — this is the gateway-surface equivalent.
+
+  test("DROP SHARD + DELETE tombstones journal to _dml.txt and replay: " +
+      "no resurrection across a restart") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dml").toString
+    def mk() = {
+      val g = new HttpGateway(spark, Map.empty, Map.empty,
+        persistDir = Some(dir))
+      g.start(); g
+    }
+    def ask(g: HttpGateway, q: String) = http.send(
+      HttpRequest.newBuilder(URI.create(
+        s"http://127.0.0.1:${g.boundPort}/query?q=${enc(q)}&epoch=ms"))
+        .GET().build(), HttpResponse.BodyHandlers.ofString())
+    def send(g: HttpGateway, path: String, body: String) = http.send(
+      HttpRequest.newBuilder(URI.create(
+        s"http://127.0.0.1:${g.boundPort}$path"))
+        .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+    val g1 = mk()
+    try {
+      // two autogen shard-group windows (7d each): t=60s/120s in group 0,
+      // t=8d in group 1
+      assert(send(g1, "/write?precision=s",
+        "dm,h=a v=1 60\ndm,h=b v=2 120\n" +
+        "dm,h=a v=3 691200\ndm,h=b v=4 691260").statusCode() == 204)
+      assert(ask(g1, "SELECT count(v) FROM dm").body().contains(",4]"))
+      // group ids are absolute window indexes — group 0 covers [0, 7d)
+      assert(ask(g1, "DROP SHARD 0").statusCode() == 200)
+      assert(ask(g1, "SELECT count(v) FROM dm").body().contains(",2]"))
+      assert(ask(g1, "DELETE FROM dm WHERE h = 'b'").statusCode() == 200)
+      assert(ask(g1, "SELECT count(v) FROM dm").body().contains(",1]"))
+    } finally g1.stop()
+    // both tombstones journaled
+    val journal = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_dml.txt")), UTF_8)
+    assert(journal.linesIterator.size == 2, journal)
+    val g2 = mk()
+    try {
+      // the persisted parquet still holds all four rows (append-only
+      // tombstone model); the replayed journal re-filters them
+      val c = ask(g2, "SELECT count(v), sum(v) FROM dm").body()
+      assert(c.contains(",1,3.0]") || c.contains(",1,3]"), c)
+      // the dropped window no longer surfaces as a shard group
+      assert(!ask(g2, "SHOW SHARDS").body().contains("[0,"),
+        ask(g2, "SHOW SHARDS").body())
+    } finally g2.stop()
+  }
+
+  test("journaled now()-relative DELETE replays with its pinned issue " +
+      "time, not the restart clock") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dmlnow").toString
+    def mk() = {
+      val g = new HttpGateway(spark, Map.empty, Map.empty,
+        persistDir = Some(dir))
+      g.start(); g
+    }
+    def ask(g: HttpGateway, q: String) = http.send(
+      HttpRequest.newBuilder(URI.create(
+        s"http://127.0.0.1:${g.boundPort}/query?q=${enc(q)}&epoch=ms"))
+        .GET().build(), HttpResponse.BodyHandlers.ofString())
+    // t0 = one hour ago; points 100s before and after t0 — BOTH are in
+    // the wall-clock past by restart time
+    val t0 = System.currentTimeMillis() - 3600L * 1000
+    val g1 = mk()
+    try {
+      assert(http.send(HttpRequest.newBuilder(URI.create(
+        s"http://127.0.0.1:${g1.boundPort}/write?precision=ms"))
+        .POST(HttpRequest.BodyPublishers.ofString(
+          s"pm v=1 ${t0 - 100000}\npm v=2 ${t0 + 100000}")).build(),
+        HttpResponse.BodyHandlers.ofString()).statusCode() == 204)
+    } finally g1.stop()
+    // hand-written journal line pinned at t0: `time < now()` must mean
+    // `time < t0` on replay (a replay against the restart clock would
+    // delete BOTH rows)
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "_dml.txt"),
+      s"graft\t$t0\t${enc("DELETE FROM pm WHERE time < now()")}\n"
+        .getBytes(UTF_8))
+    val g2 = mk()
+    try {
+      val c = ask(g2, "SELECT count(v), sum(v) FROM pm").body()
+      assert(c.contains(",1,2.0]") || c.contains(",1,2]"), c)
+    } finally g2.stop()
+  }
+
+  test("prom results cache never serves a range computed before a write") {
+    import graft.sources.PromRemoteWrite
+    val g = new HttpGateway(spark, Map.empty, Map.empty)
+    g.start()
+    try {
+      def promWrite(ts: Long, v: Double): Unit = {
+        val body = PromRemoteWrite.encode(Seq(PromRemoteWrite.Series(
+          Map("__name__" -> "rcmetric", "job" -> "j1"), Seq((ts, v)))))
+        val r = http.send(HttpRequest.newBuilder(URI.create(
+          s"http://127.0.0.1:${g.boundPort}/api/v1/write"))
+          .POST(HttpRequest.BodyPublishers.ofByteArray(body)).build(),
+          HttpResponse.BodyHandlers.ofString())
+        assert(r.statusCode() == 204, r.body())
+      }
+      def range(): String = http.send(HttpRequest.newBuilder(URI.create(
+        s"http://127.0.0.1:${g.boundPort}/api/v1/query_range?" +
+          s"query=${enc("sum(rcmetric)")}" +
+          "&start=1704067200&end=1704067320&step=1m")).GET().build(),
+        HttpResponse.BodyHandlers.ofString()).body()
+      promWrite(1704067200000L, 5.0)
+      val first = range()
+      assert(first.contains("\"5\"") && !first.contains("\"9\""), first)
+      // warm hit: identical request serves from the cache
+      assert(range().contains("\"5\""))
+      // a write INSIDE the cached extent must invalidate it
+      promWrite(1704067260000L, 9.0)
+      val third = range()
+      assert(third.contains("\"9\""), third)
+    } finally g.stop()
+  }
 }
 
 object ServerSpec {
