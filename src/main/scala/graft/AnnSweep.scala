@@ -140,6 +140,48 @@ object AnnSweep {
       println(s"""{"corpus_kind":"$name","corpus":$n,"n_queries":$nQ,"k":$k,"ivf_train_s":$ivfTrainS,"pq_train_s":$pqTrainS,"encode_s":$encodeS,"brute_s":$bfS,"cells":$js}""")
     }
 
+    // SPARK_GRAFT_ANN_MODE=buildrate: index-build throughput only — the
+    // quantitative "train once at write time" number (vectors/s for
+    // train + encode+persist) at the sweep corpus and a ×10 replica of
+    // it, so the write-time cost has a measured figure next to the
+    // probe grid (BASELINE.md).
+    if (sys.env.get("SPARK_GRAFT_ANN_MODE").contains("buildrate")) {
+      def rate(name: String, corpusIn: DataFrame): Unit = {
+        val dir = s"/tmp/annrate_$name"
+        corpusIn.write.mode("overwrite").parquet(s"$dir/corpus")
+        val corpus = spark.read.parquet(s"$dir/corpus")
+        val n = corpus.count()
+        corpus.limit(1).count() // warm footers
+        val (cents, ivfS) = timed(
+          Similarity.ivfTrain(corpus, "embedding", "vec_id", k = 64,
+            iters = 2))
+        val (cbs, pqS) = timed(
+          Similarity.pqTrain(corpus, "embedding", "vec_id", dim = dim,
+            m = 16, ksub = 32, iters = 2))
+        val (_, encS) = timed(
+          Similarity.ivfPqIndex(corpus, "embedding", "vec_id", cents,
+              cbs, dim)
+            .write.mode("overwrite").parquet(s"$dir/index"))
+        val tot = ivfS + pqS + encS
+        println(f"== buildrate $name: n=$n ivf=$ivfS%.1fs pq=$pqS%.1fs " +
+          f"encode+store=$encS%.1fs total=$tot%.1fs " +
+          f"rate=${n / tot}%.0f vec/s (encode alone ${n / encS}%.0f vec/s)")
+        println(f"""{"buildrate":"$name","n":$n,"ivf_s":$ivfS%.2f,"pq_s":$pqS%.2f,"encode_s":$encS%.2f,"vec_per_s":${n / tot}%.0f}""")
+      }
+      rate("x1", uniform)
+      // ×10 replica with deterministic id offsets — same distribution,
+      // 10× the count (2M × 64-dim)
+      val n0 = uniform.agg(max("vec_id")).head().getLong(0) + 1
+      rate("x10", uniform
+        .select(col("embedding"),
+          explode(array((0 until 10).map(lit): _*)).as("_r"),
+          col("vec_id"))
+        .select((col("vec_id") + col("_r") * n0).as("vec_id"),
+          col("embedding")))
+      spark.stop()
+      return
+    }
+
     sweep("uniform", uniform, col("vec_id") < 20)
     // every 100th cluster's first planted point (20 spread-out queries)
     sweep("clustered", clustered, col("vec_id") % 10000 === 0)

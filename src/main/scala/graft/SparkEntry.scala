@@ -41,6 +41,7 @@ object SparkEntry extends EntryQueriesA with EntryQueriesB
     * text frontend + Catalyst analysis/optimization (30-110 ms of driver
     * CPU); a prepared statement pays that once, which is also what the
     * reference's query layer does with its compiled-statement reuse. */
+  private val probeSeq = new java.util.concurrent.atomic.AtomicLong(0)
   private val planCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String, String, String), DataFrame]()
 
@@ -80,7 +81,14 @@ object SparkEntry extends EntryQueriesA with EntryQueriesB
           val sc = s.sparkContext
           val outerGroup = sc.getLocalProperty("spark.jobGroup.id")
           val outerDesc = sc.getLocalProperty("spark.job.description")
-          val probe = s"plan-build-$name"
+          // UNIQUE per invocation: statusTracker retains a group's job
+          // ids across invocations, so a constant name would let one
+          // cold-start job (hot-tier residency materializing under the
+          // first build) disqualify the query from the cache FOREVER —
+          // measured: q03/q112 rebuilt their plans on every bench run
+          // (~0.1 s each) because the first build also went resident
+          val probe =
+            s"plan-build-$name-${SparkEntry.probeSeq.incrementAndGet()}"
           sc.setJobGroup(probe, probe)
           val df =
             try fn(s, dir)
