@@ -813,6 +813,53 @@ trait EntryOraclesB extends EntryBase {
          SELECT lang, count(*) AS n_docs, count(DISTINCT xle) AS n_ing
          FROM e
          WHERE contains(xle, 'b') AND n_chars >= 100 AND n_chars < 400
-         GROUP BY lang ORDER BY lang"""
+         GROUP BY lang ORDER BY lang""",
+
+    "q116_substring_dedup" ->
+      """WITH d AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+           FROM documents),
+         g AS (
+           SELECT doc_id, array_to_string(tk[p:p+7], ' ') AS gram
+           FROM d, LATERAL unnest(generate_series(1, len(tk) - 7)) AS t(p)
+           WHERE len(tk) >= 8),
+         dup AS (
+           SELECT gram FROM g GROUP BY gram
+           HAVING count(DISTINCT doc_id) > 1)
+         SELECT doc_id, count(*) AS n_dup_grams
+         FROM g WHERE gram IN (SELECT gram FROM dup)
+         GROUP BY doc_id ORDER BY doc_id""",
+
+    "q117_sequence_pack" ->
+      """WITH d AS (
+           SELECT doc_id, doc_id % 32 AS bucket,
+             len(regexp_split_to_array(trim(text), '\s+')) AS n_tok
+           FROM documents),
+         c AS (
+           SELECT doc_id, bucket, n_tok,
+             COALESCE(sum(n_tok) OVER (PARTITION BY bucket ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+           FROM d)
+         SELECT doc_id, bucket, (off // 512)::BIGINT AS seq_id,
+           (off % 512)::BIGINT AS seq_off, n_tok
+         FROM c ORDER BY doc_id""",
+
+    "q118_temperature_mix" ->
+      """WITH c AS (
+           SELECT lang, count(*) AS n_orig FROM documents GROUP BY lang),
+         r AS (
+           SELECT lang, n_orig,
+             pow(n_orig::DOUBLE / sum(n_orig) OVER (), 0.5) AS pa,
+             sum(n_orig) OVER () AS tot
+           FROM c),
+         r2 AS (
+           SELECT lang, n_orig,
+             least(1.0, (pa / sum(pa) OVER ()) * tot / n_orig) AS rate
+           FROM r)
+         SELECT d.lang, max(r2.n_orig) AS n_orig, count(*) AS n_sampled
+         FROM documents d JOIN r2 ON d.lang = r2.lang
+         WHERE (((d.doc_id % 2147483647) * 2654435761) % 2147483647)::DOUBLE
+           / 2147483647.0 < r2.rate
+         GROUP BY d.lang ORDER BY d.lang"""
   )
 }

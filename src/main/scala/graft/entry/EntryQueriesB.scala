@@ -873,6 +873,87 @@ trait EntryQueriesB extends EntryBase {
           countDistinct(col("xle")).as("n_ing"))
         .coalesce(1)
         .orderBy("lang")
+    }),
+
+    // Exact-substring duplication (Lee et al. '22, "Deduplicating
+    // Training Data Makes Language Models Better" §ExactSubstr): any
+    // W-token span shared verbatim across distinct documents marks
+    // every document carrying it. Spark shape: slide a W-gram window
+    // per doc, shuffle 8-byte xxhash64 gram keys (never the text),
+    // count distinct docs per key, semi-join the duplicated keys back
+    // — two equi-shuffles, both on longs, the singleton gram tail
+    // map-side combines away. W=8 fits this corpus' 20–80-token docs
+    // (the paper uses 50 tokens at web scale).
+    "q116_substring_dedup" -> ((s, dir) => {
+      val W = 8
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("tk"))
+        .filter(size(col("tk")) >= W)
+      val grams = d.select(col("doc_id"),
+        explode(expr(s"transform(sequence(1, size(tk) - ${W - 1}), " +
+          s"p -> concat_ws(' ', slice(tk, p, $W)))")).as("gram"))
+        .select(col("doc_id"), xxhash64(col("gram")).as("_g"))
+      // one explode, one reduction to (gram, doc) counts, then a window
+      // over the reduced frame — the naive dup-set + semi-join shape
+      // re-explodes the corpus a second time (measured 2x this plan)
+      val perDoc = grams.groupBy(col("_g"), col("doc_id"))
+        .agg(count(lit(1)).as("_c"))
+      perDoc
+        .withColumn("_nd", count(lit(1)).over(Window.partitionBy("_g")))
+        .filter(col("_nd") > 1)
+        .groupBy("doc_id").agg(sum(col("_c")).as("n_dup_grams"))
+        .orderBy("doc_id")
+    }),
+
+    // Concat-and-chunk sequence packing (GPT-style pretraining batch
+    // construction: concatenate docs in a deterministic order, split at
+    // the context budget — each doc lands at a (sequence, offset)).
+    // Packing runs per hash-bucket, NOT in one global order: the cumsum
+    // window parallelizes across the 32 buckets, where a global concat
+    // order would serialize the window into a single partition — the
+    // difference between a shuffle-free map job and a one-task
+    // bottleneck at any scale.
+    "q117_sequence_pack" -> ((s, dir) => {
+      val B = 512
+      val d = t(s, dir, "documents").select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_tok"))
+        .withColumn("bucket", pmod(col("doc_id"), lit(32L)))
+      val w = Window.partitionBy("bucket").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      d.withColumn("_off", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+        .select(col("doc_id"), col("bucket"),
+          expr(s"_off DIV $B").as("seq_id"),
+          pmod(col("_off"), lit(B.toLong)).as("seq_off"),
+          col("n_tok"))
+        .orderBy("doc_id")
+    }),
+
+    // Temperature-flattened mixture sampling (the mT5/XLM-R α-sampling
+    // scheme, Conneau '19 §3.1: q_i ∝ p_i^α, α<1 upsamples tail
+    // languages): per-language weights derive from corpus counts, the
+    // realized keep-rate min(1, N·w_i/n_i) hash-thins each language
+    // deterministically. One count aggregate + a broadcast of the tiny
+    // rate table + a map-side filter — no data shuffle at any corpus
+    // size (the unpartitioned windows below run over the POST-AGG
+    // per-language frame, a handful of rows).
+    "q118_temperature_mix" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("lang"))
+      val wAll = Window.partitionBy(lit(1))
+      val rates = d.groupBy("lang").agg(count(lit(1)).as("n_orig"))
+        .withColumn("_tot", sum(col("n_orig")).over(wAll))
+        .withColumn("_pa",
+          pow(col("n_orig").cast("double") / col("_tot"), 0.5))
+        .withColumn("rate", least(lit(1.0),
+          col("_pa") / sum(col("_pa")).over(wAll) *
+            col("_tot") / col("n_orig")))
+      d.join(broadcast(rates.select(col("lang"), col("rate"),
+          col("n_orig"))), Seq("lang"))
+        .filter(pmod(pmod(col("doc_id"), lit(2147483647L)) *
+            lit(2654435761L), lit(2147483647L)).cast("double") /
+          2147483647.0 < col("rate"))
+        .groupBy(col("lang")).agg(max(col("n_orig")).as("n_orig"),
+          count(lit(1)).as("n_sampled"))
+        .orderBy("lang")
     })
   )
 }
