@@ -207,6 +207,127 @@ final class HttpGateway(spark: SparkSession,
         java.nio.file.StandardOpenOption.APPEND)
     }
 
+  /** Fold the DML journal into the persisted parquet — the
+    * storage-maintenance half of the tombstone model (the reference's
+    * compaction merges tombstones into TSSP files the same way;
+    * [[graft.sources.Compaction]] is the small-file half). Re-applies
+    * every journaled statement to a catalog built from the persisted
+    * DIRS ONLY (the in-memory catalog already has them applied live),
+    * atomically rewrites each changed dir, deletes dropped-measurement
+    * dirs, and truncates the journal — after which a restart restores
+    * the same state from data files alone and replay cost stops
+    * growing with delete history. Returns the number of dirs rewritten
+    * or removed. Idempotent: a crash between rewrite and truncate just
+    * re-filters already-filtered rows on the next fold. */
+  def foldDmlJournal(): Int = synchronized {
+    val fOpt = dmlFile.filter(java.nio.file.Files.exists(_))
+    if (fOpt.isEmpty || persistDir.isEmpty) return 0
+    val f = fOpt.get
+    val lines = new String(java.nio.file.Files.readAllBytes(f), UTF_8)
+      .split("\n").filter(_.nonEmpty)
+    if (lines.isEmpty) return 0
+    // dir-only catalog; `day` kept so the rewrite stays day-partitioned
+    var dirCat = Map.empty[String, InfluxQL.Measurement]
+    val base = java.nio.file.Paths.get(persistDir.get)
+    val ls = java.nio.file.Files.list(base)
+    try ls.filter(p => java.nio.file.Files.isDirectory(p)).forEach { p =>
+      val name = java.net.URLDecoder.decode(p.getFileName.toString, "UTF-8")
+      val meta = p.resolve("_tags.txt")
+      val tags =
+        if (java.nio.file.Files.exists(meta))
+          new String(java.nio.file.Files.readAllBytes(meta), UTF_8)
+            .split("\n").filter(_.nonEmpty).toSeq
+        else Nil
+      dirCat = dirCat + (name -> InfluxQL.Measurement(
+        spark.read.option("mergeSchema", "true").parquet(p.toString),
+        tags, "ts"))
+    } finally ls.close()
+    val beforeCat = dirCat
+    lines.foreach { line =>
+      val Array(dbE, nowE, textE) = line.split("\t", 3)
+      val db = dec(dbE); val text = dec(textE)
+      try {
+        if ("(?is)^\\s*drop\\s+shard\\s+\\d+\\s*$".r.matches(text)) {
+          val sid = text.trim.split("\\s+")(2).toLong
+          dropShardSlice(db, sid, sliceOf(dirCat, db)).foreach { upd =>
+            dirCat = dirCat ++ upd.map { case (k, m) => dbKey(db, k) -> m }
+          }
+        } else {
+          val before = sliceOf(dirCat, db)
+          val after = Map.empty[String, InfluxQL.Measurement] ++
+            InfluxQL.executeManage(before, text, nowE.toLong)
+          dirCat = (dirCat --
+            (before.keySet -- after.keySet).map(dbKey(db, _))) ++
+            after.map { case (k, m) => dbKey(db, k) -> m }
+        }
+      } catch { case e: Exception =>
+        // a statement naming an unpersisted measurement has nothing to
+        // fold — its live effect is already in the in-memory catalog
+        System.err.println(
+          s"[gateway] DML fold skipped: $line (${e.getMessage})")
+      }
+    }
+    var n = 0
+    (beforeCat.keySet -- dirCat.keySet).foreach { name =>
+      persistPath(name).foreach { d => deleteDirTree(d); n += 1 }
+    }
+    dirCat.foreach { case (name, m) =>
+      if (!beforeCat.get(name).exists(_.df eq m.df)) {
+        persistPath(name).foreach { d =>
+          rewriteDir(d, m.df)
+          // the LIVE catalog entry still references the swapped-out
+          // files (its df was built from the old listing at startup) —
+          // rebuild it exactly like a restart would: init frame (if
+          // any) ∪ a fresh read of the folded dir. Caveat, documented:
+          // tombstones over init-catalog rows live only in memory —
+          // init data is the embedding application's to manage, the
+          // fold covers what the gateway persisted.
+          val fresh = spark.read.option("mergeSchema", "true")
+            .parquet(d).drop("day")
+          catalog = catalog + (name -> (init.get(name) match {
+            case Some(prev) => InfluxQL.Measurement(
+              prev.df.unionByName(fresh, allowMissingColumns = true),
+              (prev.tags ++ m.tags).distinct, prev.time)
+            case None => InfluxQL.Measurement(fresh, m.tags, "ts")
+          }))
+          n += 1
+        }
+      }
+    }
+    java.nio.file.Files.write(f, Array.empty[Byte])
+    n
+  }
+
+  /** Atomic day-partitioned rewrite of a measurement dir (the
+    * write-tmp/copy-sidecars/swap sequence Compaction.compactDays
+    * uses), reading lazily from the old files while writing the new. */
+  private def rewriteDir(path: String, df: DataFrame): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val tmp = path.stripSuffix("/") + ".fold_tmp"
+    df.write.mode("overwrite").partitionBy("day").parquet(tmp)
+    val p = Paths.get(path); val t = Paths.get(tmp)
+    val side = Files.list(p)
+    try side.filter(f => Files.isRegularFile(f) &&
+        f.getFileName.toString.startsWith("_"))
+      .forEach(f => Files.copy(f, t.resolve(f.getFileName),
+        StandardCopyOption.REPLACE_EXISTING))
+    finally side.close()
+    val old = Paths.get(path.stripSuffix("/") + ".fold_old")
+    Files.move(p, old, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(t, p, StandardCopyOption.ATOMIC_MOVE)
+    deleteDirTree(old.toString)
+  }
+
+  private def deleteDirTree(path: String): Unit = {
+    val p = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.exists(p)) {
+      val s = java.nio.file.Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .forEach(java.nio.file.Files.delete(_))
+      finally s.close()
+    }
+  }
+
   private def renderSub(s: graft.streaming.StreamDDL.Subscription): String =
     s"CREATE SUBSCRIPTION ${s.name} ON ${s.db}.${s.rp} DESTINATIONS " +
       s"${s.mode} " + s.destinations.map(u => s"'$u'").mkString(", ")
@@ -327,12 +448,16 @@ final class HttpGateway(spark: SparkSession,
     * deterministic) id, so DROP SHARD can name a group across restarts
     * without a persisted counter. */
   private def shardGroupsOf(db: String)
+      : Seq[(String, Long, Long, Long, Long)] =
+    shardGroupsIn(db, sliceOf(catalog, db))
+
+  private def shardGroupsIn(db: String,
+      slice: Map[String, InfluxQL.Measurement])
       : Seq[(String, Long, Long, Long, Long)] = {
     import org.apache.spark.sql.functions.{col, unix_millis}
     val rps = retention.getOrElse(db, Retention.autogen)
     val (rpName, rp) = rps.find(_._2.default).getOrElse(rps.head)
     val groupMs = math.max(1L, rp.shardGroupS * 1000L)
-    val slice = sliceOf(catalog, db)
     val groups = slice.values.flatMap { m =>
       m.df.select((unix_millis(col(m.time)) / groupMs).cast("long").as("g"))
         .distinct().limit(10000).collect().map(_.getLong(0))
@@ -343,25 +468,30 @@ final class HttpGateway(spark: SparkSession,
     }
   }
 
-  /** DROP SHARD data mutation: filter the group's window out of every
-    * measurement of `db` (data.go:2271 DropShard). Returns false when no
-    * group has id `sid`. Group ids are absolute window numbers
-    * (start/groupDuration), so a journaled drop replays onto the same
-    * window after a restart. */
-  private def dropShardData(db: String, sid: Long): Boolean = {
+  /** Pure DROP SHARD application over a single-db slice (data.go:2271
+    * DropShard): the filtered slice, or None when no group has id `sid`.
+    * Group ids are absolute window numbers (start/groupDuration), so a
+    * journaled drop replays onto the same window after a restart. */
+  private def dropShardSlice(db: String, sid: Long,
+      slice: Map[String, InfluxQL.Measurement])
+      : Option[Map[String, InfluxQL.Measurement]] = {
     import org.apache.spark.sql.functions.{col, unix_millis}
-    shardGroupsOf(db).find(_._2 == sid) match {
-      case None => false
-      case Some((_, _, s0, e0, _)) =>
-        sliceOf(catalog, db).foreach { case (mst, m) =>
-          val kept = m.df.filter(
-            unix_millis(col(m.time)) < s0 ||
-              unix_millis(col(m.time)) >= e0)
-          catalog = catalog + (dbKey(db, mst) -> m.copy(df = kept))
-        }
-        true
+    shardGroupsIn(db, slice).find(_._2 == sid).map { case (_, _, s0, e0, _) =>
+      slice.map { case (mst, m) =>
+        mst -> m.copy(df = m.df.filter(
+          unix_millis(col(m.time)) < s0 ||
+            unix_millis(col(m.time)) >= e0))
+      }
     }
   }
+
+  private def dropShardData(db: String, sid: Long): Boolean =
+    dropShardSlice(db, sid, sliceOf(catalog, db)) match {
+      case None => false
+      case Some(upd) =>
+        catalog = catalog ++ upd.map { case (k, m) => dbKey(db, k) -> m }
+        true
+    }
 
   private def rfc3339(ms: Long): String =
     java.time.Instant.ofEpochMilli(ms).toString

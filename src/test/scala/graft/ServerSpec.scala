@@ -1440,7 +1440,23 @@ class ServerSpec extends SparkSpec {
       // the dropped window no longer surfaces as a shard group
       assert(!ask(g2, "SHOW SHARDS").body().contains("[0,"),
         ask(g2, "SHOW SHARDS").body())
+      // fold the tombstones into the files: journal empties, the
+      // parquet itself shrinks to the surviving row, and queries are
+      // unchanged before/after
+      assert(g2.foldDmlJournal() == 1)
+      assert(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(dir, "_dml.txt")), UTF_8).isEmpty)
+      assert(spark.read.option("mergeSchema", "true")
+        .parquet(s"$dir/dm").count() == 1)
+      val cf = ask(g2, "SELECT count(v), sum(v) FROM dm").body()
+      assert(cf.contains(",1,3.0]") || cf.contains(",1,3]"), cf)
     } finally g2.stop()
+    // a THIRD boot restores the folded state from data files alone
+    val g3 = mk()
+    try {
+      val c = ask(g3, "SELECT count(v), sum(v) FROM dm").body()
+      assert(c.contains(",1,3.0]") || c.contains(",1,3]"), c)
+    } finally g3.stop()
   }
 
   test("journaled now()-relative DELETE replays with its pinned issue " +
