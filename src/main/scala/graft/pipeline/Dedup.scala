@@ -273,7 +273,8 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
                           bCol: String = "id_b",
-                          maxRounds: Int = 50): DataFrame = {
+                          maxRounds: Int = 50,
+                          maxDriverEdges: Long = 2000000L): DataFrame = {
     def sym(e: DataFrame): DataFrame =
       e.union(e.select(col("v").as("u"), col("u").as("v")))
     // large-star: from the symmetric view, m = min(Γ(u) ∪ {u}); emit
@@ -299,10 +300,53 @@ object Dedup {
       linked.union(self).filter(col("u") =!= col("v")).distinct()
     }
     var edges = pairs
-      .select(col(aCol).as("u"), col(bCol).as("v"))
+      .select(col(aCol).cast("long").as("u"),
+        col(bCol).cast("long").as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint(true)
+    // Two tiers, the GRAPH/RCA resident-tier pattern: a deduped edge
+    // list within the guard collects once and resolves with a
+    // path-compressed union-find on the driver (attach-larger-under-
+    // smaller, so every root IS its component min — identical labels
+    // to the contraction below); past the guard the O(log²n)
+    // star-contraction rounds take over. 2M edges = 32 MB on the
+    // driver — at that size a fixpoint of distributed 5-shuffle rounds
+    // is pure scheduling overhead on ANY cluster, which is why
+    // production CC implementations run exactly this hybrid (Kiveris
+    // '14 §6 notes the small-graph cutoff too).
+    val nEdges = edges.count() // cheap: counts the checkpoint blocks
+    if (nEdges <= maxDriverEdges) {
+      val arr = edges.collect()
+      val parent = new java.util.HashMap[Long, java.lang.Long]()
+      def find(x0: Long): Long = {
+        var x = x0
+        var p = Option(parent.get(x)).map(_.longValue).getOrElse(x)
+        while (p != x) {
+          val gp = Option(parent.get(p)).map(_.longValue).getOrElse(p)
+          parent.put(x, gp); x = p; p = gp
+        }
+        x
+      }
+      var i = 0
+      while (i < arr.length) {
+        val ra = find(arr(i).getLong(0)); val rb = find(arr(i).getLong(1))
+        if (ra != rb) {
+          if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+        }
+        i += 1
+      }
+      val seen = new java.util.HashSet[Long]()
+      val out = Seq.newBuilder[(Long, Long)]
+      arr.foreach { r =>
+        Seq(r.getLong(0), r.getLong(1)).foreach { x =>
+          if (seen.add(x)) out += ((x, find(x)))
+        }
+      }
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      return out.result().toDF("id", "component")
+    }
     // fingerprint (count, order-free hash-sum) decides convergence — one
     // cheap scan over the just-materialized checkpoint blocks per round
     var fp = (-1L, Option.empty[String])

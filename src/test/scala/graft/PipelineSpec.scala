@@ -480,6 +480,12 @@ class PipelineSpec extends SparkSpec {
     }
     val want = parent.keys.map(k => k -> find(k)).toMap
     assert(cc == want)
+    // the distributed star-contraction tier (guard forced to 0) labels
+    // the same graph identically — both tiers stay pinned
+    val ccDist = Dedup.connectedComponents(edges.toDF("id_a", "id_b"),
+        maxDriverEdges = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(ccDist == want)
   }
 
   test("keep-best dedup: cluster representative is max tokens, min id tiebreak") {
