@@ -79,6 +79,22 @@ class ParserFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("round-10 JOIN grammar (subqueries/aliases/qualified ON) survives " +
+      "token soup") {
+    val tokens = Gen.oneOf(
+      "SELECT", "FROM", "(", ")", "AS", "JOIN", "INNER", "LEFT", "RIGHT",
+      "FULL", "OUTER", "ON", "AND", "=", ".", ",", "t1", "t2", "cpu",
+      "mem", "host", "value", "sum", "GROUP", "BY", "LogPipe")
+    samples(Gen.listOf(tokens).map(_.mkString(" ")), 300).foreach { q =>
+      failsCleanly(q)(InfluxQL.parse("SELECT value FROM " + q))
+    }
+    // the valid shapes still parse amid the fuzz run
+    InfluxQL.parse("SELECT t1.f FROM (SELECT sum(v) AS f FROM a " +
+      "GROUP BY h) AS t1 LEFT JOIN (SELECT sum(w) AS g FROM b " +
+      "GROUP BY h) AS t2 ON (t1.h = t2.h) GROUP BY h")
+    InfluxQL.parse("SELECT f FROM a AS x OUTER JOIN b AS y ON h")
+  }
+
   test("management DDL parsers fail cleanly on token soup") {
     import graft.server.{DownSample, MeasurementDDL}
     import graft.streaming.StreamDDL
