@@ -59,6 +59,30 @@ final class HttpGateway(spark: SparkSession,
 
   @volatile private var catalog = init
   @volatile private var promCat = prom
+  // prom metric STORES (`/prometheus/{metric_store}/api/v1/*`,
+  // handler.go:397-433): one measurement holds every series of the
+  // store, `__name__` as an ordinary label — queries against a store
+  // resolve each metric selector onto that frame filtered by __name__
+  @volatile private var promStores = Map.empty[String, PromQL.Metric]
+
+  /** Store-scoped PromQL catalog: `get(name)` synthesizes the metric
+    * view lazily (`__name__ = name` filter over the store frame), so
+    * only names the query actually references are built. Name-regex
+    * listing (`{__name__=~…}`) is not served in store mode — the
+    * iterator is empty, matching the reference's store queries which
+    * always address the mst. */
+  private final class StoreCatView(m: PromQL.Metric)
+      extends scala.collection.immutable.AbstractMap[String, PromQL.Metric] {
+    import org.apache.spark.sql.functions.col
+    override def get(name: String): Option[PromQL.Metric] =
+      Some(m.copy(df = m.df.filter(col("__name__") === name),
+        labels = m.labels.filterNot(_ == "__name__"), extentMs = None))
+    override def iterator: Iterator[(String, PromQL.Metric)] =
+      Iterator.empty
+    override def removed(key: String): Map[String, PromQL.Metric] = this
+    override def updated[V1 >: PromQL.Metric](key: String, value: V1)
+        : Map[String, V1] = Map(key -> value)
+  }
 
   // ------------------------------------------------ database catalog
   /** The database set (`meta/database.go:21` DatabaseInfo, minus RPs —
@@ -793,6 +817,9 @@ final class HttpGateway(spark: SparkSession,
               labels = (prev.labels ++ tags).distinct, extentMs = None)
             case None => PromQL.Metric(df, tags, "ts", "value")
           }))
+        if (java.nio.file.Files.exists(p.resolve("_promstore")))
+          promStores = promStores +
+            (promName -> PromQL.Metric(df, tags, "ts", "value"))
       } finally s.close()
     } else java.nio.file.Files.createDirectories(base)
   }
@@ -881,6 +908,46 @@ final class HttpGateway(spark: SparkSession,
     def group: String = s"query-$qid"
   }
   private val qidCounter = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Serving statistics, the reference's `handler` expvar module
+    * (lib/statisticsPusher/statistics/handler_statistics.go — field
+    * names match its `name:` tags) rendered by /debug/vars. */
+  object stats {
+    import java.util.concurrent.atomic.AtomicLong
+    val req = new AtomicLong(0)
+    val queryReq = new AtomicLong(0)
+    val writeReq = new AtomicLong(0)
+    val pointsWrittenOK = new AtomicLong(0)
+    val write400ErrReq = new AtomicLong(0)
+    val pingReq = new AtomicLong(0)
+    val statusReq = new AtomicLong(0)
+    val authFail = new AtomicLong(0)
+    val clientError = new AtomicLong(0)
+    val serverError = new AtomicLong(0)
+    val queryReqDurationNs = new AtomicLong(0)
+    val writeReqDurationNs = new AtomicLong(0)
+    def renderJson: String = {
+      val rt = Runtime.getRuntime
+      val (hits, evals) = resultsCache.stats
+      "{\"handler\":{" +
+        "\"req\":" + req.get + ",\"queryReq\":" + queryReq.get +
+        ",\"writeReq\":" + writeReq.get +
+        ",\"pointsWrittenOK\":" + pointsWrittenOK.get +
+        ",\"write400ErrReq\":" + write400ErrReq.get +
+        ",\"pingReq\":" + pingReq.get +
+        ",\"statusReq\":" + statusReq.get +
+        ",\"authFail\":" + authFail.get +
+        ",\"clientError\":" + clientError.get +
+        ",\"serverError\":" + serverError.get +
+        ",\"queryReqDurationNs\":" + queryReqDurationNs.get +
+        ",\"writeReqDurationNs\":" + writeReqDurationNs.get +
+        "},\"resultsCache\":{\"hits\":" + hits +
+        ",\"evals\":" + evals +
+        "},\"runtime\":{\"totalMemory\":" + rt.totalMemory +
+        ",\"freeMemory\":" + rt.freeMemory +
+        ",\"availableProcessors\":" + rt.availableProcessors + "}}"
+    }
+  }
   private val running =
     scala.collection.mutable.LinkedHashMap.empty[Long, RunningQuery]
 
@@ -914,13 +981,92 @@ final class HttpGateway(spark: SparkSession,
     else s"${ns / 1000L}µs"
 
   server.createContext("/ping", (ex: HttpExchange) => {
+    stats.pingReq.incrementAndGet(); stats.req.incrementAndGet()
     ex.getResponseHeaders.set("X-Gemini-Compat", "graft")
     ex.sendResponseHeaders(204, -1); ex.close()
   })
   // deprecated alias for /ping (handler.go:1711 serveStatus)
   server.createContext("/status", (ex: HttpExchange) => {
+    stats.statusReq.incrementAndGet(); stats.req.incrementAndGet()
     ex.sendResponseHeaders(204, -1); ex.close()
   })
+  // internal serving metrics in /debug/vars format (handler.go:1806
+  // serveExpvar; module/field names per handler_statistics.go)
+  server.createContext("/debug/vars", (ex: HttpExchange) =>
+    respond(ex, 200, stats.renderJson))
+  // /debug/query?mod=shards&db=… (syscontrol.go:15 serveDebugQuery):
+  // GET-only (405), empty/unknown mod is a 400, mod=shards returns the
+  // db's derived shard-group status
+  server.createContext("/debug/query", (ex: HttpExchange) => {
+    val p = params(ex, readBody = false)
+    if (ex.getRequestMethod != "GET")
+      respond(ex, 405, "{\"error\":\"invalid method\"}")
+    else p.get("mod") match {
+      case None | Some("") =>
+        respond(ex, 400, "{\"error\":\"invalid mod\"}")
+      case Some("shards") =>
+        val db = p.getOrElse("db", defaultDb)
+        val rows = shardGroupsOf(db).map { case (rp, g, s0, e0, x0) =>
+          "{\"id\":" + g + ",\"rp\":" + jsonStr(rp) +
+            ",\"start\":" + jsonStr(rfc3339(s0)) +
+            ",\"end\":" + jsonStr(rfc3339(e0)) +
+            ",\"expiry\":" + jsonStr(rfc3339(x0)) + "}"
+        }
+        respond(ex, 200, "{\"db\":" + jsonStr(db) +
+          ",\"shards\":[" + rows.mkString(",") + "]}")
+      case Some(m) =>
+        respond(ex, 400, "{\"error\":\"process query request error: " +
+          "unknown mod: " + m + "\"}")
+    }
+  })
+  // Flux is not served, exactly like a default-config reference node
+  // (handler.go:240 AddFluxAPIRoute with FluxEnabled=false → 403)
+  // metric-store-scoped prom API (handler.go:397-433,
+  // /prometheus/{metric_store}/api/v1/*): the store is one measurement
+  // holding all its series (__name__ as a label). read/series remain on
+  // the default-namespace routes — store queries address the mst.
+  server.createContext("/prometheus", (ex: HttpExchange) => {
+    val parts = ex.getRequestURI.getPath
+      .stripPrefix("/prometheus/").split("/").toList
+    parts match {
+      case store :: "api" :: "v1" :: rest if store.nonEmpty =>
+        rest match {
+          case List("write") => handlePromStoreWrite(ex, store)
+          case List("query") | List("query_range") =>
+            val range = rest == List("query_range")
+            promStores.get(store) match {
+              case Some(m) => handleProm(ex, range,
+                () => new StoreCatView(m), s"store:$store|")
+              case None =>
+                val rt = if (range) "matrix" else "vector"
+                respond(ex, 200, "{\"status\":\"success\",\"data\":" +
+                  "{\"resultType\":\"" + rt + "\",\"result\":[]}}")
+            }
+          case List("labels") =>
+            val names = promStores.get(store)
+              .map(_.labels.sorted).getOrElse(Nil)
+            respond(ex, 200, "{\"status\":\"success\",\"data\":[" +
+              names.map(jsonStr).mkString(",") + "]}")
+          case List("label", label, "values") =>
+            val vals = promStores.get(store).toSeq.flatMap { m =>
+              if (!m.df.columns.contains(label)) Nil
+              else m.df.select(label).distinct().orderBy(label)
+                .limit(1000).collect()
+                .flatMap(r => Option(r.getString(0))).toSeq
+            }
+            respond(ex, 200, "{\"status\":\"success\",\"data\":[" +
+              vals.map(jsonStr).mkString(",") + "]}")
+          case _ => respond(ex, 404, "{\"error\":\"not found\"}")
+        }
+      case _ =>
+        // empty {metric_store}: the reference's InvalidPromMstName 404
+        respond(ex, 404, "{\"error\":\"invalid the metric store\"}")
+    }
+  })
+  server.createContext("/api/v2/query", (ex: HttpExchange) =>
+    respond(ex, 403, "{\"error\":\"Flux query service disabled. " +
+      "Verify flux-enabled=true in the [http] section of the InfluxDB " +
+      "config.\"}"))
   server.createContext("/query", (ex: HttpExchange) => handleQuery(ex))
   server.createContext("/write", (ex: HttpExchange) => handleWrite(ex))
   // influxdb-2.x write compat (handler.go:1470 serveWriteV2): the v2
@@ -1025,6 +1171,9 @@ final class HttpGateway(spark: SparkSession,
 
   private def respond(ex: HttpExchange, code: Int, body: String,
                       ctype: String = "application/json"): Unit = {
+    if (code == 401 || code == 403) stats.authFail.incrementAndGet()
+    if (code >= 400 && code < 500) stats.clientError.incrementAndGet()
+    else if (code >= 500) stats.serverError.incrementAndGet()
     val bytes = body.getBytes(UTF_8)
     ex.getResponseHeaders.set("Content-Type", ctype)
     ex.sendResponseHeaders(code, if (bytes.isEmpty) -1L else bytes.length.toLong)
@@ -1253,7 +1402,14 @@ final class HttpGateway(spark: SparkSession,
     out.result()
   }
 
-  private def handleQuery(ex: HttpExchange): Unit =
+  private def handleQuery(ex: HttpExchange): Unit = {
+    stats.queryReq.incrementAndGet(); stats.req.incrementAndGet()
+    val _t0 = System.nanoTime()
+    try handleQuery0(ex)
+    finally stats.queryReqDurationNs.addAndGet(System.nanoTime() - _t0)
+  }
+
+  private def handleQuery0(ex: HttpExchange): Unit =
     try {
       val p = params(ex, readBody = true)
       val principal = authed(ex, p) match {
@@ -1754,7 +1910,14 @@ final class HttpGateway(spark: SparkSession,
   // ------------------------------------------------------------- /write
   private val TimeUnset = Long.MinValue
 
-  private def handleWrite(ex: HttpExchange, v2: Boolean = false): Unit =
+  private def handleWrite(ex: HttpExchange, v2: Boolean = false): Unit = {
+    stats.writeReq.incrementAndGet(); stats.req.incrementAndGet()
+    val _t0 = System.nanoTime()
+    try handleWrite0(ex, v2)
+    finally stats.writeReqDurationNs.addAndGet(System.nanoTime() - _t0)
+  }
+
+  private def handleWrite0(ex: HttpExchange, v2: Boolean): Unit =
     try {
       val p0 = params(ex, readBody = false)
       // v2: bucket → database (`bucket2dbrp`); missing bucket is a 404
@@ -1818,9 +1981,11 @@ final class HttpGateway(spark: SparkSession,
           catalog = catalog + (key -> merged)
         }
       }
+      stats.pointsWrittenOK.addAndGet(pts.size)
       ex.sendResponseHeaders(204, -1); ex.close()
     } catch {
       case e: Throwable =>
+        stats.write400ErrReq.incrementAndGet()
         respond(ex, 400, s"""{"error":${jsonStr(String.valueOf(e.getMessage))}}""")
     }
 
@@ -1907,6 +2072,50 @@ final class HttpGateway(spark: SparkSession,
         try respond(ex, 400,
           s"""{"error":${jsonStr(String.valueOf(e.getMessage))}}""")
         catch { case _: Throwable => ex.close() }
+    }
+
+  /** Metric-store remote write (`handler_prom.go:91`
+    * servePromWriteWithMetricStore): every series in the body lands in
+    * the ONE measurement named by the URL's {metric_store}, `__name__`
+    * kept as an ordinary label. The store is immediately queryable on
+    * the scoped prom routes AND as an InfluxQL measurement. */
+  private def handlePromStoreWrite(ex: HttpExchange, store: String): Unit =
+    try {
+      val p = params(ex, readBody = false)
+      if (guard(ex, p, Auth.WritePrivilege, "write to").isEmpty) return
+      val body = ex.getRequestBody.readAllBytes()
+      val series = PromRemoteWrite.decode(body)
+      if (series.isEmpty) sys.error("no timeseries in write request")
+      val (df, tagKeys) =
+        PromRemoteWrite.toStoreMeasurement(spark, series, store)
+      synchronized {
+        val key = dbKey(defaultDb, store)
+        persistBatch(key, df, tagKeys)
+        // marker: a restart rebuilds the store registry from this dir
+        persistPath(key).foreach { d =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(d, "_promstore"), Array.empty[Byte])
+        }
+        catalog = catalog + (key -> (catalog.get(key) match {
+          case Some(prev) => InfluxQL.Measurement(
+            maybeCompact(key,
+              prev.df.unionByName(df, allowMissingColumns = true)),
+            (prev.tags ++ tagKeys).distinct, prev.time)
+          case None => InfluxQL.Measurement(df, tagKeys, "ts")
+        }))
+        promStores = promStores + (store -> (promStores.get(store) match {
+          case Some(prev) => prev.copy(
+            df = maybeCompact(s"promstore:$store",
+              prev.df.unionByName(df, allowMissingColumns = true)),
+            labels = (prev.labels ++ tagKeys).distinct, extentMs = None)
+          case None => PromQL.Metric(df, tagKeys, "ts", "value")
+        }))
+      }
+      resultsCache.invalidateAll()
+      ex.sendResponseHeaders(204, -1); ex.close()
+    } catch {
+      case e: Throwable =>
+        respond(ex, 400, s"""{"error":${jsonStr(String.valueOf(e.getMessage))}}""")
     }
 
   /** Prometheus remote write (`handler_prom.go:86` servePromWrite): a
@@ -2495,9 +2704,10 @@ final class HttpGateway(spark: SparkSession,
                             value: Double)
 
   /** Evaluate `query` over `[loMs, hiMs]` and collect samples. */
-  private def collectSamples(query: String, step: String,
+  private def collectSamples(cat: Map[String, PromQL.Metric],
+                             query: String, step: String,
                              loMs: Long, hiMs: Long): Seq[Sample] = {
-    val df = PromQL.evaluate(promCat, query, step,
+    val df = PromQL.evaluate(cat, query, step,
       boundsMs = Some((loMs, hiMs)))
     val labelCols = df.columns.filterNot(Set("eval_ms", "value")).toSeq
     // driver-protection cap, like every other gateway collect
@@ -2515,8 +2725,11 @@ final class HttpGateway(spark: SparkSession,
       .filter(s => s.evalMs >= loMs && s.evalMs <= hiMs)
   }
 
-  private def handleProm(ex: HttpExchange, range: Boolean): Unit =
+  private def handleProm(ex: HttpExchange, range: Boolean,
+                         cat: () => Map[String, PromQL.Metric] = () => promCat,
+                         cacheKeyPrefix: String = ""): Unit =
     try {
+      val cat0 = cat()
       val p = params(ex, readBody = true)
       if (guard(ex, p, Auth.ReadPrivilege, "read from").isEmpty) return
       val query = p.getOrElse("query",
@@ -2547,9 +2760,10 @@ final class HttpGateway(spark: SparkSession,
           .exists(_.contains("no-store"))
       val samples =
         if (range && !noStore && !PromQL.usesBoundRelativeAt(query))
-          resultsCache.fetch(s"$query|$step", loMs, hiMs,
-            System.currentTimeMillis())(collectSamples(query, step, _, _))
-        else collectSamples(query, step, loMs, hiMs)
+          resultsCache.fetch(s"$cacheKeyPrefix$query|$step", loMs, hiMs,
+            System.currentTimeMillis())(
+            collectSamples(cat0, query, step, _, _))
+        else collectSamples(cat0, query, step, loMs, hiMs)
       val grouped = samples.groupBy(_.labels)
         .toSeq.sortBy(_._1.map(_._2).mkString(" "))
       val result = grouped.flatMap { case (labels, rs) =>

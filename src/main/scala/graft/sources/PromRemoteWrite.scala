@@ -209,6 +209,22 @@ object PromRemoteWrite {
       s.samples.map { case (t, v) => FlatSample(metric, tags, t, v) }
     }
 
+  /** Single metric-store frame: ALL series land in ONE measurement named
+    * `store`, with `__name__` kept as an ordinary label column — the
+    * reference's metric-store write shape (`handler_prom.go:91`
+    * servePromWriteWithMetricStore / timeSeries2RowsV2, where the URL's
+    * {metric_store} is the target measurement). */
+  def toStoreMeasurement(spark: SparkSession, series: Seq[Series],
+                         store: String): (DataFrame, Seq[String]) = {
+    val rows = series.flatMap(s =>
+      s.samples.map { case (t, v) => FlatSample(store, s.labels, t, v) })
+    val tagKeys = rows.flatMap(_.labels.keys).distinct.sorted
+    val ds = spark.createDataset(rows)(Encoders.product[FlatSample])
+    val cols = tagKeys.map(k => col("labels").getItem(k).as(k)) ++
+      Seq(col("value"), timestamp_millis(col("time_ms")).as("ts"))
+    (ds.select(cols: _*), tagKeys)
+  }
+
   /** One measurement frame per metric name: columns = sorted tag keys ++
     * (`value` DOUBLE, `ts` TIMESTAMP). Returns (df, tagKeys) per metric. */
   def toMeasurements(spark: SparkSession,

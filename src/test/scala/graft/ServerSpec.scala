@@ -1495,6 +1495,108 @@ class ServerSpec extends SparkSpec {
     } finally g2.stop()
   }
 
+  test("/debug/vars expvar stats, /debug/query shards, /api/v2/query " +
+      "flux-disabled") {
+    val g = new HttpGateway(spark, Map.empty, Map.empty)
+    g.start()
+    try {
+      def gget(path: String) = http.send(HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:${g.boundPort}$path")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      def gpost(path: String, body: String) = http.send(
+        HttpRequest.newBuilder(URI.create(
+          s"http://127.0.0.1:${g.boundPort}$path"))
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      // two shard-group windows + a query + a bad write, then the stats
+      assert(gpost("/write?precision=s",
+        "sv,h=a v=1 60\nsv,h=a v=2 691200").statusCode() == 204)
+      assert(gpost("/write?precision=s", "garbage -").statusCode() == 400)
+      assert(gget("/ping").statusCode() == 204)
+      assert(gget("/query?q=" + enc("SELECT count(v) FROM sv"))
+        .statusCode() == 200)
+      val vars = gget("/debug/vars").body()
+      assert(vars.contains("\"pointsWrittenOK\":2") &&
+        vars.contains("\"writeReq\":2") &&
+        vars.contains("\"write400ErrReq\":1") &&
+        vars.contains("\"queryReq\":1") &&
+        vars.contains("\"pingReq\":1") &&
+        vars.contains("\"resultsCache\""), vars)
+      // /debug/query semantics per syscontrol.go + handler_test.go:70-92
+      assert(gpost("/debug/query?mod=shards", "").statusCode() == 405)
+      assert(gget("/debug/query?mod=").statusCode() == 400)
+      assert(gget("/debug/query?mod=shard").statusCode() == 400)
+      val sh = gget("/debug/query?mod=shards")
+      assert(sh.statusCode() == 200 && sh.body().contains("\"id\":0") &&
+        sh.body().contains("\"id\":1"), sh.body())
+      // Flux route answers the reference's disabled-service 403
+      val flux = gpost("/api/v2/query", "from(bucket: \"b\")")
+      assert(flux.statusCode() == 403 &&
+        flux.body().contains("Flux query service disabled"), flux.body())
+    } finally g.stop()
+  }
+
+  test("metric-store-scoped prom API: write, query, labels, durability") {
+    import graft.sources.PromRemoteWrite
+    val dir = java.nio.file.Files.createTempDirectory("graft_store").toString
+    def mk() = {
+      val g = new HttpGateway(spark, Map.empty, Map.empty,
+        persistDir = Some(dir))
+      g.start(); g
+    }
+    def u(g: HttpGateway, path: String) =
+      URI.create(s"http://127.0.0.1:${g.boundPort}$path")
+    def gget(g: HttpGateway, path: String) = http.send(
+      HttpRequest.newBuilder(u(g, path)).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    val g1 = mk()
+    try {
+      // two metrics, one store — both land in measurement `mstore`
+      val body = PromRemoteWrite.encode(Seq(
+        PromRemoteWrite.Series(
+          Map("__name__" -> "cpu_use", "host" -> "a"),
+          Seq((1704067200000L, 5.0), (1704067260000L, 7.0))),
+        PromRemoteWrite.Series(
+          Map("__name__" -> "mem_use", "host" -> "a"),
+          Seq((1704067200000L, 11.0)))))
+      val w = http.send(HttpRequest.newBuilder(
+        u(g1, "/prometheus/mstore/api/v1/write"))
+        .POST(HttpRequest.BodyPublishers.ofByteArray(body)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(w.statusCode() == 204, w.body())
+      // scoped range query resolves the selector inside the store
+      val r = gget(g1, "/prometheus/mstore/api/v1/query_range?" +
+        s"query=${enc("sum(cpu_use)")}" +
+        "&start=1704067200&end=1704067320&step=1m").body()
+      assert(r.contains("\"5\"") && r.contains("\"7\"") &&
+        !r.contains("11"), r)
+      // the other metric is its own series; labels list the store's
+      // label set, values endpoint lists names under __name__
+      val r2 = gget(g1, "/prometheus/mstore/api/v1/query?" +
+        s"query=${enc("mem_use")}&time=1704067260").body()
+      assert(r2.contains("\"11\""), r2)
+      val lb = gget(g1, "/prometheus/mstore/api/v1/labels").body()
+      assert(lb.contains("__name__") && lb.contains("host"), lb)
+      val lv = gget(g1,
+        "/prometheus/mstore/api/v1/label/__name__/values").body()
+      assert(lv.contains("cpu_use") && lv.contains("mem_use"), lv)
+      // unknown store answers an empty success, not an error
+      assert(gget(g1, "/prometheus/nope/api/v1/query?" +
+        s"query=${enc("x")}&time=0").body().contains("\"result\":[]"))
+      // the store doubles as an InfluxQL measurement
+      assert(gget(g1, "/query?q=" + enc(
+        "SELECT count(value) FROM mstore")).body().contains(",3]"), "iql")
+    } finally g1.stop()
+    // a restart rebuilds the store registry from the _promstore marker
+    val g2 = mk()
+    try {
+      val r = gget(g2, "/prometheus/mstore/api/v1/query_range?" +
+        s"query=${enc("sum(cpu_use)")}" +
+        "&start=1704067200&end=1704067320&step=1m").body()
+      assert(r.contains("\"5\"") && r.contains("\"7\""), r)
+    } finally g2.stop()
+  }
+
   test("prom results cache never serves a range computed before a write") {
     import graft.sources.PromRemoteWrite
     val g = new HttpGateway(spark, Map.empty, Map.empty)
