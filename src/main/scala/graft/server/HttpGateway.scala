@@ -1019,6 +1019,53 @@ final class HttpGateway(spark: SparkSession,
           "unknown mod: " + m + "\"}")
     }
   })
+  // backup service routes (handler.go:466-474 → syscontrol Backup/
+  // AbortBackup/BackupStatus, lib/backup/backup.go): POST-only; run
+  // copies the persisted store to backupPath/data_backup on its own
+  // thread (isInc=true = manifest-diff incremental), status polls the
+  // job, abort stops it between files
+  @volatile private var backupJob: Option[Backup.Job] = None
+  server.createContext("/backup/run", (ex: HttpExchange) => {
+    val p = params(ex, readBody = false)
+    if (ex.getRequestMethod != "POST")
+      respond(ex, 405, "{\"error\":\"invalid method\"}")
+    else if (persistDir.isEmpty)
+      respond(ex, 400,
+        "{\"error\":\"backup execute error: no persisted store\"}")
+    else p.get("backupPath").filter(_.nonEmpty) match {
+      case None => respond(ex, 400,
+        "{\"error\":\"backup execute error: backupPath required\"}")
+      case Some(bp) => synchronized {
+        if (backupJob.exists(_.status == "running"))
+          respond(ex, 400,
+            "{\"error\":\"backup execute error: backup already running\"}")
+        else {
+          val job = new Backup.Job(bp, p.get("isInc").contains("true"))
+          backupJob = Some(job)
+          val t = new Thread(() => Backup.run(persistDir.get, job),
+            "graft-backup")
+          t.setDaemon(true); t.start()
+          respond(ex, 200, "{\"status\":\"started\",\"backupPath\":" +
+            jsonStr(bp) + "}")
+        }
+      }
+    }
+  })
+  server.createContext("/backup/status", (ex: HttpExchange) =>
+    if (ex.getRequestMethod != "POST")
+      respond(ex, 405, "{\"error\":\"invalid method\"}")
+    else respond(ex, 200, backupJob.map(_.renderJson)
+      .getOrElse("{\"status\":\"idle\"}")))
+  server.createContext("/backup/abort", (ex: HttpExchange) =>
+    if (ex.getRequestMethod != "POST")
+      respond(ex, 405, "{\"error\":\"invalid method\"}")
+    else backupJob match {
+      case Some(j) if j.status == "running" =>
+        j.abort.set(true)
+        respond(ex, 200, "{\"status\":\"aborting\"}")
+      case _ => respond(ex, 400,
+        "{\"error\":\"backup execute error: no backup running\"}")
+    })
   // Flux is not served, exactly like a default-config reference node
   // (handler.go:240 AddFluxAPIRoute with FluxEnabled=false → 403)
   // metric-store-scoped prom API (handler.go:397-433,

@@ -1597,6 +1597,73 @@ class ServerSpec extends SparkSpec {
     } finally g2.stop()
   }
 
+  test("backup service: full + incremental manifests, restore boots a " +
+      "gateway with journals intact") {
+    import graft.server.Backup
+    val dir = java.nio.file.Files.createTempDirectory("graft_bsrc").toString
+    val bak = java.nio.file.Files.createTempDirectory("graft_bdst").toString
+    def mk(d: String) = {
+      val g = new HttpGateway(spark, Map.empty, Map.empty,
+        persistDir = Some(d))
+      g.start(); g
+    }
+    def post(g: HttpGateway, path: String, body: String = "") = http.send(
+      HttpRequest.newBuilder(URI.create(
+        s"http://127.0.0.1:${g.boundPort}$path"))
+        .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+    def ask(g: HttpGateway, q: String) = http.send(
+      HttpRequest.newBuilder(URI.create(
+        s"http://127.0.0.1:${g.boundPort}/query?q=${enc(q)}&epoch=ms"))
+        .GET().build(), HttpResponse.BodyHandlers.ofString())
+    def await(g: HttpGateway): String = {
+      var st = ""
+      val t0 = System.currentTimeMillis()
+      while ({ st = post(g, "/backup/status").body()
+               st.contains("running") &&
+                 System.currentTimeMillis() - t0 < 30000 })
+        Thread.sleep(50)
+      st
+    }
+    val g1 = mk(dir)
+    try {
+      assert(post(g1, "/write?precision=s", "bk,h=a v=1 60\nbk,h=b v=2 120")
+        .statusCode() == 204)
+      // a tombstone, so the restore must bring the journal too
+      assert(ask(g1, "DELETE FROM bk WHERE h = 'b'").statusCode() == 200)
+      // param validation + run + status
+      assert(post(g1, "/backup/run").statusCode() == 400)
+      assert(http.send(HttpRequest.newBuilder(URI.create(
+        s"http://127.0.0.1:${g1.boundPort}/backup/status")).GET().build(),
+        HttpResponse.BodyHandlers.ofString()).statusCode() == 405)
+      assert(post(g1, s"/backup/run?backupPath=$bak").statusCode() == 200)
+      val st = await(g1)
+      assert(st.contains("\"done\"") && st.contains("\"isInc\":false"), st)
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(
+        bak, "data_backup", "full_backup_log.json")))
+      // abort with nothing running is the reference's 400
+      assert(post(g1, "/backup/abort").statusCode() == 400)
+      // incremental: new write, only the delta copies
+      assert(post(g1, "/write?precision=s", "bk,h=a v=3 180")
+        .statusCode() == 204)
+      assert(post(g1, s"/backup/run?backupPath=$bak&isInc=true")
+        .statusCode() == 200)
+      val st2 = await(g1)
+      assert(st2.contains("\"done\"") && st2.contains("\"isInc\":true"), st2)
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(
+        bak, "data_backup", "inc_backup_log.json")))
+    } finally g1.stop()
+    // restore into a FRESH dir; a gateway over it sees the full data
+    // with the tombstone still applied (journal restored + replayed)
+    val rest = java.nio.file.Files.createTempDirectory("graft_brest").toString
+    assert(Backup.restore(bak, rest) > 0)
+    val g2 = mk(rest)
+    try {
+      val c = ask(g2, "SELECT count(v), sum(v) FROM bk").body()
+      assert(c.contains(",2,4.0]") || c.contains(",2,4]"), c)
+    } finally g2.stop()
+  }
+
   test("prom results cache never serves a range computed before a write") {
     import graft.sources.PromRemoteWrite
     val g = new HttpGateway(spark, Map.empty, Map.empty)
