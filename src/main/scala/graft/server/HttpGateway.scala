@@ -64,6 +64,16 @@ final class HttpGateway(spark: SparkSession,
   // store, `__name__` as an ordinary label — queries against a store
   // resolve each metric selector onto that frame filtered by __name__
   @volatile private var promStores = Map.empty[String, PromQL.Metric]
+  // geo fences (services/fence): id → circle; registered by writes to
+  // the `fence` measurement, persisted to _fences.txt
+  @volatile private var fences = Map.empty[String, Fence.Circle]
+  private def fencesFile =
+    persistDir.map(d => java.nio.file.Paths.get(d, "_fences.txt"))
+  private def persistFences(): Unit = fencesFile.foreach { f =>
+    java.nio.file.Files.write(f, fences.values.toSeq.sortBy(_.id)
+      .map(c => s"${enc(c.id)}\t${enc(c.geometryText)}")
+      .mkString("\n").getBytes(UTF_8))
+  }
 
   /** Store-scoped PromQL catalog: `get(name)` synthesizes the metric
     * view lazily (`__name__ = name` filter over the store frame), so
@@ -868,6 +878,17 @@ final class HttpGateway(spark: SparkSession,
         }
       }
   }
+  fencesFile.filter(java.nio.file.Files.exists(_)).foreach { f =>
+    new String(java.nio.file.Files.readAllBytes(f), UTF_8)
+      .split("\n").filter(_.nonEmpty).foreach { line =>
+        val Array(idE, geoE) = line.split("\t", 2)
+        try fences = fences + (dec(idE) -> Fence.parse(dec(idE), dec(geoE)))
+        catch { case e: Exception =>
+          System.err.println(
+            s"[gateway] fence restore skipped: $line (${e.getMessage})")
+        }
+      }
+  }
 
   // Each write path grows its measurement by one unionByName per
   // request; left unchecked the logical plan (and every query's
@@ -1066,6 +1087,51 @@ final class HttpGateway(spark: SparkSession,
       case _ => respond(ex, 400,
         "{\"error\":\"backup execute error: no backup running\"}")
     })
+  // fence routes (handler.go:288,292 → handler_fence.go): GET
+  // match_batch takes a JSON float array [lat,lon,…] and answers the
+  // BatchFenceMatchResponse shape; POST delete_fence removes by id
+  server.createContext("/fence/match_batch", (ex: HttpExchange) => {
+    val p = params(ex, readBody = false)
+    val pts = p.getOrElse("points", "")
+    val parsed: Option[Seq[Double]] =
+      try {
+        val t = pts.trim
+        if (!t.startsWith("[") || !t.endsWith("]")) None
+        else {
+          val inner = t.substring(1, t.length - 1).trim
+          if (inner.isEmpty) Some(Nil)
+          else Some(inner.split(",").toSeq.map(_.trim.toDouble))
+        }
+      } catch { case _: Exception => None }
+    parsed.filter(_.size % 2 == 0) match {
+      case None =>
+        respond(ex, 200,
+          "{\"code\":-1,\"error\":\"invalid points\",\"result\":null}")
+      case Some(flat) =>
+        val fs = fences.values.toSeq
+        val results = flat.grouped(2).zipWithIndex.map { case (pt, i) =>
+          val ids = fs.filter(_.contains(pt(0), pt(1))).map(_.id).sorted
+          val fid =
+            if (ids.isEmpty) "null"
+            else ids.map(jsonStr).mkString("[", ",", "]")
+          "{\"seq\":" + i + ",\"fence_id\":" + fid + "}"
+        }.mkString(",")
+        respond(ex, 200,
+          "{\"code\":0,\"error\":\"\",\"result\":[" + results + "]}")
+    }
+  })
+  server.createContext("/fence/delete_fence", (ex: HttpExchange) => {
+    val p = params(ex, readBody = false)
+    val id = p.getOrElse("fenceId", "")
+    synchronized {
+      if (fences.contains(id)) {
+        fences = fences - id
+        persistFences()
+        respond(ex, 200, "{\"code\":0,\"error\":\"\",\"result\":null}")
+      } else respond(ex, 200,
+        "{\"code\":-1,\"error\":\"remove fence file err\",\"result\":null}")
+    }
+  })
   // Flux is not served, exactly like a default-config reference node
   // (handler.go:240 AddFluxAPIRoute with FluxEnabled=false → 403)
   // metric-store-scoped prom API (handler.go:397-433,
@@ -1995,6 +2061,25 @@ final class HttpGateway(spark: SparkSession,
         .map(pt => pt.copy(
           time = if (pt.time == TimeUnset) nowNs else pt.time * mult))
       if (pts.isEmpty) sys.error("no points parsed")
+      // fence registration rides the write path (fence.go:37
+      // RewriteRows): rows in the `fence` measurement with an `id` tag
+      // and a string `geometry` field register a fence (existing ids
+      // are skipped, like the reference); the rows also land as
+      // ordinary measurement data below
+      val fenceRows = pts.filter(_.measurement == "fence")
+      if (fenceRows.nonEmpty) synchronized {
+        fenceRows.foreach { pt =>
+          (pt.tags.get("id"), pt.stringFields.get("geometry")) match {
+            case (Some(id), Some(geo)) if !fences.contains(id) =>
+              try fences = fences + (id -> Fence.parse(id, geo))
+              catch { case e: Exception =>
+                System.err.println(
+                  s"[gateway] fence parse failed: ${e.getMessage}") }
+            case _ =>
+          }
+        }
+        persistFences()
+      }
       // batch-level schema-on-write conflict gate (write_helper.go:463)
       val conflicts = pts.flatMap { pt =>
         (pt.floatFields.keys.map((pt.measurement, _, "float")) ++

@@ -1664,6 +1664,75 @@ class ServerSpec extends SparkSpec {
     } finally g2.stop()
   }
 
+  test("geo fences: register via write, match_batch, delete, restart") {
+    import graft.server.Fence
+    val dir = java.nio.file.Files.createTempDirectory("graft_fence").toString
+    def mk() = {
+      val g = new HttpGateway(spark, Map.empty, Map.empty,
+        persistDir = Some(dir))
+      g.start(); g
+    }
+    def gget(g: HttpGateway, path: String) = http.send(
+      HttpRequest.newBuilder(URI.create(
+        s"http://127.0.0.1:${g.boundPort}$path")).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    def gpost(g: HttpGateway, path: String, body: String = "") = http.send(
+      HttpRequest.newBuilder(URI.create(
+        s"http://127.0.0.1:${g.boundPort}$path"))
+        .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+    val g1 = mk()
+    try {
+      // two fences via the write path (fence.go RewriteRows): 1 km
+      // around two city points; the rows also land as measurement data
+      assert(gpost(g1, "/write?precision=s",
+        "fence,id=f1 geometry=\"circle,48.8584,2.2945,1000\" 1\n" +
+        "fence,id=f2 geometry=\"circle,51.5007,-0.1246,1000\" 2")
+        .statusCode() == 204)
+      // point inside f1 (300 m away), point inside neither
+      val m = gget(g1, "/fence/match_batch?points=" +
+        enc("[48.8606,2.2976,10.0,10.0]")).body()
+      assert(m.contains("\"code\":0") &&
+        m.contains("{\"seq\":0,\"fence_id\":[\"f1\"]}") &&
+        m.contains("{\"seq\":1,\"fence_id\":null}"), m)
+      // invalid points per the reference's error shape
+      assert(gget(g1, "/fence/match_batch?points=" + enc("[1.0]"))
+        .body().contains("invalid points"))
+      assert(gget(g1, "/fence/match_batch").body()
+        .contains("invalid points"))
+      // rows stored as data too
+      assert(gget(g1, "/query?q=" + enc(
+        "SELECT count(geometry) FROM fence")).body().contains(",2]"))
+      // delete one; unknown id errors like the reference
+      assert(gpost(g1, "/fence/delete_fence?fenceId=f2").body()
+        .contains("\"code\":0"))
+      assert(gpost(g1, "/fence/delete_fence?fenceId=nope").body()
+        .contains("remove fence file err"))
+    } finally g1.stop()
+    // restart: f1 restored from _fences.txt, f2 stays deleted
+    val g2 = mk()
+    try {
+      val m = gget(g2, "/fence/match_batch?points=" +
+        enc("[48.8606,2.2976,51.5010,-0.1250]")).body()
+      assert(m.contains("{\"seq\":0,\"fence_id\":[\"f1\"]}") &&
+        m.contains("{\"seq\":1,\"fence_id\":null}"), m)
+    } finally g2.stop()
+    // the SCALE path: the same fences as pure column math over a frame
+    import spark.implicits._
+    val pts = Seq((48.8606, 2.2976), (10.0, 10.0))
+      .toDF("lat", "lon")
+    val matched = pts.select(Fence.matchColumn(
+        Seq(Fence.parse("f1", "circle,48.8584,2.2945,1000")),
+        org.apache.spark.sql.functions.col("lat"),
+        org.apache.spark.sql.functions.col("lon")).as("ids"))
+      .as[Seq[String]].collect().toSeq
+    assert(matched == Seq(Seq("f1"), Seq()))
+    // parse errors mirror the reference's messages
+    intercept[Exception](Fence.parse("x", "polygon,1,2,3"))
+    intercept[Exception](Fence.parse("x", "circle,1,2"))
+    intercept[Exception](Fence.parse("x", "circle,a,b,c"))
+  }
+
   test("prom results cache never serves a range computed before a write") {
     import graft.sources.PromRemoteWrite
     val g = new HttpGateway(spark, Map.empty, Map.empty)
