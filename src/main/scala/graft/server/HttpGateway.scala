@@ -264,7 +264,8 @@ final class HttpGateway(spark: SparkSession,
     var dirCat = Map.empty[String, InfluxQL.Measurement]
     val base = java.nio.file.Paths.get(persistDir.get)
     val ls = java.nio.file.Files.list(base)
-    try ls.filter(p => java.nio.file.Files.isDirectory(p)).forEach { p =>
+    try ls.filter(p => java.nio.file.Files.isDirectory(p) &&
+        !p.getFileName.toString.startsWith("_")).forEach { p =>
       val name = java.net.URLDecoder.decode(p.getFileName.toString, "UTF-8")
       val meta = p.resolve("_tags.txt")
       val tags =
@@ -272,9 +273,21 @@ final class HttpGateway(spark: SparkSession,
           new String(java.nio.file.Files.readAllBytes(meta), UTF_8)
             .split("\n").filter(_.nonEmpty).toSeq
         else Nil
-      dirCat = dirCat + (name -> InfluxQL.Measurement(
-        spark.read.option("mergeSchema", "true").parquet(p.toString),
-        tags, "ts"))
+      // hot ∪ cold tier: the journal may hold tombstones over rows the
+      // hierarchical sweep already moved cold — folding only the hot
+      // tier then truncating would LOSE them. The fold reads both,
+      // rewrites the hot dir with the full filtered frame, and drops
+      // the cold dir; the next sweep re-tiers old partitions.
+      val coldP = p.getParent.resolve("_cold").resolve(
+        p.getFileName.toString)
+      val hotDf = spark.read.option("mergeSchema", "true")
+        .parquet(p.toString)
+      val full =
+        if (java.nio.file.Files.isDirectory(coldP))
+          hotDf.unionByName(spark.read.option("mergeSchema", "true")
+            .parquet(coldP.toString), allowMissingColumns = true)
+        else hotDf
+      dirCat = dirCat + (name -> InfluxQL.Measurement(full, tags, "ts"))
     } finally ls.close()
     val beforeCat = dirCat
     lines.foreach { line =>
@@ -302,34 +315,127 @@ final class HttpGateway(spark: SparkSession,
       }
     }
     var n = 0
+    def coldDirOf(name: String): Option[String] = persistPath(name)
+      .map { d =>
+        val p = java.nio.file.Paths.get(d)
+        p.getParent.resolve("_cold").resolve(p.getFileName.toString)
+          .toString
+      }
     (beforeCat.keySet -- dirCat.keySet).foreach { name =>
       persistPath(name).foreach { d => deleteDirTree(d); n += 1 }
+      coldDirOf(name).foreach(deleteDirTree)
     }
     dirCat.foreach { case (name, m) =>
       if (!beforeCat.get(name).exists(_.df eq m.df)) {
         persistPath(name).foreach { d =>
           rewriteDir(d, m.df)
+          coldDirOf(name).foreach(deleteDirTree)
           // the LIVE catalog entry still references the swapped-out
           // files (its df was built from the old listing at startup) —
-          // rebuild it exactly like a restart would: init frame (if
-          // any) ∪ a fresh read of the folded dir. Caveat, documented:
-          // tombstones over init-catalog rows live only in memory —
-          // init data is the embedding application's to manage, the
-          // fold covers what the gateway persisted.
-          val fresh = spark.read.option("mergeSchema", "true")
-            .parquet(d).drop("day")
-          catalog = catalog + (name -> (init.get(name) match {
-            case Some(prev) => InfluxQL.Measurement(
-              prev.df.unionByName(fresh, allowMissingColumns = true),
-              (prev.tags ++ m.tags).distinct, prev.time)
-            case None => InfluxQL.Measurement(fresh, m.tags, "ts")
-          }))
+          // rebuild exactly like a restart: init ∪ hot ∪ cold tier.
+          // Caveats, documented: tombstones over init-catalog rows and
+          // over already-cold partitions live in memory/journal only —
+          // the fold rewrites the HOT tier it scanned.
+          reloadPersisted(name, m.tags)
           n += 1
         }
       }
     }
     java.nio.file.Files.write(f, Array.empty[Byte])
     n
+  }
+
+  /** Rebuild a catalog entry exactly like a restart composes it:
+    * init frame ∪ hot dir ∪ `_cold` tier dir. */
+  private def reloadPersisted(name: String, tags: Seq[String]): Unit =
+    persistPath(name).foreach { d =>
+      val p = java.nio.file.Paths.get(d)
+      def readIf(path: java.nio.file.Path): Option[DataFrame] =
+        try Some(spark.read.option("mergeSchema", "true")
+          .parquet(path.toString).drop("day"))
+        catch { case _: Exception => None } // emptied tier: no parquet
+      val coldP = java.nio.file.Paths.get(
+        persistDir.get, "_cold", p.getFileName.toString)
+      val parts = (readIf(p) ++ readIf(coldP)).toSeq
+      if (parts.nonEmpty) {
+        val fresh = parts.reduce(
+          _.unionByName(_, allowMissingColumns = true))
+        catalog = catalog + (name -> (init.get(name) match {
+          case Some(prev) => InfluxQL.Measurement(
+            prev.df.unionByName(fresh, allowMissingColumns = true),
+            (prev.tags ++ tags).distinct, prev.time)
+          case None => InfluxQL.Measurement(fresh, tags, "ts")
+        }))
+      }
+    }
+
+  /** One hierarchical-storage sweep at `nowMs`
+    * (`services/hierarchical/service.go` handle → the engine's
+    * FetchShardsNeedChangeStore / hierarchical cold move): for every
+    * database whose default RP sets WARM DURATION, day partitions
+    * entirely older than now−warm MOVE from the persisted measurement
+    * dirs into the `_cold/<name>/` tier — a separate storage root
+    * standing in for the reference's OBS cold store. hot→warm alone is
+    * a tier RELABEL (SHOW SHARDS' tier column derives from the
+    * durations); warm→cold is the storage move, exactly the
+    * reference's split. Queries keep seeing one measurement: affected
+    * catalog entries rebuild as init ∪ hot ∪ cold. Returns the number
+    * of partition dirs moved. */
+  def runHierarchical(nowMs: Long): Int = synchronized {
+    if (persistDir.isEmpty) return 0
+    var moved = 0
+    databases.foreach { db =>
+      val rps = retention.getOrElse(db, Retention.autogen)
+      val rp = rps.find(_._2.default).map(_._2).getOrElse(rps.head._2)
+      if (rp.warmS > 0) {
+        val cutoffDay = java.time.Instant
+          .ofEpochMilli(nowMs - rp.warmS * 1000L).toString.substring(0, 10)
+        sliceOf(catalog, db).keys.toSeq.foreach { mst =>
+          val key = dbKey(db, mst)
+          persistPath(key).foreach { d =>
+            val p = java.nio.file.Paths.get(d)
+            if (java.nio.file.Files.isDirectory(p)) {
+              val ls = java.nio.file.Files.list(p)
+              val days =
+                try {
+                  val b = Seq.newBuilder[java.nio.file.Path]
+                  val it = ls.iterator()
+                  while (it.hasNext) {
+                    val e = it.next()
+                    val n = e.getFileName.toString
+                    // `day=YYYY-MM-DD` strictly before the cutoff day
+                    if (java.nio.file.Files.isDirectory(e) &&
+                        n.startsWith("day=") &&
+                        n.substring(4) < cutoffDay) b += e
+                  }
+                  b.result()
+                } finally ls.close()
+              if (days.nonEmpty) {
+                val coldBase = java.nio.file.Paths.get(
+                  persistDir.get, "_cold", p.getFileName.toString)
+                java.nio.file.Files.createDirectories(coldBase)
+                days.foreach { dp =>
+                  val target = coldBase.resolve(dp.getFileName)
+                  if (java.nio.file.Files.exists(target)) {
+                    // same-day remainder from an earlier sweep: merge
+                    // file-level (names are globally-unique part files)
+                    val fs = java.nio.file.Files.list(dp)
+                    try fs.forEach(f => java.nio.file.Files.move(
+                      f, target.resolve(f.getFileName)))
+                    finally fs.close()
+                    java.nio.file.Files.delete(dp)
+                  } else java.nio.file.Files.move(dp, target)
+                }
+                moved += days.size
+                val tags = catalog.get(key).map(_.tags).getOrElse(Nil)
+                reloadPersisted(key, tags)
+              }
+            }
+          }
+        }
+      }
+    }
+    moved
   }
 
   /** Atomic day-partitioned rewrite of a measurement dir (the
@@ -484,6 +590,17 @@ final class HttpGateway(spark: SparkSession,
   private def shardGroupsOf(db: String)
       : Seq[(String, Long, Long, Long, Long)] =
     shardGroupsIn(db, sliceOf(catalog, db))
+
+  /** Tier of a shard group from the default RP's HOT/WARM bounds —
+    * hot within hotS, warm past it, cold past warmS (util.Hot/Warm/
+    * Cold tiers the hierarchical service moves between). */
+  private def tierOf(db: String, endMs: Long, nowMs: Long): String = {
+    val rps = retention.getOrElse(db, Retention.autogen)
+    val rp = rps.find(_._2.default).map(_._2).getOrElse(rps.head._2)
+    if (rp.warmS > 0 && endMs < nowMs - rp.warmS * 1000L) "cold"
+    else if (rp.hotS > 0 && endMs < nowMs - rp.hotS * 1000L) "warm"
+    else "hot"
+  }
 
   private def shardGroupsIn(db: String,
       slice: Map[String, InfluxQL.Measurement])
@@ -761,7 +878,7 @@ final class HttpGateway(spark: SparkSession,
           .sortBy(_._1).map { case (n, rp) =>
             s"${java.net.URLEncoder.encode(n, "UTF-8")}=" +
               s"${rp.durationS},${rp.shardGroupS},${rp.replicaN}," +
-              s"${rp.default}"
+              s"${rp.default},${rp.hotS},${rp.warmS}"
           }.mkString(";")
         s"${java.net.URLEncoder.encode(d, "UTF-8")}\t$rps"
       }.mkString("\n")
@@ -782,9 +899,13 @@ final class HttpGateway(spark: SparkSession,
         if (parts.length < 2 || parts(1).isEmpty) Retention.autogen
         else parts(1).split(";").filter(_.nonEmpty).map { kv =>
           val Array(n, v) = kv.split("=", 2)
-          val Array(d, sg, r, df) = v.split(",", 4)
+          val fs = v.split(",")
+          // hot/warm fields are round-10 additions — older files lack them
           java.net.URLDecoder.decode(n, "UTF-8") ->
-            Retention.Rp(d.toLong, sg.toLong, r.toLong, df.toBoolean)
+            Retention.Rp(fs(0).toLong, fs(1).toLong, fs(2).toLong,
+              fs(3).toBoolean,
+              if (fs.length > 4) fs(4).toLong else 0L,
+              if (fs.length > 5) fs(5).toLong else 0L)
         }.toMap
       db -> rps
     }
@@ -797,7 +918,8 @@ final class HttpGateway(spark: SparkSession,
     val base = java.nio.file.Paths.get(d)
     if (java.nio.file.Files.isDirectory(base)) {
       val s = java.nio.file.Files.list(base)
-      try s.filter(p => java.nio.file.Files.isDirectory(p)).forEach { p =>
+      try s.filter(p => java.nio.file.Files.isDirectory(p) &&
+          !p.getFileName.toString.startsWith("_")).forEach { p =>
         val name = java.net.URLDecoder.decode(p.getFileName.toString, "UTF-8")
         // namespaced keys re-register their database even if the
         // database file predates multi-db support
@@ -809,8 +931,17 @@ final class HttpGateway(spark: SparkSession,
             new String(java.nio.file.Files.readAllBytes(meta), UTF_8)
               .split("\n").filter(_.nonEmpty).toSeq
           else Nil
-        val df = spark.read.option("mergeSchema", "true")
+        // cold-tier partitions (hierarchical storage sweep) union in
+        val coldP = p.getParent.resolve("_cold").resolve(
+          p.getFileName.toString)
+        val hotDf = spark.read.option("mergeSchema", "true")
           .parquet(p.toString).drop("day")
+        val df =
+          if (java.nio.file.Files.isDirectory(coldP))
+            hotDf.unionByName(spark.read.option("mergeSchema", "true")
+              .parquet(coldP.toString).drop("day"),
+              allowMissingColumns = true)
+          else hotDf
         catalog = catalog + (name -> (catalog.get(name) match {
           case Some(prev) => InfluxQL.Measurement(
             prev.df.unionByName(df, allowMissingColumns = true),
@@ -1644,7 +1775,8 @@ final class HttpGateway(spark: SparkSession,
                 val d = st.durationS.getOrElse(0L)
                 val rp = Retention.Rp(d,
                   st.shardGroupS.getOrElse(Retention.shardGroupFor(d)),
-                  st.replicaN.getOrElse(1L), st.default)
+                  st.replicaN.getOrElse(1L), st.default,
+                  st.hotS.getOrElse(0L), st.warmS.getOrElse(0L))
                 val cleared = if (st.default)
                   rps.view.mapValues(_.copy(default = false)).toMap else rps
                 retention = retention + (st.db -> (cleared + (st.rp -> rp)))
@@ -1657,7 +1789,9 @@ final class HttpGateway(spark: SparkSession,
                     if (st.durationS.isDefined) Retention.shardGroupFor(d)
                     else prev.shardGroupS),
                   replicaN = st.replicaN.getOrElse(prev.replicaN),
-                  default = prev.default || st.default)
+                  default = prev.default || st.default,
+                  hotS = st.hotS.getOrElse(prev.hotS),
+                  warmS = st.warmS.getOrElse(prev.warmS))
                 val cleared = if (st.default)
                   rps.view.mapValues(_.copy(default = false)).toMap else rps
                 retention = retention + (st.db -> (cleared + (st.rp -> rp)))
@@ -1676,12 +1810,19 @@ final class HttpGateway(spark: SparkSession,
           val db = showDb(stmt)
           if (!databases.contains(db))
             sys.error(s"database not found: $db")
+          // full reference column set (meta/data.go:2061) — hot/warm
+          // are the hierarchical tier bounds; index duration is meta
+          // the engine does not organize by (0s)
           val rows = retention.getOrElse(db, Retention.autogen).toSeq
             .sortBy(_._1).map { case (n, rp) => Seq[Any](n,
               Retention.renderDuration(rp.durationS),
               Retention.renderDuration(rp.shardGroupS),
+              Retention.renderDuration(rp.hotS),
+              Retention.renderDuration(rp.warmS),
+              Retention.renderDuration(0L),
               rp.replicaN, rp.default) }
           val cols = Seq("name", "duration", "shardGroupDuration",
+            "hot duration", "warm duration", "index duration",
             "replicaN", "default")
           ResultShaper.toResultObj(gatewayRowsDf(cols, rows),
             "retention policies", Nil, cols, epoch, id)
@@ -1804,10 +1945,11 @@ final class HttpGateway(spark: SparkSession,
           val cols = Seq("id", "database", "retention_policy",
             "shard_group", "start_time", "end_time", "expiry_time",
             "owners", "tier", "downSample_level")
+          val nowTier = System.currentTimeMillis()
           val series = databases.toSeq.sorted.flatMap { db =>
             val rows = shardGroupsOf(db).map { case (rp, g, s0, e0, x0) =>
               Seq[Any](g, db, rp, g, rfc3339(s0), rfc3339(e0),
-                rfc3339(x0), "0", "hot", 0L) }
+                rfc3339(x0), "0", tierOf(db, e0, nowTier), 0L) }
             if (rows.isEmpty) None
             else Some(ResultShaper.toResultObj(gatewayRowsDf(cols, rows),
               db, Nil, cols, epoch, id))

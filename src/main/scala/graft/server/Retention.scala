@@ -17,9 +17,12 @@ import graft.query.InfluxQL.{TIdent, TNum, TStr}
 object Retention {
 
   /** One policy (`retentionpolicy.go:33`). Durations kept in seconds;
-    * 0 = infinite. */
+    * 0 = infinite. `hotS`/`warmS` are the hierarchical-storage tier
+    * bounds (HOT DURATION / WARM DURATION, sql.y:2253 — data older
+    * than hot goes warm; older than warm goes to the cold tier by the
+    * hierarchical sweep). 0 = tier disabled. */
   case class Rp(durationS: Long, shardGroupS: Long, replicaN: Long,
-                default: Boolean)
+                default: Boolean, hotS: Long = 0L, warmS: Long = 0L)
 
   /** Every database is born with the implicit `autogen` policy. */
   def autogen: Map[String, Rp] = Map("autogen" -> Rp(0L, 604800L, 1L, true))
@@ -64,7 +67,9 @@ object Retention {
   /** Parsed CREATE/ALTER/DROP RETENTION POLICY statement. */
   case class RpStatement(verb: String, rp: String, db: String,
                          durationS: Option[Long], replicaN: Option[Long],
-                         shardGroupS: Option[Long], default: Boolean)
+                         shardGroupS: Option[Long], default: Boolean,
+                         hotS: Option[Long] = None,
+                         warmS: Option[Long] = None)
 
   def isRpStatement(sql: String): Boolean = {
     val w = sql.trim.toLowerCase.split("\\s+")
@@ -98,6 +103,8 @@ object Retention {
     var dur: Option[Long] = None
     var repl: Option[Long] = None
     var shard: Option[Long] = None
+    var hot: Option[Long] = None
+    var warm: Option[Long] = None
     var default = false
     // the lexer emits compound durations (1h30m) as consecutive TDur
     // tokens — absorb the whole run
@@ -118,11 +125,21 @@ object Retention {
         })
       case TIdent(k) if k.equalsIgnoreCase("shard") =>
         next(); kw("duration"); shard = Some(duration())
+      // HOT/WARM DURATION are the hierarchical tier bounds
+      // (sql.y:2253-2261); INDEX/INDEXCOLD/SHARDMERGE DURATION parse
+      // and discard — index organization is Catalyst territory here
+      case TIdent(k) if k.equalsIgnoreCase("hot") =>
+        next(); kw("duration"); hot = Some(duration())
+      case TIdent(k) if k.equalsIgnoreCase("warm") =>
+        next(); kw("duration"); warm = Some(duration())
+      case TIdent(k) if Set("index", "indexcold", "shardmerge")
+          .contains(k.toLowerCase) =>
+        next(); kw("duration"); duration()
       case TIdent(k) if k.equalsIgnoreCase("default") =>
         next(); default = true
       case t => sys.error(s"unexpected token in retention statement: $t")
     }
-    RpStatement(verb, rp, db, dur, repl, shard, default)
+    RpStatement(verb, rp, db, dur, repl, shard, default, hot, warm)
   }
 
   /** Duration token spellings the lexer may produce: `1h` lexes as a

@@ -1733,6 +1733,73 @@ class ServerSpec extends SparkSpec {
     intercept[Exception](Fence.parse("x", "circle,a,b,c"))
   }
 
+  test("hierarchical storage: HOT/WARM durations, tier labels, cold " +
+      "move, fold covers the cold tier") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_hier").toString
+    def mk() = {
+      val g = new HttpGateway(spark, Map.empty, Map.empty,
+        persistDir = Some(dir))
+      g.start(); g
+    }
+    def ask(g: HttpGateway, q: String) = http.send(
+      HttpRequest.newBuilder(URI.create(
+        s"http://127.0.0.1:${g.boundPort}/query?q=${enc(q)}&epoch=ms"))
+        .GET().build(), HttpResponse.BodyHandlers.ofString())
+    def wr(g: HttpGateway, body: String) = http.send(
+      HttpRequest.newBuilder(URI.create(
+        s"http://127.0.0.1:${g.boundPort}/write?precision=ms"))
+        .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+    val now = System.currentTimeMillis()
+    val old3d = now - 3L * 86400000L
+    val g1 = mk()
+    try {
+      // tier bounds on the default RP (sql.y:2253 HOT/WARM DURATION);
+      // INDEX DURATION parses and is meta-only
+      assert(ask(g1, "ALTER RETENTION POLICY autogen ON graft " +
+        "SHARD DURATION 1h HOT DURATION 1h WARM DURATION 24h " +
+        "INDEX DURATION 7d").statusCode() == 200,
+        ask(g1, "ALTER RETENTION POLICY autogen ON graft " +
+          "HOT DURATION 1h").body())
+      val shown = ask(g1, "SHOW RETENTION POLICIES ON graft").body()
+      assert(shown.contains("hot duration") &&
+        shown.contains("\"1h0m0s\"") && shown.contains("\"24h0m0s\""),
+        shown)
+      assert(wr(g1, s"hv,h=a v=1 $old3d\nhv,h=a v=2 $now")
+        .statusCode() == 204)
+      // tier labels derive from the bounds before any move
+      val sh = ask(g1, "SHOW SHARDS").body()
+      assert(sh.contains("\"cold\"") && sh.contains("\"hot\""), sh)
+      // the sweep moves the 3-day-old day partition to the cold root
+      assert(g1.runHierarchical(now) >= 1)
+      assert(java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get(dir, "_cold", "hv")))
+      val hotDays = java.nio.file.Files.list(
+          java.nio.file.Paths.get(dir, "hv")).toArray.map(_.toString)
+      assert(!hotDays.exists(_.contains(
+        java.time.Instant.ofEpochMilli(old3d).toString.substring(0, 10))),
+        hotDays.mkString(","))
+      // queries still see one measurement across tiers
+      val c = ask(g1, "SELECT count(v), sum(v) FROM hv").body()
+      assert(c.contains(",2,3.0]") || c.contains(",2,3]"), c)
+      // a tombstone over the COLD row + fold: journal empties and the
+      // cold data merges back filtered (next sweep would re-tier)
+      assert(ask(g1, s"DELETE FROM hv WHERE time < ${(now - 86400000L) *
+        1000000L}").statusCode() == 200)
+      assert(g1.foldDmlJournal() >= 1)
+      val c2 = ask(g1, "SELECT count(v), sum(v) FROM hv").body()
+      assert(c2.contains(",1,2.0]") || c2.contains(",1,2]"), c2)
+    } finally g1.stop()
+    // restart: retention bounds + tiered data + fold all durable
+    val g2 = mk()
+    try {
+      assert(ask(g2, "SHOW RETENTION POLICIES ON graft").body()
+        .contains("\"1h0m0s\""))
+      val c = ask(g2, "SELECT count(v), sum(v) FROM hv").body()
+      assert(c.contains(",1,2.0]") || c.contains(",1,2]"), c)
+    } finally g2.stop()
+  }
+
   test("prom results cache never serves a range computed before a write") {
     import graft.sources.PromRemoteWrite
     val g = new HttpGateway(spark, Map.empty, Map.empty)
