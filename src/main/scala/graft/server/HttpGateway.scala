@@ -1265,6 +1265,38 @@ final class HttpGateway(spark: SparkSession,
   })
   // Flux is not served, exactly like a default-config reference node
   // (handler.go:240 AddFluxAPIRoute with FluxEnabled=false → 403)
+  // POST /api/v1/tsdb/{tsdb} (handler.go:393 servePromCreateTSDB):
+  // creates a metric-store namespace ahead of writes. Name rules are
+  // the reference's (meta ValidMeasurementName: printable, none of
+  // `,;/\`, not "." or ".."); the optional OBS-options body is
+  // storage-backend config with no analogue here (persistDir IS the
+  // store) — accepted and ignored. Registers an empty store frame so
+  // the scoped query routes answer empty-success immediately.
+  server.createContext("/api/v1/tsdb/", (ex: HttpExchange) => {
+    val name = decode(ex.getRequestURI.getPath.stripPrefix("/api/v1/tsdb/"))
+    if (ex.getRequestMethod != "POST")
+      respond(ex, 405, "{\"error\":\"invalid method\"}")
+    else if (name.isEmpty)
+      respond(ex, 400, "{\"error\":\"tsdb name should not be none\"}")
+    else if (name == "." || name == ".." ||
+        name.exists(c => ",;/\\".contains(c) || !(c >= ' ')))
+      respond(ex, 400, "{\"error\":\"invalid tsdb name\"}")
+    else {
+      synchronized {
+        if (!promStores.contains(name)) {
+          import org.apache.spark.sql.types._
+          val empty = spark.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](),
+            StructType(Seq(StructField("__name__", StringType),
+              StructField("value", DoubleType),
+              StructField("ts", TimestampType))))
+          promStores = promStores +
+            (name -> PromQL.Metric(empty, Seq("__name__"), "ts", "value"))
+        }
+      }
+      respond(ex, 200, "")
+    }
+  })
   // metric-store-scoped prom API (handler.go:397-433,
   // /prometheus/{metric_store}/api/v1/*): the store is one measurement
   // holding all its series (__name__ as a label). read/series remain on

@@ -1536,6 +1536,32 @@ class ServerSpec extends SparkSpec {
     } finally g.stop()
   }
 
+  test("POST /api/v1/tsdb/{tsdb} pre-creates a metric store") {
+    val g = new HttpGateway(spark, Map.empty, Map.empty)
+    g.start()
+    try {
+      def post(path: String) = http.send(HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:${g.boundPort}$path"))
+        .POST(HttpRequest.BodyPublishers.ofString("")).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(post("/api/v1/tsdb/newstore").statusCode() == 200)
+      // pre-created: scoped query answers empty success, labels listed
+      val q = http.send(HttpRequest.newBuilder(URI.create(
+        s"http://127.0.0.1:${g.boundPort}/prometheus/newstore/api/v1/" +
+          s"query?query=${enc("x")}&time=0")).GET().build(),
+        HttpResponse.BodyHandlers.ofString()).body()
+      assert(q.contains("\"status\":\"success\""), q)
+      // the reference's name validation errors
+      assert(post("/api/v1/tsdb/" + enc("bad,name")).statusCode() == 400)
+      assert(post("/api/v1/tsdb/..").statusCode() == 400)
+      assert(post("/api/v1/tsdb/").statusCode() == 400)
+      // GET is not a valid method
+      assert(http.send(HttpRequest.newBuilder(URI.create(
+        s"http://127.0.0.1:${g.boundPort}/api/v1/tsdb/x")).GET().build(),
+        HttpResponse.BodyHandlers.ofString()).statusCode() == 405)
+    } finally g.stop()
+  }
+
   test("metric-store-scoped prom API: write, query, labels, durability") {
     import graft.sources.PromRemoteWrite
     val dir = java.nio.file.Files.createTempDirectory("graft_store").toString
