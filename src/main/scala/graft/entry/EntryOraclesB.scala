@@ -860,6 +860,118 @@ trait EntryOraclesB extends EntryBase {
          FROM documents d JOIN r2 ON d.lang = r2.lang
          WHERE (((d.doc_id % 2147483647) * 2654435761) % 2147483647)::DOUBLE
            / 2147483647.0 < r2.rate
-         GROUP BY d.lang ORDER BY d.lang"""
+         GROUP BY d.lang ORDER BY d.lang""",
+
+    // q119_semdedup: no SQL oracle (k-means assignments); exact per-
+    // cluster keep-rule replay + clustering coherence in tools/oracle.py.
+
+    "q120_dsir_importance" ->
+      """WITH toks AS (
+           SELECT doc_id, lang = 'en' AS tgt,
+             unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+           FROM documents),
+         w AS (
+           SELECT term, count(*) AS alln,
+             sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS t
+           FROM toks GROUP BY term),
+         v AS (SELECT count(*) AS v FROM w),
+         wt AS (
+           SELECT term,
+             CAST(round(1000000.0 * (t + 1) / (alln + v.v)) AS BIGINT) AS w
+           FROM w, v)
+         SELECT doc_id, count(*) AS n_tok, CAST(sum(wt.w) AS BIGINT) AS score
+         FROM toks JOIN wt USING (term)
+         GROUP BY doc_id ORDER BY doc_id""",
+
+    "q121_bm25_topk" -> (bm25OracleSql(
+      corpusWhere = "TRUE",
+      queryTermsCte = """qt AS (
+           SELECT DISTINCT CAST(query_id AS BIGINT) AS query_id,
+             unnest(regexp_split_to_array(trim(lower(qtext)), '\s+')) AS term
+           FROM (VALUES (0, 'table scan fast'), (1, 'window agg stream'),
+             (2, 'customer order join'), (3, 'vector data batch slow'))
+             AS q(query_id, qtext))""") +
+      """ SELECT query_id, doc_id, rank, score FROM ranked
+          WHERE rank <= 10 ORDER BY query_id, rank"""),
+
+    "q122_hybrid_rrf" -> {
+      def dd(a: String, b: String) =
+        s"""list_sum(list_transform(range(1, 65),
+           i -> CAST($a.embedding[i] AS DOUBLE) * CAST($b.embedding[i] AS DOUBLE)))"""
+      bm25OracleSql(
+        corpusWhere = "doc_id >= 4",
+        queryTermsCte = """qt AS (
+           SELECT DISTINCT doc_id AS query_id, unnest(regexp_split_to_array(
+             trim(lower(text)), '\s+')) AS term
+           FROM documents WHERE doc_id < 4)""") +
+      s""", lex AS (
+           SELECT query_id, doc_id, rank FROM ranked WHERE rank <= 10),
+         dsc AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+             ${dd("q", "c")} / (sqrt(${dd("q", "q")}) * sqrt(${dd("c", "c")}))
+               AS cosraw
+           FROM embeddings q, embeddings c
+           WHERE q.vec_id < 4 AND c.vec_id >= 4),
+         dense AS (
+           SELECT query_id, doc_id, rank FROM (
+             SELECT query_id, doc_id, row_number() OVER (
+               PARTITION BY query_id ORDER BY cosraw DESC, doc_id ASC)
+               AS rank
+             FROM dsc) WHERE rank <= 10),
+         fused AS (
+           SELECT COALESCE(l.query_id, d.query_id) AS query_id,
+             COALESCE(l.doc_id, d.doc_id) AS doc_id,
+             COALESCE(1.0 / (60.0 + l.rank), 0.0) +
+               COALESCE(1.0 / (60.0 + d.rank), 0.0) AS rrf
+           FROM lex l FULL OUTER JOIN dense d
+             ON l.query_id = d.query_id AND l.doc_id = d.doc_id)
+         SELECT query_id, doc_id, rank, round(rrf, 6) AS rrf FROM (
+           SELECT query_id, doc_id, rrf, row_number() OVER (
+             PARTITION BY query_id ORDER BY rrf DESC, doc_id ASC) AS rank
+           FROM fused) WHERE rank <= 10 ORDER BY query_id, rank"""
+    }
   )
+
+  /** Shared BM25 oracle CTE stack (mirrors Retrieval.bm25TopK's
+    * expression tree op-for-op — see its scaladoc for the determinism
+    * contract). Ends after a `ranked` CTE; callers append the final
+    * SELECT (and any fusion arms). */
+  private def bm25OracleSql(corpusWhere: String,
+                            queryTermsCte: String): String =
+    s"""WITH $queryTermsCte,
+         toks AS (
+           SELECT doc_id, unnest(regexp_split_to_array(
+             trim(lower(text)), '\\s+')) AS term
+           FROM documents WHERE $corpusWhere),
+         post AS (
+           SELECT doc_id, term, count(*) AS tf
+           FROM toks GROUP BY doc_id, term),
+         dltbl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+         stats AS (SELECT count(*) AS n, sum(dl) AS s FROM dltbl),
+         dfq AS (
+           SELECT p.term, count(DISTINCT p.doc_id) AS df
+           FROM post p JOIN (SELECT DISTINCT term FROM qt) qv
+             ON p.term = qv.term
+           GROUP BY p.term),
+         sc AS (
+           SELECT qt.query_id, post.doc_id,
+             CAST(round(
+               sqrt((CAST(stats.n AS DOUBLE) - dfq.df + 0.5)
+                 / (dfq.df + 0.5)) *
+               ((post.tf * (1.2 + 1.0)) /
+                (post.tf + 1.2 * ((1.0 - 0.75) + 0.75 *
+                  (dltbl.dl / (CAST(stats.s AS DOUBLE) / stats.n)))))
+             , 6) AS DECIMAL(20,6)) AS c
+           FROM post
+           JOIN qt ON post.term = qt.term
+           JOIN dfq ON post.term = dfq.term
+           JOIN dltbl ON post.doc_id = dltbl.doc_id
+           CROSS JOIN stats),
+         dscore AS (
+           SELECT query_id, doc_id, CAST(sum(c) AS DOUBLE) AS score
+           FROM sc GROUP BY query_id, doc_id),
+         ranked AS (
+           SELECT query_id, doc_id, score, row_number() OVER (
+             PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+           FROM dscore)"""
 }

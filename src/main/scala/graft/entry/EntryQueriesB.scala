@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{GeminiFunctions, PromFunctions}
 import graft.operators.{Fill, Meta, PromBinOp, PromRange, SeriesOps, Smoothing, Unnest, WindowedAgg}
-import graft.pipeline.{AnomalyDetect, Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.pipeline.{AnomalyDetect, Dedup, Multimodal, Retrieval, Sampling, Selection, Similarity, TextAnalysis}
 
 /** SparkEntry query inventory, second half (SURVEY §3 text frontends,
   * PromQL surface, graph/RCA, and the large-scale pipeline operators).
@@ -959,6 +959,74 @@ trait EntryQueriesB extends EntryBase {
         .groupBy(col("lang")).agg(max(col("n_orig")).as("n_orig"),
           count(lit(1)).as("n_sampled"))
         .orderBy("lang")
+    }),
+
+    // pipeline: SemDeDup (Abbas '23) — k-means-cluster the embeddings
+    // (same cached write-time IVF model as q87), mark rows with a
+    // τ-similar LOWER-ID clustermate as semantic duplicates. All-pairs
+    // cosine runs only WITHIN a cluster — the bounded-quadratic design
+    // the paper runs at billions of vectors. No SQL oracle (k-means
+    // assignments); the keep rule is exactly replayed per cluster by
+    // tools/oracle.py given the assignments, plus a coherence floor on
+    // the clustering itself.
+    "q119_semdedup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val fp = Tables.fingerprint(s"$dir/embeddings.parquet")
+      val cents = Similarity.cachedModel(s"ivf:$fp:k8:i2") {
+        Similarity.ivfTrain(emb, "embedding", "vec_id", k = 8, iters = 2)
+      }
+      Dedup.semDedup(emb, "embedding", "vec_id", cents, tau = 0.35)
+        .orderBy("vec_id")
+    }),
+
+    // pipeline: DSIR importance scores (Xie '23) — per-doc resemblance
+    // to the English slice vs the corpus, as exact integer count-ratio
+    // sums (object scaladoc documents the two oracle-exactness
+    // substitutions vs the paper's hashed log-ratio features).
+    "q120_dsir_importance" -> ((s, dir) => {
+      Selection.dsirScores(t(s, dir, "documents"), "text", "doc_id",
+          col("lang") === "en")
+        .orderBy("doc_id")
+    }),
+
+    // pipeline: BM25 lexical retrieval — top-10 docs for four literal
+    // keyword queries; sqrt-odds idf + DECIMAL contribution sums keep
+    // the score hash-exact vs the SQL oracle (Retrieval scaladoc).
+    "q121_bm25_topk" -> ((s, dir) => {
+      Retrieval.bm25TopK(t(s, dir, "documents"), "text", "doc_id",
+          bm25Queries, k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
+    // pipeline: hybrid retrieval — BM25 arm fused with a dense cosine
+    // arm by reciprocal-rank fusion (query-by-example: each query doc
+    // contributes its own text and its embedding, both fully in-plan —
+    // no driver-side collect of query texts). The fusion join sees
+    // k rows per query per arm regardless of corpus size.
+    "q122_hybrid_rrf" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val qTerms = docs.filter(col("doc_id") < 4)
+        .select(col("doc_id").as("query_id"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+        .distinct()
+      val lex = Retrieval.bm25TopKTerms(docs.filter(col("doc_id") >= 4),
+        "text", "doc_id", qTerms, k = 10)
+      val dense = Similarity.bruteForceTopK(
+          emb.filter(col("vec_id") >= 4), emb.filter(col("vec_id") < 4),
+          "embedding", "vec_id", 10)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"),
+          col("rank"))
+      Retrieval.rrfFuse(lex, dense, c = 60, k = 10)
+        .orderBy("query_id", "rank")
     })
   )
+
+  /** Fixed literal keyword queries for the BM25 gate — vocabulary terms
+    * of the synthetic corpus. */
+  protected val bm25Queries: Seq[(Long, String)] = Seq(
+    0L -> "table scan fast",
+    1L -> "window agg stream",
+    2L -> "customer order join",
+    3L -> "vector data batch slow")
 }

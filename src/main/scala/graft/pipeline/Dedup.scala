@@ -385,4 +385,43 @@ object Dedup {
 
   /** Hamming distance between two 64-bit simhashes. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SemDeDup (Abbas et al. '23, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): k-means-cluster the
+    * embedding space, then mark as duplicates rows whose cosine to a
+    * LOWER-ID member of the SAME cluster exceeds `tau` — all-pairs cosine
+    * runs only WITHIN a cluster, which is the whole point of the
+    * algorithm (LAION/DataComp curation runs this shape at billions of
+    * vectors; the quadratic is bounded per cluster, k grows with the
+    * corpus so cluster sizes stay ~n/k).
+    *
+    * The keep rule here is order-independent ("dup iff a τ-similar
+    * smaller-id clustermate exists") rather than the paper's
+    * sequential-scan variant, so the decision is exactly replayable by an
+    * external checker given the assignments.
+    *
+    * Spark shape: one deterministic bounded-sample Lloyd train
+    * ([[Similarity.ivfTrain]] — decimal means, bit-reproducible), a
+    * codegen'd nearest-centroid assignment, one self-equi-join ON THE
+    * CLUSTER ID (never a cross join — asserted in ScaleSpec), native
+    * `vec_dot` cosine on the surviving pairs, and a left-semi mark. The
+    * join shuffles (cluster, id, vec) once; at scale the vec payload is
+    * the PQ-code variant's job, this is the exact tier. */
+  def semDedup(corpus: DataFrame, vecCol: String, idCol: String,
+               cents: Array[Seq[Double]], tau: Double): DataFrame = {
+    graft.expressions.VectorExpressions.register(corpus.sparkSession)
+    val assigned = corpus.select(col(idCol).as("vec_id"),
+      col(vecCol).as("_v"),
+      Similarity.nearestBucket(col(vecCol), cents).as("cluster"))
+    val slim = assigned.select(col("cluster"), col("vec_id"), col("_v"))
+    val dups = slim.as("i")
+      .join(slim.as("j"), col("i.cluster") === col("j.cluster") &&
+        col("j.vec_id") < col("i.vec_id"))
+      .filter(Similarity.cosineNative(col("i._v"), col("j._v")) > tau)
+      .select(col("i.vec_id").as("vec_id")).distinct()
+    assigned
+      .join(dups.withColumn("_dup", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        coalesce(col("_dup"), lit(false)).as("is_dup"))
+  }
 }

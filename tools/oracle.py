@@ -17,6 +17,8 @@ re-derives each `no_oracle` query's answer from scratch in Python:
   q82_ann_lsh         recall@k vs numpy brute-force cosine (floor 0.8)
   q87_ann_ivf         recall@k vs numpy brute-force cosine (floor 0.8)
   q109_ann_ivfpq      recall@k vs numpy brute-force cosine (floor 0.8)
+  q119_semdedup       EXACT keep-rule replay per reported cluster +
+                      clustering coherence floor
 
 Writes <verifyOutDir>/_crosscheck.json: {query: {verdict, detail}}.
 All hash math follows the PUBLIC xxHash64 spec (Collet) and Spark's
@@ -433,6 +435,60 @@ def check_ann(sf, out, q, floor):
                    f"queries = {r:.3f} (floor {floor})")
 
 
+def check_q119(sf, out, tau=0.35):
+    """SemDeDup: given the reported cluster assignments, the keep rule
+    ("dup iff a tau-similar LOWER-ID clustermate exists") is exactly
+    replayable in f64; pairs within 1e-9 of tau are excluded from
+    adjudication (float fold-order tolerance). Also requires the
+    clustering itself to be coherent: mean intra-cluster cosine must
+    beat mean cross-cluster cosine."""
+    emb = pq.read_table(f"{sf}/embeddings.parquet").to_pandas()
+    M = np.stack(emb["embedding"].values).astype(np.float64)
+    ids = emb["vec_id"].values.astype(int)
+    idx = {v: i for i, v in enumerate(ids)}
+    norm = np.linalg.norm(M, axis=1)
+    got = load(out, "q119_semdedup")
+    if set(got["vec_id"].astype(int)) != set(ids):
+        return verdict(False, "row set != corpus")
+    mism, border, ndup = 0, 0, 0
+    intra, cross = [], []
+    cl = {int(r.vec_id): int(r.cluster) for r in got.itertuples()}
+    dup = {int(r.vec_id): bool(r.is_dup) for r in got.itertuples()}
+    by_cluster = {}
+    for v, c in cl.items():
+        by_cluster.setdefault(c, []).append(v)
+    for c, members in by_cluster.items():
+        members.sort()
+        for i, a in enumerate(members):
+            best = -2.0
+            for b in members[:i]:
+                cos = float(M[idx[a]] @ M[idx[b]] /
+                            (norm[idx[a]] * norm[idx[b]] + 1e-30))
+                best = max(best, cos)
+            if abs(best - tau) < 1e-9:
+                border += 1
+                continue
+            expect = best > tau
+            if expect != dup[a]:
+                mism += 1
+            if dup[a]:
+                ndup += 1
+    # clustering coherence on a bounded pair sample (deterministic)
+    rng = list(range(len(ids)))
+    for i in rng[: min(400, len(rng))]:
+        for j in rng[i + 1: min(i + 6, len(rng))]:
+            cos = float(M[i] @ M[j] / (norm[i] * norm[j] + 1e-30))
+            (intra if cl[ids[i]] == cl[ids[j]] else cross).append(cos)
+    mi = float(np.mean(intra)) if intra else 0.0
+    mc = float(np.mean(cross)) if cross else 0.0
+    coherent = (not intra) or (not cross) or mi > mc
+    return verdict(mism == 0 and coherent and len(by_cluster) >= 2,
+                   f"keep-rule replay: {mism} mismatches "
+                   f"({border} tau-border excluded), {ndup} dups, "
+                   f"{len(by_cluster)} clusters, intra-cos {mi:.3f} "
+                   f"vs cross-cos {mc:.3f}")
+
+
 def main():
     sf, out = sys.argv[1], sys.argv[2]
     checks = {
@@ -450,6 +506,7 @@ def main():
         "q82_ann_lsh": lambda: check_ann(sf, out, "q82_ann_lsh", 0.8),
         "q87_ann_ivf": lambda: check_ann(sf, out, "q87_ann_ivf", 0.8),
         "q109_ann_ivfpq": lambda: check_ann(sf, out, "q109_ann_ivfpq", 0.8),
+        "q119_semdedup": lambda: check_q119(sf, out),
     }
     result = {}
     for q, fn in checks.items():
