@@ -299,6 +299,22 @@ object Dedup {
       val self = mins.select(col("u"), col("m").as("v"))
       linked.union(self).filter(col("u") =!= col("v")).distinct()
     }
+    // The long cast below would silently null non-numeric ids (and the
+    // u =!= v filter would then drop every edge → an empty result that
+    // LOOKS like "no duplicates"). Fail loudly instead: only integral
+    // id columns are accepted; hash string ids to long (xxhash64)
+    // before calling.
+    Seq(aCol, bCol).foreach { c =>
+      import org.apache.spark.sql.types._
+      val ok = pairs.schema(c).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+      require(ok,
+        s"connectedComponents: id column '$c' is " +
+          s"${pairs.schema(c).dataType}, not integral — hash string ids " +
+          "to long (e.g. xxhash64) before calling")
+    }
     var edges = pairs
       .select(col(aCol).cast("long").as("u"),
         col(bCol).cast("long").as("v"))

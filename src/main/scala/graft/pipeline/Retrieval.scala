@@ -79,7 +79,7 @@ object Retrieval {
     bm25Scored(docs, textCol, idCol,
       pruneVocab = _.filter(col("term").isin(vocab: _*)),
       attachQueries = p => p.select(col("*"),
-        explode(typedLit(byTerm)(col("term"))).as("query_id")),
+        explode(element_at(typedLit(byTerm), col("term"))).as("query_id")),
       k, k1, b)
   }
 

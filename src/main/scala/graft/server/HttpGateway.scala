@@ -253,6 +253,33 @@ final class HttpGateway(spark: SparkSession,
     * growing with delete history. Returns the number of dirs rewritten
     * or removed. Idempotent: a crash between rewrite and truncate just
     * re-filters already-filtered rows on the next fold. */
+  /** Replay journaled DML lines onto the LIVE catalog (restart, and
+    * after a hierarchical sweep rebuilds entries from parquet). The
+    * line parse sits INSIDE the try so a truncated line from a crash
+    * mid-append is logged and skipped, not a boot abort. */
+  private def replayDmlJournal(onlyDb: Option[String] = None): Unit =
+    dmlFile.filter(java.nio.file.Files.exists(_)).foreach { f =>
+      new String(java.nio.file.Files.readAllBytes(f), UTF_8)
+        .split("\n").filter(_.nonEmpty).foreach { line =>
+          try {
+            val Array(dbE, nowE, textE) = line.split("\t", 3)
+            val db = dec(dbE); val text = dec(textE)
+            if (onlyDb.forall(_ == db)) {
+              if ("(?is)^\\s*drop\\s+shard\\s+\\d+\\s*$".r.matches(text))
+                dropShardData(db, text.trim.split("\\s+")(2).toLong)
+              else {
+                val before = sliceOf(catalog, db)
+                applySlice(db, before, Map.empty ++
+                  InfluxQL.executeManage(before, text, nowE.toLong))
+              }
+            }
+          } catch { case e: Exception =>
+            System.err.println(
+              s"[gateway] DML replay skipped: $line (${e.getMessage})")
+          }
+        }
+    }
+
   def foldDmlJournal(): Int = synchronized {
     val fOpt = dmlFile.filter(java.nio.file.Files.exists(_))
     if (fOpt.isEmpty || persistDir.isEmpty) return 0
@@ -290,10 +317,15 @@ final class HttpGateway(spark: SparkSession,
       dirCat = dirCat + (name -> InfluxQL.Measurement(full, tags, "ts"))
     } finally ls.close()
     val beforeCat = dirCat
+    // Lines whose database carries an init (in-memory) catalog cannot
+    // fully fold: tombstones over init rows live only in the journal —
+    // retain them so restart/reload replay keeps filtering those rows.
+    val retained = Seq.newBuilder[String]
     lines.foreach { line =>
-      val Array(dbE, nowE, textE) = line.split("\t", 3)
-      val db = dec(dbE); val text = dec(textE)
       try {
+        val Array(dbE, nowE, textE) = line.split("\t", 3)
+        val db = dec(dbE); val text = dec(textE)
+        if (sliceOf(init, db).nonEmpty) retained += line
         if ("(?is)^\\s*drop\\s+shard\\s+\\d+\\s*$".r.matches(text)) {
           val sid = text.trim.split("\\s+")(2).toLong
           dropShardSlice(db, sid, sliceOf(dirCat, db)).foreach { upd =>
@@ -341,7 +373,9 @@ final class HttpGateway(spark: SparkSession,
         }
       }
     }
-    java.nio.file.Files.write(f, Array.empty[Byte])
+    val keep = retained.result()
+    java.nio.file.Files.write(f,
+      keep.map(_ + "\n").mkString.getBytes(UTF_8))
     n
   }
 
@@ -383,7 +417,13 @@ final class HttpGateway(spark: SparkSession,
     * of partition dirs moved. */
   def runHierarchical(nowMs: Long): Int = synchronized {
     if (persistDir.isEmpty) return 0
+    // Fold pending tombstones into the parquet FIRST: the sweep's
+    // reloadPersisted rebuilds live entries straight from the files,
+    // so an unfolded DELETE/DROP SHARD issued before the sweep would
+    // silently resurrect its rows in the live session.
+    foldDmlJournal()
     var moved = 0
+    val touched = Set.newBuilder[String]
     databases.foreach { db =>
       val rps = retention.getOrElse(db, Retention.autogen)
       val rp = rps.find(_._2.default).map(_._2).getOrElse(rps.head._2)
@@ -429,12 +469,16 @@ final class HttpGateway(spark: SparkSession,
                 moved += days.size
                 val tags = catalog.get(key).map(_.tags).getOrElse(Nil)
                 reloadPersisted(key, tags)
+                touched += db
               }
             }
           }
         }
       }
     }
+    // Any journal lines the fold retained (init-catalog tombstones)
+    // must re-filter the just-rebuilt entries, exactly like a restart.
+    touched.result().foreach(db => replayDmlJournal(Some(db)))
     moved
   }
 
@@ -990,31 +1034,14 @@ final class HttpGateway(spark: SparkSession,
   // Replay the DML journal LAST: tombstones filter the fully-restored
   // catalog in issue order, with each statement's original now() pinned
   // so time-relative deletes remove the same rows they removed live.
-  dmlFile.filter(java.nio.file.Files.exists(_)).foreach { f =>
-    new String(java.nio.file.Files.readAllBytes(f), UTF_8)
-      .split("\n").filter(_.nonEmpty).foreach { line =>
-        val Array(dbE, nowE, textE) = line.split("\t", 3)
-        val db = dec(dbE); val text = dec(textE)
-        try {
-          if ("(?is)^\\s*drop\\s+shard\\s+\\d+\\s*$".r.matches(text))
-            dropShardData(db, text.trim.split("\\s+")(2).toLong)
-          else {
-            val before = sliceOf(catalog, db)
-            applySlice(db, before, Map.empty ++
-              InfluxQL.executeManage(before, text, nowE.toLong))
-          }
-        } catch { case e: Exception =>
-          System.err.println(
-            s"[gateway] DML restore skipped: $line (${e.getMessage})")
-        }
-      }
-  }
+  replayDmlJournal()
   fencesFile.filter(java.nio.file.Files.exists(_)).foreach { f =>
     new String(java.nio.file.Files.readAllBytes(f), UTF_8)
       .split("\n").filter(_.nonEmpty).foreach { line =>
-        val Array(idE, geoE) = line.split("\t", 2)
-        try fences = fences + (dec(idE) -> Fence.parse(dec(idE), dec(geoE)))
-        catch { case e: Exception =>
+        try {
+          val Array(idE, geoE) = line.split("\t", 2)
+          fences = fences + (dec(idE) -> Fence.parse(dec(idE), dec(geoE)))
+        } catch { case e: Exception =>
           System.err.println(
             s"[gateway] fence restore skipped: $line (${e.getMessage})")
         }
@@ -1145,13 +1172,15 @@ final class HttpGateway(spark: SparkSession,
   // internal serving metrics in /debug/vars format (handler.go:1806
   // serveExpvar; module/field names per handler_statistics.go)
   server.createContext("/debug/vars", (ex: HttpExchange) =>
-    respond(ex, 200, stats.renderJson))
+    if (adminGuard(ex, params(ex, readBody = false)))
+      respond(ex, 200, stats.renderJson))
   // /debug/query?mod=shards&db=… (syscontrol.go:15 serveDebugQuery):
   // GET-only (405), empty/unknown mod is a 400, mod=shards returns the
   // db's derived shard-group status
   server.createContext("/debug/query", (ex: HttpExchange) => {
     val p = params(ex, readBody = false)
-    if (ex.getRequestMethod != "GET")
+    if (!adminGuard(ex, p)) ()
+    else if (ex.getRequestMethod != "GET")
       respond(ex, 405, "{\"error\":\"invalid method\"}")
     else p.get("mod") match {
       case None | Some("") =>
@@ -1179,7 +1208,8 @@ final class HttpGateway(spark: SparkSession,
   @volatile private var backupJob: Option[Backup.Job] = None
   server.createContext("/backup/run", (ex: HttpExchange) => {
     val p = params(ex, readBody = false)
-    if (ex.getRequestMethod != "POST")
+    if (!adminGuard(ex, p)) ()
+    else if (ex.getRequestMethod != "POST")
       respond(ex, 405, "{\"error\":\"invalid method\"}")
     else if (persistDir.isEmpty)
       respond(ex, 400,
@@ -1204,12 +1234,14 @@ final class HttpGateway(spark: SparkSession,
     }
   })
   server.createContext("/backup/status", (ex: HttpExchange) =>
-    if (ex.getRequestMethod != "POST")
+    if (!adminGuard(ex, params(ex, readBody = false))) ()
+    else if (ex.getRequestMethod != "POST")
       respond(ex, 405, "{\"error\":\"invalid method\"}")
     else respond(ex, 200, backupJob.map(_.renderJson)
       .getOrElse("{\"status\":\"idle\"}")))
   server.createContext("/backup/abort", (ex: HttpExchange) =>
-    if (ex.getRequestMethod != "POST")
+    if (!adminGuard(ex, params(ex, readBody = false))) ()
+    else if (ex.getRequestMethod != "POST")
       respond(ex, 405, "{\"error\":\"invalid method\"}")
     else backupJob match {
       case Some(j) if j.status == "running" =>
@@ -1223,6 +1255,7 @@ final class HttpGateway(spark: SparkSession,
   // BatchFenceMatchResponse shape; POST delete_fence removes by id
   server.createContext("/fence/match_batch", (ex: HttpExchange) => {
     val p = params(ex, readBody = false)
+    if (guard(ex, p, Auth.WritePrivilege, "write").isDefined) {
     val pts = p.getOrElse("points", "")
     val parsed: Option[Seq[Double]] =
       try {
@@ -1250,9 +1283,11 @@ final class HttpGateway(spark: SparkSession,
         respond(ex, 200,
           "{\"code\":0,\"error\":\"\",\"result\":[" + results + "]}")
     }
+    }
   })
   server.createContext("/fence/delete_fence", (ex: HttpExchange) => {
     val p = params(ex, readBody = false)
+    if (guard(ex, p, Auth.WritePrivilege, "write").isDefined) {
     val id = p.getOrElse("fenceId", "")
     synchronized {
       if (fences.contains(id)) {
@@ -1261,6 +1296,7 @@ final class HttpGateway(spark: SparkSession,
         respond(ex, 200, "{\"code\":0,\"error\":\"\",\"result\":null}")
       } else respond(ex, 200,
         "{\"code\":-1,\"error\":\"remove fence file err\",\"result\":null}")
+    }
     }
   })
   // Flux is not served, exactly like a default-config reference node
@@ -1274,7 +1310,9 @@ final class HttpGateway(spark: SparkSession,
   // the scoped query routes answer empty-success immediately.
   server.createContext("/api/v1/tsdb/", (ex: HttpExchange) => {
     val name = decode(ex.getRequestURI.getPath.stripPrefix("/api/v1/tsdb/"))
-    if (ex.getRequestMethod != "POST")
+    if (guardDb(ex, params(ex, readBody = false), Auth.WritePrivilege,
+        "write", name).isEmpty) ()
+    else if (ex.getRequestMethod != "POST")
       respond(ex, 405, "{\"error\":\"invalid method\"}")
     else if (name.isEmpty)
       respond(ex, 400, "{\"error\":\"tsdb name should not be none\"}")
@@ -1319,19 +1357,25 @@ final class HttpGateway(spark: SparkSession,
                   "{\"resultType\":\"" + rt + "\",\"result\":[]}}")
             }
           case List("labels") =>
-            val names = promStores.get(store)
-              .map(_.labels.sorted).getOrElse(Nil)
-            respond(ex, 200, "{\"status\":\"success\",\"data\":[" +
-              names.map(jsonStr).mkString(",") + "]}")
-          case List("label", label, "values") =>
-            val vals = promStores.get(store).toSeq.flatMap { m =>
-              if (!m.df.columns.contains(label)) Nil
-              else m.df.select(label).distinct().orderBy(label)
-                .limit(1000).collect()
-                .flatMap(r => Option(r.getString(0))).toSeq
+            if (guardDb(ex, params(ex, readBody = false),
+                Auth.ReadPrivilege, "read", store).isDefined) {
+              val names = promStores.get(store)
+                .map(_.labels.sorted).getOrElse(Nil)
+              respond(ex, 200, "{\"status\":\"success\",\"data\":[" +
+                names.map(jsonStr).mkString(",") + "]}")
             }
-            respond(ex, 200, "{\"status\":\"success\",\"data\":[" +
-              vals.map(jsonStr).mkString(",") + "]}")
+          case List("label", label, "values") =>
+            if (guardDb(ex, params(ex, readBody = false),
+                Auth.ReadPrivilege, "read", store).isDefined) {
+              val vals = promStores.get(store).toSeq.flatMap { m =>
+                if (!m.df.columns.contains(label)) Nil
+                else m.df.select(label).distinct().orderBy(label)
+                  .limit(1000).collect()
+                  .flatMap(r => Option(r.getString(0))).toSeq
+              }
+              respond(ex, 200, "{\"status\":\"success\",\"data\":[" +
+                vals.map(jsonStr).mkString(",") + "]}")
+            }
           case _ => respond(ex, 404, "{\"error\":\"not found\"}")
         }
       case _ =>
@@ -1527,10 +1571,15 @@ final class HttpGateway(spark: SparkSession,
     * itself and returns None when the request is already done. */
   private def guard(ex: HttpExchange, p: Map[String, String], need: Int,
                     verb: String): Option[Option[Auth.User]] =
+    guardDb(ex, p, need, verb, p.getOrElse("db", ""))
+
+  /** [[guard]] against an explicit database name (for routes that carry
+    * the store/db in the path rather than a `db` param). */
+  private def guardDb(ex: HttpExchange, p: Map[String, String], need: Int,
+                      verb: String, db: String): Option[Option[Auth.User]] =
     authed(ex, p) match {
       case None => None
       case Some(principal) =>
-        val db = p.getOrElse("db", "")
         principal match {
           case Some(u) if !u.authorizeDatabase(need, db) =>
             respond(ex, 403, s"""{"error":${jsonStr(
@@ -1538,6 +1587,20 @@ final class HttpGateway(spark: SparkSession,
             None
           case pr => Some(pr)
         }
+    }
+
+  /** Admin-only route guard (the reference's `handler.go` checkAuth
+    * wrapping backup/debug syscontrol routes): authenticates, then —
+    * when auth is live — requires the admin flag. Answers 401/403
+    * itself; true means proceed. */
+  private def adminGuard(ex: HttpExchange, p: Map[String, String]): Boolean =
+    authed(ex, p) match {
+      case None => false
+      case Some(Some(u)) if !u.admin =>
+        respond(ex, 403, s"""{"error":${jsonStr(
+          s"""user "${u.name}" is not authorized, requires admin privilege""")}}""")
+        false
+      case _ => true
     }
 
   /** Whole-query pre-authorization, the reference's shape
