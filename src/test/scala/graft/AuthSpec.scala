@@ -292,6 +292,45 @@ class AuthSpec extends SparkSpec {
       ok.body().contains("\"name\":\"events\""), ok.body())
   }
 
+  test("service routes are guarded: backup/debug admin, fence/tsdb " +
+      "write, store labels read") {
+    // unauthenticated → 401 on every service route (handler.go wraps
+    // backup/debug/fence in checkAuth; pre-fix these were open)
+    assert(get("/debug/vars").statusCode() == 401)
+    assert(get("/debug/query?mod=shards").statusCode() == 401)
+    assert(post("/backup/run?backupPath=/tmp/x", "").statusCode() == 401)
+    assert(post("/backup/status", "").statusCode() == 401)
+    assert(get("/fence/match_batch?points=[1.0,2.0]").statusCode() == 401)
+    assert(post("/fence/delete_fence?fenceId=f1", "").statusCode() == 401)
+    assert(post("/api/v1/tsdb/s1", "").statusCode() == 401)
+    assert(get("/prometheus/s1/api/v1/labels").statusCode() == 401)
+    // dave is a non-admin with READ on dbauth only
+    val dave = Seq(basic("dave", "dpw"))
+    assert(get("/debug/vars", dave).statusCode() == 403)
+    assert(post("/backup/run?backupPath=/tmp/x", "", dave)
+      .statusCode() == 403)
+    assert(post("/fence/delete_fence?fenceId=f1", "", dave)
+      .statusCode() == 403)
+    assert(post("/api/v1/tsdb/s1", "", dave).statusCode() == 403)
+    // … but his READ grant admits him to dbauth's store label route
+    assert(get("/prometheus/dbauth/api/v1/labels", dave)
+      .statusCode() == 200)
+    assert(get("/prometheus/dbauth/api/v1/label/host/values", dave)
+      .statusCode() == 200)
+    // admin passes everywhere (backup 400s on no persistDir, not 401/403)
+    val adm = Seq(basic("admin", "secret"))
+    assert(get("/debug/vars", adm).statusCode() == 200)
+    assert(get("/debug/query?mod=shards", adm).statusCode() == 200)
+    assert(post("/backup/run?backupPath=/tmp/x", "", adm)
+      .statusCode() == 400)
+    assert(post("/backup/status", "", adm).statusCode() == 200)
+    assert(get("/fence/match_batch?points=[1.0,2.0]", adm)
+      .statusCode() == 200)
+    assert(post("/api/v1/tsdb/authstore", "", adm).statusCode() == 200)
+    assert(get("/prometheus/authstore/api/v1/labels", adm)
+      .statusCode() == 200)
+  }
+
   test("Auth unit: SET PASSWORD re-salts (old snapshot can't precompute)") {
     val a = new Auth
     a.execute("CREATE USER u1 WITH PASSWORD 'pw'")

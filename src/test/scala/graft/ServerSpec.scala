@@ -1759,6 +1759,40 @@ class ServerSpec extends SparkSpec {
     intercept[Exception](Fence.parse("x", "circle,a,b,c"))
   }
 
+  test("hierarchical sweep does not resurrect unfolded tombstones") {
+    // regression: reloadPersisted rebuilds the live entry straight from
+    // parquet — a DELETE journaled but not yet folded must still be
+    // gone after the sweep (runHierarchical now folds first)
+    val dir = java.nio.file.Files.createTempDirectory("graft_hres").toString
+    val g = new HttpGateway(spark, Map.empty, Map.empty,
+      persistDir = Some(dir))
+    g.start()
+    def ask(q: String) = http.send(
+      HttpRequest.newBuilder(URI.create(
+        s"http://127.0.0.1:${g.boundPort}/query?q=${enc(q)}&epoch=ms"))
+        .GET().build(), HttpResponse.BodyHandlers.ofString())
+    try {
+      val now = System.currentTimeMillis()
+      val old3d = now - 3L * 86400000L
+      assert(ask("ALTER RETENTION POLICY autogen ON graft " +
+        "HOT DURATION 1h WARM DURATION 24h").statusCode() == 200)
+      assert(http.send(HttpRequest.newBuilder(URI.create(
+          s"http://127.0.0.1:${g.boundPort}/write?precision=ms"))
+        .POST(HttpRequest.BodyPublishers.ofString(
+          s"hrs,h=a v=1 $old3d\nhrs,h=b v=2 $old3d\nhrs,h=a v=3 $now"))
+        .build(), HttpResponse.BodyHandlers.ofString())
+        .statusCode() == 204)
+      // tombstone the old h=b row; journal only, nothing folded yet
+      assert(ask("DELETE FROM hrs WHERE h = 'b'").statusCode() == 200)
+      assert(ask("SELECT count(v), sum(v) FROM hrs").body()
+        .contains(",2,4"))
+      // the sweep moves the old day cold and rebuilds the live entry
+      assert(g.runHierarchical(now) >= 1)
+      val c = ask("SELECT count(v), sum(v) FROM hrs").body()
+      assert(c.contains(",2,4"), s"deleted row resurrected: $c")
+    } finally g.stop()
+  }
+
   test("hierarchical storage: HOT/WARM durations, tier labels, cold " +
       "move, fold covers the cold tier") {
     val dir = java.nio.file.Files.createTempDirectory("graft_hier").toString
