@@ -929,7 +929,36 @@ trait EntryOraclesB extends EntryBase {
            SELECT query_id, doc_id, rrf, row_number() OVER (
              PARTITION BY query_id ORDER BY rrf DESC, doc_id ASC) AS rank
            FROM fused) WHERE rank <= 10 ORDER BY query_id, rank"""
-    }
+    },
+
+    "q123_bigram_lm" ->
+      """WITH tk AS (
+           SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+')
+             AS tk
+           FROM documents WHERE len(regexp_split_to_array(
+             trim(lower(text)), '\s+')) >= 2),
+         bigrams AS (
+           SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+           FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i
+                 FROM tk)),
+         c12 AS (
+           SELECT w1, w2, count(*) AS c12 FROM bigrams GROUP BY w1, w2),
+         c1 AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY w1),
+         v AS (SELECT count(DISTINCT t) AS v FROM (
+           SELECT w1 AS t FROM c12 UNION ALL SELECT w2 FROM c12)),
+         wt AS (
+           SELECT c12.w1, c12.w2,
+             CAST(round(1000000.0 * (c12 + 1) / (c1.c1 + v.v)) AS BIGINT)
+               AS w
+           FROM c12 JOIN c1 USING (w1), v),
+         perdoc AS (
+           SELECT doc_id, count(*) AS n_bigrams,
+             CAST(sum(wt.w) AS BIGINT) AS score
+           FROM bigrams JOIN wt USING (w1, w2) GROUP BY doc_id)
+         SELECT doc_id, n_bigrams, score,
+           ntile(3) OVER (ORDER BY CAST(score AS DOUBLE) / n_bigrams DESC,
+             doc_id ASC) AS bucket
+         FROM perdoc ORDER BY doc_id"""
   )
 
   /** Shared BM25 oracle CTE stack (mirrors Retrieval.bm25TopK's

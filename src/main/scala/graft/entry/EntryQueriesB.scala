@@ -1019,6 +1019,16 @@ trait EntryQueriesB extends EntryBase {
           col("rank"))
       Retrieval.rrfFuse(lex, dense, c = 60, k = 10)
         .orderBy("query_id", "rank")
+    }),
+
+    // pipeline: CCNet LM-quality bucketing (Wenzek '20) — score every
+    // doc under a bigram LM fitted to the corpus in the same plan,
+    // split into head/middle/tail thirds by per-token score (Selection
+    // scaladoc documents the exact-integer substitution and the
+    // sample-threshold scale path for the ntile window).
+    "q123_bigram_lm" -> ((s, dir) => {
+      Selection.bigramLmBuckets(t(s, dir, "documents"), "text", "doc_id")
+        .orderBy("doc_id")
     })
   )
 

@@ -54,4 +54,66 @@ object Selection {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tok"), sum(col("w")).as("score"))
   }
+
+  /** CCNet-style language-model quality bucketing (Wenzek et al. '20,
+    * "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+    * Data" §4.3): score every document under a language model trained on
+    * the corpus itself, then split the corpus into head/middle/tail
+    * thirds by per-token score. CCNet scores with an external KenLM
+    * 5-gram model; here the model is an add-one-smoothed BIGRAM LM
+    * fitted to the input corpus in the same plan — self-contained, and
+    * the conditional p(w2|w1) = (c(w1,w2)+1)/(c(w1·)+V) is the textbook
+    * estimator. As with [[dsirScores]], the per-bigram weight is the
+    * exactly-rounded integer `round(1e6 · p)` so per-doc sums are BIGINT
+    * and bit-replayable by the SQL oracle — the log of the paper's
+    * perplexity is monotone in neither direction of this sum, but the
+    * HEAD/MIDDLE/TAIL split only needs a per-token ORDER, and avg-weight
+    * order ≡ avg-probability order.
+    *
+    * Scale shape: one bigram explode (array slide, no self-join), two
+    * count aggregates with map-side combining (the (w1,w2) table is
+    * vocabulary²-bounded and independent of corpus size), one equi-join
+    * bigram→weight (hash the pair to `xxhash64(w1,w2)` at 100 TB; raw
+    * strings keep the oracle joinable), one per-doc BIGINT sum. The
+    * ntile(3) split runs a single-partition window over the PER-DOC
+    * frame — at 100 TB replace it with the CCNet recipe itself:
+    * thresholds from a sample, broadcast, map-side bucket assignment.
+    *
+    * @return (doc_id, n_bigrams, score, bucket) — bucket 1=head (highest
+    *         avg conditional probability), 2=middle, 3=tail
+    */
+  def bigramLmBuckets(docs: DataFrame, textCol: String,
+                      idCol: String): DataFrame = {
+    val tk = docs.select(col(idCol).as("doc_id"),
+        split(lower(trim(col(textCol))), "\\s+").as("_tk"))
+      .filter(size(col("_tk")) >= 2)
+    val bigrams = tk.select(col("doc_id"),
+      explode(expr("transform(sequence(2, size(_tk)), " +
+        "i -> struct(_tk[i - 2] AS w1, _tk[i - 1] AS w2))")).as("_b"))
+      .select(col("doc_id"), col("_b.w1").as("w1"), col("_b.w2").as("w2"))
+    val c12 = bigrams.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("_c12"))
+    // conditional denominator c(w1·) = Σ_w2 c(w1,w2) — derived from the
+    // reduced bigram table, not a second pass over the corpus
+    val c1 = c12.groupBy(col("w1")).agg(sum(col("_c12")).as("_c1"))
+    // V = distinct token types across ALL positions (w2 of the last
+    // bigram covers final tokens; w1 covers the rest — union of both
+    // sides of the reduced table, still corpus-size-independent)
+    val vRow = c12.select(col("w1").as("t"))
+      .union(c12.select(col("w2").as("t")))
+      .agg(countDistinct(col("t")).as("_v"))
+    val wTbl = c12.join(c1, Seq("w1")).crossJoin(broadcast(vRow))
+      .select(col("w1"), col("w2"),
+        round(lit(1000000.0) * (col("_c12") + lit(1L)) /
+          (col("_c1") + col("_v"))).cast("long").as("w"))
+    val perDoc = bigrams.join(wTbl, Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("w")).as("score"))
+    // avg-weight order: one correctly-rounded IEEE division on both
+    // engines → identical sort keys; doc_id breaks exact-ratio ties
+    val ord = org.apache.spark.sql.expressions.Window.orderBy(
+      (col("score").cast("double") / col("n_bigrams")).desc,
+      col("doc_id").asc)
+    perDoc.withColumn("bucket", ntile(3).over(ord))
+  }
 }

@@ -539,4 +539,20 @@ class PipelineSpec extends SparkSpec {
     assert(out(2) == ((3L, 0.0, 0.0)))
     assert(out(3) == ((4L, 1.0 - 2.0 / 6, 2.0 / 5)))
   }
+
+  test("bigramLmBuckets: hand-computed add-one bigram weights and " +
+      "head/middle/tail split") {
+    // corpus: c12 = {(a,b):3, (b,a):1, (c,c):2}; c1 = {a:3, b:1, c:2};
+    // V = |{a,b,c}| = 3 → w(a,b)=round(1e6·4/6)=666667,
+    // w(b,a)=round(1e6·2/4)=500000, w(c,c)=round(1e6·3/5)=600000
+    val d = Seq((1L, "a b a b"), (2L, "a b"), (3L, "c c c"),
+      (4L, "solo")).toDF("doc_id", "text")
+    val out = graft.pipeline.Selection.bigramLmBuckets(d, "text", "doc_id")
+      .orderBy("doc_id").as[(Long, Long, Long, Int)].collect()
+    // doc 4 has a single token — no bigrams, excluded
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    assert(out(0) == ((1L, 3L, 2L * 666667 + 500000, 2)))
+    assert(out(1) == ((2L, 1L, 666667L, 1))) // avg 666667 → head
+    assert(out(2) == ((3L, 2L, 1200000L, 3))) // avg 600000 → tail
+  }
 }
