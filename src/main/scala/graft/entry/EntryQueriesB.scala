@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{GeminiFunctions, PromFunctions}
 import graft.operators.{Fill, Meta, PromBinOp, PromRange, SeriesOps, Smoothing, Unnest, WindowedAgg}
-import graft.pipeline.{AnomalyDetect, Dedup, Multimodal, Retrieval, Sampling, Selection, Similarity, TextAnalysis}
+import graft.pipeline.{AnomalyDetect, Bpe, Dedup, Multimodal, Retrieval, Sampling, Selection, Similarity, TextAnalysis}
 
 /** SparkEntry query inventory, second half (SURVEY §3 text frontends,
   * PromQL surface, graph/RCA, and the large-scale pipeline operators).
@@ -1029,6 +1029,22 @@ trait EntryQueriesB extends EntryBase {
     "q123_bigram_lm" -> ((s, dir) => {
       Selection.bigramLmBuckets(t(s, dir, "documents"), "text", "doc_id")
         .orderBy("doc_id")
+    }),
+
+    // pipeline: BPE tokenizer (Sennrich '16) trained on the corpus'
+    // word-frequency table (ONE distributed count; the merge loop runs
+    // on the vocab-bounded table — Bpe scaladoc), applied as a
+    // broadcast word→|subwords| fold per document. Training is a
+    // deterministic corpus artifact → fingerprint-keyed model cache,
+    // the write-time shape (the q109 lesson). No SQL oracle (iterative
+    // merges); tools/oracle.py replays training + apply bit-for-bit.
+    "q124_bpe_tokenize" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val fp = Tables.fingerprint(s"$dir/documents.parquet")
+      val segs = Similarity.cachedModel(s"bpe:$fp:m40") {
+        Bpe.trainOnFreqs(Bpe.wordFreqs(docs, "text"), nMerges = 40)._2
+      }
+      Bpe.segmentCounts(docs, "text", "doc_id", segs).orderBy("doc_id")
     })
   )
 

@@ -555,4 +555,22 @@ class PipelineSpec extends SparkSpec {
     assert(out(1) == ((2L, 1L, 666667L, 1))) // avg 666667 → head
     assert(out(2) == ((3L, 2L, 1200000L, 3))) // avg 600000 → tail
   }
+
+  test("BPE: hand-worked merges (low/lower), early stop, tie-break, " +
+      "unseen-word fallback") {
+    import graft.pipeline.Bpe
+    // freqs {low:2, lower:1}: r1 counts (l,o)=3 (o,w)=3 (w,</w>)=2 … —
+    // tie at 3 → lexicographically smallest (l,o); then (lo,w)=3; then
+    // (low,</w>)=2; then every pair is a singleton → early stop at 3
+    val (merges, segs) = Bpe.trainOnFreqs(
+      Seq("low" -> 2L, "lower" -> 1L), nMerges = 10)
+    assert(merges == Seq("l" -> "o", "lo" -> "w", "low" -> "</w>"))
+    assert(segs("low") == Vector("low</w>"))
+    assert(segs("lower") == Vector("low", "e", "r", "</w>"))
+    val d = Seq((1L, "low low lower"), (2L, "new")).toDF("doc_id", "text")
+    val out = Bpe.segmentCounts(d, "text", "doc_id", segs)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect()
+    assert(out(0) == ((1L, 3L, 1L + 1L + 4L)))
+    assert(out(1) == ((2L, 1L, 4L))) // unseen: |chars| + terminal
+  }
 }

@@ -489,6 +489,55 @@ def check_q119(sf, out, tau=0.35):
                    f"vs cross-cos {mc:.3f}")
 
 
+def check_q124(sf, out, n_merges=40):
+    """BPE (Sennrich '16) exact replication: train on the word-frequency
+    table with the documented determinism contract (chars + '</w>'
+    symbols, max frequency-weighted pair count per round, ties to the
+    lexicographically smallest (left, right), stop when no pair occurs
+    twice), then recompute every doc's (n_tok, n_subtok)."""
+    docs = pq.read_table(f"{sf}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    tok_lists = [re.split(r"\s+", t.strip().lower()) for t in docs.text]
+    freqs = {}
+    for toks in tok_lists:
+        for w in toks:
+            freqs[w] = freqs.get(w, 0) + 1
+    segs = {w: [c for c in w] + ["</w>"] for w in freqs}
+    for _ in range(n_merges):
+        counts = {}
+        for w, f in freqs.items():
+            s = segs[w]
+            for i in range(len(s) - 1):
+                p = (s[i], s[i + 1])
+                counts[p] = counts.get(p, 0) + f
+        best = {p: c for p, c in counts.items() if c >= 2}
+        if not best:
+            break
+        pick = min(best.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        for w in segs:
+            s, outl, i = segs[w], [], 0
+            while i < len(s):
+                if (i + 1 < len(s) and s[i] == pick[0]
+                        and s[i + 1] == pick[1]):
+                    outl.append(s[i] + s[i + 1]); i += 2
+                else:
+                    outl.append(s[i]); i += 1
+            segs[w] = outl
+    want = {int(d): (len(toks), sum(len(segs[w]) for w in toks))
+            for d, toks in zip(docs.doc_id, tok_lists)}
+    got = load(out, "q124_bpe_tokenize")
+    mism = 0
+    for _, r in got.iterrows():
+        w = want.get(int(r.doc_id))
+        if w is None or int(r.n_tok) != w[0] or int(r.n_subtok) != w[1]:
+            mism += 1
+    ok = mism == 0 and len(got) == len(want)
+    return verdict(ok, f"exact BPE train+apply replication: {mism} "
+                       f"mismatches of {len(want)} docs, "
+                       f"{len(set(s for v in segs.values() for s in v))} "
+                       f"final symbol types")
+
+
 def main():
     sf, out = sys.argv[1], sys.argv[2]
     checks = {
@@ -507,6 +556,7 @@ def main():
         "q87_ann_ivf": lambda: check_ann(sf, out, "q87_ann_ivf", 0.8),
         "q109_ann_ivfpq": lambda: check_ann(sf, out, "q109_ann_ivfpq", 0.8),
         "q119_semdedup": lambda: check_q119(sf, out),
+        "q124_bpe_tokenize": lambda: check_q124(sf, out),
     }
     result = {}
     for q, fn in checks.items():
