@@ -2836,6 +2836,16 @@ final class HttpGateway(spark: SparkSession,
     try {
       val t0 = System.nanoTime()
       val path = ex.getRequestURI.getPath
+      val rxc =
+        ("^/repo/([^/]+)/logstreams/([^/]+)/" +
+          "(consume/cursors|consume/logs|consume/cursor-time|context|" +
+          "logbycursor|cursor(?:/[^/]*)?)$").r
+      val mc0 = rxc.findFirstMatchIn(path)
+      if (mc0.isDefined) {
+        val mc = mc0.get
+        handleConsumeRoutes(ex, t0, mc.group(1), mc.group(2), mc.group(3))
+        return
+      }
       val rx = "^/repo/([^/]+)/logstreams/([^/]+)/(logs|histogram|analytics)$".r
       val m0 = rx.findFirstMatchIn(path).getOrElse {
         respond(ex, 404, """{"error":"unknown logkeeper route"}""")
@@ -2975,6 +2985,204 @@ final class HttpGateway(spark: SparkSession,
         s"""{"success":false,"code":"400","message":${
           jsonStr(String.valueOf(e.getMessage))}}""")
     }
+
+  /** Logkeeper consume surface (`handler_logstore_consume.go`): the
+    * Kafka-like cursor consumption API. Cursor wire format replicated
+    * exactly ([[Consume]]); positions re-expressed as
+    * (timestamp ns, rows-consumed-at-timestamp) over the time-ordered
+    * measurement frame — ties inside a timestamp ordered by a
+    * deterministic row hash so repeated polls are stable regardless of
+    * scan parallelism. `logbycursor` / `cursor[/x]` are EMPTY handlers
+    * in the reference (serveQueryLogByCursor :57, serveGetCursor /
+    * servePullLog :1006-1008) and mirror that here: authed 200, no body.
+    * All collects are (skip + count + 1)-bounded with skip capped at
+    * maxRowLimit. */
+  private def handleConsumeRoutes(ex: HttpExchange, t0: Long,
+                                  repo: String, stream: String,
+                                  action: String): Unit = {
+    val p = params(ex, readBody = false) + ("db" -> repo)
+    if (guard(ex, p, Auth.ReadPrivilege, "read from").isEmpty) return
+    if (action == "logbycursor" || action.startsWith("cursor")) {
+      respond(ex, 200, ""); return
+    }
+    if (!databases.contains(repo)) sys.error("repository not found")
+    val meas = sliceOf(catalog, repo).getOrElse(stream,
+      sys.error("logstream not found"))
+    import org.apache.spark.sql.functions._
+    def tookMs = (System.nanoTime() - t0) / 1000000L
+    def jnum(l: Long) = l.toString
+
+    action match {
+      case "consume/cursors" =>
+        // getQueryConsumeCursorsRequest: from/end in epoch-ns, end
+        // optional (hasEnd), task_num capped at the pt count (= 1 here)
+        val fromNs = p.get("from").filter(_.nonEmpty).map(_.toLong)
+          .getOrElse(0L)
+        val endOpt = p.get("end").filter(_.nonEmpty).map(_.toLong)
+        require(endOpt.forall(fromNs < _),
+          "from value cannot be lower than end value")
+        val taskNum = math.max(1,
+          p.get("task_num").filter(_.nonEmpty).map(_.toInt).getOrElse(1))
+        val fromCur = Consume.mint(fromNs, stream, reverse = false,
+          taskNum = taskNum)
+        val endPart = endOpt.map { e =>
+          s""","end_cursor":${jsonStr(
+            Consume.mint(e - 1, stream, reverse = true,
+              taskNum = taskNum).encode)}"""
+        }.getOrElse(",\"end_cursor\":\"\"")
+        respond(ex, 200,
+          s"""[{"from_cursor":${jsonStr(fromCur.encode)}${endPart}}]""")
+
+      case "consume/cursor-time" =>
+        // serveConsumeCursorTime: min/max task timestamps, ns -> ms
+        val cur = Consume.decode(p.get("cursor").filter(_.nonEmpty)
+          .getOrElse(sys.error("cursor is illegal")))
+        val ts = cur.tasks.map(_.curr.timestamp)
+        val (t, maxT) =
+          if (ts.isEmpty) (cur.time, cur.time)
+          else if (cur.reverse) (ts.max, ts.min)
+          else (ts.min, ts.max)
+        respond(ex, 200, s"""{"cursor_time":${jnum(t / 1000000L)},""" +
+          s""""max_cursor_time":${jnum(maxT / 1000000L)}}""")
+
+      case "consume/logs" =>
+        val fromCur = Consume.decode(p.get("from_cursor")
+          .filter(_.nonEmpty)
+          .getOrElse(sys.error("from_cursor is illegal")))
+        val endRaw = p.get("end_cursor").filter(_.nonEmpty)
+        val endCur = endRaw.map(Consume.decode)
+        val count = p.get("count").filter(_.nonEmpty).map(_.toInt)
+          .getOrElse(10)
+        require(count > 0 && count <= 100, "count value is illegal")
+        val task = fromCur.tasks.headOption
+          .getOrElse(sys.error("cursor task num is not illegal"))
+        val tNs = task.curr.timestamp
+        val skip = task.curr.blockId
+        require(skip >= 0 && skip <= maxRowLimit, "cursor is illegal")
+        val endNs = endCur.map(_.time + 1).getOrElse(Long.MaxValue)
+        val srcCols = meas.df.columns.toSeq
+        val frame = meas.df
+          .withColumn("_ns", unix_millis(col(meas.time)) * 1000000L)
+          .withColumn("_h",
+            xxhash64(to_json(struct(srcCols.map(col): _*))))
+          .filter(col("_ns") >= tNs && col("_ns") < endNs)
+          .orderBy(col("_ns").asc, col("_h").asc)
+        val rows0 = frame.limit((skip + count + 1).toInt).collect()
+        val nsIdx = rows0.headOption.map(_.fieldIndex("_ns")).getOrElse(0)
+        // skip = rows already consumed at exactly the cursor timestamp
+        var toSkip = skip
+        val afterSkip = rows0.dropWhile { r =>
+          val more = toSkip > 0 && r.getLong(nsIdx) == tNs
+          if (more) toSkip -= 1
+          more
+        }
+        val skipped = skip - toSkip
+        val batch = afterSkip.take(count)
+        val isComplete = afterSkip.length <= count
+        def cell(v: Any): String = v match {
+          case null => "null"
+          case s: String => jsonStr(s)
+          case b: Boolean => b.toString
+          case ts: java.sql.Timestamp => ts.getTime.toString
+          case n => n.toString
+        }
+        val logs = batch.map { r =>
+          srcCols.map { c =>
+            if (c == meas.time)
+              s""""time":${r.getLong(nsIdx)}"""
+            else s"${jsonStr(c)}:${cell(r.get(r.fieldIndex(c)))}"
+          }.mkString("{", ",", "}")
+        }.mkString("[", ",", "]")
+        val newCur = batch.lastOption.map { last =>
+          val lastNs = last.getLong(nsIdx)
+          val atLast = batch.count(_.getLong(nsIdx) == lastNs) +
+            (if (lastNs == tNs) skipped else 0L)
+          fromCur.copy(time = lastNs, tasks = Seq(task.copy(
+            curr = task.curr.copy(timestamp = lastNs, blockId = atLast))))
+        }.getOrElse(fromCur)
+        val maxLog = batch.lastOption.map(_.getLong(nsIdx)).getOrElse(0L)
+        respond(ex, 200,
+          s"""{"is_complete":$isComplete,"total_count":${batch.length},""" +
+          s""""max_log_time":$maxLog,"took_ms":$tookMs,"logs":$logs,""" +
+          s""""from_cursor":${jsonStr(newCur.encode)}""" +
+          endRaw.map(e => s""","end_cursor":${jsonStr(e)}""").getOrElse("") +
+          "}")
+
+      case "context" =>
+        // serveContextQueryLog: the logs query re-bounded at a scroll
+        // cursor pivot (parseScrollID's simple `^^<ns>` / `ns|x|seq^…`
+        // forms), direction forward|backward
+        val direction = p.getOrElse("direction", "")
+        val reverse = direction match {
+          case "backward" => true
+          case "forward" | "" => false
+          case _ => sys.error("direction value is illegal")
+        }
+        val rawCur = p.get("cursor").filter(_.nonEmpty)
+          .getOrElse(sys.error("no cursor"))
+        val dec = new String(
+          java.util.Base64.getDecoder.decode(rawCur), "UTF-8")
+        val parts = dec.split("\\^", 3)
+        require(parts.length == 3, "wrong scroll_id")
+        // "^^<ns>" splits to ["", "", ns]; "<ns|x|seq>^a^b" carries the
+        // pivot in the first component (parseScrollID's two arms)
+        val pivotNs =
+          if (parts(0).isEmpty)
+            (if (parts(1).nonEmpty) parts(1) else parts(2)).toLong
+          else parts(0).split("\\|")(0).toLong
+        val fromMs = p.get("from").filter(_.nonEmpty).map(_.toLong)
+          .getOrElse(0L)
+        val toMs = p.get("to").filter(_.nonEmpty).map(_.toLong)
+          .getOrElse(System.currentTimeMillis())
+        require(fromMs <= toMs, "from value larger than to")
+        val limit = math.min(p.get("limit").filter(_.nonEmpty)
+          .map(_.toInt).getOrElse(10), 1000)
+        val query = p.getOrElse("query", "")
+        val (ppl, _) = LogPipe.splitPplSql(query)
+        val stmt =
+          if (ppl.trim.nonEmpty) LogPipe.parse(ppl)
+          else LogPipe.Statement(None, None)
+        val fullText =
+          if (meas.df.columns.contains("content")) "content"
+          else meas.df.schema.fields
+            .find(_.dataType == org.apache.spark.sql.types.StringType)
+            .map(_.name).getOrElse("content")
+        val base = meas.df
+          .withColumn("_ns", unix_millis(col(meas.time)) * 1000000L)
+        val bounded =
+          if (reverse)
+            base.filter(col("_ns") >= fromMs * 1000000L &&
+              col("_ns") < math.min(toMs * 1000000L, pivotNs))
+          else
+            base.filter(col("_ns") >= math.max(fromMs * 1000000L, pivotNs)
+              && col("_ns") < toMs * 1000000L)
+        val frame = LogPipe.compile(bounded, stmt, fullText)
+          .orderBy(if (reverse) col(meas.time).desc else col(meas.time).asc)
+        val rows = frame.limit(limit).collect()
+        def cellc(v: Any): String = v match {
+          case null => "null"
+          case s: String => jsonStr(s)
+          case b: Boolean => b.toString
+          case ts: java.sql.Timestamp => ts.getTime.toString
+          case n => n.toString
+        }
+        val cols = frame.columns.toSeq.filterNot(_ == "_ns")
+        val logs = rows.map { r =>
+          cols.map { c =>
+            val v = r.get(r.fieldIndex(c))
+            s"${jsonStr(if (c == meas.time) "time" else c)}:${cellc(v)}"
+          }.mkString("{", ",", "}")
+        }.mkString("[", ",", "]")
+        val keys = cols.map(c => if (c == meas.time) "time" else c)
+        respond(ex, 200,
+          s"""{"success":true,"code":"200","message":"",""" +
+          s""""request_id":${jsonStr(java.util.UUID.randomUUID.toString)},""" +
+          s""""count":${rows.length},"progress":"Complete",""" +
+          s""""logs":$logs,"keys":${keys.map(jsonStr).mkString("[", ",", "]")},""" +
+          s""""took_ms":$tookMs,"cursor_time":${pivotNs / 1000000L},""" +
+          s""""complete_progress":1.0,"scroll_id":""}""")
+    }
+  }
 
   /** Insert `FROM "stream"` into a SELECT that omitted it — the analytics
     * tail usually reads `select count(time)` and relies on the handler

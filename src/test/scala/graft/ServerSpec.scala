@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import org.json4s._
 import org.json4s.jackson.JsonMethods
 import graft.query.{InfluxQL, PromQL}
-import graft.server.HttpGateway
+import graft.server.{Consume, HttpGateway}
 import graft.sources.ResultShaper
 
 /** End-to-end spec for the HTTP gateway: every route exercised over a
@@ -829,6 +829,102 @@ class ServerSpec extends SparkSpec {
       assert(a.statusCode() == b.statusCode() && a.body() == b.body(),
         s"${a.statusCode()} ${a.body()} vs ${b.statusCode()} ${b.body()}")
     } finally g.stop()
+  }
+
+  test("logkeeper consume: cursors mint, batched polls drain exactly " +
+      "once incl. timestamp ties, cursor-time, context, empty stubs") {
+    val g = new HttpGateway(spark, Map.empty, Map.empty)
+    g.start()
+    try {
+      def req(method: String, path: String, body: String = "") = {
+        val b = HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:${g.boundPort}$path"))
+        http.send((method match {
+          case "GET" => b.GET()
+          case _ => b.POST(HttpRequest.BodyPublishers.ofString(body))
+        }).build(), HttpResponse.BodyHandlers.ofString())
+      }
+      assert(req("POST", "/api/v1/repository/klogs").statusCode() == 200)
+      assert(req("POST", "/api/v1/logstream/klogs/acc").statusCode() == 200)
+      assert(req("POST", "/write?db=klogs&precision=ms",
+        "acc content=\"m1\" 1000\nacc content=\"m2a\" 2000\n" +
+        "acc content=\"m2b\" 2000\nacc content=\"m3\" 3000\n" +
+        "acc content=\"m4\" 4000").statusCode() == 204)
+      val base = "/repo/klogs/logstreams/acc"
+      // mint cursors over [0, 5000 ms) ns with an end bound
+      val cs = req("GET", s"$base/consume/cursors?from=0&end=5000000000" +
+        "&task_num=1")
+      assert(cs.statusCode() == 200, cs.body())
+      def field(body: String, k: String): String =
+        ("\"" + k + "\":\"([^\"]*)\"").r.findFirstMatchIn(body)
+          .map(_.group(1)).getOrElse(fail(s"no $k in $body"))
+      var cur = field(cs.body(), "from_cursor")
+      val endCur = field(cs.body(), "end_cursor")
+      assert(cur.nonEmpty && endCur.nonEmpty)
+      // minted cursor sits at from=0
+      val ct0 = req("GET", s"$base/consume/cursor-time?cursor=${enc(cur)}")
+      assert(ct0.body().contains("\"cursor_time\":0"), ct0.body())
+      // drain in count=2 batches: ties at t=2000 must split across polls
+      // without loss or duplication (blockId row-at-timestamp position)
+      var seen = Vector.empty[String]
+      var complete = false
+      var polls = 0
+      while (!complete && polls < 10) {
+        val r = req("GET", s"$base/consume/logs?from_cursor=${enc(cur)}" +
+          s"&end_cursor=${enc(endCur)}&count=2")
+        assert(r.statusCode() == 200, r.body())
+        seen = seen ++ "\"content\":\"([^\"]+)\"".r
+          .findAllMatchIn(r.body()).map(_.group(1))
+        complete = r.body().contains("\"is_complete\":true")
+        cur = field(r.body(), "from_cursor")
+        polls += 1
+      }
+      assert(complete, s"never completed after $polls polls")
+      assert(polls == 3, s"expected 3 polls, got $polls")
+      assert(seen.sorted == Vector("m1", "m2a", "m2b", "m3", "m4"),
+        seen.toString)
+      // the drained cursor reports the last consumed timestamp
+      val ct = req("GET", s"$base/consume/cursor-time?cursor=${enc(cur)}")
+      assert(ct.body().contains("\"cursor_time\":4000"), ct.body())
+      // a fully-drained cursor polls empty and complete
+      val again = req("GET", s"$base/consume/logs?from_cursor=${enc(cur)}" +
+        s"&end_cursor=${enc(endCur)}&count=2")
+      assert(again.body().contains("\"is_complete\":true") &&
+        again.body().contains("\"total_count\":0"), again.body())
+      // context: forward from the t=2000 pivot (simple ^^ns scroll id)
+      val pivot = java.util.Base64.getEncoder.encodeToString(
+        "^^2000000000".getBytes("UTF-8"))
+      val fwd = req("GET", s"$base/context?cursor=${enc(pivot)}" +
+        "&direction=forward&from=0&to=5000&limit=10")
+      assert(fwd.statusCode() == 200, fwd.body())
+      assert("\"content\":\"([^\"]+)\"".r.findAllMatchIn(fwd.body())
+        .map(_.group(1)).toSet == Set("m2a", "m2b", "m3", "m4"), fwd.body())
+      val back = req("GET", s"$base/context?cursor=${enc(pivot)}" +
+        "&direction=backward&from=0&to=5000&limit=10")
+      assert("\"content\":\"([^\"]+)\"".r.findAllMatchIn(back.body())
+        .map(_.group(1)).toSet == Set("m1"), back.body())
+      // reference's empty handlers: authed 200, empty body
+      assert(req("GET", s"$base/logbycursor").statusCode() == 200)
+      assert(req("GET", s"$base/cursor").statusCode() == 200)
+      // malformed cursor → 400, not a 500
+      assert(req("GET", s"$base/consume/logs?from_cursor=notb64")
+        .statusCode() == 400)
+    } finally g.stop()
+  }
+
+  test("Consume codec unit: decode∘encode = id on the reference pipe " +
+      "format, incl. pre-task and empty-task forms") {
+    val full = Consume.Cursor(reverse = true, taskNum = 4, cursorId = 2,
+      currTotalPtNum = 8, time = 123456789L, tasks = Seq(
+        Consume.SegmentTask(3,
+          Some(Consume.Task(7, 1, 9, 111L, "pre/path")),
+          Consume.Task(8, 2, 10, 222L, "curr/path")),
+        Consume.SegmentTask(5, None, Consume.Task(0, 0, 0, 0L, ""))))
+    assert(Consume.decode(full.encode) == full)
+    val empty = Consume.Cursor(reverse = false, taskNum = 1, cursorId = 0,
+      currTotalPtNum = 1, time = 42L, tasks = Nil)
+    assert(Consume.decode(empty.encode) == empty)
+    intercept[Exception](Consume.decode("not-base64!"))
   }
 
   test("shard metadata: SHOW SHARDS/SHARD GROUPS derive from data, " +
