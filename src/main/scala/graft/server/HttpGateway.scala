@@ -1087,6 +1087,11 @@ final class HttpGateway(spark: SparkSession,
     def group: String = s"query-$qid"
   }
   private val qidCounter = new java.util.concurrent.atomic.AtomicLong(0)
+  // syscontrol switches + failpoint registry (/debug/ctrl, /failpoint)
+  @volatile private var writesDisabled = false
+  @volatile private var readsDisabled = false
+  private val failpoints =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Serving statistics, the reference's `handler` expvar module
     * (lib/statisticsPusher/statistics/handler_statistics.go — field
@@ -1169,6 +1174,54 @@ final class HttpGateway(spark: SparkSession,
     stats.statusReq.incrementAndGet(); stats.req.incrementAndGet()
     ex.sendResponseHeaders(204, -1); ex.close()
   })
+  // GET /metrics (handler.go:329 serveMetrics): Prometheus text
+  // exposition of the serving counters. The reference mounts promhttp
+  // over its statistics collectors and — like /ping — does NOT require
+  // auth on this route (route table auth flag false); the counter set
+  // here is the same handler-module set /debug/vars renders as JSON.
+  server.createContext("/metrics", (ex: HttpExchange) => {
+    if (ex.getRequestMethod != "GET")
+      respond(ex, 405, "{\"error\":\"invalid method\"}")
+    else {
+      val rt = Runtime.getRuntime
+      val (hits, evals) = resultsCache.stats
+      val counters = Seq(
+        "handler_req_total" -> stats.req.get,
+        "handler_query_req_total" -> stats.queryReq.get,
+        "handler_write_req_total" -> stats.writeReq.get,
+        "handler_points_written_ok_total" -> stats.pointsWrittenOK.get,
+        "handler_write_400_err_req_total" -> stats.write400ErrReq.get,
+        "handler_ping_req_total" -> stats.pingReq.get,
+        "handler_status_req_total" -> stats.statusReq.get,
+        "handler_auth_fail_total" -> stats.authFail.get,
+        "handler_client_error_total" -> stats.clientError.get,
+        "handler_server_error_total" -> stats.serverError.get,
+        "handler_query_req_duration_ns_total" ->
+          stats.queryReqDurationNs.get,
+        "handler_write_req_duration_ns_total" ->
+          stats.writeReqDurationNs.get,
+        "results_cache_hits_total" -> hits,
+        "results_cache_evals_total" -> evals)
+      val gauges = Seq(
+        "runtime_total_memory_bytes" -> rt.totalMemory,
+        "runtime_free_memory_bytes" -> rt.freeMemory,
+        "runtime_available_processors" -> rt.availableProcessors.toLong)
+      val body = new StringBuilder
+      counters.foreach { case (n, v) =>
+        body.append(s"# TYPE graft_$n counter\n")
+        body.append(s"graft_$n $v\n")
+      }
+      gauges.foreach { case (n, v) =>
+        body.append(s"# TYPE graft_$n gauge\n")
+        body.append(s"graft_$n $v\n")
+      }
+      ex.getResponseHeaders.set("Content-Type",
+        "text/plain; version=0.0.4; charset=utf-8")
+      val bytes = body.toString.getBytes("UTF-8")
+      ex.sendResponseHeaders(200, bytes.length)
+      ex.getResponseBody.write(bytes); ex.close()
+    }
+  })
   // internal serving metrics in /debug/vars format (handler.go:1806
   // serveExpvar; module/field names per handler_statistics.go)
   server.createContext("/debug/vars", (ex: HttpExchange) =>
@@ -1198,6 +1251,63 @@ final class HttpGateway(spark: SparkSession,
       case Some(m) =>
         respond(ex, 400, "{\"error\":\"process query request error: " +
           "unknown mod: " + m + "\"}")
+    }
+  })
+  // POST /debug/ctrl?mod=…&switchon=… (handler.go:462 serveSysCtrl →
+  // syscontrol.go:53 serveDebug): admin-only runtime toggles. The mods
+  // that map to real switches in this engine flip them (disableWrite /
+  // disableRead gate the write/read paths); the remaining documented
+  // syscontrol mods are accepted as no-ops on a single-node Spark
+  // engine (their effect is a store/cluster knob we don't have);
+  // unknown mods are the reference's "unknown sysctrl mod" 400.
+  server.createContext("/debug/ctrl", (ex: HttpExchange) => {
+    val p = params(ex, readBody = false)
+    if (!adminGuard(ex, p)) ()
+    else if (ex.getRequestMethod != "POST")
+      respond(ex, 405, "{\"error\":\"invalid method\"}")
+    else p.get("mod") match {
+      case None | Some("") =>
+        respond(ex, 400, "{\"error\":\"invalid mod\"}")
+      case Some(mod) =>
+        val on = p.get("switchon").exists(_.equalsIgnoreCase("true"))
+        val known = Set("flush", "compen", "merge", "snapshot",
+          "downsample_in_order", "verifynode", "memusagelimit",
+          "backgroundReadLimiter", "readonly", "chunk_reader_parallel",
+          "binary_tree_merge", "print_logical_plan",
+          "sliding_window_push_up", "log_rows", "force_broadcast_query",
+          "time_filter_protection", "interruptquery", "uppermemusepct",
+          "parallelbatch", "write_stream_points_enable")
+        mod match {
+          case "disablewrite" =>
+            writesDisabled = on
+            respond(ex, 200, "{\n\t\"success\"\n}\n")
+          case "disableread" =>
+            readsDisabled = on
+            respond(ex, 200, "{\n\t\"success\"\n}\n")
+          case m if known.contains(m) =>
+            respond(ex, 200, "{\n\t\"success\"\n}\n")
+          case m => respond(ex, 400,
+            s"""{"error":"sysctrl execute error: unknown sysctrl mod: $m"}""")
+        }
+    }
+  })
+  // POST /failpoint?point=…&flag=enable|disable (handler.go:1717
+  // failPoint; unauthenticated in the route table like /metrics): a
+  // fault-injection registry for tests. Enabled points carry their
+  // `term`; the wired point `graft/query-error` makes /query fail with
+  // the term as the error, mirroring how reference tests inject errors.
+  server.createContext("/failpoint", (ex: HttpExchange) => {
+    val p = params(ex, readBody = true)
+    if (ex.getRequestMethod != "POST")
+      respond(ex, 405, "{\"error\":\"invalid method\"}")
+    else (p.get("point").filter(_.nonEmpty), p.getOrElse("flag", "")) match {
+      case (Some(pt), "enable") =>
+        failpoints.put(pt, p.getOrElse("term", "injected"))
+        respond(ex, 200, "{\n\t\"success\"\n}\n")
+      case (Some(pt), "disable") =>
+        failpoints.remove(pt)
+        respond(ex, 200, "{\n\t\"success\"\n}\n")
+      case _ => respond(ex, 400, "{\"error\":\"invalid failpoint\"}")
     }
   })
   // backup service routes (handler.go:466-474 → syscontrol Backup/
@@ -1743,6 +1853,15 @@ final class HttpGateway(spark: SparkSession,
 
   private def handleQuery(ex: HttpExchange): Unit = {
     stats.queryReq.incrementAndGet(); stats.req.incrementAndGet()
+    // syscontrol disableRead (syscontrol.go:526 case disableRead) and
+    // the failpoint registry (handler.go:1717) both gate the read path
+    if (readsDisabled) {
+      respond(ex, 400, "{\"error\":\"disable read!\"}"); return
+    }
+    val fpTerm = failpoints.get("graft/query-error")
+    if (fpTerm != null) {
+      respond(ex, 500, s"""{"error":${jsonStr(fpTerm)}}"""); return
+    }
     val _t0 = System.nanoTime()
     try handleQuery0(ex)
     finally stats.queryReqDurationNs.addAndGet(System.nanoTime() - _t0)
@@ -2262,6 +2381,10 @@ final class HttpGateway(spark: SparkSession,
 
   private def handleWrite(ex: HttpExchange, v2: Boolean = false): Unit = {
     stats.writeReq.incrementAndGet(); stats.req.incrementAndGet()
+    // syscontrol disableWrite (syscontrol.go:518): reject before parse
+    if (writesDisabled) {
+      respond(ex, 400, "{\"error\":\"disable write!\"}"); return
+    }
     val _t0 = System.nanoTime()
     try handleWrite0(ex, v2)
     finally stats.writeReqDurationNs.addAndGet(System.nanoTime() - _t0)

@@ -912,6 +912,80 @@ class ServerSpec extends SparkSpec {
     } finally g.stop()
   }
 
+  test("/metrics: Prometheus text exposition of serving counters, " +
+      "unauthenticated like the reference route table") {
+    val g = new HttpGateway(spark, Map.empty, Map.empty)
+    g.start()
+    try {
+      def req(path: String) = http.send(HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:${g.boundPort}$path")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(req("/ping").statusCode() == 204)
+      val m = req("/metrics")
+      assert(m.statusCode() == 200)
+      assert(m.headers().firstValue("Content-Type").orElse("")
+        .startsWith("text/plain"))
+      assert(m.body().contains("# TYPE graft_handler_req_total counter"))
+      // the /ping above registered in the counters
+      val v = "graft_handler_ping_req_total (\\d+)".r
+        .findFirstMatchIn(m.body()).map(_.group(1).toLong)
+      assert(v.exists(_ >= 1), m.body().take(400))
+      assert(m.body().contains("graft_runtime_total_memory_bytes"))
+    } finally g.stop()
+  }
+
+  test("/debug/ctrl syscontrol toggles + /failpoint fault injection") {
+    val g = new HttpGateway(spark, Map.empty, Map.empty)
+    g.start()
+    try {
+      def post(path: String) = http.send(HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:${g.boundPort}$path"))
+        .POST(HttpRequest.BodyPublishers.noBody()).build(),
+        HttpResponse.BodyHandlers.ofString())
+      def wr() = http.send(HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:${g.boundPort}/write?precision=ms"))
+        .POST(HttpRequest.BodyPublishers.ofString("sc v=1 1000")).build(),
+        HttpResponse.BodyHandlers.ofString())
+      def q() = http.send(HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:${g.boundPort}/query?q=" +
+          enc("SELECT v FROM sc") + "&epoch=ms")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(wr().statusCode() == 204)
+      // disablewrite gates /write; disableread gates /query
+      assert(post("/debug/ctrl?mod=disablewrite&switchon=true")
+        .statusCode() == 200)
+      assert(wr().statusCode() == 400)
+      assert(post("/debug/ctrl?mod=disablewrite&switchon=false")
+        .statusCode() == 200)
+      assert(wr().statusCode() == 204)
+      assert(post("/debug/ctrl?mod=disableread&switchon=true")
+        .statusCode() == 200)
+      assert(q().statusCode() == 400 && q().body().contains("disable read"))
+      assert(post("/debug/ctrl?mod=disableread&switchon=false")
+        .statusCode() == 200)
+      assert(q().statusCode() == 200)
+      // documented store-knob mods are accepted; unknown mods are 400
+      assert(post("/debug/ctrl?mod=snapshot&switchon=true")
+        .statusCode() == 200)
+      assert(post("/debug/ctrl?mod=bogus").statusCode() == 400)
+      assert(post("/debug/ctrl").statusCode() == 400)
+      assert(http.send(HttpRequest.newBuilder(URI.create(
+        s"http://127.0.0.1:${g.boundPort}/debug/ctrl?mod=snapshot"))
+        .GET().build(), HttpResponse.BodyHandlers.ofString())
+        .statusCode() == 405)
+      // failpoint: enabled point injects its term into /query
+      assert(post("/failpoint?point=" + enc("graft/query-error") +
+        "&flag=enable&term=" + enc("return(\"boom\")"))
+        .statusCode() == 200)
+      val fq = q()
+      assert(fq.statusCode() == 500 && fq.body().contains("boom"), fq.body())
+      assert(post("/failpoint?point=" + enc("graft/query-error") +
+        "&flag=disable").statusCode() == 200)
+      assert(q().statusCode() == 200)
+      assert(post("/failpoint?flag=enable").statusCode() == 400)
+    } finally g.stop()
+  }
+
   test("Consume codec unit: decode∘encode = id on the reference pipe " +
       "format, incl. pre-task and empty-task forms") {
     val full = Consume.Cursor(reverse = true, taskNum = 4, cursorId = 2,
