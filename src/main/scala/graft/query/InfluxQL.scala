@@ -2143,7 +2143,11 @@ object InfluxQL {
         val blankable = projected.columns
           .filterNot(c => c == "wstart_ms" || groupTags.contains(c))
         if (blankable.isEmpty) projected
-        else projected.filter(coalesce(blankable.toIndexedSeq.map(fieldCol): _*).isNotNull)
+        // isNotNull-OR, not coalesce: coalesce unifies the field types,
+        // and a mixed STRING/DOUBLE projection (msg, code) would force
+        // an ANSI string→double cast that throws on real data
+        else projected.filter(blankable.toIndexedSeq
+          .map(c => fieldCol(c).isNotNull).reduce(_ || _))
       }
 
     // sort → slimit → limit (per-series when grouped; reference limit modes)

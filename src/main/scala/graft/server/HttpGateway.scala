@@ -2420,66 +2420,76 @@ final class HttpGateway(spark: SparkSession,
         .flatMap(l => LineProtocol.parseLine(l, TimeUnset))
         .map(pt => pt.copy(
           time = if (pt.time == TimeUnset) nowNs else pt.time * mult))
-      if (pts.isEmpty) sys.error("no points parsed")
-      // fence registration rides the write path (fence.go:37
-      // RewriteRows): rows in the `fence` measurement with an `id` tag
-      // and a string `geometry` field register a fence (existing ids
-      // are skipped, like the reference); the rows also land as
-      // ordinary measurement data below
-      val fenceRows = pts.filter(_.measurement == "fence")
-      if (fenceRows.nonEmpty) synchronized {
-        fenceRows.foreach { pt =>
-          (pt.tags.get("id"), pt.stringFields.get("geometry")) match {
-            case (Some(id), Some(geo)) if !fences.contains(id) =>
-              try fences = fences + (id -> Fence.parse(id, geo))
-              catch { case e: Exception =>
-                System.err.println(
-                  s"[gateway] fence parse failed: ${e.getMessage}") }
-            case _ =>
-          }
-        }
-        persistFences()
-      }
-      // batch-level schema-on-write conflict gate (write_helper.go:463)
-      val conflicts = pts.flatMap { pt =>
-        (pt.floatFields.keys.map((pt.measurement, _, "float")) ++
-          pt.intFields.keys.map((pt.measurement, _, "integer")) ++
-          pt.boolFields.keys.map((pt.measurement, _, "boolean")) ++
-          pt.stringFields.keys.map((pt.measurement, _, "string")))
-      }.distinct.groupBy(t => (t._1, t._2)).filter(_._2.size > 1)
-      if (conflicts.nonEmpty) {
-        val (m, f) = conflicts.head._1
-        sys.error(s"partial write: field type conflict: $m.$f")
-      }
-      synchronized {
-        pts.groupBy(_.measurement).foreach { case (m, ps) =>
-          val tagKeys = ps.flatMap(_.tags.keys).distinct.sorted
-          val pdf = spark.createDataset(ps)(
-            Encoders.product[LineProtocol.Point]).toDF()
-          val tbl = LineProtocol.toMeasurementTable(pdf, m, tagKeys,
-            ps.flatMap(_.floatFields.keys).distinct.sorted,
-            ps.flatMap(_.intFields.keys).distinct.sorted,
-            ps.flatMap(_.boolFields.keys).distinct.sorted,
-            ps.flatMap(_.stringFields.keys).distinct.sorted)
-          val key = dbKey(wdb, m)
-          persistBatch(key, tbl, tagKeys)
-          val merged = catalog.get(key) match {
-            case Some(prev) => InfluxQL.Measurement(
-              maybeCompact(key,
-                prev.df.unionByName(tbl, allowMissingColumns = true)),
-              (prev.tags ++ tagKeys).distinct, prev.time)
-            case None => InfluxQL.Measurement(tbl, tagKeys, "ts")
-          }
-          catalog = catalog + (key -> merged)
-        }
-      }
-      stats.pointsWrittenOK.addAndGet(pts.size)
+      ingestPoints(wdb, pts)
       ex.sendResponseHeaders(204, -1); ex.close()
     } catch {
       case e: Throwable =>
         stats.write400ErrReq.incrementAndGet()
         respond(ex, 400, s"""{"error":${jsonStr(String.valueOf(e.getMessage))}}""")
     }
+
+
+  /** Shared ingest core for the write-family routes (/write, /api/v2/
+    * write, logkeeper /records and /upload): fence registration, the
+    * batch-level schema conflict gate, per-measurement table build +
+    * persist + catalog merge. Callers respond; this throws on error. */
+  private def ingestPoints(wdb: String,
+                           pts: Seq[LineProtocol.Point]): Unit = {
+    if (pts.isEmpty) sys.error("no points parsed")
+    // fence registration rides the write path (fence.go:37
+    // RewriteRows): rows in the `fence` measurement with an `id` tag
+    // and a string `geometry` field register a fence (existing ids
+    // are skipped, like the reference); the rows also land as
+    // ordinary measurement data below
+    val fenceRows = pts.filter(_.measurement == "fence")
+    if (fenceRows.nonEmpty) synchronized {
+      fenceRows.foreach { pt =>
+        (pt.tags.get("id"), pt.stringFields.get("geometry")) match {
+          case (Some(id), Some(geo)) if !fences.contains(id) =>
+            try fences = fences + (id -> Fence.parse(id, geo))
+            catch { case e: Exception =>
+              System.err.println(
+                s"[gateway] fence parse failed: ${e.getMessage}") }
+          case _ =>
+        }
+      }
+      persistFences()
+    }
+    // batch-level schema-on-write conflict gate (write_helper.go:463)
+    val conflicts = pts.flatMap { pt =>
+      (pt.floatFields.keys.map((pt.measurement, _, "float")) ++
+        pt.intFields.keys.map((pt.measurement, _, "integer")) ++
+        pt.boolFields.keys.map((pt.measurement, _, "boolean")) ++
+        pt.stringFields.keys.map((pt.measurement, _, "string")))
+    }.distinct.groupBy(t => (t._1, t._2)).filter(_._2.size > 1)
+    if (conflicts.nonEmpty) {
+      val (m, f) = conflicts.head._1
+      sys.error(s"partial write: field type conflict: $m.$f")
+    }
+    synchronized {
+      pts.groupBy(_.measurement).foreach { case (m, ps) =>
+        val tagKeys = ps.flatMap(_.tags.keys).distinct.sorted
+        val pdf = spark.createDataset(ps)(
+          Encoders.product[LineProtocol.Point]).toDF()
+        val tbl = LineProtocol.toMeasurementTable(pdf, m, tagKeys,
+          ps.flatMap(_.floatFields.keys).distinct.sorted,
+          ps.flatMap(_.intFields.keys).distinct.sorted,
+          ps.flatMap(_.boolFields.keys).distinct.sorted,
+          ps.flatMap(_.stringFields.keys).distinct.sorted)
+        val key = dbKey(wdb, m)
+        persistBatch(key, tbl, tagKeys)
+        val merged = catalog.get(key) match {
+          case Some(prev) => InfluxQL.Measurement(
+            maybeCompact(key,
+              prev.df.unionByName(tbl, allowMissingColumns = true)),
+            (prev.tags ++ tagKeys).distinct, prev.time)
+          case None => InfluxQL.Measurement(tbl, tagKeys, "ts")
+        }
+        catalog = catalog + (key -> merged)
+      }
+    }
+    stats.pointsWrittenOK.addAndGet(pts.size)
+  }
 
   /** Resolve the ingest database for a write-family route: missing/
     * empty db targets the default database; an uncreated one is the
@@ -2969,6 +2979,23 @@ final class HttpGateway(spark: SparkSession,
         handleConsumeRoutes(ex, t0, mc.group(1), mc.group(2), mc.group(3))
         return
       }
+      val rxw =
+        "^/repo/([^/]+)/logstreams/([^/]+)/(records|upload|recalldata)$".r
+      val mw0 = rxw.findFirstMatchIn(path)
+      if (mw0.isDefined) {
+        val mw = mw0.get
+        handleLogIngestRoutes(ex, mw.group(1), mw.group(2), mw.group(3))
+        return
+      }
+      val rxt =
+        "^/repo/([^/]+)/logstreams/([^/]+)/stream-task(?:/([^/]+))?$".r
+      val mt0 = rxt.findFirstMatchIn(path)
+      if (mt0.isDefined) {
+        val mt = mt0.get
+        handleStreamTaskRoutes(ex, mt.group(1), mt.group(2),
+          Option(mt.group(3)))
+        return
+      }
       val rx = "^/repo/([^/]+)/logstreams/([^/]+)/(logs|histogram|analytics)$".r
       val m0 = rx.findFirstMatchIn(path).getOrElse {
         respond(ex, 404, """{"error":"unknown logkeeper route"}""")
@@ -3108,6 +3135,170 @@ final class HttpGateway(spark: SparkSession,
         s"""{"success":false,"code":"400","message":${
           jsonStr(String.valueOf(e.getMessage))}}""")
     }
+
+  /** Logkeeper ingest routes (`handler_logstore.go`): POST /records
+    * (serveRecord :1653 — NDJSON or jsonArray log objects, `precision`
+    * ns/us/ms/s with the reference's ms default, `mapping` JSON
+    * renaming the timestamp key, `log-tags` header tags, gzip bodies;
+    * rows that fail to parse land as fail-log rows tagged
+    * `failLog=true` with the raw line as `content`, the reference's
+    * fail-record stream), POST /upload (serveUpload :1833 — raw lines,
+    * each becoming a `content` row stamped at request time) and POST
+    * /recalldata (serveRecallData :3207 — revert a pending
+    * retention-delete; deletion is immediate in this engine so a valid
+    * target is an idempotent 200). All three reuse [[ingestPoints]],
+    * so fence registration / schema conflict / persistence behave
+    * exactly like /write. */
+  private def handleLogIngestRoutes(ex: HttpExchange, repo: String,
+                                    stream: String,
+                                    action: String): Unit = {
+    val p = params(ex, readBody = false) + ("db" -> repo)
+    if (guard(ex, p, Auth.WritePrivilege, "write to").isEmpty) return
+    if (ex.getRequestMethod != "POST") {
+      respond(ex, 405, "{\"error\":\"invalid method\"}"); return
+    }
+    if (!databases.contains(repo)) sys.error("repository not found")
+    if (!sliceOf(catalog, repo).contains(stream))
+      sys.error("logstream not found")
+    if (action == "recalldata") { respond(ex, 200, ""); return }
+    val rawBody = ex.getRequestBody.readAllBytes()
+    val body =
+      if (Option(ex.getRequestHeaders.getFirst("x-log-compresstype"))
+          .contains("gzip")) {
+        val gz = new java.util.zip.GZIPInputStream(
+          new java.io.ByteArrayInputStream(rawBody))
+        try new String(gz.readAllBytes(), UTF_8) finally gz.close()
+      } else new String(rawBody, UTF_8)
+    val nowNs = System.currentTimeMillis() * 1000000L
+    val logTags: Map[String, String] =
+      Option(ex.getRequestHeaders.getFirst("log-tags"))
+        .filter(_.nonEmpty)
+        .map(MiniJson.parseObject(_).map { case (k, v) =>
+          k -> String.valueOf(v) })
+        .getOrElse(Map.empty)
+    val pts: Seq[LineProtocol.Point] = action match {
+      case "upload" =>
+        body.split('\n').toSeq.filter(_.nonEmpty).map { line =>
+          LineProtocol.Point(stream, logTags, Map.empty, Map.empty,
+            Map.empty, Map("content" -> line), nowNs)
+        }
+      case _ => // records
+        val mult = p.getOrElse("precision", "ms") match {
+          case "ns" => 1L
+          case "us" => 1000L
+          case "ms" => 1000000L
+          case "s" => 1000000000L
+          case x => sys.error(s"invalid precision $x")
+        }
+        val mapping = p.get("mapping").filter(_.nonEmpty)
+          .map(MiniJson.parseObject).getOrElse(Map.empty)
+        val tsKey = mapping.get("timestamp")
+          .map(String.valueOf(_)).getOrElse("time")
+        def toPoint(m: Map[String, Any]): LineProtocol.Point = {
+          var fl = Map.empty[String, Double]
+          var st = Map.empty[String, String]
+          var bo = Map.empty[String, Boolean]
+          var t = nowNs
+          m.foreach { case (k, v) =>
+            if (k == tsKey) v match {
+              case d: Double => t = d.toLong * mult
+              case sStr: String => t = sStr.trim.toLong * mult
+              case _ => ()
+            } else v match {
+              case sStr: String => st += k -> sStr
+              case d: Double => fl += k -> d
+              case b: Boolean => bo += k -> b
+              case null => ()
+              case other => st += k -> MiniJson.render(other)
+            }
+          }
+          LineProtocol.Point(stream, logTags, fl, Map.empty, bo, st, t)
+        }
+        def failPoint(raw: String): LineProtocol.Point =
+          LineProtocol.Point(stream, logTags + ("failLog" -> "true"),
+            Map.empty, Map.empty, Map.empty,
+            Map("content" -> raw), nowNs)
+        p.getOrElse("type", "json").toLowerCase match {
+          case "" | "json" =>
+            body.split('\n').toSeq.filter(_.trim.nonEmpty).map { line =>
+              try toPoint(MiniJson.parseObject(line))
+              catch { case _: Exception => failPoint(line) }
+            }
+          case "jsonarray" =>
+            (MiniJson.parse(body) match {
+              case xs: Vector[_] => xs
+              case _ => sys.error("invalid log data type")
+            }).map {
+              case m: Map[_, _] =>
+                toPoint(m.asInstanceOf[Map[String, Any]])
+              case other => failPoint(MiniJson.render(other))
+            }
+          case _ => sys.error("invalid log data type")
+        }
+    }
+    if (pts.isEmpty) sys.error("no logs parsed")
+    ingestPoints(repo, pts)
+    respond(ex, 200, "")
+  }
+
+  /** Logkeeper stream tasks (`handler_logstore_stream.go`): POST
+    * creates a continuous stream view over the logstream — body
+    * `{"query": "<ppl|sql>", "id": "<taskId>"}`, aggregations limited
+    * to min/max/sum/count (streamSupportMap :31, StreamCheck), the
+    * view measurement named `view-<logStream>-<id>`
+    * (rewriteLogStream :146). Re-expressed on the engine's existing
+    * stream registry: the task compiles to a canonical CREATE STREAM
+    * statement, journals like every other stream, and flushes under
+    * the same sweep. DELETE /stream-task/{taskId} drops it. */
+  private def handleStreamTaskRoutes(ex: HttpExchange, repo: String,
+                                     stream: String,
+                                     taskId: Option[String]): Unit = {
+    val p = params(ex, readBody = false) + ("db" -> repo)
+    if (guard(ex, p, Auth.WritePrivilege, "write to").isEmpty) return
+    if (!databases.contains(repo)) sys.error("repository not found")
+    if (!sliceOf(catalog, repo).contains(stream))
+      sys.error("logstream not found")
+    (ex.getRequestMethod, taskId) match {
+      case ("POST", None) =>
+        val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+        val cfg = MiniJson.parseObject(body)
+        val id = cfg.get("id").map(String.valueOf(_))
+          .filter(_.nonEmpty).getOrElse(sys.error("id is required"))
+        val query = cfg.get("query").map(String.valueOf(_))
+          .filter(_.nonEmpty).getOrElse(sys.error("query is required"))
+        // a pipe-less `select …` is pure SQL (getPureSqlQuery arm);
+        // otherwise the SELECT is the query's last pipe segment
+        val (_, sqlTail) = LogPipe.splitPplSql(query)
+        val sql = sqlTail.getOrElse {
+          if (query.trim.toLowerCase.startsWith("select")) query.trim
+          else sys.error("query needs a SELECT")
+        }
+        val view = s"view-$stream-$id"
+        val ddl = s"CREATE STREAM '$id' INTO '$view' ON " +
+          withFrom(sql.trim, stream)
+        // StreamCheck: only min/max/sum/count stream-aggregate
+        val st = graft.streaming.StreamDDL.parse(ddl)
+        val bad = st.calls.map(_._1)
+          .filterNot(Set("min", "max", "sum", "count"))
+        require(bad.isEmpty,
+          s"unsupported call in stream task: ${bad.mkString(",")}")
+        require(st.from == stream, "stream task must read its logstream")
+        synchronized { registerStream(repo, ddl, Long.MinValue)
+          persistDdl() }
+        respond(ex, 200, s"""{"query":${jsonStr(ddl)},""" +
+          s""""repo":${jsonStr(repo)},"logStream":${jsonStr(view)}}""")
+      case ("DELETE", Some(id)) =>
+        synchronized {
+          if (!streamRegistry.contains((repo, id)))
+            sys.error(s"stream task not found: $id")
+          streamRegistry = streamRegistry - ((repo, id))
+          persistDdl()
+        }
+        respond(ex, 200, "{}")
+      case (m, t) => respond(ex, 405,
+        s"""{"error":"bad stream-task request: $m $t"}""")
+    }
+  }
 
   /** Logkeeper consume surface (`handler_logstore_consume.go`): the
     * Kafka-like cursor consumption API. Cursor wire format replicated

@@ -986,6 +986,113 @@ class ServerSpec extends SparkSpec {
     } finally g.stop()
   }
 
+  test("logkeeper ingest: /records NDJSON + jsonArray + mapping + " +
+      "gzip + fail rows, /upload raw lines, /recalldata") {
+    val g = new HttpGateway(spark, Map.empty, Map.empty)
+    g.start()
+    try {
+      def post(path: String, body: Array[Byte],
+               hdrs: Seq[(String, String)] = Nil) = {
+        var b = HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:${g.boundPort}$path"))
+          .POST(HttpRequest.BodyPublishers.ofByteArray(body))
+        hdrs.foreach { case (k, v) => b = b.header(k, v) }
+        http.send(b.build(), HttpResponse.BodyHandlers.ofString())
+      }
+      def q(sql: String) = http.send(HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:${g.boundPort}/query?db=rrepo&q=" +
+          enc(sql) + "&epoch=ms")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(post("/api/v1/repository/rrepo", Array.empty)
+        .statusCode() == 200)
+      assert(post("/api/v1/logstream/rrepo/web", Array.empty)
+        .statusCode() == 200)
+      val base = "/repo/rrepo/logstreams/web"
+      // logstream must exist first (validateRetentionPolicy)
+      assert(post("/repo/rrepo/logstreams/nope/records",
+        "{}".getBytes).statusCode() == 400)
+      // NDJSON with a renamed timestamp key (mapping), ms precision,
+      // one malformed line -> failLog row, log-tags header tags
+      val nd = Seq(
+        """{"ts": 1000, "level": "info", "msg": "ok", "code": 200}""",
+        """not json at all""",
+        """{"ts": 2000, "level": "warn", "msg": "slow", "code": 504}""")
+        .mkString("\n")
+      val r = post(s"$base/records?precision=ms&mapping=" +
+        enc("""{"timestamp":"ts"}"""), nd.getBytes,
+        Seq("log-tags" -> """{"host":"h1"}"""))
+      assert(r.statusCode() == 200, r.body())
+      val got = q("SELECT msg, code, host FROM web")
+      assert(got.body().contains("\"ok\"") &&
+        got.body().contains("\"slow\"") &&
+        got.body().contains("\"h1\""), got.body())
+      assert(got.body().contains("[1000,") &&
+        got.body().contains("[2000,"), got.body())
+      val fails = q("SELECT content FROM web WHERE failLog = 'true'")
+      assert(fails.body().contains("not json at all"), fails.body())
+      // jsonArray body, gzipped
+      val arr = """[{"ts": 3000, "msg": "gz"}]"""
+      val bos = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write(arr.getBytes); gz.close()
+      assert(post(s"$base/records?type=jsonArray&precision=ms&mapping=" +
+        enc("""{"timestamp":"ts"}"""), bos.toByteArray,
+        Seq("x-log-compresstype" -> "gzip")).statusCode() == 200)
+      assert(q("SELECT msg FROM web WHERE msg = 'gz'").body()
+        .contains("\"gz\""))
+      // /upload: raw lines become content rows at request time
+      assert(post(s"$base/upload",
+        "line one\nline two".getBytes).statusCode() == 200)
+      val up = q("SELECT content FROM web WHERE content =~ /line/")
+      assert(up.body().contains("line one") &&
+        up.body().contains("line two"), up.body())
+      // /recalldata: valid target idempotent 200, bad stream 400
+      assert(post(s"$base/recalldata", Array.empty).statusCode() == 200)
+      assert(post("/repo/rrepo/logstreams/nope/recalldata",
+        Array.empty).statusCode() == 400)
+    } finally g.stop()
+  }
+
+  test("logkeeper stream-task: create compiles to a registered stream, " +
+      "sweep flushes the view measurement, delete drops it") {
+    val g = new HttpGateway(spark, Map.empty, Map.empty)
+    g.start()
+    try {
+      def req(method: String, path: String, body: String = "") = {
+        val b = HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:${g.boundPort}$path"))
+        http.send((method match {
+          case "GET" => b.GET()
+          case "DELETE" => b.DELETE()
+          case _ => b.POST(HttpRequest.BodyPublishers.ofString(body))
+        }).build(), HttpResponse.BodyHandlers.ofString())
+      }
+      def q(sql: String) = req("GET", "/query?db=strepo&q=" + enc(sql) +
+        "&epoch=ms")
+      assert(req("POST", "/api/v1/repository/strepo").statusCode() == 200)
+      assert(req("POST", "/api/v1/logstream/strepo/evs").statusCode() == 200)
+      val base = "/repo/strepo/logstreams/evs"
+      // unsupported aggregate (mean) is the reference's StreamCheck 400
+      assert(req("POST", s"$base/stream-task",
+        """{"id":"bad","query":"select mean(v) from evs group by time(5s)"}""")
+        .statusCode() == 400)
+      val r = req("POST", s"$base/stream-task",
+        """{"id":"t1","query":"select count(v), sum(v) from evs group by time(5s)"}""")
+      assert(r.statusCode() == 200, r.body())
+      assert(r.body().contains("\"logStream\":\"view-evs-t1\""), r.body())
+      assert(q("SHOW STREAMS").body().contains("t1"))
+      // rows flush into the view under the ordinary stream sweep
+      assert(req("POST", "/write?db=strepo&precision=ms",
+        "evs v=1 1000\nevs v=2 2000\nevs v=4 7000").statusCode() == 204)
+      assert(g.runStreams(20000) >= 1)
+      val v = q("SELECT count, sum FROM \"view-evs-t1\"").body()
+      assert(v.contains("[0,2,3.0]") && v.contains("[5000,1,4.0]"), v)
+      assert(req("DELETE", s"$base/stream-task/t1").statusCode() == 200)
+      assert(!q("SHOW STREAMS").body().contains("view-evs-t1"))
+      assert(req("DELETE", s"$base/stream-task/t1").statusCode() == 400)
+    } finally g.stop()
+  }
+
   test("Consume codec unit: decode∘encode = id on the reference pipe " +
       "format, incl. pre-task and empty-task forms") {
     val full = Consume.Cursor(reverse = true, taskNum = 4, cursorId = 2,
