@@ -958,7 +958,34 @@ trait EntryOraclesB extends EntryBase {
          SELECT doc_id, n_bigrams, score,
            ntile(3) OVER (ORDER BY CAST(score AS DOUBLE) / n_bigrams DESC,
              doc_id ASC) AS bucket
-         FROM perdoc ORDER BY doc_id"""
+         FROM perdoc ORDER BY doc_id""",
+
+    "q125_split_leakage" ->
+      """WITH rep AS (
+           SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS rep
+           FROM documents),
+         s AS (
+           SELECT doc_id, rep,
+             CASE WHEN ((rep % 2147483647) * 2654435761) % 2147483647
+                    < 1717986918 THEN 'train'
+                  WHEN ((rep % 2147483647) * 2654435761) % 2147483647
+                    < 1932735283 THEN 'val'
+                  ELSE 'test' END AS split,
+             CASE WHEN ((doc_id % 2147483647) * 2654435761) % 2147483647
+                    < 1717986918 THEN 'train'
+                  WHEN ((doc_id % 2147483647) * 2654435761) % 2147483647
+                    < 1932735283 THEN 'val'
+                  ELSE 'test' END AS naive_split
+           FROM rep),
+         pc AS (
+           SELECT rep, split, count(*) AS n,
+             count(DISTINCT naive_split) AS ns
+           FROM s GROUP BY rep, split)
+         SELECT split, CAST(sum(n) AS BIGINT) AS n_docs,
+           count(*) AS n_clusters,
+           CAST(sum(CASE WHEN ns > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS naive_leaked
+         FROM pc GROUP BY split ORDER BY split"""
   )
 
   /** Shared BM25 oracle CTE stack (mirrors Retrieval.bm25TopK's

@@ -1045,6 +1045,15 @@ trait EntryQueriesB extends EntryBase {
         Bpe.trainOnFreqs(Bpe.wordFreqs(docs, "text"), nMerges = 40)._2
       }
       Bpe.segmentCounts(docs, "text", "doc_id", segs).orderBy("doc_id")
+    }),
+
+    // pipeline: leakage-safe train/val/test split — exact-dup clusters
+    // (not documents) are hash-assigned to splits so duplicated text
+    // never straddles the train/eval boundary; naive_leaked quantifies
+    // how many clusters the per-document split would have torn across
+    // splits (Sampling scaladoc).
+    "q125_split_leakage" -> ((s, dir) => {
+      Sampling.leakageSafeSplit(t(s, dir, "documents"), "text", "doc_id")
     })
   )
 

@@ -48,4 +48,53 @@ object Sampling {
   def sampleN(df: DataFrame, keyCol: String, n: Int,
               seed: Long = 0L): DataFrame =
     df.orderBy(xxhash64(col(keyCol), lit(seed)), col(keyCol)).limit(n)
+
+  /** 80/10/10 knuth-hash split thresholds over [0, 2^31-1): exact
+    * integer literals shared with the SQL oracle (floor(0.8·m)+1,
+    * floor(0.9·m)+1 for m = 2147483647). */
+  val SplitT1 = 1717986918L
+  val SplitT2 = 1932735283L
+
+  /** Leakage-safe train/val/test split: assign every EXACT-DUP CLUSTER
+    * (not every document) to a split, so no duplicated text ever
+    * straddles the train/eval boundary — the standard contamination
+    * trap when corpora are split per-document before dedup (Lee '22
+    * §6, Dodge '21). The cluster representative is min(doc_id) over
+    * identical text; the split is a deterministic Knuth multiplicative
+    * hash of the representative (the q67/q118 bucket arithmetic — SQL-
+    * replayable, no RNG). The output also quantifies the counterfactual:
+    * `naive_leaked` = clusters in this split whose members would have
+    * landed in ≥2 different splits under the per-document hash.
+    *
+    * Scale shape: one window-min over the text-hash shuffle (at 100 TB
+    * the partition key is `xxhash64(text)` — 8-byte shuffle; the raw
+    * text grouping here keeps the oracle joinable), then two reduced
+    * aggregates. Nothing collects; nothing is quadratic.
+    *
+    * @return (split, n_docs, n_clusters, naive_leaked) ordered by split
+    */
+  def leakageSafeSplit(docs: DataFrame, textCol: String,
+                       idCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(textCol))
+    def hb(c: Column): Column =
+      pmod(pmod(c, lit(2147483647L)) * lit(2654435761L), lit(2147483647L))
+    def splitOf(c: Column): Column =
+      when(hb(c) < SplitT1, "train")
+        .when(hb(c) < SplitT2, "val")
+        .otherwise("test")
+    val rows = docs
+      .withColumn("rep", min(col(idCol)).over(w))
+      .select(col(idCol).as("doc_id"), col("rep"),
+        splitOf(col("rep")).as("split"),
+        splitOf(col(idCol)).as("naive_split"))
+    val perCluster = rows.groupBy(col("rep"), col("split"))
+      .agg(count(lit(1)).as("_n"),
+        countDistinct(col("naive_split")).as("_ns"))
+    perCluster.groupBy(col("split"))
+      .agg(sum(col("_n")).as("n_docs"),
+        count(lit(1)).as("n_clusters"),
+        sum(when(col("_ns") > 1, 1L).otherwise(0L)).as("naive_leaked"))
+      .orderBy("split")
+  }
 }

@@ -573,4 +573,31 @@ class PipelineSpec extends SparkSpec {
     assert(out(0) == ((1L, 3L, 1L + 1L + 4L)))
     assert(out(1) == ((2L, 1L, 4L))) // unseen: |chars| + terminal
   }
+
+  test("leakageSafeSplit: clusters stay whole, counts and naive-leak " +
+      "replicate the hash rule exactly") {
+    import graft.pipeline.Sampling
+    val texts = Seq("aa", "aa", "bb", "cc", "cc", "cc", "dd", "ee",
+      "ee", "ff")
+    val d = texts.zipWithIndex
+      .map { case (t, i) => ((i + 1).toLong, t) }.toDF("doc_id", "text")
+    def hb(x: Long): Long =
+      math.floorMod(math.floorMod(x, 2147483647L) * 2654435761L,
+        2147483647L)
+    def splitOf(x: Long): String =
+      if (hb(x) < Sampling.SplitT1) "train"
+      else if (hb(x) < Sampling.SplitT2) "val" else "test"
+    // pure-scala replication of the whole operator
+    val byText = texts.zipWithIndex.map { case (t, i) => (i + 1L, t) }
+      .groupBy(_._2).values.map(g => (g.map(_._1).min, g.map(_._1)))
+    val want = byText.groupBy { case (rep, _) => splitOf(rep) }
+      .map { case (sp, cl) =>
+        (sp, cl.map(_._2.size).sum.toLong, cl.size.toLong,
+          cl.count(_._2.map(splitOf).distinct.size > 1).toLong) }
+      .toSeq.sortBy(_._1)
+    val got = Sampling.leakageSafeSplit(d, "text", "doc_id")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == want, s"$got vs $want")
+    assert(got.map(_._2).sum == 10 && got.map(_._3).sum == 6)
+  }
 }
