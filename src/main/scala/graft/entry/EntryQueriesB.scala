@@ -1054,6 +1054,20 @@ trait EntryQueriesB extends EntryBase {
     // splits (Sampling scaladoc).
     "q125_split_leakage" -> ((s, dir) => {
       Sampling.leakageSafeSplit(t(s, dir, "documents"), "text", "doc_id")
+    }),
+
+    // pipeline: MMR diversity re-ranking over the dense top-20 — the
+    // RAG post-retrieval pass (λ=0.7). k-bounded per query: the greedy
+    // loop runs inside flatMapGroups on ≤20 vectors, kCand² dots per
+    // QUERY not per corpus. No SQL oracle (iterative greedy);
+    // tools/oracle.py replays candidates + selection with f64
+    // tie-border exclusion.
+    "q126_mmr_rerank" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.mmrRerank(emb.filter(col("vec_id") >= 4),
+          emb.filter(col("vec_id") < 4), "embedding", "vec_id",
+          kCand = 20, kOut = 10, lambda = 0.7)
+        .orderBy("query_id", "rank")
     })
   )
 

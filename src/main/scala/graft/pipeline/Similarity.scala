@@ -497,4 +497,80 @@ object Similarity {
         col("cos"), scoreDesc = true)
       .select("query_id", "neighbor_id", "rank", "cos")
   }
+
+  /** Maximal-marginal-relevance re-ranking (Carbonell & Goldstein '98):
+    * from each query's top-`kCand` cosine candidates, greedily select
+    * `kOut` maximizing `λ·sim(q,d) − (1−λ)·max_{s∈S} sim(d,s)` — the
+    * standard diversity pass RAG retrievers run after dense top-k.
+    *
+    * Distribution shape: the candidate frame is k-bounded per query
+    * (ANN/brute-force top-k upstream), so the greedy loop runs inside
+    * `flatMapGroups` with ≤kCand vectors per group — kCand² dot
+    * products per QUERY, never per corpus; memory is O(kCand·dim).
+    * Scales with query count, not corpus size.
+    *
+    * Determinism contract (replayed by tools/oracle.py): doc-doc
+    * cosine is a sequential non-FMA f64 multiply-accumulate; greedy
+    * ties break on smaller doc_id; candidates enter ordered by
+    * (cos desc, doc_id asc).
+    *
+    * @return (query_id, doc_id, rank, relevance, mmr) — rank is the
+    *         selection order, `mmr` the score at selection time
+    */
+  def mmrRerank(corpus: DataFrame, queries: DataFrame, vecCol: String,
+                idCol: String, kCand: Int, kOut: Int,
+                lambda: Double): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cands = bruteForceTopK(corpus, queries, vecCol, idCol, kCand)
+    val ds = cands
+      .join(corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).as("_v")), Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("cos"), col("_v"))
+      .as[(Long, Long, Double, Seq[Float])]
+    ds.groupByKey(_._1).flatMapGroups { (qid, it) =>
+      val cand = it.toArray.sortBy(t => (-t._3, t._2))
+      val vecs = cand.map(_._4.toArray.map(_.toDouble))
+      val norms = vecs.map { v =>
+        var s = 0.0; var i = 0
+        while (i < v.length) { s += v(i) * v(i); i += 1 }
+        math.sqrt(s)
+      }
+      def cosAt(a: Int, b: Int): Double = {
+        val va = vecs(a); val vb = vecs(b)
+        var s = 0.0; var i = 0
+        while (i < va.length) { s += va(i) * vb(i); i += 1 }
+        s / (norms(a) * norms(b))
+      }
+      val selected = scala.collection.mutable.ArrayBuffer.empty[Int]
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Int, Double, Double)]
+      while (selected.length < math.min(kOut, cand.length)) {
+        var bestIdx = -1; var bestScore = Double.NegativeInfinity
+        var i = 0
+        while (i < cand.length) {
+          if (!selected.contains(i)) {
+            // true max over S — no 0 floor: doc-doc cosines can be
+            // negative, and flooring would erase the diversity BONUS
+            // an anti-correlated candidate earns
+            var maxSim = Double.NegativeInfinity
+            selected.foreach { s =>
+              val c = cosAt(i, s); if (c > maxSim) maxSim = c
+            }
+            val score =
+              if (selected.isEmpty) cand(i)._3
+              else lambda * cand(i)._3 - (1 - lambda) * maxSim
+            // strict > with (cos desc, id asc) entry order = ties to
+            // the higher-relevance then smaller-id candidate
+            if (score > bestScore) { bestScore = score; bestIdx = i }
+          }
+          i += 1
+        }
+        selected += bestIdx
+        out += ((qid, cand(bestIdx)._2, selected.length, cand(bestIdx)._3,
+          bestScore))
+      }
+      out.iterator
+    }.toDF("query_id", "doc_id", "rank", "relevance", "mmr")
+  }
 }

@@ -600,4 +600,28 @@ class PipelineSpec extends SparkSpec {
     assert(got == want, s"$got vs $want")
     assert(got.map(_._2).sum == 10 && got.map(_._3).sum == 6)
   }
+
+  test("mmrRerank: diversity pass demotes the redundant near-duplicate " +
+      "of an already-selected result") {
+    // q=(1,.1). Candidates: a=(1,0) cos .9950; b=(.999,-.02) cos .9929
+    // (a near-dup of a: sim(b,a)=.9998); c=(.7,.7) cos .7740. Pure
+    // relevance ranks a,b,c — MMR at λ=0.5 after picking a scores
+    // b at .5(.9929-.9998)=-.0035 vs c at .5(.7740-.7071)=+.0334,
+    // so the diverse c displaces the redundant b.
+    val corpus = Seq(
+      (10L, Seq(1.0f, 0.0f)), (11L, Seq(0.999f, -0.02f)),
+      (12L, Seq(0.7f, 0.7f))).toDF("vec_id", "embedding")
+    val q = Seq((1L, Seq(1.0f, 0.1f))).toDF("vec_id", "embedding")
+    val out = graft.pipeline.Similarity.mmrRerank(corpus, q, "embedding",
+        "vec_id", kCand = 3, kOut = 3, lambda = 0.5)
+      .orderBy("rank")
+      .select("doc_id").as[Long].collect().toSeq
+    assert(out == Seq(10L, 12L, 11L), out.toString)
+    // pure relevance keeps the redundant doc second: λ=1 degenerates
+    // to the cosine order
+    val rel = graft.pipeline.Similarity.mmrRerank(corpus, q, "embedding",
+        "vec_id", kCand = 3, kOut = 3, lambda = 1.0)
+      .orderBy("rank").select("doc_id").as[Long].collect().toSeq
+    assert(rel == Seq(10L, 11L, 12L), rel.toString)
+  }
 }

@@ -538,6 +538,74 @@ def check_q124(sf, out, n_merges=40):
                        f"final symbol types")
 
 
+def check_q126(sf, out, k_cand=20, k_out=10, lam=0.7, eps=1e-9):
+    """MMR re-rank replication: recompute each query's top-20 cosine
+    candidates (f64), replay the greedy lambda*rel - (1-lam)*maxsim
+    selection with the documented tie rules, and require the selected
+    doc sequence to match. Queries whose candidate boundary or any
+    greedy step sits within eps of a tie are excluded (float fold-order
+    border, the q119 pattern); scores must match to 1e-6 relative."""
+    emb = pq.read_table(f"{sf}/embeddings.parquet").to_pandas()
+    M = np.stack(emb["embedding"].values).astype(np.float64)
+    ids = emb["vec_id"].values.astype(int)
+    got = load(out, "q126_mmr_rerank")
+    qids = [i for i in ids if i < 4]
+    corpus = [(v, M[j]) for j, v in enumerate(ids) if v >= 4]
+    cn = {v: float(np.sqrt(np.dot(m, m))) for v, m in corpus}
+    mism, borders, checked = 0, 0, 0
+    for q in qids:
+        qv = M[list(ids).index(q)]
+        qn = float(np.sqrt(np.dot(qv, qv)))
+        scored = sorted(
+            ((float(np.dot(qv, m) / (qn * cn[v])), v, m) for v, m in corpus),
+            key=lambda t: (-t[0], t[1]))
+        if len(scored) > k_cand and \
+                scored[k_cand - 1][0] - scored[k_cand][0] < eps:
+            borders += 1
+            continue
+        cand = scored[:k_cand]
+        sel, border_q = [], False
+        while len(sel) < min(k_out, len(cand)):
+            best, second = None, None
+            for i, (rel, v, m) in enumerate(cand):
+                if i in [s[0] for s in sel]:
+                    continue
+                if not sel:
+                    score = rel
+                else:
+                    maxsim = max(
+                        float(np.dot(m, cand[j][2]) /
+                              (cn[v] * cn[cand[j][1]]))
+                        for j, _ in sel)
+                    score = lam * rel - (1 - lam) * maxsim
+                if best is None or score > best[1]:
+                    second = best
+                    best = (i, score)
+                elif second is None or score > second[1]:
+                    second = (i, score)
+            if second is not None and best[1] - second[1] < eps:
+                border_q = True
+                break
+            sel.append(best)
+        if border_q:
+            borders += 1
+            continue
+        want = [cand[i][1] for i, _ in sel]
+        gq = got[got.query_id == q].sort_values("rank")
+        if list(gq.doc_id.astype(int))[:len(want)] != want:
+            mism += 1
+        else:
+            rels = [cand[i][0] for i, _ in sel]
+            if not np.allclose(gq.relevance.values[:len(rels)], rels,
+                               rtol=1e-6):
+                mism += 1
+        checked += 1
+    ok = mism == 0 and checked > 0
+    return verdict(ok, f"greedy MMR replay: {mism} mismatched queries "
+                       f"of {checked} adjudicated ({borders} tie-border "
+                       f"excluded)")
+
+
 def main():
     sf, out = sys.argv[1], sys.argv[2]
     checks = {
@@ -557,6 +625,7 @@ def main():
         "q109_ann_ivfpq": lambda: check_ann(sf, out, "q109_ann_ivfpq", 0.8),
         "q119_semdedup": lambda: check_q119(sf, out),
         "q124_bpe_tokenize": lambda: check_q124(sf, out),
+        "q126_mmr_rerank": lambda: check_q126(sf, out),
     }
     result = {}
     for q, fn in checks.items():
