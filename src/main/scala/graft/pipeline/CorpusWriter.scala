@@ -1,0 +1,107 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Training-corpus shard writer — the SINK half of the curation
+  * pipeline: after filtering/dedup/mixing, a corpus ships as a set of
+  * fixed-token-budget shard files plus a manifest the training job
+  * reads for scheduling and integrity checks (the WebDataset/
+  * Megatron-style layout: shard = unit of shuffle and of resume).
+  *
+  * Shard assignment is a deterministic hash of the document id —
+  * corpus-order-independent (re-running after an upstream change moves
+  * only the changed documents), and every shard's expected token mass
+  * is total/nShards with hash-uniform balance. The per-shard file is
+  * written sorted by id so a shard's bytes are a pure function of its
+  * membership.
+  *
+  * Scale shape: one sum aggregate for the shard count, one
+  * `repartition(shard)` shuffle for the write (each output file
+  * written by exactly one task — no driver fan-in), one reduced
+  * aggregate for the manifest. The only collect is the manifest
+  * (nShards rows, bounded by corpus_tokens / tokensPerShard).
+  *
+  * The manifest checksum is an order-independent BIT_XOR of
+  * `xxhash64(doc_id, text)` — a reader can verify any shard in
+  * isolation without re-sorting.
+  */
+object CorpusWriter {
+
+  /** Write `docs` as token-budgeted shards under `outDir/data/shard=N/`
+    * plus `outDir/manifest.json`.
+    * @return the manifest as a DataFrame:
+    *         (shard, n_docs, n_tokens, min_id, max_id, checksum)
+    */
+  def writeShards(docs: DataFrame, textCol: String, idCol: String,
+                  outDir: String, tokensPerShard: Long): DataFrame = {
+    val withTok = docs.withColumn("_ntok",
+      TextAnalysis.tokenCount(col(textCol)))
+    val total = withTok.agg(sum(col("_ntok"))).head().getLong(0)
+    val nShards = math.max(1L, (total + tokensPerShard - 1) / tokensPerShard)
+    val sharded = withTok.withColumn("shard",
+      pmod(xxhash64(col(idCol)), lit(nShards)))
+    sharded
+      .repartition(nShards.toInt, col("shard"))
+      .sortWithinPartitions(col(idCol))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("shard")
+      .parquet(s"$outDir/data")
+    val manifest = sharded.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("_ntok")).as("n_tokens"),
+        min(col(idCol)).as("min_id"),
+        max(col(idCol)).as("max_id"),
+        expr(s"bit_xor(xxhash64($idCol, $textCol))").as("checksum"))
+      .orderBy("shard")
+    val rows = manifest.collect()
+    val body = rows.map { r =>
+      s"""{"shard":${r.getLong(0)},"n_docs":${r.getLong(1)},""" +
+        s""""n_tokens":${r.getLong(2)},"min_id":${r.getLong(3)},""" +
+        // checksum is a full 64-bit value — JSON doubles round past
+        // 2^53, so it ships as a string
+        s""""max_id":${r.getLong(4)},"checksum":"${r.getLong(5)}"}"""
+    }.mkString("[", ",", "]")
+    val json = s"""{"n_shards":$nShards,"total_tokens":$total,""" +
+      s""""tokens_per_shard":$tokensPerShard,"shards":$body}"""
+    val p = java.nio.file.Paths.get(outDir, "manifest.json")
+    java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.write(p, json.getBytes("UTF-8"))
+    manifest
+  }
+
+  /** Verify a written corpus against its own manifest: recompute every
+    * shard's (n_docs, n_tokens, checksum) from the data files and diff.
+    * @return rows only for mismatched shards — empty means intact */
+  def verifyShards(spark: org.apache.spark.sql.SparkSession,
+                   outDir: String, textCol: String,
+                   idCol: String): DataFrame = {
+    val data = spark.read.parquet(s"$outDir/data")
+    val recomputed = data.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount(col(textCol))).as("n_tokens"),
+        expr(s"bit_xor(xxhash64($idCol, $textCol))").as("checksum"))
+    val man = MiniManifest.read(spark, outDir)
+    man.alias("m").join(recomputed.alias("r"), Seq("shard"), "full_outer")
+      .filter(!(col("m.n_docs") <=> col("r.n_docs")) ||
+        !(col("m.n_tokens") <=> col("r.n_tokens")) ||
+        !(col("m.checksum") <=> col("r.checksum")))
+  }
+
+  private object MiniManifest {
+    def read(spark: org.apache.spark.sql.SparkSession,
+             outDir: String): DataFrame = {
+      import spark.implicits._
+      val json = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(outDir, "manifest.json")), "UTF-8")
+      val shards = graft.server.MiniJson.parseObject(json)("shards")
+        .asInstanceOf[Seq[Any]]
+      shards.map { s =>
+        val m = s.asInstanceOf[Map[String, Any]]
+        def l(k: String): Long = m(k).asInstanceOf[Double].toLong
+        (l("shard"), l("n_docs"), l("n_tokens"),
+          m("checksum").asInstanceOf[String].toLong)
+      }.toDF("shard", "n_docs", "n_tokens", "checksum")
+    }
+  }
+}

@@ -624,4 +624,37 @@ class PipelineSpec extends SparkSpec {
       .orderBy("rank").select("doc_id").as[Long].collect().toSeq
     assert(rel == Seq(10L, 11L, 12L), rel.toString)
   }
+
+  test("CorpusWriter: token-budgeted shards roundtrip, manifest " +
+      "verifies, corruption detected") {
+    import graft.pipeline.CorpusWriter
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_shards").toString
+    val d = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val man = CorpusWriter
+      .writeShards(d, "text", "doc_id", dir, tokensPerShard = 4000)
+      .collect()
+    assert(man.length > 1, s"expected >1 shard, got ${man.length}")
+    // every document lands in exactly one shard
+    val back = spark.read.parquet(s"$dir/data")
+    assert(back.count() == d.count())
+    assert(back.select("doc_id").distinct().count() == d.count())
+    // manifest totals = corpus totals; self-verification is clean
+    assert(man.map(_.getLong(1)).sum == d.count())
+    assert(CorpusWriter.verifyShards(spark, dir, "text", "doc_id")
+      .count() == 0)
+    // hash balance: no shard above 2x the mean token mass
+    val toks = man.map(_.getLong(2))
+    assert(toks.max <= 2 * (toks.sum / toks.length),
+      toks.mkString(","))
+    // corrupt one shard file -> exactly that shard flagged
+    val f = java.nio.file.Files.walk(
+        java.nio.file.Paths.get(dir, "data", "shard=0"))
+      .filter(_.toString.endsWith(".parquet")).findFirst().get()
+    java.nio.file.Files.delete(f)
+    val bad = CorpusWriter.verifyShards(spark, dir, "text", "doc_id")
+      .select("shard").as[Long].collect().toSeq
+    assert(bad == Seq(0L), bad.toString)
+  }
 }
