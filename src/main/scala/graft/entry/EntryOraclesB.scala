@@ -985,7 +985,21 @@ trait EntryOraclesB extends EntryBase {
            count(*) AS n_clusters,
            CAST(sum(CASE WHEN ns > 1 THEN 1 ELSE 0 END) AS BIGINT)
              AS naive_leaked
-         FROM pc GROUP BY split ORDER BY split"""
+         FROM pc GROUP BY split ORDER BY split""",
+
+    "q127_asof_join" ->
+      """WITH c AS (
+           SELECT event_id, user_id, ts, value FROM events
+           WHERE event_type = 'click'),
+         p AS (
+           SELECT user_id, ts, value FROM events
+           WHERE event_type = 'purchase')
+         SELECT c.event_id, c.user_id, epoch_ms(c.ts) AS ts_ms,
+           c.value AS click_value, p.value AS last_purchase,
+           epoch_ms(p.ts) AS purchase_ms
+         FROM c ASOF LEFT JOIN p
+           ON c.user_id = p.user_id AND c.ts >= p.ts
+         ORDER BY event_id"""
   )
 
   /** Shared BM25 oracle CTE stack (mirrors Retrieval.bm25TopK's

@@ -1068,6 +1068,26 @@ trait EntryQueriesB extends EntryBase {
           emb.filter(col("vec_id") < 4), "embedding", "vec_id",
           kCand = 20, kOut = 10, lambda = 0.7)
         .orderBy("query_id", "rank")
+    }),
+
+    // §2.3-adjacent: as-of join — each click joined to the user's most
+    // recent purchase at or before it (AsofJoin scaladoc: UNION +
+    // running window, one key shuffle, |L|+|R| rows — never the range
+    // join's |L|·|R| fan-out). Oracle = DuckDB's native ASOF LEFT JOIN.
+    "q127_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value"))
+      graft.operators.AsofJoin.asofBackward(clicks, purchases,
+          Seq("user_id"), "ts", "ts", Seq("value"))
+        .select(col("event_id"), col("user_id"),
+          unix_millis(col("ts")).as("ts_ms"),
+          col("value").as("click_value"),
+          col("asof_value").as("last_purchase"),
+          unix_millis(col("asof_ts")).as("purchase_ms"))
+        .orderBy("event_id")
     })
   )
 

@@ -174,4 +174,32 @@ class SeriesOpsSpec extends SparkSpec {
       .as[Double].collect()
     assert(out.toSeq == Seq(1.0, 4.0, -1.0, 2.0))
   }
+
+  test("asofBackward: inclusive match, per-key isolation, no-match " +
+      "null, tolerance horizon") {
+    import graft.operators.AsofJoin
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    val clicks = Seq((1L, "u1", ts(10000), 1.0), (2L, "u1", ts(5000), 2.0),
+        (3L, "u2", ts(7000), 3.0))
+      .toDF("event_id", "user_id", "ts", "value")
+    val purchases = Seq(("u1", ts(5000), 100.0), ("u1", ts(8000), 200.0),
+        ("u2", ts(9000), 300.0))
+      .toDF("user_id", "ts", "value")
+    val out = AsofJoin.asofBackward(clicks, purchases, Seq("user_id"),
+        "ts", "ts", Seq("value"))
+      .select($"event_id", $"asof_value",
+        unix_millis($"asof_ts").as("ms"))
+      .orderBy("event_id")
+      .as[(Long, Option[Double], Option[Long])].collect().toSeq
+    assert(out == Seq((1L, Some(200.0), Some(8000L)),
+      (2L, Some(100.0), Some(5000L)), // inclusive at equal ts
+      (3L, None, None)), out.toString) // u2's purchase is in the future
+    // tolerance: the 2 s horizon keeps t=10000→8000 but a 1 s drops it
+    val tight = AsofJoin.asofBackward(clicks, purchases, Seq("user_id"),
+        "ts", "ts", Seq("value"), toleranceMs = Some(1000L))
+      .select($"event_id", $"asof_value").orderBy("event_id")
+      .as[(Long, Option[Double])].collect().toSeq
+    assert(tight == Seq((1L, None), (2L, Some(100.0)), (3L, None)),
+      tight.toString)
+  }
 }
