@@ -999,7 +999,21 @@ trait EntryOraclesB extends EntryBase {
            epoch_ms(p.ts) AS purchase_ms
          FROM c ASOF LEFT JOIN p
            ON c.user_id = p.user_id AND c.ts >= p.ts
-         ORDER BY event_id"""
+         ORDER BY event_id""",
+
+    "q128_band_join" ->
+      """WITH e AS (
+           SELECT event_id, user_id, ts FROM events
+           WHERE event_type = 'error'),
+         c AS (
+           SELECT event_id, user_id, ts FROM events
+           WHERE event_type = 'click')
+         SELECT e.event_id, e.user_id,
+           count(*) AS n_nearby_clicks,
+           min(c.event_id) AS first_click_id
+         FROM e JOIN c ON e.user_id = c.user_id
+           AND abs(epoch_ms(e.ts) - epoch_ms(c.ts)) <= 21600000
+         GROUP BY e.event_id, e.user_id ORDER BY e.event_id"""
   )
 
   /** Shared BM25 oracle CTE stack (mirrors Retrieval.bm25TopK's

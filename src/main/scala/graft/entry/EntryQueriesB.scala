@@ -1088,6 +1088,25 @@ trait EntryQueriesB extends EntryBase {
           col("asof_value").as("last_purchase"),
           unix_millis(col("asof_ts")).as("purchase_ms"))
         .orderBy("event_id")
+    }),
+
+    // §2.3-adjacent: band (range) join — clicks within ±6 h of each
+    // error for the same user, summarized per error (BandJoin scaladoc:
+    // bucketized equi-join, each pair generated once, never a per-key
+    // cartesian — the spec asserts no nested-loop operator). Oracle =
+    // DuckDB's inequality join.
+    "q128_band_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      graft.operators.BandJoin.bandJoin(errors, clicks, Seq("user_id"),
+          "ts", "ts", bandMs = 21600000L)
+        .groupBy(col("event_id"), col("user_id"))
+        .agg(count(lit(1)).as("n_nearby_clicks"),
+          min(col("r_event_id")).as("first_click_id"))
+        .orderBy("event_id")
     })
   )
 

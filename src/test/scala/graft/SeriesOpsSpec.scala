@@ -202,4 +202,27 @@ class SeriesOpsSpec extends SparkSpec {
     assert(tight == Seq((1L, None), (2L, Some(100.0)), (3L, None)),
       tight.toString)
   }
+
+  test("bandJoin: each in-band pair exactly once, band edges " +
+      "inclusive, plan stays equi-join (no nested loop)") {
+    import graft.operators.BandJoin
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    val l = Seq((1L, "u1", ts(10000)), (2L, "u1", ts(50000)),
+        (3L, "u2", ts(10000)))
+      .toDF("lid", "user_id", "ts")
+    val r = Seq((101L, "u1", ts(8000)), (102L, "u1", ts(20000)),
+        (103L, "u1", ts(21000)), (104L, "u2", ts(10000)))
+      .toDF("rid", "user_id", "ts")
+    val out = BandJoin.bandJoin(l, r, Seq("user_id"), "ts", "ts",
+        bandMs = 10000L)
+      .select($"lid", $"r_rid").orderBy("lid", "r_rid")
+      .as[(Long, Long)].collect().toSeq
+    // lid=1 matches 8000 (Δ2s) and 20000 (Δ10s inclusive) but not
+    // 21000 (Δ11s); lid=2 nothing within 10s; lid=3 only its own key
+    assert(out == Seq((1L, 101L), (1L, 102L), (3L, 104L)), out.toString)
+    val plan = BandJoin.bandJoin(l, r, Seq("user_id"), "ts", "ts",
+      10000L).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+  }
 }
