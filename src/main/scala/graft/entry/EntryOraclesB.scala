@@ -1013,7 +1013,31 @@ trait EntryOraclesB extends EntryBase {
            min(c.event_id) AS first_click_id
          FROM e JOIN c ON e.user_id = c.user_id
            AND abs(epoch_ms(e.ts) - epoch_ms(c.ts)) <= 21600000
-         GROUP BY e.event_id, e.user_id ORDER BY e.event_id"""
+         GROUP BY e.event_id, e.user_id ORDER BY e.event_id""",
+
+    "q129_sessionize" ->
+      """WITH g AS (
+           SELECT user_id, event_id, ts, value,
+             lag(epoch_ms(ts)) OVER w AS prev
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         f AS (
+           SELECT *, CASE WHEN prev IS NULL
+               OR epoch_ms(ts) - prev > 1800000 THEN 1 ELSE 0 END
+             AS newflag
+           FROM g),
+         sid AS (
+           SELECT *, CAST(sum(newflag) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+             CURRENT ROW) AS BIGINT) AS session_id
+           FROM f)
+         SELECT user_id, session_id, count(*) AS n_events,
+           min(epoch_ms(ts)) AS start_ms, max(epoch_ms(ts)) AS end_ms,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+             AS value_sum,
+           max(epoch_ms(ts)) - min(epoch_ms(ts)) AS duration_ms
+         FROM sid GROUP BY user_id, session_id
+         ORDER BY user_id, session_id"""
   )
 
   /** Shared BM25 oracle CTE stack (mirrors Retrieval.bm25TopK's

@@ -1107,6 +1107,33 @@ trait EntryQueriesB extends EntryBase {
         .agg(count(lit(1)).as("n_nearby_clicks"),
           min(col("r_event_id")).as("first_click_id"))
         .orderBy("event_id")
+    }),
+
+    // §2.9-adjacent: sessionization — events split into sessions at
+    // >30 min inactivity gaps per user (the lag/gap-flag/cumsum window
+    // chain: one shuffle on user_id, no self-join). Summarized per
+    // session: bounds, size, value sum as DECIMAL for hash-exactness.
+    "q129_sessionize" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val gapped = ev.select(col("user_id"), col("event_id"),
+          col("ts"), col("value"))
+        .withColumn("_prev", lag(unix_millis(col("ts")), 1).over(w))
+        .withColumn("_new", when(col("_prev").isNull ||
+          unix_millis(col("ts")) - col("_prev") > 1800000L, 1L)
+          .otherwise(0L))
+        .withColumn("session_id",
+          sum(col("_new")).over(w.rowsBetween(
+            Window.unboundedPreceding, Window.currentRow)))
+      gapped.groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(unix_millis(col("ts"))).as("start_ms"),
+          max(unix_millis(col("ts"))).as("end_ms"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("value_sum"))
+        .withColumn("duration_ms", col("end_ms") - col("start_ms"))
+        .orderBy("user_id", "session_id")
     })
   )
 
