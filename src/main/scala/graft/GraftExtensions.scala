@@ -39,6 +39,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "topk_rows(struct, k, sortArity, descMask) - bounded-heap top-k rows"),
       (exprs: Seq[Expression]) =>
         graft.expressions.TopKRows.build(exprs)))
+    // band-join theta conditions (`abs(l.t - r.t) <= c`) rewrite to the
+    // bucketized equi-join automatically — the naive user spelling gets
+    // the scale-correct plan (BandJoinRewrite scaladoc)
+    ext.injectOptimizerRule(_ => graft.plans.BandJoinRewrite)
   }
 }
 

@@ -52,4 +52,48 @@ class ExtensionsSpec extends SparkSpec {
       SparkSession.setDefaultSession(prior)
     }
   }
+
+  test("BandJoinRewrite: the naive abs-diff theta join becomes a " +
+      "bucketized equi-join with identical results") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val l = Seq((1L, "u1", 10000L), (2L, "u1", 50000L), (3L, "u2", 10000L),
+        (4L, "u1", 19999L))
+      .toDF("lid", "k", "lt")
+    val r = Seq((101L, "u1", 8000L), (102L, "u1", 20000L),
+        (103L, "u1", 31000L), (104L, "u2", 10000L), (105L, "u3", 10000L))
+      .toDF("rid", "k2", "rt")
+    def theta = l.join(r,
+      l("k") === r("k2") && abs(l("lt") - r("rt")) <= lit(10000L))
+    val naive = theta.select($"lid", $"rid").orderBy("lid", "rid")
+      .as[(Long, Long)].collect().toSeq
+    val naivePlan = theta.queryExecution.executedPlan.toString
+    assert(naivePlan.contains("BroadcastNestedLoopJoin") ||
+      naivePlan.contains("CartesianProduct") ||
+      // equi-key present → Spark joins on k and post-filters; either
+      // way the band is not a join key without the rule
+      !naivePlan.contains("_graft_bkt"), naivePlan)
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ graft.plans.BandJoinRewrite
+    try {
+      val rewritten = theta.select($"lid", $"rid").orderBy("lid", "rid")
+        .as[(Long, Long)].collect().toSeq
+      assert(rewritten == naive, s"$rewritten vs $naive")
+      val plan = theta.queryExecution.executedPlan.toString
+      assert(plan.contains("_graft_bkt"), plan)
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"), plan)
+      // keyless band join (pure time window) also rewrites
+      def keyless = l.join(r, abs(l("lt") - r("rt")) <= lit(5000L))
+      val kl = keyless.select($"lid", $"rid").orderBy("lid", "rid")
+        .as[(Long, Long)].collect().toSeq
+      assert(kl.contains((1L, 101L)) && kl.contains((4L, 102L)), kl)
+      assert(keyless.queryExecution.executedPlan.toString
+        .contains("_graft_bkt"))
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations
+          .filterNot(_ eq graft.plans.BandJoinRewrite)
+    }
+  }
 }
