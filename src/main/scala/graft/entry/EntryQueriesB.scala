@@ -1134,6 +1134,19 @@ trait EntryQueriesB extends EntryBase {
             .as("value_sum"))
         .withColumn("duration_ms", col("end_ms") - col("start_ms"))
         .orderBy("user_id", "session_id")
+    }),
+
+    // pipeline: linear-probe quality classifier — hashed bag-of-words
+    // ridge regression against the English slice, trained in ONE
+    // distributed pass of BIGINT-exact normal-equation sufficient
+    // statistics + a deterministic driver solve; integer microweight
+    // scores are replayed bit-for-bit by tools/oracle.py (Selection
+    // scaladoc). The construction runs Spark jobs → never plan-cached,
+    // like RCA.
+    "q130_linear_probe" -> ((s, dir) => {
+      Selection.linearProbe(t(s, dir, "documents"), "text", "doc_id",
+          col("lang") === "en")
+        .orderBy("doc_id")
     })
   )
 

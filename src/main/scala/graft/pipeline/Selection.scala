@@ -128,4 +128,112 @@ object Selection {
       col("doc_id").asc)
     perDoc.withColumn("bucket", ntile(3).over(ord))
   }
+
+  /** Supervised quality classifier as a LINEAR PROBE over hashed
+    * bag-of-words features, trained in one distributed pass — the
+    * fasttext-shaped "learn what the target slice looks like" scorer
+    * every curation stack runs, in the pattern big-data ML actually
+    * uses: EXACT distributed sufficient statistics + a bounded driver
+    * solve (the same split as the IVF Lloyd steps).
+    *
+    * Features: token counts hashed into `dim` buckets
+    * (`pmod(xxhash64(term), dim)`) plus an intercept — all integers,
+    * so the normal-equation sufficient statistics A = Σ x·xᵀ and
+    * b = Σ y·x are BIGINT-exact under any aggregation order. The
+    * (dim+1)² matrix collects (bounded, corpus-size-independent), the
+    * driver solves the ridge system (A + λI)w = b with the
+    * deterministic partial-pivot elimination documented in
+    * tools/oracle.py (bit-replayable: exact integer inputs + a fixed
+    * f64 operation sequence), and scoring re-joins the broadcast
+    * integer microweights W = round(w·1e9) so per-doc scores are again
+    * BIGINT-exact: score = Σ count_j · W_j.
+    *
+    * Scale shape: one token explode → (doc, bucket) count reduction;
+    * a per-doc self-join for the outer products (≤(dim+1)² pairs per
+    * doc, equi-join on doc_id — at huge corpora a mapPartitions
+    * outer-product partial would cut the constant, same result);
+    * one (dim+1)²-key aggregate; broadcast weights; one per-doc sum.
+    *
+    * @return (doc_id, n_tok, label, score) — score = Σ c_j·W_j
+    */
+  def linearProbe(docs: DataFrame, textCol: String, idCol: String,
+                  targetPred: Column, dim: Int = 32,
+                  ridge: Double = 1.0): DataFrame = {
+    val n = dim + 1
+    val toks = docs.select(col(idCol).as("doc_id"),
+        targetPred.cast("long").as("_y"),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
+    val bc = toks
+      .withColumn("_b", pmod(xxhash64(col("term")), lit(dim.toLong)) + 1L)
+      .groupBy(col("doc_id"), col("_y"), col("_b"))
+      .agg(count(lit(1)).as("_c"))
+    val perDocTok = bc.groupBy(col("doc_id"), col("_y"))
+      .agg(sum(col("_c")).as("n_tok"))
+    // intercept = bucket 0, count 1 per doc
+    val feats = bc.unionByName(perDocTok.select(col("doc_id"), col("_y"),
+      lit(0L).as("_b"), lit(1L).as("_c")))
+    val aRows = feats.alias("l")
+      .join(feats.alias("r"), Seq("doc_id"))
+      .groupBy(col("l._b").as("i"), col("r._b").as("j"))
+      .agg(sum(col("l._c") * col("r._c")).as("s"))
+      .collect()
+    val bRows = feats.groupBy(col("_b").as("i"))
+      .agg(sum(col("_y") * col("_c")).as("s")).collect()
+    val A = Array.fill(n, n)(0.0)
+    aRows.foreach(r => A(r.getLong(0).toInt)(r.getLong(1).toInt) =
+      r.getLong(2).toDouble)
+    (0 until n).foreach(i => A(i)(i) += ridge)
+    val bv = Array.fill(n)(0.0)
+    bRows.foreach(r => bv(r.getLong(0).toInt) = r.getLong(1).toDouble)
+    val w = solveInPlace(A, bv)
+    val micro = w.map(x => math.round(x * 1e9))
+    val sp = docs.sparkSession
+    import sp.implicits._
+    val wTbl = micro.zipWithIndex
+      .map { case (wv, i) => (i.toLong, wv) }.toSeq.toDF("_b", "_w")
+    feats.join(broadcast(wTbl), Seq("_b"))
+      .groupBy(col("doc_id"), col("_y").as("label"))
+      .agg(sum(when(col("_b") === 0L, 0L).otherwise(col("_c")))
+          .as("n_tok"),
+        sum(col("_c") * col("_w")).as("score"))
+      .select(col("doc_id"), col("n_tok"), col("label"), col("score"))
+  }
+
+  /** Deterministic partial-pivot Gaussian elimination, replayed
+    * op-for-op by tools/oracle.py — keep both in sync. */
+  private[graft] def solveInPlace(a: Array[Array[Double]],
+                                     b: Array[Double]): Array[Double] = {
+    val n = b.length
+    var k = 0
+    while (k < n) {
+      var p = k; var r = k + 1
+      while (r < n) {
+        if (math.abs(a(r)(k)) > math.abs(a(p)(k))) p = r
+        r += 1
+      }
+      if (p != k) {
+        val tmp = a(p); a(p) = a(k); a(k) = tmp
+        val tb = b(p); b(p) = b(k); b(k) = tb
+      }
+      r = k + 1
+      while (r < n) {
+        val f = a(r)(k) / a(k)(k)
+        var c = k
+        while (c < n) { a(r)(c) = a(r)(c) - f * a(k)(c); c += 1 }
+        b(r) = b(r) - f * b(k)
+        r += 1
+      }
+      k += 1
+    }
+    val x = Array.fill(n)(0.0)
+    var i = n - 1
+    while (i >= 0) {
+      var s = b(i)
+      var j = i + 1
+      while (j < n) { s = s - a(i)(j) * x(j); j += 1 }
+      x(i) = s / a(i)(i)
+      i -= 1
+    }
+    x
+  }
 }

@@ -625,6 +625,29 @@ class PipelineSpec extends SparkSpec {
     assert(rel == Seq(10L, 11L, 12L), rel.toString)
   }
 
+  test("linearProbe: solver exact on a known system; probe separates " +
+      "the labeled slice on a toy corpus") {
+    import graft.pipeline.Selection
+    // 2x + y = 3, x + 3y = 5 → x = 4/5, y = 7/5
+    val x = Selection.solveInPlace(
+      Array(Array(2.0, 1.0), Array(1.0, 3.0)), Array(3.0, 5.0))
+    assert(math.abs(x(0) - 0.8) < 1e-12 && math.abs(x(1) - 1.4) < 1e-12)
+    val d = Seq(
+      (1L, "alpha beta alpha", "en"), (2L, "alpha beta beta", "en"),
+      (3L, "gamma delta gamma", "fr"), (4L, "delta gamma delta", "fr"),
+      (5L, "alpha beta gamma", "en"), (6L, "gamma delta beta", "fr"))
+      .toDF("doc_id", "text", "lang")
+    val out = graft.pipeline.Selection
+      .linearProbe(d, "text", "doc_id", $"lang" === "en")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq.sortBy(_._1)
+    assert(out.forall(_._2 == 3)) // n_tok excludes the intercept
+    val en = out.filter(_._3 == 1).map(_._4.toDouble)
+    val fr = out.filter(_._3 == 0).map(_._4.toDouble)
+    assert(en.sum / en.size > fr.sum / fr.size,
+      s"en ${en.toSeq} vs fr ${fr.toSeq}")
+  }
+
   test("CorpusWriter: token-budgeted shards roundtrip, manifest " +
       "verifies, corruption detected") {
     import graft.pipeline.CorpusWriter

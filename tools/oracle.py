@@ -606,6 +606,74 @@ def check_q126(sf, out, k_cand=20, k_out=10, lam=0.7, eps=1e-9):
                        f"excluded)")
 
 
+def check_q130(sf, out, dim=32, ridge=1.0):
+    """Linear-probe replication: rebuild the BIGINT-exact normal
+    equations (hashed bag-of-words + intercept, label = lang=='en'),
+    run the IDENTICAL partial-pivot Gaussian elimination (keep in sync
+    with Selection.solveInPlace op-for-op), round weights to integer
+    microweights, and recompute every doc's integer score exactly."""
+    docs = pq.read_table(f"{sf}/documents.parquet",
+                         columns=["doc_id", "text", "lang"]).to_pandas()
+    n = dim + 1
+    feats = {}   # doc_id -> {bucket: count}
+    ys = {}
+    for _, row in docs.iterrows():
+        c = {0: 1}
+        for t in re.split(r"\s+", row.text.strip().lower()):
+            b = spark_xxhash64(t) % dim + 1
+            c[b] = c.get(b, 0) + 1
+        feats[int(row.doc_id)] = c
+        ys[int(row.doc_id)] = 1 if row.lang == "en" else 0
+    A = [[0] * n for _ in range(n)]
+    bv = [0] * n
+    for d, c in feats.items():
+        for i, ci in c.items():
+            for j, cj in c.items():
+                A[i][j] += ci * cj
+            bv[i] += ys[d] * ci
+    a = [[float(v) for v in r] for r in A]
+    for i in range(n):
+        a[i][i] += ridge
+    b = [float(v) for v in bv]
+    for k in range(n):
+        p = k
+        for r in range(k + 1, n):
+            if abs(a[r][k]) > abs(a[p][k]):
+                p = r
+        if p != k:
+            a[p], a[k] = a[k], a[p]
+            b[p], b[k] = b[k], b[p]
+        for r in range(k + 1, n):
+            f = a[r][k] / a[k][k]
+            for cc in range(k, n):
+                a[r][cc] = a[r][cc] - f * a[k][cc]
+            b[r] = b[r] - f * b[k]
+    x = [0.0] * n
+    for i in range(n - 1, -1, -1):
+        s = b[i]
+        for j in range(i + 1, n):
+            s = s - a[i][j] * x[j]
+        x[i] = s / a[i][i]
+    # java Math.round = floor(x + 0.5); python round() is half-even
+    micro = [math.floor(v * 1e9 + 0.5) for v in x]
+    got = load(out, "q130_linear_probe")
+    mism = 0
+    for _, r in got.iterrows():
+        c = feats.get(int(r.doc_id))
+        want = sum(ci * micro[i] for i, ci in sorted(c.items()))
+        if int(r.score) != want or int(r.label) != ys[int(r.doc_id)]:
+            mism += 1
+    ok = mism == 0 and len(got) == len(feats)
+    # the probe should actually separate the slices: mean en score >
+    # mean non-en score (sanity, not exactness)
+    en = got[got.label == 1].score.mean()
+    other = got[got.label == 0].score.mean()
+    return verdict(ok and en > other,
+                   f"exact integer-score replication: {mism} mismatches "
+                   f"of {len(feats)} docs; mean score en {en:.0f} vs "
+                   f"other {other:.0f}")
+
+
 def main():
     sf, out = sys.argv[1], sys.argv[2]
     checks = {
@@ -626,6 +694,7 @@ def main():
         "q119_semdedup": lambda: check_q119(sf, out),
         "q124_bpe_tokenize": lambda: check_q124(sf, out),
         "q126_mmr_rerank": lambda: check_q126(sf, out),
+        "q130_linear_probe": lambda: check_q130(sf, out),
     }
     result = {}
     for q, fn in checks.items():
