@@ -1144,8 +1144,14 @@ trait EntryQueriesB extends EntryBase {
     // scaladoc). The construction runs Spark jobs → never plan-cached,
     // like RCA.
     "q130_linear_probe" -> ((s, dir) => {
-      Selection.linearProbe(t(s, dir, "documents"), "text", "doc_id",
+      val docs = t(s, dir, "documents")
+      val fp = Tables.fingerprint(s"$dir/documents.parquet")
+      val micro = Similarity.cachedModel(s"probe:$fp:d32:en") {
+        Selection.probeWeights(docs, "text", "doc_id",
           col("lang") === "en")
+      }
+      Selection.probeScore(docs, "text", "doc_id",
+          col("lang") === "en", micro)
         .orderBy("doc_id")
     })
   )

@@ -159,7 +159,12 @@ object Selection {
   def linearProbe(docs: DataFrame, textCol: String, idCol: String,
                   targetPred: Column, dim: Int = 32,
                   ridge: Double = 1.0): DataFrame = {
-    val n = dim + 1
+    val micro = probeWeights(docs, textCol, idCol, targetPred, dim, ridge)
+    probeScore(docs, textCol, idCol, targetPred, micro, dim)
+  }
+
+  private def featFrame(docs: DataFrame, textCol: String, idCol: String,
+                        targetPred: Column, dim: Int): DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"),
         targetPred.cast("long").as("_y"),
         explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
@@ -167,11 +172,20 @@ object Selection {
       .withColumn("_b", pmod(xxhash64(col("term")), lit(dim.toLong)) + 1L)
       .groupBy(col("doc_id"), col("_y"), col("_b"))
       .agg(count(lit(1)).as("_c"))
-    val perDocTok = bc.groupBy(col("doc_id"), col("_y"))
-      .agg(sum(col("_c")).as("n_tok"))
     // intercept = bucket 0, count 1 per doc
-    val feats = bc.unionByName(perDocTok.select(col("doc_id"), col("_y"),
-      lit(0L).as("_b"), lit(1L).as("_c")))
+    bc.unionByName(bc.select(col("doc_id"), col("_y")).distinct()
+      .select(col("doc_id"), col("_y"), lit(0L).as("_b"),
+        lit(1L).as("_c")))
+  }
+
+  /** Train: the model artifact (integer microweights) — deterministic
+    * in the corpus, so callers should cache it keyed on the source
+    * fingerprint (the write-time shape; q130 does). */
+  def probeWeights(docs: DataFrame, textCol: String, idCol: String,
+                   targetPred: Column, dim: Int = 32,
+                   ridge: Double = 1.0): Array[Long] = {
+    val n = dim + 1
+    val feats = featFrame(docs, textCol, idCol, targetPred, dim)
     val aRows = feats.alias("l")
       .join(feats.alias("r"), Seq("doc_id"))
       .groupBy(col("l._b").as("i"), col("r._b").as("j"))
@@ -185,8 +199,14 @@ object Selection {
     (0 until n).foreach(i => A(i)(i) += ridge)
     val bv = Array.fill(n)(0.0)
     bRows.foreach(r => bv(r.getLong(0).toInt) = r.getLong(1).toDouble)
-    val w = solveInPlace(A, bv)
-    val micro = w.map(x => math.round(x * 1e9))
+    solveInPlace(A, bv).map(x => math.round(x * 1e9))
+  }
+
+  /** Score under trained microweights: pure plan, no training jobs. */
+  def probeScore(docs: DataFrame, textCol: String, idCol: String,
+                 targetPred: Column, micro: Array[Long],
+                 dim: Int = 32): DataFrame = {
+    val feats = featFrame(docs, textCol, idCol, targetPred, dim)
     val sp = docs.sparkSession
     import sp.implicits._
     val wTbl = micro.zipWithIndex

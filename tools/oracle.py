@@ -19,6 +19,10 @@ re-derives each `no_oracle` query's answer from scratch in Python:
   q109_ann_ivfpq      recall@k vs numpy brute-force cosine (floor 0.8)
   q119_semdedup       EXACT keep-rule replay per reported cluster +
                       clustering coherence floor
+  q124_bpe_tokenize   EXACT BPE train+apply replay (documented tie rules)
+  q126_mmr_rerank     greedy MMR replay in f64, tie-borders excluded
+  q130_linear_probe   EXACT integer-score replay: BIGINT normal
+                      equations + the identical partial-pivot solve
 
 Writes <verifyOutDir>/_crosscheck.json: {query: {verdict, detail}}.
 All hash math follows the PUBLIC xxHash64 spec (Collet) and Spark's
