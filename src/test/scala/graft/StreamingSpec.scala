@@ -287,4 +287,44 @@ class StreamingSpec extends SparkSpec {
         .as[Long].collect().sorted.toSeq == Seq(2L, 4L))
     } finally q.stop()
   }
+
+  test("streaming sessionization: session_window merges events within " +
+      "the gap, splits across it, and closes on watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, Double)]
+    val src = mem.toDF().toDF("ts", "user_id", "value")
+    // the streaming twin of batch q129: Spark-native session_window
+    // with the same 30 min inactivity gap; watermark closes sessions
+    val agg = src.withWatermark("ts", "10 minutes")
+      .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+      .agg(count(lit(1)).as("n_events"), sum($"value").as("value_sum"))
+      .select($"user_id",
+        unix_millis($"session_window.start").as("start_ms"),
+        unix_millis($"session_window.end").as("end_ms"),
+        $"n_events", $"value_sum")
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("sess_out").start()
+    try {
+      def ts(min: Long) = new Timestamp(min * 60000)
+      // u1: events at 0 and 20 min (gap 20 < 30 → one session);
+      // next at 60 min (gap 40 > 30 → new session)
+      mem.addData((ts(0), 1L, 1.0), (ts(20), 1L, 2.0))
+      q.processAllAvailable()
+      mem.addData((ts(60), 1L, 4.0))
+      q.processAllAvailable()
+      // advance the watermark far enough to close everything
+      mem.addData((ts(200), 2L, 8.0))
+      q.processAllAvailable()
+      val rows = spark.table("sess_out")
+        .select($"user_id", $"start_ms", $"n_events", $"value_sum")
+        .as[(Long, Long, Long, Double)].collect().toSet
+      assert(rows.contains((1L, 0L, 2L, 3.0)), rows.toString)
+      assert(rows.contains((1L, 3600000L, 1L, 4.0)), rows.toString)
+      // session end = last event + gap (merged session spans to 50 min)
+      val ends = spark.table("sess_out")
+        .filter($"user_id" === 1L && $"start_ms" === 0L)
+        .select($"end_ms").as[Long].collect()
+      assert(ends.toSeq == Seq(50L * 60000), ends.toSeq.toString)
+    } finally q.stop()
+  }
 }
