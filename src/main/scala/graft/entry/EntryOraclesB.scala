@@ -1037,7 +1037,32 @@ trait EntryOraclesB extends EntryBase {
              AS value_sum,
            max(epoch_ms(ts)) - min(epoch_ms(ts)) AS duration_ms
          FROM sid GROUP BY user_id, session_id
-         ORDER BY user_id, session_id"""
+         ORDER BY user_id, session_id""",
+
+    "q131_corpus_diff" ->
+      """WITH v2 AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 101 = 0 THEN text || ' v2'
+                  ELSE text END AS text
+           FROM documents WHERE doc_id % 97 <> 0
+           UNION ALL
+           SELECT doc_id + 10000000, text FROM documents
+           WHERE doc_id % 89 = 0),
+         j AS (
+           SELECT coalesce(a.doc_id, b.doc_id) AS id,
+             a.text AS ta, b.text AS tb
+           FROM documents a FULL OUTER JOIN v2 b
+             ON a.doc_id = b.doc_id),
+         st AS (
+           SELECT id,
+             CASE WHEN tb IS NULL THEN 'removed'
+                  WHEN ta IS NULL THEN 'added'
+                  WHEN ta = tb THEN 'unchanged'
+                  ELSE 'changed' END AS status
+           FROM j)
+         SELECT status, count(*) AS n_docs, min(id) AS min_id,
+           max(id) AS max_id
+         FROM st GROUP BY status ORDER BY status"""
   )
 
   /** Shared BM25 oracle CTE stack (mirrors Retrieval.bm25TopK's

@@ -1153,6 +1153,24 @@ trait EntryQueriesB extends EntryBase {
       Selection.probeScore(docs, "text", "doc_id",
           col("lang") === "en", micro)
         .orderBy("doc_id")
+    }),
+
+    // pipeline: corpus version diff — v2 derives deterministically from
+    // v1 (drop doc_id%97==0, rewrite text for %101==0, append shifted
+    // ids), then every doc classifies added/removed/changed/unchanged
+    // via one full-outer id join (CorpusDiff scaladoc: 8-byte key
+    // shuffle; text equality kept oracle-replayable, hash compare at
+    // scale).
+    "q131_corpus_diff" -> ((s, dir) => {
+      val v1 = t(s, dir, "documents")
+      val v2 = v1.filter(pmod(col("doc_id"), lit(97L)) =!= 0L)
+        .withColumn("text",
+          when(pmod(col("doc_id"), lit(101L)) === 0L,
+            concat(col("text"), lit(" v2"))).otherwise(col("text")))
+        .unionByName(v1.limit(0))
+        .unionByName(v1.filter(pmod(col("doc_id"), lit(89L)) === 0L)
+          .withColumn("doc_id", col("doc_id") + 10000000L))
+      graft.pipeline.CorpusDiff.diff(v1, v2, "doc_id", "text")
     })
   )
 
