@@ -1167,7 +1167,6 @@ trait EntryQueriesB extends EntryBase {
         .withColumn("text",
           when(pmod(col("doc_id"), lit(101L)) === 0L,
             concat(col("text"), lit(" v2"))).otherwise(col("text")))
-        .unionByName(v1.limit(0))
         .unionByName(v1.filter(pmod(col("doc_id"), lit(89L)) === 0L)
           .withColumn("doc_id", col("doc_id") + 10000000L))
       graft.pipeline.CorpusDiff.diff(v1, v2, "doc_id", "text")

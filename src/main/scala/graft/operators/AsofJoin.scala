@@ -35,20 +35,28 @@ object AsofJoin {
                    rightVals: Seq[String],
                    toleranceMs: Option[Long] = None): DataFrame = {
     val leftCols = left.columns.toSeq
-    // common layout: keys ++ _t ++ _side ++ right payload ++ left payload
+    // the right payload travels as ONE struct: last(struct,
+    // ignoreNulls) then matches "most recent right ROW", not "most
+    // recent non-null value per column" — a right row whose payload
+    // column is legitimately NULL must still win (and carry its null),
+    // exactly like DuckDB ASOF / pandas merge_asof
+    val rvStruct = struct(
+      (rightVals.map(col) :+ col(rightTime).as("_rt")): _*)
+    val rvType = {
+      val tmp = right.select(rvStruct.as("_rv"))
+      tmp.schema("_rv").dataType
+    }
+    // common layout: keys ++ _t ++ _side ++ right struct ++ left payload
     val lPrep = left.select(
       (on.map(col) ++
-        Seq(col(leftTime).as("_t"), lit(1).as("_side")) ++
-        rightVals.map(v => lit(null).cast(
-          right.schema(v).dataType).as(s"_rv_$v")) ++
-        Seq(lit(null).cast(right.schema(rightTime).dataType).as("_rt")) ++
+        Seq(col(leftTime).as("_t"), lit(1).as("_side"),
+          lit(null).cast(rvType).as("_rv")) ++
         leftCols.filterNot(on.contains)
           .map(c => col(c).as(s"_lv_$c"))): _*)
     val rPrep = right.select(
       (on.map(col) ++
-        Seq(col(rightTime).as("_t"), lit(0).as("_side")) ++
-        rightVals.map(v => col(v).as(s"_rv_$v")) ++
-        Seq(col(rightTime).as("_rt")) ++
+        Seq(col(rightTime).as("_t"), lit(0).as("_side"),
+          rvStruct.as("_rv")) ++
         leftCols.filterNot(on.contains).map(c => lit(null).cast(
           left.schema(c).dataType).as(s"_lv_$c"))): _*)
     // right sorts before left at equal _t → inclusive as-of
@@ -56,15 +64,10 @@ object AsofJoin {
       .orderBy(col("_t").asc, col("_side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = lPrep.unionByName(rPrep)
-      .select((Seq(col("*")) ++
-        rightVals.map(v =>
-          last(col(s"_rv_$v"), ignoreNulls = true).over(w)
-            .as(s"_m_$v")) ++
-        Seq(last(col("_rt"), ignoreNulls = true).over(w)
-          .as("_mt"))): _*)
+      .withColumn("_m", last(col("_rv"), ignoreNulls = true).over(w))
       .filter(col("_side") === 1)
     val horizon = toleranceMs.map(t =>
-      unix_millis(col("_t")) - unix_millis(col("_mt")) <= t)
+      unix_millis(col("_t")) - unix_millis(col("_m._rt")) <= t)
       .getOrElse(lit(true))
     carried.select(
       (on.map(col) ++
@@ -72,7 +75,7 @@ object AsofJoin {
         leftCols.filterNot(c => on.contains(c) || c == leftTime)
           .map(c => col(s"_lv_$c").as(c)) ++
         rightVals.map(v =>
-          when(horizon, col(s"_m_$v")).as(s"asof_$v")) ++
-        Seq(when(horizon, col("_mt")).as("asof_ts"))): _*)
+          when(horizon, col(s"_m.$v")).as(s"asof_$v")) ++
+        Seq(when(horizon, col("_m._rt")).as("asof_ts"))): _*)
   }
 }

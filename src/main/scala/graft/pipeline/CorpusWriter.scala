@@ -37,7 +37,10 @@ object CorpusWriter {
                   outDir: String, tokensPerShard: Long): DataFrame = {
     val withTok = docs.withColumn("_ntok",
       TextAnalysis.tokenCount(col(textCol)))
-    val total = withTok.agg(sum(col("_ntok"))).head().getLong(0)
+    // sum() over zero rows is NULL — an empty corpus writes an empty
+    // manifest instead of throwing from getLong
+    val total = Option(withTok.agg(sum(col("_ntok"))).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
     val nShards = math.max(1L, (total + tokensPerShard - 1) / tokensPerShard)
     val sharded = withTok.withColumn("shard",
       pmod(xxhash64(col(idCol)), lit(nShards)))
@@ -98,7 +101,11 @@ object CorpusWriter {
         .asInstanceOf[Seq[Any]]
       shards.map { s =>
         val m = s.asInstanceOf[Map[String, Any]]
-        def l(k: String): Long = m(k).asInstanceOf[Double].toLong
+        def l(k: String): Long = m(k) match {
+          case d: Double => d.toLong
+          case x: Long => x
+          case other => String.valueOf(other).toLong
+        }
         (l("shard"), l("n_docs"), l("n_tokens"),
           m("checksum").asInstanceOf[String].toLong)
       }.toDF("shard", "n_docs", "n_tokens", "checksum")

@@ -545,7 +545,8 @@ object Similarity {
       val selected = scala.collection.mutable.ArrayBuffer.empty[Int]
       val out = scala.collection.mutable.ArrayBuffer
         .empty[(Long, Long, Int, Double, Double)]
-      while (selected.length < math.min(kOut, cand.length)) {
+      var exhausted = false
+      while (!exhausted && selected.length < math.min(kOut, cand.length)) {
         var bestIdx = -1; var bestScore = Double.NegativeInfinity
         var i = 0
         while (i < cand.length) {
@@ -566,9 +567,15 @@ object Similarity {
           }
           i += 1
         }
-        selected += bestIdx
-        out += ((qid, cand(bestIdx)._2, selected.length, cand(bestIdx)._3,
-          bestScore))
+        // every remaining score NaN (zero-norm vectors make cos 0/0):
+        // stop emitting rather than index with -1 — degenerate
+        // candidates rank nowhere instead of failing the task
+        if (bestIdx < 0) exhausted = true
+        else {
+          selected += bestIdx
+          out += ((qid, cand(bestIdx)._2, selected.length,
+            cand(bestIdx)._3, bestScore))
+        }
       }
       out.iterator
     }.toDF("query_id", "doc_id", "rank", "relevance", "mmr")

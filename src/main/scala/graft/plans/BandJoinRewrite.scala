@@ -60,8 +60,27 @@ object BandJoinRewrite extends Rule[LogicalPlan] {
     }
   }
 
+  private def isIntegral(e: Expression): Boolean = e.dataType match {
+    case org.apache.spark.sql.types.ByteType |
+         org.apache.spark.sql.types.ShortType |
+         org.apache.spark.sql.types.IntegerType |
+         org.apache.spark.sql.types.LongType => true
+    case _ => false
+  }
+
+  /** floor(x / c) as LONG. Integral operands with an integral band use
+    * pure long arithmetic — `(x − pmod(x, c)) div c` — because a
+    * double round-trip quantizes longs above 2^53 (nanosecond epochs!)
+    * and a mis-bucketed row would silently DROP a true match. The
+    * double path only serves genuinely-floating operands, which carry
+    * no more precision than the double bucket math itself. */
   private def bucketOf(x: Expression, c: Double): Expression =
-    Cast(Floor(Divide(Cast(x, DoubleType), Literal(c))), LongType)
+    if (isIntegral(x) && c == math.floor(c) && c <= Long.MaxValue.toDouble) {
+      val cl = Literal(c.toLong)
+      val xl = Cast(x, LongType)
+      IntegralDivide(Subtract(xl, Pmod(xl, cl)), cl)
+    } else
+      Cast(Floor(Divide(Cast(x, DoubleType), Literal(c))), LongType)
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformUp {

@@ -1292,13 +1292,16 @@ final class HttpGateway(spark: SparkSession,
     }
   })
   // POST /failpoint?point=…&flag=enable|disable (handler.go:1717
-  // failPoint; unauthenticated in the route table like /metrics): a
-  // fault-injection registry for tests. Enabled points carry their
-  // `term`; the wired point `graft/query-error` makes /query fail with
-  // the term as the error, mirroring how reference tests inject errors.
+  // failPoint): a fault-injection registry for tests. Enabled points
+  // carry their `term`; the wired point `graft/query-error` makes
+  // /query fail with the term as the error. DIVERGENCE: the reference
+  // route is unauthenticated but only exists in failpoint test builds;
+  // here the registry is always live, so the route requires admin —
+  // an anonymous enable would be a one-request denial of service.
   server.createContext("/failpoint", (ex: HttpExchange) => {
     val p = params(ex, readBody = true)
-    if (ex.getRequestMethod != "POST")
+    if (!adminGuard(ex, p)) ()
+    else if (ex.getRequestMethod != "POST")
       respond(ex, 405, "{\"error\":\"invalid method\"}")
     else (p.get("point").filter(_.nonEmpty), p.getOrElse("flag", "")) match {
       case (Some(pt), "enable") =>
@@ -2969,35 +2972,26 @@ final class HttpGateway(spark: SparkSession,
     try {
       val t0 = System.nanoTime()
       val path = ex.getRequestURI.getPath
-      val rxc =
-        ("^/repo/([^/]+)/logstreams/([^/]+)/" +
-          "(consume/cursors|consume/logs|consume/cursor-time|context|" +
-          "logbycursor|cursor(?:/[^/]*)?)$").r
-      val mc0 = rxc.findFirstMatchIn(path)
+      val mc0 = LogRouteRx.consume.findFirstMatchIn(path)
       if (mc0.isDefined) {
         val mc = mc0.get
         handleConsumeRoutes(ex, t0, mc.group(1), mc.group(2), mc.group(3))
         return
       }
-      val rxw =
-        "^/repo/([^/]+)/logstreams/([^/]+)/(records|upload|recalldata)$".r
-      val mw0 = rxw.findFirstMatchIn(path)
+      val mw0 = LogRouteRx.ingest.findFirstMatchIn(path)
       if (mw0.isDefined) {
         val mw = mw0.get
         handleLogIngestRoutes(ex, mw.group(1), mw.group(2), mw.group(3))
         return
       }
-      val rxt =
-        "^/repo/([^/]+)/logstreams/([^/]+)/stream-task(?:/([^/]+))?$".r
-      val mt0 = rxt.findFirstMatchIn(path)
+      val mt0 = LogRouteRx.streamTask.findFirstMatchIn(path)
       if (mt0.isDefined) {
         val mt = mt0.get
         handleStreamTaskRoutes(ex, mt.group(1), mt.group(2),
           Option(mt.group(3)))
         return
       }
-      val rx = "^/repo/([^/]+)/logstreams/([^/]+)/(logs|histogram|analytics)$".r
-      val m0 = rx.findFirstMatchIn(path).getOrElse {
+      val m0 = LogRouteRx.query.findFirstMatchIn(path).getOrElse {
         respond(ex, 404, """{"error":"unknown logkeeper route"}""")
         return
       }
@@ -3136,6 +3130,21 @@ final class HttpGateway(spark: SparkSession,
           jsonStr(String.valueOf(e.getMessage))}}""")
     }
 
+  /** Pre-compiled logkeeper route patterns (per-request compile is
+    * avoidable hot-path work). */
+  private object LogRouteRx {
+    val consume =
+      ("^/repo/([^/]+)/logstreams/([^/]+)/" +
+        "(consume/cursors|consume/logs|consume/cursor-time|context|" +
+        "logbycursor|cursor(?:/[^/]*)?)$").r
+    val ingest =
+      "^/repo/([^/]+)/logstreams/([^/]+)/(records|upload|recalldata)$".r
+    val streamTask =
+      "^/repo/([^/]+)/logstreams/([^/]+)/stream-task(?:/([^/]+))?$".r
+    val query =
+      "^/repo/([^/]+)/logstreams/([^/]+)/(logs|histogram|analytics)$".r
+  }
+
   /** Logkeeper ingest routes (`handler_logstore.go`): POST /records
     * (serveRecord :1653 — NDJSON or jsonArray log objects, `precision`
     * ns/us/ms/s with the reference's ms default, `mapping` JSON
@@ -3201,12 +3210,14 @@ final class HttpGateway(spark: SparkSession,
           var t = nowNs
           m.foreach { case (k, v) =>
             if (k == tsKey) v match {
+              case l2: java.lang.Long => t = l2 * mult // ns-exact
               case d: Double => t = d.toLong * mult
               case sStr: String => t = sStr.trim.toLong * mult
               case _ => ()
             } else v match {
               case sStr: String => st += k -> sStr
               case d: Double => fl += k -> d
+              case l2: java.lang.Long => fl += k -> l2.toDouble
               case b: Boolean => bo += k -> b
               case null => ()
               case other => st += k -> MiniJson.render(other)
@@ -3230,7 +3241,11 @@ final class HttpGateway(spark: SparkSession,
               case _ => sys.error("invalid log data type")
             }).map {
               case m: Map[_, _] =>
-                toPoint(m.asInstanceOf[Map[String, Any]])
+                // same per-record fallback as the NDJSON arm: one bad
+                // record becomes a fail-log row, not a batch 400
+                try toPoint(m.asInstanceOf[Map[String, Any]])
+                catch { case _: Exception =>
+                  failPoint(MiniJson.render(m)) }
               case other => failPoint(MiniJson.render(other))
             }
           case _ => sys.error("invalid log data type")
@@ -3334,7 +3349,7 @@ final class HttpGateway(spark: SparkSession,
           .getOrElse(0L)
         val endOpt = p.get("end").filter(_.nonEmpty).map(_.toLong)
         require(endOpt.forall(fromNs < _),
-          "from value cannot be lower than end value")
+          "from value must be lower than end value")
         val taskNum = math.max(1,
           p.get("task_num").filter(_.nonEmpty).map(_.toInt).getOrElse(1))
         val fromCur = Consume.mint(fromNs, stream, reverse = false,

@@ -27,6 +27,7 @@ object MiniJson {
     * passthrough). */
   def render(v: Any): String = v match {
     case null => "null"
+    case l: Long => l.toString
     case s: String =>
       val b = new StringBuilder("\"")
       s.foreach {
@@ -134,13 +135,19 @@ object MiniJson {
       i += 1
       b.result()
     }
-    private def num(): Double = {
+    private def num(): Any = {
       val start = i
       if (i < s.length && (s.charAt(i) == '-' || s.charAt(i) == '+')) i += 1
       while (i < s.length && (s.charAt(i).isDigit || "eE+-.".contains(
         s.charAt(i)))) i += 1
       require(i > start, s"bad number at $start")
-      s.substring(start, i).toDouble
+      val lit = s.substring(start, i)
+      // integral literals keep exact 64-bit values: a Double round-trip
+      // quantizes above 2^53 (nanosecond epoch timestamps in /records)
+      if (!lit.exists(c => c == '.' || c == 'e' || c == 'E'))
+        try java.lang.Long.valueOf(lit.toLong)
+        catch { case _: NumberFormatException => lit.toDouble }
+      else lit.toDouble
     }
   }
 }

@@ -300,6 +300,7 @@ class AuthSpec extends SparkSpec {
     assert(get("/debug/query?mod=shards").statusCode() == 401)
     assert(post("/debug/ctrl?mod=snapshot&switchon=true", "")
       .statusCode() == 401)
+    assert(post("/failpoint?point=x&flag=enable", "").statusCode() == 401)
     assert(post("/backup/run?backupPath=/tmp/x", "").statusCode() == 401)
     assert(post("/backup/status", "").statusCode() == 401)
     assert(get("/fence/match_batch?points=[1.0,2.0]").statusCode() == 401)

@@ -90,6 +90,19 @@ class ExtensionsSpec extends SparkSpec {
       assert(kl.contains((1L, 101L)) && kl.contains((4L, 102L)), kl)
       assert(keyless.queryExecution.executedPlan.toString
         .contains("_graft_bkt"))
+      // nanosecond-epoch longs above 2^53: the integral bucket path
+      // must not quantize (a double round-trip loses ~256 ns there and
+      // silently drops true matches — the review-found precision trap)
+      val base = 1700000000000000000L
+      val ln = Seq((1L, base), (2L, base + 150L)).toDF("lid", "lt")
+      val rn = Seq((201L, base + 60L), (202L, base + 90000L))
+        .toDF("rid", "rt")
+      def nsj = ln.join(rn, abs(ln("lt") - rn("rt")) <= lit(100L))
+      val got = nsj.select($"lid", $"rid").orderBy("lid", "rid")
+        .as[(Long, Long)].collect().toSeq
+      assert(got == Seq((1L, 201L), (2L, 201L)), got.toString)
+      assert(nsj.queryExecution.executedPlan.toString
+        .contains("_graft_bkt"))
     } finally {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations

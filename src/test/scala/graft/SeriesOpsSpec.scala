@@ -201,6 +201,18 @@ class SeriesOpsSpec extends SparkSpec {
       .as[(Long, Option[Double])].collect().toSeq
     assert(tight == Seq((1L, None), (2L, Some(100.0)), (3L, None)),
       tight.toString)
+    // a right ROW with a NULL payload still wins as-of: the match must
+    // carry (t=8000, null), not a composite of the newer time with the
+    // older row's value — the review-found last(ignoreNulls) trap
+    val nullPay = Seq(("u1", ts(5000), Some(100.0)),
+        ("u1", ts(8000), Option.empty[Double]))
+      .toDF("user_id", "ts", "value")
+    val np = AsofJoin.asofBackward(
+        clicks.filter($"event_id" === 1), nullPay, Seq("user_id"),
+        "ts", "ts", Seq("value"))
+      .select($"asof_value", unix_millis($"asof_ts"))
+      .as[(Option[Double], Option[Long])].collect().toSeq
+    assert(np == Seq((None, Some(8000L))), np.toString)
   }
 
   test("bandJoin: each in-band pair exactly once, band edges " +
