@@ -1050,6 +1050,16 @@ class ServerSpec extends SparkSpec {
       assert(post(s"$base/recalldata", Array.empty).statusCode() == 200)
       assert(post("/repo/rrepo/logstreams/nope/recalldata",
         Array.empty).statusCode() == 400)
+      // ns-precision numeric timestamps survive exactly (MiniJson keeps
+      // integral literals as longs — a double parse loses ~128 ns above
+      // 2^53; the review-found precision trap)
+      val bigNs = 1755244800123456789L
+      assert(post(s"$base/records?precision=ns",
+        s"""{"time": $bigNs, "msg": "nsexact"}""".getBytes)
+        .statusCode() == 200)
+      val ns = q("SELECT msg FROM web WHERE msg = 'nsexact'" +
+        " AND time = " + bigNs)
+      assert(ns.body().contains("nsexact"), ns.body())
     } finally g.stop()
   }
 
