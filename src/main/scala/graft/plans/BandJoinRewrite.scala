@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{DoubleType, LongType}
@@ -12,19 +12,40 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   * `l.join(r, keysEqual && abs(l("t") - r("t")) <= band)` gets the
   * scale-correct plan instead of a per-key nested-loop cartesian.
   *
-  * Pattern: an INNER join whose condition contains a conjunct
-  * `abs(x − y) <= c` (or `c >= abs(x − y)`) with `x` referencing only
-  * the left side, `y` only the right (either order), `c` a positive
-  * foldable literal. Rewrite: explode the left with
-  * `bucket ∈ {b−1, b, b+1}` for `b = floor(x/c)`, equi-join on the
-  * bucket (plus any existing equi conjuncts, which stay in the join
-  * condition), and re-apply the exact band predicate as a post-join
-  * filter. Each true pair is produced exactly once — the three probe
-  * buckets are distinct, and the right row's bucket matches one of
-  * them iff |x−y| could be ≤ c.
+  * Recognized spellings (c a positive foldable numeric literal):
+  *   - `abs(x − y) <= c` (or `c >= abs(x − y)`, or strict `<`)
+  *   - the two-sided pair a user writes after expanding the abs —
+  *     `x >= y − c1 AND x <= y + c2` in any operand order, including
+  *     what `BETWEEN y − c1 AND y + c2` parses to. The pair is folded
+  *     into one band of width max(|c1|, |c2|); the exact (possibly
+  *     asymmetric) predicates are re-applied post-join.
+  * with `x` referencing only the left side, `y` only the right
+  * (either order).
   *
-  * The rewritten Join's condition carries no band conjunct, so the
-  * rule does not re-fire on its own output (fixpoint-safe).
+  * Rewrite (INNER): explode the left with `bucket ∈ {b−m … b+m}` for
+  * `b = floor(x/c)`, equi-join on the bucket (plus any existing equi
+  * conjuncts, which stay in the join condition), and re-apply the
+  * exact band predicate as a post-join filter. Each true pair is
+  * produced exactly once — probe buckets are distinct, and the right
+  * row's single bucket matches at most one of them.
+  *
+  * Probe margin m: 1 when both sides bucket via the exact long path;
+  * 2 when either side goes through double math — `floor(x/c)` in f64
+  * can land one bucket off at an exact boundary (x/c evaluating to
+  * 2.9999999999999996), and the exact post-join band filter removes
+  * the extra candidates, so widening costs only fan-out, never
+  * correctness.
+  *
+  * LEFT OUTER (and RIGHT OUTER, mirrored): the probe explosion moves
+  * to the *inner* side (right for LeftOuter) so every preserved-side
+  * row keeps exactly one bucket — the outer join then emits its
+  * matches, or one null-extended row if none. The exact band predicate
+  * rides the join condition instead of a post-filter (a post-filter
+  * would evaluate to null on the null-extended rows and drop them).
+  *
+  * The rewritten Join's condition references the `_graft_bkt_*`
+  * attributes, which the guard below rejects, so the rule does not
+  * re-fire on its own output (fixpoint-safe).
   */
 object BandJoinRewrite extends Rule[LogicalPlan] {
 
@@ -33,22 +54,31 @@ object BandJoinRewrite extends Rule[LogicalPlan] {
     case other => Seq(other)
   }
 
-  /** (leftExpr, rightExpr, band) when `conj` is a band predicate over
-    * exactly the two join sides. */
-  private def asBand(conj: Expression, left: LogicalPlan,
-                     right: LogicalPlan): Option[(Expression, Expression,
-                                                  Double)] = {
-    def sides(diff: Expression,
-              bound: Expression): Option[(Expression, Expression, Double)] =
-      (diff, bound) match {
-        case (Abs(Subtract(a, b, _), _), Literal(v, t))
-            if t.isInstanceOf[org.apache.spark.sql.types.NumericType] =>
-          val c = v.toString.toDouble
+  /** A recognized band: `lx` on the left plan, `rx` on the right,
+    * |lx − rx| ≤ width, and the exact conjunct(s) to re-apply. */
+  private case class Band(lx: Expression, rx: Expression, width: Double,
+                          exact: Seq[Expression])
+
+  private def numLit(e: Expression): Option[Double] = e match {
+    case Literal(v, t)
+        if t.isInstanceOf[org.apache.spark.sql.types.NumericType] =>
+      Some(v.toString.toDouble)
+    case _ => None
+  }
+
+  /** `abs(x − y) <= c` in its spellings. */
+  private def asAbsBand(conj: Expression, left: LogicalPlan,
+                        right: LogicalPlan): Option[Band] = {
+    def sides(diff: Expression, bound: Expression): Option[Band] =
+      (diff, numLit(bound)) match {
+        case (Abs(Subtract(a, b, _), _), Some(c)) =>
           if (c <= 0) None
           else if (a.references.subsetOf(left.outputSet) &&
-            b.references.subsetOf(right.outputSet)) Some((a, b, c))
+            b.references.subsetOf(right.outputSet))
+            Some(Band(a, b, c, Seq(conj)))
           else if (a.references.subsetOf(right.outputSet) &&
-            b.references.subsetOf(left.outputSet)) Some((b, a, c))
+            b.references.subsetOf(left.outputSet))
+            Some(Band(b, a, c, Seq(conj)))
           else None
         case _ => None
       }
@@ -56,7 +86,71 @@ object BandJoinRewrite extends Rule[LogicalPlan] {
       case LessThanOrEqual(d, l: Literal) => sides(d, l)
       case GreaterThanOrEqual(l: Literal, d) => sides(d, l)
       case LessThan(d, l: Literal) => sides(d, l) // band still bounds it
+      case GreaterThan(l: Literal, d) => sides(d, l)
       case _ => None
+    }
+  }
+
+  /** Normalize one inequality conjunct to `x − y <= c` with x, y free
+    * of literals. Handles `x − y <= c`, `x <= y + c`, `x >= y − c`
+    * (≡ y − x <= c) and operand-swapped forms; strict `<`/`>` keep the
+    * same bound (the exact conjunct is re-applied anyway). */
+  private def asHalf(conj: Expression): Option[(Expression, Expression,
+                                                Double)] = {
+    // le(a, b): a <= b
+    def le(a: Expression, b: Expression): Option[(Expression, Expression,
+                                                  Double)] =
+      (a, b) match {
+        case (Subtract(x, y, _), lit) if numLit(lit).isDefined =>
+          Some((x, y, numLit(lit).get)) // x − y <= c
+        case (x, Add(y, lit, _)) if numLit(lit).isDefined =>
+          Some((x, y, numLit(lit).get)) // x <= y + c
+        case (x, Add(lit, y, _)) if numLit(lit).isDefined =>
+          Some((x, y, numLit(lit).get)) // x <= c + y
+        case (x, Subtract(y, lit, _)) if numLit(lit).isDefined =>
+          Some((x, y, -numLit(lit).get)) // x <= y − c
+        case (Add(x, lit, _), y) if numLit(lit).isDefined =>
+          Some((x, y, -numLit(lit).get)) // x + c <= y → x − y <= −c
+        case (Add(lit, x, _), y) if numLit(lit).isDefined =>
+          Some((x, y, -numLit(lit).get))
+        case (Subtract(x, lit, _), y) if numLit(lit).isDefined =>
+          Some((x, y, numLit(lit).get)) // x − c <= y → x − y <= c
+        case _ => None
+      }
+    conj match {
+      case LessThanOrEqual(a, b) => le(a, b)
+      case LessThan(a, b) => le(a, b)
+      case GreaterThanOrEqual(a, b) => le(b, a)
+      case GreaterThan(a, b) => le(b, a)
+      case _ => None
+    }
+  }
+
+  /** A pair of half-constraints bounding the same (x, y) diff from
+    * both sides → one band. */
+  private def asPairBand(conjs: Seq[Expression], left: LogicalPlan,
+                         right: LogicalPlan): Option[Band] = {
+    val halves = conjs.flatMap(c => asHalf(c).map(h => (c, h)))
+    val pairs = for {
+      (c1, (x1, y1, hi)) <- halves
+      (c2, (x2, y2, lo)) <- halves
+      if !(c1 eq c2)
+      if x1.semanticEquals(y2) && y1.semanticEquals(x2)
+      // diff = x1 − y1 ∈ [−lo, hi]; empty/degenerate bands skipped
+      w = math.max(math.abs(hi), math.abs(lo))
+      if w > 0 && hi >= -lo
+    } yield (c1, c2, x1, y1, w)
+    pairs.collectFirst {
+      case (c1, c2, x, y, w)
+          if x.references.subsetOf(left.outputSet) &&
+            y.references.subsetOf(right.outputSet) &&
+            x.references.nonEmpty && y.references.nonEmpty =>
+        Band(x, y, w, Seq(c1, c2))
+      case (c1, c2, x, y, w)
+          if x.references.subsetOf(right.outputSet) &&
+            y.references.subsetOf(left.outputSet) &&
+            x.references.nonEmpty && y.references.nonEmpty =>
+        Band(y, x, w, Seq(c1, c2))
     }
   }
 
@@ -68,14 +162,17 @@ object BandJoinRewrite extends Rule[LogicalPlan] {
     case _ => false
   }
 
+  private def longPathOk(x: Expression, c: Double): Boolean =
+    isIntegral(x) && c == math.floor(c) && c <= Long.MaxValue.toDouble
+
   /** floor(x / c) as LONG. Integral operands with an integral band use
     * pure long arithmetic — `(x − pmod(x, c)) div c` — because a
     * double round-trip quantizes longs above 2^53 (nanosecond epochs!)
     * and a mis-bucketed row would silently DROP a true match. The
-    * double path only serves genuinely-floating operands, which carry
-    * no more precision than the double bucket math itself. */
+    * double path only serves genuinely-floating operands; its boundary
+    * error is absorbed by the widened probe margin. */
   private def bucketOf(x: Expression, c: Double): Expression =
-    if (isIntegral(x) && c == math.floor(c) && c <= Long.MaxValue.toDouble) {
+    if (longPathOk(x, c)) {
       val cl = Literal(c.toLong)
       val xl = Cast(x, LongType)
       IntegralDivide(Subtract(xl, Pmod(xl, cl)), cl)
@@ -84,32 +181,63 @@ object BandJoinRewrite extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformUp {
-      case j @ Join(left, right, Inner, Some(cond), hint)
-          if j.resolved && !cond.exists {
+      case j @ Join(left, right, jt, Some(cond), hint)
+          if (jt == Inner || jt == LeftOuter || jt == RightOuter) &&
+            j.resolved && !cond.exists {
             case a: AttributeReference =>
               a.name.startsWith("_graft_bkt")
             case _ => false
           } =>
         val conjs = splitConj(cond)
-        conjs.iterator.flatMap(c =>
-          asBand(c, left, right).map(c -> _)).toSeq.headOption match {
+        val band = conjs.iterator.flatMap(c => asAbsBand(c, left, right))
+          .toSeq.headOption.orElse(asPairBand(conjs, left, right))
+        band match {
           case None => j
-          case Some((bandConj, (lx, rx, c))) =>
-            val rest = conjs.filterNot(_ eq bandConj)
-            val lb = bucketOf(lx, c)
-            val probes = CreateArray(Seq(
-              Subtract(lb, Literal(1L)), lb, Add(lb, Literal(1L))))
-            val lBkt = AttributeReference("_graft_bkt_l", LongType,
-              nullable = true)()
-            val genL = Generate(Explode(probes), Nil, outer = false,
-              qualifier = None, generatorOutput = Seq(lBkt), child = left)
-            val rAlias = Alias(bucketOf(rx, c), "_graft_bkt_r")()
-            val projR = Project(right.output :+ rAlias, right)
-            val newCond = (rest :+
-              EqualTo(lBkt, rAlias.toAttribute).asInstanceOf[Expression])
-              .reduce(And)
-            val joined = Join(genL, projR, Inner, Some(newCond), hint)
-            Project(j.output, Filter(bandConj, joined))
+          case Some(Band(lx, rx, c, exact)) =>
+            val rest = conjs.filterNot(cj => exact.exists(_ eq cj))
+            // ±1 probe margin only when BOTH sides bucket exactly
+            val m = if (longPathOk(lx, c) && longPathOk(rx, c)) 1 else 2
+            def probesOf(b: Expression) = CreateArray(
+              (-m to m).map(i => Add(b, Literal(i.toLong))))
+            def explodeSide(side: LogicalPlan, x: Expression,
+                            name: String) = {
+              val bkt = AttributeReference(name, LongType,
+                nullable = true)()
+              (Generate(Explode(probesOf(bucketOf(x, c))), Nil,
+                outer = false, qualifier = None,
+                generatorOutput = Seq(bkt), child = side), bkt)
+            }
+            def projectSide(side: LogicalPlan, x: Expression,
+                            name: String) = {
+              val a = Alias(bucketOf(x, c), name)()
+              (Project(side.output :+ a, side), a.toAttribute)
+            }
+            jt match {
+              case Inner =>
+                val (genL, lBkt) = explodeSide(left, lx, "_graft_bkt_l")
+                val (projR, rBkt) = projectSide(right, rx, "_graft_bkt_r")
+                val newCond = (rest :+
+                  EqualTo(lBkt, rBkt).asInstanceOf[Expression]).reduce(And)
+                val joined = Join(genL, projR, Inner, Some(newCond), hint)
+                Project(j.output, Filter(exact.reduce(And), joined))
+              case LeftOuter =>
+                // preserve left rows 1:1 — explode the right (inner)
+                // side; the exact band rides the join condition
+                val (projL, lBkt) = projectSide(left, lx, "_graft_bkt_l")
+                val (genR, rBkt) = explodeSide(right, rx, "_graft_bkt_r")
+                val newCond = (rest ++ exact :+
+                  EqualTo(lBkt, rBkt).asInstanceOf[Expression]).reduce(And)
+                Project(j.output,
+                  Join(projL, genR, LeftOuter, Some(newCond), hint))
+              case RightOuter =>
+                val (genL, lBkt) = explodeSide(left, lx, "_graft_bkt_l")
+                val (projR, rBkt) = projectSide(right, rx, "_graft_bkt_r")
+                val newCond = (rest ++ exact :+
+                  EqualTo(lBkt, rBkt).asInstanceOf[Expression]).reduce(And)
+                Project(j.output,
+                  Join(genL, projR, RightOuter, Some(newCond), hint))
+              case _ => j
+            }
         }
     }
 }

@@ -92,9 +92,17 @@ object Consume {
   /** Mint the from-cursor for [from, end) ns over a single-pt engine
     * (serveGetConsumeCursors with ptNum = 1): one task at position
     * (from, 0); RemotePath carries the stream name — non-empty means
-    * consumable, the reference's empty-RemotePath = exhausted marker. */
+    * consumable, the reference's empty-RemotePath = exhausted marker.
+    *
+    * The stream name is embedded verbatim in the pipe-string, so names
+    * containing the cursor delimiters (`|`, `^`, `(`, `)`) would
+    * mis-tokenize on decode — rejected here, exactly like a malformed
+    * cursor would be on the way back in. */
   def mint(fromNs: Long, stream: String, reverse: Boolean = false,
-           taskNum: Int = 1): Cursor =
+           taskNum: Int = 1): Cursor = {
+    require(!stream.exists(c => c == '|' || c == '^' || c == '(' ||
+      c == ')'), "logstream name contains cursor delimiters")
     Cursor(reverse, taskNum, 0, 1, fromNs, Seq(SegmentTask(0, None,
       Task(0, 0, 0, fromNs, stream))))
+  }
 }

@@ -317,15 +317,32 @@ final class HttpGateway(spark: SparkSession,
       dirCat = dirCat + (name -> InfluxQL.Measurement(full, tags, "ts"))
     } finally ls.close()
     val beforeCat = dirCat
-    // Lines whose database carries an init (in-memory) catalog cannot
-    // fully fold: tombstones over init rows live only in the journal —
-    // retain them so restart/reload replay keeps filtering those rows.
+    // Lines whose statement touches an init (in-memory) measurement
+    // cannot fully fold: tombstones over init rows live only in the
+    // journal — retain exactly those so restart/reload replay keeps
+    // filtering them. Everything else (parquet-backed targets) folds
+    // into the rewrite below and is dropped, so the journal truncates
+    // instead of growing without bound with delete history.
+    def touchesInit(db: String, text: String): Boolean = {
+      val initSlice = sliceOf(init, db)
+      if (initSlice.isEmpty) false
+      // DROP SHARD prunes time ranges across every measurement — any
+      // init measurement in the db may carry affected rows
+      else if ("(?is)^\\s*drop\\s+shard\\s+\\d+\\s*$".r.matches(text)) true
+      else ("(?is)^\\s*(?:delete\\s+from|drop\\s+series\\s+from|" +
+        "drop\\s+measurement)\\s+(?:\"([^\"]+)\"|([^\\s;\"]+))")
+        .r.findFirstMatchIn(text) match {
+          case Some(g) =>
+            initSlice.contains(Option(g.group(1)).getOrElse(g.group(2)))
+          case None => true // unrecognized shape — retain, conservatively
+        }
+    }
     val retained = Seq.newBuilder[String]
     lines.foreach { line =>
       try {
         val Array(dbE, nowE, textE) = line.split("\t", 3)
         val db = dec(dbE); val text = dec(textE)
-        if (sliceOf(init, db).nonEmpty) retained += line
+        if (touchesInit(db, text)) retained += line
         if ("(?is)^\\s*drop\\s+shard\\s+\\d+\\s*$".r.matches(text)) {
           val sid = text.trim.split("\\s+")(2).toLong
           dropShardSlice(db, sid, sliceOf(dirCat, db)).foreach { upd =>
@@ -3046,9 +3063,14 @@ final class HttpGateway(spark: SparkSession,
           val ordered = frame.orderBy(
             if (reverse) col(meas.time).desc else col(meas.time).asc)
           val rows = ordered.limit(limit).collect()
+          // the raw ingest-time `time` long is internal when meas.time
+          // renders under the "time" key (duplicate key otherwise)
           val cols = frame.columns.toSeq
+            .filterNot(c => c == "time" && meas.time != "time" &&
+              frame.columns.contains(meas.time))
           val logs = rows.map { r =>
-            cols.zipWithIndex.map { case (c, i) =>
+            cols.map { c =>
+              val i = r.fieldIndex(c)
               val v = if (c == meas.time) msOf(r.get(i)) else r.get(i)
               s"${jsonStr(if (c == meas.time) "time" else c)}:${cell(v)}"
             }.mkString("{", ",", "}")
@@ -3340,6 +3362,18 @@ final class HttpGateway(spark: SparkSession,
     import org.apache.spark.sql.functions._
     def tookMs = (System.nanoTime() - t0) / 1000000L
     def jnum(l: Long) = l.toString
+    // ns-exact epoch for a logstream frame: prefer the raw ingest-time
+    // `time` long column (exact ns) over unix_millis(ts) (ms-floored)
+    def nsEpochExpr(m: graft.query.InfluxQL.Measurement) =
+      if (m.time != "time" && m.df.columns.contains("time") &&
+          m.df.schema("time").dataType ==
+            org.apache.spark.sql.types.LongType) col("time")
+      else unix_millis(col(m.time)) * 1000000L
+    // columns rendered into a log object — the raw `time` long is
+    // internal when meas.time renders as "time" (duplicate key)
+    def renderCols(m: graft.query.InfluxQL.Measurement): Seq[String] =
+      if (m.time != "time") m.df.columns.toSeq.filterNot(_ == "time")
+      else m.df.columns.toSeq
 
     action match {
       case "consume/cursors" =>
@@ -3389,9 +3423,15 @@ final class HttpGateway(spark: SparkSession,
         val skip = task.curr.blockId
         require(skip >= 0 && skip <= maxRowLimit, "cursor is illegal")
         val endNs = endCur.map(_.time + 1).getOrElse(Long.MaxValue)
-        val srcCols = meas.df.columns.toSeq
+        // Ingested frames carry the exact ns epoch in the raw `time`
+        // long (ingestPoints → toMeasurementTable); `ts` is µs-rounded.
+        // Use it for _ns so an ns-precision from-cursor never skips the
+        // partial-millisecond rows, and drop it from the rendered row
+        // (meas.time is renamed to "time" there — two keys otherwise).
+        val frameNs = nsEpochExpr(meas)
+        val srcCols = renderCols(meas)
         val frame = meas.df
-          .withColumn("_ns", unix_millis(col(meas.time)) * 1000000L)
+          .withColumn("_ns", frameNs)
           .withColumn("_h",
             xxhash64(to_json(struct(srcCols.map(col): _*))))
           .filter(col("_ns") >= tNs && col("_ns") < endNs)
@@ -3477,7 +3517,7 @@ final class HttpGateway(spark: SparkSession,
             .find(_.dataType == org.apache.spark.sql.types.StringType)
             .map(_.name).getOrElse("content")
         val base = meas.df
-          .withColumn("_ns", unix_millis(col(meas.time)) * 1000000L)
+          .withColumn("_ns", nsEpochExpr(meas))
         val bounded =
           if (reverse)
             base.filter(col("_ns") >= fromMs * 1000000L &&
@@ -3496,6 +3536,8 @@ final class HttpGateway(spark: SparkSession,
           case n => n.toString
         }
         val cols = frame.columns.toSeq.filterNot(_ == "_ns")
+          .filterNot(c => c == "time" && meas.time != "time" &&
+            frame.columns.contains(meas.time))
         val logs = rows.map { r =>
           cols.map { c =>
             val v = r.get(r.fieldIndex(c))

@@ -109,4 +109,102 @@ class ExtensionsSpec extends SparkSpec {
           .filterNot(_ eq graft.plans.BandJoinRewrite)
     }
   }
+
+  test("BandJoinRewrite: two-sided/BETWEEN spelling and LEFT OUTER " +
+      "band joins rewrite and match the naive plan") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val l = Seq((1L, "u1", 10000L), (2L, "u1", 50000L), (3L, "u2", 10000L),
+        (4L, "u1", 19999L), (5L, "u9", 999999L))
+      .toDF("lid", "k", "lt")
+    val r = Seq((101L, "u1", 8000L), (102L, "u1", 20000L),
+        (103L, "u1", 31000L), (104L, "u2", 10000L), (105L, "u3", 10000L))
+      .toDF("rid", "k2", "rt")
+    def res(df: org.apache.spark.sql.DataFrame) =
+      df.select($"lid", $"rid").orderBy("lid", "rid")
+        .collect().map(x => (x.get(0), x.get(1))).toSeq
+    // what the user writes after expanding abs(): l.lt BETWEEN rt±c
+    def twoSided = l.join(r,
+      l("k") === r("k2") && l("lt") >= r("rt") - 10000L &&
+        l("lt") <= r("rt") + 10000L)
+    def absForm = l.join(r,
+      l("k") === r("k2") && abs(l("lt") - r("rt")) <= lit(10000L))
+    val naive = res(twoSided)
+    assert(naive == res(absForm))
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ graft.plans.BandJoinRewrite
+    try {
+      assert(res(twoSided) == naive, s"${res(twoSided)} vs $naive")
+      val plan = twoSided.queryExecution.executedPlan.toString
+      assert(plan.contains("_graft_bkt"), plan)
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"), plan)
+      // asymmetric band (lt ∈ [rt−3000, rt+12000]) still exact
+      def asym = l.join(r,
+        l("k") === r("k2") && l("lt") >= r("rt") - 3000L &&
+          l("lt") <= r("rt") + 12000L)
+      assert(asym.queryExecution.executedPlan.toString
+        .contains("_graft_bkt"))
+      val asymGot = res(asym)
+      val asymWant = Seq((1L, 101L), (1L, 104L), (3L, 104L), (4L, 101L),
+        (4L, 102L)).filter { case (a, b) =>
+          // recompute from the inputs: k match && band
+          val lm = Map(1L -> ("u1", 10000L), 2L -> ("u1", 50000L),
+            3L -> ("u2", 10000L), 4L -> ("u1", 19999L))
+          val rm = Map(101L -> ("u1", 8000L), 102L -> ("u1", 20000L),
+            103L -> ("u1", 31000L), 104L -> ("u2", 10000L),
+            105L -> ("u3", 10000L))
+          lm(a)._1 == rm(b)._1 && lm(a)._2 >= rm(b)._2 - 3000L &&
+            lm(a)._2 <= rm(b)._2 + 12000L
+        }
+      assert(asymGot == asymWant, s"$asymGot vs $asymWant")
+      // SQL BETWEEN parses to the same pair and rewrites too
+      l.createOrReplaceTempView("bl"); r.createOrReplaceTempView("br")
+      val sql = spark.sql(
+        "SELECT lid, rid FROM bl JOIN br ON k = k2 AND " +
+          "lt BETWEEN rt - 10000 AND rt + 10000")
+      assert(sql.queryExecution.executedPlan.toString
+        .contains("_graft_bkt"))
+      assert(res(sql) == naive)
+      // LEFT OUTER: unmatched left rows survive exactly once with a
+      // null payload; matched rows identical to inner
+      def lo = l.join(r,
+        l("k") === r("k2") && abs(l("lt") - r("rt")) <= lit(10000L),
+        "left_outer")
+      val loPlan = lo.queryExecution.executedPlan.toString
+      assert(loPlan.contains("_graft_bkt"), loPlan)
+      assert(!loPlan.contains("BroadcastNestedLoopJoin"), loPlan)
+      val loGot = lo.select($"lid", $"rid").orderBy("lid", "rid")
+        .collect().map(x => (x.getLong(0), if (x.isNullAt(1)) -1L
+          else x.getLong(1))).toSeq
+      val inner = naive.map { case (a, b) =>
+        (a.asInstanceOf[Long], b.asInstanceOf[Long]) }
+      val unmatched = Seq(1L, 2L, 3L, 4L, 5L)
+        .filterNot(a => inner.exists(_._1 == a)).map((_, -1L))
+      assert(loGot == (inner ++ unmatched).sorted, loGot.toString)
+      // double-path boundary: floating operands at an exact bucket
+      // edge (x/c = 3.0 boundary) must not drop the true match — the
+      // ±2 probe margin covers f64 floor jitter
+      val lf = Seq((1L, 0.3), (2L, 1.0), (3L, 7.35)).toDF("lid", "lt")
+      val rf = Seq((301L, 0.3), (302L, 0.95), (303L, 7.30))
+        .toDF("rid", "rt")
+      def fj = lf.join(rf, abs(lf("lt") - rf("rt")) <= lit(0.1))
+      assert(fj.queryExecution.executedPlan.toString
+        .contains("_graft_bkt"))
+      val fGot = fj.select($"lid", $"rid").orderBy("lid", "rid")
+        .as[(Long, Long)].collect().toSeq
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations
+          .filterNot(_ eq graft.plans.BandJoinRewrite)
+      val fNaive = fj.select($"lid", $"rid").orderBy("lid", "rid")
+        .as[(Long, Long)].collect().toSeq
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.BandJoinRewrite
+      assert(fGot == fNaive && fGot.nonEmpty, s"$fGot vs $fNaive")
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations
+          .filterNot(_ eq graft.plans.BandJoinRewrite)
+    }
+  }
 }
