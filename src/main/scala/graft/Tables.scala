@@ -130,9 +130,20 @@ object Tables {
         val resident = bytes > 0 && bytes <= maxBytes &&
           ExecProfile.dirBytes(sfDir) <= hotTierDirMaxBytes
         val df =
-          if (resident)
-            df0.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
-          else df0
+          if (resident) {
+            // Spread the decoded cache across cores: a 1-11 MB parquet
+            // file is a single scan split (row-group granularity), so an
+            // un-repartitioned persist would serialize every downstream
+            // map-side stage into one task — q19's orders aggregation
+            // measured 187 ms in a single task vs ~20 ms spread. One
+            // round-robin shuffle at cache-fill time, amortized over
+            // every later query; ~128 KB compressed (~0.5 MB decoded)
+            // per cached partition, capped at the core count.
+            val parts = math.max(1, math.min(32,
+              ((bytes + (64L << 10) - 1) / (64L << 10)).toInt))
+            val spread = if (parts > 1) df0.repartition(parts) else df0
+            spread.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+          } else df0
         memo.put(key, Entry(df, fp, resident))
         df
       }

@@ -46,7 +46,18 @@ trait EntryQueriesA extends EntryBase {
 
     // §2.3 joins: fact-fact shuffle join + broadcast dims (nation/region).
     "q03_join_revenue" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
+      // Aggregate lineitem BY ORDERKEY below the join (round 12): the
+      // revenue sum is per-(region, nation), so per-order partial sums
+      // are exact intermediates (DECIMAL sums are associative) and the
+      // join-key exchange carries ~1 row per order instead of ~4 line
+      // items — the classic eager-aggregation pushdown, worth exactly
+      // its fan-in at 100 TB (lineitem never crosses the wire raw).
+      val liAgg = t(s, dir, "lineitem")
+        .select(col("l_orderkey"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(18,6)").as("_rev"))
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("_rev")).as("_rev0"), count(lit(1)).as("_n0"))
       // shuffle-hash hint: the date filter (pushed into the orders scan)
       // keeps ~1/7 of orders, so the hash build is small per partition
       // while a sort-merge join would sort the FULL lineitem side —
@@ -61,14 +72,14 @@ trait EntryQueriesA extends EntryBase {
       val dims = broadcast(t(s, dir, "nation")
         .join(t(s, dir, "region"),
           col("n_regionkey") === col("r_regionkey")))
-      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      liAgg.join(ord, col("l_orderkey") === col("o_orderkey"))
         .join(cust, col("o_custkey") === col("c_custkey"))
         .join(dims, col("c_nationkey") === col("n_nationkey"))
         .filter(col("o_orderdate") >= ts("1996-01-01") &&
           col("o_orderdate") < ts("1997-01-01"))
         .groupBy(col("r_name"), col("n_name"))
-        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
-          .as("revenue"), count(lit(1)).as("n_items"))
+        .agg(sum(col("_rev0")).cast("double").as("revenue"),
+          sum(col("_n0")).as("n_items"))
         .orderBy("r_name", "n_name")
     }),
 

@@ -946,11 +946,16 @@ trait EntryQueriesB extends EntryBase {
         .withColumn("rate", least(lit(1.0),
           col("_pa") / sum(col("_pa")).over(wAll) *
             col("_tot") / col("n_orig")))
-      // explicit broadcast(): measured BOTH ways on the small profile —
-      // the one-job shuffle-join form ran 0.34 s exec vs 0.14 s total
-      // for the 2-job broadcast (the 5-row rate table's build job is
-      // cheaper than threading two extra exchanges through the plan);
-      // at scale AQE would broadcast it regardless
+      // explicit broadcast(), measured BOTH ways on the small profile
+      // (round 12): the keep-rate threshold depends on global per-lang
+      // stats, so the query is inherently two-pass — the second pass is
+      // either a broadcast build (one extra scheduled job; 0.11 s total,
+      // wall BELOW two bare job floors) or an in-job shuffle join that
+      // re-exchanges the corpus and threads two single-partition window
+      // exchanges through the main job (0.24 s total). The broadcast is
+      // also the right plan at 100 TB (rate table stays ≤ #languages
+      // rows). The residual second job is irreducible without making
+      // the query slower — documented in BASELINE.md.
       d.join(broadcast(rates.select(col("lang"), col("rate"),
           col("n_orig"))), Seq("lang"))
         .filter(pmod(pmod(col("doc_id"), lit(2147483647L)) *

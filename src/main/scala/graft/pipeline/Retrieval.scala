@@ -77,9 +77,10 @@ object Retrieval {
       .groupBy(_._1).map { case (t, qs) => t -> qs.map(_._2).sorted }
     val vocab = byTerm.keys.toSeq.sorted
     bm25Scored(docs, textCol, idCol,
-      pruneVocab = _.filter(col("term").isin(vocab: _*)),
-      attachQueries = p => p.select(col("*"),
-        explode(element_at(typedLit(byTerm), col("term"))).as("query_id")),
+      expand = _.filter(col("term").isin(vocab: _*))
+        .select(col("*"),
+          explode(element_at(typedLit(byTerm), col("term")))
+            .as("query_id")),
       k, k1, b)
   }
 
@@ -89,49 +90,52 @@ object Retrieval {
   def bm25TopKTerms(docs: DataFrame, textCol: String, idCol: String,
                     qTerms: DataFrame, k: Int,
                     k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    // The query-term join MUST broadcast at every size: a shuffle join
+    // would move the vocab prune ABOVE the (doc, term) exchange,
+    // shuffling every exploded token of the corpus instead of only
+    // query-term hits (measured: +0.28 s at sf0.1; catastrophic at
+    // 100 TB). One inner join both prunes AND fans out to query ids —
+    // a single broadcast build job (round 12: the earlier semi-prune +
+    // attach pair built two broadcasts of the same subtree, which
+    // column pruning kept from reusing each other).
     bm25Scored(docs, textCol, idCol,
-      // (no .distinct() on the vocab — LEFT SEMI dedupes the build side
-      // by construction, and dropping it removes an exchange)
-      pruneVocab = _.join(broadcast(qTerms.select(col("term"))),
-        Seq("term"), "left_semi"),
-      attachQueries = _.join(broadcast(qTerms), Seq("term")),
+      expand = _.join(broadcast(qTerms), Seq("term")),
       k, k1, b)
 
-  /** Shared BM25 scoring pipeline. `pruneVocab` restricts exploded
-    * tokens to the query vocabulary (below the shuffle); `attachQueries`
-    * fans each surviving posting out to the query ids that contain its
-    * term. */
+  /** Shared BM25 scoring pipeline. `expand` restricts exploded tokens
+    * to the query vocabulary AND fans each surviving occurrence out to
+    * the query ids containing its term (adds `query_id`) — both BELOW
+    * the (query, doc, term) aggregation shuffle, so only matching
+    * occurrences leave the scan stage. */
   private def bm25Scored(docs: DataFrame, textCol: String, idCol: String,
-                         pruneVocab: DataFrame => DataFrame,
-                         attachQueries: DataFrame => DataFrame,
+                         expand: DataFrame => DataFrame,
                          k: Int, k1: Double, b: Double): DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"),
       split(lower(trim(col(textCol))), "\\s+").as("_tk"))
-    // Postings pruned to the query vocabulary BEFORE the (doc, term)
-    // shuffle — only matching occurrences leave the scan stage.
-    // Scoring never needs postings for non-query terms; df per query
-    // term falls out of the same pruned table (it's (doc, term)-unique
-    // by construction, so df = plain count per term via a window over a
-    // |vocab|-bounded frame — no countDistinct, no second
-    // tokenize-the-corpus pass).
-    val post = pruneVocab(toks
+    // df per query term falls out of the same pruned table: the agg
+    // output is (query, doc, term)-unique by construction, so df =
+    // plain count per (query, term) via a window over a bounded frame —
+    // no countDistinct, no second tokenize-the-corpus pass.
+    val post = expand(toks
         .select(col("doc_id"), size(col("_tk")).cast("long").as("dl"),
           explode(col("_tk")).as("term")))
-      .groupBy(col("doc_id"), col("term"))
+      .groupBy(col("query_id"), col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
       .withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("term"))))
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"), col("term"))))
     // N and avgdl: a one-row corpus aggregate folded in as a broadcast
-    // single-row cross join — no driver-side stats action, and no
-    // token-array materialization (regexp_count of separator runs + 1
-    // ≡ size of the split array, incl. the empty-string token of a
-    // blank doc). sum over BIGINT is exact; the avgdl division is a
-    // single correctly-rounded IEEE op, same as the oracle's.
+    // single-row cross join — no driver-side stats action. Token count
+    // = size of the split array (incl. the empty-string token of a
+    // blank doc) — measured faster than the regexp_count(separator
+    // runs)+1 equivalent, whose regex engine re-scans the full text.
+    // sum over BIGINT is exact; the avgdl division is a single
+    // correctly-rounded IEEE op, same as the oracle's.
     val stats = docs.agg(count(lit(1)).as("_n"),
-      sum((regexp_count(trim(col(textCol)), lit("\\s+")) + lit(1))
-        .cast("long")).as("_s"))
-    val scored = attachQueries(post)
-      .crossJoin(broadcast(stats))
+      sum(size(split(lower(trim(col(textCol))), "\\s+")).cast("long"))
+        .as("_s"))
+    val scored = post
+      .crossJoin(graft.ExecProfile.maybeBroadcast(stats))
       .withColumn("_idf",
         sqrt((col("_n").cast("double") - col("df") + lit(0.5)) /
           (col("df") + lit(0.5))))

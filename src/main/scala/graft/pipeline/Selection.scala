@@ -47,7 +47,8 @@ object Selection {
     // (the smoothing arithmetic is identical: BIGINT + BIGINT, one
     // rounded IEEE division)
     val vRow = weights.agg(count(lit(1)).as("_v"))
-    val wTbl = weights.crossJoin(broadcast(vRow)).select(col("term"),
+    val wTbl = weights.crossJoin(graft.ExecProfile.maybeBroadcast(vRow))
+      .select(col("term"),
       round(lit(1000000.0) * (col("_t") + lit(1L)) /
         (col("_all") + col("_v"))).cast("long").as("w"))
     toks.join(wTbl, Seq("term"))
@@ -108,7 +109,8 @@ object Selection {
     val vRow = c12.select(col("w1").as("t"))
       .union(c12.select(col("w2").as("t")))
       .agg(countDistinct(col("t")).as("_v"))
-    val wTbl = c12.join(c1, Seq("w1")).crossJoin(broadcast(vRow))
+    val wTbl = c12.join(c1, Seq("w1"))
+      .crossJoin(graft.ExecProfile.maybeBroadcast(vRow))
       .select(col("w1"), col("w2"),
         round(lit(1000000.0) * (col("_c12") + lit(1L)) /
           (col("_c1") + col("_v"))).cast("long").as("w"))

@@ -70,9 +70,17 @@ object Similarity {
     graft.expressions.VectorExpressions.register(corpus.sparkSession)
     // norms are per-row, so compute them BEFORE the pair join — the join
     // fan-out then reuses them (1 dot per pair instead of 3)
-    val q = broadcast(queries.select(col(idCol).as("query_id"),
-      col(vecCol).as("_qv"),
-      sqrt(dotNative(col(vecCol), col(vecCol))).as("_qn")))
+    // maybeBroadcast: the tiny query side broadcasts at scale; under the
+    // small-input profile the broadcast build would be its own scheduled
+    // job, so the pair join runs as an in-job cartesian there instead.
+    // coalesce(1): the query side is small by contract, and a cartesian's
+    // task count is |corpus parts| × |query parts| — a handful of query
+    // rows scattered over cache partitions would multiply empty tasks.
+    val q = graft.ExecProfile.maybeBroadcast(
+      queries.select(col(idCol).as("query_id"),
+        col(vecCol).as("_qv"),
+        sqrt(dotNative(col(vecCol), col(vecCol))).as("_qn"))
+        .coalesce(1))
     val scored = corpus.select(col(idCol).as("neighbor_id"),
         col(vecCol).as("_cv"),
         sqrt(dotNative(col(vecCol), col(vecCol))).as("_cn"))
