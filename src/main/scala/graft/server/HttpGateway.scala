@@ -1600,8 +1600,42 @@ final class HttpGateway(spark: SparkSession,
   })
 
   def start(): Int = { server.start(); boundPort }
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = {
+    if (kafka != null) kafka.stop()
+    server.stop(0)
+  }
   def boundPort: Int = server.getAddress.getPort
+
+  @volatile private var kafka: KafkaConsume = _
+
+  /** Start the Kafka wire-protocol consume listener (reference:
+    * `services/consume/` — a separate TCP service sharing the engine).
+    * The fetch topic is an InfluxQL query compiled against the default
+    * database's live catalog (`processor.go:56-66` resolves the
+    * measurement from the query's FROM), row-capped like every other
+    * serving surface; each result row renders as the JSON object shape
+    * the HTTP consume surface emits (divergence documented on
+    * [[KafkaConsume]]). Returns the bound port. */
+  def startKafkaConsume(port: Int = 0): Int = {
+    kafka = new KafkaConsume(sql => {
+      val cat = sliceOf(catalog, defaultDb)
+      val out = InfluxQL.execute(cat, sql)
+      val cols = out.columns.toSeq
+      out.limit(maxRowLimit).collect().toSeq.map { r =>
+        cols.map { c =>
+          val v = r.get(r.fieldIndex(c)) match {
+            case null => "null"
+            case s: String => jsonStr(s)
+            case b: Boolean => b.toString
+            case ts: java.sql.Timestamp => ts.getTime.toString
+            case n => n.toString
+          }
+          s"${jsonStr(c)}:$v"
+        }.mkString("{", ",", "}").getBytes(UTF_8)
+      }
+    })
+    kafka.start(port)
+  }
 
   /** Current measurement catalog (grows via /write and SELECT INTO). */
   def measurements: Map[String, InfluxQL.Measurement] = catalog
