@@ -1062,7 +1062,17 @@ trait EntryOraclesB extends EntryBase {
            FROM j)
          SELECT status, count(*) AS n_docs, min(id) AS min_id,
            max(id) AS max_id
-         FROM st GROUP BY status ORDER BY status"""
+         FROM st GROUP BY status ORDER BY status""",
+
+    "q132_corpus_manifest" ->
+      """SELECT CAST(shard AS BIGINT) AS shard, count(*) AS n_docs,
+           CAST(sum(len(regexp_split_to_array(trim(text), '\s+')))
+             AS BIGINT) AS n_tokens,
+           min(doc_id) AS min_id, max(doc_id) AS max_id,
+           bit_xor(_h) AS checksum
+         FROM read_parquet('/tmp/graft_q132_corpus/data/*/*.parquet',
+           hive_partitioning=1)
+         GROUP BY shard ORDER BY shard"""
   )
 
   /** Shared BM25 oracle CTE stack (mirrors Retrieval.bm25TopK's

@@ -1175,8 +1175,25 @@ trait EntryQueriesB extends EntryBase {
         .unionByName(v1.filter(pmod(col("doc_id"), lit(89L)) === 0L)
           .withColumn("doc_id", col("doc_id") + 10000000L))
       graft.pipeline.CorpusDiff.diff(v1, v2, "doc_id", "text")
+    }),
+
+    // pipeline SINK gate: write the corpus as token-budgeted shards +
+    // manifest, return the manifest. The oracle RECOMPUTES every
+    // manifest row from the parquet files the write actually produced
+    // (hive-partitioned shard key; token counts re-derived from the
+    // text; checksum re-folded from the shipped per-row hash column) —
+    // so a wrong shard assignment, a lost row, or a corrupted manifest
+    // all hash-mismatch. Fixed output path: the oracle SQL is a static
+    // string; SaveMode.Overwrite keeps a run self-consistent.
+    "q132_corpus_manifest" -> ((s, dir) => {
+      graft.pipeline.CorpusWriter.writeShards(t(s, dir, "documents"),
+        "text", "doc_id", Q132Dir, tokensPerShard = 20000L)
     })
   )
+
+  /** q132's corpus output dir — shared between the query and its static
+    * oracle SQL. */
+  protected val Q132Dir = "/tmp/graft_q132_corpus"
 
   /** Fixed literal keyword queries for the BM25 gate — vocabulary terms
     * of the synthetic corpus. */

@@ -41,9 +41,19 @@ object CorpusWriter {
     // manifest instead of throwing from getLong
     val total = Option(withTok.agg(sum(col("_ntok"))).head().get(0))
       .map(_.asInstanceOf[Long]).getOrElse(0L)
-    val nShards = math.max(1L, (total + tokensPerShard - 1) / tokensPerShard)
+    require(tokensPerShard > 0, s"tokensPerShard must be > 0: $tokensPerShard")
+    // Clamp the shard count: a tiny tokensPerShard against a large
+    // corpus would otherwise request millions of shuffle partitions.
+    // 2^20 shards ≈ 1 B-token shards at a 1 T-token corpus; beyond that
+    // each shard simply carries more than the requested budget.
+    val nShards = math.min(1L << 20,
+      math.max(1L, (total + tokensPerShard - 1) / tokensPerShard))
     val sharded = withTok.withColumn("shard",
-      pmod(xxhash64(col(idCol)), lit(nShards)))
+        pmod(xxhash64(col(idCol)), lit(nShards)))
+      // the per-row hash ships IN the data files so any reader can
+      // recompute a shard's checksum without knowing the hash function
+      // of this engine (and the manifest oracle recomputes it externally)
+      .withColumn("_h", xxhash64(col(idCol), col(textCol)))
     sharded
       .repartition(nShards.toInt, col("shard"))
       .sortWithinPartitions(col(idCol))
@@ -55,7 +65,7 @@ object CorpusWriter {
         sum(col("_ntok")).as("n_tokens"),
         min(col(idCol)).as("min_id"),
         max(col(idCol)).as("max_id"),
-        expr(s"bit_xor(xxhash64($idCol, $textCol))").as("checksum"))
+        expr("bit_xor(_h)").as("checksum"))
       .orderBy("shard")
     val rows = manifest.collect()
     val body = rows.map { r =>

@@ -265,12 +265,18 @@ final class HttpGateway(spark: SparkSession,
             val Array(dbE, nowE, textE) = line.split("\t", 3)
             val db = dec(dbE); val text = dec(textE)
             if (onlyDb.forall(_ == db)) {
-              if ("(?is)^\\s*drop\\s+shard\\s+\\d+\\s*$".r.matches(text))
-                dropShardData(db, text.trim.split("\\s+")(2).toLong)
-              else {
+              if ("(?is)^\\s*drop\\s+shard\\s+\\d+\\s*$".r.matches(text)) {
                 val before = sliceOf(catalog, db)
-                applySlice(db, before, Map.empty ++
-                  InfluxQL.executeManage(before, text, nowE.toLong))
+                dropShardData(db, text.trim.split("\\s+")(2).toLong)
+                propagateDml(db, before, sliceOf(catalog, db))
+              } else {
+                val before = sliceOf(catalog, db)
+                val after = Map.empty ++
+                  InfluxQL.executeManage(before, text, nowE.toLong)
+                applySlice(db, before, after)
+                // replay propagates like live DML: the prom twins were
+                // restored from the pre-tombstone parquet above
+                propagateDml(db, before, after)
               }
             }
           } catch { case e: Exception =>
@@ -860,6 +866,37 @@ final class HttpGateway(spark: SparkSession,
     val removed = (before.keySet -- after.keySet).map(dbKey(db, _))
     catalog = (catalog -- removed) ++
       after.map { case (k, m) => dbKey(db, k) -> m }
+  }
+
+  /** DML (DELETE / DROP SERIES / DROP MEASUREMENT / DROP SHARD) changed
+    * some measurement frames — propagate to every cache layer that
+    * could otherwise serve the deleted rows: the range-results cache is
+    * dropped wholesale, and the prom twins (metric catalog + metric
+    * stores) re-point at the mutated frame / disappear with a dropped
+    * measurement. Callers hold `synchronized`. */
+  private def propagateDml(db: String,
+                           before: Map[String, InfluxQL.Measurement],
+                           after: Map[String, InfluxQL.Measurement]): Unit = {
+    // null during constructor-time journal replay (the cache val
+    // initializes below the restore block) — nothing cached yet anyway
+    if (resultsCache != null) resultsCache.invalidateAll()
+    if (db == defaultDb) {
+      val dropped = before.keySet -- after.keySet
+      promCat = (promCat -- dropped).map { case (m, met) =>
+        after.get(m) match {
+          case Some(ms) if !(met.df eq ms.df) =>
+            m -> met.copy(df = ms.df, extentMs = None)
+          case _ => m -> met
+        }
+      }
+      promStores = (promStores -- dropped).map { case (s, met) =>
+        after.get(s) match {
+          case Some(ms) if !(met.df eq ms.df) =>
+            s -> met.copy(df = ms.df, extentMs = None)
+          case _ => s -> met
+        }
+      }
+    }
   }
 
   // ------------------------------------------------- write durability
@@ -2243,9 +2280,11 @@ final class HttpGateway(spark: SparkSession,
           // database (ids are per-db group indexes, not a global counter)
           val sid = stmt.trim.split("\\s+")(2).toLong
           synchronized {
+            val before = sliceOf(catalog, reqDb)
             if (!dropShardData(reqDb, sid))
               sys.error(s"shard not found: $sid")
             journalDml(reqDb, stmt.trim, System.currentTimeMillis())
+            propagateDml(reqDb, before, sliceOf(catalog, reqDb))
           }
           s"""{"statement_id":$id}"""
         } else if ("(?is)^\\s*show\\s+subscriptions\\b.*".r.matches(stmt)) {
@@ -2346,7 +2385,10 @@ final class HttpGateway(spark: SparkSession,
             // return the catalog's own entries untouched
             val changed = before.keySet != after.keySet ||
               after.exists { case (k, m) => !before.get(k).exists(_ eq m) }
-            if (changed) journalDml(reqDb, stmt.trim, nowMs)
+            if (changed) {
+              journalDml(reqDb, stmt.trim, nowMs)
+              propagateDml(reqDb, before, after)
+            }
           }
           s"""{"statement_id":$id}"""
         } else if ("(?is).*\\bINTO\\b.*".r.matches(stmt) &&
