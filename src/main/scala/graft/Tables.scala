@@ -139,7 +139,7 @@ object Tables {
             // round-robin shuffle at cache-fill time, amortized over
             // every later query; ~128 KB compressed (~0.5 MB decoded)
             // per cached partition, capped at the core count.
-            val parts = math.max(1, math.min(32,
+            val parts = math.max(1, math.min(8,
               ((bytes + (64L << 10) - 1) / (64L << 10)).toInt))
             val spread = if (parts > 1) df0.repartition(parts) else df0
             spread.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
