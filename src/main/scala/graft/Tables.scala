@@ -137,8 +137,10 @@ object Tables {
             // map-side stage into one task — q19's orders aggregation
             // measured 187 ms in a single task vs ~20 ms spread. One
             // round-robin shuffle at cache-fill time, amortized over
-            // every later query; ~128 KB compressed (~0.5 MB decoded)
-            // per cached partition, capped at the core count.
+            // every later query; ~64 KB compressed (~0.3 MB decoded)
+            // per cached partition, capped at 8 (measured: a 32-way
+            // spread taxed every small scan stage ~70 ms of per-task
+            // deserialization — BASELINE.md round 12).
             val parts = math.max(1, math.min(8,
               ((bytes + (64L << 10) - 1) / (64L << 10)).toInt))
             val spread = if (parts > 1) df0.repartition(parts) else df0

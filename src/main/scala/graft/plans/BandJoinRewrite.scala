@@ -212,31 +212,28 @@ object BandJoinRewrite extends Rule[LogicalPlan] {
               val a = Alias(bucketOf(x, c), name)()
               (Project(side.output :+ a, side), a.toAttribute)
             }
+            // the probe explosion goes on the INNER side: under an
+            // outer join every preserved-side row must keep exactly
+            // one bucket (or it would null-extend once per probe)
+            val ((newL, lBkt), (newR, rBkt)) = jt match {
+              case LeftOuter =>
+                (projectSide(left, lx, "_graft_bkt_l"),
+                  explodeSide(right, rx, "_graft_bkt_r"))
+              case _ =>
+                (explodeSide(left, lx, "_graft_bkt_l"),
+                  projectSide(right, rx, "_graft_bkt_r"))
+            }
+            val bktEq = EqualTo(lBkt, rBkt).asInstanceOf[Expression]
             jt match {
               case Inner =>
-                val (genL, lBkt) = explodeSide(left, lx, "_graft_bkt_l")
-                val (projR, rBkt) = projectSide(right, rx, "_graft_bkt_r")
-                val newCond = (rest :+
-                  EqualTo(lBkt, rBkt).asInstanceOf[Expression]).reduce(And)
-                val joined = Join(genL, projR, Inner, Some(newCond), hint)
+                val joined = Join(newL, newR, Inner,
+                  Some((rest :+ bktEq).reduce(And)), hint)
                 Project(j.output, Filter(exact.reduce(And), joined))
-              case LeftOuter =>
-                // preserve left rows 1:1 — explode the right (inner)
-                // side; the exact band rides the join condition
-                val (projL, lBkt) = projectSide(left, lx, "_graft_bkt_l")
-                val (genR, rBkt) = explodeSide(right, rx, "_graft_bkt_r")
-                val newCond = (rest ++ exact :+
-                  EqualTo(lBkt, rBkt).asInstanceOf[Expression]).reduce(And)
-                Project(j.output,
-                  Join(projL, genR, LeftOuter, Some(newCond), hint))
-              case RightOuter =>
-                val (genL, lBkt) = explodeSide(left, lx, "_graft_bkt_l")
-                val (projR, rBkt) = projectSide(right, rx, "_graft_bkt_r")
-                val newCond = (rest ++ exact :+
-                  EqualTo(lBkt, rBkt).asInstanceOf[Expression]).reduce(And)
-                Project(j.output,
-                  Join(genL, projR, RightOuter, Some(newCond), hint))
-              case _ => j
+              case _ =>
+                // outer: the exact band rides the join condition (a
+                // post-filter would drop the null-extended rows)
+                Project(j.output, Join(newL, newR, jt,
+                  Some((rest ++ exact :+ bktEq).reduce(And)), hint))
             }
         }
     }

@@ -329,19 +329,28 @@ final class HttpGateway(spark: SparkSession,
     // filtering them. Everything else (parquet-backed targets) folds
     // into the rewrite below and is dropped, so the journal truncates
     // instead of growing without bound with delete history.
+    // compiled once — the fold walks every journal line (which this
+    // change exists to keep bounded, but the pre-truncation backlog
+    // can be long)
+    val dropShardRe = "(?is)^\\s*drop\\s+shard\\s+\\d+\\s*$".r
+    // the name may be double-quoted, single-quoted (ident() accepts
+    // TStr) or bare — compare UNQUOTED against the init slice
+    val dmlTargetRe = ("(?is)^\\s*(?:delete\\s+from|drop\\s+series\\s+" +
+      "from|drop\\s+measurement)\\s+" +
+      "(?:\"([^\"]+)\"|'([^']+)'|([^\\s;\"']+))").r
     def touchesInit(db: String, text: String): Boolean = {
       val initSlice = sliceOf(init, db)
       if (initSlice.isEmpty) false
       // DROP SHARD prunes time ranges across every measurement — any
       // init measurement in the db may carry affected rows
-      else if ("(?is)^\\s*drop\\s+shard\\s+\\d+\\s*$".r.matches(text)) true
-      else ("(?is)^\\s*(?:delete\\s+from|drop\\s+series\\s+from|" +
-        "drop\\s+measurement)\\s+(?:\"([^\"]+)\"|([^\\s;\"]+))")
-        .r.findFirstMatchIn(text) match {
-          case Some(g) =>
-            initSlice.contains(Option(g.group(1)).getOrElse(g.group(2)))
-          case None => true // unrecognized shape — retain, conservatively
-        }
+      else if (dropShardRe.matches(text)) true
+      else dmlTargetRe.findFirstMatchIn(text) match {
+        case Some(g) =>
+          val name = Option(g.group(1)).orElse(Option(g.group(2)))
+            .getOrElse(g.group(3))
+          initSlice.contains(name)
+        case None => true // unrecognized shape — retain, conservatively
+      }
     }
     val retained = Seq.newBuilder[String]
     lines.foreach { line =>
@@ -349,7 +358,7 @@ final class HttpGateway(spark: SparkSession,
         val Array(dbE, nowE, textE) = line.split("\t", 3)
         val db = dec(dbE); val text = dec(textE)
         if (touchesInit(db, text)) retained += line
-        if ("(?is)^\\s*drop\\s+shard\\s+\\d+\\s*$".r.matches(text)) {
+        if (dropShardRe.matches(text)) {
           val sid = text.trim.split("\\s+")(2).toLong
           dropShardSlice(db, sid, sliceOf(dirCat, db)).foreach { upd =>
             dirCat = dirCat ++ upd.map { case (k, m) => dbKey(db, k) -> m }
@@ -860,6 +869,18 @@ final class HttpGateway(spark: SparkSession,
   }
 
   /** Write a mutated single-database slice back through the prefix. */
+  /** Columns a log route renders into one JSON object: when the
+    * measurement's TIMESTAMP column renders under the "time" key, the
+    * raw ingest-time ns `time` long is internal — emitting it too
+    * would produce a duplicate key. One rule, shared by the logs,
+    * consume and context renderers. */
+  private def logRenderCols(cols: Seq[String], timeCol: String): Seq[String] =
+    // only when the TIMESTAMP column is actually present — a projection
+    // that kept the raw long but dropped the timestamp renders it as-is
+    if (timeCol != "time" && cols.contains(timeCol))
+      cols.filterNot(_ == "time")
+    else cols
+
   private def applySlice(db: String,
                          before: Map[String, InfluxQL.Measurement],
                          after: Map[String, InfluxQL.Measurement]): Unit = {
@@ -1654,6 +1675,7 @@ final class HttpGateway(spark: SparkSession,
     * the HTTP consume surface emits (divergence documented on
     * [[KafkaConsume]]). Returns the bound port. */
   def startKafkaConsume(port: Int = 0): Int = {
+    if (kafka != null) kafka.stop() // re-start replaces, never leaks
     kafka = new KafkaConsume(sql => {
       val cat = sliceOf(catalog, defaultDb)
       val out = InfluxQL.execute(cat, sql)
@@ -3139,11 +3161,7 @@ final class HttpGateway(spark: SparkSession,
           val ordered = frame.orderBy(
             if (reverse) col(meas.time).desc else col(meas.time).asc)
           val rows = ordered.limit(limit).collect()
-          // the raw ingest-time `time` long is internal when meas.time
-          // renders under the "time" key (duplicate key otherwise)
-          val cols = frame.columns.toSeq
-            .filterNot(c => c == "time" && meas.time != "time" &&
-              frame.columns.contains(meas.time))
+          val cols = logRenderCols(frame.columns.toSeq, meas.time)
           val logs = rows.map { r =>
             cols.map { c =>
               val i = r.fieldIndex(c)
@@ -3445,11 +3463,8 @@ final class HttpGateway(spark: SparkSession,
           m.df.schema("time").dataType ==
             org.apache.spark.sql.types.LongType) col("time")
       else unix_millis(col(m.time)) * 1000000L
-    // columns rendered into a log object — the raw `time` long is
-    // internal when meas.time renders as "time" (duplicate key)
     def renderCols(m: graft.query.InfluxQL.Measurement): Seq[String] =
-      if (m.time != "time") m.df.columns.toSeq.filterNot(_ == "time")
-      else m.df.columns.toSeq
+      logRenderCols(m.df.columns.toSeq, m.time)
 
     action match {
       case "consume/cursors" =>
@@ -3611,9 +3626,8 @@ final class HttpGateway(spark: SparkSession,
           case ts: java.sql.Timestamp => ts.getTime.toString
           case n => n.toString
         }
-        val cols = frame.columns.toSeq.filterNot(_ == "_ns")
-          .filterNot(c => c == "time" && meas.time != "time" &&
-            frame.columns.contains(meas.time))
+        val cols = logRenderCols(
+          frame.columns.toSeq.filterNot(_ == "_ns"), meas.time)
         val logs = rows.map { r =>
           cols.map { c =>
             val v = r.get(r.fieldIndex(c))

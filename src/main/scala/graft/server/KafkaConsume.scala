@@ -61,7 +61,13 @@ final class KafkaConsume(runQuery: String => Seq[Array[Byte]],
           val t = new Thread(() => handleConn(conn), "kafka-consume-conn")
           t.setDaemon(true)
           t.start()
-        } catch { case _: Exception if closed => case _: Exception => }
+        } catch {
+          case _: Exception if closed =>
+          case _: Exception =>
+            // persistent accept failures (fd exhaustion, …) must not
+            // busy-spin the acceptor thread
+            try Thread.sleep(50) catch { case _: InterruptedException => }
+        }
       }
     }, "kafka-consume-accept")
     acceptor.setDaemon(true)
@@ -153,7 +159,9 @@ final class KafkaConsume(runQuery: String => Seq[Array[Byte]],
     val req = ReqListOffsetsV1.unmarshal(d)
     marshalListOffsetsV1(h.correlationId,
       req.topics.map(t => TopicPartitionOffsetsV1(t,
-        Seq(PartitionOffsetV1(0, 0, System.nanoTime(), 0)))))
+        // wall-clock epoch ns (list_offset.go: time.Now().UnixNano())
+        Seq(PartitionOffsetV1(0, 0,
+          System.currentTimeMillis() * 1000000L, 0)))))
   }
 
   private def fetchV2(h: ReqHeader, d: Dec, st: FetchState): Array[Byte] = {
