@@ -70,6 +70,23 @@ object SparkEntry extends EntryQueriesA with EntryQueriesB
     * hit, which is the HTTP layer's job (ResultsCache, with TTL and
     * extent splitting), not the embedded API's. Such queries rebuild on
     * every call so benchmarks measure the real recomputation. */
+  /** Query names whose CONSTRUCTION schedules Spark jobs (RCA frontier,
+    * connected-components rounds, model training, sink writes). Once
+    * known-impure, later invocations run WITHOUT the probe job group:
+    * their internal jobs then land in the caller's group, so a
+    * benchmark's per-query job count includes the work the query
+    * actually does instead of hiding it under the probe.
+    *
+    * Two-strike rule: the FIRST jobful build only marks a suspect —
+    * a cold-start hot-tier materialization also schedules jobs under
+    * the first build (the round-10 cache bug), and a pure query's
+    * second build is clean and caches normally. Only a second
+    * consecutive jobful build convicts. */
+  private val impureNames =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val suspectNames =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     rawQueries.map { case (name, fn) =>
       name -> ((s: SparkSession, dir: String) => {
@@ -77,6 +94,7 @@ object SparkEntry extends EntryQueriesA with EntryQueriesB
         val key = (s, dir, name, dirFingerprint(dir))
         val hit = planCache.get(key)
         if (hit != null) hit
+        else if (impureNames.contains(name)) fn(s, dir)
         else {
           val sc = s.sparkContext
           val outerGroup = sc.getLocalProperty("spark.jobGroup.id")
@@ -96,8 +114,10 @@ object SparkEntry extends EntryQueriesA with EntryQueriesB
               sc.setLocalProperty("spark.jobGroup.id", outerGroup)
               sc.setLocalProperty("spark.job.description", outerDesc)
             }
-          if (sc.statusTracker.getJobIdsForGroup(probe).isEmpty)
+          if (sc.statusTracker.getJobIdsForGroup(probe).isEmpty) {
             planCache.put(key, df)
+            suspectNames.remove(name)
+          } else if (!suspectNames.add(name)) impureNames.add(name)
           df
         }
       })

@@ -81,7 +81,7 @@ object Retrieval {
         .select(col("*"),
           explode(element_at(typedLit(byTerm), col("term")))
             .as("query_id")),
-      k, k1, b)
+      k = k, k1 = k1, b = b)
   }
 
   /** BM25 with the query set supplied as a (query_id, term) DataFrame —
@@ -90,40 +90,54 @@ object Retrieval {
   def bm25TopKTerms(docs: DataFrame, textCol: String, idCol: String,
                     qTerms: DataFrame, k: Int,
                     k1: Double = 1.2, b: Double = 0.75): DataFrame =
-    // The query-term join MUST broadcast at every size: a shuffle join
+    // The query-term joins MUST broadcast at every size: a shuffle join
     // would move the vocab prune ABOVE the (doc, term) exchange,
     // shuffling every exploded token of the corpus instead of only
     // query-term hits (measured: +0.28 s at sf0.1; catastrophic at
-    // 100 TB). One inner join both prunes AND fans out to query ids —
-    // a single broadcast build job (round 12: the earlier semi-prune +
-    // attach pair built two broadcasts of the same subtree, which
-    // column pruning kept from reusing each other).
+    // 100 TB). The prune is a SEMI join below the aggregation and the
+    // query fan-out attaches AFTER it — fusing the two into one pre-agg
+    // inner join was measured 36% slower at ×10 (the fan-out multiplies
+    // every shuffled occurrence by its query count); two broadcast
+    // builds of the small side are cheaper than one fatter exchange.
     bm25Scored(docs, textCol, idCol,
-      expand = _.join(broadcast(qTerms), Seq("term")),
-      k, k1, b)
+      expand = _.join(broadcast(qTerms.select(col("term"))),
+        Seq("term"), "left_semi"),
+      attach = Some(_.join(broadcast(qTerms), Seq("term"))),
+      k = k, k1 = k1, b = b)
 
   /** Shared BM25 scoring pipeline. `expand` restricts exploded tokens
-    * to the query vocabulary AND fans each surviving occurrence out to
-    * the query ids containing its term (adds `query_id`) — both BELOW
-    * the (query, doc, term) aggregation shuffle, so only matching
-    * occurrences leave the scan stage. */
+    * to the query vocabulary BELOW the aggregation shuffle (so only
+    * matching occurrences leave the scan stage) and may already attach
+    * `query_id` (the literal-map path, where the fan-out is a pure
+    * expression); `attach` optionally fans the aggregated postings out
+    * to query ids AFTER the (doc, term) reduction — the cheaper order
+    * when the fan-out is a real join. */
   private def bm25Scored(docs: DataFrame, textCol: String, idCol: String,
                          expand: DataFrame => DataFrame,
+                         attach: Option[DataFrame => DataFrame] = None,
                          k: Int, k1: Double, b: Double): DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"),
       split(lower(trim(col(textCol))), "\\s+").as("_tk"))
+    val expanded = expand(toks
+      .select(col("doc_id"), size(col("_tk")).cast("long").as("dl"),
+        explode(col("_tk")).as("term")))
+    val aggKeys =
+      if (attach.isEmpty) Seq(col("query_id"), col("doc_id"), col("term"))
+      else Seq(col("doc_id"), col("term"))
     // df per query term falls out of the same pruned table: the agg
-    // output is (query, doc, term)-unique by construction, so df =
-    // plain count per (query, term) via a window over a bounded frame —
+    // output is unique per its keys by construction, so df = plain
+    // count per (query-scoped) term via a window over a bounded frame —
     // no countDistinct, no second tokenize-the-corpus pass.
-    val post = expand(toks
-        .select(col("doc_id"), size(col("_tk")).cast("long").as("dl"),
-          explode(col("_tk")).as("term")))
-      .groupBy(col("query_id"), col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
-      .withColumn("df", count(lit(1)).over(
+    val dfWindow =
+      if (attach.isEmpty)
         org.apache.spark.sql.expressions.Window
-          .partitionBy(col("query_id"), col("term"))))
+          .partitionBy(col("query_id"), col("term"))
+      else org.apache.spark.sql.expressions.Window.partitionBy(col("term"))
+    val reduced = expanded
+      .groupBy(aggKeys: _*)
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+      .withColumn("df", count(lit(1)).over(dfWindow))
+    val post = attach.map(_(reduced)).getOrElse(reduced)
     // N and avgdl: a one-row corpus aggregate folded in as a broadcast
     // single-row cross join — no driver-side stats action. Token count
     // = size of the split array (incl. the empty-string token of a
