@@ -1143,6 +1143,32 @@ final class HttpGateway(spark: SparkSession,
   // invalidated whenever the prom catalog changes (remote write)
   private val resultsCache =
     new ResultsCache[Sample](_.evalMs)
+  // hot-reloadable per-tenant prom limits (services/runtimecfg +
+  // lib/validation) — the tenant key is the metric store / mst, like
+  // FilterInvalidTimeSeries(mst, …); file lives beside the data
+  private val runtimeOverrides = new Validation.Overrides(
+    persistDir.map(d => java.nio.file.Paths.get(d, "_runtimecfg.yaml")))
+
+  /** handler_prom.go:99 FilterInvalidTimeSeries + servePromWriteBase's
+    * partial semantics: invalid series are dropped, valid ones write,
+    * and ANY invalid series turns the final status into a 400 carrying
+    * the FIRST validation error (after the valid data landed). Returns
+    * (valid series, first error). */
+  private def filterInvalidSeries(tenant: String,
+                                  series: Seq[PromRemoteWrite.Series]):
+      (Seq[PromRemoteWrite.Series], Option[String]) = {
+    val limits = runtimeOverrides.limitsFor(tenant)
+    if (!limits.promLimitEnabled) return (series, None)
+    var firstErr: Option[String] = None
+    val valid = series.filter { s =>
+      Validation.validateSeries(limits, s.labels,
+          s.samples.map(_._1)) match {
+        case Some(err) => if (firstErr.isEmpty) firstErr = Some(err); false
+        case None => true
+      }
+    }
+    (valid, firstErr)
+  }
   private val server =
     HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
   // concurrent handlers: without an executor the JDK server serializes
@@ -1538,7 +1564,8 @@ final class HttpGateway(spark: SparkSession,
             val range = rest == List("query_range")
             promStores.get(store) match {
               case Some(m) => handleProm(ex, range,
-                () => new StoreCatView(m), s"store:$store|")
+                () => new StoreCatView(m), s"store:$store|",
+                tenant = store)
               case None =>
                 val rt = if (range) "matrix" else "vector"
                 respond(ex, 200, "{\"status\":\"success\",\"data\":" +
@@ -2704,8 +2731,12 @@ final class HttpGateway(spark: SparkSession,
       val p = params(ex, readBody = false)
       if (guard(ex, p, Auth.WritePrivilege, "write to").isEmpty) return
       val body = ex.getRequestBody.readAllBytes()
-      val series = PromRemoteWrite.decode(body)
-      if (series.isEmpty) sys.error("no timeseries in write request")
+      val series0 = PromRemoteWrite.decode(body)
+      if (series0.isEmpty) sys.error("no timeseries in write request")
+      // per-tenant write limits, tenant = the metric store (mst)
+      val (series, partialErr) = filterInvalidSeries(store, series0)
+      if (series.isEmpty)
+        sys.error(partialErr.getOrElse("timeseries have no sample"))
       val (df, tagKeys) =
         PromRemoteWrite.toStoreMeasurement(spark, series, store)
       synchronized {
@@ -2732,7 +2763,13 @@ final class HttpGateway(spark: SparkSession,
         }))
       }
       resultsCache.invalidateAll()
-      ex.sendResponseHeaders(204, -1); ex.close()
+      partialErr match {
+        // the valid series landed; a 400 carrying the first validation
+        // error reports the dropped ones (servePromWriteBase:203)
+        case Some(err) =>
+          respond(ex, 400, s"""{"error":${jsonStr(err)}}""")
+        case None => ex.sendResponseHeaders(204, -1); ex.close()
+      }
     } catch {
       case e: Throwable =>
         respond(ex, 400, s"""{"error":${jsonStr(String.valueOf(e.getMessage))}}""")
@@ -2750,8 +2787,12 @@ final class HttpGateway(spark: SparkSession,
       if (guard(ex, p, Auth.WritePrivilege, "write to").isEmpty) return
       val wdb = writeDb(ex, p).getOrElse(return)
       val body = ex.getRequestBody.readAllBytes()
-      val series = PromRemoteWrite.decode(body)
-      if (series.isEmpty) sys.error("no timeseries in write request")
+      val series0 = PromRemoteWrite.decode(body)
+      if (series0.isEmpty) sys.error("no timeseries in write request")
+      // plain route: tenant = EmptyPromMst (servePromWrite passes "")
+      val (series, promPartialErr) = filterInvalidSeries("", series0)
+      if (series.isEmpty)
+        sys.error(promPartialErr.getOrElse("timeseries have no sample"))
       synchronized {
         PromRemoteWrite.toMeasurements(spark, series).foreach {
           case (metric, (df, tagKeys)) =>
@@ -2778,7 +2819,11 @@ final class HttpGateway(spark: SparkSession,
         }
       }
       resultsCache.invalidateAll()
-      ex.sendResponseHeaders(204, -1); ex.close()
+      promPartialErr match {
+        case Some(err) =>
+          respond(ex, 400, s"""{"error":${jsonStr(err)}}""")
+        case None => ex.sendResponseHeaders(204, -1); ex.close()
+      }
     } catch {
       case e: Throwable =>
         respond(ex, 400, s"""{"error":${jsonStr(String.valueOf(e.getMessage))}}""")
@@ -3765,7 +3810,8 @@ final class HttpGateway(spark: SparkSession,
 
   private def handleProm(ex: HttpExchange, range: Boolean,
                          cat: () => Map[String, PromQL.Metric] = () => promCat,
-                         cacheKeyPrefix: String = ""): Unit =
+                         cacheKeyPrefix: String = "",
+                         tenant: String = ""): Unit =
     try {
       val cat0 = cat()
       val p = params(ex, readBody = true)
@@ -3786,6 +3832,15 @@ final class HttpGateway(spark: SparkSession,
           val t = promTimeMs(p.getOrElse("time", sys.error("missing time")))
           (t - lookbackMs, t, "1 seconds")
         }
+      // per-tenant max query length (validate.go:172, enforced at the
+      // prom query entry like handler_prom_util.go:498)
+      val rangeErr = Validation.validateQueryTimeRange(
+        runtimeOverrides.limitsFor(tenant), loMs, hiMs)
+      if (rangeErr.isDefined) {
+        respond(ex, 400, s"""{"status":"error","errorType":"bad_data",""" +
+          s""""error":${jsonStr(rangeErr.get)}}""")
+        return
+      }
       // range queries flow through the extent-splitting results cache
       // (`results_cache.go`); `Cache-Control: no-store` opts out like
       // the reference's shouldCache. Queries pinned with `@ start()`/
