@@ -1063,6 +1063,47 @@ class ServerSpec extends SparkSpec {
     } finally g.stop()
   }
 
+  test("consume is ns-exact: a from-cursor inside a partial millisecond " +
+      "neither skips nor re-serves sub-ms rows") {
+    val g = new HttpGateway(spark, Map.empty, Map.empty)
+    g.start()
+    try {
+      def req(method: String, path: String, body: Array[Byte] = Array.empty) = {
+        val b = HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:${g.boundPort}$path"))
+        http.send((method match {
+          case "GET" => b.GET()
+          case _ => b.POST(HttpRequest.BodyPublishers.ofByteArray(body))
+        }).build(), HttpResponse.BodyHandlers.ofString())
+      }
+      assert(req("POST", "/api/v1/repository/nsr").statusCode() == 200)
+      assert(req("POST", "/api/v1/logstream/nsr/acc").statusCode() == 200)
+      val base = "/repo/nsr/logstreams/acc"
+      // two rows 100 ns apart INSIDE one millisecond, above 2^53 ns
+      val t0 = 1755244800123456100L
+      assert(req("POST", s"$base/records?precision=ns",
+        (s"""{"time": $t0, "msg": "a"}""" + "\n" +
+         s"""{"time": ${t0 + 100}, "msg": "b"}""").getBytes)
+        .statusCode() == 200)
+      // a cursor minted BETWEEN the two (t0+50): only "b" may come back.
+      // The review-found bug floored _ns to the millisecond, filtering
+      // BOTH rows out (skip) — and a cursor at t0 re-served both (dup).
+      val cur = graft.server.Consume.mint(t0 + 50, "acc").encode
+      val r = req("GET", s"$base/consume/logs?from_cursor=${enc(cur)}" +
+        "&count=10")
+      assert(r.statusCode() == 200, r.body())
+      val msgs = "\"msg\":\"([^\"]+)\"".r.findAllMatchIn(r.body())
+        .map(_.group(1)).toSeq
+      assert(msgs == Seq("b"), s"$msgs — ${r.body()}")
+      // the raw ns value must round-trip exactly in the rendered row
+      assert(r.body().contains(s""""time":${t0 + 100}"""), r.body())
+      // and no duplicate "time" keys in a log object
+      val obj = "\\{[^}]*\"msg\":\"b\"[^}]*\\}".r
+        .findFirstIn(r.body()).getOrElse(fail(r.body()))
+      assert("\"time\":".r.findAllMatchIn(obj).size == 1, obj)
+    } finally g.stop()
+  }
+
   test("logkeeper stream-task: create compiles to a registered stream, " +
       "sweep flushes the view measurement, delete drops it") {
     val g = new HttpGateway(spark, Map.empty, Map.empty)
