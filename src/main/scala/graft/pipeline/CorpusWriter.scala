@@ -80,7 +80,13 @@ object CorpusWriter {
     val p = java.nio.file.Paths.get(outDir, "manifest.json")
     java.nio.file.Files.createDirectories(p.getParent)
     java.nio.file.Files.write(p, json.getBytes("UTF-8"))
-    manifest
+    // return the rows already collected for the manifest file — a local
+    // frame, so downstream actions don't re-aggregate the whole corpus
+    // (the manifest is nShards rows by construction)
+    docs.sparkSession.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        java.util.Arrays.asList(rows: _*)),
+      manifest.schema)
   }
 
   /** Verify a written corpus against its own manifest: recompute every
