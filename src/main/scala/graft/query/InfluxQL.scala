@@ -1482,52 +1482,33 @@ object InfluxQL {
       !q.where.exists(hasTimeCond) &&
       !q.fromSub.exists(_.where.exists(hasTimeCond)) &&
       bucketNs.forall(d => offs.forall(k => (k * 1000000000L) % d == 0L))
-    val f1 = s"${field}1"
-    val joined =
+    val arms =
       if (singlePass) {
-        // union-pivot instead of an N-way full-outer self-join: tag each
-        // shifted copy with its arm index, then ONE (time, tags)
-        // exchange pivots the arms back into columns — the arms are
-        // unique per key (each is the aggregated base), so max(when) is
-        // exact selection, and a key missing an arm yields null exactly
-        // like the outer join. One exchange replaces N−1 join builds.
         val base = compileQuery(catalog, armQ)
-        val keys = base.columns.filterNot(_ == field).toSeq
-        val tagged = offsets.zipWithIndex.map { case (k, i) =>
+        offsets.zipWithIndex.map { case (k, i) =>
           base.withColumn("time", col("time") + lit(k * 1000L))
-            .withColumn("_arm", lit(i + 1))
-        }.reduce(_ unionByName _)
-        tagged.groupBy(keys.map(col): _*)
-          .agg(
-            offsets.indices.map(i =>
-              max(when(col("_arm") === i + 1, fieldCol(field)))
-                .as(s"$field${i + 1}")).head,
-            offsets.indices.drop(1).map(i =>
-              max(when(col("_arm") === i + 1, fieldCol(field)))
-                .as(s"$field${i + 1}")): _*)
-      } else {
-        val arms = offsets.zipWithIndex.map { case (k, i) =>
-          val cat2 =
-            if (k == 0L) catalog
-            else catalog.map { case (n, mm) =>
-              val s0 = mm.df.withColumn(mm.time,
-                col(mm.time) + expr(s"INTERVAL $k SECOND"))
-              // line-protocol tables also carry the raw ns `time` column
-              val s1 =
-                if (mm.time != "time" && mm.df.columns.contains("time"))
-                  s0.withColumn("time", col("time") + lit(k * 1000000000L))
-                else s0
-              n -> mm.copy(df = s1, extentMs = mm.extentMs.map {
-                case (a, b) => (a + k * 1000L, b + k * 1000L) })
-            }
-          compileQuery(cat2, armQ).withColumnRenamed(field, s"$field${i + 1}")
+            .withColumnRenamed(field, s"$field${i + 1}")
         }
-        val keys = arms.head.columns.filterNot(_ == f1).toSeq
-        arms.reduceLeft((a, b) => a.join(b, keys, "full_outer"))
+      } else offsets.zipWithIndex.map { case (k, i) =>
+        val cat2 =
+          if (k == 0L) catalog
+          else catalog.map { case (n, mm) =>
+            val s0 = mm.df.withColumn(mm.time,
+              col(mm.time) + expr(s"INTERVAL $k SECOND"))
+            // line-protocol tables also carry the raw ns `time` column
+            val s1 =
+              if (mm.time != "time" && mm.df.columns.contains("time"))
+                s0.withColumn("time", col("time") + lit(k * 1000000000L))
+              else s0
+            n -> mm.copy(df = s1, extentMs = mm.extentMs.map {
+              case (a, b) => (a + k * 1000L, b + k * 1000L) })
+          }
+        compileQuery(cat2, armQ).withColumnRenamed(field, s"$field${i + 1}")
       }
-    val keys = joined.columns
-      .filterNot(c => offsets.indices.exists(i => c == s"$field${i + 1}"))
-      .toSeq
+    val f1 = s"${field}1"
+    val keys = arms.head.columns.filterNot(_ == f1).toSeq
+    val joined = arms.reduceLeft((a, b) =>
+      a.join(b, keys, "full_outer"))
     val ratios = offsets.indices.drop(1).map { i =>
       (col(f1).cast("double") / col(s"$field${i + 1}").cast("double"))
         .as(s"$f1/$field${i + 1}")
