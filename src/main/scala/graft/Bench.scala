@@ -109,8 +109,13 @@ object Bench {
         sc.clearJobGroup()
         s
       }
-      // job count from the first timed run (all runs share the plan)
-      val jobs = sc.statusTracker.getJobIdsForGroup(s"bench-$name-0").length
+      // job count from the LAST timed run: for cached pure plans every
+      // run schedules the same jobs, and for impure queries (sink
+      // writes, iterative builds) the two-strike detection in
+      // SparkEntry only stops hiding construction jobs under the
+      // plan-build probe group from the second rebuild on — run 0 would
+      // undercount them
+      val jobs = sc.statusTracker.getJobIdsForGroup(s"bench-$name-2").length
       (name, times.sorted.apply(1), math.max(jobs, 1), err)
     }
     sampleFloor(5)
