@@ -115,7 +115,8 @@ object Bench {
       // SparkEntry only stops hiding construction jobs under the
       // plan-build probe group from the second rebuild on — run 0 would
       // undercount them
-      val jobs = sc.statusTracker.getJobIdsForGroup(s"bench-$name-2").length
+      val jobs = sc.statusTracker
+        .getJobIdsForGroup(s"bench-$name-${times.length - 1}").length
       (name, times.sorted.apply(1), math.max(jobs, 1), err)
     }
     sampleFloor(5)

@@ -77,15 +77,18 @@ object SparkEntry extends EntryQueriesA with EntryQueriesB
     * benchmark's per-query job count includes the work the query
     * actually does instead of hiding it under the probe.
     *
-    * Two-strike rule: the FIRST jobful build only marks a suspect —
-    * a cold-start hot-tier materialization also schedules jobs under
-    * the first build (the round-10 cache bug), and a pure query's
-    * second build is clean and caches normally. Only a second
-    * consecutive jobful build convicts. */
+    * Two-strike rule, keyed by (name, dir fingerprint): the FIRST
+    * jobful build only marks a suspect — a cold-start hot-tier
+    * materialization also schedules jobs under the first build (the
+    * round-10 cache bug), and a pure query's second build over the
+    * SAME data is clean and caches normally. Only a second jobful
+    * build of the same (name, data) convicts; keying by name alone
+    * would let two cold builds against two different dirs permanently
+    * convict a pure query. */
   private val impureNames =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, String)]()
   private val suspectNames =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, String)]()
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     rawQueries.map { case (name, fn) =>
@@ -93,8 +96,9 @@ object SparkEntry extends EntryQueriesA with EntryQueriesB
         ExecProfile.tune(s, dir)
         val key = (s, dir, name, dirFingerprint(dir))
         val hit = planCache.get(key)
+        val strikeKey = (name, key._4)
         if (hit != null) hit
-        else if (impureNames.contains(name)) fn(s, dir)
+        else if (impureNames.contains(strikeKey)) fn(s, dir)
         else {
           val sc = s.sparkContext
           val outerGroup = sc.getLocalProperty("spark.jobGroup.id")
@@ -116,8 +120,8 @@ object SparkEntry extends EntryQueriesA with EntryQueriesB
             }
           if (sc.statusTracker.getJobIdsForGroup(probe).isEmpty) {
             planCache.put(key, df)
-            suspectNames.remove(name)
-          } else if (!suspectNames.add(name)) impureNames.add(name)
+            suspectNames.remove(strikeKey)
+          } else if (!suspectNames.add(strikeKey)) impureNames.add(strikeKey)
           df
         }
       })

@@ -84,9 +84,7 @@ object CorpusWriter {
     // frame, so downstream actions don't re-aggregate the whole corpus
     // (the manifest is nShards rows by construction)
     docs.sparkSession.createDataFrame(
-      new java.util.ArrayList[org.apache.spark.sql.Row](
-        java.util.Arrays.asList(rows: _*)),
-      manifest.schema)
+      java.util.Arrays.asList(rows: _*), manifest.schema)
   }
 
   /** Verify a written corpus against its own manifest: recompute every

@@ -3833,9 +3833,14 @@ final class HttpGateway(spark: SparkSession,
           (t - lookbackMs, t, "1 seconds")
         }
       // per-tenant max query length (validate.go:172, enforced at the
-      // prom query entry like handler_prom_util.go:498)
-      val rangeErr = Validation.validateQueryTimeRange(
-        runtimeOverrides.limitsFor(tenant), loMs, hiMs)
+      // prom query entry like handler_prom_util.go:498) — RANGE queries
+      // only: an instant query's (lo, hi) is the synthesized 5-minute
+      // lookback, not a user-requested range, and must not trip a
+      // sub-5-minute limit
+      val rangeErr =
+        if (range) Validation.validateQueryTimeRange(
+          runtimeOverrides.limitsFor(tenant), loMs, hiMs)
+        else None
       if (rangeErr.isDefined) {
         respond(ex, 400, s"""{"status":"error","errorType":"bad_data",""" +
           s""""error":${jsonStr(rangeErr.get)}}""")

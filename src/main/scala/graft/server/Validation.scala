@@ -9,9 +9,12 @@ package graft.server
   *
   * The tenant key is the metric/mst name, exactly like the reference's
   * `FilterInvalidTimeSeries(mst, …)`. Defaults mirror
-  * `config.NewLimits()` (`lib/config/limits.go:42`); validation is OFF
-  * until a tenant's `prom_limit_enabled` turns it on, like the
-  * reference's `PromLimitEnabled` gate.
+  * `config.NewLimits()` (`lib/config/limits.go:42`). The
+  * `prom_limit_enabled` gate covers SERIES (write-side) validation
+  * only — `FilterInvalidTimeSeries` checks it, but the reference calls
+  * `ValidateQueryTimeRange` unconditionally (handler.go:2418), so
+  * `max_query_length` applies whenever it is set, gate or no gate.
+  * Replicated as-is.
   *
   * Divergence, documented: the reference validates the WIRE ORDER of
   * labels (sorted, no duplicates — validate.go:98). Our prompb decode
@@ -104,18 +107,25 @@ object Validation {
   def parseOverrides(text: String): Map[String, Limits] = {
     var out = Map.empty[String, Limits]
     var tenant: Option[String] = None
+    var tenantIndent = -1
     var inOverrides = false
     text.split("\n").foreach { raw =>
       val line = raw.replaceAll("#.*$", "")
       if (line.trim.nonEmpty) {
-        val indent = line.takeWhile(_ == ' ').length
+        // indentation-agnostic: any leading whitespace counts (2-space,
+        // 4-space and tab-indented documents all parse); structure is
+        // "deeper than the enclosing line", not a fixed width
+        val indent = line.takeWhile(c => c == ' ' || c == '\t').length
         val body = line.trim
         if (indent == 0) {
           inOverrides = body.startsWith("overrides:")
           tenant = None
-        } else if (inOverrides && body.endsWith(":") && indent <= 2) {
+          tenantIndent = -1
+        } else if (inOverrides && body.endsWith(":") &&
+            (tenantIndent < 0 || indent <= tenantIndent)) {
           val t = body.dropRight(1).trim.stripPrefix("\"").stripSuffix("\"")
           tenant = Some(t)
+          tenantIndent = indent
           out = out.updated(t, out.getOrElse(t, defaults))
         } else if (inOverrides && tenant.isDefined) {
           val Array(k, v) = body.split(":", 2).map(_.trim)
@@ -186,16 +196,21 @@ object Validation {
         catch { case _: Exception => -1L }
       if (m != seenMtime) synchronized {
         if (m != seenMtime) {
-          seenMtime = m
           if (m >= 0) {
-            try table = parseOverrides(new String(
-              java.nio.file.Files.readAllBytes(p), "UTF-8"))
-            catch { case e: Exception =>
+            // record the mtime only AFTER a successful parse: a torn
+            // read of a mid-write file whose final mtime lands in the
+            // same millisecond must retry on the next lookup, not be
+            // skipped forever
+            try {
+              table = parseOverrides(new String(
+                java.nio.file.Files.readAllBytes(p), "UTF-8"))
+              seenMtime = m
+            } catch { case e: Exception =>
               System.err.println(
                 s"[gateway] runtimecfg reload failed, keeping previous: " +
                   s"${e.getMessage}")
             }
-          } else table = Map.empty
+          } else { table = Map.empty; seenMtime = m }
         }
       }
     }

@@ -80,6 +80,13 @@ class ValidationSpec extends SparkSpec {
       v.rejectOldSamples && v.rejectOldSamplesMaxAgeS == 14L * 86400 &&
       v.maxQueryLengthS == 3600)
     assert(!cfg("other").promLimitEnabled)
+    // indentation-agnostic: 4-space and tab-indented documents parse too
+    val four = Validation.parseOverrides(
+      "overrides:\n    t4:\n        prom_limit_enabled: true\n")
+    assert(four("t4").promLimitEnabled, four.toString)
+    val tabs = Validation.parseOverrides(
+      "overrides:\n\ttt:\n\t\tmax_label_names_per_series: 7\n")
+    assert(tabs("tt").maxLabelNamesPerSeries == 7, tabs.toString)
   }
 
   test("gateway e2e: store write filters invalid series (partial 400, " +
