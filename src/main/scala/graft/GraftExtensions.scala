@@ -39,7 +39,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "topk_rows(struct, k, sortArity, descMask) - bounded-heap top-k rows"),
       (exprs: Seq[Expression]) =>
         graft.expressions.TopKRows.build(exprs)))
-    // band-join theta conditions (`abs(l.t - r.t) <= c`) rewrite to the
+    // band-join theta conditions (`abs(l.t - r.t) <= c`, the two-sided
+    // BETWEEN spelling, inner and left/right outer) rewrite to the
     // bucketized equi-join automatically — the naive user spelling gets
     // the scale-correct plan (BandJoinRewrite scaladoc)
     ext.injectOptimizerRule(_ => graft.plans.BandJoinRewrite)
