@@ -96,13 +96,26 @@ object Bench {
       // A query that throws must surface as an "err" marker, NOT as a
       // fast-fail wall-time: r07's poisoned testdata produced 0.06 s
       // "measurements" for ~30 dead queries and a meaningless within2x.
+      //
+      // MATERIALIZE EVERY OUTPUT COLUMN (noop write), not count():
+      // under count() Catalyst prunes subtrees that cannot change
+      // cardinality — a cardinality-preserving left join against a
+      // provably-unique build side is ELIMINATED outright, so a query
+      // like semdedup (whose entire pairwise-similarity work feeds a
+      // flag column through exactly such a join) measured as a no-op
+      // at every scale (round-12 find: 0.05 s reported vs 739 s real
+      // at ×100). The noop sink evaluates all columns and discards
+      // them — the same full-result semantics as the DuckDB baseline's
+      // fetchall(), with no serialization or disk cost.
+      def run(): Unit = fn(spark, sfDir).write.mode("overwrite")
+        .format("noop").save()
       var err: Option[String] = None
-      try { fn(spark, sfDir).count() }
+      try run()
       catch { case e: Throwable => err = Some(e.getClass.getSimpleName) }
       val times = (0 until 3).map { k =>
         sc.setJobGroup(s"bench-$name-$k", name)
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() }
+        try run()
         catch { case e: Throwable =>
           err = err.orElse(Some(e.getClass.getSimpleName)) }
         val s = (System.nanoTime() - t0) / 1e9

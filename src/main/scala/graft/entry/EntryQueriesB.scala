@@ -977,8 +977,17 @@ trait EntryQueriesB extends EntryBase {
     "q119_semdedup" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val fp = Tables.fingerprint(s"$dir/embeddings.parquet")
-      val cents = Similarity.cachedModel(s"ivf:$fp:k8:i2") {
-        Similarity.ivfTrain(emb, "embedding", "vec_id", k = 8, iters = 2)
+      // k grows with the corpus (Abbas '23 run k ∝ n — their 50k
+      // clusters on LAION-440M keep ~9k vectors per cluster): a FIXED k
+      // makes the within-cluster pair count quadratic in n. Target
+      // ~512 vectors per cluster; the count is one cached metadata-ish
+      // job per corpus fingerprint (the k rides the model-cache key).
+      val n = Similarity.cachedModel(s"nrows:$fp") {
+        Array(Seq(emb.count().toDouble))
+      }.head.head.toLong
+      val k = math.max(8, (n / 512L).toInt)
+      val cents = Similarity.cachedModel(s"ivf:$fp:k$k:i2") {
+        Similarity.ivfTrain(emb, "embedding", "vec_id", k = k, iters = 2)
       }
       Dedup.semDedup(emb, "embedding", "vec_id", cents, tau = 0.35)
         .orderBy("vec_id")
