@@ -443,24 +443,22 @@ trait EntryQueriesA extends EntryBase {
         .orderBy("src")
     }),
 
-    // §2.8 IP functions (UDF-backed; oracle replicates the bit math in SQL).
+    // §2.8 IP functions — codegen'd Column forms (the UDF forms cost 43×
+    // here: five interpreted per-row calls; oracle replicates the bit
+    // math in SQL either way).
     "q38_ip_functions" -> ((s, dir) => {
-      val ipMaskU = udf(GeminiFunctions.ipMask)
-      val ipPrefixU = udf(GeminiFunctions.ipPrefix)
-      val inSubnetU = udf(GeminiFunctions.isSubnetOf)
-      val subMinU = udf(GeminiFunctions.ipSubnetMin)
-      val subMaxU = udf(GeminiFunctions.ipSubnetMax)
       val ip = concat_ws(".", lit("10"),
         pmod(col("user_id"), lit(256)).cast("string"),
         pmod(col("user_id") * 7, lit(256)).cast("string"),
         pmod(col("user_id") * 13, lit(256)).cast("string"))
       t(s, dir, "events").select(col("user_id")).distinct()
         .withColumn("ip", ip)
-        .withColumn("masked24", ipMaskU(col("ip"), lit(24)))
-        .withColumn("prefix16", ipPrefixU(col("ip"), lit(16)))
-        .withColumn("in_10_8", inSubnetU(lit("10.0.0.0/8"), col("ip")))
-        .withColumn("sub_min", subMinU(col("prefix16")))
-        .withColumn("sub_max", subMaxU(col("prefix16")))
+        .withColumn("masked24", GeminiFunctions.ipMaskC(col("ip"), lit(24)))
+        .withColumn("prefix16", GeminiFunctions.ipPrefixC(col("ip"), lit(16)))
+        .withColumn("in_10_8",
+          GeminiFunctions.isSubnetOfC(lit("10.0.0.0/8"), col("ip")))
+        .withColumn("sub_min", GeminiFunctions.ipSubnetMinC(col("prefix16")))
+        .withColumn("sub_max", GeminiFunctions.ipSubnetMaxC(col("prefix16")))
         .orderBy("user_id")
     }),
 

@@ -152,6 +152,81 @@ object GeminiFunctions {
   val ipInRange: (String, String) => java.lang.Boolean =
     (ip, cidr) => isSubnetOf(cidr, ip)
 
+  // ---- Codegen'd Column forms of the IP functions ------------------------
+  // Pure built-in column math (split + guarded casts + bit ops), so the
+  // whole projection stays inside whole-stage codegen — the UDF forms cost
+  // 43× on q38 once the bench honestly materialized output columns. Hot
+  // paths (q38, machine-generated IPs) use these; the UDFs above stay
+  // registered for SQL and keep the reference's lenient-malformed-input
+  // quirks (e.g. a trailing-dot quad parses there, nulls here).
+
+  /** Dotted-quad → u32-as-long; null on malformed input. The rlike guard
+    * makes the cast safe under ANSI and bounds each octet at 3 digits. */
+  def ipToLongC(ip: Column): Column = {
+    val p = split(trim(ip), "\\.")
+    def oct(i: Int): Column = {
+      val s = element_at(p, i)
+      val v = when(s.rlike("^\\d{1,3}$"), s.cast("long"))
+      when(v <= 255, v)
+    }
+    when(size(p) === 4,
+      shiftleft(oct(1), 24) + shiftleft(oct(2), 16) +
+        shiftleft(oct(3), 8) + oct(4))
+  }
+
+  /** u32-as-long → dotted quad (null-preserving; concat_ws alone would
+    * render null as ""). */
+  def longToIpC(v: Column): Column =
+    when(v.isNotNull, concat_ws(".",
+      shiftright(v, 24).bitwiseAND(lit(255L)).cast("string"),
+      shiftright(v, 16).bitwiseAND(lit(255L)).cast("string"),
+      shiftright(v, 8).bitwiseAND(lit(255L)).cast("string"),
+      v.bitwiseAND(lit(255L)).cast("string")))
+
+  /** Network mask of a prefix length (column form of maskOf; the JVM's
+    * masked shift count reproduces the Scala `<<` on out-of-range p). */
+  def maskC(p: Column): Column =
+    when(p <= 0, lit(0L)).otherwise(
+      call_function("shiftleft", lit(0xFFFFFFFFL), lit(32) - p)
+        .bitwiseAND(lit(0xFFFFFFFFL)))
+
+  def ipMaskC(ip: Column, prefix: Column): Column =
+    longToIpC(ipToLongC(ip).bitwiseAND(maskC(prefix)))
+
+  def ipPrefixC(ip: Column, prefix: Column): Column = {
+    val base = longToIpC(ipToLongC(ip).bitwiseAND(maskC(prefix)))
+    when(base.isNotNull && prefix.isNotNull,
+      concat(base, lit("/"), prefix.cast("string")))
+  }
+
+  /** CIDR "a.b.c.d/p" → (network long, prefix int), both null-guarded. */
+  private def cidrPartsC(cidr: Column): (Column, Column) = {
+    val parts = split(cidr, "/")
+    val net = when(size(parts) >= 2, ipToLongC(element_at(parts, 1)))
+    val ps = element_at(parts, 2)
+    val p = when(size(parts) >= 2 && ps.rlike("^[+-]?\\d{1,9}$"),
+      ps.cast("int"))
+    (net, p)
+  }
+
+  def isSubnetOfC(cidr: Column, ip: Column): Column = {
+    val (net, p) = cidrPartsC(cidr)
+    val m = maskC(p)
+    ipToLongC(ip).bitwiseAND(m) === net.bitwiseAND(m)
+  }
+
+  def ipSubnetMinC(cidr: Column): Column = {
+    val (net, p) = cidrPartsC(cidr)
+    longToIpC(net.bitwiseAND(maskC(p)))
+  }
+
+  def ipSubnetMaxC(cidr: Column): Column = {
+    val (net, p) = cidrPartsC(cidr)
+    val m = maskC(p)
+    longToIpC(net.bitwiseAND(m)
+      .bitwiseOR(bitwise_not(m).bitwiseAND(lit(0xFFFFFFFFL))))
+  }
+
   /** ip_to_domain(ip) — the reference resolves against a bundled geo
     * dataset (`query/string_functions.go`); that data isn't shippable
     * here, so this implements the dataset-free subset: RFC-reserved

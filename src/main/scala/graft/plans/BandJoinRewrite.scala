@@ -29,12 +29,15 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   * produced exactly once — probe buckets are distinct, and the right
   * row's single bucket matches at most one of them.
   *
-  * Probe margin m: 1 when both sides bucket via the exact long path;
-  * 2 when either side goes through double math — `floor(x/c)` in f64
-  * can land one bucket off at an exact boundary (x/c evaluating to
-  * 2.9999999999999996), and the exact post-join band filter removes
-  * the extra candidates, so widening costs only fan-out, never
-  * correctness.
+  * Probe margin m: 1 when both sides bucket via the exact long path
+  * (integral column; fractional widths bucket on ceil(c), which keeps
+  * the long path exact since coverage only needs bucket ≥ band);
+  * 2 when exactly one side goes through double math — `floor(x/c)` in
+  * f64 can land one bucket off at an exact boundary (x/c evaluating to
+  * 2.9999999999999996); 3 when BOTH sides are double-path, since each
+  * errs independently and possibly in opposite directions. The exact
+  * post-join band filter removes the extra candidates, so widening
+  * costs only fan-out, never correctness.
   *
   * LEFT OUTER (and RIGHT OUTER, mirrored): the probe explosion moves
   * to the *inner* side (right for LeftOuter) so every preserved-side
@@ -66,11 +69,23 @@ object BandJoinRewrite extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  /** `abs(x − y) <= c` in its spellings. */
+  /** `abs(x − y) <= c` in its spellings. A fractional bound over
+    * integral columns coerces to `cast(abs(x − y) as double) <= c`;
+    * the cast is stripped so x, y stay the RAW integral operands —
+    * sound because the subtraction happened in exact long space
+    * before the cast, so for c < 2^52 (where f64 of the long diff is
+    * exact in the match zone) raw |x−y| ≤ ceil(c) for every true
+    * match and the exact long bucket path applies. */
   private def asAbsBand(conj: Expression, left: LogicalPlan,
                         right: LogicalPlan): Option[Band] = {
-    def sides(diff: Expression, bound: Expression): Option[Band] =
-      (diff, numLit(bound)) match {
+    def sides(diff: Expression, bound: Expression): Option[Band] = {
+      val stripped = diff match {
+        case Cast(inner @ Abs(Subtract(_, _, _), _), _, _, _)
+            if numLit(bound).exists(c => c > 0 && c < (1L << 52).toDouble) =>
+          inner
+        case other => other
+      }
+      (stripped, numLit(bound)) match {
         case (Abs(Subtract(a, b, _), _), Some(c)) =>
           if (c <= 0) None
           else if (a.references.subsetOf(left.outputSet) &&
@@ -82,6 +97,7 @@ object BandJoinRewrite extends Rule[LogicalPlan] {
           else None
         case _ => None
       }
+    }
     conj match {
       case LessThanOrEqual(d, l: Literal) => sides(d, l)
       case GreaterThanOrEqual(l: Literal, d) => sides(d, l)
@@ -162,22 +178,25 @@ object BandJoinRewrite extends Rule[LogicalPlan] {
     case _ => false
   }
 
-  private def longPathOk(x: Expression, c: Double): Boolean =
-    isIntegral(x) && c == math.floor(c) && c <= Long.MaxValue.toDouble
-
-  /** floor(x / c) as LONG. Integral operands with an integral band use
-    * pure long arithmetic — `(x − pmod(x, c)) div c` — because a
-    * double round-trip quantizes longs above 2^53 (nanosecond epochs!)
-    * and a mis-bucketed row would silently DROP a true match. The
-    * double path only serves genuinely-floating operands; its boundary
-    * error is absorbed by the widened probe margin. */
-  private def bucketOf(x: Expression, c: Double): Expression =
-    if (longPathOk(x, c)) {
-      val cl = Literal(c.toLong)
+  /** floor(x / d) as LONG. Integral operands use pure long arithmetic —
+    * `(x − pmod(x, d)) div d` — because a double round-trip quantizes
+    * longs above 2^53 (nanosecond epochs!) and a mis-bucketed row would
+    * silently DROP a true match. For a fractional band width the long
+    * path buckets on d = ceil(c): bucket coverage only needs the bucket
+    * width ≥ the band width, and the exact predicate is re-applied
+    * anyway, so rounding the divisor UP is always safe while keeping
+    * the arithmetic exact. The double path only serves genuinely
+    * floating operands; its boundary error is absorbed by the widened
+    * probe margin. BOTH sides must divide by the same d or their
+    * buckets are incomparable — the caller decides d jointly. */
+  private def bucketOf(x: Expression, d: Double,
+                       useLong: Boolean): Expression =
+    if (useLong) {
+      val cl = Literal(d.toLong)
       val xl = Cast(x, LongType)
       IntegralDivide(Subtract(xl, Pmod(xl, cl)), cl)
     } else
-      Cast(Floor(Divide(Cast(x, DoubleType), Literal(c))), LongType)
+      Cast(Floor(Divide(Cast(x, DoubleType), Literal(d))), LongType)
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformUp {
@@ -195,21 +214,40 @@ object BandJoinRewrite extends Rule[LogicalPlan] {
           case None => j
           case Some(Band(lx, rx, c, exact)) =>
             val rest = conjs.filterNot(cj => exact.exists(_ eq cj))
-            // ±1 probe margin only when BOTH sides bucket exactly
-            val m = if (longPathOk(lx, c) && longPathOk(rx, c)) 1 else 2
+            // Joint bucket-path decision. dInt = ceil(c) keeps integral
+            // sides on exact long math even for fractional widths. The
+            // divisor is SHARED: when any side long-paths, the other
+            // (if floating) double-paths over the same dInt so the two
+            // sides' buckets stay comparable.
+            val dInt = math.ceil(c)
+            val lLong = isIntegral(lx) && dInt <= Long.MaxValue.toDouble
+            val rLong = isIntegral(rx) && dInt <= Long.MaxValue.toDouble
+            val d = if (lLong || rLong) dInt else c
+            // Probe margin: a true match's REAL bucket gap is ≤1 (the
+            // divisor ≥ band width), plus one per side whose f64
+            // floor(x/d) can land a bucket off at a boundary. Each
+            // double side errs INDEPENDENTLY (possibly in opposite
+            // directions), so both-double needs m=3, not 2. Extra
+            // candidates are removed by the exact re-applied predicate,
+            // so widening costs only fan-out, never correctness.
+            val m = (lLong, rLong) match {
+              case (true, true) => 1
+              case (false, false) => 3
+              case _ => 2
+            }
             def probesOf(b: Expression) = CreateArray(
               (-m to m).map(i => Add(b, Literal(i.toLong))))
             def explodeSide(side: LogicalPlan, x: Expression,
-                            name: String) = {
+                            useLong: Boolean, name: String) = {
               val bkt = AttributeReference(name, LongType,
                 nullable = true)()
-              (Generate(Explode(probesOf(bucketOf(x, c))), Nil,
+              (Generate(Explode(probesOf(bucketOf(x, d, useLong))), Nil,
                 outer = false, qualifier = None,
                 generatorOutput = Seq(bkt), child = side), bkt)
             }
             def projectSide(side: LogicalPlan, x: Expression,
-                            name: String) = {
-              val a = Alias(bucketOf(x, c), name)()
+                            useLong: Boolean, name: String) = {
+              val a = Alias(bucketOf(x, d, useLong), name)()
               (Project(side.output :+ a, side), a.toAttribute)
             }
             // the probe explosion goes on the INNER side: under an
@@ -217,11 +255,11 @@ object BandJoinRewrite extends Rule[LogicalPlan] {
             // one bucket (or it would null-extend once per probe)
             val ((newL, lBkt), (newR, rBkt)) = jt match {
               case LeftOuter =>
-                (projectSide(left, lx, "_graft_bkt_l"),
-                  explodeSide(right, rx, "_graft_bkt_r"))
+                (projectSide(left, lx, lLong, "_graft_bkt_l"),
+                  explodeSide(right, rx, rLong, "_graft_bkt_r"))
               case _ =>
-                (explodeSide(left, lx, "_graft_bkt_l"),
-                  projectSide(right, rx, "_graft_bkt_r"))
+                (explodeSide(left, lx, lLong, "_graft_bkt_l"),
+                  projectSide(right, rx, rLong, "_graft_bkt_r"))
             }
             val bktEq = EqualTo(lBkt, rBkt).asInstanceOf[Expression]
             jt match {

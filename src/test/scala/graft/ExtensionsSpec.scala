@@ -110,6 +110,50 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("BandJoinRewrite: fractional band widths — integral operands " +
+      "keep the exact long path (ceil width); both-double sides get m=3") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ graft.plans.BandJoinRewrite
+    try {
+      // abs spelling, fractional width, ns-epoch longs: coercion wraps
+      // the long diff in cast-to-double; the rule strips it and buckets
+      // the RAW longs on ceil(100.5) — a double floor(x/100.5) at this
+      // magnitude quantizes by ~256 ns and can drop the true match
+      val base = 1700000000000000000L
+      val ln = Seq((1L, base), (2L, base + 150L)).toDF("lid", "lt")
+      val rn = Seq((401L, base + 100L), (402L, base + 90000L))
+        .toDF("rid", "rt")
+      def fw = ln.join(rn, abs(ln("lt") - rn("rt")) <= lit(100.5))
+      assert(fw.queryExecution.executedPlan.toString
+        .contains("_graft_bkt"), fw.queryExecution.executedPlan.toString)
+      val fwGot = fw.select($"lid", $"rid").orderBy("lid", "rid")
+        .as[(Long, Long)].collect().toSeq
+      assert(fwGot == Seq((1L, 401L), (2L, 401L)), fwGot.toString)
+      // two-sided fractional over longs: each side coerces to double
+      // INDEPENDENTLY (no shared long diff), so both bucket via f64 —
+      // the m=3 margin must reproduce the naive f64 predicate exactly
+      def ts = ln.join(rn,
+        ln("lt") >= rn("rt") - lit(100.5) && ln("lt") <= rn("rt") + lit(100.5))
+      assert(ts.queryExecution.executedPlan.toString.contains("_graft_bkt"))
+      val tsGot = ts.select($"lid", $"rid").orderBy("lid", "rid")
+        .as[(Long, Long)].collect().toSeq
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations
+          .filterNot(_ eq graft.plans.BandJoinRewrite)
+      val tsNaive = ts.select($"lid", $"rid").orderBy("lid", "rid")
+        .as[(Long, Long)].collect().toSeq
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.BandJoinRewrite
+      assert(tsGot == tsNaive && tsGot.nonEmpty, s"$tsGot vs $tsNaive")
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations
+          .filterNot(_ eq graft.plans.BandJoinRewrite)
+    }
+  }
+
   test("BandJoinRewrite: two-sided/BETWEEN spelling and LEFT OUTER " +
       "band joins rewrite and match the naive plan") {
     import spark.implicits._
