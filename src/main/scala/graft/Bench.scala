@@ -52,11 +52,22 @@ object Bench {
     // under. Pure local[32] scheduling cost — on a real cluster it
     // amortizes to nothing at 100 TB.
     (1 to 3).foreach(_ => spark.range(0, cpus.toInt, 1, cpus.toInt).count())
-    val floorSamples = scala.collection.mutable.ArrayBuffer.empty[Double]
-    def sampleFloor(n: Int): Unit = (1 to n).foreach { _ =>
-      val t0 = System.nanoTime()
-      spark.range(0, cpus.toInt, 1, cpus.toInt).count()
-      floorSamples += (System.nanoTime() - t0) / 1e9
+    // Samples carry a group id (start / each interleave point / end) so
+    // the artifact can report FLOOR DRIFT — a judged number must carry
+    // its own validity evidence: when ambient load moves the floor >20%
+    // between sample windows, the within-2× counts of that run are not
+    // comparable to a quiet run's (round-12 driver-vs-builder runs
+    // differed 92 vs 99 of 118 purely by machine load).
+    val floorSamples =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+    var floorGroup = 0
+    def sampleFloor(n: Int): Unit = {
+      (1 to n).foreach { _ =>
+        val t0 = System.nanoTime()
+        spark.range(0, cpus.toInt, 1, cpus.toInt).count()
+        floorSamples += ((floorGroup, (System.nanoTime() - t0) / 1e9))
+      }
+      floorGroup += 1
     }
     sampleFloor(9)
 
@@ -134,9 +145,21 @@ object Bench {
     }
     sampleFloor(5)
     val floorS = {
-      val ts = floorSamples.sorted
+      val ts = floorSamples.map(_._2).sorted
       ts(ts.length / 2)
     }
+    // Drift across sample windows: median per group, spread vs the
+    // overall median. >20% marks the run's floor-adjusted counts as
+    // load-polluted (the artifact says so; the verify protocol refuses
+    // to publish such a run as a judged number).
+    val groupMedians = floorSamples.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (_, ss) =>
+        val v = ss.map(_._2).sorted; v(v.length / 2)
+      }
+    val floorDriftPct =
+      if (groupMedians.isEmpty || floorS == 0) 0.0
+      else (groupMedians.max - groupMedians.min) / floorS * 100.0
+    val floorStable = floorDriftPct <= 20.0
 
     // Committed DuckDB per-query baseline (same parquet, same machine).
     val baseline: Map[String, Double] = {
@@ -176,6 +199,9 @@ object Bench {
          |  "sf_dir": "$sfDir",
          |  "cpus": $cpus,
          |  "floor_s": $floorS,
+         |  "floor_group_medians_s": [${groupMedians.mkString(", ")}],
+         |  "floor_drift_pct": $floorDriftPct,
+         |  "floor_stable": $floorStable,
          |  "total_s": $total,
          |  "oracle_total_s": $oracleTotal,
          |  "n_queries": ${results.size},
@@ -207,6 +233,6 @@ object Bench {
       case (k, v, _, None)    => s"\"${short(k)}\":${r2(v)}"
     }.mkString("{", ",", "}")
     val sfName = sfDir.split('/').last
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfName","floor_s":${r3(floorS)},"oracle_total_s":${r3(oracleTotal)},"within2x_adj":$within2x,"within2x_jobs_adj":$within2xJobs,"n_baseline":${ratios.size},"n_err":${errored.size}}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfName","floor_s":${r3(floorS)},"floor_drift_pct":${r2(floorDriftPct)},"oracle_total_s":${r3(oracleTotal)},"within2x_adj":$within2x,"within2x_jobs_adj":$within2xJobs,"n_baseline":${ratios.size},"n_err":${errored.size}}""")
   }
 }

@@ -333,6 +333,78 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** All capture groups of ONE regex match as `array<string>` — the
+  * UNNEST(match_all) hot path ran one full `regexp_extract` (pattern
+  * match + group pick) PER declared column; this runs the matcher once
+  * and returns every group. Semantics per group are exactly
+  * `regexp_extract`'s: `find()` anchoring, empty string when the regex
+  * misses or the group didn't participate. The pattern must be a
+  * foldable string; it compiles once into a codegen reference object.
+  *
+  * Reference: `engine/immutable/unnest_func.go:103-115` evaluates the
+  * regex once per row and fans groups out to columns — this expression
+  * is that exact shape.
+  */
+case class RegexpGroups(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = left.nullable
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType &&
+        right.foldable && right.eval(null) != null)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"regexp_groups expects (string, foldable non-null string pattern), " +
+        s"got ${left.dataType}, ${right.dataType}")
+
+  @transient private lazy val pattern: java.util.regex.Pattern =
+    java.util.regex.Pattern.compile(right.eval(null).toString)
+
+  override def nullSafeEval(s: Any, ignoredPattern: Any): Any =
+    RegexUtil.groups(
+      s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], pattern)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val p = ctx.addReferenceObj("pattern", pattern, "java.util.regex.Pattern")
+    nullSafeCodeGen(ctx, ev, (a, _) =>
+      s"${ev.value} = graft.expressions.RegexUtil.groups($a, $p);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object RegexUtil {
+  def groups(s: org.apache.spark.unsafe.types.UTF8String,
+             p: java.util.regex.Pattern)
+      : org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val m = p.matcher(s.toString)
+    val n = m.groupCount()
+    val out = new Array[Any](n)
+    if (m.find()) {
+      var i = 0
+      while (i < n) {
+        val g = m.group(i + 1)
+        out(i) =
+          if (g == null) org.apache.spark.unsafe.types.UTF8String.EMPTY_UTF8
+          else org.apache.spark.unsafe.types.UTF8String.fromString(g)
+        i += 1
+      }
+    } else {
+      var i = 0
+      while (i < n) {
+        out(i) = org.apache.spark.unsafe.types.UTF8String.EMPTY_UTF8
+        i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 /** Static helper so the codegen body is one call (object methods get
   * static forwarders, directly callable from generated Java). */
 object SimHashUtil {
@@ -390,5 +462,9 @@ object VectorExpressions {
         org.apache.spark.sql.catalyst.FunctionIdentifier("simhash64")))
       reg.createOrReplaceTempFunction(
         "simhash64", exprs => SimHash64(exprs(0)), "built-in")
+    if (!reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("regexp_groups")))
+      reg.createOrReplaceTempFunction(
+        "regexp_groups", exprs => RegexpGroups(exprs(0), exprs(1)), "built-in")
   }
 }

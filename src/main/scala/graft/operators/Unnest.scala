@@ -7,16 +7,23 @@ import org.apache.spark.sql.functions._
   * log-store column extraction (`influxql/ast.go:11905-11940`,
   * `engine/immutable/unnest_func.go:103-115`). openGemini's unnest does NOT
   * multiply rows: each capture group becomes a new column on the same row
-  * (empty string when the regex misses) — so the Spark mapping is N
-  * `regexp_extract` projections, not a generator. Narrow, codegen'd,
+  * (empty string when the regex misses) — so the Spark mapping is ONE
+  * native [[graft.expressions.RegexpGroups]] match per row fanned out to
+  * columns (the reference evaluates its regex once per row too; per-column
+  * `regexp_extract` re-ran the full match N times). Narrow, codegen'd,
   * zero-shuffle. */
 object Unnest {
 
   /** Extract capture group i+1 of `pattern` from `field` into `names(i)`.
     * Rows that don't match get empty strings (reference behavior). */
   def matchAll(df: DataFrame, field: String, pattern: String,
-               names: Seq[String]): DataFrame =
-    names.zipWithIndex.foldLeft(df) { case (d, (name, i)) =>
-      d.withColumn(name, regexp_extract(col(field), pattern, i + 1))
-    }
+               names: Seq[String]): DataFrame = {
+    graft.expressions.VectorExpressions.register(df.sparkSession)
+    val tmp = "_graft_rx_groups"
+    val withArr = df.withColumn(tmp,
+      call_function("regexp_groups", col(field), lit(pattern)))
+    names.zipWithIndex.foldLeft(withArr) { case (d, (name, i)) =>
+      d.withColumn(name, col(tmp).getItem(i))
+    }.drop(tmp)
+  }
 }

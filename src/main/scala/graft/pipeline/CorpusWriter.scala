@@ -30,11 +30,22 @@ object CorpusWriter {
 
   /** Write `docs` as token-budgeted shards under `outDir/data/shard=N/`
     * plus `outDir/manifest.json`.
+    *
+    * The manifest is one row per shard. Up to `maxManifestRows` shards it
+    * is collected and inlined into manifest.json; ABOVE that the rows are
+    * written distributed as JSON lines under `outDir/manifest_shards/`
+    * and manifest.json carries a `shards_file` pointer instead — the
+    * driver never materializes an unbounded row set (the same cap
+    * pattern as the remote-read row limit; at the 2^20 shard clamp an
+    * inline manifest would be ~100 MB of driver rows).
     * @return the manifest as a DataFrame:
-    *         (shard, n_docs, n_tokens, min_id, max_id, checksum)
+    *         (shard, n_docs, n_tokens, min_id, max_id, checksum) —
+    *         a local frame on the inline path, a lazy distributed frame
+    *         on the pointer path
     */
   def writeShards(docs: DataFrame, textCol: String, idCol: String,
-                  outDir: String, tokensPerShard: Long): DataFrame = {
+                  outDir: String, tokensPerShard: Long,
+                  maxManifestRows: Int = 65536): DataFrame = {
     val withTok = docs.withColumn("_ntok",
       TextAnalysis.tokenCount(col(textCol)))
     // sum() over zero rows is NULL — an empty corpus writes an empty
@@ -67,24 +78,37 @@ object CorpusWriter {
         max(col(idCol)).as("max_id"),
         expr("bit_xor(_h)").as("checksum"))
       .orderBy("shard")
-    val rows = manifest.collect()
-    val body = rows.map { r =>
-      s"""{"shard":${r.getLong(0)},"n_docs":${r.getLong(1)},""" +
-        s""""n_tokens":${r.getLong(2)},"min_id":${r.getLong(3)},""" +
-        // checksum is a full 64-bit value — JSON doubles round past
-        // 2^53, so it ships as a string
-        s""""max_id":${r.getLong(4)},"checksum":"${r.getLong(5)}"}"""
-    }.mkString("[", ",", "]")
-    val json = s"""{"n_shards":$nShards,"total_tokens":$total,""" +
-      s""""tokens_per_shard":$tokensPerShard,"shards":$body}"""
-    val p = java.nio.file.Paths.get(outDir, "manifest.json")
-    java.nio.file.Files.createDirectories(p.getParent)
-    java.nio.file.Files.write(p, json.getBytes("UTF-8"))
-    // return the rows already collected for the manifest file — a local
-    // frame, so downstream actions don't re-aggregate the whole corpus
-    // (the manifest is nShards rows by construction)
-    docs.sparkSession.createDataFrame(
-      java.util.Arrays.asList(rows: _*), manifest.schema)
+    def writeJson(json: String): Unit = {
+      val p = java.nio.file.Paths.get(outDir, "manifest.json")
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, json.getBytes("UTF-8"))
+    }
+    if (nShards > maxManifestRows) {
+      // pointer path: shard rows stay distributed (checksum as string —
+      // JSON doubles round past 2^53)
+      manifest.withColumn("checksum", col("checksum").cast("string"))
+        .write.mode(SaveMode.Overwrite).json(s"$outDir/manifest_shards")
+      writeJson(s"""{"n_shards":$nShards,"total_tokens":$total,""" +
+        s""""tokens_per_shard":$tokensPerShard,""" +
+        s""""shards_file":"manifest_shards"}""")
+      manifest
+    } else {
+      val rows = manifest.collect()
+      val body = rows.map { r =>
+        s"""{"shard":${r.getLong(0)},"n_docs":${r.getLong(1)},""" +
+          s""""n_tokens":${r.getLong(2)},"min_id":${r.getLong(3)},""" +
+          // checksum is a full 64-bit value — JSON doubles round past
+          // 2^53, so it ships as a string
+          s""""max_id":${r.getLong(4)},"checksum":"${r.getLong(5)}"}"""
+      }.mkString("[", ",", "]")
+      writeJson(s"""{"n_shards":$nShards,"total_tokens":$total,""" +
+        s""""tokens_per_shard":$tokensPerShard,"shards":$body}""")
+      // return the rows already collected for the manifest file — a local
+      // frame, so downstream actions don't re-aggregate the whole corpus
+      // (the manifest is nShards rows by construction)
+      docs.sparkSession.createDataFrame(
+        java.util.Arrays.asList(rows: _*), manifest.schema)
+    }
   }
 
   /** Verify a written corpus against its own manifest: recompute every
@@ -111,18 +135,27 @@ object CorpusWriter {
       import spark.implicits._
       val json = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(outDir, "manifest.json")), "UTF-8")
-      val shards = graft.server.MiniJson.parseObject(json)("shards")
-        .asInstanceOf[Seq[Any]]
-      shards.map { s =>
-        val m = s.asInstanceOf[Map[String, Any]]
-        def l(k: String): Long = m(k) match {
-          case d: Double => d.toLong
-          case x: Long => x
-          case other => String.valueOf(other).toLong
-        }
-        (l("shard"), l("n_docs"), l("n_tokens"),
-          m("checksum").asInstanceOf[String].toLong)
-      }.toDF("shard", "n_docs", "n_tokens", "checksum")
+      val obj = graft.server.MiniJson.parseObject(json)
+      obj.get("shards_file") match {
+        case Some(f) =>
+          // pointer form: shard rows live as distributed JSON lines
+          spark.read.json(s"$outDir/${String.valueOf(f)}")
+            .select(col("shard").cast("long"),
+              col("n_docs").cast("long"), col("n_tokens").cast("long"),
+              col("checksum").cast("long"))
+        case None =>
+          val shards = obj("shards").asInstanceOf[Seq[Any]]
+          shards.map { s =>
+            val m = s.asInstanceOf[Map[String, Any]]
+            def l(k: String): Long = m(k) match {
+              case d: Double => d.toLong
+              case x: Long => x
+              case other => String.valueOf(other).toLong
+            }
+            (l("shard"), l("n_docs"), l("n_tokens"),
+              m("checksum").asInstanceOf[String].toLong)
+          }.toDF("shard", "n_docs", "n_tokens", "checksum")
+      }
     }
   }
 }

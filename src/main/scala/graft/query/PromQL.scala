@@ -644,11 +644,15 @@ object PromQL {
     private def evalGrid(m: Metric): DataFrame = {
       val spark = m.df.sparkSession
       val ssMs = stepS * 1000L
-      val lohi = boundsMs.orElse(m.extentMs).orElse {
-        val b = m.df.agg(min(unix_millis(col(m.time))),
-          max(unix_millis(col(m.time)))).collect()(0)
-        if (b.isNullAt(0)) None else Some((b.getLong(0), b.getLong(1)))
-      }
+      val lohi = boundsMs.orElse(m.extentMs)
+        // cold parquet-backed metric with no registered extent: footer
+        // stats (a driver metadata read) before any scan-stage job
+        .orElse(graft.sources.ParquetStats.timeExtentMsOf(m.df, m.time))
+        .orElse {
+          val b = m.df.agg(min(unix_millis(col(m.time))),
+            max(unix_millis(col(m.time)))).collect()(0)
+          if (b.isNullAt(0)) None else Some((b.getLong(0), b.getLong(1)))
+        }
       lohi match {
         case None =>
           spark.range(0, 0).select((col("id") * ssMs).as("eval_ms"))

@@ -1698,27 +1698,19 @@ final class HttpGateway(spark: SparkSession,
     * The fetch topic is an InfluxQL query compiled against the default
     * database's live catalog (`processor.go:56-66` resolves the
     * measurement from the query's FROM), row-capped like every other
-    * serving surface; each result row renders as the JSON object shape
-    * the HTTP consume surface emits (divergence documented on
-    * [[KafkaConsume]]). Returns the bound port. */
+    * serving surface. Each Fetch message's payload is the reference's
+    * `lib/record` columnar ConsumeRecord codec ([[RecordCodec]]) — one
+    * record batch per series, tag columns as Tags, fields sorted by
+    * name with epoch-ns time last — so a consumer built against the
+    * reference's payload decoder parses ours unchanged. Returns the
+    * bound port. */
   def startKafkaConsume(port: Int = 0): Int = {
     if (kafka != null) kafka.stop() // re-start replaces, never leaks
     kafka = new KafkaConsume(sql => {
       val cat = sliceOf(catalog, defaultDb)
       val out = InfluxQL.execute(cat, sql)
-      val cols = out.columns.toSeq
-      out.limit(maxRowLimit).collect().toSeq.map { r =>
-        cols.map { c =>
-          val v = r.get(r.fieldIndex(c)) match {
-            case null => "null"
-            case s: String => jsonStr(s)
-            case b: Boolean => b.toString
-            case ts: java.sql.Timestamp => ts.getTime.toString
-            case n => n.toString
-          }
-          s"${jsonStr(c)}:$v"
-        }.mkString("{", ",", "}").getBytes(UTF_8)
-      }
+      RecordCodec.payloadsFromResult(out.limit(maxRowLimit),
+        tagCols = cat.values.flatMap(_.tags).toSet)
     })
     kafka.start(port)
   }

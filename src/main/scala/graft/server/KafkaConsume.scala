@@ -34,14 +34,11 @@ import KafkaWire._
   *    (`processor.go:110-121` IteratorReset), so the NEXT fetch
   *    re-runs the query from the start.
   *
-  * Divergence, documented: the reference's message payload is its
-  * internal `record.Record` columnar codec (`processor.go:117` passes
-  * the record straight through as the Marshaler). This engine has no
-  * such record format — the payload is the JSON rendering of one result
-  * row, the same shape the HTTP consume surface
-  * (`handler_logstore_consume.go` twin in [[HttpGateway]]) already
-  * emits, ordered by the query's own sort. Wire framing, headers, and
-  * every surrounding field are wire-format-exact.
+  * Message payloads are the reference's `record.ConsumeRecord` columnar
+  * codec (`processor.go:117` passes the record straight through as the
+  * Marshaler) — built by [[RecordCodec]], one record batch per series
+  * (r13; the r12 JSON row shape is gone). This class stays
+  * payload-agnostic: `runQuery` returns the marshaled message bodies.
   */
 final class KafkaConsume(runQuery: String => Seq[Array[Byte]],
                          maxRequestSize: Long = 1L << 20) {

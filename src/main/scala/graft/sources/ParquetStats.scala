@@ -91,4 +91,36 @@ object ParquetStats {
       (Math.floorDiv(Math.multiplyExact(lo, nsPerUnit), 1000000L),
        Math.floorDiv(Math.multiplyExact(hi, nsPerUnit), 1000000L))
     }
+
+  /** Footer time extent for a DataFrame that is — after pruning-only
+    * nodes (attribute projections, aliases-of-plan) — ONE plain parquet
+    * scan with no data filters; None otherwise. A Filter above the scan
+    * disqualifies it (its footer extent could be wider than the visible
+    * data, which would change an unbounded query's grid), so the caller
+    * can safely `orElse` into a real min/max scan. This is the generic
+    * form of the explicit extent wiring: a cold parquet-backed metric
+    * never schedules a bounds job just to learn its own time range. */
+  def timeExtentMsOf(df: org.apache.spark.sql.DataFrame,
+                     column: String): Option[(Long, Long)] = {
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    import org.apache.spark.sql.catalyst.plans.logical._
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    def strip(p: LogicalPlan): LogicalPlan = p match {
+      case Project(es, child) if es.forall(_.isInstanceOf[AttributeReference]) =>
+        strip(child)
+      case SubqueryAlias(_, child) => strip(child)
+      case other => other
+    }
+    strip(df.queryExecution.analyzed) match {
+      case l: LogicalRelation => l.relation match {
+        case fs: HadoopFsRelation if fs.fileFormat.isInstanceOf[
+              org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat] &&
+            fs.location.rootPaths.size == 1 =>
+          timeExtentMs(df.sparkSession,
+            fs.location.rootPaths.head.toString, column)
+        case _ => None
+      }
+      case _ => None
+    }
+  }
 }

@@ -58,9 +58,9 @@ class KafkaConsumeSpec extends SparkSpec {
         .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
         HttpResponse.BodyHandlers.ofString())
     assert(post("/write?db=graft&precision=ms",
-      "acc content=\"m1\" 1000\nacc content=\"m2\" 2000\n" +
-      "acc content=\"m3\" 3000\nacc content=\"m4\" 4000\n" +
-      "acc content=\"m5\" 5000").statusCode() == 204)
+      "acc,host=h1 content=\"m1\" 1000\nacc,host=h1 content=\"m2\" 2000\n" +
+      "acc,host=h1 content=\"m3\" 3000\nacc,host=h2 content=\"m4\" 4000\n" +
+      "acc,host=h2 content=\"m5\" 5000").statusCode() == 204)
     val kPort = g.startKafkaConsume()
     (g, kPort)
   }
@@ -90,6 +90,98 @@ class KafkaConsumeSpec extends SparkSpec {
     ReqHeader(18, 1, 7, "ab").marshal(he)
     assert(he.result().toSeq == Seq[Byte](0, 18, 0, 1, 0, 0, 0, 7, 0, 2,
       'a'.toByte, 'b'.toByte))
+  }
+
+  test("record codec: ConsumeRecord byte pins from lib/record marshal " +
+      "rules; string/float/bool/null round-trip") {
+    import graft.server.RecordCodec
+    import graft.server.RecordCodec._
+    // Full hand-derived pin: tags [("h","a")], schema [("v", Int=1)],
+    // one int column [7, NULL]. Every byte below follows
+    // iterator.go:31 / record_codec.go:23 / column_codec.go:21 /
+    // binary_encoder.go (u32/str BE, ints zigzag BE64, Val bytes LE,
+    // bitmap LSB-first 1=present, dense Val so the null adds nothing).
+    val col = new ColVal().appendLong(7L).appendNull()
+    val got = marshalConsume(Seq(Tag("h", "a")), Seq(Field("v", TInt)),
+      Seq(col))
+    val want = Array[Int](
+      0, 0, 0, 1,                   // tag count
+      0, 1, 'h',                    // tag key "h"
+      0, 1, 'a',                    // tag value "a"
+      0,                            // isArray=false
+      0, 0, 0, 1,                   // schema len
+      0, 0, 0, 11,                  // field size = (2+1) + 8
+      0, 1, 'v',                    // field name
+      0, 0, 0, 0, 0, 0, 0, 2,       // type Int=1, zigzag → 2
+      0, 0, 0, 1,                   // col count
+      0, 0, 0, 45,                  // colval size
+      0, 0, 0, 0, 0, 0, 0, 4,       // Len=2, zigzag → 4
+      0, 0, 0, 0, 0, 0, 0, 2,       // NilCount=1, zigzag → 2
+      0, 0, 0, 0, 0, 0, 0, 0,       // BitMapOffset=0
+      0, 0, 0, 8,                   // Val length (one dense value)
+      7, 0, 0, 0, 0, 0, 0, 0,       // 7L little-endian
+      0, 0, 0, 1,                   // Bitmap length
+      1,                            // row0 present (bit0), row1 null
+      0, 0, 0, 0                    // Offset count (fixed type: none)
+    ).map(_.toByte)
+    assert(got.toSeq == want.toSeq,
+      got.map(b => b & 0xff).mkString(",") + " vs " +
+        want.map(b => b & 0xff).mkString(","))
+
+    // Reference iterator_test.go TestConsumeRecord_Marshal shape: two
+    // tags + a schema-only record (one field, one EMPTY ColVal) — the
+    // empty colval marshals as 3 zigzag ints + three zero-length slices.
+    val emptyRec = marshalConsume(
+      Seq(Tag("tag1", "val1"), Tag("tag2", "val2")),
+      Seq(Field("schema1", 0)), Seq(new ColVal))
+    val wantEmpty =
+      Array[Int](0, 0, 0, 2) ++
+      Array[Int](0, 4) ++ "tag1".map(_.toInt) ++
+        Array[Int](0, 4) ++ "val1".map(_.toInt) ++ Array(0) ++
+      Array[Int](0, 4) ++ "tag2".map(_.toInt) ++
+        Array[Int](0, 4) ++ "val2".map(_.toInt) ++ Array(0) ++
+      Array[Int](0, 0, 0, 1,
+        0, 0, 0, 17) ++              // field size = (2+7) + 8
+      Array[Int](0, 7) ++ "schema1".map(_.toInt) ++
+      Array.fill(8)(0) ++            // type 0
+      Array[Int](0, 0, 0, 1,
+        0, 0, 0, 36) ++              // empty colval size = 24 + 4 + 4 + 4
+      Array.fill(24)(0) ++           // Len/NilCount/BitMapOffset all 0
+      Array[Int](0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0) // empty Val/Bitmap/Offset
+    assert(emptyRec.toSeq == wantEmpty.map(_.toByte).toSeq)
+
+    // Mixed-type round-trip incl. string nulls (per-row offsets) and
+    // IEEE float bits; decoder mirrors record_codec.go Unmarshal.
+    val sc = new ColVal().appendString("ab").appendStringNull()
+      .appendString("")
+    val fc = new ColVal().appendDouble(1.5).appendDouble(-0.0)
+      .appendNull()
+    val bc = new ColVal().appendBool(true).appendNull().appendBool(false)
+    val payload = marshalConsume(Nil,
+      Seq(Field("s", TString), Field("f", TFloat), Field("b", TBool)),
+      Seq(sc, fc, bc))
+    val (tags2, schema2, cols2) = RecordCodec.unmarshalConsume(payload)
+    assert(tags2.isEmpty &&
+      schema2 == Seq(Field("s", TString), Field("f", TFloat),
+        Field("b", TBool)))
+    assert(cols2(0).stringAt(0).contains("ab") && cols2(0).isNull(1) &&
+      cols2(0).stringAt(2).contains(""))
+    assert(cols2(0).offsets == Seq(0L, 2L, 2L)) // null repeats val end
+    assert(cols2(1).doubleAt(0).contains(1.5) &&
+      java.lang.Double.doubleToRawLongBits(cols2(1).doubleAt(1).get) ==
+        java.lang.Double.doubleToRawLongBits(-0.0) &&
+      cols2(1).isNull(2))
+    assert(cols2(2).boolAt(0).contains(true) && cols2(2).isNull(1) &&
+      cols2(2).boolAt(2).contains(false))
+    // nine rows across a byte boundary: bitmap grows byte-at-a-time
+    val wide = new ColVal
+    (0 until 9).foreach(i => if (i % 2 == 0) wide.appendLong(i.toLong)
+      else wide.appendNull())
+    val (_, _, wcols) = RecordCodec.unmarshalConsume(
+      marshalConsume(Nil, Seq(Field("w", TInt)), Seq(wide)))
+    assert(wcols.head.bitmap.length == 2 && wcols.head.len == 9)
+    assert((0 until 9).map(wcols.head.longAt) ==
+      (0 until 9).map(i => if (i % 2 == 0) Some(i.toLong) else None))
   }
 
   test("kafka consume e2e: ApiVersions/Metadata/ListOffsets handshake, " +
@@ -149,12 +241,15 @@ class KafkaConsumeSpec extends SparkSpec {
         assert(d3.u64() == 0L) // offset
         d3.expectDrained()
 
-        // Fetch v2 drain: ONE message per fetch, offsets 0..4, then an
-        // empty fetch (exhausted), then a re-run starting at offset 5
-        def fetchOnce(): (Long, Seq[(Long, String)]) = {
+        // Fetch v2 drain: ONE message per fetch; each message is one
+        // SERIES batch in the reference's record codec (RecordCodec) —
+        // two series (host=h1, host=h2) → offsets 0,1 — then an empty
+        // fetch (exhausted), then a re-run continuing the offsets
+        val fetchTopic = "select content, host from acc"
+        def fetchOnce(): (Long, Seq[(Long, Array[Byte])]) = {
           val fe = new Enc
           fe.u32(0xffffffffL).u32(100L).u32(1L)
-            .strSlice(Seq("select content from acc"))
+            .strSlice(Seq(fetchTopic))
             .u32SliceBE(Seq(0L))
             .u64(0L).u32(1000000L)
           val corr = c.send(Fetch, 2, fe.result())
@@ -162,7 +257,7 @@ class KafkaConsumeSpec extends SparkSpec {
           assert(d.u32() == corr)
           assert(d.u32() == 1L) // throttle
           assert(d.u32() == 1L) // one topic
-          assert(d.str() == "select content from acc")
+          assert(d.str() == fetchTopic)
           assert(d.u32() == 1L) // one header
           assert(d.u32() == 0L) // partition
           assert(d.u16() == 0) // error
@@ -170,7 +265,7 @@ class KafkaConsumeSpec extends SparkSpec {
           val setLen = d.u32().toInt
           val set = new Dec(d.rest())
           d.expectDrained()
-          var msgs = Seq.empty[(Long, String)]
+          var msgs = Seq.empty[(Long, Array[Byte])]
           var consumed = 0
           while (consumed < setLen) {
             val offset = set.u64()
@@ -180,26 +275,43 @@ class KafkaConsumeSpec extends SparkSpec {
             val keyLen = set.u32().toInt
             (0 until keyLen).foreach(_ => set.u8())
             val valLen = set.u32().toInt
-            val value = new String(
-              (0 until valLen).map(_ => set.u8().toByte).toArray, "UTF-8")
+            val value = (0 until valLen).map(_ => set.u8().toByte).toArray
             msgs = msgs :+ (offset, value)
             consumed = setLen - set.remain
           }
           (highwater, msgs)
         }
-        val drained = (0 until 5).map(_ => fetchOnce())
+        import graft.server.RecordCodec
+        def decode(payload: Array[Byte]) = {
+          val (tags, schema, cols) = RecordCodec.unmarshalConsume(payload)
+          assert(schema == Seq(RecordCodec.Field("content", 4),
+            RecordCodec.Field("time", 1)), schema.toString)
+          val n = cols.head.len
+          (tags.map(t => (t.key, t.value)),
+            (0 until n).map(i => cols(0).stringAt(i).get),
+            (0 until n).map(i => cols(1).longAt(i).get))
+        }
+        val drained = (0 until 2).map(_ => fetchOnce())
         val all = drained.flatMap(_._2)
-        assert(all.map(_._1) == Seq(0L, 1L, 2L, 3L, 4L), all.toString)
-        assert(all.map(_._2).forall(_.contains("\"content\":")), all.toString)
-        assert(all.map(_._2).mkString.contains("m1") &&
-          all.map(_._2).mkString.contains("m5"))
+        assert(all.map(_._1) == Seq(0L, 1L), all.map(_._1).toString)
+        val (tags1, vals1, times1) = decode(all(0)._2)
+        assert(tags1 == Seq(("host", "h1")), tags1.toString)
+        assert(vals1 == Seq("m1", "m2", "m3"), vals1.toString)
+        assert(times1 == Seq(1000000000L, 2000000000L, 3000000000L),
+          times1.toString) // precision=ms writes → epoch-ns time column
+        val (tags2, vals2, times2) = decode(all(1)._2)
+        assert(tags2 == Seq(("host", "h2")) &&
+          vals2 == Seq("m4", "m5") &&
+          times2 == Seq(4000000000L, 5000000000L),
+          s"$tags2 $vals2 $times2")
         // exhausted: zero messages, highwater = offset+1 (fetch.go:103)
         val (hw, empty) = fetchOnce()
-        assert(empty.isEmpty && hw == 6L, s"$hw $empty")
+        assert(empty.isEmpty && hw == 3L, s"$hw $empty")
         // next fetch re-runs the query; per-connection offset continues
         val (_, rerun) = fetchOnce()
-        assert(rerun.map(_._1) == Seq(5L), rerun.toString)
-        assert(rerun.head._2.contains("m1"), rerun.toString)
+        assert(rerun.map(_._1) == Seq(2L), rerun.toString)
+        assert(decode(rerun.head._2)._2 == Seq("m1", "m2", "m3"),
+          "re-run restarts at the first series")
 
         // OffsetCommit v2 ack (no correlation id in the response)
         val commit = ReqOffsetCommitV2.marshal(ReqOffsetCommitV2(

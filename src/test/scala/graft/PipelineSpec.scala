@@ -680,4 +680,37 @@ class PipelineSpec extends SparkSpec {
       .select("shard").as[Long].collect().toSeq
     assert(bad == Seq(0L), bad.toString)
   }
+
+  test("CorpusWriter: above maxManifestRows the manifest goes " +
+      "distributed (shards_file pointer, no driver collect) and still " +
+      "verifies") {
+    import graft.pipeline.CorpusWriter
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_shards_big").toString
+    val d = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    // clamp boundary: force more shards than the inline cap
+    val man = CorpusWriter.writeShards(d, "text", "doc_id", dir,
+      tokensPerShard = 4000, maxManifestRows = 2)
+    val json = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "manifest.json")), "UTF-8")
+    assert(json.contains("\"shards_file\":\"manifest_shards\"") &&
+      !json.contains("\"shards\":["), json.take(200))
+    val nShards = man.count()
+    assert(nShards > 2, nShards.toString)
+    // pointer manifest rows match the returned frame and the data
+    val ptr = spark.read.json(s"$dir/manifest_shards")
+    assert(ptr.count() == nShards)
+    assert(CorpusWriter.verifyShards(spark, dir, "text", "doc_id")
+      .count() == 0)
+    // inline path at EXACTLY the cap still inlines
+    val dir2 = java.nio.file.Files
+      .createTempDirectory("graft_shards_edge").toString
+    val man2 = CorpusWriter.writeShards(d, "text", "doc_id", dir2,
+      tokensPerShard = 4000, maxManifestRows = nShards.toInt)
+    val json2 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir2, "manifest.json")), "UTF-8")
+    assert(json2.contains("\"shards\":[") && !json2.contains("shards_file"))
+    assert(man2.count() == nShards)
+  }
 }

@@ -501,4 +501,69 @@ class PromQLSpec extends SparkSpec {
       .count()
     assert(n == 0L)
   }
+
+  test("unbounded grid over a cold parquet metric reads footer extents: " +
+      "no min/max bounds job is scheduled") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_prom_extent").toString
+    // INT96 (the spark default) has no INT64 footer stats — write µs,
+    // like the driver's testdata and IncAgg's sink do
+    spark.conf.set("spark.sql.parquet.outputTimestampType",
+      "TIMESTAMP_MICROS")
+    Seq((new Timestamp(0L), 1.0, 1L, "a"),
+        (new Timestamp(900000L), 2.0, 2L, "a"))
+      .toDF("ts", "value", "id", "job")
+      .write.mode("overwrite").parquet(s"$dir/m.parquet")
+    // a PLAIN parquet-backed metric with NO registered extent — the
+    // footer fallback must supply the grid bounds
+    val m = Metric(spark.read.parquet(s"$dir/m.parquet"),
+      labels = Seq("job"), time = "ts", value = "value", tie = Seq("id"))
+    assert(m.extentMs.isEmpty)
+    val coldCat = Map("coldm" -> m)
+    // the footer probe itself is a driver-side metadata read, no job
+    assert(graft.sources.ParquetStats.timeExtentMsOf(m.df, "ts")
+      .contains((0L, 900000L)))
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      def countJobs(body: => Unit): Int = {
+        Thread.sleep(200); jobs.set(0)
+        body
+        Thread.sleep(300) // let the listener bus drain
+        jobs.get()
+      }
+      var out: Array[org.apache.spark.sql.Row] = null
+      val coldJobs = countJobs {
+        out = PromQL.evaluate(coldCat, "coldm", "300 seconds").collect()
+      }
+      assert(out.nonEmpty)
+      // job-count parity with an explicitly wired extent: the cold path
+      // must not add a min/max bounds job on top of the evaluation
+      val wired = Map("coldm" -> m.copy(extentMs = Some((0L, 900000L))))
+      var out2: Array[org.apache.spark.sql.Row] = null
+      val wiredJobs = countJobs {
+        out2 = PromQL.evaluate(wired, "coldm", "300 seconds").collect()
+      }
+      assert(out.length == out2.length)
+      assert(coldJobs == wiredJobs,
+        s"cold=$coldJobs wired=$wiredJobs — bounds job leaked")
+      // a filtered frame must NOT trust footers (wider than the data) —
+      // it falls back to the scan path and still answers correctly
+      val filtered = Metric(spark.read.parquet(s"$dir/m.parquet")
+          .filter(col("value") < 1.5),
+        labels = Seq("job"), time = "ts", value = "value", tie = Seq("id"))
+      assert(graft.sources.ParquetStats
+        .timeExtentMsOf(filtered.df, "ts").isEmpty)
+      val out3 = PromQL.evaluate(Map("coldm" -> filtered), "coldm",
+        "300 seconds").collect()
+      assert(out3.nonEmpty && out3.length < out.length,
+        s"${out3.length} vs ${out.length}")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }
