@@ -103,6 +103,10 @@ object Bench {
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .zipWithIndex
       .map { case ((name, fn), i) =>
+      // stderr progress (stdout stays one JSON line): a scale sweep that
+      // wedges on a hidden quadratic is identifiable mid-run
+      System.err.println(s"[bench] $name start t=" +
+        s"${java.time.LocalTime.now().toString.take(12)}")
       if (i % 10 == 9) sampleFloor(2) // interleave floor samples
       // A query that throws must surface as an "err" marker, NOT as a
       // fast-fail wall-time: r07's poisoned testdata produced 0.06 s

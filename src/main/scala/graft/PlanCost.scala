@@ -22,15 +22,19 @@ object PlanCost {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // noop write, NOT count(): under count() Catalyst prunes
+    // cardinality-neutral subtrees (round-12 lesson — Bench.scala doc)
+    def mat(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.mode("overwrite").format("noop").save()
     names.foreach { name =>
-      SparkEntry.queries(name)(spark, sfDir).count() // warm
+      mat(SparkEntry.queries(name)(spark, sfDir)) // warm
       val m = (0 until 3).map { _ =>
         val t0 = System.nanoTime()
         val df = SparkEntry.queries(name)(spark, sfDir)
         val t1 = System.nanoTime()
         df.queryExecution.executedPlan // force full planning
         val t2 = System.nanoTime()
-        df.count()
+        mat(df)
         val t3 = System.nanoTime()
         ((t1 - t0) / 1e9, (t2 - t1) / 1e9, (t3 - t2) / 1e9)
       }.sortBy(t => t._1 + t._2 + t._3).apply(1)

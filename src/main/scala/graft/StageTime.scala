@@ -37,10 +37,14 @@ object StageTime {
       }
     })
     names.foreach { name =>
-      SparkEntry.queries(name)(spark, sfDir).count() // warm
+      // noop write, NOT count() — count() prunes cardinality-neutral
+      // subtrees (round-12 lesson)
+      def mat(): Unit = SparkEntry.queries(name)(spark, sfDir)
+        .write.mode("overwrite").format("noop").save()
+      mat() // warm
       Thread.sleep(300); stages.clear()
       val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, sfDir).count()
+      mat()
       val s = (System.nanoTime() - t0) / 1e9
       Thread.sleep(400)
       println(f"[stagetime] $name: $s%.3f s")

@@ -8,11 +8,11 @@ import org.apache.spark.sql.functions._
   * math `lib/util/lifted/influx/query/math.go:21-110`, strings
   * `query/string_functions.go`, full predicate/JSON/IP sets per SURVEY §2.8.
   *
-  * Almost everything aliases a codegen'd Spark built-in; only the IP helpers
-  * are Scala UDFs (pure string/bit math, used off the hot aggregation path).
+  * Almost everything aliases a codegen'd Spark built-in; the IP helpers are
+  * native single-node expressions ([[graft.expressions.IpExpressions]])
+  * whose eval delegates to the pure Scala closures kept here.
   * `registry` maps the openGemini name → column builder so a query frontend
-  * can resolve calls 1:1; `registerSql(spark)` also exposes the UDF-backed
-  * ones to SQL.
+  * can resolve calls 1:1; `registerSql(spark)` exposes the IP family to SQL.
   */
 object GeminiFunctions {
 
@@ -152,80 +152,26 @@ object GeminiFunctions {
   val ipInRange: (String, String) => java.lang.Boolean =
     (ip, cidr) => isSubnetOf(cidr, ip)
 
-  // ---- Codegen'd Column forms of the IP functions ------------------------
-  // Pure built-in column math (split + guarded casts + bit ops), so the
-  // whole projection stays inside whole-stage codegen — the UDF forms cost
-  // 43× on q38 once the bench honestly materialized output columns. Hot
-  // paths (q38, machine-generated IPs) use these; the UDFs above stay
-  // registered for SQL and keep the reference's lenient-malformed-input
-  // quirks (e.g. a trailing-dot quad parses there, nulls here).
-
-  /** Dotted-quad → u32-as-long; null on malformed input. The rlike guard
-    * makes the cast safe under ANSI and bounds each octet at 3 digits. */
-  def ipToLongC(ip: Column): Column = {
-    val p = split(trim(ip), "\\.")
-    def oct(i: Int): Column = {
-      val s = element_at(p, i)
-      val v = when(s.rlike("^\\d{1,3}$"), s.cast("long"))
-      when(v <= 255, v)
-    }
-    when(size(p) === 4,
-      shiftleft(oct(1), 24) + shiftleft(oct(2), 16) +
-        shiftleft(oct(3), 8) + oct(4))
+  // ---- Native-expression Column forms of the IP functions ----------------
+  // Each is ONE codegen'd tree node ([[graft.expressions.IpExpressions]])
+  // whose eval delegates to the Scala closures above — the UDF forms cost
+  // 43× on q38 once the bench honestly materialized output columns, and a
+  // pure-Column spelling (split + casts + bit ops) fixed the per-row cost
+  // but ballooned the collapsed projection tree (~16 ms task deser). The
+  // names resolve through the SQL registry (registerSql installs native
+  // builders), so these helpers are thin call_function wrappers.
+  private def nativeCall(name: String, args: Column*): Column = {
+    registerSql(org.apache.spark.sql.SparkSession.active)
+    call_function(name, args: _*)
   }
-
-  /** u32-as-long → dotted quad (null-preserving; concat_ws alone would
-    * render null as ""). */
-  def longToIpC(v: Column): Column =
-    when(v.isNotNull, concat_ws(".",
-      shiftright(v, 24).bitwiseAND(lit(255L)).cast("string"),
-      shiftright(v, 16).bitwiseAND(lit(255L)).cast("string"),
-      shiftright(v, 8).bitwiseAND(lit(255L)).cast("string"),
-      v.bitwiseAND(lit(255L)).cast("string")))
-
-  /** Network mask of a prefix length (column form of maskOf; the JVM's
-    * masked shift count reproduces the Scala `<<` on out-of-range p). */
-  def maskC(p: Column): Column =
-    when(p <= 0, lit(0L)).otherwise(
-      call_function("shiftleft", lit(0xFFFFFFFFL), lit(32) - p)
-        .bitwiseAND(lit(0xFFFFFFFFL)))
-
   def ipMaskC(ip: Column, prefix: Column): Column =
-    longToIpC(ipToLongC(ip).bitwiseAND(maskC(prefix)))
-
-  def ipPrefixC(ip: Column, prefix: Column): Column = {
-    val base = longToIpC(ipToLongC(ip).bitwiseAND(maskC(prefix)))
-    when(base.isNotNull && prefix.isNotNull,
-      concat(base, lit("/"), prefix.cast("string")))
-  }
-
-  /** CIDR "a.b.c.d/p" → (network long, prefix int), both null-guarded. */
-  private def cidrPartsC(cidr: Column): (Column, Column) = {
-    val parts = split(cidr, "/")
-    val net = when(size(parts) >= 2, ipToLongC(element_at(parts, 1)))
-    val ps = element_at(parts, 2)
-    val p = when(size(parts) >= 2 && ps.rlike("^[+-]?\\d{1,9}$"),
-      ps.cast("int"))
-    (net, p)
-  }
-
-  def isSubnetOfC(cidr: Column, ip: Column): Column = {
-    val (net, p) = cidrPartsC(cidr)
-    val m = maskC(p)
-    ipToLongC(ip).bitwiseAND(m) === net.bitwiseAND(m)
-  }
-
-  def ipSubnetMinC(cidr: Column): Column = {
-    val (net, p) = cidrPartsC(cidr)
-    longToIpC(net.bitwiseAND(maskC(p)))
-  }
-
-  def ipSubnetMaxC(cidr: Column): Column = {
-    val (net, p) = cidrPartsC(cidr)
-    val m = maskC(p)
-    longToIpC(net.bitwiseAND(m)
-      .bitwiseOR(bitwise_not(m).bitwiseAND(lit(0xFFFFFFFFL))))
-  }
+    nativeCall("ip_mask", ip, prefix)
+  def ipPrefixC(ip: Column, prefix: Column): Column =
+    nativeCall("ip_prefix", ip, prefix)
+  def isSubnetOfC(cidr: Column, ip: Column): Column =
+    nativeCall("is_subnet_of", cidr, ip)
+  def ipSubnetMinC(cidr: Column): Column = nativeCall("ip_subnet_min", cidr)
+  def ipSubnetMaxC(cidr: Column): Column = nativeCall("ip_subnet_max", cidr)
 
   /** ip_to_domain(ip) — the reference resolves against a bundled geo
     * dataset (`query/string_functions.go`); that data isn't shippable
@@ -245,21 +191,33 @@ object GeminiFunctions {
     * honest null stub (documented, like the Multimodal codec). */
   val mobileCarrier: String => String = _ => null
 
-  /** Register the UDF-backed functions for SQL use. Idempotent — skipped
-    * when already registered, so per-query entry points don't emit one
-    * registry-replacement WARN per function per query (the WARN flood
-    * crowded the driver's bounded bench-output tail). */
+  /** Register the IP functions for SQL use — native expression builders
+    * ([[graft.expressions.IpExpressions]]), not UDFs, so InfluxQL text
+    * queries get the codegen'd single-node forms too. Idempotent —
+    * skipped when already registered, so per-query entry points don't
+    * emit one registry-replacement WARN per function per query (the
+    * WARN flood crowded the driver's bounded bench-output tail). */
   def registerSql(spark: SparkSession): Unit = {
-    if (spark.sessionState.functionRegistry.functionExists(
+    val reg = spark.sessionState.functionRegistry
+    if (reg.functionExists(
         org.apache.spark.sql.catalyst.FunctionIdentifier("ip_mask"))) return
-    spark.udf.register("ip_mask", ipMask)
-    spark.udf.register("ip_prefix", ipPrefix)
-    spark.udf.register("is_subnet_of", isSubnetOf)
-    spark.udf.register("ip_subnet_min", ipSubnetMin)
-    spark.udf.register("ip_subnet_max", ipSubnetMax)
-    spark.udf.register("ip_subnet_range", ipSubnetRange)
-    spark.udf.register("ip_in_range", ipInRange)
-    spark.udf.register("ip_to_domain", ipToDomain)
+    import graft.expressions.{IpMaskExpr, IpSubnetOfExpr, IpUnaryExpr}
+    reg.createOrReplaceTempFunction("ip_mask",
+      e => IpMaskExpr(e(0), e(1), slash = false), "built-in")
+    reg.createOrReplaceTempFunction("ip_prefix",
+      e => IpMaskExpr(e(0), e(1), slash = true), "built-in")
+    reg.createOrReplaceTempFunction("is_subnet_of",
+      e => IpSubnetOfExpr(e(0), e(1)), "built-in")
+    reg.createOrReplaceTempFunction("ip_in_range",
+      e => IpSubnetOfExpr(e(1), e(0)), "built-in") // (ip, cidr) swapped
+    reg.createOrReplaceTempFunction("ip_subnet_min",
+      e => IpUnaryExpr(e(0), "subnetMin"), "built-in")
+    reg.createOrReplaceTempFunction("ip_subnet_max",
+      e => IpUnaryExpr(e(0), "subnetMax"), "built-in")
+    reg.createOrReplaceTempFunction("ip_subnet_range",
+      e => IpUnaryExpr(e(0), "subnetRange"), "built-in")
+    reg.createOrReplaceTempFunction("ip_to_domain",
+      e => IpUnaryExpr(e(0), "toDomain"), "built-in")
     spark.udf.register("mobile_carrier", mobileCarrier)
   }
 }

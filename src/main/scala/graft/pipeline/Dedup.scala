@@ -183,8 +183,22 @@ object Dedup {
     * use [[Similarity.lshTopK]]. */
   def embeddingNearDup(df: DataFrame, vecCol: String, idCol: String,
                        threshold: Double, dim: Int = 64,
-                       maxHamming: Int = 64): DataFrame = {
+                       maxHamming: Int = 64,
+                       maxExactRows: Long = 65536L): DataFrame = {
     graft.expressions.VectorExpressions.register(df.sparkSession)
+    // This tier is DELIBERATELY all-pairs (a replicated-NL join) — the
+    // only complete answer at low thresholds where sign-LSH bands can't
+    // separate (scaladoc above). That makes it quadratic BY DESIGN, so
+    // it REFUSES corpora where quadratic is the wrong tool instead of
+    // silently burning a cluster: the same guarded-tier pattern as the
+    // Graph/Rca resident tiers. The probe is a cheap limit-scan, not a
+    // full count. Pass a larger maxExactRows to override deliberately.
+    val n = df.limit((maxExactRows + 1).toInt).count()
+    require(n <= maxExactRows,
+      s"embeddingNearDup is the EXACT all-pairs tier (quadratic by " +
+        s"design) and the corpus exceeds maxExactRows=$maxExactRows — " +
+        s"use embeddingNearDupBanded (the scale path) or raise the cap " +
+        s"explicitly")
     // per-row norms + signatures precomputed before the pair join
     // (1 dot per pair instead of 3; signature once per row, not per pair)
     val base = df.select(col(idCol).as("_id"), col(vecCol).as("_v"),

@@ -681,6 +681,16 @@ class PipelineSpec extends SparkSpec {
     assert(bad == Seq(0L), bad.toString)
   }
 
+  test("embeddingNearDup (exact tier) refuses corpora above its " +
+      "quadratic-safe cap") {
+    val e = intercept[IllegalArgumentException] {
+      graft.pipeline.Dedup.embeddingNearDup(
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet"),
+        "embedding", "vec_id", threshold = 0.9, maxExactRows = 3L)
+    }
+    assert(e.getMessage.contains("embeddingNearDupBanded"), e.getMessage)
+  }
+
   test("CorpusWriter: above maxManifestRows the manifest goes " +
       "distributed (shards_file pointer, no driver collect) and still " +
       "verifies") {
