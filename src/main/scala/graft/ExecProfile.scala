@@ -77,6 +77,19 @@ object ExecProfile {
     // keeps task counts sane.
     spark.conf.set("spark.sql.files.maxPartitionBytes",
       if (small) "4m" else "128m")
+    // …and 4 MB splits still under-provision CPU-heavy text work: a
+    // compressed text column decodes ~10× its file bytes and tokenizes at
+    // ~MB/s/core, so an 8 MB documents file became a 2-task scan doing
+    // 15 s of single-threaded folds while 30 cores idled (the honest ×10
+    // sweep's "superlinear" q107/q124 were exactly this). The open-cost
+    // floor is what pins maxSplitBytes at 4 MB; dropping it lets
+    // bytes-per-core drive the split so scans land near one task per
+    // core regardless of compression ratio. Scale path keeps defaults —
+    // at real input sizes bytes-per-core ≥ 4 MB anyway.
+    spark.conf.set("spark.sql.files.openCostInBytes",
+      if (small) "262144" else "4194304")
+    spark.conf.set("spark.sql.files.minPartitionNum",
+      spark.sparkContext.defaultParallelism.toString)
   }
 
   /** Broadcast `df` under the session's broadcast policy: the hint at

@@ -103,16 +103,16 @@ object Bpe {
     */
   def segmentCounts(docs: DataFrame, textCol: String, idCol: String,
                     segs: Map[String, Vector[String]]): DataFrame = {
-    // broadcast the vocab-sized word → |subwords| map and fold it over
-    // each doc's token array — no explode, no join, no shuffle before
-    // the (already per-row) projection
+    // ship the vocab-sized word → |subwords| map as a foldable literal
+    // decoded ONCE into a hash table inside the native TokenScoreSum
+    // expression — no explode, no join, no shuffle, O(1) per token.
+    // (The previous fold did element_at over a MAP LITERAL, which is a
+    // linear scan of the literal per token: tokens × |vocab| work.)
+    graft.expressions.VectorExpressions.register(docs.sparkSession)
     val nSub = typedLit(segs.map { case (w, s) => w -> s.length })
     docs.select(col(idCol).as("doc_id"),
         split(lower(trim(col(textCol))), "\\s+").as("_tk"))
       .select(col("doc_id"), size(col("_tk")).cast("long").as("n_tok"),
-        aggregate(transform(col("_tk"),
-            w => coalesce(element_at(nSub, w),
-              length(w).cast("int") + lit(1))),
-          lit(0L), (acc, x) => acc + x).as("n_subtok"))
+        call_function("token_score_sum", col("_tk"), nSub).as("n_subtok"))
   }
 }

@@ -444,7 +444,19 @@ object Dedup {
     val assigned = corpus.select(col(idCol).as("vec_id"),
       col(vecCol).as("_v"),
       Similarity.nearestBucket(col(vecCol), cents).as("cluster"))
+    // EXPLICIT fixed-N cluster partitioning for the pair join: its map
+    // INPUT is small (id + vec per row) so AQE coalesces the exchange to
+    // 1-2 reducers, but the join's OUTPUT is the within-cluster pair
+    // stream — orders of magnitude larger and invisible to input-byte
+    // coalescing (the honest ×100 sweep measured two 32-second tasks on
+    // 30 idle cores). A user-specified partition count is exempt from
+    // AQE coalescing, and the single exchange is shared by both sides
+    // of the self-join.
+    val parts = math.max(
+      corpus.sparkSession.sparkContext.defaultParallelism,
+      corpus.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
     val slim = assigned.select(col("cluster"), col("vec_id"), col("_v"))
+      .repartition(parts, col("cluster"))
     val dups = slim.as("i")
       .join(slim.as("j"), col("i.cluster") === col("j.cluster") &&
         col("j.vec_id") < col("i.vec_id"))

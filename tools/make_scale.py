@@ -78,9 +78,16 @@ for t in ["region", "nation", "customer", "supplier", "part",
             sel = sel.replace("text", f"{MUTATED_TEXT} AS text")
         if t == "embeddings" and mutate:
             sel = sel.replace("embedding", f"{MUTATED_EMB} AS embedding")
+        # ROW_GROUP_SIZE: duckdb's default 122880-row groups make a 50 MB
+        # scale file ONE unsplittable unit — every Spark scan stage over
+        # it ran 1-2 tasks with 30 cores idle, and the sweep read as
+        # superlinear (x10 q107 "38x") when the real cause was serial
+        # scans. Real corpora arrive as many files/row groups; 8192-row
+        # groups make the synthetic layout realistic (~50 splittable
+        # groups per x10 fact table).
         con.sql(f"COPY (SELECT {sel} FROM '{sp}' "
                 f"CROSS JOIN (SELECT unnest(range({n})) AS r)) "
-                f"TO '{dp}' (FORMAT PARQUET)")
+                f"TO '{dp}' (FORMAT PARQUET, ROW_GROUP_SIZE 8192)")
     else:
         shutil.copyfile(sp, dp)
     print(t, "->", dp)
