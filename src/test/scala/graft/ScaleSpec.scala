@@ -87,6 +87,29 @@ class ScaleSpec extends SparkSpec {
       "corpus must not be broadcast to every task")
   }
 
+  test("semdedup pair join keeps an explicit fixed-N cluster exchange " +
+      "(AQE must not coalesce the exploding self-join to 1-2 reducers)") {
+    val q = SparkEntry.queries("q119_semdedup")(spark, sf)
+    val plan = planOf(q)
+    // a user-specified numPartitions repartition renders as
+    // REPARTITION_BY_NUM and is exempt from AQE coalescing — the x100
+    // sweep measured two 32-second tasks when the small-input exchange
+    // was coalesced while the pair OUTPUT exploded
+    assert(plan.contains("REPARTITION_BY_NUM"), plan)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "pairs strictly via the cluster equi-join")
+  }
+
+  test("BPE apply scores tokens through the hashed native expression, " +
+      "not a per-token map-literal scan") {
+    val q = SparkEntry.queries("q124_bpe_tokenize")(spark, sf)
+    val plan = q.queryExecution.optimizedPlan.toString
+    assert(plan.contains("tokenscoresum"), plan.take(600))
+    assert(!plan.contains("element_at"),
+      "element_at over the vocab literal is a linear scan per token")
+  }
+
   test("banded near-dup generates candidates by equi-join: no pair scan " +
       "of any kind") {
     val q = SparkEntry.queries("q88_neardup_banded")(spark, sf)
