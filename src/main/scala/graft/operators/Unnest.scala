@@ -19,7 +19,13 @@ object Unnest {
   def matchAll(df: DataFrame, field: String, pattern: String,
                names: Seq[String]): DataFrame = {
     graft.expressions.VectorExpressions.register(df.sparkSession)
-    val tmp = "_graft_rx_groups"
+    val groupCount = java.util.regex.Pattern.compile(pattern).matcher("")
+      .groupCount()
+    require(names.length <= groupCount,
+      s"UNNEST(match_all): ${names.length} output columns but pattern " +
+        s"has only $groupCount capture group(s)")
+    val tmp = Iterator.from(0).map(i => s"_graft_rx_groups$i")
+      .find(c => !df.columns.contains(c)).get
     val withArr = df.withColumn(tmp,
       call_function("regexp_groups", col(field), lit(pattern)))
     names.zipWithIndex.foldLeft(withArr) { case (d, (name, i)) =>

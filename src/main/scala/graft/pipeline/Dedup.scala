@@ -193,17 +193,26 @@ object Dedup {
     // silently burning a cluster: the same guarded-tier pattern as the
     // Graph/Rca resident tiers. The probe is a cheap limit-scan, not a
     // full count. Pass a larger maxExactRows to override deliberately.
-    val n = df.limit((maxExactRows + 1).toInt).count()
+    val probe = if (maxExactRows >= Int.MaxValue - 1L) Int.MaxValue
+                else (maxExactRows + 1L).toInt
+    val n = df.limit(probe).count()
     require(n <= maxExactRows,
       s"embeddingNearDup is the EXACT all-pairs tier (quadratic by " +
         s"design) and the corpus exceeds maxExactRows=$maxExactRows — " +
         s"use embeddingNearDupBanded (the scale path) or raise the cap " +
         s"explicitly")
     // per-row norms + signatures precomputed before the pair join
-    // (1 dot per pair instead of 3; signature once per row, not per pair)
+    // (1 dot per pair instead of 3; signature once per row, not per pair).
+    // localCheckpoint materializes the slim (id, vec, norm, sig) frame in
+    // the block manager BEFORE the replicated-NL tiling: each tile then
+    // reads memory, not parquet — without it the tile join re-pays the
+    // cold-scan cost once per tile (N× amplification when the hot tier
+    // isn't resident). Bounded by construction: the maxExactRows guard
+    // above caps this at ≤64k rows of (id, vec, 8B sig, 8B norm).
     val base = df.select(col(idCol).as("_id"), col(vecCol).as("_v"),
       sqrt(Similarity.dotNative(col(vecCol), col(vecCol))).as("_n"),
       Similarity.signBucket(col(vecCol), dim, 64).as("_sig"))
+      .localCheckpoint(true)
     val a = base.select(col("_id").as("id_a"), col("_v").as("_va"),
       col("_n").as("_na"), col("_sig").as("_siga"))
     val b = base.select(col("_id").as("id_b"), col("_v").as("_vb"),

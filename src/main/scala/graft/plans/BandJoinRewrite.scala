@@ -79,9 +79,15 @@ object BandJoinRewrite extends Rule[LogicalPlan] {
   private def asAbsBand(conj: Expression, left: LogicalPlan,
                         right: LogicalPlan): Option[Band] = {
     def sides(diff: Expression, bound: Expression): Option[Band] = {
+      // Strip ONLY the widening double/float cast Catalyst inserts for
+      // a fractional bound over integral operands. A user-written
+      // NARROWING cast (e.g. cast(abs(x-y) as int) under non-ANSI mode)
+      // can wrap a huge long diff into the band, and stripping it would
+      // bucket by the raw diff and silently drop that naive-plan match.
       val stripped = diff match {
-        case Cast(inner @ Abs(Subtract(_, _, _), _), _, _, _)
-            if numLit(bound).exists(c => c > 0 && c < (1L << 52).toDouble) =>
+        case Cast(inner @ Abs(Subtract(_, _, _), _), t, _, _)
+            if t == org.apache.spark.sql.types.DoubleType &&
+              numLit(bound).exists(c => c > 0 && c < (1L << 52).toDouble) =>
           inner
         case other => other
       }

@@ -1709,8 +1709,23 @@ final class HttpGateway(spark: SparkSession,
     kafka = new KafkaConsume(sql => {
       val cat = sliceOf(catalog, defaultDb)
       val out = InfluxQL.execute(cat, sql)
+      // Tag columns come from the QUERY'S OWN measurement(s) — the
+      // reference derives TagAux from the fetched measurement
+      // (`services/consume/processor.go:56-66`), so a selected field
+      // whose name collides with ANOTHER measurement's tag stays a
+      // field. Union-of-all-tags only as a parse-failure fallback.
+      def meas(q: InfluxQL.Query): Set[String] = {
+        val own = q.fromSub.map(meas).getOrElse(
+          Set(q.fromBare.getOrElse(q.from)) ++ q.fromMore)
+        own ++ q.join.toSeq.flatMap(j =>
+          j.rightSub.map(meas).getOrElse(Set(j.right))).toSet
+      }
+      val tagCols =
+        try meas(InfluxQL.parse(sql))
+          .flatMap(n => cat.get(n).map(_.tags.toSet).getOrElse(Set.empty))
+        catch { case _: Exception => cat.values.flatMap(_.tags).toSet }
       RecordCodec.payloadsFromResult(out.limit(maxRowLimit),
-        tagCols = cat.values.flatMap(_.tags).toSet)
+        tagCols = tagCols, maxRows = maxRowLimit)
     })
     kafka.start(port)
   }

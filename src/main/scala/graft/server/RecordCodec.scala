@@ -49,7 +49,6 @@ object RecordCodec {
     private val valBuf = new java.io.ByteArrayOutputStream()
     private val bitmap = scala.collection.mutable.ArrayBuffer.empty[Byte]
     private val offsets = scala.collection.mutable.ArrayBuffer.empty[Long]
-    private var hasOffsets = false
     var len = 0
     var nilCount = 0
 
@@ -73,7 +72,6 @@ object RecordCodec {
     def appendBool(v: Boolean): ColVal =
       { valBuf.write(if (v) 1 else 0); mark(present = true); this }
     def appendString(s: String): ColVal = {
-      hasOffsets = true
       offsets += valBuf.size().toLong
       val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
       valBuf.write(b, 0, b.length)
@@ -83,7 +81,6 @@ object RecordCodec {
     def appendNull(): ColVal = { mark(present = false); this }
     /** Null for string columns: offset still appended (column_string.go:50). */
     def appendStringNull(): ColVal = {
-      hasOffsets = true
       offsets += valBuf.size().toLong
       mark(present = false); this
     }
@@ -142,8 +139,15 @@ object RecordCodec {
       val idx = row + bitMapOffset
       (bitmap(idx >> 3) & (1 << (idx & 7))) == 0
     }
-    private def validRank(row: Int): Int =
-      (0 until row).count(r => !isNull(r))
+    // prefix ranks: rank(r) = #valid rows in [0, r) — one O(len) pass,
+    // so a full-column decode is O(len) instead of O(len²)
+    private lazy val rank: Array[Int] = {
+      val a = new Array[Int](len + 1)
+      var r = 0
+      while (r < len) { a(r + 1) = a(r) + (if (isNull(r)) 0 else 1); r += 1 }
+      a
+    }
+    private def validRank(row: Int): Int = rank(row)
     private def le64At(pos: Int): Long = {
       var v = 0L; var i = 0
       while (i < 8) { v |= (valBytes(pos + i) & 0xffL) << (8 * i); i += 1 }
@@ -211,9 +215,17 @@ object RecordCodec {
     *
     * `timeScaleNs` converts a raw integral time column to epoch ns —
     * the InfluxQL result convention is epoch-ms longs, so the default is
-    * 1e6; Timestamp columns convert exactly regardless. */
+    * 1e6; Timestamp columns convert exactly regardless.
+    *
+    * `maxRows` caps the driver-side collect (the same
+    * `http.max-row-limit` guard as the remote-read path,
+    * `httpd/config/config.go:37`): an unbounded query handed to this
+    * method throws instead of materializing the full result on the
+    * driver. Kafka fetch drains one message per request from
+    * consume-scoped queries, so legitimate callers never hit it. */
   def payloadsFromResult(df: DataFrame, tagCols: Set[String],
-                         timeScaleNs: Long = 1000000L)
+                         timeScaleNs: Long = 1000000L,
+                         maxRows: Int = 1000000)
       : Seq[Array[Byte]] = {
     import org.apache.spark.sql.types._
     val cols = df.columns.toSeq
@@ -232,7 +244,12 @@ object RecordCodec {
     val schema = fieldNames.map(n => Field(n, typeId(types(n)))) ++
       timeName.map(n => Field("time", TInt))
     val outCols = fieldNames ++ timeName
-    val rows = df.collect().toSeq
+    val probe = if (maxRows >= Int.MaxValue - 1) Int.MaxValue
+                else maxRows + 1
+    val rows = df.limit(probe).collect().toSeq
+    require(rows.length <= maxRows,
+      s"payloadsFromResult: result exceeds maxRows=$maxRows — cap the " +
+        s"query (LIMIT) or raise the gateway max-row-limit explicitly")
     val idx = cols.zipWithIndex.toMap
 
     def epochNs(v: Any): Long = v match {

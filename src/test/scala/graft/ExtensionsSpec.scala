@@ -110,6 +110,40 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("BandJoinRewrite: a user-written NARROWING cast is not stripped — " +
+      "cast(abs(x-y) as int) <= c keeps the naive plan and its wrap match") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ graft.plans.BandJoinRewrite
+    val priorAnsi = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      // |lt - rt| = 2^32 exactly: the long diff wraps to int 0, so the
+      // user's cast-to-int predicate MATCHES under non-ANSI mode. A
+      // stripped raw-operand bucket join would place the rows 2^32
+      // apart and silently drop the match — the rule must leave a
+      // non-double cast target unrewritten.
+      val ln = Seq((1L, 4294967296L)).toDF("lid", "lt")
+      val rn = Seq((201L, 0L)).toDF("rid", "rt")
+      def wrap = ln.join(rn,
+        abs(ln("lt") - rn("rt")).cast("int") <= lit(5))
+      val plan = wrap.queryExecution.executedPlan.toString
+      assert(!plan.contains("_graft_bkt"), plan)
+      val got = wrap.select($"lid", $"rid").as[(Long, Long)].collect().toSeq
+      assert(got == Seq((1L, 201L)), got.toString)
+      // the double cast Catalyst inserts (fractional bound) still strips
+      def fine = ln.join(rn, abs(ln("lt") - rn("rt")) <= lit(0.5))
+      assert(fine.queryExecution.executedPlan.toString
+        .contains("_graft_bkt"))
+    } finally {
+      spark.conf.set("spark.sql.ansi.enabled", priorAnsi)
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations
+          .filterNot(_ eq graft.plans.BandJoinRewrite)
+    }
+  }
+
   test("BandJoinRewrite: fractional band widths — integral operands " +
       "keep the exact long path (ceil width); both-double sides get m=3") {
     import spark.implicits._

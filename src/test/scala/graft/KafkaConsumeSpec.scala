@@ -184,6 +184,23 @@ class KafkaConsumeSpec extends SparkSpec {
       (0 until 9).map(i => if (i % 2 == 0) Some(i.toLong) else None))
   }
 
+  test("payloadsFromResult: driver collect is row-capped — an unbounded " +
+      "result throws at maxRows instead of materializing (the gateway's " +
+      "max-row-limit guard, httpd/config/config.go:37)") {
+    import graft.server.RecordCodec
+    import spark.implicits._
+    val df = (1L to 10L).map(i => (i, s"h$i")).toDF("v", "host")
+    // at the cap: fine
+    val ok = RecordCodec.payloadsFromResult(df, tagCols = Set("host"),
+      maxRows = 10)
+    assert(ok.length == 10) // one series per distinct host tag
+    // past the cap: refuse, don't collect
+    val e = intercept[IllegalArgumentException] {
+      RecordCodec.payloadsFromResult(df, tagCols = Set("host"), maxRows = 9)
+    }
+    assert(e.getMessage.contains("maxRows=9"), e.getMessage)
+  }
+
   test("kafka consume e2e: ApiVersions/Metadata/ListOffsets handshake, " +
       "one-message-per-fetch drain, exhaustion + re-run, offsets never " +
       "reset; unsupported api closes the connection") {

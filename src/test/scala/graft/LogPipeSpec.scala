@@ -107,6 +107,26 @@ class LogPipeSpec extends SparkSpec {
     assert(e.getMessage.contains("only one extract"))
   }
 
+  test("Unnest.matchAll guards: names beyond the pattern's capture-group " +
+      "count raise up front (the reference's per-column extract errored); " +
+      "a same-named input column doesn't get clobbered by the temp col") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq(("ab 12", "keepme")).toDF("text", "_graft_rx_groups0")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Unnest.matchAll(df, "text", "([a-z]+)",
+        Seq("w", "too_many"))
+    }
+    assert(e.getMessage.contains("capture group"), e.getMessage)
+    // temp column derives a collision-free name: the user's
+    // _graft_rx_groups0 column survives with its value intact
+    val out = graft.operators.Unnest.matchAll(df, "text",
+      "([a-z]+) ([0-9]+)", Seq("w", "n"))
+    val row = out.select("w", "n", "_graft_rx_groups0").head()
+    assert(row.getString(0) == "ab" && row.getString(1) == "12" &&
+      row.getString(2) == "keepme", row.toString)
+  }
+
   test("splitPplSql: trailing SELECT segment splits off; star segments " +
       "strip; pipes inside quotes don't split") {
     assert(LogPipe.splitPplSql("err | select count(time)") ==

@@ -689,6 +689,14 @@ class PipelineSpec extends SparkSpec {
         "embedding", "vec_id", threshold = 0.9, maxExactRows = 3L)
     }
     assert(e.getMessage.contains("embeddingNearDupBanded"), e.getMessage)
+    // the documented escape hatch survives a cap >= Int.MaxValue:
+    // the probe clamps instead of overflowing to a negative limit
+    val ok = graft.pipeline.Dedup.embeddingNearDup(
+      spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .limit(4),
+      "embedding", "vec_id", threshold = 0.99,
+      maxExactRows = Long.MaxValue)
+    assert(ok.count() >= 0L)
   }
 
   test("CorpusWriter: above maxManifestRows the manifest goes " +
