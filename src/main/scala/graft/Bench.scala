@@ -16,6 +16,12 @@ import java.nio.file.{Files, Paths}
   * comparison is (spark_s - floor_s) / oracle_s, reported as ratio_adj.
   */
 object Bench {
+  /** One query's measured record: median of the timed reps, plus the
+    * reproducibility evidence the artifact publishes per query. */
+  private case class QRes(name: String, s: Double, jobs: Int,
+                          err: Option[String], firstS: Double, reps: Int,
+                          spreadPct: Double, gcDeltaMs: Long)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -104,6 +110,20 @@ object Bench {
     // Spark sample against a DuckDB median (single-shot scheduling
     // jitter flipped 50-100 ms queries across the 2× line between
     // otherwise-identical runs).
+    // Flap class (round-13 verdict): members whose per-query time
+    // disagreed >2× between two floor_stable runs at the same HEAD.
+    // They get 5 timed reps instead of 3, and every query's artifact
+    // entry carries its own reproducibility evidence (first_s, rep
+    // spread, GC delta) so a judged number explains itself.
+    val flapReps = Set("q53_embedding_neardup", "q72_prom_counter_rate",
+      "q73_promql_agg", "q122_hybrid_rrf", "q123_bigram_lm")
+    val gcBeans = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans
+    def gcMs(): Long = {
+      var t = 0L
+      gcBeans.forEach(b => t += math.max(b.getCollectionTime, 0L))
+      t
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .zipWithIndex
@@ -130,9 +150,17 @@ object Bench {
       def run(): Unit = fn(spark, sfDir).write.mode("overwrite")
         .format("noop").save()
       var err: Option[String] = None
+      // The warm-up run is TIMED (but never scored): first_s vs the
+      // timed median is the query's cold/warm residency evidence —
+      // first_s >> median means this run paid a cold build (hot tier,
+      // codegen, model caches) that a comparison run may not have.
+      val tF0 = System.nanoTime()
       try run()
       catch { case e: Throwable => err = Some(e.getClass.getSimpleName) }
-      val times = (0 until 3).map { k =>
+      val firstS = (System.nanoTime() - tF0) / 1e9
+      val reps = if (flapReps.contains(name)) 5 else 3
+      val gc0 = gcMs()
+      val times = (0 until reps).map { k =>
         sc.setJobGroup(s"bench-$name-$k", name)
         val t0 = System.nanoTime()
         try run()
@@ -142,6 +170,7 @@ object Bench {
         sc.clearJobGroup()
         s
       }
+      val gcDeltaMs = gcMs() - gc0
       // job count from the LAST timed run: for cached pure plans every
       // run schedules the same jobs, and for impure queries (sink
       // writes, iterative builds) the two-strike detection in
@@ -150,7 +179,17 @@ object Bench {
       // undercount them
       val jobs = sc.statusTracker
         .getJobIdsForGroup(s"bench-$name-${times.length - 1}").length
-      (name, times.sorted.apply(1), math.max(jobs, 1), err)
+      val sorted = times.sorted
+      val medianT = sorted(sorted.length / 2)
+      // (max−min)/median over the timed reps: intra-run reproducibility.
+      // A >100% spread marks the number as state-sensitive even when the
+      // floor was stable — exactly the blindness the round-13 verdict
+      // called out in the floor gate.
+      val spreadPct =
+        if (medianT > 0) (sorted.last - sorted.head) / medianT * 100.0
+        else 0.0
+      QRes(name, medianT, math.max(jobs, 1), err, firstS, reps,
+        spreadPct, gcDeltaMs)
     }
     sampleFloor(5)
     val floorS = {
@@ -197,25 +236,29 @@ object Bench {
       } else Map.empty
     }
 
-    val errored = results.filter(_._4.isDefined).map(_._1)
-    val healthy = results.filter(_._4.isEmpty)
-    val total = healthy.map(_._2).sum
-    val oracleTotal = healthy.flatMap { case (n, _, _, _) => baseline.get(n) }.sum
-    val ratios = healthy.flatMap { case (n, s, jobs, _) =>
-      baseline.get(n).filter(_ > 0).map(o => (n, s, o, s / o,
-        math.max(s - floorS, 0.0) / o,
-        math.max(s - jobs * floorS, 0.0) / o))
+    val errored = results.filter(_.err.isDefined).map(_.name)
+    val healthy = results.filter(_.err.isEmpty)
+    val total = healthy.map(_.s).sum
+    val oracleTotal = healthy.flatMap(q => baseline.get(q.name)).sum
+    val ratios = healthy.flatMap { q =>
+      baseline.get(q.name).filter(_ > 0).map(o => (q.name, q.s, o, q.s / o,
+        math.max(q.s - floorS, 0.0) / o,
+        math.max(q.s - q.jobs * floorS, 0.0) / o))
     }
     val within2x = ratios.count(_._5 <= 2.0)
     val within2xJobs = ratios.count(_._6 <= 2.0)
 
     // Full-precision report file (the judge-readable artifact).
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
-    val perQ = results.map { case (n, s, jobs, err) =>
+    val perQ = results.map { q =>
+      import q.{name => n, s, jobs, err}
       val o = baseline.get(n).filter(_ => err.isEmpty)
+      def r3(d: Double) = math.rint(d * 1000) / 1000
       s"""    "$n": {"spark_s": ${if (err.isEmpty) s.toString else "null"}, "oracle_s": ${o.map(_.toString).getOrElse("null")},""" +
         s""" "jobs": $jobs,""" +
         s""" "err": ${err.map("\"" + _ + "\"").getOrElse("null")},""" +
+        s""" "first_s": ${r3(q.firstS)}, "reps": ${q.reps},""" +
+        s""" "rep_spread_pct": ${r3(q.spreadPct)}, "gc_ms": ${q.gcDeltaMs},""" +
         s""" "ratio": ${o.map(v => (s / v).toString).getOrElse("null")},""" +
         s""" "ratio_floor_adj": ${o.map(v => (math.max(s - floorS, 0.0) / v).toString).getOrElse("null")},""" +
         s""" "ratio_jobs_adj": ${o.map(v => (math.max(s - jobs * floorS, 0.0) / v).toString).getOrElse("null")}}"""
@@ -254,9 +297,9 @@ object Bench {
     def r2(d: Double) = math.rint(d * 100) / 100
     def r3(d: Double) = math.rint(d * 1000) / 1000
     def short(k: String) = k.split('_').head
-    val qs = results.map {
-      case (k, _, _, Some(_)) => s"\"${short(k)}\":\"err\""
-      case (k, v, _, None)    => s"\"${short(k)}\":${r2(v)}"
+    val qs = results.map { q =>
+      if (q.err.isDefined) s"\"${short(q.name)}\":\"err\""
+      else s"\"${short(q.name)}\":${r2(q.s)}"
     }.mkString("{", ",", "}")
     val sfName = sfDir.split('/').last
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfName","floor_s":${r3(floorS)},"floor_drift_pct":${r2(floorDriftPct)},"oracle_total_s":${r3(oracleTotal)},"within2x_adj":$within2x,"within2x_jobs_adj":$within2xJobs,"n_baseline":${ratios.size},"n_err":${errored.size}}""")
