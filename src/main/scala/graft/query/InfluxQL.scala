@@ -27,6 +27,14 @@ import graft.operators.{Fill, SeriesOps, WindowedAgg}
   */
 object InfluxQL {
 
+  /** A statement-level compile/execute error: the HTTP layer reports it
+    * INSIDE the statement's result object (`{"statement_id":i,
+    * "error":…}`, status 200) rather than as a request-level 400 — the
+    * reference's split between `error parsing query` (top-level) and
+    * compile errors like "mixing aggregate and non-aggregate queries"
+    * (`tests/server_test.go:5401`). */
+  final class StatementError(msg: String) extends RuntimeException(msg)
+
   /** Parse an InfluxQL time literal as UTC epoch microseconds. Accepts
     * RFC3339 ('T' or ' ' separator, optional fractional seconds, optional
     * trailing 'Z' — the formats ast.go time literals allow) and date-only.
@@ -2012,7 +2020,62 @@ object InfluxQL {
               .as("wstart_ms")) ++
             groupTags.map(t => col(s"_tk_row.$t").as(t)) :+
             col(s"_tk_row.${c.field}").as(c.fn)): _*)
+      } else if (calls.size == 1 && exprs.isEmpty &&
+          plain.exists(_ != "time") &&
+          Set("max", "min", "first", "last")(calls.head.fn)) {
+        // Selector + companion ("aux") fields: one output row per group —
+        // the row the selector PICKS — with bare-field projections taken
+        // from that same row (the reference's aux-column selector
+        // semantics, `engine/executor/call_processor.go`; e2e
+        // `tests/server_test.go:5239` "max - tx": max(rx) carries the
+        // argmax row's tx). GROUP BY time() emits the bucket start as
+        // time; ungridded emits the picked row's own time. Shape: one
+        // row_number window per (bucket, tags) — a single shuffle, no
+        // self-join.
+        val c = calls.head
+        val ord: Seq[Column] = c.fn match {
+          case "max" => Seq(col(c.field).desc, col(m.time).asc)
+          case "min" => Seq(col(c.field).asc, col(m.time).asc)
+          case "first" => Seq(col(m.time).asc)
+          case "last" => Seq(col(m.time).desc)
+        }
+        val base0 = df.filter(col(c.field).isNotNull)
+        val based = q.intervalNs match {
+          case Some(ns) =>
+            // identical arithmetic bucket to WindowedAgg.timeBucket
+            val sizeUs = ns / 1000
+            val offUs = q.intervalOffsetNs.getOrElse(0L) / 1000
+            val rel = unix_micros(col(m.time)) - lit(offUs)
+            base0.withColumn("wstart_ms", unix_millis(timestamp_micros(
+              rel - pmod(rel, lit(sizeUs)) + lit(offUs))))
+          case None =>
+            base0.withColumn("wstart_ms", unix_millis(col(m.time)))
+        }
+        val partCols: Seq[Column] =
+          (if (q.intervalNs.isDefined) Seq(col("wstart_ms")) else Nil) ++
+            groupTags.map(col)
+        val w =
+          if (partCols.isEmpty) Window.partitionBy(lit(1)).orderBy(ord: _*)
+          else Window.partitionBy(partCols: _*).orderBy(ord: _*)
+        val picked = based.withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") === 1).drop("_rn")
+        val callAlias = aliasNames(Seq(c)).head
+        val outCols = Seq(col("wstart_ms")) ++ groupTags.map(col) ++
+          q.projs.collect {
+            case PField(f) if f != "time" =>
+              (if (df.columns.contains(f)) col(f)
+               else lit(null).cast("double")).as(f)
+            case _: PCall => col(c.field).as(callAlias)
+          }
+        picked.select(outCols: _*)
       } else if (calls.nonEmpty || exprCalls.nonEmpty) {
+        // a non-selector aggregate cannot combine with bare field refs —
+        // the reference's compile error (`query/compile.go`; e2e
+        // server_test.go:5401 "count - tx"), statement-level (the
+        // response document carries it under the statement's result)
+        if (plain.exists(_ != "time"))
+          throw new StatementError(
+            "mixing aggregate and non-aggregate queries is not supported")
         val allCalls = (calls ++ exprCalls).distinct
         val callName = allCalls.zip(aliasNames(allCalls)).toMap
         val aggs = aliased(allCalls)
@@ -2108,9 +2171,13 @@ object InfluxQL {
         val fieldCols: Seq[Column] =
           if (q.projs.contains(PStarTag) || q.projs.contains(PStarField)) {
             // `*::tag` / `*::field`: star restricted by column class
+            // star expansion emits columns in NAME order (the reference
+            // sorts the expanded star: server_test.go AggregateSelectors
+            // "baseline" expects [core, cores, host, region, rx, tx] —
+            // tags and fields interleaved alphabetically)
             val base = df.columns.filterNot(c => c == m.time || c == "time")
               .filterNot(_.startsWith("__ds_"))
-              .filterNot(groupTags.contains)
+              .filterNot(groupTags.contains).sorted
             val wanted = base.filter { c =>
               val isTag = mEff.tags.contains(c)
               (q.projs.contains(PStarTag) && isTag) ||
@@ -2122,7 +2189,7 @@ object InfluxQL {
           else if (plain.isEmpty || hasStar)
             df.columns.filterNot(c => c == m.time || c == "time")
               .filterNot(_.startsWith("__ds_"))
-              .filterNot(groupTags.contains).map(col).toSeq
+              .filterNot(groupTags.contains).sorted.map(col).toSeq
           else plain.map(f =>
             // schema-on-read: an unknown field projects as null (the
             // reference returns null columns — server_test.go's

@@ -2509,7 +2509,17 @@ final class HttpGateway(spark: SparkSession,
         finally { os.close(); ex.close() }
       } else {
         val objs = statements.zipWithIndex
-          .map { case (s, i) => resultObj(s, i) }
+          .map { case (s, i) =>
+            // statement-level errors land INSIDE the statement's result
+            // object with a 200 (the reference's compile-error contract,
+            // e.g. "mixing aggregate and non-aggregate queries" —
+            // tests/server_test.go:5401); parse and transport errors
+            // still 400 at the request level below
+            try resultObj(s, i)
+            catch { case e: InfluxQL.StatementError =>
+              s"""{"statement_id":$i,"error":${jsonStr(e.getMessage)}}"""
+            }
+          }
         // a KILL that landed before this query's job was submitted
         // cancels nothing (cancelJobGroup hits active jobs only) — the
         // killed flag closes that window: results are discarded

@@ -104,9 +104,11 @@ object LineProtocol {
         // unsigned suffix (reference parser): stored as Long — values
         // above 2^63-1 are rejected like any other unparseable number
         else if (v.endsWith("u")) intf += k -> v.dropRight(1).toLong
-        else if (v == "t" || v == "T" || v == "true" || v == "True")
+        else if (v == "t" || v == "T" || v == "true" || v == "True" ||
+            v == "TRUE")
           bf += k -> true
-        else if (v == "f" || v == "F" || v == "false" || v == "False")
+        else if (v == "f" || v == "F" || v == "false" || v == "False" ||
+            v == "FALSE")
           bf += k -> false
         else ff += k -> v.toDouble
       }

@@ -31,8 +31,54 @@ object ResultShaper {
     }
   }
 
+  /** Go `encoding/json` float64 rendering (`encode.go` floatEncoder):
+    * shortest decimal that round-trips, plain 'f' form for
+    * 1e-6 ≤ |v| < 1e21, else 'e' form with the `e-0X` → `e-X` cleanup.
+    * The reference's every numeric expectation is in this format —
+    * `30` not `30.0`, `46.666666666666664` unchanged, `1e+21`. */
+  private[sources] def goFloat(d: Double): String = {
+    if (d.isNaN || d.isInfinite) return d.toString // reference never emits
+    if (d == 0.0) return if (1.0 / d < 0) "-0" else "0"
+    val abs = math.abs(d)
+    // shortest digit string that round-trips: minimal precision p whose
+    // round-to-p-significant-digits value re-parses to the same double
+    // (Java 17's Double.toString is not always shortest — JDK-4511638)
+    val bd = {
+      var p = 1
+      var out: java.math.BigDecimal = null
+      while (out == null && p <= 17) {
+        val c = new java.math.BigDecimal(d)
+          .round(new java.math.MathContext(p))
+        if (c.doubleValue() == d) out = c
+        p += 1
+      }
+      if (out == null) new java.math.BigDecimal(d) else out
+    }
+    if (abs >= 1e-6 && abs < 1e21)
+      bd.stripTrailingZeros.toPlainString
+    else {
+      // 'e' form: d.dddde±XX with at least two exponent digits, then
+      // Go's json cleanup drops the leading zero of a negative exponent
+      val stripped = bd.stripTrailingZeros
+      val digits = stripped.unscaledValue.abs.toString
+      val sign = if (d < 0) "-" else ""
+      val mant =
+        if (digits.length == 1) digits
+        else digits.head + "." + digits.tail
+      val exp = digits.length - 1 - stripped.scale
+      val expStr =
+        if (exp < 0 && exp > -10) s"e-${-exp}"
+        else if (exp < 0) s"e-${-exp}"
+        else if (exp < 10) s"e+0$exp"
+        else s"e+$exp"
+      s"$sign$mant$expStr"
+    }
+  }
+
   private def jsonScalar(v: Any, epoch: String = "ms"): String = v match {
     case null => "null"
+    case d: Double => goFloat(d)
+    case f: Float => goFloat(f.toDouble)
     case s: String => "\"" + s.flatMap {
       case '"' => "\\\""
       case '\\' => "\\\\"
@@ -113,20 +159,27 @@ object ResultShaper {
     }
   }
 
+  /** `"tags":{…}` member, or NOTHING for an untagged series — the
+    * reference omits the key entirely when the series has no tags
+    * (`models.Row` json `tags,omitempty`; every untagged expectation in
+    * `tests/server_test.go` carries no "tags"). */
+  private def tagsField(tagCols: Seq[String], tagVals: Seq[Any]): String =
+    if (tagCols.isEmpty) ""
+    else tagCols.zip(tagVals)
+      .map { case (k, v) => s"${jsonScalar(k)}:${jsonScalar(v)}" }
+      .mkString(""","tags":{""", ",", "}")
+
   private def seriesDoc(name: String, tagCols: Seq[String],
                         tagVals: Seq[Any], valueCols: Seq[String],
                         rs: Seq[Row], epoch: String,
                         partial: Boolean): String = {
-    val tags = tagCols.zip(tagVals)
-      .map { case (k, v) => s"${jsonScalar(k)}:${jsonScalar(v)}" }
-      .mkString("{", ",", "}")
     val columns = valueCols.map(c => jsonScalar(c)).mkString("[", ",", "]")
     val values = rs.map(r => valueCols
       .map(c => jsonScalar(r.getAs[Any](c), epoch))
       .mkString("[", ",", "]")).mkString("[", ",", "]")
     val p = if (partial) ""","partial":true""" else ""
     s"""{"results":[{"statement_id":0,"series":[{"name":${
-      jsonScalar(name)},"tags":$tags,"columns":$columns,"values":$values$p}]}]}"""
+      jsonScalar(name)}${tagsField(tagCols, tagVals)},"columns":$columns,"values":$values$p}]}]}"""
   }
 
   /** Shape a result into the per-series InfluxQL JSON: one series per
@@ -174,15 +227,12 @@ object ResultShaper {
     val series = keptSeries.zipWithIndex
       .map { case ((tagVals, kept, cut), i) =>
         val partial = cut || (dropped && i == keptSeries.length - 1)
-        val tags = tagCols.zip(tagVals)
-          .map { case (k, v) => s"${jsonScalar(k)}:${jsonScalar(v)}" }
-          .mkString("{", ",", "}")
         val columns = valueCols.map(c => jsonScalar(c)).mkString("[", ",", "]")
         val values = kept.map(r => valueCols
           .map(c => jsonScalar(r.getAs[Any](c), epoch))
           .mkString("[", ",", "]")).mkString("[", ",", "]")
         val p = if (partial) ""","partial":true""" else ""
-        s"""{"name":${jsonScalar(name)},"tags":$tags,"columns":$columns,"values":$values$p}"""
+        s"""{"name":${jsonScalar(name)}${tagsField(tagCols, tagVals)},"columns":$columns,"values":$values$p}"""
       }.mkString("[", ",", "]")
     s"""{"statement_id":$statementId,"series":$series}"""
   }

@@ -1,0 +1,165 @@
+package graft
+
+import java.net.{URI, URLEncoder}
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import graft.server.HttpGateway
+
+/** Replays the reference's OWN golden e2e corpus: every statically-
+  * resolvable (write, query, expected-JSON) triple of
+  * `tests/server_test.go` (extracted by `tools/port_server_tests.py`
+  * into `server_corpus.json` — 89 test funcs, ~1450 queries), driven
+  * through /write + /query over live HTTP and compared byte-identical,
+  * exactly like the reference's `Query.success()`
+  * (`tests/server_helpers.go:771` — `q.exp == q.act` string equality).
+  *
+  * Queries the reference itself marks `skip: true` are excluded by the
+  * extractor. Divergences we accept are pinned in
+  * `server_corpus_exclusions.json` with a reason each; anything not
+  * pinned must match byte-for-byte.
+  *
+  * Report mode: set SPARK_GRAFT_CORPUS_REPORT=/path to dump every
+  * mismatch as JSON (and not fail) — the triage loop for new
+  * divergences.
+  */
+class ServerCorpusSpec extends SparkSpec {
+
+  private case class CQuery(name: String, command: String,
+                            params: Map[String, String], exp: String)
+  private case class CWrite(db: String, rp: String, data: String)
+  private case class CFunc(func: String, line: Int, db: String, rp: String,
+                           writes: Seq[CWrite], queries: Seq[CQuery])
+
+  private lazy val corpus: Seq[CFunc] = {
+    val in = getClass.getResourceAsStream("/server_corpus.json")
+    require(in != null, "server_corpus.json missing from test resources " +
+      "— run tools/port_server_tests.py")
+    val txt = new String(in.readAllBytes(), UTF_8)
+    val JArray(items) = JsonMethods.parse(txt).asInstanceOf[JArray]
+    items.map { it =>
+      def str(k: String) = (it \ k).asInstanceOf[JString].s
+      val JArray(ws) = (it \ "writes").asInstanceOf[JArray]
+      val JArray(qs) = (it \ "queries").asInstanceOf[JArray]
+      CFunc(str("func"), (it \ "line").asInstanceOf[JInt].num.toInt,
+        str("db"), str("rp"),
+        ws.map(w => CWrite((w \ "db").asInstanceOf[JString].s,
+          (w \ "rp").asInstanceOf[JString].s,
+          (w \ "data").asInstanceOf[JString].s)),
+        qs.map { q =>
+          val ps = (q \ "params") match {
+            case JObject(fs) =>
+              fs.map { case (k, v) => k -> v.asInstanceOf[JString].s }.toMap
+            case _ => Map.empty[String, String]
+          }
+          CQuery((q \ "name").asInstanceOf[JString].s,
+            (q \ "command").asInstanceOf[JString].s, ps,
+            (q \ "exp").asInstanceOf[JString].s)
+        })
+    }
+  }
+
+  /** Accepted divergences: "func::idx" → reason. */
+  private lazy val exclusions: Map[String, String] = {
+    val in = getClass.getResourceAsStream("/server_corpus_exclusions.json")
+    if (in == null) Map.empty
+    else JsonMethods.parse(new String(in.readAllBytes(), UTF_8)) match {
+      case JObject(fs) =>
+        fs.map { case (k, v) => k -> v.asInstanceOf[JString].s }.toMap
+      case _ => Map.empty
+    }
+  }
+
+  private val reportPath = sys.env.get("SPARK_GRAFT_CORPUS_REPORT")
+  private val onlyFunc = sys.env.get("SPARK_GRAFT_CORPUS_ONLY")
+    .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+  private val report =
+    new java.util.concurrent.ConcurrentLinkedQueue[String]()
+
+  private lazy val http = HttpClient.newHttpClient()
+  private def enc(s: String) = URLEncoder.encode(s, UTF_8)
+
+  private def ask(g: HttpGateway, q: String,
+                  params: Map[String, String] = Map.empty)
+      : HttpResponse[String] = {
+    val ps = (params + ("q" -> q) + ("chunked" -> "false")).toSeq.sorted
+      .map { case (k, v) => s"$k=${enc(v)}" }.mkString("&")
+    http.send(HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:${g.boundPort}/query?$ps"))
+      .POST(HttpRequest.BodyPublishers.noBody()).build(),
+      HttpResponse.BodyHandlers.ofString())
+  }
+
+  private def write(g: HttpGateway, w: CWrite): HttpResponse[String] =
+    http.send(HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:${g.boundPort}/write?db=${enc(w.db)}" +
+          s"&rp=${enc(w.rp)}"))
+      .POST(HttpRequest.BodyPublishers.ofString(w.data)).build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  private def runFunc(f: CFunc): Unit = {
+    val g = new HttpGateway(spark, Map.empty, Map.empty)
+    g.start()
+    try {
+      // the reference's writeTestData: CreateDatabaseAndRetentionPolicy
+      // (db, rp{duration 0 = infinite, replica 1}, makeDefault=true)
+      val dbs = f.writes.map(w => (w.db, w.rp)).distinct
+      dbs.foreach { case (db, rp) =>
+        assert(ask(g, s"CREATE DATABASE $db").statusCode() == 200,
+          s"${f.func}: CREATE DATABASE $db")
+        if (rp.nonEmpty && rp != "autogen") {
+          val r = ask(g, s"CREATE RETENTION POLICY $rp ON $db " +
+            "DURATION 0s REPLICATION 1 DEFAULT")
+          assert(r.statusCode() == 200, s"${f.func}: rp: ${r.body()}")
+        }
+      }
+      f.writes.foreach { w =>
+        val r = write(g, w)
+        assert(r.statusCode() == 204,
+          s"${f.func}: write failed ${r.statusCode()}: " +
+            s"${r.body().take(200)}")
+      }
+      var mismatches = List.empty[String]
+      f.queries.zipWithIndex.foreach { case (q, idx) =>
+        val key = s"${f.func}::$idx"
+        val act = ask(g, q.command, q.params).body()
+        if (act != q.exp) {
+          if (exclusions.contains(key)) ()
+          else if (reportPath.isDefined) {
+            report.add(JsonMethods.compact(JsonMethods.render(JObject(
+              "key" -> JString(key), "name" -> JString(q.name),
+              "line" -> JInt(f.line),
+              "command" -> JString(q.command),
+              "params" -> JObject(q.params.map {
+                case (k, v) => k -> (JString(v): JValue) }.toList),
+              "exp" -> JString(q.exp), "act" -> JString(act)))))
+          } else {
+            mismatches ::= s"[$key] ${q.name}\n  cmd: ${q.command}\n" +
+              s"  exp: ${q.exp.take(300)}\n  act: ${act.take(300)}"
+          }
+        }
+      }
+      assert(mismatches.isEmpty,
+        s"${f.func}: ${mismatches.size} divergence(s):\n" +
+          mismatches.reverse.mkString("\n"))
+    } finally g.stop()
+  }
+
+  corpus.filter(f => onlyFunc.forall(_.contains(f.func))).foreach { f =>
+    test(s"server_test.go:${f.line} ${f.func} (${f.queries.size} queries)") {
+      runFunc(f)
+    }
+  }
+
+  test("corpus replay report flush") {
+    reportPath.foreach { p =>
+      val items = report.toArray.map(_.toString)
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
+        items.mkString("[\n", ",\n", "\n]"))
+      System.err.println(s"[corpus] ${items.length} mismatches -> $p")
+    }
+  }
+}

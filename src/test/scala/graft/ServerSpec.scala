@@ -713,7 +713,7 @@ class ServerSpec extends SparkSpec {
     assert(q.statusCode() == 200, q.body())
     assert(q.body().contains("\"host\":\"h0\"") &&
       q.body().contains("\"host\":\"h1\""), q.body())
-    assert(q.body().contains("[0,3.0]") && q.body().contains("[0,33.0]"),
+    assert(q.body().contains("[0,3]") && q.body().contains("[0,33]"),
       q.body()) // 0+1+2 and 10+11+12
     // garbage body is a 400, not a crash
     val bad = post("/api/v1/arrow/doput?mst=x", "not-arrow")
@@ -1137,7 +1137,7 @@ class ServerSpec extends SparkSpec {
         "evs v=1 1000\nevs v=2 2000\nevs v=4 7000").statusCode() == 204)
       assert(g.runStreams(20000) >= 1)
       val v = q("SELECT count, sum FROM \"view-evs-t1\"").body()
-      assert(v.contains("[0,2,3.0]") && v.contains("[5000,1,4.0]"), v)
+      assert(v.contains("[0,2,3]") && v.contains("[5000,1,4]"), v)
       assert(req("DELETE", s"$base/stream-task/t1").statusCode() == 200)
       assert(!q("SHOW STREAMS").body().contains("view-evs-t1"))
       assert(req("DELETE", s"$base/stream-task/t1").statusCode() == 400)
