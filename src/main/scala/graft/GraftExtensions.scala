@@ -56,6 +56,7 @@ object Graft {
   def init(spark: SparkSession): Unit = {
     graft.expressions.VectorExpressions.register(spark)
     graft.expressions.TopKRows.register(spark)
+    graft.expressions.ModeExact.register(spark)
     graft.functions.GeminiFunctions.registerSql(spark)
   }
 }

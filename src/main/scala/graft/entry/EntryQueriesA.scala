@@ -645,7 +645,8 @@ trait EntryQueriesA extends EntryBase {
       val catalog = influxCatalog(s, dir)
       graft.query.InfluxQL.execute(catalog,
           "SELECT count(value), min(value), max(value), spread(value) " +
-          "FROM events GROUP BY event_type, time(1h) ORDER BY time")
+          "FROM events GROUP BY event_type, time(1h) fill(none) " +
+          "ORDER BY time")
         .select("event_type", "time", "count", "min", "max", "spread")
     }),
 

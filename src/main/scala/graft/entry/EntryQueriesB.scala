@@ -307,7 +307,8 @@ trait EntryQueriesB extends EntryBase {
     "q81_influxql_time_offset" -> ((s, dir) => {
       val catalog = influxCatalog(s, dir)
       graft.query.InfluxQL.execute(catalog,
-          "SELECT count(value) FROM events GROUP BY time(1h, 15m)")
+          "SELECT count(value) FROM events GROUP BY time(1h, 15m) " +
+          "fill(none)")
         .select("time", "count").orderBy("time")
     }),
 
@@ -850,7 +851,8 @@ trait EntryQueriesB extends EntryBase {
       val catalog = influxCatalog(s, dir)
       graft.query.InfluxQL.execute(catalog,
           "SELECT compare(count, 3600) FROM (SELECT count(value) " +
-          "FROM events WHERE event_type = 'click' GROUP BY time(1h))")
+          "FROM events WHERE event_type = 'click' GROUP BY time(1h) " +
+          "fill(none))")
         .select(col("time"), col("count1"), col("count2"),
           col("count1/count2").as("ratio"))
         .orderBy("time")

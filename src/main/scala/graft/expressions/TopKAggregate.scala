@@ -132,6 +132,10 @@ case class TopKRows(
                       input: InternalRow): java.util.PriorityQueue[InternalRow] = {
     fieldExprs match {
       case Some(fes) =>
+        // a null PRIMARY sort key means "no rank" — the row is not a
+        // candidate (lets callers express "only rows where f exists" by
+        // null-ing the key, the same skip rule Spark's max_by applies)
+        if (fes(0).eval(input) == null) return buf
         if (buf.size >= k) {
           val sortVals = new Array[Any](sortArity)
           var i = 0

@@ -94,22 +94,36 @@ object SeriesOps {
     * order-independent and reproducible across engines. */
   def movingAverage(df: DataFrame, field: String, time: String,
                     tags: Seq[String], n: Int,
-                    tieBreak: Seq[String] = Nil): DataFrame = {
+                    tieBreak: Seq[String] = Nil,
+                    floatMath: Boolean = false): DataFrame = {
     val frame = w(tags, time, tieBreak).rowsBetween(-(n - 1), 0)
-    val decSum = sum(col(field).cast("decimal(18,6)")).over(frame)
+    // floatMath: per-frame float64 accumulation (the reference's
+    // FloatMovingAverageItem keeps a ROLLING sum — agg_iterator.gen
+    // .go:3046 — so a frame recompute can still differ in the last ulp;
+    // the InfluxQL text path wants the float family, the DataFrame gates
+    // keep the order-independent DECIMAL contract)
+    val s0 =
+      if (floatMath) sum(col(field).cast("double")).over(frame)
+      else sum(col(field).cast("decimal(18,6)")).over(frame)
     val cnt = count(col(field)).over(frame)
-    df.withColumn("moving_average", decSum.cast("double") / cnt)
+    df.withColumn("moving_average", s0.cast("double") / cnt)
       .withColumn("_n", cnt).filter(col("_n") === n).drop("_n")
   }
 
-  /** cumulative_sum(f): running sum per series (exact DECIMAL accumulation).
+  /** cumulative_sum(f): running sum per series (exact DECIMAL accumulation
+    * by default; `floatMath` switches to sequential float64 — identical
+    * adds to the reference's `sum += v` loop).
     * Reference: `call_processor.go:179`. */
   def cumulativeSum(df: DataFrame, field: String, time: String,
-                    tags: Seq[String], tieBreak: Seq[String] = Nil): DataFrame =
+                    tags: Seq[String], tieBreak: Seq[String] = Nil,
+                    floatMath: Boolean = false): DataFrame = {
+    val acc =
+      if (floatMath) sum(col(field).cast("double"))
+      else sum(col(field).cast("decimal(18,6)"))
     df.withColumn("cumulative_sum",
-      sum(col(field).cast("decimal(18,6)"))
-        .over(w(tags, time, tieBreak).rowsBetween(Window.unboundedPreceding, 0))
+      acc.over(w(tags, time, tieBreak).rowsBetween(Window.unboundedPreceding, 0))
         .cast("double"))
+  }
 
   /** integral(f, unit): trapezoidal area under the curve, per series.
     * Reference: `call_processor.go:184`. Emits one row per series. */

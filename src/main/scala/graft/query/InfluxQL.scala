@@ -173,14 +173,16 @@ object InfluxQL {
   case class PCall(fn: String, field: String, extra: Option[Double] = None,
                    argExpr: Option[Expr] = None,
                    tagArgs: Seq[String] = Nil,
-                   extra2: Option[Double] = None)
+                   extra2: Option[Double] = None,
+                   alias: Option[String] = None)
     extends Proj
   /** Analytic over an aggregated series, e.g. derivative(mean(value)):
     * reference ladder runs these after the interval aggregation
     * (`select.go:654` agg → interval → … ). */
   case class PAnalytic(fn: String, inner: PCall, n: Option[Double],
                        n2: Option[Double] = None,
-                       mode: Option[String] = None)
+                       mode: Option[String] = None,
+                       alias: Option[String] = None)
     extends Proj
   case object PStar extends Proj
   /** `*::tag` / `*::field` — star restricted to one column class. */
@@ -594,7 +596,11 @@ object InfluxQL {
           if (peek == TPunct(",")) next() else more = false
         }
       }
-      var fill: FillMode = FillNone
+      // InfluxQL's DEFAULT for GROUP BY time() is fill(null) — empty
+      // buckets in the query range emit null rows (count emits 0), and
+      // only an explicit fill(none) drops them (influxdb fill docs;
+      // e2e server_test.go:4358 count(*) spines with no fill clause).
+      var fill: FillMode = if (interval.isDefined) FillNull else FillNone
       if (isKw("fill")) {
         next(); expect("(")
         fill = next() match {
@@ -792,6 +798,9 @@ object InfluxQL {
             next()
             next() match {
               case TNum(v, _, _) => Some(v)
+              // duration unit args — derivative(f, 1s), elapsed(f, 1ms),
+              // integral(f, 1m): carried as nanoseconds
+              case TDur(nsv) => Some(nsv.toDouble)
               case TStr(s) => modeArg = Some(s); None
               case t => sys.error(s"bad call extra arg: $t")
             }
@@ -811,7 +820,7 @@ object InfluxQL {
             case Left(field)
                 if Set("derivative", "difference", "moving_average",
                   "cumulative_sum", "non_negative_difference",
-                  "non_negative_derivative").contains(fn) ||
+                  "non_negative_derivative", "elapsed").contains(fn) ||
                   smoothingFnCol.contains(fn) =>
               // analytic directly over the raw field per series
               Right(PAnalytic(fn, PCall("last", field), extra,
@@ -1756,6 +1765,52 @@ object InfluxQL {
         sys.error(s"${p.fn} over an expression is not supported")
       p.fn match {
         case "count" => if (p.field == "*") count(lit(1)) else count(f)
+        // rate/irate/absent in aggregate position (openGemini extensions
+        // over influxdb; engine/executor/agg_func.go RateUpdate /
+        // IrateUpdate / AbsentReduce:253). rate = full-span per-second
+        // delta; irate = last-two-points delta; absent = 1 iff the field
+        // has any value in the group. Null field values don't exist as
+        // points, so the selector keys null out with them (max_by/min_by
+        // skip null-keyed rows; topk_rows rejects null sort keys).
+        case "rate" =>
+          // rate = Δv / (Δt / interval) — normalized to the GROUP BY
+          // time() interval, defaulting to 1s ungridded
+          // (RateFinalReduce agg_func.go:540); Δt == 0 → null (the
+          // divide-by-zero null is the reference's isNil)
+          val tsel = when(f.isNotNull, col(m.time))
+          val tusSel = when(f.isNotNull, unix_micros(col(m.time)))
+          val intUs = q.intervalNs.map(_ / 1000L).getOrElse(1000000L)
+          (max_by(f, tsel) - min_by(f, tsel)).cast("double") /
+            ((max(tusSel) - min(tusSel)).cast("double") / intUs.toDouble)
+        case "irate" =>
+          // last two points' Δv/Δt on the same interval normalization
+          // (IrateFinalReduce agg_func.go:555)
+          graft.expressions.TopKRows.register(df.sparkSession)
+          val pair = call_function("topk_rows",
+            struct(when(f.isNotNull, unix_micros(col(m.time))).as("_t"),
+              f.cast("double").as("_v")), lit(2), lit(1), lit("D"))
+          def pt(i: Int, c: String) = element_at(pair, i).getField(c)
+          val intUs = q.intervalNs.map(_ / 1000L).getOrElse(1000000L)
+          (pt(1, "_v") - pt(2, "_v")) /
+            ((pt(1, "_t") - pt(2, "_t")).cast("double") / intUs.toDouble)
+        case "absent" => when(count(f) > 0, lit(1L))
+        case "integral" =>
+          // trapezoid over the group's time-ordered points, unit seconds
+          // (p.extra carries ns for integral(f, 1m)); the group's points
+          // buffer exactly like the reference's whole-slice sort
+          // (IntegralReduce call_processor.go:184)
+          val unitUs = p.extra.map(_ / 1000.0).getOrElse(1e6)
+          val pts = sort_array(collect_list(when(f.isNotNull,
+            struct(unix_micros(col(m.time)).as("t"),
+              f.cast("double").as("v")))))
+          val nSeg = greatest(size(pts) - 1, lit(0))
+          val seg = zip_with(slice(pts, lit(1), nSeg),
+            slice(pts, lit(2), nSeg),
+            (x, y) => (x("v") + y("v")) / lit(2.0) *
+              ((y("t") - x("t")).cast("double") / lit(unitUs)))
+          when(size(pts) > 1,
+            aggregate(seg, lit(0.0), (acc, s2) => acc + s2))
+        case "count_distinct" => countDistinct(f)
         case "sum" => sum(f)
         case "mean" => avg(f)
         case "min" => min(f)
@@ -1763,12 +1818,35 @@ object InfluxQL {
         case "first" => min_by(f, col(m.time))
         case "last" => max_by(f, col(m.time))
         case "spread" => max(f) - min(f)
-        case "stddev" => stddev(f)
+        case "stddev" =>
+          // the reference's exact float path: sqrt((Σv²/n − (Σv/n)²) ·
+          // n/(n−1)) (NewStdDevReduce agg_func.go:660) — Spark's
+          // stddev_samp uses central-moment merging whose rounding
+          // differs in the last ulp; n == 1 → null via the 0 divisor
+          val fd = f.cast("double")
+          val n = count(fd).cast("double")
+          sqrt((sum(fd * fd) / n - pow(sum(fd) / n, lit(2.0))) *
+            n / (n - 1.0))
         case "median" => expr(s"percentile(${p.field}, 0.5)")
-        case "mode" => expr(s"mode(${p.field})")
+        case "mode" =>
+          // InfluxQL-exact tie rules (smallest-value quirk for distinct
+          // columns, earliest-time for real ties, true-wins booleans) —
+          // Spark's mode() can't express them (ModeAggregate.scala)
+          graft.expressions.ModeExact.register(df.sparkSession)
+          call_function("mode_exact",
+            struct(f.as("_v"), unix_micros(col(m.time)).as("_t")))
         case "distinct" => countDistinct(f)
         case "percentile" =>
-          expr(s"percentile(${p.field}, ${p.extra.getOrElse(0.5) / 100})")
+          // InfluxQL percentile is a sorted-index pick, NOT interpolated:
+          // idx = clamp(floor(n·p/100 + 0.5) − 1, 0, n−1)
+          // (agg_func.go:649 NewPercentileReduce). The group's values are
+          // buffered exactly like the reference's whole-slice sort; the
+          // sketch path (percentile_ogsketch) is the at-scale variant.
+          val arr = sort_array(collect_list(f))
+          val n = size(arr)
+          val idx = greatest(lit(1), least(n, floor(
+            n * lit(p.extra.getOrElse(50.0)) / 100.0 + 0.5).cast("int")))
+          element_at(arr, idx)
         case "percentile_approx" =>
           // t-digest-family approximate percentile (`agg_functions.go:100`
           // PercentileApproxFunc, mergeCall) → Spark's approx_percentile,
@@ -1840,21 +1918,73 @@ object InfluxQL {
         case other => sys.error(s"unsupported function $other")
       }
     }
-    /** InfluxQL output naming: call name, duplicates get _1, _2… */
+    /** InfluxQL output naming: call name, duplicates get _1, _2…;
+      * star-expanded calls carry a pinned `<fn>_<field>` alias. */
     def aliasNames(cs: Seq[PCall]): Seq[String] = {
       val seen = scala.collection.mutable.Map.empty[String, Int]
       cs.map { c =>
-        val k = seen.getOrElse(c.fn, 0); seen(c.fn) = k + 1
-        if (k == 0) c.fn else s"${c.fn}_$k"
+        c.alias.getOrElse {
+          val k = seen.getOrElse(c.fn, 0); seen(c.fn) = k + 1
+          if (k == 0) c.fn else s"${c.fn}_$k"
+        }
       }
     }
     def aliased(cs: Seq[PCall]): Seq[Column] =
       cs.zip(aliasNames(cs)).map { case (c, n) => aggExprOf(c).as(n) }
     def aggFor(p: PCall): Column = aggExprOf(p).as(p.fn)
-    val calls = q.projs.collect { case c: PCall => c }
-    val plain = q.projs.collect { case PField(f) => f }
-    val analytics = q.projs.collect { case a: PAnalytic => a }
-    val exprs = q.projs.collect { case e: PExpr => e }
+
+    /** `agg(*)` / analytic-over-star: expand per FIELD of the effective
+      * source (tags and time excluded), in name order, one output column
+      * `<fn>_<field>` each — the reference's wildcard rewrite
+      * (query/ast.go RewriteFields; e2e server_test.go:4358
+      * `count(*)` → count_v1..count_v4). Eligibility follows the
+      * reference's column typing: count/first/last/mode/elapsed/absent/
+      * distinct take every field, max/min also booleans but not strings,
+      * arithmetic aggregates numerics only. */
+    val expandedProjs: Seq[Proj] = {
+      import org.apache.spark.sql.types._
+      lazy val fieldsAll = df.columns
+        .filterNot(c => c == m.time || c == "time")
+        .filterNot(_.startsWith("__ds_"))
+        .filterNot(mEff.tags.contains)
+        .filterNot(q.groupTags.contains).sorted.toSeq
+      def isNum(f: String) = df.schema(f).dataType match {
+        case _: NumericType => true
+        case _ => false
+      }
+      def eligible(fn: String): Seq[String] = fn match {
+        case "count" | "first" | "last" | "mode" | "elapsed" | "absent" |
+             "distinct" | "sample" | "sliding_window" => fieldsAll
+        case "max" | "min" =>
+          fieldsAll.filter(f =>
+            isNum(f) || df.schema(f).dataType == BooleanType)
+        case _ => fieldsAll.filter(isNum)
+      }
+      q.projs.flatMap {
+        // count(DISTINCT(f)) is a plain distinct-count, output name
+        // `count` (ast.go rewrites the nested call)
+        case a: PAnalytic if a.fn == "count" && a.inner.fn == "distinct" =>
+          Seq(PCall("count_distinct", a.inner.field,
+            alias = Some("count")))
+        case c: PCall if c.field == "*" && c.fn != "count" =>
+          // count(*) keeps its dedicated row-count path ONLY when the
+          // source has no expandable fields (subquery re-aggregation)
+          eligible(c.fn).map(f =>
+            c.copy(field = f, alias = Some(s"${c.fn}_$f")))
+        case c: PCall if c.field == "*" && eligible("count").nonEmpty =>
+          eligible("count").map(f =>
+            c.copy(field = f, alias = Some(s"count_$f")))
+        case a: PAnalytic if a.inner.field == "*" =>
+          val fs = eligible(a.fn).intersect(eligible(a.inner.fn))
+          fs.map(f => a.copy(inner = a.inner.copy(field = f),
+            alias = Some(s"${a.fn}_$f")))
+        case p => Seq(p)
+      }
+    }
+    val calls = expandedProjs.collect { case c: PCall => c }
+    val plain = expandedProjs.collect { case PField(f) => f }
+    val analytics = expandedProjs.collect { case a: PAnalytic => a }
+    val exprs = expandedProjs.collect { case e: PExpr => e }
 
     def callsIn(e: Expr): Seq[PCall] = e match {
       case ECall(c) => Seq(c)
@@ -1867,18 +1997,40 @@ object InfluxQL {
 
     def applyAnalytic(b0: DataFrame, a: PAnalytic, src: String,
                       time: String): DataFrame = a.fn match {
-      case "derivative" => SeriesOps.derivative(b0, src, time, groupTags)
+      // a.n on the derivative family is a duration unit in ns
+      // (derivative(f, 1s) — ast.go unit arg), default 1s
+      case "derivative" => SeriesOps.derivative(b0, src, time, groupTags,
+        unitSeconds = a.n.map(_ / 1e9).getOrElse(1.0))
       case "non_negative_derivative" =>
-        SeriesOps.derivative(b0, src, time, groupTags, nonNegative = true)
+        SeriesOps.derivative(b0, src, time, groupTags,
+            unitSeconds = a.n.map(_ / 1e9).getOrElse(1.0),
+            nonNegative = true)
           .withColumnRenamed("derivative", "non_negative_derivative")
+      case "elapsed" =>
+        // elapsed(f[, unit]): Δtime between consecutive points of f's
+        // series, integer units of `unit` (default 1ns) —
+        // call_processor.go:166
+        val tusC =
+          if (b0.schema(time).dataType ==
+              org.apache.spark.sql.types.TimestampType)
+            unix_micros(col(time))
+          else col(time).cast("long")
+        val winE = Window.partitionBy(groupTags.map(col): _*)
+          .orderBy(col(time))
+        val unitNs = a.n.map(_.toLong).getOrElse(1L)
+        b0.withColumn("elapsed",
+            ((tusC - lag(tusC, 1).over(winE)) * lit(1000L) / lit(unitNs))
+              .cast("long"))
+          .filter(col("elapsed").isNotNull)
       case "difference" => SeriesOps.difference(b0, src, time, groupTags,
         direction = a.mode.getOrElse("behind"))
       case "non_negative_difference" =>
         SeriesOps.difference(b0, src, time, groupTags, nonNegative = true,
           direction = a.mode.getOrElse("behind"))
       case "moving_average" => SeriesOps.movingAverage(b0, src, time,
-        groupTags, a.n.getOrElse(2.0).toInt)
-      case "cumulative_sum" => SeriesOps.cumulativeSum(b0, src, time, groupTags)
+        groupTags, a.n.getOrElse(2.0).toInt, floatMath = true)
+      case "cumulative_sum" =>
+        SeriesOps.cumulativeSum(b0, src, time, groupTags, floatMath = true)
       // sequential-smoothing family (compile.go:441-445,810-816):
       // Smoothing.run rebuilds the frame (tags, _t µs, out), so these
       // must be the only analytic in the projection
@@ -1917,6 +2069,13 @@ object InfluxQL {
       case other => sys.error(s"unsupported analytic $other")
     }
 
+    // the column applyAnalytic leaves its result in (nn-difference
+    // reuses the plain difference output column)
+    def analyticOutCol(a: PAnalytic): String =
+      if (a.fn == "non_negative_difference") "difference" else a.fn
+    def analyticName(a: PAnalytic): String =
+      a.alias.getOrElse(analyticOutCol(a))
+
     var out: DataFrame =
       if (analytics.nonEmpty) {
         q.intervalNs match {
@@ -1930,38 +2089,89 @@ object InfluxQL {
               offset = s"${q.intervalOffsetNs.getOrElse(0L) / 1000000} " +
                 "milliseconds", tz = q.tz)
               .withColumn("_t_us", col("wstart_ms") * 1000)
-            analytics.foreach(a =>
-              b = applyAnalytic(b, a, innerNames(a.inner), "_t_us"))
+            analytics.foreach { a =>
+              b = applyAnalytic(b, a, innerNames(a.inner), "_t_us")
+              a.alias.foreach(al =>
+                b = b.withColumnRenamed(analyticOutCol(a), al))
+            }
             b.drop("_t_us").drop(innerNames.values.toSeq: _*)
           case None =>
-            // analytic over the raw per-series points
-            var b = df.withColumn("wstart_ms", unix_millis(col(m.time)))
-            analytics.foreach(a =>
-              b = applyAnalytic(b, a, a.inner.field, m.time))
-            b.select((col("wstart_ms") +: groupTags.map(col) ++:
-              analytics.map(a => col(if (a.fn == "non_negative_difference")
-                "difference" else a.fn))): _*)
+            // analytic over the raw per-series points. Each field is its
+            // OWN series in the reference: null field values are not
+            // points, so every analytic runs over its field's non-null
+            // rows only, and multi-field (star-expanded) results merge
+            // on (time, tags) — a row appears when ANY field produced a
+            // value (server_test.go Null_Aggregate DIFFERENCE(*): age
+            // diffs start at :01 even where height is null).
+            val parts = analytics.map { a =>
+              val name = analyticName(a)
+              val src =
+                if (df.columns.contains(a.inner.field))
+                  df.filter(col(a.inner.field).isNotNull)
+                else df
+              var b = src.withColumn("wstart_ms", unix_millis(col(m.time)))
+              b = applyAnalytic(b, a, a.inner.field, m.time)
+              a.alias.foreach(al =>
+                b = b.withColumnRenamed(analyticOutCol(a), al))
+              b.select((col("wstart_ms") +: groupTags.map(col)) :+
+                col(name): _*)
+            }
+            parts.reduce((x, y) =>
+              x.join(y, ("wstart_ms" +: groupTags).toSeq, "full_outer"))
         }
       } else if (calls.exists(c => c.fn == "top" || c.fn == "bottom")) {
         // top/bottom selectors: n extreme rows per series, keeping time
-        // (aux-column selector semantics, call_processor.go:142-147)
-        require(calls.size == 1 && exprs.isEmpty,
-          "top/bottom must be the only projection")
+        // (aux-column selector semantics, call_processor.go:142-147).
+        // Companions (bare fields / call-free expressions) ride the
+        // selected rows — topPerSeries keeps whole rows, so they project
+        // straight off (e2e "top(age, 2), country").
+        require(calls.size == 1 && exprs.forall(e => callsIn(e.e).isEmpty),
+          "top/bottom cannot combine with other calls")
         val c = calls.head
         val n = c.extra.getOrElse(1.0).toInt
+        // GROUP BY time(d): the selector runs per BUCKET — partition the
+        // bounded heap on (bucket, tags); the emitted time stays the
+        // picked row's own (server_test.go:4358 "top(v1, 3) group by
+        // time" → the 3 extremes of each hour)
+        val (dfB, bucketTag) = q.intervalNs match {
+          case Some(ns) =>
+            val sizeUs = ns / 1000
+            val offUs = q.intervalOffsetNs.getOrElse(0L) / 1000
+            val rel = unix_micros(col(m.time)) - lit(offUs)
+            (df.withColumn("__tb_bucket",
+              rel - pmod(rel, lit(sizeUs))), Seq("__tb_bucket"))
+          case None => (df, Nil)
+        }
         // `top(f, tag…, N)`: first the extreme row per distinct tag-arg
         // combination, then the N extremes of those — each tag value
         // appears at most once and is emitted as a column (influxdb
         // selector semantics)
         val reduced =
-          if (c.tagArgs.isEmpty) df
-          else SeriesOps.topPerSeries(df, c.field, m.time,
-            (groupTags ++ c.tagArgs).distinct, 1, bottom = c.fn == "bottom")
-        SeriesOps.topPerSeries(reduced, c.field, m.time, groupTags, n,
+          if (c.tagArgs.isEmpty) dfB
+          else SeriesOps.topPerSeries(dfB, c.field, m.time,
+            (bucketTag ++ groupTags ++ c.tagArgs).distinct, 1,
             bottom = c.fn == "bottom")
+        val starCompanions: Seq[Column] =
+          df.columns.filterNot(cc => cc == m.time || cc == "time")
+            .filterNot(_.startsWith("__ds_"))
+            .filterNot(groupTags.contains).sorted.map(col).toSeq
+        val companions = expandedProjs.flatMap {
+          case PField(f) if f != "time" =>
+            Seq((if (df.columns.contains(f)) col(f)
+                 else lit(null).cast("double")).as(f))
+          case PStar => starCompanions
+          case e: PExpr =>
+            Seq(evalExpr(e.e, _ =>
+              sys.error("top/bottom companion cannot nest calls"))
+              .as(e.alias))
+          case _ => Nil
+        }
+        SeriesOps.topPerSeries(reduced, c.field, m.time,
+            bucketTag ++ groupTags, n, bottom = c.fn == "bottom")
           .select((Seq(unix_millis(col(m.time)).as("wstart_ms")) ++
-            (groupTags ++ c.tagArgs).distinct.map(col) :+
-            col(c.field).as(c.fn)): _*)
+            groupTags.map(col) ++ Seq(col(c.field).as(c.fn)) ++
+            c.tagArgs.filterNot(groupTags.contains).map(col) ++
+            companions): _*)
       } else if (calls.exists(c => c.fn == "topn_ddcm" ||
           c.fn == "topn_nagt2")) {
         // topn_ddcm/topn_nagt2(field, countLowerBound, topNumber):
@@ -2020,8 +2230,31 @@ object InfluxQL {
               .as("wstart_ms")) ++
             groupTags.map(t => col(s"_tk_row.$t").as(t)) :+
             col(s"_tk_row.${c.field}").as(c.fn)): _*)
-      } else if (calls.size == 1 && exprs.isEmpty &&
-          plain.exists(_ != "time") &&
+      } else if (calls.size == 1 && calls.head.fn == "distinct" &&
+          exprs.isEmpty && !plain.exists(_ != "time")) {
+        // DISTINCT(f) emits the distinct VALUES as rows in first-seen
+        // (time) order, per bucket × series (ast.go Distinct; e2e
+        // Complex_Aggregate distinct(v3) → [true, false] at time 0).
+        // `__ord` is a hidden order hint the final sort consumes.
+        val c = calls.head
+        val fv = fieldCol(c.field)
+        val based = q.intervalNs match {
+          case Some(ns) =>
+            val sizeUs = ns / 1000
+            val offUs = q.intervalOffsetNs.getOrElse(0L) / 1000
+            val rel = unix_micros(col(m.time)) - lit(offUs)
+            df.withColumn("wstart_ms", unix_millis(timestamp_micros(
+              rel - pmod(rel, lit(sizeUs)) + lit(offUs))))
+          case None => df.withColumn("wstart_ms", lit(0L))
+        }
+        based.filter(fv.isNotNull)
+          .groupBy((col("wstart_ms") +: groupTags.map(col)) :+
+            fv.as("distinct"): _*)
+          .agg(min(unix_micros(col(m.time))).as("__ord"))
+      } else if (calls.size == 1 &&
+          exprs.forall(e => callsIn(e.e).isEmpty) &&
+          (plain.exists(_ != "time") || exprs.nonEmpty ||
+            expandedProjs.contains(PStar)) &&
           Set("max", "min", "first", "last")(calls.head.fn)) {
         // Selector + companion ("aux") fields: one output row per group —
         // the row the selector PICKS — with bare-field projections taken
@@ -2060,12 +2293,26 @@ object InfluxQL {
         val picked = based.withColumn("_rn", row_number().over(w))
           .filter(col("_rn") === 1).drop("_rn")
         val callAlias = aliasNames(Seq(c)).head
+        // companions: bare fields, `*` (every non-group column of the
+        // picked row, name order — server_test.go:4358 "min(v1),*"), and
+        // call-free scalar expressions evaluated ON the picked row
+        // ("max(age), age - height AS value")
+        val starCompanions: Seq[Column] =
+          df.columns.filterNot(cc => cc == m.time || cc == "time")
+            .filterNot(_.startsWith("__ds_"))
+            .filterNot(groupTags.contains).sorted.map(col).toSeq
         val outCols = Seq(col("wstart_ms")) ++ groupTags.map(col) ++
-          q.projs.collect {
+          expandedProjs.flatMap {
             case PField(f) if f != "time" =>
-              (if (df.columns.contains(f)) col(f)
-               else lit(null).cast("double")).as(f)
-            case _: PCall => col(c.field).as(callAlias)
+              Seq((if (df.columns.contains(f)) col(f)
+                   else lit(null).cast("double")).as(f))
+            case _: PCall => Seq(col(c.field).as(callAlias))
+            case PStar => starCompanions
+            case e: PExpr =>
+              Seq(evalExpr(e.e, _ =>
+                sys.error("selector companion cannot nest calls"))
+                .as(e.alias))
+            case _ => Nil
           }
         picked.select(outCols: _*)
       } else if (calls.nonEmpty || exprCalls.nonEmpty) {
@@ -2117,8 +2364,52 @@ object InfluxQL {
                 val step = ns / 1000000
                 val names = bucketed.columns
                   .filterNot(c => c == "wstart_ms" || groupTags.contains(c))
+                // Spine bounds, best first: explicit WHERE time range (the
+                // reference's fill spine covers the QUERY range —
+                // compile.go:1325; e2e server_test.go:4358 emits empty
+                // buckets up to the WHERE upper bound), else footer-stats
+                // extent. AND-connected time conds only; OR trees get the
+                // in-plan data-derived spine. tz() shifts the bucket axis,
+                // so absolute bounds don't apply there.
+                def timeBoundsUs(w: WExpr): (Option[Long], Option[Long]) =
+                  w match {
+                    case WCond(c) if c.field.equalsIgnoreCase("time") =>
+                      val vUs: Option[Long] = c.v match {
+                        case CInt(l) => Some(Math.floorDiv(l, 1000L))
+                        case CNum(v) => Some((v / 1000.0).toLong)
+                        case CStr(s) => Some(parseTimeUtc(s))
+                        case CDur(nsv) => Some(nsv / 1000L)
+                        case CNow(d) =>
+                          Some(System.currentTimeMillis() * 1000L + d / 1000L)
+                        case _ => None
+                      }
+                      c.op match {
+                        case ">=" => (vUs, None)
+                        case ">" => (vUs.map(_ + 1), None)
+                        case "<=" => (None, vUs)
+                        case "<" => (None, vUs.map(_ - 1))
+                        case "=" => (vUs, vUs)
+                        case _ => (None, None)
+                      }
+                    case WAnd(l, r) =>
+                      val (ll, lh) = timeBoundsUs(l)
+                      val (rl, rh) = timeBoundsUs(r)
+                      ((ll ++ rl).reduceOption(_ max _),
+                        (lh ++ rh).reduceOption(_ min _))
+                    case _ => (None, None)
+                  }
+                val (wLoUs, wHiUs) = q.where.map(timeBoundsUs)
+                  .getOrElse((None, None))
                 val staticBounds: Option[(Long, Long)] =
-                  if (q.where.isEmpty && q.tz.isEmpty) m.extentMs else None
+                  if (q.tz.isDefined) None
+                  else {
+                    val ext = if (q.where.isEmpty) m.extentMs else None
+                    val lo = wLoUs.map(Math.floorDiv(_, 1000L))
+                      .orElse(ext.map(_._1))
+                    val hi = wHiUs.map(Math.floorDiv(_, 1000L))
+                      .orElse(ext.map(_._2))
+                    for (l <- lo; h <- hi) yield (l, h)
+                  }
                 val filled = staticBounds match {
                   case Some((bLo, bHi)) =>
                     val off = q.intervalOffsetNs.getOrElse(0L) / 1000000
@@ -2147,10 +2438,20 @@ object InfluxQL {
                     case FillNone => bucketed
                   }
                 }
-                q.tz.map(z => filled.withColumn("wstart_ms",
+                // count over an empty bucket renders 0, not null — the
+                // reference's count iterator emits 0 for a spine bucket
+                // with no points while value aggs stay null
+                // (server_test.go:4358 count(*) vs mean(*) spines)
+                val zeroed = (mode match {
+                  case FillNull => allCalls.filter(_.fn == "count")
+                    .map(callName).filter(filled.columns.contains)
+                  case _ => Nil
+                }).foldLeft(filled)((d, cc) =>
+                  d.withColumn(cc, coalesce(col(cc), lit(0L))))
+                q.tz.map(z => zeroed.withColumn("wstart_ms",
                     unix_millis(to_utc_timestamp(
                       timestamp_millis(col("wstart_ms")), z))))
-                  .getOrElse(filled)
+                  .getOrElse(zeroed)
             }
           case None =>
             if (groupTags.nonEmpty)
@@ -2225,7 +2526,13 @@ object InfluxQL {
     }
     q.limit match {
       case Some(l) if groupTags.nonEmpty =>
-        val w = Window.partitionBy(groupTags.map(col): _*).orderBy(timeOrd)
+        // the reference's LIMIT is ALWAYS IgnoreTag — global over the
+        // series-major row stream, not per series
+        // (QuerySchema.LimitType, engine/executor/schema.go:1265 — only
+        // top/bottom switch to MultipleRows, still IgnoreTag). The
+        // single-partition window runs over the query's final output,
+        // already reduced.
+        val w = Window.orderBy((groupTags.map(col) :+ timeOrd): _*)
         out = out.withColumn("_rn", row_number().over(w))
           .filter(col("_rn") > q.offset && col("_rn") <= q.offset + l)
           .drop("_rn")
@@ -2233,6 +2540,11 @@ object InfluxQL {
         out = out.orderBy(timeOrd).offset(q.offset).limit(l)
       case None => ()
     }
-    out.orderBy((groupTags.map(col) :+ timeOrd): _*)
+    // `__ord` is a hidden in-bucket order hint (distinct first-seen
+    // order) — consumed by the sort, never rendered
+    val ordHint =
+      if (out.columns.contains("__ord")) Seq(col("__ord")) else Nil
+    out.orderBy(((groupTags.map(col) :+ timeOrd) ++ ordHint): _*)
+      .drop("__ord")
   }
 }

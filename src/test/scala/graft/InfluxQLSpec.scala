@@ -752,8 +752,10 @@ class InfluxQLSpec extends SparkSpec {
     // *::tag / *::field restrict the star by column class
     val tagsOnly = run("SELECT *::tag FROM cpu LIMIT 1")
     assert(tagsOnly.columns.toSeq == Seq("time", "host"))
+    // star expansion emits NAME order (ResultShaper r13: the reference
+    // sorts expanded stars — server_test.go AggregateSelectors baseline)
     val fieldsOnly = run("SELECT *::field FROM cpu LIMIT 1")
-    assert(fieldsOnly.columns.toSeq == Seq("time", "value", "core"))
+    assert(fieldsOnly.columns.toSeq == Seq("time", "core", "value"))
   }
 
   test("FROM m1, m2 sort-appends sources like FROM /regex/") {

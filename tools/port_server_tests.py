@@ -56,8 +56,37 @@ class Unresolvable(Exception):
     pass
 
 
-def split_args(s):
-    """Split a Go argument list on top-level commas."""
+def strip_line_comments(s):
+    """Remove Go // comments outside string literals (quote-aware: a
+    url like "http://..." inside a quoted or backtick string survives,
+    as do // sequences inside `exp` JSON)."""
+    out, i, q = [], 0, None
+    while i < len(s):
+        c = s[i]
+        if q:
+            out.append(c)
+            if c == "\\" and q == '"':
+                if i + 1 < len(s):
+                    out.append(s[i + 1])
+                i += 2
+                continue
+            if c == q:
+                q = None
+        elif c in "\"`":
+            q = c
+            out.append(c)
+        elif c == "/" and i + 1 < len(s) and s[i + 1] == "/":
+            nl = s.find("\n", i)
+            i = len(s) if nl < 0 else nl
+            continue
+        else:
+            out.append(c)
+        i += 1
+    return "".join(out)
+
+
+def split_top(s, sep):
+    """Split a Go expression on a top-level separator char."""
     out, depth, cur, i, q = [], 0, [], 0, None
     while i < len(s):
         c = s[i]
@@ -78,7 +107,7 @@ def split_args(s):
         elif c in ")]}":
             depth -= 1
             cur.append(c)
-        elif c == "," and depth == 0:
+        elif c == sep and depth == 0:
             out.append("".join(cur).strip())
             cur = []
         else:
@@ -88,6 +117,11 @@ def split_args(s):
     if tail:
         out.append(tail)
     return out
+
+
+def split_args(s):
+    """Split a Go argument list on top-level commas."""
+    return split_top(s, ",")
 
 
 def eval_arg(a):
@@ -101,6 +135,8 @@ def eval_arg(a):
         if m.group(3):
             return ns // UNIT_NS[m.group(3)]
         return ns
+    if a == "maxInt64()":  # server_helpers.go:683 — json.Marshal(^int64(0))
+        return "9223372036854775807"
     if re.match(r"^-?\d+$", a):
         return int(a)
     m = re.match(r"^(-?\d+)\s*\*\s*(-?\d+)$", a)
@@ -112,6 +148,17 @@ def eval_arg(a):
 def eval_str(expr):
     """Resolve a Go string expression to a python string."""
     expr = expr.strip().rstrip(",")
+    # top-level `"a" + "b"` concatenation (possibly across lines)
+    parts = split_top(expr, "+")
+    if len(parts) > 1:
+        return "".join(eval_str(p) for p in parts)
+    # inline strings.Join([]string{e1, e2, ...}, "\n")
+    m = re.match(r"strings\.Join\(\[\]string\{(.*)\}\s*,\s*(\"[^\"]*\")\)$",
+                 expr, re.S)
+    if m:
+        sep = json.loads(m.group(2))
+        return sep.join(eval_str(e) for e in split_args(m.group(1))
+                        if e.strip())
     if expr.startswith("`"):
         if not expr.endswith("`"):
             raise Unresolvable(f"unterminated backtick: {expr[:50]}")
@@ -153,23 +200,38 @@ def eval_str(expr):
 
 
 def find_funcs():
+    """Brace-match each test func with a real Go lexer subset: double-
+    quoted strings (escapes), backtick strings (no escapes), rune
+    literals (escapes), // line comments and /* */ block comments. The
+    naive version treated a comment apostrophe (\"don't\") as an open
+    quote and swallowed every following func into the current one."""
     for m in re.finditer(r"^func (TestServer_\w+)\(t \*testing\.T\) \{",
                          src, re.M):
         start = m.start()
-        # brace-match to the func end
-        depth, i, q = 0, src.index("{", start), None
-        j = i
+        depth, j = 0, src.index("{", start)
         while j < len(src):
             c = src[j]
-            if q:
-                if c == "\\":
-                    j += 2
-                    continue
-                if c == q:
-                    q = None
-            elif c in "\"`'":
-                q = c
-            elif c == "{":
+            if c == "/" and j + 1 < len(src) and src[j + 1] == "/":
+                j = src.index("\n", j) if "\n" in src[j:] else len(src)
+                continue
+            if c == "/" and j + 1 < len(src) and src[j + 1] == "*":
+                j = src.index("*/", j) + 2
+                continue
+            if c == '"' or c == "'":
+                k = j + 1
+                while k < len(src):
+                    if src[k] == "\\":
+                        k += 2
+                        continue
+                    if src[k] == c:
+                        break
+                    k += 1
+                j = k + 1
+                continue
+            if c == "`":
+                j = src.index("`", j + 1) + 1
+                continue
+            if c == "{":
                 depth += 1
             elif c == "}":
                 depth -= 1
@@ -266,29 +328,17 @@ stats = {"funcs": 0, "kept_funcs": 0, "queries": 0, "kept_queries": 0,
          "skipped_flag": 0, "drop": {}}
 corpus = []
 
-for fname, fline, body in find_funcs():
-    stats["funcs"] += 1
 
-    def drop(reason):
-        stats["drop"][reason] = stats["drop"].get(reason, 0) + 1
-
-    # NewTest args
-    tm = re.search(r'NewTest\("([^"]*)",\s*"([^"]*)"\)', body)
-    db, rp = (tm.group(1), tm.group(2)) if tm else ("db0", "rp0")
-    db = db or "db0"
-    rp = rp or "rp0"
-
-    # local writes := []string{ ... }
-    local_writes = None
-    wm = re.search(r"writes\s*:?=\s*\[\]string\{", body)
-    if wm:
-        i = wm.end()
-        depth, q, j = 1, None, i
-        while j < len(body) and depth > 0:
-            c = body[j]
+def write_bodies(block):
+    """Brace-match each &Write{...} (a non-greedy regex truncates at
+    the first inner `}` of e.g. []string{...})."""
+    for wm in re.finditer(r"&Write\{", block):
+        k, depth, q = wm.end(), 1, None
+        while k < len(block) and depth > 0:
+            c = block[k]
             if q:
                 if c == "\\" and q == '"':
-                    j += 2
+                    k += 2
                     continue
                 if c == q:
                     q = None
@@ -298,21 +348,17 @@ for fname, fline, body in find_funcs():
                 depth += 1
             elif c == "}":
                 depth -= 1
-            j += 1
-        try:
-            local_writes = [eval_str(e) for e in
-                            split_args(body[i:j - 1]) if e.strip()]
-        except Unresolvable as e:
-            local_writes = ("UNRESOLVABLE", str(e))
+            k += 1
+        yield block[wm.end():k - 1]
 
-    # test.writes = Writes{ &Write{...}, ... }
-    writes = []
-    ok = True
-    twm = re.search(r"test\.writes\s*=\s*Writes\{", body)
-    if not twm:
-        drop("no test.writes")
-        continue
-    i = twm.end()
+
+def brace_block(body, open_re):
+    """Return the text between the braces opened by `open_re` (quote-
+    aware), or None when the pattern is absent."""
+    m = re.search(open_re, body)
+    if not m:
+        return None
+    i = m.end()
     depth, q, j = 1, None, i
     while j < len(body) and depth > 0:
         c = body[j]
@@ -329,43 +375,55 @@ for fname, fline, body in find_funcs():
         elif c == "}":
             depth -= 1
         j += 1
-    wblock = body[i:j - 1]
-    for wm2 in re.finditer(r"&Write\{(.*?)\}(?:,|\s*$)", wblock, re.S):
-        wf = parse_struct_fields(wm2.group(1))
+    return body[i:j - 1]
+
+
+def parse_writes(wblock, db, rp, fname, local_writes, drop):
+    """&Write{...} entries of one Writes{...} block -> [{db,rp,data}],
+    or None when any entry is statically unresolvable."""
+    writes = []
+    for wbody in write_bodies(wblock):
+        wf = parse_struct_fields(wbody)
         if set(wf) - {"data", "db", "rp"}:
-            ok = False
             drop("write fields " + ",".join(sorted(set(wf) - {"data"})))
-            break
+            return None
+        try:
+            wdb = eval_str(wf["db"]) if "db" in wf else db
+            wrp = eval_str(wf["rp"]) if "rp" in wf else rp
+        except Unresolvable as e:
+            drop("write db/rp: " + str(e)[:40])
+            return None
         dexpr = wf.get("data", "")
         if re.match(r"strings\.Join\(writes,\s*\"\\n\"\)$", dexpr.strip()):
             if fname in SYNTH_WRITES:
-                writes.append({"db": db, "rp": rp,
+                writes.append({"db": wdb, "rp": wrp,
                                "data": SYNTH_WRITES[fname]()})
             # loop-generated writes leave the literal list empty — that's
             # unresolvable, not an empty write
             elif isinstance(local_writes, tuple) or not local_writes:
-                ok = False
                 drop("unresolvable writes[]")
-                break
+                return None
             else:
-                writes.append({"db": db, "rp": rp,
+                writes.append({"db": wdb, "rp": wrp,
                                "data": "\n".join(local_writes)})
         else:
             try:
-                writes.append({"db": db, "rp": rp, "data": eval_str(dexpr)})
+                writes.append({"db": wdb, "rp": wrp,
+                               "data": eval_str(dexpr)})
             except Unresolvable as e:
-                ok = False
                 drop("write: " + str(e)[:40])
-                break
-    if not ok or not writes:
-        if ok:
-            drop("no writes parsed")
-        continue
+                return None
+    return writes
 
-    # queries: []*Query{ {...}, {...} } via addQueries
+
+def parse_queries(body, drop):
+    """Every Query literal in `body` -> [{name,command,params,exp}].
+    Matches entries whose first field is any of name/params/command
+    (server_test.go's Subqueries entries have no name)."""
     queries = []
     for qm in re.finditer(
-            r"\{\s*\n(\s*name\s*:.*?)\n\t*\},", body, re.S):
+            r"\{\s*\n(\s*(?:name|params|command)\s*:.*?)\n\t*\},",
+            body, re.S):
         stats["queries"] += 1
         qf = parse_struct_fields(qm.group(1))
         if "command" not in qf or "exp" not in qf:
@@ -389,6 +447,52 @@ for fname, fline, body in find_funcs():
         stats["kept_queries"] += 1
         queries.append({"name": name, "command": command,
                         "params": params, "exp": exp})
+    return queries
+
+
+# ---- pass 1: inline TestServer_* funcs in server_test.go ----
+
+suite_loads = {}  # suite key -> (func name, line)
+
+for fname, fline, body in find_funcs():
+    stats["funcs"] += 1
+    body = strip_line_comments(body)
+
+    def drop(reason):
+        stats["drop"].setdefault(reason, []).append(f"{fname}:{fline}")
+
+    lm = re.search(r'tests\.load\(t,\s*"([^"]+)"\)', body)
+    if lm:
+        suite_loads[lm.group(1)] = (fname, fline)
+
+    # NewTest args
+    tm = re.search(r'NewTest\("([^"]*)",\s*"([^"]*)"\)', body)
+    db, rp = (tm.group(1), tm.group(2)) if tm else ("db0", "rp0")
+    db = db or "db0"
+    rp = rp or "rp0"
+
+    # local writes := []string{ ... }
+    local_writes = None
+    lw = brace_block(body, r"writes\s*:?=\s*\[\]string\{")
+    if lw is not None:
+        try:
+            local_writes = [eval_str(e) for e in split_args(lw)
+                            if e.strip()]
+        except Unresolvable as e:
+            local_writes = ("UNRESOLVABLE", str(e))
+
+    wblock = brace_block(body, r"test\.writes\s*=\s*Writes\{")
+    if wblock is None:
+        if not lm:
+            drop("no test.writes")
+        continue
+    writes = parse_writes(wblock, db, rp, fname, local_writes, drop)
+    if writes is None or not writes:
+        if writes is not None:
+            drop("no writes parsed")
+        continue
+
+    queries = parse_queries(body, drop)
     if not queries:
         drop("no queries kept")
         continue
@@ -397,9 +501,57 @@ for fname, fline, body in find_funcs():
     corpus.append({"func": fname, "line": fline, "db": db, "rp": rp,
                    "writes": writes, "queries": queries})
 
+# ---- pass 2: the shared suite registry (server_suite.go), for the
+# keys server_test.go actually loads (tests.load). Entries the
+# reference never runs are NOT replayed — they may predate the engine.
+
+SUITE = REF.replace("server_test.go", "server_suite.go")
+try:
+    suite_src = strip_line_comments(open(SUITE, encoding="utf-8").read())
+except OSError:
+    suite_src = ""
+
+for sm in re.finditer(r'tests\["([^"]+)"\] = Test\{', suite_src):
+    key = sm.group(1)
+    if key not in suite_loads:
+        continue
+    fname, fline = suite_loads[key]
+    sline = suite_src[:sm.start()].count("\n") + 1
+
+    def drop(reason):
+        stats["drop"].setdefault(reason, []).append(
+            f"{fname}(suite:{key}):{fline}")
+
+    body = brace_block(suite_src[sm.start():], r"= Test\{")
+    fields = parse_struct_fields(body)
+    try:
+        db = eval_str(fields["db"]) if "db" in fields else "db0"
+        rp = eval_str(fields["rp"]) if "rp" in fields else "rp0"
+    except Unresolvable as e:
+        drop("suite db/rp: " + str(e)[:40])
+        continue
+    writes = []
+    wblock = brace_block(body, r"writes:\s*Writes\{")
+    if wblock is not None:
+        writes = parse_writes(wblock, db, rp, fname, None, drop)
+        if writes is None:
+            continue
+    queries = parse_queries(body, drop)
+    if not queries:
+        drop("suite: no queries kept")
+        continue
+    stats["kept_funcs"] += 1
+    corpus.append({"func": fname, "line": fline, "db": db, "rp": rp,
+                   "suite": f"{key} (server_suite.go:{sline})",
+                   "writes": writes, "queries": queries})
+
+corpus.sort(key=lambda f: f["line"])
+
 with open(OUT, "w", encoding="utf-8") as f:
     json.dump(corpus, f, indent=1)
 
+stats["drop"] = {k: len(v) if len(v) > 4 else v
+                 for k, v in sorted(stats["drop"].items())}
 print(json.dumps(stats, indent=2))
 print(f"kept {stats['kept_funcs']}/{stats['funcs']} funcs, "
       f"{stats['kept_queries']}/{stats['queries']} queries -> {OUT}")
