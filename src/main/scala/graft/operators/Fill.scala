@@ -54,10 +54,19 @@ object Fill {
     * yields an empty spine (null bounds filtered), matching the
     * reference's "no rows → no series" rule. */
   private def spineAuto(agg0: DataFrame, tags: Seq[String],
-                        stepMs: Long): DataFrame = {
+                        stepMs: Long,
+                        hiOverrideMs: Option[Long] = None): DataFrame = {
     val agg = shared(agg0)
-    val b = agg.agg(min(col("wstart_ms")).as("_blo"),
-      max(col("wstart_ms")).as("_bhi"))
+    // hiOverrideMs: a bucket-aligned upper bound beyond the data (the
+    // reference spines an unbounded GROUP BY time() to now() —
+    // server_test.go "LAST(*) group by time(12m) limit 5" expects empty
+    // buckets past the last point). greatest() keeps the data bound
+    // when it is already later.
+    val hiCol = hiOverrideMs match {
+      case Some(h) => greatest(max(col("wstart_ms")), lit(h))
+      case None => max(col("wstart_ms"))
+    }
+    val b = agg.agg(min(col("wstart_ms")).as("_blo"), hiCol.as("_bhi"))
     // The 1-row bounds frame joins under the session's broadcast policy
     // (ExecProfile.maybeBroadcast): broadcast at scale, a 1-row cartesian
     // inside the main job under the small-query profile.
@@ -74,8 +83,9 @@ object Fill {
 
   /** [[fillValue]] with data-derived bounds (see [[spineAuto]]). */
   def fillValueAuto(agg: DataFrame, valueCols: Seq[String], tags: Seq[String],
-                    stepMs: Long, fill: Option[Double] = None): DataFrame = {
-    val dense = spineAuto(agg, tags, stepMs)
+                    stepMs: Long, fill: Option[Double] = None,
+                    hiOverrideMs: Option[Long] = None): DataFrame = {
+    val dense = spineAuto(agg, tags, stepMs, hiOverrideMs)
     fill match {
       case Some(v) => valueCols.foldLeft(dense)((d, c) =>
         d.withColumn(c, coalesce(col(c), lit(v).cast(d.schema(c).dataType))))
@@ -85,8 +95,9 @@ object Fill {
 
   /** [[fillPrevious]] with data-derived bounds (see [[spineAuto]]). */
   def fillPreviousAuto(agg: DataFrame, valueCols: Seq[String],
-                       tags: Seq[String], stepMs: Long): DataFrame = {
-    val dense = spineAuto(agg, tags, stepMs)
+                       tags: Seq[String], stepMs: Long,
+                       hiOverrideMs: Option[Long] = None): DataFrame = {
+    val dense = spineAuto(agg, tags, stepMs, hiOverrideMs)
     val w = Window.partitionBy(tags.map(col): _*).orderBy(col("wstart_ms"))
       .rowsBetween(Window.unboundedPreceding, 0)
     valueCols.foldLeft(dense)((d, c) =>
@@ -95,8 +106,9 @@ object Fill {
 
   /** [[fillLinear]] with data-derived bounds (see [[spineAuto]]). */
   def fillLinearAuto(agg: DataFrame, valueCol: String,
-                     tags: Seq[String], stepMs: Long): DataFrame =
-    interpolate(spineAuto(agg, tags, stepMs), valueCol, tags)
+                     tags: Seq[String], stepMs: Long,
+                     hiOverrideMs: Option[Long] = None): DataFrame =
+    interpolate(spineAuto(agg, tags, stepMs, hiOverrideMs), valueCol, tags)
 
   /** fill(null) / fill(<value>): dense spine, missing buckets null or a
     * constant. */

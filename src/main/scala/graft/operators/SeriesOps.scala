@@ -40,9 +40,18 @@ object SeriesOps {
   def difference(df: DataFrame, field: String, time: String, tags: Seq[String],
                  nonNegative: Boolean = false,
                  tieBreak: Seq[String] = Nil,
-                 direction: String = "behind"): DataFrame = {
+                 direction: String = "behind",
+                 descTime: Boolean = false): DataFrame = {
+    // descTime: ORDER BY time DESC statements difference over the
+    // DESC-iterated series (the reference's transform runs in the
+    // statement's direction — signs and emitted rows flip)
+    val win =
+      if (descTime)
+        Window.partitionBy(tags.map(col): _*)
+          .orderBy((time +: tieBreak).map(col(_).desc): _*)
+      else w(tags, time, tieBreak)
     val d = diffDirected(
-      col(field) - lag(col(field), 1).over(w(tags, time, tieBreak)), direction)
+      col(field) - lag(col(field), 1).over(win), direction)
     val out = df.withColumn("difference", d).filter(col("difference").isNotNull)
     if (nonNegative) out.filter(col("difference") >= 0) else out
   }

@@ -55,6 +55,23 @@ object InfluxQL {
     inst.getEpochSecond * 1000000L + inst.getNano / 1000L
   }
 
+  /** [[parseTimeUtc]] at NANOSECOND precision — time predicates against
+    * an ns-resolution source must not truncate
+    * (`WHERE time = '...T06:32:46.558082073Z'`, ExactTimeRange). */
+  private[graft] def parseTimeUtcNs(s: String): Long = {
+    val raw = s.trim.replace(' ', 'T')
+    val inst =
+      try java.time.OffsetDateTime.parse(raw).toInstant
+      catch { case _: java.time.format.DateTimeParseException =>
+        val t0 = raw.stripSuffix("Z")
+        val ldt =
+          if (t0.contains('T')) java.time.LocalDateTime.parse(t0)
+          else java.time.LocalDate.parse(t0).atStartOfDay()
+        ldt.toInstant(java.time.ZoneOffset.UTC)
+      }
+    inst.getEpochSecond * 1000000000L + inst.getNano
+  }
+
   // ---------------------------------------------------------------- lexer
   sealed trait Tok
   case class TIdent(s: String) extends Tok
@@ -201,6 +218,10 @@ object InfluxQL {
   case class ENum(v: Double, integral: Boolean = false,
                   longV: Option[Long] = None) extends Expr
   case class EField(name: String) extends Expr
+  /** String literal projection (`SELECT 'x' AS name, f`) — reference
+    * ast.go StringLiteral fields; aliasless literals are the compile
+    * error FieldIsLiteral (errno/message.go:269). */
+  case class EStr(s: String) extends Expr
   case class ECall(call: PCall) extends Expr
   case class EBin(op: Char, l: Expr, r: Expr) extends Expr
   /** Scalar math call (reference `lib/util/lifted/influx/query/math.go`:
@@ -243,6 +264,9 @@ object InfluxQL {
   case class CStr(s: String) extends CondV
   case class CRegex(s: String) extends CondV
   case class CDur(ns: Long) extends CondV
+  /** Boolean literal (`WHERE local = true` / t / F — influxql lexer
+    * booleans). */
+  case class CBool(b: Boolean) extends CondV
   /** `now() [± duration]` — evaluated at compile time (ast.go nowValuer). */
   case class CNow(deltaNs: Long) extends CondV
 
@@ -277,15 +301,30 @@ object InfluxQL {
     * `(SELECT…) AS t` sources); `rightAlias` is the `AS t2` name used to
     * suffix colliding columns and resolve `t2.f` qualified refs. */
   case class JoinClause(joinType: String, right: String, onTags: Seq[String],
+                        // the LHS qualifier of each ON key ("" = bare):
+                        // `table1.t1 = table3.t1` binds table1's ORIGINAL
+                        // column, null on rows table1 didn't match
+                        onQuals: Seq[String] = Nil,
                         rightSub: Option[Query] = None,
-                        rightAlias: Option[String] = None)
+                        rightAlias: Option[String] = None,
+                        // `FULL JOIN` renders the missing side as Go
+                        // zero values; the `OUTER JOIN` spelling keeps
+                        // nulls (server_test.go:14029 full vs outer)
+                        zeroFill: Boolean = false)
 
   case class Query(
       projs: Seq[Proj], from: String, where: Option[WExpr],
       groupTags: Seq[String], intervalNs: Option[Long], fill: FillMode,
       orderDesc: Boolean, limit: Option[Int], offset: Int, slimit: Option[Int],
       join: Option[JoinClause] = None,
+      // cascading `a join b on … join c on …` (server_test.go:14029
+      // Cascading_Join_Table): clauses after the first
+      joinMore: Seq[JoinClause] = Nil,
       fromSub: Option[Query] = None,
+      // FROM (sub1), (sub2), … — additional parenthesized subqueries,
+      // sort-appended like FROM m1, m2 (server_test.go:14129 multi-mst
+      // constant columns; the series name joins the inner names)
+      fromSubMore: Seq[Query] = Nil,
       soffset: Int = 0,
       intervalOffsetNs: Option[Long] = None,
       tz: Option[String] = None,
@@ -442,10 +481,17 @@ object InfluxQL {
         case t => sys.error(s"expected measurement, got $t")
       }
       var fromMore = Seq.empty[String]
+      var fromSubMore = Seq.empty[Query]
       var fromBare: Option[String] = None
       val from = peek match {
         case TPunct("(") =>
           next(); fromSub = Some(parseQuery()); expect(")")
+          // FROM (sub1), (sub2), … — sort-append of subqueries
+          while (peek == TPunct(",")) {
+            next(); expect("(")
+            fromSubMore :+= parseQuery()
+            expect(")")
+          }
           "<subquery>"
         case _ =>
           val first = fromOne()
@@ -469,21 +515,26 @@ object InfluxQL {
       // [AS t2] ON [(] key [AND key…] [)] where key := tag | t1.x = t2.x
       // (a bare OUTER JOIN is the reference's full join, ast.go:7439)
       var join: Option[JoinClause] = None
-      val joinType = peek match {
+      var joinMore = Seq.empty[JoinClause]
+      var joinZero = false
+      def peekJoinType(): Option[String] = peek match {
         case TIdent(s) if Set("inner", "left", "right", "full", "outer")
             .contains(s.toLowerCase) =>
           next()
           if (isKw("outer")) next()
+          joinZero = s.equalsIgnoreCase("full")
           Some(s.toLowerCase match {
             case "inner" => "inner"
             case "left" => "left_outer"
             case "right" => "right_outer"
             case "full" | "outer" => "full_outer"
           })
-        case TIdent(s) if s.equalsIgnoreCase("join") => Some("inner")
+        case TIdent(s) if s.equalsIgnoreCase("join") =>
+          joinZero = false; Some("inner")
         case _ => None
       }
-      if (joinType.isDefined) {
+      var joinType = peekJoinType()
+      while (joinType.isDefined) {
         if (isKw("join")) next()
         var rightSub: Option[Query] = None
         val right = peek match {
@@ -507,6 +558,7 @@ object InfluxQL {
         val paren = peek == TPunct("(")
         if (paren) next()
         var tags = Seq.empty[String]
+        var quals = Seq.empty[String]
         var more = true
         while (more) {
           val a = next() match {
@@ -515,8 +567,10 @@ object InfluxQL {
           }
           // qualified `t1.x = t2.x` equality — equi-join on the shared
           // name (JoinKeyPair, ast.go:4136)
+          var lhsQual = ""
           val lhs = if (peek == TPunct(".")) {
             next()
+            lhsQual = a
             next() match {
               case TIdent(s) => s
               case t => sys.error(s"expected join key after '$a.', got $t")
@@ -539,11 +593,14 @@ object InfluxQL {
               s"JOIN ON keys must share a name: $lhs vs $rhs")
           }
           tags :+= lhs
+          quals :+= lhsQual
           if (isKw("and")) next() else more = false
         }
         if (paren) expect(")")
-        join = Some(JoinClause(joinType.get, right, tags, rightSub,
-          rightAlias))
+        val clause = JoinClause(joinType.get, right, tags, quals, rightSub,
+          rightAlias, zeroFill = joinZero)
+        if (join.isEmpty) join = Some(clause) else joinMore :+= clause
+        joinType = peekJoinType()
       }
       var where: Option[WExpr] = None
       if (isKw("where")) { next(); where = Some(parseWhereOr()) }
@@ -648,8 +705,9 @@ object InfluxQL {
       val myQual = qualBuf.reverse.distinct
       qualBuf = outerQual
       Query(projs, from, where, tags, interval, fill, orderDesc, limit,
-        offset, slimit, join, fromSub, soffset, intervalOffset, tz, into,
-        fromMore, fromBare, exceptTags, fromAlias, myQual)
+        offset, slimit, join, joinMore, fromSub, fromSubMore, soffset,
+        intervalOffset, tz, into, fromMore, fromBare, exceptTags, fromAlias,
+        myQual)
     }
 
     private def parseProjs(): Seq[Proj] = {
@@ -689,11 +747,27 @@ object InfluxQL {
                 next()
                 next() match {
                   case TIdent(a) => Some(a)
+                  case TStr(a) => Some(a) // AS 'name' quoted-string alias
                   case t => sys.error(s"expected alias, got $t")
                 }
               } else None
+              // a pure-literal field needs an alias (FieldIsLiteral,
+              // errno/message.go:269)
+              def hasVar(x: Expr): Boolean = x match {
+                case EField(_) | ECall(_) => true
+                case EBin(_, l2, r2) => hasVar(l2) || hasVar(r2)
+                case EMath(_, args) => args.exists(hasVar)
+                case ECast(x2, _) => hasVar(x2)
+                case _ => false
+              }
+              if (alias.isEmpty && !hasVar(e))
+                throw new StatementError(
+                  "field must contain at least one variable")
               (e, alias) match {
-                case (ECall(c), None) => c
+                // an aliased bare call keeps its call identity (the
+                // alias pins the output name — also what routes
+                // `DISTINCT(v3) AS v3` into the distinct-rows branch)
+                case (ECall(c), a) => c.copy(alias = a)
                 case (EField(f), None) => PField(f)
                 case _ =>
                   exprIdx += 1
@@ -739,6 +813,7 @@ object InfluxQL {
 
     private def parseFactor(): Either[Expr, PAnalytic] = next() match {
       case TNum(v, intg, exact) => Left(ENum(v, intg, exact))
+      case TStr(sv) => Left(EStr(sv))
       case TDur(ns) => Left(ENum(ns.toDouble, integral = true, Some(ns)))
       case TPunct("-") =>
         parseFactor().left.map(f => EBin('-', ENum(0, integral = true), f))
@@ -923,6 +998,8 @@ object InfluxQL {
         case TStr(s) => CStr(s)
         case TRegex(r) => CRegex(r)
         case TDur(ns) => CDur(ns)
+        case TIdent(s) if s.equalsIgnoreCase("true") => CBool(true)
+        case TIdent(s) if s.equalsIgnoreCase("false") => CBool(false)
         case TIdent(s) if s.equalsIgnoreCase("now") =>
           expect("("); expect(")")
           var delta = 0L
@@ -966,16 +1043,40 @@ object InfluxQL {
     * object (`query/statement_rewriter.go`). */
   def executeShaped(catalog: Map[String, Measurement],
                     sql: String): (String, Seq[String], DataFrame) = {
+    val (n, t, df, _) = executeShapedOrd(catalog, sql)
+    (n, t, df)
+  }
+
+  /** [[executeShaped]] plus the statement's ORDER BY direction — the
+    * HTTP edge renders SERIES in the statement's direction too. */
+  def executeShapedOrd(catalog: Map[String, Measurement], sql: String)
+      : (String, Seq[String], DataFrame, Boolean) = {
     val (q, df) = executeStatement(catalog, sql)
     q match {
       case Some(qq) =>
         // series name is the bare measurement — a qualified db.rp.m
         // spelling routes, it never renames the output series (quoted
         // names containing dots are NOT qualified: fromBare is None)
-        def base(x: Query): String = x.fromSub.map(base).getOrElse(
-          x.fromBare.getOrElse(x.from))
+        def base(x: Query): String = x.join match {
+          // a JOIN names the series "<left>,<right>,…" with aliases
+          // preferred (server_test.go:14029 "table1,table2" / "t1,t2")
+          case Some(j) =>
+            val l = x.fromAlias.orElse(x.fromBare).getOrElse(
+              x.fromSub.map(base).getOrElse(x.from))
+            val rs = (j +: x.joinMore).map(jc => jc.rightAlias.getOrElse(
+              jc.right.split('.').last match {
+                case "" => jc.right; case b => b }))
+            (l +: rs).mkString(",")
+          case None => x.fromSub match {
+            case Some(s0) =>
+              // multi-subquery FROM joins the inner names —
+              // "table1,table2,table3" (server_test.go:14129)
+              (s0 +: x.fromSubMore).map(base).mkString(",")
+            case None => x.fromBare.getOrElse(x.from)
+          }
+        }
         val tags = resolveTags(catalog, qq).filter(df.columns.contains)
-        (base(qq), tags, df)
+        (base(qq), tags, df, qq.orderDesc)
       case None =>
         val name =
           if (sql.trim.toLowerCase.startsWith("explain")) "explain"
@@ -983,7 +1084,7 @@ object InfluxQL {
             .takeWhile(w => !Set("on", "from", "with", "where")
               .contains(w.toLowerCase))
             .map(_.toLowerCase).mkString("_")
-        (name, Nil, df)
+        (name, Nil, df, false)
     }
   }
 
@@ -1090,6 +1191,7 @@ object InfluxQL {
         case CDur(ns) => lit(ns / 1000)
         case CNow(d) =>
           lit(nowMs * 1000L + d / 1000)
+        case CBool(b) => lit(b)
         case CRegex(_) => lit(null)
       }
       (c.op, c.v) match {
@@ -1130,13 +1232,23 @@ object InfluxQL {
                           q: Query): Seq[String] =
     (if (!q.groupTags.contains("*")) q.groupTags
      else if (q.fromSub.isDefined) resolveTags(catalog, q.fromSub.get)
+     else sourceTags(catalog, q)).filterNot(q.exceptTags.contains)
+
+  /** Tags of the query's underlying SOURCE, regardless of GROUP BY —
+    * a subquery's output column stays a TAG when the inner source typed
+    * it as one (the reference's subquery schema keeps tag typing;
+    * server_test.go "FIRST(*) FROM (SELECT * FROM mst)" expands fields
+    * only). */
+  private def sourceTags(catalog: Map[String, Measurement],
+                         q: Query): Seq[String] =
+    (if (q.fromSub.isDefined) sourceTags(catalog, q.fromSub.get)
      else (q.from +: q.fromMore).flatMap { f =>
        if (f.startsWith("/")) {
          val re = f.substring(1, f.length - 1).r
          catalog.collect { case (k, m) if re.findFirstIn(k).isDefined =>
            m.tags }.flatten.toSeq
        } else lookupMeasurement(catalog, f).map(_.tags).getOrElse(Nil)
-     }.distinct).filterNot(q.exceptTags.contains)
+     }).distinct
 
   private def executeStatement(catalog: Map[String, Measurement],
                                sql: String): (Option[Query], DataFrame) = {
@@ -1257,7 +1369,7 @@ object InfluxQL {
           def nil(s: String) = if (s.isEmpty) "<nil>" else s
           val fields = m.df.columns
             .filterNot(c => m.tags.contains(c) || c == m.time ||
-              c == "ts_ns" || c.startsWith("__ds_"))
+              c == "ts_ns" || c == "time" || c.startsWith("__"))
           Seq(
             (name, "RETENTION POLICY: autogen"),
             (name, "INDEX: <nil>"),
@@ -1404,7 +1516,7 @@ object InfluxQL {
           val m = fromM().getOrElse(sys.error("FIELD KEY CARDINALITY needs FROM"))
           val n = m.df.schema.fields.count(f =>
             !m.tags.contains(f.name) && f.name != m.time &&
-              f.name != "time" && !f.name.startsWith("__ds_"))
+              f.name != "time" && !f.name.startsWith("__"))
           Seq(n.toLong).toDF("count")
         case t => sys.error(s"bad SHOW FIELD: $t")
       }
@@ -1559,13 +1671,27 @@ object InfluxQL {
         require(hits.nonEmpty, s"no measurement matches $fromStr")
         hits.values.toSeq
       } else Seq(lookupMeasurement(catalog, fromStr).getOrElse(
-        sys.error(s"unknown measurement $fromStr")))
+        // statement-level, the reference's exact text
+        // (errno HttpUnknownMeasurement → "measurement not found";
+        // e2e Where_Fields "missing measurement with group by")
+        throw new StatementError("measurement not found")))
     val m =
       if (q.fromSub.isDefined) {
-        val sub = q.fromSub.get
-        val inner = compileQuery(catalog, sub)
+        val subs = q.fromSub.get +: q.fromSubMore
+        val parts = subs.map { sub =>
+          val inner = compileQuery(catalog, sub)
+          // the subquery's output keeps a source tag AS a tag when it
+          // projects it (SELECT * / grouped) — see [[sourceTags]]
+          val subTags = (resolveTags(catalog, sub) ++
+            sourceTags(catalog, sub).filter(inner.columns.contains))
+            .distinct
+          (inner, subTags)
+        }
+        // FROM (s1), (s2), … sort-appends like FROM m1, m2
+        val inner = parts.map(_._1)
+          .reduce(_.unionByName(_, allowMissingColumns = true))
         Measurement(inner.withColumn("__ts", timestamp_millis(col("time"))),
-          resolveTags(catalog, sub), "__ts")
+          parts.flatMap(_._2).distinct, "__ts")
       } else (q.from +: q.fromMore).flatMap(resolveOne).reduce { (a, b) =>
         Measurement(a.df.unionByName(b.df, allowMissingColumns = true),
           (a.tags ++ b.tags).distinct, a.time)
@@ -1576,41 +1702,202 @@ object InfluxQL {
     // colliding field names from the right side get a _<alias> suffix
     // (reference exposes m2.field — suffixing is the USING-form
     // equivalent, and `t2.f` qualified refs resolve onto it below).
-    val mJoined = q.join.map { j =>
-      val r = j.rightSub match {
-        case Some(sub) =>
-          // (SELECT…) AS t2 — compile the inner query; its epoch-ms
-          // `time` column is dropped like any right-side time axis
-          val inner = compileQuery(catalog, sub)
-          Measurement(inner, resolveTags(catalog, sub), "time")
-        case None => lookupMeasurement(catalog, j.right).getOrElse(
-          sys.error(s"unknown join measurement ${j.right}"))
-      }
-      val suffix = j.rightAlias.getOrElse(j.right)
-      val collisions = m.df.columns.toSet
-        .intersect(r.df.columns.toSet) -- j.onTags - r.time
-      val rdf0 = collisions.foldLeft(r.df.drop(r.time))((d, c) =>
-        d.withColumnRenamed(c, s"${c}_$suffix"))
-      var joined = m.df.join(rdf0, j.onTags, j.joinType)
-      // `t1.f` qualified refs become literal dotted columns over the
-      // resolved side (left: unrenamed; right: suffix-renamed on
-      // collision). Unknown qualifiers fall through to the raw-field
-      // path, which projects missing names as null.
-      val leftName = q.fromAlias.getOrElse(q.from)
-      q.qualRefs.foreach { case (a, f) =>
-        val actual =
-          if (a == leftName) Some(f)
-          else if (a == suffix)
-            Some(if (collisions.contains(f)) s"${f}_$suffix" else f)
-          else None
-        actual.filter(joined.columns.contains).foreach { c =>
-          joined = joined.withColumn(s"$a.$f", col(c))
+    val joinClauses = q.join.toSeq ++ q.joinMore
+    val mJoined: Option[(Measurement, Seq[String], String)] =
+      if (joinClauses.isEmpty) None
+      else {
+        val joinFields = scala.collection.mutable.ArrayBuffer.empty[String]
+        // qualified projections for EVERY column of each side — the
+        // join's output contract: `SELECT *` over a join emits
+        // `<name-or-alias>.<column>` for tags AND fields (Cascading_
+        // Join_Table ungrouped star), except ON keys that are also
+        // GROUP BY tags (they render as the series tag —
+        // server_test.go:14029 grouped star has no table1.tk)
+        val allOn = joinClauses.flatMap(_.onTags).toSet
+        def sideCols(cols: Seq[String], time: String): Seq[String] =
+          cols.filterNot(c => c == time || c == "time" ||
+            c.startsWith("__") ||
+            (allOn.contains(c) && q.groupTags.contains(c)))
+        val lDotted0 = q.fromAlias.orElse(q.fromBare).getOrElse(q.from)
+        var acc: Measurement = m
+        var accName = lDotted0
+        var first = true
+        joinClauses.foreach { j =>
+          val r = j.rightSub match {
+            case Some(sub) =>
+              // (SELECT…) AS t2 — compile the inner query; its epoch-ms
+              // `time` column is the right time axis. Tags follow the
+              // same carry-through rule as FROM subqueries (sourceTags)
+              val inner = compileQuery(catalog, sub)
+              val subTags = (resolveTags(catalog, sub) ++
+                sourceTags(catalog, sub)
+                  .filter(inner.columns.contains)).distinct
+              Measurement(inner, subTags, "time")
+            case None => lookupMeasurement(catalog, j.right).getOrElse(
+              sys.error(s"unknown join measurement ${j.right}"))
+          }
+          val suffix = j.rightAlias.getOrElse(j.right)
+          val rDotted = j.rightAlias.getOrElse(
+            j.right.split('.').last match {
+              case "" => j.right; case b => b })
+          val collisions = acc.df.columns.toSet
+            .intersect(r.df.columns.toSet) -- j.onTags - r.time
+          // the right side keeps ITS OWN key columns (an unmatched
+          // left-join row renders the right key as null — HashJoin_Table
+          // left-outer exp) and time axis; rows carry their source
+          // order for the tie sort
+          val rkOf = j.onTags.map(t => t -> s"__rk_${t}_$suffix").toMap
+          // row order within the join output is (time, tags) per SIDE,
+          // left-major: HashJoin_Table orders equal-time left rows by
+          // tag; unmatched left rows interleave by their own (time, tag);
+          // right matches order by the right row's (time, tag). One
+          // zero-padded lexicographic string key per side, concatenated
+          // left-to-right, replicates the reference's merge order.
+          def sideKey(d: DataFrame, tc: String,
+                      tags: Seq[String]): Column = {
+            val t0 = d.schema(tc).dataType match {
+              case org.apache.spark.sql.types.LongType |
+                   org.apache.spark.sql.types.IntegerType =>
+                col(tc).cast("long") * 1000L
+              case _ => unix_micros(col(tc))
+            }
+            concat((lpad(t0.cast("string"), 20, "0") +:
+              tags.filter(d.columns.contains)
+                .map(c0 => coalesce(col(c0), lit("")))): _*)
+          }
+          val ldf =
+            if (acc.df.columns.contains("__ord")) acc.df
+            else acc.df.withColumn("__ord",
+              sideKey(acc.df, acc.time, acc.tags))
+          val rdf0 = collisions.foldLeft(
+            r.df.withColumn("__rord", sideKey(r.df, r.time, r.tags))
+              .withColumnRenamed(r.time, "__rts"))((d, c) =>
+            d.withColumnRenamed(c, s"${c}_$suffix"))
+          val rdf1 = rkOf.foldLeft(rdf0) {
+            case (d, (t, rk)) => d.withColumnRenamed(t, rk) }
+          // an ON key qualified with the FIRST left source binds that
+          // side's ORIGINAL column (__lk_<t> from the earlier join) —
+          // null on rows it didn't match, so a chained join on it
+          // matches nothing (Cascading right-then-inner exp drops the
+          // right-only rows)
+          val cond = j.onTags.zipWithIndex.map { case (t, i) =>
+            val qual = j.onQuals.lift(i).getOrElse("")
+            val lcol =
+              if (qual == lDotted0 &&
+                  ldf.columns.contains(s"__lk_$t")) s"__lk_$t"
+              else t
+            col(lcol) === col(rkOf(t))
+          }.reduce(_ && _)
+          var joined = ldf.join(rdf1, cond, j.joinType)
+          // time axes may be TIMESTAMP (measurements) or epoch-ms LONG
+          // (subquery results) — normalize to TIMESTAMP for the unified
+          // axis. RIGHT joins take the right side's time (HashJoin_Table
+          // right-outer rows carry network_metrics' timestamps); row
+          // order stays left-major join order.
+          import org.apache.spark.sql.types.{LongType, IntegerType}
+          val lTs =
+            if (acc.df.schema(acc.time).dataType == LongType ||
+                acc.df.schema(acc.time).dataType == IntegerType)
+              timestamp_millis(col(acc.time))
+            else col(acc.time)
+          val rTs =
+            if (r.df.schema(r.time).dataType == LongType ||
+                r.df.schema(r.time).dataType == IntegerType)
+              timestamp_millis(col("__rts"))
+            else col("__rts")
+          joined = joined
+            .withColumn("__jts0",
+              if (j.joinType == "right_outer") coalesce(rTs, lTs)
+              else coalesce(lTs, rTs))
+          // preserve the left's own key value for qualified projection
+          // BEFORE merging (unmatched-left rows render it null)
+          j.onTags.foreach { t =>
+            joined = joined.withColumn(s"__lk_$t", col(t))
+              .withColumn(t, coalesce(col(t), col(rkOf(t))))
+          }
+          joined = joined.drop("__rts")
+          if (acc.time.startsWith("__jts")) joined = joined.drop(acc.time)
+          joined = joined.withColumnRenamed("__jts0", "__jts")
+          // a CHAINED right/full join emits right-major (Cascading
+          // "…cascading rightjoin" exp orders by the last side first);
+          // first joins and chained inner/left stay left-major
+          val chained = joined.columns.contains("__ord") &&
+            !first && j.joinType == "right_outer"
+          joined = joined.withColumn("__ord",
+              if (chained)
+                concat(coalesce(col("__rord"), lit("\uffff")),
+                  coalesce(col("__ord"), lit("\uffff")))
+              else concat(coalesce(col("__ord"), lit("\uffff")),
+                coalesce(col("__rord"), lit(""))))
+            .drop("__rord")
+          // unified ns axis when both sides carry the LP epoch-ns column
+          if (joined.columns.contains("time") &&
+              joined.columns.contains(s"time_$suffix"))
+            joined = joined.withColumn("time",
+              if (j.joinType == "right_outer")
+                coalesce(col(s"time_$suffix"), col("time"))
+              else coalesce(col("time"), col(s"time_$suffix")))
+          // `t1.f` qualified refs over the joined sides
+          q.qualRefs.foreach { case (a, f) =>
+            val actual =
+              if (a == lDotted0) Some(f)
+              else if (a == suffix)
+                Some(if (collisions.contains(f)) s"${f}_$suffix" else f)
+              else None
+            actual.filter(joined.columns.contains).foreach { c =>
+              joined = joined.withColumn(s"$a.$f", col(c))
+            }
+          }
+          if (first) {
+            sideCols(m.df.columns.toSeq, m.time).foreach { f =>
+              val src =
+                if (j.onTags.contains(f)) s"__lk_$f" else f
+              if (joined.columns.contains(src)) {
+                joined = joined.withColumn(s"$lDotted0.$f", col(src))
+                joinFields += s"$lDotted0.$f"
+              }
+            }
+            first = false
+          }
+          sideCols(r.df.columns.toSeq, r.time).foreach { f =>
+            // ON keys project from the right's OWN column (null on
+            // unmatched rows); collisions from their suffixed rename
+            val actual =
+              if (j.onTags.contains(f)) rkOf(f)
+              else if (collisions.contains(f)) s"${f}_$suffix"
+              else f
+            if (joined.columns.contains(actual)) {
+              joined = joined.withColumn(s"$rDotted.$f", col(actual))
+              joinFields += s"$rDotted.$f"
+            }
+          }
+          // the reference's FULL join renders the missing side as Go
+          // zero values, not null (server_test.go:14029 full-join rows
+          // carry 0 where left/right outer carry null)
+          if (j.zeroFill) {
+            import org.apache.spark.sql.types._
+            joinFields.foreach { fq =>
+              val zero: Option[Column] =
+                joined.schema(fq).dataType match {
+                  case _: NumericType => Some(lit(0))
+                  case BooleanType => Some(lit(false))
+                  case StringType => Some(lit(""))
+                  case _ => None
+                }
+              zero.foreach(z => joined = joined.withColumn(fq,
+                coalesce(col(s"`$fq`"), z)))
+            }
+          }
+          acc = Measurement(joined, (acc.tags ++ r.tags).distinct, "__jts")
+          accName = s"$accName,$rDotted"
         }
+        Some((acc, joinFields.toSeq, accName))
       }
-      Measurement(joined, (m.tags ++ r.tags).distinct, m.time)
-    }
-    mJoined.foreach(jm => df = jm.df)
-    val mEff = mJoined.getOrElse(m)
+    mJoined.foreach { case (jm, _, _) => df = jm.df }
+    val mEff = mJoined.map(_._1).getOrElse(m)
+    // `SELECT *` over a join selects the qualified field set
+    val joinStarFields: Seq[String] =
+      mJoined.map(_._2).getOrElse(Nil)
 
     // WHERE — tag/field/time predicates push straight into the scan.
     /** Materialize an expression; `/` follows InfluxQL semantics — any
@@ -1619,6 +1906,7 @@ object InfluxQL {
       case ENum(v, intg, lv) =>
         if (intg) lit(lv.getOrElse(v.toLong)) else lit(v)
       case EField(f) => fieldCol(f)
+      case EStr(sv) => lit(sv)
       case ECast(e0, typ) =>
         val sparkT = typ match {
           case "integer" | "unsigned" => "long"
@@ -1663,23 +1951,40 @@ object InfluxQL {
         }
     }
 
+    // ns-resolution time axis: LP-ingested frames carry the raw epoch-ns
+    // `time` LONG next to the µs `ts` view (LineProtocol
+    // .toMeasurementTable) — predicates and raw-row output use it so
+    // sub-µs information survives end-to-end (ExactTimeRange,
+    // Where_Fields full-ns expectations)
+    val nsTime: Boolean = m.time == "ts" && df.columns.contains("time") &&
+      df.schema("time").dataType == org.apache.spark.sql.types.LongType
+
     def condToCol(c: Cond): Column = {
-      val lhs = if (c.field.equalsIgnoreCase("time")) unix_micros(col(m.time))
-                else fieldCol(c.field)
+      val isTime = c.field.equalsIgnoreCase("time")
+      val lhs =
+        if (isTime && nsTime) col("time")
+        else if (isTime) unix_micros(col(m.time))
+        else fieldCol(c.field)
       val rhs: Column = c.v match {
         case CInt(l) =>
-          if (c.field.equalsIgnoreCase("time"))
+          if (isTime && nsTime) lit(l)
+          else if (isTime)
             lit(Math.floorDiv(l, 1000L)) // epoch ns literal -> us axis
           else lit(l)
         case CNum(v) =>
-          if (c.field.equalsIgnoreCase("time")) lit(v / 1000.0)
+          if (isTime && nsTime) lit(v)
+          else if (isTime) lit(v / 1000.0)
           else lit(v)
         case CStr(s) =>
-          if (c.field.equalsIgnoreCase("time")) lit(parseTimeUtc(s))
+          if (isTime && nsTime) lit(parseTimeUtcNs(s))
+          else if (isTime) lit(parseTimeUtc(s))
           else lit(s)
-        case CDur(ns) => lit(ns / 1000L)
+        case CDur(ns) => if (nsTime) lit(ns) else lit(ns / 1000L)
         case CNow(deltaNs) =>
-          lit(System.currentTimeMillis() * 1000L + deltaNs / 1000L)
+          if (nsTime)
+            lit(System.currentTimeMillis() * 1000000L + deltaNs)
+          else lit(System.currentTimeMillis() * 1000L + deltaNs / 1000L)
+        case CBool(b) => lit(b)
         case CRegex(_) => lit(null)
       }
       (c.op, c.v) match {
@@ -1861,8 +2166,9 @@ object InfluxQL {
           // index sums Σx, Σx² have closed forms, Σy and Σxy fold over
           // the array with codegen'd higher-order functions.
           val vs = transform(
-            sort_array(collect_list(struct(col(m.time).as("t"),
-              f.cast("double").as("v")))), x => x.getField("v"))
+            sort_array(collect_list(when(f.isNotNull,
+              struct(col(m.time).as("t"), f.cast("double").as("v"))))),
+            x => x.getField("v"))
           val n = size(vs).cast("double")
           val sy = aggregate(vs, lit(0.0), (a, x) => a + x)
           val idx = transform(
@@ -1945,7 +2251,7 @@ object InfluxQL {
       import org.apache.spark.sql.types._
       lazy val fieldsAll = df.columns
         .filterNot(c => c == m.time || c == "time")
-        .filterNot(_.startsWith("__ds_"))
+        .filterNot(_.startsWith("__"))
         .filterNot(mEff.tags.contains)
         .filterNot(q.groupTags.contains).sorted.toSeq
       def isNum(f: String) = df.schema(f).dataType match {
@@ -2023,10 +2329,10 @@ object InfluxQL {
               .cast("long"))
           .filter(col("elapsed").isNotNull)
       case "difference" => SeriesOps.difference(b0, src, time, groupTags,
-        direction = a.mode.getOrElse("behind"))
+        direction = a.mode.getOrElse("behind"), descTime = q.orderDesc)
       case "non_negative_difference" =>
         SeriesOps.difference(b0, src, time, groupTags, nonNegative = true,
-          direction = a.mode.getOrElse("behind"))
+          direction = a.mode.getOrElse("behind"), descTime = q.orderDesc)
       case "moving_average" => SeriesOps.movingAverage(b0, src, time,
         groupTags, a.n.getOrElse(2.0).toInt, floatMath = true)
       case "cumulative_sum" =>
@@ -2076,6 +2382,50 @@ object InfluxQL {
     def analyticName(a: PAnalytic): String =
       a.alias.getOrElse(analyticOutCol(a))
 
+    // Spine bounds for fill, best first: explicit WHERE time range (the
+    // reference's fill spine covers the QUERY range — compile.go:1325;
+    // e2e server_test.go:4358 emits empty buckets up to the WHERE upper
+    // bound), else footer-stats extent. AND-connected time conds only;
+    // OR trees get the in-plan data-derived spine. tz() shifts the
+    // bucket axis, so absolute bounds don't apply there.
+    def timeBoundsUs(w: WExpr): (Option[Long], Option[Long]) =
+      w match {
+        case WCond(c) if c.field.equalsIgnoreCase("time") =>
+          val vUs: Option[Long] = c.v match {
+            case CInt(l) => Some(Math.floorDiv(l, 1000L))
+            case CNum(v) => Some((v / 1000.0).toLong)
+            case CStr(s) => Some(parseTimeUtc(s))
+            case CDur(nsv) => Some(nsv / 1000L)
+            case CNow(d) =>
+              Some(System.currentTimeMillis() * 1000L + d / 1000L)
+            case _ => None
+          }
+          c.op match {
+            case ">=" => (vUs, None)
+            case ">" => (vUs.map(_ + 1), None)
+            case "<=" => (None, vUs)
+            case "<" => (None, vUs.map(_ - 1))
+            case "=" => (vUs, vUs)
+            case _ => (None, None)
+          }
+        case WAnd(l, r) =>
+          val (ll, lh) = timeBoundsUs(l)
+          val (rl, rh) = timeBoundsUs(r)
+          ((ll ++ rl).reduceOption(_ max _),
+            (lh ++ rh).reduceOption(_ min _))
+        case _ => (None, None)
+      }
+    lazy val spineBoundsMs: Option[(Long, Long)] =
+      if (q.tz.isDefined) None
+      else {
+        val (wLoUs, wHiUs) = q.where.map(timeBoundsUs)
+          .getOrElse((None, None))
+        val ext = if (q.where.isEmpty) m.extentMs else None
+        val lo = wLoUs.map(Math.floorDiv(_, 1000L)).orElse(ext.map(_._1))
+        val hi = wHiUs.map(Math.floorDiv(_, 1000L)).orElse(ext.map(_._2))
+        for (l <- lo; h <- hi) yield (l, h)
+      }
+
     var out: DataFrame =
       if (analytics.nonEmpty) {
         q.intervalNs match {
@@ -2110,14 +2460,17 @@ object InfluxQL {
                   df.filter(col(a.inner.field).isNotNull)
                 else df
               var b = src.withColumn("wstart_ms", unix_millis(col(m.time)))
+              if (nsTime) b = b.withColumn("__tns", col("time"))
               b = applyAnalytic(b, a, a.inner.field, m.time)
               a.alias.foreach(al =>
                 b = b.withColumnRenamed(analyticOutCol(a), al))
-              b.select((col("wstart_ms") +: groupTags.map(col)) :+
-                col(name): _*)
+              b.select((col("wstart_ms") +:
+                (if (nsTime) Seq(col("__tns")) else Nil)) ++
+                groupTags.map(col) :+ col(name): _*)
             }
-            parts.reduce((x, y) =>
-              x.join(y, ("wstart_ms" +: groupTags).toSeq, "full_outer"))
+            val joinKeys = ("wstart_ms" +:
+              (if (nsTime) Seq("__tns") else Nil)) ++ groupTags
+            parts.reduce((x, y) => x.join(y, joinKeys, "full_outer"))
         }
       } else if (calls.exists(c => c.fn == "top" || c.fn == "bottom")) {
         // top/bottom selectors: n extreme rows per series, keeping time
@@ -2153,7 +2506,7 @@ object InfluxQL {
             bottom = c.fn == "bottom")
         val starCompanions: Seq[Column] =
           df.columns.filterNot(cc => cc == m.time || cc == "time")
-            .filterNot(_.startsWith("__ds_"))
+            .filterNot(_.startsWith("__"))
             .filterNot(groupTags.contains).sorted.map(col).toSeq
         val companions = expandedProjs.flatMap {
           case PField(f) if f != "time" =>
@@ -2249,13 +2602,15 @@ object InfluxQL {
         }
         based.filter(fv.isNotNull)
           .groupBy((col("wstart_ms") +: groupTags.map(col)) :+
-            fv.as("distinct"): _*)
+            fv.as(c.alias.getOrElse("distinct")): _*)
           .agg(min(unix_micros(col(m.time))).as("__ord"))
-      } else if (calls.size == 1 &&
+      } else if (calls.size == 1 && analytics.isEmpty &&
+          calls.head.argExpr.isEmpty &&
           exprs.forall(e => callsIn(e.e).isEmpty) &&
-          (plain.exists(_ != "time") || exprs.nonEmpty ||
-            expandedProjs.contains(PStar)) &&
-          Set("max", "min", "first", "last")(calls.head.fn)) {
+          (calls.head.fn == "percentile" ||
+            (Set("max", "min", "first", "last")(calls.head.fn) &&
+              (plain.exists(_ != "time") || exprs.nonEmpty ||
+                expandedProjs.contains(PStar) || q.intervalNs.isEmpty)))) {
         // Selector + companion ("aux") fields: one output row per group —
         // the row the selector PICKS — with bare-field projections taken
         // from that same row (the reference's aux-column selector
@@ -2266,13 +2621,27 @@ object InfluxQL {
         // row_number window per (bucket, tags) — a single shuffle, no
         // self-join.
         val c = calls.head
+        // a selector over the TIME pseudo-field picks by time and
+        // renders the picked time as epoch ns (server_test.go:4358
+        // "last(time)"); its companions are null UNGRIDDED (the
+        // reference's aux machinery has no row for a pseudo-field) but
+        // real per bucket
+        val timeField = c.field.equalsIgnoreCase("time")
+        val valueCol: Column =
+          if (timeField) unix_micros(col(m.time)) * 1000L
+          else col(c.field)
         val ord: Seq[Column] = c.fn match {
-          case "max" => Seq(col(c.field).desc, col(m.time).asc)
-          case "min" => Seq(col(c.field).asc, col(m.time).asc)
+          case "max" => Seq(valueCol.desc, col(m.time).asc)
+          case "min" => Seq(valueCol.asc, col(m.time).asc)
           case "first" => Seq(col(m.time).asc)
           case "last" => Seq(col(m.time).desc)
+          // percentile is a SELECTOR in InfluxQL: the row at the sorted
+          // index carries its own time and aux columns
+          // (server_test.go:4358 "percentile(v1, 50),*")
+          case "percentile" => Seq(valueCol.asc, col(m.time).asc)
         }
-        val base0 = df.filter(col(c.field).isNotNull)
+        val base0 =
+          if (timeField) df else df.filter(col(c.field).isNotNull)
         val based = q.intervalNs match {
           case Some(ns) =>
             // identical arithmetic bucket to WindowedAgg.timeBucket
@@ -2290,31 +2659,74 @@ object InfluxQL {
         val w =
           if (partCols.isEmpty) Window.partitionBy(lit(1)).orderBy(ord: _*)
           else Window.partitionBy(partCols: _*).orderBy(ord: _*)
-        val picked = based.withColumn("_rn", row_number().over(w))
-          .filter(col("_rn") === 1).drop("_rn")
+        val picked = c.fn match {
+          case "percentile" =>
+            // the row at the reference's sorted index:
+            // clamp(floor(n·p/100 + 0.5), 1, n) (agg_func.go:649)
+            val n0 = count(lit(1)).over(
+              if (partCols.isEmpty) Window.partitionBy(lit(1))
+              else Window.partitionBy(partCols: _*))
+            val pIdx = greatest(lit(1), least(n0, floor(
+              n0 * lit(c.extra.getOrElse(50.0)) / 100.0 + 0.5)
+              .cast("bigint")))
+            based.withColumn("_rn", row_number().over(w))
+              .withColumn("_pidx", pIdx)
+              .filter(col("_rn") === col("_pidx")).drop("_rn", "_pidx")
+          case _ =>
+            based.withColumn("_rn", row_number().over(w))
+              .filter(col("_rn") === 1).drop("_rn")
+        }
         val callAlias = aliasNames(Seq(c)).head
         // companions: bare fields, `*` (every non-group column of the
         // picked row, name order — server_test.go:4358 "min(v1),*"), and
         // call-free scalar expressions evaluated ON the picked row
         // ("max(age), age - height AS value")
+        // replicated quirk: ungridded last(time) carries NULL aux values
+        // while first(time) carries the picked row's (server_test.go
+        // Complex_Aggregate "first(time),* group by *" vs "last(time),*")
+        val nullCompanions =
+          timeField && q.intervalNs.isEmpty && c.fn == "last"
+        def comp(cc: Column): Column =
+          if (nullCompanions) lit(null) else cc
         val starCompanions: Seq[Column] =
           df.columns.filterNot(cc => cc == m.time || cc == "time")
-            .filterNot(_.startsWith("__ds_"))
-            .filterNot(groupTags.contains).sorted.map(col).toSeq
+            .filterNot(_.startsWith("__"))
+            .filterNot(groupTags.contains).sorted
+            .map(cc => comp(col(cc)).as(cc)).toSeq
         val outCols = Seq(col("wstart_ms")) ++ groupTags.map(col) ++
           expandedProjs.flatMap {
             case PField(f) if f != "time" =>
-              Seq((if (df.columns.contains(f)) col(f)
+              Seq((if (df.columns.contains(f)) comp(col(f))
                    else lit(null).cast("double")).as(f))
-            case _: PCall => Seq(col(c.field).as(callAlias))
+            case _: PCall => Seq(valueCol.as(callAlias))
             case PStar => starCompanions
             case e: PExpr =>
-              Seq(evalExpr(e.e, _ =>
-                sys.error("selector companion cannot nest calls"))
+              Seq(comp(evalExpr(e.e, _ =>
+                sys.error("selector companion cannot nest calls")))
                 .as(e.alias))
             case _ => Nil
           }
-        picked.select(outCols: _*)
+        val sel0 = picked.select(outCols: _*)
+        // GROUP BY time() default fill(null): the picked rows join the
+        // same bucket spine the aggregate path fills
+        // (server_test.go:4358 "first(v4),* group by time, *" emits
+        // all-null buckets)
+        (q.intervalNs, q.fill) match {
+          case (Some(ns), FillNull) =>
+            spineBoundsMs match {
+              case Some((bLo, bHi)) =>
+                val step = ns / 1000000
+                val off = q.intervalOffsetNs.getOrElse(0L) / 1000000
+                val lo = Math.floorDiv(bLo - off, step) * step + off
+                val hi = Math.floorDiv(bHi - off, step) * step + off + step
+                val vcols = sel0.columns
+                  .filterNot(cc => cc == "wstart_ms" ||
+                    groupTags.contains(cc))
+                Fill.fillValue(sel0, vcols.toSeq, groupTags, lo, hi, step)
+              case None => sel0
+            }
+          case _ => sel0
+        }
       } else if (calls.nonEmpty || exprCalls.nonEmpty) {
         // a non-selector aggregate cannot combine with bare field refs —
         // the reference's compile error (`query/compile.go`; e2e
@@ -2364,53 +2776,7 @@ object InfluxQL {
                 val step = ns / 1000000
                 val names = bucketed.columns
                   .filterNot(c => c == "wstart_ms" || groupTags.contains(c))
-                // Spine bounds, best first: explicit WHERE time range (the
-                // reference's fill spine covers the QUERY range —
-                // compile.go:1325; e2e server_test.go:4358 emits empty
-                // buckets up to the WHERE upper bound), else footer-stats
-                // extent. AND-connected time conds only; OR trees get the
-                // in-plan data-derived spine. tz() shifts the bucket axis,
-                // so absolute bounds don't apply there.
-                def timeBoundsUs(w: WExpr): (Option[Long], Option[Long]) =
-                  w match {
-                    case WCond(c) if c.field.equalsIgnoreCase("time") =>
-                      val vUs: Option[Long] = c.v match {
-                        case CInt(l) => Some(Math.floorDiv(l, 1000L))
-                        case CNum(v) => Some((v / 1000.0).toLong)
-                        case CStr(s) => Some(parseTimeUtc(s))
-                        case CDur(nsv) => Some(nsv / 1000L)
-                        case CNow(d) =>
-                          Some(System.currentTimeMillis() * 1000L + d / 1000L)
-                        case _ => None
-                      }
-                      c.op match {
-                        case ">=" => (vUs, None)
-                        case ">" => (vUs.map(_ + 1), None)
-                        case "<=" => (None, vUs)
-                        case "<" => (None, vUs.map(_ - 1))
-                        case "=" => (vUs, vUs)
-                        case _ => (None, None)
-                      }
-                    case WAnd(l, r) =>
-                      val (ll, lh) = timeBoundsUs(l)
-                      val (rl, rh) = timeBoundsUs(r)
-                      ((ll ++ rl).reduceOption(_ max _),
-                        (lh ++ rh).reduceOption(_ min _))
-                    case _ => (None, None)
-                  }
-                val (wLoUs, wHiUs) = q.where.map(timeBoundsUs)
-                  .getOrElse((None, None))
-                val staticBounds: Option[(Long, Long)] =
-                  if (q.tz.isDefined) None
-                  else {
-                    val ext = if (q.where.isEmpty) m.extentMs else None
-                    val lo = wLoUs.map(Math.floorDiv(_, 1000L))
-                      .orElse(ext.map(_._1))
-                    val hi = wHiUs.map(Math.floorDiv(_, 1000L))
-                      .orElse(ext.map(_._2))
-                    for (l <- lo; h <- hi) yield (l, h)
-                  }
-                val filled = staticBounds match {
+                val filled = spineBoundsMs match {
                   case Some((bLo, bHi)) =>
                     val off = q.intervalOffsetNs.getOrElse(0L) / 1000000
                     val lo = Math.floorDiv(bLo - off, step) * step + off
@@ -2426,17 +2792,33 @@ object InfluxQL {
                         groupTags, lo, hi, step)
                       case FillNone => bucketed
                     }
-                  case None => mode match {
-                    case FillNull => Fill.fillValueAuto(bucketed, names.toSeq,
-                      groupTags, step)
-                    case FillValue(v) => Fill.fillValueAuto(bucketed,
-                      names.toSeq, groupTags, step, Some(v))
-                    case FillPrevious => Fill.fillPreviousAuto(bucketed,
-                      names.toSeq, groupTags, step)
-                    case FillLinear => Fill.fillLinearAuto(bucketed,
-                      names.head, groupTags, step)
-                    case FillNone => bucketed
-                  }
+                  case None =>
+                    // no static lower bound — data-derived spine, but the
+                    // UPPER bound still extends to the WHERE hi or now()
+                    // (the reference's unbounded fill range ends at now;
+                    // tz() axes keep pure data bounds)
+                    val hiOv: Option[Long] =
+                      if (q.tz.isDefined) None
+                      else {
+                        val (_, wHiUs) = q.where.map(timeBoundsUs)
+                          .getOrElse((None, None))
+                        val hiMs = wHiUs.map(Math.floorDiv(_, 1000L))
+                          .getOrElse(System.currentTimeMillis())
+                        val off = q.intervalOffsetNs.getOrElse(0L) / 1000000
+                        Some(Math.floorDiv(hiMs - off, step) * step + off)
+                      }
+                    mode match {
+                      case FillNull => Fill.fillValueAuto(bucketed,
+                        names.toSeq, groupTags, step, hiOverrideMs = hiOv)
+                      case FillValue(v) => Fill.fillValueAuto(bucketed,
+                        names.toSeq, groupTags, step, Some(v),
+                        hiOverrideMs = hiOv)
+                      case FillPrevious => Fill.fillPreviousAuto(bucketed,
+                        names.toSeq, groupTags, step, hiOverrideMs = hiOv)
+                      case FillLinear => Fill.fillLinearAuto(bucketed,
+                        names.head, groupTags, step, hiOverrideMs = hiOv)
+                      case FillNone => bucketed
+                    }
                 }
                 // count over an empty bucket renders 0, not null — the
                 // reference's count iterator emits 0 for a spine bucket
@@ -2477,7 +2859,7 @@ object InfluxQL {
             // "baseline" expects [core, cores, host, region, rx, tx] —
             // tags and fields interleaved alphabetically)
             val base = df.columns.filterNot(c => c == m.time || c == "time")
-              .filterNot(_.startsWith("__ds_"))
+              .filterNot(_.startsWith("__"))
               .filterNot(groupTags.contains).sorted
             val wanted = base.filter { c =>
               val isTag = mEff.tags.contains(c)
@@ -2487,9 +2869,12 @@ object InfluxQL {
             (wanted ++ plain.filterNot(wanted.contains)).map(fieldCol).toSeq
           } else if (plain.isEmpty && exprs.nonEmpty && !hasStar)
             Seq.empty
+          else if (hasStar && joinStarFields.nonEmpty)
+            // star over a JOIN = the qualified two-sided field set
+            joinStarFields.sorted.map(fieldCol).toSeq
           else if (plain.isEmpty || hasStar)
             df.columns.filterNot(c => c == m.time || c == "time")
-              .filterNot(_.startsWith("__ds_"))
+              .filterNot(_.startsWith("__"))
               .filterNot(groupTags.contains).sorted.map(col).toSeq
           else plain.map(f =>
             // schema-on-read: an unknown field projects as null (the
@@ -2500,17 +2885,34 @@ object InfluxQL {
             // also the reference's behavior
             if (df.columns.contains(f)) fieldCol(f)
             else lit(null).cast("double").as(f))
-        val sel = (Seq(unix_millis(col(m.time)).as("wstart_ms")) ++
+        val sel = (Seq(unix_millis(col(mEff.time)).as("wstart_ms")) ++
+          (if (nsTime) Seq(col("time").as("__tns")) else Nil) ++
+          (if (df.columns.contains("__ord")) Seq(col("__ord")) else Nil) ++
           groupTags.map(col) ++
           exprs.map(p => evalExpr(p.e,
             c => sys.error("call in raw projection")).as(p.alias)) ++
           fieldCols)
         val projected = df.select(sel: _*)
         // blank-row rule: a row where every projected field is null is not
-        // emitted (filter_blank_transfrom.go, e2e server_test.go:3895)
+        // emitted (filter_blank_transfrom.go, e2e server_test.go:3895).
+        // Constant projections are NOT fields: a select of only literals
+        // emits nothing (server_test.go:14129 "'table1' as 'name'" alone
+        // → bare statement)
+        def exprHasVar(x: Expr): Boolean = x match {
+          case EField(_) | ECall(_) => true
+          case EBin(_, l2, r2) => exprHasVar(l2) || exprHasVar(r2)
+          case EMath(_, args) => args.exists(exprHasVar)
+          case ECast(x2, _) => exprHasVar(x2)
+          case _ => false
+        }
+        val constCols = exprs.filterNot(p2 => exprHasVar(p2.e))
+          .map(_.alias).toSet
         val blankable = projected.columns
-          .filterNot(c => c == "wstart_ms" || groupTags.contains(c))
-        if (blankable.isEmpty) projected
+          .filterNot(c => c == "wstart_ms" || c.startsWith("__") ||
+            groupTags.contains(c) || constCols.contains(c))
+        if (blankable.isEmpty && constCols.nonEmpty)
+          projected.filter(lit(false))
+        else if (blankable.isEmpty) projected
         // isNotNull-OR, not coalesce: coalesce unifies the field types,
         // and a mixed STRING/DOUBLE projection (msg, code) would force
         // an ANSI string→double cast that throws on real data
@@ -2541,10 +2943,24 @@ object InfluxQL {
       case None => ()
     }
     // `__ord` is a hidden in-bucket order hint (distinct first-seen
-    // order) — consumed by the sort, never rendered
+    // order) — consumed by the sort, never rendered; `__tns` breaks
+    // sub-ms ties on the ns axis (kept — the gateway renders from it)
     val ordHint =
       if (out.columns.contains("__ord")) Seq(col("__ord")) else Nil
-    out.orderBy(((groupTags.map(col) :+ timeOrd) ++ ordHint): _*)
+    // JOIN results keep the join's emission order within a series —
+    // the reference does NOT re-sort them on time (Join_Table table3
+    // exp interleaves 00:00/00:10)
+    val joinOrdered = out.schema.fields.exists(f =>
+      f.name == "__ord" &&
+        f.dataType == org.apache.spark.sql.types.StringType)
+    val nsHint =
+      if (out.columns.contains("__tns"))
+        Seq(if (q.orderDesc) col("__tns").desc else col("__tns").asc)
+      else Nil
+    (if (joinOrdered)
+       out.orderBy((groupTags.map(col) ++ ordHint): _*)
+     else out.orderBy(((groupTags.map(col) :+ timeOrd) ++ nsHint ++
+       ordHint): _*))
       .drop("__ord")
   }
 }

@@ -2458,11 +2458,44 @@ final class HttpGateway(spark: SparkSession,
           val cat =
             if (stmt.trim.toLowerCase.startsWith("show")) reqCat(showDb(stmt))
             else reqCat()
-          val (name, tags, df0) = InfluxQL.executeShaped(cat, stmt)
-          // the engine's `time` output is epoch ms (LONG); epoch=/RFC3339
-          // rendering happens on TIMESTAMP values at the HTTP edge, so
-          // lift it back to a timestamp before shaping
-          val df = df0.schema.find(_.name == "time").map(_.dataType) match {
+          val (name, tags, df0, desc) =
+            InfluxQL.executeShapedOrd(cat, stmt)
+          // the engine's `time` output is epoch ms (LONG) — or the exact
+          // epoch-ns `__tns` axis for raw rows off an LP-ingested frame;
+          // epoch=/RFC3339 rendering happens at the HTTP edge
+          val timeNs = df0.columns.contains("__tns")
+          val df =
+            if (timeNs)
+              df0.withColumn("time",
+                org.apache.spark.sql.functions.col("__tns")).drop("__tns")
+            else df0.schema.find(_.name == "time").map(_.dataType) match {
+              case Some(org.apache.spark.sql.types.LongType) |
+                   Some(org.apache.spark.sql.types.IntegerType) =>
+                df0.withColumn("time",
+                  org.apache.spark.sql.functions.timestamp_millis(
+                    org.apache.spark.sql.functions.col("time")))
+              case _ => df0
+            }
+          val valueCols = HttpGateway.shapedValueCols(df.columns.toIndexedSeq, tags)
+          // non-chunked responses are bounded by http.max-row-limit
+          // (config.go:37) — over-limit series are truncated and marked
+          // partial; use chunked=true to stream past the limit
+          ResultShaper.toResultObj(df, name, tags, valueCols, epoch, id,
+            maxRowLimit, timeNs = timeNs, seriesDesc = desc)
+        }
+
+      if (p.get("chunked").contains("true")) {
+        // chunked emission is per-series-batch within ONE statement
+        require(statements.size == 1,
+          "chunked=true supports a single statement")
+        val (name, tags, df0, desc) =
+          InfluxQL.executeShapedOrd(reqCat(), statements.head)
+        val timeNs = df0.columns.contains("__tns")
+        val df =
+          if (timeNs)
+            df0.withColumn("time",
+              org.apache.spark.sql.functions.col("__tns")).drop("__tns")
+          else df0.schema.find(_.name == "time").map(_.dataType) match {
             case Some(org.apache.spark.sql.types.LongType) |
                  Some(org.apache.spark.sql.types.IntegerType) =>
               df0.withColumn("time",
@@ -2470,27 +2503,6 @@ final class HttpGateway(spark: SparkSession,
                   org.apache.spark.sql.functions.col("time")))
             case _ => df0
           }
-          val valueCols = HttpGateway.shapedValueCols(df.columns.toIndexedSeq, tags)
-          // non-chunked responses are bounded by http.max-row-limit
-          // (config.go:37) — over-limit series are truncated and marked
-          // partial; use chunked=true to stream past the limit
-          ResultShaper.toResultObj(df, name, tags, valueCols, epoch, id,
-            maxRowLimit)
-        }
-
-      if (p.get("chunked").contains("true")) {
-        // chunked emission is per-series-batch within ONE statement
-        require(statements.size == 1,
-          "chunked=true supports a single statement")
-        val (name, tags, df0) = InfluxQL.executeShaped(reqCat(), statements.head)
-        val df = df0.schema.find(_.name == "time").map(_.dataType) match {
-          case Some(org.apache.spark.sql.types.LongType) |
-               Some(org.apache.spark.sql.types.IntegerType) =>
-            df0.withColumn("time",
-              org.apache.spark.sql.functions.timestamp_millis(
-                org.apache.spark.sql.functions.col("time")))
-          case _ => df0
-        }
         val valueCols = HttpGateway.shapedValueCols(df.columns.toIndexedSeq, tags)
         val n = p.get("chunk_size").map(_.toInt).getOrElse(10000)
         // stream chunk documents as they come off toLocalIterator —
@@ -2499,7 +2511,8 @@ final class HttpGateway(spark: SparkSession,
         // httpsender streams the same way); chunked responses are
         // exempt from max-row-limit like the reference's
         val lines = ResultShaper.streamSeriesJsonChunked(
-          df, name, tags, valueCols, n, epoch)
+          df, name, tags, valueCols, n, epoch, timeNs = timeNs,
+          seriesDesc = desc)
         if (rq.status == "killed")
           sys.error(s"query ${rq.qid} was killed")
         ex.getResponseHeaders.set("Content-Type", "application/json")
@@ -2642,10 +2655,11 @@ final class HttpGateway(spark: SparkSession,
         persistBatch(key, tbl, tagKeys)
         val merged = catalog.get(key) match {
           case Some(prev) => InfluxQL.Measurement(
-            maybeCompact(key,
-              prev.df.unionByName(tbl, allowMissingColumns = true)),
+            maybeCompact(key, HttpGateway.mergePoints(
+              prev.df, tbl, (prev.tags ++ tagKeys).distinct)),
             (prev.tags ++ tagKeys).distinct, prev.time)
-          case None => InfluxQL.Measurement(tbl, tagKeys, "ts")
+          case None => InfluxQL.Measurement(
+            HttpGateway.mergeBatch(tbl, tagKeys), tagKeys, "ts")
         }
         catalog = catalog + (key -> merged)
       }
@@ -3913,4 +3927,51 @@ object HttpGateway {
   def shapedValueCols(cols: Seq[String], tags: Seq[String]): Seq[String] =
     (if (cols.contains("time")) Seq("time") else Nil) ++
       cols.filterNot(c => tags.contains(c) || c == "time")
+
+  /** InfluxDB point identity: one row per (series, ns-timestamp). A
+    * later write to the same point MERGES field-by-field, last write
+    * winning per field (the reference's storage dedups on read —
+    * `tsreader/iterator.go` newest-wins; e2e Where_Fields writes
+    * alert_id and tenant_id as separate lines at one ns and reads ONE
+    * row). At cluster scale this is the LSM compaction's job; the
+    * resident gateway frames stay canonical by merging at write time,
+    * so every read path gets point semantics for free. */
+  private[server] def mergePoints(prev: org.apache.spark.sql.DataFrame,
+                                  fresh: org.apache.spark.sql.DataFrame,
+                                  tagKeys: Seq[String])
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    // prev is already one-row-per-point; any fresh row outranks it
+    val all = prev.withColumn("__ds_seq", lit(0L)).unionByName(
+      fresh.withColumn("__ds_seq", monotonically_increasing_id() + 1),
+      allowMissingColumns = true)
+    dedupPoints(all, tagKeys)
+  }
+
+  /** [[mergePoints]] for a single batch (line order = write order). */
+  private[server] def mergeBatch(tbl: org.apache.spark.sql.DataFrame,
+                                 tagKeys: Seq[String])
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    dedupPoints(tbl.withColumn("__ds_seq", monotonically_increasing_id()),
+      tagKeys)
+  }
+
+  private def dedupPoints(all: org.apache.spark.sql.DataFrame,
+                          tagKeys: Seq[String])
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val keys = tagKeys :+ "time"
+    val fields = all.columns
+      .filterNot(c => keys.contains(c) || c == "ts" || c == "__ds_seq")
+    if (fields.isEmpty)
+      return all.dropDuplicates(keys).drop("__ds_seq")
+    val aggs = fields.map(f =>
+      max_by(col(f), when(col(f).isNotNull, col("__ds_seq"))).as(f))
+    val merged = all.groupBy(keys.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("ts", timestamp_micros(expr("time div 1000")))
+    // restore the ingest column order (tags, fields, time, ts)
+    merged.select((tagKeys ++ fields ++ Seq("time", "ts")).map(col): _*)
+  }
 }

@@ -13,6 +13,12 @@ import org.apache.spark.sql.functions._
   * endpoint too. Epoch precision conversion happens here (reference:
   * epoch arg at the HTTP layer, `tests/server_test.go:1515`). */
 object ResultShaper {
+  /** `col` that backtick-quotes dotted names (join outputs project
+    * literal `table1.value` columns — a bare col() would parse the dot
+    * as struct access). */
+  private def qcol(c: String) =
+    if (c.contains(".")) col(s"`$c`") else col(c)
+
 
   /** HTTP `epoch=` parameter → timestamp scaling (reference accepts
     * h/m/s/ms/u/ns, `tests/server_test.go:1515`). Timestamps are µs
@@ -29,6 +35,41 @@ object ResultShaper {
       case "ns" => us * 1000L
       case p => sys.error(s"bad epoch precision: $p")
     }
+  }
+
+  /** Go time.RFC3339Nano rendering: fractional seconds only when
+    * nonzero, TRAILING ZEROS TRIMMED (".1Z" not ".100Z" —
+    * HashJoin_Table sub-ms expectations). */
+  private[sources] def goRfc3339(epochSec: Long, nanos: Long): String = {
+    val base = java.time.format.DateTimeFormatter.ISO_INSTANT.format(
+      java.time.Instant.ofEpochSecond(epochSec, 0))
+    if (nanos == 0) base
+    else {
+      val frac = f"$nanos%09d".reverse.dropWhile(_ == '0').reverse
+      base.stripSuffix("Z") + "." + frac + "Z"
+    }
+  }
+
+  /** Epoch-NANOSECOND time cell (the executor's `__tns` ns axis —
+    * sub-µs timestamps survive to the JSON edge: Where_Fields /
+    * ExactTimeRange expectations carry full ns). */
+  private def jsonNsTime(v: Any, epoch: String): String = v match {
+    case null => "null"
+    case ns: java.lang.Long =>
+      val n = ns.longValue()
+      epoch match {
+        case "rfc3339" =>
+          "\"" + goRfc3339(Math.floorDiv(n, 1000000000L),
+            Math.floorMod(n, 1000000000L)) + "\""
+        case "h" => Math.floorDiv(n, 3600000000000L).toString
+        case "m" => Math.floorDiv(n, 60000000000L).toString
+        case "s" => Math.floorDiv(n, 1000000000L).toString
+        case "ms" => Math.floorDiv(n, 1000000L).toString
+        case "u" | "µ" => Math.floorDiv(n, 1000L).toString
+        case "ns" => n.toString
+        case p => sys.error(s"bad epoch precision: $p")
+      }
+    case other => jsonScalar(other, epoch)
   }
 
   /** Go `encoding/json` float64 rendering (`encode.go` floatEncoder):
@@ -89,11 +130,10 @@ object ResultShaper {
     case b: Boolean => b.toString
     case ts: java.sql.Timestamp if epoch == "rfc3339" =>
       // the reference's DEFAULT time rendering (no epoch= param):
-      // RFC3339 UTC, sub-second digits only when nonzero
-      // (`httpd/response_writer.go` time.RFC3339Nano)
-      val inst = java.time.Instant.ofEpochSecond(
-        Math.floorDiv(ts.getTime, 1000L), ts.getNanos.toLong)
-      "\"" + java.time.format.DateTimeFormatter.ISO_INSTANT.format(inst) + "\""
+      // RFC3339 UTC, sub-second digits only when nonzero, trailing
+      // zeros trimmed (`httpd/response_writer.go` time.RFC3339Nano)
+      "\"" + goRfc3339(Math.floorDiv(ts.getTime, 1000L),
+        ts.getNanos.toLong) + "\""
     case ts: java.sql.Timestamp => epochOf(ts, epoch).toString
     case d: java.sql.Date => "\"" + d.toString + "\""
     // array cells render as JSON arrays (SHOW SUBSCRIPTIONS destinations —
@@ -128,17 +168,20 @@ object ResultShaper {
   def streamSeriesJsonChunked(df: DataFrame, name: String,
                               tagCols: Seq[String], valueCols: Seq[String],
                               chunkSize: Int,
-                              epoch: String = "ms"): Iterator[String] = {
+                              epoch: String = "ms",
+                              timeNs: Boolean = false,
+                              seriesDesc: Boolean = false)
+      : Iterator[String] = {
     import scala.jdk.CollectionConverters._
     val projected =
-      if (tagCols.isEmpty) df.select(valueCols.map(col): _*)
-      else df
-        .withColumn("__row", monotonically_increasing_id())
-        .orderBy(
-          array(tagCols.map(c =>
-            coalesce(col(c).cast("string"), lit("null"))): _*).asc,
-          col("__row").asc)
-        .select((tagCols ++ valueCols).map(col): _*)
+      if (tagCols.isEmpty) df.select(valueCols.map(qcol): _*)
+      else {
+        val key = array(tagCols.map(c =>
+          coalesce(col(c).cast("string"), lit(""))): _*)
+        df.withColumn("__row", monotonically_increasing_id())
+          .orderBy(if (seriesDesc) key.desc else key.asc, col("__row").asc)
+          .select((tagCols ++ valueCols).map(qcol): _*)
+      }
     val rows = projected.toLocalIterator().asScala.buffered
     new Iterator[String] {
       def hasNext: Boolean = rows.hasNext
@@ -154,7 +197,7 @@ object ResultShaper {
         val partial = rows.hasNext &&
           tagCols.map(t => rows.head.getAs[Any](t)) == key
         seriesDoc(name, tagCols, key, valueCols, chunk.result(),
-          epoch, partial)
+          epoch, partial, timeNs)
       }
     }
   }
@@ -166,16 +209,21 @@ object ResultShaper {
   private def tagsField(tagCols: Seq[String], tagVals: Seq[Any]): String =
     if (tagCols.isEmpty) ""
     else tagCols.zip(tagVals)
-      .map { case (k, v) => s"${jsonScalar(k)}:${jsonScalar(v)}" }
+      // a null GROUP BY tag renders as the EMPTY string (the reference
+      // keys absent tags as "" — server_test.go "tags":{"country":""})
+      .map { case (k, v) =>
+        s"${jsonScalar(k)}:${if (v == null) "\"\"" else jsonScalar(v)}" }
       .mkString(""","tags":{""", ",", "}")
 
   private def seriesDoc(name: String, tagCols: Seq[String],
                         tagVals: Seq[Any], valueCols: Seq[String],
                         rs: Seq[Row], epoch: String,
-                        partial: Boolean): String = {
+                        partial: Boolean,
+                        timeNs: Boolean = false): String = {
     val columns = valueCols.map(c => jsonScalar(c)).mkString("[", ",", "]")
     val values = rs.map(r => valueCols
-      .map(c => jsonScalar(r.getAs[Any](c), epoch))
+      .map(c => if (timeNs && c == "time") jsonNsTime(r.getAs[Any](c), epoch)
+                else jsonScalar(r.getAs[Any](c), epoch))
       .mkString("[", ",", "]")).mkString("[", ",", "]")
     val p = if (partial) ""","partial":true""" else ""
     s"""{"results":[{"statement_id":0,"series":[{"name":${
@@ -203,12 +251,19 @@ object ResultShaper {
   def toResultObj(df: DataFrame, name: String, tagCols: Seq[String],
                   valueCols: Seq[String], epoch: String = "ms",
                   statementId: Int = 0,
-                  maxRows: Int = Int.MaxValue): String = {
+                  maxRows: Int = Int.MaxValue,
+                  timeNs: Boolean = false,
+                  seriesDesc: Boolean = false): String = {
     val capped =
       if (maxRows == Int.MaxValue) df else df.limit(maxRows + 1)
-    val rows = capped.select((tagCols ++ valueCols).map(col): _*).collect()
-    val grouped = rows.groupBy(r => tagCols.map(t => r.getAs[Any](t)))
-      .toSeq.sortBy(_._1.map(String.valueOf).mkString(","))
+    val rows = capped.select((tagCols ++ valueCols).map(qcol): _*).collect()
+    val grouped0 = rows.groupBy(r => tagCols.map(t => r.getAs[Any](t)))
+      // null tags key as "" (they render as "") and sort FIRST; ORDER BY
+      // time DESC reverses the series order too (the reference emits
+      // series in the statement's direction)
+      .toSeq.sortBy(_._1.map(v =>
+        if (v == null) "" else String.valueOf(v)).mkString(","))
+    val grouped = if (seriesDesc) grouped0.reverse else grouped0
     var emitted = 0
     val keptSeries = grouped.iterator
       .takeWhile(_ => emitted < maxRows)
@@ -229,11 +284,17 @@ object ResultShaper {
         val partial = cut || (dropped && i == keptSeries.length - 1)
         val columns = valueCols.map(c => jsonScalar(c)).mkString("[", ",", "]")
         val values = kept.map(r => valueCols
-          .map(c => jsonScalar(r.getAs[Any](c), epoch))
+          .map(c =>
+            if (timeNs && c == "time") jsonNsTime(r.getAs[Any](c), epoch)
+            else jsonScalar(r.getAs[Any](c), epoch))
           .mkString("[", ",", "]")).mkString("[", ",", "]")
         val p = if (partial) ""","partial":true""" else ""
         s"""{"name":${jsonScalar(name)}${tagsField(tagCols, tagVals)},"columns":$columns,"values":$values$p}"""
       }.mkString("[", ",", "]")
-    s"""{"statement_id":$statementId,"series":$series}"""
+    // zero matching rows: the reference emits a bare statement object —
+    // no "series" key at all (models.Row slice nil, json omitempty;
+    // e2e Where_Fields "no match" → {"results":[{"statement_id":0}]})
+    if (keptSeries.isEmpty) s"""{"statement_id":$statementId}"""
+    else s"""{"statement_id":$statementId,"series":$series}"""
   }
 }

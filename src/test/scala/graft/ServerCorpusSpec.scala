@@ -32,6 +32,7 @@ class ServerCorpusSpec extends SparkSpec {
                             params: Map[String, String], exp: String)
   private case class CWrite(db: String, rp: String, data: String)
   private case class CFunc(func: String, line: Int, db: String, rp: String,
+                           precreate: Seq[String],
                            writes: Seq[CWrite], queries: Seq[CQuery])
 
   private lazy val corpus: Seq[CFunc] = {
@@ -46,6 +47,10 @@ class ServerCorpusSpec extends SparkSpec {
       val JArray(qs) = (it \ "queries").asInstanceOf[JArray]
       CFunc(str("func"), (it \ "line").asInstanceOf[JInt].num.toInt,
         str("db"), str("rp"),
+        (it \ "precreate") match {
+          case JArray(ps) => ps.map(_.asInstanceOf[JString].s)
+          case _ => Nil
+        },
         ws.map(w => CWrite((w \ "db").asInstanceOf[JString].s,
           (w \ "rp").asInstanceOf[JString].s,
           (w \ "data").asInstanceOf[JString].s)),
@@ -104,6 +109,12 @@ class ServerCorpusSpec extends SparkSpec {
     val g = new HttpGateway(spark, Map.empty, Map.empty)
     g.start()
     try {
+      // suite loaders that call s.CreateDatabase(db) before queries
+      // (e.g. retention_policy_commands)
+      f.precreate.foreach { db =>
+        assert(ask(g, s"CREATE DATABASE $db").statusCode() == 200,
+          s"${f.func}: precreate $db")
+      }
       // the reference's writeTestData: CreateDatabaseAndRetentionPolicy
       // (db, rp{duration 0 = infinite, replica 1}, makeDefault=true)
       val dbs = f.writes.map(w => (w.db, w.rp)).distinct

@@ -463,7 +463,10 @@ for fname, fline, body in find_funcs():
 
     lm = re.search(r'tests\.load\(t,\s*"([^"]+)"\)', body)
     if lm:
-        suite_loads[lm.group(1)] = (fname, fline)
+        # the loading func may pre-create the suite's database via the
+        # Go API (s.CreateDatabase) before running queries
+        pre = bool(re.search(r"s\.CreateDatabase\(", body))
+        suite_loads[lm.group(1)] = (fname, fline, pre)
 
     # NewTest args
     tm = re.search(r'NewTest\("([^"]*)",\s*"([^"]*)"\)', body)
@@ -515,7 +518,7 @@ for sm in re.finditer(r'tests\["([^"]+)"\] = Test\{', suite_src):
     key = sm.group(1)
     if key not in suite_loads:
         continue
-    fname, fline = suite_loads[key]
+    fname, fline, precreate = suite_loads[key]
     sline = suite_src[:sm.start()].count("\n") + 1
 
     def drop(reason):
@@ -543,6 +546,7 @@ for sm in re.finditer(r'tests\["([^"]+)"\] = Test\{', suite_src):
     stats["kept_funcs"] += 1
     corpus.append({"func": fname, "line": fline, "db": db, "rp": rp,
                    "suite": f"{key} (server_suite.go:{sline})",
+                   "precreate": ([db] if precreate else []),
                    "writes": writes, "queries": queries})
 
 corpus.sort(key=lambda f: f["line"])
