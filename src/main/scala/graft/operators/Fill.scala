@@ -62,8 +62,12 @@ object Fill {
     // server_test.go "LAST(*) group by time(12m) limit 5" expects empty
     // buckets past the last point). greatest() keeps the data bound
     // when it is already later.
+    // clamp the extension to 1M buckets past the data start — an
+    // unbounded 1s-grid query over decades-old data must not explode
+    // the spine to now() (the reference guards with max-select-buckets)
     val hiCol = hiOverrideMs match {
-      case Some(h) => greatest(max(col("wstart_ms")), lit(h))
+      case Some(h) => greatest(max(col("wstart_ms")),
+        least(lit(h), min(col("wstart_ms")) + lit(1000000L) * stepMs))
       case None => max(col("wstart_ms"))
     }
     val b = agg.agg(min(col("wstart_ms")).as("_blo"), hiCol.as("_bhi"))

@@ -32,7 +32,11 @@ object Meta {
   def showSeries(df: DataFrame, tags: Seq[String]): DataFrame =
     df.select(tags.map(col): _*).distinct()
       .select(concat_ws(",", tags.map(t =>
-        concat_ws("=", lit(t), col(t).cast("string"))): _*).as("series_key"))
+        // an absent tag contributes NOTHING (concat_ws skips nulls);
+        // `t=` with no value would otherwise leak for null tags
+        when(col(t).isNotNull,
+          concat(lit(t), lit("="), col(t).cast("string")))): _*)
+        .as("series_key"))
       .orderBy("series_key")
 
   /** SHOW TAG VALUES WITH KEY = k. */

@@ -346,14 +346,17 @@ object InfluxQL {
 
   /** One UNION arm: `UNION [ALL] [BY NAME] <select>` — reference
     * `influxql/sql.y:656-699` (union_clause). */
-  case class UnionArm(all: Boolean, byName: Boolean, q: Query)
+  case class UnionArm(all: Boolean, byName: Boolean, q: Query,
+                      nested: Seq[UnionArm] = Nil)
 
   // --------------------------------------------------------------- parser
   def parse(q: String): Query = new Parser(lex(q)).parseQuery()
 
   /** Parse a statement with optional WITH-clause CTEs. */
-  def parseWith(q: String): (Seq[(String, Query)], Query) =
-    new Parser(lex(q)).parseStatement()
+  def parseWith(q: String): (Seq[(String, Query)], Query) = {
+    val (ctes, q0) = new Parser(lex(q)).parseStatement()
+    (ctes.map { case (n, s0, _) => (n, s0) }, q0)
+  }
 
   private class Parser(var toks: List[Tok]) {
     def peek: Tok = toks.headOption.getOrElse(TPunct("<eof>"))
@@ -388,8 +391,31 @@ object InfluxQL {
 
     /** WITH name AS (SELECT …) [, name2 AS (…)] SELECT … — reference
       * WithSelectStatement ast.go:12068 / LogicalCTE. */
-    def parseStatement(): (Seq[(String, Query)], Query) = {
-      var ctes = Seq.empty[(String, Query)]
+    /** Trailing UNION arms; an arm may be parenthesized —
+      * `… union all by name (select …)` (sql.y:656-699). */
+    def parseUnionArms(): Seq[UnionArm] = {
+      var arms = Seq.empty[UnionArm]
+      while (isKw("union")) {
+        next()
+        val all = if (isKw("all")) { next(); true } else false
+        val byName =
+          if (isKw("by")) { next(); expectIdent("name"); true } else false
+        val (aq, nested) =
+          if (peek == TPunct("(")) {
+            // a parenthesized arm may itself be a UNION chain
+            next(); val a = parseQuery()
+            val inner = parseUnionArms()
+            expect(")")
+            (a, inner)
+          } else (parseQuery(), Nil)
+        arms :+= UnionArm(all, byName, aq, nested)
+      }
+      arms
+    }
+
+    def parseStatement()
+        : (Seq[(String, Query, Seq[UnionArm])], Query) = {
+      var ctes = Seq.empty[(String, Query, Seq[UnionArm])]
       if (isKw("with")) {
         next()
         var more = true
@@ -400,8 +426,10 @@ object InfluxQL {
           }
           expectIdent("as"); expect("(")
           val sub = parseQuery()
+          // a CTE body may itself be a UNION chain
+          val subArms = parseUnionArms()
           expect(")")
-          ctes :+= ((name, sub))
+          ctes :+= ((name, sub, subArms))
           if (peek == TPunct(",")) next() else more = false
         }
       }
@@ -410,16 +438,9 @@ object InfluxQL {
 
     /** Statement with optional trailing UNION arms (sql.y:656-699). */
     def parseStatementFull()
-        : (Seq[(String, Query)], Query, Seq[UnionArm]) = {
+        : (Seq[(String, Query, Seq[UnionArm])], Query, Seq[UnionArm]) = {
       val (ctes, q) = parseStatement()
-      var arms = Seq.empty[UnionArm]
-      while (isKw("union")) {
-        next()
-        val all = if (isKw("all")) { next(); true } else false
-        val byName =
-          if (isKw("by")) { next(); expectIdent("name"); true } else false
-        arms :+= UnionArm(all, byName, parseQuery())
-      }
+      val arms = parseUnionArms()
       require(toks.isEmpty, s"trailing tokens: $toks")
       (ctes, q, arms)
     }
@@ -771,7 +792,20 @@ object InfluxQL {
                 case (EField(f), None) => PField(f)
                 case _ =>
                   exprIdx += 1
-                  PExpr(e, alias.getOrElse(s"expr_$exprIdx"))
+                  // auto-name from the call chain: `sum(a)+sum(b)` →
+                  // "sum_sum" (SubqueryForLogicalOptimize exp columns)
+                  def fns(x: Expr): Seq[String] = x match {
+                    case ECall(c2) => Seq(c2.fn)
+                    case EBin(_, l2, r2) => fns(l2) ++ fns(r2)
+                    case EMath(_, args) => args.flatMap(fns)
+                    case ECast(x2, _) => fns(x2)
+                    case _ => Nil
+                  }
+                  val auto = fns(e) match {
+                    case Nil => s"expr_$exprIdx"
+                    case cs => cs.mkString("_")
+                  }
+                  PExpr(e, alias.getOrElse(auto))
               }
           }
           out += proj
@@ -1051,8 +1085,18 @@ object InfluxQL {
     * HTTP edge renders SERIES in the statement's direction too. */
   def executeShapedOrd(catalog: Map[String, Measurement], sql: String)
       : (String, Seq[String], DataFrame, Boolean) = {
-    val (q, df) = executeStatement(catalog, sql)
+    val (q, df, unionNames) = executeStatementU(catalog, sql)
     q match {
+      case Some(qq) if unionNames.exists(_.startsWith("\u0000single:")) =>
+        // CTE-sourced single query: named after the underlying
+        // measurement, tags resolved as usual
+        val n0 = unionNames.head.stripPrefix("\u0000single:")
+        val tags = resolveTags(catalog, qq).filter(df.columns.contains)
+        (n0, tags, df, qq.orderDesc)
+      case Some(qq) if unionNames.nonEmpty =>
+        // UNION output: series named by the sorted distinct arm
+        // sources, tag-less (group tags flattened to columns)
+        (unionNames.distinct.sorted.mkString(","), Nil, df, qq.orderDesc)
       case Some(qq) =>
         // series name is the bare measurement — a qualified db.rp.m
         // spelling routes, it never renames the output series (quoted
@@ -1178,8 +1222,22 @@ object InfluxQL {
       w match {
     case WAnd(l, r) => manageCond(m, l, nowMs) && manageCond(m, r, nowMs)
     case WOr(l, r) => manageCond(m, l, nowMs) || manageCond(m, r, nowMs)
+    // `WHERE region=bj4` — a bare-ident RHS that is not a column is an
+    // unquoted string value (ShowTagKeysWithCondition)
+    case WCmp(EField(f), op, EField(v)) if !m.df.columns.contains(v) =>
+      manageCond(m, WCond(Cond(f, op, CStr(v))), nowMs)
     case WCond(c) =>
       val isTime = c.field.equalsIgnoreCase("time")
+      // a string comparison against a numeric column is a type
+      // mismatch — the reference matches nothing (ShowTagValues
+      // "WHERE value = 'no_such_value'" over a float field)
+      val numMismatch = !isTime && (c.v match {
+        case CStr(_) => m.df.schema.fields.find(_.name == c.field)
+          .exists(_.dataType.isInstanceOf[
+            org.apache.spark.sql.types.NumericType])
+        case _ => false
+      })
+      if (numMismatch) return lit(false)
       val lhs = if (isTime) unix_micros(col(m.time)) else col(c.field)
       val rhs: Column = c.v match {
         case CStr(sv) if isTime => lit(parseTimeUtc(sv))
@@ -1234,6 +1292,21 @@ object InfluxQL {
      else if (q.fromSub.isDefined) resolveTags(catalog, q.fromSub.get)
      else sourceTags(catalog, q)).filterNot(q.exceptTags.contains)
 
+  /** Output columns of `q` that are TAGS: group tags, source tags the
+    * projection carries through (star or bare ref), and ALIASED source
+    * tags (`entity_id AS t1` stays a tag — Union_Table CTE exp orders
+    * t1 with the tags). */
+  private def projectedTags(catalog: Map[String, Measurement],
+                            q: Query): Seq[String] = {
+    val src = sourceTags(catalog, q)
+    val aliased = q.projs.collect {
+      case PField(f) if src.contains(f) => f
+      case PExpr(EField(f), a) if src.contains(f) => a
+    }
+    (resolveTags(catalog, q) ++ aliased ++
+      (if (q.projs.contains(PStar)) src else Nil)).distinct
+  }
+
   /** Tags of the query's underlying SOURCE, regardless of GROUP BY —
     * a subquery's output column stays a TAG when the inner source typed
     * it as one (the reference's subquery schema keeps tag typing;
@@ -1251,9 +1324,19 @@ object InfluxQL {
      }).distinct
 
   private def executeStatement(catalog: Map[String, Measurement],
-                               sql: String): (Option[Query], DataFrame) = {
+                               sql: String)
+      : (Option[Query], DataFrame) = {
+    val (q, df, _) = executeStatementU(catalog, sql)
+    (q, df)
+  }
+
+  /** [[executeStatement]] plus the UNION source names (the HTTP edge
+    * names a union series "src1,src2,…" sorted, tag-less). */
+  private def executeStatementU(catalog: Map[String, Measurement],
+                                sql: String)
+      : (Option[Query], DataFrame, Seq[String]) = {
     if (sql.trim.toLowerCase.startsWith("show "))
-      return (None, executeShow(catalog, sql))
+      return (None, executeShow(catalog, sql), Nil)
     // EXPLAIN [ANALYZE] <select> — reference `influxql/parse_tree.go:232`
     // parseExplainStatement; the reference emits its chunk-DAG description
     // as text rows, we emit the Catalyst plan the same way. ANALYZE runs
@@ -1272,35 +1355,194 @@ object InfluxQL {
             s"\nrows emitted: $nRows"
         } else df.queryExecution.explainString(
           org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-      return (None, text.split("\n").toSeq.toDF("QUERY PLAN"))
+      return (None, text.split("\n").toSeq.toDF("QUERY PLAN"), Nil)
     }
     val (ctes, q, arms) = new Parser(lex(sql)).parseStatementFull()
+
+    // UNION semantics (sql.y:656-699 + logkeeper union transform):
+    // every arm's output FLATTENS to time + name-sorted columns (group
+    // tags become plain columns); positional arms must agree on column
+    // count and per-index types, BY NAME arms on shared-name types —
+    // the reference's exact compile errors. A non-ALL arm dedups.
+    def armTags(d: DataFrame, qq: Query,
+                cat0: Map[String, Measurement]): Seq[String] = {
+      val srcTags = (projectedTags(cat0, qq) ++ sourceTags(cat0, qq))
+        .distinct.filter(d.columns.contains)
+      (qq.groupTags.filter(d.columns.contains) ++
+        srcTags.filterNot(qq.groupTags.contains).sorted).distinct
+    }
+    def flatArm(d: DataFrame, qq: Query,
+                cat0: Map[String, Measurement]): DataFrame = {
+      // STAR arms shape as time, fields (their emitted order), then
+      // TAGS — group tags first, remaining source tags after
+      // (Union_Table grouped-star exp pairs t2 before t1 on the
+      // group-by-t2 arm); explicit projections keep their own order
+      val isStar = qq.projs.exists(p0 =>
+        p0 == PStar || p0 == PStarTag || p0 == PStarField)
+      val tagsOrdered =
+        if (isStar) armTags(d, qq, cat0) else Nil
+      val others = d.columns.filterNot(c => c == "time" ||
+        c.startsWith("__") || tagsOrdered.contains(c))
+      d.select((("time" +: others) ++ tagsOrdered).map(c0 =>
+        if (c0.contains(".")) col(s"`$c0`") else col(c0)): _*)
+    }
+    def compileArm(cat0: Map[String, Measurement],
+                   a: UnionArm): DataFrame = {
+      val base0 = compileQuery(cat0, a.q)
+      if (a.nested.isEmpty) base0
+      else unionFold(base0, a.q, cat0,
+        a.nested.map(n2 => n2 -> compileArm(cat0, n2)))
+    }
+    def unionFold(first: DataFrame, firstQ: Query,
+                  cat0: Map[String, Measurement],
+                  rest: Seq[(UnionArm, DataFrame)]): DataFrame =
+      rest.foldLeft(flatArm(first, firstQ, cat0)) { case (acc, (arm, d0)) =>
+        val d = flatArm(d0, arm.q, cat0)
+        val u =
+          if (arm.byName) {
+            val shared = acc.columns.toSet.intersect(d.columns.toSet)
+            shared.foreach { c0 =>
+              if (acc.schema(c0).dataType != d.schema(c0).dataType)
+                throw new StatementError("columns with same name must " +
+                  "have the same data type when using union by name/" +
+                  "union all by name")
+            }
+            val merged = acc.unionByName(d, allowMissingColumns = true)
+            // BY NAME output re-sorts columns by name
+            merged.select(("time" +: merged.columns
+              .filterNot(_ == "time").sorted).map(col): _*)
+          } else {
+            if (acc.columns.length != d.columns.length)
+              throw new StatementError("union/union all can only apply " +
+                "to expressions with the same number of result columns")
+            acc.schema.fields.zip(d.schema.fields).foreach {
+              case (a, b) =>
+                if (a.dataType != b.dataType)
+                  throw new StatementError("columns in the same index " +
+                    "position must have the same data type when using " +
+                    "union/union all")
+            }
+            acc.union(d)
+          }
+        if (arm.all) u else u.distinct()
+      }
+
     // CTEs compile once and register as measurements visible to later CTEs
     // and the main query (reference BuildCTELogicalPlan select.go:906);
     // Catalyst reuses the shared subplan.
-    val cat = ctes.foldLeft(catalog) { case (acc, (name, sub)) =>
-      val df = compileQuery(acc, sub)
-        .withColumn("__ts", timestamp_millis(col("time")))
-      acc + (name -> Measurement(df, resolveTags(acc, sub), "__ts"))
+    // CTEs may reference LATER CTEs (CTE_Query t2-then-t1) — compile
+    // by fixpoint; a CTE referencing itself (directly or cyclically) is
+    // the reference's "recursive call to itself" error
+    def refNames(x: Query): Set[String] = {
+      val subs = x.fromSub.toSeq ++ x.fromSubMore ++
+        (x.join.toSeq ++ x.joinMore).flatMap(_.rightSub)
+      def inRefs(w: WExpr): Set[String] = w match {
+        case WIn(_, sq, _) => refNames(sq) + sq.from
+        case WAnd(l, r) => inRefs(l) ++ inRefs(r)
+        case WOr(l, r) => inRefs(l) ++ inRefs(r)
+        case _ => Set.empty
+      }
+      Set(x.from) ++ x.fromMore ++
+        (x.join.toSeq ++ x.joinMore).map(_.right) ++
+        subs.flatMap(refNames) ++ x.where.toSeq.flatMap(inRefs)
     }
-    // UNION [ALL] [BY NAME] arms fold left-to-right (sql.y:656-699);
-    // a non-ALL arm dedups the accumulated result, SQL-style.
-    val out = arms.foldLeft(compileQuery(cat, q)) { (acc, arm) =>
-      val d = compileQuery(cat, arm.q)
-      val u = if (arm.byName) acc.unionByName(d, allowMissingColumns = true)
-              else acc.union(d)
-      if (arm.all) u else u.distinct()
+    val cteAll = ctes.map(_._1).toSet
+    ctes.foreach { case (name, sub, subArms) =>
+      val refs = refNames(sub) ++ subArms.flatMap(a => refNames(a.q))
+      if (refs.contains(name))
+        throw new StatementError(
+          s"Unsupported feature: recursive call to itself $name")
     }
-    (Some(q), out)
+    var pending = ctes
+    var cat = catalog
+    var progress = true
+    while (pending.nonEmpty && progress) {
+      progress = false
+      val (ready, blocked) = pending.partition { case (_, sub, subArms) =>
+        val refs = (refNames(sub) ++ subArms.flatMap(a => refNames(a.q)))
+          .intersect(cteAll)
+        refs.forall(cat.contains)
+      }
+      ready.foreach { case (name, sub, subArms) =>
+        val base0 = compileQuery(cat, sub)
+        val body =
+          if (subArms.isEmpty) base0
+          else unionFold(base0, sub, cat,
+            subArms.map(a => a -> compileArm(cat, a)))
+        val ts0 =
+          if (body.columns.contains("__tns"))
+            timestamp_micros((col("__tns") / 1000L).cast("long"))
+          else timestamp_millis(col("time"))
+        val df = body.withColumn("__ts", ts0)
+        cat = cat + (name -> Measurement(df,
+          projectedTags(cat, sub).filter(df.columns.contains), "__ts"))
+        progress = true
+      }
+      pending = blocked
+    }
+    if (pending.nonEmpty)
+      throw new StatementError("Unsupported feature: recursive call to " +
+        s"itself ${pending.head._1}")
+    val out =
+      if (arms.isEmpty) compileQuery(cat, q)
+      else {
+        val folded = unionFold(compileQuery(cat, q), q, cat,
+          arms.map(a => a -> compileArm(cat, a)))
+        def anyByName(a: UnionArm): Boolean =
+          a.byName || a.nested.exists(anyByName)
+        if (arms.exists(anyByName)) folded // BY NAME keeps arm order
+        else {
+          // positional unions sort by (time, fields…, tags…) in
+          // name order, regardless of the rendered column order
+          // (Union_Table exp row order)
+          val tags0 = armTags(folded, q, cat)
+          val sortCols = ("time" +: folded.columns.filterNot(c =>
+            c == "time" || tags0.contains(c)).sorted.toSeq) ++
+            tags0.filter(folded.columns.contains)
+          folded.orderBy(sortCols.map(c0 =>
+            if (c0.contains(".")) col(s"`$c0`") else col(c0)): _*)
+        }
+      }
+    def armQs(a: UnionArm): Seq[Query] = a.q +: a.nested.flatMap(armQs)
+    // series names resolve through CTE refs to the underlying sources
+    val cteNames: Map[String, Seq[String]] = ctes.map {
+      case (n0, sub, subArms) =>
+        def bn(x: Query): String = x.fromSub match {
+          case Some(s0) => bn(s0)
+          case None => x.fromBare.getOrElse(x.from)
+        }
+        n0 -> ((sub +: subArms.flatMap(armQs)).map(bn))
+    }.toMap
+    def namesOf(x: Query): Seq[String] = {
+      val b = x.fromSub match {
+        case Some(s0) => return namesOf(s0)
+        case None => x.fromBare.getOrElse(x.from)
+      }
+      cteNames.getOrElse(b, Seq(b))
+    }
+    if (arms.isEmpty) {
+      // single query: a CTE-sourced series is named after the CTE's
+      // underlying measurement (CTE_Query exp name "tmst", not "t1")
+      val resolved = namesOf(q).distinct
+      val viaCte = q.join.isEmpty &&
+        cteNames.contains(q.fromSub.map(s0 => s0.fromBare
+          .getOrElse(s0.from)).getOrElse(q.fromBare.getOrElse(q.from)))
+      (Some(q), out, if (viaCte) Seq("\u0000single:" +
+        resolved.mkString(",")) else Nil)
+    } else
+      (Some(q), out, (q +: arms.flatMap(armQs)).flatMap(namesOf))
   }
 
   /** SHOW MEASUREMENTS / TAG KEYS / TAG VALUES … WITH KEY = k /
     * FIELD KEYS / SERIES — reference `query/statement_rewriter.go` (SHOW →
     * meta SELECT). */
   private def executeShow(catalog: Map[String, Measurement],
-                          sql: String): DataFrame = {
-    val spark = catalog.values.headOption
-      .getOrElse(sys.error("empty catalog")).df.sparkSession
+                          sql0: String): DataFrame = {
+    // strip optimizer-hint comments (`SHOW /*+ exact_statistic_query */
+    // TAG VALUES …` — parser.go hint grammar, routing-only here)
+    val sql = sql0.replaceAll("/\\*.*?\\*/", " ")
+    val spark = catalog.values.headOption.map(_.df.sparkSession)
+      .getOrElse(org.apache.spark.sql.SparkSession.active)
     import spark.implicits._
     // `ON <db>` scoping (parser.go parseShowMeasurementsStatement etc.):
     // routing-only in the single-database model — strip the pair so every
@@ -1471,64 +1713,275 @@ object InfluxQL {
       case TIdent(k) if k.equalsIgnoreCase("cluster") =>
         Seq((1L, "data", "alive")).toDF("id", "role", "status")
       case TIdent(k) if k.equalsIgnoreCase("tag") => p.next() match {
-        case TIdent(kk) if kk.equalsIgnoreCase("keys") =>
-          val tags = fromM().map(_.tags)
-            .getOrElse(catalog.values.flatMap(_.tags).toSeq.distinct)
-          graft.operators.Meta.showTagKeys(spark, tags)
-        // SHOW TAG KEY [EXACT] CARDINALITY: tag keys come from measurement
-        // metadata, so this is a schema constant, not a scan
-        case TIdent(kk) if kk.equalsIgnoreCase("key") =>
-          exactCard().getOrElse(sys.error("expected CARDINALITY"))
-          val tags = fromM().map(_.tags)
-            .getOrElse(catalog.values.flatMap(_.tags).toSeq.distinct)
-          Seq(tags.size.toLong).toDF("count")
-        case TIdent(kk) if kk.equalsIgnoreCase("values") =>
+        case TIdent(kk) if kk.equalsIgnoreCase("keys") ||
+            kk.equalsIgnoreCase("key") ||
+            kk.equalsIgnoreCase("values") =>
+          // SHOW TAG KEYS / TAG KEY [EXACT] CARDINALITY / TAG VALUES
+          // [[EXACT] CARDINALITY] — one output SERIES per measurement
+          // (__series_name), measurements from FROM m | FROM /re/ |
+          // every measurement; missing/no-match FROM → no series
+          // (server_test.go ShowTagKeys/ShowTagValues families)
+          val values = kk.equalsIgnoreCase("values")
           val card = exactCard()
-          val m = fromM().getOrElse(sys.error("TAG VALUES needs FROM"))
-          p.expectIdent("with"); p.expectIdent("key")
-          p.next() match {
-            case TOp("=") =>
-            case t => sys.error(s"expected '=', got $t")
+          val msts: Seq[(String, Measurement)] =
+            if (p.isKw("from")) {
+              p.next()
+              p.next() match {
+                case TIdent(s0) =>
+                  catalog.get(s0).map(s0 -> _).toSeq
+                case TRegex(re0) =>
+                  val re = re0.r
+                  catalog.toSeq.filter { case (n, _) =>
+                    re.findFirstIn(n).isDefined }
+                case t => sys.error(s"expected measurement, got $t")
+              }
+            } else catalog.toSeq
+          // WITH KEY = k | =~ /re/ | IN (k1, k2) (values only)
+          var keySel: String => Boolean = _ => true
+          if (values) {
+            p.expectIdent("with"); p.expectIdent("key")
+            p.next() match {
+              case TOp("=") => p.next() match {
+                case TIdent(s0) => keySel = _ == s0
+                case TStr(s0) => keySel = _ == s0
+                case TPunct("~") => sys.error("bad WITH KEY")
+                case t => sys.error(s"expected tag key, got $t")
+              }
+              case TOp("=~") => p.next() match {
+                case TRegex(re0) =>
+                  val re = re0.r
+                  keySel = k0 => re.findFirstIn(k0).isDefined
+                case t => sys.error(s"expected /regex/, got $t")
+              }
+              case TIdent(in0) if in0.equalsIgnoreCase("in") =>
+                p.expect("(")
+                var ks = Set.empty[String]
+                var more = true
+                while (more) {
+                  p.next() match {
+                    case TIdent(s0) => ks += s0
+                    case TStr(s0) => ks += s0
+                    case t => sys.error(s"expected tag key, got $t")
+                  }
+                  if (p.peek == TPunct(",")) p.next() else more = false
+                }
+                p.expect(")")
+                keySel = ks.contains
+              case t => sys.error(s"expected '=', got $t")
+            }
           }
-          val key = p.next() match {
-            case TIdent(s) => s
-            case TStr(s) => s
-            case t => sys.error(s"expected tag key, got $t")
+          val where: Option[WExpr] =
+            if (p.isKw("where")) { p.next(); Some(p.parseWhereStandalone()) }
+            else None
+          // CARDINALITY rejects time predicates — the reference's exact
+          // message regardless of the EXACT flag (coordinator/
+          // statement_executor.go TAG KEY EXACT CARDINALITY guard)
+          def hasTime(w: WExpr): Boolean = w match {
+            case WCond(c) => c.field.equalsIgnoreCase("time")
+            case WAnd(l, r) => hasTime(l) || hasTime(r)
+            case WOr(l, r) => hasTime(l) || hasTime(r)
+            case _ => false
           }
-          val src = whereOn(m)
-          card match {
-            case Some(exact) => graft.operators.Meta
-              .valueCardinality(src, col(key).cast("string"), exact)
-            case None =>
-              limitOffset(graft.operators.Meta.showTagValues(src, key))
+          if (card.isDefined && where.exists(hasTime))
+            throw new StatementError(if (values)
+              "SHOW TAG VALUES EXACT CARDINALITY doesn't support time in WHERE clause"
+            else
+              "SHOW TAG KEY EXACT CARDINALITY doesn't support time in WHERE clause")
+          // trailing `order by value asc|desc` — values are emitted in
+          // (key, value) order already; parse and honor direction
+          var desc = false
+          if (p.isKw("order")) {
+            p.next(); p.expectIdent("by"); p.next()
+            if (p.isKw("asc")) p.next()
+            else if (p.isKw("desc")) { p.next(); desc = true }
           }
+          def optInt2(kw: String): Option[Int] =
+            if (p.isKw(kw)) {
+              p.next()
+              p.next() match {
+                case TNum(v, _, _) => Some(v.toInt)
+                case t => sys.error(s"expected integer after $kw, got $t")
+              }
+            } else None
+          val lim = optInt2("limit")
+          val off = optInt2("offset").getOrElse(0)
+          val parts: Seq[DataFrame] = msts.sortBy(_._1).map { case (n0, m) =>
+            val src = where.map(w => m.df.filter(
+              manageCond(m, w, System.currentTimeMillis()))).getOrElse(m.df)
+            if (!values) {
+              // TAG KEYS / TAG KEY CARDINALITY: schema metadata; a WHERE
+              // narrows to keys with values among the MATCHING rows
+              // (ShowTagKeysWithCondition drops the "others" tag), and
+              // LIMIT/OFFSET page the per-measurement key list
+              val keys0 = m.tags.sorted
+              val keys =
+                if (where.isEmpty || keys0.isEmpty) keys0
+                else {
+                  val counts = src.agg(
+                    count(col(keys0.head)).as(keys0.head),
+                    keys0.tail.map(k0 => count(col(k0)).as(k0)): _*)
+                    .collect()(0)
+                  keys0.zipWithIndex.filter { case (_, i0) =>
+                    counts.getLong(i0) > 0 }.map(_._1)
+                }
+              val paged = keys.drop(off)
+              val limited = lim.map(paged.take).getOrElse(paged)
+              if (card.isDefined)
+                Seq((n0, keys.size.toLong)).toDF("__series_name", "count")
+              else if (limited.isEmpty)
+                Seq.empty[(String, String)].toDF("__series_name", "tagKey")
+              else limited.map(n0 -> _).toDF("__series_name", "tagKey")
+            } else {
+              val keys = m.tags.filter(keySel).sorted
+              if (keys.isEmpty)
+                Seq.empty[(String, String, String)]
+                  .toDF("__series_name", "key", "value")
+              else {
+                val pairs = keys.map(k0 =>
+                  src.filter(col(k0).isNotNull)
+                    .select(lit(n0).as("__series_name"),
+                      lit(k0).as("key"), col(k0).cast("string").as("value"))
+                    .distinct()).reduce(_ unionByName _)
+                val ordered = pairs.orderBy(
+                  if (desc) col("key").desc else col("key").asc,
+                  if (desc) col("value").desc else col("value").asc)
+                if (card.isDefined)
+                  ordered.groupBy(col("__series_name"))
+                    .agg(count(lit(1)).as("count"))
+                else {
+                  // LIMIT/OFFSET apply per measurement-series
+                  val o2 = ordered.offset(off)
+                  lim.map(o2.limit).getOrElse(o2)
+                }
+              }
+            }
+          }
+          val unioned =
+            if (parts.isEmpty) {
+              if (card.isDefined)
+                Seq.empty[(String, Long)].toDF("__series_name", "count")
+              else if (values)
+                Seq.empty[(String, String, String)]
+                  .toDF("__series_name", "key", "value")
+              else Seq.empty[(String, String)]
+                .toDF("__series_name", "tagKey")
+            } else parts.reduce(_ unionByName _)
+          // cardinality series drop when 0 (no rows contributed)
+          if (card.isDefined && values) unioned.filter(col("count") > 0)
+          else unioned
         case t => sys.error(s"bad SHOW TAG: $t")
       }
       case TIdent(k) if k.equalsIgnoreCase("field") => p.next() match {
-        case TIdent(kk) if kk.equalsIgnoreCase("keys") =>
-          val m = fromM().getOrElse(sys.error("FIELD KEYS needs FROM"))
-          // `time` is the point timestamp, never a field (both the raw
-          // epoch column and the measurement's timestamp view)
-          graft.operators.Meta.showFieldKeys(m.df, m.tags,
-            Seq(m.time, "time"))
-        case TIdent(kk) if kk.equalsIgnoreCase("key") =>
-          exactCard().getOrElse(sys.error("expected CARDINALITY"))
-          val m = fromM().getOrElse(sys.error("FIELD KEY CARDINALITY needs FROM"))
-          val n = m.df.schema.fields.count(f =>
-            !m.tags.contains(f.name) && f.name != m.time &&
-              f.name != "time" && !f.name.startsWith("__"))
-          Seq(n.toLong).toDF("count")
+        case TIdent(kk) if kk.equalsIgnoreCase("keys") ||
+            kk.equalsIgnoreCase("key") =>
+          // SHOW FIELD KEYS / FIELD KEY [EXACT] CARDINALITY — one series
+          // per measurement, FROM m | /re/ | every measurement
+          val card =
+            if (kk.equalsIgnoreCase("key"))
+              Some(exactCard().getOrElse(
+                sys.error("expected CARDINALITY")))
+            else { exactCard(); None }
+          val msts: Seq[(String, Measurement)] =
+            if (p.isKw("from")) {
+              p.next()
+              p.next() match {
+                case TIdent(s0) => catalog.get(s0).map(s0 -> _).toSeq
+                case TRegex(re0) =>
+                  val re = re0.r
+                  catalog.toSeq.filter { case (n0, _) =>
+                    re.findFirstIn(n0).isDefined }
+                case t => sys.error(s"expected measurement, got $t")
+              }
+            } else catalog.toSeq
+          val parts = msts.sortBy(_._1).map { case (n0, m) =>
+            if (card.isDefined) {
+              val n1 = m.df.schema.fields.count(f =>
+                !m.tags.contains(f.name) && f.name != m.time &&
+                  f.name != "time" && !f.name.startsWith("__"))
+              Seq((n0, n1.toLong)).toDF("__series_name", "count")
+            } else
+              graft.operators.Meta.showFieldKeys(m.df, m.tags,
+                  Seq(m.time, "time"))
+                .withColumn("__series_name", lit(n0))
+          }
+          if (parts.isEmpty) {
+            if (card.isDefined)
+              Seq.empty[(String, Long)].toDF("__series_name", "count")
+            else Seq.empty[(String, String, String)]
+              .toDF("fieldKey", "fieldType", "__series_name")
+          } else parts.reduce(_ unionByName _)
         case t => sys.error(s"bad SHOW FIELD: $t")
       }
       case TIdent(k) if k.equalsIgnoreCase("series") =>
-        exactCard() match {
-          case Some(exact) =>
-            val m = fromM().getOrElse(sys.error("SERIES CARDINALITY needs FROM"))
-            graft.operators.Meta.seriesCardinality(whereOn(m), m.tags, exact)
+        // SHOW SERIES [[EXACT] CARDINALITY] [FROM m|/re/] [WHERE …]:
+        // keys pool into ONE unnamed series; EXACT CARDINALITY emits a
+        // per-measurement count; plain CARDINALITY emits the Monday-
+        // aligned shard-group window with the pooled count
+        // (server_test.go ShowSeries: startTime 2009-11-09, a Monday)
+        val card = exactCard()
+        val msts: Seq[(String, Measurement)] =
+          if (p.isKw("from")) {
+            p.next()
+            p.next() match {
+              case TIdent(s0) => catalog.get(s0).map(s0 -> _).toSeq
+              case TRegex(re0) =>
+                val re = re0.r
+                catalog.toSeq.filter { case (n0, _) =>
+                  re.findFirstIn(n0).isDefined }
+              case t => sys.error(s"expected measurement, got $t")
+            }
+          } else catalog.toSeq
+        val where: Option[WExpr] =
+          if (p.isKw("where")) { p.next(); Some(p.parseWhereStandalone()) }
+          else None
+        def rowsOf(n0: String, m: Measurement): DataFrame = {
+          val src = where.map(w => m.df.filter(
+            manageCond(m, w, System.currentTimeMillis())))
+            .getOrElse(m.df)
+          graft.operators.Meta.showSeries(src, m.tags)
+            .select(concat(lit(n0),
+              when(col("series_key") === "", lit("")).otherwise(
+                concat(lit(","), col("series_key")))).as("key"))
+            .distinct()
+        }
+        card match {
+          case Some(true) =>
+            val parts = msts.sortBy(_._1).map { case (n0, m) =>
+              rowsOf(n0, m).agg(count(lit(1)).as("count"))
+                .select(lit(n0).as("__series_name"), col("count"))
+            }
+            if (parts.isEmpty)
+              Seq.empty[(String, Long)].toDF("__series_name", "count")
+            else parts.reduce(_ unionByName _).filter(col("count") > 0)
+          case Some(false) =>
+            // pooled count inside the (Monday-aligned) 1-week shard
+            // group covering the data
+            val total = msts.map { case (n0, m) =>
+              rowsOf(n0, m).count() }.sum
+            val tMin = msts.map { case (_, m) =>
+              m.df.agg(min(unix_millis(col(m.time)))).collect()(0) }
+              .collect { case r0 if !r0.isNullAt(0) => r0.getLong(0) }
+            if (tMin.isEmpty || total == 0)
+              Seq.empty[(String, String, Long)]
+                .toDF("startTime", "endTime", "count")
+            else {
+              val weekMs = 7L * 86400000L
+              val mondayOff = 4L * 86400000L // epoch Thu + 4d = Mon
+              val lo = Math.floorDiv(tMin.min - mondayOff, weekMs) *
+                weekMs + mondayOff
+              def iso(ms: Long) =
+                java.time.format.DateTimeFormatter.ISO_INSTANT.format(
+                  java.time.Instant.ofEpochMilli(ms))
+              Seq(("", iso(lo), iso(lo + weekMs), total))
+                .toDF("__series_name", "startTime", "endTime", "count")
+            }
           case None =>
-            val m = fromM().getOrElse(sys.error("SERIES needs FROM"))
-            limitOffset(
-              graft.operators.Meta.showSeries(whereOn(m), m.tags))
+            val parts = msts.sortBy(_._1).map { case (n0, m) =>
+              rowsOf(n0, m) }
+            if (parts.isEmpty) Seq.empty[String].toDF("key")
+            else limitOffset(
+              parts.reduce(_ unionByName _).orderBy(col("key")))
+              .withColumn("__series_name", lit(""))
         }
       case t => sys.error(s"unsupported SHOW: $t")
     }
@@ -1675,9 +2128,26 @@ object InfluxQL {
         // (errno HttpUnknownMeasurement → "measurement not found";
         // e2e Where_Fields "missing measurement with group by")
         throw new StatementError("measurement not found")))
+    // the OUTER time range propagates INTO subqueries (influxdb
+    // subquery semantics: the inner statement evaluates under the
+    // outer's bounds — Subqueries "SELECT mean(usage) FROM (…) WHERE
+    // time >= …" bounds and stamps the inner aggregate)
+    def pushTime(sub: Query): Query = {
+      def timeConds(w: WExpr): Seq[WExpr] = w match {
+        case WCond(c) if c.field.equalsIgnoreCase("time") => Seq(WCond(c))
+        case WAnd(l, r) => timeConds(l) ++ timeConds(r)
+        case _ => Nil
+      }
+      val outer = q.where.toSeq.flatMap(timeConds)
+      if (outer.isEmpty) sub
+      else {
+        val merged = (sub.where.toSeq ++ outer).reduce(WAnd.apply)
+        sub.copy(where = Some(merged))
+      }
+    }
     val m =
       if (q.fromSub.isDefined) {
-        val subs = q.fromSub.get +: q.fromSubMore
+        val subs = (q.fromSub.get +: q.fromSubMore).map(pushTime)
         val parts = subs.map { sub =>
           val inner = compileQuery(catalog, sub)
           // the subquery's output keeps a source tag AS a tag when it
@@ -1687,10 +2157,16 @@ object InfluxQL {
             .distinct
           (inner, subTags)
         }
-        // FROM (s1), (s2), … sort-appends like FROM m1, m2
+        // FROM (s1), (s2), … sort-appends like FROM m1, m2. The inner
+        // result's exact ns axis (__tns) keeps sub-ms tie order through
+        // the subquery when present (CTE_Query row-order exp)
         val inner = parts.map(_._1)
           .reduce(_.unionByName(_, allowMissingColumns = true))
-        Measurement(inner.withColumn("__ts", timestamp_millis(col("time"))),
+        val ts0 =
+          if (inner.columns.contains("__tns"))
+            timestamp_micros((col("__tns") / 1000L).cast("long"))
+          else timestamp_millis(col("time"))
+        Measurement(inner.withColumn("__ts", ts0),
           parts.flatMap(_._2).distinct, "__ts")
       } else (q.from +: q.fromMore).flatMap(resolveOne).reduce { (a, b) =>
         Measurement(a.df.unionByName(b.df, allowMissingColumns = true),
@@ -2041,7 +2517,8 @@ object InfluxQL {
       ins.foreach { i =>
         val sub = compileQuery(catalog, i.sub)
         val valueCol = sub.columns
-          .filterNot(c => c == "time" || i.sub.groupTags.contains(c))
+          .filterNot(c => c == "time" || c.startsWith("__") ||
+            i.sub.groupTags.contains(c))
           .headOption.getOrElse(sys.error("IN subquery projects no column"))
         val subDf = sub.select(col(valueCol).as("__in_v"))
           .filter(col("__in_v").isNotNull).distinct()
@@ -2718,7 +3195,9 @@ object InfluxQL {
                 val step = ns / 1000000
                 val off = q.intervalOffsetNs.getOrElse(0L) / 1000000
                 val lo = Math.floorDiv(bLo - off, step) * step + off
-                val hi = Math.floorDiv(bHi - off, step) * step + off + step
+                val hi = math.min(
+                  Math.floorDiv(bHi - off, step) * step + off + step,
+                  lo + 1000000L * step) // spine guard (max-select-buckets)
                 val vcols = sel0.columns
                   .filterNot(cc => cc == "wstart_ms" ||
                     groupTags.contains(cc))
@@ -2738,9 +3217,22 @@ object InfluxQL {
         val allCalls = (calls ++ exprCalls).distinct
         val callName = allCalls.zip(aliasNames(allCalls)).toMap
         val aggs = aliased(allCalls)
-        def addExprCols(d: DataFrame): DataFrame =
-          exprs.foldLeft(d)((acc, p) => acc.withColumn(p.alias,
+        def addExprCols(d0: DataFrame): DataFrame = {
+          val d = exprs.foldLeft(d0)((acc, p) => acc.withColumn(p.alias,
             evalExpr(p.e, c => col(callName(c)))))
+          // aggregates referenced ONLY inside expressions don't render;
+          // the output keeps projection order (SubqueryForLogicalOptimize
+          // exp [sum_height, sum_sum, mean])
+          val exprOnly = allCalls.filterNot(calls.contains).map(callName)
+          val dropped = d.drop(exprOnly: _*)
+          val ordered = (Seq("wstart_ms") ++ groupTags ++
+            expandedProjs.collect {
+              case c2: PCall if calls.contains(c2) => callName(c2)
+              case e2: PExpr => e2.alias
+            }).distinct.filter(dropped.columns.contains)
+          val extras = dropped.columns.filterNot(ordered.contains)
+          dropped.select((ordered ++ extras).map(col): _*)
+        }
         addExprCols(q.intervalNs match {
           case Some(ns) =>
             val interval = s"${ns / 1000000} milliseconds"
@@ -2780,7 +3272,9 @@ object InfluxQL {
                   case Some((bLo, bHi)) =>
                     val off = q.intervalOffsetNs.getOrElse(0L) / 1000000
                     val lo = Math.floorDiv(bLo - off, step) * step + off
-                    val hi = Math.floorDiv(bHi - off, step) * step + off + step
+                    val hi = math.min(
+                  Math.floorDiv(bHi - off, step) * step + off + step,
+                  lo + 1000000L * step) // spine guard (max-select-buckets)
                     mode match {
                       case FillNull => Fill.fillValue(bucketed, names.toSeq,
                         groupTags, lo, hi, step)
@@ -2836,16 +3330,21 @@ object InfluxQL {
                   .getOrElse(zeroed)
             }
           case None =>
+            // an ungridded aggregate stamps the WHERE range START (the
+            // reference's interval start when bounded — Subqueries exp
+            // times are 2000-01-01, not epoch 0)
+            val stampMs = q.where.map(timeBoundsUs).flatMap(_._1)
+              .map(Math.floorDiv(_, 1000L)).getOrElse(0L)
             if (groupTags.nonEmpty)
               df.groupBy(groupTags.map(col): _*).agg(aggs.head, aggs.tail: _*)
-                .withColumn("wstart_ms", lit(0L))
+                .withColumn("wstart_ms", lit(stampMs))
             else
               // InfluxQL emits NO row for an aggregate over zero points
               // (a bare SQL global aggregate would emit count=0)
               df.agg((aggs :+ count(lit(1)).as("__n")).head,
                   (aggs :+ count(lit(1)).as("__n")).tail: _*)
                 .filter(col("__n") > 0).drop("__n")
-                .withColumn("wstart_ms", lit(0L))
+                .withColumn("wstart_ms", lit(stampMs))
         })
       } else {
         // raw projection ("materialize"): time + tags + fields/expressions

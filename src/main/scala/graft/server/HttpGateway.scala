@@ -2023,7 +2023,11 @@ final class HttpGateway(spark: SparkSession,
       }
       val q = p.getOrElse("q",
         sys.error("missing required parameter \"q\""))
-      val bound = p.get("params").map(bindParams(q, _)).getOrElse(q)
+      val bound0 = p.get("params").map(bindParams(q, _)).getOrElse(q)
+      // optimizer-hint comments (`SELECT /*+ filter_null_column */ …`,
+      // `SHOW /*+ exact_statistic_query */ …`) are routing hints in the
+      // reference (parser.go hint grammar) — strip before any parsing
+      val bound = bound0.replaceAll("/\\*\\+.*?\\*/", " ")
       // no epoch param → the reference's default RFC3339 rendering
       val epoch = p.getOrElse("epoch", "rfc3339")
       val statements = splitStatements(bound)
@@ -2476,12 +2480,19 @@ final class HttpGateway(spark: SparkSession,
                     org.apache.spark.sql.functions.col("time")))
               case _ => df0
             }
-          val valueCols = HttpGateway.shapedValueCols(df.columns.toIndexedSeq, tags)
+          // `__series_name` names each row's series (per-measurement
+          // SHOW output)
+          val nameCol =
+            if (df.columns.contains("__series_name")) Some("__series_name")
+            else None
+          val valueCols = HttpGateway.shapedValueCols(
+            df.columns.toIndexedSeq.filterNot(nameCol.contains), tags)
           // non-chunked responses are bounded by http.max-row-limit
           // (config.go:37) — over-limit series are truncated and marked
           // partial; use chunked=true to stream past the limit
           ResultShaper.toResultObj(df, name, tags, valueCols, epoch, id,
-            maxRowLimit, timeNs = timeNs, seriesDesc = desc)
+            maxRowLimit, timeNs = timeNs, seriesDesc = desc,
+            nameCol = nameCol)
         }
 
       if (p.get("chunked").contains("true")) {
@@ -2609,7 +2620,8 @@ final class HttpGateway(spark: SparkSession,
     * batch-level schema conflict gate, per-measurement table build +
     * persist + catalog merge. Callers respond; this throws on error. */
   private def ingestPoints(wdb: String,
-                           pts: Seq[LineProtocol.Point]): Unit = {
+                           pts: Seq[LineProtocol.Point],
+                           mergeSameTime: Boolean = true): Unit = {
     if (pts.isEmpty) sys.error("no points parsed")
     // fence registration rides the write path (fence.go:37
     // RewriteRows): rows in the `fence` measurement with an `id` tag
@@ -2654,12 +2666,17 @@ final class HttpGateway(spark: SparkSession,
         val key = dbKey(wdb, m)
         persistBatch(key, tbl, tagKeys)
         val merged = catalog.get(key) match {
-          case Some(prev) => InfluxQL.Measurement(
+          case Some(prev) if mergeSameTime => InfluxQL.Measurement(
             maybeCompact(key, HttpGateway.mergePoints(
               prev.df, tbl, (prev.tags ++ tagKeys).distinct)),
             (prev.tags ++ tagKeys).distinct, prev.time)
-          case None => InfluxQL.Measurement(
+          case Some(prev) => InfluxQL.Measurement(
+            maybeCompact(key,
+              prev.df.unionByName(tbl, allowMissingColumns = true)),
+            (prev.tags ++ tagKeys).distinct, prev.time)
+          case None if mergeSameTime => InfluxQL.Measurement(
             HttpGateway.mergeBatch(tbl, tagKeys), tagKeys, "ts")
+          case None => InfluxQL.Measurement(tbl, tagKeys, "ts")
         }
         catalog = catalog + (key -> merged)
       }
@@ -3444,7 +3461,9 @@ final class HttpGateway(spark: SparkSession,
         }
     }
     if (pts.isEmpty) sys.error("no logs parsed")
-    ingestPoints(repo, pts)
+    // logkeeper streams are LOG stores: rows at the same ns are
+    // distinct records, never merged into one point
+    ingestPoints(repo, pts, mergeSameTime = false)
     respond(ex, 200, "")
   }
 
@@ -3961,17 +3980,20 @@ object HttpGateway {
                           tagKeys: Seq[String])
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
+    // field/tag names may contain dots (`foo.bar.baz` — LP escaped
+    // names); always backtick-quote
+    def qc(c: String) = col(s"`$c`")
     val keys = tagKeys :+ "time"
     val fields = all.columns
       .filterNot(c => keys.contains(c) || c == "ts" || c == "__ds_seq")
     if (fields.isEmpty)
       return all.dropDuplicates(keys).drop("__ds_seq")
     val aggs = fields.map(f =>
-      max_by(col(f), when(col(f).isNotNull, col("__ds_seq"))).as(f))
-    val merged = all.groupBy(keys.map(col): _*)
+      max_by(qc(f), when(qc(f).isNotNull, col("__ds_seq"))).as(f))
+    val merged = all.groupBy(keys.map(qc): _*)
       .agg(aggs.head, aggs.tail: _*)
       .withColumn("ts", timestamp_micros(expr("time div 1000")))
     // restore the ingest column order (tags, fields, time, ts)
-    merged.select((tagKeys ++ fields ++ Seq("time", "ts")).map(col): _*)
+    merged.select((tagKeys ++ fields ++ Seq("time", "ts")).map(qc): _*)
   }
 }

@@ -253,26 +253,34 @@ object ResultShaper {
                   statementId: Int = 0,
                   maxRows: Int = Int.MaxValue,
                   timeNs: Boolean = false,
-                  seriesDesc: Boolean = false): String = {
+                  seriesDesc: Boolean = false,
+                  nameCol: Option[String] = None): String = {
     val capped =
       if (maxRows == Int.MaxValue) df else df.limit(maxRows + 1)
-    val rows = capped.select((tagCols ++ valueCols).map(qcol): _*).collect()
-    val grouped0 = rows.groupBy(r => tagCols.map(t => r.getAs[Any](t)))
+    val rows = capped.select(
+      (nameCol.toSeq ++ tagCols ++ valueCols).map(qcol): _*).collect()
+    // nameCol: per-row series name (SHOW TAG KEYS/VALUES emit one
+    // series per measurement) — groups like a tag, names the series
+    def seriesName(r: Row): String =
+      nameCol.map(r.getAs[String]).getOrElse(name)
+    val grouped0 = rows.groupBy(r =>
+        seriesName(r) +: tagCols.map(t => r.getAs[Any](t)))
       // null tags key as "" (they render as "") and sort FIRST; ORDER BY
       // time DESC reverses the series order too (the reference emits
       // series in the statement's direction)
       .toSeq.sortBy(_._1.map(v =>
         if (v == null) "" else String.valueOf(v)).mkString(","))
+      .map { case (k, rs) => (k.head.asInstanceOf[String], k.tail, rs) }
     val grouped = if (seriesDesc) grouped0.reverse else grouped0
     var emitted = 0
     val keptSeries = grouped.iterator
       .takeWhile(_ => emitted < maxRows)
-      .map { case (tagVals, rs) =>
+      .map { case (sname, tagVals, rs) =>
         val room = maxRows - emitted
         val (kept, cut) =
           if (rs.length > room) (rs.take(room), true) else (rs, false)
         emitted += kept.length
-        (tagVals, kept, cut)
+        (sname, tagVals, kept, cut)
       }.toVector
     // ANY truncation marks partial (handler.go:979): when the limit
     // lands exactly on a series boundary the next whole series is
@@ -280,7 +288,7 @@ object ResultShaper {
     // emitted series carries the marker even though it wasn't cut mid-way
     val dropped = rows.length > emitted
     val series = keptSeries.zipWithIndex
-      .map { case ((tagVals, kept, cut), i) =>
+      .map { case ((sname, tagVals, kept, cut), i) =>
         val partial = cut || (dropped && i == keptSeries.length - 1)
         val columns = valueCols.map(c => jsonScalar(c)).mkString("[", ",", "]")
         val values = kept.map(r => valueCols
@@ -289,7 +297,16 @@ object ResultShaper {
             else jsonScalar(r.getAs[Any](c), epoch))
           .mkString("[", ",", "]")).mkString("[", ",", "]")
         val p = if (partial) ""","partial":true""" else ""
-        s"""{"name":${jsonScalar(name)}${tagsField(tagCols, tagVals)},"columns":$columns,"values":$values$p}"""
+        // models.Row json `name,omitempty`: unnamed series (SHOW SERIES
+        // pooled keys, SHOW RETENTION POLICIES) carry no name member
+        val nameMember =
+          if (sname == null || sname.isEmpty) ""
+          else s""""name":${jsonScalar(sname)},"""
+        val tagsPart = tagsField(tagCols, tagVals) match {
+          case "" => ""
+          case t0 => t0.stripPrefix(",") + ","
+        }
+        s"""{$nameMember$tagsPart"columns":$columns,"values":$values$p}"""
       }.mkString("[", ",", "]")
     // zero matching rows: the reference emits a bare statement object —
     // no "series" key at all (models.Row slice nil, json omitempty;

@@ -35,7 +35,8 @@ class InfluxQLSpec extends SparkSpec {
 
   test("GROUP BY time(1m) windows align to epoch") {
     val out = run(
-      "SELECT sum(value) FROM cpu WHERE host = 'server01' GROUP BY time(1m)")
+      "SELECT sum(value) FROM cpu WHERE host = 'server01' " +
+      "GROUP BY time(1m) fill(none)")
       .select("time", "sum").as[(Long, Double)].collect().toSeq
     assert(out == Seq((0L, 10.0), (60000L, 20.0), (120000L, 30.0)))
   }
@@ -73,7 +74,9 @@ class InfluxQLSpec extends SparkSpec {
 
   test("fill(previous) carries values across empty buckets") {
     val out = run(
-      "SELECT mean(value) FROM cpu WHERE host = 'server02' GROUP BY host, time(1m) fill(previous)")
+      "SELECT mean(value) FROM cpu WHERE host = 'server02' AND " +
+      "time < '1970-01-01T00:03:00Z' GROUP BY host, time(1m) " +
+      "fill(previous)")
       .select("time", "mean").as[(Long, Double)].collect().toSeq
     assert(out == Seq((0L, 100.0), (60000L, 100.0), (120000L, 200.0)))
   }

@@ -32,7 +32,7 @@ class ServerCorpusSpec extends SparkSpec {
                             params: Map[String, String], exp: String)
   private case class CWrite(db: String, rp: String, data: String)
   private case class CFunc(func: String, line: Int, db: String, rp: String,
-                           precreate: Seq[String],
+                           precreate: Seq[String], initAt: Int,
                            writes: Seq[CWrite], queries: Seq[CQuery])
 
   private lazy val corpus: Seq[CFunc] = {
@@ -50,6 +50,10 @@ class ServerCorpusSpec extends SparkSpec {
         (it \ "precreate") match {
           case JArray(ps) => ps.map(_.asInstanceOf[JString].s)
           case _ => Nil
+        },
+        (it \ "init_at") match {
+          case JInt(n2) => n2.toInt
+          case _ => 0
         },
         ws.map(w => CWrite((w \ "db").asInstanceOf[JString].s,
           (w \ "rp").asInstanceOf[JString].s,
@@ -109,32 +113,50 @@ class ServerCorpusSpec extends SparkSpec {
     val g = new HttpGateway(spark, Map.empty, Map.empty)
     g.start()
     try {
-      // suite loaders that call s.CreateDatabase(db) before queries
-      // (e.g. retention_policy_commands)
-      f.precreate.foreach { db =>
+      // databases the Go func creates via the API before queries run:
+      // suite loaders (s.CreateDatabase — bare "db") and gated-init
+      // funcs (CreateDatabaseAndRetentionPolicy — "db/rp")
+      f.precreate.foreach { spec =>
+        val (db, rp) = spec.split('/') match {
+          case Array(d, r) => (d, r)
+          case _ => (spec, "")
+        }
         assert(ask(g, s"CREATE DATABASE $db").statusCode() == 200,
           s"${f.func}: precreate $db")
+        if (rp.nonEmpty && rp != "autogen")
+          assert(ask(g, s"CREATE RETENTION POLICY $rp ON $db " +
+            "DURATION 0s REPLICATION 1 DEFAULT").statusCode() == 200,
+            s"${f.func}: precreate rp $rp")
       }
       // the reference's writeTestData: CreateDatabaseAndRetentionPolicy
-      // (db, rp{duration 0 = infinite, replica 1}, makeDefault=true)
-      val dbs = f.writes.map(w => (w.db, w.rp)).distinct
-      dbs.foreach { case (db, rp) =>
-        assert(ask(g, s"CREATE DATABASE $db").statusCode() == 200,
-          s"${f.func}: CREATE DATABASE $db")
-        if (rp.nonEmpty && rp != "autogen") {
-          val r = ask(g, s"CREATE RETENTION POLICY $rp ON $db " +
-            "DURATION 0s REPLICATION 1 DEFAULT")
-          assert(r.statusCode() == 200, s"${f.func}: rp: ${r.body()}")
+      // (db, rp{duration 0 = infinite, replica 1}, makeDefault=true).
+      // Some funcs gate test.init on a later query index (`if i == 2`),
+      // running DDL queries against the EMPTY server first.
+      def doInit(): Unit = {
+        val dbs = f.writes.map(w => (w.db, w.rp)).distinct
+        dbs.foreach { case (db, rp) =>
+          assert(ask(g, s"CREATE DATABASE $db").statusCode() == 200,
+            s"${f.func}: CREATE DATABASE $db")
+          if (rp.nonEmpty && rp != "autogen") {
+            val r = ask(g, s"CREATE RETENTION POLICY $rp ON $db " +
+              "DURATION 0s REPLICATION 1 DEFAULT")
+            // precreate may have made it already (gated-init funcs)
+            assert(r.statusCode() == 200 ||
+              r.body().contains("already exists"),
+              s"${f.func}: rp: ${r.body()}")
+          }
+        }
+        f.writes.foreach { w =>
+          val r = write(g, w)
+          assert(r.statusCode() == 204,
+            s"${f.func}: write failed ${r.statusCode()}: " +
+              s"${r.body().take(200)}")
         }
       }
-      f.writes.foreach { w =>
-        val r = write(g, w)
-        assert(r.statusCode() == 204,
-          s"${f.func}: write failed ${r.statusCode()}: " +
-            s"${r.body().take(200)}")
-      }
+      if (f.initAt == 0) doInit()
       var mismatches = List.empty[String]
       f.queries.zipWithIndex.foreach { case (q, idx) =>
+        if (f.initAt > 0 && idx == f.initAt) doInit()
         val key = s"${f.func}::$idx"
         val act = ask(g, q.command, q.params).body()
         if (act != q.exp) {

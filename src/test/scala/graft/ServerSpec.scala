@@ -620,7 +620,11 @@ class ServerSpec extends SparkSpec {
     assert(r.body().contains(",1]]")) // one row left
     val dr = get("/query?q=" + enc("DROP MEASUREMENT tmpdel"))
     assert(dr.statusCode() == 200)
-    assert(get("/query?q=" + enc("SELECT v FROM tmpdel")).statusCode() == 400)
+    // unknown measurement is STATEMENT-level (200 + in-document error,
+    // the reference's "measurement not found" — corpus Where_Fields)
+    val gone0 = get("/query?q=" + enc("SELECT v FROM tmpdel"))
+    assert(gone0.statusCode() == 200 &&
+      gone0.body().contains("measurement not found"), gone0.body())
   }
 
   test("prom metadata: /labels, /label/<name>/values, /series") {
@@ -780,8 +784,11 @@ class ServerSpec extends SparkSpec {
       // namespaced measurement reloaded from its day-partitioned dir
       val q = ask(g2, "SELECT count(v) FROM dura.keep.dm")
       assert(q.body().contains(",1]]"), q.body())
-      // and stays invisible to the default database
-      assert(ask(g2, "SELECT v FROM dm").statusCode() == 400)
+      // and stays invisible to the default database (statement-level
+      // "measurement not found", 200)
+      val inv = ask(g2, "SELECT v FROM dm")
+      assert(inv.statusCode() == 200 &&
+        inv.body().contains("measurement not found"), inv.body())
     } finally g2.stop()
   }
 
@@ -1285,8 +1292,9 @@ class ServerSpec extends SparkSpec {
     assert(post("/write?db=rpdb", "rm v=1.0 1").statusCode() == 204)
     assert(get("/query?q=" + enc("SELECT count(v) FROM rpdb.hot.rm"))
       .body().contains(",1]]"))
-    assert(get("/query?q=" + enc("SELECT count(v) FROM rpdb.cold.rm"))
-      .statusCode() == 400)
+    val coldq = get("/query?q=" + enc("SELECT count(v) FROM rpdb.cold.rm"))
+    assert(coldq.statusCode() == 200 &&
+      coldq.body().contains("measurement not found"), coldq.body())
     // ALTER flips default; the old default can then be dropped
     assert(get("/query?q=" + enc(
       "ALTER RETENTION POLICY hot ON rpdb DEFAULT")).statusCode() == 200)
@@ -1318,8 +1326,10 @@ class ServerSpec extends SparkSpec {
       .statusCode() == 204)
     val inA = get("/query?db=dbA&q=" + enc("SELECT count(v) FROM m1"))
     assert(inA.body().contains(",2]]"), inA.body())
-    // ...invisible to the default database and to an unknown one
-    assert(get("/query?q=" + enc("SELECT v FROM m1")).statusCode() == 400)
+    // ...invisible to the default database (statement-level error)
+    val invA = get("/query?q=" + enc("SELECT v FROM m1"))
+    assert(invA.statusCode() == 200 &&
+      invA.body().contains("measurement not found"), invA.body())
     val gone = get("/query?db=nope&q=" + enc("SELECT v FROM m1"))
     assert(gone.statusCode() == 400 &&
       gone.body().contains("database not found: nope"), gone.body())

@@ -90,12 +90,14 @@ class TopKAggregateSpec extends SparkSpec {
     assert(got == want)
   }
 
-  test("null sort keys rank like the window plans (asc nulls first, desc last)") {
+  test("null sort keys are NOT candidates (selector skip, like max_by)") {
+    // round 14: a null PRIMARY key means the row has no value for the
+    // selected field — it is not a point, so top/bottom skip it (the
+    // reference's selectors iterate the field's existing values only;
+    // same rule Spark's max_by applies to null keys)
     val withNulls = Seq[(String, java.lang.Long, java.lang.Double)](
       ("a", 1L, 5.0), ("a", null, 7.0), ("a", 3L, 6.0), ("a", 4L, null),
       ("a", 5L, 8.0)).toDF("tag", "time", "value").repartition(3)
-    // bottom=true sorts value ASC: null value ranks FIRST (Spark asc
-    // default), exactly what row_number over value.asc would pick
     val got = SeriesOps.topPerSeries(withNulls, "value", "time", Seq("tag"),
         2, bottom = true)
       .select("rank_in_series", "time")
@@ -103,7 +105,8 @@ class TopKAggregateSpec extends SparkSpec {
     val want = {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy($"tag").orderBy($"value".asc, $"time".asc)
-      withNulls.withColumn("r", row_number().over(w)).filter($"r" <= 2)
+      withNulls.filter($"value".isNotNull)
+        .withColumn("r", row_number().over(w)).filter($"r" <= 2)
         .select("r", "time").orderBy("r")
         .as[(Int, Option[Long])].collect().toSeq
     }

@@ -461,6 +461,18 @@ for fname, fline, body in find_funcs():
     def drop(reason):
         stats["drop"].setdefault(reason, []).append(f"{fname}:{fline}")
 
+    # the func header may create the database via the Go API before any
+    # query runs (CreateDatabaseAndRetentionPolicy) — queries indexed
+    # before a gated init still expect it to exist
+    precreate = [f"{m2.group(1)}/{m2.group(2)}" for m2 in re.finditer(
+        r'CreateDatabaseAndRetentionPolicy\(\s*"([^"]+)",\s*'
+        r'NewRetentionPolicySpec\("([^"]+)"', body)]
+
+    # some funcs gate test.init(s) on a later query index
+    # (`if i == 2 { test.init(s) }` — ShowSeries runs CREATE/DROP first)
+    im = re.search(r"if i == (\d+)\s*\{\s*\n?\s*if err := test\.init", body)
+    init_at = int(im.group(1)) if im else 0
+
     lm = re.search(r'tests\.load\(t,\s*"([^"]+)"\)', body)
     if lm:
         # the loading func may pre-create the suite's database via the
@@ -502,6 +514,8 @@ for fname, fline, body in find_funcs():
 
     stats["kept_funcs"] += 1
     corpus.append({"func": fname, "line": fline, "db": db, "rp": rp,
+                   "init_at": init_at,
+                   "precreate": (precreate if init_at > 0 else []),
                    "writes": writes, "queries": queries})
 
 # ---- pass 2: the shared suite registry (server_suite.go), for the
