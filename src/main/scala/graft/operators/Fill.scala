@@ -55,22 +55,41 @@ object Fill {
     * reference's "no rows → no series" rule. */
   private def spineAuto(agg0: DataFrame, tags: Seq[String],
                         stepMs: Long,
-                        hiOverrideMs: Option[Long] = None): DataFrame = {
+                        hiOverrideMs: Option[Long] = None,
+                        limitBuckets: Option[Long] = None,
+                        desc: Boolean = false): DataFrame = {
     val agg = shared(agg0)
     // hiOverrideMs: a bucket-aligned upper bound beyond the data (the
-    // reference spines an unbounded GROUP BY time() to now() —
+    // reference spines a LIMIT-bounded GROUP BY time() to now() —
     // server_test.go "LAST(*) group by time(12m) limit 5" expects empty
     // buckets past the last point). greatest() keeps the data bound
     // when it is already later.
-    // clamp the extension to 1M buckets past the data start — an
-    // unbounded 1s-grid query over decades-old data must not explode
-    // the spine to now() (the reference guards with max-select-buckets)
-    val hiCol = hiOverrideMs match {
-      case Some(h) => greatest(max(col("wstart_ms")),
-        least(lit(h), min(col("wstart_ms")) + lit(1000000L) * stepMs))
+    val hiCol0 = hiOverrideMs match {
+      case Some(h) => greatest(max(col("wstart_ms")), lit(h))
       case None => max(col("wstart_ms"))
     }
-    val b = agg.agg(min(col("wstart_ms")).as("_blo"), hiCol.as("_bhi"))
+    // LIMIT folds into the spine bounds (the reference's fill iterator
+    // is LAZY — `fill_transform` stops after LIMIT buckets): ASC keeps
+    // at most offset+n buckets from the spine start, DESC from the end.
+    // This is what makes the to-now() tail affordable — the explode
+    // never materializes more buckets than the statement can return.
+    val hiCol = limitBuckets match {
+      case Some(k) if !desc =>
+        least(hiCol0, min(col("wstart_ms")) + lit((k - 1) * stepMs))
+      case _ => hiCol0
+    }
+    val loCol = limitBuckets match {
+      case Some(k) if desc =>
+        greatest(min(col("wstart_ms")), hiCol - lit((k - 1) * stepMs))
+      case _ => min(col("wstart_ms"))
+    }
+    // backstop: clamp to 1M buckets past the spine start — an unbounded
+    // grid must never explode to a driver-killing spine (the reference
+    // guards with max-select-buckets, query/compile.go:1317)
+    val b = agg.agg(loCol.as("_blo"), hiCol.as("_bhi0"))
+      .select(col("_blo"),
+        least(col("_bhi0"), col("_blo") + lit(1000000L * stepMs))
+          .as("_bhi"))
     // The 1-row bounds frame joins under the session's broadcast policy
     // (ExecProfile.maybeBroadcast): broadcast at scale, a 1-row cartesian
     // inside the main job under the small-query profile.
@@ -88,8 +107,10 @@ object Fill {
   /** [[fillValue]] with data-derived bounds (see [[spineAuto]]). */
   def fillValueAuto(agg: DataFrame, valueCols: Seq[String], tags: Seq[String],
                     stepMs: Long, fill: Option[Double] = None,
-                    hiOverrideMs: Option[Long] = None): DataFrame = {
-    val dense = spineAuto(agg, tags, stepMs, hiOverrideMs)
+                    hiOverrideMs: Option[Long] = None,
+                    limitBuckets: Option[Long] = None,
+                    desc: Boolean = false): DataFrame = {
+    val dense = spineAuto(agg, tags, stepMs, hiOverrideMs, limitBuckets, desc)
     fill match {
       case Some(v) => valueCols.foldLeft(dense)((d, c) =>
         d.withColumn(c, coalesce(col(c), lit(v).cast(d.schema(c).dataType))))
@@ -100,8 +121,10 @@ object Fill {
   /** [[fillPrevious]] with data-derived bounds (see [[spineAuto]]). */
   def fillPreviousAuto(agg: DataFrame, valueCols: Seq[String],
                        tags: Seq[String], stepMs: Long,
-                       hiOverrideMs: Option[Long] = None): DataFrame = {
-    val dense = spineAuto(agg, tags, stepMs, hiOverrideMs)
+                       hiOverrideMs: Option[Long] = None,
+                       limitBuckets: Option[Long] = None,
+                       desc: Boolean = false): DataFrame = {
+    val dense = spineAuto(agg, tags, stepMs, hiOverrideMs, limitBuckets, desc)
     val w = Window.partitionBy(tags.map(col): _*).orderBy(col("wstart_ms"))
       .rowsBetween(Window.unboundedPreceding, 0)
     valueCols.foldLeft(dense)((d, c) =>
@@ -111,8 +134,11 @@ object Fill {
   /** [[fillLinear]] with data-derived bounds (see [[spineAuto]]). */
   def fillLinearAuto(agg: DataFrame, valueCol: String,
                      tags: Seq[String], stepMs: Long,
-                     hiOverrideMs: Option[Long] = None): DataFrame =
-    interpolate(spineAuto(agg, tags, stepMs, hiOverrideMs), valueCol, tags)
+                     hiOverrideMs: Option[Long] = None,
+                     limitBuckets: Option[Long] = None,
+                     desc: Boolean = false): DataFrame =
+    interpolate(spineAuto(agg, tags, stepMs, hiOverrideMs, limitBuckets,
+      desc), valueCol, tags)
 
   /** fill(null) / fill(<value>): dense spine, missing buckets null or a
     * constant. */

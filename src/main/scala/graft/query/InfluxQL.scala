@@ -1065,8 +1065,16 @@ object InfluxQL {
   /** Compile + run a query against a catalog of measurements. Output
     * columns: time (epoch ms) [+ group tags] + one column per projection
     * (named like InfluxQL: `mean`, `max_value`-free — call name or field). */
-  def execute(catalog: Map[String, Measurement], sql: String): DataFrame =
-    executeStatement(catalog, sql)._2
+  def execute(catalog: Map[String, Measurement], sql: String): DataFrame = {
+    // `__series_name` (per-measurement SHOW series rendering) and
+    // `__tns` (the exact epoch-ns axis) are HTTP-shaping metadata —
+    // the DataFrame surface stays internal-free; the gateway reads
+    // them via executeShapedOrd instead.
+    val df = executeStatement(catalog, sql)._2
+    val internal = df.columns.filter(c =>
+      c == "__series_name" || c == "__tns")
+    if (internal.nonEmpty) df.drop(internal.toIndexedSeq: _*) else df
+  }
 
   /** Run a statement and also return the HTTP shaping metadata the
     * reference's httpd handler derives from the plan
@@ -2064,9 +2072,15 @@ object InfluxQL {
       !q.where.exists(hasTimeCond) &&
       !q.fromSub.exists(_.where.exists(hasTimeCond)) &&
       bucketNs.forall(d => offs.forall(k => (k * 1000000000L) % d == 0L))
+    // internal columns (the ns axis, order hints) would poison the
+    // arm-join keys — the compare axis is the ms bucket axis
+    def clean(df: DataFrame): DataFrame = {
+      val internal = df.columns.filter(_.startsWith("__"))
+      if (internal.nonEmpty) df.drop(internal.toIndexedSeq: _*) else df
+    }
     val arms =
       if (singlePass) {
-        val base = compileQuery(catalog, armQ)
+        val base = clean(compileQuery(catalog, armQ))
         offsets.zipWithIndex.map { case (k, i) =>
           base.withColumn("time", col("time") + lit(k * 1000L))
             .withColumnRenamed(field, s"$field${i + 1}")
@@ -2085,7 +2099,8 @@ object InfluxQL {
             n -> mm.copy(df = s1, extentMs = mm.extentMs.map {
               case (a, b) => (a + k * 1000L, b + k * 1000L) })
           }
-        compileQuery(cat2, armQ).withColumnRenamed(field, s"$field${i + 1}")
+        clean(compileQuery(cat2, armQ))
+          .withColumnRenamed(field, s"$field${i + 1}")
       }
     val f1 = s"${field}1"
     val keys = arms.head.columns.filterNot(_ == f1).toSeq
@@ -2892,16 +2907,47 @@ object InfluxQL {
             (lh ++ rh).reduceOption(_ min _))
         case _ => (None, None)
       }
+    lazy val (whereLoUs, whereHiUs): (Option[Long], Option[Long]) =
+      q.where.map(timeBoundsUs).getOrElse((None, None))
     lazy val spineBoundsMs: Option[(Long, Long)] =
       if (q.tz.isDefined) None
       else {
-        val (wLoUs, wHiUs) = q.where.map(timeBoundsUs)
-          .getOrElse((None, None))
         val ext = if (q.where.isEmpty) m.extentMs else None
-        val lo = wLoUs.map(Math.floorDiv(_, 1000L)).orElse(ext.map(_._1))
-        val hi = wHiUs.map(Math.floorDiv(_, 1000L)).orElse(ext.map(_._2))
+        val lo = whereLoUs.map(Math.floorDiv(_, 1000L)).orElse(ext.map(_._1))
+        val hi = whereHiUs.map(Math.floorDiv(_, 1000L)).orElse(ext.map(_._2))
         for (l <- lo; h <- hi) yield (l, h)
       }
+    // LIMIT folded into the spine: at most offset+n buckets survive the
+    // statement, so the spine never materializes more (the reference's
+    // fill iterator is lazy and stops the same way)
+    lazy val spineLimitBuckets: Option[Long] =
+      q.limit.map(n => (math.max(q.offset, 0) + n).toLong)
+    /** Static spine bounds [lo, hiEx): grid-align, fold LIMIT, and
+      * guard max-select-buckets — the reference ERRORS past the cap
+      * when the statement carries a real time lower bound
+      * (query/compile.go:1317-1335); data-extent-derived spines clamp
+      * from the start instead (documented divergence: footer bounds
+      * are an optimization, not user intent). */
+    def staticSpineMs(bLo: Long, bHi: Long, step: Long,
+                      foldLimit: Boolean = true): (Long, Long) = {
+      val off = q.intervalOffsetNs.getOrElse(0L) / 1000000
+      val lo0 = Math.floorDiv(bLo - off, step) * step + off
+      val hiEx0 = Math.floorDiv(bHi - off, step) * step + off + step
+      val (lo1, hiEx1) = spineLimitBuckets.filter(_ => foldLimit) match {
+        case Some(k) if !q.orderDesc =>
+          (lo0, math.min(hiEx0, lo0 + k * step))
+        case Some(k) => (math.max(lo0, hiEx0 - k * step), hiEx0)
+        case None => (lo0, hiEx0)
+      }
+      val buckets = (hiEx1 - lo1) / step
+      if (buckets > 1000000L) {
+        if (whereLoUs.isDefined)
+          throw new StatementError(
+            s"max-select-buckets limit exceeded: ($buckets/1000000)")
+        else if (q.orderDesc) (hiEx1 - 1000000L * step, hiEx1)
+        else (lo1, lo1 + 1000000L * step)
+      } else (lo1, hiEx1)
+    }
 
     var out: DataFrame =
       if (analytics.nonEmpty) {
@@ -2930,8 +2976,7 @@ object InfluxQL {
             // on (time, tags) — a row appears when ANY field produced a
             // value (server_test.go Null_Aggregate DIFFERENCE(*): age
             // diffs start at :01 even where height is null).
-            val parts = analytics.map { a =>
-              val name = analyticName(a)
+            val partsRaw = analytics.map { a =>
               val src =
                 if (df.columns.contains(a.inner.field))
                   df.filter(col(a.inner.field).isNotNull)
@@ -2941,12 +2986,21 @@ object InfluxQL {
               b = applyAnalytic(b, a, a.inner.field, m.time)
               a.alias.foreach(al =>
                 b = b.withColumnRenamed(analyticOutCol(a), al))
+              b
+            }
+            // not every analytic preserves the ns axis (the smoothing
+            // family re-emits rows from a typed mapGroups on the µs
+            // axis) — keep __tns only when every part still has it
+            val haveTns = nsTime &&
+              partsRaw.forall(_.columns.contains("__tns"))
+            val parts = analytics.zip(partsRaw).map { case (a, b) =>
+              val name = analyticName(a)
               b.select((col("wstart_ms") +:
-                (if (nsTime) Seq(col("__tns")) else Nil)) ++
+                (if (haveTns) Seq(col("__tns")) else Nil)) ++
                 groupTags.map(col) :+ col(name): _*)
             }
             val joinKeys = ("wstart_ms" +:
-              (if (nsTime) Seq("__tns") else Nil)) ++ groupTags
+              (if (haveTns) Seq("__tns") else Nil)) ++ groupTags
             parts.reduce((x, y) => x.join(y, joinKeys, "full_outer"))
         }
       } else if (calls.exists(c => c.fn == "top" || c.fn == "bottom")) {
@@ -3193,11 +3247,7 @@ object InfluxQL {
             spineBoundsMs match {
               case Some((bLo, bHi)) =>
                 val step = ns / 1000000
-                val off = q.intervalOffsetNs.getOrElse(0L) / 1000000
-                val lo = Math.floorDiv(bLo - off, step) * step + off
-                val hi = math.min(
-                  Math.floorDiv(bHi - off, step) * step + off + step,
-                  lo + 1000000L * step) // spine guard (max-select-buckets)
+                val (lo, hi) = staticSpineMs(bLo, bHi, step)
                 val vcols = sel0.columns
                   .filterNot(cc => cc == "wstart_ms" ||
                     groupTags.contains(cc))
@@ -3270,11 +3320,14 @@ object InfluxQL {
                   .filterNot(c => c == "wstart_ms" || groupTags.contains(c))
                 val filled = spineBoundsMs match {
                   case Some((bLo, bHi)) =>
-                    val off = q.intervalOffsetNs.getOrElse(0L) / 1000000
-                    val lo = Math.floorDiv(bLo - off, step) * step + off
-                    val hi = math.min(
-                  Math.floorDiv(bHi - off, step) * step + off + step,
-                  lo + 1000000L * step) // spine guard (max-select-buckets)
+                    // LIMIT folds only when the fill is neighbor-free
+                    // (see the Auto branch note below)
+                    val fold = mode match {
+                      case FillNull | FillValue(_) => true
+                      case FillPrevious => !q.orderDesc
+                      case _ => false
+                    }
+                    val (lo, hi) = staticSpineMs(bLo, bHi, step, fold)
                     mode match {
                       case FillNull => Fill.fillValue(bucketed, names.toSeq,
                         groupTags, lo, hi, step)
@@ -3287,28 +3340,44 @@ object InfluxQL {
                       case FillNone => bucketed
                     }
                   case None =>
-                    // no static lower bound — data-derived spine, but the
-                    // UPPER bound still extends to the WHERE hi or now()
-                    // (the reference's unbounded fill range ends at now;
-                    // tz() axes keep pure data bounds)
+                    // No static lower bound — data-derived spine. The
+                    // UPPER bound extends past the data only when the
+                    // statement bounds the extension itself: an explicit
+                    // WHERE hi, or a LIMIT (the reference's lazy fill
+                    // iterator emits empty to-now() buckets but stops
+                    // after LIMIT — every corpus case expecting the
+                    // tail carries one). A fully unbounded statement
+                    // keeps pure data bounds: exploding the grid to
+                    // now() for it is the exact "correct at sf0.1,
+                    // dead at 100×" plan. tz() axes keep data bounds.
                     val hiOv: Option[Long] =
                       if (q.tz.isDefined) None
                       else {
-                        val (_, wHiUs) = q.where.map(timeBoundsUs)
-                          .getOrElse((None, None))
-                        val hiMs = wHiUs.map(Math.floorDiv(_, 1000L))
-                          .getOrElse(System.currentTimeMillis())
+                        val hiMsOpt = whereHiUs
+                          .map(Math.floorDiv(_, 1000L))
+                          .orElse(if (q.limit.isDefined)
+                            Some(System.currentTimeMillis()) else None)
                         val off = q.intervalOffsetNs.getOrElse(0L) / 1000000
-                        Some(Math.floorDiv(hiMs - off, step) * step + off)
+                        hiMsOpt.map(h =>
+                          Math.floorDiv(h - off, step) * step + off)
                       }
+                    // the fold is sound only when a bucket's fill is
+                    // independent of buckets outside the kept range:
+                    // null/value always; previous only ASC (LOCF reads
+                    // backward); linear never (reads both sides)
+                    val lim =
+                      if (q.tz.isDefined) None else spineLimitBuckets
                     mode match {
                       case FillNull => Fill.fillValueAuto(bucketed,
-                        names.toSeq, groupTags, step, hiOverrideMs = hiOv)
+                        names.toSeq, groupTags, step, hiOverrideMs = hiOv,
+                        limitBuckets = lim, desc = q.orderDesc)
                       case FillValue(v) => Fill.fillValueAuto(bucketed,
                         names.toSeq, groupTags, step, Some(v),
-                        hiOverrideMs = hiOv)
+                        hiOverrideMs = hiOv,
+                        limitBuckets = lim, desc = q.orderDesc)
                       case FillPrevious => Fill.fillPreviousAuto(bucketed,
-                        names.toSeq, groupTags, step, hiOverrideMs = hiOv)
+                        names.toSeq, groupTags, step, hiOverrideMs = hiOv,
+                        limitBuckets = if (q.orderDesc) None else lim)
                       case FillLinear => Fill.fillLinearAuto(bucketed,
                         names.head, groupTags, step, hiOverrideMs = hiOv)
                       case FillNone => bucketed
@@ -3430,10 +3499,14 @@ object InfluxQL {
         // the reference's LIMIT is ALWAYS IgnoreTag — global over the
         // series-major row stream, not per series
         // (QuerySchema.LimitType, engine/executor/schema.go:1265 — only
-        // top/bottom switch to MultipleRows, still IgnoreTag). The
-        // single-partition window runs over the query's final output,
-        // already reduced.
-        val w = Window.orderBy((groupTags.map(col) :+ timeOrd): _*)
+        // top/bottom switch to MultipleRows, still IgnoreTag). ORDER BY
+        // time DESC reverses the WHOLE stream, series order included
+        // (server_test.go:10481 order-desc emits server2 before
+        // server1). The single-partition window runs over the query's
+        // final output, already reduced.
+        val grpOrd = groupTags.map(t =>
+          if (q.orderDesc) col(t).desc else col(t).asc)
+        val w = Window.orderBy((grpOrd :+ timeOrd): _*)
         out = out.withColumn("_rn", row_number().over(w))
           .filter(col("_rn") > q.offset && col("_rn") <= q.offset + l)
           .drop("_rn")

@@ -112,6 +112,13 @@ final class HttpGateway(spark: SparkSession,
     * validate `rp` against this registry. */
   @volatile private var retention: Map[String, Map[String, Retention.Rp]] =
     Map(defaultDb -> Retention.autogen)
+  /** Measurements that are LOG stores (logkeeper logstreams, created via
+    * the logstream CRUD): rows at the same (series, ns) are DISTINCT
+    * records — the consume cursor contract is literally (timestamp,
+    * rows-at-timestamp) (`handler_logstore_consume.go`) — so the
+    * TS-store point-identity merge never applies to them, on any write
+    * route. Keyed by [[dbKey]]; persisted in `_logstreams.txt`. */
+  @volatile private var logStores: Set[String] = Set.empty
 
   // ------------------------------------------- continuous queries
   /** CQ registry keyed (db, name) -- the reference's
@@ -424,8 +431,13 @@ final class HttpGateway(spark: SparkSession,
         persistDir.get, "_cold", p.getFileName.toString)
       val parts = (readIf(p) ++ readIf(coldP)).toSeq
       if (parts.nonEmpty) {
-        val fresh = parts.reduce(
+        val raw = parts.reduce(
           _.unionByName(_, allowMissingColumns = true))
+        val fresh =
+          if (java.nio.file.Files.exists(p.resolve("_pts")) &&
+              !logStores.contains(name))
+            HttpGateway.dedupPersisted(raw, tags)
+          else raw.drop("__wseq")
         catalog = catalog + (name -> (init.get(name) match {
           case Some(prev) => InfluxQL.Measurement(
             prev.df.unionByName(fresh, allowMissingColumns = true),
@@ -931,15 +943,33 @@ final class HttpGateway(spark: SparkSession,
   private def persistPath(name: String) =
     persistDir.map(d => s"$d/${java.net.URLEncoder.encode(name, "UTF-8")}")
 
+  // per-batch write-order stamp for restart read-time dedup: monotone
+  // across batches AND restarts (floored at wall-clock millis)
+  private val wseqGen =
+    new java.util.concurrent.atomic.AtomicLong(System.currentTimeMillis())
   private def persistBatch(name: String, df: DataFrame,
                            tagKeys: Seq[String],
-                           prom: Boolean = false): Unit =
+                           prom: Boolean = false,
+                           merged: Boolean = false): Unit =
     persistPath(name).foreach { p =>
+      val stamped =
+        if (merged)
+          df.withColumn("__wseq", org.apache.spark.sql.functions.lit(
+            wseqGen.updateAndGet(v =>
+              Math.max(v + 1, System.currentTimeMillis()))))
+        else df
       // day-partitioned like the reference's shard groups — prunable by
       // Catalyst and compactable by [[graft.sources.Compaction]]
-      df.withColumn("day", org.apache.spark.sql.functions.date_format(
+      stamped.withColumn("day", org.apache.spark.sql.functions.date_format(
           org.apache.spark.sql.functions.col("ts"), "yyyy-MM-dd"))
         .write.mode("append").partitionBy("day").parquet(p)
+      // marker: this dir holds point-merged TS batches — a restart
+      // dedups on read by __wseq (see dedupPersisted)
+      if (merged) {
+        val mk = java.nio.file.Paths.get(p, "_pts")
+        if (!java.nio.file.Files.exists(mk))
+          java.nio.file.Files.write(mk, Array.empty[Byte])
+      }
       val meta = java.nio.file.Paths.get(p, "_tags.txt")
       val existing =
         if (java.nio.file.Files.exists(meta))
@@ -989,6 +1019,19 @@ final class HttpGateway(spark: SparkSession,
   // the database set persists beside the data (meta store durability)
   private def dbFile =
     persistDir.map(d => java.nio.file.Paths.get(d, "_databases.txt"))
+  // the logstream (log-store measurement) registry persists the same way
+  private def logStoresFile =
+    persistDir.map(d => java.nio.file.Paths.get(d, "_logstreams.txt"))
+  private def persistLogStores(): Unit =
+    logStoresFile.foreach { f =>
+      val tmp = f.resolveSibling(f.getFileName.toString + ".tmp")
+      java.nio.file.Files.write(tmp, logStores.toSeq.sorted
+        .map(java.net.URLEncoder.encode(_, "UTF-8") + "\n")
+        .mkString.getBytes(UTF_8))
+      java.nio.file.Files.move(tmp, f,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
   private def persistDatabases(): Unit =
     dbFile.foreach { f =>
       val tmp = f.resolveSibling(f.getFileName.toString + ".tmp")
@@ -1033,6 +1076,13 @@ final class HttpGateway(spark: SparkSession,
       .updated(defaultDb, parsed.toMap.getOrElse(defaultDb,
         Retention.autogen))
   }
+  // logstream registry loads BEFORE the measurement scan: the scan's
+  // read-time point-dedup decision needs to know which dirs are logs
+  logStoresFile.filter(java.nio.file.Files.exists(_)).foreach { f =>
+    logStores = new String(java.nio.file.Files.readAllBytes(f), UTF_8)
+      .split("\n").filter(_.nonEmpty)
+      .map(java.net.URLDecoder.decode(_, "UTF-8")).toSet
+  }
   persistDir.foreach { d =>
     val base = java.nio.file.Paths.get(d)
     if (java.nio.file.Files.isDirectory(base)) {
@@ -1055,12 +1105,19 @@ final class HttpGateway(spark: SparkSession,
           p.getFileName.toString)
         val hotDf = spark.read.option("mergeSchema", "true")
           .parquet(p.toString).drop("day")
-        val df =
+        val raw =
           if (java.nio.file.Files.isDirectory(coldP))
             hotDf.unionByName(spark.read.option("mergeSchema", "true")
               .parquet(coldP.toString).drop("day"),
               allowMissingColumns = true)
           else hotDf
+        // `_pts` dirs hold point-merged TS batches: restore point
+        // identity across batches by read-time dedup (never for logs)
+        val df =
+          if (java.nio.file.Files.exists(p.resolve("_pts")) &&
+              !logStores.contains(name))
+            HttpGateway.dedupPersisted(raw, tags)
+          else raw.drop("__wseq")
         catalog = catalog + (name -> (catalog.get(name) match {
           case Some(prev) => InfluxQL.Measurement(
             prev.df.unionByName(df, allowMissingColumns = true),
@@ -2664,21 +2721,43 @@ final class HttpGateway(spark: SparkSession,
           ps.flatMap(_.boolFields.keys).distinct.sorted,
           ps.flatMap(_.stringFields.keys).distinct.sorted)
         val key = dbKey(wdb, m)
-        persistBatch(key, tbl, tagKeys)
-        val merged = catalog.get(key) match {
-          case Some(prev) if mergeSameTime => InfluxQL.Measurement(
-            maybeCompact(key, HttpGateway.mergePoints(
-              prev.df, tbl, (prev.tags ++ tagKeys).distinct)),
-            (prev.tags ++ tagKeys).distinct, prev.time)
-          case Some(prev) => InfluxQL.Measurement(
-            maybeCompact(key,
-              prev.df.unionByName(tbl, allowMissingColumns = true)),
-            (prev.tags ++ tagKeys).distinct, prev.time)
-          case None if mergeSameTime => InfluxQL.Measurement(
-            HttpGateway.mergeBatch(tbl, tagKeys), tagKeys, "ts")
-          case None => InfluxQL.Measurement(tbl, tagKeys, "ts")
+        // log stores (logkeeper logstreams) append: same-ns rows are
+        // distinct log records, never one point
+        val doMerge = mergeSameTime && !logStores.contains(key)
+        if (doMerge) {
+          // intra-batch LWW resolved once; the persisted batch is the
+          // canonical merged frame, so a restart's read-time dedup
+          // (ordered by the per-batch __wseq stamp) reproduces exactly
+          // the live catalog's point semantics
+          val mtbl = HttpGateway.mergeBatch(tbl, tagKeys)
+          persistBatch(key, mtbl, tagKeys, merged = true)
+          // the batch's ns extent bounds the rewrite: catalog rows
+          // outside [lo,hi] can't collide with this batch and pass
+          // through untouched — write cost is O(batch-window rows),
+          // not O(measurement) (the cluster-scale analogue is the LSM
+          // compaction merging only overlapping shard groups)
+          val lo = ps.iterator.map(_.time).min
+          val hi = ps.iterator.map(_.time).max
+          val merged = catalog.get(key) match {
+            case Some(prev) => InfluxQL.Measurement(
+              maybeCompact(key, HttpGateway.mergePoints(
+                prev.df, mtbl, (prev.tags ++ tagKeys).distinct,
+                Some((lo, hi)))),
+              (prev.tags ++ tagKeys).distinct, prev.time)
+            case None => InfluxQL.Measurement(mtbl, tagKeys, "ts")
+          }
+          catalog = catalog + (key -> merged)
+        } else {
+          persistBatch(key, tbl, tagKeys)
+          val merged = catalog.get(key) match {
+            case Some(prev) => InfluxQL.Measurement(
+              maybeCompact(key,
+                prev.df.unionByName(tbl, allowMissingColumns = true)),
+              (prev.tags ++ tagKeys).distinct, prev.time)
+            case None => InfluxQL.Measurement(tbl, tagKeys, "ts")
+          }
+          catalog = catalog + (key -> merged)
         }
-        catalog = catalog + (key -> merged)
       }
     }
     stats.pointsWrittenOK.addAndGet(pts.size)
@@ -3109,7 +3188,8 @@ final class HttpGateway(spark: SparkSession,
             retention = retention - r
             val pre = r + " "
             catalog = catalog.filterNot(_._1.startsWith(pre))
-            persistDatabases()
+            logStores = logStores.filterNot(_.startsWith(pre))
+            persistDatabases(); persistLogStores()
           }
           respond(ex, 200, "{}")
         case (m, _) => respond(ex, 405, s"""{"error":"bad $m"}""")
@@ -3149,6 +3229,8 @@ final class HttpGateway(spark: SparkSession,
                 StructField("ts", TimestampType))))
             catalog = catalog +
               (dbKey(repo, stream) -> InfluxQL.Measurement(empty, Nil, "ts"))
+            logStores = logStores + dbKey(repo, stream)
+            persistLogStores()
           }
           respond(ex, 200, "{}")
         case ("DELETE", Some((repo, stream)), _) =>
@@ -3157,6 +3239,8 @@ final class HttpGateway(spark: SparkSession,
             if (!sliceOf(catalog, repo).contains(stream))
               sys.error("logstream not found")
             catalog = catalog - dbKey(repo, stream)
+            logStores = logStores - dbKey(repo, stream)
+            persistLogStores()
           }
           respond(ex, 200, "{}")
         case (m, _, _) => respond(ex, 405, s"""{"error":"bad $m"}""")
@@ -3957,7 +4041,25 @@ object HttpGateway {
     * so every read path gets point semantics for free. */
   private[server] def mergePoints(prev: org.apache.spark.sql.DataFrame,
                                   fresh: org.apache.spark.sql.DataFrame,
-                                  tagKeys: Seq[String])
+                                  tagKeys: Seq[String],
+                                  extentNs: Option[(Long, Long)] = None)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    extentNs match {
+      case Some((lo, hi)) =>
+        // only prev rows inside the batch's ns window can collide —
+        // everything else passes through without a shuffle
+        val untouched = prev.filter(col("time") < lo || col("time") > hi)
+        val inWindow = prev.filter(col("time") >= lo && col("time") <= hi)
+        untouched.unionByName(mergeAll(inWindow, fresh, tagKeys),
+          allowMissingColumns = true)
+      case None => mergeAll(prev, fresh, tagKeys)
+    }
+  }
+
+  private def mergeAll(prev: org.apache.spark.sql.DataFrame,
+                       fresh: org.apache.spark.sql.DataFrame,
+                       tagKeys: Seq[String])
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
     // prev is already one-row-per-point; any fresh row outranks it
@@ -3965,6 +4067,24 @@ object HttpGateway {
       fresh.withColumn("__ds_seq", monotonically_increasing_id() + 1),
       allowMissingColumns = true)
     dedupPoints(all, tagKeys)
+  }
+
+  /** Read-time point dedup for restart-restored frames: batches persist
+    * ALREADY intra-batch-merged with a per-batch `__wseq` write-order
+    * stamp, so across batches the newest stamped row wins per field —
+    * the same LWW a live gateway applied at write time (the reference
+    * dedups on read the same way, `tsreader/iterator.go` newest-wins).
+    * Legacy rows without the stamp sort oldest. */
+  private[server] def dedupPersisted(df: org.apache.spark.sql.DataFrame,
+                                     tagKeys: Seq[String])
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val seqd =
+      if (df.columns.contains("__wseq"))
+        df.withColumn("__ds_seq", coalesce(col("__wseq"), lit(0L)))
+          .drop("__wseq")
+      else df.withColumn("__ds_seq", lit(0L))
+    dedupPoints(seqd, tagKeys.filter(df.columns.contains))
   }
 
   /** [[mergePoints]] for a single batch (line order = write order). */

@@ -228,12 +228,22 @@ object RecordCodec {
                          maxRows: Int = 1000000)
       : Seq[Array[Byte]] = {
     import org.apache.spark.sql.types._
-    val cols = df.columns.toSeq
+    // `__tns` is the engine-internal exact epoch-ns axis: it IS the time
+    // column on the wire (scale 1), never a field — the reference schema
+    // is tags + fields-by-name + `time` last, no internals
+    // (tsreader/iterator.go:221-225).
+    val hasTns = df.columns.contains("__tns")
+    val df0 =
+      if (hasTns)
+        df.drop("time", "ts").withColumnRenamed("__tns", "time")
+      else df
+    val tScale = if (hasTns) 1L else timeScaleNs
+    val cols = df0.columns.toSeq.filterNot(_.startsWith("__"))
     val tagNames = cols.filter(tagCols.contains)
     val timeName = cols.find(c => c == "time" || c == "ts")
     val fieldNames =
       cols.filterNot(c => tagNames.contains(c) || timeName.contains(c)).sorted
-    val types = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    val types = df0.schema.fields.map(f => f.name -> f.dataType).toMap
     def typeId(dt: DataType): Int = dt match {
       case LongType | IntegerType | ShortType | ByteType => TInt
       case DoubleType | FloatType => TFloat
@@ -246,7 +256,7 @@ object RecordCodec {
     val outCols = fieldNames ++ timeName
     val probe = if (maxRows >= Int.MaxValue - 1) Int.MaxValue
                 else maxRows + 1
-    val rows = df.limit(probe).collect().toSeq
+    val rows = df0.limit(probe).collect().toSeq
     require(rows.length <= maxRows,
       s"payloadsFromResult: result exceeds maxRows=$maxRows — cap the " +
         s"query (LIMIT) or raise the gateway max-row-limit explicitly")
@@ -258,8 +268,8 @@ object RecordCodec {
         inst.getEpochSecond * 1000000000L + inst.getNano
       case i: java.time.Instant =>
         i.getEpochSecond * 1000000000L + i.getNano
-      case l: Long => l * timeScaleNs
-      case other => other.toString.toLong * timeScaleNs
+      case l: Long => l * tScale
+      case other => other.toString.toLong * tScale
     }
 
     val grouped = rows.groupBy(r =>

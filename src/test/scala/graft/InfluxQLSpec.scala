@@ -117,11 +117,15 @@ class InfluxQLSpec extends SparkSpec {
     assert(l == Seq(100.0, 150.0, 200.0))
   }
 
-  test("ORDER BY time DESC + per-series LIMIT") {
+  test("ORDER BY time DESC + global IgnoreTag LIMIT") {
+    // the reference's LIMIT is global over the series-major stream, and
+    // DESC reverses series order too (server_test.go:10481,
+    // schema.go:1265 IgnoreTag limit): 1 row = newest row of the LAST
+    // series in tag order
     val out = run(
       "SELECT value FROM cpu GROUP BY host ORDER BY time DESC LIMIT 1")
       .select("host", "value").as[(String, Double)].collect().toSet
-    assert(out == Set(("server01", 30.0), ("server02", 200.0)))
+    assert(out == Set(("server02", 200.0)))
   }
 
   test("SLIMIT limits the number of series") {
@@ -464,11 +468,14 @@ class InfluxQLSpec extends SparkSpec {
     assert(out == Map("server01" -> 2L, "server02" -> 1L))
   }
 
-  test("golden: OFFSET pages through per-series results") {
+  test("golden: OFFSET pages through the global row stream") {
+    // IgnoreTag limit: OFFSET skips rows of the series-major stream
+    // (server_test.go:5061 "group by * limit 3 offset 1" skips az_0's
+    // row, not one row per series)
     val out = run(
       "SELECT value FROM cpu GROUP BY host ORDER BY time ASC LIMIT 1 OFFSET 1")
       .select("host", "value").as[(String, Double)].collect().toSet
-    assert(out == Set(("server01", 20.0), ("server02", 200.0)))
+    assert(out == Set(("server01", 20.0)))
   }
 
   test("raw projection returns fields with tags") {
