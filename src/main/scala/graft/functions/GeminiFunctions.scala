@@ -42,15 +42,31 @@ object GeminiFunctions {
     "clamp" -> (a => least(greatest(a(0), a(1)), a(2))),
     "clamp_min" -> (a => greatest(a(0), a(1))),
     "clamp_max" -> (a => least(a(0), a(1))),
-    "cast_int64" -> (a => a.head.cast("long")),
-    "cast_float64" -> (a => a.head.cast("double")),
-    "cast_bool" -> (a => a.head.cast("boolean")),
+    // cast family (math.go castInt64Func etc.): string parses are
+    // STRICT per target ("15.3" is not an int64 — null, not truncate);
+    // try_cast gives exactly the parse-or-null the reference's
+    // strconv branches produce
+    "cast_int64" -> (a => a.head.try_cast("long")),
+    "cast_float64" -> (a => a.head.try_cast("double")),
+    // castBoolFunc: numeric != 0; string "0"/"" false, anything else
+    // true ("a" IS true); null → false
+    "cast_bool" -> { a =>
+      val n = a.head.try_cast("double")
+      when(a.head.isNull, lit(false))
+        .when(n.isNotNull, n =!= 0.0)
+        .otherwise(!lower(a.head.cast("string")).isin("0", ""))
+    },
     "cast_string" -> (a => a.head.cast("string")),
-    // string_functions.go
-    "str" -> (a => a.head.cast("string")),
-    "strlen" -> (a => length(a.head)),
-    "substr" -> (a => if (a.length > 2) a(0).substr(a(1), a(2))
-                      else a(0).substr(a(1), length(a(0)))),
+    // string_functions.go — str(s, sub) is CONTAINS (strFunc.CallFunc:
+    // strings.Contains), boolean result
+    "str" -> (a => a(0).contains(a(1))),
+    "strlen" -> (a => octet_length(a.head).cast("long")),
+    // substr is ZERO-based with clipping (SubStrTwoParaFunc /
+    // SubStrThreeParaFunc) — Spark substring is 1-based
+    "substr" -> (a => if (a.length > 2)
+                        call_function("substring", a(0), a(1) + lit(1), a(2))
+                      else call_function("substring", a(0), a(1) + lit(1),
+                        lit(Int.MaxValue))),
     "levenshtein_distance" -> (a => levenshtein(a(0), a(1))),
     "lpad" -> (a => call_function("lpad", a: _*)),
     "rpad" -> (a => call_function("rpad", a: _*)),
@@ -61,8 +77,11 @@ object GeminiFunctions {
     "split" -> (a => call_function("split", a: _*)),
     "split_part" -> (a => call_function("split_part", a: _*)),
     "split_to_map" -> (a => call_function("str_to_map", a: _*)),
-    "position" -> (a => call_function("position", a: _*)),
-    "strpos" -> (a => call_function("position", a: _*)),
+    // position(s, sub) = strings.Index + 1 (1-based, 0 absent) — note
+    // Spark's position() takes (substr, str), the reverse arg order
+    "position" -> (a => call_function("instr", a(0), a(1))),
+    // strPosFunc returns the same index AS A STRING
+    "strpos" -> (a => call_function("instr", a(0), a(1)).cast("string")),
     "url_decode" -> (a => url_decode(a.head)),
     "url_encode" -> (a => url_encode(a.head)),
     "url_extract_host" -> (a => parse_url(a.head, lit("HOST"))),
@@ -104,6 +123,72 @@ object GeminiFunctions {
   /** ip_mask(ip, prefixLen): zero the host bits. */
   val ipMask: (String, Int) => String = (ip, prefix) =>
     ipToLong(ip).map(v => longToIp(v & maskOf(prefix))).orNull
+
+  /** ip_mask with the reference's full contract (string_functions.go
+    * ipMask): IPv4 uses `n4`, IPv6 uses `n6` when ≥ 0 else `n4`;
+    * invalid address or out-of-range prefix → null (the reference logs
+    * and yields nil). IPv6 renders RFC 5952 compressed, Go
+    * net.IP.String() style. */
+  val ipMaskV: (String, Int, Int) => String = (ip0, n4, n6) => {
+    val ip = Option(ip0).map(_.trim).getOrElse("")
+    if (ip.contains(':')) {
+      // IPv6 — colon-bearing literals never resolve as hostnames, so
+      // InetAddress parses without a DNS round trip
+      val ml = if (n6 >= 0) n6 else n4
+      if (ml < 0 || ml > 128) null
+      else
+        try {
+          val bytes = java.net.InetAddress.getByName(ip).getAddress
+          if (bytes.length != 16) null
+          else {
+            var i = 0
+            val out = new Array[Byte](16)
+            while (i < 16) {
+              val bits = math.max(0, math.min(8, ml - i * 8))
+              val m = (0xff << (8 - bits)) & 0xff
+              out(i) = (bytes(i) & m).toByte
+              i += 1
+            }
+            formatIpv6(out)
+          }
+        } catch { case _: Exception => null }
+    } else ipToLong(ip) match {
+      case Some(v) =>
+        if (n4 < 0 || n4 > 32) null else longToIp(v & maskOf(n4))
+      case None => null
+    }
+  }
+
+  /** RFC 5952 text form of 16 address bytes: lowercase hex groups, no
+    * leading zeros, the longest (leftmost on tie) run of 2+ zero groups
+    * compressed to `::` — Go net.IP.String(). */
+  private def formatIpv6(b: Array[Byte]): String = {
+    val g = Array.tabulate(8)(i =>
+      ((b(2 * i) & 0xff) << 8) | (b(2 * i + 1) & 0xff))
+    var bestStart = -1; var bestLen = 0
+    var i = 0
+    while (i < 8) {
+      if (g(i) == 0) {
+        var j = i
+        while (j < 8 && g(j) == 0) j += 1
+        if (j - i > bestLen) { bestStart = i; bestLen = j - i }
+        i = j
+      } else i += 1
+    }
+    if (bestLen < 2) { bestStart = -1; bestLen = 0 }
+    val sb = new StringBuilder
+    i = 0
+    while (i < 8) {
+      if (i == bestStart) {
+        sb.append("::"); i += bestLen
+      } else {
+        if (sb.nonEmpty && !sb.endsWith(":")) sb.append(':')
+        sb.append(java.lang.Integer.toHexString(g(i)))
+        i += 1
+      }
+    }
+    if (sb.isEmpty) "::" else sb.toString
+  }
 
   /** ip_prefix(ip, prefixLen): CIDR form of the masked network. */
   val ipPrefix: (String, Int) => String = (ip, prefix) =>

@@ -254,6 +254,23 @@ object InfluxQL {
     "acos", "atan", "atan2", "exp", "log", "ln", "log2", "log10",
     "sqrt", "pow", "floor", "ceil", "round")
 
+  /** Scalar "materialize" functions (string_functions.go / math.go cast
+    * family): row functions, parsed like math calls (full expression
+    * args, string literals allowed) and evaluated without the
+    * all-args-to-double coercion. */
+  private val scalarFnNames = Set(
+    "str", "strlen", "substr", "position", "strpos", "typeof",
+    "levenshtein_distance", "lpad", "rpad", "regexp_extract",
+    "regexp_like", "replace", "reverse", "split", "split_part",
+    "split_to_map",
+    "cast_int64", "cast_float64", "cast_bool", "cast_string",
+    "json_object", "json_extract", "json_extract_scalar",
+    "url_decode", "url_encode", "url_extract_host", "url_extract_path",
+    "url_extract_protocol", "url_extract_query", "url_extract_fragment",
+    "url_extract_parameter", "url_extract_port",
+    "ip_mask", "ip_prefix", "ip_to_domain", "is_subnet_of",
+    "ip_subnet_min", "ip_subnet_max", "ip_subnet_range")
+
   sealed trait CondV
   case class CNum(v: Double) extends CondV
   /** Integral literal kept EXACT: a bare integer against `time` is an
@@ -369,9 +386,19 @@ object InfluxQL {
       * the qualified ref; returns the dotted spelling. */
     private def qualTail(a: String): String = {
       next() // '.'
-      val f = next() match {
+      var f = next() match {
         case TIdent(s) => s
         case t => sys.error(s"expected field after '$a.', got $t")
+      }
+      // further segments join into one literal dotted name —
+      // `cpu.total.usage` is a FIELD with dots (LP field keys carry
+      // them), not a deeper qualification
+      while (peek == TPunct(".") && peek2.isInstanceOf[TIdent]) {
+        next()
+        f = f + "." + (next() match {
+          case TIdent(s) => s
+          case t => sys.error(s"expected field after '.', got $t")
+        })
       }
       qualBuf ::= (a, f)
       s"$a.$f"
@@ -767,7 +794,19 @@ object InfluxQL {
               val alias = if (isKw("as")) {
                 next()
                 next() match {
-                  case TIdent(a) => Some(a)
+                  case TIdent(a) =>
+                    // dotted aliases join into one literal name
+                    // (`sum(x) AS cpu.total.usage`)
+                    var a2 = a
+                    while (peek == TPunct(".") &&
+                        peek2.isInstanceOf[TIdent]) {
+                      next()
+                      a2 = a2 + "." + (next() match {
+                        case TIdent(s2) => s2
+                        case t => sys.error(s"expected alias, got $t")
+                      })
+                    }
+                    Some(a2)
                   case TStr(a) => Some(a) // AS 'name' quoted-string alias
                   case t => sys.error(s"expected alias, got $t")
                 }
@@ -777,7 +816,10 @@ object InfluxQL {
               def hasVar(x: Expr): Boolean = x match {
                 case EField(_) | ECall(_) => true
                 case EBin(_, l2, r2) => hasVar(l2) || hasVar(r2)
-                case EMath(_, args) => args.exists(hasVar)
+                // a CALL is never "just a literal" — its own arg
+                // contracts produce the right error (json_object(),
+                // ip_mask(12,12)), not FieldIsLiteral
+                case EMath(_, _) => true
                 case ECast(x2, _) => hasVar(x2)
                 case _ => false
               }
@@ -797,7 +839,10 @@ object InfluxQL {
                   def fns(x: Expr): Seq[String] = x match {
                     case ECall(c2) => Seq(c2.fn)
                     case EBin(_, l2, r2) => fns(l2) ++ fns(r2)
-                    case EMath(_, args) => args.flatMap(fns)
+                    // a scalar/math call names its output after ITSELF
+                    // (`strlen(address)` → column "strlen"); nested
+                    // aggregate names don't leak through
+                    case EMath(f2, _) => Seq(f2)
                     case ECast(x2, _) => fns(x2)
                     case _ => Nil
                   }
@@ -857,7 +902,7 @@ object InfluxQL {
       case TIdent(fn0) if peek == TPunct("(") =>
         val fn = fn0.toLowerCase
         next() // (
-        if (mathFnNames.contains(fn)) {
+        if (mathFnNames.contains(fn) || scalarFnNames.contains(fn)) {
           // scalar math call: full comma-separated expression args
           val args = Seq.newBuilder[Expr]
           if (peek != TPunct(")")) {
@@ -1384,11 +1429,14 @@ object InfluxQL {
       // STAR arms shape as time, fields (their emitted order), then
       // TAGS — group tags first, remaining source tags after
       // (Union_Table grouped-star exp pairs t2 before t1 on the
-      // group-by-t2 arm); explicit projections keep their own order
+      // group-by-t2 arm); explicit projections keep their own order,
+      // with GROUP BY tags appended last (Union_Distinct::4 pairs a
+      // star arm's (…,t1,t2) against "f1, f3 … GROUP BY t1, t2")
       val isStar = qq.projs.exists(p0 =>
         p0 == PStar || p0 == PStarTag || p0 == PStarField)
       val tagsOrdered =
-        if (isStar) armTags(d, qq, cat0) else Nil
+        if (isStar) armTags(d, qq, cat0)
+        else qq.groupTags.filter(d.columns.contains)
       val others = d.columns.filterNot(c => c == "time" ||
         c.startsWith("__") || tagsOrdered.contains(c))
       d.select((("time" +: others) ++ tagsOrdered).map(c0 =>
@@ -1401,11 +1449,25 @@ object InfluxQL {
       else unionFold(base0, a.q, cat0,
         a.nested.map(n2 => n2 -> compileArm(cat0, n2)))
     }
+    // arm emission rank: arms emit as blocks ordered by their SOURCE
+    // NAME (sorted, not statement order — Union_Table::10 "event union
+    // alarm union CPU" emits CPU, alarm_table, event_table). The rank
+    // rides a hidden __uord column consumed by the BY NAME output sort.
+    def armSrc(x: Query): String = x.fromSub match {
+      case Some(s0) => armSrc(s0)
+      case None => x.fromBare.getOrElse(x.from)
+    }
     def unionFold(first: DataFrame, firstQ: Query,
                   cat0: Map[String, Measurement],
-                  rest: Seq[(UnionArm, DataFrame)]): DataFrame =
-      rest.foldLeft(flatArm(first, firstQ, cat0)) { case (acc, (arm, d0)) =>
-        val d = flatArm(d0, arm.q, cat0)
+                  rest: Seq[(UnionArm, DataFrame)]): DataFrame = {
+      val names = (armSrc(firstQ) +: rest.map(r => armSrc(r._1.q)))
+      val ranked = names.distinct.sorted.zipWithIndex.toMap
+      def stamp(d: DataFrame, n: String): DataFrame =
+        d.withColumn("__uord", lit(ranked(n).toLong))
+      rest.zip(names.tail).foldLeft(
+        stamp(flatArm(first, firstQ, cat0), names.head)) {
+        case (acc, ((arm, d0), nm)) =>
+        val d = stamp(flatArm(d0, arm.q, cat0), nm)
         val u =
           if (arm.byName) {
             val shared = acc.columns.toSet.intersect(d.columns.toSet)
@@ -1432,8 +1494,19 @@ object InfluxQL {
             }
             acc.union(d)
           }
-        if (arm.all) u else u.distinct()
+        // non-ALL dedups on VALUE columns only — the hidden arm rank
+        // keeps the smallest contributing arm (first-seen block order)
+        if (arm.all) u
+        else {
+          val vcols = u.columns.filterNot(_ == "__uord").toSeq
+          def qc(c0: String) =
+            if (c0.contains(".")) col(s"`$c0`") else col(c0)
+          u.groupBy(vcols.map(qc): _*)
+            .agg(min(col("__uord")).as("__uord"))
+            .select(u.columns.toSeq.map(qc): _*)
+        }
       }
+    }
 
     // CTEs compile once and register as measurements visible to later CTEs
     // and the main query (reference BuildCTELogicalPlan select.go:906);
@@ -1476,7 +1549,7 @@ object InfluxQL {
         val body =
           if (subArms.isEmpty) base0
           else unionFold(base0, sub, cat,
-            subArms.map(a => a -> compileArm(cat, a)))
+            subArms.map(a => a -> compileArm(cat, a))).drop("__uord")
         val ts0 =
           if (body.columns.contains("__tns"))
             timestamp_micros((col("__tns") / 1000L).cast("long"))
@@ -1498,17 +1571,37 @@ object InfluxQL {
           arms.map(a => a -> compileArm(cat, a)))
         def anyByName(a: UnionArm): Boolean =
           a.byName || a.nested.exists(anyByName)
-        if (arms.exists(anyByName)) folded // BY NAME keeps arm order
-        else {
+        if (arms.exists(anyByName)) {
+          // BY NAME rows emit in arm-block order (source-name-sorted —
+          // the hidden __uord rank), fields name-ASC nulls-last within
+          // a block (Union_Table::10/::16 exp row order)
+          val tags0 = armTags(folded, q, cat)
+          val fieldSort = folded.columns.filterNot(c =>
+            c == "time" || c == "__uord" || tags0.contains(c))
+            .sorted.toSeq ++ tags0.filter(folded.columns.contains)
+          folded.orderBy((col("time").asc +: col("__uord").asc +:
+            fieldSort.map(c0 =>
+              (if (c0.contains(".")) col(s"`$c0`") else col(c0))
+                .asc_nulls_last)): _*)
+            .drop("__uord")
+        } else {
           // positional unions sort by (time, fields…, tags…) in
           // name order, regardless of the rendered column order
           // (Union_Table exp row order)
           val tags0 = armTags(folded, q, cat)
           val sortCols = ("time" +: folded.columns.filterNot(c =>
-            c == "time" || tags0.contains(c)).sorted.toSeq) ++
-            tags0.filter(folded.columns.contains)
-          folded.orderBy(sortCols.map(c0 =>
-            if (c0.contains(".")) col(s"`$c0`") else col(c0)): _*)
+            c == "time" || c == "__uord" || tags0.contains(c))
+            .sorted.toSeq) ++ tags0.filter(folded.columns.contains)
+          def qc0(c0: String) =
+            if (c0.contains(".")) col(s"`$c0`") else col(c0)
+          // rendered column order is name-sorted, time first
+          // (Union_Table::14 "select t1,f1 … union all …" renders
+          // [time, f1, t1]) — the flat pairing order was positional
+          // plumbing, not the output contract
+          val outCols = "time" +: folded.columns
+            .filterNot(c => c == "time" || c == "__uord").sorted.toSeq
+          folded.orderBy(sortCols.map(qc0): _*)
+            .select(outCols.map(qc0): _*)
         }
       }
     def armQs(a: UnionArm): Seq[Query] = a.q +: a.nested.flatMap(armQs)
@@ -1541,6 +1634,37 @@ object InfluxQL {
       (Some(q), out, (q +: arms.flatMap(armQs)).flatMap(namesOf))
   }
 
+  /** Strip `&#47;*…*&#47;` comment spans QUOTE-AWARE: spans inside
+    * single- or double-quoted literals are content, not comments (a
+    * blind replaceAll corrupted `WHERE msg = 'a &#47;*+ x *&#47; b'`).
+    * `plusOnly` restricts to optimizer hints (`&#47;*+ … *&#47;`,
+    * parser.go hint grammar). Backslash escapes inside quotes are
+    * honored; an unterminated comment strips to end-of-string. */
+  def stripComments(s: String, plusOnly: Boolean): String = {
+    val out = new StringBuilder
+    var i = 0
+    var quote: Char = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote != 0) {
+        out.append(c)
+        if (c == '\\' && i + 1 < s.length) {
+          out.append(s.charAt(i + 1)); i += 1
+        } else if (c == quote) quote = 0
+        i += 1
+      } else if (c == '\'' || c == '"') {
+        quote = c; out.append(c); i += 1
+      } else if (c == '/' && i + 1 < s.length && s.charAt(i + 1) == '*' &&
+                 (!plusOnly ||
+                   (i + 2 < s.length && s.charAt(i + 2) == '+'))) {
+        val end = s.indexOf("*/", i + 2)
+        out.append(' ')
+        i = if (end < 0) s.length else end + 2
+      } else { out.append(c); i += 1 }
+    }
+    out.toString
+  }
+
   /** SHOW MEASUREMENTS / TAG KEYS / TAG VALUES … WITH KEY = k /
     * FIELD KEYS / SERIES — reference `query/statement_rewriter.go` (SHOW →
     * meta SELECT). */
@@ -1548,7 +1672,7 @@ object InfluxQL {
                           sql0: String): DataFrame = {
     // strip optimizer-hint comments (`SHOW /*+ exact_statistic_query */
     // TAG VALUES …` — parser.go hint grammar, routing-only here)
-    val sql = sql0.replaceAll("/\\*.*?\\*/", " ")
+    val sql = stripComments(sql0, plusOnly = false)
     val spark = catalog.values.headOption.map(_.df.sparkSession)
       .getOrElse(org.apache.spark.sql.SparkSession.active)
     import spark.implicits._
@@ -1841,10 +1965,23 @@ object InfluxQL {
               else limited.map(n0 -> _).toDF("__series_name", "tagKey")
             } else {
               val keys = m.tags.filter(keySel).sorted
-              if (keys.isEmpty)
-                Seq.empty[(String, String, String)]
+              if (keys.isEmpty) {
+                if (card.isDefined)
+                  Seq.empty[(String, Long)].toDF("__series_name", "count")
+                else Seq.empty[(String, String, String)]
                   .toDF("__series_name", "key", "value")
-              else {
+              } else if (card.contains(false)) {
+                // estimated tier: HLL++ sketches (approx_count_distinct)
+                // — partial sketches merge map-side, the exchange
+                // carries one sketch per partition instead of the raw
+                // key set (the whole point of the estimated tier; the
+                // reference's SHOW … CARDINALITY serves HLL the same
+                // way, meta cardinality sketches)
+                src.agg(
+                  keys.map(k0 => approx_count_distinct(col(k0)))
+                    .reduce(_ + _).as("count"))
+                  .select(lit(n0).as("__series_name"), col("count"))
+              } else {
                 val pairs = keys.map(k0 =>
                   src.filter(col(k0).isNotNull)
                     .select(lit(n0).as("__series_name"),
@@ -1963,9 +2100,15 @@ object InfluxQL {
             else parts.reduce(_ unionByName _).filter(col("count") > 0)
           case Some(false) =>
             // pooled count inside the (Monday-aligned) 1-week shard
-            // group covering the data
+            // group covering the data — estimated tier, so the series
+            // keys aggregate as HLL++ sketches (no raw-key shuffle)
             val total = msts.map { case (n0, m) =>
-              rowsOf(n0, m).count() }.sum
+              val src = where.map(w => m.df.filter(
+                manageCond(m, w, System.currentTimeMillis())))
+                .getOrElse(m.df)
+              graft.operators.Meta.showSeries(src, m.tags)
+                .agg(approx_count_distinct(col("series_key")))
+                .collect()(0).getLong(0) }.sum
             val tMin = msts.map { case (_, m) =>
               m.df.agg(min(unix_millis(col(m.time)))).collect()(0) }
               .collect { case r0 if !r0.isNullAt(0) => r0.getLong(0) }
@@ -2413,6 +2556,8 @@ object InfluxQL {
       case EBin('/', l, r) =>
         evalExpr(l, resolve).cast("double") / evalExpr(r, resolve).cast("double")
       case EBin(op, _, _) => sys.error(s"unsupported operator $op")
+      case EMath(fn, args) if scalarFnNames.contains(fn) =>
+        scalarEval(fn, args, resolve)
       case EMath(fn, args) =>
         val a = args.map(x => evalExpr(x, resolve).cast("double"))
         def arity(n: Int): Unit =
@@ -2440,6 +2585,174 @@ object InfluxQL {
           case "round" => arity(1); round(a(0)).cast("double")
           case o => sys.error(s"unsupported math function $o")
         }
+    }
+
+    /** Scalar "materialize" calls with the reference's exact semantics
+      * and compile-time contracts (string_functions.go CheckRules +
+      * CallTypeFunc): argument-count and literal-type violations are
+      * STATEMENT errors with the reference's messages; field-type
+      * violations validate against the frame schema. */
+    def scalarEval(fn: String, args: Seq[Expr],
+                   resolve: PCall => Column): Column = {
+      import org.apache.spark.sql.types._
+      def aCol(i: Int) = evalExpr(args(i), resolve)
+      // Go AST rendering for error messages (influxql node String())
+      def render(e: Expr): String = e match {
+        case EStr(s) => s"'$s'"
+        case ENum(v, true, _) => v.toLong.toString
+        case ENum(v, _, _) => v.toString
+        case EField(f) => f
+        case ECall(c) => s"${c.fn}(${c.field})"
+        case _ => "<expr>"
+      }
+      def ordinal(n: Int): String = n match {
+        case 1 => "1st"; case 2 => "2nd"; case 3 => "3rd"
+        case _ => s"${n}th"
+      }
+      def argn(min: Int, max: Int): Unit =
+        if (args.size < min || args.size > max)
+          throw new StatementError(
+            if (min == max)
+              s"invalid number of arguments for $fn, expected $min, " +
+                s"got ${args.size}"
+            else s"invalid number of arguments for $fn, " +
+              s"expected $min-$max, got ${args.size}")
+      def strLit(i: Int): String = args(i) match {
+        case EStr(s) => s
+        case e => throw new StatementError("invalid argument type for " +
+          s"the ${ordinal(i + 1)} argument in $fn(): ${render(e)}")
+      }
+      def intLit(i: Int): Long = args(i) match {
+        case ENum(v, true, _) => v.toLong
+        case e => throw new StatementError("invalid argument type for " +
+          s"the ${ordinal(i + 1)} argument in $fn(): ${render(e)}")
+      }
+      def typeName(dt: DataType): String = dt match {
+        case StringType => "string"
+        case DoubleType | FloatType => "float"
+        case LongType | IntegerType | ShortType | ByteType => "integer"
+        case BooleanType => "boolean"
+        case _ => "unknown"
+      }
+      def fieldType(e: Expr): Option[DataType] = e match {
+        case EField(f) if df.columns.contains(f) =>
+          Some(df.schema(f).dataType)
+        case _ => None
+      }
+      // CallTypeFunc contract: the data argument must be a string field
+      def requireString0(pos: String): Unit =
+        fieldType(args.head).foreach {
+          case StringType => ()
+          case dt => throw new StatementError("invalid argument type " +
+            s"for the $pos argument in $fn(): ${typeName(dt)}")
+        }
+      def jsonEscape(c: Column): Column =
+        regexp_replace(regexp_replace(c.cast("string"),
+          "\\\\", "\\\\\\\\"), "\"", "\\\\\"")
+      fn match {
+        case "str" =>
+          argn(2, 2); val sub = strLit(1); requireString0("first")
+          aCol(0).contains(lit(sub))
+        case "strlen" =>
+          argn(1, 1); requireString0("first")
+          octet_length(aCol(0)).cast("long")
+        case "substr" =>
+          // the reference's own arg-count message says "expected 1"
+          // (subStrFunc.CompileFunc NARGS const) — preserved verbatim
+          if (args.size < 2 || args.size > 3)
+            throw new StatementError("invalid number of arguments for " +
+              s"substr, expected 1, got ${args.size}")
+          def nonNeg(i: Int): Long = args(i) match {
+            case ENum(v, true, _) if v >= 0 => v.toLong
+            case _ => throw new StatementError(
+              "expected non-gegative integer argument in substr()")
+          }
+          val st = nonNeg(1)
+          requireString0("first")
+          if (args.size == 3)
+            call_function("substring", aCol(0), lit(st + 1),
+              lit(nonNeg(2)))
+          else call_function("substring", aCol(0), lit(st + 1),
+            lit(Int.MaxValue))
+        case "position" | "strpos" =>
+          argn(2, 2); val sub = strLit(1); requireString0("first")
+          val idx = call_function("instr", aCol(0), lit(sub))
+          if (fn == "strpos") idx.cast("string") else idx.cast("long")
+        case "json_object" =>
+          if (args.isEmpty || args.size % 2 != 0)
+            throw new StatementError(
+              "invalid number of arguments for json_object")
+          val parts = args.grouped(2).map { case Seq(k, v) =>
+            val key = k match {
+              case EStr(s) => s
+              case e => throw new StatementError(
+                s"json key must be string in json_object(): ${render(e)}")
+            }
+            val c = evalExpr(v, resolve)
+            // Go json.Marshal value rendering: floats shortest-form
+            // (30.0 → 30), strings quoted+escaped, nulls INCLUDED
+            val rendered = fieldType(v) match {
+              case Some(StringType) => when(c.isNull, lit("null"))
+                .otherwise(concat(lit("\""), jsonEscape(c), lit("\"")))
+              case Some(DoubleType) | Some(FloatType) =>
+                when(c.isNull, lit("null")).otherwise(
+                  regexp_replace(c.cast("string"), "\\.0$", ""))
+              case Some(_) =>
+                when(c.isNull, lit("null")).otherwise(c.cast("string"))
+              case None => v match {
+                case EStr(s) => lit("\"" + s + "\"")
+                case ENum(x, true, _) => lit(x.toLong.toString)
+                case _ => when(c.isNull, lit("null")).otherwise(
+                  regexp_replace(c.cast("string"), "\\.0$", ""))
+              }
+            }
+            concat(lit("\"" + key + "\":"), rendered)
+          }.toSeq
+          concat(lit("{") +:
+            parts.zipWithIndex.flatMap { case (p, i) =>
+              if (i == 0) Seq(p) else Seq(lit(","), p) } :+ lit("}"): _*)
+        case "ip_mask" =>
+          argn(2, 3)
+          args.head match {
+            case EField(_) => ()
+            case e => throw new StatementError("invalid argument type " +
+              s"for the first argument in ip_mask(): ${render(e)}")
+          }
+          val a1 = intLit(1)
+          val a2 = if (args.size == 3) intLit(2) else -1L
+          val f = udf((ip: String) =>
+            if (ip == null) null
+            else graft.functions.GeminiFunctions.ipMaskV(ip, a1.toInt,
+              a2.toInt))
+          f(aCol(0))
+        case "cast_int64" | "cast_float64" | "cast_bool" |
+             "cast_string" =>
+          if (args.size != 1)
+            throw new StatementError("invalid number of arguments for " +
+              s"$fn, expected 1, got ${args.size}")
+          val c = aCol(0)
+          fn match {
+            case "cast_int64" => c.try_cast("long")
+            case "cast_float64" => c.try_cast("double")
+            case "cast_bool" =>
+              val n = c.try_cast("double")
+              when(c.isNull, lit(false))
+                .when(n.isNotNull, n =!= 0.0)
+                .otherwise(!lower(c.cast("string")).isin("0", ""))
+            case _ => fieldType(args.head) match {
+              // Go FormatFloat(-1): 13.0 renders "13"
+              case Some(DoubleType) | Some(FloatType) =>
+                regexp_replace(c.cast("string"), "\\.0$", "")
+              case _ => c.cast("string")
+            }
+          }
+        case other =>
+          // remaining registry scalars: positional Spark builders
+          graft.functions.GeminiFunctions.registry.get(other) match {
+            case Some(b) => b(args.indices.map(aCol))
+            case None => sys.error(s"unsupported function $other")
+          }
+      }
     }
 
     // ns-resolution time axis: LP-ingested frames carry the raw epoch-ns
@@ -2556,7 +2869,14 @@ object InfluxQL {
       val f = p.argExpr
         .map(e => evalExpr(e,
           _ => sys.error("aggregate calls cannot nest")))
-        .getOrElse(col(p.field))
+        .getOrElse(
+          // schema-on-read: an unknown aggregate input is an all-null
+          // column; the point-existence rule below then drops groups
+          // with no points (Detect_Aggregate::1 → bare statement).
+          // Resolution is case-insensitive like Spark's own (COUNT(TIME))
+          if (p.field == "*") fieldCol(p.field)
+          else df.columns.find(_.equalsIgnoreCase(p.field))
+            .map(fieldCol).getOrElse(lit(null).cast("double")))
       if (p.argExpr.isDefined &&
           Set("median", "mode", "percentile").contains(p.fn))
         sys.error(s"${p.fn} over an expression is not supported")
@@ -2577,8 +2897,11 @@ object InfluxQL {
           val tsel = when(f.isNotNull, col(m.time))
           val tusSel = when(f.isNotNull, unix_micros(col(m.time)))
           val intUs = q.intervalNs.map(_ / 1000L).getOrElse(1000000L)
-          (max_by(f, tsel) - min_by(f, tsel)).cast("double") /
-            ((max(tusSel) - min(tusSel)).cast("double") / intUs.toDouble)
+          // ANSI: Δt == 0 (1-point group) must yield null, not a
+          // DIVIDE_BY_ZERO error
+          when(max(tusSel) > min(tusSel),
+            (max_by(f, tsel) - min_by(f, tsel)).cast("double") /
+              ((max(tusSel) - min(tusSel)).cast("double") / intUs.toDouble))
         case "irate" =>
           // last two points' Δv/Δt on the same interval normalization
           // (IrateFinalReduce agg_func.go:555)
@@ -2588,8 +2911,11 @@ object InfluxQL {
               f.cast("double").as("_v")), lit(2), lit(1), lit("D"))
           def pt(i: Int, c: String) = element_at(pair, i).getField(c)
           val intUs = q.intervalNs.map(_ / 1000L).getOrElse(1000000L)
-          (pt(1, "_v") - pt(2, "_v")) /
-            ((pt(1, "_t") - pt(2, "_t")).cast("double") / intUs.toDouble)
+          // ANSI: a 1-point group has no second element — null, not
+          // INVALID_ARRAY_INDEX; equal-ns pair → null, not div-by-zero
+          when(size(pair) >= 2 && pt(1, "_t") =!= pt(2, "_t"),
+            (pt(1, "_v") - pt(2, "_v")) /
+              ((pt(1, "_t") - pt(2, "_t")).cast("double") / intUs.toDouble))
         case "absent" => when(count(f) > 0, lit(1L))
         case "integral" =>
           // trapezoid over the group's time-ordered points, unit seconds
@@ -2622,8 +2948,11 @@ object InfluxQL {
           // differs in the last ulp; n == 1 → null via the 0 divisor
           val fd = f.cast("double")
           val n = count(fd).cast("double")
-          sqrt((sum(fd * fd) / n - pow(sum(fd) / n, lit(2.0))) *
-            n / (n - 1.0))
+          // ANSI: n == 1 must yield null (reference golden
+          // server_test.go:2232), not a DIVIDE_BY_ZERO error
+          when(n > 1.0,
+            sqrt((sum(fd * fd) / n - pow(sum(fd) / n, lit(2.0))) *
+              n / (n - 1.0)))
         case "median" => expr(s"percentile(${p.field}, 0.5)")
         case "mode" =>
           // InfluxQL-exact tie rules (smallest-value quirk for distinct
@@ -2643,7 +2972,9 @@ object InfluxQL {
           val n = size(arr)
           val idx = greatest(lit(1), least(n, floor(
             n * lit(p.extra.getOrElse(50.0)) / 100.0 + 0.5).cast("int")))
-          element_at(arr, idx)
+          // ANSI: an all-null group collects an empty array — null,
+          // not INVALID_ARRAY_INDEX
+          when(n > 0, element_at(arr, idx))
         case "percentile_approx" =>
           // t-digest-family approximate percentile (`agg_functions.go:100`
           // PercentileApproxFunc, mergeCall) → Spark's approx_percentile,
@@ -2683,9 +3014,17 @@ object InfluxQL {
           // rmse(first, second) / max(1, min(mean(first), mean(second))).
           // Empty group → null; single point → 0. Same collect-sorted-
           // array + codegen'd fold substrate as regr_slope above.
+          // string iterators are the reference's compile error; null
+          // field values are not points (Detect_Aggregate::0/::2)
+          if (p.argExpr.isEmpty && df.columns.contains(p.field) &&
+              df.schema(p.field).dataType ==
+                org.apache.spark.sql.types.StringType)
+            throw new StatementError(
+              "unsupported (ad_rmse_ext) iterator type: (string)")
           val avs = transform(
-            sort_array(collect_list(struct(col(m.time).as("t"),
-              f.cast("double").as("v")))), x => x.getField("v"))
+            sort_array(collect_list(when(f.isNotNull,
+              struct(col(m.time).as("t"),
+                f.cast("double").as("v"))))), x => x.getField("v"))
           val alen = size(avs)
           val mid = alen.divide(lit(2)).cast("int")
           val predH = slice(avs, lit(1), mid)
@@ -2950,7 +3289,58 @@ object InfluxQL {
     }
 
     var out: DataFrame =
-      if (analytics.nonEmpty) {
+      if (analytics.nonEmpty &&
+          analytics.exists(_.fn == "sliding_window")) {
+        // sliding_window(agg(f), n) over GROUP BY time(d)
+        // (sliding_window_transform.go:60; server_test.go:3390): the
+        // window at bucket position t aggregates the RAW points of the
+        // n consecutive buckets [t, t+n·d) — one fan-out explode +
+        // groupBy (WindowedAgg.slidingWindow), NOT an agg-of-bucket-aggs
+        // (mean/spread would be wrong under re-aggregation). Window
+        // starts span the query range clipped so the whole window fits:
+        // [lo, hiEx − n·d], empty windows emit null rows per series.
+        require(analytics.forall(_.fn == "sliding_window"),
+          "sliding_window cannot mix with other analytic calls")
+        val ns = q.intervalNs.getOrElse(throw new StatementError(
+          "sliding_window requires GROUP BY time(d)"))
+        val step = ns / 1000000
+        val n = analytics.head.n.map(_.toLong).getOrElse(
+          throw new StatementError(
+            "sliding_window requires a window size argument"))
+        require(n > 0, "sliding_window size must be positive")
+        val aggsW = analytics.map(a =>
+          aggExprOf(a.inner).as(analyticName(a)))
+        // a missing tag IS the empty-string series in the reference
+        // (tags are strings; absent = "") — coalesce so the window
+        // groupBy, the spine join, and the rendered series all agree
+        val dfT = groupTags.foldLeft(df)((d0, t) =>
+          if (d0.columns.contains(t))
+            d0.withColumn(t, coalesce(col(t).cast("string"), lit("")))
+          else d0)
+        val win = WindowedAgg.slidingWindow(dfT, m.time,
+          s"${n * step} milliseconds", s"$step milliseconds",
+          groupTags, aggsW)
+        spineBoundsMs match {
+          case Some((bLo, bHi)) =>
+            val off = q.intervalOffsetNs.getOrElse(0L) / 1000000
+            val lo = Math.floorDiv(bLo - off, step) * step + off
+            val hiEx = Math.floorDiv(bHi - off, step) * step + off + step
+            val lastStart = hiEx - n * step
+            if (lastStart < lo) win.filter(lit(false))
+            else {
+              val series =
+                if (groupTags.isEmpty) win.sparkSession.range(1).toDF()
+                else win.select(groupTags.map(col): _*).distinct()
+              val spine = series.withColumn("wstart_ms",
+                explode(sequence(lit(lo), lit(lastStart), lit(step))))
+                .select((groupTags :+ "wstart_ms").map(col): _*)
+              spine.join(win, groupTags :+ "wstart_ms", "left_outer")
+            }
+          case None =>
+            // no static bounds: emit the windows the data produced
+            win
+        }
+      } else if (analytics.nonEmpty) {
         q.intervalNs match {
           case Some(ns) =>
             // agg → interval → analytic (the reference ladder order)
@@ -3055,7 +3445,12 @@ object InfluxQL {
           .select((Seq(unix_millis(col(m.time)).as("wstart_ms")) ++
             groupTags.map(col) ++ Seq(col(c.field).as(c.fn)) ++
             c.tagArgs.filterNot(groupTags.contains).map(col) ++
-            companions): _*)
+            companions :+
+            // selector RANK order survives same-time ties in the final
+            // sort (TopBottomInt::28 emits 2002, 1502, 1002 — value
+            // order, not row-value-ASC order)
+            (col(c.field).cast("double") *
+              lit(if (c.fn == "top") -1.0 else 1.0)).as("__ord")): _*)
       } else if (calls.exists(c => c.fn == "topn_ddcm" ||
           c.fn == "topn_nagt2")) {
         // topn_ddcm/topn_nagt2(field, countLowerBound, topNumber):
@@ -3281,7 +3676,7 @@ object InfluxQL {
               case e2: PExpr => e2.alias
             }).distinct.filter(dropped.columns.contains)
           val extras = dropped.columns.filterNot(ordered.contains)
-          dropped.select((ordered ++ extras).map(col): _*)
+          dropped.select((ordered ++ extras).map(fieldCol): _*)
         }
         addExprCols(q.intervalNs match {
           case Some(ns) =>
@@ -3401,19 +3796,50 @@ object InfluxQL {
           case None =>
             // an ungridded aggregate stamps the WHERE range START (the
             // reference's interval start when bounded — Subqueries exp
-            // times are 2000-01-01, not epoch 0)
-            val stampMs = q.where.map(timeBoundsUs).flatMap(_._1)
-              .map(Math.floorDiv(_, 1000L)).getOrElse(0L)
+            // times are 2000-01-01, not epoch 0). The slice-type
+            // ad_rmse_ext stamps the group's FIRST point instead
+            // (Detect_Aggregate::3 per-group times)
+            val stampLo = q.where.map(timeBoundsUs).flatMap(_._1)
+              .map(Math.floorDiv(_, 1000L))
+            // …only when reading a real measurement: a subquery source's
+            // chunk axis starts at the interval start, so the stamp
+            // stays 0 (Multi_Metric_Detection::0 exp 1970-01-01)
+            val sliceStamp = stampLo.isEmpty && q.fromSub.isEmpty &&
+              allCalls.exists(_.fn == "ad_rmse_ext")
+            val stampMs = stampLo.getOrElse(0L)
+            // point-existence: a row/group with no points for ANY
+            // projected field emits nothing (count(nosuchfield) and
+            // all-null groups are bare results, never zero rows)
+            val inputNotNull: Column = {
+              val fs = allCalls.flatMap { c2 =>
+                if (c2.field == "*") Seq(lit(true))
+                else if (c2.argExpr.isDefined) Seq(lit(true))
+                else df.columns.find(_.equalsIgnoreCase(c2.field))
+                  .map(cn => fieldCol(cn).isNotNull).toSeq
+              }
+              if (fs.isEmpty) lit(false) else fs.reduce(_ || _)
+            }
+            val nAgg = count(when(inputNotNull, 1)).as("__n")
+            val stampAgg = min(unix_millis(col(mEff.time))).as("__stamp")
             if (groupTags.nonEmpty)
-              df.groupBy(groupTags.map(col): _*).agg(aggs.head, aggs.tail: _*)
-                .withColumn("wstart_ms", lit(stampMs))
+              df.groupBy(groupTags.map(col): _*)
+                .agg((aggs :+ nAgg :+ stampAgg).head,
+                  (aggs :+ nAgg :+ stampAgg).tail: _*)
+                .filter(col("__n") > 0)
+                .withColumn("wstart_ms",
+                  if (sliceStamp) coalesce(col("__stamp"), lit(0L))
+                  else lit(stampMs))
+                .drop("__n", "__stamp")
             else
               // InfluxQL emits NO row for an aggregate over zero points
               // (a bare SQL global aggregate would emit count=0)
-              df.agg((aggs :+ count(lit(1)).as("__n")).head,
-                  (aggs :+ count(lit(1)).as("__n")).tail: _*)
-                .filter(col("__n") > 0).drop("__n")
-                .withColumn("wstart_ms", lit(stampMs))
+              df.agg((aggs :+ nAgg :+ stampAgg).head,
+                  (aggs :+ nAgg :+ stampAgg).tail: _*)
+                .filter(col("__n") > 0)
+                .withColumn("wstart_ms",
+                  if (sliceStamp) coalesce(col("__stamp"), lit(0L))
+                  else lit(stampMs))
+                .drop("__n", "__stamp")
         })
       } else {
         // raw projection ("materialize"): time + tags + fields/expressions
@@ -3460,12 +3886,15 @@ object InfluxQL {
           exprs.map(p => evalExpr(p.e,
             c => sys.error("call in raw projection")).as(p.alias)) ++
           fieldCols)
-        val projected = df.select(sel: _*)
-        // blank-row rule: a row where every projected field is null is not
-        // emitted (filter_blank_transfrom.go, e2e server_test.go:3895).
-        // Constant projections are NOT fields: a select of only literals
-        // emits nothing (server_test.go:14129 "'table1' as 'name'" alone
-        // → bare statement)
+        // blank-row rule: a row where every projected field is null is
+        // not emitted (filter_blank_transfrom.go, server_test.go:3895).
+        // Blankness judges the INPUT fields, not the computed outputs:
+        // `ip_mask('300.…', 12)` over a present ip field emits a null
+        // VALUE row (IP_For_String_Functions::4), while `str(address,…)`
+        // over a missing address drops the row. Constant projections
+        // are NOT fields: a select of only literals emits nothing
+        // (server_test.go:14129 "'table1' as 'name'" alone → bare
+        // statement).
         def exprHasVar(x: Expr): Boolean = x match {
           case EField(_) | ECall(_) => true
           case EBin(_, l2, r2) => exprHasVar(l2) || exprHasVar(r2)
@@ -3473,19 +3902,47 @@ object InfluxQL {
           case ECast(x2, _) => exprHasVar(x2)
           case _ => false
         }
+        def fieldsIn(x: Expr): Seq[String] = x match {
+          case EField(f) => Seq(f)
+          case EBin(_, l2, r2) => fieldsIn(l2) ++ fieldsIn(r2)
+          case EMath(_, as0) => as0.flatMap(fieldsIn)
+          case ECast(x2, _) => fieldsIn(x2)
+          case _ => Nil
+        }
         val constCols = exprs.filterNot(p2 => exprHasVar(p2.e))
           .map(_.alias).toSet
+        // expression blankness evaluates against the SOURCE frame (any
+        // referenced non-tag field present), carried through the select
+        // as a hidden flag
+        val exprKeeps = exprs.filter(p2 => exprHasVar(p2.e)).flatMap {
+          p2 =>
+            val fs = fieldsIn(p2.e)
+              .filter(f => df.columns.contains(f) &&
+                !mEff.tags.contains(f))
+            if (fs.isEmpty) Nil
+            else Some(fs.map(f => fieldCol(f).isNotNull).reduce(_ || _))
+        }
+        val exprAliases = exprs.map(_.alias).toSet
+        val selK =
+          if (exprKeeps.isEmpty) sel
+          else sel :+ exprKeeps.reduce(_ || _).as("__keep")
+        val projected = df.select(selK: _*)
         val blankable = projected.columns
           .filterNot(c => c == "wstart_ms" || c.startsWith("__") ||
-            groupTags.contains(c) || constCols.contains(c))
-        if (blankable.isEmpty && constCols.nonEmpty)
-          projected.filter(lit(false))
-        else if (blankable.isEmpty) projected
-        // isNotNull-OR, not coalesce: coalesce unifies the field types,
-        // and a mixed STRING/DOUBLE projection (msg, code) would force
-        // an ANSI string→double cast that throws on real data
-        else projected.filter(blankable.toIndexedSeq
-          .map(c => fieldCol(c).isNotNull).reduce(_ || _))
+            groupTags.contains(c) || exprAliases.contains(c))
+        val conds = blankable.toIndexedSeq
+          .map(c => fieldCol(c).isNotNull) ++
+          (if (exprKeeps.nonEmpty) Seq(col("__keep")) else Nil)
+        val out0 =
+          if (conds.isEmpty && constCols.nonEmpty)
+            projected.filter(lit(false))
+          else if (conds.isEmpty) projected
+          // isNotNull-OR, not coalesce: coalesce unifies the field
+          // types, and a mixed STRING/DOUBLE projection (msg, code)
+          // would force an ANSI string→double cast that throws on
+          // real data
+          else projected.filter(conds.reduce(_ || _))
+        out0.drop("__keep")
       }
 
     // sort → slimit → limit (per-series when grouped; reference limit modes)
@@ -3529,10 +3986,30 @@ object InfluxQL {
       if (out.columns.contains("__tns"))
         Seq(if (q.orderDesc) col("__tns").desc else col("__tns").asc)
       else Nil
+    // a raw projection OVER A SUBQUERY keeps the inner's multi-series
+    // emission order — series blocks (tag order) first, time within
+    // (Sliding_Window::8 "select * from (… group by time,country)"
+    // renders the ""-country block before "american"); a raw select
+    // over a real measurement stays time-major (OrderByTime::2)
+    val subSeriesTags: Seq[String] =
+      if (q.fromSub.exists(_.intervalNs.isDefined) && calls.isEmpty &&
+          exprCalls.isEmpty && analytics.isEmpty && groupTags.isEmpty)
+        mEff.tags.filter(out.columns.contains)
+      else Nil
+    // deterministic tie-break on exact-time ties: value columns in NAME
+    // order, ASC nulls-last regardless of the time direction — the
+    // reference's merged multi-series stream emits this order
+    // (OrderByTime::2 sparse DESC keeps free=1 before used=3;
+    // Constant_Column::1 same-ts rows come out value-ascending)
+    val tieHint = out.columns.toSeq
+      .filterNot(c => c == "time" || c.startsWith("__") ||
+        groupTags.contains(c) || subSeriesTags.contains(c)).sorted
+      .map(c => (if (c.contains(".")) col(s"`$c`") else col(c))
+        .asc_nulls_last)
     (if (joinOrdered)
        out.orderBy((groupTags.map(col) ++ ordHint): _*)
-     else out.orderBy(((groupTags.map(col) :+ timeOrd) ++ nsHint ++
-       ordHint): _*))
+     else out.orderBy((((groupTags ++ subSeriesTags).map(col) :+
+       timeOrd) ++ nsHint ++ ordHint ++ tieHint): _*))
       .drop("__ord")
   }
 }

@@ -119,6 +119,16 @@ final class HttpGateway(spark: SparkSession,
     * TS-store point-identity merge never applies to them, on any write
     * route. Keyed by [[dbKey]]; persisted in `_logstreams.txt`. */
   @volatile private var logStores: Set[String] = Set.empty
+  /** Known ns time extent per measurement (dbKey → [min,max]), tracked
+    * from write batches (exact for gateway-born measurements; seeded
+    * from parquet footer stats after a restart via Measurement.extentMs).
+    * Lets the write path SKIP the point-merge for batches that cannot
+    * collide with any existing point — the dominant append-ingest shape
+    * stays O(batch) per write. An unknown extent always merges (too-small
+    * would silently skip a needed merge; too-large only costs an extra
+    * merge). Mutated only under the ingest `synchronized`. */
+  private val extentSeenNs =
+    scala.collection.mutable.Map.empty[String, (Long, Long)]
 
   // ------------------------------------------- continuous queries
   /** CQ registry keyed (db, name) -- the reference's
@@ -438,11 +448,14 @@ final class HttpGateway(spark: SparkSession,
               !logStores.contains(name))
             HttpGateway.dedupPersisted(raw, tags)
           else raw.drop("__wseq")
+        val ext = try graft.sources.ParquetStats.timeExtentMsOf(raw, "ts")
+                  catch { case _: Exception => None }
         catalog = catalog + (name -> (init.get(name) match {
           case Some(prev) => InfluxQL.Measurement(
             prev.df.unionByName(fresh, allowMissingColumns = true),
             (prev.tags ++ tags).distinct, prev.time)
-          case None => InfluxQL.Measurement(fresh, tags, "ts")
+          case None => InfluxQL.Measurement(fresh, tags, "ts",
+            extentMs = ext)
         }))
       }
     }
@@ -870,13 +883,22 @@ final class HttpGateway(spark: SparkSession,
     def rpOk(d: String, rp: String) =
       rp.isEmpty || retention.getOrElse(d, Map.empty).contains(rp)
     new CatalogView(base, name => {
-      val parts = name.split("\\.", -1)
-      if (parts.length == 2 && rpOk(db, parts(0)))
+      // at most db.rp.<rest> — the measurement itself may carry dots
+      // (`db0.rp0."SmartServer.serverkits_mem_monitor"`)
+      val parts = name.split("\\.", 3)
+      // a qualified spelling with an unknown retention policy is the
+      // reference's shard-mapper error, verbatim — statement-level
+      def rpCheck(d: String, rp: String): Unit =
+        if (!rpOk(d, rp))
+          throw new InfluxQL.StatementError(
+            s"retention policy not found: $rp")
+      if (parts.length == 2) {
+        rpCheck(db, parts(0))
         base.get(parts(1)) // rp.m within the request database
-      else if (parts.length == 3 && rpOk(parts(0), parts(1)) &&
-          readable(parts(0)))
+      } else if (parts.length == 3 && readable(parts(0))) {
+        rpCheck(parts(0), parts(1))
         sliceOf(cat, parts(0)).get(parts(2)) // db.rp.m / db..m
-      else None
+      } else None
     })
   }
 
@@ -1118,11 +1140,15 @@ final class HttpGateway(spark: SparkSession,
               !logStores.contains(name))
             HttpGateway.dedupPersisted(raw, tags)
           else raw.drop("__wseq")
+        // footer extent (driver metadata read): seeds the write path's
+        // append-vs-merge decision and the fill-spine bounds
+        val ext = try graft.sources.ParquetStats.timeExtentMsOf(raw, "ts")
+                  catch { case _: Exception => None }
         catalog = catalog + (name -> (catalog.get(name) match {
           case Some(prev) => InfluxQL.Measurement(
             prev.df.unionByName(df, allowMissingColumns = true),
             (prev.tags ++ tags).distinct, prev.time)
-          case None => InfluxQL.Measurement(df, tags, "ts")
+          case None => InfluxQL.Measurement(df, tags, "ts", extentMs = ext)
         }))
         // promCat is a single namespace: a (rare) namespaced prom
         // measurement re-registers under its bare metric name
@@ -2083,8 +2109,9 @@ final class HttpGateway(spark: SparkSession,
       val bound0 = p.get("params").map(bindParams(q, _)).getOrElse(q)
       // optimizer-hint comments (`SELECT /*+ filter_null_column */ …`,
       // `SHOW /*+ exact_statistic_query */ …`) are routing hints in the
-      // reference (parser.go hint grammar) — strip before any parsing
-      val bound = bound0.replaceAll("/\\*\\+.*?\\*/", " ")
+      // reference (parser.go hint grammar) — strip before any parsing,
+      // quote-aware (a literal containing "/*+" is content, not a hint)
+      val bound = InfluxQL.stripComments(bound0, plusOnly = true)
       // no epoch param → the reference's default RFC3339 rendering
       val epoch = p.getOrElse("epoch", "rfc3339")
       val statements = splitStatements(bound)
@@ -2731,20 +2758,42 @@ final class HttpGateway(spark: SparkSession,
           // the live catalog's point semantics
           val mtbl = HttpGateway.mergeBatch(tbl, tagKeys)
           persistBatch(key, mtbl, tagKeys, merged = true)
-          // the batch's ns extent bounds the rewrite: catalog rows
-          // outside [lo,hi] can't collide with this batch and pass
-          // through untouched — write cost is O(batch-window rows),
-          // not O(measurement) (the cluster-scale analogue is the LSM
-          // compaction merging only overlapping shard groups)
           val lo = ps.iterator.map(_.time).min
           val hi = ps.iterator.map(_.time).max
+          // A batch that cannot collide with any existing point (its ns
+          // window is disjoint from the measurement's KNOWN extent)
+          // appends with a plain union — O(batch) per write, which is
+          // the dominant TS ingest shape; only overlapping batches pay
+          // the point-merge groupBy (the cluster-scale analogue is the
+          // LSM compaction merging only overlapping shard groups).
+          // Unknown extent (e.g. an init-catalog frame) merges — the
+          // safe direction.
+          val known: Option[(Long, Long)] = extentSeenNs.get(key)
+            .orElse(catalog.get(key).flatMap(_.extentMs).map {
+              case (a, b) => (a * 1000000L, (b + 1) * 1000000L) })
+          val overlaps = known.forall { case (sLo, sHi) =>
+            lo <= sHi && hi >= sLo }
           val merged = catalog.get(key) match {
-            case Some(prev) => InfluxQL.Measurement(
+            case Some(prev) if overlaps => InfluxQL.Measurement(
               maybeCompact(key, HttpGateway.mergePoints(
-                prev.df, mtbl, (prev.tags ++ tagKeys).distinct,
-                Some((lo, hi)))),
+                prev.df, mtbl, (prev.tags ++ tagKeys).distinct)),
+              (prev.tags ++ tagKeys).distinct, prev.time)
+            case Some(prev) => InfluxQL.Measurement(
+              maybeCompact(key,
+                prev.df.unionByName(mtbl, allowMissingColumns = true)),
               (prev.tags ++ tagKeys).distinct, prev.time)
             case None => InfluxQL.Measurement(mtbl, tagKeys, "ts")
+          }
+          known match {
+            case Some((sLo, sHi)) =>
+              extentSeenNs(key) = (math.min(sLo, lo), math.max(sHi, hi))
+            case None if !catalog.contains(key) =>
+              // fresh measurement: every point came from writes, so the
+              // tracked window IS the full extent
+              extentSeenNs(key) = (lo, hi)
+            case None => () // unknown-extent frame present: stay
+              // unknown — every write keeps merging (safe direction);
+              // a too-small "known" extent would skip a needed merge
           }
           catalog = catalog + (key -> merged)
         } else {
@@ -4039,27 +4088,15 @@ object HttpGateway {
     * row). At cluster scale this is the LSM compaction's job; the
     * resident gateway frames stay canonical by merging at write time,
     * so every read path gets point semantics for free. */
+  /** NOTE: references `prev` exactly ONCE — a caller must never split
+    * prev into two subtrees per write (filter-in ∪ merge(filter-out)
+    * doubles the logical plan per write: 33 writes = 2^33 analysis
+    * nodes). The append-vs-overwrite decision lives in the caller
+    * (ingestPoints tracks each measurement's known ns extent and skips
+    * the merge entirely for non-overlapping batches). */
   private[server] def mergePoints(prev: org.apache.spark.sql.DataFrame,
                                   fresh: org.apache.spark.sql.DataFrame,
-                                  tagKeys: Seq[String],
-                                  extentNs: Option[(Long, Long)] = None)
-      : org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.functions._
-    extentNs match {
-      case Some((lo, hi)) =>
-        // only prev rows inside the batch's ns window can collide —
-        // everything else passes through without a shuffle
-        val untouched = prev.filter(col("time") < lo || col("time") > hi)
-        val inWindow = prev.filter(col("time") >= lo && col("time") <= hi)
-        untouched.unionByName(mergeAll(inWindow, fresh, tagKeys),
-          allowMissingColumns = true)
-      case None => mergeAll(prev, fresh, tagKeys)
-    }
-  }
-
-  private def mergeAll(prev: org.apache.spark.sql.DataFrame,
-                       fresh: org.apache.spark.sql.DataFrame,
-                       tagKeys: Seq[String])
+                                  tagKeys: Seq[String])
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
     // prev is already one-row-per-point; any fresh row outranks it

@@ -209,6 +209,10 @@ object ResultShaper {
   private def tagsField(tagCols: Seq[String], tagVals: Seq[Any]): String =
     if (tagCols.isEmpty) ""
     else tagCols.zip(tagVals)
+      // key order is NAME-SORTED regardless of the GROUP BY spelling —
+      // Go json.Marshal of the tags map sorts keys
+      // (Multi_Metric_Detection exp "agentSN" before "pAgentSN")
+      .sortBy(_._1)
       // a null GROUP BY tag renders as the EMPTY string (the reference
       // keys absent tags as "" — server_test.go "tags":{"country":""})
       .map { case (k, v) =>

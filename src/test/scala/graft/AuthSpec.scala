@@ -280,11 +280,14 @@ class AuthSpec extends SparkSpec {
     assert(query("GRANT READ ON dbauth TO dave",
       extra = "&u=admin&p=secret").statusCode() == 200)
     // a dbauth-only reader cannot route a qualified ref into graft —
-    // the view refuses to resolve databases the principal can't read
+    // the view refuses to resolve databases the principal can't read.
+    // Execution errors are STATEMENT-level (200 + results error, the
+    // reference handler contract); the refusal reads identically to a
+    // nonexistent measurement, so denied probing can't distinguish them
     val denied = query("SELECT count(value) FROM graft.autogen.events",
       extra = "&db=dbauth", headers = Seq(basic("dave", "dpw")))
-    assert(denied.statusCode() == 400 &&
-      denied.body().contains("unknown measurement"), denied.body())
+    assert(denied.statusCode() == 200 &&
+      denied.body().contains("measurement not found"), denied.body())
     // an admin resolves the same ref fine
     val ok = query("SELECT count(value) FROM graft.autogen.events",
       extra = "&db=dbauth", headers = Seq(basic("admin", "secret")))

@@ -257,6 +257,56 @@ class InfluxQLSpec extends SparkSpec {
     assert(Set(1L, 2L, 3L).contains(m)) // all unique → any one value
   }
 
+  test("ANSI guards: 1-point stddev/rate/irate and all-null percentile " +
+      "yield null, not runtime errors") {
+    // server02 has one point before 1m — stddev/rate/irate over a
+    // 1-point group are null (reference golden server_test.go:2232),
+    // never DIVIDE_BY_ZERO / INVALID_ARRAY_INDEX under ANSI
+    val one = run("SELECT stddev(value), rate(value), irate(value) " +
+      "FROM cpu WHERE host = 'server02' AND time < '1970-01-01T00:01:00Z'")
+      .select("stddev", "rate", "irate")
+      .as[(Option[Double], Option[Double], Option[Double])].collect().head
+    assert(one == ((None, None, None)))
+    // server02 never writes `core`: the group row survives via count
+    // and the all-null percentile renders null (not
+    // INVALID_ARRAY_INDEX on the empty collected array)
+    val p = run("SELECT count(value), percentile(core, 50) FROM cpu " +
+      "GROUP BY host")
+      .select("host", "count", "percentile")
+      .as[(String, Long, Option[Long])].collect()
+      .map { case (h, c, pc) => h -> ((c, pc)) }.toMap
+    assert(p("server01") == ((3L, Some(2L))) &&
+      p("server02") == ((2L, None)))
+  }
+
+  test("hint stripping is quote-aware") {
+    // a literal containing "/*+ … */" is content, not a hint
+    val s = "SELECT value FROM cpu WHERE msg = 'a /*+ x */ b'"
+    assert(InfluxQL.stripComments(s, plusOnly = true) == s)
+    assert(!InfluxQL.stripComments("SELECT /*+ f */ value FROM cpu",
+      plusOnly = true).contains("/*"))
+    // plusOnly leaves plain comments; the SHOW path strips both
+    assert(InfluxQL.stripComments("SHOW /* c */ MEASUREMENTS",
+      plusOnly = true).contains("/* c */"))
+    assert(!InfluxQL.stripComments("SHOW /* c */ MEASUREMENTS",
+      plusOnly = false).contains("/*"))
+  }
+
+  test("scalar string functions through the text frontend") {
+    // str=contains, substr 0-based, position 1-based (0 absent) —
+    // string_functions.go semantics
+    val out = run("SELECT str(host, '01') AS s, substr(host, 1, 4) AS ss, " +
+      "position(host, 'erv') AS p, strlen(host) AS l FROM cpu " +
+      "WHERE value = 10")
+      .select("s", "ss", "p", "l")
+      .as[(Boolean, String, Long, Long)].collect().head
+    assert(out == ((true, "erve", 2L, 8L)))
+    // wait — host is a TAG; tags project as strings through scalars
+    val jm = run("SELECT json_object('h', host, 'v', value) AS j " +
+      "FROM cpu WHERE value = 200").select("j").as[String].collect().head
+    assert(jm == """{"h":"server02","v":200}""", jm)
+  }
+
   test("global aggregate without grouping") {
     val out = run("SELECT count(value), percentile(value, 50) FROM cpu")
       .select("count", "percentile").as[(Long, Double)].collect().head

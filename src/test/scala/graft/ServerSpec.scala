@@ -1294,7 +1294,8 @@ class ServerSpec extends SparkSpec {
       .body().contains(",1]]"))
     val coldq = get("/query?q=" + enc("SELECT count(v) FROM rpdb.cold.rm"))
     assert(coldq.statusCode() == 200 &&
-      coldq.body().contains("measurement not found"), coldq.body())
+      coldq.body().contains("retention policy not found: cold"),
+      coldq.body())
     // ALTER flips default; the old default can then be dropped
     assert(get("/query?q=" + enc(
       "ALTER RETENTION POLICY hot ON rpdb DEFAULT")).statusCode() == 200)
@@ -1345,11 +1346,14 @@ class ServerSpec extends SparkSpec {
     assert(q2.body().contains(",1]]"), q2.body())
     // the series name stays the bare measurement through a qualified ref
     assert(q1.body().contains("\"name\":\"m1\""), q1.body())
-    // rp.m within the request database; unknown rp does not resolve
+    // rp.m within the request database; unknown rp does not resolve —
+    // an EXECUTION error is statement-level (200 + results error, the
+    // reference's handler contract), not a request-level 400
     val q3 = get("/query?db=dbA&q=" + enc("SELECT count(v) FROM autogen.m1"))
     assert(q3.body().contains(",2]]"), q3.body())
-    assert(get("/query?db=dbA&q=" + enc("SELECT v FROM weekly.m1"))
-      .statusCode() == 400)
+    val badRp = get("/query?db=dbA&q=" + enc("SELECT v FROM weekly.m1"))
+    assert(badRp.statusCode() == 200 &&
+      badRp.body().contains("retention policy not found"), badRp.body())
     // SHOW MEASUREMENTS is scoped to the request database
     val showA = get("/query?db=dbA&q=" + enc("SHOW MEASUREMENTS")).body()
     assert(showA.contains("m1"), showA)
