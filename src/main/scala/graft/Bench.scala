@@ -188,6 +188,13 @@ object Bench {
       val spreadPct =
         if (medianT > 0) (sorted.last - sorted.head) / medianT * 100.0
         else 0.0
+      // between queries (outside any timed region): give the
+      // ContextCleaner a GC edge so dropped localCheckpoint blocks from
+      // this query's reps actually free before the next query measures —
+      // the cleaner runs off weak references, and without a collection
+      // 4 reps × N rounds of dead blocks stay resident (the round-14
+      // q105/q110 inflation)
+      System.gc()
       QRes(name, medianT, math.max(jobs, 1), err, firstS, reps,
         spreadPct, gcDeltaMs)
     }

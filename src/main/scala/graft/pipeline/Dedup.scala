@@ -391,6 +391,17 @@ object Dedup {
     var fp = (-1L, Option.empty[String])
     var converged = false
     var round = 0
+    // release a superseded round's localCheckpoint blocks EAGERLY: the
+    // ContextCleaner only frees them after a GC notices the dropped
+    // reference, so back-to-back executions (bench reps, a composed
+    // curation pass) otherwise stack rounds × runs checkpoint copies
+    // in the block manager (q105 measured 1.5 s → 3.0 s from exactly
+    // this accumulation)
+    def releaseCheckpoint(df: DataFrame): Unit =
+      try df.queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }.foreach(_.unpersist(blocking = false))
+      catch { case _: Exception => () }
     while (!converged && round < maxRounds) {
       val next = smallStar(largeStar(edges)).localCheckpoint(true)
       // decimal accumulation: exact and order-free, immune to ANSI
@@ -401,6 +412,8 @@ object Dedup {
         Option(row.get(1)).map(_.toString))
       converged = nfp == fp
       fp = nfp
+      // `next` is materialized — the previous round's blocks are dead
+      releaseCheckpoint(edges)
       edges = next
       round += 1
     }

@@ -659,7 +659,8 @@ object InfluxQL {
         var done = false
         while (!done) {
           next() match {
-            case TIdent("time") =>
+            case TIdent(t0) if t0.equalsIgnoreCase("time") &&
+                peek == TPunct("(") =>
               expect("(")
               interval = next() match {
                 case TDur(ns) => Some(ns)
@@ -682,7 +683,10 @@ object InfluxQL {
               // `host::tag` selector accepted (VarRef::Type)
               if (peek == TPunct("::")) { next(); expectIdent("tag") }
               tags :+= tag
-            case TPunct("*") => tags :+= "*"
+            case TPunct("*") =>
+              // `*::tag` ≡ `*` in GROUP BY (NewChunkTagCheckList)
+              if (peek == TPunct("::")) { next(); expectIdent("tag") }
+              tags :+= "*"
             case t => sys.error(s"bad GROUP BY: $t")
           }
           if (peek == TPunct(",")) next() else done = true
@@ -2768,6 +2772,11 @@ object InfluxQL {
       val lhs =
         if (isTime && nsTime) col("time")
         else if (isTime) unix_micros(col(m.time))
+        // schema-on-read: an unknown WHERE field compares as null →
+        // matches nothing (TagArray::2 "where f2=3" → bare statement)
+        else if (!df.columns.contains(c.field) &&
+                 !df.columns.exists(_.equalsIgnoreCase(c.field)))
+          lit(null).cast("double")
         else fieldCol(c.field)
       val rhs: Column = c.v match {
         case CInt(l) =>
@@ -3369,10 +3378,25 @@ object InfluxQL {
             val partsRaw = analytics.map { a =>
               val src =
                 if (df.columns.contains(a.inner.field))
-                  df.filter(col(a.inner.field).isNotNull)
+                  df.filter(fieldCol(a.inner.field).isNotNull)
                 else df
               var b = src.withColumn("wstart_ms", unix_millis(col(m.time)))
               if (nsTime) b = b.withColumn("__tns", col("time"))
+              // the merged multi-series stream emits ONE point per exact
+              // ns per field — duplicates collapse to the first-written
+              // (difference_derivative_time_duplicate golden; a dt == 0
+              // pair would also divide-by-zero under ANSI)
+              if (df.columns.contains(a.inner.field)) {
+                if (nsTime)
+                  b = b.groupBy((col("__tns") +: groupTags.map(col)): _*)
+                    .agg(first(fieldCol(a.inner.field)).as(a.inner.field),
+                      first(col(m.time)).as(m.time),
+                      first(col("wstart_ms")).as("wstart_ms"))
+                else
+                  b = b.groupBy((col(m.time) +: groupTags.map(col)): _*)
+                    .agg(first(fieldCol(a.inner.field)).as(a.inner.field),
+                      first(col("wstart_ms")).as("wstart_ms"))
+              }
               b = applyAnalytic(b, a, a.inner.field, m.time)
               a.alias.foreach(al =>
                 b = b.withColumnRenamed(analyticOutCol(a), al))
@@ -3428,7 +3452,7 @@ object InfluxQL {
         val starCompanions: Seq[Column] =
           df.columns.filterNot(cc => cc == m.time || cc == "time")
             .filterNot(_.startsWith("__"))
-            .filterNot(groupTags.contains).sorted.map(col).toSeq
+            .filterNot(groupTags.contains).sorted.map(fieldCol).toSeq
         val companions = expandedProjs.flatMap {
           case PField(f) if f != "time" =>
             Seq((if (df.columns.contains(f)) col(f)
@@ -3869,7 +3893,7 @@ object InfluxQL {
           else if (plain.isEmpty || hasStar)
             df.columns.filterNot(c => c == m.time || c == "time")
               .filterNot(_.startsWith("__"))
-              .filterNot(groupTags.contains).sorted.map(col).toSeq
+              .filterNot(groupTags.contains).sorted.map(fieldCol).toSeq
           else plain.map(f =>
             // schema-on-read: an unknown field projects as null (the
             // reference returns null columns — server_test.go's

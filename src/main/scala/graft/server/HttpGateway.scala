@@ -2198,8 +2198,20 @@ final class HttpGateway(spark: SparkSession,
           synchronized {
             if (stmt.trim.toLowerCase.startsWith("create")) {
               databases = databases + name
+              // WITH … NAME <rp> names the born-default retention
+              // policy (parser.go parseCreateDatabaseStatement —
+              // `CREATE DATABASE db4 WITH SHARD DURATION 12h … NAME
+              // rp3`); durations present ride onto it
+              val named = toks.sliding(2).collectFirst {
+                case Seq(InfluxQL.TIdent(k), InfluxQL.TIdent(v))
+                  if k.equalsIgnoreCase("name") => v
+              }
               if (!retention.contains(name))
-                retention = retention + (name -> Retention.autogen)
+                retention = retention + (name -> (named match {
+                  case Some(rpName) =>
+                    Map(rpName -> Retention.autogen.head._2)
+                  case None => Retention.autogen
+                }))
             } else {
               databases = databases - name
               retention = retention - name
@@ -2686,11 +2698,18 @@ final class HttpGateway(spark: SparkSession,
       }
       val nowNs = System.currentTimeMillis() * 1000000L
       val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
-      val pts = body.split('\n').toSeq
-        .flatMap(l => LineProtocol.parseLine(l, TimeUnset))
+      val parsed = body.split('\n').toSeq
+        .map(l => LineProtocol.parseLineFanned(l, TimeUnset))
+      // tag-array fan-out writes DISTINCT rows even at one ns
+      // (server_test.go:13187 keeps the plain tv9 point and the
+      // array's tv9 point side by side) — skip the point merge for
+      // the measurements a fanned line touched
+      val fannedMsts = parsed.filter(_.size > 1)
+        .flatMap(_.map(_.measurement)).toSet
+      val pts = parsed.flatten
         .map(pt => pt.copy(
           time = if (pt.time == TimeUnset) nowNs else pt.time * mult))
-      ingestPoints(wdb, pts)
+      ingestPoints(wdb, pts, noMergeMsts = fannedMsts)
       ex.sendResponseHeaders(204, -1); ex.close()
     } catch {
       case e: Throwable =>
@@ -2705,7 +2724,8 @@ final class HttpGateway(spark: SparkSession,
     * persist + catalog merge. Callers respond; this throws on error. */
   private def ingestPoints(wdb: String,
                            pts: Seq[LineProtocol.Point],
-                           mergeSameTime: Boolean = true): Unit = {
+                           mergeSameTime: Boolean = true,
+                           noMergeMsts: Set[String] = Set.empty): Unit = {
     if (pts.isEmpty) sys.error("no points parsed")
     // fence registration rides the write path (fence.go:37
     // RewriteRows): rows in the `fence` measurement with an `id` tag
@@ -2750,7 +2770,8 @@ final class HttpGateway(spark: SparkSession,
         val key = dbKey(wdb, m)
         // log stores (logkeeper logstreams) append: same-ns rows are
         // distinct log records, never one point
-        val doMerge = mergeSameTime && !logStores.contains(key)
+        val doMerge = mergeSameTime && !logStores.contains(key) &&
+          !noMergeMsts.contains(m)
         if (doMerge) {
           // intra-batch LWW resolved once; the persisted batch is the
           // canonical merged frame, so a restart's read-time dedup

@@ -119,6 +119,59 @@ object LineProtocol {
   }
 
   /** Parse a Dataset of raw lines into the generic point frame. */
+  /** [[parseLine]] plus the reference's tag-array write fan-out
+    * (`vm/protoparser/influx/parser.go` tag-array branch;
+    * server_test.go:13187 TestServer_TagArray): `tk=[v1,v2]` writes one
+    * point PER VALUE; multiple array tags zip index-aligned and must
+    * share a length. Fanned points are distinct rows even at one ns —
+    * the golden keeps a plain tv9 point AND the array's tv9 point side
+    * by side, so the caller must skip the same-time point merge for
+    * fanned batches. */
+  def parseLineFanned(line: String,
+                      defaultTimeNs: Long = 0L): Seq[Point] = {
+    val trimmed = line.trim
+    if (!trimmed.contains("=[")) return parseLine(line, defaultTimeNs).toSeq
+    val sections = splitEscaped(trimmed, ' ').filter(_.nonEmpty)
+    if (sections.length < 2 || sections.length > 3) return Nil
+    // bracket-aware split of the measurement+tags section
+    def splitTagSec(s: String): Seq[String] = {
+      val out = Seq.newBuilder[String]
+      val sb = new StringBuilder
+      var depth = 0; var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '[') { depth += 1; sb.append(c) }
+        else if (c == ']') { depth = math.max(0, depth - 1); sb.append(c) }
+        else if (c == ',' && depth == 0) { out += sb.toString; sb.clear() }
+        else sb.append(c)
+        i += 1
+      }
+      out += sb.toString
+      out.result()
+    }
+    val parts = splitTagSec(sections(0))
+    val arrays = parts.zipWithIndex.flatMap { case (kv, i) =>
+      val eq = kv.indexOf('=')
+      if (eq > 0 && eq + 1 < kv.length && kv.charAt(eq + 1) == '[' &&
+          kv.endsWith("]"))
+        Some((i, kv.substring(0, eq),
+          kv.substring(eq + 2, kv.length - 1).split(",", -1).toSeq))
+      else None
+    }
+    if (arrays.isEmpty) return parseLine(line, defaultTimeNs).toSeq
+    val n = arrays.head._3.size
+    if (n == 0 || arrays.exists(_._3.size != n)) return Nil
+    (0 until n).flatMap { k =>
+      val rebuilt = parts.zipWithIndex.map { case (kv, i) =>
+        arrays.find(_._1 == i) match {
+          case Some((_, key, vs)) => s"$key=${vs(k)}"
+          case None => kv
+        }
+      }.mkString(",")
+      parseLine((rebuilt +: sections.tail).mkString(" "), defaultTimeNs)
+    }
+  }
+
   def parse(lines: Dataset[String], defaultTimeNs: Long = 0L): DataFrame = {
     val spark = lines.sparkSession
     import spark.implicits._

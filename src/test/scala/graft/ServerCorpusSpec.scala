@@ -179,7 +179,15 @@ class ServerCorpusSpec extends SparkSpec {
         if (f.initAt > 0 && idx == f.initAt) doInit()
         val key = s"${f.func}::$idx"
         val act = ask(g, q.command, q.params).body()
-        if (act != q.exp && !numTolerantEq(act, q.exp)) {
+        if (act == q.exp || numTolerantEq(act, q.exp)) {
+          // the exclusion list shrinks MONOTONICALLY: a pinned case
+          // that starts passing must be un-pinned, so known divergences
+          // stay distinguishable from later regressions
+          if (exclusions.contains(key))
+            mismatches ::= s"[$key] ${q.name}: STALE EXCLUSION — the " +
+              "case now passes; remove it from " +
+              "server_corpus_exclusions.json"
+        } else {
           if (exclusions.contains(key)) ()
           else if (reportPath.isDefined) {
             report.add(JsonMethods.compact(JsonMethods.render(JObject(

@@ -480,9 +480,16 @@ for fname, fline, body in find_funcs():
         pre = bool(re.search(r"s\.CreateDatabase\(", body))
         suite_loads[lm.group(1)] = (fname, fline, pre)
 
-    # NewTest args
+    # NewTest args — a later `test.db = "..."` / `test.rp = "..."`
+    # reassignment (Write_OutOfOrder) overrides the constructor pair
     tm = re.search(r'NewTest\("([^"]*)",\s*"([^"]*)"\)', body)
     db, rp = (tm.group(1), tm.group(2)) if tm else ("db0", "rp0")
+    dbre = re.search(r'test\.db\s*=\s*"([^"]*)"', body)
+    rpre = re.search(r'test\.rp\s*=\s*"([^"]*)"', body)
+    if dbre:
+        db = dbre.group(1)
+    if rpre:
+        rp = rpre.group(1)
     db = db or "db0"
     rp = rp or "rp0"
 
