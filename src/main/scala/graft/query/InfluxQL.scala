@@ -3387,15 +3387,21 @@ object InfluxQL {
               // (difference_derivative_time_duplicate golden; a dt == 0
               // pair would also divide-by-zero under ANSI)
               if (df.columns.contains(a.inner.field)) {
+                // the pick is the FIRST-WRITTEN point: `__wo` (the LP
+                // ingest write-order stamp) when present — physical row
+                // order does not survive the catalog's merge shuffles
+                def pick(c: Column) =
+                  if (b.columns.contains("__wo")) min_by(c, col("__wo"))
+                  else first(c)
                 if (nsTime)
                   b = b.groupBy((col("__tns") +: groupTags.map(col)): _*)
-                    .agg(first(fieldCol(a.inner.field)).as(a.inner.field),
-                      first(col(m.time)).as(m.time),
-                      first(col("wstart_ms")).as("wstart_ms"))
+                    .agg(pick(fieldCol(a.inner.field)).as(a.inner.field),
+                      pick(col(m.time)).as(m.time),
+                      pick(col("wstart_ms")).as("wstart_ms"))
                 else
                   b = b.groupBy((col(m.time) +: groupTags.map(col)): _*)
-                    .agg(first(fieldCol(a.inner.field)).as(a.inner.field),
-                      first(col("wstart_ms")).as("wstart_ms"))
+                    .agg(pick(fieldCol(a.inner.field)).as(a.inner.field),
+                      pick(col("wstart_ms")).as("wstart_ms"))
               }
               b = applyAnalytic(b, a, a.inner.field, m.time)
               a.alias.foreach(al =>

@@ -185,14 +185,24 @@ object LineProtocol {
                          tagKeys: Seq[String], floatKeys: Seq[String],
                          intKeys: Seq[String] = Nil, boolKeys: Seq[String] = Nil,
                          stringKeys: Seq[String] = Nil): DataFrame = {
+    // `__wo` pins WRITE ORDER per row: monotonically_increasing_id over
+    // the (order-preserving) point Dataset is globally monotone in line
+    // order, so downstream semantics that depend on it — the merged
+    // cursor's one-point-per-duplicate-ns pick
+    // (difference_derivative_time_duplicate golden) — survive the
+    // shuffles that erase physical row order. Hidden (`__` prefix):
+    // star expansion, SHOW FIELD KEYS, blank rules and the wire codec
+    // all skip it.
     val base = points.filter(col("measurement") === measurement)
+      .withColumn("__wo", monotonically_increasing_id())
     val cols =
       tagKeys.map(k => col("tags").getItem(k).as(k)) ++
       floatKeys.map(k => col("floatFields").getItem(k).as(k)) ++
       intKeys.map(k => col("intFields").getItem(k).as(k)) ++
       boolKeys.map(k => col("boolFields").getItem(k).as(k)) ++
       stringKeys.map(k => col("stringFields").getItem(k).as(k)) ++
-      Seq(col("time"), timestamp_micros(expr("time div 1000")).as("ts"))
+      Seq(col("time"), timestamp_micros(expr("time div 1000")).as("ts"),
+        col("__wo"))
     base.select(cols: _*)
   }
 
