@@ -563,9 +563,9 @@ trait EntryOraclesA extends EntryBase {
 
     "q66_show_field_keys" ->
       """SELECT * FROM (VALUES
-           ('event_id', 'bigint'), ('props', 'string'),
-           ('user_id', 'bigint'), ('value', 'double'))
-         t(field_key, field_type) ORDER BY field_key""",
+           ('event_id', 'integer'), ('props', 'string'),
+           ('user_id', 'integer'), ('value', 'float'))
+         t(fieldKey, fieldType) ORDER BY fieldKey""",
 
     "q86_promql_absent" ->
       """WITH bounds AS (

@@ -49,11 +49,23 @@ object Meta {
                     time: Seq[String]): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    import org.apache.spark.sql.types._
+    // influxql type names and the reference's exact column names
+    // (fieldKey/fieldType, types float/integer/string/boolean —
+    // server_test.go ShowFieldKeys goldens)
+    def influxType(dt: DataType): String = dt match {
+      case DoubleType | FloatType => "float"
+      case LongType | IntegerType | ShortType | ByteType => "integer"
+      case BooleanType => "boolean"
+      case StringType => "string"
+      case TimestampType => "time"
+      case other => other.simpleString
+    }
     df.schema.fields
       .filterNot(f => tags.contains(f.name) || time.contains(f.name) ||
-        f.name.startsWith("__ds_")) // downsample bookkeeping, never a field
-      .map(f => (f.name, f.dataType.simpleString)).toSeq
-      .toDF("field_key", "field_type").orderBy("field_key")
+        f.name.startsWith("__")) // internal bookkeeping, never a field
+      .map(f => (f.name, influxType(f.dataType))).toSeq
+      .toDF("fieldKey", "fieldType").orderBy("fieldKey")
   }
 
   /** SHOW TAG KEYS. */

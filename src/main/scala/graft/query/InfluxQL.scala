@@ -2778,6 +2778,17 @@ object InfluxQL {
                  !df.columns.exists(_.equalsIgnoreCase(c.field)))
           lit(null).cast("double")
         else fieldCol(c.field)
+      // tags are STRINGS: a numeric/boolean literal never matches a tag
+      // (the reference's typed compile — TagFilter golden "tag1=1" is a
+      // bare statement); Spark's implicit cast would match '1' = 1
+      val tagVsNonString = mEff.tags.contains(c.field) && (c.v match {
+        case CInt(_) | CNum(_) | CBool(_) | CDur(_) | CNow(_) => !isTime
+        case _ => false
+      })
+      if (tagVsNonString) return c.op match {
+        case "!=" | "<>" => lit(true)
+        case _ => lit(false)
+      }
       val rhs: Column = c.v match {
         case CInt(l) =>
           if (isTime && nsTime) lit(l)
@@ -3521,9 +3532,12 @@ object InfluxQL {
         // reference draws a reservoir, `query/agg_functions.go`; a seeded
         // hash rank gives the same selection distribution, retry-stable)
         require(calls.size == 1 && exprs.isEmpty,
-          "sample must be the only projection")
+          "sample cannot combine with other calls")
         val c = calls.head
         val n = c.extra.getOrElse(1.0).toInt
+        // bare-field companions ride the sampled rows (selector
+        // semantics — Sample_LimitOffset "sample(float, 3), int")
+        val sampleCompanions = plain.filterNot(_ == "time")
         // bounded-heap aggregate on (hash, time) asc — the reservoir is a
         // map-side partial per series, so the shuffle carries ≤n rows per
         // series per task (SeriesOps.topPerSeries doc for why not a rank)
@@ -3537,8 +3551,11 @@ object InfluxQL {
           .select(explode(col("_tk_top")).as("_tk_row"))
           .select((Seq(unix_millis(col(s"_tk_row.${m.time}"))
               .as("wstart_ms")) ++
-            groupTags.map(t => col(s"_tk_row.$t").as(t)) :+
-            col(s"_tk_row.${c.field}").as(c.fn)): _*)
+            groupTags.map(t => col(s"_tk_row.$t").as(t)) ++
+            Seq(col(s"_tk_row.${c.field}").as(c.fn)) ++
+            sampleCompanions.map(f =>
+              if (df.columns.contains(f)) col(s"_tk_row.`$f`").as(f)
+              else lit(null).cast("double").as(f))): _*)
       } else if (calls.size == 1 && calls.head.fn == "distinct" &&
           exprs.isEmpty && !plain.exists(_ != "time")) {
         // DISTINCT(f) emits the distinct VALUES as rows in first-seen

@@ -2280,13 +2280,17 @@ final class HttpGateway(spark: SparkSession,
               Retention.renderDuration(rp.shardGroupS),
               Retention.renderDuration(rp.hotS),
               Retention.renderDuration(rp.warmS),
-              Retention.renderDuration(0L),
+              // index group duration defaults to the shard group
+              // duration (meta/data.go; DefaultDBAndRP golden)
+              Retention.renderDuration(rp.shardGroupS),
               rp.replicaN, rp.default) }
           val cols = Seq("name", "duration", "shardGroupDuration",
             "hot duration", "warm duration", "index duration",
             "replicaN", "default")
+          // models.Row name,omitempty: SHOW RETENTION POLICIES series
+          // are UNNAMED (DefaultDBAndRP golden)
           ResultShaper.toResultObj(gatewayRowsDf(cols, rows),
-            "retention policies", Nil, cols, epoch, id)
+            "", Nil, cols, epoch, id)
         } else if ("(?is)^\\s*create\\s+continuous\\s+query\\b.*".r
             .matches(stmt)) {
           synchronized { registerCq(reqDb, stmt.trim); persistDdl() }
