@@ -33,6 +33,23 @@ object Fill {
     agg
   }
 
+  /** Left-join the dense spine with the bucketed frame NULL-SAFELY: a
+    * missing GROUP BY tag is the null/empty series and must still line
+    * up with its own spine rows (using-columns join semantics orphan
+    * every null-keyed row — the count-zero fill then fabricated 0s for
+    * series that had points). */
+  private def joinSpine(sp: DataFrame, agg: DataFrame,
+                        tags: Seq[String]): DataFrame = {
+    val keys = tags :+ "wstart_ms"
+    val s2 = sp.alias("_sp"); val a2 = agg.alias("_ag")
+    val cond = keys.map(k =>
+      col(s"_sp.`$k`") <=> col(s"_ag.`$k`")).reduce(_ && _)
+    val aggCols = agg.columns.filterNot(keys.contains)
+    s2.join(a2, cond, "left_outer").select(
+      (keys.map(k => col(s"_sp.`$k`").as(k)) ++
+        aggCols.map(c => col(s"_ag.`$c`").as(c))): _*)
+  }
+
   /** Build the dense (tags × bucket) spine over [startMs, endMs) with the
     * given step, left-joined with `agg` (whose bucket column is `wstart_ms`
     * epoch millis, as produced by WindowedAgg.timeBucket). */
@@ -40,9 +57,9 @@ object Fill {
                     startMs: Long, endMs: Long, stepMs: Long): DataFrame = {
     val agg = shared(agg0)
     val series = agg.select(tags.map(col): _*).distinct()
-    val spine = series.withColumn("wstart_ms",
+    val sp = series.withColumn("wstart_ms",
       explode(sequence(lit(startMs), lit(endMs - 1), lit(stepMs))))
-    spine.join(agg, tags :+ "wstart_ms", "left_outer")
+    joinSpine(sp, agg, tags)
   }
 
   /** Dense spine with bounds derived from the data IN-PLAN: the bucket
@@ -97,11 +114,11 @@ object Fill {
       if (tags.isEmpty) b
       else agg.select(tags.map(col): _*).distinct()
         .crossJoin(graft.ExecProfile.maybeBroadcast(b))
-    withB.filter(col("_blo").isNotNull)
+    val sp = withB.filter(col("_blo").isNotNull)
       .withColumn("wstart_ms",
         explode(sequence(col("_blo"), col("_bhi"), lit(stepMs))))
       .drop("_blo", "_bhi")
-      .join(agg, tags :+ "wstart_ms", "left_outer")
+    joinSpine(sp, agg, tags)
   }
 
   /** [[fillValue]] with data-derived bounds (see [[spineAuto]]). */

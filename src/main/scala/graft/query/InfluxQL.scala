@@ -191,6 +191,7 @@ object InfluxQL {
                    argExpr: Option[Expr] = None,
                    tagArgs: Seq[String] = Nil,
                    extra2: Option[Double] = None,
+                   extra3: Option[Double] = None,
                    alias: Option[String] = None)
     extends Proj
   /** Analytic over an aggregated series, e.g. derivative(mean(value)):
@@ -971,6 +972,15 @@ object InfluxQL {
               case t => sys.error(s"bad call third arg: $t")
             }
           } else None
+          // compare(f, o1, o2, o3) carries up to THREE offsets
+          // (Compare_Functions::4)
+          val extra3 = if (peek == TPunct(",")) {
+            next()
+            next() match {
+              case TNum(v, _, _) => Some(v)
+              case t => sys.error(s"bad call fourth arg: $t")
+            }
+          } else None
           expect(")")
           arg match {
             case Right(Left(inner)) =>
@@ -985,10 +995,10 @@ object InfluxQL {
                 mode = modeArg))
             case Left(field) =>
               Left(ECall(PCall(fn, field, extra, tagArgs = tagArgs,
-                extra2 = extra2)))
+                extra2 = extra2, extra3 = extra3)))
             case Right(Right(e)) =>
               Left(ECall(PCall(fn, "", extra, argExpr = Some(e),
-                extra2 = extra2)))
+                extra2 = extra2, extra3 = extra3)))
           }
         }
       case TIdent(f) if peek == TPunct("::") =>
@@ -1170,10 +1180,28 @@ object InfluxQL {
             (l +: rs).mkString(",")
           case None => x.fromSub match {
             case Some(s0) =>
-              // multi-subquery FROM joins the inner names —
-              // "table1,table2,table3" (server_test.go:14129)
-              (s0 +: x.fromSubMore).map(base).mkString(",")
-            case None => x.fromBare.getOrElse(x.from)
+              // multi-subquery FROM joins the DISTINCT inner names —
+              // "table1,table2,table3" (server_test.go:14129); two
+              // subqueries over one source stay "mst1"
+              // (MultiMeasurements::3)
+              (s0 +: x.fromSubMore).map(base).distinct.mkString(",")
+            case None =>
+              // FROM m1, m2 names the series by the sorted source list
+              // ("mst,mst1" — MultiMeasurements::0); FROM /re/ by the
+              // sorted MATCHED measurements (MultiMeasurements::8)
+              val bare = x.fromBare.getOrElse(x.from)
+              val more = x.fromMore.map(n =>
+                n.substring(n.lastIndexOf('.') + 1))
+              if (bare.length > 1 && bare.startsWith("/") &&
+                  bare.endsWith("/")) {
+                val re = bare.substring(1, bare.length - 1).r
+                val hits = catalog.keysIterator
+                  .filter(k0 => re.findFirstIn(k0).isDefined)
+                  .toSeq.distinct.sorted
+                if (hits.nonEmpty) hits.mkString(",") else bare
+              }
+              else if (more.isEmpty) bare
+              else (bare +: more).distinct.sorted.mkString(",")
           }
         }
         val tags = resolveTags(catalog, qq).filter(df.columns.contains)
@@ -2187,9 +2215,11 @@ object InfluxQL {
     require(q.projs.size == 1, "compare must be the only projection")
     require(q.offset == 0 && q.slimit.isEmpty,
       "OFFSET/SLIMIT with compare is not supported")
-    val offs = (c.extra.toSeq ++ c.extra2.toSeq).map(_.toLong)
-    require(offs.nonEmpty, "invalid number of arguments for compare, " +
-      "expected more than one arguments, got 1")
+    val offs = (c.extra.toSeq ++ c.extra2.toSeq ++ c.extra3.toSeq)
+      .map(_.toLong)
+    if (offs.isEmpty)
+      throw new StatementError("invalid number of arguments for " +
+        "compare, expected more than one arguments, got 1")
     if (q.intervalNs.isDefined && q.fromSub.isEmpty)
       sys.error("compare over a raw measurement with GROUP BY time: " +
         "aggregate in a subquery (FROM (SELECT … GROUP BY time(…))) and " +
@@ -2233,31 +2263,84 @@ object InfluxQL {
             .withColumnRenamed(field, s"$field${i + 1}")
         }
       } else offsets.zipWithIndex.map { case (k, i) =>
+        // shift LAZILY through a delegating view: eagerly .map-ing the
+        // catalog would flatten the gateway's CatalogView to its base
+        // slice and lose qualified db.rp.m resolution
+        // (Compare_Functions "FROM db0.rp0.mst")
+        def shiftM(mm: Measurement): Measurement = {
+          val s0 = mm.df.withColumn(mm.time,
+            col(mm.time) + expr(s"INTERVAL $k SECOND"))
+          // line-protocol tables also carry the raw ns `time` column
+          val s1 =
+            if (mm.time != "time" && mm.df.columns.contains("time"))
+              s0.withColumn("time", col("time") + lit(k * 1000000000L))
+            else s0
+          mm.copy(df = s1, extentMs = mm.extentMs.map {
+            case (a, b) => (a + k * 1000L, b + k * 1000L) })
+        }
+        class ShiftView(u: Map[String, Measurement])
+            extends scala.collection.immutable.AbstractMap[
+              String, Measurement] {
+          override def get(n: String): Option[Measurement] =
+            u.get(n).map(shiftM)
+          override def iterator: Iterator[(String, Measurement)] =
+            u.iterator.map { case (n, mm) => n -> shiftM(mm) }
+          override def removed(n: String): Map[String, Measurement] =
+            new ShiftView(u - n)
+          override def updated[V1 >: Measurement](
+              n: String, v: V1): Map[String, V1] =
+            iterator.toMap.updated(n, v)
+          override def size: Int = u.size
+        }
         val cat2 =
           if (k == 0L) catalog
-          else catalog.map { case (n, mm) =>
-            val s0 = mm.df.withColumn(mm.time,
-              col(mm.time) + expr(s"INTERVAL $k SECOND"))
-            // line-protocol tables also carry the raw ns `time` column
-            val s1 =
-              if (mm.time != "time" && mm.df.columns.contains("time"))
-                s0.withColumn("time", col("time") + lit(k * 1000000000L))
-              else s0
-            n -> mm.copy(df = s1, extentMs = mm.extentMs.map {
-              case (a, b) => (a + k * 1000L, b + k * 1000L) })
-          }
+          else if (catalog.isInstanceOf[QualifiedResolver])
+            new ShiftView(catalog) with QualifiedResolver
+          else new ShiftView(catalog)
         clean(compileQuery(cat2, armQ))
           .withColumnRenamed(field, s"$field${i + 1}")
       }
     val f1 = s"${field}1"
     val keys = arms.head.columns.filterNot(_ == f1).toSeq
-    val joined = arms.reduceLeft((a, b) =>
-      a.join(b, keys, "full_outer"))
+    // NULL-SAFE key equality: a missing GROUP BY tag is the empty
+    // series (null) and must line up across arms — plain using-columns
+    // join semantics would orphan every null-tagged row
+    // (Compare_Functions::7 country:"" series)
+    var jidx = 0
+    def jn(a: DataFrame, b: DataFrame): DataFrame = {
+      jidx += 1
+      // explicit per-join aliases: the single-pass arms share one base
+      // plan, so unaliased attribute refs are ambiguous self-joins
+      val (la, rb) = (s"_cmp_l$jidx", s"_cmp_r$jidx")
+      val a2 = a.alias(la); val b2 = b.alias(rb)
+      def ac(c2: String) = col(s"$la.`$c2`")
+      def bc(c2: String) = col(s"$rb.`$c2`")
+      val cond = keys.map(k2 => ac(k2) <=> bc(k2)).reduce(_ && _)
+      val fA = a.columns.filterNot(keys.contains)
+      val fB = b.columns.filterNot(keys.contains)
+      a2.join(b2, cond, "full_outer").select(
+        (keys.map(k2 => coalesce(ac(k2), bc(k2)).as(k2)) ++
+          fA.map(c2 => ac(c2).as(c2)) ++
+          fB.map(c2 => bc(c2).as(c2))): _*)
+    }
+    val joined = arms.reduceLeft(jn)
+    // InfluxQL division: x / 0 is 0, not an error and not null
+    // (influxql ast.go binary eval; Compare_Functions::10 PV2=0)
     val ratios = offsets.indices.drop(1).map { i =>
-      (col(f1).cast("double") / col(s"$field${i + 1}").cast("double"))
+      val num = col(s"`$f1`").cast("double")
+      val den = col(s"`$field${i + 1}`").cast("double")
+      when(num.isNull || den.isNull, lit(null).cast("double"))
+        .when(den =!= 0.0, num / den)
+        .otherwise(lit(0.0))
         .as(s"$f1/$field${i + 1}")
     }
-    var out = joined.select((keys.map(col) ++
+    var out = joined
+      // a row where EVERY arm is null is not emitted (blank-row rule
+      // over the merged arms — Compare_Functions::7 drops the series
+      // that only exist in other buckets)
+      .filter(offsets.indices.map(i =>
+        col(s"`$field${i + 1}`").isNotNull).reduce(_ || _))
+      .select((keys.map(col) ++
         offsets.indices.map(i => col(s"$field${i + 1}")) ++ ratios): _*)
       .orderBy(if (q.orderDesc) col("time").desc else col("time").asc)
     q.limit.foreach(n => out = out.limit(n))
@@ -2558,7 +2641,13 @@ object InfluxQL {
       case EBin('-', l, r) => evalExpr(l, resolve) - evalExpr(r, resolve)
       case EBin('*', l, r) => evalExpr(l, resolve) * evalExpr(r, resolve)
       case EBin('/', l, r) =>
-        evalExpr(l, resolve).cast("double") / evalExpr(r, resolve).cast("double")
+        // InfluxQL division: float result; x / 0 is 0, not an ANSI
+        // error and not null (influxql ast.go binary eval)
+        val lv = evalExpr(l, resolve).cast("double")
+        val rv = evalExpr(r, resolve).cast("double")
+        when(lv.isNull || rv.isNull, lit(null).cast("double"))
+          .when(rv =!= 0.0, lv / rv)
+          .otherwise(lit(0.0))
       case EBin(op, _, _) => sys.error(s"unsupported operator $op")
       case EMath(fn, args) if scalarFnNames.contains(fn) =>
         scalarEval(fn, args, resolve)
