@@ -360,7 +360,16 @@ object InfluxQL {
       // `t1.f` qualified field refs seen anywhere in this query —
       // resolved post-join against the side aliases (ast.go VarRef with
       // a Segments-qualified name)
-      qualRefs: Seq[(String, String)] = Nil)
+      qualRefs: Seq[(String, String)] = Nil,
+      // whether ORDER BY was written out (validates subquery direction:
+      // an explicit inner direction differing from the outer's is the
+      // reference's compile error, TSSubQueryHasDifferentAscending)
+      orderExplicit: Boolean = false,
+      // `/*+ … */` optimizer hints from the statement text (lexed away
+      // before parse; attached post-parse). Semantic ones: full_series
+      // (the WHERE names the COMPLETE series key — unmentioned tags
+      // must be absent, Query_FullSeries)
+      hints: Set[String] = Set.empty)
 
   /** One UNION arm: `UNION [ALL] [BY NAME] <select>` — reference
     * `influxql/sql.y:656-699` (union_clause). */
@@ -692,6 +701,9 @@ object InfluxQL {
           }
           if (peek == TPunct(",")) next() else done = true
         }
+        // a repeated dimension groups once (`GROUP BY region,region` —
+        // TagOrder exp renders the tag a single time)
+        tags = tags.distinct
       }
       // GROUP BY … EXCEPT tag[, tag…]
       var exceptTags = Seq.empty[String]
@@ -724,8 +736,10 @@ object InfluxQL {
         expect(")")
       }
       var orderDesc = false
+      var orderExplicit = false
       if (isKw("order")) {
         next(); expectIdent("by"); expectIdent("time")
+        orderExplicit = true
         if (isKw("desc")) { next(); orderDesc = true }
         else if (isKw("asc")) next()
       }
@@ -760,7 +774,7 @@ object InfluxQL {
       Query(projs, from, where, tags, interval, fill, orderDesc, limit,
         offset, slimit, join, joinMore, fromSub, fromSubMore, soffset,
         intervalOffset, tz, into, fromMore, fromBare, exceptTags, fromAlias,
-        myQual)
+        myQual, orderExplicit)
     }
 
     private def parseProjs(): Seq[Proj] = {
@@ -794,7 +808,17 @@ object InfluxQL {
         }
         else {
           val proj = parseExpr() match {
-            case Right(analytic) => analytic
+            case Right(analytic) =>
+              // `MOVING_AVERAGE(f,2) AS x` — analytic calls take
+              // aliases too (For_BugList multi-analytic projections)
+              if (isKw("as")) {
+                next()
+                next() match {
+                  case TIdent(a) => analytic.copy(alias = Some(a))
+                  case TStr(a) => analytic.copy(alias = Some(a))
+                  case t => sys.error(s"expected alias, got $t")
+                }
+              } else analytic
             case Left(e) =>
               val alias = if (isKw("as")) {
                 next()
@@ -1217,6 +1241,57 @@ object InfluxQL {
     }
   }
 
+  /** Group dimensions that ALSO render as value columns in the series
+    * JSON: a raw query keeps an explicitly-projected group tag in
+    * `columns` (Multiple_Measurements "SELECT host,value … GROUP BY
+    * host" exp [time,host,value]) and a star expansion keeps a grouped
+    * FIELD dimension (FieldIndex_Query "SELECT * GROUP BY field_index"
+    * exp [time,field_index,host,region,value]). Aggregate statements
+    * never do. Best-effort: parse failures return Nil (the statement
+    * will fail properly downstream). */
+  def alsoColumnTags(catalog: Map[String, Measurement],
+                     sql0: String): Seq[String] = try {
+    val s = stripComments(sql0, plusOnly = false).trim
+    val lower = s.toLowerCase
+    if (!(lower.startsWith("select") || lower.startsWith("with"))) Nil
+    else {
+      val (_, q) = parseWith(s)
+      def hasCall(e: Expr): Boolean = e match {
+        case ECall(_) => true
+        case EBin(_, l, r) => hasCall(l) || hasCall(r)
+        case EMath(_, as) => as.exists(hasCall)
+        case ECast(x, _) => hasCall(x)
+        case _ => false
+      }
+      val isRaw = q.projs.nonEmpty && q.projs.forall {
+        case _: PCall | _: PAnalytic => false
+        case PExpr(e, _) => !hasCall(e)
+        case _ => true
+      }
+      // a JOIN's star output is already qualified per side; grouped ON
+      // keys render as tags only (CTE_Query joined-star exp)
+      if (!isRaw || q.join.nonEmpty) Nil
+      else {
+        val dims = resolveTags(catalog, q)
+        val srcTags = sourceTags(catalog, q)
+        val explicit = dims.filter(d => q.projs.exists {
+          case PField(f) => f == d
+          case _ => false
+        })
+        // grouped FIELD dims render as columns only when the source is
+        // a catalog measurement whose tag set we actually know (a CTE /
+        // subquery source resolves no tags here — don't misread its
+        // tags as field dims)
+        val starFieldDims =
+          if (q.projs.contains(PStar) && q.fromSub.isEmpty &&
+              lookupMeasurement(catalog, q.from).isDefined)
+            dims.filterNot(srcTags.contains)
+          else Nil
+        (explicit ++ starFieldDims).distinct
+      }
+    }
+  } catch { case scala.util.control.NonFatal(_) => Nil }
+
   /** Data-management statements (reference surface: `influxql/ast.go`
     * DeleteStatement, DropMeasurementStatement, DropSeriesStatement).
     * The engine is storage-agnostic, so management is catalog-functional
@@ -1442,7 +1517,12 @@ object InfluxQL {
           org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
       return (None, text.split("\n").toSeq.toDF("QUERY PLAN"), Nil)
     }
-    val (ctes, q, arms) = new Parser(lex(sql)).parseStatementFull()
+    val (ctes, q0, arms) = new Parser(lex(sql)).parseStatementFull()
+    // hint comments lex away before parse — re-read them off the raw
+    // text and attach to the top-level statement
+    val q = q0.copy(hints = "/\\*\\+(.*?)\\*/".r.findAllMatchIn(sql)
+      .flatMap(_.group(1).trim.split("[\\s,]+")).map(_.toLowerCase)
+      .filter(_.nonEmpty).toSet)
 
     // UNION semantics (sql.y:656-699 + logkeeper union transform):
     // every arm's output FLATTENS to time + name-sorted columns (group
@@ -1586,7 +1666,11 @@ object InfluxQL {
           if (body.columns.contains("__tns"))
             timestamp_micros((col("__tns") / 1000L).cast("long"))
           else timestamp_millis(col("time"))
+        // __sord pins the CTE's own emission order so a projection over
+        // it keeps write/series order on same-ns ties (CTE_Query exp
+        // ff2 [2,3,12,3], not value-ascending)
         val df = body.withColumn("__ts", ts0)
+          .withColumn("__sord", monotonically_increasing_id())
         cat = cat + (name -> Measurement(df,
           projectedTags(cat, sub).filter(df.columns.contains), "__ts"))
         progress = true
@@ -2353,7 +2437,47 @@ object InfluxQL {
     if (name.contains(".")) col(s"`$name`") else col(name)
 
   private def compileQuery(catalog: Map[String, Measurement],
-                           q: Query): DataFrame = {
+                           qIn: Query): DataFrame = {
+    // a FROM-subquery alias qualifies refs to the inner's bare columns
+    // (`SELECT count(t2.additional) FROM (…) AS t2`,
+    // Push_Down_Rule_Incondition) — strip the qualifier up front; joins
+    // keep qualified refs (they resolve per side)
+    val q: Query = qIn.fromAlias match {
+      case Some(a) if qIn.join.isEmpty && qIn.fromSub.isDefined =>
+        def unq(f: String): String =
+          if (f.length > a.length + 1 && f.charAt(a.length) == '.' &&
+              f.substring(0, a.length).equalsIgnoreCase(a))
+            f.substring(a.length + 1)
+          else f
+        def unqE(e: Expr): Expr = e match {
+          case EField(f) => EField(unq(f))
+          case EBin(op, l, r) => EBin(op, unqE(l), unqE(r))
+          case EMath(fn, as) => EMath(fn, as.map(unqE))
+          case ECast(x, t) => ECast(unqE(x), t)
+          case ECall(c) => ECall(unqC(c))
+          case other => other
+        }
+        def unqC(c: PCall): PCall =
+          c.copy(field = unq(c.field), argExpr = c.argExpr.map(unqE))
+        def unqW(w: WExpr): WExpr = w match {
+          case WCond(c) => WCond(c.copy(field = unq(c.field)))
+          case WAnd(l, r) => WAnd(unqW(l), unqW(r))
+          case WOr(l, r) => WOr(unqW(l), unqW(r))
+          case WIn(f, s, n) => WIn(unq(f), s, n)
+          case WCmp(l, op, r) => WCmp(unqE(l), op, unqE(r))
+        }
+        qIn.copy(
+          projs = qIn.projs.map {
+            case PField(f) => PField(unq(f))
+            case c: PCall => unqC(c)
+            case p2: PAnalytic => p2.copy(inner = unqC(p2.inner))
+            case PExpr(e, al) => PExpr(unqE(e), al)
+            case other => other
+          },
+          where = qIn.where.map(unqW),
+          groupTags = qIn.groupTags.map(unq))
+      case _ => qIn
+    }
     q.projs.collectFirst { case c: PCall if c.fn == "compare" => c } match {
       case Some(c) => return compileCompare(catalog, q, c)
       case None =>
@@ -2390,11 +2514,77 @@ object InfluxQL {
         sub.copy(where = Some(merged))
       }
     }
+    // an explicit inner ORDER BY direction differing from the outer's is
+    // a compile error (query/compile.go subquery sort validation; e2e
+    // TSSubQueryHasDifferentAscending)
+    (q.fromSub.toSeq ++ q.fromSubMore).foreach { s0 =>
+      if (s0.orderExplicit && s0.orderDesc != q.orderDesc)
+        throw new StatementError("subqueries must be ordered in the " +
+          "same direction as the query itself")
+    }
+    // tags the OUTER statement references (GROUP BY, join keys) flow
+    // implicitly through a subquery that doesn't project them — the
+    // reference's subquery schema propagates tags (SubQuery_Top_Min
+    // groups the inner top() by country; FullJoin joins f1-only
+    // subqueries on tk1). Carried as companion projections, which only
+    // raw and selector-class inners admit.
+    def carryTags(sub: Query, wanted0: Seq[String]): Query = {
+      val wanted = wanted0.filterNot(_ == "*").distinct
+      if (wanted.isEmpty) return sub
+      val selectorFns = Set("top", "bottom", "max", "min", "first",
+        "last", "percentile", "sample")
+      def fnsOf(e: Expr): Seq[String] = e match {
+        case ECall(c2) => Seq(c2.fn)
+        case EBin(_, l, r) => fnsOf(l) ++ fnsOf(r)
+        case EMath(_, as) => as.flatMap(fnsOf)
+        case ECast(x, _) => fnsOf(x)
+        case _ => Nil
+      }
+      val fns = sub.projs.flatMap {
+        case c2: PCall => Seq(c2.fn)
+        case a: PAnalytic => Seq(a.fn)
+        case PExpr(e, _) => fnsOf(e)
+        case _ => Nil
+      }
+      val innerTags = sourceTags(catalog, sub)
+      val add = wanted.filter(innerTags.contains)
+        .filterNot(sub.groupTags.contains)
+      if (add.isEmpty) sub
+      else if (fns.isEmpty) {
+        // raw inner: the tags carry as companion columns
+        if (sub.projs.exists(p => p == PStar || p == PStarTag)) sub
+        else {
+          val have = sub.projs.collect {
+            case PField(f) => f
+            case PExpr(EField(f), _) => f
+          }.toSet
+          val add2 = add.filterNot(have.contains)
+          if (add2.isEmpty) sub
+          else sub.copy(projs = sub.projs ++ add2.map(PField.apply))
+        }
+      } else if (fns.forall(selectorFns.contains) ||
+          sub.groupTags.isEmpty) {
+        // call-bearing inner: outer dimensions push INTO the subquery —
+        // the inner runs per outer group (SubQuery_Top_Min: top(age,2)
+        // evaluates per country)
+        sub.copy(groupTags = (sub.groupTags ++ add).distinct)
+      } else sub
+    }
+    val outerWanted: Seq[String] =
+      q.groupTags ++ (q.join.toSeq ++ q.joinMore).flatMap(_.onTags)
     val m =
       if (q.fromSub.isDefined) {
-        val subs = (q.fromSub.get +: q.fromSubMore).map(pushTime)
+        val subs = (q.fromSub.get +: q.fromSubMore)
+          .map(s0 => carryTags(pushTime(s0), outerWanted))
         val parts = subs.map { sub =>
-          val inner = compileQuery(catalog, sub)
+          val inner0 = compileQuery(catalog, sub)
+          // pin the single inner's emission order for same-ns ties
+          // (multi-sub appends keep the value-ascending interleave —
+          // Constant_Column exp)
+          val inner =
+            if (q.fromSubMore.isEmpty)
+              inner0.withColumn("__sord", monotonically_increasing_id())
+            else inner0
           // the subquery's output keeps a source tag AS a tag when it
           // projects it (SELECT * / grouped) — see [[sourceTags]]
           val subTags = (resolveTags(catalog, sub) ++
@@ -2445,10 +2635,12 @@ object InfluxQL {
         var first = true
         joinClauses.foreach { j =>
           val r = j.rightSub match {
-            case Some(sub) =>
+            case Some(sub0) =>
               // (SELECT…) AS t2 — compile the inner query; its epoch-ms
               // `time` column is the right time axis. Tags follow the
-              // same carry-through rule as FROM subqueries (sourceTags)
+              // same carry-through rule as FROM subqueries (sourceTags),
+              // join keys the inner doesn't project carry implicitly
+              val sub = carryTags(sub0, outerWanted)
               val inner = compileQuery(catalog, sub)
               val subTags = (resolveTags(catalog, sub) ++
                 sourceTags(catalog, sub)
@@ -2951,6 +3143,22 @@ object InfluxQL {
     q.where.foreach { w =>
       val (ins, rest) = splitIn(w)
       rest.foreach(r => df = df.filter(wexprToCol(r)))
+      // /*+ full_series */: the condition names the COMPLETE series
+      // key — every source tag it does NOT mention must be absent
+      // (Query_FullSeries "(host = 'server01')" matches only the
+      // region-less server01 series)
+      if (q.hints.contains("full_series")) {
+        def mentioned(x: WExpr): Set[String] = x match {
+          case WCond(c2) => Set(c2.field)
+          case WAnd(l, r) => mentioned(l) ++ mentioned(r)
+          case WOr(l, r) => mentioned(l) ++ mentioned(r)
+          case _ => Set.empty
+        }
+        val named = mentioned(w)
+        mEff.tags.filterNot(named.contains)
+          .filter(df.columns.contains)
+          .foreach(t => df = df.filter(col(t).isNull))
+      }
       ins.foreach { i =>
         val sub = compileQuery(catalog, i.sub)
         val valueCol = sub.columns
@@ -2967,9 +3175,21 @@ object InfluxQL {
       }
     }
 
-    val groupTags =
+    val rawGroupDims =
       (if (q.groupTags.contains("*")) mEff.tags else q.groupTags)
         .filterNot(q.exceptTags.contains)
+    // only TAGS group: a dimension naming a non-string field (or
+    // nothing) is an unknown tag — one group, rendered as the
+    // empty-string tag value, while field refs keep seeing the field
+    // (MergeMany "GROUP by field" exp tags {"value":""} with
+    // count(value)=50). A STRING field dimension groups for real —
+    // the reference's field-index dimensions (FieldIndex_Query exp
+    // tags {"field_index":"127.0.0.1"}).
+    val pseudoDims = rawGroupDims.filterNot(mEff.tags.contains)
+      .filterNot(t => df.columns.find(_.equalsIgnoreCase(t)).exists(c =>
+        df.schema(c).dataType ==
+          org.apache.spark.sql.types.StringType))
+    val groupTags = rawGroupDims.filterNot(pseudoDims.contains)
 
     // projection → aggregation ladder (select.go:654 order)
     def aggExprOf(p: PCall): Column = {
@@ -3047,8 +3267,12 @@ object InfluxQL {
         case "mean" => avg(f)
         case "min" => min(f)
         case "max" => max(f)
-        case "first" => min_by(f, col(m.time))
-        case "last" => max_by(f, col(m.time))
+        // a null field value is "no point" for that field: first/last
+        // pick among rows where f exists (IntMany_GroupBy "last time and
+        // value with null" — last(value1) skips the null-value1 tail row);
+        // max_by/min_by skip null keys, so nulling the key drops them
+        case "first" => min_by(f, when(f.isNotNull, col(m.time)))
+        case "last" => max_by(f, when(f.isNotNull, col(m.time)))
         case "spread" => max(f) - min(f)
         case "stddev" =>
           // the reference's exact float path: sqrt((Σv²/n − (Σv/n)²) ·
@@ -3666,13 +3890,23 @@ object InfluxQL {
           .groupBy((col("wstart_ms") +: groupTags.map(col)) :+
             fv.as(c.alias.getOrElse("distinct")): _*)
           .agg(min(unix_micros(col(m.time))).as("__ord"))
-      } else if (calls.size == 1 && analytics.isEmpty &&
-          calls.head.argExpr.isEmpty &&
-          exprs.forall(e => callsIn(e.e).isEmpty) &&
-          (calls.head.fn == "percentile" ||
-            (Set("max", "min", "first", "last")(calls.head.fn) &&
-              (plain.exists(_ != "time") || exprs.nonEmpty ||
-                expandedProjs.contains(PStar) || q.intervalNs.isEmpty)))) {
+      } else if (analytics.isEmpty && {
+          // one selector call total — either a direct projection with
+          // call-free expr companions, or a SINGLE selector wrapped in
+          // projection math (`max(rx) * 1` keeps the picked row's time,
+          // server_test.go Aggregates_Math "math with a single selector")
+          val exprCallsAll = exprs.flatMap(e => callsIn(e.e))
+          val selOne: Option[PCall] =
+            if (calls.size == 1 && exprCallsAll.isEmpty) Some(calls.head)
+            else if (calls.isEmpty && exprCallsAll.size == 1)
+              Some(exprCallsAll.head)
+            else None
+          selOne.exists(c0 => c0.argExpr.isEmpty &&
+            (c0.fn == "percentile" ||
+              (Set("max", "min", "first", "last")(c0.fn) &&
+                (plain.exists(_ != "time") || exprs.nonEmpty ||
+                  expandedProjs.contains(PStar) || q.intervalNs.isEmpty))))
+        }) {
         // Selector + companion ("aux") fields: one output row per group —
         // the row the selector PICKS — with bare-field projections taken
         // from that same row (the reference's aux-column selector
@@ -3682,7 +3916,7 @@ object InfluxQL {
         // time; ungridded emits the picked row's own time. Shape: one
         // row_number window per (bucket, tags) — a single shuffle, no
         // self-join.
-        val c = calls.head
+        val c = (calls ++ exprs.flatMap(e => callsIn(e.e))).head
         // a selector over the TIME pseudo-field picks by time and
         // renders the picked time as epoch ns (server_test.go:4358
         // "last(time)"); its companions are null UNGRIDDED (the
@@ -3755,7 +3989,12 @@ object InfluxQL {
             .filterNot(_.startsWith("__"))
             .filterNot(groupTags.contains).sorted
             .map(cc => comp(col(cc)).as(cc)).toSeq
-        val outCols = Seq(col("wstart_ms")) ++ groupTags.map(col) ++
+        val outCols = Seq(col("wstart_ms")) ++
+          // ungridded: the picked row's own time renders at FULL ns
+          // precision (PreAgg_StringAux exp …T06:41:56.607400896Z)
+          (if (q.intervalNs.isEmpty && nsTime)
+             Seq(col("time").as("__tns")) else Nil) ++
+          groupTags.map(col) ++
           expandedProjs.flatMap {
             case PField(f) if f != "time" =>
               Seq((if (df.columns.contains(f)) comp(col(f))
@@ -3763,8 +4002,11 @@ object InfluxQL {
             case _: PCall => Seq(valueCol.as(callAlias))
             case PStar => starCompanions
             case e: PExpr =>
-              Seq(comp(evalExpr(e.e, _ =>
-                sys.error("selector companion cannot nest calls")))
+              // the selector call itself may live INSIDE the expr
+              // (`max(rx) * 1`): it resolves to the picked row's value
+              Seq(comp(evalExpr(e.e, c2 =>
+                if (c2 == c) valueCol
+                else sys.error("selector companion cannot nest calls")))
                 .as(e.alias))
             case _ => Nil
           }
@@ -3799,13 +4041,21 @@ object InfluxQL {
         val callName = allCalls.zip(aliasNames(allCalls)).toMap
         val aggs = aliased(allCalls)
         def addExprCols(d0: DataFrame): DataFrame = {
-          val d = exprs.foldLeft(d0)((acc, p) => acc.withColumn(p.alias,
-            evalExpr(p.e, c => col(callName(c)))))
+          // expr outputs land under collision-free temp names first: an
+          // expr's auto-name may EQUAL the agg column it reads
+          // (`sum(value)*2` → column "sum"), and dropping the agg below
+          // must not take the computed expr with it
+          val tmp = exprs.zipWithIndex.map { case (p, i) =>
+            (p, s"__exprv_$i") }
+          val d1 = tmp.foldLeft(d0)((acc, pi) => acc.withColumn(pi._2,
+            evalExpr(pi._1.e, c => col(callName(c)))))
           // aggregates referenced ONLY inside expressions don't render;
           // the output keeps projection order (SubqueryForLogicalOptimize
           // exp [sum_height, sum_sum, mean])
           val exprOnly = allCalls.filterNot(calls.contains).map(callName)
-          val dropped = d.drop(exprOnly: _*)
+          val d = tmp.foldLeft(d1.drop(exprOnly.distinct: _*))(
+            (acc, pi) => acc.withColumnRenamed(pi._2, pi._1.alias))
+          val dropped = d
           val ordered = (Seq("wstart_ms") ++ groupTags ++
             expandedProjs.collect {
               case c2: PCall if calls.contains(c2) => callName(c2)
@@ -3935,8 +4185,23 @@ object InfluxQL {
             // times are 2000-01-01, not epoch 0). The slice-type
             // ad_rmse_ext stamps the group's FIRST point instead
             // (Detect_Aggregate::3 per-group times)
-            val stampLo = q.where.map(timeBoundsUs).flatMap(_._1)
-              .map(Math.floorDiv(_, 1000L))
+            // the effective range start propagates OUT of a subquery
+            // only when the subquery is one the reference's
+            // subquery-elimination rule FOLDS into the outer scan — a
+            // plain field projection/rename (SubQuery_ShardMapper stamps
+            // the inner bound; SubqueryForLogicalOptimize "mean usage"
+            // over `100 - age AS usage` keeps epoch 0: the expr blocks
+            // the fold and the outer runs on a subquery chunk axis)
+            def foldable(x: Query): Boolean = x.intervalNs.isEmpty &&
+              x.projs.forall {
+                case PField(_) | PStar | PStarTag | PStarField => true
+                case PExpr(EField(_), _) => true
+                case _ => false
+              }
+            def stampLoOf(x: Query): Option[Long] =
+              x.where.map(timeBoundsUs).flatMap(_._1)
+                .orElse(x.fromSub.filter(foldable).flatMap(stampLoOf))
+            val stampLo = stampLoOf(q).map(Math.floorDiv(_, 1000L))
             // …only when reading a real measurement: a subquery source's
             // chunk axis starts at the interval start, so the stamp
             // stays 0 (Multi_Metric_Detection::0 exp 1970-01-01)
@@ -4002,22 +4267,53 @@ object InfluxQL {
           else if (hasStar && joinStarFields.nonEmpty)
             // star over a JOIN = the qualified two-sided field set
             joinStarFields.sorted.map(fieldCol).toSeq
-          else if (plain.isEmpty || hasStar)
+          else if (hasStar && plain.exists(_ != "time")) {
+            // explicit fields AND a star: explicit ones render first in
+            // projection order, then the FULL star expansion — a star
+            // column colliding with an explicit name gets the reference's
+            // `_1` suffix (Wildcards "SELECT value, *" exp
+            // [time,value,region,value_1,valx])
+            val explicit = plain.filter(_ != "time")
+            val star = df.columns.filterNot(c => c == m.time || c == "time")
+              .filterNot(_.startsWith("__"))
+              .filterNot(groupTags.contains).sorted
+            val used = scala.collection.mutable.Set[String](explicit: _*)
+            val starCols = star.map { c =>
+              if (used.add(c)) fieldCol(c)
+              else {
+                var i = 1
+                while (!used.add(s"${c}_$i")) i += 1
+                fieldCol(c).as(s"${c}_$i")
+              }
+            }
+            explicit.map(f =>
+              if (df.columns.contains(f)) fieldCol(f)
+              else lit(null).cast("double").as(f)) ++ starCols
+          } else if (plain.isEmpty || hasStar)
             df.columns.filterNot(c => c == m.time || c == "time")
               .filterNot(_.startsWith("__"))
               .filterNot(groupTags.contains).sorted.map(fieldCol).toSeq
-          else plain.map(f =>
+          else plain.filterNot(groupTags.contains).map(f =>
             // schema-on-read: an unknown field projects as null (the
             // reference returns null columns — server_test.go's
             // `SELECT value, foo FROM cpu` case); the blank-row rule
             // below then drops rows where EVERY projected field is
             // null, so `SELECT foo FROM cpu` alone yields no series,
-            // also the reference's behavior
+            // also the reference's behavior. A projected GROUP tag
+            // rides the group column (it renders as a column too —
+            // alsoColumnTags), never projected twice.
             if (df.columns.contains(f)) fieldCol(f)
             else lit(null).cast("double").as(f))
         val sel = (Seq(unix_millis(col(mEff.time)).as("wstart_ms")) ++
-          (if (nsTime) Seq(col("time").as("__tns")) else Nil) ++
+          (if (nsTime) Seq(col("time").as("__tns"))
+           // a subquery source that carried its own ns axis keeps it —
+           // multi-sub appends order sub-ms rows correctly
+           // (Constant_Column exp puts the …001Z rows last)
+           else if (df.columns.contains("__tns")) Seq(col("__tns"))
+           else Nil) ++
           (if (df.columns.contains("__ord")) Seq(col("__ord")) else Nil) ++
+          (if (df.columns.contains("__sord")) Seq(col("__sord"))
+           else Nil) ++
           groupTags.map(col) ++
           exprs.map(p => evalExpr(p.e,
             c => sys.error("call in raw projection")).as(p.alias)) ++
@@ -4083,6 +4379,10 @@ object InfluxQL {
 
     // sort → slimit → limit (per-series when grouped; reference limit modes)
     out = out.withColumnRenamed("wstart_ms", "time")
+    // non-tag dimensions render as empty-string tags on every series
+    pseudoDims.filterNot(out.columns.contains).foreach { t =>
+      out = out.withColumn(t, lit(""))
+    }
     val timeOrd = if (q.orderDesc) col("time").desc else col("time").asc
     q.slimit.foreach { s =>
       out = SeriesOps.slimit(out, groupTags, s, q.soffset)
@@ -4104,7 +4404,20 @@ object InfluxQL {
           .filter(col("_rn") > q.offset && col("_rn") <= q.offset + l)
           .drop("_rn")
       case Some(l) =>
-        out = out.orderBy(timeOrd).offset(q.offset).limit(l)
+        // exact-time ties pick deterministically — the same
+        // (ns, value-name-ASC) keys the final emission sorts by
+        // (HintLimit "limit 1" picks the tv1 point, not an arbitrary
+        // same-ts row)
+        val tieTb = out.columns.toSeq
+          .filterNot(c => c == "time" || c.startsWith("__")).sorted
+          .map(c2 => (if (c2.contains(".")) col(s"`$c2`") else col(c2))
+            .asc_nulls_last)
+        val nsTb =
+          if (out.columns.contains("__tns"))
+            Seq(if (q.orderDesc) col("__tns").desc else col("__tns").asc)
+          else Nil
+        out = out.orderBy(((timeOrd +: nsTb) ++ tieTb): _*)
+          .offset(q.offset).limit(l)
       case None => ()
     }
     // `__ord` is a hidden in-bucket order hint (distinct first-seen
@@ -4127,11 +4440,23 @@ object InfluxQL {
     // (Sliding_Window::8 "select * from (… group by time,country)"
     // renders the ""-country block before "american"); a raw select
     // over a real measurement stays time-major (OrderByTime::2)
+    // …but only for a STAR outer: an explicit projection subset over
+    // the same grouped inner re-merges TIME-major (Subqueries::3
+    // "SELECT host FROM (… GROUP BY host)" exp t=0s before t=20s,
+    // vs ::5's star form emitting series blocks)
     val subSeriesTags: Seq[String] =
-      if (q.fromSub.exists(_.intervalNs.isDefined) && calls.isEmpty &&
-          exprCalls.isEmpty && analytics.isEmpty && groupTags.isEmpty)
+      if (q.fromSub.exists(s => s.intervalNs.isDefined ||
+            s.groupTags.nonEmpty) && calls.isEmpty &&
+          exprCalls.isEmpty && analytics.isEmpty && groupTags.isEmpty &&
+          q.projs.contains(PStar))
         mEff.tags.filter(out.columns.contains)
       else Nil
+    // a grouped-inner tag flattened into the outer's COLUMNS renders the
+    // reference's empty-string tag, not null (SubqueryForLogicalOptimize
+    // "outer filter#1" exp country "")
+    subSeriesTags.foreach { t =>
+      out = out.withColumn(t, coalesce(col(t), lit("")))
+    }
     // deterministic tie-break on exact-time ties: value columns in NAME
     // order, ASC nulls-last regardless of the time direction — the
     // reference's merged multi-series stream emits this order
@@ -4142,10 +4467,14 @@ object InfluxQL {
         groupTags.contains(c) || subSeriesTags.contains(c)).sorted
       .map(c => (if (c.contains(".")) col(s"`$c`") else col(c))
         .asc_nulls_last)
+    // inherited subquery/CTE emission rank: same-ns ties keep the
+    // inner's own order (CTE_Query exp), ahead of the value tie-break
+    val sordHint =
+      if (out.columns.contains("__sord")) Seq(col("__sord").asc) else Nil
     (if (joinOrdered)
        out.orderBy((groupTags.map(col) ++ ordHint): _*)
      else out.orderBy((((groupTags ++ subSeriesTags).map(col) :+
-       timeOrd) ++ nsHint ++ ordHint ++ tieHint): _*))
-      .drop("__ord")
+       timeOrd) ++ nsHint ++ ordHint ++ sordHint ++ tieHint): _*))
+      .drop("__ord", "__sord")
   }
 }

@@ -657,8 +657,17 @@ final class HttpGateway(spark: SparkSession,
     val sc = MeasurementDDL.parseCreate(text)
     val db = sc.db.getOrElse(fallbackDb)
     if (!databases.contains(db)) sys.error(s"database not found: $db")
-    if (mstSchemas.contains((db, sc.name)))
-      sys.error("measurement already exists")
+    if (mstSchemas.contains((db, sc.name))) {
+      // a bare re-CREATE is idempotent (MeasurementCommands "retry
+      // create measurement cpu" → success); one carrying options is a
+      // STATEMENT-level conflict (the WITH SHARDKEY retry exp carries
+      // the error inside the result object)
+      val bare = sc.tags.isEmpty && sc.fields.isEmpty &&
+        sc.shardKey.isEmpty && sc.indexes.isEmpty &&
+        sc.primaryKey.isEmpty && sc.sortKey.isEmpty
+      if (bare) return
+      throw new InfluxQL.StatementError("measurement already exists")
+    }
     mstSchemas = mstSchemas + ((db, sc.name) -> sc)
     if (!sliceOf(catalog, db).contains(sc.name)) {
       import org.apache.spark.sql.types._
@@ -2107,11 +2116,33 @@ final class HttpGateway(spark: SparkSession,
       val q = p.getOrElse("q",
         sys.error("missing required parameter \"q\""))
       val bound0 = p.get("params").map(bindParams(q, _)).getOrElse(q)
-      // optimizer-hint comments (`SELECT /*+ filter_null_column */ …`,
-      // `SHOW /*+ exact_statistic_query */ …`) are routing hints in the
-      // reference (parser.go hint grammar) — strip before any parsing,
-      // quote-aware (a literal containing "/*+" is content, not a hint)
-      val bound = InfluxQL.stripComments(bound0, plusOnly = true)
+      // plain comments strip here; optimizer-hint comments (`SELECT
+      // /*+ full_series */ …`) stay — the engine reads them off the
+      // statement text (Query.hints) and the lexer skips them for
+      // parsing. Quote-aware (a literal "/*" is content, not a comment).
+      val bound = {
+        val noPlain = new StringBuilder
+        var i = 0; var quote: Char = 0
+        while (i < bound0.length) {
+          val c = bound0.charAt(i)
+          if (quote != 0) {
+            noPlain.append(c)
+            if (c == '\\' && i + 1 < bound0.length) {
+              noPlain.append(bound0.charAt(i + 1)); i += 1
+            } else if (c == quote) quote = 0
+            i += 1
+          } else if (c == '\'' || c == '"') {
+            quote = c; noPlain.append(c); i += 1
+          } else if (c == '/' && i + 1 < bound0.length &&
+              bound0.charAt(i + 1) == '*' &&
+              !(i + 2 < bound0.length && bound0.charAt(i + 2) == '+')) {
+            val end = bound0.indexOf("*/", i + 2)
+            noPlain.append(' ')
+            i = if (end < 0) bound0.length else end + 2
+          } else { noPlain.append(c); i += 1 }
+        }
+        noPlain.toString
+      }
       // no epoch param → the reference's default RFC3339 rendering
       val epoch = p.getOrElse("epoch", "rfc3339")
       val statements = splitStatements(bound)
@@ -2585,8 +2616,13 @@ final class HttpGateway(spark: SparkSession,
           val nameCol =
             if (df.columns.contains("__series_name")) Some("__series_name")
             else None
+          // a group tag the statement explicitly projects (or a grouped
+          // field dimension under a star) renders as a COLUMN too
+          val alsoCols = InfluxQL.alsoColumnTags(cat, stmt)
+            .filter(df.columns.contains).toSet
           val valueCols = HttpGateway.shapedValueCols(
-            df.columns.toIndexedSeq.filterNot(nameCol.contains), tags)
+            df.columns.toIndexedSeq.filterNot(nameCol.contains),
+            tags.filterNot(alsoCols.contains))
           // non-chunked responses are bounded by http.max-row-limit
           // (config.go:37) — over-limit series are truncated and marked
           // partial; use chunked=true to stream past the limit
@@ -2614,7 +2650,10 @@ final class HttpGateway(spark: SparkSession,
                   org.apache.spark.sql.functions.col("time")))
             case _ => df0
           }
-        val valueCols = HttpGateway.shapedValueCols(df.columns.toIndexedSeq, tags)
+        val alsoCols = InfluxQL.alsoColumnTags(reqCat(), statements.head)
+          .filter(df.columns.contains).toSet
+        val valueCols = HttpGateway.shapedValueCols(
+          df.columns.toIndexedSeq, tags.filterNot(alsoCols.contains))
         val n = p.get("chunk_size").map(_.toInt).getOrElse(10000)
         // stream chunk documents as they come off toLocalIterator —
         // driver heap stays bounded by one partition + one chunk no

@@ -39,7 +39,10 @@ object LineProtocol {
     var inQuotes = false
     while (i < s.length) {
       val c = s.charAt(i)
-      if (c == '\\' && i + 1 < s.length && !inQuotes) {
+      if (c == '\\' && i + 1 < s.length) {
+        // escape pairs are opaque INSIDE quotes too — a `\"` inside a
+        // string field must not close the quote
+        // (Write_LineProtocol_String `value="disk\" mem\\\""`)
         cur.append(c).append(s.charAt(i + 1)); i += 2
       } else if (c == '"') {
         inQuotes = !inQuotes; cur.append(c); i += 1
@@ -99,7 +102,24 @@ object LineProtocol {
         if (i <= 0) return None
         val k = unescape(kv.substring(0, i)); val v = kv.substring(i + 1)
         if (v.length >= 2 && v.startsWith("\"") && v.endsWith("\""))
-          sf += k -> v.substring(1, v.length - 1).replace("\\\"", "\"")
+          // string-field escapes, left-to-right: `\\` → `\`, `\"` → `"`,
+          // any other `\X` stays BOTH chars (the reference parser's
+          // rule — Write_LineProtocol_String golden expectations:
+          // `disk\\ mem` reads back as `disk\ mem`, `disk\ mem` as-is)
+          sf += k -> {
+            val raw = v.substring(1, v.length - 1)
+            val b = new StringBuilder
+            var j = 0
+            while (j < raw.length) {
+              val c0 = raw.charAt(j)
+              if (c0 == '\\' && j + 1 < raw.length) {
+                val n0 = raw.charAt(j + 1)
+                if (n0 != '\\' && n0 != '"') b.append(c0)
+                b.append(n0); j += 2
+              } else { b.append(c0); j += 1 }
+            }
+            b.toString
+          }
         else if (v.endsWith("i")) intf += k -> v.dropRight(1).toLong
         // unsigned suffix (reference parser): stored as Long — values
         // above 2^63-1 are rejected like any other unparseable number

@@ -1505,9 +1505,16 @@ class ServerSpec extends SparkSpec {
         "v2 float64, v3 bool, v4 string) WITH ENGINETYPE = columnstore " +
         "SHARDKEY az,region PRIMARYKEY az,region,time"
       assert(gget("/query?q=" + enc(ddl)).statusCode() == 200)
-      // duplicate declaration rejected
+      // a bare re-CREATE is idempotent, one with options is a
+      // STATEMENT-level conflict (corpus MeasurementCommands::2/::3:
+      // retry create → success; WITH SHARDKEY retry → in-result error)
       assert(gget("/query?q=" + enc("CREATE MEASUREMENT mcpu"))
-        .statusCode() == 400)
+        .statusCode() == 200)
+      val dup = gget("/query?q=" +
+        enc("CREATE MEASUREMENT mcpu WITH SHARDKEY az"))
+      assert(dup.statusCode() == 200 &&
+        dup.body().contains("\"error\":\"measurement already exists\""),
+        dup.body())
       // the declared schema types the measurement BEFORE any write
       val fk0 = gget("/query?q=" + enc("SHOW FIELD KEYS FROM mcpu")).body()
       assert(fk0.contains("v1") && fk0.contains("bigint") &&

@@ -352,13 +352,9 @@ def write_bodies(block):
         yield block[wm.end():k - 1]
 
 
-def brace_block(body, open_re):
-    """Return the text between the braces opened by `open_re` (quote-
-    aware), or None when the pattern is absent."""
-    m = re.search(open_re, body)
-    if not m:
-        return None
-    i = m.end()
+def brace_inner_at(body, i):
+    """Text between the brace opened just before index `i` and its
+    match (quote-aware)."""
     depth, q, j = 1, None, i
     while j < len(body) and depth > 0:
         c = body[j]
@@ -378,9 +374,20 @@ def brace_block(body, open_re):
     return body[i:j - 1]
 
 
-def parse_writes(wblock, db, rp, fname, local_writes, drop):
+def brace_block(body, open_re):
+    """Return the text between the braces opened by `open_re` (quote-
+    aware), or None when the pattern is absent."""
+    m = re.search(open_re, body)
+    if not m:
+        return None
+    return brace_inner_at(body, m.end())
+
+
+def parse_writes(wblock, db, rp, fname, resolve_list, drop):
     """&Write{...} entries of one Writes{...} block -> [{db,rp,data}],
-    or None when any entry is statically unresolvable."""
+    or None when any entry is statically unresolvable. `resolve_list`
+    maps a local []string variable name to its (position-correct)
+    literal value, or None/("UNRESOLVABLE", …)."""
     writes = []
     for wbody in write_bodies(wblock):
         wf = parse_struct_fields(wbody)
@@ -394,8 +401,10 @@ def parse_writes(wblock, db, rp, fname, local_writes, drop):
             drop("write db/rp: " + str(e)[:40])
             return None
         dexpr = wf.get("data", "")
-        if re.match(r"strings\.Join\(writes,\s*\"\\n\"\)$", dexpr.strip()):
-            if fname in SYNTH_WRITES:
+        jm = re.match(r"strings\.Join\((\w+),\s*\"\\n\"\)$", dexpr.strip())
+        if jm:
+            local_writes = resolve_list(jm.group(1))
+            if fname in SYNTH_WRITES and jm.group(1) == "writes":
                 writes.append({"db": wdb, "rp": wrp,
                                "data": SYNTH_WRITES[fname]()})
             # loop-generated writes leave the literal list empty — that's
@@ -493,22 +502,36 @@ for fname, fline, body in find_funcs():
     db = db or "db0"
     rp = rp or "rp0"
 
-    # local writes := []string{ ... }
-    local_writes = None
-    lw = brace_block(body, r"writes\s*:?=\s*\[\]string\{")
-    if lw is not None:
+    # every local `<name> := []string{ ... }` with its position — a
+    # test may declare writes/writes1/writes2 and feed them through
+    # SEQUENTIAL `test.writes = Writes{…}` + writeTestData steps
+    # (Query_OutOfOrder writes three batches); each Join(<name>)
+    # resolves against the latest assignment before its block
+    str_lists = []
+    for m2 in re.finditer(r"(\w+)\s*:?=\s*\[\]string\{", body):
+        inner = brace_inner_at(body, m2.end())
         try:
-            local_writes = [eval_str(e) for e in split_args(lw)
-                            if e.strip()]
+            val = [eval_str(e) for e in split_args(inner) if e.strip()]
         except Unresolvable as e:
-            local_writes = ("UNRESOLVABLE", str(e))
+            val = ("UNRESOLVABLE", str(e))
+        str_lists.append((m2.start(), m2.group(1), val))
 
-    wblock = brace_block(body, r"test\.writes\s*=\s*Writes\{")
-    if wblock is None:
+    wblocks = [(m2.start(), brace_inner_at(body, m2.end()))
+               for m2 in re.finditer(r"test\.writes\s*=\s*Writes\{", body)]
+    if not wblocks:
         if not lm:
             drop("no test.writes")
         continue
-    writes = parse_writes(wblock, db, rp, fname, local_writes, drop)
+    writes = []
+    for wpos, wblock in wblocks:
+        def resolve_list(var, _pos=wpos):
+            cands = [v for (p, n, v) in str_lists if n == var and p < _pos]
+            return cands[-1] if cands else None
+        ws = parse_writes(wblock, db, rp, fname, resolve_list, drop)
+        if ws is None:
+            writes = None
+            break
+        writes.extend(ws)
     if writes is None or not writes:
         if writes is not None:
             drop("no writes parsed")
@@ -557,7 +580,7 @@ for sm in re.finditer(r'tests\["([^"]+)"\] = Test\{', suite_src):
     writes = []
     wblock = brace_block(body, r"writes:\s*Writes\{")
     if wblock is not None:
-        writes = parse_writes(wblock, db, rp, fname, None, drop)
+        writes = parse_writes(wblock, db, rp, fname, lambda _v: None, drop)
         if writes is None:
             continue
     queries = parse_queries(body, drop)
