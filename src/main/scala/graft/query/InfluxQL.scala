@@ -462,9 +462,32 @@ object InfluxQL {
             case t => sys.error(s"expected CTE name, got $t")
           }
           expectIdent("as"); expect("(")
-          val sub = parseQuery()
-          // a CTE body may itself be a UNION chain
-          val subArms = parseUnionArms()
+          // a CTE body may be a GRAPH statement (sql.y:702
+          // GRAPH_STATEMENT; Push_Down_Rule_Incondition
+          // `WITH t1 AS (GRAPH 3 'ELB')`) — encoded as a sentinel
+          // source the executor resolves to the topology sub-graph
+          val (sub, subArms) =
+            if (isKw("graph")) {
+              next()
+              val hop = next() match {
+                case TNum(v, _, _) => v.toInt
+                case t => sys.error(s"expected hop count, got $t")
+              }
+              val start = next() match {
+                case TStr(s2) => s2
+                case t => sys.error(s"expected start node, got $t")
+              }
+              if (isKw("node") || isKw("edge"))
+                sys.error("GRAPH node/edge conditions are not supported " +
+                  "in a CTE")
+              (Query(Seq(PStar), s"\u0000graph\u0000$hop\u0000$start",
+                None, Nil, None, FillNone, orderDesc = false, None, 0,
+                None), Seq.empty[UnionArm])
+            } else {
+              val s0 = parseQuery()
+              // a CTE body may itself be a UNION chain
+              (s0, parseUnionArms())
+            }
           expect(")")
           ctes :+= ((name, sub, subArms))
           if (peek == TPunct(",")) next() else more = false
@@ -864,7 +887,11 @@ object InfluxQL {
                 case _ =>
                   exprIdx += 1
                   // auto-name from the call chain: `sum(a)+sum(b)` →
-                  // "sum_sum" (SubqueryForLogicalOptimize exp columns)
+                  // "sum_sum" (SubqueryForLogicalOptimize exp columns).
+                  // A call-free expr names by its FIELD refs —
+                  // `100 - usage_system` → "usage_system" (ast.go
+                  // BinaryExpr default naming; Subqueries::16 outer
+                  // min(usage_system) resolves onto it)
                   def fns(x: Expr): Seq[String] = x match {
                     case ECall(c2) => Seq(c2.fn)
                     case EBin(_, l2, r2) => fns(l2) ++ fns(r2)
@@ -875,8 +902,17 @@ object InfluxQL {
                     case ECast(x2, _) => fns(x2)
                     case _ => Nil
                   }
+                  def fieldRefs(x: Expr): Seq[String] = x match {
+                    case EField(f2) => Seq(f2)
+                    case EBin(_, l2, r2) => fieldRefs(l2) ++ fieldRefs(r2)
+                    case ECast(x2, _) => fieldRefs(x2)
+                    case _ => Nil
+                  }
                   val auto = fns(e) match {
-                    case Nil => s"expr_$exprIdx"
+                    case Nil => fieldRefs(e) match {
+                      case Nil => s"expr_$exprIdx"
+                      case fs2 => fs2.mkString("_")
+                    }
                     case cs => cs.mkString("_")
                   }
                   PExpr(e, alias.getOrElse(auto))
@@ -1657,7 +1693,16 @@ object InfluxQL {
         refs.forall(cat.contains)
       }
       ready.foreach { case (name, sub, subArms) =>
-        val base0 = compileQuery(cat, sub)
+        val base0 =
+          if (sub.from.startsWith(" graph ")) {
+            // GRAPH CTE: the topology sub-graph frame
+            val parts = sub.from.split(' ')
+            val spark = (cat.values ++ catalog.values).headOption
+              .map(_.df.sparkSession)
+              .getOrElse(org.apache.spark.sql.SparkSession.active)
+            graft.operators.GraphTopology.frame(spark, parts(3),
+              parts(2).toInt)
+          } else compileQuery(cat, sub)
         val body =
           if (subArms.isEmpty) base0
           else unionFold(base0, sub, cat,
@@ -2625,10 +2670,23 @@ object InfluxQL {
         // GROUP BY tags (they render as the series tag —
         // server_test.go:14029 grouped star has no table1.tk)
         val allOn = joinClauses.flatMap(_.onTags).toSet
-        def sideCols(cols: Seq[String], time: String): Seq[String] =
+        // which of a side's tags render as SERIES TAGS (not qualified
+        // columns): a measurement side's grouped ON keys (Cascading
+        // grouped star has no table1.tk) and a GROUPED subquery side's
+        // own group tags (Join_Table_With_Empty_Tag exp has no
+        // m1.t1/m1.t2); an UNGROUPED raw subquery side keeps every tag
+        // as a qualified column (fullJoin_SubQuery exp m1.bgpType …)
+        def sideCols(cols: Seq[String], time: String,
+                     sideSub: Option[Query] = None): Seq[String] = {
+          val tagOnly: Set[String] = sideSub match {
+            case Some(s0) =>
+              resolveTags(catalog, s0).toSet
+                .intersect(q.groupTags.toSet)
+            case None => allOn.filter(q.groupTags.contains)
+          }
           cols.filterNot(c => c == time || c == "time" ||
-            c.startsWith("__") ||
-            (allOn.contains(c) && q.groupTags.contains(c)))
+            c.startsWith("__") || tagOnly.contains(c))
+        }
         val lDotted0 = q.fromAlias.orElse(q.fromBare).getOrElse(q.from)
         var acc: Measurement = m
         var accName = lDotted0
@@ -2699,7 +2757,11 @@ object InfluxQL {
               if (qual == lDotted0 &&
                   ldf.columns.contains(s"__lk_$t")) s"__lk_$t"
               else t
-            col(lcol) === col(rkOf(t))
+            // a missing tag IS the empty-string series: two sides with
+            // the tag absent join each other
+            // (Join_Table_With_Empty_Tag exp pairs the ""-t1 rows)
+            coalesce(col(lcol).cast("string"), lit("")) ===
+              coalesce(col(rkOf(t)).cast("string"), lit(""))
           }.reduce(_ && _)
           var joined = ldf.join(rdf1, cond, j.joinType)
           // time axes may be TIMESTAMP (measurements) or epoch-ms LONG
@@ -2722,6 +2784,23 @@ object InfluxQL {
             .withColumn("__jts0",
               if (j.joinType == "right_outer") coalesce(rTs, lTs)
               else coalesce(lTs, rTs))
+          // the exact ns axis follows the unified time: a side-only row
+          // falls back to the other side's ns (or the unified axis) so
+          // the rendered time never nulls out
+          // (Join_Table_With_Empty_Tag right-join exp keeps the time)
+          if (joined.columns.contains("__tns")) {
+            val rtns =
+              if (joined.columns.contains(s"__tns_$suffix"))
+                Seq(col(s"__tns_$suffix"))
+              else Nil
+            val pick =
+              if (j.joinType == "right_outer") rtns :+ col("__tns")
+              else col("__tns") +: rtns
+            joined = joined.withColumn("__tns",
+                coalesce((pick :+
+                  unix_micros(col("__jts0")) * 1000L): _*))
+              .drop(s"__tns_$suffix")
+          }
           // preserve the left's own key value for qualified projection
           // BEFORE merging (unmatched-left rows render it null)
           j.onTags.foreach { t =>
@@ -2762,7 +2841,8 @@ object InfluxQL {
             }
           }
           if (first) {
-            sideCols(m.df.columns.toSeq, m.time).foreach { f =>
+            sideCols(m.df.columns.toSeq, m.time,
+                sideSub = q.fromSub).foreach { f =>
               val src =
                 if (j.onTags.contains(f)) s"__lk_$f" else f
               if (joined.columns.contains(src)) {
@@ -2772,7 +2852,8 @@ object InfluxQL {
             }
             first = false
           }
-          sideCols(r.df.columns.toSeq, r.time).foreach { f =>
+          sideCols(r.df.columns.toSeq, r.time,
+              sideSub = j.rightSub).foreach { f =>
             // ON keys project from the right's OWN column (null on
             // unmatched rows); collisions from their suffixed rename
             val actual =
@@ -2800,6 +2881,16 @@ object InfluxQL {
               zero.foreach(z => joined = joined.withColumn(fq,
                 coalesce(col(s"`$fq`"), z)))
             }
+          }
+          // non-ON tags BOTH sides share feed the series key from
+          // whichever side has the row (right-only rows take the
+          // right's — empty-tag exp tags {"t1":"d","t2":"e"}). This
+          // runs AFTER the qualified side projections so `<side>.<t>`
+          // keeps each side's own value.
+          collisions.filter(c2 => acc.tags.contains(c2) &&
+              r.tags.contains(c2)).foreach { t =>
+            joined = joined.withColumn(t,
+              coalesce(col(t), col(s"${t}_$suffix")))
           }
           acc = Measurement(joined, (acc.tags ++ r.tags).distinct, "__jts")
           accName = s"$accName,$rDotted"
@@ -3465,6 +3556,14 @@ object InfluxQL {
     }
     val exprCalls = exprs.flatMap(p => callsIn(p.e))
 
+    // top/bottom are pure selectors: nesting one under an analytic is
+    // the reference's compile error (TopBottomInt
+    // "holt_winters(TOP(value,2),…)" exp)
+    analytics.find(a => a.inner.fn == "top" || a.inner.fn == "bottom")
+      .foreach(a => throw new StatementError(
+        s"selector function ${a.inner.fn}() cannot be combined with " +
+          "other functions"))
+
     def applyAnalytic(b0: DataFrame, a: PAnalytic, src: String,
                       time: String): DataFrame = a.fn match {
       // a.n on the derivative family is a duration unit in ns
@@ -3515,7 +3614,8 @@ object InfluxQL {
             // the reference's Nelder-Mead fit)
             graft.operators.Smoothing.holtWintersFit(b0, src, time,
               groupTags, h = n, m = a.n2.getOrElse(0.0).toInt,
-              withFit = fn == "holt_winters_with_fit")
+              withFit = fn == "holt_winters_with_fit",
+              intervalUs = q.intervalNs.map(_ / 1000L).getOrElse(0L))
           case "exponential_moving_average" =>
             graft.operators.Smoothing.ema(b0, src, time, groupTags, n)
           case "double_exponential_moving_average" =>
@@ -3700,10 +3800,15 @@ object InfluxQL {
             // value (server_test.go Null_Aggregate DIFFERENCE(*): age
             // diffs start at :01 even where height is null).
             val partsRaw = analytics.map { a =>
-              val src =
-                if (df.columns.contains(a.inner.field))
-                  df.filter(fieldCol(a.inner.field).isNotNull)
-                else df
+              // schema-on-read: an analytic over an unknown field has no
+              // points — an EMPTY part, so the multi-part merge renders
+              // its column null on every row (For_BugList exp
+              // f1..f8 null next to ax=1.5)
+              val withF =
+                if (df.columns.contains(a.inner.field)) df
+                else df.withColumn(a.inner.field,
+                  lit(null).cast("double"))
+              val src = withF.filter(fieldCol(a.inner.field).isNotNull)
               var b = src.withColumn("wstart_ms", unix_millis(col(m.time)))
               if (nsTime) b = b.withColumn("__tns", col("time"))
               // the merged multi-series stream emits ONE point per exact
@@ -3745,7 +3850,15 @@ object InfluxQL {
             }
             val joinKeys = ("wstart_ms" +:
               (if (haveTns) Seq("__tns") else Nil)) ++ groupTags
-            parts.reduce((x, y) => x.join(y, joinKeys, "full_outer"))
+            val merged0 =
+              parts.reduce((x, y) => x.join(y, joinKeys, "full_outer"))
+            // an aggregate call mixed into an analytic projection whose
+            // field doesn't exist contributes a null column (For_BugList
+            // `INTEGRAL(field2) as f9` over a field2-less measurement)
+            calls.filterNot(c2 => df.columns.contains(c2.field))
+              .foldLeft(merged0)((d0, c2) =>
+                d0.withColumn(aliasNames(Seq(c2)).head,
+                  lit(null).cast("double")))
         }
       } else if (calls.exists(c => c.fn == "top" || c.fn == "bottom")) {
         // top/bottom selectors: n extreme rows per series, keeping time
@@ -3757,6 +3870,11 @@ object InfluxQL {
           "top/bottom cannot combine with other calls")
         val c = calls.head
         val n = c.extra.getOrElse(1.0).toInt
+        // the selector's n may not exceed the statement LIMIT
+        // (TopBottomInt "TOP(value, 3) … limit 2" exp error, verbatim)
+        q.limit.filter(_ < n).foreach(l => throw new StatementError(
+          s"limit ($n) in ${c.fn} function can not be larger than the " +
+            s"LIMIT ($l) in the select statement"))
         // GROUP BY time(d): the selector runs per BUCKET — partition the
         // bounded heap on (bucket, tags); the emitted time stays the
         // picked row's own (server_test.go:4358 "top(v1, 3) group by
@@ -4368,7 +4486,11 @@ object InfluxQL {
         val out0 =
           if (conds.isEmpty && constCols.nonEmpty)
             projected.filter(lit(false))
-          else if (conds.isEmpty) projected
+          // the blank-row rule applies at the MEASUREMENT scan only: a
+          // subquery's rows already exist — `SELECT sum FROM (SELECT
+          // f1+f2+f3 AS sum …)` keeps the null-sum rows
+          // (SubqueryMath exp [null, null, 14])
+          else if (conds.isEmpty || q.fromSub.isDefined) projected
           // isNotNull-OR, not coalesce: coalesce unifies the field
           // types, and a mixed STRING/DOUBLE projection (msg, code)
           // would force an ANSI string→double cast that throws on
@@ -4388,6 +4510,16 @@ object InfluxQL {
       out = SeriesOps.slimit(out, groupTags, s, q.soffset)
     }
     q.limit match {
+      case Some(l) if groupTags.nonEmpty && q.intervalNs.isEmpty &&
+          calls.exists(c2 => c2.fn == "top" || c2.fn == "bottom") =>
+        // top/bottom switch the limit to MultipleRows (schema.go:1265):
+        // LIMIT/OFFSET count whole per-series SELECTOR SETS, series-major
+        // (Complex_Aggregate "top(v1,3) group by * limit 3 offset 1"
+        // exp skips the first series' set and keeps the next)
+        val w = Window.orderBy(groupTags.map(t2 => col(t2).asc): _*)
+        out = out.withColumn("_gr", dense_rank().over(w))
+          .filter(col("_gr") > q.offset && col("_gr") <= q.offset + l)
+          .drop("_gr")
       case Some(l) if groupTags.nonEmpty =>
         // the reference's LIMIT is ALWAYS IgnoreTag — global over the
         // series-major row stream, not per series

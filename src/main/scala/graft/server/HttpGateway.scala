@@ -105,6 +105,11 @@ final class HttpGateway(spark: SparkSession,
     * prom API carries no database axis in this gateway). */
   val defaultDb = "graft"
   @volatile private var databases: Set[String] = Set(defaultDb)
+  /** Whether the implicit default database is REAL to a user: it lists
+    * in SHOW DATABASES once it holds data (constructor catalog, a
+    * write, a measurement) or was CREATEd explicitly. */
+  @volatile private var defaultDbTouched: Boolean =
+    init.nonEmpty || prom.nonEmpty
   // GRANT/REVOKE validate names against this catalog (data.go:2919)
   auth.databaseExists = db => databases.contains(db)
   /** Per-database retention policies (`meta/retentionpolicy.go:33`);
@@ -657,6 +662,7 @@ final class HttpGateway(spark: SparkSession,
     val sc = MeasurementDDL.parseCreate(text)
     val db = sc.db.getOrElse(fallbackDb)
     if (!databases.contains(db)) sys.error(s"database not found: $db")
+    if (db == defaultDb) defaultDbTouched = true
     if (mstSchemas.contains((db, sc.name))) {
       // a bare re-CREATE is idempotent (MeasurementCommands "retry
       // create measurement cpu" → success); one carrying options is a
@@ -876,10 +882,19 @@ final class HttpGateway(spark: SparkSession,
       base.get(k).orElse(resolve(k))
     override def iterator: Iterator[(String, InfluxQL.Measurement)] =
       base.iterator
+    // mutation keeps the VIEW: a CTE registered mid-statement must not
+    // strip qualified `db.rp.m` resolution from the catalog
+    // (Push_Down_Rule_Incondition `WITH t1 AS (GRAPH …) … FROM
+    // db0.rp0.alarm_table`)
     override def removed(k: String): Map[String, InfluxQL.Measurement] =
-      base - k
+      new CatalogView(base - k, resolve)
     override def updated[V1 >: InfluxQL.Measurement](
-        k: String, v: V1): Map[String, V1] = base.updated(k, v)
+        k: String, v: V1): Map[String, V1] = v match {
+      case m: InfluxQL.Measurement =>
+        new CatalogView(base.updated(k, m), resolve)
+          .asInstanceOf[Map[String, V1]]
+      case _ => base.updated(k, v)
+    }
     override def size: Int = base.size
   }
 
@@ -1103,6 +1118,7 @@ final class HttpGateway(spark: SparkSession,
       db -> rps
     }
     databases = parsed.map(_._1).toSet + defaultDb
+    if (parsed.exists(_._1 == defaultDb)) defaultDbTouched = true
     retention = parsed.toMap
       .updated(defaultDb, parsed.toMap.getOrElse(defaultDb,
         Retention.autogen))
@@ -2004,8 +2020,9 @@ final class HttpGateway(spark: SparkSession,
     val schema = StructType(cols.map {
       case c @ ("admin" | "rwuser" | "default") =>
         StructField(c, BooleanType)
-      case c @ ("qid" | "replicaN" | "SHARD_GROUP" | "id" | "shard_group" |
-                "downSample_level") => StructField(c, LongType)
+      case c @ ("qid" | "replicaN" | "ReplicaN" | "SHARD_GROUP" | "id" |
+                "shard_group" | "downSample_level") =>
+        StructField(c, LongType)
       case c @ ("destinations" | "SHARD_KEY" | "PRIMARY_KEY" | "SORT_KEY" |
                 "PROPERTY_KEY" | "PROPERTY_VALUE") =>
         StructField(c, ArrayType(StringType))
@@ -2214,9 +2231,22 @@ final class HttpGateway(spark: SparkSession,
           }
         } else if (stmt.trim.toLowerCase.startsWith("show databases")) {
           // the gateway's real database set (the library's constant is
-          // its single-db standalone answer)
-          ResultShaper.toResultObj(
-            gatewayRowsDf(Seq("name"), databases.toSeq.sorted.map(Seq(_))),
+          // its single-db standalone answer). The implicit default
+          // database lists only once it holds anything or was created
+          // explicitly — a fresh server shows none (DefaultDBAndRP exp
+          // lists db0 alone).
+          val listed = databases.toSeq.sorted
+            .filter(db => db != defaultDb || defaultDbTouched)
+          if (stmt.trim.toLowerCase.contains("detail"))
+            // SHOW DATABASES DETAIL: ReplicaN + tag-attribute columns
+            // (statement_executor.go executeShowDatabasesDetail)
+            ResultShaper.toResultObj(
+              gatewayRowsDf(Seq("name", "ReplicaN", "Tag Attribute"),
+                listed.map(db => Seq[Any](db, 1L, "default"))),
+              "databases", Nil, Seq("name", "ReplicaN", "Tag Attribute"),
+              epoch, id)
+          else ResultShaper.toResultObj(
+            gatewayRowsDf(Seq("name"), listed.map(Seq(_))),
             "databases", Nil, Seq("name"), epoch, id)
         } else if (stmt.trim.toLowerCase.matches("(?s)(create|drop)\\s+database\\b.*")) {
           // real database DDL (meta/database.go CreateDatabase/DropDatabase)
@@ -2229,6 +2259,7 @@ final class HttpGateway(spark: SparkSession,
           synchronized {
             if (stmt.trim.toLowerCase.startsWith("create")) {
               databases = databases + name
+              if (name == defaultDb) defaultDbTouched = true
               // WITH … NAME <rp> names the born-default retention
               // policy (parser.go parseCreateDatabaseStatement —
               // `CREATE DATABASE db4 WITH SHARD DURATION 12h … NAME
@@ -2769,6 +2800,7 @@ final class HttpGateway(spark: SparkSession,
                            pts: Seq[LineProtocol.Point],
                            mergeSameTime: Boolean = true,
                            noMergeMsts: Set[String] = Set.empty): Unit = {
+    if (wdb == defaultDb) defaultDbTouched = true
     if (pts.isEmpty) sys.error("no points parsed")
     // fence registration rides the write path (fence.go:37
     // RewriteRows): rows in the `fence` measurement with an `id` tag
@@ -4163,11 +4195,14 @@ object HttpGateway {
                                   tagKeys: Seq[String])
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
-    // prev is already one-row-per-point; any fresh row outranks it
+    // prev is already one-row-per-point; any fresh row outranks it —
+    // and REPLACES the point wholly (a field absent from the newest
+    // write reads null afterwards: NilColumn re-writes (china,ada)
+    // without address and count_address drops to 1)
     val all = prev.withColumn("__ds_seq", lit(0L)).unionByName(
       fresh.withColumn("__ds_seq", monotonically_increasing_id() + 1),
       allowMissingColumns = true)
-    dedupPoints(all, tagKeys)
+    dedupPoints(all, tagKeys, fieldUnion = false)
   }
 
   /** Read-time point dedup for restart-restored frames: batches persist
@@ -4185,7 +4220,8 @@ object HttpGateway {
         df.withColumn("__ds_seq", coalesce(col("__wseq"), lit(0L)))
           .drop("__wseq")
       else df.withColumn("__ds_seq", lit(0L))
-    dedupPoints(seqd, tagKeys.filter(df.columns.contains))
+    dedupPoints(seqd, tagKeys.filter(df.columns.contains),
+      fieldUnion = false)
   }
 
   /** [[mergePoints]] for a single batch (line order = write order). */
@@ -4194,11 +4230,17 @@ object HttpGateway {
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
     dedupPoints(tbl.withColumn("__ds_seq", monotonically_increasing_id()),
-      tagKeys)
+      tagKeys, fieldUnion = true)
   }
 
+  /** `fieldUnion = true` merges same-point rows field-wise (lines of
+    * ONE batch union their fields, newest line winning per field);
+    * `false` is the cross-batch rule — the newest ROW replaces the
+    * point wholly, absent fields read null (the reference's read-time
+    * dedup takes the newest row, `tsreader/iterator.go`). */
   private def dedupPoints(all: org.apache.spark.sql.DataFrame,
-                          tagKeys: Seq[String])
+                          tagKeys: Seq[String],
+                          fieldUnion: Boolean)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
     // field/tag names may contain dots (`foo.bar.baz` — LP escaped
@@ -4210,7 +4252,9 @@ object HttpGateway {
     if (fields.isEmpty)
       return all.dropDuplicates(keys).drop("__ds_seq")
     val aggs = fields.map(f =>
-      max_by(qc(f), when(qc(f).isNotNull, col("__ds_seq"))).as(f))
+      if (fieldUnion)
+        max_by(qc(f), when(qc(f).isNotNull, col("__ds_seq"))).as(f)
+      else max_by(qc(f), col("__ds_seq")).as(f))
     val merged = all.groupBy(keys.map(qc): _*)
       .agg(aggs.head, aggs.tail: _*)
       .withColumn("ts", timestamp_micros(expr("time div 1000")))

@@ -193,11 +193,14 @@ object ResultShaper {
             tagCols.map(t => rows.head.getAs[Any](t)) == key) {
           chunk += rows.next(); n += 1
         }
-        // partial iff the SAME series continues in the next chunk
+        // series-level partial iff the SAME series continues in the
+        // next chunk; RESULT-level partial iff ANY chunk follows
+        // (response_writer.go emits both markers —
+        // Query_By_Chunked golden docs)
         val partial = rows.hasNext &&
           tagCols.map(t => rows.head.getAs[Any](t)) == key
         seriesDoc(name, tagCols, key, valueCols, chunk.result(),
-          epoch, partial, timeNs)
+          epoch, partial, timeNs, resultPartial = rows.hasNext)
       }
     }
   }
@@ -223,15 +226,17 @@ object ResultShaper {
                         tagVals: Seq[Any], valueCols: Seq[String],
                         rs: Seq[Row], epoch: String,
                         partial: Boolean,
-                        timeNs: Boolean = false): String = {
+                        timeNs: Boolean = false,
+                        resultPartial: Boolean = false): String = {
     val columns = valueCols.map(c => jsonScalar(c)).mkString("[", ",", "]")
     val values = rs.map(r => valueCols
       .map(c => if (timeNs && c == "time") jsonNsTime(r.getAs[Any](c), epoch)
                 else jsonScalar(r.getAs[Any](c), epoch))
       .mkString("[", ",", "]")).mkString("[", ",", "]")
     val p = if (partial) ""","partial":true""" else ""
+    val rp = if (resultPartial) ""","partial":true""" else ""
     s"""{"results":[{"statement_id":0,"series":[{"name":${
-      jsonScalar(name)}${tagsField(tagCols, tagVals)},"columns":$columns,"values":$values$p}]}]}"""
+      jsonScalar(name)}${tagsField(tagCols, tagVals)},"columns":$columns,"values":$values$p}]$rp}]}"""
   }
 
   /** Shape a result into the per-series InfluxQL JSON: one series per

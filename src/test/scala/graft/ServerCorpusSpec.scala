@@ -114,7 +114,11 @@ class ServerCorpusSpec extends SparkSpec {
   private def ask(g: HttpGateway, q: String,
                   params: Map[String, String] = Map.empty)
       : HttpResponse[String] = {
-    val ps = (params + ("q" -> q) + ("chunked" -> "false")).toSeq.sorted
+    // a test's own chunked/chunk_size params pass through (the
+    // Query_By_Chunked corpus compares the newline-joined chunk docs);
+    // everything else replays non-chunked
+    val ps = (Map("chunked" -> "false") ++ params + ("q" -> q))
+      .toSeq.sorted
       .map { case (k, v) => s"$k=${enc(v)}" }.mkString("&")
     http.send(HttpRequest.newBuilder(
         URI.create(s"http://127.0.0.1:${g.boundPort}/query?$ps"))
@@ -178,8 +182,12 @@ class ServerCorpusSpec extends SparkSpec {
       f.queries.zipWithIndex.foreach { case (q, idx) =>
         if (f.initAt > 0 && idx == f.initAt) doInit()
         val key = s"${f.func}::$idx"
-        val act = ask(g, q.command, q.params).body()
-        if (act == q.exp || numTolerantEq(act, q.exp)) {
+        val act0 = ask(g, q.command, q.params).body()
+        // chunked responses are newline-joined documents; a trailing
+        // newline is a transport detail, not part of the contract
+        val act = act0.stripSuffix("\n")
+        val exp = q.exp.stripSuffix("\n")
+        if (act == exp || numTolerantEq(act, exp)) {
           // the exclusion list shrinks MONOTONICALLY: a pinned case
           // that starts passing must be un-pinned, so known divergences
           // stay distinguishable from later regressions

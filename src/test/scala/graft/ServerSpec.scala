@@ -1515,10 +1515,12 @@ class ServerSpec extends SparkSpec {
       assert(dup.statusCode() == 200 &&
         dup.body().contains("\"error\":\"measurement already exists\""),
         dup.body())
-      // the declared schema types the measurement BEFORE any write
+      // the declared schema types the measurement BEFORE any write —
+      // field types render as the reference's influx names
+      // (integer/float, server_test.go SHOW FIELD KEYS goldens)
       val fk0 = gget("/query?q=" + enc("SHOW FIELD KEYS FROM mcpu")).body()
-      assert(fk0.contains("v1") && fk0.contains("bigint") &&
-        fk0.contains("v2") && fk0.contains("double"), fk0)
+      assert(fk0.contains("v1") && fk0.contains("integer") &&
+        fk0.contains("v2") && fk0.contains("float"), fk0)
       assert(gget("/query?q=" + enc("SHOW MEASUREMENTS")).body()
         .contains("mcpu"))
       // introspection shapes (statement_executor.go:1366-1432)
