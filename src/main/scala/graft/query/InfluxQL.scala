@@ -2691,6 +2691,10 @@ object InfluxQL {
         var acc: Measurement = m
         var accName = lDotted0
         var first = true
+        // right-only sentinel depth: a row join N could not match sorts
+        // after every earlier join's rows AND their leftovers
+        // (Cascading outer-chain exp order)
+        var ordLvl = 2
         joinClauses.foreach { j =>
           val r = j.rightSub match {
             case Some(sub0) =>
@@ -2736,10 +2740,12 @@ object InfluxQL {
               tags.filter(d.columns.contains)
                 .map(c0 => coalesce(col(c0), lit("")))): _*)
           }
-          val ldf =
+          val ldf0 =
             if (acc.df.columns.contains("__ord")) acc.df
             else acc.df.withColumn("__ord",
               sideKey(acc.df, acc.time, acc.tags))
+          // left-presence marker: null exactly on right-only rows
+          val ldf = ldf0.withColumn("__lp", lit(true))
           val rdf0 = collisions.foldLeft(
             r.df.withColumn("__rord", sideKey(r.df, r.time, r.tags))
               .withColumnRenamed(r.time, "__rts"))((d, c) =>
@@ -2819,7 +2825,12 @@ object InfluxQL {
               if (chained)
                 concat(coalesce(col("__rord"), lit("\uffff")),
                   coalesce(col("__ord"), lit("\uffff")))
-              else concat(coalesce(col("__ord"), lit("\uffff")),
+              // a row the CHAIN's new join couldn't match sorts after
+              // every earlier join's rows, including the earlier joins'
+              // own right-only leftovers (double sentinel \u2014 Cascading
+              // outer-chain exp emits table2's leftover before
+              // table3's)
+              else concat(coalesce(col("__ord"), lit("\uffff" * ordLvl)),
                 coalesce(col("__rord"), lit(""))))
             .drop("__rord")
           // unified ns axis when both sides carry the LP epoch-ns column
@@ -2882,16 +2893,20 @@ object InfluxQL {
                 coalesce(col(s"`$fq`"), z)))
             }
           }
-          // non-ON tags BOTH sides share feed the series key from
-          // whichever side has the row (right-only rows take the
-          // right's — empty-tag exp tags {"t1":"d","t2":"e"}). This
-          // runs AFTER the qualified side projections so `<side>.<t>`
-          // keeps each side's own value.
+          // non-ON tags BOTH sides share feed the series key from the
+          // LEFT while the left row exists (a matched row with the tag
+          // absent keys ""), and from the right only on right-only rows
+          // (empty-tag exp {"t1":"a","t2":""} matched vs
+          // {"t1":"d","t2":"e"} right-only). Runs AFTER the qualified
+          // side projections so `<side>.<t>` keeps each side's value.
           collisions.filter(c2 => acc.tags.contains(c2) &&
               r.tags.contains(c2)).foreach { t =>
             joined = joined.withColumn(t,
-              coalesce(col(t), col(s"${t}_$suffix")))
+              when(col("__lp").isNotNull, col(t))
+                .otherwise(col(s"${t}_$suffix")))
           }
+          joined = joined.drop("__lp")
+          ordLvl += 1
           acc = Measurement(joined, (acc.tags ++ r.tags).distinct, "__jts")
           accName = s"$accName,$rDotted"
         }
@@ -4374,12 +4389,21 @@ object InfluxQL {
             val base = df.columns.filterNot(c => c == m.time || c == "time")
               .filterNot(_.startsWith("__"))
               .filterNot(groupTags.contains).sorted
-            val wanted = base.filter { c =>
-              val isTag = mEff.tags.contains(c)
-              (q.projs.contains(PStarTag) && isTag) ||
-                (q.projs.contains(PStarField) && !isTag)
+            // projection order is the statement's: `f1, *::tag` renders
+            // f1 FIRST, then the class expansion
+            // (HintQuery_FilterNullColumn exp [time, f1, tk1])
+            val emitted = scala.collection.mutable.LinkedHashSet[String]()
+            q.projs.foreach {
+              case PField(f) if f != "time" => emitted += f
+              case PStarTag =>
+                base.filter(mEff.tags.contains).foreach(emitted += _)
+              case PStarField =>
+                base.filterNot(mEff.tags.contains).foreach(emitted += _)
+              case _ => ()
             }
-            (wanted ++ plain.filterNot(wanted.contains)).map(fieldCol).toSeq
+            emitted.toSeq.map(f =>
+              if (df.columns.contains(f)) fieldCol(f)
+              else lit(null).cast("double").as(f))
           } else if (plain.isEmpty && exprs.nonEmpty && !hasStar)
             Seq.empty
           else if (hasStar && joinStarFields.nonEmpty)
@@ -4477,9 +4501,15 @@ object InfluxQL {
           if (exprKeeps.isEmpty) sel
           else sel :+ exprKeeps.reduce(_ || _).as("__keep")
         val projected = df.select(selK: _*)
+        // /*+ filter_null_column */: blankness judges the projected
+        // FIELDS only — a row whose fields are all null drops even when
+        // its tags are present (HintQuery_FilterNullColumn exp keeps
+        // the two f1 rows only)
+        val nullColHint = q.hints.contains("filter_null_column")
         val blankable = projected.columns
           .filterNot(c => c == "wstart_ms" || c.startsWith("__") ||
-            groupTags.contains(c) || exprAliases.contains(c))
+            groupTags.contains(c) || exprAliases.contains(c) ||
+            (nullColHint && mEff.tags.contains(c)))
         val conds = blankable.toIndexedSeq
           .map(c => fieldCol(c).isNotNull) ++
           (if (exprKeeps.nonEmpty) Seq(col("__keep")) else Nil)

@@ -2245,21 +2245,61 @@ final class HttpGateway(spark: SparkSession,
                 listed.map(db => Seq[Any](db, 1L, "default"))),
               "databases", Nil, Seq("name", "ReplicaN", "Tag Attribute"),
               epoch, id)
+          else if (listed.isEmpty)
+            // zero databases still render the column-only series
+            // (DatabaseCommands "show database should have no results")
+            s"""{"statement_id":$id,"series":[{"name":"databases","columns":["name"]}]}"""
           else ResultShaper.toResultObj(
             gatewayRowsDf(Seq("name"), listed.map(Seq(_))),
             "databases", Nil, Seq("name"), epoch, id)
         } else if (stmt.trim.toLowerCase.matches("(?s)(create|drop)\\s+database\\b.*")) {
           // real database DDL (meta/database.go CreateDatabase/DropDatabase)
           val toks = InfluxQL.lex(stmt)
+          val isCreateDb = stmt.trim.toLowerCase.startsWith("create")
+          // the reference's yacc parse errors, verbatim
+          // (DatabaseCommands goldens) — these 400 at the request level
+          def yaccErr(msg: String): Nothing =
+            sys.error(s"error parsing query: syntax error: $msg")
           val name = toks.drop(2).headOption match {
             case Some(InfluxQL.TIdent(n)) => n
             case Some(InfluxQL.TStr(n)) => n
+            case Some(_: InfluxQL.TDur) | Some(_: InfluxQL.TNum)
+                if isCreateDb =>
+              yaccErr("unexpected DURATIONVAL, expecting IDENT")
             case _ => sys.error("expected database name")
           }
+          // WITH-option argument kinds (parser.go grammar)
+          if (isCreateDb) toks.zipWithIndex.foreach {
+            case (InfluxQL.TIdent(k), i)
+                if k.equalsIgnoreCase("duration") =>
+              toks.lift(i + 1) match {
+                case Some(_: InfluxQL.TDur) | Some(_: InfluxQL.TNum) => ()
+                case Some(InfluxQL.TIdent(x))
+                    if x.equalsIgnoreCase("inf") => ()
+                case _ => yaccErr("unexpected IDENT, expecting DURATIONVAL")
+              }
+            case (InfluxQL.TIdent(k), i)
+                if k.equalsIgnoreCase("replication") =>
+              toks.lift(i + 1) match {
+                case Some(_: InfluxQL.TNum) => ()
+                case _ => yaccErr("unexpected IDENT, expecting INTEGER")
+              }
+            case (InfluxQL.TIdent(k), i) if k.equalsIgnoreCase("name") =>
+              toks.lift(i + 1) match {
+                case Some(_: InfluxQL.TIdent) | Some(_: InfluxQL.TStr) => ()
+                case None => yaccErr("unexpected $end, expecting IDENT")
+                case _ => yaccErr("unexpected IDENT, expecting IDENT")
+              }
+            case _ => ()
+          }
+          // name validation (meta validation: "." names are invalid) —
+          // statement-level (DatabaseCommands "invalid name" goldens)
+          def validName(n: String): Unit =
+            if (n == "." || n == ".." || n.contains("/"))
+              throw new InfluxQL.StatementError("invalid name")
           synchronized {
-            if (stmt.trim.toLowerCase.startsWith("create")) {
-              databases = databases + name
-              if (name == defaultDb) defaultDbTouched = true
+            if (isCreateDb) {
+              validName(name)
               // WITH … NAME <rp> names the born-default retention
               // policy (parser.go parseCreateDatabaseStatement —
               // `CREATE DATABASE db4 WITH SHARD DURATION 12h … NAME
@@ -2267,13 +2307,40 @@ final class HttpGateway(spark: SparkSession,
               val named = toks.sliding(2).collectFirst {
                 case Seq(InfluxQL.TIdent(k), InfluxQL.TIdent(v))
                   if k.equalsIgnoreCase("name") => v
+                case Seq(InfluxQL.TIdent(k), InfluxQL.TStr(v))
+                  if k.equalsIgnoreCase("name") => v
               }
-              if (!retention.contains(name))
-                retention = retention + (name -> (named match {
-                  case Some(rpName) =>
-                    Map(rpName -> Retention.autogen.head._2)
-                  case None => Retention.autogen
-                }))
+              named.foreach(validName)
+              // WITH DURATION on an EXISTING database must agree with
+              // the default policy (meta CreateDatabaseWithRetention-
+              // Policy conflict — DatabaseCommands golden)
+              val withDurS: Option[Long] = toks.zipWithIndex.collectFirst {
+                case (InfluxQL.TIdent(k), i)
+                    if k.equalsIgnoreCase("duration") &&
+                      (i == 0 ||
+                        !toks(i - 1).isInstanceOf[InfluxQL.TIdent] ||
+                        !toks(i - 1).asInstanceOf[InfluxQL.TIdent].s
+                          .equalsIgnoreCase("shard")) =>
+                  toks.lift(i + 1) match {
+                    case Some(InfluxQL.TDur(ns)) => ns / 1000000000L
+                    case _ => 0L
+                  }
+              }
+              if (databases.contains(name) && withDurS.isDefined) {
+                val existing = retention.getOrElse(name, Retention.autogen)
+                  .values.find(_.default)
+                if (!existing.exists(_.durationS == withDurS.get))
+                  throw new InfluxQL.StatementError(
+                    "retention policy conflicts with an existing policy")
+              }
+              databases = databases + name
+              if (name == defaultDb) defaultDbTouched = true
+              if (!retention.contains(name)) {
+                val rp0 = Retention.autogen.head._2
+                  .copy(durationS = withDurS.getOrElse(0L))
+                retention = retention +
+                  (name -> Map(named.getOrElse("autogen") -> rp0))
+              }
             } else {
               databases = databases - name
               retention = retention - name
@@ -2287,19 +2354,41 @@ final class HttpGateway(spark: SparkSession,
           s"""{"statement_id":$id}"""
         } else if (Retention.isRpStatement(stmt)) {
           val st = Retention.parse(stmt)
-          if (!databases.contains(st.db))
-            sys.error(s"database not found: ${st.db}")
+          if (!databases.contains(st.db)) {
+            // DROP on a missing database is a silent no-op; CREATE/ALTER
+            // carry the error INSIDE the result
+            // (RetentionPolicyCommands goldens)
+            if (st.verb == "drop") return s"""{"statement_id":$id}"""
+            throw new InfluxQL.StatementError(
+              s"database not found: ${st.db}")
+          }
           synchronized {
             val rps = retention.getOrElse(st.db, Retention.autogen)
             st.verb match {
               case "create" =>
-                if (rps.contains(st.rp))
-                  sys.error("retention policy already exists")
+                if (st.rp == "." || st.rp == ".." || st.rp.contains("/"))
+                  throw new InfluxQL.StatementError("invalid name")
                 val d = st.durationS.getOrElse(0L)
+                // meta validation: 0 = infinite, else ≥ 1h
+                // (RetentionPolicyCommands golden, verbatim)
+                if (d > 0L && d < 3600L)
+                  throw new InfluxQL.StatementError(
+                    "retention policy duration must be at least 1h0m0s")
                 val rp = Retention.Rp(d,
                   st.shardGroupS.getOrElse(Retention.shardGroupFor(d)),
                   st.replicaN.getOrElse(1L), st.default,
                   st.hotS.getOrElse(0L), st.warmS.getOrElse(0L))
+                if (rps.contains(st.rp)) {
+                  // idempotent when identical; a differing spec is the
+                  // reference's conflict error
+                  val prev = rps(st.rp)
+                  if (prev.durationS == rp.durationS &&
+                      prev.replicaN == rp.replicaN &&
+                      prev.default == rp.default)
+                    return s"""{"statement_id":$id}"""
+                  throw new InfluxQL.StatementError(
+                    "retention policy conflicts with an existing policy")
+                }
                 val cleared = if (st.default)
                   rps.view.mapValues(_.copy(default = false)).toMap else rps
                 retention = retention + (st.db -> (cleared + (st.rp -> rp)))
@@ -2319,11 +2408,12 @@ final class HttpGateway(spark: SparkSession,
                   rps.view.mapValues(_.copy(default = false)).toMap else rps
                 retention = retention + (st.db -> (cleared + (st.rp -> rp)))
               case "drop" =>
-                val prev = rps.getOrElse(st.rp,
-                  sys.error(s"retention policy not found: ${st.rp}"))
-                if (prev.default)
-                  sys.error("retention policy is default")
-                retention = retention + (st.db -> (rps - st.rp))
+                // dropping the default policy is allowed (the reference
+                // drops it and the database keeps no default —
+                // RetentionPolicyCommands "drop rp0" golden); a missing
+                // policy is a silent no-op like a missing database
+                if (rps.contains(st.rp))
+                  retention = retention + (st.db -> (rps - st.rp))
               case v => sys.error(s"unsupported retention verb $v")
             }
             persistDatabases()
@@ -2659,7 +2749,9 @@ final class HttpGateway(spark: SparkSession,
           // partial; use chunked=true to stream past the limit
           ResultShaper.toResultObj(df, name, tags, valueCols, epoch, id,
             maxRowLimit, timeNs = timeNs, seriesDesc = desc,
-            nameCol = nameCol)
+            nameCol = nameCol,
+            pruneNullCols = "(?is).*/\\*\\+\\s*filter_null_column\\s*\\*/.*"
+              .r.matches(stmt))
         }
 
       if (p.get("chunked").contains("true")) {

@@ -258,16 +258,24 @@ object ResultShaper {
     * dropped. The collect itself is capped at `maxRows + 1` rows so the
     * driver is protected BEFORE shaping, not after. */
   def toResultObj(df: DataFrame, name: String, tagCols: Seq[String],
-                  valueCols: Seq[String], epoch: String = "ms",
+                  valueCols0: Seq[String], epoch: String = "ms",
                   statementId: Int = 0,
                   maxRows: Int = Int.MaxValue,
                   timeNs: Boolean = false,
                   seriesDesc: Boolean = false,
-                  nameCol: Option[String] = None): String = {
+                  nameCol: Option[String] = None,
+                  pruneNullCols: Boolean = false): String = {
     val capped =
       if (maxRows == Int.MaxValue) df else df.limit(maxRows + 1)
     val rows = capped.select(
-      (nameCol.toSeq ++ tagCols ++ valueCols).map(qcol): _*).collect()
+      (nameCol.toSeq ++ tagCols ++ valueCols0).map(qcol): _*).collect()
+    // /*+ filter_null_column */: a value column null on EVERY result row
+    // prunes from the rendered columns (the reference's null-column
+    // pruning — HintQuery_FilterNullColumn exp [time,f1,tk1] only)
+    val valueCols =
+      if (!pruneNullCols) valueCols0
+      else valueCols0.filter(c => c == "time" ||
+        rows.exists(r => r.getAs[Any](c) != null))
     // nameCol: per-row series name (SHOW TAG KEYS/VALUES emit one
     // series per measurement) — groups like a tag, names the series
     def seriesName(r: Row): String =
