@@ -2704,6 +2704,7 @@ object InfluxQL {
               // join keys the inner doesn't project carry implicitly
               val sub = carryTags(sub0, outerWanted)
               val inner = compileQuery(catalog, sub)
+                .withColumn("__sord", monotonically_increasing_id())
               val subTags = (resolveTags(catalog, sub) ++
                 sourceTags(catalog, sub)
                   .filter(inner.columns.contains)).distinct
@@ -2730,15 +2731,31 @@ object InfluxQL {
           // left-to-right, replicates the reference's merge order.
           def sideKey(d: DataFrame, tc: String,
                       tags: Seq[String]): Column = {
-            val t0 = d.schema(tc).dataType match {
-              case org.apache.spark.sql.types.LongType |
-                   org.apache.spark.sql.types.IntegerType =>
-                col(tc).cast("long") * 1000L
-              case _ => unix_micros(col(tc))
-            }
-            concat((lpad(t0.cast("string"), 20, "0") +:
+            // ns-exact when the side carries the LP ns axis — sub-µs
+            // neighbors keep time order (Multi_Table_Join exp orders
+            // the …000/…001 pair)
+            val t0 =
+              if (d.columns.contains("__tns")) col("__tns").cast("long")
+              else if (tc != "time" && d.columns.contains("time") &&
+                  d.schema("time").dataType ==
+                    org.apache.spark.sql.types.LongType)
+                col("time")
+              else d.schema(tc).dataType match {
+                case org.apache.spark.sql.types.LongType |
+                     org.apache.spark.sql.types.IntegerType =>
+                  col(tc).cast("long") * 1000L
+                case _ => unix_micros(col(tc))
+              }
+            concat(((lpad(t0.cast("string"), 20, "0") +:
               tags.filter(d.columns.contains)
-                .map(c0 => coalesce(col(c0), lit("")))): _*)
+                .map(c0 => coalesce(col(c0), lit("")))) ++
+              // a subquery side's own emission rank breaks exact ties
+              // (Multi_Table_Join: the inner join's sub-ns order
+              // survives into the outer merge)
+              (if (d.columns.contains("__sord"))
+                 Seq(lpad(coalesce(col("__sord").cast("string"),
+                   lit("")), 20, "0"))
+               else Nil)): _*)
           }
           val ldf0 =
             if (acc.df.columns.contains("__ord")) acc.df
@@ -2848,16 +2865,19 @@ object InfluxQL {
                 Some(if (collisions.contains(f)) s"${f}_$suffix" else f)
               else None
             actual.filter(joined.columns.contains).foreach { c =>
-              joined = joined.withColumn(s"$a.$f", col(c))
+              joined = joined.withColumn(s"$a.$f",
+                if (c.contains(".")) col(s"`$c`") else col(c))
             }
           }
+          def qcolJ(c: String) =
+            if (c.contains(".")) col(s"`$c`") else col(c)
           if (first) {
             sideCols(m.df.columns.toSeq, m.time,
                 sideSub = q.fromSub).foreach { f =>
               val src =
                 if (j.onTags.contains(f)) s"__lk_$f" else f
               if (joined.columns.contains(src)) {
-                joined = joined.withColumn(s"$lDotted0.$f", col(src))
+                joined = joined.withColumn(s"$lDotted0.$f", qcolJ(src))
                 joinFields += s"$lDotted0.$f"
               }
             }
@@ -2872,7 +2892,7 @@ object InfluxQL {
               else if (collisions.contains(f)) s"${f}_$suffix"
               else f
             if (joined.columns.contains(actual)) {
-              joined = joined.withColumn(s"$rDotted.$f", col(actual))
+              joined = joined.withColumn(s"$rDotted.$f", qcolJ(actual))
               joinFields += s"$rDotted.$f"
             }
           }

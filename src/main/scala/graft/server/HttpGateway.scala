@@ -2314,13 +2314,20 @@ final class HttpGateway(spark: SparkSession,
               // WITH DURATION on an EXISTING database must agree with
               // the default policy (meta CreateDatabaseWithRetention-
               // Policy conflict — DatabaseCommands golden)
+              // the PLAIN `WITH DURATION d` option only — shard/index/
+              // hot/warm duration options don't constrain the default
+              // policy's retention (PreAgg_OutOfOrderData re-creates
+              // db3 WITH SHARD DURATION … without conflict)
+              val qualifiers =
+                Set("shard", "index", "hot", "warm")
               val withDurS: Option[Long] = toks.zipWithIndex.collectFirst {
                 case (InfluxQL.TIdent(k), i)
-                    if k.equalsIgnoreCase("duration") &&
-                      (i == 0 ||
-                        !toks(i - 1).isInstanceOf[InfluxQL.TIdent] ||
-                        !toks(i - 1).asInstanceOf[InfluxQL.TIdent].s
-                          .equalsIgnoreCase("shard")) =>
+                    if k.equalsIgnoreCase("duration") && i > 0 &&
+                      (toks(i - 1) match {
+                        case InfluxQL.TIdent(p) =>
+                          !qualifiers.contains(p.toLowerCase)
+                        case _ => true
+                      }) =>
                   toks.lift(i + 1) match {
                     case Some(InfluxQL.TDur(ns)) => ns / 1000000000L
                     case _ => 0L

@@ -1279,12 +1279,18 @@ class ServerSpec extends SparkSpec {
     val shown = get("/query?q=" + enc("SHOW RETENTION POLICIES ON rpdb")).body()
     assert(shown.contains("\"hot\"") && shown.contains("\"1h30m0s\"") &&
       shown.contains("\"1h0m0s\""), shown) // <2d duration -> 1h groups
-    // duplicate is the reference's error
+    // a re-create with a DIFFERENT spec is the reference's conflict
+    // (statement-level); an identical re-create is idempotent
+    // (RetentionPolicyCommands corpus goldens)
     val dup = get("/query?q=" + enc(
       "CREATE RETENTION POLICY hot ON rpdb DURATION 2h REPLICATION 1"))
-    assert(dup.statusCode() == 400 &&
-      dup.body().contains("retention policy already exists"), dup.body())
-    // unknown db is validated
+    assert(dup.statusCode() == 200 && dup.body().contains(
+      "retention policy conflicts with an existing policy"), dup.body())
+    val same = get("/query?q=" + enc(
+      "CREATE RETENTION POLICY hot ON rpdb DURATION 1h30m REPLICATION 2"))
+    assert(same.statusCode() == 200 && !same.body().contains("error"),
+      same.body())
+    // unknown db is validated (statement-level)
     assert(get("/query?q=" + enc(
       "CREATE RETENTION POLICY x ON nodb DURATION 1h REPLICATION 1"))
       .body().contains("database not found: nodb"))
@@ -1296,20 +1302,17 @@ class ServerSpec extends SparkSpec {
     assert(coldq.statusCode() == 200 &&
       coldq.body().contains("retention policy not found: cold"),
       coldq.body())
-    // ALTER flips default; the old default can then be dropped
+    // ALTER flips default; dropping the default policy is ALLOWED (the
+    // reference drops it — RetentionPolicyCommands "drop rp0" golden)
     assert(get("/query?q=" + enc(
       "ALTER RETENTION POLICY hot ON rpdb DEFAULT")).statusCode() == 200)
-    val dropDefault = get("/query?q=" + enc(
-      "DROP RETENTION POLICY hot ON rpdb"))
-    assert(dropDefault.statusCode() == 400 &&
-      dropDefault.body().contains("retention policy is default"))
     assert(get("/query?q=" + enc("DROP RETENTION POLICY autogen ON rpdb"))
       .statusCode() == 200)
     val after = get("/query?q=" + enc("SHOW RETENTION POLICIES ON rpdb")).body()
     assert(!after.contains("\"autogen\"") && after.contains("\"hot\""), after)
-    // dropping an unknown rp is the reference's error
+    // dropping an unknown rp is a silent no-op like a missing database
     assert(get("/query?q=" + enc("DROP RETENTION POLICY ghost ON rpdb"))
-      .body().contains("retention policy not found: ghost"))
+      .statusCode() == 200)
     assert(get("/query?q=" + enc("DROP DATABASE rpdb")).statusCode() == 200)
   }
 

@@ -171,8 +171,14 @@ class SourcesSpec extends SparkSpec {
     val chunks = ResultShaper.toSeriesJsonChunked(df, "cpu", Seq("host"),
       Seq("t_ms", "mean"), chunkSize = 2)
     assert(chunks.size == 3) // a → 2 chunks, b → 1
-    assert(chunks(0).contains(""""partial":true"""))
-    assert(!chunks(1).contains(""""partial"""")) // last chunk of series a
+    // chunk 0: series a continues (series partial) AND chunks follow
+    // (result partial); chunk 1 ends series a but series b follows
+    // (result partial only); chunk 2 is final (no markers) — the
+    // reference's response_writer emits both levels
+    assert(chunks(0).endsWith("""]],"partial":true}],"partial":true}]}"""),
+      chunks(0))
+    assert(!chunks(1).contains("""]],"partial":true"""), chunks(1))
+    assert(chunks(1).endsWith("""}],"partial":true}]}"""), chunks(1))
     assert(!chunks(2).contains(""""partial""""))
     assert(chunks.forall(_.startsWith("""{"results":[{"statement_id":0""")))
   }
