@@ -186,16 +186,24 @@ trait EntryQueriesB extends EntryBase {
       val withFp = q.withColumn("_fp", TextAnalysis.fingerprint(col("text")))
       val exactKeep = withFp.groupBy("_fp")
         .agg(min(col("doc_id")).as("doc_id"))
+      // the deduped survivor frame feeds THREE downstream consumers
+      // (the pair join, the cluster join, keep-best) — checkpoint it
+      // once instead of recomputing the quality+fingerprint chain per
+      // branch; lineage truncation also keeps the CC plan slim
       val exact = withFp.join(exactKeep.select("doc_id"),
         Seq("doc_id"), "left_semi").drop("_fp")
+        .localCheckpoint()
       // 3. near-dup cluster keep-best (Jaccard 0.8, max tokens, id tie)
       val pairs = Dedup.jaccardSelfJoin(exact, "text", "doc_id",
         shingleN = 3, threshold = 0.8)
       val cc = Dedup.connectedComponents(pairs)
         .select(col("id").as("doc_id"), col("component"))
+      // clustered feeds keep-best AND the kept-rows semi join — one
+      // checkpoint, not two evaluations of the cluster join
       val clustered = exact.join(cc, Seq("doc_id"), "left")
         .withColumn("cluster", coalesce(col("component"), col("doc_id")))
         .withColumn("_nt", TextAnalysis.tokenCount(col("text")))
+        .localCheckpoint()
       val best = clustered.groupBy("cluster")
         .agg(min(struct((-col("_nt")).as("neg"), col("doc_id").as("id")))
           .getField("id").as("doc_id"))
