@@ -850,17 +850,21 @@ trait EntryQueriesB extends EntryBase {
 
     // §3.1 compare(f, offsetSecs): period-over-period comparison e2e
     // through the InfluxQL text frontend (`influxql/ast.go:3934`
-    // RewriteCompare). Spark-first shape: the same bucketed subquery
-    // runs once per arm over a +offset-shifted catalog, arms full-outer
-    // join on the output time axis, ratio column appended. count() keeps
-    // the gate integer-exact (float sums would hash-diverge from the
-    // oracle by addition order).
+    // RewriteCompare). The outer statement repeats GROUP BY time(1h):
+    // the reference's rewrite substitutes the OUTER dimensions into
+    // every arm (sq.Dimensions = cloneDimensions(s), ast.go:4017), so a
+    // dimensionless outer would compare single global counts (Align's
+    // one-row collapse), not buckets. Spark-first shape: the same
+    // bucketed subquery runs once per arm over a +offset-shifted
+    // catalog, arms full-outer join on the output time axis, ratio
+    // column appended. count() keeps the gate integer-exact (float sums
+    // would hash-diverge from the oracle by addition order).
     "q112_compare" -> ((s, dir) => {
       val catalog = influxCatalog(s, dir)
       graft.query.InfluxQL.execute(catalog,
           "SELECT compare(count, 3600) FROM (SELECT count(value) " +
           "FROM events WHERE event_type = 'click' GROUP BY time(1h) " +
-          "fill(none))")
+          "fill(none)) GROUP BY time(1h)")
         .select(col("time"), col("count1"), col("count2"),
           col("count1/count2").as("ratio"))
         .orderBy("time")

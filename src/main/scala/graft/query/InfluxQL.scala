@@ -2354,8 +2354,45 @@ object InfluxQL {
         "aggregate in a subquery (FROM (SELECT … GROUP BY time(…))) and " +
         "compare its field")
     val field = c.field
-    val armQ = q.copy(projs = Seq(PField(field)), limit = None, offset = 0,
-      slimit = None, orderDesc = false, fill = FillNone)
+    // WHERE range start in ns — the compare bucket-grid anchor. The
+    // reference re-anchors each arm's time(d) at the clamped range
+    // start: time(d, (min−off) % d) (buildCompareTimeDimension,
+    // influxql/ast.go:4064). On our shifted-catalog arms that anchor is
+    // the SAME for every arm — min % d on the current axis.
+    def whereLoNs(w: WExpr): Option[Long] = w match {
+      case WCond(cd) if cd.field.equalsIgnoreCase("time") =>
+        val vNs = cd.v match {
+          case CInt(l) => Some(l)
+          case CNum(v) => Some(v.toLong)
+          case CStr(s) => Some(parseTimeUtcNs(s))
+          case CDur(nsv) => Some(nsv)
+          case _ => None
+        }
+        cd.op match {
+          case ">=" => vNs
+          case ">" => vNs.map(_ + 1L)
+          case _ => None
+        }
+      case WAnd(l, r) =>
+        (whereLoNs(l), whereLoNs(r)) match {
+          case (Some(a), Some(b)) => Some(math.max(a, b))
+          case (a, b) => a.orElse(b)
+        }
+      case _ => None
+    }
+    val bucketNs = q.fromSub.flatMap(_.intervalNs).orElse(q.intervalNs)
+    val gridOffNs: Option[Long] = for {
+      d <- bucketNs
+      lo <- q.where.flatMap(whereLoNs)
+    } yield java.lang.Math.floorMod(lo, d)
+    // each arm replays the reference's rewritten subquery: inner fill
+    // forced to none (sq.Fill = NoFill, ast.go:4016) and buckets
+    // anchored at the range start
+    def armify(s: Query): Query = s.copy(fill = FillNone,
+      intervalOffsetNs = s.intervalOffsetNs.orElse(gridOffNs.filter(_ != 0L)))
+    val armQ = armify(q.copy(projs = Seq(PField(field)), limit = None,
+      offset = 0, slimit = None, orderDesc = false,
+      fromSub = q.fromSub.map(armify)))
     val offsets = 0L +: offs
     // Single-pass fast path: with NO time predicate (nothing outside the
     // scanned window to bring in) and every offset a multiple of the
@@ -2373,7 +2410,6 @@ object InfluxQL {
       case WCmp(_, _, _) => true // conservative: expression comparisons
       case _: WIn => true        // and subquery membership may bind time
     }
-    val bucketNs = q.fromSub.flatMap(_.intervalNs).orElse(q.intervalNs)
     val singlePass =
       !q.where.exists(hasTimeCond) &&
       !q.fromSub.exists(_.where.exists(hasTimeCond)) &&
@@ -2430,6 +2466,46 @@ object InfluxQL {
           .withColumnRenamed(field, s"$field${i + 1}")
       }
     val f1 = s"${field}1"
+    // InfluxQL division: x / 0 is 0, not an error and not null
+    // (influxql ast.go binary eval; Compare_Functions::10 PV2=0)
+    val ratios = offsets.indices.drop(1).map { i =>
+      val num = col(s"`$f1`").cast("double")
+      val den = col(s"`$field${i + 1}`").cast("double")
+      when(num.isNull || den.isNull, lit(null).cast("double"))
+        .when(den =!= 0.0, num / den)
+        .otherwise(lit(0.0))
+        .as(s"$f1/$field${i + 1}")
+    }
+    val anyArmNotNull = offsets.indices.map(i =>
+      col(s"`$field${i + 1}`").isNotNull).reduce(_ || _)
+    // Reference Align with NO dimensions and NO interval collapses the
+    // whole merged arm stream to ONE row: stamped at the stream's first
+    // time, each arm column taking its first non-null value in time
+    // order (align_transform.go:228 "no group, only one row left after
+    // aligning"; GetAlignValue scans to the first non-null). A global-
+    // aggregate compare emits one row per arm anyway, so this path
+    // serves every dimensionless compare — including raw-field compare
+    // over interleaved series (Compare_Functions::1), where the join
+    // form would emit the full window.
+    if (q.groupTags.isEmpty && q.intervalNs.isEmpty) {
+      val oneRows = arms.zipWithIndex.map { case (a, i) =>
+        val v = s"$field${i + 1}"
+        a.filter(col(s"`$v`").isNotNull)
+          .agg(min(col("time")).as(s"__t$i"),
+            expr(s"min_by(`$v`, time)").as(v))
+      }
+      // 1-row global aggregates (a frame with no input still yields its
+      // one all-null row, so the cross join never annihilates)
+      val merged = oneRows.reduceLeft(_.crossJoin(_))
+      val firstTime = least(offsets.indices.map(i => col(s"__t$i")): _*)
+      var out0 = merged
+        .withColumn("time", firstTime)
+        .filter(anyArmNotNull)
+        .select((col("time") +:
+          (offsets.indices.map(i => col(s"$field${i + 1}")) ++ ratios)): _*)
+      q.limit.foreach(n => out0 = out0.limit(n))
+      return out0
+    }
     val keys = arms.head.columns.filterNot(_ == f1).toSeq
     // NULL-SAFE key equality: a missing GROUP BY tag is the empty
     // series (null) and must line up across arms — plain using-columns
@@ -2453,22 +2529,11 @@ object InfluxQL {
           fB.map(c2 => bc(c2).as(c2))): _*)
     }
     val joined = arms.reduceLeft(jn)
-    // InfluxQL division: x / 0 is 0, not an error and not null
-    // (influxql ast.go binary eval; Compare_Functions::10 PV2=0)
-    val ratios = offsets.indices.drop(1).map { i =>
-      val num = col(s"`$f1`").cast("double")
-      val den = col(s"`$field${i + 1}`").cast("double")
-      when(num.isNull || den.isNull, lit(null).cast("double"))
-        .when(den =!= 0.0, num / den)
-        .otherwise(lit(0.0))
-        .as(s"$f1/$field${i + 1}")
-    }
     var out = joined
       // a row where EVERY arm is null is not emitted (blank-row rule
       // over the merged arms — Compare_Functions::7 drops the series
       // that only exist in other buckets)
-      .filter(offsets.indices.map(i =>
-        col(s"`$field${i + 1}`").isNotNull).reduce(_ || _))
+      .filter(anyArmNotNull)
       .select((keys.map(col) ++
         offsets.indices.map(i => col(s"$field${i + 1}")) ++ ratios): _*)
       .orderBy(if (q.orderDesc) col("time").desc else col("time").asc)
@@ -4217,14 +4282,34 @@ object InfluxQL {
           val extras = dropped.columns.filterNot(ordered.contains)
           dropped.select((ordered ++ extras).map(fieldCol): _*)
         }
+        // point-existence over the bucket grid: a series×bucket exists
+        // only when at least one aggregated field has a non-null value
+        // there — the reference's field cursors iterate non-null points,
+        // so a bucket whose inputs are all null is never materialized
+        // (count renders 0 there only via fill; with fill(none) the row
+        // does not exist — Compare_Functions::7 drops the count-0
+        // series). Mirrors the non-interval path's __n>0 guard below.
+        val bucketInputNotNull: Column = {
+          val fs = allCalls.flatMap { c2 =>
+            if (c2.field == "*") Seq(lit(true))
+            else if (c2.argExpr.isDefined) Seq(lit(true))
+            else df.columns.find(_.equalsIgnoreCase(c2.field))
+              .map(cn => fieldCol(cn).isNotNull).toSeq
+          }
+          if (fs.isEmpty) lit(false) else fs.reduce(_ || _)
+        }
+        val bucketNAgg = count(when(bucketInputNotNull, 1)).as("__n")
+        def dropEmptyBuckets(d: DataFrame): DataFrame =
+          d.filter(col("__n") > 0).drop("__n")
         addExprCols(q.intervalNs match {
           case Some(ns) =>
             val interval = s"${ns / 1000000} milliseconds"
             val offsetStr = s"${q.intervalOffsetNs.getOrElse(0L) / 1000000} " +
               "milliseconds"
             q.fill match {
-              case FillNone => WindowedAgg.timeBucket(df, m.time, interval,
-                groupTags, aggs, offset = offsetStr, tz = q.tz)
+              case FillNone => dropEmptyBuckets(WindowedAgg.timeBucket(
+                df, m.time, interval,
+                groupTags, aggs :+ bucketNAgg, offset = offsetStr, tz = q.tz))
               case mode =>
                 // fill × tz()/time(d, offset): the spine is uniform on the
                 // bucket-assignment AXIS (the wall-clock axis under tz(),
@@ -4235,8 +4320,10 @@ object InfluxQL {
                 // query/compile.go:1325).
                 val axisDf = q.tz.map(z => df.withColumn(m.time,
                   from_utc_timestamp(col(m.time), z))).getOrElse(df)
-                val bucketed = WindowedAgg.timeBucket(axisDf, m.time,
-                  interval, groupTags, aggs, offset = offsetStr, tz = None)
+                val bucketed = dropEmptyBuckets(WindowedAgg.timeBucket(
+                  axisDf, m.time,
+                  interval, groupTags, aggs :+ bucketNAgg, offset = offsetStr,
+                  tz = None))
                 // clamp the spine to the data's time bounds
                 // (compile.go:1325). An unfiltered query on the storage
                 // axis (no WHERE narrowing rows, no tz() shifting the

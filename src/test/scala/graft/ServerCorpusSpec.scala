@@ -187,7 +187,19 @@ class ServerCorpusSpec extends SparkSpec {
         // newline is a transport detail, not part of the contract
         val act = act0.stripSuffix("\n")
         val exp = q.exp.stripSuffix("\n")
-        if (act == exp || numTolerantEq(act, exp)) {
+        // families the reference's OWN test grades with a custom
+        // comparator instead of byte equality. ShowTagValues_Disorder:
+        // the reference's time-filtered tag-value path dedups through Go
+        // maps twice (TagSets.ForEach, show_tag_values.go:70;
+        // deduplicateBySet, show_tag_values_executor.go:197), so its
+        // output order — and which value a LIMIT/OFFSET page lands on —
+        // is nondeterministic; upstream compares only len(exp)==len(act)
+        // (showTagValueDisorderSuc, server_helpers.go:905). We keep
+        // byte-exact as the primary check (stricter, and all but the
+        // paginated case match) and fall back to upstream's comparator.
+        val familyOk = f.func == "TestServer_Query_ShowTagValues_Disorder" &&
+          act.length == exp.length
+        if (act == exp || numTolerantEq(act, exp) || familyOk) {
           // the exclusion list shrinks MONOTONICALLY: a pinned case
           // that starts passing must be un-pinned, so known divergences
           // stay distinguishable from later regressions
