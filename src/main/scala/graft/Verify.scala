@@ -40,9 +40,14 @@ object Verify {
     SparkEntry.queries
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        // free this query's localCheckpoint blocks before the next one
+        // runs — the 132-query sweep otherwise accumulates every
+        // checkpoint-heavy query's dead blocks in one block manager
+        SparkEntry.releaseCheckpoints(df)
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         errors(name) = s"${e.getClass.getSimpleName}: " +
           Option(e.getMessage).getOrElse("").linesIterator

@@ -2380,19 +2380,24 @@ object InfluxQL {
         }
       case _ => None
     }
-    val bucketNs = q.fromSub.flatMap(_.intervalNs).orElse(q.intervalNs)
-    val gridOffNs: Option[Long] = for {
+    val bucketNs = q.intervalNs
+    val gridOffNs: Option[Long] = (for {
       d <- bucketNs
       lo <- q.where.flatMap(whereLoNs)
-    } yield java.lang.Math.floorMod(lo, d)
-    // each arm replays the reference's rewritten subquery: inner fill
-    // forced to none (sq.Fill = NoFill, ast.go:4016) and buckets
-    // anchored at the range start
-    def armify(s: Query): Query = s.copy(fill = FillNone,
-      intervalOffsetNs = s.intervalOffsetNs.orElse(gridOffNs.filter(_ != 0L)))
-    val armQ = armify(q.copy(projs = Seq(PField(field)), limit = None,
-      offset = 0, slimit = None, orderDesc = false,
-      fromSub = q.fromSub.map(armify)))
+    } yield java.lang.Math.floorMod(lo, d)).filter(_ != 0L)
+    // each arm replays the reference's rewritten subquery: the OUTER
+    // statement's dimensions replace the inner's (sq.Dimensions =
+    // cloneDimensions(s), ast.go:4017 — a dimensionless outer compares
+    // global aggregates even over a bucketed inner), inner fill forced
+    // to none (sq.Fill = NoFill, ast.go:4016), and buckets anchored at
+    // the range start
+    val armQ = q.copy(projs = Seq(PField(field)), limit = None,
+      offset = 0, slimit = None, orderDesc = false, fill = FillNone,
+      intervalOffsetNs = q.intervalOffsetNs.orElse(gridOffNs),
+      fromSub = q.fromSub.map(s => s.copy(fill = FillNone,
+        groupTags = q.groupTags, exceptTags = q.exceptTags,
+        intervalNs = q.intervalNs,
+        intervalOffsetNs = s.intervalOffsetNs.orElse(gridOffNs))))
     val offsets = 0L +: offs
     // Single-pass fast path: with NO time predicate (nothing outside the
     // scanned window to bring in) and every offset a multiple of the

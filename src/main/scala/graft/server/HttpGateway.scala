@@ -64,6 +64,10 @@ final class HttpGateway(spark: SparkSession,
   // store, `__name__` as an ordinary label — queries against a store
   // resolve each metric selector onto that frame filtered by __name__
   @volatile private var promStores = Map.empty[String, PromQL.Metric]
+  // the one runtime knob SET CONFIG can change (statement_executor.go:
+  // 2572 executeSetConfig — sql/logging.level only, everything else is
+  // "unsupported config command"); rendered back by SHOW CONFIGS
+  @volatile private var loggingLevel = "info"
   // geo fences (services/fence): id → circle; registered by writes to
   // the `fence` measurement, persisted to _fences.txt
   @volatile private var fences = Map.empty[String, Fence.Circle]
@@ -2690,6 +2694,83 @@ final class HttpGateway(spark: SparkSession,
             .sortBy(_.head.toString)
           ResultShaper.toResultObj(gatewayRowsDf(cols, rows),
             "downsamples", Nil, cols, epoch, id)
+        } else if ("(?is)^\\s*set\\s+config\\b.*".r.matches(stmt)) {
+          // SET CONFIG <component> <key> = <value> (sql.y:4011; key is
+          // IDENT|STRING, dots scan into bare idents — scanner.go:722).
+          // The executor accepts only the sql component's logging.level
+          // with a string value (statement_executor.go:2572); a non-
+          // string there is "illegal type of logging level input", any
+          // other component/key is "unsupported config command".
+          val m = ("(?is)^\\s*set\\s+config\\s+(\\S+)\\s+" +
+            "(?:\"([^\"]*)\"|(\\S+))\\s*=\\s*(.+?)\\s*$").r
+            .findFirstMatchIn(stmt).getOrElse(
+              throw new InfluxQL.StatementError("syntax error"))
+          val component = m.group(1)
+          val key = Option(m.group(2)).getOrElse(m.group(3))
+          val rawVal = m.group(4).trim
+          val isString = rawVal.startsWith("'") ||
+            "^[A-Za-z_][A-Za-z0-9_.-]*$".r.matches(rawVal)
+          if (!(component == "sql" && key == "logging.level"))
+            throw new InfluxQL.StatementError("unsupported config command")
+          if (!isString)
+            throw new InfluxQL.StatementError(
+              "illegal type of logging level input")
+          val lvl = rawVal.stripPrefix("'").stripSuffix("'").toLowerCase
+          // the reference delegates to its zap-backed logger.SetLevel;
+          // mirror zap's accepted level atoms
+          if (!Set("debug", "info", "warn", "error", "dpanic", "panic",
+              "fatal").contains(lvl))
+            throw new InfluxQL.StatementError(
+              s"""unrecognized level: "$rawVal"""")
+          loggingLevel = lvl
+          s"""{"statement_id":$id}"""
+        } else if ("(?is)^\\s*show\\s+configs\\s*$".r.matches(stmt.trim)) {
+          // the gateway's ACTUAL effective knobs in the reference's
+          // 4-column shape (executeShowConfigs,
+          // statement_executor.go:2560: component, instance, name,
+          // value — names sorted, instance = bind address). Reference
+          // names where a knob maps onto one of its config keys;
+          // graft-specific knobs keep their own dotted namespace.
+          val lim = Validation.defaults
+          val knobs: Seq[(String, Any)] = Seq(
+            "http.auth-enabled" -> requireAuth,
+            "http.bind-address" -> s"127.0.0.1:$boundPort",
+            "http.max-row-limit" -> maxRowLimit,
+            "limits.enforce-metadata-metric-name" -> lim.enforceMetricName,
+            "limits.max-label-name-length" -> lim.maxLabelNameLength,
+            "limits.max-label-names-per-series" ->
+              lim.maxLabelNamesPerSeries,
+            "limits.max-label-value-length" -> lim.maxLabelValueLength,
+            "limits.prom-limit-enabled" -> lim.promLimitEnabled,
+            "limits.reject-old-samples" -> lim.rejectOldSamples,
+            "logging.level" -> loggingLevel,
+            "storage.hot-tier-max-bytes" -> spark.conf.get(
+              graft.Tables.hotTierConfKey,
+              graft.Tables.hotTierDefaultMaxBytes.toString),
+            "spark.sql.shuffle.partitions" -> spark.conf
+              .get("spark.sql.shuffle.partitions"))
+          // values keep their native JSON types (the reference emits
+          // bools/numbers unquoted in the config table) — rendered
+          // directly, the row set is driver-known and tiny
+          def jval(v: Any): String = v match {
+            case b: Boolean => b.toString
+            case n: Int => n.toString
+            case n: Long => n.toString
+            case s => jsonStr(String.valueOf(s))
+          }
+          val inst = jsonStr(s"127.0.0.1:$boundPort")
+          val values = knobs.sortBy(_._1).map { case (k, v) =>
+            s"""["sql",$inst,${jsonStr(k)},${jval(v)}]""" }.mkString(",")
+          s"""{"statement_id":$id,"series":[{"columns":""" +
+            s"""["component","instance","name","value"],""" +
+            s""""values":[$values]}]}"""
+        } else if (("(?is)^\\s*(prepare\\s+snapshot|end\\s+(prepare\\s+)?" +
+            "snapshot|get\\s+runtimeinfo)\\b.*").r.matches(stmt.trim)) {
+          // parsed but rejected, the reference's exact error
+          // (statement_executor.go:409-416 returns
+          // meta2.ErrUnsupportCommand for PrepareSnapshot/
+          // EndPrepareSnapshot/GetRuntimeInfo)
+          throw new InfluxQL.StatementError("unsupported command")
         } else if (Seq("drop ", "create ", "kill ", "delete", "alter ",
             "grant ", "revoke ", "set ")
             .exists(stmt.trim.toLowerCase.startsWith)) {

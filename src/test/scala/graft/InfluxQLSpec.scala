@@ -930,43 +930,56 @@ class InfluxQLSpec extends SparkSpec {
   }
 
   test("compare(field, offsetSeconds): period-over-period on one axis") {
-    // server01 raw values: t=0s→10, 60s→20, 120s→30. compare(value, 60)
-    // aligns each row with the value 60 s earlier: the shifted arm lands
-    // on t=60,120,180 — full-outer keeps edges with null history.
+    // server01 raw values: t=0s→10, 60s→20, 120s→30. A DIMENSIONLESS
+    // compare collapses the merged arm stream to ONE row at its first
+    // time, each arm taking its first value in time order (the
+    // reference Align transform's no-group path,
+    // align_transform.go:228): value1 = 10 (t=0), value2 = 10 (the
+    // shifted arm's first row, t=60 ← orig 0).
     val out = run(
       "SELECT compare(value, 60) FROM cpu WHERE host = 'server01'")
       .select("time", "value1", "value2", "value1/value2")
       .as[(Long, Option[Double], Option[Double], Option[Double])]
       .collect().toSeq
-    assert(out == Seq(
-      (0L, Some(10.0), None, None),
-      (60000L, Some(20.0), Some(10.0), Some(2.0)),
-      (120000L, Some(30.0), Some(20.0), Some(1.5)),
-      (180000L, None, Some(30.0), None)))
+    assert(out == Seq((0L, Some(10.0), Some(10.0), Some(1.0))))
     // two offsets → value1..value3 + two ratio columns
     val cols = run(
       "SELECT compare(value, 60, 120) FROM cpu WHERE host = 'server01'")
       .columns.toSeq
     assert(cols.containsSlice(
       Seq("value1", "value2", "value3", "value1/value2", "value1/value3")))
-    // aggregated-subquery form: compare over the bucketed sum
+    // bucketed form — the outer GROUP BY time carries into every arm
+    // (the rewrite REPLACES inner dims with the outer's, ast.go:4017):
+    // per-bucket rows full-outer join across arms, edges keep null
+    // history, an all-null row is never emitted
     val sub = run("SELECT compare(sum, 60) FROM (SELECT sum(value) " +
+      "FROM cpu WHERE host = 'server01' GROUP BY time(1m)) " +
+      "GROUP BY time(1m)")
+      .select("time", "sum1", "sum2")
+      .as[(Long, Option[Double], Option[Double])].collect().toSeq
+    assert(sub == Seq(
+      (0L, Some(10.0), None),
+      (60000L, Some(20.0), Some(10.0)),
+      (120000L, Some(30.0), Some(20.0)),
+      (180000L, None, Some(30.0))))
+    // a dimensionless outer over the same bucketed inner compares
+    // GLOBAL sums — the inner's GROUP BY time is discarded by the
+    // dims replacement, exactly the reference's rewrite
+    val glob = run("SELECT compare(sum, 60) FROM (SELECT sum(value) " +
       "FROM cpu WHERE host = 'server01' GROUP BY time(1m))")
       .select("time", "sum1", "sum2")
       .as[(Long, Option[Double], Option[Double])].collect().toSeq
-    assert(sub.contains((60000L, Some(20.0), Some(10.0))))
-    assert(sub.contains((120000L, Some(30.0), Some(20.0))))
+    assert(glob == Seq((0L, Some(60.0), Some(60.0))))
     // time-BOUNDED compare takes the shifted-catalog path: the history
     // arm must bring in rows from BEFORE the query window ([min−k, max−k]
-    // in the reference's BuildCompareStatement) — here t=60s compares
-    // against the t=0 row the window itself excludes
+    // in the reference's BuildCompareStatement) — here the collapsed
+    // row's history value is the t=0 row the window itself excludes
     val bounded = run("SELECT compare(value, 60) FROM cpu WHERE " +
       "host = 'server01' AND time >= 60000000000")
       .select("time", "value1", "value2")
       .as[(Long, Option[Double], Option[Double])].collect().toSeq
-    assert(bounded.contains((60000L, Some(20.0), Some(10.0))),
+    assert(bounded == Seq((60000L, Some(20.0), Some(10.0))),
       s"history arm lost the pre-window row: $bounded")
-    assert(bounded.contains((120000L, Some(30.0), Some(20.0))))
   }
 
   test("hint comments /*+ … */ lex away cleanly (scanner.go HINT)") {
