@@ -178,7 +178,7 @@ object Bench {
       val firstS = (System.nanoTime() - tF0) / 1e9
       val reps = if (flapReps.contains(name)) 5 else 3
       val gc0 = gcMs()
-      val times = (0 until reps).map { k =>
+      def timedRep(k: Int): Double = {
         sc.setJobGroup(s"bench-$name-$k", name)
         val t0 = System.nanoTime()
         try run()
@@ -189,6 +189,25 @@ object Bench {
         if (checkpointHeavy.contains(name)) System.gc()
         s
       }
+      def spreadOf(ts: Seq[Double]): Double = {
+        val v = ts.sorted
+        val m = v(v.length / 2)
+        if (m > 0) (v.last - v.head) / m * 100.0 else 0.0
+      }
+      val times = scala.collection.mutable.ArrayBuffer[Double]()
+      (0 until reps).foreach(k => times += timedRep(k))
+      // Auto-requeue: a rep set whose (max−min)/median exceeds 100% is
+      // state- or load-sensitive — one stalled rep must not become the
+      // published number (the round-16 driver artifact carried a 65 s
+      // q93 median from exactly such a window; quiet runs measure
+      // 2.3 s). Up to 2 extra reps either pull the median back to the
+      // query's real cost or leave the final spread documenting
+      // persistent noise for the reader.
+      var extra = 0
+      while (err.isEmpty && spreadOf(times.toSeq) > 100.0 && extra < 2) {
+        times += timedRep(reps + extra)
+        extra += 1
+      }
       val gcDeltaMs = gcMs() - gc0
       // job count from the LAST timed run: for cached pure plans every
       // run schedules the same jobs, and for impure queries (sink
@@ -198,12 +217,12 @@ object Bench {
       // undercount them
       val jobs = sc.statusTracker
         .getJobIdsForGroup(s"bench-$name-${times.length - 1}").length
-      val sorted = times.sorted
+      val sorted = times.toSeq.sorted
       val medianT = sorted(sorted.length / 2)
       // (max−min)/median over the timed reps: intra-run reproducibility.
-      // A >100% spread marks the number as state-sensitive even when the
-      // floor was stable — exactly the blindness the round-13 verdict
-      // called out in the floor gate.
+      // A >100% FINAL spread (after requeue) marks the number as
+      // state-sensitive even when the floor was stable — exactly the
+      // blindness the round-13 verdict called out in the floor gate.
       val spreadPct =
         if (medianT > 0) (sorted.last - sorted.head) / medianT * 100.0
         else 0.0
@@ -214,7 +233,7 @@ object Bench {
       // 4 reps × N rounds of dead blocks stay resident (the round-14
       // q105/q110 inflation)
       System.gc()
-      QRes(name, medianT, math.max(jobs, 1), err, firstS, reps,
+      QRes(name, medianT, math.max(jobs, 1), err, firstS, times.length,
         spreadPct, gcDeltaMs)
     }
     sampleFloor(5)
@@ -328,6 +347,6 @@ object Bench {
       else s"\"${short(q.name)}\":${r2(q.s)}"
     }.mkString("{", ",", "}")
     val sfName = sfDir.split('/').last
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfName","floor_s":${r3(floorS)},"floor_drift_pct":${r2(floorDriftPct)},"oracle_total_s":${r3(oracleTotal)},"within2x_adj":$within2x,"within2x_jobs_adj":$within2xJobs,"n_baseline":${ratios.size},"n_err":${errored.size}}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfName","floor_s":${r3(floorS)},"floor_drift_pct":${r2(floorDriftPct)},"floor_stable":$floorStable,"oracle_total_s":${r3(oracleTotal)},"within2x_adj":$within2x,"within2x_jobs_adj":$within2xJobs,"n_baseline":${ratios.size},"n_err":${errored.size}}""")
   }
 }

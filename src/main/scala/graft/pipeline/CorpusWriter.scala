@@ -71,7 +71,23 @@ object CorpusWriter {
       .write.mode(SaveMode.Overwrite)
       .partitionBy("shard")
       .parquet(s"$outDir/data")
-    val manifest = sharded.groupBy(col("shard"))
+    // The manifest aggregates the WRITTEN files, not the source plan:
+    // `sharded` would re-read and re-tokenize the whole corpus a third
+    // time (tokenCount + xxhash64 over every text), while the data
+    // files already carry _ntok and _h — the manifest pass is then a
+    // columnar scan of three small columns + the 8-byte shard shuffle,
+    // and it doubles as a read-back of what actually landed on disk.
+    // (empty corpus: no data files to infer a schema from — fall back
+    // to the source plan's empty aggregate)
+    // the declared schema skips the read-back's schema-inference job
+    // (the written layout is this plan's own schema; `shard` resolves
+    // as the partition column, declared long so no cast is needed)
+    val manifestSrc =
+      if (total == 0L) sharded
+      else docs.sparkSession.read.schema(sharded.schema)
+        .parquet(s"$outDir/data")
+    val manifest = manifestSrc
+      .groupBy(col("shard").cast("long").as("shard"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("_ntok")).as("n_tokens"),
         min(col(idCol)).as("min_id"),

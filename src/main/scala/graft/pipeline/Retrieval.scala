@@ -99,6 +99,10 @@ object Retrieval {
     // inner join was measured 36% slower at ×10 (the fan-out multiplies
     // every shuffled occurrence by its query count); two broadcast
     // builds of the small side are cheaper than one fatter exchange.
+    // (measured, round 17: the two broadcasts cannot collapse into one
+    // reused exchange — column pruning rewrites the semi build to a
+    // [term]-only subtree whatever shape is passed, so the builds never
+    // canonicalize equal. The distinct-shuffle below them IS reused.)
     bm25Scored(docs, textCol, idCol,
       expand = _.join(broadcast(qTerms.select(col("term"))),
         Seq("term"), "left_semi"),
