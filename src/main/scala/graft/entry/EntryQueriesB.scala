@@ -524,11 +524,17 @@ trait EntryQueriesB extends EntryBase {
         // reaches the parquet row groups) with no 600k-row shuffle.
         // DIRECTED frame — Graph symmetrizes (undirected=true below), so
         // the source is scanned/cached once, not twice.
+        // cache partition count derives from INPUT SIZE (~32 MB of
+        // (long, long) pairs per cached batch): a fixed coalesce(4) was
+        // right for sf0.1's ~10 MB frame but starved the ×100 replica —
+        // 1 GB cached in 4 batches made every hop a 4-task scan on 32
+        // cores (measured 5.9 s; size-derived parts restore per-hop
+        // parallelism while small dirs keep the 4-launch floor)
+        val parts = math.max(4,
+          (graft.ExecProfile.dirBytes(dir) >> 25).toInt)
         li.select(col("l_partkey").cast("long").as("src"),
             (col("l_suppkey").cast("long") + 10000000L).as("dst"))
-          // compact cache: ~10 MB of (long, long) — 4 cached batches keep
-          // per-hop jobs at 4 task launches instead of one per scan split
-          .coalesce(4)
+          .coalesce(parts)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       })
       graft.operators.Graph.hops(edges, start = 1L, hopNum = 3,
