@@ -28,6 +28,10 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Ad-hoc JVM flags for forked runs (experiments: code-cache sizing, GC
+// logging) without editing the build: SPARK_GRAFT_JVM_EXTRA="-Xflag ..."
+javaOptions ++= sys.env.get("SPARK_GRAFT_JVM_EXTRA")
+  .map(_.split("\\s+").toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty)
 javaOptions ++= jdk17AddOpens ++ Seq(
   // arrow-memory-netty (Arrow IPC ingest) wants direct-buffer access,
   // same flag spark-submit's JavaModuleOptions injects

@@ -117,15 +117,17 @@ object Bench {
     // spread, GC delta) so a judged number explains itself.
     val flapReps = Set("q53_embedding_neardup", "q72_prom_counter_rate",
       "q73_promql_agg", "q122_hybrid_rrf", "q123_bigram_lm")
-    // localCheckpoint-heavy queries: every rep leaves a round of dead
-    // checkpoint blocks the ContextCleaner only frees after a GC —
-    // without an inter-rep collection the LAST rep measures a JVM
-    // carrying warmup+reps worth of blocks (the round-14/15 q105/q110
-    // inflation: 4.1 s → 6.0 s with identical plans). The GC runs
-    // OUTSIDE the timed window.
-    val checkpointHeavy = Set("q105_neardup_components",
-      "q106_dedup_keep_best", "q110_curation_e2e",
-      "q53_embedding_neardup")
+    // ALL block-manager housekeeping happens at QUERY BOUNDARIES, never
+    // between timed reps (round 17, measured): a System.gc() or a
+    // checkpoint release between reps makes the NEXT 1-3 reps 2-5×
+    // slower (q105 norelease/nogc warm reps 3.4/2.2/2.0 s; with
+    // inter-rep release+gc 7.4/5.0/5.6 s and first-rep spikes to 39 s —
+    // the forced full collection plus the cleaner's removal storm land
+    // inside the next timed window). The round-14/15 disease this
+    // machinery was built for (dead localCheckpoint blocks accumulating
+    // ACROSS queries, q106 2.8→6.1 s) only needs a GC edge between
+    // queries, which the boundary gc below provides — the warmup run
+    // then absorbs the perturbation before any timed rep starts.
     val gcBeans = java.lang.management.ManagementFactory
       .getGarbageCollectorMXBeans
     def gcMs(): Long = {
@@ -159,15 +161,15 @@ object Bench {
       def run(): Unit = {
         val df = fn(spark, sfDir)
         df.write.mode("overwrite").format("noop").save()
-        // checkpoint-heavy queries rebuild fresh localCheckpoint blocks
-        // per call (the plan cache's job probe keeps them uncached) —
-        // release this run's blocks deterministically instead of
-        // waiting for the ContextCleaner's GC edge (q106 grew 2.8 →
-        // 6.1 s across consecutive executions without this)
-        if (checkpointHeavy.contains(name))
-          SparkEntry.releaseCheckpoints(df)
       }
       var err: Option[String] = None
+      // Query-boundary housekeeping, BEFORE the warmup: one forced GC
+      // gives the ContextCleaner its edge to free the previous queries'
+      // dead checkpoint/broadcast blocks, and the warmup run absorbs
+      // the post-GC warm-back (deopt storms, cleaner removals) so no
+      // timed rep pays for it. Never inside the rep loop — see the
+      // housekeeping note above.
+      System.gc()
       // The warm-up run is TIMED (but never scored): first_s vs the
       // timed median is the query's cold/warm residency evidence —
       // first_s >> median means this run paid a cold build (hot tier,
@@ -186,7 +188,6 @@ object Bench {
           err = err.orElse(Some(e.getClass.getSimpleName)) }
         val s = (System.nanoTime() - t0) / 1e9
         sc.clearJobGroup()
-        if (checkpointHeavy.contains(name)) System.gc()
         s
       }
       def spreadOf(ts: Seq[Double]): Double = {
@@ -226,13 +227,6 @@ object Bench {
       val spreadPct =
         if (medianT > 0) (sorted.last - sorted.head) / medianT * 100.0
         else 0.0
-      // between queries (outside any timed region): give the
-      // ContextCleaner a GC edge so dropped localCheckpoint blocks from
-      // this query's reps actually free before the next query measures —
-      // the cleaner runs off weak references, and without a collection
-      // 4 reps × N rounds of dead blocks stay resident (the round-14
-      // q105/q110 inflation)
-      System.gc()
       QRes(name, medianT, math.max(jobs, 1), err, firstS, times.length,
         spreadPct, gcDeltaMs)
     }

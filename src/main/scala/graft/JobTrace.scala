@@ -29,12 +29,16 @@ object JobTrace {
         jobs.add(s"  job ${j.jobId}: stages=[${j.stageInfos.map(si => si.name + ":" + si.numTasks).mkString("; ")}]")
     })
     names.foreach { name =>
-      // warm-up run (jobs recorded but discarded below)
-      SparkEntry.queries(name)(spark, sfDir).count()
+      // noop write, NOT count() — count() prunes cardinality-neutral
+      // subtrees AND changes the job structure (round-12 lesson); the
+      // traced jobs must be the ones Bench's noop materialization runs
+      def mat(): Unit = SparkEntry.queries(name)(spark, sfDir)
+        .write.mode("overwrite").format("noop").save()
+      mat() // warm-up run (jobs recorded but discarded below)
       Thread.sleep(200)
       jobs.clear()
       val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, sfDir).count()
+      mat()
       val s = (System.nanoTime() - t0) / 1e9
       Thread.sleep(300)
       println(f"[jobtrace] $name: $s%.3f s, ${jobs.size} jobs")

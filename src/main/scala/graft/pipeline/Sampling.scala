@@ -75,23 +75,23 @@ object Sampling {
     */
   def leakageSafeSplit(docs: DataFrame, textCol: String,
                        idCol: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(textCol))
     def hb(c: Column): Column =
       pmod(pmod(c, lit(2147483647L)) * lit(2654435761L), lit(2147483647L))
     def splitOf(c: Column): Column =
       when(hb(c) < SplitT1, "train")
         .when(hb(c) < SplitT2, "val")
         .otherwise("test")
-    val rows = docs
-      .withColumn("rep", min(col(idCol)).over(w))
-      .select(col(idCol).as("doc_id"), col("rep"),
-        splitOf(col("rep")).as("split"),
-        splitOf(col(idCol)).as("naive_split"))
-    val perCluster = rows.groupBy(col("rep"), col("split"))
-      .agg(count(lit(1)).as("_n"),
-        countDistinct(col("naive_split")).as("_ns"))
-    perCluster.groupBy(col("split"))
+    // One aggregation per exact-text cluster instead of a window-min plus
+    // a second (rep, split) aggregation (round 17): the representative
+    // min(id) is unique per text group (each min id belongs to exactly
+    // one group), so grouping by text IS grouping by cluster — the
+    // window's full sort-shuffle of every (text, id) row collapses into
+    // one partially-aggregated exchange, and the (rep, split) re-shuffle
+    // disappears outright. Same rows, same schema, oracle-identical.
+    val perCluster = docs.groupBy(col(textCol))
+      .agg(min(col(idCol)).as("rep"), count(lit(1)).as("_n"),
+        countDistinct(splitOf(col(idCol))).as("_ns"))
+    perCluster.groupBy(splitOf(col("rep")).as("split"))
       .agg(sum(col("_n")).as("n_docs"),
         count(lit(1)).as("n_clusters"),
         sum(when(col("_ns") > 1, 1L).otherwise(0L)).as("naive_leaked"))
