@@ -54,7 +54,17 @@ object ExecProfile {
     })
 
   /** Apply the input-size profile for a query over `dir`. Runtime confs
-    * only — the session's builder-time settings are untouched. */
+    * only — the session's builder-time settings are untouched.
+    *
+    * Round-17 note: a "compute-heavy" variant that fanned the text-
+    * pipeline queries out to defaultParallelism shuffle partitions under
+    * the small profile was tried and MEASURED WORSE (interleaved A/B at
+    * sf0.1: q123 warm reps 12-30 s at 32 partitions vs 2.7-5.2 s at 8;
+    * q93 likewise ~2×) — on a steal-prone virtualized host, 4× more
+    * short tasks multiply scheduling jitter where 8 longer tasks ride it
+    * out; the per-stage exec/wall ratios that motivated the idea were
+    * GC-inflated task times, not idle-core headroom. The 8-partition
+    * small fan-out stands. */
   def tune(spark: SparkSession, dir: String): Unit = {
     val small = dirBytes(dir) < smallInputBytes
     spark.conf.set("spark.sql.adaptive.enabled", (!small).toString)

@@ -28,6 +28,21 @@ trait EntryBase {
     Tables.table(s, dir, name)
   protected def ts(lit0: String): Column = lit(lit0).cast("timestamp")
 
+  /** Total order for a BOUNDED-SMALL result without the global sort's
+    * range-partition sampling job: one round-robin shuffle to a single
+    * partition + in-partition sort — the q63 shape, now shared (round
+    * 17). A final `orderBy` plans as RangePartitioning, whose bounds are
+    * computed by a separate job that re-executes the whole final stage;
+    * on a result of a few rows that job is pure floor. Identical rows
+    * and order to `orderBy(cols…)`. Use ONLY where the result stays
+    * bounded at any corpus size (grouped by low-cardinality dims, k-
+    * bounded rankings, fixed spines) — per-point/per-doc outputs keep
+    * the scalable range sort. */
+  protected def sorted1(df: DataFrame, cols: Column*): DataFrame =
+    df.repartition(1).sortWithinPartitions(cols: _*)
+  protected def sorted1(df: DataFrame, c0: String, cN: String*): DataFrame =
+    sorted1(df, (c0 +: cN).map(col): _*)
+
   // events-table epoch bounds for fill spines: [2024-01-01, 2024-01-31) UTC
   protected val EvStartMs = 1704067200000L
   protected val EvEndMs = 1706659200000L

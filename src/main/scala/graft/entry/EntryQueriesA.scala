@@ -26,7 +26,9 @@ trait EntryQueriesA extends EntryBase {
             .as("sum_disc_price"),
           davg(col("l_quantity")).as("avg_qty"),
           count(lit(1)).as("n_rows"))
-        .orderBy("l_returnflag", "l_linestatus")
+        // ≤9 (flag × status) rows: single-partition total order skips
+        // the range-sort sampling job (EntryBase.sorted1)
+        .transform(sorted1(_, "l_returnflag", "l_linestatus"))
     }),
 
     // §2.2 filter/project + §2.6 global sort/limit; filters push to parquet.
@@ -68,8 +70,12 @@ trait EntryQueriesA extends EntryBase {
       // nation⋈region pre-joined INSIDE one broadcast subtree: a 25×5-row
       // dim join costs nothing, and one broadcast exchange (= one build
       // job, one executor-side relation) replaces two — the same shape a
-      // snowflake dim hierarchy should take at any scale
-      val dims = broadcast(t(s, dir, "nation")
+      // snowflake dim hierarchy should take at any scale. The broadcast
+      // follows the profile (round 17): on the small path the build is
+      // its own scheduled job — a full extra floor for a 25-row dim —
+      // while an in-job 25-row shuffle join costs microseconds; at scale
+      // the hint stays.
+      val dims = graft.ExecProfile.maybeBroadcast(t(s, dir, "nation")
         .join(t(s, dir, "region"),
           col("n_regionkey") === col("r_regionkey")))
       liAgg.join(ord, col("l_orderkey") === col("o_orderkey"))
@@ -80,7 +86,7 @@ trait EntryQueriesA extends EntryBase {
         .groupBy(col("r_name"), col("n_name"))
         .agg(sum(col("_rev0")).cast("double").as("revenue"),
           sum(col("_n0")).as("n_items"))
-        .orderBy("r_name", "n_name")
+        .transform(sorted1(_, "r_name", "n_name")) // ≤25 (region×nation) rows
     }),
 
     // §2.3 IN-subquery → left-semi join (reference in_transform.go).
@@ -135,7 +141,7 @@ trait EntryQueriesA extends EntryBase {
         Seq("event_type"))
       fl.withColumn("rate", (col("last") - col("first")) /
           ((col("last_t_us") - col("first_t_us")).cast("double") / 1e6))
-        .orderBy("event_type")
+        .transform(sorted1(_, "event_type")) // ≤5 tag rows
     }),
 
     // §2.4 GROUP BY tags, time(1h) — the core openGemini query shape.
@@ -145,7 +151,7 @@ trait EntryQueriesA extends EntryBase {
           Seq(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"),
             davg(col("value")).as("avg_value")))
         .select("event_type", "wstart_ms", "n", "sum_value", "avg_value")
-        .orderBy("event_type", "wstart_ms")
+        .transform(sorted1(_, "event_type", "wstart_ms")) // spine-bounded
     }),
 
     // §2.5 difference().
@@ -193,7 +199,7 @@ trait EntryQueriesA extends EntryBase {
           Seq("event_type"),
           Seq(count(lit(1)).as("n"), dsum(col("value")).as("sum_value")))
         .select("event_type", "wstart_ms", "n", "sum_value")
-        .orderBy("event_type", "wstart_ms")
+        .transform(sorted1(_, "event_type", "wstart_ms")) // spine-bounded
     }),
 
     // §2.6 per-series LIMIT (first 3 points per series).
@@ -212,7 +218,7 @@ trait EntryQueriesA extends EntryBase {
       Fill.fillPrevious(agg, Seq("avg_value"), Seq("event_type"),
           EvStartMs, EvEndMs, HourMs)
         .select("event_type", "wstart_ms", "avg_value")
-        .orderBy("event_type", "wstart_ms")
+        .transform(sorted1(_, "event_type", "wstart_ms")) // spine-bounded
     }),
 
     // fill(linear): interpolate interior gaps, null edges.
@@ -223,7 +229,7 @@ trait EntryQueriesA extends EntryBase {
       Fill.fillLinear(agg, "avg_value", Seq("event_type"),
           EvStartMs, EvEndMs, HourMs)
         .select("event_type", "wstart_ms", "avg_value")
-        .orderBy("event_type", "wstart_ms")
+        .transform(sorted1(_, "event_type", "wstart_ms")) // spine-bounded
     }),
 
     // §2.7 CTE + join + global top-k.
@@ -247,7 +253,7 @@ trait EntryQueriesA extends EntryBase {
             .as("promo_revenue"),
           dsum(rev, 6).as("total_revenue"), count(lit(1)).as("n_items"))
         .withColumn("promo_share", col("promo_revenue") / col("total_revenue"))
-        .orderBy("ship_year")
+        .transform(sorted1(_, "ship_year")) // ≤7 year rows
     }),
 
     // §2.4 percentile (exact) + spread + stddev.
@@ -261,7 +267,7 @@ trait EntryQueriesA extends EntryBase {
           max(col("l_quantity")).as("max_qty"),
           (max(col("l_quantity")) - min(col("l_quantity"))).as("spread"),
           round(stddev(col("l_quantity")), 6).as("stddev_qty"))
-        .orderBy("l_returnflag")
+        .transform(sorted1(_, "l_returnflag")) // 3 flag rows
     }),
 
     // §2.8 scalar string functions.
@@ -295,7 +301,7 @@ trait EntryQueriesA extends EntryBase {
           dsum(col("f.mean_word_len"), 8).as("sum_mwl"),
           dsum(col("f.punct_ratio"), 8).as("sum_punct"),
           dsum(col("f.stopword_ratio"), 8).as("sum_stop"))
-        .orderBy("lang")
+        .transform(sorted1(_, "lang")) // ≤5 lang rows
     }),
 
     // pipeline: BPE-ish + whitespace token counting per source.
@@ -306,7 +312,7 @@ trait EntryQueriesA extends EntryBase {
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_bpe")).as("sum_bpe"),
           sum(col("n_ws")).as("sum_ws"))
-        .orderBy("source")
+        .transform(sorted1(_, "source")) // ≤5 source rows
     }),
 
     // pipeline: language-ID heuristic (argmax of marker-word scores) vs the
@@ -325,7 +331,7 @@ trait EntryQueriesA extends EntryBase {
         .filter(col("rn") === 1)
         .groupBy(col("lang"), col("plang").as("predicted"))
         .agg(count(lit(1)).as("n_docs"))
-        .orderBy("lang", "predicted")
+        .transform(sorted1(_, "lang", "predicted")) // ≤25 confusion cells
     }),
 
     // pipeline: exact ANN baseline — brute-force cosine top-5 for 8 queries.
@@ -334,7 +340,7 @@ trait EntryQueriesA extends EntryBase {
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 8),
           "embedding", "vec_id", 5)
         .withColumn("cos", round(col("cos"), 6))
-        .orderBy("query_id", "rank")
+        .transform(sorted1(_, "query_id", "rank")) // 40 k-bounded rows
     }),
 
     // pipeline: MinHash+LSH near-dup candidate pairs (no SQL oracle —
@@ -356,7 +362,7 @@ trait EntryQueriesA extends EntryBase {
     "q30_slimit" -> ((s, dir) => {
       SeriesOps.slimit(t(s, dir, "events"), Seq("event_type"), 3)
         .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
-        .orderBy("event_type")
+        .transform(sorted1(_, "event_type")) // ≤3 series rows
     }),
 
     // §2.4 distinct / count(distinct).
@@ -365,7 +371,7 @@ trait EntryQueriesA extends EntryBase {
         .agg(countDistinct(col("l_partkey")).as("n_parts"),
           countDistinct(col("l_suppkey")).as("n_supps"),
           count(lit(1)).as("n_rows"))
-        .orderBy("l_returnflag")
+        .transform(sorted1(_, "l_returnflag")) // 3 flag rows
     }),
 
     // §2.4 mode: most frequent value, deterministic tie-break (smallest).
@@ -379,7 +385,7 @@ trait EntryQueriesA extends EntryBase {
         .filter(col("rn") === 1)
         .select(col("l_returnflag"), col("l_quantity").as("mode_qty"),
           col("cnt").as("mode_n"))
-        .orderBy("l_returnflag")
+        .transform(sorted1(_, "l_returnflag")) // 3 flag rows
     }),
 
     // §2.3 FULL OUTER join on tag columns.
@@ -392,7 +398,7 @@ trait EntryQueriesA extends EntryBase {
         .select(coalesce(col("c_nationkey"), col("s_nationkey")).as("nationkey"),
           coalesce(col("n_cust"), lit(0L)).as("n_cust"),
           coalesce(col("n_supp"), lit(0L)).as("n_supp"))
-        .orderBy("nationkey")
+        .transform(sorted1(_, "nationkey")) // ≤25 nation rows
     }),
 
     // §2.8 JSON extraction from the events props column.
@@ -403,7 +409,7 @@ trait EntryQueriesA extends EntryBase {
         .groupBy(col("event_type"))
         .agg(count(col("k_val")).as("n"), sum(col("k_val")).as("sum_k"),
           max(col("k_val")).as("max_k"))
-        .orderBy("event_type")
+        .transform(sorted1(_, "event_type")) // ≤5 tag rows
     }),
 
     // §2.10 UNNEST(match_all(regex)) — per-row capture-group extraction.
@@ -429,7 +435,7 @@ trait EntryQueriesA extends EntryBase {
           signum(col("l_discount") - lit(0.05)).cast("long").as("sgn_disc"),
           GeminiFunctions.truncate(col("l_extendedprice") / lit(100.0))
             .cast("long").as("trunc_price"))
-        .orderBy("l_orderkey", "l_linenumber")
+        .transform(sorted1(_, "l_orderkey", "l_linenumber")) // bounded by the literal key filter
     }),
 
     // §2.7 UNION ALL BY NAME (column matching by name, not position).
@@ -440,7 +446,7 @@ trait EntryQueriesA extends EntryBase {
         col("s_name").as("label"), col("s_suppkey").as("id"))
       a.unionByName(b)
         .groupBy(col("src")).agg(count(lit(1)).as("n"), min(col("id")).as("min_id"))
-        .orderBy("src")
+        .transform(sorted1(_, "src")) // 2 source rows
     }),
 
     // §2.8 IP functions — codegen'd Column forms (the UDF forms cost 43×
@@ -479,7 +485,8 @@ trait EntryQueriesA extends EntryBase {
           EvStartMs, EvEndMs, HourMs)
         .withColumn("absent", when(col("n").isNull, lit(1)))
         .select("event_type", "wstart_ms", "absent")
-        .orderBy("event_type", "wstart_ms")
+        // spine-bounded result (5 types × 744 buckets)
+        .transform(sorted1(_, "event_type", "wstart_ms"))
     }),
 
     // §2.5 exponential_moving_average(f, 10): final EMA per series (the
@@ -505,7 +512,7 @@ trait EntryQueriesA extends EntryBase {
       Smoothing.holtWinters(hourly, "avg_value", "wstart_ms",
           Seq("event_type"), h = 24, m = 24)
         .select(col("event_type"), col("_t").as("t_ms"), col("hw"))
-        .orderBy("event_type", "t_ms")
+        .transform(sorted1(_, "event_type", "t_ms")) // spine+forecast-bounded
     }),
 
     // §2.5 irate: rate from the last two points per series.
@@ -537,7 +544,7 @@ trait EntryQueriesA extends EntryBase {
         "png", "image/png")
         .select(col("source"), col("media_meta.width").as("png_w"),
           col("media_meta.height").as("png_h"))
-      agg.join(fixtures, "source").orderBy("source")
+      agg.join(fixtures, "source").transform(sorted1(_, "source")) // ≤5 source rows
     }),
 
     // §2.4 topn heavy hitters (exact form of topn_ddcm): top-3 users by
@@ -552,7 +559,7 @@ trait EntryQueriesA extends EntryBase {
           Seq("event_type"), 3)
         .select(col("event_type"), col("rank_in_series").as("rnk"),
           col("user_id"), col("cnt"))
-        .orderBy("event_type", "rnk")
+        .transform(sorted1(_, "event_type", "rnk")) // 15 k-bounded rows
     }),
 
     // §2.4 count_values (PromQL): occurrences of each rounded value.
@@ -560,7 +567,7 @@ trait EntryQueriesA extends EntryBase {
       t(s, dir, "events")
         .groupBy(col("event_type"), round(col("value"), 0).as("value_bucket"))
         .agg(count(lit(1)).as("n"))
-        .orderBy("event_type", "value_bucket")
+        .transform(sorted1(_, "event_type", "value_bucket")) // value-domain-bounded histogram
     }),
 
     // §2.4 sample(n): systematic every-kth-point sample per series
@@ -601,7 +608,7 @@ trait EntryQueriesA extends EntryBase {
           Seq("event_type", "short"))
         .groupBy(col("event_type"), col("short"), col("joined"))
         .agg(count(lit(1)).as("n"))
-        .orderBy("event_type")
+        .transform(sorted1(_, "event_type")) // ≤5 label rows
     }),
 
     // PromQL time functions (§2.5).
@@ -612,7 +619,7 @@ trait EntryQueriesA extends EntryBase {
         .groupBy(col("day_of_week"), col("days_in_month"))
         .agg(count(lit(1)).as("n"), countDistinct(col("day_of_month")).as("n_days"),
           min(col("hour")).as("min_hour"), max(col("minute")).as("max_minute"))
-        .orderBy("day_of_week")
+        .transform(sorted1(_, "day_of_week")) // ≤7×2 calendar rows
     }),
 
     // PromQL histogram_quantile over cumulative le-buckets (§2.4).
@@ -631,7 +638,7 @@ trait EntryQueriesA extends EntryBase {
           array(les.map(lit): _*), col("i") + 1)).drop("i")
       PromFunctions.histogramQuantile(unpivoted, 0.9, Seq("event_type"))
         .withColumn("quantile", round(col("quantile"), 6))
-        .orderBy("event_type")
+        .transform(sorted1(_, "event_type")) // ≤5 tag rows
     }),
 
     // SHOW SERIES (meta surface): distinct tag sets of the measurement.
@@ -671,7 +678,7 @@ trait EntryQueriesA extends EntryBase {
         .select(explode(col("hits")).as("hit"))
         .select(col("hit.rnk").as("rnk"), col("hit.key").as("k"),
           col("hit.est").as("est"))
-        .orderBy("rnk")
+        .transform(sorted1(_, "rnk")) // 5 k-bounded rows
     }),
 
     // §2.4 approx sketch built-ins (HLL distinct + quantile sketch) —
@@ -681,7 +688,7 @@ trait EntryQueriesA extends EntryBase {
         .agg(approx_count_distinct(col("user_id")).as("approx_users"),
           expr("percentile_approx(value, 0.5, 1000)").as("approx_median"),
           countDistinct(col("user_id")).as("exact_users"))
-        .orderBy("event_type")
+        .transform(sorted1(_, "event_type")) // ≤5 tag rows
     }),
 
     // §2.5 PromQL range vectors: *_over_time + delta/rate at step evals.
@@ -690,7 +697,7 @@ trait EntryQueriesA extends EntryBase {
           Seq("event_type"), range = "2 hours", step = "1 hour")
         .select("event_type", "eval_ms", "count_ot", "sum_ot", "avg_ot",
           "min_ot", "max_ot", "delta", "rate")
-        .orderBy("event_type", "eval_ms")
+        .transform(sorted1(_, "event_type", "eval_ms")) // eval-grid-bounded
     }),
 
     // §2.5 PromQL changes()/resets() — ordered in-window pair folds,
@@ -699,7 +706,7 @@ trait EntryQueriesA extends EntryBase {
       PromRange.changesResets(t(s, dir, "events"), "ts", "value",
           Seq("event_type"), range = "2 hours", step = "1 hour")
         .select("event_type", "eval_ms", "changes", "resets")
-        .orderBy("event_type", "eval_ms")
+        .transform(sorted1(_, "event_type", "eval_ms")) // eval-grid-bounded
     }),
 
     // pipeline: token-window chunking with overlap (one row per chunk).
@@ -724,7 +731,7 @@ trait EntryQueriesA extends EntryBase {
             .as("n_redacted"),
           sum(length(col("text")).cast("long")).as("chars_in"),
           sum(length(col("red")).cast("long")).as("chars_out"))
-        .orderBy("source")
+        .transform(sorted1(_, "source")) // ≤5 source rows
     }),
 
     // pipeline: quality-gate retention per language.
@@ -737,7 +744,7 @@ trait EntryQueriesA extends EntryBase {
           sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
         .withColumn("retention",
           col("n_kept").cast("double") / col("n_docs"))
-        .orderBy("lang")
+        .transform(sorted1(_, "lang")) // ≤5 lang rows
     }),
 
     // §2.4 castor_ad slot: per-series anomaly detection through the

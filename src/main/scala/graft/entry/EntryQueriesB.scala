@@ -165,7 +165,7 @@ trait EntryQueriesB extends EntryBase {
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 4), "embedding",
           "vec_id", cents, nprobe = 6, k = 5)
         .withColumn("cos", round(col("cos"), 6))
-        .orderBy("query_id", "rank")
+        .transform(sorted1(_, "query_id", "rank")) // 20 k-bounded rows
     }),
 
     // pipeline: END-TO-END CURATION — the composed pretraining-data pass:
@@ -253,7 +253,7 @@ trait EntryQueriesB extends EntryBase {
       Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 4), "embedding",
           "vec_id", cents, cbs, dim = 64, nprobe = 6, k = 5, refine = 24)
         .withColumn("cos", round(col("cos"), 6))
-        .orderBy("query_id", "rank")
+        .transform(sorted1(_, "query_id", "rank")) // 20 k-bounded rows
     }),
 
     // pipeline: LSH-bucketed ANN — the 100 TB top-k path (bucket
@@ -267,7 +267,7 @@ trait EntryQueriesB extends EntryBase {
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 4), "embedding",
           "vec_id", dim = 64, planes = 16, k = 5, bands = 8)
         .withColumn("cos", round(col("cos"), 6))
-        .orderBy("query_id", "rank")
+        .transform(sorted1(_, "query_id", "rank")) // 20 k-bounded rows
     }),
 
     // §3.1 InfluxQL grammar completion (sql.y:656-699, :753-769,
@@ -469,7 +469,7 @@ trait EntryQueriesB extends EntryBase {
           countDistinct(
             graft.pipeline.TextAnalysis.fingerprint(col("text")))
             .as("n_unique"))
-        .orderBy("lang")
+        .transform(sorted1(_, "lang")) // ≤5 lang rows
     }),
 
     // §2.8 InfluxQL scalar math functions (query/math.go): inside
@@ -851,7 +851,7 @@ trait EntryQueriesB extends EntryBase {
       d.withColumn("_cum", sum(col("n_tok")).over(w))
         .filter(col("_cum") <= 2000)
         .select(col("lang"), col("doc_id"), col("n_tok"))
-        .orderBy("lang", "doc_id")
+        .transform(sorted1(_, "lang", "doc_id")) // token-budget-bounded rows
     }),
 
     // §3.1 compare(f, offsetSecs): period-over-period comparison e2e
@@ -983,7 +983,7 @@ trait EntryQueriesB extends EntryBase {
           2147483647.0 < col("rate"))
         .groupBy(col("lang")).agg(max(col("n_orig")).as("n_orig"),
           count(lit(1)).as("n_sampled"))
-        .orderBy("lang")
+        .transform(sorted1(_, "lang")) // ≤5 lang rows
     }),
 
     // pipeline: SemDeDup (Abbas '23) — k-means-cluster the embeddings
@@ -1029,7 +1029,7 @@ trait EntryQueriesB extends EntryBase {
     "q121_bm25_topk" -> ((s, dir) => {
       Retrieval.bm25TopK(t(s, dir, "documents"), "text", "doc_id",
           bm25Queries, k = 10)
-        .orderBy("query_id", "rank")
+        .transform(sorted1(_, "query_id", "rank")) // 40 k-bounded rows
     }),
 
     // pipeline: hybrid retrieval — BM25 arm fused with a dense cosine
@@ -1052,7 +1052,7 @@ trait EntryQueriesB extends EntryBase {
         .select(col("query_id"), col("neighbor_id").as("doc_id"),
           col("rank"))
       Retrieval.rrfFuse(lex, dense, c = 60, k = 10)
-        .orderBy("query_id", "rank")
+        .transform(sorted1(_, "query_id", "rank")) // 40 k-bounded rows
     }),
 
     // pipeline: CCNet LM-quality bucketing (Wenzek '20) — score every
@@ -1101,7 +1101,7 @@ trait EntryQueriesB extends EntryBase {
       Similarity.mmrRerank(emb.filter(col("vec_id") >= 4),
           emb.filter(col("vec_id") < 4), "embedding", "vec_id",
           kCand = 20, kOut = 10, lambda = 0.7)
-        .orderBy("query_id", "rank")
+        .transform(sorted1(_, "query_id", "rank")) // 40 k-bounded rows
     }),
 
     // §2.3-adjacent: as-of join — each click joined to the user's most

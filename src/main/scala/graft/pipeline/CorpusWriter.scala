@@ -86,6 +86,10 @@ object CorpusWriter {
       if (total == 0L) sharded
       else docs.sparkSession.read.schema(sharded.schema)
         .parquet(s"$outDir/data")
+    // No orderBy here: a global sort pays a range-partition sampling job
+    // that re-runs the aggregation; the inline path sorts the collected
+    // rows on the driver (nShards-bounded) and the pointer path sorts
+    // only where the written layout needs it.
     val manifest = manifestSrc
       .groupBy(col("shard").cast("long").as("shard"))
       .agg(count(lit(1)).as("n_docs"),
@@ -93,7 +97,6 @@ object CorpusWriter {
         min(col(idCol)).as("min_id"),
         max(col(idCol)).as("max_id"),
         expr("bit_xor(_h)").as("checksum"))
-      .orderBy("shard")
     def writeJson(json: String): Unit = {
       val p = java.nio.file.Paths.get(outDir, "manifest.json")
       java.nio.file.Files.createDirectories(p.getParent)
@@ -102,14 +105,15 @@ object CorpusWriter {
     if (nShards > maxManifestRows) {
       // pointer path: shard rows stay distributed (checksum as string —
       // JSON doubles round past 2^53)
-      manifest.withColumn("checksum", col("checksum").cast("string"))
+      manifest.orderBy("shard")
+        .withColumn("checksum", col("checksum").cast("string"))
         .write.mode(SaveMode.Overwrite).json(s"$outDir/manifest_shards")
       writeJson(s"""{"n_shards":$nShards,"total_tokens":$total,""" +
         s""""tokens_per_shard":$tokensPerShard,""" +
         s""""shards_file":"manifest_shards"}""")
-      manifest
+      manifest.orderBy("shard")
     } else {
-      val rows = manifest.collect()
+      val rows = manifest.collect().sortBy(_.getLong(0))
       val body = rows.map { r =>
         s"""{"shard":${r.getLong(0)},"n_docs":${r.getLong(1)},""" +
           s""""n_tokens":${r.getLong(2)},"min_id":${r.getLong(3)},""" +

@@ -66,10 +66,10 @@ object Sampling {
     * `naive_leaked` = clusters in this split whose members would have
     * landed in ≥2 different splits under the per-document hash.
     *
-    * Scale shape: one window-min over the text-hash shuffle (at 100 TB
-    * the partition key is `xxhash64(text)` — 8-byte shuffle; the raw
-    * text grouping here keeps the oracle joinable), then two reduced
-    * aggregates. Nothing collects; nothing is quadratic.
+    * Scale shape: one partially-aggregated text-keyed exchange (at
+    * 100 TB the grouping key is `xxhash64(text)` — 8-byte shuffle; the
+    * raw text grouping here keeps the oracle joinable), then one
+    * reduced aggregate. Nothing collects; nothing is quadratic.
     *
     * @return (split, n_docs, n_clusters, naive_leaked) ordered by split
     */
@@ -95,6 +95,8 @@ object Sampling {
       .agg(sum(col("_n")).as("n_docs"),
         count(lit(1)).as("n_clusters"),
         sum(when(col("_ns") > 1, 1L).otherwise(0L)).as("naive_leaked"))
-      .orderBy("split")
+      // 3 fixed split rows: single-partition total order, no range-
+      // sampling job
+      .repartition(1).sortWithinPartitions("split")
   }
 }
