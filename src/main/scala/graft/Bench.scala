@@ -116,7 +116,12 @@ object Bench {
     // entry carries its own reproducibility evidence (first_s, rep
     // spread, GC delta) so a judged number explains itself.
     val flapReps = Set("q53_embedding_neardup", "q72_prom_counter_rate",
-      "q73_promql_agg", "q122_hybrid_rrf", "q123_bigram_lm")
+      "q73_promql_agg", "q122_hybrid_rrf", "q123_bigram_lm",
+      // round 17: the localCheckpoint-heavy pipeline chain is the most
+      // exposed to this host's ambient-load windows (q93 measured 2.3 s
+      // quiet / 65 s in the round-16 driver window) — 5 reps give the
+      // median two sick-rep headroom instead of one
+      "q93_ngram_jaccard", "q105_neardup_components", "q110_curation_e2e")
     // ALL block-manager housekeeping happens at QUERY BOUNDARIES, never
     // between timed reps (round 17, measured): a System.gc() or a
     // checkpoint release between reps makes the NEXT 1-3 reps 2-5×

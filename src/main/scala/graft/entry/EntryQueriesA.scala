@@ -100,7 +100,7 @@ trait EntryQueriesA extends EntryBase {
         .join(hot, col("o_orderkey") === col("l_orderkey"), "left_semi")
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))
-        .orderBy("o_orderstatus")
+        .transform(sorted1(_, "o_orderstatus")) // 3 status rows
     }),
 
     // §2.3 NOT IN → left-anti join.
@@ -112,7 +112,7 @@ trait EntryQueriesA extends EntryBase {
           col("c_custkey") === col("o_custkey"), "left_anti")
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n_customers"), min(col("c_custkey")).as("min_custkey"))
-        .orderBy("c_mktsegment")
+        .transform(sorted1(_, "c_mktsegment")) // 5 segment rows
     }),
 
     // §2.7 UNION + distinct (reference union sort-append + Distinct()).
@@ -120,7 +120,7 @@ trait EntryQueriesA extends EntryBase {
       t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
         .union(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
         .distinct()
-        .orderBy("nationkey")
+        .transform(sorted1(_, "nationkey")) // ≤25 nation rows
     }),
 
     // §2.4 top(f,n) selector per group via the bounded-heap aggregate.
@@ -465,7 +465,7 @@ trait EntryQueriesA extends EntryBase {
           GeminiFunctions.isSubnetOfC(lit("10.0.0.0/8"), col("ip")))
         .withColumn("sub_min", GeminiFunctions.ipSubnetMinC(col("prefix16")))
         .withColumn("sub_max", GeminiFunctions.ipSubnetMaxC(col("prefix16")))
-        .orderBy("user_id")
+        .transform(sorted1(_, "user_id")) // tag-cardinality-bounded (distinct user ids — the SHOW TAG VALUES shape the reference materializes in one response)
     }),
 
     // §2.5 elapsed(1s).

@@ -217,7 +217,10 @@ trait EntryQueriesB extends EntryBase {
       val contaminated = kept
         .select(col("doc_id"), explode(Dedup.shingles(col("text"), 3))
           .as("gram"))
-        .join(broadcast(benchGrams), "gram")
+        // profile-following broadcast (round 17): on the small path the
+        // bench-gram broadcast build is its own scheduled job; in-job
+        // shuffle join is cheaper there, hint stays at scale
+        .join(graft.ExecProfile.maybeBroadcast(benchGrams), "gram")
         .select("doc_id").distinct()
       val clean = kept.filter(col("doc_id") % 50 =!= 0)
         .join(contaminated, Seq("doc_id"), "left_anti")
@@ -577,7 +580,7 @@ trait EntryQueriesB extends EntryBase {
       t(s, dir, "events").select(col("user_id")).distinct()
         .withColumn("cidr", concat(ip, lit("/"), p.cast("string")))
         .withColumn("range", rangeU(col("cidr")))
-        .orderBy("user_id")
+        .transform(sorted1(_, "user_id")) // tag-cardinality-bounded (distinct user ids)
     }),
 
     // SHOW TAG VALUES EXACT CARDINALITY (influxql/parser.go:1522-1545):
@@ -781,7 +784,7 @@ trait EntryQueriesB extends EntryBase {
         .filter(col("doc_id") % 50 === 0 && col("doc_id") < 100000000L)
         .select(col("doc_id").as("bench_id"), col("gram"))
       grams.filter(col("doc_id") % 50 =!= 0 || col("doc_id") >= 100000000L)
-        .join(broadcast(bench), "gram")
+        .join(graft.ExecProfile.maybeBroadcast(bench), "gram")
         .groupBy("doc_id")
         .agg(countDistinct(col("bench_id")).as("n_bench_hits"))
         .orderBy("doc_id")

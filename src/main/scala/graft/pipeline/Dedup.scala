@@ -354,9 +354,39 @@ object Dedup {
     // is pure scheduling overhead on ANY cluster, which is why
     // production CC implementations run exactly this hybrid (Kiveris
     // '14 §6 notes the small-graph cutoff too).
-    val nEdges = edges.count() // cheap: counts the checkpoint blocks
-    if (nEdges <= maxDriverEdges) {
-      val arr = edges.collect()
+    // Tier decision WITHOUT a count() job (round 17): the eager
+    // localCheckpoint above already materialized the edge blocks, so the
+    // block manager knows their size — read it from storage info instead
+    // of scheduling a count. A small-by-bytes frame collects directly;
+    // the EXACT row guard (maxDriverEdges) is then enforced on the
+    // collected array, so the path choice is row-exact as before. The
+    // byte gate is generous (≥64 B/edge of deserialized row overhead vs
+    // 16 B of payload), so a graph past the row guard almost always
+    // skips the collect too; the rare in-between graph wastes one
+    // bounded ≤192 MB collect before taking the distributed rounds —
+    // negligible against the rounds themselves. Missing storage info
+    // (evicted/disk-only edge cases) falls back to the counted gate.
+    val ckptBytes: Option[Long] =
+      try {
+        val ids = edges.queryExecution.optimizedPlan.collect {
+          case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+        }.toSet
+        val infos = pairs.sparkSession.sparkContext.getRDDStorageInfo
+          .filter(i => ids.contains(i.id))
+        if (infos.isEmpty) None
+        else Some(infos.map(i => i.memSize + i.diskSize).sum)
+      } catch { case _: Exception => None }
+    val collected: Option[Array[org.apache.spark.sql.Row]] =
+      ckptBytes match {
+        case Some(b) if b <= 192L * (1 << 20) =>
+          Some(edges.collect()).filter(_.length <= maxDriverEdges)
+        case Some(_) => None
+        case None =>
+          if (edges.count() <= maxDriverEdges) Some(edges.collect())
+          else None
+      }
+    if (collected.isDefined) {
+      val arr = collected.get
       val parent = new java.util.HashMap[Long, java.lang.Long]()
       def find(x0: Long): Long = {
         var x = x0
