@@ -22,10 +22,26 @@ class ScaleSpec extends SparkSpec {
     assert(scan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"))
   }
 
-  test("dimension joins broadcast, not shuffle") {
+  test("dimension joins broadcast at scale, stay in-job on the small profile") {
+    // round 17: q03's dim broadcast follows the profile
+    // (ExecProfile.maybeBroadcast) — on the small path a broadcast build
+    // is its own scheduled job for a 25-row dim, so the dims join runs
+    // in-job; at scale (auto-broadcast enabled) the hint stays.
     val q = SparkEntry.queries("q03_join_revenue")(spark, sf)
     val plan = planOf(q)
-    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("BroadcastExchange"),
+      "small profile must not schedule a broadcast-build job")
+    // the scale side of maybeBroadcast: with a broadcast threshold set,
+    // the same dim subtree plans as a BroadcastHashJoin
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try {
+      val dims = graft.ExecProfile.maybeBroadcast(
+        Tables.table(spark, sf, "nation").join(Tables.table(spark, sf, "region"),
+          $"n_regionkey" === $"r_regionkey"))
+      val j = Tables.table(spark, sf, "customer")
+        .join(dims, $"c_nationkey" === $"n_nationkey")
+      assert(planOf(j).contains("BroadcastHashJoin"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
   }
 
   test("bucketed tables join without a shuffle") {

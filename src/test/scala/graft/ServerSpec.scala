@@ -1502,7 +1502,8 @@ class ServerSpec extends SparkSpec {
               errors.add(s"own write $t/$i: ${w1.statusCode()} ${w1.body()}")
             val w2 = post("/write", s"stsh,host=h$t v=$i $ns")
             if (w2.statusCode() != 204)
-              errors.add(s"shared write $t/$i: ${w2.statusCode()}")
+              errors.add(
+                s"shared write $t/$i: ${w2.statusCode()} ${w2.body().take(160)}")
             // mixed readers while writers run: parquet-backed InfluxQL,
             // prom metadata, written-data query, ops surface
             val rs = Seq(
