@@ -102,6 +102,12 @@ object ExecProfile {
       spark.sparkContext.defaultParallelism.toString)
   }
 
+  /** Is the session currently tuned to the small-input profile? Reads
+    * the same runtime conf [[tune]] sets (AQE off ⇔ small path), so the
+    * answer always matches the profile the current query runs under. */
+  def isSmall(spark: SparkSession): Boolean =
+    spark.conf.get("spark.sql.adaptive.enabled") == "false"
+
   /** Broadcast `df` under the session's broadcast policy: the hint at
     * scale, a plain (shuffle) join under the small-query profile where a
     * broadcast build would be its own scheduled job. Use for operator-

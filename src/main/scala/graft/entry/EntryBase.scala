@@ -43,6 +43,21 @@ trait EntryBase {
   protected def sorted1(df: DataFrame, c0: String, cN: String*): DataFrame =
     sorted1(df, (c0 +: cN).map(col): _*)
 
+  /** Total order for results whose cardinality is DATA-DEPENDENT, not
+    * structural (distinct values of a high-cardinality tag, rounded-value
+    * histograms): the [[sorted1]] single-task shape only under the
+    * small-input profile — where the input-size gate itself bounds the
+    * result and the range sort's sampling job is pure floor — while the
+    * scale path keeps the scalable range-partitioned `orderBy` (at
+    * 100 TB a high-cardinality tag would otherwise funnel the whole
+    * result through one task — the q48 rule). Mirrors
+    * [[graft.ExecProfile.maybeBroadcast]]'s profile-following shape.
+    * Identical rows and total order on both paths. */
+  protected def sortedBounded(df: DataFrame, c0: String, cN: String*): DataFrame =
+    if (graft.ExecProfile.isSmall(df.sparkSession))
+      sorted1(df, (c0 +: cN).map(col): _*)
+    else df.orderBy((c0 +: cN).map(col): _*)
+
   // events-table epoch bounds for fill spines: [2024-01-01, 2024-01-31) UTC
   protected val EvStartMs = 1704067200000L
   protected val EvEndMs = 1706659200000L

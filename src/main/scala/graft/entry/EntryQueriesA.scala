@@ -465,7 +465,10 @@ trait EntryQueriesA extends EntryBase {
           GeminiFunctions.isSubnetOfC(lit("10.0.0.0/8"), col("ip")))
         .withColumn("sub_min", GeminiFunctions.ipSubnetMinC(col("prefix16")))
         .withColumn("sub_max", GeminiFunctions.ipSubnetMaxC(col("prefix16")))
-        .transform(sorted1(_, "user_id")) // tag-cardinality-bounded (distinct user ids — the SHOW TAG VALUES shape the reference materializes in one response)
+        // distinct-user_id cardinality is DATA-dependent (a high-card tag
+        // at 100 TB), not structural — single-task sort only on the
+        // small profile; scale keeps the range sort (round-18, the q48 rule)
+        .transform(sortedBounded(_, "user_id"))
     }),
 
     // §2.5 elapsed(1s).
@@ -544,7 +547,12 @@ trait EntryQueriesA extends EntryBase {
         "png", "image/png")
         .select(col("source"), col("media_meta.width").as("png_w"),
           col("media_meta.height").as("png_h"))
-      agg.join(fixtures, "source").transform(sorted1(_, "source")) // ≤5 source rows
+      // ≤5 source rows. Round-18 note: the round-17 "q44 regression" was
+      // re-measured with an interleaved in-JVM A/B of this final sort vs
+      // orderBy — the shapes are equivalent (repartition(1) ≤ orderBy in
+      // every interleaved rep); the real cost was ImageIO's per-row DISK
+      // stream cache in the decode stage (fixed in Multimodal.JdkCodec).
+      agg.join(fixtures, "source").transform(sorted1(_, "source"))
     }),
 
     // §2.4 topn heavy hitters (exact form of topn_ddcm): top-3 users by
@@ -567,7 +575,9 @@ trait EntryQueriesA extends EntryBase {
       t(s, dir, "events")
         .groupBy(col("event_type"), round(col("value"), 0).as("value_bucket"))
         .agg(count(lit(1)).as("n"))
-        .transform(sorted1(_, "event_type", "value_bucket")) // value-domain-bounded histogram
+        // the rounded-value histogram grows with the VALUE DOMAIN, not a
+        // fixed dim — single-task sort only on the small profile (round 18)
+        .transform(sortedBounded(_, "event_type", "value_bucket"))
     }),
 
     // §2.4 sample(n): systematic every-kth-point sample per series

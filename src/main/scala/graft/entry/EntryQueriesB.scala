@@ -217,10 +217,15 @@ trait EntryQueriesB extends EntryBase {
       val contaminated = kept
         .select(col("doc_id"), explode(Dedup.shingles(col("text"), 3))
           .as("gram"))
-        // profile-following broadcast (round 17): on the small path the
-        // bench-gram broadcast build is its own scheduled job; in-job
-        // shuffle join is cheaper there, hint stays at scale
-        .join(graft.ExecProfile.maybeBroadcast(benchGrams), "gram")
+        // UNCONDITIONAL broadcast of the small side (round 18, guide
+        // §3.1): the eval-gram set is fixed-size (MBs at 100 TB) while
+        // this side is the corpus-wide gram explosion — exactly the
+        // broadcast-the-small-side case. The round-17 profile-following
+        // variant (plain join on the small path) re-measured as a wash
+        // in an interleaved in-JVM A/B (plain 5.6–7.6 s vs broadcast
+        // 5.5–7.9 s warm), so the scale-correct shape holds on BOTH
+        // profiles and the plan no longer diverges by input size.
+        .join(broadcast(benchGrams), "gram")
         .select("doc_id").distinct()
       val clean = kept.filter(col("doc_id") % 50 =!= 0)
         .join(contaminated, Seq("doc_id"), "left_anti")
@@ -580,7 +585,9 @@ trait EntryQueriesB extends EntryBase {
       t(s, dir, "events").select(col("user_id")).distinct()
         .withColumn("cidr", concat(ip, lit("/"), p.cast("string")))
         .withColumn("range", rangeU(col("cidr")))
-        .transform(sorted1(_, "user_id")) // tag-cardinality-bounded (distinct user ids)
+        // distinct-user_id cardinality is DATA-dependent — single-task
+        // sort only on the small profile; scale keeps the range sort
+        .transform(sortedBounded(_, "user_id"))
     }),
 
     // SHOW TAG VALUES EXACT CARDINALITY (influxql/parser.go:1522-1545):
@@ -784,7 +791,9 @@ trait EntryQueriesB extends EntryBase {
         .filter(col("doc_id") % 50 === 0 && col("doc_id") < 100000000L)
         .select(col("doc_id").as("bench_id"), col("gram"))
       grams.filter(col("doc_id") % 50 =!= 0 || col("doc_id") >= 100000000L)
-        .join(graft.ExecProfile.maybeBroadcast(bench), "gram")
+        // unconditional broadcast of the fixed-size eval grams (round 18,
+        // guide §3.1 — same reasoning and A/B evidence as q110)
+        .join(broadcast(bench), "gram")
         .groupBy("doc_id")
         .agg(countDistinct(col("bench_id")).as("n_bench_hits"))
         .orderBy("doc_id")

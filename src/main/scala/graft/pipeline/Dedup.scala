@@ -357,31 +357,36 @@ object Dedup {
     // Tier decision WITHOUT a count() job (round 17): the eager
     // localCheckpoint above already materialized the edge blocks, so the
     // block manager knows their size — read it from storage info instead
-    // of scheduling a count. A small-by-bytes frame collects directly;
-    // the EXACT row guard (maxDriverEdges) is then enforced on the
-    // collected array, so the path choice is row-exact as before. The
-    // byte gate is generous (≥64 B/edge of deserialized row overhead vs
-    // 16 B of payload), so a graph past the row guard almost always
-    // skips the collect too; the rare in-between graph wastes one
-    // bounded ≤192 MB collect before taking the distributed rounds —
-    // negligible against the rounds themselves. Missing storage info
-    // (evicted/disk-only edge cases) falls back to the counted gate.
-    val ckptBytes: Option[Long] =
+    // of scheduling a count. The byte gate must never trigger a collect
+    // that the row guard would then discard (round-18 hardening: disk-
+    // resident blocks report compact SERIALIZED sizes, so a byte-small
+    // frame can hold far more than maxDriverEdges rows — collecting it
+    // just to drop it is the driver-heap blowup the guard exists to
+    // prevent, and it happens exactly under the memory pressure that
+    // spills blocks). So: collect ONLY when every block is memory-
+    // resident (deserialized SizeEstimator sizes, ≥16 B per 2-long row)
+    // AND the conservative row estimate bytes/16 clears maxDriverEdges;
+    // anything byte-small but estimate-ambiguous takes the counted gate
+    // (one cheap scan of the just-materialized blocks), so the path
+    // choice stays row-exact. Missing storage info falls back to the
+    // counted gate too.
+    val memOnlyBytes: Option[Long] =
       try {
         val ids = edges.queryExecution.optimizedPlan.collect {
           case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
         }.toSet
         val infos = pairs.sparkSession.sparkContext.getRDDStorageInfo
           .filter(i => ids.contains(i.id))
-        if (infos.isEmpty) None
-        else Some(infos.map(i => i.memSize + i.diskSize).sum)
+        if (infos.isEmpty || infos.exists(_.diskSize > 0)) None
+        else Some(infos.map(_.memSize).sum)
       } catch { case _: Exception => None }
     val collected: Option[Array[org.apache.spark.sql.Row]] =
-      ckptBytes match {
-        case Some(b) if b <= 192L * (1 << 20) =>
+      memOnlyBytes match {
+        case Some(b) if b / 16 <= maxDriverEdges =>
           Some(edges.collect()).filter(_.length <= maxDriverEdges)
-        case Some(_) => None
-        case None =>
+        case Some(b) if b > 192L * (1 << 20) =>
+          None // structurally past the driver tier — skip even the count
+        case _ =>
           if (edges.count() <= maxDriverEdges) Some(edges.collect())
           else None
       }

@@ -32,6 +32,13 @@ object Multimodal {
     * not O(pixels) — which is what a 100 TB metadata pass wants.
     * `channelMeans` decodes the raster (use on sampled subsets). */
   object JdkCodec {
+    // ImageIO's stream cache defaults to DISK (a temp file created and
+    // deleted per createImageInputStream call — ~0.5 ms of filesystem
+    // churn per ROW in the decode stage, measured round 18). The inputs
+    // here are in-memory byte arrays; cache in memory instead. JVM-global
+    // by API design, set once; nothing else in this process reads images
+    // from non-seekable streams where the disk cache would matter.
+    ImageIO.setUseCache(false)
     def imageDims(bytes: Array[Byte]): Option[(Int, Int)] = {
       val in = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
       try {
