@@ -133,6 +133,10 @@ object Bench {
     // ACROSS queries, q106 2.8→6.1 s) only needs a GC edge between
     // queries, which the boundary gc below provides — the warmup run
     // then absorbs the perturbation before any timed rep starts.
+    // frames executed by the CURRENT query (warmup + reps) — their
+    // checkpoint blocks are released at the next query's boundary
+    val ranFrames =
+      scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
     val gcBeans = java.lang.management.ManagementFactory
       .getGarbageCollectorMXBeans
     def gcMs(): Long = {
@@ -166,14 +170,25 @@ object Bench {
       def run(): Unit = {
         val df = fn(spark, sfDir)
         df.write.mode("overwrite").format("noop").save()
+        // every executed frame (warmup + each rep builds its own for
+        // impure queries) is released at the NEXT query boundary —
+        // never between timed reps (the round-17 measured disease)
+        ranFrames += df
       }
       var err: Option[String] = None
-      // Query-boundary housekeeping, BEFORE the warmup: one forced GC
-      // gives the ContextCleaner its edge to free the previous queries'
-      // dead checkpoint/broadcast blocks, and the warmup run absorbs
-      // the post-GC warm-back (deopt storms, cleaner removals) so no
-      // timed rep pays for it. Never inside the rep loop — see the
-      // housekeeping note above.
+      // Query-boundary housekeeping, BEFORE the warmup: release the
+      // previous query's localCheckpoint blocks DETERMINISTICALLY (the
+      // ContextCleaner otherwise frees them only after a GC notices the
+      // dropped reference, so a 5-rep checkpoint-heavy query stacks
+      // reps × rounds of dead blocks that can evict live ones mid-rep
+      // at larger inputs — round-18, the Verify main already releases
+      // per query), then one forced GC gives the cleaner its edge for
+      // everything else (broadcasts, shuffle state), and the warmup run
+      // absorbs the post-GC warm-back (deopt storms, cleaner removals)
+      // so no timed rep pays for it. Never inside the rep loop — see
+      // the housekeeping note above.
+      ranFrames.foreach(SparkEntry.releaseCheckpoints)
+      ranFrames.clear()
       System.gc()
       // The warm-up run is TIMED (but never scored): first_s vs the
       // timed median is the query's cold/warm residency evidence —

@@ -108,6 +108,20 @@ object ExecProfile {
   def isSmall(spark: SparkSession): Boolean =
     spark.conf.get("spark.sql.adaptive.enabled") == "false"
 
+  /** Profile-following total order for a DATA-GROWING result (per-point /
+    * per-doc outputs, high-cardinality tag lists): under the small-input
+    * profile — where the input-size gate itself bounds the result and a
+    * range sort's partition-bounds sampling job (a separate job that
+    * re-executes the whole final stage) is pure scheduling floor — sort
+    * in one task; at scale keep the scalable range-partitioned `orderBy`
+    * (the q48 rule: a single-task sort of a data-growing result dominates
+    * the query at ×100). Identical rows and total order on both paths. */
+  def boundedSort(df: DataFrame,
+                  cols: org.apache.spark.sql.Column*): DataFrame =
+    if (isSmall(df.sparkSession))
+      df.repartition(1).sortWithinPartitions(cols: _*)
+    else df.orderBy(cols: _*)
+
   /** Broadcast `df` under the session's broadcast policy: the hint at
     * scale, a plain (shuffle) join under the small-query profile where a
     * broadcast build would be its own scheduled job. Use for operator-

@@ -53,10 +53,10 @@ trait EntryBase {
     * result through one task — the q48 rule). Mirrors
     * [[graft.ExecProfile.maybeBroadcast]]'s profile-following shape.
     * Identical rows and total order on both paths. */
+  protected def sortedBounded(df: DataFrame, cols: Column*): DataFrame =
+    graft.ExecProfile.boundedSort(df, cols: _*)
   protected def sortedBounded(df: DataFrame, c0: String, cN: String*): DataFrame =
-    if (graft.ExecProfile.isSmall(df.sparkSession))
-      sorted1(df, (c0 +: cN).map(col): _*)
-    else df.orderBy((c0 +: cN).map(col): _*)
+    sortedBounded(df, (c0 +: cN).map(col): _*)
 
   // events-table epoch bounds for fill spines: [2024-01-01, 2024-01-31) UTC
   protected val EvStartMs = 1704067200000L

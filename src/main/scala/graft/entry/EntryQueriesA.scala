@@ -159,7 +159,7 @@ trait EntryQueriesA extends EntryBase {
       SeriesOps.difference(t(s, dir, "events"), "value", "ts", Seq("user_id"),
           nonNegative = false, tieBreak = Seq("event_id"))
         .select(col("user_id"), col("event_id"), col("value"), col("difference"))
-        .orderBy("user_id", "event_id")
+        .transform(sortedBounded(_, "user_id", "event_id"))
     }),
 
     // §2.5 derivative(f, 1s).
@@ -167,7 +167,7 @@ trait EntryQueriesA extends EntryBase {
       SeriesOps.derivative(t(s, dir, "events"), "value", "ts", Seq("user_id"),
           unitSeconds = 1.0, tieBreak = Seq("event_id"))
         .select(col("user_id"), col("event_id"), col("derivative"))
-        .orderBy("user_id", "event_id")
+        .transform(sortedBounded(_, "user_id", "event_id"))
     }),
 
     // §2.5 moving_average(f, 5) — full windows only.
@@ -175,7 +175,7 @@ trait EntryQueriesA extends EntryBase {
       SeriesOps.movingAverage(t(s, dir, "events"), "value", "ts",
           Seq("user_id"), 5, tieBreak = Seq("event_id"))
         .select(col("user_id"), col("event_id"), col("moving_average"))
-        .orderBy("user_id", "event_id")
+        .transform(sortedBounded(_, "user_id", "event_id"))
     }),
 
     // §2.5 cumulative_sum.
@@ -183,14 +183,14 @@ trait EntryQueriesA extends EntryBase {
       SeriesOps.cumulativeSum(t(s, dir, "events"), "value", "ts",
           Seq("user_id"), tieBreak = Seq("event_id"))
         .select(col("user_id"), col("event_id"), col("cumulative_sum"))
-        .orderBy("user_id", "event_id")
+        .transform(sortedBounded(_, "user_id", "event_id"))
     }),
 
     // §2.5 integral (trapezoid) per series.
     "q14_integral" -> ((s, dir) => {
       SeriesOps.integral(t(s, dir, "events"), "value", "ts", Seq("user_id"),
           unitSeconds = 1.0, tieBreak = Seq("event_id"))
-        .orderBy("user_id")
+        .transform(sortedBounded(_, "user_id"))
     }),
 
     // §2.5 sliding_window: 2h windows sliding by 1h.
@@ -207,7 +207,7 @@ trait EntryQueriesA extends EntryBase {
       SeriesOps.limitPerSeries(t(s, dir, "events"), "ts", Seq("user_id"), 3,
           tieBreak = Seq("event_id"))
         .select(col("user_id"), col("event_id"), col("value"))
-        .orderBy("user_id", "event_id")
+        .transform(sortedBounded(_, "user_id", "event_id"))
     }),
 
     // fill(previous): dense hourly spine + LOCF per series.
@@ -281,14 +281,14 @@ trait EntryQueriesA extends EntryBase {
           expr("replace(p_brand, 'Brand#', 'B')").as("brand_short"),
           concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
           levenshtein(col("p_brand"), col("p_type")).cast("long").as("lev"))
-        .orderBy("p_partkey")
+        .transform(sortedBounded(_, "p_partkey"))
     }),
 
     // pipeline: exact dedup (hash-grouped, shuffles 8-byte keys).
     "q23_dedup_exact" -> ((s, dir) => {
       Dedup.exact(t(s, dir, "documents"), "text", "doc_id")
         .select(col("keep_id"), col("dup_count"))
-        .orderBy("keep_id")
+        .transform(sortedBounded(_, "keep_id"))
     }),
 
     // pipeline: text quality features aggregated per language.
@@ -348,14 +348,14 @@ trait EntryQueriesA extends EntryBase {
     "q28_dedup_minhash" -> ((s, dir) => {
       Dedup.minhashCandidates(t(s, dir, "documents"), "text", "doc_id",
           shingleN = 3, k = 16, bands = 8)
-        .orderBy("id_a", "id_b")
+        .transform(sortedBounded(_, "id_a", "id_b"))
     }),
 
     // pipeline: 64-bit SimHash fingerprint per document (no SQL oracle).
     "q29_simhash" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash64"))
-        .orderBy("doc_id")
+        .transform(sortedBounded(_, "doc_id"))
     }),
 
     // §2.6 SLIMIT: first 3 series by tag order.
@@ -418,7 +418,7 @@ trait EntryQueriesA extends EntryBase {
           "^(\\w+) (\\w+)", Seq("w1", "w2"))
         .groupBy(col("w1")).agg(count(lit(1)).as("n"),
           countDistinct(col("w2")).as("n_w2"))
-        .orderBy("w1")
+        .transform(sortedBounded(_, "w1"))
     }),
 
     // §2.8 math functions (IEEE-stable subset; transcendentals rounded).
@@ -476,7 +476,7 @@ trait EntryQueriesA extends EntryBase {
       SeriesOps.elapsed(t(s, dir, "events"), "ts", Seq("user_id"),
           unitMicros = 1000000L, tieBreak = Seq("event_id"))
         .select(col("user_id"), col("event_id"), col("elapsed"))
-        .orderBy("user_id", "event_id")
+        .transform(sortedBounded(_, "user_id", "event_id"))
     }),
 
     // §2.5 absent: 1 for intervals with no data, on the dense spine.
@@ -503,7 +503,7 @@ trait EntryQueriesA extends EntryBase {
       // is exact)
       perPoint.groupBy(col("user_id"))
         .agg(max_by(col("ema"), col("_t")).as("ema_last"))
-        .orderBy("user_id")
+        .transform(sortedBounded(_, "user_id"))
     }),
 
     // §2.4 holt_winters(24, 24): one-day seasonal forecast over hourly
@@ -522,7 +522,7 @@ trait EntryQueriesA extends EntryBase {
     "q43_irate" -> ((s, dir) => {
       SeriesOps.irate(t(s, dir, "events"), "value", "ts", Seq("user_id"),
           tieBreak = Seq("event_id"))
-        .orderBy("user_id")
+        .transform(sortedBounded(_, "user_id"))
     }),
 
     // pipeline: multimodal column plumbing — binary payloads + stub decode
@@ -589,7 +589,7 @@ trait EntryQueriesA extends EntryBase {
         .withColumn("rn", row_number().over(w))
         .filter(pmod(col("rn") - 1, lit(10)) === 0)
         .select(col("user_id"), col("event_id"), col("value"))
-        .orderBy("user_id", "event_id")
+        .transform(sortedBounded(_, "user_id", "event_id"))
     }),
 
     // §2.2 filter blank: rows where all projected fields are null vanish.
@@ -607,7 +607,7 @@ trait EntryQueriesA extends EntryBase {
         // dominating the query (13 s of a 13 s run). The range exchange
         // costs one more scheduled job at sf0.1 and is the correct
         // shape at every scale above it.
-        .orderBy("user_id", "wstart_ms")
+        .transform(sortedBounded(_, "user_id", "wstart_ms"))
     }),
 
     // PromQL label_replace / label_join (§2.5 label functions).
@@ -727,7 +727,7 @@ trait EntryQueriesA extends EntryBase {
         .select(col("doc_id"), col("c.chunk_idx").as("chunk_idx"),
           length(col("c.chunk_text")).cast("long").as("chunk_chars"),
           size(split(col("c.chunk_text"), " ")).cast("long").as("chunk_tokens"))
-        .orderBy("doc_id", "chunk_idx")
+        .transform(sortedBounded(_, "doc_id", "chunk_idx"))
     }),
 
     // pipeline: PII redaction (emails / IPv4s / digit runs → placeholders).

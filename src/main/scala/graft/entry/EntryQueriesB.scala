@@ -38,7 +38,7 @@ trait EntryQueriesB extends EntryBase {
       Sampling.mix(Seq(("en_heavy", en, 0.9), ("other", rest, 0.3)), "doc_id")
         .groupBy(col("mix_source"), col("lang"))
         .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"))
-        .orderBy("mix_source", "lang")
+        .transform(sorted1(_, "mix_source", "lang"))
     }),
 
     // §2.3 PromQL binary op: error-rate = errors / totals via vector
@@ -52,7 +52,7 @@ trait EntryQueriesB extends EntryBase {
         .agg(count(lit(1)).cast("double").as("value"))
       PromBinOp.arith(errors, totals, "/", Seq("h"))
         .withColumnRenamed("value", "error_rate")
-        .orderBy("h")
+        .transform(sorted1(_, "h"))
     }),
 
     // §2.6 multi-column sort (columnstore sort) + global OFFSET paging.
@@ -77,7 +77,7 @@ trait EntryQueriesB extends EntryBase {
           reg("clamp")(Seq(col("l_quantity"), lit(10.0), lit(40.0)))
             .as("clamped"),
           reg("sgn")(Seq(col("l_discount") - lit(0.05))).cast("long").as("sgn"))
-        .orderBy("l_orderkey", "l_linenumber")
+        .transform(sortedBounded(_, "l_orderkey", "l_linenumber"))
     }),
 
     // §2.8 URL functions: parse_url-backed registry entries over
@@ -93,7 +93,7 @@ trait EntryQueriesB extends EntryBase {
         .withColumn("path", reg("url_extract_path")(Seq(col("url"))))
         .withColumn("proto", reg("url_extract_protocol")(Seq(col("url"))))
         .withColumn("query", reg("url_extract_query")(Seq(col("url"))))
-        .orderBy("event_id")
+        .transform(sortedBounded(_, "event_id"))
     }),
 
     // §2.5 Prometheus-exact counter semantics: rate/increase with
@@ -106,7 +106,7 @@ trait EntryQueriesB extends EntryBase {
       PromRange.counterRate(t(s, dir, "events"), "ts", "value",
           Seq("event_type"), range = "2 hours", step = "1 hour",
           tieBreak = Seq("event_id"))
-        .orderBy("event_type", "eval_ms")
+        .transform(sorted1(_, "event_type", "eval_ms"))
     }),
 
     // §2.5 PromQL deriv/predict_linear: least-squares slope per range
@@ -121,7 +121,7 @@ trait EntryQueriesB extends EntryBase {
           predictSeconds = 600.0)
         .withColumn("deriv", round(col("deriv"), 6))
         .withColumn("predict", round(col("predict"), 3))
-        .orderBy("event_type", "eval_ms")
+        .transform(sorted1(_, "event_type", "eval_ms"))
     }),
 
     // §2.8 scalar stragglers: url_extract_parameter/port (synthetic URLs
@@ -146,7 +146,7 @@ trait EntryQueriesB extends EntryBase {
         .withColumn("port", reg("url_extract_port")(Seq(col("url"))))
         .withColumn("domain_class",
           call_function("ip_to_domain", col("ip")))
-        .orderBy("event_id")
+        .transform(sortedBounded(_, "event_id"))
     }),
 
     // pipeline: IVF ANN — coarse-cell inverted file (deterministic
@@ -300,7 +300,7 @@ trait EntryQueriesB extends EntryBase {
           "SELECT count(value) FROM events WHERE user_id IN " +
           "(SELECT user_id FROM events WHERE value > 99) " +
           "GROUP BY event_type")
-        .select("event_type", "count").orderBy("event_type")
+        .select("event_type", "count").transform(sorted1(_, "event_type"))
     }),
 
     "q79_show_tag_values" -> ((s, dir) => {
@@ -317,7 +317,7 @@ trait EntryQueriesB extends EntryBase {
       graft.query.InfluxQL.execute(catalog,
           "SELECT count(value) FROM events GROUP BY time(1d) " +
           "TZ('America/New_York')")
-        .select("time", "count").orderBy("time")
+        .select("time", "count").transform(sorted1(_, "time"))
     }),
 
     "q81_influxql_time_offset" -> ((s, dir) => {
@@ -325,7 +325,7 @@ trait EntryQueriesB extends EntryBase {
       graft.query.InfluxQL.execute(catalog,
           "SELECT count(value) FROM events GROUP BY time(1h, 15m) " +
           "fill(none)")
-        .select("time", "count").orderBy("time")
+        .select("time", "count").transform(sorted1(_, "time"))
     }),
 
     // §3 PromQL text frontend: parser/transpiler to the PromRange/
@@ -337,21 +337,21 @@ trait EntryQueriesB extends EntryBase {
       graft.query.PromQL.evaluate(promCatalog(s, dir),
           "sum by (event_type) (events)",
           step = "1 hour", lookback = "1 hour")
-        .orderBy("event_type", "eval_ms")
+        .transform(sorted1(_, "event_type", "eval_ms"))
     }),
 
     "q74_promql_binop" -> ((s, dir) => {
       graft.query.PromQL.evaluate(promCatalog(s, dir),
           "events / on(event_type) group_left sum by (event_type) (events)",
           step = "1 hour", lookback = "1 hour")
-        .orderBy("event_type", "user", "eval_ms")
+        .transform(sortedBounded(_, "event_type", "user", "eval_ms"))
     }),
 
     "q75_promql_rate" -> ((s, dir) => {
       graft.query.PromQL.evaluate(promCatalog(s, dir),
           """rate(events{event_type="error"}[2h])""",
           step = "1 hour", lookback = "1 hour")
-        .orderBy("user", "eval_ms")
+        .transform(sortedBounded(_, "user", "eval_ms"))
     }),
 
     "q76_promql_topk" -> ((s, dir) => {
@@ -370,7 +370,7 @@ trait EntryQueriesB extends EntryBase {
       graft.query.PromQL.evaluate(promCatalog(s, dir),
           """absent(events{event_type="error", user="1"})""",
           step = "1 hour", lookback = "1 hour")
-        .orderBy("eval_ms")
+        .transform(sorted1(_, "eval_ms"))
     }),
 
     // PromQL subquery: the inner aggregation evaluates at its own
@@ -380,7 +380,7 @@ trait EntryQueriesB extends EntryBase {
       graft.query.PromQL.evaluate(promCatalog(s, dir),
           "max_over_time(sum by (event_type) (events)[2h:1h])",
           step = "1 hour", lookback = "1 hour")
-        .orderBy("event_type", "eval_ms")
+        .transform(sorted1(_, "event_type", "eval_ms"))
     }),
 
     // pipeline: embedding-cosine near-duplicate pairs. Distributed
@@ -392,7 +392,7 @@ trait EntryQueriesB extends EntryBase {
       Dedup.embeddingNearDup(t(s, dir, "embeddings"), "embedding", "vec_id",
           threshold = 0.45, maxHamming = 42)
         .withColumn("cos", round(col("cos"), 6))
-        .orderBy("id_a", "id_b")
+        .transform(sortedBounded(_, "id_a", "id_b"))
     }),
 
     // pipeline: banded sign-LSH near-dup — the SCALE path (no pair scan:
@@ -404,7 +404,7 @@ trait EntryQueriesB extends EntryBase {
       Dedup.embeddingNearDupBanded(t(s, dir, "embeddings"), "embedding",
           "vec_id", threshold = 0.4)
         .withColumn("cos", round(col("cos"), 6))
-        .orderBy("id_a", "id_b")
+        .transform(sortedBounded(_, "id_a", "id_b"))
     }),
 
     // PromQL scalar context: scalar(sum(...)) applies the per-step global
@@ -413,7 +413,7 @@ trait EntryQueriesB extends EntryBase {
       graft.query.PromQL.evaluate(promCatalog(s, dir),
           "events / scalar(sum(events))",
           step = "1 hour", lookback = "1 hour")
-        .orderBy("event_type", "user", "eval_ms")
+        .transform(sortedBounded(_, "event_type", "user", "eval_ms"))
     }),
 
     // PromQL time(): the eval timestamp as a per-step scalar in vector
@@ -422,7 +422,7 @@ trait EntryQueriesB extends EntryBase {
       graft.query.PromQL.evaluate(promCatalog(s, dir),
           "sum by (event_type) (events) - time()",
           step = "1 hour", lookback = "1 hour")
-        .orderBy("event_type", "eval_ms")
+        .transform(sorted1(_, "event_type", "eval_ms"))
     }),
 
     // PromQL @ modifier: the selection time pinned at 2024-01-15T00:00Z,
@@ -431,7 +431,7 @@ trait EntryQueriesB extends EntryBase {
       graft.query.PromQL.evaluate(promCatalog(s, dir),
           "sum by (event_type) (events @ 1705276800)",
           step = "1 hour", lookback = "1 day")
-        .orderBy("event_type", "eval_ms")
+        .transform(sorted1(_, "event_type", "eval_ms"))
     }),
 
     // §2.8 fill × tz() × time(d, offset): the spine is uniform on the
@@ -446,7 +446,7 @@ trait EntryQueriesB extends EntryBase {
           "GROUP BY event_type, time(1d, 4h) fill(previous) " +
           "TZ('America/New_York')")
         .select("event_type", "time", "count")
-        .orderBy("event_type", "time")
+        .transform(sorted1(_, "event_type", "time"))
     }),
 
     // pipeline: EXACT word-3-gram Jaccard near-dup pairs via the
@@ -459,7 +459,7 @@ trait EntryQueriesB extends EntryBase {
       graft.pipeline.Dedup.jaccardSelfJoin(docs, "text", "doc_id",
           shingleN = 3, threshold = 0.8)
         .select("id_a", "id_b", "jaccard")
-        .orderBy("id_a", "id_b")
+        .transform(sortedBounded(_, "id_a", "id_b"))
     }),
 
     // pipeline: rolling-hash document fingerprint as a dedup key. The
@@ -512,7 +512,7 @@ trait EntryQueriesB extends EntryBase {
           round(col("stddev_ot"), 9).as("stddev_ot"),
           round(col("mad_ot"), 9).as("mad_ot"),
           round(col("quantile_ot"), 9).as("quantile_ot"))
-        .orderBy("event_type", "eval_ms")
+        .transform(sorted1(_, "event_type", "eval_ms"))
     }),
 
     // §1.1 GRAPH statement (ast.go:12282 GraphStatement{HopNum,
@@ -560,7 +560,7 @@ trait EntryQueriesB extends EntryBase {
           "SELECT regr_slope(value) AS slope FROM events " +
           "GROUP BY event_type")
         .select(col("event_type"), round(col("slope"), 6).as("slope"))
-        .orderBy("event_type")
+        .transform(sorted1(_, "event_type"))
     }),
 
     // §2.5 PromQL date-component family (call.go *_prom): day_of_week/
@@ -570,7 +570,7 @@ trait EntryQueriesB extends EntryBase {
           "day_of_week(timestamp(sum by (event_type) (events))) * 100 + " +
           "hour(timestamp(sum by (event_type) (events)))",
           step = "1 hour", lookback = "1 hour")
-        .orderBy("event_type", "eval_ms")
+        .transform(sorted1(_, "event_type", "eval_ms"))
     }),
 
     // §2.8 ip_subnet_range('a.b.c.d/p') → '["min", "max"]' string
@@ -664,7 +664,7 @@ trait EntryQueriesB extends EntryBase {
       nodes.select(col("entity_id"),
           col("correlated").cast("int").as("correlated"),
           col("expanded").cast("int").as("expanded"))
-        .orderBy("entity_id")
+        .transform(sortedBounded(_, "entity_id"))
     }),
 
     // §2.4 incremental agg (inc_agg_transform.go): two iterations over a
@@ -717,7 +717,7 @@ trait EntryQueriesB extends EntryBase {
         shingleN = 3, threshold = 0.8)
       Dedup.connectedComponents(pairs)
         .select(col("id").as("doc_id"), col("component"))
-        .orderBy("doc_id")
+        .transform(sortedBounded(_, "doc_id"))
     }),
 
     // pipeline: cluster-dedup KEEP-BEST — one canonical doc per near-dup
@@ -739,7 +739,7 @@ trait EntryQueriesB extends EntryBase {
           min(struct((-col("n_tokens")).as("neg"), col("doc_id").as("id")))
             .getField("id").as("keep_id"))
         .select("cluster", "keep_id", "n_members")
-        .orderBy("cluster")
+        .transform(sortedBounded(_, "cluster"))
     }),
 
     // pipeline: repetition quality signals (the Gopher/MassiveText
@@ -771,7 +771,7 @@ trait EntryQueriesB extends EntryBase {
           round(when(size(bg) > 0,
               maxRun.cast("double") / size(bg)).otherwise(lit(0.0)), 6)
             .as("top_bigram_frac"))
-        .orderBy("doc_id")
+        .transform(sortedBounded(_, "doc_id"))
     }),
 
     // pipeline: benchmark DECONTAMINATION — flag training docs sharing
@@ -796,7 +796,7 @@ trait EntryQueriesB extends EntryBase {
         .join(broadcast(bench), "gram")
         .groupBy("doc_id")
         .agg(countDistinct(col("bench_id")).as("n_bench_hits"))
-        .orderBy("doc_id")
+        .transform(sortedBounded(_, "doc_id"))
     }),
 
     // §2.5 difference(f, 'front'|'absolute') direction modes
@@ -817,7 +817,7 @@ trait EntryQueriesB extends EntryBase {
         .select(col("user_id"), col("event_id"),
           col("difference").as("diff_abs"))
       fr.join(ab, Seq("user_id", "event_id"))
-        .orderBy("user_id", "event_id")
+        .transform(sortedBounded(_, "user_id", "event_id"))
     }),
 
     // pipeline: INCREMENTAL dedup — dedupe a NEW batch against the
@@ -835,7 +835,7 @@ trait EntryQueriesB extends EntryBase {
       val batch = d.filter(col("doc_id") % 3 =!= 0)
       val keep = batch.groupBy("_fp").agg(min(col("doc_id")).as("doc_id"))
       keep.join(prior.hint("shuffle_hash"), Seq("_fp"), "left_anti")
-        .select("doc_id").orderBy("doc_id")
+        .select("doc_id").transform(sortedBounded(_, "doc_id"))
     }),
 
     // pipeline: TOKEN-BUDGET stratified sampling — per language, select
@@ -885,7 +885,7 @@ trait EntryQueriesB extends EntryBase {
           "fill(none)) GROUP BY time(1h)")
         .select(col("time"), col("count1"), col("count2"),
           col("count1/count2").as("ratio"))
-        .orderBy("time")
+        .transform(sorted1(_, "time"))
     }),
 
     // §2.10 logkeeper pipe-syntax query language end-to-end
@@ -934,7 +934,7 @@ trait EntryQueriesB extends EntryBase {
         .withColumn("_nd", count(lit(1)).over(Window.partitionBy("_g")))
         .filter(col("_nd") > 1)
         .groupBy("doc_id").agg(sum(col("_c")).as("n_dup_grams"))
-        .orderBy("doc_id")
+        .transform(sortedBounded(_, "doc_id"))
     }),
 
     // Concat-and-chunk sequence packing (GPT-style pretraining batch
@@ -957,7 +957,7 @@ trait EntryQueriesB extends EntryBase {
           expr(s"_off DIV $B").as("seq_id"),
           pmod(col("_off"), lit(B.toLong)).as("seq_off"),
           col("n_tok"))
-        .orderBy("doc_id")
+        .transform(sortedBounded(_, "doc_id"))
     }),
 
     // Temperature-flattened mixture sampling (the mT5/XLM-R α-sampling
@@ -1022,7 +1022,7 @@ trait EntryQueriesB extends EntryBase {
         Similarity.ivfTrain(emb, "embedding", "vec_id", k = k, iters = 2)
       }
       Dedup.semDedup(emb, "embedding", "vec_id", cents, tau = 0.35)
-        .orderBy("vec_id")
+        .transform(sortedBounded(_, "vec_id"))
     }),
 
     // pipeline: DSIR importance scores (Xie '23) — per-doc resemblance
@@ -1032,7 +1032,7 @@ trait EntryQueriesB extends EntryBase {
     "q120_dsir_importance" -> ((s, dir) => {
       Selection.dsirScores(t(s, dir, "documents"), "text", "doc_id",
           col("lang") === "en")
-        .orderBy("doc_id")
+        .transform(sortedBounded(_, "doc_id"))
     }),
 
     // pipeline: BM25 lexical retrieval — top-10 docs for four literal
@@ -1090,7 +1090,7 @@ trait EntryQueriesB extends EntryBase {
       val segs = Similarity.cachedModel(s"bpe:$fp:m40") {
         Bpe.trainOnFreqs(Bpe.wordFreqs(docs, "text"), nMerges = 40)._2
       }
-      Bpe.segmentCounts(docs, "text", "doc_id", segs).orderBy("doc_id")
+      Bpe.segmentCounts(docs, "text", "doc_id", segs).transform(sortedBounded(_, "doc_id"))
     }),
 
     // pipeline: leakage-safe train/val/test split — exact-dup clusters
@@ -1133,7 +1133,7 @@ trait EntryQueriesB extends EntryBase {
           col("value").as("click_value"),
           col("asof_value").as("last_purchase"),
           unix_millis(col("asof_ts")).as("purchase_ms"))
-        .orderBy("event_id")
+        .transform(sortedBounded(_, "event_id"))
     }),
 
     // §2.3-adjacent: band (range) join — clicks within ±6 h of each
@@ -1152,7 +1152,7 @@ trait EntryQueriesB extends EntryBase {
         .groupBy(col("event_id"), col("user_id"))
         .agg(count(lit(1)).as("n_nearby_clicks"),
           min(col("r_event_id")).as("first_click_id"))
-        .orderBy("event_id")
+        .transform(sortedBounded(_, "event_id"))
     }),
 
     // §2.9-adjacent: sessionization — events split into sessions at
@@ -1179,7 +1179,7 @@ trait EntryQueriesB extends EntryBase {
           sum(col("value").cast("decimal(18,2)")).cast("double")
             .as("value_sum"))
         .withColumn("duration_ms", col("end_ms") - col("start_ms"))
-        .orderBy("user_id", "session_id")
+        .transform(sortedBounded(_, "user_id", "session_id"))
     }),
 
     // pipeline: linear-probe quality classifier — hashed bag-of-words
@@ -1198,7 +1198,7 @@ trait EntryQueriesB extends EntryBase {
       }
       Selection.probeScore(docs, "text", "doc_id",
           col("lang") === "en", micro)
-        .orderBy("doc_id")
+        .transform(sortedBounded(_, "doc_id"))
     }),
 
     // pipeline: corpus version diff — v2 derives deterministically from

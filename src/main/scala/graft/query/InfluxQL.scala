@@ -2551,8 +2551,26 @@ object InfluxQL {
   private def fieldCol(name: String): Column =
     if (name.contains(".")) col(s"`$name`") else col(name)
 
+  /** Statement nesting depth of the current compileQuery call (thread-
+    * local: statements compile on the calling thread). Depth 1 = the
+    * top-level statement, whose emission sort is the one the client
+    * consumes; deeper frames are subquery/union-arm inners whose sorts
+    * the optimizer elides under outer operators (EliminateSorts) — a
+    * single-partition emission there would instead pin a real exchange
+    * into the middle of the plan, so only depth 1 ever takes it. */
+  private val emitDepth = new ThreadLocal[Integer] {
+    override def initialValue: Integer = 0
+  }
+
   private def compileQuery(catalog: Map[String, Measurement],
                            qIn: Query): DataFrame = {
+    emitDepth.set(emitDepth.get + 1)
+    try compileQueryInner(catalog, qIn)
+    finally emitDepth.set(emitDepth.get - 1)
+  }
+
+  private def compileQueryInner(catalog: Map[String, Measurement],
+                                qIn: Query): DataFrame = {
     // a FROM-subquery alias qualifies refs to the inner's bare columns
     // (`SELECT count(t2.additional) FROM (…) AS t2`,
     // Push_Down_Rule_Incondition) — strip the qualifier up front; joins
@@ -4745,10 +4763,27 @@ object InfluxQL {
     // inner's own order (CTE_Query exp), ahead of the value tie-break
     val sordHint =
       if (out.columns.contains("__sord")) Seq(col("__sord").asc) else Nil
+    // Statement-class-aware emission (round 18): an AGGREGATED statement
+    // (function calls / expression calls / GROUP BY time) emits one row
+    // per series per bucket — the bound the reference itself assumes
+    // when it materializes a statement's whole result into one response
+    // — so on the SMALL-INPUT profile the global range sort's partition-
+    // bounds sampling job (a separate job re-executing the entire final
+    // stage) is pure scheduling floor: emit through one single-partition
+    // sort instead (graft.ExecProfile.boundedSort). RAW per-point selects
+    // — and everything on the scale profile, where series cardinality is
+    // data-dependent — keep the scalable range sort. Only the TOP-LEVEL
+    // statement's emission converts (emitDepth above).
+    val aggregated =
+      calls.nonEmpty || exprCalls.nonEmpty || q.intervalNs.isDefined
+    def emit(df: DataFrame, ord: Seq[Column]): DataFrame =
+      if (aggregated && emitDepth.get == 1)
+        graft.ExecProfile.boundedSort(df, ord: _*)
+      else df.orderBy(ord: _*)
     (if (joinOrdered)
-       out.orderBy((groupTags.map(col) ++ ordHint): _*)
-     else out.orderBy((((groupTags ++ subSeriesTags).map(col) :+
-       timeOrd) ++ nsHint ++ ordHint ++ sordHint ++ tieHint): _*))
+       emit(out, groupTags.map(col) ++ ordHint)
+     else emit(out, (((groupTags ++ subSeriesTags).map(col) :+
+       timeOrd) ++ nsHint ++ ordHint ++ sordHint ++ tieHint)))
       .drop("__ord", "__sord")
   }
 }
