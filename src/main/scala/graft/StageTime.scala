@@ -33,6 +33,8 @@ object StageTime {
           f"exec=${si.taskMetrics.executorRunTime}ms " +
           f"deser=${si.taskMetrics.executorDeserializeTime}ms " +
           f"shW=${si.taskMetrics.shuffleWriteMetrics.writeTime / 1000000}ms " +
+          f"shWb=${si.taskMetrics.shuffleWriteMetrics.bytesWritten} " +
+          f"shRb=${si.taskMetrics.shuffleReadMetrics.totalBytesRead} " +
           f"${si.name.take(60)}")
       }
     })

@@ -1052,12 +1052,24 @@ trait EntryQueriesB extends EntryBase {
     "q122_hybrid_rrf" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val emb = t(s, dir, "embeddings")
-      val qTerms = docs.filter(col("doc_id") < 4)
-        .select(col("doc_id").as("query_id"),
-          explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
-        .distinct()
-      val lex = Retrieval.bm25TopKTerms(docs.filter(col("doc_id") >= 4),
-        "text", "doc_id", qTerms, k = 10)
+      // Query-by-example terms collect to the DRIVER once per invocation
+      // (round 18): the 4 query docs' distinct term set is exactly what
+      // the former two broadcast() builds shipped to every executor
+      // anyway — collecting it instead feeds bm25TopK's literal-map path
+      // (an isin() vocab prune + a term→query_ids literal explode, pure
+      // expressions), so the two per-invocation broadcast-build jobs
+      // disappear (4→3→2 scheduled jobs; the round-17 note in Retrieval
+      // proves the builds can never canonicalize into one reused
+      // exchange). Bounded by the fixed query-doc set — the same driver-
+      // side footprint the broadcasts already required.
+      val qTexts = docs.filter(col("doc_id") < 4)
+        .select(col("doc_id"),
+          array_join(array_distinct(
+            split(lower(trim(col("text"))), "\\s+")), " ").as("qtext"))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq.sortBy(_._1)
+      val lex = Retrieval.bm25TopK(docs.filter(col("doc_id") >= 4),
+        "text", "doc_id", qTexts, k = 10)
       val dense = Similarity.bruteForceTopK(
           emb.filter(col("vec_id") >= 4), emb.filter(col("vec_id") < 4),
           "embedding", "vec_id", 10)

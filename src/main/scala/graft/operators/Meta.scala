@@ -20,7 +20,7 @@ object Meta {
   /** SHOW MEASUREMENTS. */
   def showMeasurements(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    Tables.all.toDF("name").orderBy("name")
+    graft.ExecProfile.boundedSort(Tables.all.toDF("name"), col("name"))
   }
 
   /** SHOW SERIES: the distinct tag sets of a measurement. Distinct runs
@@ -37,12 +37,16 @@ object Meta {
         when(col(t).isNotNull,
           concat(lit(t), lit("="), col(t).cast("string")))): _*)
         .as("series_key"))
-      .orderBy("series_key")
+      // single-response SHOW contract: profile-following total order
+      // (single-task only on the small profile — series cardinality is
+      // data-dependent, the scale path keeps the range sort)
+      .transform(graft.ExecProfile.boundedSort(_, col("series_key")))
 
   /** SHOW TAG VALUES WITH KEY = k. */
   def showTagValues(df: DataFrame, tag: String): DataFrame =
     df.select(lit(tag).as("key"), col(tag).cast("string").as("value"))
-      .distinct().orderBy("value")
+      .distinct()
+      .transform(graft.ExecProfile.boundedSort(_, col("value")))
 
   /** SHOW FIELD KEYS: field name + type from the schema. */
   def showFieldKeys(df: DataFrame, tags: Seq[String],
@@ -65,13 +69,14 @@ object Meta {
       .filterNot(f => tags.contains(f.name) || time.contains(f.name) ||
         f.name.startsWith("__")) // internal bookkeeping, never a field
       .map(f => (f.name, influxType(f.dataType))).toSeq
-      .toDF("fieldKey", "fieldType").orderBy("fieldKey")
+      .toDF("fieldKey", "fieldType")
+      .transform(graft.ExecProfile.boundedSort(_, col("fieldKey")))
   }
 
   /** SHOW TAG KEYS. */
   def showTagKeys(spark: SparkSession, tags: Seq[String]): DataFrame = {
     import spark.implicits._
-    tags.toDF("tag_key").orderBy("tag_key")
+    graft.ExecProfile.boundedSort(tags.toDF("tag_key"), col("tag_key"))
   }
 
   /** SHOW <object> [EXACT] CARDINALITY — reference grammar

@@ -107,8 +107,22 @@ object Dedup {
     val sh = docs.select(col(idCol).as("_id"),
         shingles(col(textCol), shingleN).as("_sh"))
       .localCheckpoint(true)
+    // Candidate generation runs on 8-byte GRAM IDS (xxhash64 of the
+    // shingle), never the shingle text (round 18, guide §2.3 "shuffle
+    // keys and metadata instead of payloads"): the df aggregation, the
+    // prefix join-back and the candidate self-join shuffle a long per
+    // gram instead of a ~20-60 B string — a ≥2× byte cut on this
+    // operator's hottest exchanges. The prefix-filter theorem needs only
+    // a global total order on grams, so (df, gram_id) orders as validly
+    // as (df, gram text). A cross-doc hash collision can only ADD a
+    // candidate pair, which the exact-Jaccard verify below discards; a
+    // within-doc collision (probability ≤ |grams|²/2⁶⁵ ≈ 2⁻⁴⁵ for a
+    // 1k-gram doc) could shrink that doc's effective prefix by one —
+    // the standard collision-bound caveat of hashed set-similarity
+    // joins, negligible against data corruption rates.
     val grams = sh.select(col("_id"), size(col("_sh")).as("_len"),
-      explode(col("_sh")).as("_gram"))
+        explode(col("_sh")).as("_gram0"))
+      .select(col("_id"), col("_len"), xxhash64(col("_gram0")).as("_gram"))
     val freq = grams.groupBy("_gram").agg(count(lit(1)).as("_df"))
     val prefix = grams.join(freq, "_gram")
       .withColumn("_rank", row_number().over(

@@ -2148,7 +2148,10 @@ object InfluxQL {
                     .select(lit(n0).as("__series_name"),
                       lit(k0).as("key"), col(k0).cast("string").as("value"))
                     .distinct()).reduce(_ unionByName _)
-                val ordered = pairs.orderBy(
+                // single-response SHOW contract: profile-following total
+                // order (single-task only on the small profile; tag-value
+                // cardinality is data-dependent, scale keeps range sort)
+                val ordered = graft.ExecProfile.boundedSort(pairs,
                   if (desc) col("key").desc else col("key").asc,
                   if (desc) col("value").desc else col("value").asc)
                 if (card.isDefined)
@@ -2292,7 +2295,9 @@ object InfluxQL {
               rowsOf(n0, m) }
             if (parts.isEmpty) Seq.empty[String].toDF("key")
             else limitOffset(
-              parts.reduce(_ unionByName _).orderBy(col("key")))
+              // single-response SHOW contract (profile-following order)
+              graft.ExecProfile.boundedSort(
+                parts.reduce(_ unionByName _), col("key")))
               .withColumn("__series_name", lit(""))
         }
       case t => sys.error(s"unsupported SHOW: $t")
@@ -2541,7 +2546,10 @@ object InfluxQL {
       .filter(anyArmNotNull)
       .select((keys.map(col) ++
         offsets.indices.map(i => col(s"$field${i + 1}")) ++ ratios): _*)
-      .orderBy(if (q.orderDesc) col("time").desc else col("time").asc)
+      // compare() output is GROUP-BY-time bucketed (spine-bounded) —
+      // profile-following order, same rule as the statement emission
+      .transform(graft.ExecProfile.boundedSort(_,
+        if (q.orderDesc) col("time").desc else col("time").asc))
     q.limit.foreach(n => out = out.limit(n))
     out
   }
