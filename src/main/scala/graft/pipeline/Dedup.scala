@@ -140,15 +140,33 @@ object Dedup {
 
   /** Verify candidate pairs against a precomputed `(_id, _sh)` frame. */
   private def verifyWithShingles(pairs: DataFrame, sh: DataFrame,
-                                 threshold: Double): DataFrame =
+                                 threshold: Double): DataFrame = {
+    // Scale path (guide §3.2): the two verify joins shuffle `sh` BY ID —
+    // without a prefilter that ships the WHOLE corpus's shingle arrays
+    // across the wire twice, though only docs that appear in a candidate
+    // pair can contribute. Semi-join `sh` down to candidate ids behind a
+    // broadcast first (candidates are sparse by the prefix filter's
+    // design — the id set is ≤2·|pairs| longs, and the broadcast-build
+    // job's shuffles are reused by the main join's stages). On the
+    // small-input profile the corpus fits in a few exchanges anyway and
+    // the extra broadcast build is its own scheduled job, so the
+    // prefilter engages only at scale.
+    val shc =
+      if (graft.ExecProfile.isSmall(sh.sparkSession)) sh
+      else {
+        val ids = pairs.select(col("id_a").as("_id"))
+          .union(pairs.select(col("id_b").as("_id"))).distinct()
+        sh.join(broadcast(ids), Seq("_id"), "left_semi")
+      }
     pairs
-      .join(sh.select(col("_id").as("id_a"), col("_sh").as("sh_a")), "id_a")
-      .join(sh.select(col("_id").as("id_b"), col("_sh").as("sh_b")), "id_b")
+      .join(shc.select(col("_id").as("id_a"), col("_sh").as("sh_a")), "id_a")
+      .join(shc.select(col("_id").as("id_b"), col("_sh").as("sh_b")), "id_b")
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+  }
 
   /** Exact n-gram Jaccard similarity for candidate pairs (verification
     * stage after LSH). `pairs` has id_a/id_b; docs joined twice. */
