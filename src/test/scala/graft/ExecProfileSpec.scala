@@ -39,4 +39,28 @@ class ExecProfileSpec extends SparkSpec {
 
     ExecProfile.tune(spark, sf) // restore for later suites
   }
+
+  test("boundedSort: identical rows and total order on both profiles; " +
+      "single-task sort only under the small profile") {
+    import org.apache.spark.sql.functions._
+    val df = spark.range(0, 997).toDF("id")
+      .withColumn("k", pmod(col("id") * 7919, lit(101)))
+      .select(col("k"), col("id"))
+    def run() = ExecProfile.boundedSort(df, col("k"), col("id"))
+    ExecProfile.tune(spark, sf) // small profile
+    assert(ExecProfile.isSmall(spark))
+    val small = run()
+    assert(small.queryExecution.optimizedPlan.toString
+      .contains("Repartition")) // single-task shape
+    val smallRows = small.collect().toSeq
+    // scale profile: flip the gate the same way tune() does
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    try {
+      assert(!ExecProfile.isSmall(spark))
+      val scale = run()
+      assert(!scale.queryExecution.optimizedPlan.toString
+        .contains("Repartition")) // plain global sort
+      assert(scale.collect().toSeq == smallRows) // same rows, same order
+    } finally ExecProfile.tune(spark, sf)
+  }
 }

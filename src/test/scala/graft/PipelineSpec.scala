@@ -46,6 +46,27 @@ class PipelineSpec extends SparkSpec {
     assert(out(1)._3 == 0.0)            // disjoint shingles
   }
 
+  test("bm25: the literal-map query path equals the qTerms-frame path " +
+      "(the round-18 q122 collect-to-literal rewrite)") {
+    import graft.pipeline.Retrieval
+    val real = Tables.table(spark, sf, "documents").select("doc_id", "text")
+    val qTerms = real.filter($"doc_id" < 4)
+      .select($"doc_id".as("query_id"),
+        explode(split(lower(trim($"text")), "\\s+")).as("term"))
+      .distinct()
+    val viaFrame = Retrieval.bm25TopKTerms(real.filter($"doc_id" >= 4),
+        "text", "doc_id", qTerms, k = 10)
+      .as[(Long, Long, Int, Double)].collect().toSet
+    val qTexts = real.filter($"doc_id" < 4)
+      .select($"doc_id", array_join(array_distinct(
+        split(lower(trim($"text")), "\\s+")), " ").as("qtext"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sortBy(_._1)
+    val viaLiteral = Retrieval.bm25TopK(real.filter($"doc_id" >= 4),
+        "text", "doc_id", qTexts, k = 10)
+      .as[(Long, Long, Int, Double)].collect().toSet
+    assert(viaLiteral == viaFrame)
+  }
+
   test("prefix-filter jaccard self-join equals the all-pairs scan") {
     val real = Tables.table(spark, sf, "documents").select("doc_id", "text")
     val fast = Dedup.jaccardSelfJoin(real, "text", "doc_id",
