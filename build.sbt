@@ -40,3 +40,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// The full test suite shares one forked JVM across every suite's Spark
+// work; at 8g its execution-memory pool transiently empties under the
+// concurrency-stress case (observed: hashAgg denied 256 KB, task lost,
+// stage failure). The sandbox has 128 GiB — give tests real headroom.
+// Appended AFTER the base -Xmx so it wins (last -Xmx takes effect);
+// run/Bench keeps the 8g driver contract above.
+Test / javaOptions += s"-Xmx${sys.env.getOrElse("SPARK_GRAFT_TEST_MEM", "16g")}"

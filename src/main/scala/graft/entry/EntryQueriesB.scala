@@ -182,41 +182,62 @@ trait EntryQueriesB extends EntryBase {
       // 1. quality gate (q62 thresholds)
       val q = docs.filter(
         TextAnalysis.qualityKeep(TextAnalysis.qualityFeatures(col("text"))))
-      // 2. exact dedup: keep min doc_id per rolling-hash fingerprint
+      // 2. exact dedup: keep min doc_id per rolling-hash fingerprint —
+      // ONE min_by aggregation (round 18; interleaved A/B medians 4.78 s
+      // vs 5.99 s for the old groupBy-min + semi-join shape, which
+      // evaluated the quality+fingerprint regex chain on BOTH join
+      // sides). min_by's doc_id key is unique, so the kept row per
+      // fingerprint class is identical to the semi-join's.
       val withFp = q.withColumn("_fp", TextAnalysis.fingerprint(col("text")))
-      val exactKeep = withFp.groupBy("_fp")
-        .agg(min(col("doc_id")).as("doc_id"))
-      // the deduped survivor frame feeds THREE downstream consumers
-      // (the pair join, the cluster join, keep-best) — checkpoint it
-      // once instead of recomputing the quality+fingerprint chain per
-      // branch; lineage truncation also keeps the CC plan slim
-      val exact = withFp.join(exactKeep.select("doc_id"),
-        Seq("doc_id"), "left_semi").drop("_fp")
+      // the deduped survivor frame feeds FOUR downstream consumers (the
+      // near-dup pair join — gram explosion + both verify sides — the
+      // cluster join, keep-best, and the decontamination gram match):
+      // checkpoint it ONCE, with the shingle arrays computed in the same
+      // materialization pass (round 18 — previously this was two
+      // checkpoints, exact text here + the shingle frame inside
+      // jaccardSelfJoin, and the decontamination stage re-tokenized
+      // every kept doc a second time); lineage truncation also keeps
+      // the CC plan slim
+      val exact = withFp.groupBy("_fp")
+        .agg(min_by(struct(col("doc_id"), col("lang"), col("text")),
+          col("doc_id")).as("_r"))
+        .select(col("_r.doc_id"), col("_r.lang"), col("_r.text"))
+        .withColumn("_sh", Dedup.shingles(col("text"), 3))
         .localCheckpoint()
       // 3. near-dup cluster keep-best (Jaccard 0.8, max tokens, id tie)
-      val pairs = Dedup.jaccardSelfJoin(exact, "text", "doc_id",
-        shingleN = 3, threshold = 0.8)
+      val pairs = Dedup.jaccardSelfJoinPre(exact, "doc_id", "_sh",
+        threshold = 0.8)
       val cc = Dedup.connectedComponents(pairs)
         .select(col("id").as("doc_id"), col("component"))
       // clustered feeds keep-best AND the kept-rows semi join — one
-      // checkpoint, not two evaluations of the cluster join
-      val clustered = exact.join(cc, Seq("doc_id"), "left")
+      // checkpoint, not two evaluations of the cluster join. The shingle
+      // arrays stay OUT of this checkpoint (they'd triple its bytes);
+      // the decontamination branch reads them from `exact` instead.
+      val clustered = exact.drop("_sh").join(cc, Seq("doc_id"), "left")
         .withColumn("cluster", coalesce(col("component"), col("doc_id")))
         .withColumn("_nt", TextAnalysis.tokenCount(col("text")))
         .localCheckpoint()
-      val best = clustered.groupBy("cluster")
-        .agg(min(struct((-col("_nt")).as("neg"), col("doc_id").as("id")))
-          .getField("id").as("doc_id"))
-      val kept = clustered.join(best.select("doc_id"), Seq("doc_id"),
-        "left_semi")
+      // keep-best as ONE min_by aggregation (round 18): the old shape
+      // (groupBy-min(struct) + semi join back) re-read the checkpoint and
+      // paid an extra doc_id exchange PER EVALUATION of `kept` — and kept
+      // is evaluated twice below (decontamination semi + clean). Same
+      // keep rule (max tokens, doc_id tie; doc_id unique ⇒ deterministic).
+      val kept = clustered.groupBy("cluster")
+        .agg(min_by(struct(col("doc_id"), col("lang"), col("text")),
+          struct((-col("_nt")).as("neg"), col("doc_id").as("id"))).as("_r"))
+        .select(col("_r.doc_id").as("doc_id"), col("_r.lang").as("lang"),
+          col("_r.text").as("text"))
       // 4. decontamination vs the eval set (every 50th doc of the RAW
       // corpus): drop bench docs and any doc sharing a 3-gram with one
       val benchGrams = docs.filter(col("doc_id") % 50 === 0)
         .select(explode(Dedup.shingles(col("text"), 3)).as("gram"))
         .distinct()
-      val contaminated = kept
-        .select(col("doc_id"), explode(Dedup.shingles(col("text"), 3))
-          .as("gram"))
+      // kept docs' grams come from the `exact` checkpoint's precomputed
+      // arrays (kept ⊆ exact; same shingles(text, 3) construction, so the
+      // gram stream is identical) — no second tokenization pass
+      val contaminated = exact.select(col("doc_id"), col("_sh"))
+        .join(kept.select("doc_id"), Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), explode(col("_sh")).as("gram"))
         // UNCONDITIONAL broadcast of the small side (round 18, guide
         // §3.1): the eval-gram set is fixed-size (MBs at 100 TB) while
         // this side is the corpus-wide gram explosion — exactly the

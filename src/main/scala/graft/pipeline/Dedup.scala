@@ -107,6 +107,20 @@ object Dedup {
     val sh = docs.select(col(idCol).as("_id"),
         shingles(col(textCol), shingleN).as("_sh"))
       .localCheckpoint(true)
+    jaccardSelfJoinPre(sh, "_id", "_sh", threshold)
+  }
+
+  /** [[jaccardSelfJoin]] over PRE-SHINGLED documents: `pre` carries the id
+    * and the shingle array (from [[shingles]]) and MUST already be
+    * materialized (checkpointed/cached) by the caller — the arrays are
+    * read by the gram explosion and both sides of the verify join, so an
+    * unmaterialized input would re-run its lineage three times. Lets a
+    * composed pipeline (q110: the same survivor frame feeds near-dup
+    * clustering AND decontamination gram matching) shingle its corpus
+    * exactly once instead of per consumer. */
+  def jaccardSelfJoinPre(pre: DataFrame, idCol: String, shCol: String,
+                         threshold: Double): DataFrame = {
+    val sh = pre.select(col(idCol).as("_id"), col(shCol).as("_sh"))
     // Candidate generation runs on 8-byte GRAM IDS (xxhash64 of the
     // shingle), never the shingle text (round 18, guide §2.3 "shuffle
     // keys and metadata instead of payloads"): the df aggregation, the
