@@ -122,6 +122,28 @@ object ExecProfile {
       df.repartition(1).sortWithinPartitions(cols: _*)
     else df.orderBy(cols: _*)
 
+  /** Collect a LIMIT-bounded resident-tier probe in ONE scheduled job.
+    * `Dataset.limit(n).collect()` runs executeTake, whose incremental
+    * partition scan (1 → 4 → 16 …) schedules a separate job per
+    * iteration — right for a genuine early-stop LIMIT over a huge scan,
+    * pure job floor for a probe whose plan stats already passed a byte
+    * gate and is expected to return (nearly) all of its rows (q104's
+    * two resident collects paid 3 jobs each this way). Scopes
+    * `spark.sql.limit.initialNumPartitions` to the call so every
+    * partition scans in the first take iteration; the conf is restored
+    * after, keeping genuine limits conservative. */
+  def takeAll[T](ds: org.apache.spark.sql.Dataset[T], n: Int): Array[T] = {
+    val c = ds.sparkSession.conf
+    val key = "spark.sql.limit.initialNumPartitions"
+    val old = c.getOption(key)
+    c.set(key, Int.MaxValue.toString)
+    try ds.limit(n).collect()
+    finally old match {
+      case Some(v) => c.set(key, v)
+      case None => c.unset(key)
+    }
+  }
+
   /** Broadcast `df` under the session's broadcast policy: the hint at
     * scale, a plain (shuffle) join under the small-query profile where a
     * broadcast build would be its own scheduled job. Use for operator-

@@ -247,7 +247,11 @@ trait EntryQueriesA extends EntryBase {
     "q20_conditional_agg" -> ((s, dir) => {
       val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
       t(s, dir, "lineitem")
-        .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        // profile-following dim broadcast (round 18, the q03 rule): hint
+        // at scale, plain join under the small profile where the
+        // broadcast build is its own scheduled job
+        .join(graft.ExecProfile.maybeBroadcast(t(s, dir, "part")),
+          col("l_partkey") === col("p_partkey"))
         .groupBy(year(col("l_shipdate")).cast("long").as("ship_year"))
         .agg(dsum(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0)), 6)
             .as("promo_revenue"),

@@ -195,7 +195,8 @@ object Graph {
     val memoized = key.flatMap(k =>
       memo.synchronized(Option(memo.get(k))))
     val adjOpt = memoized.orElse {
-      val pairs = sel.limit(residentEdgeCap + 1).as[(Long, Long)].collect()
+      val pairs = graft.ExecProfile.takeAll(
+        sel.as[(Long, Long)], residentEdgeCap + 1)
       if (pairs.length > residentEdgeCap) None // stats under-estimated
       else {
         val adj = buildAdjacency(pairs, undirected)

@@ -153,9 +153,11 @@ object Rca {
       df.queryExecution.optimizedPlan.stats.sizeInBytes
     if (stats(evSel) <= residentBytes && stats(selR) <= residentBytes) {
       val evRows =
-        evSel.limit(evCap + 1).as[(String, String, Long)].collect()
+        graft.ExecProfile.takeAll(
+          evSel.as[(String, String, Long)], evCap + 1)
       if (evRows.length <= evCap) {
-        val pairs = selR.limit(edgeCap + 1).as[(String, String)].collect()
+        val pairs = graft.ExecProfile.takeAll(
+          selR.as[(String, String)], edgeCap + 1)
         // maxDriverFrontier bounds every driver-resident NODE set, this
         // tier's included: topology endpoints are its superset
         val nodeBound = pairs.iterator
@@ -218,12 +220,12 @@ object Rca {
     if (stats(selR) <= residentBytes &&
         stats(correlatedPlan) <= residentBytes) {
       val pairs =
-        selR.limit(edgeCap + 1).as[(String, String)].collect()
+        graft.ExecProfile.takeAll(selR.as[(String, String)], edgeCap + 1)
       val nodeBound = pairs.iterator
         .flatMap(p => Iterator(p._1, p._2)).toSet.size
       if (pairs.length <= edgeCap && nodeBound <= maxDriverFrontier) {
-        val corrArr = correlatedPlan.limit(maxDriverFrontier + 1)
-          .as[String].collect()
+        val corrArr = graft.ExecProfile.takeAll(
+          correlatedPlan.as[String], maxDriverFrontier + 1)
         if (corrArr.length <= maxDriverFrontier)
           return residentFixpoint(spark, pairs, corrArr.toSet, core,
             hopCount, maxRounds)

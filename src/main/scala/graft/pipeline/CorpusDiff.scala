@@ -34,6 +34,9 @@ object CorpusDiff {
       .agg(count(lit(1)).as("n_docs"),
         min(col("id")).as("min_id"),
         max(col("id")).as("max_id"))
-      .orderBy("status")
+      // ≤4 rows by construction (the status domain): single-task total
+      // order instead of orderBy's range-partition sampling job (the
+      // round-17 sorted1 rule — a structural bound, so both profiles)
+      .repartition(1).sortWithinPartitions("status")
   }
 }

@@ -209,11 +209,15 @@ object Selection {
                  targetPred: Column, micro: Array[Long],
                  dim: Int = 32): DataFrame = {
     val feats = featFrame(docs, textCol, idCol, targetPred, dim)
-    val sp = docs.sparkSession
-    import sp.implicits._
-    val wTbl = micro.zipWithIndex
-      .map { case (wv, i) => (i.toLong, wv) }.toSeq.toDF("_b", "_w")
-    feats.join(broadcast(wTbl), Seq("_b"))
+    // weights attach as an O(1) ARRAY-literal lookup (round 18): the
+    // former broadcast(wTbl) join scheduled a broadcast-build job per
+    // query just to ship dim+1 longs the driver already holds (even a
+    // LocalRelation build is a parallelize job). _b ∈ [0, dim] by
+    // featFrame's construction, so the lookup is total — identical rows
+    // to the equi-join. (Array literal, not map literal — element_at on
+    // a map literal is a per-lookup linear scan, the round-13 q124 bug.)
+    val wArr = typedlit(micro.toIndexedSeq)
+    feats.withColumn("_w", element_at(wArr, (col("_b") + 1L).cast("int")))
       .groupBy(col("doc_id"), col("_y").as("label"))
       .agg(sum(when(col("_b") === 0L, 0L).otherwise(col("_c")))
           .as("n_tok"),

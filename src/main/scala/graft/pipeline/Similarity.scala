@@ -250,9 +250,15 @@ object Similarity {
       nearestBucket(col(vecCol), cents).as("_bkt"))
     // a query's probe list: its nprobe nearest cells (sorted (dist, idx)
     // pairs — struct order breaks ties on the index); same single-matrix
-    // codebook literal as the assignment side
+    // codebook literal as the assignment side.
+    // maybeBroadcast (round 18, here and in ivfPqProbe/lshTopK): the tiny
+    // query side broadcasts at scale (the corpus side never moves), but
+    // under the small-input profile the broadcast build is its own
+    // scheduled job — a pure job floor on a probe joining a few MB — so
+    // the small path takes the in-job shuffle (all these probe joins are
+    // bucket equi-joins, never nested loops).
     val qd = distIdx(col(vecCol), cents)
-    val qb = broadcast(queries.select(col(idCol).as("query_id"),
+    val qb = graft.ExecProfile.maybeBroadcast(queries.select(col(idCol).as("query_id"),
         col(vecCol).as("_qv"),
         sqrt(dotNative(col(vecCol), col(vecCol))).as("_qn"),
         slice(array_sort(qd), 1, nprobe).as("_probes"))
@@ -418,7 +424,7 @@ object Similarity {
         aggregate(zip_with(slice(col(vecCol), i * sub + 1, sub), c,
             (x, w) => (x.cast("double") - w) * (x.cast("double") - w)),
           lit(0.0), (acc, v) => acc + v))
-    val qb = broadcast(queries.select(col(idCol).as("query_id"),
+    val qb = graft.ExecProfile.maybeBroadcast(queries.select(col(idCol).as("query_id"),
         col(vecCol).as("_qv"),
         sqrt(dotNative(col(vecCol), col(vecCol))).as("_qn"),
         array((0 until m).map(adcTable): _*).as("_tables"),
@@ -465,7 +471,7 @@ object Similarity {
               idCol: String, dim: Int, planes: Int, k: Int,
               bands: Int = 1): DataFrame = {
     graft.expressions.VectorExpressions.register(corpus.sparkSession)
-    val qPrepped = broadcast(queries.select(col(idCol).as("query_id"),
+    val qPrepped = graft.ExecProfile.maybeBroadcast(queries.select(col(idCol).as("query_id"),
       col(vecCol).as("_qv"),
       sqrt(dotNative(col(vecCol), col(vecCol))).as("_qn")))
     if (bands <= 1) {
@@ -473,7 +479,7 @@ object Similarity {
         col(vecCol).as("_cv"),
         sqrt(dotNative(col(vecCol), col(vecCol))).as("_cn"),
         signBucket(col(vecCol), dim, planes).as("_bkt"))
-      val qb = broadcast(queries.select(col(idCol).as("query_id"),
+      val qb = graft.ExecProfile.maybeBroadcast(queries.select(col(idCol).as("query_id"),
         col(vecCol).as("_qv"),
         sqrt(dotNative(col(vecCol), col(vecCol))).as("_qn"),
         signBucket(col(vecCol), dim, planes).as("_bkt")))
@@ -488,7 +494,7 @@ object Similarity {
     val cBands = corpus.select(col(idCol).as("neighbor_id"),
         posexplode(signBands(col(vecCol), dim, planes, bands))
           .as(Seq("_band", "_pat")))
-    val qBands = broadcast(queries.select(col(idCol).as("query_id"),
+    val qBands = graft.ExecProfile.maybeBroadcast(queries.select(col(idCol).as("query_id"),
         posexplode(signBands(col(vecCol), dim, planes, bands))
           .as(Seq("_band", "_pat"))))
     val cand = cBands.join(qBands, Seq("_band", "_pat"))

@@ -622,8 +622,8 @@ object PromQL {
       s.at match {
         case Some(a) =>
           val (_, pinned) = pinnedUngridded(s)
-          // grid is tiny (one row per step) — broadcast the replication
-          Vec(pinned.crossJoin(broadcast(evalGrid(m))), m.labels)
+          // grid is tiny (one row per step) — literal-explode replication
+          Vec(withGrid(pinned, m), m.labels)
         case None =>
           val out = unwrap(PromRange.withRangeWindow(df, m.time,
               s"${lookbackS * 1000 + 1} milliseconds", stepStr,
@@ -636,15 +636,14 @@ object PromQL {
       }
     }
 
-    /** The eval-step grid (one `eval_ms` per step): from `boundsMs` when
+    /** The grid's step bounds (kmin, kmax): from `boundsMs` when
       * provided, else the metric's registered `extentMs` (parquet footer
       * stats via [[graft.sources.ParquetStats]] — a metadata lookup, the
       * reference's shard-group time range), else a min/max scan of the
       * metric's own time extent — all ceil'd to step multiples. */
-    private def evalGrid(m: Metric): DataFrame = {
-      val spark = m.df.sparkSession
+    private def gridBounds(m: Metric): Option[(Long, Long)] = {
       val ssMs = stepS * 1000L
-      val lohi = boundsMs.orElse(m.extentMs)
+      boundsMs.orElse(m.extentMs)
         // cold parquet-backed metric with no registered extent: footer
         // stats (a driver metadata read) before any scan-stage job
         .orElse(graft.sources.ParquetStats.timeExtentMsOf(m.df, m.time))
@@ -653,14 +652,33 @@ object PromQL {
             max(unix_millis(col(m.time)))).collect()(0)
           if (b.isNullAt(0)) None else Some((b.getLong(0), b.getLong(1)))
         }
-      lohi match {
-        case None =>
-          spark.range(0, 0).select((col("id") * ssMs).as("eval_ms"))
-        case Some((lo, hi)) =>
+        .map { case (lo, hi) =>
           // floorDiv-based ceil: truncating `/` rounds toward zero, which
           // disagrees with the oracle's `//` floor for pre-1970 epochs
-          val kmin = Math.floorDiv(lo + ssMs - 1, ssMs)
-          val kmax = Math.floorDiv(hi + ssMs - 1, ssMs)
+          (Math.floorDiv(lo + ssMs - 1, ssMs),
+            Math.floorDiv(hi + ssMs - 1, ssMs))
+        }
+    }
+
+    /** Grid values as a driver-side sequence when small enough to ride a
+      * plan literal (64k longs ≈ 512 KB); None past the cap. */
+    private def gridLiteral(m: Metric): Option[IndexedSeq[Long]] = {
+      val ssMs = stepS * 1000L
+      gridBounds(m) match {
+        case Some((kmin, kmax)) if kmax + 1 - kmin <= 65536 =>
+          Some((kmin to kmax).map(_ * ssMs))
+        case _ => None
+      }
+    }
+
+    /** The eval-step grid (one `eval_ms` per step) as a frame. */
+    private def evalGrid(m: Metric): DataFrame = {
+      val spark = m.df.sparkSession
+      val ssMs = stepS * 1000L
+      gridBounds(m) match {
+        case None =>
+          spark.range(0, 0).select((col("id") * ssMs).as("eval_ms"))
+        case Some((kmin, kmax)) =>
           // size the grid's partition count to the grid, not to
           // defaultParallelism — a 700-point hourly grid in 32 slices
           // is 32 near-empty shuffle-map tasks per consumer
@@ -671,6 +689,20 @@ object PromQL {
             .select((col("id") * ssMs).as("eval_ms"))
       }
     }
+
+    /** Replicate `df`'s rows across the eval grid. A driver-small grid
+      * attaches as ONE exploded array literal — a pure projection, no
+      * join and no scheduled job (round 18: the former
+      * crossJoin(broadcast(grid)) paid a broadcast-build job per query —
+      * even a LocalRelation grid collects through a parallelize job at
+      * defaultParallelism near-empty slices). Grids past the literal cap
+      * keep the broadcast cross join. Identical rows either way. */
+    private def withGrid(df: DataFrame, m: Metric): DataFrame =
+      gridLiteral(m) match {
+        case Some(ks) =>
+          df.withColumn("eval_ms", explode(typedlit(ks)))
+        case None => df.crossJoin(broadcast(evalGrid(m)))
+      }
 
     /** A range-function argument: either a range selector `m[d]` (raw
       * samples) or a subquery `expr[d:r]` (the inner expression evaluated
@@ -738,8 +770,8 @@ object PromQL {
         gridOf: Metric): DataFrame = pin match {
       case None => out
       case Some(tp) =>
-        out.filter(col("eval_ms") === tp).drop("eval_ms")
-          .crossJoin(broadcast(evalGrid(gridOf)))
+        withGrid(
+          out.filter(col("eval_ms") === tp).drop("eval_ms"), gridOf)
     }
 
     private def rangeFn(fn: String, arg: Expr): Vec = {
@@ -789,8 +821,7 @@ object PromQL {
       val regrid: Option[DataFrame => DataFrame] = a.body match {
         case sel: Sel if sel.at.isDefined =>
           val (m, _) = metricOf(sel)
-          Some((d: DataFrame) => d.drop("eval_ms")
-            .crossJoin(broadcast(evalGrid(m))))
+          Some((d: DataFrame) => withGrid(d.drop("eval_ms"), m))
         case _ => None
       }
       val v = a.body match {
